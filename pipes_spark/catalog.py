@@ -1,0 +1,993 @@
+"""Declared query catalog: the engine's operator inventory (SURVEY.md §2.C)
+as runnable queries over the driver's synthetic tables, each paired with an
+ANSI-SQL oracle for the DuckDB correctness gate.
+
+Every Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the oracle exactly (the driver sorts columns by name and
+hash-compares values). Cross-engine determinism rules used throughout:
+
+* every float produced by arithmetic/aggregation is either ``round()``ed at
+  a position where the true decimal value is exact, or (for sums of
+  multi-decimal products, where float sums are order-dependent and decimal
+  rounding semantics differ between engines) summed as DECIMAL(28,6) —
+  exact, order-independent — and cast back to DOUBLE;
+* computed integers are cast to BIGINT on the Spark side (DuckDB's default
+  integer width);
+* window orderings always include a unique tie-break key whenever the
+  function is order-sensitive (row_number/ntile/lag/lead/last);
+* double→int conversions use floor() (Spark CAST truncates, DuckDB rounds).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.relational import (
+    asof_join,
+    dedup_keep_min,
+    range_join,
+    sessionize,
+    top_k_per_group,
+)
+from .sources import load_table
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # None → non-SQL-expressible, rows-only check
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(col) -> F.Column:
+    """Order-independent exact sum of a money-product expression: sum as
+    DECIMAL(28,6) (the operands have ≤6 true decimals), cast back to DOUBLE.
+    Float sums are order-dependent across partitions, and Spark/DuckDB round
+    doubles differently at exact .5 boundaries — decimal summation avoids
+    both."""
+    return F.sum(col.cast("decimal(28,6)")).cast("double")
+
+
+# SQL-side twin of _dsum
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# aggregation: TPC-H-style headline queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)      AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)                AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           round(avg(l_extendedprice), 6)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan groupBy with partial+final hash aggregation.
+    Scale: 2-column group key, map-side combine; the scan prunes to the 7
+    referenced columns (check PushedFilters/ReadSchema in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective 3-way join + agg + top-n.
+    Scale: customer is the small side after the segment filter → broadcast;
+    orders⋈lineitem shuffles on orderkey (the natural co-location key)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way star join.
+    Scale: nation/region/supplier are dimension-sized → broadcast them so
+    only orders⋈lineitem shuffles; Catalyst+AQE reorders the rest."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# projection & predicates
+# ---------------------------------------------------------------------------
+
+@query(
+    "scan_project_cast",
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_int,
+           l_returnflag AS flag, CAST(l_extendedprice AS VARCHAR) AS price_str
+    FROM lineitem
+    """,
+)
+def scan_project_cast(spark, sf_dir):
+    """select / rename / cast — pure projection, no shuffle; column pruning
+    reaches the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("bigint").alias("line_no"),
+        F.floor("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("string").alias("price_str"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_quantity BETWEEN 10 AND 30
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_linestatus LIKE 'F%'
+      AND l_orderkey IS NOT NULL
+      AND NOT (l_discount > 0.09)
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    """comparison / boolean algebra / IN / BETWEEN / LIKE / null checks —
+    all pushed down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 30)
+        & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_linestatus").like("F%")
+        & F.col("l_orderkey").isNotNull()
+        & ~(F.col("l_discount") > 0.09)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_inner_agg",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total, count(DISTINCT c_custkey) AS n_cust
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_agg(spark, sf_dir):
+    """Equi inner join + aggregate. Scale: customer ≪ orders → broadcast the
+    dimension, shuffle only for the final 5-group aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("spend"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp
+    FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, "nk", "full").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join = EXISTS. Scale: semi joins never duplicate the probe
+    side, so output stays bounded by the left input."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    """,
+)
+def join_cross(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    a = r.select(F.col("r_name").alias("from_region"))
+    b = r.select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b)
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    SELECT label, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+    FROM part JOIN (VALUES (1, 11, 'small'), (11, 21, 'medium'), (21, 31, 'large'),
+                           (31, 41, 'xlarge'), (41, 100, 'jumbo')) b(lo, hi, label)
+      ON p_size >= lo AND p_size < hi
+    GROUP BY label
+    """,
+)
+def join_range_bands(spark, sf_dir):
+    """Theta/range join against a small bands table — broadcast nested loop,
+    so the fact side never shuffles (see operators.relational.range_join)."""
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(1, 11, "small"), (11, 21, "medium"), (21, 31, "large"), (31, 41, "xlarge"), (41, 100, "jumbo")],
+        "lo int, hi int, label string",
+    )
+    return (
+        range_join(part, bands, "p_size")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS cv FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purch AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), unioned AS (
+      SELECT user_id, ts, 1 AS side, event_id, value, NULL::DOUBLE AS cv FROM purch
+      UNION ALL
+      SELECT user_id, ts, 0 AS side, NULL::BIGINT, NULL::DOUBLE, cv FROM clicks
+    ), filled AS (
+      SELECT *, last_value(cv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      FROM unioned
+    )
+    SELECT event_id, user_id, ts, value, asof_value FROM filled WHERE side = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (nearest prior click per purchase, per user) via the
+    union+window formulation — one shuffle, both sides may be huge
+    (see operators.relational.asof_join)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"], value_cols=["value"])
+    return out.select("event_id", "user_id", "ts", "value", F.col("asof_value"))
+
+
+# ---------------------------------------------------------------------------
+# aggregation breadth
+# ---------------------------------------------------------------------------
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_extendedprice), 2) AS var_price,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_collect_strings",
+    oracle="""
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+           count(*) AS n
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_strings(spark, sf_dir):
+    """collect_set + deterministic ordering, serialized for comparison."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "grouping_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n, CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def grouping_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.grouping_id().cast("bigint").alias("gid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_ranking",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(rank()       OVER wt AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+           CAST(row_number() OVER wu AS BIGINT) AS rn,
+           round(percent_rank() OVER wt, 6) AS prnk,
+           round(cume_dist()    OVER wt, 6) AS cd,
+           CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+    FROM orders
+    WINDOW wt AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC),
+           wu AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ranking(spark, sf_dir):
+    """Ranking windows. rank/dense_rank/percent_rank/cume_dist are
+    deterministic under ties; row_number/ntile get a unique tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    wt = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wu = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(wt).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wt).cast("bigint").alias("drnk"),
+        F.row_number().over(wu).cast("bigint").alias("rn"),
+        F.round(F.percent_rank().over(wt), 6).alias("prnk"),
+        F.round(F.cume_dist().over(wt), 6).alias("cd"),
+        F.ntile(4).over(wu).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER wf AS first_v,
+           last_value(value)  OVER wf AS last_v
+    FROM events
+    WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_analytic(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(wf).alias("first_v"),
+        F.last("value").over(wf).alias("last_v"),
+    )
+
+
+@query(
+    "window_frames",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+           round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_quantity
+                 RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 2) AS range_qty
+    FROM lineitem
+    """,
+)
+def window_frames(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    wr = Window.partitionBy("l_suppkey").orderBy("l_quantity").rangeBetween(-5, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.round(
+            F.sum("l_quantity").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+        ).alias("running_qty"),
+        F.round(F.avg("l_extendedprice").over(wo.rowsBetween(-3, Window.currentRow)), 6).alias(
+            "moving_avg"
+        ),
+        F.round(F.sum("l_quantity").over(wr), 2).alias("range_qty"),
+    )
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Per-group top-k: single shuffle on the group key, no global sort
+    (see operators.relational.top_k_per_group)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn"))
+
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def sort_limit(spark, sf_dir):
+    """Global top-n: Spark plans TakeOrderedAndProject — per-partition heaps
+    + driver merge, never a full global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (fan-in algebra)
+# ---------------------------------------------------------------------------
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_union_all(spark, sf_dir):
+    """UNION ALL — the reference's fan-in (duplicates kept,
+    ref: pipe/internal/connect/connectors.go:8-41)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    INTERSECT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.intersect(o)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "dedup_keyed",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                               ORDER BY o_orderkey) = 1
+    """,
+)
+def dedup_keyed(spark, sf_dir):
+    """Deterministic keyed dedup (keep lowest orderkey per key) — the
+    reproducible alternative to dropDuplicates' arbitrary row."""
+    orders = _t(spark, sf_dir, "orders")
+    out = dedup_keep_min(orders, ["o_custkey", "o_orderstatus"], "o_orderkey")
+    return out.select("o_custkey", "o_orderstatus", "o_orderkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# scalar function surface
+# ---------------------------------------------------------------------------
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           substr(p_name, 1, 5) AS sub,
+           CAST(length(p_name) AS BIGINT) AS len,
+           p_brand || '-' || p_type AS cat,
+           trim('  ' || p_name || '  ') AS trimmed,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS devowel,
+           CAST(instr(p_name, 'e') AS BIGINT) AS pos_e,
+           string_split(p_name, ' ')[1] AS head_tok,
+           printf('%s:%d', p_brand, p_partkey) AS tagged,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded
+    FROM part
+    """,
+)
+def scalar_string(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up"),
+        F.lower("p_brand").alias("lo"),
+        F.substring("p_name", 1, 5).alias("sub"),
+        F.length("p_name").cast("bigint").alias("len"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("cat"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("devowel"),
+        F.instr(F.col("p_name"), "e").cast("bigint").alias("pos_e"),
+        F.split("p_name", " ").getItem(0).alias("head_tok"),
+        F.format_string("%s:%d", F.col("p_brand"), F.col("p_partkey")).alias("tagged"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 1.1, 3) AS mul,
+           round(abs(l_discount - 0.05), 6) AS ab,
+           CAST(floor(l_quantity) AS BIGINT) AS fl,
+           CAST(ceil(l_quantity) AS BIGINT) AS ce,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(pow(l_discount + 1, 2), 6) AS pw,
+           round(ln(l_extendedprice), 6) AS lg,
+           CAST(l_orderkey % 7 AS BIGINT) AS md,
+           round(exp(l_discount), 6) AS ex,
+           greatest(l_tax, l_discount) AS gr,
+           least(l_tax, l_discount) AS le
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        # round at 3: the true product has exactly 3 decimals, so rounding is
+        # identity in both engines (round-at-2 hits exact-.5 boundaries where
+        # Spark HALF_UP on decimal strings and DuckDB binary rounding differ)
+        F.round(F.col("l_extendedprice") * 1.1, 3).alias("mul"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("ab"),
+        F.floor("l_quantity").cast("bigint").alias("fl"),
+        F.ceil("l_quantity").cast("bigint").alias("ce"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("pw"),
+        F.round(F.log("l_extendedprice"), 6).alias("lg"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("md"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+        F.greatest("l_tax", "l_discount").alias("gr"),
+        F.least("l_tax", "l_discount").alias("le"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(day(o_orderdate) AS BIGINT) AS dy,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           date_trunc('month', o_orderdate) AS mon_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS BIGINT) AS days_to,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           epoch_ms(o_orderdate) AS epoch_millis,
+           CAST(CAST(last_day(o_orderdate) AS DATE) AS VARCHAR) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS as_date
+    FROM orders
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        # Spark dayofweek: Sunday=1; DuckDB: Sunday=0
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.date_trunc("month", "o_orderdate").alias("mon_start"),
+        F.datediff(F.lit("2002-01-01 00:00:00").cast("timestamp"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        # o_orderdate is TIMESTAMP_NTZ from parquet; with session TZ pinned
+        # to UTC the cast preserves the wall-clock epoch DuckDB reports
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
+        # emit DATE results as strings: pandas/Arrow represent Spark DATE and
+        # DuckDB DATE differently, which breaks value comparison
+        F.last_day("o_orderdate").cast("string").alias("month_end"),
+        F.to_date("o_orderdate").cast("string").alias("as_date"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def scalar_array_explode(spark, sf_dir):
+    """explode (the reference's 1→N flatMap, ref: minigrep.go:65-85) +
+    re-aggregation: word frequencies over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS missing_is_null
+    FROM events
+    """,
+)
+def scalar_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), 1).otherwise(0).alias(
+            "missing_is_null"
+        ),
+    )
+
+
+@query(
+    "conditional_case",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS urgent
+    FROM orders
+    """,
+)
+def conditional_case(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("urgent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-series / event analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value,
+           round(avg(value), 6) AS avg_value, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation (batch form of streaming F.window)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "sessionize_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_stats(spark, sf_dir):
+    """Gap-based sessionization (30 min) + per-session stats
+    (see operators.relational.sessionize)."""
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("duration_ms"),
+    )

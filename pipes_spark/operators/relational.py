@@ -1,0 +1,145 @@
+"""Composite relational operators (SURVEY.md §2.C).
+
+In the reference every one of these would be hand-written state inside a
+``MiddleFunc`` (ref: pipe/node.go:16-19); here they are first-class,
+composed entirely from Spark built-ins so Catalyst plans them (broadcast
+vs shuffle join, partial aggregation, AQE skew handling).
+
+Scale notes (100 TB design points) are documented per function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number window + filter.
+
+    Scale: a single shuffle on the group keys; no global sort. For extreme
+    cardinality ensure ``order_by`` includes a unique tie-break column so
+    results are deterministic across retries/partitionings.
+    """
+    w = Window.partitionBy(*group_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right.on <= left.on`` within the same ``by`` group.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union+window trick: tag both sides, sort within each ``by`` partition by
+    (on, side) and carry the last non-null right value forward. One shuffle,
+    no per-key Python, no broadcast requirement — works when both sides are
+    huge (a ``merge_asof``-in-Pandas fallback would need per-group collect).
+
+    Right rows that tie on (by, on) are collapsed with ``max`` first to keep
+    the result deterministic.
+    """
+    by = list(by)
+    right_u = right.groupBy(*by, on).agg(
+        *[F.max(c).alias(c) for c in value_cols]
+    )
+    lcols = left.columns
+    lhs = left.select(*lcols).withColumn("_side", F.lit(1))
+    for c in value_cols:
+        lhs = lhs.withColumn(f"_rv_{c}", F.lit(None).cast(right_u.schema[c].dataType))
+    rhs = right_u.select(
+        *by,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    for c in lcols:
+        if c not in by and c != on:
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    rhs = rhs.select(*lcols, "_side", *[f"_rv_{c}" for c in value_cols])
+    unioned = lhs.select(*lcols, "_side", *[f"_rv_{c}" for c in value_cols]).unionByName(rhs)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in value_cols:
+        out = out.withColumn(f"{prefix}{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w))
+    return out.filter(F.col("_side") == 1).drop("_side", *[f"_rv_{c}" for c in value_cols])
+
+
+def range_join(
+    df: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Band/interval join: match rows to [lo, hi) ranges.
+
+    Scale: the bands side is small by construction → broadcast, so the big
+    side never shuffles and the theta condition never degenerates into a
+    cartesian product across executors.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return df.join(F.broadcast(bands), cond, "inner")
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    order_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Assign gap-based session ids per user (lag + cumulative sum).
+
+    Scale: one shuffle on ``user_col``; windows run within partitions. For
+    skewed users at 100 TB add a coarse time-bucket to the partition key or
+    use streaming ``session_window`` instead.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(F.lag(ts_col).over(w))
+    new_session = F.when(
+        F.lag(ts_col).over(w).isNull() | (gap_ms > gap_seconds * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint"),
+    )
+
+
+def dedup_keep_min(df: DataFrame, keys: Sequence[str], keep_col: str) -> DataFrame:
+    """Deterministic keyed dedup: keep the row with the minimal ``keep_col``
+    per key group (``dropDuplicates`` keeps an *arbitrary* row — fine for
+    semantics, wrong for reproducible pipelines).
+
+    Scale: implemented as min-aggregate + semi-join-free groupBy when only
+    keys+keep are needed, else a row_number window (single shuffle).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(keep_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """Fan-in: UNION ALL by name (ref: connectors.go:8-41 keeps duplicates)."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), dfs)

@@ -53,9 +53,12 @@ def read_parquet(spark: SparkSession, path: str, columns: Optional[Sequence[str]
     nano_cols = _nano_ts_columns(path)
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # keep timestamp semantics identical to the DuckDB oracle
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in nano_cols:
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long")))
+        # integer division: ns epochs exceed 2^53, float division is lossy
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     if columns:
         df = df.select(*columns)
     return df
