@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion with the no-op sink (full computation,
+no driver-side collect bottleneck measuring serialization instead of the
+engine)."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_inner_agg",
+    "join_asof",
+    "agg_stats",
+    "grouping_cube",
+    "window_frames",
+    "topk_per_group",
+    "events_hourly",
+    "sessionize_stats",
+    "scalar_array_explode",
+    "dedup_keyed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pipes_spark.catalog import QUERIES
+    from pipes_spark.session import get_spark
+
+    spark = get_spark("pipes_spark_bench")
+
+    # warm up JVM, codegen, and parquet reader paths outside the measured
+    # region (first query otherwise pays ~3 s of one-time JVM/codegen cost)
+    from pipes_spark.sources import load_table
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, sf_dir, "lineitem").limit(1000).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
