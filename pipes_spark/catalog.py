@@ -991,3 +991,383 @@ def sessionize_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# extensions: text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, length(text) AS nc,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(nc AS BIGINT) AS n_chars_actual,
+           round(list_sum(list_transform(tk, t -> length(t))) / greatest(len(tk), 1), 6)
+             AS avg_token_len
+    FROM toks
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — map-side only, no shuffle."""
+    from .operators.text import with_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return with_token_stats(d).select("doc_id", "n_tokens", "n_chars_actual", "avg_token_len")
+
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text, greatest(length(text), 1) AS n,
+             greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT), 1) AS n_toks,
+             CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+             + CAST((length(text) - length(replace(text, ' a ', ''))) / 3 AS BIGINT) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n, 6) AS alpha_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) / n, 6) AS digit_ratio,
+           round(length(regexp_replace(text, '[^\s]', '', 'g')) / n, 6) AS space_ratio,
+           round(stop_hits / n_toks, 6) AS stopword_ratio
+    FROM base
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/char-class/stopword ratios (C4/Gopher-style
+    first-pass filters), pure codegen'd column arithmetic."""
+    from .operators.text import with_quality_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return with_quality_scores(d).select(
+        "doc_id", "alpha_ratio", "digit_ratio", "space_ratio", "stopword_ratio"
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+        CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' und ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' die ', ''))) / 5 AS BIGINT) AS score_de,
+        CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+        CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' la ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' que ', ''))) / 5 AS BIGINT) AS score_es,
+        CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' des ', ''))) / 5 AS BIGINT) AS score_fr,
+        CAST((length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' shi ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS score_zh
+      FROM documents
+    )
+    SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_de >= score_en AND score_de >= score_es
+                  AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr
+                  AND score_en >= score_zh THEN 'en'
+             WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS lang_pred
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-word language-ID heuristic with deterministic argmax."""
+    from .operators.text import with_lang_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_scores(d).select(
+        "doc_id", "score_de", "score_en", "score_es", "score_fr", "score_zh", "lang_pred"
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id
+    FROM fp
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of casefolded whitespace-collapsed text,
+    plus the canonical (minimum) doc id per fingerprint group."""
+    from .operators.text import normalized_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.withColumn("fingerprint", normalized_fingerprint("text"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .select("doc_id", "fingerprint", "canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# extensions: deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_docs",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup via hash-groupBy on the 128-bit fingerprint; keeps the
+    smallest doc_id deterministically (operators.dedup.exact_dedup)."""
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "fingerprint")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                            for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via shingle-keyed self-join
+    (operators.dedup.ngram_jaccard_pairs) — the exact verifier behind the
+    MinHash-LSH candidate generator."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.2)
+
+
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+      FROM toks
+    ), votes AS (
+      SELECT doc_id,
+             [list_sum(list_transform(hs, h -> CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END))
+              for i in range(0, 32)] AS vs
+      FROM th
+    )
+    SELECT doc_id,
+           CAST(list_sum([CASE WHEN vs[i+1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+                          for i in range(0, 32)]) AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint per document (md5-derived bit votes), the
+    basis for Hamming-distance near-dup blocking
+    (operators.dedup.simhash32/simhash_pairs)."""
+    from .operators.dedup import simhash32
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32("text").alias("simhash"))
+
+
+@query("dedup_minhash_lsh")  # xxhash64 has no DuckDB twin → rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) near-dup candidate pairs with
+    signature-estimated Jaccard ≥ 0.5 (operators.dedup.minhash_lsh_pairs).
+    Verified in pytest against exact n-gram Jaccard on the same corpus."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+@query("dedup_simhash_pairs")  # pair blocking uses bit ops on xxhash-free md5; rows-only for pair set
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming ≤ 3 via byte-block pigeonhole
+    blocking (operators.dedup.simhash_pairs)."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d)
+
+
+# ---------------------------------------------------------------------------
+# extensions: similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
+    ), scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(qe, c.e) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))), 6)
+               AS cosine
+      FROM q JOIN v c ON c.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Exact brute-force cosine top-5 for a 20-vector query set: broadcast
+    join + codegen'd array math (operators.similarity.cosine_topk)."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
+    "sim_cosine_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+             AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+    """,
+)
+def sim_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.3), exact
+    all-pairs form (operators.similarity.cosine_neardup_pairs)."""
+    from .operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.3)
+
+
+@query("sim_lsh_topk")  # approximate by construction → rows-only check
+def sim_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH top-5 (bucketed, approximate) — the corpus-scale
+    ANN path (operators.similarity.lsh_cosine_topk). Recall vs the exact
+    top-k is asserted in pytest."""
+    from .operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------------------
+# extensions: multimodal + approx + streaming
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features")  # blob byte-stats not expressible in the oracle → rows-only
+def multimodal_features(spark, sf_dir):
+    """Binary-column plumbing: text→binary assets with typed metadata, then
+    Arrow-batched mapInPandas feature extraction (deterministic fake decode;
+    real codecs are stubbed — operators.multimodal)."""
+    from .operators.multimodal import binary_assets_from_text, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    assets = binary_assets_from_text(d)
+    return extract_features(assets, fake=True).select(
+        "asset_id", "format", "n_bytes", "byte_mean", "byte_min", "byte_max"
+    )
+
+
+@query("approx_distinct")  # HLL sketches are engine-specific → rows-only
+def approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HLL++) next to the exact count for error
+    inspection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "streaming_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_events_hourly(spark, sf_dir):
+    """A REAL Structured Streaming query (file source → event-time tumbling
+    window → memory sink, availableNow) returning its materialized result;
+    the oracle is the equivalent batch aggregation."""
+    from .sources import _nano_ts_columns
+    from .streaming import run_to_memory
+
+    import os
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source requires a directory; expose the single parquet
+    # file through a temp dir symlink
+    stream_dir = tempfile.mkdtemp(prefix="pipes_stream_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    for c in nano_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    result = run_to_memory(agg, output_mode="complete")
+    return result.select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")

@@ -1,0 +1,154 @@
+"""Multimodal-column operators: image/audio/video as opaque ``binary``
+columns with typed metadata (SURVEY.md §2.C extensions).
+
+The Spark-side plumbing — schema, Arrow batch shape, mapInPandas signatures,
+partition sizing — is real and tested. The actual codec step is STUBBED:
+image/audio libraries are not in this container, so ``decode_image`` either
+raises ``NotImplementedError`` (real mode) or produces a deterministic fake
+decode (test mode). Swapping in PIL/ffmpeg later changes only the body of
+``_decode_batch``.
+
+Scale notes: binary payloads ride in Arrow record batches; keep
+``spark.sql.files.maxPartitionBytes`` sized so one partition of blobs fits
+executor memory, and repartition by a content-hash key before heavy decode
+so stragglers (giant files) spread out. Features, not pixels, should cross
+shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _ship_package(spark) -> None:
+    """Make ``pipes_spark`` importable on executor Python workers.
+
+    Module-level functions referenced from mapInPandas are pickled *by
+    reference*, so workers must import this package — which fails when the
+    driver process was launched outside the repo. Shipping the package as a
+    zip via addPyFile fixes that for any deployment (local or cluster)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pipes_spark_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pipes_spark_pkg_{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._pipes_spark_shipped = True
+
+#: Typed metadata struct carried next to every blob.
+ASSET_SCHEMA = (
+    "asset_id bigint, content binary, "
+    "meta struct<format:string, width:int, height:int, n_bytes:bigint>"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id bigint, format string, n_bytes bigint, "
+    "byte_mean double, byte_min int, byte_max int, fake_embedding array<float>"
+)
+
+
+def binary_assets_from_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Manufacture a deterministic binary-asset table from a text corpus
+    (the container has no real media files). Schema matches ASSET_SCHEMA."""
+    content = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        content.alias("content"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.length(content) % 640).cast("int").alias("width"),
+            (F.length(content) % 480).cast("int").alias("height"),
+            F.length(content).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
+    """Decode one Arrow batch of assets into per-asset features.
+
+    Real mode raises: the image/audio codecs are not installed here. Fake
+    mode derives deterministic 'features' from the raw bytes so the full
+    distributed pipeline (schema, batching, shuffle) is exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this environment; "
+            "use fake=True for the deterministic test decode"
+        )
+    import numpy as np
+
+    rows = []
+    for asset_id, content, meta in zip(pdf["asset_id"], pdf["content"], pdf["meta"]):
+        arr = np.frombuffer(content, dtype=np.uint8)
+        if arr.size == 0:
+            arr = np.zeros(1, dtype=np.uint8)
+        emb = (arr[:8].astype(np.float32) / 255.0) if arr.size >= 8 else np.zeros(8, np.float32)
+        rows.append(
+            {
+                "asset_id": asset_id,
+                "format": meta["format"] if isinstance(meta, dict) else meta.format,
+                "n_bytes": int(arr.size),
+                "byte_mean": float(round(arr.mean(), 6)),
+                "byte_min": int(arr.min()),
+                "byte_max": int(arr.max()),
+                "fake_embedding": [float(x) for x in emb],
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """Per-asset feature extraction via mapInPandas (Arrow-batched; the
+    canonical shape for any decode/resize/frame-sample operator)."""
+
+    _ship_package(assets.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _decode_batch(pdf, fake)
+
+    return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in for video: emit one row per sampled offset
+    (1→N explode via mapInPandas, the real sampler's exact plumbing)."""
+
+    _ship_package(assets.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                for off in range(0, len(content), every_n_bytes):
+                    out.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_no": off // every_n_bytes,
+                            "offset": off,
+                            "sample_byte": int(content[off]),
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen, schema="asset_id bigint, frame_no int, offset int, sample_byte int"
+    )

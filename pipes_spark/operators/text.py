@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(SURVEY.md §2.C extensions; no reference counterpart — pipes users would
+write these as MiddleFunc bodies, ref: pipe/node.go:16-19).
+
+All operators are pure ``pyspark.sql.functions`` column expressions — no
+Python UDFs — so they stay inside whole-stage codegen and scale linearly
+with executors: at 100 TB these are embarrassingly parallel map-side
+transforms with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker-word lists for the n-gram/stopword language
+#: heuristic. Counting uses replace-arithmetic so the same logic is
+#: expressible in ANSI SQL for the correctness oracle.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "fr": ["le", "les", "des"],
+    "de": ["der", "und", "die"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization with empty-token removal (BPE-ish regex
+    splitting is a drop-in replacement for the pattern)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def occurrence_count(col, needle: str) -> Column:
+    """Number of occurrences of ``needle`` via length/replace arithmetic —
+    branch-free, codegen-friendly, and portable to SQL."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens / n_chars / avg token length per document."""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("bigint"),
+            "n_chars_actual": F.length(text_col).cast("bigint"),
+            "avg_token_len": F.round(
+                F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / F.greatest(F.size(toks), F.lit(1)),
+                6,
+            ),
+        }
+    )
+
+
+def with_quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / character-class / stopword-ratio quality signals, the usual
+    first-pass corpus filters (C4/Gopher-style heuristics)."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c), F.lit(1))
+    alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    digit = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    space = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    stop_hits = sum(occurrence_count(c, f" {w} ") for w in ("the", "and", "a"))
+    n_toks = F.greatest(token_count(c), F.lit(1))
+    return df.withColumns(
+        {
+            "alpha_ratio": F.round(alpha / n, 6),
+            "digit_ratio": F.round(digit / n, 6),
+            "space_ratio": F.round(space / n, 6),
+            "stopword_ratio": F.round(stop_hits / n_toks, 6),
+        }
+    )
+
+
+def with_lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word-count language ID with a deterministic argmax
+    (ties resolved by language-code order)."""
+    c = F.col(text_col)
+    out = df
+    for lang, words in LANG_MARKERS.items():
+        score = sum(occurrence_count(c, f" {w} ") for w in words)
+        out = out.withColumn(f"score_{lang}", score)
+    # deterministic argmax: best score wins, earlier language code on ties
+    langs = sorted(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        is_better = F.col(f"score_{lang}") > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, F.col(f"score_{lang}")).otherwise(best_score)
+    return out.withColumn("lang_pred", best)
+
+
+def normalized_fingerprint(col) -> Column:
+    """Exact-duplicate fingerprint: md5 of casefolded, whitespace-collapsed
+    text. Portable (md5 is identical everywhere) and partitionable: dedup =
+    hash-shuffle on the fingerprint."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))

@@ -1,0 +1,85 @@
+"""Structured Streaming operators (SURVEY.md §2.C streaming rows).
+
+These realize the reference's "source emits during an indefinite amount of
+time" contract (ref: pipe/node.go:12-14) that batch cannot: unbounded
+sources, event-time windows with watermarks, stream dedup, and per-key
+arbitrary state (the stateful-MiddleFunc analog).
+
+For finite verification the helpers accept any streaming DataFrame and the
+tests drive them with file sources + ``availableNow``/``processAllAvailable``
+into memory sinks — the analog of the reference's channel-close cascade
+ending a run (ref: pipe/internal/connect/connectors.go:36-41).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based streaming source (one micro-batch per discovered file)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    return spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window_len: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    watermark: Optional[str] = None,
+    slide: Optional[str] = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) event-time window
+    aggregation with optional bounded-lateness watermark."""
+    if watermark:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window_len, slide) if slide else F.window(ts_col, window_len)
+    exprs = [getattr(F, how)(col).alias(f"{how}_{col}") for col, how in aggs.items()]
+    return df.groupBy(win.alias("window"), *keys).agg(*exprs)
+
+
+def session_window_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], watermark: str
+) -> DataFrame:
+    """Session windows with an inactivity ``gap`` (streaming analog of the
+    batch sessionize operator)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("session"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def stream_dedup(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    query_name: Optional[str] = None,
+) -> DataFrame:
+    """Run a (finite) streaming query to completion into a memory sink and
+    return the materialized result as a batch DataFrame. This is the
+    ``runner.done()`` path for finite streams."""
+    name = query_name or f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,158 @@
+"""Extension-operator tests: dedup (MinHash-LSH vs exact Jaccard, SimHash),
+similarity search (LSH recall vs brute force), text analysis, multimodal
+plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipes_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash32,
+    simhash_pairs,
+)
+from pipes_spark.operators.multimodal import (
+    binary_assets_from_text,
+    extract_features,
+    frame_sample,
+)
+from pipes_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+from pipes_spark.operators.text import normalized_fingerprint
+from pipes_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+        (3, "completely different text about spark query engines and distributed joins"),
+        (4, "another unrelated document describing columnar storage and parquet files"),
+        (5, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (6, "THE  Quick   Brown fox jumps over the lazy dog near the river bank today"),  # case/ws dup of 1
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup_normalization(docs_with_dups):
+    kept = exact_dedup(docs_with_dups)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # 1, 5, 6 normalize to the same fingerprint -> keep 1
+    assert ids == [1, 2, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dups(docs_with_dups):
+    pairs = ngram_jaccard_pairs(docs_with_dups, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # one-word difference
+    assert (1, 5) in got  # identical
+    assert not any({3, 4} & {a, b} for a, b in got)  # unrelated docs not paired
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH candidates at est_jaccard>=0.5 must recover the exact-Jaccard>=0.5
+    pairs on the real corpus (planted near-dups)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    approx = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert exact, "corpus should contain planted near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} exact pairs)"
+
+
+def test_simhash_stable_and_close_for_near_dups(docs_with_dups):
+    sh = {r.doc_id: r.sh for r in docs_with_dups.select(
+        "doc_id", simhash32("text").alias("sh")).collect()}
+    assert sh[1] == sh[5]  # identical text -> identical fingerprint
+    ham_12 = bin(sh[1] ^ sh[2]).count("1")
+    ham_13 = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_12 < ham_13, "near-dup should be closer in Hamming space"
+
+
+def test_simhash_pairs_blocking(docs_with_dups):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(
+        docs_with_dups, max_hamming=8).collect()}
+    assert (1, 5) in pairs and pairs[(1, 5)] == 0
+
+
+def test_lsh_topk_finds_planted_neighbors(spark):
+    """Multi-table LSH must recover planted near-duplicate vectors (the
+    high-similarity regime LSH is built for) as top-1 neighbors."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(50):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+        if i < 10:  # plant a noisy copy of the first ten vectors
+            noisy = [float(x + rng.gauss(0, 0.05)) for x in v]
+            rows.append((1000 + i, noisy))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = lsh_cosine_topk(emb, queries, k=3)
+    top1 = {r.query_id: r.neighbor_id for r in approx.filter("rank = 1").collect()}
+    hits = sum(1 for qid, nid in top1.items() if nid == 1000 + qid)
+    assert hits >= 9, f"only {hits}/10 planted neighbors found: {top1}"
+
+
+def test_lsh_topk_candidates_are_exact_cosines(spark, sf_dir):
+    """Whatever LSH returns must carry the same cosine the exact operator
+    computes (rerank is exact; only candidate generation is approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    for r in lsh_cosine_topk(emb, queries, k=5).collect():
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_normalized_fingerprint_is_portable(spark):
+    """The fingerprint must equal DuckDB's md5 of the same normalization."""
+    import duckdb
+
+    df = spark.createDataFrame([(1, "  Hello   WORLD  ")], "id long, text string")
+    got = df.select(normalized_fingerprint("text").alias("fp")).collect()[0].fp
+    want = duckdb.sql("select md5('hello world')").fetchone()[0]
+    assert got == want
+
+
+def test_multimodal_feature_extraction(docs_with_dups):
+    assets = binary_assets_from_text(docs_with_dups)
+    assert [f.name for f in assets.schema] == ["asset_id", "content", "meta"]
+    feats = extract_features(assets, fake=True)
+    rows = {r.asset_id: r for r in feats.collect()}
+    assert len(rows) == 6
+    r1 = rows[1]
+    assert r1.n_bytes == len(
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+    )
+    assert 0 <= r1.byte_min <= r1.byte_max <= 255
+    assert len(r1.fake_embedding) == 8
+    # determinism: same input bytes -> same features
+    r5 = rows[5]
+    assert (r1.byte_mean, r1.byte_min, r1.byte_max) == (r5.byte_mean, r5.byte_min, r5.byte_max)
+
+
+def test_multimodal_real_decode_is_stubbed(docs_with_dups):
+    assets = binary_assets_from_text(docs_with_dups)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(assets, fake=False).collect()
+
+
+def test_frame_sample_explodes(docs_with_dups):
+    assets = binary_assets_from_text(docs_with_dups.filter("doc_id = 1"))
+    frames = frame_sample(assets, every_n_bytes=16).collect()
+    n_bytes = len("the quick brown fox jumps over the lazy dog near the river bank today")
+    assert len(frames) == (n_bytes + 15) // 16
+    assert [f.frame_no for f in frames] == list(range(len(frames)))

@@ -1,0 +1,117 @@
+"""Streaming-semantics tests (SURVEY.md §5.1 pattern 3): finite file-source
+streams driven to completion with availableNow — the analog of the
+reference's channel-close cascade ending a run."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipes_spark.sources import load_table
+from pipes_spark.streaming import (
+    run_to_memory,
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark, sf_dir):
+    """events table as a file-source stream (ts already µs timestamps)."""
+    batch = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="pipes_stream_test_")
+    batch.write.mode("overwrite").parquet(d)
+    return spark.readStream.schema(batch.schema).parquet(d), batch
+
+
+def test_tumbling_window_agg_matches_batch(spark, event_stream):
+    stream, batch = event_stream
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", ["event_type"], {"value": "sum"}, watermark="10 minutes"
+    )
+    got = run_to_memory(agg, output_mode="append")
+    want = batch.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.sum("value").alias("s")
+    )
+    got_n, want_n = got.count(), want.count()
+    # append mode emits only watermark-closed windows; with availableNow over
+    # one file everything except the final window per key closes
+    assert got_n >= want_n - 5 * 2  # at most one open window per event_type
+    joined = got.select(
+        F.col("window.start").alias("h"), "event_type", F.col("sum_value").alias("s2")
+    ).join(want, ["h", "event_type"])
+    mismatched = joined.filter(F.abs(F.col("s") - F.col("s2")) > 1e-6).count()
+    assert mismatched == 0
+
+
+def test_sliding_window(spark, event_stream):
+    stream, batch = event_stream
+    agg = tumbling_window_agg(
+        stream, "ts", "2 hours", ["event_type"], {"value": "count"}, slide="1 hour"
+    )
+    got = run_to_memory(agg, output_mode="complete")
+    # every event lands in exactly 2 sliding windows
+    total = got.agg(F.sum("count_value")).collect()[0][0]
+    assert total == 2 * batch.count()
+
+
+def test_session_window(spark, event_stream):
+    stream, _ = event_stream
+    agg = session_window_agg(stream, "ts", "30 minutes", ["user_id"], watermark="1 hour")
+    got = run_to_memory(agg, output_mode="complete")
+    assert got.count() > 0
+    bad = got.filter(F.col("session.end") < F.col("session.start")).count()
+    assert bad == 0
+
+
+def test_stream_dedup(spark, event_stream):
+    stream, batch = event_stream
+    deduped = stream_dedup(stream, ["user_id", "event_type"], "ts", "1 hour")
+    got = run_to_memory(deduped, output_mode="append")
+    want = batch.select("user_id", "event_type").distinct().count()
+    assert got.select("user_id", "event_type").distinct().count() == want
+    assert got.count() == want
+
+
+def test_streaming_matches_batch_sessionization_pipeline(spark, sf_dir):
+    """Framework integration: a Pipeline whose final starts a streaming query
+    and whose done() awaits it (Runner streaming path)."""
+    from pipes_spark import Final, Middle, NodesMap, Pipeline, Start
+
+    batch = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="pipes_stream_pipe_")
+    batch.write.mode("overwrite").parquet(d)
+
+    class StreamAgg(NodesMap):
+        src = Start()
+        win = Middle()
+        sink = Final()
+
+        def connect(self):
+            self.src.send_to(self.win)
+            self.win.send_to(self.sink)
+
+    name = "pipe_stream_out"
+    p = Pipeline(StreamAgg, spark=spark)
+    p.add_start("src", lambda s: s.readStream.schema(batch.schema).parquet(d))
+    p.add_middle(
+        "win",
+        lambda df: df.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    p.add_final(
+        "sink",
+        lambda df: df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start(),
+    )
+    p.build().start().done()
+    got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+    assert got == batch.count()
