@@ -32,6 +32,15 @@ HEADLINE = [
     "sessionize_stats",
     "scalar_array_explode",
     "dedup_keyed",
+    # extensions
+    "text_quality",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_cosine_neardup",
+    "udf_grouped_zscore",
+    "streaming_events_hourly",
 ]
 
 

@@ -1371,3 +1371,129 @@ def streaming_events_hourly(spark, sf_dir):
     )
     result = run_to_memory(agg, output_mode="complete")
     return result.select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+
+
+# ---------------------------------------------------------------------------
+# UDF surface + pivot + ALL-variant set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "udf_vectorized_score",
+    oracle="""
+    -- DuckDB 1.0 has no tanh(); the exp identity is exact to well below
+    -- the 1e-6 rounding grain for |value/10| <= 56 (data max 560)
+    SELECT event_id,
+           round((exp(value / 10.0) - exp(-value / 10.0)) /
+                 (exp(value / 10.0) + exp(-value / 10.0)), 6) AS score
+    FROM events
+    """,
+)
+def udf_vectorized_score(spark, sf_dir):
+    """Arrow-vectorized scalar Pandas UDF (operators.udfs.vectorized_score);
+    numerically identical to the SQL tanh oracle after rounding."""
+    from .operators.udfs import vectorized_score
+
+    ev = _t(spark, sf_dir, "events")
+    return vectorized_score(ev).select("event_id", "score")
+
+
+@query(
+    "udf_grouped_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             avg(value)        OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           CASE WHEN sd IS NULL OR sd <= 0 THEN 0.0
+                ELSE round((value - mu) / sd, 6) END AS zscore
+    FROM stats
+    """,
+)
+def udf_grouped_zscore(spark, sf_dir):
+    """Grouped-map applyInPandas z-score per user
+    (operators.udfs.grouped_zscore) vs a pure-SQL window oracle."""
+    from .operators.udfs import grouped_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_zscore(ev)
+
+
+@query(
+    "udtf_tokens",
+    oracle=r"""
+    SELECT doc_id, CAST(pos - 1 AS INT) AS pos, token
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token,
+             generate_subscripts(list_filter(string_split_regex(text, '\s+'), t -> t <> ''), 1) AS pos
+      FROM documents)
+    """,
+)
+def udtf_tokens(spark, sf_dir):
+    """Python UDTF emitting (doc_id, pos, token) rows
+    (operators.udfs.explode_tokens_udtf) vs an unnest-with-ordinality oracle."""
+    from .operators.udfs import explode_tokens_udtf
+
+    d = _t(spark, sf_dir, "documents")
+    return explode_tokens_udtf(d)
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark, sf_dir):
+    """Pivot: order-status counts per market segment (explicit value list so
+    the plan stays a single pass, no distinct-values pre-query)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    piv = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_filled"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def set_except_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.exceptAll(s)

@@ -1,0 +1,99 @@
+"""UDF surface (SURVEY.md §2.C "UDF surface") — the engine's general escape
+hatch, the analog of an arbitrary ``MiddleFunc`` body (ref: pipe/node.go:19).
+
+Preference order at scale (each tier ~10× the serialization cost of the one
+above):
+
+1. built-in column expressions (everything else in this package) — JVM
+   codegen, zero Python;
+2. ``@pandas_udf`` / ``mapInPandas`` / ``applyInPandas`` — Arrow-batched
+   vectorized Python (used here);
+3. row-at-a-time ``F.udf`` / ``@udtf`` — last resort, provided for parity.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multimodal import _ship_package
+
+
+def vectorized_score(df: DataFrame, value_col: str = "value", out_col: str = "score") -> DataFrame:
+    """Arrow-vectorized scalar Pandas UDF: tanh-squashed score. One Python
+    round-trip per Arrow batch (~10k rows), not per row."""
+    _ship_package(df.sparkSession)
+
+    @F.pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(np.round(np.tanh(v / 10.0), 6))
+
+    return df.withColumn(out_col, score(F.col(value_col)))
+
+
+def grouped_zscore(
+    df: DataFrame, group_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Grouped-map applyInPandas: per-group z-score normalization — the
+    canonical 'arbitrary per-key state' shape. One shuffle on the group key;
+    each group materializes as a single pandas DataFrame (bound per-group
+    cardinality is the scale contract — groups must fit in executor memory)."""
+    _ship_package(df.sparkSession)
+    out_schema = f"{group_col} bigint, event_id bigint, {value_col} double, zscore double"
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf[value_col].std(ddof=1)
+        mean = pdf[value_col].mean()
+        z = (pdf[value_col] - mean) / sd if sd and sd > 0 else pdf[value_col] * 0.0
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                "event_id": pdf["event_id"],
+                value_col: pdf[value_col],
+                "zscore": z.round(6),
+            }
+        )
+
+    return df.select(group_col, "event_id", value_col).groupBy(group_col).applyInPandas(
+        normalize, schema=out_schema
+    )
+
+
+def explode_tokens_udtf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Python UDTF (table function): one output row per token with its
+    position — the 1→N row-generator shape (row-at-a-time; prefer the
+    built-in explode unless per-row logic is genuinely opaque)."""
+    from pyspark.sql.functions import udtf
+
+    _ship_package(df.sparkSession)
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            pos = 0
+            for tok in text.split():
+                if tok:
+                    yield doc_id, pos, tok
+                    pos += 1
+
+    df.sparkSession.udtf.register("pipes_tokenize", Tokenize)
+    view = f"_udtf_in_{abs(hash((id_col, text_col))) % 10**8}"
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
+    return df.sparkSession.sql(
+        f"SELECT t.* FROM {view}, LATERAL pipes_tokenize({id_col}, {text_col}) t"
+    )
+
+
+def row_udf_demo(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Row-at-a-time Python UDF — parity-only; see module docstring for why
+    this tier is last."""
+    _ship_package(df.sparkSession)
+    fmt = F.udf(lambda v: f"v={v:.2f}", "string")
+    return df.withColumn("formatted", fmt(F.col(value_col)))

@@ -1,0 +1,101 @@
+"""Source/sink round-trips through the Pipeline framework (SURVEY.md §2.C
+scans/sinks rows)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipes_spark import Final, NodesMap, Pipeline, Start
+from pipes_spark.sinks import (
+    collect_rows,
+    count_rows,
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+)
+from pipes_spark.sources import counter, from_rows, load_table, read_csv, read_json, read_text
+
+
+class SrcSink(NodesMap):
+    src = Start()
+    sink = Final()
+
+    def connect(self):
+        self.src.send_to(self.sink)
+
+
+def run_pipeline(spark, start_fn, sink_fn):
+    p = Pipeline(SrcSink, spark=spark)
+    p.add_start("src", start_fn)
+    p.add_final("sink", sink_fn)
+    return p.build().start().done()["sink"]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_write_read_roundtrip(spark, sf_dir, fmt, tmp_path):
+    src = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / f"nation_{fmt}")
+    sink = {
+        "parquet": write_parquet(out),
+        "csv": write_csv(out),
+        "json": write_json(out),
+        "orc": write_orc(out),
+    }[fmt]
+    run_pipeline(spark, lambda s: src, sink)
+    if fmt == "parquet":
+        back = spark.read.parquet(out)
+    elif fmt == "orc":
+        back = spark.read.orc(out)
+    elif fmt == "csv":
+        back = read_csv(spark, out, schema=src.schema)
+    else:
+        back = read_json(spark, out, schema=src.schema)
+    assert back.count() == src.count()
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in src.collect()
+    )
+
+
+def test_partitioned_parquet_write(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    run_pipeline(
+        spark, lambda s: src, write_parquet(out, partition_by=["o_orderstatus"], target_files=2)
+    )
+    # hive-style partition dirs exist -> downstream readers get pruning
+    assert any(d.startswith("o_orderstatus=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert back.filter(F.col("o_orderstatus") == "O").count() == src.filter(
+        "o_orderstatus = 'O'"
+    ).count()
+
+
+def test_collect_and_count_sinks(spark):
+    rows = run_pipeline(spark, lambda s: counter(s, 1, 5), collect_rows)
+    assert sorted(r.n for r in rows) == [1, 2, 3, 4, 5]
+    n = run_pipeline(spark, lambda s: counter(s, 1, 5), count_rows)
+    assert n == 5
+
+
+def test_read_text_file_lines(spark, tmp_path):
+    """minigrep's FileLine shape (ref: tutorial/minigrep/minigrep.go:13-20)."""
+    f = tmp_path / "a.txt"
+    f.write_text("hello world\nsecond line\n")
+    df = read_text(spark, str(f))
+    rows = df.collect()
+    assert [f.name for f in df.schema] == ["file_name", "line"]
+    assert sorted(r.line for r in rows) == ["hello world", "second line"]
+    assert all(r.file_name.endswith("a.txt") for r in rows)
+
+
+def test_from_rows(spark):
+    df = from_rows(spark, [(1, "a"), (2, "b")], "id long, s string")
+    assert df.count() == 2
