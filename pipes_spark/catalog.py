@@ -1209,11 +1209,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash fingerprint per document (md5-derived bit votes), the
     basis for Hamming-distance near-dup blocking
-    (operators.dedup.simhash32/simhash_pairs)."""
-    from .operators.dedup import simhash32
+    (operators.dedup.simhash_df/simhash_pairs)."""
+    from .operators.dedup import simhash_df
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash32("text").alias("simhash"))
+    return simhash_df(d)
 
 
 @query("dedup_minhash_lsh")  # xxhash64 has no DuckDB twin → rows-only check

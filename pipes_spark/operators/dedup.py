@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import ensure_min_partitions
 from .text import normalized_fingerprint, tokens
 
 
@@ -57,18 +58,30 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i ⊕ shingle). Pure map-side (no shuffle); signature array is
-    8·num_hashes bytes regardless of document size."""
-    sh = word_shingles(text_col, shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s))
-                        )
-        ),
+    """MinHash signature per document: each shingle string is hashed to a
+    64-bit int exactly ONCE (xxhash64), then the ``num_hashes`` independent
+    hash functions are derived by rehashing that int with the hash index as
+    seed material — integer-only work, never a second pass over the string.
+
+    Shape: explode shingles to rows, then ONE hash-aggregate with
+    ``num_hashes`` ``min`` columns. Everything (xxhash64, min) is
+    whole-stage-codegen'd — no higher-order functions (those are
+    ``CodegenFallback``, i.e. interpreted per element, ~50× slower). The
+    groupBy does map-side partial aggregation, so the shuffle carries just
+    8·num_hashes bytes per document regardless of document size.
+    """
+    ex = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    hashed = ex.select(F.col(id_col), F.xxhash64("_s").alias("_h"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(num_hashes)
+    ]
+    return (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -94,16 +107,20 @@ def minhash_lsh_pairs(
     result cardinality, standard practice for web-scale dedup).
     """
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # Persist the signature table: it is the expensive map-side pass (one
+    # string hash per shingle) and every downstream branch needs it. At
+    # 8·num_hashes bytes/doc it is the small, cacheable artifact of this
+    # algorithm (at 100 TB corpus scale it is what you would write to a
+    # temp table) — persisting it means the text is scanned exactly once.
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    # band key per (doc, band) — ids only; the 8·num_hashes-byte signatures
+    # do NOT travel through the explode or the self-join shuffle.
     banded = sigs.select(
         id_col,
-        "minhash",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(F.slice("minhash", b * r + 1, r), lambda x: x.cast("string")))
-                ),
+                lambda b: F.xxhash64(F.lit(0), *[F.element_at("minhash", b * r + i + 1) for i in range(r)]),
             )
         ).alias("band", "band_hash"),
     )
@@ -113,36 +130,47 @@ def minhash_lsh_pairs(
         bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
         ["band", "band_hash"],
     )
-    a = small.select("band", "band_hash", F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
-    b = small.select("band", "band_hash", F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    a = small.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    b = small.select("band", "band_hash", F.col(id_col).alias("id_b"))
     pairs = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # attach signatures to the (much smaller) surviving pair set only
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(num_hashes)
     )
     return (
-        pairs.withColumn("est_jaccard", F.round(est, 6))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
 
 
-def simhash32(col, seed_salt: str = "") -> Column:
-    """32-bit SimHash from md5 token hashes: bit i of the fingerprint is the
-    sign of the vote sum over tokens of (bit i of md5(token) ? +1 : -1).
-    md5-derived so the same computation is expressible in the SQL oracle."""
-    toks = tokens(col)
-    tok_hash = F.transform(
-        toks,
+def _token_hashes(col, seed_salt: str = "") -> Column:
+    """Array of 32-bit md5-derived token hashes (md5 so the same computation
+    is expressible in the SQL oracle)."""
+    return F.transform(
+        tokens(col),
         lambda t: F.conv(F.substring(F.md5(F.concat(F.lit(seed_salt), t)), 1, 8), 16, 10).cast(
             "bigint"
         ),
     )
+
+
+def _simhash_from_hashes(th) -> Column:
+    """SimHash fingerprint from a token-hash array column: bit i of the
+    fingerprint is the sign of the vote sum over tokens of
+    (bit i of hash ? +1 : -1)."""
+    th = F.col(th) if isinstance(th, str) else th
+
     # bit positions unrolled in Python (shift amounts must be literal ints,
     # and the bit index must be closed over — an extra lambda parameter
     # would be turned into a higher-order-function variable by PySpark)
@@ -156,11 +184,36 @@ def simhash32(col, seed_salt: str = "") -> Column:
 
     fingerprint = F.lit(0).cast("bigint")
     for i in range(32):
-        vote = F.aggregate(tok_hash, F.lit(0), _vote(i))
+        vote = F.aggregate(th, F.lit(0), _vote(i))
         fingerprint = fingerprint + F.when(vote > 0, F.lit(1 << i).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
     return fingerprint.cast("bigint")
+
+
+def simhash32(col, seed_salt: str = "") -> Column:
+    """32-bit SimHash as a single Column expression. NOTE: the 32 bit-vote
+    aggregates each re-evaluate the md5 token-hash array — prefer
+    ``simhash_df`` (which materializes the hash array once per row) anywhere
+    the input is more than a handful of rows."""
+    return _simhash_from_hashes(_token_hashes(col, seed_salt))
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+    seed_salt: str = "",
+) -> DataFrame:
+    """(id, simhash) per document. The md5 token-hash array is materialized
+    in its own projection so the string-hash pass runs once per row; the 32
+    bit-vote aggregates then fold over the cached array (Catalyst keeps the
+    projections separate because the producer expression is non-cheap)."""
+    hashed = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), _token_hashes(text_col, seed_salt).alias("_th")
+    )
+    return hashed.select(F.col(id_col), _simhash_from_hashes("_th").alias(out_col))
 
 
 def simhash_pairs(
@@ -175,7 +228,7 @@ def simhash_pairs(
     pair within Hamming 3 of a 32-bit hash agrees on ≥1 of 4 bytes), so the
     self-join is per-block, never all-pairs.
     """
-    sh = df.select(F.col(id_col), simhash32(text_col).alias("simhash"))
+    sh = simhash_df(df, text_col, id_col).persist()
     blocked = sh.select(
         id_col,
         "simhash",
@@ -213,9 +266,15 @@ def ngram_jaccard_pairs(
     through ``minhash_lsh_pairs`` first. The shingle-keyed self-join keys on
     xxhash64(shingle), so payloads shuffled are (hash, id) longs only.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("sh"))
+    sh = (
+        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .persist()  # scanned by both self-join branches and the sizes agg
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
     b = sh.select(F.col("id").alias("id_b"), "sh")
