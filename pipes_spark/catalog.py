@@ -1347,11 +1347,25 @@ def streaming_events_hourly(spark, sf_dir):
     """A REAL Structured Streaming query (file source → event-time tumbling
     window → memory sink, availableNow) returning its materialized result;
     the oracle is the equivalent batch aggregation."""
-    from .sources import _nano_ts_columns
     from .streaming import run_to_memory
 
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    result = run_to_memory(agg, output_mode="complete")
+    return result.select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+
+
+def _events_stream(spark, sf_dir):
+    """File-source streaming DataFrame over the events table (the single
+    parquet file is exposed through a temp-dir symlink because the file
+    stream source requires a directory), with the nano-timestamp column
+    converted exactly as the batch reader does."""
     import os
     import tempfile
+
+    from .sources import _nano_ts_columns
 
     path = f"{sf_dir}/events.parquet"
     nano_cols = _nano_ts_columns(path)
@@ -1359,18 +1373,110 @@ def streaming_events_hourly(spark, sf_dir):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw_schema = spark.read.parquet(path).schema
-    # the file stream source requires a directory; expose the single parquet
-    # file through a temp dir symlink
     stream_dir = tempfile.mkdtemp(prefix="pipes_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     for c in nano_cols:
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    agg = stream.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    return stream
+
+
+@query(
+    "streaming_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ), m AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
     )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """Streaming session windows (30-min inactivity gap) via
+    ``F.session_window`` + watermark (streaming.session_window_agg); the
+    oracle is the batch gap-and-islands sessionization. Complete output
+    mode: the finite availableNow run emits every session exactly once
+    (update mode is unsupported for session-window aggregations). Spark
+    merges events strictly less than ``gap`` apart, so the oracle breaks
+    sessions at ``diff >= gap``."""
+    from .streaming import run_to_memory, session_window_agg
+
+    stream = _events_stream(spark, sf_dir)
+    agg = session_window_agg(stream, "ts", "30 minutes", ["user_id"], watermark="1 hour")
     result = run_to_memory(agg, output_mode="complete")
-    return result.select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    return result.select(
+        "user_id", F.col("session.start").alias("session_start"), "n_events"
+    )
+
+
+@query(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup on (user_id, event_type) within the watermark
+    horizon (streaming.stream_dedup) — first occurrence wins; only the key
+    columns are returned so the result is deterministic."""
+    from .streaming import run_to_memory, stream_dedup
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream_dedup(stream, ["user_id", "event_type"], "ts", "1 hour")
+    result = run_to_memory(deduped.select("user_id", "event_type"), output_mode="append")
+    return result
+
+
+@query(
+    "streaming_join_static",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_join_static(spark, sf_dir):
+    """Stream-static dimension enrichment: the event stream probes a
+    broadcast customer dim each micro-batch (streaming.stream_static_join) —
+    the stream side never shuffles."""
+    from .streaming import run_to_memory, stream_static_join
+
+    stream = _events_stream(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(
+        stream, cust, stream.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment")
+    return run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+    SELECT user_id, count(value) AS total_n, round(sum(value), 6) AS total_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark, sf_dir):
+    """Per-key arbitrary state via applyInPandasWithState
+    (streaming.stateful_running_totals) — the stateful-MiddleFunc analog.
+    The finite single-batch run makes the emitted running totals equal the
+    batch GROUP BY totals."""
+    from .streaming import run_to_memory, stateful_running_totals
+
+    stream = _events_stream(spark, sf_dir)
+    totals = stateful_running_totals(stream, "user_id", "value")
+    result = run_to_memory(totals, output_mode="update")
+    return result.select(
+        "user_id", "total_n", F.round("total_sum", 6).alias("total_sum")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,50 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str, watermark: str) ->
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def stream_static_join(
+    stream_df: DataFrame, static_df: DataFrame, on, how: str = "inner", broadcast: bool = True
+) -> DataFrame:
+    """Stream-static enrichment join. The static side is broadcast by
+    default — the standard shape for dimension enrichment at scale (the
+    stream never shuffles; each micro-batch probes the replicated dim)."""
+    right = F.broadcast(static_df) if broadcast else static_df
+    return stream_df.join(right, on, how)
+
+
+def stateful_running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    out_col_prefix: str = "total",
+) -> DataFrame:
+    """Per-key arbitrary state across micro-batches via
+    ``applyInPandasWithState`` — the streaming analog of a stateful
+    ``MiddleFunc`` (ref: pipe/node.go:16-19): user code owns a state object
+    that survives between batches. Emits the running (count, sum) per key
+    once per batch it appears in.
+
+    Scale: state lives in the state store partitioned by key; each batch
+    shuffles only that batch's rows on the key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key_col} bigint, {out_col_prefix}_n bigint, {out_col_prefix}_sum double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += int(pdf[value_col].count())
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], f"{out_col_prefix}_n": [n], f"{out_col_prefix}_sum": [s]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",

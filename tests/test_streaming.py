@@ -115,3 +115,35 @@ def test_streaming_matches_batch_sessionization_pipeline(spark, sf_dir):
     p.build().start().done()
     got = spark.table(name).agg(F.sum("n")).collect()[0][0]
     assert got == batch.count()
+
+
+def test_stream_static_join_enrichment(spark, sf_dir, event_stream):
+    from pipes_spark.streaming import stream_static_join
+
+    stream, batch = event_stream
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream_static_join(stream, cust, stream.user_id == cust.c_custkey).select(
+        "event_id", "c_mktsegment"
+    )
+    got = run_to_memory(joined, output_mode="append")
+    want = batch.join(cust, batch.user_id == cust.c_custkey)
+    assert got.count() == want.count()
+
+
+def test_stateful_running_totals_matches_groupby(spark, event_stream):
+    """applyInPandasWithState totals over a single finite batch == GROUP BY."""
+    from pipes_spark.streaming import stateful_running_totals
+
+    stream, batch = event_stream
+    got = run_to_memory(stateful_running_totals(stream), output_mode="update")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, s = want[r.user_id]
+        assert r.total_n == n and abs(r.total_sum - s) < 1e-6
