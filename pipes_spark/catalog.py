@@ -1603,3 +1603,102 @@ def set_except_all(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     return c.exceptAll(s)
+
+
+# ---------------------------------------------------------------------------
+# extensions: TF-IDF, PII, frame sampling, IVF
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_tfidf",
+    oracle=r"""
+    WITH n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1
+    )
+    SELECT doc_id, token, tf,
+           round(ln(n.n_docs / dfreq::DOUBLE), 6) AS idf,
+           round(tf::DOUBLE * ln(n.n_docs / dfreq::DOUBLE), 6) AS tfidf
+    FROM tf JOIN dfreq USING (token), n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Token-level TF-IDF (operators.text.tfidf): one explode, two partial
+    aggregations, one token-keyed join — no Python in the data path."""
+    from .operators.text import tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf(d)
+
+
+@query(
+    "text_pii",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or 192.168.' ||
+               (doc_id % 256) || '.1' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+           len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]'))::BIGINT AS n_phone,
+           len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))::BIGINT AS n_ipv4,
+           (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+            len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) +
+            len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')))::BIGINT AS n_pii_total
+    FROM aug
+    """,
+)
+def text_pii(spark, sf_dir):
+    """PII-pattern hit counts (operators.text.with_pii_counts). The corpus
+    is synthetic words with no PII, so a deterministic email + IPv4 is
+    appended per document (identically in the oracle) to exercise the
+    extraction for real."""
+    from .operators.text import with_pii_counts
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("text"),
+    )
+    return with_pii_counts(d).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "n_pii_total"
+    )
+
+
+@query("multimodal_frame_sample")  # byte-window sampling over opaque blobs → rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame/segment sampling over opaque binary assets: every-Nth-byte-window
+    extraction via Arrow-batched mapInPandas (operators.multimodal.frame_sample)
+    — the video-frame / audio-chunk plumbing shape with a deterministic fake
+    decoder."""
+    from .operators.multimodal import binary_assets_from_text, frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    assets = binary_assets_from_text(d)
+    return frame_sample(assets, every_n_bytes=64)
+
+
+@query("sim_ivf_topk")  # approximate by construction → rows-only check
+def sim_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-5: corpus coarse-quantized to
+    nearest-centroid lists, queries probe the 4 nearest of 16 lists, exact
+    JVM-side rerank inside (operators.similarity.ivf_cosine_topk). Recall
+    vs the exact operator is asserted in pytest."""
+    from .operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)

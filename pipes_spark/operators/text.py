@@ -109,3 +109,50 @@ def normalized_fingerprint(col) -> Column:
     hash-shuffle on the fingerprint."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token-level TF-IDF: tf = in-document occurrences, idf = ln(N/df).
+
+    Scale shape: one explode + two hash aggregations (both map-side
+    partial), then a shuffle join keyed on the token. The document count is
+    attached as a literal computed up front (a LIMIT-free count over the
+    id column only) rather than a cross join, so the plan stays a single
+    join. No Python in the data path.
+    """
+    n_docs = df.select(id_col).count()
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("dfreq"))
+    idf = F.log(F.lit(float(n_docs)) / F.col("dfreq").cast("double"))
+    return (
+        tf.join(dfreq, "token")
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+#: PII detection patterns (heuristic first-pass, the usual pre-filter before
+#: a model-based scrubber). Kept simple enough to be portable to the SQL
+#: oracle dialect.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII hit counts per pattern plus a total — map-side
+    regexp work only, no shuffle."""
+    c = F.col(text_col)
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{name}", F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint"))
+    total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
+    return out.withColumn("n_pii_total", total.cast("bigint"))

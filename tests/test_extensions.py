@@ -156,3 +156,58 @@ def test_frame_sample_explodes(docs_with_dups):
     n_bytes = len("the quick brown fox jumps over the lazy dog near the river bank today")
     assert len(frames) == (n_bytes + 15) // 16
     assert [f.frame_no for f in frames] == list(range(len(frames)))
+
+
+def test_tfidf_basics(spark):
+    from pipes_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {(r.doc_id, r.token): (r.tf, r.idf, r.tfidf) for r in tfidf(docs).collect()}
+    assert got[(1, "a")][0] == 2
+    assert got[(1, "b")][1] == round(__import__("math").log(2.0), 6)  # df=1 of N=2
+    assert got[(1, "a")][1] == 0.0  # token in every doc -> idf 0
+    assert got[(2, "c")][2] == round(__import__("math").log(2.0), 6)
+
+
+def test_pii_counts(spark):
+    from pipes_spark.operators.text import with_pii_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@example.co.uk thanks"),
+            (2, "server at 10.0.255.7 rebooted, call +1 (415) 555-0199 now"),
+            (3, "nothing to see"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_email, r.n_phone, r.n_ipv4, r.n_pii_total)
+           for r in with_pii_counts(docs).collect()}
+    assert got[1] == (1, 0, 0, 1)
+    assert got[2][2] == 1 and got[2][1] >= 1
+    assert got[3] == (0, 0, 0, 0)
+
+
+def test_ivf_topk_candidates_are_exact_cosines(spark, sf_dir):
+    """IVF results must carry the same cosines the exact operator computes,
+    and per-query recall@5 vs exact must clear a sane floor."""
+    from pipes_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    exact_top5 = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact_top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = ivf_cosine_topk(emb, queries, k=5).collect()
+    assert len({r.query_id for r in approx}) == 20
+    hits = total = 0
+    for r in approx:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
+        total += 1
+        hits += r.neighbor_id in exact_top5[r.query_id]
+    assert hits / total >= 0.3  # coarse random-sample centroids, 4/16 probes
