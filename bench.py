@@ -39,8 +39,12 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_cosine_neardup",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "text_tfidf",
     "udf_grouped_zscore",
     "streaming_events_hourly",
+    "streaming_stateful_totals",
 ]
 
 
