@@ -179,21 +179,34 @@ def lsh_cosine_topk(
         ids = (signs.reshape(len(X), t, p) * weights).sum(axis=2)  # (n, tables)
         return pd.Series(list(ids.astype("int64")))
 
-    def with_buckets(df, idc, vecc, id_alias, vec_alias, norm_alias):
-        pre = ensure_min_partitions(df).select(
+    def with_buckets(df, idc, id_alias):
+        # ids + routing keys ONLY: the vectors do not ride through the
+        # ×num_tables explode or the bucket-join shuffle
+        return ensure_min_partitions(df).select(
             F.col(idc).alias(id_alias),
-            _cast_double(vecc).alias(vec_alias),
-            F.posexplode(_buckets(F.col(vecc))).alias("table", "bucket"),
+            F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
         )
-        return pre.withColumn(norm_alias, l2_norm(vec_alias, dim))
 
     dim = _probe_dim(corpus, vec_col) or dim
-    c = with_buckets(corpus, id_col, vec_col, "neighbor_id", "_cvec", "_cn")
-    q = with_buckets(queries, id_col, vec_col, query_id_col, "_qvec", "_qn")
-    scored = (
+    c = with_buckets(corpus, id_col, "neighbor_id")
+    q = with_buckets(queries, id_col, query_id_col)
+    cand = (
         c.join(q, ["table", "bucket"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id")
         .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    # re-attach vectors to the (deduped) candidate set: broadcast the small
+    # query side, shuffle-join the corpus side on the id
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qvec")
+    ).withColumn("_qn", l2_norm("_qvec", dim))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _cast_double(vec_col).alias("_cvec")
+    ).withColumn("_cn", l2_norm("_cvec", dim))
+    scored = (
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, "neighbor_id")
         .withColumn(
             "cosine",
             F.round(dot("_qvec", "_cvec", dim) / (F.col("_qn") * F.col("_cn")), 6),
