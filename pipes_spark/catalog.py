@@ -1702,3 +1702,24 @@ def sim_ivf_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+@query(
+    "join_salted",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_salted(spark, sf_dir):
+    """Skew-hardened equi-join (operators.scale.salted_equi_join): the big
+    side is salted, the dim replicated per salt bucket, so one hot key
+    spreads over salt_buckets reducers. Result identical to the plain join,
+    which is exactly what the oracle checks."""
+    from .operators.scale import salted_equi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return salted_equi_join(orders, cust.select("o_custkey", "c_mktsegment"), ["o_custkey"]).select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )

@@ -27,3 +27,31 @@ def ensure_min_partitions(df: DataFrame, n: Optional[int] = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join hardened against hot keys by salting.
+
+    The big (skewed) side gets a uniform salt; the small side is replicated
+    once per salt bucket; the join key becomes (keys…, salt), so one hot key
+    spreads over ``salt_buckets`` reducers instead of one straggler task.
+    Result is identical to the plain join. AQE's skew-join split is the
+    first line of defense (enabled in the session factory) — this is the
+    explicit fallback when the skew is known up front or AQE cannot split
+    (e.g. a broadcast-ineligible dimension with one pathological key).
+    """
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    big_s = big.withColumn("_salt", salt.cast("int"))
+    small_s = small.join(
+        big.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt")),
+        how="cross",
+    )
+    return big_s.join(small_s, on + ["_salt"], how).drop("_salt")

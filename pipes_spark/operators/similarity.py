@@ -6,14 +6,16 @@ Two tiers, as a 100 TB pipeline needs both:
   a broadcast join + codegen'd array arithmetic, so it is the right tool
   whenever the *query* set is small (evaluation, probing) even if the corpus
   is huge.
-* ``lsh_cosine_topk`` — random-hyperplane LSH: bucket by sign-pattern, exact
-  rerank within buckets. One shuffle on the bucket key; recall is tunable
-  via ``num_planes``/multi-probe. The scale path for corpus×corpus search.
+* ``lsh_cosine_topk`` / ``ivf_cosine_topk`` — bucket-then-rerank: route by
+  random-hyperplane sign pattern (LSH) or nearest-centroid list (IVF), join
+  ids-only on the routing key, re-attach vectors to surviving candidates,
+  exact rerank inside. The scale paths for corpus×corpus search.
 
-All vector math uses built-in higher-order functions (zip_with/aggregate) on
-``array<float>`` columns — JVM-side, no Python serialization. A Pandas-UDF
-BLAS variant is a drop-in alternative when vectors are wide (>1k dims);
-for 64-dim embeddings the codegen path wins on serialization cost alone.
+Vector math on the exact/rerank paths is JVM-side codegen arithmetic
+(``dot``/``l2_norm`` unroll to flat expression chains when the width is
+known — higher-order functions are CodegenFallback, interpreted per
+element). Only the routing keys (LSH sign bits, IVF centroid argmax) use
+Arrow-vectorized numpy, where bit-exactness does not matter.
 """
 
 from __future__ import annotations

@@ -232,6 +232,8 @@ class Pipeline:
                 and h.kind != "final"
                 and len(h.receivers) > 1
                 and sink_users[h.name] > 1
+                and not df.isStreaming  # persist is invalid on streams; each
+                # sink re-reads the source (exactly the streaming contract)
             ):
                 df = df.persist()
                 persisted.append(df)
