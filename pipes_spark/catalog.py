@@ -1723,3 +1723,64 @@ def join_salted(spark, sf_dir):
     return salted_equi_join(orders, cust.select("o_custkey", "c_mktsegment"), ["o_custkey"]).select(
         "o_orderkey", "o_custkey", "c_mktsegment"
     )
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def grouping_sets_mix(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond cube/rollup) via Spark SQL on a temp
+    view — the full grouping-analytics surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "scalar_map_lambda",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tk)::BIGINT AS n_tokens,
+           list_sort(list_distinct(list_transform(tk, t -> upper(t))))[1] AS first_upper,
+           len(list_filter(tk, t -> length(t) > 4))::BIGINT AS n_long,
+           list_sum(list_transform(tk, t -> length(t)))::BIGINT AS total_chars,
+           map_extract(map {'doc': doc_id % 10}, 'doc')[1]::BIGINT AS bucket
+    FROM toks
+    """,
+)
+def scalar_map_lambda(spark, sf_dir):
+    """Array/map higher-order-function surface: transform, filter,
+    aggregate lambdas, array_distinct/sort, map construction + element_at —
+    the §2.C 'scalar — array/map' row end to end."""
+    d = _t(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    m = F.create_map(F.lit("doc"), F.col("doc_id") % 10)
+    return d.select(
+        "doc_id",
+        F.size(tk).cast("bigint").alias("n_tokens"),
+        F.element_at(F.array_sort(F.array_distinct(F.transform(tk, F.upper))), 1).alias(
+            "first_upper"
+        ),
+        F.size(F.filter(tk, lambda t: F.length(t) > 4)).cast("bigint").alias("n_long"),
+        F.aggregate(tk, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).alias(
+            "total_chars"
+        ),
+        F.element_at(m, "doc").cast("bigint").alias("bucket"),
+    )

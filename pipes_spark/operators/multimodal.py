@@ -152,3 +152,35 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return assets.mapInPandas(
         gen, schema="asset_id bigint, frame_no int, offset int, sample_byte int"
     )
+
+
+def resize_stub(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """'Resize' stand-in for images: emit a fixed-size byte payload per asset
+    (truncate / zero-pad to width·height) with updated metadata — the exact
+    plumbing of a real thumbnailer (binary in, binary out, metadata rewrite);
+    a real codec changes only the body."""
+
+    _ship_package(assets.sparkSession)
+    target = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                body = bytes(content[:target]).ljust(target, b"\0")
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "content": body,
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(body),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        gen,
+        schema="asset_id bigint, content binary, width int, height int, n_bytes bigint",
+    )

@@ -211,3 +211,14 @@ def test_ivf_topk_candidates_are_exact_cosines(spark, sf_dir):
         total += 1
         hits += r.neighbor_id in exact_top5[r.query_id]
     assert hits / total >= 0.3  # coarse random-sample centroids, 4/16 probes
+
+
+def test_resize_stub_shapes(spark, sf_dir):
+    from pipes_spark.operators.multimodal import binary_assets_from_text, resize_stub
+
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    out = resize_stub(binary_assets_from_text(d), width=8, height=4).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_bytes == 32 and len(r.content) == 32
+        assert (r.width, r.height) == (8, 4)
