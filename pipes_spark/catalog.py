@@ -1784,3 +1784,35 @@ def scalar_map_lambda(spark, sf_dir):
         ),
         F.element_at(m, "doc").cast("bigint").alias("bucket"),
     )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS wstart
+      FROM events
+    )
+    SELECT wstart AS window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (1 h window, 30 min slide) as a real
+    streaming query (streaming.tumbling_window_agg with slide); each event
+    lands in exactly two windows, which is what the unnest-based oracle
+    reproduces."""
+    from .streaming import run_to_memory
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    result = run_to_memory(agg, output_mode="complete")
+    return result.select(
+        F.col("win.start").alias("window_start"), "event_type", "n", "total_value"
+    )

@@ -127,3 +127,26 @@ def run_to_memory(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def read_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+    **options,
+) -> DataFrame:
+    """Kafka source (value as string). Untestable in this environment (no
+    broker); the wrapper exists so pipelines declare the same graph locally
+    (file/rate source) and on a cluster (Kafka) by swapping one provider —
+    exactly the reference's provider-conditional-assembly pattern
+    (ref: pipe/providers.go:47-152)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load().withColumn("value", F.col("value").cast("string"))
