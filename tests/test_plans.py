@@ -53,3 +53,28 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = orders.join(cust, ["o_custkey"]).count()
     salted = salted_equi_join(orders, cust, ["o_custkey"]).count()
     assert salted == plain
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
+    """Bucketing both sides on the join key at write time removes the
+    exchange from the join plan — the pay-the-shuffle-once pattern for
+    repeatedly-joined fact tables."""
+    from pipes_spark.sinks import write_bucketed
+    from pipes_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed("b_orders", ["o_orderkey"], 8)(orders)
+    write_bucketed("b_lineitem", ["l_orderkey"], 8)(li)
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # the toy tables would be broadcast; force the sort-merge path the
+        # pattern targets (100 TB fact×fact joins are never broadcastable)
+        joined = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert joined.count() == orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
