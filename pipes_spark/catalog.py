@@ -1816,3 +1816,50 @@ def streaming_sliding_counts(spark, sf_dir):
     return result.select(
         F.col("win.start").alias("window_start"), "event_type", "n", "total_value"
     )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact multi-column COUNT DISTINCT (Catalyst plans the expand +
+    two-phase aggregate; the approximate HLL variant is approx_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "conditional_null_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderpriority, ''), '<empty>') AS priority_or_marker
+    FROM orders
+    """,
+)
+def conditional_null_funcs(spark, sf_dir):
+    """Null-handling conditional surface: nullif, nvl/ifnull, case/when,
+    coalesce — the rest of the §2.C conditional row beyond conditional_case."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        F.nvl(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_filled"
+        ),
+        F.when(F.col("o_totalprice") > 100000, "big").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("<empty>")).alias(
+            "priority_or_marker"
+        ),
+    )

@@ -143,3 +143,17 @@ def union_all(*dfs: DataFrame) -> DataFrame:
     from functools import reduce
 
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def ordered_within_partitions(
+    df: DataFrame, partition_cols: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """Ordering-contract hook (SURVEY.md §7.2 risk (c)): the reference
+    guarantees per-edge FIFO order (Go channels); Spark guarantees order
+    only within a partition after an explicit sort. This repartitions by the
+    key and sorts within partitions — the cheapest way to give downstream
+    per-key iteration (mapPartitions, foreachPartition, stateful consumers)
+    the reference's per-sender ordering, without a global sort."""
+    return df.repartition(*[F.col(c) for c in partition_cols]).sortWithinPartitions(
+        *[F.col(c) for c in partition_cols], *[F.col(c) for c in order_cols]
+    )

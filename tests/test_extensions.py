@@ -222,3 +222,21 @@ def test_resize_stub_shapes(spark, sf_dir):
     for r in out:
         assert r.n_bytes == 32 and len(r.content) == 32
         assert (r.width, r.height) == (8, 4)
+
+
+def test_ordered_within_partitions_contract(spark, sf_dir):
+    """Every partition must hold each user's events contiguously and
+    time-ordered — the per-sender FIFO analog."""
+    from pipes_spark.operators.relational import ordered_within_partitions
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = ordered_within_partitions(ev, ["user_id"], ["ts", "event_id"])
+
+    def check(it):
+        rows = list(it)
+        keys = [(r.user_id, r.ts, r.event_id) for r in rows]
+        assert keys == sorted(keys), "partition not sorted by (user, ts, id)"
+        yield len(rows)
+
+    total = sum(out.rdd.mapPartitions(check).collect())
+    assert total == ev.count()
