@@ -232,28 +232,65 @@ def cosine_neardup_pairs(
 
     Exact all-pairs formulation for oracle-checkable correctness; the scale
     path reuses the LSH bucketing to restrict pair generation."""
+    import numpy as np
+
+    from .multimodal import _ship_package
+
+    spark = df.sparkSession
+    _ship_package(spark)
     dim = _probe_dim(df, vec_col)
-    # cast + norm once per vector (O(n)); the O(n²) pair stage is then a
-    # single unrolled codegen dot product + one multiply/divide per pair.
-    # The a-side is the nested-loop stream side: repartitioning it spreads
-    # the O(n²) work across all cores (no-op when the input is already
-    # well-partitioned).
-    a = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("_va")
-    ).withColumn("_na", l2_norm("_va", dim))
+
+    # Stage 1 — vectorized PRUNE: one numpy matmul per Arrow batch against
+    # the broadcast corpus matrix finds candidate pairs, with a safety
+    # margin below the threshold so no pair the exact (sequential-fold)
+    # cosine would keep is ever dropped. This replaces the nested-loop
+    # join's per-pair interpreted expression walk with BLAS.
+    # The corpus must be broadcastable — the same contract the previous
+    # broadcast nested-loop formulation had; the generalization at corpus
+    # scale tiles BOTH sides (block-cartesian) with the identical batch body.
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    B = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    Bn = np.maximum(np.linalg.norm(B, axis=1), 1e-300)
+    bc = spark.sparkContext.broadcast((ids, B, Bn))
+    # exact filter keeps round(cos,6) >= t, i.e. unrounded cos >= t - 5e-7;
+    # 2e-6 also absorbs summation-order differences (~1e-12)
+    prune_at = threshold - 2e-6
+
+    def gen(batches):
+        import numpy as np  # local import: runs on executor workers
+        import pandas as pd
+
+        ids_b, Bm, Bn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            xa = pdf[id_col].to_numpy(dtype="int64")
+            Xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+            C = (X @ Bm.T) / np.outer(Xn, Bn_)
+            ii, jj = np.nonzero((C >= prune_at) & (xa[:, None] < ids_b[None, :]))
+            if len(ii):
+                yield pd.DataFrame({"id_a": xa[ii], "id_b": ids_b[jj]})
+
+    cand = ensure_min_partitions(df).select(id_col, vec_col).mapInPandas(
+        gen, schema="id_a bigint, id_b bigint"
+    )
+
+    # Stage 2 — exact VERIFY on the surviving pairs only: the JVM-side
+    # unrolled left-fold cosine (bit-identical to the SQL oracle) decides
+    # membership and produces the reported value.
+    a = df.select(F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("_va")).withColumn(
+        "_na", l2_norm("_va", dim)
+    )
     b = df.select(F.col(id_col).alias("id_b"), _cast_double(vec_col).alias("_vb")).withColumn(
         "_nb", l2_norm("_vb", dim)
     )
-    cos = F.round(dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")), 6)
     return (
-        # explicit broadcast of b pins BuildRight, so the repartitioned a
-        # side is the streamed one — otherwise the planner may build-left
-        # and serialize the whole O(n²) loop onto the b side's partitions.
-        # Both conjuncts live in the join condition with the cheap id
-        # comparison FIRST: And short-circuits, so half the candidate pairs
-        # never evaluate the dot product (2× on the measured hot loop).
-        a.join(F.broadcast(b), (F.col("id_a") < F.col("id_b")) & (cos >= threshold))
-        .withColumn("cosine", cos)
+        cand.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("cosine", F.round(dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
 
