@@ -67,6 +67,26 @@ def main() -> None:
         "noop"
     ).save()
 
+    # warm the Python UDF worker pool (Arrow serializers, worker spawn)
+    from pyspark.sql import functions as F
+
+    _warm_udf = F.pandas_udf(lambda v: v, "long")
+    spark.range(100).select(_warm_udf("id")).write.mode("overwrite").format("noop").save()
+
+    # warm the Structured Streaming engine (streaming planner, state store,
+    # memory sink) — its one-time init otherwise lands on the first
+    # streaming query's measurement
+    import tempfile
+
+    from pipes_spark.streaming import run_to_memory
+
+    wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    spark.range(100).selectExpr(
+        "id", "timestamp_micros(cast(id * 1000000 as long)) AS ts"
+    ).write.mode("overwrite").parquet(wdir)
+    warm_stream = spark.readStream.schema("id long, ts timestamp").parquet(wdir)
+    run_to_memory(warm_stream.groupBy("id").count(), output_mode="complete").count()
+
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
     for name in names:
