@@ -572,7 +572,8 @@ def window_ranking(spark, sf_dir):
            lag(value)  OVER w AS prev_value,
            lead(value) OVER w AS next_value,
            first_value(value) OVER wf AS first_v,
-           last_value(value)  OVER wf AS last_v
+           last_value(value)  OVER wf AS last_v,
+           round(cume_dist() OVER w, 6) AS cdist
     FROM events
     WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
            wf AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -590,6 +591,7 @@ def window_analytic(spark, sf_dir):
         F.lead("value").over(w).alias("next_value"),
         F.first("value").over(wf).alias("first_v"),
         F.last("value").over(wf).alias("last_v"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
 
 
@@ -895,7 +897,9 @@ def scalar_array_explode(spark, sf_dir):
     "scalar_json",
     oracle="""
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS missing_is_null
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS missing_is_null,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed,
+           '{"event_id":' || event_id || '}' AS as_json
     FROM events
     """,
 )
@@ -907,6 +911,9 @@ def scalar_json(spark, sf_dir):
         F.when(F.get_json_object("props", "$.missing").isNull(), 1).otherwise(0).alias(
             "missing_is_null"
         ),
+        # full parse + re-serialize roundtrip (from_json / to_json)
+        F.from_json("props", "k bigint").getField("k").alias("k_parsed"),
+        F.to_json(F.struct("event_id")).alias("as_json"),
     )
 
 
