@@ -1870,3 +1870,71 @@ def conditional_null_funcs(spark, sf_dir):
             "priority_or_marker"
         ),
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT label, count(*) AS n_parts, round(avg(p_retailprice), 6) AS avg_price
+    FROM part JOIN (VALUES (1, 11, 'small'), (11, 21, 'medium'), (21, 31, 'large'),
+                           (31, 41, 'xlarge'), (41, 100, 'jumbo')) b(lo, hi, label)
+      ON p_size >= lo AND p_size < hi
+    GROUP BY label
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Interval join via bin-grid equi-join rewrite
+    (operators.relational.binned_range_join) — the big×big scale path where
+    neither side is broadcastable; same result as the broadcast theta
+    formulation (join_range_bands), which is what the oracle checks."""
+    from .operators.relational import binned_range_join
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(1, 11, "small"), (11, 21, "medium"), (21, 31, "large"),
+         (31, 41, "xlarge"), (41, 100, "jumbo")],
+        "lo int, hi int, label string",
+    )
+    joined = binned_range_join(part, bands, "p_size", bin_width=10)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+    )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks on both sides and an
+    event-time range condition (streaming.stream_stream_join): clicks
+    matched to errors by the same user within the next 10 minutes. The
+    oracle is the equivalent batch self-join."""
+    from .streaming import run_to_memory, stream_stream_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("error_id"), F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = stream_stream_join(
+        clicks, errors, cond, "c_ts", "e_ts", "1 hour", "1 hour"
+    ).select("click_id", "error_id", "user_id")
+    return run_to_memory(joined, output_mode="append")

@@ -150,3 +150,22 @@ def read_stream_kafka(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load().withColumn("value", F.col("value").cast("string"))
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream join: both sides watermarked so the state store can
+    evict rows once the time-range condition can no longer match — the
+    requirement for bounded state in an unbounded join. ``cond`` must
+    include the event-time range constraint."""
+    return left.withWatermark(left_ts, left_watermark).join(
+        right.withWatermark(right_ts, right_watermark), cond, how
+    )
