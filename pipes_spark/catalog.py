@@ -1938,3 +1938,54 @@ def streaming_stream_stream_join(spark, sf_dir):
         clicks, errors, cond, "c_ts", "e_ts", "1 hour", "1 hour"
     ).select("click_id", "error_id", "user_id")
     return run_to_memory(joined, output_mode="append")
+
+
+@query(
+    "join_asof_forward_tol",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(value) AS cv FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purch AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), unioned AS (
+      SELECT user_id, ts, 0 AS side, event_id, value, NULL::DOUBLE AS cv,
+             NULL::TIMESTAMP AS cts FROM purch
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, NULL::BIGINT, NULL::DOUBLE, cv, ts FROM clicks
+    ), filled AS (
+      SELECT *, first_value(cv IGNORE NULLS) OVER w AS next_cv,
+                first_value(cts IGNORE NULLS) OVER w AS next_cts
+      FROM unioned
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN next_cts IS NOT NULL
+                 AND epoch_us(next_cts) - epoch_us(ts) <= 300000000
+                THEN next_cv END AS asof_value
+    FROM filled WHERE side = 0
+    """,
+)
+def join_asof_forward_tol(spark, sf_dir):
+    """Forward as-of join with a 5-minute tolerance: each purchase picks the
+    next click by the same user, NULL when it is more than 5 minutes away
+    (operators.relational.asof_join, direction='forward',
+    tolerance_seconds=300)."""
+    from .operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join(
+        purch,
+        clicks.withColumnRenamed("value", "cv"),
+        on="ts",
+        by=["user_id"],
+        value_cols=["cv"],
+        direction="forward",
+        tolerance_seconds=300,
+    )
+    return out.select("event_id", "user_id", "ts", "value", F.col("asof_cv").alias("asof_value"))

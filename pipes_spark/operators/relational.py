@@ -40,48 +40,80 @@ def asof_join(
     by: Sequence[str],
     value_cols: Sequence[str],
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row with
-    ``right.on <= left.on`` within the same ``by`` group.
+    """As-of join: for each left row, the nearest right row at or before
+    (``direction="backward"``) / at or after (``"forward"``) ``left.on``
+    within the same ``by`` group, optionally no further than
+    ``tolerance_seconds`` away (beyond it the asof columns are NULL) —
+    the full merge_asof surface.
 
     Spark has no native as-of join; the scalable formulation is the
     union+window trick: tag both sides, sort within each ``by`` partition by
-    (on, side) and carry the last non-null right value forward. One shuffle,
-    no per-key Python, no broadcast requirement — works when both sides are
-    huge (a ``merge_asof``-in-Pandas fallback would need per-group collect).
+    (on, side) and carry the nearest non-null right value across. One
+    shuffle, no per-key Python, no broadcast requirement — works when both
+    sides are huge (a ``merge_asof``-in-Pandas fallback would need
+    per-group collect).
 
     Right rows that tie on (by, on) are collapsed with ``max`` first to keep
     the result deterministic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     by = list(by)
-    right_u = right.groupBy(*by, on).agg(
-        *[F.max(c).alias(c) for c in value_cols]
+    on_type = dict(right.dtypes)[on]
+    right_u = (
+        right.groupBy(*by, on)
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+        .withColumn("__match_on", F.col(on))
     )
+    carry = list(value_cols) + ["__match_on"]
     lcols = left.columns
-    lhs = left.select(*lcols).withColumn("_side", F.lit(1))
-    for c in value_cols:
+    # side tags make ties at equal `on` sort the right row into the frame:
+    # backward frames look at preceding rows (right first), forward frames
+    # at following rows (right after the left row)
+    left_side, right_side = (1, 0) if direction == "backward" else (0, 1)
+    lhs = left.select(*lcols).withColumn("_side", F.lit(left_side))
+    for c in carry:
         lhs = lhs.withColumn(f"_rv_{c}", F.lit(None).cast(right_u.schema[c].dataType))
     rhs = right_u.select(
         *by,
         F.col(on),
-        F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.lit(right_side).alias("_side"),
+        *[F.col(c).alias(f"_rv_{c}") for c in carry],
     )
     for c in lcols:
         if c not in by and c != on:
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    rhs = rhs.select(*lcols, "_side", *[f"_rv_{c}" for c in value_cols])
-    unioned = lhs.select(*lcols, "_side", *[f"_rv_{c}" for c in value_cols]).unionByName(rhs)
+    rhs = rhs.select(*lcols, "_side", *[f"_rv_{c}" for c in carry])
+    unioned = lhs.select(*lcols, "_side", *[f"_rv_{c}" for c in carry]).unionByName(rhs)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(*by).orderBy(F.col(on).asc(), F.col("_side").asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     out = unioned
-    for c in value_cols:
-        out = out.withColumn(f"{prefix}{c}", F.last(f"_rv_{c}", ignorenulls=True).over(w))
-    return out.filter(F.col("_side") == 1).drop("_side", *[f"_rv_{c}" for c in value_cols])
+    for c in carry:
+        out = out.withColumn(f"{prefix}{c}", fill(f"_rv_{c}"))
+    out = out.filter(F.col("_side") == left_side).drop(
+        "_side", *[f"_rv_{c}" for c in carry]
+    )
+    matched_on = F.col(f"{prefix}__match_on")
+    if tolerance_seconds is not None:
+        if on_type.startswith("timestamp"):
+            age_us = F.unix_micros(F.col(on)) - F.unix_micros(matched_on)
+        else:
+            age_us = (F.col(on) - matched_on) * 1_000_000
+        if direction == "forward":
+            age_us = -age_us
+        ok = matched_on.isNotNull() & (age_us <= int(tolerance_seconds * 1_000_000))
+        for c in value_cols:
+            out = out.withColumn(f"{prefix}{c}", F.when(ok, F.col(f"{prefix}{c}")))
+    return out.drop(f"{prefix}__match_on")
 
 
 def range_join(
