@@ -240,3 +240,32 @@ def test_ordered_within_partitions_contract(spark, sf_dir):
 
     total = sum(out.rdd.mapPartitions(check).collect())
     assert total == ev.count()
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    from pipes_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 200, 20.0), (2, 100, 30.0)],
+        "k long, t long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 1.0), (1, 100, 2.0), (1, 150, 3.0), (2, 500, 4.0)],
+        "k long, t long, rv double",
+    )
+
+    back = {r.t: r.asof_rv for r in asof_join(
+        left.filter("k=1"), right, on="t", by=["k"], value_cols=["rv"]).collect()}
+    assert back == {100: 2.0, 200: 3.0}  # tie at t=100 matches; latest <= t wins
+
+    fwd = {r.t: r.asof_rv for r in asof_join(
+        left.filter("k=1"), right, on="t", by=["k"], value_cols=["rv"],
+        direction="forward").collect()}
+    assert fwd == {100: 2.0, 200: None}  # tie matches forward too; nothing after 150
+
+    tol = {(r.k, r.t): r.asof_rv for r in asof_join(
+        left, right, on="t", by=["k"], value_cols=["rv"],
+        tolerance_seconds=20e-6).collect()}  # 20 integer units (micros scale)
+    assert tol[(1, 100)] == 2.0      # exact match, age 0
+    assert tol[(1, 200)] is None     # nearest is 50 units back -> beyond tolerance
+    assert tol[(2, 100)] is None     # only future right rows for k=2
