@@ -1989,3 +1989,27 @@ def join_asof_forward_tol(spark, sf_dir):
         tolerance_seconds=300,
     )
     return out.select("event_id", "user_id", "ts", "value", F.col("asof_cv").alias("asof_value"))
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 6) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation). The sketch-based
+    ``approx_percentile`` is the scale path when one pass over 100 TB per
+    group is the budget — engine-specific values, so it stays out of the
+    hash-compared columns (same split as approx_distinct)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
+    )
