@@ -364,3 +364,97 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def cosine_neardup_pairs_tiled(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """All-pairs cosine for corpora too large to broadcast: block-cartesian
+    tiling. Rows are hashed into ~n/block_size blocks; each unordered block
+    pair (i ≤ j) becomes a cogroup key, every row is replicated to the
+    block pairs its block participates in (shuffle volume n·√P for P
+    blocks — the standard all-pairs replication bound), and one numpy
+    matmul per tile prunes candidates. Exact JVM-side verification then
+    decides membership, identical to ``cosine_neardup_pairs``.
+    """
+    import math
+
+    import numpy as np  # noqa: F401 — used inside the cogroup fn
+
+    from .multimodal import _ship_package
+
+    spark = df.sparkSession
+    _ship_package(spark)
+    dim = _probe_dim(df, vec_col)
+    n = df.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+    prune_at = threshold - 2e-6
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int")
+    )
+    # row in block k serves as the LEFT side of pairs (k, j) for j >= k and
+    # as the RIGHT side of pairs (i, k) for i <= k; pairkey = i*n_blocks + j
+    left_rep = base.withColumn(
+        "_pk",
+        F.explode(
+            F.transform(
+                F.sequence(F.col("_blk"), F.lit(n_blocks - 1)),
+                lambda j: F.col("_blk") * n_blocks + j,
+            )
+        ),
+    )
+    right_rep = base.withColumn(
+        "_pk",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_blk")),
+                lambda i: i * n_blocks + F.col("_blk"),
+            )
+        ),
+    )
+
+    def tile(key, lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        ida = lpdf["_id"].to_numpy(dtype="int64")
+        idb = rpdf["_id"].to_numpy(dtype="int64")
+        X = np.vstack(lpdf["_v"].to_numpy()).astype("float64")
+        Y = np.vstack(rpdf["_v"].to_numpy()).astype("float64")
+        Xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
+        Yn = np.maximum(np.linalg.norm(Y, axis=1), 1e-300)
+        C = (X @ Y.T) / np.outer(Xn, Yn)
+        # emit (min, max): within tile (i, j) the larger id may live on
+        # either side, and tile (j, i) is never generated
+        ii, jj = np.nonzero((C >= prune_at) & (ida[:, None] != idb[None, :]))
+        lo = np.minimum(ida[ii], idb[jj])
+        hi = np.maximum(ida[ii], idb[jj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    cand = (
+        left_rep.groupBy("_pk")
+        .cogroup(right_rep.groupBy("_pk"))
+        .applyInPandas(tile, schema="id_a bigint, id_b bigint")
+        .dropDuplicates(["id_a", "id_b"])  # diagonal tiles see both orders
+    )
+
+    a = df.select(F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("_va")).withColumn(
+        "_na", l2_norm("_va", dim)
+    )
+    b = df.select(F.col(id_col).alias("id_b"), _cast_double(vec_col).alias("_vb")).withColumn(
+        "_nb", l2_norm("_vb", dim)
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine", F.round(dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

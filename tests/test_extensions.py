@@ -269,3 +269,20 @@ def test_asof_join_directions_and_tolerance(spark):
     assert tol[(1, 100)] == 2.0      # exact match, age 0
     assert tol[(1, 200)] is None     # nearest is 50 units back -> beyond tolerance
     assert tol[(2, 100)] is None     # only future right rows for k=2
+
+
+def test_tiled_neardup_matches_broadcast_formulation(spark, sf_dir):
+    """Block-cartesian tiling (forced to many tiles) must produce exactly
+    the pairs + cosines of the broadcast formulation."""
+    from pipes_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_tiled,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = {(r.id_a, r.id_b): r.cosine for r in cosine_neardup_pairs(emb, 0.3).collect()}
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in cosine_neardup_pairs_tiled(emb, 0.3, block_size=64).collect()
+    }
+    assert got == want
