@@ -38,6 +38,17 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert (see pipes_spark.sources.read_parquet)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store: streaming state lives off-heap with
+        # incremental checkpoints — the backend that survives 100 TB-scale
+        # key cardinality (the default HDFS-backed store holds all state in
+        # executor heap). Override with PIPES_SPARK_STATE_STORE.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            os.environ.get(
+                "PIPES_SPARK_STATE_STORE",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("PIPES_SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

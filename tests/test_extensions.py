@@ -286,3 +286,20 @@ def test_tiled_neardup_matches_broadcast_formulation(spark, sf_dir):
         for r in cosine_neardup_pairs_tiled(emb, 0.3, block_size=64).collect()
     }
     assert got == want
+
+
+def test_ivf_kmeans_centroids(spark, sf_dir):
+    """IVF with a trained k-means codebook: same exact-rerank guarantees,
+    recall at least as sane as the sampled codebook's floor."""
+    from pipes_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    out = ivf_cosine_topk(emb, queries, k=5, num_centroids=8, centroids="kmeans").collect()
+    assert len({r.query_id for r in out}) == 10
+    for r in out:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
