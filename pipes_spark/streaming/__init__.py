@@ -169,3 +169,47 @@ def stream_stream_join(
     return left.withWatermark(left_ts, left_watermark).join(
         right.withWatermark(right_ts, right_watermark), cond, how
     )
+
+
+def transform_with_state_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ttl_ms: Optional[int] = None,
+) -> DataFrame:
+    """Per-key running totals on the ``transformWithStateInPandas`` API —
+    the successor to ``applyInPandasWithState``: named state variables with
+    optional TTL, timers, and initial-state hydration. Functionally the
+    same contract as ``stateful_running_totals`` so both stateful surfaces
+    are exercised by the same oracle shape.
+
+    NOTE: this API's driver worker imports protobuf; environments without a
+    working ``google.protobuf`` fail at query start (the
+    ``applyInPandasWithState`` variant has no such dependency).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class Totals(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", "n bigint, s double", ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(pdf[value_col].count())
+                s += float(pdf[value_col].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "total_n": [n], "total_sum": [s]}
+            )
+
+        def close(self):
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        Totals(),
+        outputStructType=f"{key_col} bigint, total_n bigint, total_sum double",
+        outputMode="Update",
+        timeMode="None",
+    )

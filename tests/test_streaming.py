@@ -147,3 +147,25 @@ def test_stateful_running_totals_matches_groupby(spark, event_stream):
     for r in rows:
         n, s = want[r.user_id]
         assert r.total_n == n and abs(r.total_sum - s) < 1e-6
+
+
+def test_transform_with_state_matches_groupby(spark, event_stream):
+    """transformWithStateInPandas totals over one finite batch == GROUP BY
+    (same contract as the applyInPandasWithState variant). The API's driver
+    worker needs protobuf, absent in some environments — skip there."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pipes_spark.streaming import transform_with_state_totals
+
+    stream, batch = event_stream
+    got = run_to_memory(transform_with_state_totals(stream), output_mode="update")
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, s = want[r.user_id]
+        assert r.total_n == n and abs(r.total_sum - s) < 1e-6
