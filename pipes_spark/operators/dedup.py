@@ -70,6 +70,18 @@ def minhash_signatures(
     groupBy does map-side partial aggregation, so the shuffle carries just
     8·num_hashes bytes per document regardless of document size.
     """
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n)
+    return wide.select(
+        F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def _minhash_wide(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Signature as ``num_hashes`` wide long columns ``_m0.._mN`` — the raw
+    aggregate output, so downstream band-key derivation works on plain
+    columns instead of array element_at."""
     ex = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
@@ -77,11 +89,7 @@ def minhash_signatures(
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}") for i in range(num_hashes)
     ]
-    return (
-        hashed.groupBy(id_col)
-        .agg(*mins)
-        .select(F.col(id_col), F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("minhash"))
-    )
+    return hashed.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_pairs(
@@ -112,17 +120,17 @@ def minhash_lsh_pairs(
     # 8·num_hashes bytes/doc it is the small, cacheable artifact of this
     # algorithm (at 100 TB corpus scale it is what you would write to a
     # temp table) — persisting it means the text is scanned exactly once.
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sigs = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n).persist()
     # band key per (doc, band) — ids only; the 8·num_hashes-byte signatures
-    # do NOT travel through the explode or the self-join shuffle.
+    # do NOT travel through the explode or the self-join shuffle. Band keys
+    # hash the r wide columns of each band directly (flat codegen, no
+    # array construction or element_at).
+    band_exprs = [
+        F.xxhash64(F.lit(0), *[F.col(f"_m{b * r + i}") for i in range(r)])
+        for b in range(bands)
+    ]
     banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(F.lit(0), *[F.element_at("minhash", b * r + i + 1) for i in range(r)]),
-            )
-        ).alias("band", "band_hash"),
+        id_col, F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
     )
     # drop degenerate buckets before the self-join
     bucket_sizes = banded.groupBy("band", "band_hash").count()
@@ -139,8 +147,9 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # attach signatures to the (much smaller) surviving pair set only
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"))
+    sig_arr = F.array(*[f"_m{i}" for i in range(num_hashes)])
+    sa = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(num_hashes)
