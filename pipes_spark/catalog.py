@@ -2013,3 +2013,166 @@ def agg_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.90)"), 6).alias("p90"),
     )
+
+
+# ---------------------------------------------------------------------------
+# subqueries: EXISTS / IN / scalar, correlated + uncorrelated
+# (the Catalyst decorrelation surface — RewritePredicateSubquery plans these
+# as semi/anti/null-aware-anti joins; asserted in tests/test_plans.py)
+# ---------------------------------------------------------------------------
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the named testdata tables as session temp views (the SQL
+    entry point — the subquery queries go through spark.sql so Catalyst's
+    decorrelation rules run on real subquery plans, not hand-written
+    joins)."""
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "subquery_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def subquery_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with an inequality on the outer
+    row's column. Catalyst decorrelates to a left-semi join on l_orderkey
+    with the date comparison in the join condition (no per-row subquery
+    execution — the MiddleFunc analog would re-scan per element).
+    Scale: semi join shuffles once on orderkey; the 6-month filter is
+    pushed to the orders scan."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cust_count
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_in(spark, sf_dir):
+    """Uncorrelated IN subquery → left-semi join after dedup of the inner
+    side. Scale: the filtered inner side is small → planner broadcasts it;
+    no O(n·m) membership scan."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cust_count
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "subquery_not_in",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cust_count
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+)
+def subquery_not_in(spark, sf_dir):
+    """NOT IN = null-aware anti join (three-valued logic: any NULL in the
+    inner set empties the result — semantics Spark implements as
+    NullAwareAntiJoin, distinct from NOT EXISTS' plain anti join).
+    Scale: inner side deduped + broadcast when small; falls back to a
+    single-key shuffle otherwise."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cust_count
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@query(
+    "subquery_scalar_corr",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def subquery_scalar_corr(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold). Catalyst decorrelates to an aggregate-then-join — ONE
+    group-by over lineitem, not a subquery per outer row.
+    Float note: l_quantity is integer-valued so its avg is order-exact;
+    the revenue sum uses decimal summation (_dsum pattern)."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / 7.0, 2)
+               AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@query(
+    "subquery_scalar_uncorr",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS big_orders, round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                                 / count(*) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def subquery_scalar_uncorr(spark, sf_dir):
+    """Uncorrelated scalar subquery (global average threshold) → planned as
+    a one-row subquery result reused across the scan (Spark: ScalarSubquery
+    in the filter, evaluated once, broadcast to all tasks).
+    The threshold uses decimal summation so both engines compute the
+    bit-identical average (float sums are partition-order-dependent)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS big_orders, round(max(o_totalprice), 2) AS max_price
+        FROM orders
+        WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                                     / count(*) FROM orders)
+        GROUP BY o_orderstatus
+        """
+    )

@@ -78,3 +78,24 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_subquery_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must plan as a single semi join, not a per-row
+    subquery (RewritePredicateSubquery)."""
+    plan = _plan(spark, sf_dir, "subquery_exists")
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan  # fully decorrelated: no subquery stage left
+
+
+def test_subquery_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subquery_not_in")
+    assert "LeftAnti" in plan
+
+
+def test_subquery_scalar_corr_aggregates_once(spark, sf_dir):
+    """The correlated scalar subquery must decorrelate to ONE aggregate over
+    lineitem joined back — not a per-outer-row execution."""
+    plan = _plan(spark, sf_dir, "subquery_scalar_corr")
+    assert plan.count("HashAggregate") >= 2  # partial+final of the inner agg
+    assert "LeftOuter" in plan or "Inner" in plan
