@@ -21,7 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q3_bucketed_colocated",
     "q5_local_supplier_volume",
+    "subquery_exists",
+    "subquery_scalar_corr",
     "join_inner_agg",
     "join_asof",
     "agg_stats",
@@ -79,6 +82,12 @@ def main() -> None:
     import tempfile
 
     from pipes_spark.streaming import run_to_memory
+
+    # pre-create the bucketed fact tables (the once-at-ingest shuffle —
+    # steady-state queries read them exchange-free)
+    from pipes_spark.warehouse import warm_bucketed_facts
+
+    warm_bucketed_facts(spark, sf_dir)
 
     wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
     spark.range(100).selectExpr(

@@ -2176,3 +2176,47 @@ def subquery_scalar_uncorr(spark, sf_dir):
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "q3_bucketed_colocated",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_bucketed_colocated(spark, sf_dir):
+    """Q3 over pre-bucketed facts: orders and lineitem are bucketed on
+    orderkey at write time (pipes_spark.warehouse), so the fact-fact join
+    AND the orderkey-leading aggregation plan with zero Exchange — the
+    shuffle is paid once at ingest, not per query. This is the steady-state
+    layout for a 100 TB star schema; plan asserted exchange-free in
+    tests/test_plans.py."""
+    from pipes_spark.warehouse import bucketed_table
+
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = bucketed_table(spark, sf_dir, "orders", ["o_orderkey"]).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"]).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

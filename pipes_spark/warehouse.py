@@ -1,0 +1,59 @@
+"""Pre-bucketed fact-table warehouse.
+
+At 100 TB, the dominant recurring cost of a star-schema workload is the
+shuffle of the big fact tables onto their join keys — paid by every query.
+Bucketing pays that shuffle ONCE at ingest: `bucketBy(n, key)` co-locates
+rows by hash(key) at write time, and every later equi-join or aggregation
+on that key plans with zero Exchange (SURVEY.md §2.C sinks row; plan
+asserted in tests/test_plans.py::test_bucketed_join_avoids_shuffle and
+test_q3_bucketed_is_exchange_free).
+
+This module maintains idempotent bucketed copies of the testdata facts in
+the managed warehouse, keyed by (table, sf_dir, bucket spec) so different
+scale factors never collide. On a real cluster the analog is a one-time
+`INSERT ... SELECT` into a bucketed/clustered table at ingest.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pipes_spark.sinks import write_bucketed
+from pipes_spark.sources import load_table
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    bucket_cols: list,
+    num_buckets: int = 32,
+    sort_cols: Optional[list] = None,
+) -> DataFrame:
+    """Return the named testdata table as a managed bucketed table,
+    creating it on first use (idempotent per (table, sf, buckets)).
+
+    The bucket count is the scale knob: 32 matches local[32]; a cluster
+    ingest would size it so each bucket is a few hundred MB at full scale.
+    """
+    name = f"bkt_{table}_{_tag(sf_dir)}_{num_buckets}"
+    if not spark.catalog.tableExists(name):
+        write_bucketed(name, bucket_cols, num_buckets, sort_cols=sort_cols)(
+            load_table(spark, sf_dir, table)
+        )
+    return spark.table(name)
+
+
+def warm_bucketed_facts(spark: SparkSession, sf_dir: str, num_buckets: int = 32) -> None:
+    """Pre-create the bucketed fact tables used by the bucketed headline
+    queries (bench warmup calls this so the measured region sees only the
+    exchange-free read side, mirroring steady-state cluster operation)."""
+    bucketed_table(spark, sf_dir, "orders", ["o_orderkey"], num_buckets)
+    bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], num_buckets)

@@ -99,3 +99,13 @@ def test_subquery_scalar_corr_aggregates_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "subquery_scalar_corr")
     assert plan.count("HashAggregate") >= 2  # partial+final of the inner agg
     assert "LeftOuter" in plan or "Inner" in plan
+
+
+def test_q3_bucketed_is_exchange_free(spark, sf_dir):
+    """With both facts bucketed on orderkey, q3's fact-fact join and its
+    orderkey-leading aggregation must add NO hash exchange (the only
+    exchange allowed is the dimension broadcast)."""
+    plan = _plan(spark, sf_dir, "q3_bucketed_colocated")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim still broadcasts
