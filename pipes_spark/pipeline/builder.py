@@ -75,6 +75,12 @@ class Pipeline:
     * ``persist_fanout`` — persist a node's DataFrame when >1 downstream sink
       consumes it, so the shared subplan is computed once like pipes' forker
       broadcast (default True).
+    * ``fanout_storage`` — storage level for those shared subplans:
+      ``"memory"`` (MEMORY_AND_DISK, default — small/medium intermediates) or
+      ``"disk"`` (DISK_ONLY — the 100 TB-safe choice: a huge shared
+      intermediate spills to executor-local disk instead of evicting the
+      working set from storage memory; each sink then re-reads serialized
+      blocks, the batch analog of a staging table).
     * ``channel_buffer_len`` — accepted for API parity with
       ``pipe.ChannelBufferLen`` (ref: pipe/options.go:12-22). Batch Spark is
       pull-based with no per-edge buffers, so this is a documented no-op.
@@ -86,6 +92,7 @@ class Pipeline:
         *,
         spark: Optional[SparkSession] = None,
         persist_fanout: bool = True,
+        fanout_storage: str = "memory",
         channel_buffer_len: int = 0,
     ):
         if isinstance(nodes_map, type):
@@ -95,6 +102,9 @@ class Pipeline:
         self._impl = nodes_map
         self._spark = spark
         self._persist_fanout = persist_fanout
+        if fanout_storage not in ("memory", "disk"):
+            raise GraphError(f"fanout_storage must be 'memory' or 'disk', got {fanout_storage!r}")
+        self._fanout_storage = fanout_storage
         self._channel_buffer_len = channel_buffer_len
         # field name -> ("fn" | "provider", value); last write wins
         # (ref: pipe/builder.go:21-28)
@@ -235,7 +245,14 @@ class Pipeline:
                 and not df.isStreaming  # persist is invalid on streams; each
                 # sink re-reads the source (exactly the streaming contract)
             ):
-                df = df.persist()
+                from pyspark import StorageLevel
+
+                level = (
+                    StorageLevel.DISK_ONLY
+                    if self._fanout_storage == "disk"
+                    else StorageLevel.MEMORY_AND_DISK
+                )
+                df = df.persist(level)
                 persisted.append(df)
             memo[h.name] = df
             return df

@@ -45,10 +45,20 @@ class Runner:
 
     def start(self) -> "Runner":
         """Launch all sink actions (ref: pipe/runner.go:18-22). Idempotence:
-        the reference panics on double-start; we raise."""
+        the reference panics on double-start; we raise.
+
+        Single-pass fan-out: shared (persisted) subplans are materialized
+        with one action BEFORE the concurrent sink actions launch, so the
+        shared work runs exactly once and every sink reads cached blocks —
+        the batch analog of pipes' forker pushing each computed element
+        once to all receivers (ref: pipe/internal/connect/connectors.go:57-90).
+        Without this, concurrent sinks race to populate the cache and
+        serialize on per-block locks mid-job."""
         if self._started:
             raise PipelineError("runner already started")
         self._started = True
+        for df in self._persisted:
+            df.count()  # one pass fills the cache at the chosen storage level
         self._executor = ThreadPoolExecutor(
             max_workers=max(1, len(self._sinks)), thread_name_prefix="pipes-sink"
         )

@@ -378,3 +378,70 @@ def test_minigrep_slice(spark, sf_dir):
     p2.add_final("sink", lambda df: df.collect())
     with pytest.raises(BuildError):
         p2.build()
+
+
+def test_fanout_shared_subplan_computes_once(spark):
+    """Single-pass fan-out: the shared middle's work must run exactly once
+    even with two concurrent sinks (pipes' forker pushes each computed
+    element once — ref: pipe/internal/connect/connectors.go:57-90). The
+    runner materializes the persisted subplan before launching sinks."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(v):
+        acc.add(1)
+        return v
+
+    count_udf = F.udf(counted, "long")
+
+    class G(NodesMap):
+        src = Start()
+        shared = Middle()
+        a = Final()
+        b = Final()
+
+        def connect(self):
+            self.src.send_to(self.shared)
+            self.shared.send_to(self.a, self.b)
+
+    p = Pipeline(G, spark=spark)
+    p.add_start("src", ints_source(*range(1, 11)))
+    p.add_middle("shared", lambda df: df.select(count_udf("n").alias("n")))
+    p.add_final("a", lambda df: df.count())
+    p.add_final("b", lambda df: sum(r.n for r in df.collect()))
+    res = p.build().start().done()
+    assert res == {"a": 10, "b": 55}
+    assert acc.value == 10  # not 20: the UDF ran one pass, sinks read cache
+
+
+def test_fanout_disk_storage_level(spark):
+    """fanout_storage='disk' pins the shared subplan at DISK_ONLY — the
+    100 TB-safe level (no storage-memory pressure from a huge intermediate)."""
+    from pyspark import StorageLevel
+
+    captured = {}
+
+    class G(NodesMap):
+        src = Start()
+        shared = Middle()
+        a = Final()
+        b = Final()
+
+        def connect(self):
+            self.src.send_to(self.shared)
+            self.shared.send_to(self.a, self.b)
+
+    p = Pipeline(G, spark=spark, fanout_storage="disk")
+    p.add_start("src", ints_source(1, 2, 3))
+    p.add_middle("shared", lambda df: df.select((F.col("n") * 2).alias("n")))
+
+    def capture(df):
+        captured["level"] = df.storageLevel
+        return df.count()
+
+    p.add_final("a", capture)
+    p.add_final("b", lambda df: df.count())
+    p.build().start().done()
+    assert captured["level"] == StorageLevel.DISK_ONLY
+
+    with pytest.raises(GraphError):
+        Pipeline(G, spark=spark, fanout_storage="tape")
