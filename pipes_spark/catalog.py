@@ -2220,3 +2220,102 @@ def q3_bucketed_colocated(spark, sf_dir):
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py): engine-portable hash
+# sampling — stable across runs/partitionings/engines, hence oracle-checkable
+# (Spark's seeded df.sample is partition-order-dependent and is not)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_orders",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS sampled_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sampled_value
+    FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CAST(0.1 * 4294967296 AS BIGINT)
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_hash_orders(spark, sf_dir):
+    """Deterministic 10% sample of orders by key hash, aggregated. The
+    sampled set is a pure function of o_orderkey — identical on every
+    engine, partitioning, and scale factor (no RNG, no iteration-order
+    dependence). Plan: narrow codegen'd filter ahead of the aggregation."""
+    from pipes_spark.operators.sampling import deterministic_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        deterministic_sample(orders, "o_orderkey", 0.1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_orders"),
+            _dsum(F.col("o_totalprice")).alias("sampled_value"),
+        )
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS sampled_custs
+    FROM customer
+    WHERE CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          < CASE c_mktsegment
+              WHEN 'BUILDING'  THEN CAST(0.05 * 4294967296 AS BIGINT)
+              WHEN 'MACHINERY' THEN CAST(0.5  * 4294967296 AS BIGINT)
+              ELSE                  CAST(0.2  * 4294967296 AS BIGINT)
+            END
+    GROUP BY c_mktsegment
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (reproducible sampleBy): distinct
+    keep-fractions per market segment — the rebalance-the-long-tail pattern
+    for corpus curation, stable under re-runs and repartitioning."""
+    from pipes_spark.operators.sampling import stratified_sample
+
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        stratified_sample(
+            cust,
+            ["c_mktsegment"],
+            {"BUILDING": 0.05, "MACHINERY": 0.5},
+            key="c_custkey",
+            default_fraction=0.2,
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("sampled_custs"))
+    )
+
+
+@query(
+    "split_train_test",
+    oracle="""
+    SELECT split, lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'split')), 1, 8)) AS BIGINT)
+                       < CAST(0.1 * 4294967296 AS BIGINT)
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    GROUP BY split, lang
+    """,
+)
+def split_train_test(spark, sf_dir):
+    """90/10 train/test split of the document corpus keyed on doc_id hash.
+    Membership is content-addressed: growing the corpus never moves an
+    existing document across the boundary (no train/test leakage between
+    pipeline versions)."""
+    from pipes_spark.operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", 0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+    )

@@ -1,0 +1,97 @@
+"""Deterministic, engine-portable sampling (training-data pipeline surface).
+
+Spark's native ``df.sample``/``sampleBy`` draw from a seeded RNG over the
+partition iteration order — results change when partitioning changes, which
+at 100 TB means every repartition silently reshuffles your holdout split.
+These operators instead derive the sampling decision from a **hash of the
+row's key**: stable across runs, partitionings, engines, and scale-ups, and
+therefore safe for train/test splits that must never leak across pipeline
+re-runs. (Same content-addressed idea as the MinHash dedup family —
+ref framework analog: a sampling MiddleFunc would hash inside user code,
+pipe/node.go:19.)
+
+Hash: first 8 hex chars of md5(key) → uniform 32-bit integer. md5 is
+available and bit-identical in Spark, DuckDB, and virtually every engine, so
+every sampled query here is DuckDB-oracle-checkable. Keys are cast to
+string first; keep keys integral or string (float formatting differs across
+engines).
+
+Scale: the hash is a per-row narrow expression (whole-stage codegen, no
+shuffle, no UDF); sampling pushes ahead of wide operators so downstream
+work sees only the sampled fraction.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32  # md5's first 8 hex chars span [0, 2^32)
+
+
+def hash_bucket(key: Union[str, Column], salt: str = "") -> Column:
+    """Uniform [0, 2^32) bucket from md5 of the key (+ optional salt —
+    distinct salts give independent samples from the same keys)."""
+    col = F.col(key) if isinstance(key, str) else key
+    salted = F.concat(col.cast("string"), F.lit(salt)) if salt else col.cast("string")
+    return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_bucket_sql(key_expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_bucket` for oracle SQL."""
+    salted = f"concat(CAST({key_expr} AS VARCHAR), '{salt}')" if salt else f"CAST({key_expr} AS VARCHAR)"
+    return f"CAST(concat('0x', substr(md5({salted}), 1, 8)) AS BIGINT)"
+
+
+def deterministic_sample(
+    df: DataFrame, key: Union[str, Column], fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep rows whose key hashes below ``fraction`` of the bucket space.
+
+    The same (key, salt) is kept or dropped identically everywhere — across
+    partitionings, retries, engines, and scale factors (a row sampled at
+    sf0.01 is sampled at sf100 if it exists there)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(key, salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    fractions: Mapping[str, float],
+    key: Union[str, Column],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the reproducible ``sampleBy``).
+
+    ``fractions`` maps the string form of the stratum value (concatenated
+    with '|' for multi-column strata) to its keep-fraction. Rebalancing
+    long-tail strata (e.g. languages in a web corpus) without destabilizing
+    the sample on re-runs is the 100 TB use case."""
+    stratum = F.concat_ws("|", *[F.col(c).cast("string") for c in strata])
+    thr = F.lit(int(default_fraction * _BUCKETS))
+    expr = None
+    for value, frac in fractions.items():
+        cond = stratum == value
+        branch = F.lit(int(frac * _BUCKETS))
+        expr = F.when(cond, branch) if expr is None else expr.when(cond, branch)
+    thr = expr.otherwise(thr) if expr is not None else thr
+    return df.filter(hash_bucket(key, salt) < thr)
+
+
+def train_test_split(
+    df: DataFrame, key: Union[str, Column], test_fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Add a ``split`` column ('train' | 'test') keyed on the row hash.
+
+    Membership is a pure function of (key, salt): growing the corpus never
+    moves an existing row across the split boundary — the property that
+    prevents train/test leakage between pipeline versions."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    is_test = hash_bucket(key, salt) < int(test_fraction * _BUCKETS)
+    return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))

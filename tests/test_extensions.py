@@ -303,3 +303,53 @@ def test_ivf_kmeans_centroids(spark, sf_dir):
     assert len({r.query_id for r in out}) == 10
     for r in out:
         assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_deterministic_sample_stable_under_repartition(spark, sf_dir):
+    """The sampled key set must be invariant to partitioning — the property
+    Spark's seeded df.sample lacks and the reason these operators exist
+    (stable holdout splits across pipeline re-runs at scale)."""
+    from pipes_spark.operators.sampling import deterministic_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = {r.o_orderkey for r in deterministic_sample(orders, "o_orderkey", 0.2).collect()}
+    shuffled = {
+        r.o_orderkey
+        for r in deterministic_sample(orders.repartition(13, "o_custkey"), "o_orderkey", 0.2)
+        .collect()
+    }
+    assert base == shuffled
+    n = orders.count()
+    assert 0.15 * n < len(base) < 0.25 * n  # ~20% within uniformity slack
+
+
+def test_sample_salts_are_independent(spark, sf_dir):
+    """Distinct salts draw independent samples from the same keys: of the
+    rows in sample a, only ~the base fraction (20%) also land in sample b.
+    The same salt would give identical sets (overlap 1.0)."""
+    from pipes_spark.operators.sampling import deterministic_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = {r.o_orderkey for r in deterministic_sample(orders, "o_orderkey", 0.2, salt="a").collect()}
+    b = {r.o_orderkey for r in deterministic_sample(orders, "o_orderkey", 0.2, salt="b").collect()}
+    overlap = len(a & b) / max(1, len(a))
+    assert 0.1 < overlap < 0.35  # independent ≈ 0.2; same-salt would be 1.0
+    same = {r.o_orderkey for r in deterministic_sample(orders, "o_orderkey", 0.2, salt="a").collect()}
+    assert same == a
+
+
+def test_train_test_split_membership_stable_under_growth(spark, sf_dir):
+    """Adding documents must not move existing ones across the split —
+    membership is a pure function of (doc_id, salt)."""
+    from pipes_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = docs.filter(F.col("doc_id") < 100)
+    full_split = {
+        r.doc_id: r.split for r in train_test_split(docs, "doc_id", 0.1).collect()
+    }
+    small_split = {
+        r.doc_id: r.split for r in train_test_split(small, "doc_id", 0.1).collect()
+    }
+    for doc_id, split in small_split.items():
+        assert full_split[doc_id] == split
