@@ -2447,3 +2447,33 @@ def q14_promo_revenue(spark, sf_dir):
             F.round(100.0 * _dsum(promo) / _dsum(rev), 6).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "events_daily_from_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+           min(value) AS value_min, max(value) AS value_max
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_from_rollup(spark, sf_dir):
+    """Daily event stats answered from the HOURLY ROLLUP, not raw rows —
+    the continuous-aggregate pattern. The oracle aggregates the raw events
+    directly, so the hash-match proves rollup+re-aggregation is lossless
+    (decomposable aggs, decimal sums). Scale: the daily query scans the
+    ~1/1000th-size rollup with day-partition pruning."""
+    from pipes_spark.operators.rollup import ensure_hourly_rollup, reaggregate
+
+    rollup = ensure_hourly_rollup(spark, sf_dir)
+    return reaggregate(rollup, "day").select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+    )

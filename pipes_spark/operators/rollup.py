@@ -1,0 +1,144 @@
+"""Time-series rollups: pre-aggregated hour grain, re-aggregable to any
+coarser grain (the hypertable-continuous-aggregate shape).
+
+At 100 TB of events, answering "daily counts last quarter" from raw rows
+scans everything; answering it from an **hourly rollup** scans ~1/1000th.
+The rollup keeps only *decomposable* aggregates — count, sum, min, max —
+which re-aggregate losslessly to any coarser grain (avg derives as
+sum/count; distinct users needs a sketch and is deliberately excluded from
+the exact surface). Sums are carried as DECIMAL(28,6) so re-aggregation is
+order-exact (see catalog._dsum rationale).
+
+Maintenance paths:
+
+* batch: ``ensure_hourly_rollup`` materializes the rollup once per
+  (sf_dir) into the managed warehouse, partitioned by day — queries prune
+  to the days they touch (the 100 TB analog partitions by day and buckets
+  by event_type).
+* streaming: ``streaming_rollup_writer`` appends *finalized* hourly
+  windows — append output mode emits a window only once its watermark
+  passes, and ALL groups of an hour finalize in the same micro-batch
+  (the watermark is global, not per-group), so dynamically overwriting the
+  (day, hour) partitions a batch touches is complete and idempotent under
+  replay.
+
+The reference has no aggregation library at all (SURVEY §2.C — a rollup
+would be hand-kept state in a MiddleFunc, pipe/node.go:19); this operator
+is part of the engine's first-class extension surface.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ROLLUP_KEY = ["hour", "event_type"]
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Aggregate raw events to the hour grain with decomposable aggregates."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .withColumn("day", F.to_date("hour"))
+    )
+
+
+def reaggregate(rollup: DataFrame, grain: str = "day") -> DataFrame:
+    """Fold an hourly rollup to a coarser grain ('day', 'week', 'month').
+
+    count/sum add; min/max take min/max; DECIMAL sums stay exact, so the
+    result is bit-identical to aggregating the raw rows."""
+    return (
+        rollup.groupBy(
+            F.date_trunc(grain, F.col("hour")).alias(grain), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_sum").alias("value_sum"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+        )
+    )
+
+
+def _tag(sf_dir: str) -> str:
+    return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+
+
+def ensure_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once) and return the managed hourly rollup table for the
+    events at ``sf_dir``, partitioned by day for partition pruning."""
+    from pipes_spark.sources import load_table
+
+    name = f"rollup_events_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(name):
+        (
+            hourly_rollup(load_table(spark, sf_dir, "events"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def streaming_rollup_writer(
+    stream: DataFrame, table: str, watermark: str = "2 hours", **trigger
+):
+    """Keep ``table`` current from a raw-event stream.
+
+    Append output mode emits each hourly window exactly once, when the
+    watermark passes its end — and because the watermark is global, every
+    event_type group of that hour finalizes in the SAME micro-batch. A
+    batch therefore carries the complete, final content of each
+    (day, hour) partition it touches, so dynamic partition overwrite
+    (spark.sql.sources.partitionOverwriteMode=dynamic) is both complete
+    and idempotent when a batch replays after failure. Windows still open
+    at stream end (inside the watermark) are intentionally not emitted —
+    the rollup only ever contains finalized hours. Returns the
+    StreamingQuery."""
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .select(
+            F.col("event_type"),
+            "n_events",
+            "value_sum",
+            "value_min",
+            "value_max",
+            F.to_date(F.col("w.start")).alias("day"),
+            F.col("w.start").alias("hour"),
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        if not spark.catalog.tableExists(table):
+            batch_df.write.partitionBy("day", "hour").saveAsTable(table)
+        else:
+            # positional insert: batch_df's select order above matches the
+            # saveAsTable layout (data cols, then partition cols day, hour)
+            batch_df.write.mode("overwrite").insertInto(table)
+
+    return (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("append")
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

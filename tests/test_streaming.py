@@ -169,3 +169,41 @@ def test_transform_with_state_matches_groupby(spark, event_stream):
     for r in rows:
         n, s = want[r.user_id]
         assert r.total_n == n and abs(r.total_sum - s) < 1e-6
+
+
+def test_streaming_rollup_writer_matches_batch_rollup(spark, sf_dir):
+    """The stream-maintained rollup table must agree exactly with the batch
+    hourly rollup on every finalized hour, and must contain every hour
+    strictly older than the watermark bound (append mode emits each window
+    exactly once, whole hours per batch → partition overwrite is safe)."""
+    import datetime
+
+    from pipes_spark.catalog import _events_stream
+    from pipes_spark.operators.rollup import hourly_rollup, streaming_rollup_writer
+    from pipes_spark.sources import load_table
+
+    table = "rollup_stream_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        q = streaming_rollup_writer(_events_stream(spark, sf_dir), table, watermark="2 hours")
+        q.awaitTermination()
+        got = {
+            (r.hour, r.event_type): (r.n_events, float(r.value_sum), r.value_min, r.value_max)
+            for r in spark.table(table).collect()
+        }
+        assert got, "no finalized hours were written"
+        events = load_table(spark, sf_dir, "events")
+        batch = {
+            (r.hour, r.event_type): (r.n_events, float(r.value_sum), r.value_min, r.value_max)
+            for r in hourly_rollup(events).collect()
+        }
+        # everything written must exactly match the batch rollup
+        for k, v in got.items():
+            assert batch[k] == v, k
+        # completeness: every hour strictly inside the watermark bound is present
+        max_ts = events.agg(F.max("ts")).first()[0]
+        cutoff = max_ts - datetime.timedelta(hours=3, minutes=1)
+        expected_keys = {k for k in batch if k[0] + datetime.timedelta(hours=1) <= cutoff}
+        assert expected_keys <= set(got)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
