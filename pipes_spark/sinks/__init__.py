@@ -109,3 +109,34 @@ def write_bucketed(
         return table_name
 
     return sink
+
+
+def compact_parquet(
+    spark, src_path: str, dst_path: str, target_file_mb: int = 256, mode: str = "overwrite"
+) -> int:
+    """Rewrite a parquet directory into files of ~``target_file_mb`` each.
+
+    File-count sizing uses the TRUE on-disk byte size of the source (listed
+    via Hadoop's FileSystem, so it works on any supported filesystem), not a
+    row-size guess — compression ratios make schema-based estimates wrong
+    by 5-10×. At 100 TB, both failure modes are operational incidents:
+    thousands of KB-files per partition (listing + open overhead, tiny row
+    groups) or single multi-GB files (no read parallelism). Streaming
+    sinks and over-partitioned jobs produce the former; this is the
+    periodic compaction pass that fixes them.
+
+    Returns the number of output files written."""
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    # repartition (round-robin) rather than coalesce: coalesce would chain
+    # upstream and can collapse read parallelism; compaction is IO-bound
+    # and wants an even spread
+    df.repartition(n_files).write.mode(mode).parquet(dst_path)
+    return n_files

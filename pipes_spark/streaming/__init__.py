@@ -20,9 +20,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def read_stream_parquet(spark: SparkSession, path: str, schema) -> DataFrame:
-    """File-based streaming source (one micro-batch per discovered file)."""
-    return spark.readStream.schema(schema).parquet(path)
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: Optional[int] = None,
+    max_bytes_per_trigger: Optional[str] = None,
+) -> DataFrame:
+    """File-based streaming source.
+
+    ``max_files_per_trigger`` / ``max_bytes_per_trigger`` bound how much
+    each micro-batch ingests — the engine's source-side backpressure knob
+    and the closest analog of the reference's ``ChannelBufferLen``
+    (ref: pipe/options.go:12-22): pipes bounds in-flight elements per edge;
+    Spark bounds in-flight data per trigger. At scale this is what keeps a
+    backfill over years of files from planning one giant first batch."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return r.parquet(path)
 
 
 def rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

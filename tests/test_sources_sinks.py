@@ -99,3 +99,27 @@ def test_read_text_file_lines(spark, tmp_path):
 def test_from_rows(spark):
     df = from_rows(spark, [(1, "a"), (2, "b")], "id long, s string")
     assert df.count() == 2
+
+
+def test_compact_parquet_hits_target_file_count(spark, sf_dir, tmp_path):
+    """Compaction sizes output files from true on-disk bytes: a source
+    fragmented into many small files comes back as ~target-sized files."""
+    import glob
+
+    from pipes_spark.sinks import compact_parquet
+    from pipes_spark.sources import load_table
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(src)  # the small-file incident
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    src_bytes = sum(
+        __import__("os").path.getsize(f) for f in glob.glob(f"{src}/part-*.parquet")
+    )
+    target_mb = max(1, int(src_bytes / 2 / 1024 / 1024))  # aim for ~2 files
+    n = compact_parquet(spark, src, dst, target_file_mb=target_mb)
+    out = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out) == n <= 4
+    assert spark.read.parquet(dst).count() == li.count()

@@ -207,3 +207,31 @@ def test_streaming_rollup_writer_matches_batch_rollup(spark, sf_dir):
         assert expected_keys <= set(got)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_max_files_per_trigger_bounds_batches(spark, sf_dir, tmp_path):
+    """Source-side backpressure (the ChannelBufferLen analog): with
+    maxFilesPerTrigger=1, a 3-file directory must ingest as 3 micro-batches
+    of bounded size, not one giant batch."""
+    from pipes_spark.sources import load_table
+    from pipes_spark.streaming import read_stream_parquet
+
+    src = str(tmp_path / "files")
+    orders = load_table(spark, sf_dir, "orders").limit(300)
+    orders.repartition(3).write.parquet(src)
+
+    batches = []
+    stream = read_stream_parquet(
+        spark, src, orders.schema, max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: batches.append(df.count())
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batches) == 3
+    assert sum(batches) == 300
+    assert all(b < 300 for b in batches)
