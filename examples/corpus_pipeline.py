@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""corpus_pipeline — an end-to-end training-data curation pipeline composed
+from the engine's extension operators through the dataflow-graph API:
+
+    documents ──> exact dedup ──> quality+langid annotate ──> quality gate
+        ──> train/test split ──┬──> partitioned parquet (the corpus)
+                               └──> per-split/lang stats (the report)
+
+Every stage is a named node; the fan-out at the end materializes the
+curated corpus once (single-pass fan-out) and feeds both sinks. This is
+the graph a user of the reference would hand-write as MiddleFuncs
+(ref: pipe/node.go:16-19) — here each node body is a declarative
+DataFrame transform, so Catalyst fuses the whole curation chain into a
+handful of codegen'd stages.
+
+Usage: python examples/corpus_pipeline.py [SF_DIR] [OUT_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+import pipes_spark as ps
+from pipes_spark import Final, Middle, NodesMap, Pipeline, Start
+from pipes_spark.operators.dedup import exact_dedup
+from pipes_spark.operators.sampling import train_test_split
+from pipes_spark.operators.text import with_lang_scores, with_quality_scores
+from pipes_spark.sinks import write_parquet
+from pipes_spark.sources import load_table
+
+
+class CorpusPipeline(NodesMap):
+    docs = Start()
+    dedup = Middle()      # exact near-identical removal (fingerprint)
+    annotate = Middle()   # quality + language scores
+    gate = Middle()       # quality threshold filter
+    split = Middle()      # deterministic train/test split
+    corpus = Final()      # partitioned parquet, the training corpus
+    report = Final()      # per-split/lang stats
+
+    def connect(self):
+        self.docs.send_to(self.dedup)
+        self.dedup.send_to(self.annotate)
+        self.annotate.send_to(self.gate)
+        self.gate.send_to(self.split)
+        self.split.send_to(self.corpus, self.report)
+
+
+def build(spark, sf_dir: str, out_dir: str, min_alpha: float = 0.5):
+    p = Pipeline(CorpusPipeline, spark=spark)
+    p.add_start("docs", lambda s: load_table(s, sf_dir, "documents"))
+    p.add_middle("dedup", lambda df: exact_dedup(df).drop("fingerprint"))
+    p.add_middle("annotate", lambda df: with_lang_scores(with_quality_scores(df)))
+    # provider: the gate is config-conditional — a None threshold disables
+    # the node entirely (zero-cost bypass, ref: pipe/bypass.go:23-33)
+    p.add_middle_provider(
+        "gate",
+        lambda: None
+        if min_alpha is None
+        else (
+            lambda df: df.filter(
+                (F.col("alpha_ratio") >= min_alpha) & (F.col("digit_ratio") < 0.3)
+            )
+        ),
+    )
+    p.add_middle("split", lambda df: train_test_split(df, "doc_id", 0.1))
+    p.add_final(
+        "corpus", write_parquet(os.path.join(out_dir, "corpus"), partition_by=["split"])
+    )
+    p.add_final(
+        "report",
+        lambda df: df.groupBy("split", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
+        .collect(),
+    )
+    return p.build()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_pipeline_out"
+    spark = ps.get_spark("corpus_pipeline", shuffle_partitions=8)
+    results = build(spark, sf_dir, out_dir).start().done()
+    print(f"corpus written to {results['corpus']}")
+    for row in sorted(results["report"], key=lambda r: (r.split, r.lang_pred)):
+        print(f"  {row.split:5s} {row.lang_pred:3s} docs={row.docs:6d} chars={row.chars}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -353,3 +353,27 @@ def test_train_test_split_membership_stable_under_growth(spark, sf_dir):
     }
     for doc_id, split in small_split.items():
         assert full_split[doc_id] == split
+
+
+def test_corpus_pipeline_example(spark, sf_dir, tmp_path):
+    """The end-to-end curation example: dedup → annotate → gate → split →
+    fan-out to corpus write + stats report; the written corpus must agree
+    with the report and be partitioned by split."""
+    import glob
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples", "corpus_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = str(tmp_path / "out")
+    results = mod.build(spark, sf_dir, out).start().done()
+    report_docs = sum(r.docs for r in results["report"])
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() == report_docs > 0
+    assert glob.glob(os.path.join(out, "corpus", "split=*"))  # partitioned layout
+    assert set(corpus.select("split").distinct().toPandas()["split"]) <= {"train", "test"}
