@@ -23,6 +23,10 @@ HEADLINE = [
     "q3_shipping_priority",
     "q3_bucketed_colocated",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_supplier",
     "subquery_exists",
     "subquery_scalar_corr",
     "join_inner_agg",

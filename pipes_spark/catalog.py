@@ -1191,6 +1191,92 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.2)
 
 
+# shared oracle prefix: the exact 3-gram Jaccard pair graph (threshold 0.2)
+# as an undirected edge list, then min-label transitive closure. The Spark
+# side runs large-star/small-star; the hash-match proves the O(log n)
+# algorithm resolves the exact same components as the O(n·m) closure.
+_CC_ORACLE_PREFIX = r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                            for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ), cc AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    )
+"""
+
+
+@query(
+    "dedup_components",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT id AS doc_id, component FROM cc
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components of the exact
+    3-gram Jaccard pair graph via alternating large-star/small-star
+    (operators.components.connected_components) — pairs alone cannot drive
+    dedup; transitively-linked docs must collapse to one cluster. The
+    DuckDB oracle computes the same components by recursive transitive
+    closure."""
+    from .operators.components import connected_components
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    cc = connected_components(ngram_jaccard_pairs(d, threshold=0.2))
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+@query(
+    "dedup_drop_near_dups",
+    oracle=_CC_ORACLE_PREFIX
+    + """
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> component)
+    """,
+)
+def dedup_drop_near_dups(spark, sf_dir):
+    """End-to-end near-dup removal: resolve clusters, keep the min-id
+    canonical per cluster, pass untouched docs through
+    (operators.components.drop_near_duplicates). Scale: the corpus is only
+    touched by one broadcast anti-join against the loser set — cluster
+    members minus canonicals — which is tiny relative to the corpus."""
+    from .operators.components import drop_near_duplicates
+    from .operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return drop_near_duplicates(d, ngram_jaccard_pairs(d, threshold=0.2)).select(
+        "doc_id"
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=r"""
@@ -2445,6 +2531,446 @@ def q14_promo_revenue(spark, sf_dir):
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(100.0 * _dsum(promo) / _dsum(rev), 6).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(28,6))) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region    ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (adapted: no partsupp table): NATION_3's share of
+    ASIA-customer STANDARD-part volume per order year — an 8-way join into
+    a conditional-ratio aggregation. Scale: part/supplier/customer dims all
+    broadcast after their selective filters; the only big shuffle is
+    lineitem⋈orders on orderkey; decimal sums make the share bit-exact."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select("p_partkey")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk")
+    ).select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01 00:00:00", "1997-12-31 00:00:00")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_volume = F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(_dsum(nat_volume) / _dsum(volume), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_profit
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey,
+         LATERAL (SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year)
+    WHERE p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: profit term omits the absent
+    ps_supplycost): per-nation, per-year profit on parts whose name
+    contains 'red'. Scale: the p_name LIKE filter prunes the broadcast
+    part dim before the fact join; supplier⋈nation broadcasts; the
+    lineitem⋈orders shuffle on orderkey dominates, as it should."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("s_nk")
+    ).select("s_suppkey", "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Scale: aggregate to o_custkey BEFORE joining the customer
+    dim — the post-agg row count is ≤ |customers in the window|, so the
+    dim join moves minimal data; nation broadcasts; decimal revenue makes
+    the top-20 cut deterministic."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    rev = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate of an aggregate (view + scalar subquery).
+    Scale: the revenue view is one map-side-combined shuffle keyed by
+    suppkey; its single-row max broadcasts back over it; decimal sums
+    make the float equality well-defined in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem stands in for the absent
+    partsupp as the part↔supplier relation): distinct supplier counts per
+    (brand, type, size) excluding a NOT-IN supplier blacklist. Scale: the
+    part filters prune the broadcast dim; the blacklist is a broadcast
+    anti-join (keys provably non-null → NOT IN ≡ anti); the distinct agg
+    is the only shuffle, with partial aggregation on (brand,type,size,
+    suppkey)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = _t(spark, sf_dir, "supplier").filter(F.col("s_name").like("%0")).select(
+        "s_suppkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    with their customers. Scale: the HAVING subquery is a map-side-combined
+    groupBy on orderkey whose tiny survivor set SEMI-joins lineitem on the
+    same key (one shuffle partitioning reused); the customer dim joins
+    after aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(
+            F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"), "left_semi"
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join sides.
+    Scale: Catalyst extracts the common single-side conjuncts — the
+    derivable part filter (brand∈{...} ∧ size≤35) and lineitem filter
+    (quantity between 1 and 30) — and pushes them below the broadcast
+    join, so the scan skips most row groups before the residual OR runs."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    def branch(brand, size_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+    cond = (
+        branch("Brand#12", 15, 1, 11)
+        | branch("Brand#23", 25, 10, 20)
+        | branch("Brand#9", 35, 20, 30)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_3'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > l1.l_shipdate
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: l_shipdate stands in for the absent
+    receipt/commit dates): suppliers whose line ships latest among
+    multi-supplier 'F' orders — a doubly-correlated EXISTS / NOT EXISTS.
+    Decorrelated Spark-side into per-order aggregates: a line l1 of
+    supplier s survives iff the order has >1 supplier and
+    l1.shipdate >= max(shipdate over OTHER suppliers' lines). That
+    per-(order,supplier) "max of the others" comes from the order's top
+    and second-distinct supplier maxima — two groupBys and a join-back,
+    all hash-partitioned on orderkey, instead of two correlated
+    re-scans of lineitem. Scale: one shuffle partitioning reused across
+    the agg chain; supplier/nation dims broadcast onto the probe side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    forders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li_f = li.join(forders, F.col("l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
+    # per-(order, supplier) max shipdate, then per-order stats over those
+    per_supp = li_f.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.max("supp_max").alias("top")
+    )
+    # cnt of suppliers tied at top + second-distinct max need `top` first
+    stats = per_supp.join(per_order, "l_orderkey")
+    per_order2 = stats.groupBy("l_orderkey").agg(
+        F.first("n_supp").alias("n_supp"),
+        F.first("top").alias("top"),
+        F.sum(F.when(F.col("supp_max") == F.col("top"), 1).otherwise(0)).alias("cnt_top"),
+        F.max(F.when(F.col("supp_max") < F.col("top"), F.col("supp_max"))).alias("second"),
+    )
+    # max shipdate among the OTHER suppliers of the order, per supplier
+    enriched = per_supp.join(per_order2, "l_orderkey").withColumn(
+        "max_other",
+        F.when(
+            (F.col("supp_max") == F.col("top")) & (F.col("cnt_top") == 1),
+            F.col("second"),
+        ).otherwise(F.col("top")),
+    )
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    lines = li_f.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    return (
+        lines.join(
+            enriched.select("l_orderkey", "l_suppkey", "n_supp", "max_other"),
+            ["l_orderkey", "l_suppkey"],
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") >= F.col("max_other")))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "q22_global_sales",
+    oracle="""
+    SELECT c_nationkey AS cntry, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(avg(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: nationkey stands in for the phone-prefix
+    country code; "no orders" → "no URGENT orders", which is non-empty at
+    these SFs): above-average-balance customers with no urgent orders,
+    counted per country. Scale: the average is a single-row broadcast; the
+    NOT EXISTS decorrelates to a left-anti join on custkey against the
+    pre-filtered (and thus much smaller) urgent-orders side; decimal
+    avg/sum keep the threshold comparison engine-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("avg_bal")
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias(
+                "totacctbal"
+            ),
         )
     )
 
