@@ -1,0 +1,118 @@
+"""Connected components over a pair list — the completion step of a
+near-dup pipeline (SURVEY.md §2.C extensions): LSH/Jaccard emit PAIRS,
+but deduplication must drop whole duplicate *clusters*, i.e. the
+connected components of the pair graph, keeping one canonical doc each.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+O(log n) rounds of pure groupBy/join DataFrame ops, unlike naive label
+propagation whose round count is the graph diameter. Every round is one
+shuffle keyed by node id with map-side combine; no driver-side graph.
+
+Scale notes:
+
+* each iteration ends in ``localCheckpoint`` — iterative plans otherwise
+  grow lineage exponentially and re-execute from the source every round
+  (on a cluster with a fault-tolerance requirement, swap for
+  ``checkpoint()`` against a durable dir; the cut is what matters);
+* convergence is detected by comparing a per-round edge-set signature
+  (count + xxhash sum) — two scalars per round, no driver collect of
+  edges;
+* duplicate clusters from near-dup detection are near-cliques, so in
+  practice 2-3 rounds suffice; the O(log n) bound covers adversarial
+  chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}."""
+    both = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = both.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        both.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; for each node u, connect u and all its
+    smaller neighbors to the minimum of those."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    grouped = oriented.groupBy("u").agg(
+        F.min("v").alias("m"), F.collect_set("v").alias("vs")
+    )
+    # (v, m) for v in N(u) ∪ {u}, v != m
+    return (
+        grouped.select(
+            F.explode(F.array_union(F.col("vs"), F.array(F.col("u")))).alias("a"),
+            F.col("m").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve the undirected pair graph to components.
+
+    Returns ``(id, component)`` for every node that appears in ``pairs``,
+    where ``component`` is the smallest node id in its component (so a
+    component's canonical representative is its own label).
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # decimal sum: ANSI mode is on, a long sum of xxhash64 overflows
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).cast("string").alias("h"),
+        ).collect()[0]
+        if (sig["n"], sig["h"]) == prev_sig:
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # fixpoint: every edge is (member, root). Roots label themselves.
+    members = edges.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    roots = edges.select(F.col("b").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return members.unionByName(roots).distinct()
+
+
+def drop_near_duplicates(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical doc (the min-id member) per duplicate cluster;
+    docs in no cluster pass through. One anti-join against the non-canonical
+    member set — the tiny side of the graph, never the corpus."""
+    cc = connected_components(pairs)
+    losers = cc.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("_loser")
+    )
+    return docs.join(
+        F.broadcast(losers), docs[id_col] == F.col("_loser"), "left_anti"
+    )

@@ -377,3 +377,32 @@ def test_corpus_pipeline_example(spark, sf_dir, tmp_path):
     assert corpus.count() == report_docs > 0
     assert glob.glob(os.path.join(out, "corpus", "split=*"))  # partitioned layout
     assert set(corpus.select("split").distinct().toPandas()["split"]) <= {"train", "test"}
+
+
+def test_connected_components_resolves_chain_and_clique(spark):
+    from pipes_spark.operators.components import connected_components
+
+    # component A: a 5-node chain 10-11-12-13-14 (worst case for naive
+    # label propagation); component B: a triangle clique 20-21-22
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert cc == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_drop_near_duplicates_keeps_canonical_and_untouched(spark):
+    from pipes_spark.operators.components import drop_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    # clusters {1,2,3} and {5,6}; 4 and 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r.doc_id for r in drop_near_duplicates(docs, pairs).select("doc_id").collect()
+    )
+    assert kept == [1, 4, 5, 7]
