@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_cosine_neardup",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_quantized_topk",
     "text_tfidf",
     "udf_grouped_zscore",
     "streaming_events_hourly",

@@ -1399,6 +1399,19 @@ def sim_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+@query("sim_quantized_topk")  # approximate by construction → rows-only check
+def sim_quantized_topk(spark, sf_dir):
+    """Int8-quantized brute-force top-5 with exact rerank
+    (operators.similarity.quantized_cosine_topk): the quantized scan reads
+    4× fewer bytes than float32 and 8× fewer than float64, and the partial
+    per-batch top-k keeps the shuffle at queries·k·oversample rows. Recall
+    vs the exact top-k is asserted in pytest."""
+    from .operators.similarity import quantized_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 # ---------------------------------------------------------------------------
 # extensions: multimodal + approx + streaming
 # ---------------------------------------------------------------------------

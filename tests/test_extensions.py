@@ -406,3 +406,31 @@ def test_drop_near_duplicates_keeps_canonical_and_untouched(spark):
         r.doc_id for r in drop_near_duplicates(docs, pairs).select("doc_id").collect()
     )
     assert kept == [1, 4, 5, 7]
+
+
+def test_quantized_topk_recall_and_exact_scores(spark, sf_dir):
+    from pipes_spark.operators.similarity import cosine_topk, quantized_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5).collect()
+    quant = quantized_cosine_topk(emb, q, k=5).collect()
+    exact_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    quant_pairs = {(r.query_id, r.neighbor_id): r.cosine for r in quant}
+    # recall@5 ≥ 0.9 over the probe set
+    hits = len(set(exact_pairs) & set(quant_pairs))
+    assert hits / len(exact_pairs) >= 0.9
+    # every reported cosine on a shared pair is the EXACT value (rerank)
+    for pair in set(exact_pairs) & set(quant_pairs):
+        assert quant_pairs[pair] == exact_pairs[pair]
+
+
+def test_quantize_int8_bounds_and_shape(spark, sf_dir):
+    from pipes_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = quantize_int8(emb).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.qvec) == 64
+        assert max(abs(v) for v in r.qvec) == 127  # max-abs element saturates
