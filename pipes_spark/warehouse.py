@@ -45,6 +45,16 @@ def bucketed_table(
     """
     name = f"bkt_{table}_{_tag(sf_dir)}_{num_buckets}"
     if not spark.catalog.tableExists(name):
+        # the default catalog is in-memory per process: a previous process
+        # may have left the managed location behind without a catalog entry,
+        # and saveAsTable refuses to reuse it (LOCATION_ALREADY_EXISTS).
+        # Bucketing metadata lives in the catalog, not the files, so the
+        # orphaned directory is unusable — remove and rewrite.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
         write_bucketed(name, bucket_cols, num_buckets, sort_cols=sort_cols)(
             load_table(spark, sf_dir, table)
         )
