@@ -109,3 +109,38 @@ def test_q3_bucketed_is_exchange_free(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" in plan  # customer dim still broadcasts
+
+
+def test_q19_disjunction_derives_single_side_pushdowns(spark, sf_dir):
+    """Catalyst must extract the derivable per-side conjuncts of the
+    OR-of-ANDs predicate and push them into BOTH scans — at scale this is
+    the difference between scanning 3 quantity bands and the whole fact."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    li_scan = next(s for s in plan.split("FileScan parquet")[1:] if "l_quantity" in s.split("]")[0])
+    part_scan = next(s for s in plan.split("FileScan parquet")[1:] if "p_brand" in s.split("]")[0])
+    assert "l_quantity" in li_scan.split("Format:")[0]  # derived bound in DataFilters
+    # the plan string truncates long filter lists, so match the comparison
+    # prefix rather than the full 'Brand#NN' literal
+    assert "= Brand" in part_scan.split("Format:")[0]
+
+
+def test_q10_aggregates_before_customer_join(spark, sf_dir):
+    """Revenue must be reduced to one row per custkey BEFORE the customer
+    dim join (the post-agg join moves |active customers| rows, not
+    |lineitems|), and the top-20 must plan as TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    assert re.search(r"HashAggregate\(keys=\[o_custkey", plan)
+    assert "TakeOrderedAndProject(limit=20" in plan
+
+
+def test_q18_having_subquery_plans_as_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_volume")
+    assert "LeftSemi" in plan
+
+
+def test_q8_single_fact_shuffle(spark, sf_dir):
+    """All dims broadcast: the lineitem path must reach the final group-by
+    with exactly one hash exchange (the aggregation itself)."""
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
