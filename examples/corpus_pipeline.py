@@ -2,9 +2,11 @@
 """corpus_pipeline — an end-to-end training-data curation pipeline composed
 from the engine's extension operators through the dataflow-graph API:
 
-    documents ──> exact dedup ──> quality+langid annotate ──> quality gate
-        ──> train/test split ──┬──> partitioned parquet (the corpus)
-                               └──> per-split/lang stats (the report)
+    documents ──> exact dedup ──> near-dup cluster removal (MinHash-LSH
+        pairs → connected components → keep canonical) ──> quality+langid
+        annotate ──> quality gate ──> train/test split
+        ──┬──> partitioned parquet (the corpus)
+          └──> per-split/lang stats (the report)
 
 Every stage is a named node; the fan-out at the end materializes the
 curated corpus once (single-pass fan-out) and feeds both sinks. This is
@@ -27,7 +29,8 @@ from pyspark.sql import functions as F
 
 import pipes_spark as ps
 from pipes_spark import Final, Middle, NodesMap, Pipeline, Start
-from pipes_spark.operators.dedup import exact_dedup
+from pipes_spark.operators.components import drop_near_duplicates
+from pipes_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
 from pipes_spark.operators.sampling import train_test_split
 from pipes_spark.operators.text import with_lang_scores, with_quality_scores
 from pipes_spark.sinks import write_parquet
@@ -37,6 +40,7 @@ from pipes_spark.sources import load_table
 class CorpusPipeline(NodesMap):
     docs = Start()
     dedup = Middle()      # exact near-identical removal (fingerprint)
+    neardup = Middle()    # MinHash-LSH pairs -> duplicate clusters -> canonical
     annotate = Middle()   # quality + language scores
     gate = Middle()       # quality threshold filter
     split = Middle()      # deterministic train/test split
@@ -45,7 +49,8 @@ class CorpusPipeline(NodesMap):
 
     def connect(self):
         self.docs.send_to(self.dedup)
-        self.dedup.send_to(self.annotate)
+        self.dedup.send_to(self.neardup)
+        self.neardup.send_to(self.annotate)
         self.annotate.send_to(self.gate)
         self.gate.send_to(self.split)
         self.split.send_to(self.corpus, self.report)
@@ -55,6 +60,13 @@ def build(spark, sf_dir: str, out_dir: str, min_alpha: float = 0.5):
     p = Pipeline(CorpusPipeline, spark=spark)
     p.add_start("docs", lambda s: load_table(s, sf_dir, "documents"))
     p.add_middle("dedup", lambda df: exact_dedup(df).drop("fingerprint"))
+    # near-dup removal at cluster granularity: LSH candidates, connected
+    # components (large-star/small-star), keep the min-id canonical per
+    # cluster — pair lists alone under-delete transitive duplicate groups
+    p.add_middle(
+        "neardup",
+        lambda df: drop_near_duplicates(df, minhash_lsh_pairs(df, threshold=0.5)),
+    )
     p.add_middle("annotate", lambda df: with_lang_scores(with_quality_scores(df)))
     # provider: the gate is config-conditional — a None threshold disables
     # the node entirely (zero-cost bypass, ref: pipe/bypass.go:23-33)
