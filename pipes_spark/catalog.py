@@ -200,6 +200,35 @@ def q5_local_supplier_volume(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @query(
+    "source_python_generator",
+    oracle="""
+    SELECT CAST(range % 10 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(range * range) AS BIGINT) AS sum_sq
+    FROM range(5000)
+    GROUP BY 1
+    """,
+)
+def source_python_generator(spark, sf_dir):
+    """Arbitrary user generator as a first-class SOURCE via the Spark 4
+    Python DataSource API (sources.generator_source) — the faithful analog
+    of the reference's Start node (arbitrary fn pushing values,
+    pipe/node.go:12-14). The generator executes per-partition on the
+    executors (8 parallel tasks here), composing with relational ops like
+    any scan; the oracle recomputes the same rows from SQL range()."""
+    from .sources import generator_source
+
+    def gen(p):
+        for i in range(p * 625, (p + 1) * 625):
+            yield (i, i * i)
+
+    df = generator_source(spark, gen, "i long, sq long", num_partitions=8)
+    return df.groupBy((F.col("i") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sq").alias("sum_sq")
+    )
+
+
+@query(
     "scan_project_cast",
     oracle="""
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,

@@ -115,3 +115,11 @@ def register_views(spark: SparkSession, sf_dir: str, names: Optional[Sequence[st
     """Register the synthetic tables as temp views for the SQL API."""
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+# user-defined generator sources (Spark 4 Python DataSource API — the
+# Start-node analog for arbitrary user generators, pipe/node.go:12-14)
+from pipes_spark.sources.generator import (  # noqa: E402,F401
+    generator_source,
+    stream_generator_source,
+)

@@ -1,0 +1,124 @@
+"""User-defined generator sources via the Spark 4 Python DataSource API.
+
+The reference's ``Start`` node is an arbitrary user function pushing
+values into the graph (`pipe/node.go:12-14`: emits "during an indefinite
+amount of time"). The engine's faithful Spark-native analog is a custom
+``DataSource``: the user supplies a plain Python generator and gets a
+real DataFrame scan back — partition-parallel in batch, offset-tracked
+and replayable in streaming — instead of driver-side
+``createDataFrame`` materialization.
+
+Scale notes:
+
+* batch: the generator runs once per input partition ON THE EXECUTORS
+  (``fn(partition_index)``); the driver never holds the data. A
+  100-partition registration is 100 parallel generator tasks.
+* streaming: micro-batches are defined by integer offsets and
+  ``fn(start, end)`` must be deterministic for a given range — that is
+  exactly Spark's replayable-source contract (checkpoint recovery
+  re-reads a committed range), and it is the honest version of
+  "indefinite source" at scale: an unreplayable push source cannot give
+  end-to-end exactly-once.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+
+def generator_source(
+    spark: SparkSession,
+    fn: Callable[[int], Iterator[tuple]],
+    schema: str,
+    num_partitions: int = 1,
+) -> DataFrame:
+    """Batch DataFrame from a user generator.
+
+    ``fn(partition_index)`` is executed on an executor for each of the
+    ``num_partitions`` input partitions and yields row tuples matching
+    ``schema``. The callable is shipped by cloudpickle — closures are
+    fine; captured state must be picklable.
+    """
+
+    class _Reader(DataSourceReader):
+        def partitions(self) -> Sequence[InputPartition]:
+            return [InputPartition(i) for i in range(num_partitions)]
+
+        def read(self, partition: InputPartition):
+            return fn(partition.value)
+
+    class _GenSource(DataSource):
+        _fmt = f"pipes_generator_{uuid.uuid4().hex[:12]}"
+
+        @classmethod
+        def name(cls) -> str:
+            return cls._fmt
+
+        def schema(self) -> str:
+            return schema
+
+        def reader(self, schema) -> DataSourceReader:
+            return _Reader()
+
+    spark.dataSource.register(_GenSource)
+    return spark.read.format(_GenSource._fmt).load()
+
+
+def stream_generator_source(
+    spark: SparkSession,
+    fn: Callable[[int, int], Iterator[tuple]],
+    schema: str,
+    rows_per_batch: int = 1000,
+    max_offset: Optional[int] = None,
+) -> DataFrame:
+    """Streaming DataFrame from an offset-deterministic user generator.
+
+    ``fn(start, end)`` yields the rows for offsets ``[start, end)`` and
+    must be deterministic for a given range (the replayable-source
+    contract — recovery re-reads committed ranges). Each micro-batch
+    covers ``rows_per_batch`` offsets; ``max_offset`` caps the stream
+    (after which batches are empty), letting tests drain it.
+    """
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def read(self, start: dict) -> Tuple[Sequence[tuple], dict]:
+            lo = start["offset"]
+            hi = lo + rows_per_batch
+            if max_offset is not None:
+                hi = min(hi, max_offset)
+                if lo >= max_offset:
+                    return [], {"offset": lo}
+            # materialized, not a generator: the simple-reader protocol
+            # prefetches driver-side and pickles the batch
+            return list(fn(lo, hi)), {"offset": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return fn(start["offset"], end["offset"])
+
+    class _GenStreamSource(DataSource):
+        _fmt = f"pipes_stream_generator_{uuid.uuid4().hex[:12]}"
+
+        @classmethod
+        def name(cls) -> str:
+            return cls._fmt
+
+        def schema(self) -> str:
+            return schema
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return _StreamReader()
+
+    spark.dataSource.register(_GenStreamSource)
+    return spark.readStream.format(_GenStreamSource._fmt).load()

@@ -118,10 +118,13 @@ def test_q19_disjunction_derives_single_side_pushdowns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
     li_scan = next(s for s in plan.split("FileScan parquet")[1:] if "l_quantity" in s.split("]")[0])
     part_scan = next(s for s in plan.split("FileScan parquet")[1:] if "p_brand" in s.split("]")[0])
-    assert "l_quantity" in li_scan.split("Format:")[0]  # derived bound in DataFilters
-    # the plan string truncates long filter lists, so match the comparison
-    # prefix rather than the full 'Brand#NN' literal
-    assert "= Brand" in part_scan.split("Format:")[0]
+    # derived bounds in the scans' DataFilters. The plan string truncates
+    # long filter lists at a position that depends on attribute-id width,
+    # so assert on the early, short conjuncts: the quantity band on the
+    # fact scan and the size bound on the dim scan exist ONLY as derived
+    # single-side consequences of the OR-of-ANDs predicate.
+    assert "l_quantity" in li_scan.split("Format:")[0]
+    assert re.search(r"\(p_size#\d+ >= 1\)", part_scan.split("Format:")[0])
 
 
 def test_q10_aggregates_before_customer_join(spark, sf_dir):
