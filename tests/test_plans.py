@@ -147,3 +147,36 @@ def test_q8_single_fact_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q8_market_share")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_probe_side(spark, sf_dir):
+    """Spark's runtime bloom-filter injection (on by default in the session
+    factory) semi-join-reduces the fact probe side of a shuffle join from a
+    selectively-filtered build side — at 100 TB this skips most of the fact
+    scan's output before the exchange. The size thresholds are tuned for
+    clusters, so pin them down to demonstrate injection on test data."""
+    from pipes_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
