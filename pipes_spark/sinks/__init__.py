@@ -140,3 +140,34 @@ def compact_parquet(
     # and wants an even spread
     df.repartition(n_files).write.mode(mode).parquet(dst_path)
     return n_files
+
+
+def write_clustered(
+    path: str,
+    cluster_by: Sequence[str],
+    num_files: int = 32,
+    mode: str = "overwrite",
+):
+    """Range-clustered parquet layout: rows are range-partitioned on
+    ``cluster_by`` and sorted within each file, so every file (and every
+    row group inside it) covers a narrow, non-overlapping key range.
+
+    The point at 100 TB: parquet readers prune files and row groups from
+    footer min/max statistics, and those statistics only help when values
+    are clustered — a range query over a randomly-laid-out table still
+    touches every file, over a clustered one it touches the few files
+    whose range overlaps (the single-dimension case of Z-ordering /
+    liquid clustering). ``repartitionByRange`` samples key quantiles, so
+    files come out balanced even under skew.
+    """
+
+    def sink(df: DataFrame):
+        (
+            df.repartitionByRange(num_files, *cluster_by)
+            .sortWithinPartitions(*cluster_by)
+            .write.mode(mode)
+            .parquet(path)
+        )
+        return path
+
+    return sink

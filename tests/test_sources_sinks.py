@@ -175,3 +175,34 @@ def test_stream_generator_source_advances_offsets(spark):
         q.stop()
     # the capped stream drains exactly once across multiple micro-batches
     assert sorted(r.i for r in rows) == list(range(200))
+
+
+def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """The clustered layout's contract — every file covers a narrow,
+    non-overlapping key range — verified from the parquet footers
+    (min/max statistics), which is exactly the metadata readers prune by."""
+    import pyarrow.parquet as pq
+
+    from pipes_spark.sinks import write_clustered
+    from pipes_spark.sources import load_table
+
+    out = str(tmp_path / "clustered")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_clustered(out, ["l_orderkey"], num_files=8)(li)
+
+    ranges = []
+    for f in sorted((tmp_path / "clustered").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_orderkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range partitioner actually split the keyspace
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: pruning can skip whole files
+    # round-trip intact
+    assert spark.read.parquet(out).count() == li.count()
