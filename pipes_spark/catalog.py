@@ -2578,6 +2578,67 @@ def q14_promo_revenue(spark, sf_dir):
 
 
 @query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS rate
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(rate, 6) AS min_rate
+    FROM part JOIN ps ON p_partkey = partkey
+              JOIN supplier ON s_suppkey = suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_size = 15 AND p_type = 'SMALL'
+      AND rate = (SELECT min(rate) FROM ps p2 WHERE p2.partkey = p_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: lineitem aggregated to a per-(part,
+    supplier) min price rate stands in for the absent partsupp): the
+    supplier(s) charging each part's minimum rate — a correlated scalar-min
+    subquery over the same derived relation it filters. Decorrelated
+    Spark-side: lineitem is hash-partitioned ONCE on partkey — that single
+    exchange satisfies both the (partkey, suppkey) aggregation (clustered
+    distribution) and the partkey window that computes the per-part min,
+    so the whole ps→min→filter chain runs shuffle-free after it (verified:
+    1 hash exchange vs 2 for the naive formulation); the selective part
+    filter broadcasts onto ps before supplier/nation dims attach."""
+    li = _t(spark, sf_dir, "lineitem").repartition("l_partkey")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("rate"))
+    w = Window.partitionBy("partkey")
+    ps_min = ps.withColumn("_pmin", F.min("rate").over(w)).filter(
+        F.col("rate") == F.col("_pmin")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    return (
+        ps_min.join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("rate", 6).alias("min_rate"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
     "q8_market_share",
     oracle="""
     SELECT o_year,

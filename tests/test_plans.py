@@ -180,3 +180,11 @@ def test_runtime_bloom_filter_prunes_fact_probe_side(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_q2_reuses_one_partkey_exchange(spark, sf_dir):
+    """The correlated-min decorrelation must hash-partition lineitem ONCE:
+    the partkey exchange satisfies both the (partkey, suppkey) aggregation
+    and the per-part window min."""
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    assert plan.count("Exchange hashpartitioning") == 1
