@@ -1492,6 +1492,49 @@ def streaming_events_hourly(spark, sf_dir):
     return result.select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
 
 
+@query(
+    "streaming_python_source",
+    oracle="""
+    SELECT CAST(range % 7 AS BIGINT) AS m, count(*) AS n,
+           CAST(sum(range) AS BIGINT) AS total
+    FROM range(240) GROUP BY 1
+    """,
+)
+def streaming_python_source(spark, sf_dir):
+    """A REAL streaming query over the custom Python generator source
+    (sources.stream_generator_source): the capped offset range drains
+    across multiple micro-batches into a memory sink (polled to
+    completion — the runner.done() contract for an indefinite source that
+    happens to end), then aggregates. Deterministic by construction, so
+    the oracle recomputes it from SQL range()."""
+    import time
+    import uuid
+
+    from .sources import stream_generator_source
+
+    def gen(lo, hi):
+        return [(i,) for i in range(lo, hi)]
+
+    sdf = stream_generator_source(spark, gen, "i long", rows_per_batch=64, max_offset=240)
+    name = f"pygen_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 240:
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    return spark.table(name).groupBy((F.col("i") % 7).alias("m")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("i").alias("total")
+    )
+
+
 def _events_stream(spark, sf_dir):
     """File-source streaming DataFrame over the events table (the single
     parquet file is exposed through a temp-dir symlink because the file
