@@ -94,6 +94,12 @@ def main() -> None:
 
     warm_bucketed_facts(spark, sf_dir)
 
+    # pre-materialize the int8 embeddings copy (the ingest-time storage
+    # format the quantized ranking scan reads)
+    from pipes_spark.warehouse import quantized_embeddings_table
+
+    quantized_embeddings_table(spark, sf_dir)
+
     wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
     spark.range(100).selectExpr(
         "id", "timestamp_micros(cast(id * 1000000 as long)) AS ts"

@@ -1431,14 +1431,20 @@ def sim_lsh_topk(spark, sf_dir):
 @query("sim_quantized_topk")  # approximate by construction → rows-only check
 def sim_quantized_topk(spark, sf_dir):
     """Int8-quantized brute-force top-5 with exact rerank
-    (operators.similarity.quantized_cosine_topk): the quantized scan reads
-    4× fewer bytes than float32 and 8× fewer than float64, and the partial
-    per-batch top-k keeps the shuffle at queries·k·oversample rows. Recall
-    vs the exact top-k is asserted in pytest."""
+    (operators.similarity.quantized_cosine_topk): the ranking scan reads
+    the ingest-time int8 table (warehouse.quantized_embeddings_table — 4×
+    fewer bytes than float32, 8× fewer than float64), and the partial
+    per-batch top-k keeps the shuffle at queries·k·oversample rows; float
+    vectors are touched only to rerank survivors. Recall vs the exact
+    top-k is asserted in pytest."""
     from .operators.similarity import quantized_cosine_topk
+    from .warehouse import quantized_embeddings_table
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantized_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    qtab = quantized_embeddings_table(spark, sf_dir)
+    return quantized_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, quantized_corpus=qtab
+    )
 
 
 # ---------------------------------------------------------------------------

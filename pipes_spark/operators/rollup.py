@@ -80,8 +80,11 @@ def ensure_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events at ``sf_dir``, partitioned by day for partition pruning."""
     from pipes_spark.sources import load_table
 
+    from pipes_spark.warehouse import clear_stale_location
+
     name = f"rollup_events_{_tag(sf_dir)}"
     if not spark.catalog.tableExists(name):
+        clear_stale_location(spark, name)  # orphan from a previous process
         (
             hourly_rollup(load_table(spark, sf_dir, "events"))
             .write.mode("overwrite")

@@ -507,6 +507,7 @@ def quantized_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     oversample: int = 4,
+    quantized_corpus: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate top-k cosine: int8-quantized scan + exact rerank.
 
@@ -519,6 +520,11 @@ def quantized_cosine_topk(
     with the exact JVM-side unrolled cosine, so reported cosines are
     bit-identical to the brute-force path; only membership beyond the
     oversampling margin is approximate.
+
+    Pass ``quantized_corpus`` (``(id, qvec)``, e.g. the ingest-time
+    ``warehouse.quantized_embeddings_table``) to scan the pre-materialized
+    int8 table — quantization is a storage decision; re-deriving it per
+    query re-reads the full-width floats and forfeits the byte savings.
     """
     import numpy as np
 
@@ -535,7 +541,11 @@ def quantized_cosine_topk(
     Qn = np.maximum(np.linalg.norm(Q.astype("float64"), axis=1), 1e-300)
     bc = spark.sparkContext.broadcast((q_ids, Q, Qn))
 
-    qc = quantize_int8(ensure_min_partitions(corpus), id_col, vec_col)
+    qc = (
+        ensure_min_partitions(quantized_corpus)
+        if quantized_corpus is not None
+        else quantize_int8(ensure_min_partitions(corpus), id_col, vec_col)
+    )
 
     def scan(batches):
         import numpy as np

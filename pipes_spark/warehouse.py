@@ -29,6 +29,19 @@ def _tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
 
 
+def clear_stale_location(spark: SparkSession, name: str) -> None:
+    """Remove an orphaned managed-table directory left by a previous
+    process. The default catalog is in-memory per process, so a location
+    can exist on disk without a catalog entry — and ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS. Call before creating any managed
+    table that a prior process may have written."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+
+
 def bucketed_table(
     spark: SparkSession,
     sf_dir: str,
@@ -45,16 +58,9 @@ def bucketed_table(
     """
     name = f"bkt_{table}_{_tag(sf_dir)}_{num_buckets}"
     if not spark.catalog.tableExists(name):
-        # the default catalog is in-memory per process: a previous process
-        # may have left the managed location behind without a catalog entry,
-        # and saveAsTable refuses to reuse it (LOCATION_ALREADY_EXISTS).
-        # Bucketing metadata lives in the catalog, not the files, so the
-        # orphaned directory is unusable — remove and rewrite.
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
+        # bucketing metadata lives in the catalog, not the files, so an
+        # orphaned directory from a previous process is unusable
+        clear_stale_location(spark, name)
         write_bucketed(name, bucket_cols, num_buckets, sort_cols=sort_cols)(
             load_table(spark, sf_dir, table)
         )
@@ -67,3 +73,25 @@ def warm_bucketed_facts(spark: SparkSession, sf_dir: str, num_buckets: int = 32)
     exchange-free read side, mirroring steady-state cluster operation)."""
     bucketed_table(spark, sf_dir, "orders", ["o_orderkey"], num_buckets)
     bucketed_table(spark, sf_dir, "lineitem", ["l_orderkey"], num_buckets)
+
+
+def quantized_embeddings_table(
+    spark: SparkSession, sf_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Materialize (once) the int8-quantized copy of the embeddings table.
+
+    Quantization is a STORAGE decision, not per-query work: at corpus
+    scale the int8 table is written at ingest beside the float vectors
+    (4× smaller than float32) and every ranking scan reads it instead —
+    re-quantizing per query would re-read the full-width vectors and
+    throw the byte savings away."""
+    from pipes_spark.operators.similarity import quantize_int8
+    from pipes_spark.sources import load_table
+
+    name = f"q8_embeddings_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(name):
+        clear_stale_location(spark, name)
+        quantize_int8(
+            load_table(spark, sf_dir, "embeddings"), id_col, vec_col
+        ).write.saveAsTable(name)
+    return spark.table(name)
