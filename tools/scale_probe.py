@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scaling probe: run selected operators at sf0.1 and on a synthetic 10×
+corpus (id-offset replicas with perturbations — same construction as the
+COVERAGE.md measured-scaling table) and print per-operator timings.
+
+Usage: python tools/scale_probe.py [op ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate_docs(docs, copies: int):
+    """id-offset replicas; every copy beyond the first perturbs the text
+    tail so replicas are near-dups, not exact dups."""
+    n = 10_000_000
+    parts = [docs]
+    for c in range(1, copies):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + c * n).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" variant {c}")).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def replicate_embeddings(emb, copies: int):
+    n = 10_000_000
+    parts = [emb]
+    for c in range(1, copies):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + c * n).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(float(c)) * F.lit(1e-3)
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def main() -> None:
+    from pipes_spark.operators.components import connected_components
+    from pipes_spark.operators.dedup import minhash_lsh_pairs
+    from pipes_spark.operators.similarity import quantize_int8, quantized_cosine_topk
+    from pipes_spark.session import get_spark
+    from pipes_spark.sources import load_table
+
+    spark = get_spark("scale_probe")
+    only = set(sys.argv[1:])
+
+    docs1 = load_table(spark, SF_DIR, "documents")
+    docs10 = replicate_docs(docs1, 10).localCheckpoint()
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    emb10 = replicate_embeddings(emb1, 10).localCheckpoint()
+    q1 = emb1.filter(F.col("vec_id") < 20)
+
+    def run(name, fn):
+        if only and name not in only:
+            return
+        t0 = time.perf_counter()
+        n = fn()
+        print(f"{name}: {time.perf_counter() - t0:.2f}s ({n} rows)", flush=True)
+
+    run("cc_1x", lambda: connected_components(minhash_lsh_pairs(docs1)).count())
+    run("cc_10x", lambda: connected_components(minhash_lsh_pairs(docs10)).count())
+    run(
+        "quantized_topk_1x",
+        lambda: quantized_cosine_topk(
+            emb1, q1, k=5, quantized_corpus=quantize_int8(emb1)
+        ).count(),
+    )
+    run(
+        "quantized_topk_10x",
+        lambda: quantized_cosine_topk(
+            emb10, q1, k=5, quantized_corpus=quantize_int8(emb10)
+        ).count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
