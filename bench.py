@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_cosine_neardup",
     "sim_lsh_topk",
     "sim_ivf_topk",
+    "sim_ivf_indexed",
     "sim_quantized_topk",
     "text_tfidf",
     "udf_grouped_zscore",
@@ -99,6 +100,12 @@ def main() -> None:
     from pipes_spark.warehouse import quantized_embeddings_table
 
     quantized_embeddings_table(spark, sf_dir)
+
+    # pre-build the IVF index (codebook training + list-partitioned corpus
+    # write are ingest-time costs; queries read the persisted index)
+    from pipes_spark.warehouse import ivf_index_tables
+
+    ivf_index_tables(spark, sf_dir)
 
     wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
     spark.range(100).selectExpr(

@@ -1888,6 +1888,23 @@ def sim_ivf_topk(spark, sf_dir):
     return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+@query("sim_ivf_indexed")  # approximate by construction → rows-only check
+def sim_ivf_indexed(spark, sf_dir):
+    """IVF top-5 against the PERSISTED index (warehouse.ivf_index_tables):
+    trained codebook table + corpus stored partitioned by inverted-list id,
+    so the probe filter is static partition pruning — only the 4 probed
+    lists' files are read (plan-asserted in tests/test_plans.py). Exact
+    JVM-side rerank inside; recall/parity asserted in pytest."""
+    from .operators.similarity import ivf_cosine_topk_indexed
+    from .warehouse import ivf_index_tables
+
+    codebook, corpus = ivf_index_tables(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk_indexed(
+        codebook, corpus, emb.filter(F.col("vec_id") < 20), k=5
+    )
+
+
 @query(
     "join_salted",
     oracle="""

@@ -295,6 +295,142 @@ def cosine_neardup_pairs(
     )
 
 
+def fit_ivf_centroids(
+    corpus: DataFrame,
+    num_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "kmeans",
+):
+    """Unit-norm IVF codebook as a numpy ``(num_centroids, dim)`` array.
+
+    ``method="kmeans"`` fits spherical-ish k-means (pyspark.ml on
+    L2-normalized vectors); ``method="sample"`` takes a deterministic
+    hash-ordered corpus sample (zero training cost). Training is one ML job
+    over (a sample of) the corpus — an ingest-time cost, which is why
+    ``warehouse.ivf_index_tables`` persists the result instead of refitting
+    per query."""
+    import numpy as np
+
+    dim = _probe_dim(corpus, vec_col)
+    if method == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        norm_vec = F.transform(
+            _cast_double(vec_col), lambda x: x / l2_norm(_cast_double(vec_col), dim)
+        )
+        train = corpus.select(array_to_vector(norm_vec).alias("features"))
+        model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(train)
+        C = np.vstack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
+    else:
+        cent_rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col) + seed))
+            .limit(num_centroids)
+            .collect()
+        )
+        C = np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def assign_ivf_lists(
+    corpus: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with a ``list_id`` column: index of the nearest (cosine)
+    codebook centroid. One Arrow-batched matmul per batch — the map-side
+    pass that builds the inverted lists at ingest."""
+    C_list = [list(map(float, row)) for row in centroids]
+
+    @F.pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        M = np.array(C_list, dtype="float64")
+        X = np.vstack(v.to_numpy()).astype("float64")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((-(Xn @ M.T)).argmin(axis=1).astype("int32"))
+
+    return corpus.select(
+        F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("list_id")
+    )
+
+
+def ivf_cosine_topk_indexed(
+    codebook: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index (``warehouse.ivf_index_tables``):
+    ``codebook`` is the trained ``(list_id, centroid)`` table, ``corpus`` the
+    ``(id, vec, list_id)`` copy stored PARTITIONED BY list_id.
+
+    The probed list ids are computed driver-side from the (small, by the
+    same contract as the exact path's broadcast) query set and applied as a
+    literal ``list_id IN (...)`` filter — a *static partition filter* on the
+    list-partitioned table, so Spark never opens the other inverted lists'
+    files at all (asserted in tests/test_plans.py). This is IVF's "read only
+    n_probe lists" promise expressed through Spark's storage layer rather
+    than a custom index structure. The per-(query, list) probe pairs then
+    broadcast-join the pruned scan, and the exact JVM-side unrolled cosine
+    reranks inside, identical to ``ivf_cosine_topk``."""
+    import numpy as np
+
+    cb_rows = codebook.orderBy("list_id").collect()
+    C = np.vstack([np.asarray(r["centroid"], dtype="float64") for r in cb_rows])
+    dim = C.shape[1]
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    X = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(Xn @ C.T), axis=1)[:, :n_probe]
+
+    spark = corpus.sparkSession
+    probes = [
+        (int(qid), int(list_id)) for qid, row in zip(q_ids, order) for list_id in row
+    ]
+    probed = sorted({list_id for _, list_id in probes})
+    probes_df = spark.createDataFrame(probes, f"{query_id_col} long, list_id int")
+
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qvec")
+    ).withColumn("_qn", l2_norm("_qvec", dim))
+    c = (
+        corpus.filter(F.col("list_id").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _cast_double(vec_col).alias("_cvec"),
+            "list_id",
+        )
+        .withColumn("_cn", l2_norm("_cvec", dim))
+    )
+    scored = (
+        c.join(F.broadcast(probes_df), "list_id")
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn(
+            "cosine",
+            F.round(dot("_qvec", "_cvec", dim) / (F.col("_qn") * F.col("_cn")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -320,28 +456,10 @@ def ivf_cosine_topk(
     multiplies only the (small) query side; training cost is one ML job
     over (a sample of) the corpus.
     """
-    import numpy as np
+    import numpy as np  # noqa: F401 — used by fit_ivf_centroids callers
 
     dim = _probe_dim(corpus, vec_col)
-    if centroids == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        norm_vec = F.transform(
-            _cast_double(vec_col), lambda x: x / l2_norm(_cast_double(vec_col), dim)
-        )
-        train = corpus.select(array_to_vector(norm_vec).alias("features"))
-        model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(train)
-        C = np.vstack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
-    else:
-        cent_rows = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col) + seed))
-            .limit(num_centroids)
-            .collect()
-        )
-        C = np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)  # (m, dim), unit norm
+    C = fit_ivf_centroids(corpus, num_centroids, seed, id_col, vec_col, method=centroids)
     C_list = [list(map(float, row)) for row in C]
 
     def _nearest_udf(n_out: int):

@@ -95,3 +95,46 @@ def quantized_embeddings_table(
             load_table(spark, sf_dir, "embeddings"), id_col, vec_col
         ).write.saveAsTable(name)
     return spark.table(name)
+
+
+def ivf_index_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    num_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Materialize (once) the IVF index of the embeddings table and return
+    ``(codebook, corpus)`` DataFrames.
+
+    * ``ivf_codebook_*`` — the trained k-means centroids, ``(list_id,
+      centroid)``. Training is an ingest-time ML job; persisting it means
+      queries never refit (and every process agrees on the same lists).
+    * ``ivf_corpus_*`` — the corpus copy written ``PARTITIONED BY
+      (list_id)``: the inverted lists ARE the storage partitions, so a
+      probe query's ``list_id IN (...)`` filter becomes static partition
+      pruning — Spark reads only the probed lists' files. At 100 TB this
+      is the difference between scanning the corpus and scanning
+      n_probe/num_centroids of it."""
+    from pipes_spark.operators.similarity import assign_ivf_lists, fit_ivf_centroids
+
+    tag = _tag(sf_dir)
+    cb_name = f"ivf_codebook_{tag}_{num_centroids}"
+    co_name = f"ivf_corpus_{tag}_{num_centroids}"
+    if not spark.catalog.tableExists(cb_name):
+        clear_stale_location(spark, cb_name)
+        C = fit_ivf_centroids(
+            load_table(spark, sf_dir, "embeddings"), num_centroids, seed, id_col, vec_col
+        )
+        rows = [(i, [float(x) for x in row]) for i, row in enumerate(C)]
+        spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(
+            1
+        ).write.saveAsTable(cb_name)
+    if not spark.catalog.tableExists(co_name):
+        clear_stale_location(spark, co_name)
+        C = [r["centroid"] for r in spark.table(cb_name).orderBy("list_id").collect()]
+        assign_ivf_lists(
+            load_table(spark, sf_dir, "embeddings"), C, id_col, vec_col
+        ).write.partitionBy("list_id").saveAsTable(co_name)
+    return spark.table(cb_name), spark.table(co_name)

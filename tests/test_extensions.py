@@ -305,6 +305,33 @@ def test_ivf_kmeans_centroids(spark, sf_dir):
         assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
 
 
+def test_ivf_indexed_matches_exact_cosines(spark, sf_dir):
+    """The persisted-index IVF path (warehouse codebook + list-partitioned
+    corpus) must carry exact cosines and clear the same recall floor as the
+    in-process variant."""
+    from pipes_spark.operators.similarity import cosine_topk, ivf_cosine_topk_indexed
+    from pipes_spark.warehouse import ivf_index_tables
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook, corpus = ivf_index_tables(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk(emb, queries, k=500).collect()
+    }
+    exact_top5 = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        exact_top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = ivf_cosine_topk_indexed(codebook, corpus, queries, k=5).collect()
+    assert len({r.query_id for r in approx}) == 20
+    hits = total = 0
+    for r in approx:
+        assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
+        total += 1
+        hits += r.neighbor_id in exact_top5[r.query_id]
+    assert hits / total >= 0.3  # trained codebook; same floor as sampled variant
+
+
 def test_deterministic_sample_stable_under_repartition(spark, sf_dir):
     """The sampled key set must be invariant to partitioning — the property
     Spark's seeded df.sample lacks and the reason these operators exist

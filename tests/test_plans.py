@@ -188,3 +188,25 @@ def test_q2_reuses_one_partkey_exchange(spark, sf_dir):
     and the per-part window min."""
     plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ivf_indexed_scan_prunes_unprobed_lists(spark, sf_dir):
+    """The list-partitioned IVF corpus scan must carry a static partition
+    filter on the probed list ids and open only those partitions' files —
+    the 'read n_probe of num_centroids lists' promise, enforced by the
+    storage layer."""
+    from pipes_spark.operators.similarity import ivf_cosine_topk_indexed
+    from pipes_spark.sources import load_table
+    from pipes_spark.warehouse import ivf_index_tables
+
+    codebook, corpus = ivf_index_tables(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2)
+    df = ivf_cosine_topk_indexed(codebook, corpus, q, k=3, n_probe=2)
+    seg = next(
+        s
+        for s in df._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "ivf_corpus" in s and "FileScan" in s
+    )
+    assert "PartitionFilters: [list_id" in seg
+    m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", seg)
+    assert m and int(m.group(1)) <= 4  # 2 queries × 2 probes of 16 lists
