@@ -177,6 +177,52 @@ def test_stream_generator_source_advances_offsets(spark):
     assert sorted(r.i for r in rows) == list(range(200))
 
 
+def test_zordered_write_bounds_every_dimension(spark, sf_dir, tmp_path):
+    """The Z-order layout's contract: every file's footer min/max must cover
+    a narrow range in EACH clustered dimension, so a point/box query on any
+    of them prunes most files — unlike single-column clustering, which
+    leaves the other dimensions spanning the whole domain per file."""
+    import pyarrow.parquet as pq
+
+    from pipes_spark.sinks import write_zordered
+    from pipes_spark.sources import load_table
+
+    out = str(tmp_path / "zordered")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_zordered(out, ["l_orderkey", "l_partkey"], num_files=16)(li)
+
+    def file_ranges(col):
+        ranges = []
+        for f in sorted((tmp_path / "zordered").glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            stats = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+        return ranges
+
+    ranges = {c: file_ranges(c) for c in ("l_orderkey", "l_partkey")}
+    n_files = len(ranges["l_orderkey"])
+    assert n_files >= 8
+    for c, rs in ranges.items():
+        glo = min(lo for lo, _ in rs)
+        ghi = max(hi for _, hi in rs)
+        spans = sorted((hi - lo) / (ghi - glo) for lo, hi in rs)
+        # median file covers a narrow slice of THIS dimension too
+        assert spans[n_files // 2] <= 0.5, (c, spans)
+    # a box query over the lowest quarter of both dims overlaps few files
+    boxed = 0
+    for (alo, ahi), (blo, bhi) in zip(ranges["l_orderkey"], ranges["l_partkey"]):
+        a_glo = min(lo for lo, _ in ranges["l_orderkey"])
+        a_ghi = max(hi for _, hi in ranges["l_orderkey"])
+        b_glo = min(lo for lo, _ in ranges["l_partkey"])
+        b_ghi = max(hi for _, hi in ranges["l_partkey"])
+        a_cut = a_glo + (a_ghi - a_glo) / 4
+        b_cut = b_glo + (b_ghi - b_glo) / 4
+        boxed += alo <= a_cut and blo <= b_cut
+    assert boxed <= n_files // 2  # random layout: every file overlaps
+    assert spark.read.parquet(out).count() == li.count()
+
+
 def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
     """The clustered layout's contract — every file covers a narrow,
     non-overlapping key range — verified from the parquet footers
