@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q6_forecast_revenue",
     "q3_shipping_priority",
     "q3_bucketed_colocated",
     "q5_local_supplier_volume",

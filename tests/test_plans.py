@@ -190,6 +190,21 @@ def test_q2_reuses_one_partkey_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q6_pushes_all_predicates_and_prunes_columns(spark, sf_dir):
+    """The canonical scan-filter-aggregate: every predicate must reach the
+    parquet scan and the read schema must shrink to the 4 referenced
+    columns — at 100 TB this is the difference between scanning the table
+    and scanning a few row groups of 4 columns."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    scan = next(s for s in plan.splitlines() if "FileScan" in s and "lineitem" in s)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("PushedFilters: ")[1], col
+    read = scan.split("ReadSchema: ")[1]
+    assert sorted(re.findall(r"l_\w+", read)) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+
+
 def test_ivf_indexed_scan_prunes_unprobed_lists(spark, sf_dir):
     """The list-partitioned IVF corpus scan must carry a static partition
     filter on the probed list ids and open only those partitions' files —
