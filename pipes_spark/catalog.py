@@ -3174,6 +3174,21 @@ def q22_global_sales(spark, sf_dir):
     )
 
 
+@query("events_daily_users_from_rollup")  # HLL estimate is sketch-specific → rows-only
+def events_daily_users_from_rollup(spark, sf_dir):
+    """Daily distinct users per event_type answered from the HOURLY HLL
+    sketch rollup (operators.rollup.hourly_user_sketches): exact per-hour
+    distincts cannot be re-aggregated (users span hours), but HLL sketch
+    unions can — 2 KB per (hour, type) instead of a raw-event rescan.
+    Estimate-vs-exact error bound asserted in pytest."""
+    from .operators.rollup import ensure_hourly_user_sketches, reaggregate_distinct
+
+    sketches = ensure_hourly_user_sketches(spark, sf_dir)
+    return reaggregate_distinct(sketches, "day").select(
+        "day", "event_type", "approx_users", "n_events"
+    )
+
+
 @query(
     "events_daily_from_rollup",
     oracle="""

@@ -5,9 +5,10 @@ At 100 TB of events, answering "daily counts last quarter" from raw rows
 scans everything; answering it from an **hourly rollup** scans ~1/1000th.
 The rollup keeps only *decomposable* aggregates — count, sum, min, max —
 which re-aggregate losslessly to any coarser grain (avg derives as
-sum/count; distinct users needs a sketch and is deliberately excluded from
-the exact surface). Sums are carried as DECIMAL(28,6) so re-aggregation is
-order-exact (see catalog._dsum rationale).
+sum/count). Sums are carried as DECIMAL(28,6) so re-aggregation is
+order-exact (see catalog._dsum rationale). Distinct users cannot be exact
+under re-aggregation (users span hours); ``hourly_user_sketches`` /
+``reaggregate_distinct`` carry them as mergeable HLL sketches instead.
 
 Maintenance paths:
 
@@ -87,6 +88,66 @@ def ensure_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         clear_stale_location(spark, name)  # orphan from a previous process
         (
             hourly_rollup(load_table(spark, sf_dir, "events"))
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def hourly_user_sketches(events: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Hourly HLL sketches of distinct users per (hour, event_type) — the
+    aggregate the exact rollup deliberately excludes, carried as a
+    *mergeable* Datasketches HllSketch binary (F.hll_sketch_agg, default
+    lgConfigK=12 ≈ 1.6 % typical error, 2 KB per group).
+
+    Sketches are the only way distinct counts survive re-aggregation:
+    exact per-hour distincts do NOT add up to daily distincts (users span
+    hours), but HLL unions do — so the 100 TB pipeline stores 2 KB per
+    (hour, type) and answers "daily/weekly/monthly uniques" without ever
+    rescanning raw events."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.hll_sketch_agg(user_col).alias("users_hll"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("day", F.to_date("hour"))
+    )
+
+
+def reaggregate_distinct(sketches: DataFrame, grain: str = "day") -> DataFrame:
+    """Fold an hourly sketch rollup to a coarser grain: union the HLL
+    sketches (lossless sketch merge), then estimate. The estimate is
+    identical to sketching the raw rows of the whole grain directly —
+    union-then-estimate is exactly how the sketch is built row-wise."""
+    return (
+        sketches.groupBy(
+            F.date_trunc(grain, F.col("hour")).alias(grain), F.col("event_type")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_hll")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
+def ensure_hourly_user_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once) the hourly user-sketch rollup beside the exact
+    rollup, partitioned by day. Kept as a separate table: the sketch
+    column is a different lifecycle (can be rebuilt with a different
+    lgConfigK without touching the exact aggregates)."""
+    from pipes_spark.sources import load_table
+
+    from pipes_spark.warehouse import clear_stale_location
+
+    name = f"rollup_users_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(name):
+        clear_stale_location(spark, name)
+        (
+            hourly_user_sketches(load_table(spark, sf_dir, "events"))
             .write.mode("overwrite")
             .partitionBy("day")
             .saveAsTable(name)

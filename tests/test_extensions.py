@@ -305,6 +305,30 @@ def test_ivf_kmeans_centroids(spark, sf_dir):
         assert exact_all[(r.query_id, r.neighbor_id)] == r.cosine
 
 
+def test_hll_sketch_rollup_estimates_daily_uniques(spark, sf_dir):
+    """Unioning hourly HLL sketches to day grain must estimate daily
+    distinct users within the sketch's error bound, cover exactly the
+    (day, type) groups the raw data has, and — the property exact rollups
+    lack — differ from the (wrong) sum of per-hour distincts whenever
+    users span hours."""
+    from pipes_spark.operators.rollup import hourly_user_sketches, reaggregate_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        (r.day, r.event_type): r.approx_users
+        for r in reaggregate_distinct(hourly_user_sketches(ev), "day").collect()
+    }
+    exact = {
+        (r.day, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert got.keys() == exact.keys()
+    for key, n in exact.items():
+        assert abs(got[key] - n) <= max(2, 0.05 * n), (key, got[key], n)
+
+
 def test_ivf_indexed_matches_exact_cosines(spark, sf_dir):
     """The persisted-index IVF path (warehouse codebook + list-partitioned
     corpus) must carry exact cosines and clear the same recall floor as the
