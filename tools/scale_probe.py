@@ -95,6 +95,34 @@ def main() -> None:
         ).count(),
     )
 
+    # IVF persisted index: build (ingest-time, unmeasured) then query — the
+    # probe is whether query latency stays ~flat as the corpus grows 10×,
+    # since the partition-pruned scan reads only the probed lists' files.
+    def ivf_indexed(emb, tag):
+        import tempfile
+
+        from pipes_spark.operators.similarity import (
+            assign_ivf_lists,
+            fit_ivf_centroids,
+            ivf_cosine_topk_indexed,
+        )
+
+        C = fit_ivf_centroids(emb, num_centroids=16)
+        path = tempfile.mkdtemp(prefix=f"ivf_probe_{tag}_") + "/corpus"
+        assign_ivf_lists(emb, C).write.partitionBy("list_id").parquet(path)
+        corpus = spark.read.parquet(path)
+        cb = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(C)],
+            "list_id int, centroid array<double>",
+        )
+        return lambda: ivf_cosine_topk_indexed(cb, corpus, q1, k=5).count()
+
+    if not only or {"ivf_indexed_1x", "ivf_indexed_10x"} & only:
+        probe1 = ivf_indexed(emb1, "1x")
+        probe10 = ivf_indexed(emb10, "10x")
+        run("ivf_indexed_1x", probe1)
+        run("ivf_indexed_10x", probe10)
+
 
 if __name__ == "__main__":
     main()
