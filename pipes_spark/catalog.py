@@ -1893,6 +1893,114 @@ def text_pii(spark, sf_dir):
     )
 
 
+@query(
+    "text_repetition",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id, tk,
+             list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS bgs,
+             list_transform(range(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tgs
+      FROM toks
+    ), bg_top AS (
+      SELECT doc_id, max(cnt) AS max_bg_cnt
+      FROM (SELECT doc_id, bg, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(bgs) AS bg FROM g)
+            GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           round((len(tk) - len(list_distinct(tk))) / greatest(len(tk), 1), 6)
+             AS dup_token_frac,
+           round(COALESCE(max_bg_cnt, 0) / greatest(len(bgs), 1), 6)
+             AS top_bigram_frac,
+           round((len(tgs) - len(list_distinct(tgs))) / greatest(len(tgs), 1), 6)
+             AS dup_trigram_frac
+    FROM g LEFT JOIN bg_top ON g.doc_id = bg_top.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators.text.repetition_scores):
+    duplicate-token / top-bigram / duplicate-trigram fractions, integer-exact
+    arithmetic until the final rounded divisions."""
+    from .operators.text import repetition_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_scores(d)
+
+
+@query(
+    "text_rarity",
+    oracle=r"""
+    WITH tok_rows AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM tok_rows GROUP BY tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(cnt) / count(*), 6) AS avg_token_count,
+           CAST(min(cnt) AS BIGINT) AS min_token_count
+    FROM tok_rows JOIN counts USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def text_rarity(spark, sf_dir):
+    """Corpus-frequency rarity scoring (operators.text.unigram_rarity): the
+    integer-exact stand-in for unigram log-likelihood quality scoring."""
+    from .operators.text import unigram_rarity
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_rarity(d)
+
+
+@query(
+    "text_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(tk) - 5, 0) + 1),
+               i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS shs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(shs) AS bsh FROM sh WHERE doc_id % 20 = 0
+    ), doc_sh AS (
+      SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 20 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN bench.bsh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           round(sum(CASE WHEN bench.bsh IS NOT NULL THEN 1 ELSE 0 END)
+                 / greatest(count(*), 1), 6) AS contamination_frac
+    FROM doc_sh LEFT JOIN bench ON doc_sh.s = bench.bsh
+    GROUP BY doc_id
+    """,
+)
+def text_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators.dedup.benchmark_contamination):
+    every 20th document plays the eval set; the rest of the corpus is scored
+    by distinct 5-gram shingle overlap against it. The benchmark shingle set
+    is broadcast — the corpus side never shuffles."""
+    from .operators.dedup import benchmark_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return benchmark_contamination(corpus, bench, shingle_n=5)
+
+
 @query("multimodal_frame_sample")  # byte-window sampling over opaque blobs → rows-only
 def multimodal_frame_sample(spark, sf_dir):
     """Frame/segment sampling over opaque binary assets: every-Nth-byte-window

@@ -163,6 +163,53 @@ def minhash_lsh_pairs(
     )
 
 
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Test-set contamination detection: for each corpus document, the
+    fraction of its distinct ``shingle_n``-word shingles that occur anywhere
+    in the benchmark corpus (the decontamination step every training
+    pipeline runs against its eval sets).
+
+    Scale: the benchmark shingle set is tiny relative to the corpus (eval
+    sets are ~10⁵ documents), so it is explicitly broadcast and the corpus
+    side never shuffles — the whole check is map-side. For benchmark sets
+    too large to broadcast, swap in a bloom-filter semi-join (build the
+    filter over the benchmark shingles, push it into the corpus scan) and
+    verify the survivors with this exact join.
+    """
+    doc_sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.greatest(F.col("n_shingles"), F.lit(1)), 6
+            ).alias("contamination_frac"),
+        )
+    )
+
+
 def _token_hashes(col, seed_salt: str = "") -> Column:
     """Array of 32-bit md5-derived token hashes (md5 so the same computation
     is expressible in the SQL oracle)."""

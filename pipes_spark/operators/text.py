@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny per-language marker-word lists for the n-gram/stopword language
@@ -133,6 +133,102 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
             "tf",
             F.round(idf, 6).alias("idf"),
             F.round(F.col("tf").cast("double") * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction, most-common-bigram fraction, duplicate-trigram fraction —
+    the standard filters for boilerplate / degenerate repetition in
+    web-scale corpora (Rae et al. 2021, §A1.1).
+
+    Scale shape: posexplode to (doc, pos, token) rows, derive n-grams with
+    ``lead`` over a per-document window (one shuffle keyed by doc id,
+    partitions are single documents — never skewed beyond document length),
+    then two hash aggregations and a join on the doc id. All integer
+    arithmetic until the final rounded divisions, so results are
+    cross-engine exact.
+    """
+    toks = df.select(
+        F.col(id_col), F.posexplode_outer(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    t1 = F.lead("tok", 1).over(w)
+    t2 = F.lead("tok", 2).over(w)
+    grams = toks.select(
+        F.col(id_col),
+        "tok",
+        F.when(t1.isNotNull(), F.concat_ws(" ", F.col("tok"), t1)).alias("bg"),
+        F.when(t2.isNotNull(), F.concat_ws(" ", F.col("tok"), t1, t2)).alias("tg"),
+    )
+    base = grams.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
+        F.count("bg").alias("n_bigrams"),
+        F.count("tg").alias("n_trigrams"),
+        F.count_distinct(F.col("tg")).alias("n_distinct_trigrams"),
+    )
+    top_bg = (
+        grams.filter(F.col("bg").isNotNull())
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").alias("max_bg_cnt"))
+    )
+    one = F.lit(1)
+    return base.join(top_bg, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct_tokens"))
+            / F.greatest(F.col("n_tokens"), one),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(
+            F.coalesce(F.col("max_bg_cnt"), F.lit(0))
+            / F.greatest(F.col("n_bigrams"), one),
+            6,
+        ).alias("top_bigram_frac"),
+        F.round(
+            (F.col("n_trigrams") - F.col("n_distinct_trigrams"))
+            / F.greatest(F.col("n_trigrams"), one),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def unigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-frequency rarity score per document: mean and min corpus
+    occurrence count over the document's tokens — the integer-exact stand-in
+    for unigram log-likelihood scoring (rare-token-heavy documents score
+    low min / low avg; boilerplate scores high).
+
+    Scale shape: one explode, a token-keyed hash aggregation (map-side
+    partial combine — the shuffle carries one row per distinct token per
+    partition), a token-keyed join back (AQE broadcasts the frequency table
+    when the vocabulary is small; Zipf vocabularies usually are), then a
+    doc-keyed aggregation. Integer sums, so cross-engine exact.
+    """
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tok_rows.join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias("avg_token_count"),
+            F.min("cnt").alias("min_token_count"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "avg_token_count",
+            F.col("min_token_count").cast("bigint").alias("min_token_count"),
         )
     )
 

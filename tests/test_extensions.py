@@ -485,3 +485,70 @@ def test_quantize_int8_bounds_and_shape(spark, sf_dir):
     for r in rows:
         assert len(r.qvec) == 64
         assert max(abs(v) for v in r.qvec) == 127  # max-abs element saturates
+
+
+def test_repetition_scores_hand_computed(spark):
+    from pipes_spark.operators.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # 1 distinct token; "a a"×3; "a a a"×2
+            (2, "w x y z"),  # everything distinct
+            (3, "solo"),  # no bigrams/trigrams → fractions 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.75  # (4-1)/4
+    assert out[1]["top_bigram_frac"] == 1.0  # "a a" is all 3 bigrams
+    assert out[1]["dup_trigram_frac"] == 0.5  # 2 trigrams, 1 distinct
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.333333  # max count 1 of 3 bigrams
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_trigram_frac"] == 0.0
+
+
+def test_unigram_rarity_hand_computed(spark):
+    from pipes_spark.operators.text import unigram_rarity
+
+    df = spark.createDataFrame(
+        [(1, "common common rare"), (2, "common other")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_rarity(df).collect()}
+    # corpus counts: common=3, rare=1, other=1
+    assert out[1] == {
+        "doc_id": 1,
+        "n_tokens": 3,
+        "avg_token_count": round((3 + 3 + 1) / 3, 6),
+        "min_token_count": 1,
+    }
+    assert out[2]["avg_token_count"] == 2.0 and out[2]["min_token_count"] == 1
+
+
+def test_benchmark_contamination_window_overlap(spark):
+    from pipes_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the shingle "one two three four five" with the benchmark
+            (1, "zz one two three four five yy"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in benchmark_contamination(corpus, bench, shingle_n=5).collect()
+    }
+    assert out[1]["n_shingles"] == 3
+    assert out[1]["n_contaminated"] == 1
+    assert out[1]["contamination_frac"] == 0.333333
+    assert out[2]["n_contaminated"] == 0
+    assert out[2]["contamination_frac"] == 0.0
