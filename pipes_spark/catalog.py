@@ -2001,6 +2001,141 @@ def text_contamination(spark, sf_dir):
     return benchmark_contamination(corpus, bench, shingle_n=5)
 
 
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 5
+    )
+    SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+           CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+    FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """SCD1 MERGE (operators.relational.merge_upsert): every 10th order is
+    updated whole-row (status 'U', +1.0 price), every (10k+5)th re-keyed as
+    an insert; unmatched targets survive. One key-shuffled full-outer join."""
+    from .operators.relational import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") + F.lit(1.0),
+        }
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 10 == 5).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + F.lit(100000000),
+            "o_orderstatus": F.lit("N"),
+        }
+    )
+    return merge_upsert(orders, updates.unionByName(inserts), ["o_orderkey"])
+
+
+@query(
+    "scd2_customer_snapshot",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+    ), snap AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'SEGMENT_X' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 17 <> 3
+      UNION ALL
+      SELECT c_custkey + 900000, c_name || ' new', c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+    ), j AS (
+      SELECT d.c_custkey AS dk, d.c_name AS dn, d.c_mktsegment AS dm,
+             s.c_custkey AS sk, s.c_name AS sn, s.c_mktsegment AS sm
+      FROM dim d FULL OUTER JOIN snap s ON d.c_custkey = s.c_custkey
+    )
+    SELECT dk AS c_custkey, dn AS c_name, dm AS c_mktsegment,
+           '2020-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL AND dm = sm
+    UNION ALL
+    SELECT dk, dn, dm, '2020-01-01', '2024-06-01', FALSE
+    FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL AND dm <> sm
+    UNION ALL
+    SELECT sk, sn, sm, '2024-06-01', CAST(NULL AS VARCHAR), TRUE
+    FROM j WHERE sk IS NOT NULL AND (dk IS NULL OR dm <> sm)
+    UNION ALL
+    SELECT dk, dn, dm, '2020-01-01', '2024-06-01', FALSE
+    FROM j WHERE dk IS NOT NULL AND sk IS NULL
+    """,
+)
+def scd2_customer_snapshot(spark, sf_dir):
+    """SCD2 MERGE (operators.relational.scd2_merge): customer plays the
+    slowly-changing dimension (opened 2020-01-01); a full snapshot changes
+    every 7th segment, drops every (17k+3)th key (closed), adds re-keyed
+    rows for every 13th key. Current slice full-outer-joins the snapshot
+    once; history would pass through untouched."""
+    from .operators.relational import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    dim = cust.withColumns(
+        {
+            "valid_from": F.to_date(F.lit("2020-01-01")),
+            "valid_to": F.lit(None).cast("date"),
+            "is_current": F.lit(True),
+        }
+    )
+    snap = cust.filter(F.col("c_custkey") % 17 != 3).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("SEGMENT_X")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    new_rows = cust.filter(F.col("c_custkey") % 13 == 0).withColumns(
+        {
+            "c_custkey": F.col("c_custkey") + F.lit(900000),
+            "c_name": F.concat(F.col("c_name"), F.lit(" new")),
+        }
+    )
+    out = scd2_merge(
+        dim,
+        snap.unionByName(new_rows),
+        "c_custkey",
+        ["c_mktsegment"],
+        "2024-06-01",
+    )
+    # dates → strings for the cross-engine hash compare (driver convention)
+    return out.withColumns(
+        {
+            "valid_from": F.col("valid_from").cast("string"),
+            "valid_to": F.col("valid_to").cast("string"),
+        }
+    )
+
+
+@query("pack_sequences")  # greedy bin packing is sequential per bucket → rows-only
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing (operators.packing.pack_greedy):
+    first-fit-decreasing into 512-token sequences over 8 hash buckets —
+    the shuffle carries (id, weight) longs only. Budget/assignment
+    invariants are pytest-asserted; the packing itself is inherently
+    sequential per bucket, hence no SQL oracle."""
+    from .operators.packing import pack_greedy
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_greedy(d, budget=512, num_buckets=8)
+
+
 @query("multimodal_frame_sample")  # byte-window sampling over opaque blobs → rows-only
 def multimodal_frame_sample(spark, sf_dir):
     """Frame/segment sampling over opaque binary assets: every-Nth-byte-window

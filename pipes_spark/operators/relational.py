@@ -220,3 +220,111 @@ def binned_range_join(
     )
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return binned.join(iv, "_bin").filter(cond).drop("_bin")
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """SCD type-1 MERGE: source rows win whole-row on key match (update),
+    unmatched source rows are inserted, unmatched target rows survive —
+    the relational equivalent of ``MERGE INTO`` with UPDATE *, INSERT *.
+
+    Scale: the merge is one key-shuffled full-outer join (full outer cannot
+    broadcast, so even a small delta shuffles — pre-bucket the target on
+    the merge keys via ``warehouse.write_bucketed`` to make the target side
+    exchange-free and shuffle only the delta). Precedence is row-level, not
+    column-level: a matched source row replaces every column.
+    """
+    s = source.withColumn("_src", F.lit(1)).alias("s")
+    t = target.alias("t")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = c if cond is None else (cond & c)
+    take_src = F.col("s._src").isNotNull()
+    cols = [
+        F.when(take_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+        for c in target.columns
+    ]
+    return t.join(s, cond, "full_outer").select(*cols)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    load_date: str,
+    close_deleted: bool = True,
+) -> DataFrame:
+    """SCD type-2 MERGE against a full snapshot: the dimension carries
+    (``valid_from``, ``valid_to``, ``is_current``); changed keys get their
+    current version closed at ``load_date`` and a new open version
+    appended; new keys open a first version; keys absent from the snapshot
+    are closed (full-snapshot semantics — pass ``close_deleted=False`` for
+    delta feeds). History rows pass through untouched.
+
+    Change detection is null-safe inequality on ``tracked``. Scale: one
+    key-shuffled full-outer join between the CURRENT slice and the
+    snapshot (history never shuffles — at warehouse scale keep it
+    partitioned by ``is_current`` so the scan prunes), then a union of
+    column-aligned projections: Catalyst collapses them over the single
+    join, so the snapshot is read once.
+    """
+    ld = F.to_date(F.lit(load_date))
+    hist = dim.filter(~F.col("is_current"))
+    cur = dim.filter(F.col("is_current")).alias("c")
+    scd_cols = ("valid_from", "valid_to", "is_current")
+    # every business column the snapshot supplies rides along on a new
+    # version; ``tracked`` only decides WHEN a new version is cut
+    snap_cols = [c for c in dim.columns if c in snapshot.columns and c not in scd_cols]
+    s = snapshot.select(*snap_cols).withColumn("_src", F.lit(1)).alias("s")
+    j = cur.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    in_cur = F.col(f"c.{key}").isNotNull()
+    in_snap = F.col("s._src").isNotNull()
+    changed = None
+    for c in tracked:
+        neq = ~F.col(f"c.{c}").eqNullSafe(F.col(f"s.{c}"))
+        changed = neq if changed is None else (changed | neq)
+
+    dim_cols = dim.columns
+
+    def proj(side: str, valid_from=None, valid_to=None, is_current=None):
+        out = []
+        for c in dim_cols:
+            if c == "valid_from" and valid_from is not None:
+                out.append(valid_from.alias(c))
+            elif c == "valid_to":
+                out.append((valid_to if valid_to is not None else F.col(f"c.{c}")).alias(c))
+            elif c == "is_current" and is_current is not None:
+                out.append(is_current.alias(c))
+            elif side == "s" and c in snap_cols:
+                out.append(F.col(f"s.{c}").alias(c))
+            elif side == "s":  # untracked column on a fresh version: null
+                out.append(F.lit(None).cast(dict(dim.dtypes)[c]).alias(c))
+            else:
+                out.append(F.col(f"c.{c}").alias(c))
+        return out
+
+    unchanged = j.filter(in_cur & in_snap & ~changed).select(*proj("c"))
+    closed_changed = j.filter(in_cur & in_snap & changed).select(
+        *proj("c", valid_to=ld, is_current=F.lit(False))
+    )
+    new_version = j.filter(in_snap & (~in_cur | changed)).select(
+        *proj(
+            "s",
+            valid_from=ld,
+            valid_to=F.lit(None).cast("date"),
+            is_current=F.lit(True),
+        )
+    )
+    if close_deleted:
+        gone = j.filter(in_cur & ~in_snap).select(
+            *proj("c", valid_to=ld, is_current=F.lit(False))
+        )
+    else:
+        gone = j.filter(in_cur & ~in_snap).select(*proj("c"))
+    return hist.unionByName(unchanged).unionByName(closed_changed).unionByName(
+        new_version
+    ).unionByName(gone)

@@ -552,3 +552,78 @@ def test_benchmark_contamination_window_overlap(spark):
     assert out[1]["contamination_frac"] == 0.333333
     assert out[2]["n_contaminated"] == 0
     assert out[2]["contamination_frac"] == 0.0
+
+
+def test_pack_greedy_invariants(spark, sf_dir):
+    from pipes_spark.operators.packing import pack_greedy
+    from pipes_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    rows = pack_greedy(d, budget=512, num_buckets=8).collect()
+    # every document packed exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in d.select("doc_id").collect()
+    )
+    by_seq: dict[int, list] = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for seq in by_seq.values():
+        total = sum(r.weight for r in seq)
+        # budget respected unless a single oversize doc owns the sequence
+        assert total <= 512 or len(seq) == 1
+        assert all(r.seq_fill == total for r in seq)
+        assert sorted(r.seq_pos for r in seq) == list(range(len(seq)))
+    # deterministic across runs
+    rows2 = pack_greedy(d, budget=512, num_buckets=8).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    # FFD is within 2x of the fill lower bound even with 8 independent buckets
+    lower = sum(r.weight for r in rows) / 512
+    assert len(by_seq) <= 2 * lower + 8
+
+
+def test_merge_upsert_row_level_precedence(spark):
+    from pipes_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    out = {r.k: (r.v, r.x) for r in merge_upsert(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_scd2_merge_versions(spark):
+    import datetime
+
+    from pipes_spark.operators.relational import scd2_merge
+
+    d0 = datetime.date(2020, 1, 1)
+    d1 = datetime.date(2023, 5, 5)
+    dim = spark.createDataFrame(
+        [
+            (1, "red", d0, d1, False),  # history row: must pass through
+            (1, "blue", d1, None, True),  # current, unchanged in snapshot
+            (2, "green", d0, None, True),  # current, changed in snapshot
+            (3, "grey", d0, None, True),  # current, absent from snapshot
+        ],
+        "k long, color string, valid_from date, valid_to date, is_current boolean",
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "blue"), (2, "yellow"), (9, "new")], "k long, color string"
+    )
+    rows = {
+        (r.k, r.color, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_merge(dim, snapshot, "k", ["color"], "2024-06-01").collect()
+    }
+    assert rows == {
+        (1, "red", "2020-01-01", "2023-05-05", False),
+        (1, "blue", "2023-05-05", "None", True),
+        (2, "green", "2020-01-01", "2024-06-01", False),
+        (2, "yellow", "2024-06-01", "None", True),
+        (3, "grey", "2020-01-01", "2024-06-01", False),
+        (9, "new", "2024-06-01", "None", True),
+    }
