@@ -1693,6 +1693,35 @@ def streaming_stateful_totals(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           round(value, 6) AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def streaming_upsert_latest(spark, sf_dir):
+    """Streaming CDC apply (streaming.stream_upsert_latest): every
+    micro-batch is reduced to its newest event per user and MERGEd into the
+    accumulated target via foreachBatch — the incremental-materialized-view
+    pattern. The finite drain makes the target equal the batch
+    latest-row-per-key query."""
+    from .streaming import stream_upsert_latest
+
+    stream = _events_stream(spark, sf_dir)
+    target = stream_upsert_latest(stream, ["user_id"], ["ts", "event_id"])
+    return target.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # UDF surface + pivot + ALL-variant set ops
 # ---------------------------------------------------------------------------

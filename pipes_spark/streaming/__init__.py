@@ -231,3 +231,58 @@ def transform_with_state_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_upsert_latest(
+    stream_df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    query_name: Optional[str] = None,
+) -> DataFrame:
+    """Streaming CDC apply — the ``foreachBatch`` MERGE pattern: each
+    micro-batch is reduced to its newest row per key (``row_number`` over
+    ``order_cols`` descending, within the batch), then SCD1-merged
+    (:func:`~pipes_spark.operators.relational.merge_upsert`) into the
+    accumulated target. Runs the stream to completion (``availableNow``)
+    and returns the final target.
+
+    The target lives in a temp view re-materialized per batch via
+    ``localCheckpoint`` — lineage is cut every batch, so plan depth and
+    recovery cost do not grow with stream length. At warehouse scale the
+    view becomes a Delta/Iceberg ``MERGE INTO`` (or partition-overwrite
+    parquet); the per-batch reduce+merge logic is exactly this.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.relational import merge_upsert
+
+    name = query_name or f"upsert_{uuid.uuid4().hex[:12]}"
+    spark = stream_df.sparkSession
+    qualified = f"global_temp.{name}"
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+
+    # foreachBatch runs on a CLONED session per micro-batch — plain temp
+    # views die with the clone, so the accumulated target lives in the
+    # global_temp database (shared across sessions of the context)
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        bs = batch.sparkSession
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if bs.catalog.tableExists(qualified):
+            merged = merge_upsert(bs.table(qualified), latest, keys)
+        else:
+            merged = latest
+        merged.localCheckpoint(eager=True).createOrReplaceGlobalTempView(name)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not spark.catalog.tableExists(qualified):  # empty stream → empty target
+        return spark.createDataFrame([], stream_df.schema)
+    return spark.table(qualified)

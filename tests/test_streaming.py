@@ -286,3 +286,38 @@ def test_stream_generator_recovers_from_checkpoint_exactly_once(spark, tmp_path)
 
     got = sorted(r.i for r in spark.read.parquet(out).collect())
     assert got == list(range(300))  # no loss, no duplicates
+
+
+def test_stream_upsert_latest_merges_across_batches(spark, tmp_path):
+    """CDC apply: three single-file micro-batches (maxFilesPerTrigger=1);
+    later batches overwrite earlier keys, untouched keys survive."""
+    from pipes_spark.streaming import stream_upsert_latest
+
+    d = str(tmp_path / "cdc")
+    schema = "k long, ts long, v string"
+    batches = [
+        [(1, 10, "a1"), (2, 10, "b1")],
+        [(2, 20, "b2"), (3, 5, "c1"), (3, 6, "c2")],  # in-batch: newest wins
+        [(1, 30, "a3"), (4, 1, "d1")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{d}/b{i}")
+    files = sorted(
+        f"{d}/b{i}/{f}"
+        for i in range(3)
+        for f in os.listdir(f"{d}/b{i}")
+        if f.endswith(".parquet")
+    )
+    stream_dir = str(tmp_path / "stream_in")
+    os.makedirs(stream_dir)
+    # one file per micro-batch, named in batch order
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), f"{stream_dir}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    out = {r.k: (r.ts, r.v) for r in stream_upsert_latest(stream, ["k"], ["ts"]).collect()}
+    assert out == {1: (30, "a3"), 2: (20, "b2"), 3: (6, "c2"), 4: (1, "d1")}
