@@ -4,9 +4,11 @@ from the engine's extension operators through the dataflow-graph API:
 
     documents ──> exact dedup ──> near-dup cluster removal (MinHash-LSH
         pairs → connected components → keep canonical) ──> quality+langid
-        annotate ──> quality gate ──> train/test split
+        annotate ──> quality gate ──> eval-set decontamination
+        ──> train/test split
         ──┬──> partitioned parquet (the corpus)
-          └──> per-split/lang stats (the report)
+          ├──> per-split/lang stats (the report)
+          └──> sequence packing ──> packing manifest parquet
 
 Every stage is a named node; the fan-out at the end materializes the
 curated corpus once (single-pass fan-out) and feeds both sinks. This is
@@ -30,11 +32,33 @@ from pyspark.sql import functions as F
 import pipes_spark as ps
 from pipes_spark import Final, Middle, NodesMap, Pipeline, Start
 from pipes_spark.operators.components import drop_near_duplicates
-from pipes_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from pipes_spark.operators.dedup import (
+    benchmark_contamination,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from pipes_spark.operators.packing import pack_greedy
 from pipes_spark.operators.sampling import train_test_split
-from pipes_spark.operators.text import with_lang_scores, with_quality_scores
+from pipes_spark.operators.text import token_count, with_lang_scores, with_quality_scores
 from pipes_spark.sinks import write_parquet
 from pipes_spark.sources import load_table
+
+
+def decontaminate(df, max_overlap: float = 0.5):
+    """Eval-set decontamination: every 97th doc plays the held-out benchmark
+    suite (in production this is the external eval corpus); benchmark docs
+    are excluded from the corpus outright and any remaining doc whose
+    distinct 5-gram shingles overlap the benchmark above ``max_overlap`` is
+    dropped. The benchmark shingle set is broadcast — no corpus shuffle."""
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = df.filter(is_bench)
+    corpus = df.filter(~is_bench)
+    contaminated = (
+        benchmark_contamination(corpus, bench, shingle_n=5)
+        .filter(F.col("contamination_frac") >= max_overlap)
+        .select("doc_id")
+    )
+    return corpus.join(contaminated, "doc_id", "left_anti")
 
 
 class CorpusPipeline(NodesMap):
@@ -43,17 +67,22 @@ class CorpusPipeline(NodesMap):
     neardup = Middle()    # MinHash-LSH pairs -> duplicate clusters -> canonical
     annotate = Middle()   # quality + language scores
     gate = Middle()       # quality threshold filter
+    decontam = Middle()   # drop docs overlapping the eval set's shingles
     split = Middle()      # deterministic train/test split
+    pack = Middle()       # greedy sequence packing of the train split
     corpus = Final()      # partitioned parquet, the training corpus
     report = Final()      # per-split/lang stats
+    manifest = Final()    # (doc -> training sequence) packing manifest
 
     def connect(self):
         self.docs.send_to(self.dedup)
         self.dedup.send_to(self.neardup)
         self.neardup.send_to(self.annotate)
         self.annotate.send_to(self.gate)
-        self.gate.send_to(self.split)
-        self.split.send_to(self.corpus, self.report)
+        self.gate.send_to(self.decontam)
+        self.decontam.send_to(self.split)
+        self.split.send_to(self.corpus, self.report, self.pack)
+        self.pack.send_to(self.manifest)
 
 
 def build(spark, sf_dir: str, out_dir: str, min_alpha: float = 0.5):
@@ -80,7 +109,20 @@ def build(spark, sf_dir: str, out_dir: str, min_alpha: float = 0.5):
             )
         ),
     )
+    p.add_middle("decontam", decontaminate)
     p.add_middle("split", lambda df: train_test_split(df, "doc_id", 0.1))
+    # training sequences: pack the train split into 1024-token sequences;
+    # the packing shuffle carries (id, n_tokens) longs only
+    p.add_middle(
+        "pack",
+        lambda df: pack_greedy(
+            df.filter(F.col("split") == "train").select(
+                "doc_id", token_count("text").alias("n_tokens")
+            ),
+            budget=1024,
+            num_buckets=8,
+        ),
+    )
     p.add_final(
         "corpus", write_parquet(os.path.join(out_dir, "corpus"), partition_by=["split"])
     )
@@ -90,6 +132,7 @@ def build(spark, sf_dir: str, out_dir: str, min_alpha: float = 0.5):
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").alias("chars"))
         .collect(),
     )
+    p.add_final("manifest", write_parquet(os.path.join(out_dir, "manifest")))
     return p.build()
 
 

@@ -428,6 +428,16 @@ def test_corpus_pipeline_example(spark, sf_dir, tmp_path):
     assert corpus.count() == report_docs > 0
     assert glob.glob(os.path.join(out, "corpus", "split=*"))  # partitioned layout
     assert set(corpus.select("split").distinct().toPandas()["split"]) <= {"train", "test"}
+    # decontamination: the stand-in eval docs never reach the corpus
+    assert corpus.filter(F.col("doc_id") % 97 == 0).count() == 0
+    # packing manifest: every train doc assigned exactly once, budget held
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    train_ids = {r.doc_id for r in corpus.filter(F.col("split") == "train").collect()}
+    assert {r.doc_id for r in manifest.collect()} == train_ids
+    fills = manifest.groupBy("seq_id").agg(
+        F.sum("weight").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    assert fills.filter((F.col("total") > 1024) & (F.col("n") > 1)).count() == 0
 
 
 def test_connected_components_resolves_chain_and_clique(spark):
