@@ -123,6 +123,29 @@ def main() -> None:
         run("ivf_indexed_1x", probe1)
         run("ivf_indexed_10x", probe10)
 
+    from pipes_spark.operators.dedup import benchmark_contamination
+    from pipes_spark.operators.packing import pack_greedy
+    from pipes_spark.operators.text import repetition_scores, token_count
+
+    run("repetition_1x", lambda: repetition_scores(docs1).count())
+    run("repetition_10x", lambda: repetition_scores(docs10).count())
+
+    def contamination(docs):
+        bench = docs.filter(F.col("doc_id") % 20 == 0)
+        return benchmark_contamination(
+            docs.filter(F.col("doc_id") % 20 != 0), bench, shingle_n=5
+        ).count()
+
+    run("contamination_1x", lambda: contamination(docs1))
+    run("contamination_10x", lambda: contamination(docs10))
+
+    def pack(docs):
+        d = docs.select("doc_id", token_count("text").alias("n_tokens"))
+        return pack_greedy(d, budget=2048, num_buckets=32).count()
+
+    run("pack_1x", lambda: pack(docs1))
+    run("pack_10x", lambda: pack(docs10))
+
 
 if __name__ == "__main__":
     main()
