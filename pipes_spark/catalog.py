@@ -2149,6 +2149,78 @@ def scd2_customer_snapshot(spark, sf_dir):
     )
 
 
+@query(
+    "sample_mixture",
+    oracle="""
+    WITH counts AS (
+      SELECT source, count(*) AS cnt,
+             CASE WHEN source IN ('src0','src1','src2','src3')
+                  THEN 0.125 ELSE 0.03125 END AS p
+      FROM documents GROUP BY source
+    ), thr AS (
+      SELECT source,
+             CAST(floor(least(1.0, (SELECT min(cnt / p) FROM counts) * p / cnt)
+                        * 4294967296.0) AS BIGINT) AS t
+      FROM counts
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Source-mixture resampling (operators.sampling.mixture_sample):
+    4 heavy sources at weight 4 vs 16 at weight 1 (dyadic proportions, so
+    the keep-fraction doubles are bit-identical cross-engine); membership
+    decided by the portable md5 hash — stable across partitionings."""
+    from .operators.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {f"src{i}": (4.0 if i < 4 else 1.0) for i in range(20)}
+    return mixture_sample(d, "source", weights, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "agg_skew_salted",
+    oracle="""
+    SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(min(l_extendedprice), 6) AS min_price,
+           round(max(l_extendedprice), 6) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_skew_salted(spark, sf_dir):
+    """Skew-proof two-phase aggregation (operators.scale.
+    salted_two_phase_agg): 3 returnflag values over 600k+ rows is exactly
+    the hot-key shape — partials on (key, salt) spread each flag over 32
+    reducers, finals combine 32 rows per flag. Result equals the plain
+    GROUP BY (the oracle). Quantities are integer-valued doubles, so the
+    re-aggregated sum is order-independent and cross-engine exact."""
+    from .operators.scale import salted_two_phase_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_two_phase_agg(
+        li,
+        ["l_returnflag"],
+        [
+            ("count", "l_quantity", "n"),
+            ("sum", "l_quantity", "sum_qty"),
+            ("min", "l_extendedprice", "min_price"),
+            ("max", "l_extendedprice", "max_price"),
+        ],
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.round("sum_qty", 6).alias("sum_qty"),
+        F.round("min_price", 6).alias("min_price"),
+        F.round("max_price", 6).alias("max_price"),
+    )
+
+
 @query("pack_sequences")  # greedy bin packing is sequential per bucket → rows-only
 def pack_sequences(spark, sf_dir):
     """Training-sequence packing (operators.packing.pack_greedy):

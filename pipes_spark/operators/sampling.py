@@ -95,3 +95,53 @@ def train_test_split(
         raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
     is_test = hash_bucket(key, salt) < int(test_fraction * _BUCKETS)
     return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: Mapping[str, float],
+    key: Union[str, Column],
+    salt: str = "",
+) -> DataFrame:
+    """Resample to a target group mixture by pure downsampling (the
+    source-rebalancing step of corpus assembly — e.g. re-weight web vs
+    books vs code to the training recipe's proportions).
+
+    Given target weights ``w_g``, the largest mixture reachable without
+    upsampling has output size ``N = min_g(count_g / p_g)`` where
+    ``p_g = w_g / Σw``; each group then keeps ``N·p_g / count_g`` of its
+    rows, decided by the portable md5 hash of ``key`` — deterministic
+    across runs, partitionings, and engines. Groups without a weight are
+    dropped.
+
+    Scale: one tiny per-group count aggregation (map-side combined)
+    broadcast back onto the stream; the keep decision is a narrow
+    codegen'd filter — no shuffle of the data itself.
+    """
+    total_w = float(sum(weights.values()))
+    p_expr = None
+    for g, w in weights.items():
+        p = float(w) / total_w
+        cond = F.col(group_col) == g
+        p_expr = F.when(cond, F.lit(p)) if p_expr is None else p_expr.when(cond, F.lit(p))
+    counts = (
+        df.filter(F.col(group_col).isin(*weights))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn("_p", p_expr)
+    )
+    from pyspark.sql import Window
+
+    n_out = F.min(F.col("_cnt") / F.col("_p")).over(
+        Window.partitionBy()
+    )
+    frac = F.least(F.lit(1.0), n_out * F.col("_p") / F.col("_cnt"))
+    thresholds = counts.select(
+        group_col, F.floor(frac * F.lit(float(_BUCKETS))).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(key, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -14,9 +14,10 @@ fewer partitions than the target, so:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_min_partitions(df: DataFrame, n: Optional[int] = None) -> DataFrame:
@@ -55,3 +56,46 @@ def salted_equi_join(
         how="cross",
     )
     return big_s.join(small_s, on + ["_salt"], how).drop("_salt")
+
+
+def salted_two_phase_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],
+    num_salts: int = 32,
+) -> DataFrame:
+    """Skew-proof aggregation: partial-aggregate on (keys…, salt), then
+    re-aggregate on the keys. For a hot key whose rows would all land on
+    one reducer, the first phase spreads them over ``num_salts`` reducers
+    and the second phase combines ``num_salts`` partial rows — the same
+    trick AQE applies to skewed joins, spelled out for aggregation.
+
+    ``aggs`` is (fn, col, alias) with fn ∈ {sum, count, min, max} — the
+    re-aggregatable (commutative-monoid) aggregates: count re-aggregates
+    with sum, the rest with themselves. (avg = sum/count downstream;
+    count_distinct needs the HLL-sketch rollup instead, see
+    operators.rollup.) Note Spark's hash aggregation already does map-side
+    partial combine, which handles most skew; the explicit salt matters
+    when the FINAL shuffle's per-key row count (post-combine, one row per
+    key per map task × thousands of map tasks) still overloads a reducer.
+    """
+    # the salt must vary WITHIN a key to spread it (a key-derived salt
+    # would send the hot key to one reducer again); any assignment yields
+    # the same final aggregate, so row position is fine
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+    )
+    partial_exprs, final_exprs = [], []
+    for fn, col, alias in aggs:
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"non-reaggregatable fn {fn!r}")
+        part = f"_p_{alias}"
+        partial_exprs.append(getattr(F, fn)(col).alias(part))
+        refn = "sum" if fn in ("sum", "count") else fn
+        final_exprs.append(getattr(F, refn)(part).alias(alias))
+    return (
+        salted.groupBy(*keys, "_salt")
+        .agg(*partial_exprs)
+        .groupBy(*keys)
+        .agg(*final_exprs)
+    )

@@ -637,3 +637,67 @@ def test_scd2_merge_versions(spark):
         (3, "grey", "2020-01-01", "2024-06-01", False),
         (9, "new", "2024-06-01", "None", True),
     }
+
+
+def test_mixture_sample_proportions_and_stability(spark, sf_dir):
+    from pipes_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": (4.0 if i < 4 else 1.0) for i in range(20)}
+    out = mixture_sample(d, "source", weights, "doc_id")
+    per_src = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r.source: r.n for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # the heaviest-constrained groups are kept whole; light groups shrink
+    for i in range(4):
+        assert per_src[f"src{i}"] == full[f"src{i}"]
+    light_kept = sum(per_src.get(f"src{i}", 0) for i in range(4, 20))
+    light_full = sum(full[f"src{i}"] for i in range(4, 20))
+    assert 0.15 * light_full < light_kept < 0.35 * light_full  # target 0.25
+    # membership is hash-derived → invariant under repartitioning
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    ids_rep = {
+        r.doc_id
+        for r in mixture_sample(d.repartition(13), "source", weights, "doc_id")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == ids_rep
+    # a group without a weight is dropped
+    out2 = mixture_sample(d, "source", {"src0": 1.0}, "doc_id")
+    assert {r.source for r in out2.select("source").distinct().collect()} == {"src0"}
+
+
+def test_salted_two_phase_agg_matches_plain(spark, sf_dir):
+    import pytest as _pytest
+
+    from pipes_spark.operators.scale import salted_two_phase_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = {
+        r.l_returnflag: (r.n, r.sum_qty, r.min_price, r.max_price)
+        for r in salted_two_phase_agg(
+            li,
+            ["l_returnflag"],
+            [
+                ("count", "l_quantity", "n"),
+                ("sum", "l_quantity", "sum_qty"),
+                ("min", "l_extendedprice", "min_price"),
+                ("max", "l_extendedprice", "max_price"),
+            ],
+            num_salts=8,
+        ).collect()
+    }
+    plain = {
+        r.l_returnflag: (r.n, r.sum_qty, r.min_price, r.max_price)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_quantity").alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .collect()
+    }
+    assert salted == plain
+    with _pytest.raises(ValueError):
+        salted_two_phase_agg(li, ["l_returnflag"], [("avg", "l_quantity", "a")])
