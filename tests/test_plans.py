@@ -225,3 +225,34 @@ def test_ivf_indexed_scan_prunes_unprobed_lists(spark, sf_dir):
     assert "PartitionFilters: [list_id" in seg
     m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", seg)
     assert m and int(m.group(1)) <= 4  # 2 queries × 2 probes of 16 lists
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The corpus side must stream map-side against a broadcast benchmark
+    shingle set — no shuffle of the (much larger) corpus shingles."""
+    plan = _plan(spark, sf_dir, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    # the only exchange moving corpus rows is the final per-doc aggregation
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_thresholds(spark, sf_dir):
+    """The per-group keep-thresholds (tiny) broadcast onto the stream; the
+    corpus itself is never hash-shuffled for the join."""
+    plan = _plan(spark, sf_dir, "sample_mixture")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_upsert_single_key_shuffle(spark, sf_dir):
+    """MERGE = one full-outer sort-merge join keyed on the merge key."""
+    plan = _plan(spark, sf_dir, "merge_upsert_orders")
+    assert len(re.findall(r"SortMergeJoin .*FullOuter", plan)) == 1
+
+
+def test_salted_agg_two_hash_aggregate_phases(spark, sf_dir):
+    """Both phases must be hash aggregates with partial combine — the
+    (key, salt) phase and the key phase (each HashAggregate pair =
+    partial + final)."""
+    plan = _plan(spark, sf_dir, "agg_skew_salted")
+    assert plan.count("HashAggregate") >= 4
+    assert "_salt" in plan
