@@ -2221,6 +2221,38 @@ def agg_skew_salted(spark, sf_dir):
     )
 
 
+@query("graph_pagerank")  # iterative float algorithm → rows-only
+def graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the symmetrized near-dup candidate graph
+    (operators.components.pagerank): ranks which documents sit at the
+    center of duplicate clusters. Power iteration, one join + one
+    aggregation per round, lineage cut each round; verified against a
+    numpy power iteration in pytest."""
+    from .operators.components import pagerank
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, threshold=0.5).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    out = pagerank(edges, "id_a", "id_b", num_iter=8)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+@query("agg_percentiles_approx")  # sketch-based, engine-specific → rows-only
+def agg_percentiles_approx(spark, sf_dir):
+    """Approximate percentiles via Spark's Greenwald-Khanna sketch
+    (percentile_approx) — the single-pass, mergeable path for quantiles
+    over 100 TB where exact sorting is off the table. Rank-error bound vs
+    the exact interpolated quantiles asserted in pytest (exact variant:
+    agg_percentiles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )
+
+
 @query("pack_sequences")  # greedy bin packing is sequential per bucket → rows-only
 def pack_sequences(spark, sf_dir):
     """Training-sequence packing (operators.packing.pack_greedy):

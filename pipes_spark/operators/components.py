@@ -116,3 +116,55 @@ def drop_near_duplicates(
     return docs.join(
         F.broadcast(losers), docs[id_col] == F.col("_loser"), "left_anti"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    num_iter: int = 10,
+) -> DataFrame:
+    """Simplified PageRank by power iteration over a directed edge list —
+    the per-vertex importance formula ``r = (1-d) + d·Σ r_in/deg_out``
+    (ranks sum to ≈N, the unnormalized convention of the classic Spark
+    example; dangling vertices contribute nothing per round).
+
+    Scale shape: each iteration is one join of the edge list with the
+    current rank vector (both keyed on the source id — co-partitioned
+    after the first round, so AQE reuses the partitioning) and one
+    dst-keyed aggregation with map-side combine. Lineage is cut every
+    round with ``localCheckpoint`` (same rationale as
+    :func:`connected_components`); round count is fixed — power iteration
+    converges geometrically at rate ``damping``, so 10 rounds ≈ 1e-1
+    …1e-2 relative error, enough for ranking use.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # edge list with degree attached once, reused every round
+    ed = e.join(out_deg, "src").localCheckpoint(eager=False)
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(num_iter):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.id)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            verts.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -701,3 +701,46 @@ def test_salted_two_phase_agg_matches_plain(spark, sf_dir):
     assert salted == plain
     with _pytest.raises(ValueError):
         salted_two_phase_agg(li, ["l_returnflag"], [("avg", "l_quantity", "a")])
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from pipes_spark.operators.components import pagerank
+
+    # directed graph: hub 1 <- {2,3,4}; 1 -> 2; isolated-ish tail 5 -> 4
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank(df, num_iter=12).collect()}
+
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += r[idx[s]] / deg[idx[s]]
+        r = (1 - d) + d * contrib
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+    # the hub out-ranks everything else
+    assert got[1] == max(got.values())
+
+
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("p")
+    ).collect()[0].p
+    vals = sorted(r.l_extendedprice for r in li.collect())
+    n = len(vals)
+    for q, a in zip([0.5, 0.9, 0.99], approx):
+        # GK accuracy 10000 → rank error <= n/10000
+        lo = vals[max(0, int(q * n) - n // 10000 - 2)]
+        hi = vals[min(n - 1, int(q * n) + n // 10000 + 2)]
+        assert lo <= a <= hi, (q, a, lo, hi)
