@@ -1574,25 +1574,22 @@ def streaming_python_source(spark, sf_dir):
 def _events_stream(spark, sf_dir):
     """File-source streaming DataFrame over the events table (the single
     parquet file is exposed through a temp-dir symlink because the file
-    stream source requires a directory), with the nano-timestamp column
-    converted exactly as the batch reader does."""
+    stream source requires a directory).
+
+    The explicit schema comes from the batch reader, which normalizes the
+    file's TIMESTAMP_NTZ ``ts`` to TIMESTAMP (sources.normalize_ntz) —
+    decoding the stored naive micros as epoch-UTC under the pinned UTC
+    session zone, so watermarks work and values match the DuckDB oracle."""
     import os
     import tempfile
 
-    from .sources import _nano_ts_columns
+    from .sources import load_table
 
     path = f"{sf_dir}/events.parquet"
-    nano_cols = _nano_ts_columns(path)
-    if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw_schema = spark.read.parquet(path).schema
+    schema = load_table(spark, sf_dir, "events").schema
     stream_dir = tempfile.mkdtemp(prefix="pipes_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    for c in nano_cols:
-        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
-    return stream
+    return spark.readStream.schema(schema).parquet(stream_dir)
 
 
 @query(

@@ -105,7 +105,11 @@ def asof_join(
     matched_on = F.col(f"{prefix}__match_on")
     if tolerance_seconds is not None:
         if on_type.startswith("timestamp"):
-            age_us = F.unix_micros(F.col(on)) - F.unix_micros(matched_on)
+            # cast handles TIMESTAMP_NTZ inputs (unix_micros rejects NTZ);
+            # no-op for TIMESTAMP, value-identical under the UTC session zone
+            age_us = F.unix_micros(F.col(on).cast("timestamp")) - F.unix_micros(
+                matched_on.cast("timestamp")
+            )
         else:
             age_us = (F.col(on) - matched_on) * 1_000_000
         if direction == "forward":

@@ -35,9 +35,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        # testdata events.parquet stores TIMESTAMP(NANOS); read as long and
-        # convert (see pipes_spark.sources.read_parquet)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # testdata parquet stores timestamp[us] isAdjustedToUTC=false, which
+        # Spark 4 would infer as TIMESTAMP_NTZ (rejected by unix_millis /
+        # withWatermark); read it as TIMESTAMP under the UTC session zone —
+        # value-identical to the DuckDB oracle's naive read. The driver's own
+        # session may not carry this conf, so sources.read_parquet ALSO
+        # normalizes NTZ columns post-read.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # RocksDB state store: streaming state lives off-heap with
         # incremental checkpoints — the backend that survives 100 TB-scale
         # key cardinality (the default HDFS-backed store holds all state in

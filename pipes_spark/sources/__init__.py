@@ -28,37 +28,30 @@ TPCH_TABLES = (
 )
 
 
-def _nano_ts_columns(path: str) -> list[str]:
-    """Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively (PARQUET_TYPE_ILLEGAL). Detected from the parquet footer."""
-    try:
-        import pyarrow.dataset as ds
-        import pyarrow.types as pat
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Normalize TIMESTAMP_NTZ columns to TIMESTAMP.
 
-        schema = ds.dataset(path, format="parquet").schema
-        return [
-            f.name
-            for f in schema
-            if pat.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
-    except Exception:
-        return []
+    The driver's parquet stores ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``, which Spark 4 infers as TIMESTAMP_NTZ —
+    a type `unix_millis`/`unix_micros`/`withWatermark` all reject. Under
+    the engine's pinned UTC session zone the cast is value-identical to
+    DuckDB's naive read of the same file, so oracles stay portable."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        # the cast interprets NTZ wall-clock in the session zone; pin UTC so
+        # it matches the oracle regardless of the caller's session config
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def read_parquet(spark: SparkSession, path: str, columns: Optional[Sequence[str]] = None) -> DataFrame:
-    """Parquet scan. Handles TIMESTAMP(NANOS) columns by reading them as
-    nano-epoch longs (``spark.sql.legacy.parquet.nanosAsLong``) and
-    converting to microsecond timestamps — lossless for µs-grain data and
-    value-identical to DuckDB's read of the same file."""
-    nano_cols = _nano_ts_columns(path)
-    if nano_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # keep timestamp semantics identical to the DuckDB oracle
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(path)
-    for c in nano_cols:
-        # integer division: ns epochs exceed 2^53, float division is lossy
-        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    """Parquet scan; TIMESTAMP_NTZ columns normalized to TIMESTAMP (see
+    :func:`normalize_ntz`). The cast is a zero-cost projection — pushdown
+    and pruning on other columns are unaffected."""
+    df = normalize_ntz(spark.read.parquet(path))
     if columns:
         df = df.select(*columns)
     return df

@@ -93,19 +93,24 @@ def stream_generator_source(
         def initialOffset(self):
             return {"offset": 0}
 
-        def read(self, start: dict) -> Tuple[Sequence[tuple], dict]:
+        def read(self, start: dict) -> Tuple[Iterator[tuple], dict]:
             lo = start["offset"]
             hi = lo + rows_per_batch
             if max_offset is not None:
                 hi = min(hi, max_offset)
                 if lo >= max_offset:
-                    return [], {"offset": lo}
-            # materialized, not a generator: the simple-reader protocol
+                    # MUST be an iterator: on an exhausted stream (end ==
+                    # start) pyspark's prefetch cache probes emptiness with
+                    # next(it) — a plain list raises TypeError and kills the
+                    # query (pyspark/sql/datasource_internal.py,
+                    # add_result_to_cache)
+                    return iter(()), {"offset": lo}
+            # materialized then wrapped: the simple-reader protocol
             # prefetches driver-side and pickles the batch
-            return list(fn(lo, hi)), {"offset": hi}
+            return iter(list(fn(lo, hi))), {"offset": hi}
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            return fn(start["offset"], end["offset"])
+            return iter(list(fn(start["offset"], end["offset"])))
 
     class _GenStreamSource(DataSource):
         _fmt = f"pipes_stream_generator_{uuid.uuid4().hex[:12]}"
