@@ -3590,3 +3590,193 @@ def events_daily_from_rollup(spark, sf_dir):
         "value_min",
         "value_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series: gapfill / forward-fill / interpolation / funnel
+# (operators.timeseries — the reference's stateful-MiddleFunc pattern,
+#  ref: pipe/node.go:16-19, as first-class declarative operators)
+# ---------------------------------------------------------------------------
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM d GROUP BY user_id
+    ), grid AS (
+      SELECT spans.user_id, g.bucket
+      FROM spans, LATERAL unnest(generate_series(spans.mn, spans.mx, INTERVAL 1 DAY)) AS g(bucket)
+    )
+    SELECT grid.user_id, grid.bucket, d.n, d.total_value
+    FROM grid LEFT JOIN d ON grid.user_id = d.user_id AND grid.bucket = d.bucket
+    """,
+)
+def timeseries_gapfill(spark, sf_dir):
+    """Dense daily grid per user (operators.timeseries.gapfill): days with
+    no events appear with NULL stats. The grid is a two-level
+    sequence+explode, so no row ever materializes more than ``chunk``
+    buckets — a year of 1-second buckets becomes ~31k bounded segment rows
+    per key, not one 31.5M-element array."""
+    from .operators.timeseries import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return gapfill(daily, ["user_id"], "bucket", "1 day", ["n", "total_value"])
+
+
+@query(
+    "timeseries_ffill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_ffill
+    FROM events
+    """,
+)
+def timeseries_ffill(spark, sf_dir):
+    """Forward fill (operators.timeseries.forward_fill): carry each user's
+    last purchase amount onto every subsequent event — the canonical
+    rolling last-seen-value stateful middle. One shuffle on user_id,
+    event_id tiebreak for deterministic order."""
+    from .operators.timeseries import forward_fill
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("last_purchase"),
+    )
+    return forward_fill(
+        ev, ["user_id"], ["ts", "event_id"], ["last_purchase"]
+    ).select("event_id", "user_id", "ts", "last_purchase_ffill")
+
+
+@query(
+    "timeseries_interpolate",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+             CASE WHEN event_type IN ('click', 'purchase') THEN value END AS v
+      FROM events
+    ), nbrs AS (
+      SELECT event_id, user_id, ts, t, v,
+             last_value(v IGNORE NULLS) OVER wpre AS pv,
+             first_value(v IGNORE NULLS) OVER wpost AS nv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wpre AS pt,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wpost AS nt
+      FROM src
+      WINDOW
+        wpre AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wpost AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (t - pt) / nullif(nt - pt, 0)
+                 END, 6) AS v_interp
+    FROM nbrs
+    """,
+)
+def timeseries_interpolate(spark, sf_dir):
+    """Linear interpolation (operators.timeseries.linear_interpolate):
+    NULL gaps in the click/purchase value series are filled between the
+    nearest non-null neighbours in event time; leading/trailing gaps stay
+    NULL. Single window shuffle — prev/next neighbours from mirrored
+    frames, no self-join. Rounded at 6 in both engines (float division)."""
+    from .operators.timeseries import linear_interpolate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type").isin("click", "purchase"), F.col("value")).alias("v"),
+    )
+    out = linear_interpolate(
+        ev, ["user_id"], ["ts", "event_id"], "v", ts_col="ts"
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.round("v_interp", 6).alias("v_interp")
+    )
+
+
+@query(
+    "timeseries_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, ts, event_type AS e FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT u, min(ts) AS t1 FROM ev WHERE e = 'view' GROUP BY u
+    ), s2 AS (
+      SELECT ev.u, min(ev.ts) AS t2 FROM ev
+      JOIN s1 ON ev.u = s1.u AND ev.ts >= s1.t1
+      WHERE ev.e = 'click' GROUP BY ev.u
+    ), s3 AS (
+      SELECT ev.u, min(ev.ts) AS t3 FROM ev
+      JOIN s2 ON ev.u = s2.u AND ev.ts >= s2.t2
+      WHERE ev.e = 'purchase' GROUP BY ev.u
+    )
+    SELECT s1.u AS user_id, s1.t1 AS t1, s2.t2 AS t2, s3.t3 AS t3,
+           CAST(1 + (CASE WHEN s2.t2 IS NULL THEN 0 ELSE 1 END)
+                  + (CASE WHEN s3.t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth
+    FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+    """,
+)
+def timeseries_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel (operators.timeseries.funnel):
+    per user, earliest time each step was reached at-or-after the previous
+    step. The event table shuffles once into per-(user, step) sorted
+    timestamp arrays; sequencing is 2 join rounds over those aggregates."""
+    from .operators.timeseries import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+@query(
+    "timeseries_funnel_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, ts, event_type AS e FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), s1 AS (
+      SELECT u, min(ts) AS t1 FROM ev WHERE e = 'view' GROUP BY u
+    ), s2 AS (
+      SELECT ev.u, min(ev.ts) AS t2 FROM ev
+      JOIN s1 ON ev.u = s1.u AND ev.ts >= s1.t1
+      WHERE ev.e = 'click' GROUP BY ev.u
+    ), s3 AS (
+      SELECT ev.u, min(ev.ts) AS t3 FROM ev
+      JOIN s2 ON ev.u = s2.u AND ev.ts >= s2.t2
+      WHERE ev.e = 'purchase' GROUP BY ev.u
+    ), steps(step, step_name) AS (
+      VALUES (1, 'view'), (2, 'click'), (3, 'purchase')
+    )
+    SELECT steps.step, steps.step_name,
+           CASE steps.step
+             WHEN 1 THEN (SELECT count(*) FROM s1)
+             WHEN 2 THEN (SELECT count(*) FROM s2)
+             WHEN 3 THEN (SELECT count(*) FROM s3)
+           END AS n_users
+    FROM steps
+    """,
+)
+def timeseries_funnel_counts(spark, sf_dir):
+    """Funnel conversion table (operators.timeseries.funnel_counts): users
+    reaching each consecutive step of view→click→purchase."""
+    from .operators.timeseries import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])

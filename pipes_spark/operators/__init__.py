@@ -5,6 +5,32 @@ Submodules are imported eagerly so ``pipes_spark.operators.<mod>`` is
 available after ``import pipes_spark.operators``.
 """
 
-from . import dedup, multimodal, relational, scale, similarity, text, udfs
+from . import (
+    components,
+    dedup,
+    multimodal,
+    packing,
+    relational,
+    rollup,
+    sampling,
+    scale,
+    similarity,
+    text,
+    timeseries,
+    udfs,
+)
 
-__all__ = ["dedup", "multimodal", "relational", "scale", "similarity", "text", "udfs"]
+__all__ = [
+    "components",
+    "dedup",
+    "multimodal",
+    "packing",
+    "relational",
+    "rollup",
+    "sampling",
+    "scale",
+    "similarity",
+    "text",
+    "timeseries",
+    "udfs",
+]

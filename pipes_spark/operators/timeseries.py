@@ -8,25 +8,35 @@ DataFrame composition so Catalyst plans the shuffles.
 
 Scale (100 TB design points):
 
-* The gap-fill grid is generated **per key with sequence+explode** — fully
-  distributed, proportional to (keys x buckets), never a driver-side loop
-  or a cross join against a global calendar table (a global calendar would
-  need a broadcast + still produce the same row count; per-key sequence
-  avoids materializing buckets outside each key's own [min, max] span).
+* The gap-fill grid is generated per key with a **two-level**
+  sequence+explode: coarse segment starts first, then at most ``chunk``
+  buckets per segment row — no single row ever materializes an unbounded
+  array (a year of 1-second buckets is ~31.5M elements; one flat
+  ``sequence`` would build it as ONE in-memory array per key and trip
+  Spark's ~2^31 sequence cap).  Parallelism is across key×segment, so a
+  single key's long span spreads over many rows and tasks.
 * Forward fill / interpolation are single-window passes: ONE shuffle on the
   key, then sorted within partitions. Interpolation needs no self-join —
   the "previous/next non-null" pairs come from the same sorted run via
   ``last(..., ignorenulls)`` over mirrored frames.
-* Funnel steps are sequenced with conditional min-aggregation over a single
-  per-user shuffle (no per-step self-joins of the event table).
+* Funnel shuffles the (filtered) event table ONCE into per-(user, step)
+  sorted timestamp arrays; the step sequencing is then ``len(steps) - 1``
+  join+project rounds over those small per-user aggregates — the raw event
+  table is never re-scanned or self-joined per step.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+OrderCols = Union[str, Sequence[str]]
+
+
+def _order_list(order_cols: OrderCols) -> list[str]:
+    return [order_cols] if isinstance(order_cols, str) else list(order_cols)
 
 
 def gapfill(
@@ -35,6 +45,7 @@ def gapfill(
     bucket_col: str,
     step: str,
     value_cols: Sequence[str],
+    chunk: int = 1024,
 ) -> DataFrame:
     """Densify a per-key bucketed series: emit one row per ``step`` between
     each key's min and max bucket; buckets absent from ``df`` carry NULL in
@@ -43,16 +54,33 @@ def gapfill(
     ``step`` is an INTERVAL literal body, e.g. ``"1 hour"``. ``bucket_col``
     must be a timestamp already truncated to the grain (the function fills
     between observed buckets; it does not re-bucket).
+
+    The grid is built in two explode levels so no row holds more than
+    ``chunk`` buckets: segment starts at ``chunk * step`` spacing, then the
+    per-segment buckets. A key spanning a year at 1-second grain becomes
+    ~31k segment rows of ≤1024 buckets instead of one 31.5M-element array.
     """
-    grid = (
-        df.groupBy(*keys)
-        .agg(F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx"))
-        .select(
-            *keys,
-            F.explode(
-                F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"interval {step}"))
-            ).alias(bucket_col),
-        )
+    if chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+    seg_step = F.expr(f"interval {step} * {chunk}")
+    last_in_seg = F.expr(f"interval {step} * {chunk - 1}")
+    spans = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    segments = spans.select(
+        *keys,
+        F.col("_mx"),
+        F.explode(F.sequence(F.col("_mn"), F.col("_mx"), seg_step)).alias("_seg"),
+    )
+    grid = segments.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.col("_seg"),
+                F.least(F.col("_seg") + last_in_seg, F.col("_mx")),
+                F.expr(f"interval {step}"),
+            )
+        ).alias(bucket_col),
     )
     return grid.join(
         df.select(*keys, bucket_col, *value_cols), [*keys, bucket_col], "left"
@@ -62,35 +90,39 @@ def gapfill(
 def forward_fill(
     df: DataFrame,
     keys: Sequence[str],
-    order_col: str,
+    order_cols: OrderCols,
     cols: Sequence[str],
     suffix: str = "_ffill",
 ) -> DataFrame:
     """Carry the last non-null value forward within each key, ordered by
-    ``order_col``.  One window pass (shuffle on keys, sort within)."""
+    ``order_cols`` (pass a tiebreak column when the primary order can tie —
+    ties make "last" nondeterministic).  One window pass (shuffle on keys,
+    sort within)."""
     w = (
         Window.partitionBy(*keys)
-        .orderBy(order_col)
+        .orderBy(*_order_list(order_cols))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df
-    for c in cols:
-        out = out.withColumn(c + suffix, F.last(c, ignorenulls=True).over(w))
-    return out
+    return df.withColumns(
+        {c + suffix: F.last(c, ignorenulls=True).over(w) for c in cols}
+    )
 
 
 def linear_interpolate(
     df: DataFrame,
     keys: Sequence[str],
-    order_col: str,
+    order_cols: OrderCols,
     value_col: str,
+    ts_col: Optional[str] = None,
     out_col: Optional[str] = None,
 ) -> DataFrame:
     """Fill NULL gaps in ``value_col`` by linear interpolation between the
     nearest non-null neighbours (in event time) within each key.
 
-    Leading/trailing gaps (no neighbour on one side) stay NULL — the same
-    contract as pandas ``interpolate(limit_area="inside")``.
+    ``ts_col`` is the timestamp driving the interpolation weights; it
+    defaults to the first of ``order_cols``. Leading/trailing gaps (no
+    neighbour on one side) stay NULL — the same contract as pandas
+    ``interpolate(limit_area="inside")``.
 
     Single shuffle: both the previous and the next non-null (value, time)
     pairs come from one sorted window partition, using ``last(ignorenulls)``
@@ -98,16 +130,18 @@ def linear_interpolate(
     (``first(ignorenulls)``).  Time math is done on microsecond epochs so
     sub-second grids interpolate exactly.
     """
+    order = _order_list(order_cols)
+    ts_col = ts_col or order[0]
     out_col = out_col or value_col + "_interp"
-    t = F.unix_micros(F.col(order_col))
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
     wp = (
         Window.partitionBy(*keys)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wn = (
         Window.partitionBy(*keys)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     v = F.col(value_col)
@@ -134,42 +168,53 @@ def funnel(
     """Ordered funnel: per user, the earliest time each step was reached,
     where step i+1 must occur at-or-after the user's step-i time.
 
-    Returns one row per user who completed step 1, with columns
-    ``t1..tN`` (NULL once the funnel breaks) and ``depth`` (number of steps
-    completed).
+    Returns one row per user who completed step 1, keyed by ``user_col``,
+    with columns ``t1..tN`` (NULL once the funnel breaks) and ``depth``
+    (number of consecutive steps completed).
 
-    Scale: one shuffle of (user, ts, type) — the iterative "min ts after
-    previous step" is computed with conditional aggregation per user via
-    ``min(CASE WHEN type=step AND ts >= prev THEN ts END)`` applied in a
-    short driver loop over the step list (len(steps) aggregations over the
-    SAME shuffled exchange — Catalyst reuses it), not a per-step self-join
-    of the raw event table.
+    Plan: the raw event table is filtered to funnel steps and shuffled
+    ONCE into per-(user, step) sorted timestamp arrays; the left-fold
+    "min ts at-or-after the previous step" then runs as ``len(steps) - 1``
+    join+project rounds over those small per-user aggregates (array min
+    over a filtered sorted array per row) — never a per-step self-join or
+    re-scan of the raw events. Per-(user, step) event counts bound the
+    array sizes; a user with millions of same-step events would need a
+    count-limited pre-aggregation first.
     """
-    ev = events.select(
-        F.col(user_col).alias("user"),
-        F.col(ts_col).alias("ts"),
-        F.col(type_col).alias("etype"),
-    ).filter(F.col(type_col).isin(*steps))
-    # Step times are built left-fold: t1 = min ts of step1; t_{i+1} = min ts
-    # of step i+1 at-or-after t_i. Each round is a groupBy over the same
-    # exchange joined back on user; rounds = len(steps) (small constant).
-    cur = ev.filter(F.col("etype") == steps[0]).groupBy("user").agg(
-        F.min("ts").alias("t1")
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col).alias("_u"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_etype"),
+    )
+    per_step = ev.groupBy("_u", "_etype").agg(
+        F.array_sort(F.collect_list("_ts")).alias("_tss")
+    )
+    cur = (
+        per_step.filter(F.col("_etype") == steps[0])
+        .select("_u", F.element_at("_tss", 1).alias("t1"))
     )
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
-            ev.filter(F.col("etype") == step)
-            .join(cur.select("user", F.col(f"t{i-1}").alias("_prev")), "user")
-            .filter(F.col("ts") >= F.col("_prev"))
-            .groupBy("user")
-            .agg(F.min("ts").alias(f"t{i}"))
+            per_step.filter(F.col("_etype") == step)
+            .join(cur.select("_u", F.col(f"t{i-1}").alias("_prev")), "_u")
+            .select(
+                "_u",
+                F.array_min(
+                    F.filter("_tss", lambda t: t >= F.col("_prev"))
+                ).alias(f"t{i}"),
+            )
         )
-        cur = cur.join(nxt, "user", "left")
+        cur = cur.join(nxt, "_u", "left")
     depth = sum(
         (F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0))
         for i in range(1, len(steps) + 1)
     )
-    return cur.withColumn("depth", depth.cast("bigint"))
+    return cur.withColumnRenamed("_u", user_col).withColumn(
+        "depth", depth.cast("bigint")
+    )
 
 
 def funnel_counts(

@@ -1,0 +1,150 @@
+"""Semantic tests for operators.timeseries (gapfill / ffill / interpolate /
+funnel) — golden small cases plus the chunked-grid boundary property and a
+pandas parity check, the reference's golden-collected-output pattern
+(ref: pipe/node_test.go:47-77)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pipes_spark.operators.timeseries import (
+    forward_fill,
+    funnel,
+    funnel_counts,
+    gapfill,
+    linear_interpolate,
+)
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def sparse_series(spark):
+    rows = [
+        ("a", _ts("2024-01-01 00:00:00"), 1.0),
+        ("a", _ts("2024-01-01 03:00:00"), 4.0),
+        ("a", _ts("2024-01-01 07:00:00"), 8.0),
+        ("b", _ts("2024-01-01 05:00:00"), 5.0),
+        ("b", _ts("2024-01-01 06:00:00"), 6.0),
+    ]
+    return spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+
+
+def test_gapfill_densifies_and_nulls_gaps(spark, sparse_series):
+    out = gapfill(sparse_series, ["k"], "bucket", "1 hour", ["v"])
+    got = {(r.k, r.bucket.hour): r.v for r in out.collect()}
+    # a spans hours 0..7 inclusive → 8 rows; b spans 5..6 → 2 rows
+    assert len(got) == 10
+    assert got[("a", 0)] == 1.0 and got[("a", 3)] == 4.0 and got[("a", 7)] == 8.0
+    for h in (1, 2, 4, 5, 6):
+        assert got[("a", h)] is None
+    assert got[("b", 5)] == 5.0 and got[("b", 6)] == 6.0
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 3, 7, 8, 9, 1024])
+def test_gapfill_chunking_invariant(spark, sparse_series, chunk):
+    """The two-level segmented grid must be identical for every chunk size —
+    including chunks that divide the span exactly, exceed it, and chunk=1."""
+    out = gapfill(sparse_series, ["k"], "bucket", "1 hour", ["v"], chunk=chunk)
+    rows = sorted((r.k, r.bucket, r.v) for r in out.collect())
+    baseline = sorted(
+        (r.k, r.bucket, r.v)
+        for r in gapfill(sparse_series, ["k"], "bucket", "1 hour", ["v"]).collect()
+    )
+    assert rows == baseline
+
+
+def test_gapfill_bounds_per_row_arrays(spark):
+    """A long span with a small chunk must produce many bounded segment rows
+    (scale guard: no single row materializes the whole grid)."""
+    rows = [("k", _ts("2024-01-01 00:00:00"), 0.0), ("k", _ts("2024-03-01 00:00:00"), 1.0)]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    out = gapfill(df, ["k"], "bucket", "1 hour", ["v"], chunk=64)
+    assert out.count() == 60 * 24 + 1  # Jan 1 .. Mar 1 inclusive, hourly
+
+
+def test_forward_fill_matches_pandas(spark, sf_dir):
+    from pipes_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "purchase", F.col("value")).alias("v"),
+        )
+    )
+    got = forward_fill(ev, ["user_id"], ["ts", "event_id"], ["v"]).toPandas()
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    want = pdf.groupby("user_id")["v"].ffill()
+    merged = got.set_index("event_id")
+    for eid, w in zip(pdf["event_id"], want):
+        g = merged.loc[eid, "v_ffill"]
+        assert (g != g and w != w) or g == w  # NaN-safe equality
+
+
+def test_linear_interpolate_golden(spark):
+    rows = [
+        ("k", _ts("2024-01-01 00:00:00"), 0.0),
+        ("k", _ts("2024-01-01 01:00:00"), None),
+        ("k", _ts("2024-01-01 02:00:00"), None),
+        ("k", _ts("2024-01-01 04:00:00"), 8.0),
+        ("k", _ts("2024-01-01 05:00:00"), None),  # trailing gap stays NULL
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = linear_interpolate(df, ["k"], ["ts"], "v")
+    got = {r.ts.hour: r.v_interp for r in out.collect()}
+    assert got[0] == 0.0
+    assert got[1] == pytest.approx(2.0)  # 1/4 of the way 0→8
+    assert got[2] == pytest.approx(4.0)
+    assert got[4] == 8.0
+    assert got[5] is None
+
+
+def test_funnel_golden(spark):
+    rows = [
+        # u1 completes view→click→purchase in order
+        (1, _ts("2024-01-01 00:00:00"), "view"),
+        (1, _ts("2024-01-01 00:10:00"), "click"),
+        (1, _ts("2024-01-01 00:20:00"), "purchase"),
+        # u2: purchase BEFORE view/click → only depth 2
+        (2, _ts("2024-01-01 00:00:00"), "purchase"),
+        (2, _ts("2024-01-01 00:05:00"), "view"),
+        (2, _ts("2024-01-01 00:06:00"), "click"),
+        # u3: never views → not in result
+        (3, _ts("2024-01-01 00:00:00"), "click"),
+        # u4: view only
+        (4, _ts("2024-01-01 00:00:00"), "view"),
+        # u5: click ties view's timestamp (>= contract: tie counts)
+        (5, _ts("2024-01-01 00:00:00"), "view"),
+        (5, _ts("2024-01-01 00:00:00"), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.user_id: r for r in funnel(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 4, 5}
+    assert out[1].depth == 3 and out[1].t3 == _ts("2024-01-01 00:20:00")
+    assert out[2].depth == 2 and out[2].t3 is None  # purchase precedes click
+    assert out[4].depth == 1 and out[4].t2 is None
+    assert out[5].depth == 2  # tie at-or-after counts
+    counts = {
+        r.step: r.n_users
+        for r in funnel_counts(df, "user_id", "ts", "event_type", ["view", "click", "purchase"]).collect()
+    }
+    assert counts == {1: 4, 2: 3, 3: 1}  # step2 reached by u1, u2, u5
+
+
+def test_funnel_preserves_key_column_name_collisions(spark):
+    """type_col values equal to output aliases must not be mis-resolved
+    (the filter runs before the rename) and the key keeps its name."""
+    rows = [(1, _ts("2024-01-01 00:00:00"), "user"), (1, _ts("2024-01-01 00:01:00"), "ts")]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp, etype string")
+    out = funnel(df, "uid", "ts", "etype", ["user", "ts"])
+    assert out.columns == ["uid", "t1", "t2", "depth"]
+    r = out.collect()[0]
+    assert r.uid == 1 and r.depth == 2
