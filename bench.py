@@ -43,7 +43,9 @@ HEADLINE = [
     # extensions
     "text_quality",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
+    # the composed LSH→exact-verify scale path, not the bare all-pairs
+    # verifier (whose candidate growth is the documented anti-pattern)
+    "dedup_lsh_verified",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_cosine_neardup",

@@ -114,6 +114,37 @@ def minhash_lsh_pairs(
     would otherwise produce O(bucket²) pairs; the cap is logged in the
     result cardinality, standard practice for web-scale dedup).
     """
+    sigs, pairs = _lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+    )
+    # attach signatures to the (much smaller) surviving pair set only
+    sig_arr = F.array(*[f"_m{i}" for i in range(num_hashes)])
+    sa = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(num_hashes)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    max_bucket: int,
+):
+    """(signatures, candidate id pairs) for banded MinHash-LSH — the shared
+    core of ``minhash_lsh_pairs`` and ``lsh_verified_pairs``."""
     r = num_hashes // bands
     # Persist the signature table: it is the expensive map-side pass (one
     # string hash per shingle) and every downstream branch needs it. At
@@ -146,20 +177,79 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # attach signatures to the (much smaller) surviving pair set only
-    sig_arr = F.array(*[f"_m{i}" for i in range(num_hashes)])
-    sa = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(num_hashes)
+    return sigs, pairs
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.1,
+    threshold: float = 0.2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The documented scale path for near-dup detection, composed end to
+    end: MinHash-LSH candidate generation → exact n-gram Jaccard verify on
+    the candidates ONLY.
+
+    The corpus text is never self-joined: LSH restricts pair generation to
+    band-bucket mates (one ids-only shuffle), and the exact shingle
+    intersection runs only on documents that appear in some candidate pair
+    (semi-join against the candidate id set). Output matches
+    ``ngram_jaccard_pairs(threshold)`` whenever LSH recall covers every
+    true pair at-or-above ``threshold`` — guaranteed in the regime LSH is
+    tuned for (near-dups clustered at high similarity); parity with the
+    exact verifier is asserted in pytest.
+
+    The candidate set skips ``minhash_lsh_pairs``'s signature re-attach and
+    estimated-Jaccard filter entirely (``candidate_threshold`` is accepted
+    for signature compatibility but unused): the exact verify decides
+    membership anyway, so estimating first would only add two joins and an
+    interpreted zip_with. The band-pair subtree is consumed twice (id-set
+    build + pair join) — deliberately NOT persisted: ReuseExchange
+    deduplicates it within the one plan, and a persist barrier measurably
+    doubled the runtime by blocking whole-plan optimization.
+    """
+    _sigs, cand = _lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
     )
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionByName(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # candidate docs only: the id set is tiny by construction → broadcast
+    # semi-join, the corpus side never shuffles
+    sh = (
+        df.join(F.broadcast(ids), df[id_col] == ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("_vid"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .select("_vid", F.xxhash64("shingle").alias("sh"))
+        .persist()
+    )
+    sizes = sh.groupBy("_vid").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.select(F.col("_vid").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("_vid").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_vid").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_vid").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(sa, "id_a")
+        inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -288,6 +288,25 @@ def test_tiled_neardup_matches_broadcast_formulation(spark, sf_dir):
     assert got == want
 
 
+def test_lsh_verified_matches_exact_jaccard(spark, sf_dir):
+    """The composed LSH→exact-verify scale path must produce exactly the
+    pairs + jaccards of the bare exact verifier in the high-similarity
+    regime the testdata's near-dups live in (banded-LSH recall ~1)."""
+    from pipes_spark.operators.dedup import lsh_verified_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in lsh_verified_pairs(docs, threshold=0.2).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
 def test_ivf_kmeans_centroids(spark, sf_dir):
     """IVF with a trained k-means codebook: same exact-rerank guarantees,
     recall at least as sane as the sampled codebook's floor."""
