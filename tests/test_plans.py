@@ -256,3 +256,44 @@ def test_salted_agg_two_hash_aggregate_phases(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_skew_salted")
     assert plan.count("HashAggregate") >= 4
     assert "_salt" in plan
+
+
+def test_lsh_verified_broadcasts_candidates_and_keeps_text_off_shuffles(spark, sf_dir):
+    """The composed LSH→verify plan must (a) reach the corpus through a
+    broadcast-able semi-join against the candidate id set (the corpus side
+    never shuffles for candidate selection), (b) serve the signature table
+    from the persisted InMemoryRelation (text hashed exactly once), and
+    (c) never carry document text through ANY shuffle exchange — shuffles
+    move ids/hashes only."""
+    plan = _plan(spark, sf_dir, "dedup_lsh_verified")
+    assert "LeftSemi" in plan
+    assert "InMemoryTableScan" in plan
+    shuffles = [s for s in plan.split("+- ") if "Exchange hashpartitioning" in s]
+    assert shuffles
+    assert all("text#" not in s for s in shuffles)
+
+
+def test_funnel_shuffles_events_once(spark, sf_dir):
+    """funnel's contract: ONE shuffle of the (filtered) raw event table —
+    the per-(user, step) collect_list aggregation; every later round joins
+    the small aggregates. The step predicate must reach the parquet scan."""
+    plan = _plan(spark, sf_dir, "timeseries_funnel")
+    raw_shuffles = re.findall(r"Exchange hashpartitioning\(_u#\d+L, _etype#\d+", plan)
+    assert len(raw_shuffles) >= 1
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("In(event_type" in p for p in pushed), pushed
+
+
+def test_gapfill_grid_join_keys_on_bucket(spark, sf_dir):
+    """gapfill joins grid←→observations on the compound (keys, bucket) key —
+    as a broadcast join when one side is small (AQE's pick here) or a
+    co-partitioned shuffle join at scale; either way the join keys must be
+    the compound key and the events scan must prune to referenced columns."""
+    plan = _plan(spark, sf_dir, "timeseries_gapfill")
+    compound_join = re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[user_id#\d+L, bucket#\d+\]",
+        plan,
+    )
+    assert compound_join, "expected a join keyed on (user_id, bucket)"
+    schema = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert "props" not in schema and "event_type" not in schema

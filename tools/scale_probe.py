@@ -146,6 +146,53 @@ def main() -> None:
     run("pack_1x", lambda: pack(docs1))
     run("pack_10x", lambda: pack(docs10))
 
+    from pipes_spark.operators.dedup import lsh_verified_pairs
+
+    run("lsh_verified_1x", lambda: lsh_verified_pairs(docs1).count())
+    run("lsh_verified_10x", lambda: lsh_verified_pairs(docs10).count())
+
+    # time-series: 10× events = 10× the users (id-offset replicas), the
+    # realistic scale-out direction (per-key spans stay constant)
+    ev1 = load_table(spark, SF_DIR, "events")
+    nn = 10_000_000
+    from functools import reduce
+
+    ev10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ev1.select(
+                (F.col("event_id") + c * nn).alias("event_id"),
+                "ts",
+                (F.col("user_id") + c * nn).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            for c in range(10)
+        ],
+    ).localCheckpoint()
+
+    from pipes_spark.operators.timeseries import forward_fill, funnel, gapfill
+
+    def daily(ev):
+        return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    run("gapfill_1x", lambda: gapfill(daily(ev1), ["user_id"], "bucket", "1 day", ["n"]).count())
+    run("gapfill_10x", lambda: gapfill(daily(ev10), ["user_id"], "bucket", "1 day", ["n"]).count())
+    run(
+        "ffill_1x",
+        lambda: forward_fill(ev1, ["user_id"], ["ts", "event_id"], ["value"]).count(),
+    )
+    run(
+        "ffill_10x",
+        lambda: forward_fill(ev10, ["user_id"], ["ts", "event_id"], ["value"]).count(),
+    )
+    steps = ["view", "click", "purchase"]
+    run("funnel_1x", lambda: funnel(ev1, "user_id", "ts", "event_type", steps).count())
+    run("funnel_10x", lambda: funnel(ev10, "user_id", "ts", "event_type", steps).count())
+
 
 if __name__ == "__main__":
     main()
