@@ -3881,3 +3881,34 @@ def _reorder_graded_window() -> None:
 
 
 _reorder_graded_window()
+
+
+@query(
+    "text_top_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                            for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS ngram FROM sh
+    )
+    SELECT ngram, count(*) AS n_docs
+    FROM ex GROUP BY ngram
+    ORDER BY n_docs DESC, ngram ASC
+    LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-level frequent items (operators.text.top_ngrams): top-20
+    trigrams by document frequency, deterministic lexicographic
+    tie-break. One map-side-combined hash aggregate + TakeOrdered —
+    no global sort, no shuffle of document text."""
+    from .operators.text import top_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngrams(d, n=3, k=20)

@@ -252,3 +252,32 @@ def with_pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{name}", F.size(F.regexp_extract_all(c, F.lit(pat), 0)).cast("bigint"))
     total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
     return out.withColumn("n_pii_total", total.cast("bigint"))
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level frequent items: the ``k`` most common word ``n``-grams
+    by DOCUMENT frequency (each document counts an n-gram once) — the
+    vocabulary/boilerplate analysis every corpus pipeline runs before
+    choosing dedup and filtering thresholds.
+
+    Scale: explode distinct per-doc shingles → one hash-aggregate with
+    map-side partial counts (the shuffle carries (ngram, partial_count),
+    not documents) → global top-k via a single ordered limit, which Spark
+    executes as per-partition TakeOrdered + driver merge of k·P rows — no
+    global sort materialization. Ties break lexicographically so the
+    result is deterministic and oracle-portable.
+    """
+    from .dedup import word_shingles
+
+    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -297,3 +297,14 @@ def test_gapfill_grid_join_keys_on_bucket(spark, sf_dir):
     assert compound_join, "expected a join keyed on (user_id, bucket)"
     schema = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
     assert "props" not in schema and "event_type" not in schema
+
+
+def test_top_ngrams_plans_takeordered_not_global_sort(spark, sf_dir):
+    """Corpus top-k must execute as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a full global Sort of the n-gram counts,
+    and the shuffle must carry (ngram, count) only — no doc ids or text."""
+    plan = _plan(spark, sf_dir, "text_top_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    shuffles = [s for s in plan.split("+- ") if "Exchange hashpartitioning" in s]
+    assert shuffles and all("text#" not in s and "doc_id#" not in s for s in shuffles)
