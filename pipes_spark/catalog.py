@@ -3912,3 +3912,43 @@ def text_top_ngrams(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return top_ngrams(d, n=3, k=20)
+
+
+@query(
+    "scd2_point_in_time",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN c.c_custkey % 7 = 0 AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+                THEN 'SEGMENT_X' ELSE c.c_mktsegment END AS pit_c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def scd2_point_in_time_lookup(spark, sf_dir):
+    """Point-in-time lookup over SCD2 history (operators.relational.
+    scd2_point_in_time): customer opens versions 1994-01-01, every 7th key
+    changes segment on 1998-01-01 (via scd2_merge), and each order resolves
+    the version valid AT ITS ORDER DATE — orders before the cut see the
+    original segment, later ones the new. The oracle states the same
+    semantics directly. Key equality drives a hash join; the validity
+    bounds are a residual filter, never a BNLJ."""
+    from .operators.relational import scd2_merge, scd2_point_in_time
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim0 = cust.withColumns(
+        {
+            "valid_from": F.to_date(F.lit("1994-01-01")),
+            "valid_to": F.lit(None).cast("date"),
+            "is_current": F.lit(True),
+        }
+    )
+    snap = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("SEGMENT_X")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    dim = scd2_merge(dim0, snap, "c_custkey", ["c_mktsegment"], "1998-01-01")
+    facts = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    return scd2_point_in_time(
+        facts, dim, "o_custkey", "c_custkey", "o_orderdate", ["c_mktsegment"]
+    ).select("o_orderkey", "o_custkey", "pit_c_mktsegment")

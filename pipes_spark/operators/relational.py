@@ -253,6 +253,44 @@ def merge_upsert(
     return t.join(s, cond, "full_outer").select(*cols)
 
 
+def scd2_point_in_time(
+    facts: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    as_of_col: str,
+    value_cols: Sequence[str],
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time (validity-interval) join: each fact row is enriched
+    with the dimension VERSION whose ``[valid_from, valid_to)`` interval
+    contains the fact's ``as_of_col`` (``valid_to`` NULL = still open) —
+    the read side of SCD2: "what did this customer look like when the
+    order was placed", complementing :func:`asof_join` (nearest event in
+    time) and :func:`scd2_merge` (the write side).
+
+    Facts with no version covering their timestamp (before the key's first
+    version, or unknown key) keep NULL dim columns.
+
+    Scale: the key equality drives a plain hash join (broadcast when the
+    dimension is small, key-shuffled otherwise — never a BNLJ); the
+    interval bounds ride along as a residual filter, and the per-fact
+    output is bounded by versions-per-key, of which exactly one can match
+    (versions of one key never overlap by SCD2 construction).
+    """
+    f = facts.alias("f")
+    d = dim.alias("d")
+    cond = (
+        (F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"))
+        & (F.col(f"f.{as_of_col}") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col(f"f.{as_of_col}") < F.col("d.valid_to")))
+    )
+    return f.join(d, cond, "left").select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+
 def scd2_merge(
     dim: DataFrame,
     snapshot: DataFrame,

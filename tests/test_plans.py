@@ -308,3 +308,12 @@ def test_top_ngrams_plans_takeordered_not_global_sort(spark, sf_dir):
     assert "Sort " not in plan
     shuffles = [s for s in plan.split("+- ") if "Exchange hashpartitioning" in s]
     assert shuffles and all("text#" not in s and "doc_id#" not in s for s in shuffles)
+
+
+def test_scd2_point_in_time_is_hash_join_not_bnlj(spark, sf_dir):
+    """The validity-interval lookup must plan as a hash join driven by the
+    key equality (broadcast here; key-shuffled at scale) with the interval
+    bounds as residual condition — never a BroadcastNestedLoopJoin."""
+    plan = _plan(spark, sf_dir, "scd2_point_in_time")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -148,3 +148,33 @@ def test_funnel_preserves_key_column_name_collisions(spark):
     assert out.columns == ["uid", "t1", "t2", "depth"]
     r = out.collect()[0]
     assert r.uid == 1 and r.depth == 2
+
+
+def test_scd2_point_in_time_golden(spark):
+    """Version resolution edges: facts before the key's first version and
+    unknown keys keep NULL; each fact matches exactly one version."""
+    from pipes_spark.operators.relational import scd2_point_in_time
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", _ts("2020-01-01 00:00:00"), _ts("2021-01-01 00:00:00"), False),
+            (1, "v2", _ts("2021-01-01 00:00:00"), None, True),
+            (2, "w1", _ts("2020-06-01 00:00:00"), None, True),
+        ],
+        "k long, val string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, _ts("2020-06-15 00:00:00")),  # inside v1
+            (11, 1, _ts("2021-01-01 00:00:00")),  # boundary: valid_from inclusive -> v2
+            (12, 1, _ts("2019-12-31 00:00:00")),  # before first version -> NULL
+            (13, 2, _ts("2024-01-01 00:00:00")),  # open version
+            (14, 9, _ts("2024-01-01 00:00:00")),  # unknown key -> NULL
+        ],
+        "fid long, k long, at timestamp",
+    )
+    out = {
+        r.fid: r.pit_val
+        for r in scd2_point_in_time(facts, dim, "k", "k", "at", ["val"]).collect()
+    }
+    assert out == {10: "v1", 11: "v2", 12: None, 13: "w1", 14: None}
