@@ -3952,3 +3952,81 @@ def scd2_point_in_time_lookup(spark, sf_dir):
     return scd2_point_in_time(
         facts, dim, "o_custkey", "c_custkey", "o_orderdate", ["c_mktsegment"]
     ).select("o_orderkey", "o_custkey", "pit_c_mktsegment")
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+             AS n_bpe_tokens,
+           len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+             AS n_ws_tokens,
+           round(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+             / greatest(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')), 1), 6)
+             AS tokens_per_word
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark, sf_dir):
+    """Training-token budgeting with a BPE-style pre-tokenizer
+    (operators.text.bpe_like_token_count): GPT-2-family splitting of
+    contractions / letter runs / digit runs / punctuation runs, next to
+    the whitespace word count and their ratio. The IDENTICAL lookahead-free
+    regex runs in both engines (Java regex and RE2). Pure codegen column
+    expressions — map-side, zero shuffle."""
+    from .operators.text import bpe_like_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n_bpe = bpe_like_token_count("text")
+    n_ws = token_count("text")
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("tokens_per_word"),
+    )
+
+
+@query(
+    "text_winnowing",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substring(lower(text), i, 8)), 1, 8))::BIGINT AS h,
+             greatest(len(lower(text)) - 7, 0) AS n
+      FROM documents,
+           LATERAL unnest(range(1, greatest(len(lower(text)) - 7, 0) + 1)) AS t(i)
+      WHERE len(lower(text)) >= 23
+    ), m AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+             i, n
+      FROM g
+    ), f AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE i <= n - 15
+    )
+    SELECT doc_id, count(*) AS n_fingerprints,
+           min(fp) AS min_fp, max(fp) AS max_fp
+    FROM f GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark, sf_dir):
+    """Rolling-hash document fingerprinting via MOSS winnowing
+    (operators.text.winnowing_fingerprints, k=8, w=16): guaranteed
+    fingerprint overlap for any shared >=23-char substring. Declared as
+    the per-doc fingerprint-set summary (count + min/max) so the oracle
+    compares 500 rows instead of the ~60k-row raw set; the raw set is the
+    operator's return value."""
+    from .operators.text import winnowing_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fp = winnowing_fingerprints(d, k=8, w=16)
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
+    )

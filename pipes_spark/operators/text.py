@@ -281,3 +281,75 @@ def top_ngrams(
         .orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, lookahead-free so the IDENTICAL regex
+#: runs in Spark (Java regex) and DuckDB (RE2) for the correctness oracle:
+#: contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+#: runs. (The original GPT-2 pattern's trailing-whitespace lookahead only
+#: affects how whitespace-only tokens group, which token COUNTING ignores.)
+BPE_LIKE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_like_tokens(col) -> Column:
+    """Subword-style pre-tokenization (the BPE pre-pass): splits
+    contractions, letter runs, number runs, and punctuation runs the way
+    GPT-2-family tokenizers do before merges — the realistic unit for
+    training-token budgeting, vs whitespace words which undercount
+    punctuation-heavy and code-like text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_LIKE_PATTERN), 0)
+
+
+def bpe_like_token_count(col) -> Column:
+    return F.size(bpe_like_tokens(col)).cast("bigint")
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (the rolling-hash document
+    fingerprint): 32-bit hashes of the lowercased char ``k``-grams, the
+    minimum kept per sliding window of ``w`` consecutive grams, then
+    deduplicated per document. Any two documents sharing a substring of at
+    least ``k + w - 1`` chars are GUARANTEED to share a fingerprint — the
+    selection-with-recall property plain sampling lacks.
+
+    Scale: the k-gram hash array is built map-side per row (one md5 per
+    gram — same explode-an-array shape as MinHash shingling); the window
+    minima need ONE shuffle on the doc id. Fingerprint count per doc is
+    ~2·n_chars/w, independent of similarity structure.
+
+    Docs shorter than ``k + w - 1`` chars yield no fingerprints (no full
+    window).
+    """
+    norm = F.lower(F.col(text_col))
+    base = df.select(F.col(id_col), norm.alias("_t")).filter(
+        F.length("_t") >= k + w - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("_t") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(F.col("_t"), i, F.lit(k))), F.lit(1), F.lit(8)),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    g = base.select(F.col(id_col), F.posexplode(hs).alias("_p", "_h"))
+    wmin = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    wall = Window.partitionBy(id_col)
+    m = g.select(
+        F.col(id_col),
+        F.col("_p"),
+        F.min("_h").over(wmin).alias("fingerprint"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+    return (
+        m.filter(F.col("_p") <= F.col("_n") - w)
+        .select(id_col, "fingerprint")
+        .distinct()
+    )

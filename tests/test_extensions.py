@@ -763,3 +763,33 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
         lo = vals[max(0, int(q * n) - n // 10000 - 2)]
         hi = vals[min(n - 1, int(q * n) + n // 10000 + 2)]
         assert lo <= a <= hi, (q, a, lo, hi)
+
+
+def test_winnowing_shared_substring_guarantees_shared_fingerprint(spark):
+    """Winnowing's selection property: documents sharing a substring of at
+    least k+w-1 chars MUST share at least one fingerprint; disjoint random
+    texts should share none."""
+    import random
+
+    from pipes_spark.operators.text import winnowing_fingerprints
+
+    rng = random.Random(7)
+
+    def rand_text(n):
+        return "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+    shared = rand_text(40)  # > k+w-1 = 23 chars
+    rows = [
+        (1, rand_text(200) + shared + rand_text(200)),
+        (2, rand_text(180) + shared + rand_text(220)),
+        (3, rand_text(400)),  # no planted overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, k=8, w=16)
+    sets = {
+        r.doc_id: r.s
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fingerprint").alias("s")).collect()
+    }
+    assert set(sets[1]) & set(sets[2]), "planted shared substring must collide"
+    # doc 3 shares no 23-char substring with doc 1 (random 27-alphabet text)
+    assert not set(sets[1]) & set(sets[3])
