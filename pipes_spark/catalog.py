@@ -1299,17 +1299,19 @@ _CC_ORACLE_PREFIX = r"""
     """,
 )
 def dedup_components(spark, sf_dir):
-    """Duplicate-cluster resolution: connected components of the exact
-    3-gram Jaccard pair graph via alternating large-star/small-star
+    """Duplicate-cluster resolution: connected components of the 3-gram
+    Jaccard pair graph via alternating large-star/small-star
     (operators.components.connected_components) — pairs alone cannot drive
-    dedup; transitively-linked docs must collapse to one cluster. The
-    DuckDB oracle computes the same components by recursive transitive
-    closure."""
+    dedup; transitively-linked docs must collapse to one cluster. The pair
+    graph comes from the composed LSH→exact-verify SCALE path
+    (lsh_verified_pairs, parity-equal to the bare exact verifier here);
+    the DuckDB oracle computes the same components by recursive transitive
+    closure over the exact pair graph."""
     from .operators.components import connected_components
-    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.dedup import lsh_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    cc = connected_components(ngram_jaccard_pairs(d, threshold=0.2))
+    cc = connected_components(lsh_verified_pairs(d, threshold=0.2))
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -1324,14 +1326,15 @@ def dedup_components(spark, sf_dir):
 def dedup_drop_near_dups(spark, sf_dir):
     """End-to-end near-dup removal: resolve clusters, keep the min-id
     canonical per cluster, pass untouched docs through
-    (operators.components.drop_near_duplicates). Scale: the corpus is only
+    (operators.components.drop_near_duplicates), with pairs from the
+    composed LSH→exact-verify scale path. Scale: the corpus is only
     touched by one broadcast anti-join against the loser set — cluster
     members minus canonicals — which is tiny relative to the corpus."""
     from .operators.components import drop_near_duplicates
-    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.dedup import lsh_verified_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return drop_near_duplicates(d, ngram_jaccard_pairs(d, threshold=0.2)).select(
+    return drop_near_duplicates(d, lsh_verified_pairs(d, threshold=0.2)).select(
         "doc_id"
     )
 
@@ -4030,3 +4033,27 @@ def text_winnowing(spark, sf_dir):
         F.min("fingerprint").alias("min_fp"),
         F.max("fingerprint").alias("max_fp"),
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, len(text) AS L, unnest(string_split(text, '')) AS c
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, L, c, count(*) AS n FROM chars WHERE c <> '' GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(L AS BIGINT) AS n_chars_actual,
+           round(-sum((n / L) * log2(n / L)), 6) AS char_entropy_bits
+    FROM counts GROUP BY doc_id, L
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-unigram entropy per document (operators.text.char_entropy)
+    — the cheap perplexity proxy for quality bucketing. Two map-side-
+    combined doc-keyed aggregates; text never rides a shuffle. Float fold
+    rounded at 6 in both engines."""
+    from .operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))

@@ -353,3 +353,33 @@ def winnowing_fingerprints(
         .select(id_col, "fingerprint")
         .distinct()
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-unigram Shannon entropy (bits) — the cheap
+    perplexity proxy corpus pipelines bucket on before an LM scorer:
+    boilerplate, repeated padding, and encoding garbage sit at the low
+    end; natural prose clusters in a narrow band.
+
+    Scale: explode to (doc, char) rows, count per pair, fold the entropy
+    sum per doc — two doc-keyed hash aggregates with map-side combine;
+    the shuffle carries (doc_id, char, count), never the text.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_len"),
+        F.explode(F.split(F.col(text_col), "")).alias("_c"),
+    ).filter(F.col("_c") != "")
+    counts = chars.groupBy(id_col, "_len", "_c").agg(F.count(F.lit(1)).alias("_n"))
+    p = F.col("_n") / F.col("_len")
+    return (
+        counts.groupBy(id_col, "_len")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy_bits"))
+        .select(
+            F.col(id_col),
+            F.col("_len").cast("bigint").alias("n_chars_actual"),
+            "char_entropy_bits",
+        )
+    )

@@ -64,16 +64,21 @@ def main() -> int:
             f"create or replace view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
+    import time
+
     queries = entry.queries()
     oracles = entry.oracle_sql()
     failed, passed, skipped = [], [], []
+    timings: dict[str, float] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
         sql = oracles.get(name)
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR)
             spdf = sdf.toPandas()
+            timings[name] = time.perf_counter() - t0
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
@@ -105,9 +110,15 @@ def main() -> int:
                 print(f"      spark : {a}\n      oracle: {b}")
             failed.append(name)
             continue
-        print(f"PASS  {name} ({len(s_rows)} rows)")
+        print(f"PASS  {name} ({len(s_rows)} rows, {timings[name]:.1f}s)")
         passed.append(name)
     print(f"\n{len(passed)} passed, {len(failed)} failed, {len(skipped)} rows-only")
+    if timings:
+        total = sum(timings.values())
+        slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+        print(f"spark wall time {total:.0f}s across {len(timings)} queries; slowest:")
+        for n, t in slow:
+            print(f"  {t:6.1f}s  {n}")
     if failed:
         print("failed:", failed)
     return 1 if failed else 0
