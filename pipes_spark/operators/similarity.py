@@ -302,36 +302,42 @@ def fit_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "kmeans",
+    train_cap: int = 100_000,
+    iters: int = 10,
 ):
     """Unit-norm IVF codebook as a numpy ``(num_centroids, dim)`` array.
 
-    ``method="kmeans"`` fits spherical-ish k-means (pyspark.ml on
-    L2-normalized vectors); ``method="sample"`` takes a deterministic
-    hash-ordered corpus sample (zero training cost). Training is one ML job
-    over (a sample of) the corpus — an ingest-time cost, which is why
-    ``warehouse.ivf_index_tables`` persists the result instead of refitting
-    per query."""
+    ``method="kmeans"`` fits spherical k-means on a deterministic
+    hash-ordered sample of at most ``train_cap`` vectors, with Lloyd
+    iterations in numpy on the driver — the faiss convention: IVF codebooks
+    train on a bounded sample regardless of corpus size, so driver memory
+    is bounded and the fit costs ONE Spark job (the sample collect) instead
+    of per-iteration cluster jobs. ``method="sample"`` takes the first
+    ``num_centroids`` hash-ordered vectors as centroids (zero training).
+    Either way training is an ingest-time cost — ``warehouse.
+    ivf_index_tables`` persists the result so queries never refit."""
     import numpy as np
 
-    dim = _probe_dim(corpus, vec_col)
+    cap = num_centroids if method == "sample" else train_cap
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + seed))
+        .limit(cap)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    C = X[:num_centroids].copy()
     if method == "kmeans":
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        norm_vec = F.transform(
-            _cast_double(vec_col), lambda x: x / l2_norm(_cast_double(vec_col), dim)
-        )
-        train = corpus.select(array_to_vector(norm_vec).alias("features"))
-        model = KMeans(k=num_centroids, seed=seed, maxIter=10).fit(train)
-        C = np.vstack([np.asarray(c, dtype="float64") for c in model.clusterCenters()])
-    else:
-        cent_rows = (
-            corpus.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col) + seed))
-            .limit(num_centroids)
-            .collect()
-        )
-        C = np.vstack([np.asarray(r[1], dtype="float64") for r in cent_rows])
+        for _ in range(iters):
+            assign = np.argmax(X @ C.T, axis=1)
+            for j in range(num_centroids):
+                members = X[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                else:  # re-seed empty cluster with the worst-served vector
+                    C[j] = X[np.argmin(np.max(X @ C.T, axis=1))]
+            C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
@@ -450,11 +456,12 @@ def ivf_cosine_topk(
 
     ``centroids="sample"`` uses a deterministic pseudo-random corpus sample
     (hash-ordered ids) as the codebook — zero training cost;
-    ``centroids="kmeans"`` fits spherical-ish k-means (pyspark.ml on
-    L2-normalized vectors) for tighter lists / better recall at the same
-    ``n_probe``. Scale: one shuffle keyed by list_id; probe fan-out
-    multiplies only the (small) query side; training cost is one ML job
-    over (a sample of) the corpus.
+    ``centroids="kmeans"`` fits spherical k-means in numpy on a bounded
+    hash-ordered sample (faiss convention — see fit_ivf_centroids) for
+    tighter lists / better recall at the same ``n_probe``. Scale: one
+    shuffle keyed by list_id; probe fan-out multiplies only the (small)
+    query side; training is one sample-collect job regardless of corpus
+    size.
     """
     import numpy as np  # noqa: F401 — used by fit_ivf_centroids callers
 
