@@ -76,3 +76,57 @@ def test_connected_components_match_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+asof_left = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # by-group
+        st.integers(min_value=0, max_value=50),   # on (integer time)
+    ),
+    min_size=1,
+    max_size=15,
+)
+asof_right = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.integers(min_value=0, max_value=50),
+        st.floats(min_value=-5, max_value=5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=15,
+    unique_by=lambda t: (t[0], t[1]),  # unique (by, on) aligns collapse rules
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lrows=asof_left, rrows=asof_right, direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, 0, 5, 20]))
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction, tol):
+    """The union+window as-of join must agree with pandas merge_asof for
+    arbitrary inputs, both directions, with and without tolerance.
+    Right (by, on) keys are unique so both engines' tie-collapse rules
+    coincide; merge_asof tolerance on integer keys is inclusive, matching
+    the operator's ``age <= tolerance`` contract (integer columns are
+    interpreted as second-scale in the operator, so tolerance_seconds=N
+    means N integer units)."""
+    import pandas as pd
+
+    from pipes_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long")
+    right = spark.createDataFrame(rrows, "k long, t long, rv double")
+    got = {
+        r.lid: r.asof_rv
+        for r in asof_join(
+            left, right, on="t", by=["k"], value_cols=["rv"],
+            direction=direction, tolerance_seconds=tol,
+        ).collect()
+    }
+    lp = pd.DataFrame([(i, k, t) for i, (k, t) in enumerate(lrows)], columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(rrows, columns=["k", "t", "rv"]).sort_values("t", kind="stable")
+    want_df = pd.merge_asof(
+        lp, rp, on="t", by="k", direction=direction,
+        tolerance=None if tol is None else tol,
+    )
+    want = {int(r.lid): (None if pd.isna(r.rv) else float(r.rv)) for r in want_df.itertuples()}
+    assert got == want
