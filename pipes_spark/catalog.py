@@ -4057,3 +4057,43 @@ def text_char_entropy(spark, sf_dir):
     from .operators.text import char_entropy
 
     return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "sessionize_bucketed_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def sessionize_bucketed_stats(spark, sf_dir):
+    """Skew-safe two-pass sessionization (operators.relational.
+    sessionize_bucketed, day buckets): per-(user, day) local windows +
+    boundary stitching over the tiny bucket-summary table. The oracle is
+    the GLOBAL gap-and-islands sessionization — the hash-match proves the
+    bucketed formulation is exactly equivalent (bucket width ≥ gap), while
+    one hot user's events now spread over days × tasks instead of one."""
+    from .operators.relational import sessionize_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize_bucketed(
+        ev, "user_id", "ts", gap_seconds=1800, bucket="day", order_tiebreak="event_id"
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("duration_ms"),
+    )

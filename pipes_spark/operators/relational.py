@@ -253,6 +253,94 @@ def merge_upsert(
     return t.join(s, cond, "full_outer").select(*cols)
 
 
+def sessionize_bucketed(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    bucket: str = "day",
+    order_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Skew-safe sessionization: identical output to :func:`sessionize`,
+    but the big window runs per ``(user, time-bucket)`` so one hot user's
+    years of events spread across many tasks instead of one.
+
+    Two passes: (1) local sessionize within each bucket partition;
+    (2) stitch across bucket boundaries on the per-(user, bucket) summary
+    table — one row per bucket a user has events in, carrying (#local
+    sessions, first/last event time). A bucket's first local session
+    merges with the previous non-empty bucket's last session when the
+    boundary gap is ≤ ``gap_seconds``; global ids then come from a
+    cumulative sum of (sessions − merges), and every event gets
+    ``global_id = cum_before + local_id − merge_flag`` via one join back
+    on the bucket key.
+
+    Correctness requires ``bucket`` width ≥ ``gap_seconds`` (a whole empty
+    bucket between two events then implies a gap strictly greater than the
+    threshold, so only consecutive non-empty buckets can ever merge —
+    which is exactly what the boundary check covers). ``"day"`` supports
+    gaps up to 86400 s.
+
+    Scale: pass 1 shuffles on the salted (user, bucket) key; pass 2's
+    summary table is ~(active users × buckets) rows — thousands of times
+    smaller than the events; the join back is on (user, bucket).
+    """
+    _widths = {"hour": 3600, "day": 86400, "week": 604800}
+    if bucket not in _widths:
+        raise ValueError(f"bucket must be one of {sorted(_widths)}, got {bucket!r}")
+    if gap_seconds > _widths[bucket]:
+        raise ValueError(
+            f"bucket width {bucket!r} ({_widths[bucket]}s) must be >= gap_seconds "
+            f"({gap_seconds}s) for bucketed sessionize to equal the global one"
+        )
+    bkt = F.date_trunc(bucket, F.col(ts_col)).alias("_bkt")
+    order = [F.col(ts_col).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+
+    local_w = Window.partitionBy(user_col, "_bkt").orderBy(*order)
+    prev_ts = F.lag(ts_col).over(local_w)
+    gap_ms = F.unix_millis(F.col(ts_col)) - F.unix_millis(prev_ts)
+    new_local = F.when(prev_ts.isNull() | (gap_ms > gap_seconds * 1000), 1).otherwise(0)
+    local = df.withColumn("_bkt", bkt).withColumn(
+        "_lsid",
+        F.sum(new_local)
+        .over(local_w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+
+    summary = local.groupBy(user_col, "_bkt").agg(
+        F.max("_lsid").alias("_k"),
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    user_w = Window.partitionBy(user_col).orderBy("_bkt")
+    boundary_ms = F.unix_millis(F.col("_first")) - F.unix_millis(
+        F.lag("_last").over(user_w)
+    )
+    merge_flag = F.when(
+        boundary_ms.isNotNull() & (boundary_ms <= gap_seconds * 1000), 1
+    ).otherwise(0)
+    stitched = summary.withColumn("_merge", merge_flag.cast("bigint")).withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum(F.col("_k") - F.col("_merge")).over(
+                user_w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+
+    return (
+        local.join(
+            stitched.select(user_col, "_bkt", "_merge", "_cum_before"),
+            [user_col, "_bkt"],
+        )
+        .withColumn(
+            "session_id", (F.col("_cum_before") + F.col("_lsid") - F.col("_merge")).cast("bigint")
+        )
+        .drop("_bkt", "_lsid", "_merge", "_cum_before")
+    )
+
+
 def scd2_point_in_time(
     facts: DataFrame,
     dim: DataFrame,

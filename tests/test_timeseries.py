@@ -178,3 +178,53 @@ def test_scd2_point_in_time_golden(spark):
         for r in scd2_point_in_time(facts, dim, "k", "k", "at", ["val"]).collect()
     }
     assert out == {10: "v1", 11: "v2", 12: None, 13: "w1", 14: None}
+
+
+def test_sessionize_bucketed_equals_global(spark, sf_dir):
+    """The two-pass bucketed sessionize must assign the IDENTICAL
+    (user, event) -> session_id mapping as the single-window global
+    sessionize on the real events table."""
+    from pipes_spark.operators.relational import sessionize, sessionize_bucketed
+    from pipes_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize(ev, "user_id", "ts", 1800, order_tiebreak="event_id").collect()
+    }
+    bucketed = {
+        (r.user_id, r.event_id): r.session_id
+        for r in sessionize_bucketed(
+            ev, "user_id", "ts", 1800, bucket="day", order_tiebreak="event_id"
+        ).collect()
+    }
+    assert bucketed == plain
+
+
+def test_sessionize_bucketed_boundary_cases(spark):
+    """Sessions crossing midnight (gap <= threshold) must merge; a whole
+    empty day must split; equality at exactly the gap must merge (the >
+    contract); invalid bucket/gap combos must raise."""
+    import pytest as _pytest
+
+    from pipes_spark.operators.relational import sessionize_bucketed
+
+    rows = [
+        (1, 1, _ts("2024-01-01 23:50:00")),
+        (2, 1, _ts("2024-01-02 00:10:00")),  # 20 min across midnight -> same session
+        (3, 1, _ts("2024-01-02 00:40:00")),  # exactly 30 min -> still same (> breaks)
+        (4, 1, _ts("2024-01-04 00:40:00")),  # empty Jan 3 -> new session
+        (5, 2, _ts("2024-01-01 10:00:00")),  # other user independent
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.session_id
+        for r in sessionize_bucketed(
+            df, "user_id", "ts", 1800, bucket="day", order_tiebreak="event_id"
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == 2
+    assert got[5] == 1
+    with _pytest.raises(ValueError):
+        sessionize_bucketed(df, "user_id", "ts", 90000, bucket="day")
