@@ -4097,3 +4097,35 @@ def sessionize_bucketed_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         (F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).alias("duration_ms"),
     )
+
+
+@query(
+    "streaming_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM events
+    """,
+)
+def streaming_ffill(spark, sf_dir):
+    """Streaming rolling last-seen-value per key (streaming.
+    stateful_forward_fill) — the reference's canonical stateful MiddleFunc
+    as a streaming operator; batch twin timeseries_ffill. The availableNow
+    drain over the single-file source is one time-ordered batch, so the
+    batch forward-fill SQL is an exact oracle; cross-batch state carry is
+    pytest-verified with ordered multi-file micro-batches."""
+    from .streaming import run_to_memory, stateful_forward_fill
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+    )
+    out = run_to_memory(
+        stateful_forward_fill(stream, "user_id", "ts", "pv", "value_ffill"),
+        output_mode="append",
+    )
+    return out.select("event_id", "user_id", "value_ffill")

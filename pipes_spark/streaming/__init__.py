@@ -286,3 +286,54 @@ def stream_upsert_latest(
     if not spark.catalog.tableExists(qualified):  # empty stream → empty target
         return spark.createDataFrame([], stream_df.schema)
     return spark.table(qualified)
+
+
+def stateful_forward_fill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "value_ffill",
+) -> DataFrame:
+    """Streaming forward fill: carry each key's last non-null value onto
+    every subsequent event, ACROSS micro-batches — the canonical stateful
+    ``MiddleFunc`` of the reference (a rolling last-seen-value per key,
+    ref: pipe/node.go:16-19) as an ``applyInPandasWithState`` operator.
+    The batch twin is ``operators.timeseries.forward_fill``.
+
+    State per key is one (value,) tuple. Within a batch rows are sorted by
+    event time before filling; across batches the state carries the fill
+    forward (correct when ingestion is time-ordered per key — the file-
+    source contract used here; out-of-order streams need event-time
+    buffering via a watermark + sort in ``transformWithState`` timers).
+
+    Scale: each batch shuffles only its own rows on the key; state is one
+    scalar per key in the (RocksDB) state store.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    in_fields = [f for f in df.schema.fields if f.name != "__never__"]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in in_fields]
+        + [f"{out_col} double"]
+    )
+
+    def fill(key, pdfs, state):
+        (last,) = state.get if state.exists else (None,)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            filled = []
+            for v in pdf[value_col]:
+                if v == v and v is not None:  # non-null, NaN-safe
+                    last = float(v)
+                filled.append(last)
+            pdf = pdf.assign(**{out_col: filled})
+            out.append(pdf)
+        state.update((last,))
+        yield pd.concat(out) if out else pd.DataFrame()
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fill, out_schema, "last double", "append", GroupStateTimeout.NoTimeout
+    )

@@ -321,3 +321,46 @@ def test_stream_upsert_latest_merges_across_batches(spark, tmp_path):
     )
     out = {r.k: (r.ts, r.v) for r in stream_upsert_latest(stream, ["k"], ["ts"]).collect()}
     assert out == {1: (30, "a3"), 2: (20, "b2"), 3: (6, "c2"), 4: (1, "d1")}
+
+
+def test_stateful_forward_fill_carries_state_across_batches(spark, tmp_path):
+    """Forward fill must carry the last-seen value BETWEEN micro-batches:
+    three single-file ordered batches; key 1's fill from batch 0 must
+    reach its null in batch 2, and a value updated in batch 1 must win."""
+    from pipes_spark.streaming import run_to_memory, stateful_forward_fill
+
+    schema = "event_id long, ts timestamp, user_id long, pv double"
+    batches = [
+        [(1, "2024-01-01 00:00:00", 1, 10.0), (2, "2024-01-01 00:00:01", 2, None)],
+        [(3, "2024-01-01 00:01:00", 1, None), (4, "2024-01-01 00:01:01", 2, 5.0)],
+        [(5, "2024-01-01 00:02:00", 1, None), (6, "2024-01-01 00:02:01", 2, None)],
+    ]
+    src = tmp_path / "ffill_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(e, __import__("datetime").datetime.fromisoformat(t), u, v) for e, t, u, v in rows],
+            schema,
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / f"b{i}"))
+        part = next(p for p in (tmp_path / f"b{i}").iterdir() if p.name.endswith(".parquet"))
+        (src / f"{i:03d}.parquet").symlink_to(part)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    got = {
+        r.event_id: r.value_ffill
+        for r in run_to_memory(
+            stateful_forward_fill(stream, "user_id", "ts", "pv", "value_ffill"),
+            output_mode="append",
+        ).collect()
+    }
+    assert got[1] == 10.0
+    assert got[2] is None          # no value seen yet for key 2
+    assert got[3] == 10.0          # carried from batch 0
+    assert got[4] == 5.0
+    assert got[5] == 10.0          # carried across two batch boundaries
+    assert got[6] == 5.0           # updated in batch 1 wins
