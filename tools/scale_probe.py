@@ -193,6 +193,31 @@ def main() -> None:
     run("funnel_1x", lambda: funnel(ev1, "user_id", "ts", "event_type", steps).count())
     run("funnel_10x", lambda: funnel(ev10, "user_id", "ts", "event_type", steps).count())
 
+    from pipes_spark.operators.relational import sessionize, sessionize_bucketed
+
+    # hot-user probe: ALL events on one user — the single-window sessionize
+    # puts the whole table in one task; the bucketed variant spreads it
+    hot1 = ev1.withColumn("user_id", F.lit(0))
+    hot10 = ev10.withColumn("user_id", F.lit(0)).localCheckpoint()
+    run(
+        "sessionize_hot_global",
+        lambda: sessionize(hot10, "user_id", "ts", 1800, order_tiebreak="event_id").count(),
+    )
+    run(
+        "sessionize_hot_bucketed",
+        lambda: sessionize_bucketed(
+            hot10, "user_id", "ts", 1800, order_tiebreak="event_id"
+        ).count(),
+    )
+    run(
+        "sessionize_bucketed_1x",
+        lambda: sessionize_bucketed(ev1, "user_id", "ts", 1800, order_tiebreak="event_id").count(),
+    )
+    run(
+        "sessionize_bucketed_10x",
+        lambda: sessionize_bucketed(ev10, "user_id", "ts", 1800, order_tiebreak="event_id").count(),
+    )
+
 
 if __name__ == "__main__":
     main()
