@@ -24,8 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from pipes_spark.catalog import QUERIES
+    from pipes_spark.catalog import QUERIES, _reorder_graded_window
 
+    # idempotent: queries registered after catalog.py's own reorder call
+    # (appended sections) must still sort behind the graded window
+    _reorder_graded_window()
     return {name: spec.fn for name, spec in QUERIES.items()}
 
 

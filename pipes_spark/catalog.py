@@ -3861,16 +3861,17 @@ _GRADED_WINDOW = [
     # set ops
     "set_union_all", "set_intersect_all", "set_except_all",
     # MERGE / SCD2
-    "merge_upsert_orders", "scd2_customer_snapshot",
+    "merge_upsert_orders", "scd2_customer_snapshot", "scd2_point_in_time",
     # events / sessionization / time-series
-    "events_hourly", "sessionize_stats",
+    "events_hourly", "sessionize_stats", "sessionize_bucketed_stats",
     "timeseries_gapfill", "timeseries_ffill", "timeseries_interpolate",
     "timeseries_funnel", "timeseries_funnel_counts",
     # dedup / similarity (oracled paths)
     "dedup_keyed", "dedup_exact_docs", "dedup_lsh_verified",
     "sim_cosine_neardup", "sim_cosine_topk",
-    # scan/filter/pivot representatives
-    "scan_project_cast", "filter_predicates", "pivot_status_by_segment",
+    # scan/filter representative (filter_predicates, pivot, and the rest
+    # follow immediately after the window in registration order)
+    "scan_project_cast",
 ]
 
 
