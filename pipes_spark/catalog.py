@@ -4130,3 +4130,76 @@ def streaming_ffill(spark, sf_dir):
         output_mode="append",
     )
     return out.select("event_id", "user_id", "value_ffill")
+
+
+@query(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id, event_type AS t, round(value, 6) AS mv,
+           user_id AS mu, event_id AS id0,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def scalar_variant(spark, sf_dir):
+    """Spark 4 VARIANT surface: build a nested JSON document per event,
+    ``parse_json`` it into a VARIANT, and extract typed values back out
+    with ``try_variant_get`` path expressions (nested object, array
+    index, and the raw ``props`` column's field). The oracle recomputes
+    the same values from the base columns — proving the VARIANT
+    round-trip is lossless (doubles survive via shortest-repr JSON)."""
+    ev = _t(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.struct(F.col("value").alias("v"), F.col("user_id").alias("u")).alias("m"),
+            F.array("event_id").alias("ids"),
+        )
+    )
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.t", "string").alias("t"),
+        F.round(F.try_variant_get(v, "$.m.v", "double"), 6).alias("mv"),
+        F.try_variant_get(v, "$.m.u", "long").alias("mu"),
+        F.try_variant_get(v, "$.ids[0]", "long").alias("id0"),
+        F.try_variant_get(F.parse_json("props"), "$.k", "long").alias("k"),
+    )
+
+
+@query(
+    "recursive_cte_closure",
+    oracle="""
+    WITH RECURSIVE chain(root, node, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+      UNION ALL
+      SELECT c.root, p.p_partkey, c.depth + 1
+      FROM chain c JOIN part p ON p.p_partkey // 10 = c.node AND p.p_partkey >= 10
+    )
+    SELECT root, count(*) AS n_desc, CAST(max(depth) AS BIGINT) AS max_depth
+    FROM chain GROUP BY root
+    """,
+)
+def recursive_cte_closure(spark, sf_dir):
+    """Recursive CTE (new in Spark 4): transitive closure over the
+    decimal-digit hierarchy of part keys (parent = key div 10) — per
+    root (<10), the descendant count and depth. Spark executes WITH
+    RECURSIVE natively (UnionLoop iterations); DuckDB runs its own
+    recursive CTE as the oracle. Equivalent iterative formulations are
+    already covered by connected_components/pagerank; this pins the SQL
+    surface itself."""
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(root, node, depth) AS (
+          SELECT p_partkey, p_partkey, 0 FROM part_rc WHERE p_partkey < 10
+          UNION ALL
+          SELECT c.root, p.p_partkey, c.depth + 1
+          FROM chain c JOIN part_rc p
+            ON p.p_partkey div 10 = c.node AND p.p_partkey >= 10
+        )
+        SELECT root, count(*) AS n_desc, CAST(max(depth) AS BIGINT) AS max_depth
+        FROM chain GROUP BY root
+        """
+    )
