@@ -4203,3 +4203,14 @@ def recursive_cte_closure(spark, sf_dir):
         FROM chain GROUP BY root
         """
     )
+
+
+@query("text_top_ngrams_approx")  # sketch-based, engine-specific → rows-only
+def text_top_ngrams_approx(spark, sf_dir):
+    """Sketch-based frequent n-grams (operators.text.top_ngrams_approx,
+    Spark 4 approx_top_k): bounded-memory one-pass alternative to the
+    exact hash aggregate; exactness under the tracking budget is
+    pytest-asserted against the exact operator."""
+    from .operators.text import top_ngrams_approx
+
+    return top_ngrams_approx(_t(spark, sf_dir, "documents"), n=3, k=20)

@@ -383,3 +383,31 @@ def char_entropy(
             "char_entropy_bits",
         )
     )
+
+
+def top_ngrams_approx(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    text_col: str = "text",
+    max_items_tracked: int = 100_000,
+) -> DataFrame:
+    """Sketch-based variant of :func:`top_ngrams`: one pass with Spark 4's
+    ``approx_top_k`` aggregate instead of a full (ngram, count) hash
+    aggregate. The sketch tracks ``max_items_tracked`` candidates per
+    partition and merges — bounded memory regardless of n-gram
+    cardinality, the right trade when the exact aggregate's shuffle of
+    billions of distinct n-grams is itself the bottleneck. Exact when the
+    distinct count stays under the budget (pytest-asserted); ranking ties
+    are broken arbitrarily by the sketch, so downstream consumers needing
+    determinism use the exact operator."""
+    from .dedup import word_shingles
+
+    grams = df.select(F.explode(word_shingles(F.col(text_col), n)).alias("ngram"))
+    return (
+        grams.select(
+            F.expr(f"approx_top_k(ngram, {k}, {max_items_tracked})").alias("top")
+        )
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("ngram"), F.col("e.count").alias("n_docs"))
+    )

@@ -793,3 +793,22 @@ def test_winnowing_shared_substring_guarantees_shared_fingerprint(spark):
     assert set(sets[1]) & set(sets[2]), "planted shared substring must collide"
     # doc 3 shares no 23-char substring with doc 1 (random 27-alphabet text)
     assert not set(sets[1]) & set(sets[3])
+
+
+def test_top_ngrams_approx_exact_under_budget(spark, sf_dir):
+    """With the tracking budget above the distinct n-gram count, the
+    sketch must return exactly the exact operator's (ngram, count) set
+    (ranking ties may order differently — compare as a set)."""
+    from pipes_spark.operators.text import top_ngrams, top_ngrams_approx
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 10
+    exact = {(r.ngram, r.n_docs) for r in top_ngrams(docs, n=3, k=k).collect()}
+    approx = {
+        (r.ngram, r.n_docs)
+        for r in top_ngrams_approx(docs, n=3, k=k, max_items_tracked=1_000_000).collect()
+    }
+    # tie groups at the k-th count may differ member-wise; counts must agree
+    assert sorted(c for _, c in approx) == sorted(c for _, c in exact)
+    threshold = min(c for _, c in exact)
+    assert {(g, c) for g, c in exact if c > threshold} <= approx
