@@ -4214,3 +4214,57 @@ def text_top_ngrams_approx(spark, sf_dir):
     from .operators.text import top_ngrams_approx
 
     return top_ngrams_approx(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+@query(
+    "scalar_nullsafe_map",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN round(value, 0) END AS pv
+      FROM events
+    ), runs AS (
+      SELECT user_id,
+             CASE WHEN pv IS NOT DISTINCT FROM lag(pv) OVER w THEN 1 ELSE 0 END AS same
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), per_type AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ), typed AS (
+      SELECT user_id, list_sort(list(event_type)) AS types, sum(n) AS total
+      FROM per_type GROUP BY user_id
+    )
+    SELECT r.user_id, r.n_nullsafe_same, typed.types, CAST(typed.total AS BIGINT) AS total_events
+    FROM (SELECT user_id, CAST(sum(same) AS BIGINT) AS n_nullsafe_same FROM runs GROUP BY user_id) r
+    JOIN typed ON r.user_id = typed.user_id
+    """,
+)
+def scalar_nullsafe_map(spark, sf_dir):
+    """Null-safe equality (`eqNullSafe` / IS NOT DISTINCT FROM) on a
+    NULL-heavy derived column (consecutive-event comparison where NULL <=>
+    NULL is TRUE), plus the map function surface: per-user event-type
+    counts built into a MAP (`map_from_entries`), read back out through
+    `map_keys` / `map_values`. The oracle computes the same results
+    without the map detour, proving the map round-trip is lossless."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pv = F.when(F.col("event_type") == "purchase", F.round("value", 0))
+    runs = (
+        ev.withColumn("pv", pv)
+        .withColumn("same", F.when(F.col("pv").eqNullSafe(F.lag("pv").over(w)), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("same").cast("bigint").alias("n_nullsafe_same"))
+    )
+    m = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m"))
+        .select(
+            "user_id",
+            F.array_sort(F.map_keys("m")).alias("types"),
+            F.aggregate(F.map_values("m"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "total_events"
+            ),
+        )
+    )
+    return runs.join(m, "user_id")

@@ -812,3 +812,17 @@ def test_top_ngrams_approx_exact_under_budget(spark, sf_dir):
     assert sorted(c for _, c in approx) == sorted(c for _, c in exact)
     threshold = min(c for _, c in exact)
     assert {(g, c) for g, c in exact if c > threshold} <= approx
+
+
+def test_schema_of_json_inference(spark):
+    """schema_of_json (engine-specific output, so pytest not oracle): the
+    inferred DDL for a fixed literal must round-trip through from_json."""
+    df = spark.range(1)
+    ddl = df.select(
+        F.schema_of_json(F.lit('{"a": 1, "b": [1.5], "c": {"d": "x"}}')).alias("s")
+    ).collect()[0].s
+    assert "a" in ddl and "b" in ddl and "d" in ddl
+    parsed = spark.createDataFrame(
+        [('{"a": 7, "b": [2.5, 3.5], "c": {"d": "y"}}',)], "j string"
+    ).select(F.from_json("j", ddl).alias("o")).collect()[0].o
+    assert parsed.a == 7 and parsed.b == [2.5, 3.5] and parsed.c.d == "y"
