@@ -1453,7 +1453,10 @@ def sim_cosine_neardup(spark, sf_dir):
     from .operators.similarity import cosine_neardup_pairs_tiled
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs_tiled(emb, threshold=0.3, block_size=1024)
+    # default block_size=4096: at bench scale (20k vectors) that is ~15
+    # tiles; 1024 would mean 210 tiny Python tasks of pure Arrow overhead.
+    # The multi-block tiling path is parity-tested with block_size=64.
+    return cosine_neardup_pairs_tiled(emb, threshold=0.3)
 
 
 @query("sim_lsh_topk")  # approximate by construction → rows-only check
