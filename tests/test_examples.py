@@ -1,0 +1,51 @@
+"""Smoke tests: every shipped example must run end-to-end against the real
+testdata (in-process — getOrCreate reuses the test session)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+sys.path.insert(0, EXAMPLES)
+
+
+def test_minigrep_example(spark, tmp_path, monkeypatch, capsys):
+    import minigrep
+
+    f = tmp_path / "input.txt"
+    f.write_text("hello click world\nno match here\nanother click line\n")
+    monkeypatch.setattr(sys, "argv", ["minigrep.py", "click", str(f)])
+    assert minigrep.main() == 0
+    out = capsys.readouterr().out
+    assert out.count("click") >= 2 and "no match here" not in out
+
+
+def test_product_analytics_example(spark, sf_dir, monkeypatch, capsys):
+    import product_analytics
+
+    monkeypatch.setattr(sys, "argv", ["product_analytics.py", sf_dir])
+    assert product_analytics.main() == 0
+    out = capsys.readouterr().out
+    assert "sessions=" in out and "step 3 purchase" in out
+
+
+def test_stream_portability_example(spark, sf_dir, monkeypatch, capsys):
+    import stream_portability
+
+    monkeypatch.setattr(sys, "argv", ["stream_portability.py", sf_dir])
+    monkeypatch.delenv("KAFKA_BOOTSTRAP", raising=False)
+    assert stream_portability.main() == 0
+    out = capsys.readouterr().out
+    assert "windows=" in out and "events=" in out
+
+
+def test_corpus_pipeline_example(spark, sf_dir, tmp_path, monkeypatch):
+    import corpus_pipeline
+
+    out_dir = str(tmp_path / "corpus_out")
+    monkeypatch.setattr(sys, "argv", ["corpus_pipeline.py", sf_dir, out_dir])
+    assert corpus_pipeline.main() == 0
+    assert os.path.isdir(os.path.join(out_dir, "corpus"))
