@@ -221,10 +221,12 @@ def lsh_verified_pairs(
         .unionByName(cand.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    # candidate docs only: the id set is tiny by construction → broadcast
-    # semi-join, the corpus side never shuffles
+    # candidate docs only. No forced broadcast: on duplicate-heavy corpora
+    # the candidate id set is O(corpus) and a broadcast hint would pin an
+    # unbounded driver collect — let AQE broadcast when it measures small
+    # and fall back to a shuffled semi-join when it isn't
     sh = (
-        df.join(F.broadcast(ids), df[id_col] == ids["id"], "left_semi")
+        df.join(ids, df[id_col] == ids["id"], "left_semi")
         .select(
             F.col(id_col).alias("_vid"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),

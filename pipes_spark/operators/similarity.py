@@ -327,6 +327,9 @@ def fit_ivf_centroids(
     )
     X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    # a sample smaller than the requested codebook: every vector is its own
+    # centroid (the Lloyd loop below indexes C[j] for j < num_centroids)
+    num_centroids = min(num_centroids, len(X))
     C = X[:num_centroids].copy()
     if method == "kmeans":
         for _ in range(iters):

@@ -40,8 +40,13 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
 
     ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
     if ntz:
-        # the cast interprets NTZ wall-clock in the session zone; pin UTC so
-        # it matches the oracle regardless of the caller's session config
+        # The cast interprets NTZ wall-clock in the session zone AT
+        # EXECUTION TIME (the plan is lazy), so the UTC pin must be
+        # permanent — a set/restore scope around this call would restore
+        # the old zone before any action runs and silently change the
+        # values. Deliberate session-wide side effect, documented in
+        # CLAUDE.md/README; the engine's own session factory already pins
+        # UTC, this covers driver-owned sessions.
         df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df

@@ -313,26 +313,31 @@ def stateful_forward_fill(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    in_fields = [f for f in df.schema.fields if f.name != "__never__"]
     out_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in in_fields]
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
         + [f"{out_col} double"]
     )
 
     def fill(key, pdfs, state):
         (last,) = state.get if state.exists else (None,)
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            filled = []
-            for v in pdf[value_col]:
-                if v == v and v is not None:  # non-null, NaN-safe
-                    last = float(v)
-                filled.append(last)
-            pdf = pdf.assign(**{out_col: filled})
-            out.append(pdf)
+        # a group arrives as an ITERATOR of Arrow chunks (split at
+        # maxRecordsPerBatch) in no guaranteed order — concatenate FIRST,
+        # then sort once; per-chunk sorting would fill large groups in
+        # arbitrary cross-chunk order
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts_col, kind="stable", ignore_index=True
+        )
+        filled = []
+        for v in pdf[value_col]:
+            if v == v and v is not None:  # non-null, NaN-safe
+                last = float(v)
+            filled.append(last)
         state.update((last,))
-        yield pd.concat(out) if out else pd.DataFrame()
+        yield pdf.assign(**{out_col: filled})
 
     return df.groupBy(key_col).applyInPandasWithState(
         fill, out_schema, "last double", "append", GroupStateTimeout.NoTimeout

@@ -826,3 +826,19 @@ def test_schema_of_json_inference(spark):
         [('{"a": 7, "b": [2.5, 3.5], "c": {"d": "y"}}',)], "j string"
     ).select(F.from_json("j", ddl).alias("o")).collect()[0].o
     assert parsed.a == 7 and parsed.b == [2.5, 3.5] and parsed.c.d == "y"
+
+
+def test_ivf_codebook_smaller_sample_than_centroids(spark):
+    """Requesting more centroids than the corpus has vectors must clamp,
+    not crash (every vector becomes its own centroid)."""
+    from pipes_spark.operators.similarity import fit_ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    C = fit_ivf_centroids(emb, num_centroids=16, method="kmeans")
+    assert C.shape == (5, 4)
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)

@@ -364,3 +364,39 @@ def test_stateful_forward_fill_carries_state_across_batches(spark, tmp_path):
     assert got[4] == 5.0
     assert got[5] == 10.0          # carried across two batch boundaries
     assert got[6] == 5.0           # updated in batch 1 wins
+
+
+def test_stateful_forward_fill_survives_multi_chunk_groups(spark, tmp_path):
+    """A group delivered as MULTIPLE Arrow chunks (maxRecordsPerBatch
+    smaller than the group) must still fill in global (ts) order — the
+    chunks arrive as an iterator and must be concatenated before sorting."""
+    import datetime
+
+    from pipes_spark.streaming import run_to_memory, stateful_forward_fill
+
+    n = 60
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), 1,
+         float(i) if i % 7 == 0 else None)
+        for i in range(n)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, pv double"
+    d = str(tmp_path / "chunks")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = spark.readStream.schema(schema).parquet(d)
+        got = {
+            r.event_id: r.value_ffill
+            for r in run_to_memory(
+                stateful_forward_fill(stream, "user_id", "ts", "pv", "value_ffill"),
+                output_mode="append",
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert len(got) == n
+    for i in range(n):
+        want = float(i - i % 7)  # last multiple of 7 at or before i
+        assert got[i] == want, (i, got[i], want)
