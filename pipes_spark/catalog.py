@@ -4271,3 +4271,38 @@ def scalar_nullsafe_map(spark, sf_dir):
         )
     )
     return runs.join(m, "user_id")
+
+
+@query(
+    "text_fuzzy_match",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_id,
+             substr(c_name, 1, 5) || substr(c_name, 7) AS needle
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    SELECT p.probe_id, p.needle, c.c_custkey, c.c_name,
+           CAST(levenshtein(c.c_name, p.needle) AS BIGINT) AS distance
+    FROM customer c JOIN probes p
+      ON abs(len(c.c_name) - len(p.needle)) <= 2
+     AND levenshtein(c.c_name, p.needle) <= 2
+    """,
+)
+def text_fuzzy_match(spark, sf_dir):
+    """Edit-distance fuzzy matching (operators.text.fuzzy_match): probe
+    names with one character deleted must re-find their source rows (and
+    any other names within 2 edits). Broadcast probes; the cheap length
+    conjunct short-circuits the Levenshtein DP. Both engines implement
+    identical Levenshtein semantics."""
+    from .operators.text import fuzzy_match
+
+    cust = _t(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.substring("c_name", 1, 5), F.expr("substring(c_name, 7)")
+        ).alias("needle"),
+    )
+    return fuzzy_match(
+        cust.select("c_custkey", "c_name"), probes, "c_name", "needle", max_distance=2
+    ).select("probe_id", "needle", "c_custkey", "c_name", "distance")

@@ -411,3 +411,32 @@ def top_ngrams_approx(
         .select(F.explode("top").alias("e"))
         .select(F.col("e.item").alias("ngram"), F.col("e.count").alias("n_docs"))
     )
+
+
+def fuzzy_match(
+    df: DataFrame,
+    probes: DataFrame,
+    col: str,
+    probe_col: str,
+    max_distance: int = 2,
+    out_distance: str = "distance",
+) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution lite): every (row,
+    probe) pair within ``max_distance`` Levenshtein edits.
+
+    Scale: the probe side is broadcast (query lists are small by
+    contract); the length pre-filter ``|len(a) − len(b)| ≤ max_distance``
+    is applied FIRST in the join condition so the expensive edit-distance
+    DP short-circuits on the cheap conjunct (Catalyst evaluates And
+    left-to-right). For big×big fuzzy joins, block first (length bucket
+    or first-k-char prefix) and run this per block — the same
+    candidate-then-verify shape as the dedup operators.
+    """
+    d = F.levenshtein(F.col(col), F.col(probe_col))
+    len_ok = (
+        F.abs(F.length(F.col(col)) - F.length(F.col(probe_col))) <= max_distance
+    )
+    return (
+        df.join(F.broadcast(probes), len_ok & (d <= max_distance))
+        .withColumn(out_distance, d.cast("bigint"))
+    )

@@ -842,3 +842,18 @@ def test_ivf_codebook_smaller_sample_than_centroids(spark):
     import numpy as np
 
     assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+
+
+def test_fuzzy_match_golden(spark):
+    from pipes_spark.operators.text import fuzzy_match
+
+    names = spark.createDataFrame(
+        [(1, "jonathan"), (2, "jonatan"), (3, "margaret"), (4, "xyz")],
+        "id long, name string",
+    )
+    probes = spark.createDataFrame([(100, "jonathon")], "pid long, needle string")
+    got = {
+        (r.id, r.pid): r.distance
+        for r in fuzzy_match(names, probes, "name", "needle", max_distance=2).collect()
+    }
+    assert got == {(1, 100): 1, (2, 100): 2}  # margaret/xyz out of range
