@@ -4306,3 +4306,39 @@ def text_fuzzy_match(spark, sf_dir):
     return fuzzy_match(
         cust.select("c_custkey", "c_name"), probes, "c_name", "needle", max_distance=2
     ).select("probe_id", "needle", "c_custkey", "c_name", "distance")
+
+
+@query(
+    "unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n_events,
+             round(sum(value), 2) AS total_value,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS metric_value FROM wide
+    UNION ALL
+    SELECT event_type, 'total_value', total_value FROM wide
+    UNION ALL
+    SELECT event_type, 'avg_value', avg_value FROM wide
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT / melt (the inverse of pivot): per-type wide aggregates
+    rotated into (key, metric, value) long form with ``DataFrame.unpivot``
+    — one pass, no join; the oracle states the same rotation as a UNION
+    ALL of projections (Catalyst plans Expand for both shapes)."""
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    return wide.unpivot(
+        ["event_type"],
+        ["n_events", "total_value", "avg_value"],
+        "metric",
+        "metric_value",
+    )
