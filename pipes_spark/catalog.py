@@ -4342,3 +4342,219 @@ def unpivot_metrics(spark, sf_dir):
         "metric",
         "metric_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# profiling / statistics operators
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _profile_oracle() -> str:
+    from .operators.profiling import profile_sql
+
+    return profile_sql("orders", _PROFILE_COLS)
+
+
+@query("profile_orders", oracle=_profile_oracle())
+def profile_orders(spark, sf_dir):
+    """Per-column profile of the orders table (null count, exact distinct,
+    min/max) — ONE aggregation job over the scan, unpivoted into the tall
+    report with zero extra passes (operators.profiling.profile_table). At
+    100 TB the ``approx=True`` HLL mode makes it a true single pass; exact
+    mode here so the DuckDB oracle can hash-match. Columns are restricted
+    to string/integer types in the declared query because double→string
+    rendering differs across engines (scientific notation) — a rendering
+    caveat, not a capability one (pytest covers the full-width profile)."""
+    from .operators.profiling import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def _linear_fit_oracle() -> str:
+    from .operators.profiling import linear_fit_sql
+
+    return linear_fit_sql(
+        "events",
+        ["event_type"],
+        "(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0",
+        "value",
+        min_points=3,
+    )
+
+
+@query("stats_linear_fit", oracle=_linear_fit_oracle())
+def stats_linear_fit(spark, sf_dir):
+    """Per-event-type OLS trend of value over time (closed-form normal
+    equations from DECIMAL sufficient statistics — exact, order-independent,
+    one groupBy shuffle; operators.profiling.linear_fit). x is seconds since
+    the epoch base — micros would overflow the DECIMAL(38,6) Σx² capture at
+    sf≥0.1, and ANSI mode forbids a direct timestamp→double cast."""
+    from .operators.profiling import linear_fit
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    x = (F.unix_micros(F.col("ts")) - base) / F.lit(1000000.0)
+    return linear_fit(ev, ["event_type"], x, F.col("value"), min_points=3)
+
+
+# ---------------------------------------------------------------------------
+# time-series: EWMA smoothing and rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+def _ewma_oracle() -> str:
+    from .operators.timeseries import ewma_sql
+
+    expr = ewma_sql(["user_id"], ["ts", "event_id"], "value", alpha=0.3, span=12)
+    return f"""
+    SELECT event_id, user_id, value, {expr} AS value_ewma
+    FROM events
+    """
+
+
+@query("ts_ewma", oracle=_ewma_oracle())
+def ts_ewma(spark, sf_dir):
+    """Bounded-horizon EWMA per user (operators.timeseries.ewma): the
+    reference's canonical stateful MiddleFunc recursion (ref:
+    pipe/node.go:16-19) re-expressed as a finite-impulse window — ONE
+    shuffle on the key, a flat span-term lag chain in codegen, identical
+    left-fold arithmetic in the oracle so doubles match bit-for-bit."""
+    from .operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    return ewma(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.3, span=12,
+        out_col="value_ewma",
+    ).drop("ts")
+
+
+@query(
+    "ts_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             count(value) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_id, event_type, value,
+             round(sx / nullif(n, 0), 6) AS roll_avg,
+             round(sqrt(greatest((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0), 0.0)), 6) AS roll_std,
+             CASE WHEN n >= 10 AND greatest((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0), 0.0) > 0
+                  THEN round((value - sx / nullif(n, 0)) / sqrt(greatest((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0), 0.0)), 6)
+             END AS zscore
+      FROM s
+    )
+    SELECT * FROM z WHERE abs(zscore) >= 2.5
+    """,
+)
+def ts_zscore_outliers(spark, sf_dir):
+    """Rolling z-score anomaly detection per event type: each observation
+    scored against its own trailing 50 rows only (streaming framing — the
+    scored point never contaminates its baseline). DECIMAL Σx/Σx² window
+    sums make mean/variance exact and engine-portable
+    (operators.timeseries.zscore_outliers); one shuffle, one sorted pass."""
+    from .operators.timeseries import zscore_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    return zscore_outliers(
+        ev, ["event_type"], ["ts", "event_id"], "value",
+        threshold=2.5, lookback=50, min_periods=10,
+    ).drop("ts")
+
+
+# ---------------------------------------------------------------------------
+# text: fixed-token-window chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_chunk_windows",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), st AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             unnest(range(0, greatest(len(tk) - 1, 0) + 1, 24)) AS start_token
+      FROM toks WHERE len(tk) > 0
+    )
+    SELECT doc_id,
+           CAST(start_token / 24 AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(len(tk[start_token + 1 : start_token + 32]) AS BIGINT) AS chunk_tokens,
+           array_to_string(tk[start_token + 1 : start_token + 32], ' ') AS chunk_text
+    FROM st WHERE start_token < n
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping fixed-token-budget chunking (max 32 tokens, stride 24 —
+    8-token overlap): the context-window preparation stage of a training
+    pipeline (operators.text.chunk_token_windows). Map-side only — no
+    shuffle; chunking 100 TB is a pure scan→write job."""
+    from .operators.text import chunk_token_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_token_windows(docs, "doc_id", "text", max_tokens=32, stride=24)
+
+
+# ---------------------------------------------------------------------------
+# sampling: per-row weighted Bernoulli keep
+# ---------------------------------------------------------------------------
+
+def _weighted_sample_oracle() -> str:
+    from .operators.sampling import weighted_sample_sql
+
+    pred = weighted_sample_sql("doc_id", "least(1.0, n_chars / 400.0)", salt="wq")
+    return f"SELECT doc_id, source, n_chars FROM documents WHERE {pred}"
+
+
+@query("sample_weighted", oracle=_weighted_sample_oracle())
+def sample_weighted(spark, sf_dir):
+    """Quality-weighted downsampling: keep each document with probability
+    proportional to its (clamped) length score, decided by the portable md5
+    hash — deterministic across runs, partitionings, engines, and scale
+    factors (operators.sampling.weighted_sample). Map-side codegen filter;
+    no shuffle, no RNG state."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = F.least(F.lit(1.0), F.col("n_chars") / 400.0)
+    return weighted_sample(docs, "doc_id", w, salt="wq")
+
+
+# ---------------------------------------------------------------------------
+# clustering: distributed spherical k-means + SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+@query("cluster_kmeans_stats", oracle=None)
+def cluster_kmeans_stats(spark, sf_dir):
+    """Distributed spherical k-means (operators.clustering.kmeans_fit):
+    Lloyd rounds where assignment is a map-side Arrow matmul against the
+    broadcast codebook and the centroid update is ONE k×dim-cell DECIMAL
+    aggregate — exact, order-independent, bit-reproducible. Reported as the
+    per-cluster size + mean-cosine table. Non-SQL-expressible (iterative);
+    pytest asserts numpy-Lloyd parity and invariants."""
+    from .operators.clustering import kmeans_cluster_stats, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = kmeans_fit(emb, k=8, iters=3, seed=42)
+    return kmeans_cluster_stats(emb, C)
+
+
+@query("dedup_semantic_pairs", oracle=None)
+def dedup_semantic_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    emit near-duplicate pairs (cosine ≥ 0.3) only WITHIN clusters — pair
+    work is Σ|c|² with a hash-deterministic cap on degenerate clusters,
+    never n² (operators.clustering.semantic_dedup_pairs). Pytest verifies
+    exact agreement with brute-force cosine restricted to the same
+    cluster assignment."""
+    from .operators.clustering import kmeans_fit, semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = kmeans_fit(emb, k=4, iters=3, seed=42)
+    return semantic_dedup_pairs(emb, C, threshold=0.3).orderBy("id_a", "id_b")

@@ -6,10 +6,12 @@ available after ``import pipes_spark.operators``.
 """
 
 from . import (
+    clustering,
     components,
     dedup,
     multimodal,
     packing,
+    profiling,
     relational,
     rollup,
     sampling,
@@ -21,10 +23,12 @@ from . import (
 )
 
 __all__ = [
+    "clustering",
     "components",
     "dedup",
     "multimodal",
     "packing",
+    "profiling",
     "relational",
     "rollup",
     "sampling",

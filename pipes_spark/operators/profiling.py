@@ -1,0 +1,166 @@
+"""Data-profiling operators: per-column summary statistics and per-group
+closed-form linear regression — the "know your 100 TB before you train on
+it" surface (every curation pipeline starts with a profile pass).
+
+Scale:
+
+* ``profile_table`` is ONE aggregation job producing a single row of
+  ``3 + 4·len(cols)`` cells, then a driver-free unpivot into the tall
+  report. Exact distinct counts expand the aggregate (one pass per distinct
+  column internally via Catalyst's Expand); ``approx=True`` switches to
+  HLL++ sketches — one true single pass, the 100 TB default.
+* ``linear_fit`` is a plain groupBy over closed-form sufficient statistics
+  (Σx, Σy, Σxy, Σx²) accumulated as DECIMAL — exact, order-independent,
+  and engine-portable (float Σxy differs across engines by summation
+  order; decimal does not). Slope/intercept/R² come out of the normal
+  equations in one shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """Tall per-column profile: one row per column with null count, exact
+    (or HLL-approximate) distinct count, and min/max rendered as strings.
+
+    Output schema: (column, n_rows, n_nulls, n_distinct, min_value,
+    max_value) — stable regardless of the profiled columns' types, so
+    profiles of different tables union cleanly."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        col = F.col(c)
+        aggs.append(F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("bigint").alias(f"_nn_{c}"))
+        aggs.append(
+            (F.approx_count_distinct(col) if approx else F.count_distinct(col))
+            .cast("bigint")
+            .alias(f"_nd_{c}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"_mn_{c}"))
+        aggs.append(F.max(col).cast("string").alias(f"_mx_{c}"))
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").cast("bigint").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_value"),
+                F.col(f"_mx_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("r")).select(
+        "r.column", "r.n_rows", "r.n_nulls", "r.n_distinct", "r.min_value", "r.max_value"
+    )
+
+
+def profile_sql(table: str, cols: Sequence[str]) -> str:
+    """DuckDB twin of :func:`profile_table` (exact mode): one aggregate CTE,
+    one UNION ALL unpivot — identical cells."""
+    aggs = ["count(*) AS _rows"]
+    for c in cols:
+        aggs.append(f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS _nn_{c}")
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS _nd_{c}")
+        aggs.append(f"CAST(min({c}) AS VARCHAR) AS _mn_{c}")
+        aggs.append(f"CAST(max({c}) AS VARCHAR) AS _mx_{c}")
+    selects = [
+        f"SELECT '{c}' AS \"column\", _rows AS n_rows, _nn_{c} AS n_nulls,"
+        f" _nd_{c} AS n_distinct, _mn_{c} AS min_value, _mx_{c} AS max_value FROM _p"
+        for c in cols
+    ]
+    return f"WITH _p AS (SELECT {', '.join(aggs)} FROM {table}) " + " UNION ALL ".join(selects)
+
+
+def linear_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: Column,
+    y: Column,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-group ordinary least squares y = slope·x + intercept, closed form.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²); R² from the regression /
+    total sum-of-squares identity. Sufficient statistics are DECIMAL(38,6)
+    sums — exact, so two engines computing the same normal equations agree
+    to the last bit before the shared round(…, 6). Groups with fewer than
+    ``min_points`` rows or zero x-variance get NULL slope/intercept/r2.
+
+    One groupBy shuffle; everything else is map-side arithmetic."""
+    acc = "decimal(38,6)"
+    g = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.sum(x.cast(acc)).cast("double").alias("_sx"),
+            F.sum(y.cast(acc)).cast("double").alias("_sy"),
+            F.sum((x * y).cast(acc)).cast("double").alias("_sxy"),
+            F.sum((x * x).cast(acc)).cast("double").alias("_sxx"),
+            F.sum((y * y).cast(acc)).cast("double").alias("_syy"),
+        )
+    )
+    n = F.col("n_points").cast("double")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    sxy, sxx, syy = F.col("_sxy"), F.col("_sxx"), F.col("_syy")
+    denom = n * sxx - sx * sx
+    sst = n * syy - sy * sy
+    ok = (F.col("n_points") >= min_points) & (denom != 0)
+    slope = F.when(ok, (n * sxy - sx * sy) / denom)
+    intercept = F.when(ok, (sy - slope * sx) / n)
+    r2 = F.when(
+        ok & (sst != 0),
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (denom * sst),
+    )
+    return g.select(
+        *group_cols,
+        F.col("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def linear_fit_sql(
+    table: str,
+    group_cols: Sequence[str],
+    x_expr: str,
+    y_expr: str,
+    min_points: int = 3,
+    where: Optional[str] = None,
+) -> str:
+    """DuckDB twin of :func:`linear_fit`: identical sufficient statistics and
+    normal-equation arithmetic."""
+    gc = ", ".join(group_cols)
+    wh = f"WHERE {where}" if where else ""
+    return f"""
+    WITH _g AS (
+      SELECT {gc},
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(CAST({x_expr} AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST({y_expr} AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(({x_expr}) * ({y_expr}) AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(({x_expr}) * ({x_expr}) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(({y_expr}) * ({y_expr}) AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM {table} {wh}
+      GROUP BY {gc}
+    )
+    SELECT {gc}, n_points,
+      round(CASE WHEN n_points >= {min_points} AND (n_points * sxx - sx * sx) <> 0
+        THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) END, 6) AS slope,
+      round(CASE WHEN n_points >= {min_points} AND (n_points * sxx - sx * sx) <> 0
+        THEN (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx) / n_points END, 6) AS intercept,
+      round(CASE WHEN n_points >= {min_points} AND (n_points * sxx - sx * sx) <> 0
+                  AND (n_points * syy - sy * sy) <> 0
+        THEN ((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy))
+             / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)) END, 6) AS r2
+    FROM _g
+    """

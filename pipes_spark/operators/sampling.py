@@ -145,3 +145,34 @@ def mixture_sample(
         .filter(hash_bucket(key, salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: Union[str, Column],
+    weight: Union[str, Column],
+    salt: str = "",
+) -> DataFrame:
+    """Per-row weighted Bernoulli keep: row survives iff
+    ``hash(key) < clamp(weight, 0, 1) · 2³²`` — quality-scored downsampling
+    (keep high-quality documents with probability ∝ score, the
+    soft-filtering alternative to a hard threshold).
+
+    Same portability contract as :func:`deterministic_sample`: the decision
+    depends only on (key, salt, weight), so it is identical across runs,
+    partitionings, engines, and scale factors. Map-side codegen filter —
+    no shuffle, no RNG state.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    clamped = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.filter(
+        hash_bucket(key, salt) < F.floor(clamped * F.lit(float(_BUCKETS)))
+    )
+
+
+def weighted_sample_sql(key_expr: str, weight_expr: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`weighted_sample`'s keep predicate."""
+    return (
+        f"{hash_bucket_sql(key_expr, salt)} < "
+        f"floor(least(1.0, greatest(0.0, CAST({weight_expr} AS DOUBLE))) * {float(_BUCKETS)!r})"
+    )

@@ -440,3 +440,51 @@ def fuzzy_match(
         df.join(F.broadcast(probes), len_ok & (d <= max_distance))
         .withColumn(out_distance, d.cast("bigint"))
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-window preparation step of a training pipeline (stride <
+    max_tokens gives max_tokens−stride tokens of overlap, the RoBERTa/BERT
+    sliding-window convention).
+
+    Output: one row per chunk with (id, chunk_id, start token offset,
+    chunk token count, chunk text). The last chunk may be short; a document
+    never emits a chunk that starts at/after its token count, and an empty
+    document emits nothing.
+
+    Scale: map-side only — tokenize, ``sequence`` of chunk starts (bounded:
+    ceil(n/stride) elements, ~10⁴ for a million-token doc), explode,
+    ``slice`` + ``array_join``. No shuffle at all; chunking 100 TB is a
+    pure scan→write pipeline. Chunk ids are deterministic (start offset
+    order), so reruns produce identical chunks.
+    """
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_tk"),
+            F.col("_n"),
+            F.posexplode(starts).alias("chunk_id", "start_token"),
+        )
+        .filter(F.col("start_token") < F.col("_n"))
+    )
+    piece = F.slice(F.col("_tk"), F.col("start_token") + 1, max_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("start_token").cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -246,3 +246,131 @@ def funnel_counts(
     return one.select(F.explode(arr).alias("r")).select(
         "r.step", "r.step_name", "r.n_users"
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: OrderCols,
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 12,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average with a bounded memory horizon.
+
+    The textbook EWMA is the recursion ``y_i = α·x_i + (1-α)·y_{i-1}`` —
+    inherently sequential, which in the reference would be per-element state
+    in a ``MiddleFunc`` (ref: pipe/node.go:16-19). Here it is the
+    finite-impulse form over the last ``span+1`` observations:
+    ``y_i = Σ_{d=0..span} (1-α)^d · x_{i-d} / Σ (1-α)^d`` (weights
+    renormalized over the rows that exist, so warm-up rows average over a
+    shorter tail — pandas ``ewm(adjust=True)`` semantics truncated at
+    ``span``). With α=0.3, span=12 the dropped tail weight is
+    (1-α)^13 ≈ 0.97% — bounded truncation error in exchange for a plan that
+    is ONE window shuffle and a flat codegen lag chain: no recursion, no
+    self-join, no per-key sequential scan, and any engine that evaluates the
+    same left-to-right chain reproduces it bit-for-bit (the SQL oracle
+    does exactly that).
+
+    Scale: single shuffle on ``keys``; ``span`` lag frames over one sorted
+    run; expression tree is ~4·span nodes — far under the JIT ceiling.
+    """
+    out_col = out_col or value_col + "_ewma"
+    w = Window.partitionBy(*keys).orderBy(*_order_list(order_cols))
+    v = F.col(value_col)
+    num = v  # d = 0 term: weight 1
+    den = F.when(v.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    for d in range(1, span + 1):
+        lagged = F.lag(v, d).over(w)
+        weight = float((1.0 - alpha) ** d)
+        num = num + F.coalesce(lagged * weight, F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col, F.round(num / den, 6))
+
+
+def ewma_sql(
+    keys: Sequence[str],
+    order_exprs: Sequence[str],
+    value_expr: str,
+    alpha: float = 0.3,
+    span: int = 12,
+) -> str:
+    """DuckDB twin of :func:`ewma`'s output expression — the identical
+    left-to-right chain, so float results match bit-for-bit before the
+    shared round(…, 6)."""
+    over = f"OVER (PARTITION BY {', '.join(keys)} ORDER BY {', '.join(order_exprs)})"
+    num = value_expr
+    den = f"(CASE WHEN {value_expr} IS NOT NULL THEN 1.0 ELSE 0.0 END)"
+    for d in range(1, span + 1):
+        lagged = f"lag({value_expr}, {d}) {over}"
+        weight = repr(float((1.0 - alpha) ** d))
+        num = f"({num} + coalesce({lagged} * {weight}, 0.0))"
+        den = f"({den} + (CASE WHEN {lagged} IS NOT NULL THEN {weight} ELSE 0.0 END))"
+    return f"round({num} / {den}, 6)"
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: OrderCols,
+    value_col: str,
+    lookback: int = 50,
+    min_periods: int = 10,
+) -> DataFrame:
+    """Rolling z-score of each observation against the PRECEDING ``lookback``
+    rows in its key (never including itself — the streaming-anomaly framing:
+    score the new point against history only).
+
+    Adds ``roll_avg``, ``roll_std`` (sample std), and ``zscore`` (NULL until
+    ``min_periods`` history rows exist or when the window is constant).
+
+    Mean and variance come from decimal ``Σx`` / ``Σx²`` over the frame —
+    exact and order-independent, so results are engine-portable (float
+    window aggregates differ across engines in summation order; DECIMAL
+    does not). One shuffle on ``keys``, one sorted window pass.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*_order_list(order_cols))
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    # nullif guards: ANSI mode (Spark 4 default) THROWS on /0, and the
+    # empty/singleton history rows hit n = 0 and n − 1 = 0
+    mean_div = F.nullif(n, F.lit(0))
+    var_div = F.nullif(n - 1, F.lit(0))
+    sx = F.sum(v.cast("decimal(28,6)")).over(w).cast("double")
+    sxx = F.sum((v * v).cast("decimal(28,6)")).over(w).cast("double")
+    mean = sx / mean_div
+    # clamp at 0: float cancellation in sxx − sx²/n can dip a true-zero
+    # variance epsilon-negative; gate on var (finite) rather than the std —
+    # sqrt(negative) is NaN and Spark orders NaN ABOVE every number, so a
+    # `std > 0` gate would silently pass
+    var = F.greatest((sxx - sx * sx / mean_div) / var_div, F.lit(0.0))
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= min_periods) & (var > 0), F.round((v - mean) / std, 6)
+    )
+    return (
+        df.withColumn("roll_avg", F.round(mean, 6))
+        .withColumn("roll_std", F.round(std, 6))
+        .withColumn("zscore", z)
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: OrderCols,
+    value_col: str,
+    threshold: float = 3.0,
+    lookback: int = 50,
+    min_periods: int = 10,
+) -> DataFrame:
+    """Rows whose value deviates ≥ ``threshold`` sample standard deviations
+    from their own trailing window — the anomaly-detection filter over
+    :func:`rolling_zscore`."""
+    scored = rolling_zscore(df, keys, order_cols, value_col, lookback, min_periods)
+    return scored.filter(F.abs(F.col("zscore")) >= threshold)

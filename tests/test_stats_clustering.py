@@ -1,0 +1,328 @@
+"""Semantic assertions for the profiling, clustering (k-means / SemDeDup),
+EWMA, rolling z-score, chunking, and weighted-sampling operators — the
+non-SQL-expressible ones get their correctness here (CLAUDE.md step 2)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pipes_spark.operators.clustering import (
+    assign_clusters,
+    kmeans_cluster_stats,
+    kmeans_fit,
+    kmeans_init,
+    semantic_dedup_keep,
+    semantic_dedup_pairs,
+)
+from pipes_spark.operators.profiling import linear_fit, profile_table
+from pipes_spark.operators.sampling import weighted_sample
+from pipes_spark.operators.text import chunk_token_windows
+from pipes_spark.operators.timeseries import ewma, rolling_zscore, zscore_outliers
+from pipes_spark.sources import load_table
+
+SF001 = "/root/testdata/sf0.01"
+
+
+# ---------------------------------------------------------------------------
+# k-means
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF001, "embeddings")
+
+
+def _numpy_lloyd(X, C0, iters, round_decimals=12):
+    """Driver-side replica of kmeans_fit's exact algorithm: spherical Lloyd
+    from the same init, means over exact (math.fsum) member sums."""
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    C = [list(c) for c in C0]
+    k = len(C)
+    for _ in range(iters):
+        M = np.array(C)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        assign = (Xn @ Mn.T).argmax(axis=1)
+        newC = []
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members) == 0:
+                newC.append(C[j])
+                continue
+            m = np.array([math.fsum(members[:, d]) for d in range(Xn.shape[1])])
+            m = m / len(members)
+            norm = max(float(np.linalg.norm(m)), 1e-300)
+            newC.append([round(x / norm, round_decimals) for x in m])
+        C = newC
+    return np.array(C)
+
+
+def test_kmeans_fit_matches_numpy_lloyd(spark, embeddings):
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+
+    C_spark = np.array(kmeans_fit(embeddings, k=6, iters=3, seed=42))
+
+    C0 = kmeans_init(embeddings, 6, seed=42)
+    C_np = _numpy_lloyd(X, C0, iters=3)
+    # the exact decimal sums in Spark and fsum in numpy should agree to
+    # ~1e-12 (both are exact; the division + rounding step is shared)
+    assert C_spark.shape == C_np.shape
+    np.testing.assert_allclose(C_spark, C_np, atol=1e-9)
+
+
+def test_kmeans_cluster_stats_invariants(spark, embeddings):
+    C = kmeans_fit(embeddings, k=6, iters=2, seed=42)
+    stats = kmeans_cluster_stats(embeddings, C).collect()
+    total = sum(r["n_members"] for r in stats)
+    assert total == embeddings.count()
+    for r in stats:
+        assert 0 <= r["cluster_id"] < 6
+        assert -1.0 - 1e-9 <= r["avg_cosine"] <= 1.0 + 1e-9
+    # spherical k-means on real data: members should lean toward their
+    # centroid, not away
+    assert all(r["avg_cosine"] > 0 for r in stats)
+
+
+def test_assign_clusters_nearest(spark, embeddings):
+    C = kmeans_fit(embeddings, k=4, iters=2, seed=7)
+    got = assign_clusters(embeddings, C).select("vec_id", "cluster_id").collect()
+    rows = embeddings.select("vec_id", "embedding").collect()
+    vecs = {r[0]: np.asarray(r[1], dtype="float64") for r in rows}
+    M = np.array(C)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    for r in got:
+        x = vecs[r["vec_id"]]
+        xn = x / max(np.linalg.norm(x), 1e-300)
+        assert r["cluster_id"] == int((xn @ Mn.T).argmax())
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_pairs_match_bruteforce(spark, embeddings):
+    C = kmeans_fit(embeddings, k=4, iters=3, seed=42)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semantic_dedup_pairs(embeddings, C, threshold=0.3).collect()
+    }
+
+    rows = embeddings.select("vec_id", "embedding").collect()
+    ids = [r[0] for r in rows]
+    X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    M = np.array(C)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    assign = (Xn @ Mn.T).argmax(axis=1)
+    S = Xn @ Xn.T
+    expected = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and assign[i] == assign[j]:
+                s = round(float(S[i, j]), 6)
+                # stay clear of the round-6 threshold boundary: a pair at
+                # exactly 0.3±1e-6 can legitimately flip on float order
+                if s >= 0.300001:
+                    expected[(ids[i], ids[j])] = s
+    core_got = {k: v for k, v in got.items() if v >= 0.300001}
+    assert set(core_got) == set(expected)
+    for k in expected:
+        assert abs(core_got[k] - expected[k]) <= 2e-6
+
+
+def test_semantic_dedup_keep_partition(spark, embeddings):
+    C = kmeans_fit(embeddings, k=4, iters=2, seed=42)
+    kept = semantic_dedup_keep(embeddings, C, threshold=0.3)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    pairs = semantic_dedup_pairs(embeddings, C, threshold=0.3).collect()
+    losers = {r["id_b"] for r in pairs}
+    all_ids = {r["vec_id"] for r in embeddings.select("vec_id").collect()}
+    assert kept_ids == all_ids - losers
+    # the anti-join dropped every loser and nothing else
+    assert losers.isdisjoint(kept_ids)
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+
+def test_profile_table_full_width(spark):
+    orders = load_table(spark, SF001, "orders")
+    prof = {
+        r["column"]: r
+        for r in profile_table(
+            orders, ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"]
+        ).collect()
+    }
+    n = orders.count()
+    assert set(prof) == {"o_orderkey", "o_totalprice", "o_orderdate", "o_orderstatus"}
+    assert all(r["n_rows"] == n for r in prof.values())
+    assert prof["o_orderkey"]["n_nulls"] == 0
+    assert prof["o_orderkey"]["n_distinct"] == n  # primary key
+    exp_min = orders.agg(F.min("o_totalprice")).first()[0]
+    assert float(prof["o_totalprice"]["min_value"]) == pytest.approx(exp_min)
+
+
+def test_profile_table_approx_mode(spark):
+    orders = load_table(spark, SF001, "orders")
+    prof = {
+        r["column"]: r for r in profile_table(orders, ["o_custkey"], approx=True).collect()
+    }
+    exact = orders.select("o_custkey").distinct().count()
+    # HLL++ default rsd is 5%
+    assert prof["o_custkey"]["n_distinct"] == pytest.approx(exact, rel=0.15)
+
+
+def test_linear_fit_recovers_exact_line(spark):
+    rows = [(g, float(x), 2.0 * x + 1.0) for g in ("a", "b") for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in linear_fit(df, ["g"], F.col("x"), F.col("y")).collect()}
+    for g in ("a", "b"):
+        assert got[g]["slope"] == pytest.approx(2.0)
+        assert got[g]["intercept"] == pytest.approx(1.0)
+        assert got[g]["r2"] == pytest.approx(1.0)
+        assert got[g]["n_points"] == 10
+
+
+def test_linear_fit_degenerate_groups(spark):
+    rows = [("flat", 1.0, 5.0), ("flat", 1.0, 7.0), ("flat", 1.0, 9.0),
+            ("tiny", 1.0, 2.0), ("tiny", 2.0, 4.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in linear_fit(df, ["g"], F.col("x"), F.col("y")).collect()}
+    assert got["flat"]["slope"] is None  # zero x-variance
+    assert got["tiny"]["slope"] is None  # below min_points
+
+
+# ---------------------------------------------------------------------------
+# EWMA / rolling z-score
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_golden(spark):
+    vals = [10.0, 20.0, 30.0, 40.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, i int, v double"
+    )
+    out = {
+        r["i"]: r["v_ewma"]
+        for r in ewma(df, ["k"], "i", "v", alpha=0.5, span=2, out_col="v_ewma").collect()
+    }
+    # finite-impulse EWMA, weights 1, .5, .25 renormalized over available lags
+    assert out[0] == pytest.approx(10.0)
+    assert out[1] == pytest.approx((20 + 0.5 * 10) / 1.5)
+    assert out[2] == pytest.approx((30 + 0.5 * 20 + 0.25 * 10) / 1.75)
+    assert out[3] == pytest.approx((40 + 0.5 * 30 + 0.25 * 20) / 1.75)
+
+
+def test_ewma_constant_series_is_identity(spark):
+    df = spark.createDataFrame([(1, i, 7.5) for i in range(20)], "k int, i int, v double")
+    out = ewma(df, ["k"], "i", "v", alpha=0.3, span=12, out_col="e").collect()
+    assert all(r["e"] == pytest.approx(7.5) for r in out)
+
+
+def test_rolling_zscore_golden(spark):
+    vals = [10.0, 12.0, 11.0, 9.0, 10.0, 11.0, 50.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, i int, v double"
+    )
+    out = {
+        r["i"]: r
+        for r in rolling_zscore(df, ["k"], "i", "v", lookback=10, min_periods=3).collect()
+    }
+    hist = vals[:6]
+    mean = sum(hist) / len(hist)
+    std = math.sqrt(sum((x - mean) ** 2 for x in hist) / (len(hist) - 1))
+    assert out[6]["roll_avg"] == pytest.approx(mean, abs=1e-6)
+    assert out[6]["roll_std"] == pytest.approx(std, abs=1e-6)
+    assert out[6]["zscore"] == pytest.approx((50.0 - mean) / std, abs=1e-5)
+    assert out[0]["zscore"] is None  # no history
+    assert out[1]["zscore"] is None  # below min_periods
+
+
+def test_zscore_outliers_flags_spike_only(spark):
+    base = [(1, i, 10.0 + (i % 3)) for i in range(30)]
+    spike = [(1, 30, 500.0)]
+    df = spark.createDataFrame(base + spike, "k int, i int, v double")
+    out = zscore_outliers(df, ["k"], "i", "v", threshold=3.0, lookback=20, min_periods=5)
+    got = [r["i"] for r in out.collect()]
+    assert got == [30]
+
+
+def test_rolling_zscore_constant_history_no_nan(spark):
+    df = spark.createDataFrame([(1, i, 5.0) for i in range(15)], "k int, i int, v double")
+    out = rolling_zscore(df, ["k"], "i", "v", lookback=10, min_periods=3).collect()
+    # zero variance → zscore NULL (never NaN), roll_std 0
+    assert all(r["zscore"] is None for r in out)
+    assert all(r["roll_std"] in (None, 0.0) for r in out)
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_token_windows_covers_and_reconstructs(spark):
+    docs = load_table(spark, SF001, "documents").limit(50)
+    chunks = chunk_token_windows(docs, max_tokens=32, stride=24).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in texts.items():
+        toks = [t for t in text.split() if t]
+        if not toks:
+            assert doc_id not in by_doc
+            continue
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_id"])
+        # starts advance by the stride; every chunk is within budget
+        assert [r["start_token"] for r in rows] == [24 * i for i in range(len(rows))]
+        assert all(r["chunk_tokens"] <= 32 for r in rows)
+        # stitching the non-overlapping prefixes reconstructs the doc exactly
+        rebuilt: list[str] = []
+        for r in rows:
+            piece = r["chunk_text"].split()
+            assert len(piece) == r["chunk_tokens"]
+            assert r["start_token"] <= len(rebuilt)  # no gaps between chunks
+            rebuilt.extend(piece[len(rebuilt) - r["start_token"]:])
+        assert rebuilt == toks
+        # overlap contract: consecutive chunks share max_tokens - stride
+        for prev, cur in zip(rows, rows[1:]):
+            prev_toks = prev["chunk_text"].split()
+            cur_toks = cur["chunk_text"].split()
+            overlap = prev["start_token"] + len(prev_toks) - cur["start_token"]
+            if overlap > 0:
+                assert prev_toks[-overlap:] == cur_toks[:overlap]
+
+
+def test_chunk_token_windows_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    rows = chunk_token_windows(df, max_tokens=32, stride=24).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b c"
+    assert rows[0]["chunk_tokens"] == 3
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_extremes_and_monotonicity(spark):
+    docs = load_table(spark, SF001, "documents").select("doc_id")
+    n = docs.count()
+    assert weighted_sample(docs, "doc_id", F.lit(1.0)).count() == n
+    assert weighted_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    low = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(0.3)).collect()}
+    high = {r["doc_id"] for r in weighted_sample(docs, "doc_id", F.lit(0.8)).collect()}
+    assert low <= high  # same hash, higher threshold ⇒ superset
+    assert len(low) == pytest.approx(0.3 * n, rel=0.25)
+    assert len(high) == pytest.approx(0.8 * n, rel=0.15)
