@@ -4558,3 +4558,75 @@ def dedup_semantic_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     C = kmeans_fit(emb, k=4, iters=3, seed=42)
     return semantic_dedup_pairs(emb, C, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@query(
+    "stats_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 50.0) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS bin_min,
+           round(max(value), 6) AS bin_max,
+           round(CAST(floor(value / 50.0) AS BIGINT) * 50.0, 6) AS bin_lo
+    FROM events
+    GROUP BY event_type, CAST(floor(value / 50.0) AS BIGINT)
+    """,
+)
+def stats_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type
+    (operators.profiling.histogram): ONE map-side-combined groupBy on
+    (type, bin) — the 100 TB distribution-profile pass; bins are
+    floor-division ids so the same query at any scale lands rows in
+    identical buckets."""
+    from .operators.profiling import histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram(ev.select("event_type", "value"), F.col("value"), 50.0,
+                     ["event_type"])
+
+
+def _reservoir_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("event_id", "rsv")
+    return f"""
+    SELECT event_id, event_type, user_id FROM (
+      SELECT event_id, event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY {h}, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 20
+    """
+
+
+@query("sample_reservoir_group", oracle=_reservoir_oracle())
+def sample_reservoir_group(spark, sf_dir):
+    """Deterministic per-group reservoir: exactly 20 uniform rows per event
+    type, chosen by portable hash order
+    (operators.sampling.reservoir_per_group) — identical sample across
+    runs, partitionings, engines, and scale factors. One shuffle on the
+    group key."""
+    from .operators.sampling import reservoir_per_group
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    return reservoir_per_group(ev, ["event_type"], "event_id", 20, salt="rsv")
+
+
+@query("sim_pq_topk", oracle=None)
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): m=8 sub-codebooks make
+    a corpus vector 8 smallint codes + one norm — a 32×-smaller scan tier
+    than float32 — scored per Arrow batch with per-query ADC lookup
+    tables, per-batch partial top-k (shuffle carries candidates, never the
+    corpus), exact unrolled-cosine rerank on the survivors
+    (operators.similarity.pq_adc_topk). Non-SQL-expressible; pytest
+    asserts recall vs brute force and exact-rerank score parity."""
+    from .operators.similarity import fit_pq_codebooks, pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, num_codes=64, iters=5)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return pq_adc_topk(emb, qs, books, k=5, oversample=4).orderBy(
+        "query_id", "rank"
+    )

@@ -164,3 +164,28 @@ def linear_fit_sql(
              / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)) END, 6) AS r2
     FROM _g
     """
+
+
+def histogram(
+    df: DataFrame,
+    value: Column,
+    bin_width: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram, optionally per group: one groupBy shuffle on
+    (groups…, bin), map-side combined — the distribution profile that backs
+    skew diagnosis and quantile sanity checks at scale. The bin id is
+    ``floor(value / bin_width)`` (stable across engines for exact-decimal
+    inputs), with per-bin count and min/max so downstream plots need no
+    second pass."""
+    b = F.floor(value / F.lit(bin_width)).cast("bigint")
+    return (
+        df.withColumn("bin", b)
+        .groupBy(*group_cols, "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min(value), 6).alias("bin_min"),
+            F.round(F.max(value), 6).alias("bin_max"),
+        )
+        .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 6))
+    )

@@ -176,3 +176,31 @@ def weighted_sample_sql(key_expr: str, weight_expr: str, salt: str = "") -> str:
         f"{hash_bucket_sql(key_expr, salt)} < "
         f"floor(least(1.0, greatest(0.0, CAST({weight_expr} AS DOUBLE))) * {float(_BUCKETS)!r})"
     )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Union[str, Column],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen by portable hash order
+    — the deterministic analog of per-group reservoir sampling (uniform
+    over the group, identical across runs/partitionings/engines; a
+    different ``salt`` draws an independent sample).
+
+    One shuffle on the group key; the rank window sorts (hash, key) so ties
+    are impossible with unique keys. For heavily skewed groups at 100 TB,
+    pre-filter with :func:`deterministic_sample` at a safe multiple of
+    k/|group| first so no single task sorts a giant group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(key, salt), F.col(key) if isinstance(key, str) else key
+    )
+    return (
+        df.withColumn("_rs", F.row_number().over(w))
+        .filter(F.col("_rs") <= k)
+        .drop("_rs")
+    )

@@ -732,3 +732,223 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory tier below int8
+# ---------------------------------------------------------------------------
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    num_codes: int = 256,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 100_000,
+    iters: int = 10,
+):
+    """PQ codebooks as a numpy ``(m, num_codes, dim//m)`` array: the vector
+    is split into ``m`` subvectors and each subspace gets its own L2
+    k-means codebook (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011). A PQ code is then ``m`` bytes — 32× less
+    storage than float32 at m=8, dim=64 — with distances recovered from
+    per-subspace lookup tables (ADC).
+
+    Training follows the faiss/IVF convention used by
+    ``fit_ivf_centroids``: numpy Lloyd on a deterministic hash-ordered
+    sample of at most ``train_cap`` vectors — an ingest-time cost, bounded
+    driver memory, ONE Spark job."""
+    import numpy as np
+
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + seed))
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    num_codes = min(num_codes, len(X))
+    books = np.empty((m, num_codes, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:num_codes].copy()
+        for _ in range(iters):
+            # expanded ‖s−c‖² keeps the temp at (cap, num_codes) doubles —
+            # the (cap, num_codes, dsub) broadcast form would be dsub× that
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(num_codes):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+                else:  # re-seed empty code with the worst-served subvector
+                    C[c] = S[d2.min(axis=1).argmax()]
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → ``(id, pq_code array<smallint>, pq_norm float)``: nearest
+    codebook entry per subspace (map-side Arrow pass, one numpy distance
+    computation per batch) plus the reconstructed vector's norm — the
+    denominator PQ-approximate cosine needs, precomputed at encode time so
+    queries never touch the float vectors. This is the ingest-time pass
+    that builds the PQ storage tier."""
+    B = [[list(map(float, row)) for row in book] for book in codebooks]
+
+    @F.pandas_udf("struct<pq_code: array<smallint>, pq_norm: double>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        books = np.array(B)  # (m, k, dsub)
+        m, _, dsub = books.shape
+        X = np.vstack(v.to_numpy()).astype("float64")
+        codes = np.empty((len(X), m), dtype="int16")
+        norm2 = np.zeros(len(X))
+        for j in range(m):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            # ||s - c||² = ||s||² - 2 s·c + ||c||²; argmin over c
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ books[j].T) + (
+                books[j] * books[j]
+            ).sum(1)[None, :]
+            cj = d2.argmin(axis=1)
+            codes[:, j] = cj
+            norm2 += (books[j][cj] * books[j][cj]).sum(axis=1)
+        return pd.DataFrame(
+            {"pq_code": list(codes), "pq_norm": np.sqrt(np.maximum(norm2, 1e-300))}
+        )
+
+    return df.select(
+        F.col(id_col), _enc(F.col(vec_col)).alias("_e")
+    ).select(id_col, "_e.pq_code", "_e.pq_norm")
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    oversample: int = 4,
+    encoded_corpus: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Approximate top-k cosine via PQ asymmetric distance computation:
+    the scan reads ONLY the m-byte codes (+8-byte norm) per corpus vector
+    — 32× fewer bytes than float32 at m=8/dim=64 — and scores each batch
+    with per-query lookup tables (LUT[j][c] = q_j · codebook_j[c], built
+    driver-side from the broadcastable query set, m·num_codes doubles per
+    query). Per-batch partial top-(k·oversample) keeps the shuffle at
+    ~queries·k·oversample rows per partition, exactly like
+    ``quantized_cosine_topk``; stage 2 reranks the survivors with the
+    exact JVM-side unrolled cosine, so reported cosines are bit-identical
+    to brute force and only membership beyond the oversampling margin is
+    approximate.
+
+    Pass ``encoded_corpus`` (``(id, pq_code, pq_norm)`` from
+    :func:`pq_encode`, persisted at ingest) to skip re-encoding — encoding
+    per query would re-read the full floats and forfeit the byte savings.
+    """
+    import numpy as np
+
+    from .multimodal import _ship_package
+
+    spark = corpus.sparkSession
+    _ship_package(spark)
+    dim = _probe_dim(corpus, vec_col)
+    books = np.asarray(codebooks, dtype="float64")  # (m, kc, dsub)
+    m, _, dsub = books.shape
+    kq = k * oversample
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+    # LUT: (n_queries, m, num_codes) — q_sub · centroid
+    lut = np.einsum("qms,mcs->qmc", Q.reshape(len(Q), m, dsub), books)
+    bc = spark.sparkContext.broadcast((q_ids, lut, Qn))
+
+    enc = (
+        ensure_min_partitions(encoded_corpus)
+        if encoded_corpus is not None
+        else pq_encode(ensure_min_partitions(corpus), codebooks, id_col, vec_col)
+    )
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_b, lut_b, qn_b = bc.value
+        nq, m_, _ = lut_b.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            codes = np.vstack(pdf["pq_code"].to_numpy()).astype("int64")  # (b, m)
+            norms = pdf["pq_norm"].to_numpy(dtype="float64")
+            # ADC inner products: sum LUT slices over subspaces → (b, nq)
+            S = np.zeros((len(ids), nq))
+            for j in range(m_):
+                S += lut_b[:, j, codes[:, j]].T
+            S /= np.outer(np.maximum(norms, 1e-300), qn_b)
+            S[ids[:, None] == q_ids_b[None, :]] = -2.0  # mask self-pairs
+            top = min(kq, len(ids))
+            sel = np.argpartition(-S, top - 1, axis=0)[:top]
+            qi = np.broadcast_to(np.arange(nq), sel.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids_b[qi.ravel()],
+                    "neighbor_id": ids[sel.ravel()],
+                    "qscore": S[sel.ravel(), qi.ravel()],
+                }
+            )
+
+    cand = enc.mapInPandas(
+        scan, schema="query_id bigint, neighbor_id bigint, qscore double"
+    ).filter(F.col("qscore") > -2.0)
+    if query_id_col != "query_id":
+        cand = cand.withColumnRenamed("query_id", query_id_col)
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    cand = cand.withColumn("_qr", F.row_number().over(wq)).filter(
+        F.col("_qr") <= kq
+    ).select(query_id_col, "neighbor_id")
+
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qvec")
+    ).withColumn("_qn", l2_norm("_qvec", dim))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _cast_double(vec_col).alias("_cvec")
+    ).withColumn("_cn", l2_norm("_cvec", dim))
+    scored = (
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(dot("_qvec", "_cvec", dim) / (F.col("_qn") * F.col("_cn")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

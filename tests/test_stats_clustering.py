@@ -326,3 +326,89 @@ def test_weighted_sample_extremes_and_monotonicity(spark):
     assert low <= high  # same hash, higher threshold ⇒ superset
     assert len(low) == pytest.approx(0.3 * n, rel=0.25)
     assert len(high) == pytest.approx(0.8 * n, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# product quantization ANN
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_recall_and_exact_rerank(spark, embeddings):
+    from pipes_spark.operators.similarity import (
+        cosine_topk,
+        fit_pq_codebooks,
+        pq_adc_topk,
+    )
+
+    books = fit_pq_codebooks(embeddings, m=8, num_codes=64, iters=5)
+    qs = embeddings.filter(F.col("vec_id") % 100 == 0)
+    got = pq_adc_topk(embeddings, qs, books, k=5, oversample=8).collect()
+    exact = cosine_topk(embeddings, qs, k=5).collect()
+
+    got_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in got}
+    exact_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    # overlapping pairs carry bit-identical cosines (exact rerank)
+    shared = set(got_map) & set(exact_map)
+    assert shared, "no overlap at all — PQ routing is broken"
+    for key in shared:
+        assert got_map[key] == exact_map[key]
+    # recall@5 against brute force
+    by_q_got: dict[int, set] = {}
+    by_q_exact: dict[int, set] = {}
+    for q, n in got_map:
+        by_q_got.setdefault(q, set()).add(n)
+    for q, n in exact_map:
+        by_q_exact.setdefault(q, set()).add(n)
+    hits = sum(len(by_q_got[q] & by_q_exact[q]) for q in by_q_exact)
+    total = sum(len(v) for v in by_q_exact.values())
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_pq_encode_shapes_and_reconstruction(spark, embeddings):
+    from pipes_spark.operators.similarity import fit_pq_codebooks, pq_encode
+
+    books = fit_pq_codebooks(embeddings, m=8, num_codes=64, iters=3)
+    enc = pq_encode(embeddings, books).collect()
+    assert all(len(r["pq_code"]) == 8 for r in enc)
+    assert all(0 <= c < 64 for r in enc for c in r["pq_code"])
+    assert all(r["pq_norm"] > 0 for r in enc)
+    # the reconstruction is a real approximation of the vector: its norm is
+    # within a factor of the true norm for every row
+    rows = embeddings.select("vec_id", "embedding").collect()
+    true_norm = {r[0]: float(np.linalg.norm(np.asarray(r[1], dtype="float64"))) for r in rows}
+    for r in enc:
+        assert 0.3 * true_norm[r["vec_id"]] < r["pq_norm"] < 3.0 * true_norm[r["vec_id"]]
+
+
+# ---------------------------------------------------------------------------
+# histogram / per-group reservoir
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_partitions_rows(spark):
+    from pipes_spark.operators.profiling import histogram
+
+    ev = load_table(spark, SF001, "events").select("event_type", "value")
+    out = histogram(ev, F.col("value"), 50.0, ["event_type"]).collect()
+    assert sum(r["n"] for r in out) == ev.count()
+    for r in out:
+        assert r["bin_lo"] <= r["bin_min"] <= r["bin_max"] < r["bin_lo"] + 50.0
+
+
+def test_reservoir_per_group_exact_k_and_deterministic(spark):
+    from pipes_spark.operators.sampling import reservoir_per_group
+
+    ev = load_table(spark, SF001, "events").select("event_id", "event_type")
+    a = reservoir_per_group(ev, ["event_type"], "event_id", 7).collect()
+    b = reservoir_per_group(ev, ["event_type"], "event_id", 7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    sizes: dict[str, int] = {}
+    for r in a:
+        sizes[r["event_type"]] = sizes.get(r["event_type"], 0) + 1
+    totals = {r["event_type"]: r["cnt"] for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for t, n in sizes.items():
+        assert n == min(7, totals[t])
+    # independent salts draw different samples
+    c = {tuple(r) for r in reservoir_per_group(ev, ["event_type"], "event_id", 7, salt="x").collect()}
+    assert c != {tuple(r) for r in a}
