@@ -4630,3 +4630,66 @@ def sim_pq_topk(spark, sf_dir):
     return pq_adc_topk(emb, qs, books, k=5, oversample=4).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "stats_mad_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), d AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN m USING (event_type)
+    ), md AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(0.6745 * (d.value - d.med) / nullif(md.mad, 0.0), 6) AS robust_z,
+           round(d.med, 6) AS med,
+           round(md.mad, 6) AS mad
+    FROM d JOIN md USING (event_type)
+    WHERE abs(round(0.6745 * (d.value - d.med) / nullif(md.mad, 0.0), 6)) >= 3.5
+    """,
+)
+def stats_mad_outliers(spark, sf_dir):
+    """Robust (modified z-score) outlier detection per event type —
+    median/MAD instead of mean/σ, so the outliers cannot drag their own
+    baseline (operators.profiling.mad_outliers; Iglewicz-Hoaglin 1993).
+    Exact interpolated medians: Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``. Two tiny per-group aggregates broadcast back; no
+    global sort."""
+    from .operators.profiling import mad_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return mad_outliers(ev, ["event_type"], "value", threshold=3.5)
+
+
+@query(
+    "stats_decile_bins",
+    oracle="""
+    WITH t AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin
+      FROM documents
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(n_chars) AS lo,
+           max(n_chars) AS hi,
+           round(avg(n_chars), 6) AS avg_value
+    FROM t GROUP BY bin
+    """,
+)
+def stats_decile_bins(spark, sf_dir):
+    """Document-length decile report (operators.profiling.quantile_bins):
+    equal-frequency binning + per-bin stats — the first look every
+    curation pipeline takes at a corpus. Deterministic ntile (unique
+    tiebreak); the 100 TB path documented in the operator swaps ntile for
+    width_bucket over approx_percentile boundaries (no global sort)."""
+    from .operators.profiling import quantile_bins
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_bins(docs, "n_chars", "doc_id", n_bins=10)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,4 +188,71 @@ def histogram(
             F.round(F.max(value), 6).alias("bin_max"),
         )
         .withColumn("bin_lo", F.round(F.col("bin") * bin_width, 6))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection via the modified z-score (Iglewicz &
+    Hoaglin 1993): ``0.6745 · (x − median) / MAD`` — immune to the outliers
+    dragging the baseline, unlike mean/σ z-scores. Medians are exact
+    interpolated percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``).
+
+    Two small per-group aggregates (median, then median absolute
+    deviation), each broadcast back onto the stream — the value table
+    itself shuffles on the group key twice and never sorts globally.
+    Zero-MAD groups (>50% identical values) yield NULL scores rather than
+    dividing by zero (ANSI-safe)."""
+    v = F.col(value_col)
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = df.join(F.broadcast(med), list(group_cols)).withColumn(
+        "_dev", F.abs(v - F.col("_med"))
+    )
+    mad = dev.groupBy(*group_cols).agg(F.expr("percentile(_dev, 0.5)").alias("_mad"))
+    z = F.round(
+        F.lit(0.6745) * (v - F.col("_med")) / F.nullif(F.col("_mad"), F.lit(0.0)), 6
+    )
+    return (
+        dev.join(F.broadcast(mad), list(group_cols))
+        .withColumn("robust_z", z)
+        .withColumn("med", F.round(F.col("_med"), 6))
+        .withColumn("mad", F.round(F.col("_mad"), 6))
+        .filter(F.abs(F.col("robust_z")) >= threshold)
+        .drop("_med", "_mad", "_dev")
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning with per-bin stats — the
+    length-decile report every curation pipeline starts from.
+
+    This exact form uses ``ntile`` over a GLOBAL sort (deterministic via
+    the tiebreak), which is the right tool up to the single-task sort
+    limit; at 100 TB swap the bin id for ``width_bucket`` against
+    ``approx_percentile`` boundaries — one pass, no global sort — and keep
+    the same per-bin aggregate. The aggregate output is identical either
+    way up to boundary-tie placement."""
+    w = Window.orderBy(F.col(value_col), F.col(tiebreak_col))
+    v = F.col(value_col)
+    return (
+        df.withColumn("bin", F.ntile(n_bins).over(w).cast("bigint"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(v).alias("lo"),
+            F.max(v).alias("hi"),
+            F.round(F.avg(v), 6).alias("avg_value"),
+        )
     )

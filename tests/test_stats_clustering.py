@@ -412,3 +412,40 @@ def test_reservoir_per_group_exact_k_and_deterministic(spark):
     # independent salts draw different samples
     c = {tuple(r) for r in reservoir_per_group(ev, ["event_type"], "event_id", 7, salt="x").collect()}
     assert c != {tuple(r) for r in a}
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers / quantile bins
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_robust_to_contamination(spark):
+    from pipes_spark.operators.profiling import mad_outliers
+
+    # 40 inliers around 10, 3 extreme outliers; mean/σ would be dragged,
+    # the MAD baseline is not
+    rows = [("a", i, 10.0 + (i % 5) * 0.1) for i in range(40)]
+    rows += [("a", 100 + i, 1000.0 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = mad_outliers(df, ["g"], "v", threshold=3.5)
+    got = sorted(r["id"] for r in out.collect())
+    assert got == [100, 101, 102]
+
+
+def test_mad_outliers_constant_group_no_rows(spark):
+    from pipes_spark.operators.profiling import mad_outliers
+
+    df = spark.createDataFrame([("a", i, 5.0) for i in range(10)], "g string, id int, v double")
+    assert mad_outliers(df, ["g"], "v").count() == 0  # MAD 0 → NULL z → filtered
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from pipes_spark.operators.profiling import quantile_bins
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id int, v double")
+    out = {r["bin"]: r for r in quantile_bins(df, "v", "id", n_bins=10).collect()}
+    assert set(out) == set(range(1, 11))
+    assert all(r["n_rows"] == 10 for r in out.values())
+    # bins are ordered and disjoint
+    for b in range(1, 10):
+        assert out[b]["hi"] < out[b + 1]["lo"]
