@@ -4693,3 +4693,46 @@ def stats_decile_bins(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return quantile_bins(docs, "n_chars", "doc_id", n_bins=10)
+
+
+@query(
+    "ts_zscore_bucketed",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, event_type, value,
+             count(value) OVER w AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    ), z AS (
+      SELECT event_id, event_type, value,
+             round(sx / nullif(n, 0), 6) AS roll_avg,
+             round(sqrt(greatest((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0), 0.0)), 6) AS roll_std,
+             CASE WHEN n >= 10 AND greatest((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0), 0.0) > 0
+                  THEN round((value - sx / nullif(n, 0)) / sqrt(greatest((sxx - sx * sx / nullif(n, 0)) / nullif(n - 1, 0), 0.0)), 6)
+             END AS zscore
+      FROM s
+    )
+    SELECT * FROM z WHERE abs(zscore) >= 2.5
+    """,
+)
+def ts_zscore_bucketed(spark, sf_dir):
+    """Hot-key-scalable rolling z-score
+    (operators.timeseries.zscore_outliers_bucketed): the bounded frame
+    means only each (key, day)-bucket's first `lookback` rows need
+    cross-bucket history, so pass 1 windows per (key, bucket) —
+    parallelism keys × days instead of one task per key — and pass 2
+    re-scores just the bucket heads over the tiny heads∪tails table. The
+    ORACLE IS THE GLOBAL single-window SQL: hash equality proves the
+    two-pass formulation exact, while a 5-value key's 100 TB history
+    spreads across days × executors (same pattern as
+    sessionize_bucketed_stats)."""
+    from .operators.timeseries import zscore_outliers_bucketed
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    return zscore_outliers_bucketed(
+        ev, ["event_type"], ["ts", "event_id"], "value",
+        threshold=2.5, lookback=50, min_periods=10,
+    ).drop("ts")

@@ -374,3 +374,87 @@ def zscore_outliers(
     :func:`rolling_zscore`."""
     scored = rolling_zscore(df, keys, order_cols, value_col, lookback, min_periods)
     return scored.filter(F.abs(F.col("zscore")) >= threshold)
+
+
+def rolling_zscore_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: OrderCols,
+    value_col: str,
+    lookback: int = 50,
+    min_periods: int = 10,
+    ts_col: Optional[str] = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """EXACTLY :func:`rolling_zscore`, reformulated so a hot key scales.
+
+    ``rolling_zscore`` partitions the window by ``keys`` — for a
+    low-cardinality key (e.g. 5 event types over 100 TB) that is one task
+    sorting one key's entire history. This variant exploits the BOUNDED
+    frame (``lookback`` preceding rows): a row deeper than ``lookback``
+    into its (key, time-bucket) has its whole frame inside the bucket, so
+    pass 1 computes it with windows partitioned by (key, bucket) —
+    parallelism = keys × buckets. Only each bucket's first ``lookback``
+    rows ("heads") need cross-bucket history, and that history can only
+    come from some bucket's last ``lookback`` rows ("tails"); pass 2 runs
+    the same window over the union of heads+tails per key — a table of at
+    most keys × buckets × 2·lookback rows, thousands of times smaller than
+    the data — and keeps the head scores. Union of the two passes equals
+    the global formulation row-for-row (the oracle hash-checks this
+    equivalence).
+
+    The frame material in pass 2 is exact, not approximate: every true
+    preceding-``lookback`` row of a head row is either a head of the same
+    bucket or within the tail of an earlier bucket, and pass-2 rows keep
+    their global order, so "lookback preceding in the union" selects
+    precisely the true frame.
+    """
+    order = _order_list(order_cols)
+    ts_col = ts_col or order[0]
+    base = df.withColumn("_bkt", F.date_trunc(bucket, F.col(ts_col).cast("timestamp")))
+    wb = Window.partitionBy(*keys, "_bkt").orderBy(*order)
+    cntw = Window.partitionBy(*keys, "_bkt")
+    base = (
+        base.withColumn("_rn", F.row_number().over(wb))
+        .withColumn("_cnt", F.count(F.lit(1)).over(cntw))
+    )
+
+    # pass 1 windows over the FULL bucket (heads included — an interior
+    # row's frame reaches back into them) but keeps only interior scores:
+    # a row with _rn > lookback has its whole frame in-bucket, so its
+    # in-bucket score equals the global one. Heads get truncated frames
+    # here; they are dropped and re-scored exactly in pass 2.
+    scored_interior = rolling_zscore(
+        base, [*keys, "_bkt"], order, value_col, lookback, min_periods
+    ).filter(F.col("_rn") > lookback)
+
+    boundary = base.filter(
+        (F.col("_rn") <= lookback) | (F.col("_cnt") - F.col("_rn") < lookback)
+    )
+    scored_heads = rolling_zscore(
+        boundary.drop("_cnt"), keys, order, value_col, lookback, min_periods
+    ).filter(F.col("_rn") <= lookback)
+
+    out_cols = [*df.columns, "roll_avg", "roll_std", "zscore"]
+    return scored_interior.select(*out_cols).unionByName(
+        scored_heads.select(*out_cols)
+    )
+
+
+def zscore_outliers_bucketed(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_cols: OrderCols,
+    value_col: str,
+    threshold: float = 3.0,
+    lookback: int = 50,
+    min_periods: int = 10,
+    ts_col: Optional[str] = None,
+    bucket: str = "day",
+) -> DataFrame:
+    """Outlier filter over :func:`rolling_zscore_bucketed` — the hot-key
+    scale form of :func:`zscore_outliers`."""
+    scored = rolling_zscore_bucketed(
+        df, keys, order_cols, value_col, lookback, min_periods, ts_col, bucket
+    )
+    return scored.filter(F.abs(F.col("zscore")) >= threshold)

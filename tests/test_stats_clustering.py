@@ -449,3 +449,42 @@ def test_quantile_bins_equal_frequency(spark):
     # bins are ordered and disjoint
     for b in range(1, 10):
         assert out[b]["hi"] < out[b + 1]["lo"]
+
+
+def test_zscore_bucketed_equals_global(spark):
+    from datetime import datetime, timedelta
+
+    from pipes_spark.operators.timeseries import (
+        rolling_zscore,
+        rolling_zscore_bucketed,
+    )
+
+    # sparse buckets: 4 rows/day for 30 days → every frame (lookback 50)
+    # spans MANY buckets, exercising the multi-bucket tail path
+    rows = []
+    t0 = datetime(2024, 1, 1)
+    for i in range(120):
+        rows.append(("k", i, t0 + timedelta(days=i // 4, hours=i % 4), float((i * 37) % 100)))
+    df = spark.createDataFrame(rows, "g string, id int, ts timestamp, v double")
+
+    glob = rolling_zscore(df, ["g"], ["ts", "id"], "v", lookback=50, min_periods=10)
+    buck = rolling_zscore_bucketed(
+        df, ["g"], ["ts", "id"], "v", lookback=50, min_periods=10
+    )
+    g = {r["id"]: (r["roll_avg"], r["roll_std"], r["zscore"]) for r in glob.collect()}
+    b = {r["id"]: (r["roll_avg"], r["roll_std"], r["zscore"]) for r in buck.collect()}
+    assert g == b  # exact row-for-row equality, including NULL warm-up rows
+
+
+def test_zscore_bucketed_equals_global_on_events(spark):
+    from pipes_spark.operators.timeseries import (
+        rolling_zscore,
+        rolling_zscore_bucketed,
+    )
+
+    ev = load_table(spark, SF001, "events").select("event_id", "event_type", "value", "ts")
+    glob = rolling_zscore(ev, ["event_type"], ["ts", "event_id"], "value")
+    buck = rolling_zscore_bucketed(ev, ["event_type"], ["ts", "event_id"], "value")
+    g = {r["event_id"]: (r["roll_avg"], r["roll_std"], r["zscore"]) for r in glob.collect()}
+    b = {r["event_id"]: (r["roll_avg"], r["roll_std"], r["zscore"]) for r in buck.collect()}
+    assert g == b

@@ -221,3 +221,61 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+    # round-2b additions: clustering / SemDeDup / PQ / chunking / rolling stats
+    from pipes_spark.operators.clustering import (
+        kmeans_fit,
+        semantic_dedup_pairs,
+    )
+
+    def kmeans(emb):
+        return len(kmeans_fit(emb, k=8, iters=3))
+
+    run("kmeans_1x", lambda: kmeans(emb1))
+    run("kmeans_10x", lambda: kmeans(emb10))
+
+    def semdedup(emb):
+        C = kmeans_fit(emb, k=8, iters=3)
+        return semantic_dedup_pairs(emb, C, threshold=0.3).count()
+
+    run("semdedup_1x", lambda: semdedup(emb1))
+    run("semdedup_10x", lambda: semdedup(emb10))
+
+    from pipes_spark.operators.similarity import fit_pq_codebooks, pq_adc_topk, pq_encode
+
+    def pq(emb):
+        books = fit_pq_codebooks(emb, m=8, num_codes=64, iters=5)
+        enc = pq_encode(emb, books).localCheckpoint()  # ingest-time tier
+        return pq_adc_topk(emb, q1, books, k=5, encoded_corpus=enc).count()
+
+    run("pq_topk_1x", lambda: pq(emb1))
+    run("pq_topk_10x", lambda: pq(emb10))
+
+    from pipes_spark.operators.text import chunk_token_windows
+
+    run("chunk_1x", lambda: chunk_token_windows(docs1, max_tokens=32, stride=24).count())
+    run("chunk_10x", lambda: chunk_token_windows(docs10, max_tokens=32, stride=24).count())
+
+    from pipes_spark.operators.timeseries import ewma, zscore_outliers
+
+    run(
+        "ewma_1x",
+        lambda: ewma(ev1, ["user_id"], ["ts", "event_id"], "value", span=12).count(),
+    )
+    run(
+        "ewma_10x",
+        lambda: ewma(ev10, ["user_id"], ["ts", "event_id"], "value", span=12).count(),
+    )
+    run(
+        "zscore_1x",
+        lambda: zscore_outliers(ev1, ["event_type"], ["ts", "event_id"], "value").count(),
+    )
+    run(
+        "zscore_10x",
+        lambda: zscore_outliers(ev10, ["event_type"], ["ts", "event_id"], "value").count(),
+    )
+
+    from pipes_spark.operators.profiling import mad_outliers
+
+    run("mad_1x", lambda: mad_outliers(ev1, ["event_type"], "value").count())
+    run("mad_10x", lambda: mad_outliers(ev10, ["event_type"], "value").count())
