@@ -4736,3 +4736,85 @@ def ts_zscore_bucketed(spark, sf_dir):
         ev, ["event_type"], ["ts", "event_id"], "value",
         threshold=2.5, lookback=50, min_periods=10,
     ).drop("ts")
+
+
+@query(
+    "dedup_duplicated_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, i,
+             ('0x' || substr(md5(substring(lower(text), i, 8)), 1, 8))::BIGINT AS h,
+             greatest(len(lower(text)) - 7, 0) AS n
+      FROM documents,
+           LATERAL unnest(range(1, greatest(len(lower(text)) - 7, 0) + 1)) AS t(i)
+      WHERE len(lower(text)) >= 23
+    ), m AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp,
+             i, n
+      FROM g
+    ), f AS (
+      SELECT DISTINCT doc_id, fp FROM m WHERE i <= n - 15
+    ), keepfp AS (
+      SELECT fp FROM f GROUP BY fp HAVING count(*) <= 1000
+    ), ok AS (
+      SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM keepfp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_fingerprints
+    FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_duplicated_spans(spark, sf_dir):
+    """Exact duplicated-span pairs (Lee et al. 2022 exact-substring dedup,
+    expressed as a winnowing-fingerprint equi-join instead of a
+    single-machine suffix array — operators.dedup.duplicated_span_pairs):
+    any two docs sharing a ≥23-char substring share a fingerprint by the
+    winnowing guarantee; one fingerprint-keyed shuffle, boilerplate
+    fingerprints capped, never n²."""
+    from .operators.dedup import duplicated_span_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_span_pairs(d, min_shared=2, max_postings=1000)
+
+
+def _docs_stream(spark, sf_dir):
+    """File-source streaming DataFrame over the documents table (same
+    symlink-dir trick as ``_events_stream``)."""
+    import os
+    import tempfile
+
+    from .sources import load_table
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream_dir = tempfile.mkdtemp(prefix="pipes_stream_docs_")
+    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    return spark.readStream.schema(schema).parquet(stream_dir)
+
+
+@query(
+    "streaming_dedup_store",
+    oracle=r"""
+    SELECT doc_id, source FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY doc_id) = 1
+    """,
+)
+def streaming_dedup_store(spark, sf_dir):
+    """Incremental corpus ingestion against a persistent fingerprint store
+    (streaming.stream_dedup_against_store): each micro-batch anti-joins the
+    16-byte/doc fingerprint store accumulated over ALL history — unbounded
+    lookback, which watermarked dropDuplicates cannot express — and appends
+    its new fingerprints. Oracle: global exact dedup keeping the lowest
+    doc_id (batch-boundary-independent because in-batch dedup also keeps
+    the lowest id)."""
+    from .streaming import stream_dedup_against_store
+
+    stream = _docs_stream(spark, sf_dir)
+    admitted = stream_dedup_against_store(stream, "text", "doc_id")
+    return admitted.select("doc_id", "source")

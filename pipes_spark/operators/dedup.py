@@ -444,3 +444,51 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicated_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 16,
+    min_shared: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the practical form of
+    exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated long spans, not
+    whole-document copies, are the main contamination at web scale; their
+    suffix-array machinery is a single-machine structure, while this is
+    the same guarantee expressed as a shuffle).
+
+    Built on MOSS winnowing fingerprints (``text.winnowing_fingerprints``):
+    any two documents sharing a substring of ≥ ``k + w − 1`` chars (23 by
+    default) are GUARANTEED to share a fingerprint, so the fingerprint
+    equi-self-join finds every such pair — no n² comparison, one shuffle
+    keyed by the 32-bit fingerprint, exactly the LSH banding shape.
+    ``min_shared`` requires that many distinct shared fingerprints
+    (≈ min_shared·w/2 duplicated chars) before a pair is reported;
+    fingerprints appearing in more than ``max_postings`` documents are
+    dropped as boilerplate (same degenerate-bucket cap as MinHash-LSH —
+    the overflow list is tiny and broadcast into an anti-join).
+    """
+    from .text import winnowing_fingerprints
+
+    fp = winnowing_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+    boiler = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_postings)
+        .drop("_n")
+    )
+    ok = fp.join(F.broadcast(boiler), "fingerprint", "left_anti")
+    a = ok.select(F.col("fingerprint"), F.col(id_col).alias("id_a"))
+    b = ok.select(F.col("fingerprint"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -488,3 +488,59 @@ def test_zscore_bucketed_equals_global_on_events(spark):
     g = {r["event_id"]: (r["roll_avg"], r["roll_std"], r["zscore"]) for r in glob.collect()}
     b = {r["event_id"]: (r["roll_avg"], r["roll_std"], r["zscore"]) for r in buck.collect()}
     assert g == b
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans / streaming dedup store
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_span_guarantee(spark):
+    from pipes_spark.operators.dedup import duplicated_span_pairs
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 51 chars
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta epsilon zeta"),
+        (2, "unrelated prefix words " + shared + " and a different tail"),
+        (3, "completely different content with no overlap whatsoever here"),
+        (4, "another totally unrelated document body for the test corpus"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in duplicated_span_pairs(df, min_shared=2).collect()}
+    assert (1, 2) in got  # ≥23-char shared substring ⇒ guaranteed detection
+    assert all(p == (1, 2) for p in got)  # and nothing else
+
+
+def test_stream_dedup_store_cross_batch(spark, tmp_path):
+    import os
+
+    from pipes_spark.streaming import stream_dedup_against_store
+
+    # two parquet files → two micro-batches (maxFilesPerTrigger=1); the
+    # duplicate of doc 1 arrives in the SECOND batch and must be rejected
+    # by the store, not by any in-batch or watermark mechanism
+    d = str(tmp_path / "docs_in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, "hello world"), (2, "other text")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(
+        [(10, "HELLO   world"), (11, "fresh content")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(d + "/b2")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    i = 0
+    for sub in ("b1", "b2"):
+        for f in sorted(os.listdir(d + "/" + sub)):
+            if f.endswith(".parquet"):
+                os.symlink(f"{d}/{sub}/{f}", f"{flat}/{i:02d}.parquet")
+                i += 1
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    admitted = stream_dedup_against_store(stream, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in admitted.collect())
+    # 10 is a normalized duplicate of 1 (case/whitespace) → rejected
+    assert ids == [1, 2, 11]

@@ -219,8 +219,6 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
-    main()
 
     # round-2b additions: clustering / SemDeDup / PQ / chunking / rolling stats
     from pipes_spark.operators.clustering import (
@@ -279,3 +277,18 @@ if __name__ == "__main__":
 
     run("mad_1x", lambda: mad_outliers(ev1, ["event_type"], "value").count())
     run("mad_10x", lambda: mad_outliers(ev10, ["event_type"], "value").count())
+
+    from pipes_spark.operators.timeseries import zscore_outliers_bucketed
+
+    run(
+        "zscore_bucketed_1x",
+        lambda: zscore_outliers_bucketed(ev1, ["event_type"], ["ts", "event_id"], "value").count(),
+    )
+    run(
+        "zscore_bucketed_10x",
+        lambda: zscore_outliers_bucketed(ev10, ["event_type"], ["ts", "event_id"], "value").count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
