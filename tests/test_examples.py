@@ -49,3 +49,13 @@ def test_corpus_pipeline_example(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["corpus_pipeline.py", sf_dir, out_dir])
     assert corpus_pipeline.main() == 0
     assert os.path.isdir(os.path.join(out_dir, "corpus"))
+
+
+def test_embedding_pipeline_example(spark, sf_dir, monkeypatch, capsys, tmp_path):
+    import embedding_pipeline
+
+    monkeypatch.setattr(sys, "argv", ["embedding_pipeline.py", sf_dir, str(tmp_path / "out")])
+    assert embedding_pipeline.main() == 0
+    out = capsys.readouterr().out
+    assert "clusters: 8" in out and "pq codes written" in out
+    assert (tmp_path / "out" / "pq_codes").exists()
