@@ -4818,3 +4818,23 @@ def streaming_dedup_store(spark, sf_dir):
     stream = _docs_stream(spark, sf_dir)
     admitted = stream_dedup_against_store(stream, "text", "doc_id")
     return admitted.select("doc_id", "source")
+
+
+@query("streaming_ewma", oracle=None)
+def streaming_ewma(spark, sf_dir):
+    """Streaming EWMA — the TRUE per-key recursion y = αx + (1−α)y across
+    micro-batches via applyInPandasWithState
+    (streaming.stateful_ewma), one scalar of state per key. The batch twin
+    (`ts_ewma`) is the bounded finite-impulse approximation — batch windows
+    cannot recurse, streaming state can; together they are the two halves
+    of the reference's canonical stateful-MiddleFunc accumulation (ref:
+    pipe/node.go:16-19). Non-SQL-expressible (unbounded recursion; the
+    closed form overflows (1-α)^-n); pytest asserts pandas
+    ewm(adjust=False) parity and cross-batch state carry."""
+    from .streaming import run_to_memory, stateful_ewma
+
+    stream = _events_stream(spark, sf_dir)
+    sm = stateful_ewma(stream, "user_id", "ts", "value", alpha=0.3)
+    return run_to_memory(
+        sm.select("event_id", "user_id", "value", "value_ewma"), output_mode="append"
+    )

@@ -344,6 +344,61 @@ def stateful_forward_fill(
     )
 
 
+
+def stateful_ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    out_col: str = "value_ewma",
+) -> DataFrame:
+    """Streaming EWMA — the TRUE sequential recursion
+    ``y_i = α·x_i + (1−α)·y_{i−1}``, per key, ACROSS micro-batches.
+
+    The batch twin (``operators.timeseries.ewma``) approximates this with a
+    bounded finite-impulse window because batch windows cannot recurse;
+    streaming state CAN — the carried state is one (ewma,) scalar per key,
+    updated row-by-row inside each Arrow batch. This is exactly the
+    stateful ``MiddleFunc`` accumulation pattern of the reference
+    (ref: pipe/node.go:16-19), with pandas ``ewm(adjust=False)`` semantics:
+    the first observation seeds y₀ = x₀.
+
+    Same ordering contract as ``stateful_forward_fill``: per-batch sort by
+    event time, cross-batch correctness when ingestion is time-ordered per
+    key. Scale: one scalar per key in the (RocksDB) state store; each
+    batch shuffles only its own rows.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} double"]
+    )
+
+    def smooth(key, pdfs, state):
+        (y,) = state.get if state.exists else (None,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((y,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts_col, kind="stable", ignore_index=True
+        )
+        out = []
+        for v in pdf[value_col]:
+            if v == v and v is not None:  # non-null, NaN-safe
+                y = float(v) if y is None else alpha * float(v) + (1.0 - alpha) * y
+            out.append(y)
+        state.update((y,))
+        yield pdf.assign(**{out_col: [round(x, 6) if x is not None else None for x in out]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        smooth, out_schema, "ewma double", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup_against_store(
     stream_df: DataFrame,
     text_col: str = "text",

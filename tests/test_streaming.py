@@ -400,3 +400,47 @@ def test_stateful_forward_fill_survives_multi_chunk_groups(spark, tmp_path):
     for i in range(n):
         want = float(i - i % 7)  # last multiple of 7 at or before i
         assert got[i] == want, (i, got[i], want)
+
+
+def test_stateful_ewma_cross_batch_matches_pandas(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from pipes_spark.streaming import stateful_ewma
+
+    # two files -> two micro-batches; the recursion must carry state across
+    # the batch boundary (rows 0-9 in batch 1, rows 10-19 in batch 2)
+    rows = [(i, 7, float((i * 13) % 20)) for i in range(20)]
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, u, v, i) for i, u, v in rows[:10]], "event_id long, user_id long, value double, ts long"
+    ).coalesce(1).write.parquet(d + "/f0")
+    spark.createDataFrame(
+        [(i, u, v, i) for i, u, v in rows[10:]], "event_id long, user_id long, value double, ts long"
+    ).coalesce(1).write.parquet(d + "/f1")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for sub in ("f0", "f1"):
+        for f in sorted(os.listdir(f"{d}/{sub}")):
+            if f.endswith(".parquet"):
+                os.symlink(f"{d}/{sub}/{f}", f"{flat}/{n:02d}.parquet")
+                n += 1
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    from pipes_spark.streaming import run_to_memory
+
+    out = run_to_memory(
+        stateful_ewma(stream, "user_id", "ts", "value", alpha=0.3),
+        output_mode="append",
+    )
+    got = {r["event_id"]: r["value_ewma"] for r in out.collect()}
+    exp = pd.Series([v for _, _, v in rows]).ewm(alpha=0.3, adjust=False).mean()
+    assert len(got) == 20
+    for i in range(20):
+        assert got[i] == pytest.approx(round(float(exp[i]), 6), abs=1e-6), i
