@@ -4838,3 +4838,45 @@ def streaming_ewma(spark, sf_dir):
     return run_to_memory(
         sm.select("event_id", "user_id", "value", "value_ewma"), output_mode="append"
     )
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                            for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard join with PREFIX FILTERING (AllPairs/PPJoin, Bayardo
+    WWW'07 — operators.dedup.prefix_jaccard_pairs): candidates only need a
+    shared token among each doc's n−⌈t·n⌉+1 RAREST shingles, so common
+    (boilerplate) shingles generate no candidate pairs — identical output
+    to the full shingle-join verifier (the oracle IS the brute-force SQL),
+    with the candidate explosion cut at the source. The exact alternative
+    to MinHash-LSH when recall must be 1.0."""
+    from .operators.dedup import prefix_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(d, threshold=0.2)

@@ -492,3 +492,85 @@ def duplicated_span_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact Jaccard-join with PREFIX FILTERING (AllPairs/PPJoin — Bayardo
+    et al. WWW'07, Xiao et al. WWW'08): identical output to
+    :func:`ngram_jaccard_pairs`, far fewer candidates.
+
+    The lemma: if ``J(A,B) ≥ t`` then ``|A∩B| ≥ t/(1+t)·(|A|+|B|)`` > 0,
+    and two sets whose elements are ranked in ONE global order must then
+    share an element among their first ``n − ⌈t·n⌉ + 1`` (their
+    "prefix") — so joining only prefix tokens loses no true pair. Ranking
+    by ascending document frequency makes prefixes the RAREST tokens:
+    common shingles (the degenerate buckets every shingle-join chokes on)
+    sit outside most prefixes and generate no candidates — exactness
+    without LSH's recall loss and without the full-shingle join's
+    boilerplate blowup.
+
+    Plan: one DF-count aggregate over shingles, one window rank per doc,
+    prefix self-join on the shingle hash (ids-only payload), then the
+    exact verification joins candidate pairs back to the two full shingle
+    sets. Every shuffle is keyed by hash or id; no n² stage.
+    """
+    sh = (
+        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    # global rarity rank inside each doc; ties broken by hash for determinism
+    ranked = sh.join(dfreq, "sh").withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("_df").asc(), F.col("sh").asc())
+        ),
+    )
+    pref_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        ranked.join(sizes, "id")
+        .filter(F.col("_rk") <= pref_len)
+        .select("id", "sh")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "sh")
+        .join(prefix.select(F.col("id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification on the (small) candidate set
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -544,3 +544,12 @@ def test_stream_dedup_store_cross_batch(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in admitted.collect())
     # 10 is a normalized duplicate of 1 (case/whitespace) → rejected
     assert ids == [1, 2, 11]
+
+
+def test_prefix_jaccard_equals_full_join(spark):
+    from pipes_spark.operators.dedup import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    docs = load_table(spark, SF001, "documents")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
+    pref = {(r["id_a"], r["id_b"]): r["jaccard"] for r in prefix_jaccard_pairs(docs, threshold=0.2).collect()}
+    assert full == pref  # prefix filter is lossless — identical exact output
