@@ -4880,3 +4880,29 @@ def dedup_jaccard_prefix(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(d, threshold=0.2)
+
+
+@query("ml_logistic_confusion", oracle=None)
+def ml_logistic_confusion(spark, sf_dir):
+    """Distributed binary logistic regression
+    (operators.linear_model.fit_logistic): full-batch GD where each round
+    is one map-side Arrow gradient pass + ONE (dim+1)-cell DECIMAL
+    aggregate — exact, order-independent, bit-reproducible training (the
+    supervised twin of cluster_kmeans_stats). Declared as the train-set
+    confusion matrix of predicting label<5 from the embedding.
+    Non-SQL-expressible (iterative); pytest asserts numpy-GD parity and
+    above-baseline accuracy."""
+    from .operators.linear_model import fit_logistic, predict_logistic
+
+    emb = _t(spark, sf_dir, "embeddings")
+    y = (F.col("label") < 5).cast("int")
+    # 5 rounds: enough for a non-trivial decision boundary at gate cost
+    # ~1.5 s/round; convergence quality is pytest's job (20-round run)
+    w = fit_logistic(emb, y, iters=5, lr=1.0)
+    return (
+        predict_logistic(emb, w)
+        .withColumn("actual", y)
+        .groupBy("pred", "actual")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("pred", "actual")
+    )

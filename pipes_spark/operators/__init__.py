@@ -9,6 +9,7 @@ from . import (
     clustering,
     components,
     dedup,
+    linear_model,
     multimodal,
     packing,
     profiling,
@@ -26,6 +27,7 @@ __all__ = [
     "clustering",
     "components",
     "dedup",
+    "linear_model",
     "multimodal",
     "packing",
     "profiling",

@@ -1,0 +1,116 @@
+"""Distributed linear-model training over embedding columns: binary
+logistic regression by full-batch gradient descent — the supervised
+complement to ``clustering.kmeans_fit`` (e.g. training a quality-classifier
+head on document embeddings, the fasttext-style filtering stage of a
+curation pipeline).
+
+In the reference this would be per-element state accumulation in a
+``MiddleFunc`` (ref: pipe/node.go:16-19); here every GD round is one
+declarative aggregate.
+
+Scale (100 TB design points):
+
+* **Per-round cost is one map-side Arrow pass + ONE (dim+1)-cell shuffle**:
+  the weight vector (KBs) is embedded in the UDF, each batch computes its
+  gradient contributions with a numpy matmul, and the per-dimension sums
+  aggregate as DECIMAL(38,18) — exact and order-independent, so training is
+  bit-reproducible across partitionings, retries, and cluster sizes (float
+  gradient accumulation is not).
+* **Lineage is cut every round** — each round is a fresh aggregate over the
+  base scan with the new driver-held weights; nothing iterative accumulates
+  in the plan.
+* Full-batch GD (not SGD): on a cluster a pass over the data is the unit of
+  cost, and exact full-batch gradients are what make the fit reproducible;
+  for faster convergence swap the round's input for a
+  ``sampling.deterministic_sample`` mini-batch — same machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ACC = "decimal(38,18)"
+
+
+def fit_logistic(
+    df: DataFrame,
+    label: F.Column,
+    vec_col: str = "embedding",
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    round_decimals: int = 12,
+) -> list[float]:
+    """Binary logistic regression weights ``[w_1..w_dim, bias]`` minimizing
+    log-loss of ``label`` (a 0/1 column expression) on the vector column.
+
+    Gradient = Σ_rows (σ(w·x + b) − y)·[x, 1] / n (+ l2·w), computed
+    map-side per Arrow batch and summed exactly (see module docstring);
+    weights are rounded to ``round_decimals`` each round so any engine
+    that sums exactly reproduces the trajectory verbatim."""
+    import numpy as np
+
+    base = df.select(F.col(vec_col).alias("_v"), label.cast("double").alias("_y"))
+    dim = len(base.select("_v").first()[0])
+    w = [0.0] * (dim + 1)
+
+    for _ in range(iters):
+        w_now = list(w)
+
+        @F.pandas_udf("array<double>")
+        def grad(v: pd.Series, y: pd.Series) -> pd.Series:
+            import numpy as np
+
+            wv = np.array(w_now[:-1])
+            b = w_now[-1]
+            X = np.vstack(v.to_numpy()).astype("float64")
+            z = X @ wv + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y.to_numpy(dtype="float64")
+            G = np.hstack([X * r[:, None], r[:, None]])
+            return pd.Series(list(G))
+
+        sums = [
+            F.sum(F.element_at(F.col("_g"), i).cast(_ACC)).alias(f"g{i}")
+            for i in range(1, dim + 2)
+        ]
+        row = (
+            base.select(grad(F.col("_v"), F.col("_y")).alias("_g"))
+            .agg(F.count(F.lit(1)).alias("n"), *sums)
+            .first()
+        )
+        n = row["n"]
+        g = np.array([float(row[f"g{i}"]) for i in range(1, dim + 2)]) / n
+        if l2:
+            g[:-1] += l2 * np.array(w[:-1])
+        w = [round(wi - lr * gi, round_decimals) for wi, gi in zip(w, g)]
+    return w
+
+
+def predict_logistic(
+    df: DataFrame,
+    weights: Sequence[float],
+    vec_col: str = "embedding",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Input plus ``prob`` = σ(w·x + b) and ``pred`` ∈ {0, 1} (threshold
+    0.5). Map-side Arrow pass against the broadcast weights."""
+    w_list = list(map(float, weights))
+
+    @F.pandas_udf("double")
+    def prob(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        wv = np.array(w_list[:-1])
+        b = w_list[-1]
+        X = np.vstack(v.to_numpy()).astype("float64")
+        return pd.Series(1.0 / (1.0 + np.exp(-(X @ wv + b))))
+
+    return df.withColumn(prob_col, F.round(prob(F.col(vec_col)), 6)).withColumn(
+        "pred", (F.col(prob_col) >= 0.5).cast("int")
+    )

@@ -553,3 +553,47 @@ def test_prefix_jaccard_equals_full_join(spark):
     full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()}
     pref = {(r["id_a"], r["id_b"]): r["jaccard"] for r in prefix_jaccard_pairs(docs, threshold=0.2).collect()}
     assert full == pref  # prefix filter is lossless — identical exact output
+
+
+# ---------------------------------------------------------------------------
+# logistic regression
+# ---------------------------------------------------------------------------
+
+
+def test_logistic_matches_numpy_gd(spark, embeddings):
+    from pipes_spark.operators.linear_model import fit_logistic
+
+    w_spark = np.array(fit_logistic(embeddings, (F.col("label") < 5).cast("int"), iters=5))
+
+    rows = embeddings.select("embedding", "label").collect()
+    X = np.vstack([np.asarray(r[0], dtype="float64") for r in rows])
+    y = (np.array([r[1] for r in rows]) < 5).astype(float)
+    w = np.zeros(X.shape[1] + 1)
+    for _ in range(5):
+        z = X @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        G = np.hstack([X * r[:, None], r[:, None]])
+        g = np.array([math.fsum(G[:, j]) for j in range(G.shape[1])]) / len(X)
+        w = np.round(w - 1.0 * g, 12)
+    np.testing.assert_allclose(w_spark, w, atol=1e-9)
+
+
+def test_logistic_beats_baseline(spark, embeddings):
+    from pipes_spark.operators.linear_model import fit_logistic, predict_logistic
+
+    y = (F.col("label") < 5).cast("int")
+    w = fit_logistic(embeddings, y, iters=20, lr=1.0)
+    scored = predict_logistic(embeddings, w).withColumn("actual", y)
+    n = scored.count()
+    correct = scored.filter(F.col("pred") == F.col("actual")).count()
+    assert correct / n >= 0.58  # majority baseline is ~0.51
+
+
+def test_logistic_deterministic_across_runs(spark, embeddings):
+    from pipes_spark.operators.linear_model import fit_logistic
+
+    y = (F.col("label") < 5).cast("int")
+    a = fit_logistic(embeddings.repartition(3), y, iters=3)
+    b = fit_logistic(embeddings.repartition(11), y, iters=3)
+    assert a == b  # decimal gradient sums: partitioning-independent
