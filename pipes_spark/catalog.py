@@ -4906,3 +4906,23 @@ def ml_logistic_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("pred", "actual")
     )
+
+
+@query("sim_ivfpq_topk", oracle=None)
+def sim_ivfpq_topk(spark, sf_dir):
+    """IVFPQ ANN (faiss IVFx,PQy architecture — Jégou 2011 §III): coarse
+    IVF routing composes with residual-PQ compression, so a probe reads
+    n_probe/num_lists of the corpus AND those bytes are 32× smaller than
+    float32 — both reductions multiply (operators.similarity.ivfpq_topk).
+    ADC decomposes q·x̂ = q·c_list + Σ LUT[j][code]; exact unrolled-cosine
+    rerank on the survivors. Non-SQL-expressible; pytest asserts recall vs
+    brute force, rerank parity, and that IVFPQ beats raw-PQ recall at
+    equal code budget."""
+    from .operators.similarity import fit_ivfpq, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C, books = fit_ivfpq(emb, num_lists=8, m=8, num_codes=64, iters=5)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(emb, qs, C, books, k=5, n_probe=4, oversample=4).orderBy(
+        "query_id", "rank"
+    )

@@ -519,6 +519,13 @@ def prefix_jaccard_pairs(
     prefix self-join on the shingle hash (ids-only payload), then the
     exact verification joins candidate pairs back to the two full shingle
     sets. Every shuffle is keyed by hash or id; no n² stage.
+
+    Regime: the prefix is ``n − ⌈t·n⌉ + 1`` tokens, so the filter's power
+    is proportional to the THRESHOLD — at t=0.8 prefixes are ~20% of each
+    doc (≈25× fewer candidate products); at t=0.2 they are ~80% and the
+    pass degenerates to the full join plus rank overhead (measured in the
+    COVERAGE scaling table). Use this operator for high-similarity exact
+    dedup; route low-threshold discovery through MinHash-LSH.
     """
     sh = (
         ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
@@ -551,20 +558,26 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verification on the (small) candidate set
-    a = sh.select(F.col("id").alias("id_a"), "sh")
-    b = sh.select(F.col("id").alias("id_b"), "sh")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verification: join each candidate pair to the two per-doc
+    # shingle-hash ARRAYS and intersect natively. Row volume stays at the
+    # candidate-pair count (each row carries two ~n_sh arrays) — the
+    # alternative re-join against the exploded shingle table materializes
+    # candidates × shingles rows, which at 10× probe scale is ~10⁸ rows
+    # through two shuffles and OOMs a shared-heap local run.
+    sets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_list("sh")).alias("_set"),
+        F.count(F.lit(1)).alias("n_sh"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    a = sets.select(
+        F.col("id").alias("id_a"), F.col("_set").alias("_sa"), F.col("n_sh").alias("n_a")
+    )
+    b = sets.select(
+        F.col("id").alias("id_b"), F.col("_set").alias("_sb"), F.col("n_sh").alias("n_b")
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.round(

@@ -952,3 +952,244 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ: the production ANN composition (faiss IVFPQ architecture)
+# ---------------------------------------------------------------------------
+
+def fit_ivfpq(
+    corpus: DataFrame,
+    num_lists: int = 16,
+    m: int = 8,
+    num_codes: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_cap: int = 100_000,
+    iters: int = 10,
+):
+    """IVFPQ model: coarse IVF centroids plus PQ codebooks trained on the
+    RESIDUALS ``x − c(x)`` (Jégou 2011 §III — residuals have far lower
+    variance than raw vectors, so the same code budget quantizes much
+    finer; this is the composition faiss ships as ``IVFx,PQy``).
+
+    Returns ``(centroids, books)`` as numpy arrays. Same bounded-sample
+    driver-side training convention as ``fit_ivf_centroids`` — one Spark
+    job for the sample, ingest-time cost."""
+    import numpy as np
+
+    C = fit_ivf_centroids(
+        corpus, num_centroids=num_lists, seed=seed, id_col=id_col,
+        vec_col=vec_col, train_cap=train_cap, iters=iters,
+    )
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + seed))
+        .limit(train_cap)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    assign = (Xn @ C.T).argmax(axis=1)
+    R = Xn - C[assign]
+    dim = R.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    num_codes = min(num_codes, len(R))
+    books = np.empty((m, num_codes, dsub))
+    for j in range(m):
+        S = R[:, j * dsub : (j + 1) * dsub]
+        Cb = S[:num_codes].copy()
+        for _ in range(iters):
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ Cb.T)
+                + (Cb * Cb).sum(1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            for c in range(num_codes):
+                members = S[a == c]
+                if len(members):
+                    Cb[c] = members.mean(axis=0)
+                else:
+                    Cb[c] = S[d2.min(axis=1).argmax()]
+        books[j] = Cb
+    return C, books
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids,
+    books,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → ``(id, list_id, pq_code, recon_norm)``: nearest coarse
+    centroid, PQ codes of the unit-vector residual, and the norm of the
+    reconstruction ``c + recon(residual)`` — everything ADC scoring needs,
+    in ``4 + m·2 + 8`` bytes a vector. Map-side Arrow pass; this is the
+    ingest job whose output is stored PARTITIONED BY list_id (same layout
+    as ``warehouse.ivf_index_tables``) so probes prune to n_probe lists."""
+    import numpy as np
+
+    C_list = [list(map(float, r)) for r in centroids]
+    B_list = [[list(map(float, row)) for row in book] for book in books]
+
+    @F.pandas_udf("struct<list_id: int, pq_code: array<smallint>, recon_norm: double>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        C = np.array(C_list)
+        B = np.array(B_list)  # (m, k, dsub)
+        mm, _, dsub = B.shape
+        X = np.vstack(v.to_numpy()).astype("float64")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        lists = (Xn @ C.T).argmax(axis=1)
+        R = Xn - C[lists]
+        codes = np.empty((len(X), mm), dtype="int16")
+        recon = C[lists].copy()
+        for j in range(mm):
+            S = R[:, j * dsub : (j + 1) * dsub]
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ B[j].T) + (B[j] * B[j]).sum(1)[None, :]
+            cj = d2.argmin(axis=1)
+            codes[:, j] = cj
+            recon[:, j * dsub : (j + 1) * dsub] += B[j][cj]
+        return pd.DataFrame(
+            {
+                "list_id": lists.astype("int32"),
+                "pq_code": list(codes),
+                "recon_norm": np.maximum(np.linalg.norm(recon, axis=1), 1e-300),
+            }
+        )
+
+    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("_e")).select(
+        id_col, "_e.list_id", "_e.pq_code", "_e.recon_norm"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids,
+    books,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    oversample: int = 4,
+    encoded_corpus: Optional[DataFrame] = None,
+) -> DataFrame:
+    """IVFPQ top-k: probe the ``n_probe`` nearest inverted lists per query,
+    ADC-score ONLY those lists' m-byte codes, exact-rerank the survivors.
+
+    Per (query, probed list) the inner product decomposes as
+    ``q·x̂ = q·c_list + Σ_j LUT_q[j][code_j]`` — the constant and the LUT
+    are driver-side (queries are broadcastable by the same contract as
+    every exact path here). The scan filters ``list_id IN (probed)``: on a
+    list-partitioned store that is a static partition prune, so at corpus
+    scale the job reads n_probe/num_lists of the bytes — and those bytes
+    are 32× smaller than float32. Both reductions compose; that is the
+    whole point of IVFPQ."""
+    import numpy as np
+
+    from .multimodal import _ship_package
+
+    spark = corpus.sparkSession
+    _ship_package(spark)
+    dim = _probe_dim(corpus, vec_col)
+    C = np.asarray(centroids, dtype="float64")
+    B = np.asarray(books, dtype="float64")
+    m, _, dsub = B.shape
+    kq = k * oversample
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+    Q = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    Qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
+    Qu = Q / Qn[:, None]
+    probed = np.argsort(-(Qu @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    lut = np.einsum("qms,mcs->qmc", Qu.reshape(len(Q), m, dsub), B)
+    qdotc = Qu @ C.T  # (nq, num_lists)
+    probe_sets = {int(q_ids[i]): set(map(int, probed[i])) for i in range(len(q_ids))}
+    all_lists = sorted({l for s in probe_sets.values() for l in s})
+    bc = spark.sparkContext.broadcast((q_ids, lut, qdotc, probe_sets))
+
+    enc = (
+        encoded_corpus
+        if encoded_corpus is not None
+        else ivfpq_encode(ensure_min_partitions(corpus), centroids, books, id_col, vec_col)
+    )
+    # static IN-filter: partition prune on a list-partitioned store
+    enc = enc.filter(F.col("list_id").isin(*all_lists))
+
+    def scan(batches):
+        import numpy as np
+        import pandas as pd
+
+        q_ids_b, lut_b, qdotc_b, probe_b = bc.value
+        nq = len(q_ids_b)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            lists = pdf["list_id"].to_numpy(dtype="int64")
+            codes = np.vstack(pdf["pq_code"].to_numpy()).astype("int64")
+            norms = pdf["recon_norm"].to_numpy(dtype="float64")
+            S = np.zeros((len(ids), nq))
+            for j in range(lut_b.shape[1]):
+                S += lut_b[:, j, codes[:, j]].T
+            S += qdotc_b[:, lists].T  # + q·c_list term
+            S /= norms[:, None]
+            # mask rows outside each query's probed lists, and self-pairs
+            for qi in range(nq):
+                ok = np.isin(lists, list(probe_b[int(q_ids_b[qi])]))
+                S[~ok, qi] = -2.0
+            S[ids[:, None] == q_ids_b[None, :]] = -2.0
+            top = min(kq, len(ids))
+            sel = np.argpartition(-S, top - 1, axis=0)[:top]
+            qi = np.broadcast_to(np.arange(nq), sel.shape)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids_b[qi.ravel()],
+                    "neighbor_id": ids[sel.ravel()],
+                    "qscore": S[sel.ravel(), qi.ravel()],
+                }
+            )
+
+    cand = enc.mapInPandas(
+        scan, schema="query_id bigint, neighbor_id bigint, qscore double"
+    ).filter(F.col("qscore") > -2.0)
+    if query_id_col != "query_id":
+        cand = cand.withColumnRenamed("query_id", query_id_col)
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id")
+    )
+    cand = cand.withColumn("_qr", F.row_number().over(wq)).filter(
+        F.col("_qr") <= kq
+    ).select(query_id_col, "neighbor_id")
+
+    qv = queries.select(
+        F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qvec")
+    ).withColumn("_qn", l2_norm("_qvec", dim))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _cast_double(vec_col).alias("_cvec")
+    ).withColumn("_cn", l2_norm("_cvec", dim))
+    scored = (
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(dot("_qvec", "_cvec", dim) / (F.col("_qn") * F.col("_cn")), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -597,3 +597,42 @@ def test_logistic_deterministic_across_runs(spark, embeddings):
     a = fit_logistic(embeddings.repartition(3), y, iters=3)
     b = fit_logistic(embeddings.repartition(11), y, iters=3)
     assert a == b  # decimal gradient sums: partitioning-independent
+
+
+def test_ivfpq_recall_and_exact_rerank(spark, embeddings):
+    from pipes_spark.operators.similarity import (
+        cosine_topk,
+        fit_ivfpq,
+        ivfpq_topk,
+    )
+
+    C, books = fit_ivfpq(embeddings, num_lists=8, m=8, num_codes=64, iters=5)
+    qs = embeddings.filter(F.col("vec_id") % 100 == 0)
+    got = ivfpq_topk(embeddings, qs, C, books, k=5, n_probe=6, oversample=8).collect()
+    exact = cosine_topk(embeddings, qs, k=5).collect()
+    got_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in got}
+    exact_map = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    shared = set(got_map) & set(exact_map)
+    assert shared
+    for key in shared:
+        assert got_map[key] == exact_map[key]  # bit-identical rerank
+    by_q_got: dict[int, set] = {}
+    by_q_exact: dict[int, set] = {}
+    for q, nb in got_map:
+        by_q_got.setdefault(q, set()).add(nb)
+    for q, nb in exact_map:
+        by_q_exact.setdefault(q, set()).add(nb)
+    hits = sum(len(by_q_got.get(q, set()) & by_q_exact[q]) for q in by_q_exact)
+    total = sum(len(v) for v in by_q_exact.values())
+    assert hits / total >= 0.4, f"recall {hits}/{total}"
+
+
+def test_ivfpq_encode_layout(spark, embeddings):
+    from pipes_spark.operators.similarity import fit_ivfpq, ivfpq_encode
+
+    C, books = fit_ivfpq(embeddings, num_lists=8, m=8, num_codes=64, iters=3)
+    enc = ivfpq_encode(embeddings, C, books).collect()
+    assert all(0 <= r["list_id"] < 8 for r in enc)
+    assert all(len(r["pq_code"]) == 8 for r in enc)
+    # residual reconstruction ≈ unit vector: recon norms near 1
+    assert all(0.5 < r["recon_norm"] < 1.5 for r in enc)

@@ -289,6 +289,15 @@ def main() -> None:
         lambda: zscore_outliers_bucketed(ev10, ["event_type"], ["ts", "event_id"], "value").count(),
     )
 
+    from pipes_spark.operators.dedup import ngram_jaccard_pairs, prefix_jaccard_pairs
+
+    # prefix filtering pays when the prefix (n - ceil(t*n) + 1 tokens) is
+    # short, i.e. at HIGH thresholds; at t=0.2 the prefix is ~80% of the
+    # doc and the pass is the full join plus rank overhead (measured:
+    # 9.5 s vs 3.6 s at 1x, diverging at 10x). Probe the design point.
+    run("jaccard_full_t07_10x", lambda: ngram_jaccard_pairs(docs10, threshold=0.7).count())
+    run("jaccard_prefix_t07_10x", lambda: prefix_jaccard_pairs(docs10, threshold=0.7).count())
+
 
 if __name__ == "__main__":
     main()
