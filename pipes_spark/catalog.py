@@ -4926,3 +4926,24 @@ def sim_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(emb, qs, C, books, k=5, n_probe=4, oversample=4).orderBy(
         "query_id", "rank"
     )
+
+
+@query("sim_ivfpq_indexed", oracle=None)
+def sim_ivfpq_indexed(spark, sf_dir):
+    """IVFPQ against the PERSISTED index (warehouse.ivfpq_index_tables):
+    codes stored PARTITIONED BY list_id, so the probe's static list filter
+    prunes unread partitions, and each read byte is an m-byte residual-PQ
+    code — the steady-state serving path (training and encoding are
+    ingest-time; this query only loads the KB-scale model table). Plan
+    test asserts the pruned scan; pytest asserts parity with the
+    on-the-fly ivfpq path."""
+    from .operators.similarity import ivfpq_topk
+    from .warehouse import ivfpq_index_tables, load_ivfpq_model
+
+    _, codes = ivfpq_index_tables(spark, sf_dir)
+    C, books = load_ivfpq_model(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(
+        emb, qs, C, books, k=5, n_probe=4, oversample=4, encoded_corpus=codes
+    ).orderBy("query_id", "rank")

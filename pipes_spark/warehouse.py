@@ -138,3 +138,81 @@ def ivf_index_tables(
             load_table(spark, sf_dir, "embeddings"), C, id_col, vec_col
         ).write.partitionBy("list_id").saveAsTable(co_name)
     return spark.table(cb_name), spark.table(co_name)
+
+
+def ivfpq_index_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    num_lists: int = 16,
+    m: int = 8,
+    num_codes: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple:
+    """Materialize (once) the IVFPQ index and return ``(model, codes)``:
+
+    * ``ivfpq_model_*`` — the coarse centroids and residual-PQ codebooks,
+      flattened to rows (``kind='centroid'`` / ``kind='book'``). Training
+      (operators.similarity.fit_ivfpq) is an ingest-time job; persisting
+      means every process probes the same lists with the same codes.
+    * ``ivfpq_codes_*`` — the m-byte codes + recon norms written
+      ``PARTITIONED BY (list_id)``: probes prune to n_probe lists via
+      static partition pruning AND each pruned byte is 32× smaller than
+      float32 — the two reductions IVFPQ exists to multiply.
+    """
+    import numpy as np
+
+    from pipes_spark.operators.similarity import fit_ivfpq, ivfpq_encode
+    from pipes_spark.sources import load_table
+
+    tag = _tag(sf_dir)
+    mod_name = f"ivfpq_model_{tag}_{num_lists}_{m}_{num_codes}"
+    codes_name = f"ivfpq_codes_{tag}_{num_lists}_{m}_{num_codes}"
+    if not spark.catalog.tableExists(mod_name):
+        clear_stale_location(spark, mod_name)
+        C, books = fit_ivfpq(
+            load_table(spark, sf_dir, "embeddings"),
+            num_lists=num_lists, m=m, num_codes=num_codes, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        rows = [("centroid", i, 0, [float(x) for x in row]) for i, row in enumerate(C)]
+        rows += [
+            ("book", j, c, [float(x) for x in books[j][c]])
+            for j in range(books.shape[0])
+            for c in range(books.shape[1])
+        ]
+        spark.createDataFrame(
+            rows, "kind string, i int, c int, vec array<double>"
+        ).coalesce(1).write.saveAsTable(mod_name)
+    if not spark.catalog.tableExists(codes_name):
+        clear_stale_location(spark, codes_name)
+        C, books = load_ivfpq_model(spark, sf_dir, num_lists, m, num_codes)
+        ivfpq_encode(
+            load_table(spark, sf_dir, "embeddings"), C, books, id_col, vec_col
+        ).write.partitionBy("list_id").saveAsTable(codes_name)
+    return spark.table(mod_name), spark.table(codes_name)
+
+
+def load_ivfpq_model(
+    spark: SparkSession,
+    sf_dir: str,
+    num_lists: int = 16,
+    m: int = 8,
+    num_codes: int = 64,
+):
+    """Rehydrate ``(centroids, books)`` numpy arrays from the persisted
+    model table (KBs — a driver-side read by design)."""
+    import numpy as np
+
+    tag = _tag(sf_dir)
+    mod = spark.table(f"ivfpq_model_{tag}_{num_lists}_{m}_{num_codes}").collect()
+    cent = sorted((r for r in mod if r["kind"] == "centroid"), key=lambda r: r["i"])
+    C = np.array([r["vec"] for r in cent])
+    books_rows = [r for r in mod if r["kind"] == "book"]
+    mm = max(r["i"] for r in books_rows) + 1
+    kk = max(r["c"] for r in books_rows) + 1
+    books = np.empty((mm, kk, len(books_rows[0]["vec"])))
+    for r in books_rows:
+        books[r["i"], r["c"]] = r["vec"]
+    return C, books

@@ -317,3 +317,26 @@ def test_scd2_point_in_time_is_hash_join_not_bnlj(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scd2_point_in_time")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivfpq_indexed_scan_prunes_unprobed_lists(spark, sf_dir):
+    """The list-partitioned IVFPQ codes scan must carry a static partition
+    filter on the probed lists — IVFPQ's n_probe/num_lists byte promise
+    through the storage layer, same contract as the IVF-flat index."""
+    from pipes_spark.operators.similarity import ivfpq_topk
+    from pipes_spark.sources import load_table
+    from pipes_spark.warehouse import ivfpq_index_tables, load_ivfpq_model
+
+    _, codes = ivfpq_index_tables(spark, sf_dir)
+    C, books = load_ivfpq_model(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 2)
+    df = ivfpq_topk(emb, q, C, books, k=3, n_probe=2, encoded_corpus=codes)
+    seg = next(
+        s
+        for s in df._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "ivfpq_codes" in s and "FileScan" in s
+    )
+    assert "PartitionFilters: [list_id" in seg
+    m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", seg)
+    assert m and int(m.group(1)) <= 4  # 2 queries x 2 probes of 16 lists
