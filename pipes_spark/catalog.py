@@ -4947,3 +4947,52 @@ def sim_ivfpq_indexed(spark, sf_dir):
     return ivfpq_topk(
         emb, qs, C, books, k=5, n_probe=4, oversample=4, encoded_corpus=codes
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "text_sparse_cosine",
+    oracle=r"""
+    WITH n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1
+    ), w AS (
+      SELECT doc_id, token,
+             round(tf::DOUBLE * ln(n.n_docs / dfreq::DOUBLE), 6) AS w
+      FROM tf JOIN dfreq USING (token), n
+    ), norms AS (
+      SELECT doc_id,
+             sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+      FROM w GROUP BY doc_id
+    ), dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(CAST(a.w * b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM dots
+      JOIN norms na ON id_a = na.doc_id
+      JOIN norms nb ON id_b = nb.doc_id
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.5
+    """,
+)
+def text_sparse_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine document similarity — similarity search with
+    no embeddings (operators.text.tfidf_cosine_pairs): token-keyed
+    self-join of 6-decimal weights with DECIMAL(28,12) dot/norm
+    accumulators, so the cosine is bit-identical across engines (products
+    of two 6-decimal values are exact at 12 decimals — no float summation
+    order anywhere). The Zipf-head hazard is capped by max_postings; the
+    dense 30-word synthetic vocabulary makes every token a worst-case
+    head token, so this is the operator's adversarial input."""
+    from .operators.text import tfidf_cosine_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.5, max_postings=10_000)

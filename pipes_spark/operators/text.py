@@ -488,3 +488,56 @@ def chunk_token_windows(
         F.size(piece).cast("bigint").alias("chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_postings: int = 10_000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — document similarity WITHOUT
+    embeddings (the classic IR formulation): docs are sparse
+    token→weight vectors; cosine is a token-keyed self-join summing
+    weight products, normalized by per-doc norms.
+
+    Determinism: weights are the 6-decimal-rounded TF-IDF values, so the
+    dot/norm accumulators can be DECIMAL(28,12) — products of two
+    6-decimal values are EXACT at 12 decimals, no float summation order
+    anywhere; two engines computing this get identical bits.
+
+    Scale: pair volume is Σ_token df(token)² — the Zipf head is the
+    hazard, so tokens appearing in more than ``max_postings`` documents
+    (stopwords/boilerplate, negligible TF-IDF weight anyway) are dropped
+    from pairing AND from the norms, keeping the two sides of the cosine
+    consistent. For low thresholds over huge corpora route candidates
+    through MinHash-LSH first and use this as the verifier.
+    """
+    acc = "decimal(28,12)"
+    w = tfidf(df, text_col=text_col, id_col=id_col)
+    dfreq = w.groupBy("token").agg(F.count(F.lit(1)).alias("_n"))
+    keep = dfreq.filter(F.col("_n") <= max_postings).select("token")
+    w = w.join(keep, "token").select(F.col(id_col).alias("id"), "token", "tfidf")
+    norms = w.groupBy("id").agg(
+        F.sqrt(F.sum((F.col("tfidf") * F.col("tfidf")).cast(acc)).cast("double")).alias(
+            "_norm"
+        )
+    )
+    a = w.select(F.col("id").alias("id_a"), "token", F.col("tfidf").alias("_wa"))
+    b = w.select(F.col("id").alias("id_b"), "token", F.col("tfidf").alias("_wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("_wa") * F.col("_wb")).cast(acc)).cast("double").alias("_dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("_norm").alias("_na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("_norm").alias("_nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cos_sim", F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -636,3 +636,41 @@ def test_ivfpq_encode_layout(spark, embeddings):
     assert all(len(r["pq_code"]) == 8 for r in enc)
     # residual reconstruction ≈ unit vector: recon norms near 1
     assert all(0.5 < r["recon_norm"] < 1.5 for r in enc)
+
+
+def test_tfidf_cosine_pairs_matches_numpy(spark):
+    from pipes_spark.operators.text import tfidf_cosine_pairs
+
+    docs = load_table(spark, SF001, "documents").limit(80)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in tfidf_cosine_pairs(docs, threshold=0.5).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    from collections import Counter, defaultdict
+
+    tf = {r["doc_id"]: Counter(t for t in r["text"].split() if t) for r in rows}
+    dfreq = Counter()
+    for c in tf.values():
+        dfreq.update(c.keys())
+    w = {
+        d: {t: round(cnt * math.log(n_docs / dfreq[t]), 6) for t, cnt in c.items()}
+        for d, c in tf.items()
+    }
+    ids = sorted(w)
+    import numpy as np
+
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(w[a]) & set(w[b])
+            dot = math.fsum(w[a][t] * w[b][t] for t in shared)
+            na = math.sqrt(math.fsum(v * v for v in w[a].values()))
+            nb = math.sqrt(math.fsum(v * v for v in w[b].values()))
+            cs = round(dot / (na * nb), 6)
+            if cs >= 0.5:
+                exp[(a, b)] = cs
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) <= 2e-6
