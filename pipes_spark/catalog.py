@@ -3851,29 +3851,34 @@ _GRADED_WINDOW = [
     "q5_local_supplier_volume", "q8_market_share", "q10_returned_items",
     "q18_large_volume", "q21_waiting_supplier",
     # subqueries / decorrelation
-    "subquery_exists", "subquery_in", "subquery_not_in",
+    "subquery_exists", "subquery_not_in",
     "subquery_scalar_corr", "subquery_scalar_uncorr",
     # join family
-    "join_inner_agg", "join_left_outer", "join_semi", "join_anti",
-    "join_cross", "join_range_bands", "join_asof", "join_asof_forward_tol",
+    "join_inner_agg", "join_semi",
+    "join_range_bands", "join_asof", "join_asof_forward_tol",
     # aggregation family
     "agg_stats", "agg_count_distinct", "agg_percentiles",
-    "grouping_cube", "grouping_sets_mix",
+    "grouping_sets_mix",
     # windows / ordering
-    "window_ranking", "window_analytic", "window_frames", "topk_per_group",
-    # set ops
-    "set_union_all", "set_intersect_all", "set_except_all",
+    "window_ranking", "window_analytic", "topk_per_group",
+    # set ops (the ALL variants carry the multiset subtlety)
+    "set_intersect_all", "set_except_all",
     # MERGE / SCD2
     "merge_upsert_orders", "scd2_customer_snapshot", "scd2_point_in_time",
     # events / sessionization / time-series
     "events_hourly", "sessionize_stats", "sessionize_bucketed_stats",
     "timeseries_gapfill", "timeseries_ffill", "timeseries_interpolate",
-    "timeseries_funnel", "timeseries_funnel_counts",
-    # dedup / similarity (oracled paths)
+    "timeseries_funnel",
+    "ts_ewma", "ts_zscore_bucketed", "stats_mad_outliers",
+    # profiling / statistics
+    "stats_linear_fit", "profile_orders",
+    # dedup / similarity / text (oracled paths)
     "dedup_keyed", "dedup_exact_docs", "dedup_lsh_verified",
+    "dedup_jaccard_prefix", "text_sparse_cosine", "text_chunk_windows",
     "sim_cosine_neardup", "sim_cosine_topk",
-    # scan/filter representative (filter_predicates, pivot, and the rest
-    # follow immediately after the window in registration order)
+    # scan/filter representative (filter_predicates, pivot, the displaced
+    # family variants, and the rest follow immediately after the window in
+    # registration order)
     "scan_project_cast",
 ]
 
