@@ -38,6 +38,9 @@ HEADLINE = [
     "topk_per_group",
     "events_hourly",
     "sessionize_stats",
+    "ts_ewma",
+    "stats_mad_outliers",
+    "stats_histogram",
     "scalar_array_explode",
     "dedup_keyed",
     # extensions
