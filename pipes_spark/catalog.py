@@ -5001,3 +5001,99 @@ def text_sparse_cosine(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return tfidf_cosine_pairs(d, threshold=0.5, max_postings=10_000)
+
+
+@query(
+    "ts_forecast_linear",
+    oracle="""
+    WITH _g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) * ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             max(ts) AS last_ts
+      FROM events GROUP BY event_type
+    ), fit AS (
+      SELECT event_type, last_ts,
+             round(CASE WHEN n_points >= 3 AND (n_points * sxx - sx * sx) <> 0
+               THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) END, 12) AS slope,
+             round(CASE WHEN n_points >= 3 AND (n_points * sxx - sx * sx) <> 0
+               THEN (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx) / n_points END, 12) AS intercept
+      FROM _g
+    ), grid AS (
+      SELECT event_type, slope, intercept,
+             CAST(h AS BIGINT) AS step_ahead,
+             last_ts + CAST(h AS INT) * INTERVAL '1 day' AS ts
+      FROM fit, LATERAL unnest(range(1, 8)) AS t(h)
+    )
+    SELECT event_type, step_ahead, ts,
+           round(slope * ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) + intercept, 6) AS yhat
+    FROM grid
+    """,
+)
+def ts_forecast_linear(spark, sf_dir):
+    """Per-key linear-trend forecast (operators.timeseries.forecast_linear):
+    closed-form OLS per event type (exact DECIMAL sufficient statistics —
+    the same normal equations as stats_linear_fit, rounded only at output)
+    extrapolated 7 daily steps past each key's last observation. The
+    deterministic forecasting baseline; the horizon grid is a bounded
+    per-key sequence+explode."""
+    from .operators.timeseries import forecast_linear
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    out = forecast_linear(ev, ["event_type"], "ts", "value", horizon=7, step="1 day")
+    return out
+
+
+@query(
+    "events_assoc_rules",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_type,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    ), baskets AS (
+      SELECT DISTINCT concat(CAST(user_id AS VARCHAR), '#', CAST(session_id AS VARCHAR)) AS sid,
+             event_type AS t
+      FROM sessions
+    ), n AS (SELECT count(DISTINCT sid)::DOUBLE AS n_sessions FROM baskets),
+    singles AS (
+      SELECT t, count(*) AS c FROM baskets GROUP BY t
+    ), pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS support
+      FROM baskets a JOIN baskets b ON a.sid = b.sid AND a.t < b.t
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT type_a, type_b, support,
+           round(support / n.n_sessions, 6) AS pair_freq,
+           round((support * n.n_sessions) / (ca.c * cb.c), 6) AS lift
+    FROM pairs
+      JOIN singles ca ON type_a = ca.t
+      JOIN singles cb ON type_b = cb.t, n
+    """,
+)
+def events_assoc_rules(spark, sf_dir):
+    """Session-basket association rules
+    (operators.relational.association_rules): event-type co-occurrence
+    within 30-minute sessions with support and lift — market-basket
+    affinity where the basket is the session. Integer counting
+    throughout; pair volume is bounded by (types per session)², never by
+    event counts."""
+    from .operators.relational import association_rules
+
+    ev = _t(spark, sf_dir, "events")
+    return association_rules(
+        ev, "user_id", "ts", "event_type", gap_seconds=1800,
+        order_tiebreak="event_id", min_support=2,
+    )

@@ -86,6 +86,7 @@ def linear_fit(
     x: Column,
     y: Column,
     min_points: int = 3,
+    round_decimals: int = 6,
 ) -> DataFrame:
     """Per-group ordinary least squares y = slope·x + intercept, closed form.
 
@@ -123,9 +124,9 @@ def linear_fit(
     return g.select(
         *group_cols,
         F.col("n_points"),
-        F.round(slope, 6).alias("slope"),
-        F.round(intercept, 6).alias("intercept"),
-        F.round(r2, 6).alias("r2"),
+        F.round(slope, round_decimals).alias("slope"),
+        F.round(intercept, round_decimals).alias("intercept"),
+        F.round(r2, round_decimals).alias("r2"),
     )
 
 

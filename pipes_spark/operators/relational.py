@@ -458,3 +458,61 @@ def scd2_merge(
     return hist.unionByName(unchanged).unionByName(closed_changed).unionByName(
         new_version
     ).unionByName(gone)
+
+
+def association_rules(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    gap_seconds: int = 1800,
+    order_tiebreak: str = None,
+    min_support: int = 2,
+) -> DataFrame:
+    """Session-basket association rules: co-occurrence of event types
+    within gap-based sessions, with support and lift — market-basket
+    analysis where the basket is the session (the affinity signal behind
+    "users who did A also did B").
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over sessions; > 1 means the pair
+    co-occurs more than independence predicts. All counting is integer;
+    the single float division happens once per output row and is rounded,
+    so results are engine-exact.
+
+    Scale: sessionize (one window pass), reduce to DISTINCT (session,
+    type) — the basket table, ≤ #types rows per session — then the pair
+    join keys on the session id: pair volume is Σ_s |basket_s|², bounded
+    by the type-vocabulary squared per session, never by event counts.
+    """
+    s = sessionize(events, user_col, ts_col, gap_seconds, order_tiebreak=order_tiebreak)
+    baskets = s.select(
+        F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_id").cast("string")).alias("_sid"),
+        F.col(type_col).alias("_t"),
+    ).distinct()
+    n_sessions = baskets.select("_sid").distinct().count()
+    singles = baskets.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+    a = baskets.select("_sid", F.col("_t").alias("type_a"))
+    b = baskets.select("_sid", F.col("_t").alias("type_b"))
+    pairs = (
+        a.join(b, "_sid")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    ca = singles.select(F.col("_t").alias("type_a"), F.col("_c").alias("_ca"))
+    cb = singles.select(F.col("_t").alias("type_b"), F.col("_c").alias("_cb"))
+    n = float(n_sessions)
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "support",
+            F.round(F.col("support") / F.lit(n), 6).alias("pair_freq"),
+            F.round(
+                (F.col("support") * F.lit(n)) / (F.col("_ca") * F.col("_cb")), 6
+            ).alias("lift"),
+        )
+    )

@@ -458,3 +458,56 @@ def zscore_outliers_bucketed(
         df, keys, order_cols, value_col, lookback, min_periods, ts_col, bucket
     )
     return scored.filter(F.abs(F.col("zscore")) >= threshold)
+
+
+def forecast_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    horizon: int,
+    step: str = "1 day",
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-key linear-trend forecast: closed-form OLS of value over time
+    (``profiling.linear_fit`` — exact DECIMAL sufficient statistics, one
+    groupBy shuffle), extrapolated ``horizon`` steps past each key's last
+    observation. The simplest member of the forecasting family — the
+    deterministic, SQL-expressible baseline every fancier model is judged
+    against.
+
+    Output: one row per key per future step with ``ts`` and ``yhat``
+    (NULL for keys below ``min_points`` or with zero time-variance). The
+    horizon grid is a per-key ``sequence`` + explode (bounded by
+    ``horizon``) — map-side against the tiny per-key fit table."""
+    from .profiling import linear_fit
+
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    x = (F.unix_micros(F.col(ts_col)) - base) / F.lit(1000000.0)
+    # 12-decimal fit: per-second slopes are ~1e-5, and the horizon
+    # multiplies slope error by ~1e6 seconds — 6 decimals would visibly
+    # bend the forecast. Cross-engine exactness needs only IDENTICAL
+    # rounding, not coarse rounding.
+    fits = linear_fit(
+        df.select(*keys, ts_col, value_col), keys, x, F.col(value_col), min_points,
+        round_decimals=12,
+    )
+    last = df.groupBy(*keys).agg(F.max(ts_col).alias("_last_ts"))
+    grid = (
+        fits.join(last, list(keys))
+        .select(
+            *keys,
+            "slope",
+            "intercept",
+            F.explode(F.sequence(F.lit(1), F.lit(int(horizon)))).alias("_h"),
+            F.col("_last_ts"),
+        )
+        .withColumn("ts", F.expr(f"_last_ts + _h * interval {step}"))
+    )
+    xf = (F.unix_micros(F.col("ts")) - base) / F.lit(1000000.0)
+    return grid.select(
+        *keys,
+        F.col("_h").cast("bigint").alias("step_ahead"),
+        "ts",
+        F.round(F.col("slope") * xf + F.col("intercept"), 6).alias("yhat"),
+    )

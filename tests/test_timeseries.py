@@ -228,3 +228,46 @@ def test_sessionize_bucketed_boundary_cases(spark):
     assert got[5] == 1
     with _pytest.raises(ValueError):
         sessionize_bucketed(df, "user_id", "ts", 90000, bucket="day")
+
+
+def test_forecast_linear_recovers_trend(spark):
+    from datetime import datetime, timedelta
+
+    from pipes_spark.operators.timeseries import forecast_linear
+
+    t0 = datetime(2024, 3, 1)
+    rows = [("k", t0 + timedelta(days=i), 10.0 + 2.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = {r["step_ahead"]: r for r in
+           forecast_linear(df, ["g"], "ts", "v", horizon=3, step="1 day").collect()}
+    assert set(out) == {1, 2, 3}
+    # perfect line: next points continue the trend exactly
+    for h in (1, 2, 3):
+        assert out[h]["yhat"] == pytest.approx(10.0 + 2.0 * (9 + h), abs=1e-3)
+        assert out[h]["ts"] == t0 + timedelta(days=9 + h)
+
+
+def test_association_rules_lift_semantics(spark):
+    from datetime import datetime, timedelta
+
+    from pipes_spark.operators.relational import association_rules
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # 10 users: sessions where "view" and "click" always co-occur, and
+    # "error" appears alone in separate sessions
+    for u in range(10):
+        rows += [(u, t0 + timedelta(hours=u), "view", 100 + u * 3),
+                 (u, t0 + timedelta(hours=u, minutes=5), "click", 101 + u * 3),
+                 (u, t0 + timedelta(hours=u + 6), "error", 102 + u * 3)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    out = {(r["type_a"], r["type_b"]): r for r in
+           association_rules(df, "user_id", "ts", "event_type",
+                             gap_seconds=1800, order_tiebreak="event_id").collect()}
+    assert ("click", "view") in out
+    r = out[("click", "view")]
+    assert r["support"] == 10
+    # 20 sessions total; view and click each in 10, always together:
+    # lift = (10/20) / ((10/20)*(10/20)) = 2.0
+    assert r["lift"] == pytest.approx(2.0)
+    assert ("click", "error") not in out and ("error", "view") not in out
