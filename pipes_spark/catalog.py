@@ -5097,3 +5097,37 @@ def events_assoc_rules(spark, sf_dir):
         ev, "user_id", "ts", "event_type", gap_seconds=1800,
         order_tiebreak="event_id", min_support=2,
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS p FROM events
+    ), firsts AS (
+      SELECT u, min(p) AS cohort FROM activity GROUP BY u
+    ), sizes AS (
+      SELECT cohort, count(*) AS size FROM firsts GROUP BY cohort
+    ), cells AS (
+      SELECT f.cohort,
+             CAST(floor((epoch_us(a.p) - epoch_us(f.cohort)) / 604800000000.0) AS BIGINT) AS period_offset,
+             CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+      FROM activity a JOIN firsts f USING (u)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(cells.cohort AS TIMESTAMP) AS cohort, period_offset, n_active,
+           CAST(sizes.size AS BIGINT) AS cohort_size,
+           round(n_active / sizes.size, 6) AS retention
+    FROM cells JOIN sizes ON cells.cohort = sizes.cohort
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle
+    (operators.relational.cohort_retention): users bucketed by
+    first-activity week, counted per week offset — one user-keyed
+    co-partitioned join plus two integer aggregates; the only float is
+    the final rounded retention fraction."""
+    from .operators.relational import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", grain="week")

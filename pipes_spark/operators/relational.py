@@ -516,3 +516,47 @@ def association_rules(
             ).alias("lift"),
         )
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period (the cohort), counted by how many remain active N periods
+    later — the standard product-analytics retention triangle.
+
+    Scale: one min-aggregate per user (the cohort assignment), joined back
+    onto the per-(user, period) distinct-activity table (both keyed by
+    user — a single co-partitioned join), then one count-distinct
+    aggregate per (cohort, offset) cell. All integer arithmetic except
+    the final rounded retention fraction.
+    """
+    per = F.date_trunc(grain, F.col(ts_col))
+    activity = events.select(
+        F.col(user_col).alias("_u"), per.alias("_p")
+    ).distinct()
+    firsts = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    joined = activity.join(firsts, "_u").withColumn(
+        "_offset",
+        F.floor(
+            (F.unix_micros(F.col("_p")) - F.unix_micros(F.col("_cohort")))
+            / F.lit(86400000000 * (7 if grain == "week" else 1))
+        ).cast("bigint"),
+    )
+    sizes = firsts.groupBy("_cohort").agg(F.count(F.lit(1)).alias("_size"))
+    cells = joined.groupBy("_cohort", "_offset").agg(
+        F.count_distinct(F.col("_u")).cast("bigint").alias("n_active")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            F.col("_offset").alias("period_offset"),
+            "n_active",
+            F.col("_size").cast("bigint").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
+        )
+    )

@@ -271,3 +271,26 @@ def test_association_rules_lift_semantics(spark):
     # lift = (10/20) / ((10/20)*(10/20)) = 2.0
     assert r["lift"] == pytest.approx(2.0)
     assert ("click", "error") not in out and ("error", "view") not in out
+
+
+def test_cohort_retention_golden(spark):
+    from datetime import datetime
+
+    from pipes_spark.operators.relational import cohort_retention
+
+    # cohort A (week of Jan 1): users 1,2 — user 1 returns next week;
+    # cohort B (week of Jan 8): user 3 only
+    rows = [
+        (1, datetime(2024, 1, 2)), (2, datetime(2024, 1, 3)),
+        (1, datetime(2024, 1, 10)),
+        (3, datetime(2024, 1, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort"], r["period_offset"]): r for r in
+           cohort_retention(df, "user_id", "ts", grain="week").collect()}
+    a = datetime(2024, 1, 1)
+    b = datetime(2024, 1, 8)
+    assert out[(a, 0)]["n_active"] == 2 and out[(a, 0)]["retention"] == 1.0
+    assert out[(a, 1)]["n_active"] == 1 and out[(a, 1)]["retention"] == 0.5
+    assert out[(b, 0)]["n_active"] == 1 and out[(b, 0)]["cohort_size"] == 1
+    assert set(out) == {(a, 0), (a, 1), (b, 0)}
