@@ -5131,3 +5131,46 @@ def events_cohort_retention(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts", grain="week")
+
+
+@query(
+    "dedup_containment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', tk[i], tk[i+1], tk[i+2])
+                            for i in range(1, greatest(len(tk) - 2, 1) + 1)]) AS s
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / sa.n_sh, 6) AS containment_a_in_b,
+           round(n_common / sb.n_sh, 6) AS containment_b_in_a,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    WHERE round(n_common / sa.n_sh, 6) >= 0.5
+       OR round(n_common / sb.n_sh, 6) >= 0.5
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric containment near-dups (|A∩B|/|A| ≥ 0.5 in either
+    direction — operators.dedup.containment_pairs): catches a document
+    embedded inside a larger one, which symmetric Jaccard dilutes toward
+    zero as the container grows. Exact shingle-join verifier; LSH-first at
+    corpus scale."""
+    from .operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.5)

@@ -587,3 +587,63 @@ def prefix_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: ``|A∩B| / |A|`` — the
+    one-sided measure that catches a document EMBEDDED inside a larger one
+    (quotes, scrapes, concatenations), which symmetric Jaccard dilutes
+    toward zero as the container grows. Pairs are reported when EITHER
+    direction reaches ``threshold``, with both directions and the Jaccard
+    alongside so the caller can distinguish subset-dupes from mutual
+    near-dupes.
+
+    Same scale shape as :func:`ngram_jaccard_pairs` (shingle-keyed
+    self-join, (hash, id) payloads, candidate-bound): an exact verifier —
+    route candidate generation through MinHash-LSH first at corpus scale.
+    """
+    sh = (
+        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+        )
+        .select("id", F.xxhash64("shingle").alias("sh"))
+        .persist()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    c_ab = F.round(F.col("n_common") / F.col("n_a"), 6)
+    c_ba = F.round(F.col("n_common") / F.col("n_b"), 6)
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a", "jaccard")
+    )

@@ -674,3 +674,20 @@ def test_tfidf_cosine_pairs_matches_numpy(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert abs(got[k] - exp[k]) <= 2e-6
+
+
+def test_containment_catches_embedded_doc(spark):
+    from pipes_spark.operators.dedup import containment_pairs
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    big = "prefix words here " + small + " and a much longer tail " + \
+          "with many additional tokens diluting the symmetric jaccard " + \
+          "far below any reasonable near dup threshold for sure " + \
+          "plus even more filler content to stretch the container document"
+    rows = [(1, small), (2, big), (3, "entirely unrelated text body")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r for r in containment_pairs(df, threshold=0.8).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert r["containment_a_in_b"] >= 0.8  # the small doc is inside the big one
+    assert r["jaccard"] < 0.3  # symmetric measure would have missed it
