@@ -340,3 +340,27 @@ def test_ivfpq_indexed_scan_prunes_unprobed_lists(spark, sf_dir):
     assert "PartitionFilters: [list_id" in seg
     m = re.search(r"InMemoryFileIndex\((\d+) paths?\)", seg)
     assert m and int(m.group(1)) <= 4  # 2 queries x 2 probes of 16 lists
+
+
+def test_chunk_token_windows_has_no_exchange(spark, sf_dir):
+    """Chunking claims 'map-side only — no shuffle at all': the physical
+    plan must contain ZERO Exchange operators."""
+    from pipes_spark.operators.text import chunk_token_windows
+    from pipes_spark.sources import load_table
+
+    df = chunk_token_windows(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mad_outliers_broadcasts_the_aggregates(spark, sf_dir):
+    """The median and MAD per-group tables are tiny and must broadcast back
+    onto the stream — the value table itself never sort-merge-joins."""
+    from pipes_spark.operators.profiling import mad_outliers
+    from pipes_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    df = mad_outliers(ev, ["event_type"], "value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
