@@ -5174,3 +5174,29 @@ def dedup_containment(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return containment_pairs(d, threshold=0.5)
+
+
+@query("multimodal_cdc_chunks", oracle=None)
+def multimodal_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking of binary assets
+    (operators.multimodal.cdc_chunks — the LBFS/restic rolling-hash
+    boundary technique): chunk fingerprints for binary-blob dedup, where
+    boundaries follow CONTENT so inserted bytes shift only one chunk
+    (pytest asserts the shift-invariance property fixed-size chunking
+    lacks). Map-side Arrow pass over the documents-as-binary asset table;
+    declared as the per-asset chunk summary. Non-SQL-expressible (stateful
+    per-byte boundary walk)."""
+    from .operators.multimodal import binary_assets_from_text, cdc_chunks
+
+    d = _t(spark, sf_dir, "documents")
+    assets = binary_assets_from_text(d)
+    ch = cdc_chunks(assets, avg_size=64, min_size=16, max_size=256)
+    return (
+        ch.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("length").cast("bigint").alias("total_bytes"),
+            F.count_distinct(F.col("chunk_hash")).cast("bigint").alias("n_distinct_chunks"),
+        )
+        .orderBy("asset_id")
+    )

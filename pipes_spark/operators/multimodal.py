@@ -184,3 +184,88 @@ def resize_stub(assets: DataFrame, width: int = 32, height: int = 32) -> DataFra
         gen,
         schema="asset_id bigint, content binary, width int, height int, n_bytes bigint",
     )
+
+
+def cdc_chunks(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+    avg_size: int = 256,
+    min_size: int = 64,
+    max_size: int = 1024,
+) -> DataFrame:
+    """Content-defined chunking of binary blobs (the LBFS/restic/borg
+    storage-dedup technique): chunk boundaries are set where a rolling
+    hash of the last 8 bytes hits ``0 mod avg_size`` — so boundaries are
+    determined by CONTENT, not offsets, and inserting bytes at the front
+    of a blob shifts only the first chunk; every later chunk re-aligns
+    and deduplicates (fixed-size chunking loses all of them). The chunk
+    fingerprint table is what a binary-asset dedup joins on — the
+    multimodal analog of the text winnowing fingerprints.
+
+    Map-side only (one numpy pass per Arrow batch, no shuffle); the
+    downstream dedup is a groupBy on ``chunk_hash``. ``min_size`` guards
+    pathological boundary runs, ``max_size`` forces progress through
+    boundary-free regions.
+    """
+    import hashlib
+
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # fixed random byte→weight table (deterministic seed) — the Buzhash
+        # convention; the window hash is a weighted sum mod 2^32
+        rng = np.random.RandomState(42)
+        table = rng.randint(0, 2**31 - 1, size=256, dtype=np.int64)
+        win = 8
+        for pdf in batches:
+            out_ids, out_idx, out_off, out_len, out_hash = [], [], [], [], []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                b = np.frombuffer(bytes(blob), dtype=np.uint8)
+                n = len(b)
+                if n == 0:
+                    continue
+                # rolling window hash at every position ≥ win
+                if n >= win:
+                    w = table[b]
+                    csum = np.concatenate([[0], np.cumsum(w)])
+                    roll = (csum[win:] - csum[:-win]) % (2**32)
+                else:
+                    roll = np.empty(0, dtype=np.int64)
+                starts = [0]
+                last = 0
+                pos = win
+                while pos < n:
+                    at_boundary = roll[pos - win] % avg_size == 0
+                    size = pos - last
+                    if (at_boundary and size >= min_size) or size >= max_size:
+                        starts.append(pos)
+                        last = pos
+                    pos += 1
+                for i, s in enumerate(starts):
+                    e = starts[i + 1] if i + 1 < len(starts) else n
+                    piece = bytes(blob)[s:e]
+                    out_ids.append(aid)
+                    out_idx.append(i)
+                    out_off.append(s)
+                    out_len.append(e - s)
+                    out_hash.append(hashlib.md5(piece).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(out_ids, dtype="int64"),
+                    "chunk_idx": pd.Series(out_idx, dtype="int64"),
+                    "offset": pd.Series(out_off, dtype="int64"),
+                    "length": pd.Series(out_len, dtype="int64"),
+                    "chunk_hash": pd.Series(out_hash, dtype="object"),
+                }
+            )
+
+    return assets.select(id_col, content_col).mapInPandas(
+        gen,
+        schema=f"{id_col} bigint, chunk_idx bigint, offset bigint, length bigint, chunk_hash string",
+    )

@@ -691,3 +691,51 @@ def test_containment_catches_embedded_doc(spark):
     r = out[(1, 2)]
     assert r["containment_a_in_b"] >= 0.8  # the small doc is inside the big one
     assert r["jaccard"] < 0.3  # symmetric measure would have missed it
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_cover_blob_exactly(spark):
+    from pipes_spark.operators.multimodal import binary_assets_from_text, cdc_chunks
+
+    docs = load_table(spark, SF001, "documents").limit(30)
+    assets = binary_assets_from_text(docs)
+    sizes = {r["asset_id"]: r["meta"]["n_bytes"] for r in assets.collect()}
+    rows = cdc_chunks(assets, avg_size=64, min_size=16, max_size=256).collect()
+    by_asset: dict[int, list] = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, chunks in by_asset.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # chunks tile the blob exactly: contiguous, complete, size-bounded
+        assert chunks[0]["offset"] == 0
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["offset"] == prev["offset"] + prev["length"]
+        assert sum(c["length"] for c in chunks) == sizes[aid]
+        assert all(c["length"] <= 256 for c in chunks)
+
+
+def test_cdc_shift_invariance_beats_fixed_chunking(spark):
+    import hashlib
+
+    from pipes_spark.operators.multimodal import cdc_chunks
+
+    base = bytes(bytearray((i * 131 + 17) % 256 for i in range(4000)))
+    shifted = b"XYZPREFIX" + base  # 9 inserted bytes at the front
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted))],
+        "asset_id long, content binary",
+    )
+    rows = cdc_chunks(df, avg_size=64, min_size=16, max_size=256).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["asset_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["asset_id"] == 2}
+    overlap = len(h1 & h2) / len(h1)
+    # content-defined boundaries re-align after the insertion: most chunk
+    # hashes survive. Fixed-size chunking would share ZERO chunks.
+    assert overlap >= 0.7, overlap
+    fixed1 = {hashlib.md5(base[i : i + 256]).hexdigest() for i in range(0, len(base), 256)}
+    fixed2 = {hashlib.md5(shifted[i : i + 256]).hexdigest() for i in range(0, len(shifted), 256)}
+    assert len(fixed1 & fixed2) == 0
