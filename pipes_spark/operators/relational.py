@@ -533,7 +533,13 @@ def cohort_retention(
     user — a single co-partitioned join), then one count-distinct
     aggregate per (cohort, offset) cell. All integer arithmetic except
     the final rounded retention fraction.
+
+    Only fixed-length grains are supported: the offset is an epoch
+    division, which month/quarter grains would silently corrupt (use a
+    months_between formulation for those).
     """
+    if grain not in ("day", "week"):
+        raise ValueError(f"grain must be 'day' or 'week', got {grain!r}")
     per = F.date_trunc(grain, F.col(ts_col))
     activity = events.select(
         F.col(user_col).alias("_u"), per.alias("_p")
