@@ -210,6 +210,11 @@ def cdc_chunks(
     """
     import hashlib
 
+    if not (0 < min_size <= max_size) or avg_size < 1:
+        raise ValueError(
+            f"need 0 < min_size <= max_size and avg_size >= 1, got "
+            f"{min_size}, {max_size}, {avg_size}"
+        )
     spark = assets.sparkSession
     _ship_package(spark)
 

@@ -179,6 +179,8 @@ def histogram(
     ``floor(value / bin_width)`` (stable across engines for exact-decimal
     inputs), with per-bin count and min/max so downstream plots need no
     second pass."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be > 0, got {bin_width}")
     b = F.floor(value / F.lit(bin_width)).cast("bigint")
     return (
         df.withColumn("bin", b)

@@ -465,6 +465,8 @@ def chunk_token_windows(
     pure scan→write pipeline. Chunk ids are deterministic (start offset
     order), so reruns produce identical chunks.
     """
+    if max_tokens < 1 or stride < 1:
+        raise ValueError(f"max_tokens and stride must be >= 1, got {max_tokens}, {stride}")
     toks = tokens(F.col(text_col))
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)

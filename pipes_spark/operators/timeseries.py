@@ -276,6 +276,10 @@ def ewma(
     Scale: single shuffle on ``keys``; ``span`` lag frames over one sorted
     run; expression tree is ~4·span nodes — far under the JIT ceiling.
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if span < 0:
+        raise ValueError(f"span must be >= 0, got {span}")
     out_col = out_col or value_col + "_ewma"
     w = Window.partitionBy(*keys).orderBy(*_order_list(order_cols))
     v = F.col(value_col)
@@ -330,6 +334,10 @@ def rolling_zscore(
     window aggregates differ across engines in summation order; DECIMAL
     does not). One shuffle on ``keys``, one sorted window pass.
     """
+    if lookback < 1 or min_periods < 1:
+        raise ValueError(
+            f"lookback and min_periods must be >= 1, got {lookback}, {min_periods}"
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(*_order_list(order_cols))

@@ -739,3 +739,26 @@ def test_cdc_shift_invariance_beats_fixed_chunking(spark):
     fixed1 = {hashlib.md5(base[i : i + 256]).hexdigest() for i in range(0, len(base), 256)}
     fixed2 = {hashlib.md5(shifted[i : i + 256]).hexdigest() for i in range(0, len(shifted), 256)}
     assert len(fixed1 & fixed2) == 0
+
+
+def test_operator_argument_guards(spark):
+    import pytest as _pt
+
+    from pipes_spark.operators.multimodal import cdc_chunks
+    from pipes_spark.operators.profiling import histogram
+    from pipes_spark.operators.text import chunk_token_windows
+    from pipes_spark.operators.timeseries import ewma, rolling_zscore
+
+    df = spark.createDataFrame([(1, "a b c", 1.0)], "doc_id long, text string, v double")
+    with _pt.raises(ValueError):
+        chunk_token_windows(df, stride=0)
+    with _pt.raises(ValueError):
+        ewma(df, ["doc_id"], "doc_id", "v", alpha=0.0)
+    with _pt.raises(ValueError):
+        ewma(df, ["doc_id"], "doc_id", "v", span=-1)
+    with _pt.raises(ValueError):
+        rolling_zscore(df, ["doc_id"], "doc_id", "v", lookback=0)
+    with _pt.raises(ValueError):
+        histogram(df, df.v, 0.0)
+    with _pt.raises(ValueError):
+        cdc_chunks(df.selectExpr("doc_id as asset_id", "encode(text, 'UTF-8') as content"), min_size=0)
