@@ -298,6 +298,11 @@ def main() -> None:
     run("jaccard_full_t07_10x", lambda: ngram_jaccard_pairs(docs10, threshold=0.7).count())
     run("jaccard_prefix_t07_10x", lambda: prefix_jaccard_pairs(docs10, threshold=0.7).count())
 
+    from pipes_spark.operators.dedup import duplicated_span_pairs
+
+    run("dup_spans_1x", lambda: duplicated_span_pairs(docs1).count())
+    run("dup_spans_10x", lambda: duplicated_span_pairs(docs10).count())
+
 
 if __name__ == "__main__":
     main()
