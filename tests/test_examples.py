@@ -59,3 +59,17 @@ def test_embedding_pipeline_example(spark, sf_dir, monkeypatch, capsys, tmp_path
     out = capsys.readouterr().out
     assert "clusters: 8" in out and "pq codes written" in out
     assert (tmp_path / "out" / "pq_codes").exists()
+
+
+def test_streaming_ingest_example(spark, sf_dir, monkeypatch, capsys, tmp_path):
+    import streaming_ingest
+
+    monkeypatch.setattr(sys, "argv", ["streaming_ingest.py", sf_dir, str(tmp_path / "out")])
+    assert streaming_ingest.main() == 0
+    out = capsys.readouterr().out
+    # the re-crawled duplicates must be rejected by the fingerprint store:
+    # admitted equals the distinct source docs, not source + 20
+    m_src = int(out.split("source docs: ")[1].split(" ")[0])
+    m_adm = int(out.split("admitted (store-deduped): ")[1].split("\n")[0])
+    assert m_adm <= m_src
+    assert (tmp_path / "out" / "chunks").exists()
