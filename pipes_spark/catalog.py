@@ -5200,3 +5200,28 @@ def multimodal_cdc_chunks(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+@query("sim_random_projection", oracle=None)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection
+    (operators.similarity.random_projection): 64-dim embeddings → 16-dim
+    Gaussian sketches, distances preserved within ~1/√16 relative error —
+    the cheapest pre-filter tier below int8/PQ. Declared as the per-label
+    sketch summary (count + mean projected norm). Non-SQL-expressible
+    (seeded Gaussian matrix); pytest asserts the JL distance-preservation
+    bound and determinism."""
+    from .operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    p = random_projection(emb, out_dim=16, seed=42)
+    norm2 = F.aggregate(F.col("proj"), F.lit(0.0), lambda a, x: a + x * x)
+    return (
+        p.withColumn("_n2", norm2)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg(F.sqrt(F.col("_n2"))), 6).alias("avg_proj_norm"),
+        )
+        .orderBy("label")
+    )

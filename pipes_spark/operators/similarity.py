@@ -1193,3 +1193,46 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: embeddings → ``out_dim``
+    Gaussian-projected sketches with pairwise distances preserved within
+    ~1/√out_dim relative error (the JL lemma) — the cheap pre-filter tier
+    for ANN and clustering when even int8/PQ bytes are too many, and the
+    standard way to make a 4096-dim model embedding joinable at 100 TB.
+
+    The projection matrix is deterministic from ``seed`` (numpy
+    RandomState — identical everywhere), scaled by 1/√out_dim so expected
+    norms are preserved. Map-side only: one numpy matmul per Arrow batch,
+    no shuffle. Values are reproducible to ~1 ulp but not bit-exact across
+    partitionings (BLAS picks kernels by batch shape) — fine for a
+    routing/sketch tier, which is this operator's contract; downstream
+    exact rerank on the full vectors restores exactness wherever it
+    matters (the quantized-path convention).
+    """
+    import numpy as np
+
+    dim = _probe_dim(df, vec_col)
+    rng = np.random.RandomState(seed)
+    P_list = [
+        [float(x) for x in row]
+        for row in (rng.standard_normal((dim, out_dim)) / np.sqrt(out_dim))
+    ]
+
+    @F.pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        import numpy as np
+
+        P = np.array(P_list)
+        X = np.vstack(v.to_numpy()).astype("float64")
+        return pd.Series(list(X @ P))
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))

@@ -762,3 +762,40 @@ def test_operator_argument_guards(spark):
         histogram(df, df.v, 0.0)
     with _pt.raises(ValueError):
         cdc_chunks(df.selectExpr("doc_id as asset_id", "encode(text, 'UTF-8') as content"), min_size=0)
+
+
+def test_random_projection_preserves_distances(spark, embeddings):
+    from pipes_spark.operators.similarity import random_projection
+
+    rows = random_projection(embeddings, out_dim=16, seed=42).select(
+        "vec_id", "embedding", "proj"
+    ).limit(60).collect()
+    X = np.vstack([np.asarray(r["embedding"], dtype="float64") for r in rows])
+    P = np.vstack([np.asarray(r["proj"], dtype="float64") for r in rows])
+    import itertools
+
+    ratios = []
+    for i, j in itertools.islice(itertools.combinations(range(len(rows)), 2), 400):
+        d_full = np.linalg.norm(X[i] - X[j])
+        d_proj = np.linalg.norm(P[i] - P[j])
+        if d_full > 1e-9:
+            ratios.append(d_proj / d_full)
+    ratios = np.array(ratios)
+    # JL at k=16: distances preserved in distribution (mean ratio ≈ 1,
+    # individual pairs within a generous band)
+    assert 0.85 <= ratios.mean() <= 1.15
+    assert (np.abs(ratios - 1.0) < 0.8).all()
+
+
+def test_random_projection_reproducible(spark, embeddings):
+    from pipes_spark.operators.similarity import random_projection
+
+    a = {r["vec_id"]: np.array(r["proj"]) for r in
+         random_projection(embeddings.repartition(3), out_dim=8).collect()}
+    b = {r["vec_id"]: np.array(r["proj"]) for r in
+         random_projection(embeddings.repartition(7), out_dim=8).collect()}
+    # same seeded matrix everywhere; BLAS kernel choice varies with the
+    # Arrow batch shape, so agreement is to float precision, not the bit —
+    # the documented routing-tier contract
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-12, atol=1e-12)
