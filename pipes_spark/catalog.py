@@ -5225,3 +5225,62 @@ def sim_random_projection(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+def _kfold_oracle() -> str:
+    from .operators.sampling import kfold_sql
+
+    return f"SELECT doc_id, source, {kfold_sql('doc_id', 5, salt='cv')} AS fold FROM documents"
+
+
+@query("split_kfold", oracle=_kfold_oracle())
+def split_kfold(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment
+    (operators.sampling.kfold_assign): fold = portable-hash mod k — folds
+    are disjoint, exhaustive, identical across runs/partitionings/engines/
+    scale factors, redrawable by salt. Map-side only."""
+    from .operators.sampling import kfold_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return kfold_assign(d, "doc_id", k=5, salt="cv")
+
+
+def _negatives_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    perm = hash_bucket_sql("doc_id", "ns|perm")
+    draw = hash_bucket_sql(
+        "concat(CAST(doc_id AS VARCHAR), '#', CAST(j AS VARCHAR))", "ns|neg"
+    )
+    return f"""
+    WITH idx AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY {perm}, doc_id) - 1 AS i,
+             count(*) OVER () AS n
+      FROM documents
+    ), draws AS (
+      SELECT doc_id AS anchor_id, j AS neg_rank, i AS aidx, n,
+             {draw} % (n - 1) AS raw
+      FROM idx, LATERAL unnest(range(0, 4)) AS t(j)
+    )
+    SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank, b.doc_id AS negative_id
+    FROM (SELECT anchor_id, neg_rank,
+                 CASE WHEN raw >= aidx THEN raw + 1 ELSE raw END AS nidx
+          FROM draws) a
+    JOIN idx b ON b.i = a.nidx
+    """
+
+
+@query("sample_negatives", oracle=_negatives_oracle())
+def sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training
+    (operators.sampling.negative_samples): 4 uniform non-self negatives
+    per anchor from a portable-hash permutation. The permutation index is
+    built bucket-parallel (hash-prefix buckets + offset table — provably
+    equal to the global rank, which the ORACLE computes with a plain
+    global row_number: hash equality proves the scalable construction
+    correct), so no global single-task sort exists in the plan."""
+    from .operators.sampling import negative_samples
+
+    d = _t(spark, sf_dir, "documents")
+    return negative_samples(d, "doc_id", k=4, salt="ns")

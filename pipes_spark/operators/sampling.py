@@ -204,3 +204,93 @@ def reservoir_per_group(
         .filter(F.col("_rs") <= k)
         .drop("_rs")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key: Union[str, Column], k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = hash(key) mod k`` from the
+    portable md5 hash — folds are disjoint, jointly exhaustive, stable
+    across runs/partitionings/engines/scale factors, and independent per
+    ``salt`` (re-salting redraws the folds). Map-side only; a fold's
+    train split is ``fold != i``, no materialization per fold needed."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn("fold", (hash_bucket(key, salt) % k).cast("bigint"))
+
+
+def kfold_sql(key_expr: str, k: int, salt: str = "") -> str:
+    """DuckDB twin of :func:`kfold_assign`'s fold expression."""
+    return f"CAST({hash_bucket_sql(key_expr, salt)} % {k} AS BIGINT)"
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling: each row (the anchor) is paired
+    with ``k`` pseudo-random OTHER rows — the contrastive-training staple
+    (word2vec/SimCLR-style negatives) with reruns producing identical
+    pairs.
+
+    Rows are ranked once by portable hash (a uniform permutation); each
+    anchor's j-th negative is the row at index ``hash(id, salt·j) mod
+    (n−1)``, skip-adjusted so an anchor never draws itself. Shuffles carry
+    ids and indexes only.
+
+    The permutation index is built WITHOUT a global window (a
+    no-partition ``row_number`` is one task at scale): rows bucket by the
+    hash's high bits (~4096 buckets), rank within buckets, and add the
+    tiny cumulative bucket-offset table back — because the bucket id is a
+    monotone prefix of the hash order, the result EQUALS the global rank
+    in (hash, id) order while the sort runs bucket-parallel (the
+    sessionize_bucketed trick applied to ranking).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    idc = F.col(id_col)
+    h = hash_bucket(id_col, salt + "|perm")
+    b = F.floor(h / F.lit(1 << 20)).cast("bigint")  # 4096 buckets of 2^20
+    wb = Window.partitionBy("_b").orderBy(F.col("_h").asc(), idc.asc())
+    ranked = (
+        df.select(idc)
+        .withColumn("_h", h)
+        .withColumn("_b", b)
+        .withColumn("_rn", F.row_number().over(wb))
+    )
+    counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    woff = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )  # window over ≤4096 rows — trivially single-task safe
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
+    indexed = (
+        ranked.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+        .withColumn("_idx", F.col("_off") + F.col("_rn") - 1)
+        .select(idc, "_idx")
+    )
+    n = indexed.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to draw negatives")
+    anchors = indexed.select(idc.alias("anchor_id"), F.col("_idx").alias("_aidx"))
+    draws = anchors.select(
+        "anchor_id",
+        "_aidx",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("neg_rank"),
+    )
+    raw = hash_bucket(
+        F.concat(F.col("anchor_id").cast("string"), F.lit("#"), F.col("neg_rank").cast("string")),
+        salt + "|neg",
+    ) % (n - 1)
+    # skip-adjust: indexes ≥ own index shift up by one, so self is excluded
+    # while the draw stays uniform over the other n−1 rows
+    neg_idx = F.when(raw >= F.col("_aidx"), raw + 1).otherwise(raw)
+    pairs = draws.withColumn("_nidx", neg_idx)
+    negs = indexed.select(idc.alias("negative_id"), F.col("_idx").alias("_nidx"))
+    return (
+        pairs.join(negs, "_nidx")
+        .select("anchor_id", F.col("neg_rank").cast("bigint").alias("neg_rank"), "negative_id")
+    )

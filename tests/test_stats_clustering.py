@@ -799,3 +799,31 @@ def test_random_projection_reproducible(spark, embeddings):
     # the documented routing-tier contract
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-12, atol=1e-12)
+
+
+def test_kfold_partitions_rows(spark):
+    from pipes_spark.operators.sampling import kfold_assign
+
+    docs = load_table(spark, SF001, "documents").select("doc_id")
+    out = kfold_assign(docs, "doc_id", k=5).collect()
+    assert len(out) == docs.count()
+    folds = {r["fold"] for r in out}
+    assert folds <= set(range(5)) and len(folds) == 5
+    sizes = [sum(1 for r in out if r["fold"] == f) for f in range(5)]
+    assert min(sizes) > 0.5 * max(sizes)  # roughly balanced
+
+
+def test_negative_samples_contract(spark):
+    from pipes_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, SF001, "documents").select("doc_id")
+    out = negative_samples(docs, "doc_id", k=4, salt="t").collect()
+    n_docs = docs.count()
+    assert len(out) == 4 * n_docs  # exactly k per anchor
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        assert r["negative_id"] != r["anchor_id"]  # never self
+        by_anchor.setdefault(r["anchor_id"], []).append(r["negative_id"])
+    assert all(len(v) == 4 for v in by_anchor.values())
+    # negatives are spread, not degenerate: many distinct rows get drawn
+    assert len({nid for v in by_anchor.values() for nid in v}) > n_docs * 0.5
