@@ -5284,3 +5284,102 @@ def sample_negatives(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return negative_samples(d, "doc_id", k=4, salt="ns")
+
+
+@query(
+    "text_bm25",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), avgdl AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+    qt AS (
+      SELECT doc_id, token FROM toks WHERE token IN ('spark', 'query', 'join')
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY token
+    ), per_term AS (
+      SELECT tf.doc_id,
+             round(
+               ln(1.0 + (n.n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl.avgdl)), 6) AS s
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), n, avgdl
+    )
+    SELECT doc_id,
+           CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_matched_terms
+    FROM per_term GROUP BY doc_id
+    """,
+)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 sparse retrieval (operators.text.bm25_scores, Lucene
+    idf form, k1=1.2, b=0.75) of every document against a 3-term query —
+    the lexical half of hybrid search beside the ANN tiers. Per-(doc,
+    term) scores round at 6 then sum as DECIMAL, so the ranking is
+    engine-exact."""
+    from .operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "query", "join"])
+
+
+@query(
+    "table_diff_orders",
+    oracle="""
+    WITH newv AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 90000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    ), oldv AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_custkey AS old_o_custkey, n.o_custkey AS new_o_custkey,
+             o.o_totalprice AS old_o_totalprice, n.o_totalprice AS new_o_totalprice,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new
+      FROM oldv o FULL OUTER JOIN newv n USING (o_orderkey)
+    )
+    SELECT o_orderkey, old_o_custkey, new_o_custkey,
+           old_o_totalprice, new_o_totalprice,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN old_o_custkey IS NOT DISTINCT FROM new_o_custkey
+                     AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice
+                THEN 'unchanged' ELSE 'changed' END AS diff_status
+    FROM j
+    """,
+)
+def table_diff_orders(spark, sf_dir):
+    """Snapshot diff (operators.relational.table_diff — the read-side
+    complement of MERGE): orders vs a deterministically mutated next
+    version (every 13th key dropped, every 7th repriced, every 101st
+    re-added under a new key), classified added/removed/changed/unchanged
+    in ONE full-outer join with null-safe column comparison."""
+    from .operators.relational import table_diff
+
+    old = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    # the mutation is an exact +1.0 (no re-rounding: round(x*1.1, 2) sits
+    # on half-even/half-up boundaries that differ across engines)
+    changed = old.filter(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = old.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 90000000
+    )
+    new = changed.unionByName(added)
+    return table_diff(old, new, ["o_orderkey"])

@@ -566,3 +566,43 @@ def cohort_retention(
             F.round(F.col("n_active") / F.col("_size"), 6).alias("retention"),
         )
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Snapshot diff — the read-side complement of MERGE/SCD2: classify
+    every key as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    between two table versions (the data-engineering audit primitive
+    behind CDC validation and regression gates).
+
+    ONE full-outer join on the keys; change detection is a null-safe
+    equality over the compared columns (``eqNullSafe`` — NULL == NULL is
+    a match, so a NULL-to-NULL column never reports as changed). Output
+    carries both sides' compared values for changed keys.
+    """
+    compare_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in old.columns if c not in keys]
+    )
+    # presence flags come from join-side markers, not data nullability — a
+    # row whose compared columns are all NULL is still PRESENT
+    o2 = old.select(*keys, F.lit(True).alias("_in_old"),
+                    *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n2 = new.select(*keys, F.lit(True).alias("_in_new"),
+                    *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = o2.join(n2, list(keys), "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("diff_status", status).drop("_in_old", "_in_new")

@@ -543,3 +543,61 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed term set —
+    the classic sparse-retrieval ranking (the lexical half of hybrid
+    search next to the ANN operators).
+
+    score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)), with
+    idf = ln(1 + (N−df+0.5)/(df+0.5)) (the Lucene-standard
+    non-negative form). Plan: one explode + per-doc tf aggregate
+    restricted to the query terms (map-side filtered — the corpus never
+    fully explodes through a shuffle for a short query), tiny df/avgdl
+    aggregates broadcast back, one rounded float per (doc, term), summed
+    exactly as DECIMAL.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    n_docs = df.select(id_col).count()
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    avgdl = dl.agg(F.avg("_dl")).first()[0] or 1.0
+    qt = toks.filter(F.col("token").isin(list(query_terms)))
+    tf = qt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = qt.select(id_col, "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, id_col)
+        .withColumn(
+            "_s",
+            F.round(
+                idf
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + F.lit(k1)
+                    * (1 - b + F.lit(b) * F.col("_dl") / F.lit(float(avgdl)))
+                ),
+                6,
+            ),
+        )
+    )
+    return per_term.groupBy(id_col).agg(
+        F.sum(F.col("_s").cast("decimal(28,6)")).cast("double").alias("bm25"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
+    )

@@ -827,3 +827,19 @@ def test_negative_samples_contract(spark):
     assert all(len(v) == 4 for v in by_anchor.values())
     # negatives are spread, not degenerate: many distinct rows get drawn
     assert len({nid for v in by_anchor.values() for nid in v}) > n_docs * 0.5
+
+
+def test_table_diff_classification(spark):
+    from pipes_spark.operators.relational import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 99.0), (3, "c", None), (5, "e", 50.0)],
+        "k long, name string, v double",
+    )
+    out = {r["k"]: r["diff_status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
+    # 3 is unchanged despite NULL v on both sides — null-safe comparison
