@@ -5383,3 +5383,70 @@ def table_diff_orders(spark, sf_dir):
     )
     new = changed.unionByName(added)
     return table_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    avgdl AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl),
+    qt AS (SELECT doc_id, token FROM toks WHERE token IN ('spark', 'query', 'join')),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM qt GROUP BY 1, 2),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qt GROUP BY token),
+    bm25 AS (
+      SELECT tf.doc_id,
+             CAST(sum(CAST(round(
+               ln(1.0 + (n.n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl.avgdl)), 6) AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), n, avgdl
+      GROUP BY tf.doc_id
+    ), lex AS (
+      SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+      FROM bm25 QUALIFY rank <= 20
+    ), v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ), q AS (SELECT e AS qe FROM v WHERE vec_id = 7),
+    scored AS (
+      SELECT c.vec_id AS id,
+             round(list_dot_product(qe, c.e) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+      FROM q, v c WHERE c.vec_id <> 7
+    ), dense AS (
+      SELECT id, CAST(row_number() OVER (ORDER BY cosine DESC, id) AS BIGINT) AS rank
+      FROM scored QUALIFY rank <= 20
+    )
+    SELECT coalesce(lex.id, dense.id) AS id,
+           round(coalesce(1.0 / (60 + lex.rank), 0.0)
+                 + coalesce(1.0 / (60 + dense.rank), 0.0), 6) AS rrf_score
+    FROM lex FULL OUTER JOIN dense USING (id)
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with dense cosine
+    top-20 (query = embedding #7, linked by the id convention doc_id ≡
+    vec_id) via reciprocal-rank fusion
+    (operators.similarity.rrf_fuse, Cormack 2009, k=60) — the standard
+    production search architecture with both halves already first-class
+    here. Fixed fold order makes fused scores engine-exact."""
+    from .operators.similarity import cosine_topk, rrf_fuse
+    from .operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(docs, ["spark", "query", "join"])
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex_rank = (
+        lex.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("doc_id").alias("id"), "rank")
+    )
+    dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 7), k=20)
+    dense_rank = dense.select(F.col("neighbor_id").alias("id"), "rank")
+    return rrf_fuse([lex_rank, dense_rank], id_col="id")

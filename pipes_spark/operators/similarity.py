@@ -1236,3 +1236,34 @@ def random_projection(
         return pd.Series(list(X @ P))
 
     return df.withColumn(out_col, proj(F.col(vec_col)))
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N rankings:
+    ``score(d) = Σ_r 1/(k + rank_r(d))`` over the rankings that contain
+    ``d`` — the standard score-free way to combine lexical (BM25) and
+    dense (ANN) retrieval into hybrid search; k=60 is the canonical
+    constant.
+
+    Inputs are (id, rank) DataFrames (top-N lists — small by
+    construction); the fusion is a chain of full-outer joins on the id
+    with a fixed left-to-right addition order, so fused scores are
+    bit-identical across engines."""
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    fused = None
+    parts = []
+    for i, r in enumerate(rankings):
+        contrib = (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias(f"_s{i}")
+        ri = r.select(F.col(id_col), contrib)
+        fused = ri if fused is None else fused.join(ri, id_col, "full_outer")
+        parts.append(f"_s{i}")
+    score = F.coalesce(F.col(parts[0]), F.lit(0.0))
+    for c in parts[1:]:
+        score = score + F.coalesce(F.col(c), F.lit(0.0))
+    return fused.withColumn("rrf_score", F.round(score, 6)).drop(*parts)

@@ -843,3 +843,17 @@ def test_table_diff_classification(spark):
     out = {r["k"]: r["diff_status"] for r in table_diff(old, new, ["k"]).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "unchanged", 4: "removed", 5: "added"}
     # 3 is unchanged despite NULL v on both sides — null-safe comparison
+
+
+def test_rrf_fuse_semantics(spark):
+    from pipes_spark.operators.similarity import rrf_fuse
+
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "id long, rank long")
+    r2 = spark.createDataFrame([(20, 1), (40, 2)], "id long, rank long")
+    out = {r["id"]: r["rrf_score"] for r in rrf_fuse([r1, r2], k=60).collect()}
+    assert out[20] == pytest.approx(round(1 / 62 + 1 / 61, 6))  # in both lists
+    assert out[10] == pytest.approx(round(1 / 61, 6))
+    assert out[40] == pytest.approx(round(1 / 62, 6))
+    assert set(out) == {10, 20, 30, 40}
+    # item present in both rankings outranks single-list items at worse ranks
+    assert out[20] > out[10] > out[30]
