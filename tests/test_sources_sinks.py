@@ -252,3 +252,19 @@ def test_clustered_write_produces_disjoint_file_ranges(spark, sf_dir, tmp_path):
         assert hi1 <= lo2  # disjoint: pruning can skip whole files
     # round-trip intact
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a column added mid-stream must be readable across
+    old and new files with mergeSchema (NULL for pre-evolution rows) —
+    the 100 TB reality of years-long table lifetimes."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(p + "/batch=0")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(p + "/batch=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # pre-evolution rows read as NULL
+    assert rows[2]["score"] == 9.5
