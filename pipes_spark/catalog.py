@@ -47,7 +47,19 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def query(name: str, oracle: Optional[str] = None):
     def deco(fn):
-        QUERIES[name] = QuerySpec(fn, oracle)
+        import functools
+
+        from . import caching
+
+        @functools.wraps(fn)
+        def scoped(spark, sf_dir):
+            # release the PREVIOUS query's operator-level caches (its
+            # action is finished by the time the next query is built);
+            # keeps this query's own prior-pass caches for warm reuse
+            caching.begin_scope(name)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(scoped, oracle)
         return fn
 
     return deco

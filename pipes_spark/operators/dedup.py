@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from .scale import ensure_min_partitions
 from .text import normalized_fingerprint, tokens
 
@@ -151,7 +152,7 @@ def _lsh_candidate_pairs(
     # 8·num_hashes bytes/doc it is the small, cacheable artifact of this
     # algorithm (at 100 TB corpus scale it is what you would write to a
     # temp table) — persisting it means the text is scanned exactly once.
-    sigs = _minhash_wide(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sigs = scoped_persist(_minhash_wide(df, id_col, text_col, num_hashes, shingle_n))
     # band key per (doc, band) — ids only; the 8·num_hashes-byte signatures
     # do NOT travel through the explode or the self-join shuffle. Band keys
     # hash the r wide columns of each band directly (flat codegen, no
@@ -225,14 +226,13 @@ def lsh_verified_pairs(
     # the candidate id set is O(corpus) and a broadcast hint would pin an
     # unbounded driver collect — let AQE broadcast when it measures small
     # and fall back to a shuffled semi-join when it isn't
-    sh = (
+    sh = scoped_persist(
         df.join(ids, df[id_col] == ids["id"], "left_semi")
         .select(
             F.col(id_col).alias("_vid"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
         )
         .select("_vid", F.xxhash64("shingle").alias("sh"))
-        .persist()
     )
     sizes = sh.groupBy("_vid").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -376,7 +376,7 @@ def simhash_pairs(
     pair within Hamming 3 of a 32-bit hash agrees on ≥1 of 4 bytes), so the
     self-join is per-block, never all-pairs.
     """
-    sh = simhash_df(df, text_col, id_col).persist()
+    sh = scoped_persist(simhash_df(df, text_col, id_col))
     blocked = sh.select(
         id_col,
         "simhash",
@@ -414,14 +414,14 @@ def ngram_jaccard_pairs(
     through ``minhash_lsh_pairs`` first. The shingle-keyed self-join keys on
     xxhash64(shingle), so payloads shuffled are (hash, id) longs only.
     """
-    sh = (
+    # scanned by both self-join branches and the sizes agg
+    sh = scoped_persist(
         ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
         )
         .select("id", F.xxhash64("shingle").alias("sh"))
-        .persist()  # scanned by both self-join branches and the sizes agg
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")
@@ -527,14 +527,13 @@ def prefix_jaccard_pairs(
     COVERAGE scaling table). Use this operator for high-similarity exact
     dedup; route low-threshold discovery through MinHash-LSH.
     """
-    sh = (
+    sh = scoped_persist(
         ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
         )
         .select("id", F.xxhash64("shingle").alias("sh"))
-        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
@@ -608,14 +607,13 @@ def containment_pairs(
     self-join, (hash, id) payloads, candidate-bound): an exact verifier —
     route candidate generation through MinHash-LSH first at corpus scale.
     """
-    sh = (
+    sh = scoped_persist(
         ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
         )
         .select("id", F.xxhash64("shingle").alias("sh"))
-        .persist()
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "sh")

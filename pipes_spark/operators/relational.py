@@ -466,7 +466,7 @@ def association_rules(
     ts_col: str,
     type_col: str,
     gap_seconds: int = 1800,
-    order_tiebreak: str = None,
+    order_tiebreak: Optional[str] = None,
     min_support: int = 2,
 ) -> DataFrame:
     """Session-basket association rules: co-occurrence of event types
@@ -490,6 +490,14 @@ def association_rules(
         F.col(type_col).alias("_t"),
     ).distinct()
     n_sessions = baskets.select("_sid").distinct().count()
+    if n_sessions == 0:
+        # empty input would otherwise divide by zero into Inf/NaN lift
+        spark = events.sparkSession
+        return spark.createDataFrame(
+            [],
+            "type_a string, type_b string, support bigint, "
+            "pair_freq double, lift double",
+        )
     singles = baskets.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
     a = baskets.select("_sid", F.col("_t").alias("type_a"))
     b = baskets.select("_sid", F.col("_t").alias("type_b"))

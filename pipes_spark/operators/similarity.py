@@ -1113,9 +1113,13 @@ def ivfpq_topk(
     probed = np.argsort(-(Qu @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
     lut = np.einsum("qms,mcs->qmc", Qu.reshape(len(Q), m, dsub), B)
     qdotc = Qu @ C.T  # (nq, num_lists)
-    probe_sets = {int(q_ids[i]): set(map(int, probed[i])) for i in range(len(q_ids))}
-    all_lists = sorted({l for s in probe_sets.values() for l in s})
-    bc = spark.sparkContext.broadcast((q_ids, lut, qdotc, probe_sets))
+    # (num_lists, nq) boolean membership: member[l, qi] ⇔ list l is probed
+    # by query qi — one vectorized row-gather per batch instead of a
+    # per-query np.isin loop
+    member = np.zeros((C.shape[0], len(q_ids)), dtype=bool)
+    member[probed, np.arange(len(q_ids))[:, None]] = True
+    all_lists = [int(l) for l in np.nonzero(member.any(axis=1))[0]]
+    bc = spark.sparkContext.broadcast((q_ids, lut, qdotc, member))
 
     enc = (
         encoded_corpus
@@ -1129,7 +1133,7 @@ def ivfpq_topk(
         import numpy as np
         import pandas as pd
 
-        q_ids_b, lut_b, qdotc_b, probe_b = bc.value
+        q_ids_b, lut_b, qdotc_b, member_b = bc.value
         nq = len(q_ids_b)
         for pdf in batches:
             if not len(pdf):
@@ -1144,9 +1148,7 @@ def ivfpq_topk(
             S += qdotc_b[:, lists].T  # + q·c_list term
             S /= norms[:, None]
             # mask rows outside each query's probed lists, and self-pairs
-            for qi in range(nq):
-                ok = np.isin(lists, list(probe_b[int(q_ids_b[qi])]))
-                S[~ok, qi] = -2.0
+            S[~member_b[lists]] = -2.0
             S[ids[:, None] == q_ids_b[None, :]] = -2.0
             top = min(kq, len(ids))
             sel = np.argpartition(-S, top - 1, axis=0)[:top]

@@ -403,7 +403,6 @@ def stream_dedup_against_store(
     stream_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    query_name: Optional[str] = None,
 ) -> DataFrame:
     """Incremental corpus ingestion with a persistent fingerprint store —
     the streaming form of exact dedup: each micro-batch is (1) deduped
@@ -416,44 +415,42 @@ def stream_dedup_against_store(
 
     Runs the stream to completion (``availableNow``) and returns the
     admitted rows. The accumulated state is fingerprints only (16 bytes a
-    document, not the text), re-materialized per batch via
-    ``localCheckpoint`` so lineage stays flat; at warehouse scale both
-    views become tables and the anti-join+append becomes two statements
-    against the fingerprint table (a Delta MERGE or insert-if-absent).
+    document, not the text). Each batch's admitted rows are materialized
+    ONCE (``localCheckpoint``) and appended to a driver-held list — total
+    materialized volume is O(admitted rows), never the O(B²) of
+    re-checkpointing the full history every batch; the anti-join reads
+    the already-materialized fingerprint parts. At warehouse scale the
+    parts list becomes a fingerprint table and the anti-join+append
+    becomes two statements against it (a Delta MERGE or
+    insert-if-absent).
     """
+    from functools import reduce
+
     from pyspark.sql import Window
 
     from ..operators.text import normalized_fingerprint
 
-    name = query_name or f"dedup_store_{uuid.uuid4().hex[:12]}"
-    store_q = f"global_temp.{name}_fps"
-    out_q = f"global_temp.{name}_out"
     spark = stream_df.sparkSession
     w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    # per-batch checkpointed parts, appended never rewritten
+    admitted_parts: list[DataFrame] = []
+    fp_parts: list[DataFrame] = []
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        bs = batch.sparkSession
         fped = batch.withColumn("_fp", normalized_fingerprint(text_col))
         in_batch = (
             fped.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if bs.catalog.tableExists(store_q):
-            store = bs.table(store_q)
+        if fp_parts:
+            store = reduce(DataFrame.unionByName, fp_parts)
             admitted = in_batch.join(store, "_fp", "left_anti")
-            new_store = store.unionByName(admitted.select("_fp"))
         else:
             admitted = in_batch
-            new_store = admitted.select("_fp")
         admitted = admitted.localCheckpoint(eager=True)
-        new_store.localCheckpoint(eager=True).createOrReplaceGlobalTempView(
-            f"{name}_fps"
-        )
-        out = admitted.drop("_fp")
-        if bs.catalog.tableExists(out_q):
-            out = bs.table(out_q).unionByName(out)
-        out.localCheckpoint(eager=True).createOrReplaceGlobalTempView(f"{name}_out")
+        admitted_parts.append(admitted.drop("_fp"))
+        fp_parts.append(admitted.select("_fp"))
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -461,6 +458,6 @@ def stream_dedup_against_store(
         .start()
     )
     q.awaitTermination()
-    if not spark.catalog.tableExists(out_q):
+    if not admitted_parts:
         return spark.createDataFrame([], stream_df.schema)
-    return spark.table(out_q)
+    return reduce(DataFrame.unionByName, admitted_parts)
