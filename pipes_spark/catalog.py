@@ -5462,3 +5462,240 @@ def search_hybrid_rrf(spark, sf_dir):
     dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 7), k=20)
     dense_rank = dense.select(F.col("neighbor_id").alias("id"), "rank")
     return rrf_fuse([lex_rank, dense_rank], id_col="id")
+
+
+# ---------------------------------------------------------------------------
+# round 3: graph cohesion, ordered-set aggregates, path analysis,
+# incremental aggregate maintenance, leakage-safe splits
+# ---------------------------------------------------------------------------
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), verts AS (
+      SELECT x AS vertex FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM verts GROUP BY vertex
+    ORDER BY n_triangles DESC, vertex LIMIT 100
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Per-vertex triangle counts (operators.components.triangle_count)
+    over the co-purchase graph (parts sharing an order). The operator runs
+    the degree-ordered wedge join (each triangle counted at its
+    lowest-degree vertex, wedge fan-out bounded O(√m) per vertex — hub-
+    safe); the oracle states the naive a<b<c three-way join. Top-100 by
+    count with id tie-break keeps the output bounded."""
+    from .operators.components import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    tc = triangle_count(e, "a", "b")
+    return (
+        tc.orderBy(F.col("n_triangles").desc(), F.col("vertex"))
+        .limit(100)
+        .select(F.col("vertex"), F.col("n_triangles"))
+    )
+
+
+@query(
+    "events_path_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type,
+             event_type AS to_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 6)
+             AS prob
+    FROM c
+    """,
+)
+def events_path_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences
+    (operators.relational.path_transitions): count and probability of each
+    event_type → event_type step, sequences ordered by (ts, event_id) so
+    the lag is deterministic. One user-keyed window shuffle; the matrix
+    itself is |types|² rows."""
+    from .operators.relational import path_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return path_transitions(ev, "user_id", "ts", "event_type", order_tiebreak="event_id")
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_price,
+           CAST(min(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS min_price,
+           CAST(max(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental materialized-aggregate maintenance
+    (operators.relational.incremental_agg_merge): the per-priority
+    count/sum/min/max state built from pre-1997 orders is merged with the
+    1997+ delta batch WITHOUT re-scanning history — one outer join on the
+    key, cost O(delta + touched keys). The oracle recomputes from scratch
+    over all orders: hash equality proves the maintenance path exact.
+    Sums carry DECIMAL(28,6) partials (order-independent) cast to DOUBLE
+    at the edge."""
+    from .operators.relational import incremental_agg_merge
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(28,6)")
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cut)
+    delta = o.filter(F.col("o_orderdate") >= cut)
+    state = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("price").alias("sum_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+    )
+    merged = incremental_agg_merge(
+        state,
+        delta,
+        ["o_orderpriority"],
+        count_col="n",
+        sums=["price"],
+        mins=["price"],
+        maxs=["price"],
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "sample_grouped_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT *, CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(source AS VARCHAR), 'gs')), 1, 8)) AS BIGINT)
+                          < CAST(0.3 * 4294967296 AS BIGINT)
+                     THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM tagged GROUP BY split
+    """,
+)
+def sample_grouped_split(spark, sf_dir):
+    """Leakage-safe grouped train/test split
+    (operators.sampling.grouped_split): the split decision hashes the
+    provenance key (``source``), so every document of a source lands in
+    ONE split — near-duplicate scrapes of the same origin can never
+    straddle the train/test boundary (the GroupShuffleSplit contract).
+    Portable-hash membership: no shuffle, no RNG, engine- and
+    partitioning-stable; the oracle re-derives it from the same md5
+    bucket. Group purity is structural (the hash sees only the group
+    key), which the per-split distinct-source counts summarize."""
+    from .operators.sampling import grouped_split
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = grouped_split(d, "source", 0.3, salt="gs")
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_distinct(F.col("source")).cast("bigint").alias("n_sources"),
+    )
+
+
+@query(
+    "streaming_dedup_bounded",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_bounded(spark, sf_dir):
+    """Bounded-state streaming dedup
+    (streaming.stream_dedup_within_watermark →
+    ``dropDuplicatesWithinWatermark``): duplicate (user_id, event_type)
+    arrivals within the watermark delay of the first occurrence are
+    dropped and the key's state is EVICTED once the watermark passes it —
+    bounded state for keys that recur forever, the at-least-once-source
+    dedup contract. The availableNow drain sees the whole table inside
+    one state lifetime, so the admitted key set equals DISTINCT; the
+    eviction-then-readmission behavior is pytest-verified across
+    batches."""
+    from .streaming import run_to_memory, stream_dedup_within_watermark
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream_dedup_within_watermark(
+        stream, ["user_id", "event_type"], "ts", "1 hour"
+    )
+    return run_to_memory(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+
+
+@query(
+    "agg_ordered_set",
+    oracle="""
+    SELECT l_linestatus,
+           mode(l_returnflag) AS mode_flag,
+           round(median(l_quantity), 6) AS median_qty,
+           string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+             AS flags,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS median_price_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_ordered_set(spark, sf_dir):
+    """Ordered-set / inverse-distribution aggregates: mode (deterministic
+    lowest-on-ties form), exact interpolated median, ordered LISTAGG of
+    the distinct values, and percentile_disc (the discrete inverse
+    distribution — returns an actual data value, no interpolation). All
+    Spark 4 built-in JVM aggregates (single hash-agg shuffle, map-side
+    partial where the function permits); DuckDB states the same with its
+    mode/median/string_agg/percentile_disc forms."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.expr("mode(l_returnflag, true)").alias("mode_flag"),
+        F.round(F.expr("median(l_quantity)"), 6).alias("median_qty"),
+        F.expr(
+            "listagg(DISTINCT l_returnflag, ',') WITHIN GROUP (ORDER BY l_returnflag)"
+        ).alias("flags"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("median_price_disc"),
+    )

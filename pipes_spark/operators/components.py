@@ -168,3 +168,76 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle participation counts over an undirected graph —
+    the clustering/cohesion primitive (community detection, spam/bot
+    subgraph detection, graph feature engineering).
+
+    Algorithm (Cohen's MapReduce triangle enumeration / the degree-ordered
+    wedge join): canonicalize edges undirected-distinct, then direct every
+    edge from its LOWER-degree endpoint to the higher (ties by id). Each
+    triangle then has exactly one wedge centered at its lowest-degree
+    vertex, and the wedge count is Σ_v deg⁺(v)² with deg⁺ bounded by
+    O(√m) — the self-join never blows up on a hub vertex the way the
+    naive a<b<c three-way join does (a celebrity vertex with degree 1M
+    yields 1e12 naive wedges but only ~m^1.5 degree-ordered ones).
+    Wedges (a→b, a→c) are then semi-joined against the directed edge set
+    on (b, c) — one hash join keyed on the edge pair.
+
+    Scale: two shuffles (degree agg, wedge join) plus the final vertex
+    explode+agg; every payload is an id pair. Output is one row per
+    vertex that participates in ≥1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("_db"))
+    # direct low-degree -> high-degree (ties by id): deg+ is O(sqrt(m))
+    lowhigh = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("_da") < F.col("_db"))
+                | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("lo"), F.col("b").alias("hi")),
+            )
+            .otherwise(F.struct(F.col("b").alias("lo"), F.col("a").alias("hi")))
+            .alias("_e")
+        )
+        .select("_e.lo", "_e.hi")
+    )
+    w1 = lowhigh.select(F.col("lo").alias("ctr"), F.col("hi").alias("x"))
+    w2 = lowhigh.select(F.col("lo").alias("ctr"), F.col("hi").alias("y"))
+    wedges = (
+        w1.join(w2, "ctr")
+        .filter(F.col("x") < F.col("y"))
+        .select("ctr", "x", "y")
+    )
+    # closing edge may be directed either way after degree orientation —
+    # match on the undirected canonical form
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tris = wedges.join(closing, ["x", "y"], "left_semi")
+    return (
+        tris.select(
+            F.explode(F.array(F.col("ctr"), F.col("x"), F.col("y"))).alias("vertex")
+        )
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

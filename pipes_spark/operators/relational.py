@@ -614,3 +614,100 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.withColumn("diff_status", status).drop("_in_old", "_in_new")
+
+
+def path_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each user's
+    event sequence — the product-analytics "what do users do next" matrix
+    (and the input to next-step prediction baselines and user-journey
+    Sankey charts).
+
+    One window pass per user (lag of the event type in event-time order,
+    with an explicit unique tie-break so the sequence is deterministic),
+    then one integer groupBy on the (from, to) pair and a broadcast-sized
+    per-from total join. prob = count(from→to) / count(from→*), rounded —
+    engine-exact.
+
+    Scale: the window shuffles once on the user key (per-user sequences;
+    the same hot-user caveat and bucketed remedy as sessionize applies);
+    the transition matrix is |types|² rows, always tiny.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    seq = events.select(
+        F.col(user_col),
+        F.lag(F.col(type_col)).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("_tot"), 6).alias("prob"),
+        )
+    )
+
+
+def incremental_agg_merge(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    count_col: str = "n",
+    sums: Sequence[str] = (),
+    mins: Sequence[str] = (),
+    maxs: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: merge a batch of
+    new rows into a persisted per-key aggregate WITHOUT re-scanning
+    history — the warehouse pattern behind streaming rollups and
+    incremental ETL (aggregate 100 TB once, then maintain it with
+    per-batch deltas).
+
+    ``state`` holds re-aggregatable partials (count / sums / mins / maxs
+    — each mergeable by +, +, least, greatest). The delta is aggregated
+    to the same grain (map-side combine shrinks it before the shuffle)
+    and merged with ONE outer join on the key — cost is O(|delta| +
+    |touched keys|), independent of history size. Averages are derived
+    (sum/count) downstream; non-mergeable stats (exact distinct,
+    percentile) need sketch-typed state instead (see operators.rollup
+    for the HLL/GK forms).
+    """
+    aggs = [F.count(F.lit(1)).cast("bigint").alias(count_col)]
+    aggs += [F.sum(c).alias(f"sum_{c}") for c in sums]
+    aggs += [F.min(c).alias(f"min_{c}") for c in mins]
+    aggs += [F.max(c).alias(f"max_{c}") for c in maxs]
+    d = delta.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    merged_cols = []
+    for c in [count_col] + [f"sum_{c}" for c in sums]:
+        merged_cols.append(
+            (
+                F.coalesce(F.col(f"s.{c}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+            ).alias(c)
+        )
+    for c in [f"min_{c}" for c in mins]:
+        merged_cols.append(F.least(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c))
+    for c in [f"max_{c}" for c in maxs]:
+        merged_cols.append(F.greatest(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c))
+    key_cols = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys
+    ]
+    return (
+        state.alias("s")
+        .join(d.alias("d"), list(keys), "full_outer")
+        .select(*key_cols, *merged_cols)
+    )

@@ -294,3 +294,29 @@ def negative_samples(
         pairs.join(negs, "_nidx")
         .select("anchor_id", F.col("neg_rank").cast("bigint").alias("neg_rank"), "negative_id")
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_key: Union[str, Column],
+    test_fraction: float,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: the split decision hashes the GROUP
+    key (source domain, URL host, author, session), so every row of a
+    group lands in the same split. Row-level splits leak near-duplicates
+    across the boundary — two scrapes of the same page land in train AND
+    test and inflate eval scores; grouping by provenance is the standard
+    control (the GroupShuffleSplit contract).
+
+    Same portable-hash membership as :func:`train_test_split` — no
+    shuffle, no RNG state, stable across partitionings/engines/reruns,
+    and re-drawable with a different ``salt``.
+    """
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(f"test_fraction must be in [0, 1], got {test_fraction}")
+    is_test = hash_bucket(group_key, salt) < int(test_fraction * _BUCKETS)
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )

@@ -82,6 +82,22 @@ def stream_dedup(df: DataFrame, keys: list[str], ts_col: str, watermark: str) ->
     return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
+def stream_dedup_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str, watermark: str
+) -> DataFrame:
+    """Bounded-state streaming dedup via ``dropDuplicatesWithinWatermark``:
+    duplicates are dropped when they arrive within the watermark delay of
+    the first occurrence, and each key's state is EVICTED once the
+    watermark passes it — unlike ``dropDuplicates`` (whose keyed state
+    with a watermark only evicts when the event-time column is part of
+    the key), this guarantees bounded state for keys that recur forever.
+    The contract matches at-least-once sources (a Kafka retry lands
+    seconds later, well within the horizon), not the unbounded-lookback
+    corpus store (see :func:`stream_dedup_against_store` for that).
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_static_join(
     stream_df: DataFrame, static_df: DataFrame, on, how: str = "inner", broadcast: bool = True
 ) -> DataFrame:

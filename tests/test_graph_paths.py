@@ -1,0 +1,260 @@
+"""Round-3 operators: triangle counting, path transitions, incremental
+aggregate maintenance, leakage-safe grouped splits, bounded-state
+streaming dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_golden(spark):
+    from pipes_spark.operators.components import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus a pendant 4-5
+    # and an isolated edge 6-7 (no triangles)
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges += [(4, 5), (6, 7)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["vertex"]: r["n_triangles"] for r in triangle_count(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    from pipes_spark.operators.components import triangle_count
+
+    # same triangle declared with mixed directions and duplicate edges
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (1, 3), (1, 3)], "src bigint, dst bigint"
+    )
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_hub_star_has_none(spark):
+    from pipes_spark.operators.components import triangle_count
+
+    # star around 0: many wedges, zero triangles (the hub-degeneracy case
+    # the degree-ordered orientation is built for)
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src bigint, dst bigint"
+    )
+    assert triangle_count(df).count() == 0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from pipes_spark.operators.components import triangle_count
+
+    rng = random.Random(7)
+    verts = list(range(20))
+    edges = sorted(
+        {tuple(sorted(rng.sample(verts, 2))) for _ in range(60)}
+    )
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        if ((a, b) in eset) and ((b, c) in eset) and ((a, c) in eset):
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# path_transitions
+# ---------------------------------------------------------------------------
+
+
+def test_path_transitions_golden(spark):
+    from pipes_spark.operators.relational import path_transitions
+
+    rows = [
+        # user 1: a -> b -> b -> c
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+        # user 2: a -> b
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "user bigint, seq bigint, t string").withColumn(
+        "ts", F.timestamp_seconds(F.col("seq"))
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in path_transitions(df, "user", "ts", "t", "seq").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1.0),
+        ("b", "b"): (1, 0.5),
+        ("b", "c"): (1, 0.5),
+    }
+
+
+def test_path_transitions_tiebreak_determinism(spark):
+    from pipes_spark.operators.relational import path_transitions
+
+    # two events at the SAME timestamp: the tiebreak id fixes the order
+    rows = [(1, 1, 10, "x"), (1, 2, 10, "y"), (1, 3, 20, "z")]
+    df = spark.createDataFrame(
+        rows, "user bigint, id bigint, sec bigint, t string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in path_transitions(df, "user", "ts", "t", "id").collect()
+    }
+    assert got == {("x", "y"): 1, ("y", "z"): 1}
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_merge
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_agg_matches_full_recompute(spark):
+    from pipes_spark.operators.relational import incremental_agg_merge
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "k string, v double"
+    )
+    # delta touches an existing key ('a'), introduces a new one ('c'),
+    # and leaves 'b' untouched
+    delta = spark.createDataFrame(
+        [("a", 1.0), ("c", 7.0), ("c", 3.0)], "k string, v double"
+    )
+    state = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    merged = incremental_agg_merge(
+        state, delta, ["k"], count_col="n", sums=["v"], mins=["v"], maxs=["v"]
+    )
+    full = base.unionByName(delta).groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+    got = {r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"]) for r in full.collect()}
+    assert got == want
+    assert got["b"] == (1, 5.0, 5.0, 5.0)  # untouched key carried through
+    assert got["c"] == (2, 10.0, 3.0, 7.0)  # delta-only key appears
+
+
+def test_incremental_agg_empty_delta_is_identity(spark):
+    from pipes_spark.operators.relational import incremental_agg_merge
+
+    base = spark.createDataFrame([("a", 2.0), ("b", 4.0)], "k string, v double")
+    state = base.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").alias("sum_v")
+    )
+    empty = spark.createDataFrame([], "k string, v double")
+    merged = incremental_agg_merge(state, empty, ["k"], count_col="n", sums=["v"])
+    got = {r["k"]: (r["n"], r["sum_v"]) for r in merged.collect()}
+    assert got == {"a": (1, 2.0), "b": (1, 4.0)}
+
+
+# ---------------------------------------------------------------------------
+# grouped_split
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_split_purity_and_stability(spark, sf_dir):
+    from pipes_spark.operators.sampling import grouped_split
+    from pipes_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tagged = grouped_split(d, "source", 0.4, salt="t")
+    # purity: no source appears in more than one split
+    mixed = (
+        tagged.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert mixed == 0
+    # stability: same decision under a different partitioning
+    again = grouped_split(d.repartition(7), "source", 0.4, salt="t")
+    a = {(r["doc_id"], r["split"]) for r in tagged.select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in again.select("doc_id", "split").collect()}
+    assert a == b
+    # both splits are non-empty at this fraction on the testdata
+    ks = {r["split"] for r in tagged.select("split").distinct().collect()}
+    assert ks == {"train", "test"}
+
+
+def test_grouped_split_fraction_bounds(spark):
+    import pytest
+
+    from pipes_spark.operators.sampling import grouped_split
+
+    df = spark.createDataFrame([("x", 1)], "g string, v int")
+    with pytest.raises(ValueError):
+        grouped_split(df, "g", 1.5)
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_within_watermark
+# ---------------------------------------------------------------------------
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Cross-batch semantics: a duplicate inside the watermark horizon is
+    dropped; after the watermark passes the first occurrence, the key's
+    state is evicted and a later re-occurrence is admitted AGAIN (the
+    bounded-state contract dropDuplicates cannot express)."""
+    from pipes_spark.streaming import stream_dedup_within_watermark
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    admitted: list[str] = []
+    base = 1_000_000
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "k string, sec bigint").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).drop("sec").coalesce(1).write.mode("append").parquet(str(src))
+
+    def drain():
+        # a fresh availableNow run against the SAME checkpoint: the
+        # watermark and dedup state recover from the checkpoint, new
+        # files form the next micro-batch
+        s = spark.readStream.schema("k string, ts timestamp").parquet(str(src))
+        dd = stream_dedup_within_watermark(s, ["k"], "ts", "10 seconds")
+        q = (
+            dd.select("k")
+            .writeStream.foreachBatch(
+                lambda b, _i: admitted.extend(r["k"] for r in b.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: k1 twice inside the horizon (one admitted) + k2
+    write_file("f0", [("k1", base), ("k1", base + 1), ("k2", base + 2)])
+    drain()
+    assert sorted(admitted) == ["k1", "k2"]
+
+    # run 2: an unrelated key far in the future advances the watermark
+    # past k1's state lifetime (base + 10s) -> k1's state is evicted
+    write_file("f1", [("k3", base + 3600)])
+    drain()
+    assert sorted(admitted) == ["k1", "k2", "k3"]
+
+    # run 3: k1 re-occurs after eviction and is admitted AGAIN
+    write_file("f2", [("k1", base + 3700)])
+    drain()
+    assert sorted(admitted) == ["k1", "k1", "k2", "k3"]
