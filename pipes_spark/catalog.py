@@ -5699,3 +5699,194 @@ def agg_ordered_set(spark, sf_dir):
             "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
         ).alias("median_price_disc"),
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last(CASE WHEN event_type IN ('click', 'view')
+                       THEN struct_pack(ts := ts, id := event_id, t := event_type)
+                  END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l,
+             first(CASE WHEN event_type IN ('click', 'view')
+                        THEN struct_pack(ts := ts, id := event_id, t := event_type)
+                   END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS conversion_id,
+           ts AS conversion_ts,
+           CASE WHEN l.ts >= ts - INTERVAL 86400 SECOND THEN l.id END
+             AS last_touch_id,
+           CASE WHEN l.ts >= ts - INTERVAL 86400 SECOND THEN l.t END
+             AS last_touch_type,
+           CASE WHEN l.ts >= ts - INTERVAL 86400 SECOND THEN l.ts END
+             AS last_touch_ts,
+           f.id AS first_touch_id,
+           f.t AS first_touch_type
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Conversion attribution (operators.relational.attribution): every
+    purchase credited to its LAST click/view within a 24h lookback
+    (last-touch) and to the FIRST touch of the user's journey
+    (first-touch). One (ts, event_id)-ordered window per user with a
+    ROWS frame ending 1 row before the conversion — deterministic,
+    self-attribution-free; the lookback is a filter on the carried
+    timestamp."""
+    from .operators.relational import attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        "event_id",
+        conversion_type="purchase",
+        touch_types=["click", "view"],
+        lookback_seconds=86400,
+    )
+
+
+@query(
+    "profile_fk",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IS NOT NULL) AS n_child_rows,
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+             AS n_child_keys,
+           (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+             AS n_parent_keys,
+           (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+             AS n_matched_keys,
+           round((SELECT count(DISTINCT l_orderkey) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+                 / CAST((SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                        AS DOUBLE), 6) AS containment,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS n_orphan_rows
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey IS NOT NULL),
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders),
+           (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer),
+           (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+             WHERE o_custkey IN (SELECT c_custkey FROM customer)),
+           round((SELECT count(DISTINCT o_custkey) FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM customer))
+                 / CAST((SELECT count(DISTINCT o_custkey) FROM orders)
+                        AS DOUBLE), 6),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'events->customer',
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE user_id IS NOT NULL),
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events),
+           (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer),
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+             WHERE user_id IN (SELECT c_custkey FROM customer)),
+           round((SELECT count(DISTINCT user_id) FROM events
+                   WHERE user_id IN (SELECT c_custkey FROM customer))
+                 / CAST((SELECT count(DISTINCT user_id) FROM events)
+                        AS DOUBLE), 6),
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+    """,
+)
+def profile_fk(spark, sf_dir):
+    """Referential-integrity audit (operators.profiling.fk_profile) for
+    the three natural relationships in the star schema: key
+    cardinalities, resolved-key counts, containment fraction, orphan
+    rows. Shuffles carry key sets only — the row tables never
+    re-shuffle. The report is what you check before trusting a join in
+    a new dataset (containment 1.0 = FK-clean)."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame as _DF
+
+    from .operators.profiling import fk_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    parts = [
+        fk_profile(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        fk_profile(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        fk_profile(ev, "user_id", c, "c_custkey", "events->customer"),
+    ]
+    return reduce(_DF.unionByName, parts)
+
+
+@query(
+    "stats_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT key, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
+           CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT)
+             AS skew_rank
+    FROM c QUALIFY skew_rank <= 10
+    """,
+)
+def stats_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic (operators.profiling.skew_report): the 10
+    heaviest user_id keys with row counts and share of the table — the
+    straggler-hunting report that decides whether a key needs the salted
+    join/agg path. One map-side-combined count per key; ranking runs over
+    the tiny per-key aggregate only."""
+    from .operators.profiling import skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_n=10)
+
+
+@query(
+    "sim_knn_graph",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+               AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT src, dst, cosine,
+           CAST(row_number() OVER (PARTITION BY src
+                                   ORDER BY cosine DESC, dst) AS BIGINT)
+             AS knn_rank
+    FROM p WHERE cosine >= 0.3
+    QUALIFY knn_rank <= 3
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    """k-nearest-neighbor graph (operators.similarity.knn_graph): each
+    vector's top-3 cosine neighbors among pairs scoring ≥ 0.3 — the input
+    structure for SemDeDup clustering, label propagation, and
+    graph-based retrieval. Pair generation rides the block-cartesian
+    tiled scan (numpy matmul per tile, n·√P shuffle bound, floor-pruned);
+    ranking is one window over the surviving pairs with a deterministic
+    (cosine desc, id) order. Nodes whose k-th neighbor falls below the
+    floor keep fewer edges — the floor is the scale knob, stated
+    identically in the oracle."""
+    from .operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, floor=0.3)

@@ -259,3 +259,87 @@ def quantile_bins(
             F.round(F.avg(v), 6).alias("avg_value"),
         )
     )
+
+
+def fk_profile(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity / foreign-key-candidate audit for one
+    (child.key → parent.key) relationship: key cardinalities on both
+    sides, how many child keys actually resolve in the parent, the
+    containment fraction (1.0 ⇒ the relationship is FK-clean), and the
+    orphaned child ROW count — the join-health report to run before
+    trusting any join in a new dataset (and the signal FK-discovery
+    tools rank candidates by).
+
+    Fully declarative — ONE plan, no driver-side counting loop: child
+    keys (with row counts folded in by a pre-aggregate) left-join the
+    parent KEY set, one aggregate derives every statistic, and the
+    1-row parent-cardinality aggregate cross-joins on. Every shuffle
+    carries keys only; the row tables never re-shuffle.
+    """
+    ck = (
+        child.select(F.col(child_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("_rows"))
+    )
+    pk = (
+        parent.select(F.col(parent_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .withColumn("_in_parent", F.lit(True))
+    )
+    stats = (
+        ck.join(pk, "k", "left")
+        .agg(
+            F.sum("_rows").cast("bigint").alias("n_child_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_keys"),
+            F.count(F.col("_in_parent")).cast("bigint").alias("n_matched_keys"),
+            F.sum(F.when(F.col("_in_parent").isNull(), F.col("_rows")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+        )
+    )
+    parent_stats = pk.agg(F.count(F.lit(1)).cast("bigint").alias("n_parent_keys"))
+    return (
+        stats.crossJoin(parent_stats)
+        .select(
+            F.lit(relation).alias("relation"),
+            "n_child_rows",
+            "n_child_keys",
+            "n_parent_keys",
+            "n_matched_keys",
+            F.round(F.col("n_matched_keys") / F.col("n_child_keys"), 6).alias(
+                "containment"
+            ),
+            "n_orphan_rows",
+        )
+    )
+
+
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Join/partition-key skew diagnostic: the ``top_n`` heaviest keys
+    with their row counts and share of the table — the first thing to
+    look at when a join stalls on its last task (a key with share ≫
+    1/shuffle_partitions is the straggler; route it through
+    operators.scale.salted_equi_join / AQE skew join).
+
+    One map-side-combined count per key, then ranking over the tiny
+    per-key aggregate. The full table never re-shuffles.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy())
+    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    return (
+        counts.withColumn("share", F.round(F.col("n") / total, 6))
+        .withColumn("skew_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("skew_rank") <= top_n)
+        .select("key", "n", "share", "skew_rank")
+    )

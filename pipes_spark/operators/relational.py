@@ -711,3 +711,56 @@ def incremental_agg_merge(
         .join(d.alias("d"), list(keys), "full_outer")
         .select(*key_cols, *merged_cols)
     )
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    lookback_seconds: int = 86400,
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion event,
+    the LAST preceding touch within ``lookback_seconds`` (last-touch
+    model) and the FIRST touch of the user's whole journey (first-touch
+    model) — the two standard credit-assignment baselines.
+
+    One window pass per user ordered by (ts, id) — the explicit unique
+    tie-break makes both models deterministic. The preceding-touch carry
+    is ``last/first(…, ignorenulls)`` over a ROWS frame ending 1 row
+    before the conversion, so a conversion is never attributed to itself
+    or to a simultaneous later-id event; the lookback is a plain filter
+    on the carried timestamp. Same single-shuffle shape (and same
+    hot-user caveat/remedy) as :func:`sessionize`.
+    """
+    order = [F.col(ts_col).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch = F.when(
+        is_touch, F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), F.col(type_col).alias("t"))
+    )
+    out = (
+        events.withColumn("_last", F.last(touch, ignorenulls=True).over(w))
+        .withColumn("_first", F.first(touch, ignorenulls=True).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    within = F.col("_last.ts") >= F.col(ts_col) - F.expr(
+        f"INTERVAL {int(lookback_seconds)} SECONDS"
+    )
+    return out.select(
+        F.col(user_col),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.when(within, F.col("_last.id")).alias("last_touch_id"),
+        F.when(within, F.col("_last.t")).alias("last_touch_type"),
+        F.when(within, F.col("_last.ts")).alias("last_touch_ts"),
+        F.col("_first.id").alias("first_touch_id"),
+        F.col("_first.t").alias("first_touch_type"),
+    )

@@ -1269,3 +1269,42 @@ def rrf_fuse(
     for c in parts[1:]:
         score = score + F.coalesce(F.col(c), F.lit(0.0))
     return fused.withColumn("rrf_score", F.round(score, 6)).drop(*parts)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    floor: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """k-nearest-neighbor graph over an embedding corpus: for every vector,
+    its top-``k`` neighbors by cosine among pairs scoring at/above
+    ``floor`` — the input structure for SemDeDup-style clustering, label
+    propagation, and graph-based retrieval.
+
+    Built on the block-cartesian tiled pair scan
+    (:func:`cosine_neardup_pairs_tiled`): pair generation is pruned at
+    ``floor`` (one numpy matmul per tile, n·√P replication bound), pairs
+    are symmetrized, and one window per source id keeps the top-k with a
+    deterministic (cosine desc, neighbor id) order. A node whose true
+    k-th neighbor scores below ``floor`` keeps fewer than k edges — the
+    floor is the scale knob (it bounds pair volume the way every
+    practical kNN-graph builder does); set it to -1 only on corpora small
+    enough to afford all n² pairs.
+    """
+    pairs = cosine_neardup_pairs_tiled(
+        df, threshold=floor, id_col=id_col, vec_col=vec_col, block_size=block_size
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+    return (
+        sym.withColumn("knn_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("knn_rank") <= k)
+        .select("src", "dst", "cosine", "knn_rank")
+    )

@@ -258,3 +258,125 @@ def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
     write_file("f2", [("k1", base + 3700)])
     drain()
     assert sorted(admitted) == ["k1", "k1", "k2", "k3"]
+
+
+# ---------------------------------------------------------------------------
+# attribution
+# ---------------------------------------------------------------------------
+
+
+def test_attribution_golden(spark):
+    from pipes_spark.operators.relational import attribution
+
+    rows = [
+        # user 1: click(1) view(2) purchase(3) -> last=view(2), first=click(1)
+        (1, 1, 100, "click"),
+        (1, 2, 200, "view"),
+        (1, 3, 300, "purchase"),
+        # user 2: click far in the past (outside 1000s lookback), purchase
+        (2, 4, 100, "click"),
+        (2, 5, 5000, "purchase"),
+        # user 3: purchase with no touches at all
+        (3, 6, 100, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "u bigint, id bigint, sec bigint, t string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = {
+        r["conversion_id"]: (
+            r["last_touch_id"],
+            r["last_touch_type"],
+            r["first_touch_id"],
+            r["first_touch_type"],
+        )
+        for r in attribution(
+            df, "u", "ts", "t", "id", "purchase", ["click", "view"], 1000
+        ).collect()
+    }
+    assert got[3] == (2, "view", 1, "click")
+    # outside lookback: last-touch null, first-touch (whole journey) kept
+    assert got[5] == (None, None, 4, "click")
+    assert got[6] == (None, None, None, None)
+
+
+def test_attribution_never_self_or_simultaneous_later(spark):
+    from pipes_spark.operators.relational import attribution
+
+    # click at the SAME ts as the purchase but with a LATER id must not
+    # receive credit; the same-ts earlier-id click must
+    rows = [(1, 1, 100, "click"), (1, 2, 100, "purchase"), (1, 3, 100, "click")]
+    df = spark.createDataFrame(
+        rows, "u bigint, id bigint, sec bigint, t string"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = attribution(
+        df, "u", "ts", "t", "id", "purchase", ["click"], 1000
+    ).collect()
+    assert len(got) == 1 and got[0]["last_touch_id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# fk_profile / skew_report
+# ---------------------------------------------------------------------------
+
+
+def test_fk_profile_golden_with_orphans(spark):
+    from pipes_spark.operators.profiling import fk_profile
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (9,), (9,), (9,), (None,)], "k bigint"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "p bigint")
+    r = fk_profile(child, "k", parent, "p", "c->p").collect()[0]
+    assert r["relation"] == "c->p"
+    assert r["n_child_rows"] == 6  # nulls excluded
+    assert r["n_child_keys"] == 3
+    assert r["n_parent_keys"] == 3
+    assert r["n_matched_keys"] == 2
+    assert abs(r["containment"] - round(2 / 3, 6)) < 1e-9
+    assert r["n_orphan_rows"] == 3  # the three 9s
+
+
+def test_skew_report_golden(spark):
+    from pipes_spark.operators.profiling import skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r["key"], r["n"], r["share"], r["skew_rank"])
+        for r in skew_report(df, "k", top_n=2)
+        .orderBy("skew_rank")
+        .collect()
+    ]
+    assert got == [("a", 6, 0.6, 1), ("b", 3, 0.3, 2)]
+
+
+# ---------------------------------------------------------------------------
+# knn_graph
+# ---------------------------------------------------------------------------
+
+
+def test_knn_graph_matches_bruteforce(spark):
+    import numpy as np
+
+    from pipes_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(40, 8))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    k, floor = 3, 0.2
+    got = {
+        (r["src"], r["knn_rank"]): r["dst"]
+        for r in knn_graph(df, k=k, floor=floor, block_size=16).collect()
+    }
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = np.round(Xn @ Xn.T, 6)
+    expect = {}
+    for i in range(40):
+        nbrs = [
+            (j, C[i, j]) for j in range(40) if j != i and C[i, j] >= floor
+        ]
+        nbrs.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (j, _) in enumerate(nbrs[:k], start=1):
+            expect[(i, rank)] = j
+    assert got == expect
