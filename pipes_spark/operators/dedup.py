@@ -19,6 +19,8 @@ md5 / explode / groupBy — all codegen'd JVM-side.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,6 +104,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -116,7 +119,7 @@ def minhash_lsh_pairs(
     result cardinality, standard practice for web-scale dedup).
     """
     sigs, pairs = _lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sigs
     )
     # attach signatures to the (much smaller) surviving pair set only
     sig_arr = F.array(*[f"_m{i}" for i in range(num_hashes)])
@@ -143,16 +146,24 @@ def _lsh_candidate_pairs(
     bands: int,
     shingle_n: int,
     max_bucket: int,
+    sigs: Optional[DataFrame] = None,
 ):
     """(signatures, candidate id pairs) for banded MinHash-LSH — the shared
-    core of ``minhash_lsh_pairs`` and ``lsh_verified_pairs``."""
+    core of ``minhash_lsh_pairs`` and ``lsh_verified_pairs``.
+
+    ``sigs`` takes a precomputed wide signature table (the ingest-time
+    artifact — see ``warehouse.minhash_signature_table``); when absent the
+    signatures are computed here and cached for the query's lifetime.
+    """
     r = num_hashes // bands
-    # Persist the signature table: it is the expensive map-side pass (one
-    # string hash per shingle) and every downstream branch needs it. At
-    # 8·num_hashes bytes/doc it is the small, cacheable artifact of this
-    # algorithm (at 100 TB corpus scale it is what you would write to a
-    # temp table) — persisting it means the text is scanned exactly once.
-    sigs = scoped_persist(_minhash_wide(df, id_col, text_col, num_hashes, shingle_n))
+    if sigs is None:
+        # Persist the signature table: it is the expensive map-side pass
+        # (one string hash per shingle) and every downstream branch needs
+        # it. At 8·num_hashes bytes/doc it is the small, cacheable
+        # artifact of this algorithm — at corpus scale it is what you
+        # write to a table at ingest (warehouse.minhash_signature_table),
+        # which callers pass in to skip this pass entirely.
+        sigs = scoped_persist(_minhash_wide(df, id_col, text_col, num_hashes, shingle_n))
     # band key per (doc, band) — ids only; the 8·num_hashes-byte signatures
     # do NOT travel through the explode or the self-join shuffle. Band keys
     # hash the r wide columns of each band directly (flat codegen, no
@@ -191,6 +202,7 @@ def lsh_verified_pairs(
     candidate_threshold: float = 0.1,
     threshold: float = 0.2,
     max_bucket: int = 1000,
+    sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """The documented scale path for near-dup detection, composed end to
     end: MinHash-LSH candidate generation → exact n-gram Jaccard verify on
@@ -215,7 +227,7 @@ def lsh_verified_pairs(
     doubled the runtime by blocking whole-plan optimization.
     """
     _sigs, cand = _lsh_candidate_pairs(
-        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket
+        df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sigs
     )
     ids = (
         cand.select(F.col("id_a").alias("id"))

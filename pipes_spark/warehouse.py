@@ -216,3 +216,29 @@ def load_ivfpq_model(
     for r in books_rows:
         books[r["i"], r["c"]] = r["vec"]
     return C, books
+
+
+def minhash_signature_table(
+    spark: SparkSession,
+    sf_dir: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Materialize (once) the MinHash signature table for the documents
+    corpus — signatures are an INGEST artifact, not per-query work: at
+    corpus scale the 8·num_hashes-byte rows are written beside the text at
+    ingest, and every LSH dedup pass (candidate banding, estimated-Jaccard
+    attach, LSH→verify composition) reads the persisted table instead of
+    re-hashing every shingle of every document. Idempotent per
+    (sf, num_hashes, shingle_n); the table holds the wide ``_m0.._mN``
+    layout that band-key derivation consumes directly."""
+    from pipes_spark.operators.dedup import _minhash_wide
+    from pipes_spark.sources import load_table
+
+    name = f"mh_sigs_documents_{_tag(sf_dir)}_{num_hashes}_{shingle_n}"
+    if not spark.catalog.tableExists(name):
+        clear_stale_location(spark, name)
+        _minhash_wide(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text", num_hashes, shingle_n
+        ).write.saveAsTable(name)
+    return spark.table(name)
