@@ -5897,3 +5897,122 @@ def sim_knn_graph(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=3, floor=0.3)
+
+
+@query(
+    "text_fuzzy_join",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS s
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                    1, (doc_id % 12)) ||
+             'z' ||
+             substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                    (doc_id % 12) + 2)
+      FROM documents WHERE doc_id % 5 = 0
+    ), b2 AS (
+      SELECT id, s, length(s) AS len FROM base
+    ), segs AS (
+      SELECT id, s, len, i.seg_i,
+             substr(s, CAST(floor(len * i.seg_i / 2) AS INT) + 1,
+                    CAST(floor(len * (i.seg_i + 1) / 2) AS INT)
+                      - CAST(floor(len * i.seg_i / 2) AS INT)) AS seg
+      FROM b2, (SELECT unnest([0, 1]) AS seg_i) i
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+      FROM segs a
+      JOIN segs b ON a.len = b.len AND a.seg_i = b.seg_i AND a.seg = b.seg
+                  AND a.id < b.id
+    )
+    SELECT id_a, id_b, s_a, s_b,
+           CAST(levenshtein(s_a, s_b) AS BIGINT) AS distance
+    FROM cand WHERE levenshtein(s_a, s_b) = 1
+    """,
+)
+def text_fuzzy_join(spark, sf_dir):
+    """Big×big fuzzy self-join (operators.text.fuzzy_join_segments):
+    substitution-typo pairs at Levenshtein 1 over a dirty-ID corpus
+    (12-hex content keys, every 5th one re-ingested with one corrupted
+    character — the classic double-entry scenario). Blocking is the
+    fixed-position segment pigeonhole: a distance-d pair of equal-length
+    strings must share one of d+1 segments verbatim, so candidates come
+    from an equi-join on (length, segment index, segment text) — on
+    entropy-rich keys that is ~collision-free (16⁻⁶ per 6-hex segment),
+    never the n² cross join; the exact Levenshtein then verifies. The
+    oracle replicates the same blocking + verify in SQL."""
+    from .operators.text import fuzzy_join_segments
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+    clean = d.select(F.col("doc_id").alias("id"), key.alias("s"))
+    p = (F.col("doc_id") % 12).cast("int")
+    dirty = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat(
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), 1, cast(doc_id % 12 as int))"),
+                F.lit("z"),
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), cast(doc_id % 12 as int) + 2)"),
+            ).alias("s"),
+        )
+    )
+    corpus = clean.unionByName(dirty)
+    return fuzzy_join_segments(corpus, "s", "id", max_distance=1)
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value AS v,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           round(CAST(sum(CAST(v * dt / 1000000.0 AS DECIMAL(28,6)))
+                      / nullif(sum(CAST(dt / 1000000.0 AS DECIMAL(28,6))), 0)
+                      AS DOUBLE), 6) AS twa,
+           CAST(sum(CAST(dt / 1000000.0 AS DECIMAL(28,6))) AS DOUBLE)
+             AS span_seconds,
+           CAST(count(*) + 1 AS BIGINT) AS n_obs
+    FROM stepped WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average of each user's event values
+    (operators.timeseries.time_weighted_avg): every observation holds
+    until the user's next event, so its weight is the interval it was in
+    force — the sensor/finance aggregate a plain mean gets wrong. One
+    (ts, event_id)-ordered window finds the hold intervals; Σ v·Δt and
+    ΣΔt accumulate as DECIMAL(28,6) (order-independent, engine-exact)."""
+    from .operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value", order_tiebreak="event_id")
+
+
+@query("graph_labelprop")  # iterative heuristic — rows-only; semantics pytest'd
+def graph_labelprop(spark, sf_dir):
+    """Community detection by deterministic synchronous label propagation
+    (operators.components.label_propagation) over the LSH-verified
+    near-dup pair graph: each near-dup cluster converges to its smallest
+    member id as label. One edge×label join + one (vertex, label) count
+    aggregate per round, lineage cut per round — the same bounded-round
+    iterative shape as connected components / PageRank. LPA separates
+    weakly-bridged communities that pure connectivity merges
+    (pytest-verified on a two-clique bridge)."""
+    from .operators.components import label_propagation
+    from .operators.dedup import lsh_verified_pairs
+    from .warehouse import minhash_signature_table
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature_table(spark, sf_dir)
+    pairs = lsh_verified_pairs(d, threshold=0.2, sigs=sigs)
+    return label_propagation(pairs, "id_a", "id_b", num_iter=5).orderBy("id")

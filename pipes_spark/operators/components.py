@@ -25,7 +25,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -241,3 +241,50 @@ def triangle_count(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_iter: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA): every
+    vertex starts with its own id as label and each round adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST label
+    — the deterministic synchronous variant (classic async LPA is
+    order-dependent; determinism is what makes this testable and
+    rerun-stable in a pipeline).
+
+    Each round is one join of the undirected edge list with the current
+    label vector (both keyed on vertex id — co-partitioned after round 1)
+    and one (vertex, label) count aggregate with map-side combine;
+    lineage is cut per round like :func:`connected_components` /
+    :func:`pagerank`. Fixed round count: LPA on near-dup/cluster graphs
+    stabilizes in a few rounds; it is a heuristic community method, not a
+    convergence-guaranteed one, and the round count is part of the
+    declared semantics.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    verts = und.select(F.col("a").alias("id")).distinct()
+    labels = verts.withColumn("label", F.col("id"))
+    for _ in range(num_iter):
+        nbr = (
+            und.join(labels, und.b == labels.id)
+            .select(F.col("a").alias("id"), "label")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("_n").desc(), F.col("label").asc())
+        labels = (
+            nbr.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("id", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", F.col("label").cast("bigint").alias("label"))

@@ -601,3 +601,75 @@ def bm25_scores(
         F.sum(F.col("_s").cast("decimal(28,6)")).cast("double").alias("bm25"),
         F.count(F.lit(1)).cast("bigint").alias("n_matched_terms"),
     )
+
+
+def fuzzy_join_segments(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Big×big fuzzy self-join for substitution-style typos (dirty IDs,
+    OCR'd codes, misspelled SKUs): pairs of equal-length strings within
+    Levenshtein ``max_distance``, found WITHOUT the n² cross join that
+    :func:`fuzzy_match`'s broadcast-probe contract avoids only for small
+    probe sets.
+
+    Blocking is the fixed-position segment pigeonhole: split every string
+    into ``max_distance + 1`` contiguous segments; two equal-length
+    strings within substitution distance d must agree VERBATIM on at
+    least one segment (d substitutions cannot touch all d+1 segments).
+    Candidates therefore join on (length, segment index, segment text) —
+    an equi-join whose key is selective exactly where a naive prefix
+    block degenerates (shared boilerplate prefixes land in different
+    segments than the differing characters). Each candidate is verified
+    with the exact Levenshtein, short-circuited by the cheap equality
+    conjuncts first.
+
+    Contract: equal-length pairs / substitution edits — the dirty-ID
+    regime. Insert/delete typos change the length and are out of scope
+    (general edit-distance blocking is the PassJoin shifted-segment
+    scheme; this operator states the exact semantics its oracle mirrors).
+    """
+    nseg = max_distance + 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(col).alias("s")
+    ).withColumn("_len", F.length("s"))
+    # segment i of nseg: fixed positions per length (floor boundaries)
+    segs = base.select(
+        "id",
+        "s",
+        "_len",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_i"),
+                        F.expr(
+                            f"substr(s, cast(_len * {i} / {nseg} as int) + 1, "
+                            f"cast(_len * {i + 1} / {nseg} as int) - cast(_len * {i} / {nseg} as int))"
+                        ).alias("seg"),
+                    )
+                    for i in range(nseg)
+                ]
+            )
+        ).alias("_sg"),
+    ).select("id", "s", "_len", F.col("_sg.seg_i").alias("seg_i"), F.col("_sg.seg").alias("seg"))
+    a = segs.select(
+        F.col("id").alias("id_a"), F.col("s").alias("s_a"), "_len", "seg_i", "seg"
+    )
+    b = segs.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "_len", "seg_i", "seg"
+    )
+    cand = (
+        a.join(b, ["_len", "seg_i", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("distance") <= max_distance)
+        .filter(F.col("distance") > 0)
+        .select("id_a", "id_b", "s_a", "s_b", F.col("distance").cast("bigint").alias("distance"))
+    )

@@ -519,3 +519,45 @@ def forecast_linear(
         "ts",
         F.round(F.col("slope") * xf + F.col("intercept"), 6).alias("yhat"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: Optional[str] = None,
+) -> DataFrame:
+    """Time-weighted average per key — the sensor/finance aggregate where
+    each observation holds until the next one, so its weight is the
+    INTERVAL it was in force, not 1 (a plain mean over-counts bursts and
+    under-counts stable stretches: ten readings of 5.0 in one second
+    followed by an hour at 10.0 average ~5.5 arithmetically but ~10
+    time-weighted).
+
+    One window pass per key (``lead`` finds each observation's
+    hold-until timestamp; the final observation carries no interval and
+    drops out, the standard left-closed convention), then one integer/
+    DECIMAL aggregate: Σ value·Δt as DECIMAL(28,6) — order-independent,
+    engine-exact — over Σ Δt. Same single-shuffle shape and hot-key
+    remedy as the other per-key window operators.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    dt_us = F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    stepped = df.select(
+        F.col(key_col), F.col(value_col).alias("_v"), dt_us.alias("_dt")
+    ).filter(F.col("_dt").isNotNull())
+    wsum = F.sum(
+        (F.col("_v") * F.col("_dt") / F.lit(1_000_000.0)).cast("decimal(28,6)")
+    )
+    tsum = F.sum((F.col("_dt") / F.lit(1_000_000.0)).cast("decimal(28,6)"))
+    # nullif guards ANSI DIVIDE_BY_ZERO when a key's events all share one
+    # timestamp (span 0): twa is NULL there, not an error
+    return stepped.groupBy(key_col).agg(
+        F.round((wsum / F.nullif(tsum, F.lit(0).cast("decimal(28,6)"))).cast("double"), 6).alias("twa"),
+        tsum.cast("double").alias("span_seconds"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n_obs"),
+    )

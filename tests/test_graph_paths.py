@@ -380,3 +380,131 @@ def test_knn_graph_matches_bruteforce(spark):
         for rank, (j, _) in enumerate(nbrs[:k], start=1):
             expect[(i, rank)] = j
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join_segments
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_segments_golden(spark):
+    from pipes_spark.operators.text import fuzzy_join_segments
+
+    rows = [
+        (1, "abcdef"),
+        (2, "abcdeX"),   # distance 1 from 1
+        (3, "abXdef"),   # distance 1 from 1
+        (4, "XYZdef"),   # distance 3 from 1 — shares a segment, rejected
+        (5, "abcdefg"),  # different length — never a candidate
+        (6, "abcdef"),   # exact dup (distance 0) — excluded by contract
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_join_segments(df, "s", "id", max_distance=1).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 6): 1, (3, 6): 1}
+
+
+def test_fuzzy_join_segments_finds_all_substitution_pairs(spark):
+    import random
+
+    from pipes_spark.operators.text import fuzzy_join_segments
+
+    rng = random.Random(3)
+    alpha = "0123456789abcdef"
+    base = ["".join(rng.choice(alpha) for _ in range(10)) for _ in range(60)]
+    rows = [(i, s) for i, s in enumerate(base)]
+    # plant exactly one substitution-typo twin for every 4th string
+    for i in range(0, 60, 4):
+        s = base[i]
+        p = i % 10
+        rows.append((1000 + i, s[:p] + "z" + s[p + 1:]))
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_join_segments(df, "s", "id", max_distance=1).collect()
+    }
+    # brute force over all equal-length pairs
+    def lev1(a, b):
+        return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) == 1
+
+    expect = {
+        (min(ia, ib), max(ia, ib))
+        for i, (ia, sa) in enumerate(rows)
+        for ib, sb in rows[i + 1:]
+        if lev1(sa, sb)
+    }
+    assert expect  # the planted twins exist
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    from pipes_spark.operators.components import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two 4-cliques {0..3} and {10..13} joined by ONE bridge edge 3-10
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges += [(3, 10)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    labels = {
+        r["id"]: r["label"] for r in label_propagation(df, num_iter=5).collect()
+    }
+    # each clique converges to its own min-id label; the bridge does not merge
+    assert {labels[v] for v in range(4)} == {0}
+    assert {labels[v] for v in range(10, 14)} == {10}
+    # contrast: pure connectivity merges them into one component
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components(df.selectExpr("src as id_a", "dst as id_b")).collect()
+    }
+    assert len({cc[v] for v in list(range(4)) + list(range(10, 14))}) == 1
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from pipes_spark.operators.components import label_propagation
+
+    edges = [(i, (i * 7 + 3) % 20) for i in range(20)] + [(i, i + 1) for i in range(19)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = {(r["id"], r["label"]) for r in label_propagation(df, num_iter=4).collect()}
+    b = {
+        (r["id"], r["label"])
+        for r in label_propagation(df.repartition(13), num_iter=4).collect()
+    }
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg
+# ---------------------------------------------------------------------------
+
+
+def test_time_weighted_avg_golden(spark):
+    from pipes_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # user 1: 5.0 held for 10s, 10.0 held for 30s, final obs drops
+        (1, 1, 0, 5.0),
+        (1, 2, 10, 10.0),
+        (1, 3, 40, 99.0),
+        # user 2: all events at ONE timestamp -> zero span, twa NULL (not an error)
+        (2, 4, 0, 1.0),
+        (2, 5, 0, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "u bigint, id bigint, sec bigint, v double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    got = {
+        r["u"]: (r["twa"], r["span_seconds"], r["n_obs"])
+        for r in time_weighted_avg(df, "u", "ts", "v", order_tiebreak="id").collect()
+    }
+    assert got[1] == (round((5 * 10 + 10 * 30) / 40, 6), 40.0, 3)
+    assert got[2][0] is None and got[2][1] == 0.0
