@@ -303,6 +303,93 @@ def main() -> None:
     run("dup_spans_1x", lambda: duplicated_span_pairs(docs1).count())
     run("dup_spans_10x", lambda: duplicated_span_pairs(docs10).count())
 
+    # round-3 additions: triangles / kNN graph / LPA / fuzzy join / paths
+    from pipes_spark.operators.components import label_propagation, triangle_count
+    from pipes_spark.operators.relational import attribution, path_transitions
+    from pipes_spark.operators.similarity import knn_graph
+    from pipes_spark.operators.text import fuzzy_join_segments
+
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    li10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [li1] + [
+            li1.select(
+                (F.col("l_orderkey") + c * 10_000_000).alias("l_orderkey"),
+                *[c2 for c2 in li1.columns if c2 != "l_orderkey"],
+            )
+            for c in range(1, 10)
+        ],
+    ).localCheckpoint()
+
+    def copurchase(li):
+        return (
+            li.select("l_orderkey", F.col("l_partkey").alias("a"))
+            .join(li.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    run("triangles_1x", lambda: triangle_count(copurchase(li1), "a", "b").count())
+    run("triangles_10x", lambda: triangle_count(copurchase(li10), "a", "b").count())
+
+    run("knn_graph_1x", lambda: knn_graph(emb1, k=3, floor=0.3).count())
+    run("knn_graph_10x", lambda: knn_graph(emb10, k=3, floor=0.3).count())
+
+    from pipes_spark.operators.dedup import lsh_verified_pairs as _lvp
+
+    run(
+        "labelprop_1x",
+        lambda: label_propagation(_lvp(docs1), "id_a", "id_b", num_iter=5).count(),
+    )
+    run(
+        "labelprop_10x",
+        lambda: label_propagation(_lvp(docs10), "id_a", "id_b", num_iter=5).count(),
+    )
+
+    def fuzzy_corpus(docs):
+        key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+        clean = docs.select(F.col("doc_id").alias("id"), key.alias("s"))
+        dirty = docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("id"),
+            F.concat(
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), 1, cast(doc_id % 12 as int))"),
+                F.lit("z"),
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), cast(doc_id % 12 as int) + 2)"),
+            ).alias("s"),
+        )
+        return clean.unionByName(dirty)
+
+    run(
+        "fuzzy_join_1x",
+        lambda: fuzzy_join_segments(fuzzy_corpus(docs1), "s", "id", 1).count(),
+    )
+    run(
+        "fuzzy_join_10x",
+        lambda: fuzzy_join_segments(fuzzy_corpus(docs10), "s", "id", 1).count(),
+    )
+
+    run(
+        "path_transitions_1x",
+        lambda: path_transitions(ev1, "user_id", "ts", "event_type", "event_id").count(),
+    )
+    run(
+        "path_transitions_10x",
+        lambda: path_transitions(ev10, "user_id", "ts", "event_type", "event_id").count(),
+    )
+    run(
+        "attribution_1x",
+        lambda: attribution(
+            ev1, "user_id", "ts", "event_type", "event_id", "purchase", ["click", "view"], 86400
+        ).count(),
+    )
+    run(
+        "attribution_10x",
+        lambda: attribution(
+            ev10, "user_id", "ts", "event_type", "event_id", "purchase", ["click", "view"], 86400
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
