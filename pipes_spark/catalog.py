@@ -6016,3 +6016,102 @@ def graph_labelprop(spark, sf_dir):
     sigs = minhash_signature_table(spark, sf_dir)
     pairs = lsh_verified_pairs(d, threshold=0.2, sigs=sigs)
     return label_propagation(pairs, "id_a", "id_b", num_iter=5).orderBy("id")
+
+
+@query(
+    "quality_orders",
+    oracle="""
+    SELECT 'not_null' AS rule, 'o_custkey' AS col_name,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'in_set', 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O', 'F', 'P')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NULL
+                     OR o_orderstatus NOT IN ('O', 'F', 'P')
+                THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_range', 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                          OR o_totalprice < 0 OR o_totalprice > 600000
+                     THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NULL
+                     OR o_totalprice < 0 OR o_totalprice > 600000
+                THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'unique', 'o_orderkey',
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) = 0
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    """,
+)
+def quality_orders(spark, sf_dir):
+    """Declarative data-quality gate (operators.profiling.quality_checks):
+    not-null / accepted-values / range / uniqueness rules over orders,
+    one row per rule with violation count + pass flag — the batch-
+    promotion check every warehouse pipeline runs. All row-level rules
+    fold into ONE map-side-combined aggregate pass; uniqueness adds one
+    count-per-key aggregate on its column."""
+    from .operators.profiling import quality_checks
+
+    o = _t(spark, sf_dir, "orders")
+    return quality_checks(
+        o,
+        [
+            ("not_null", "o_custkey"),
+            ("in_set", "o_orderstatus", ("O", "F", "P")),
+            ("in_range", "o_totalprice", 0, 600000),
+            ("unique", "o_orderkey"),
+        ],
+    )
+
+
+@query(
+    "events_ab_test",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(value AS DECIMAL(28,6))) AS s1,
+             sum(CAST(value * value AS DECIMAL(28,6))) AS s2
+      FROM events GROUP BY 1
+    ), a AS (SELECT * FROM s ORDER BY g LIMIT 1),
+       b AS (SELECT * FROM s ORDER BY g DESC LIMIT 1)
+    SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+           round(CAST(a.s1 AS DOUBLE) / a.n, 6) AS mean_a,
+           round(CAST(b.s1 AS DOUBLE) / b.n, 6) AS mean_b,
+           round(CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n, 6)
+             AS mean_diff,
+           round(sqrt(
+             ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n) / (a.n - 1)) / a.n
+             + ((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n) / (b.n - 1)) / b.n
+           ), 6) AS std_err,
+           round((CAST(b.s1 AS DOUBLE) / b.n - CAST(a.s1 AS DOUBLE) / a.n)
+                 / nullif(sqrt(
+             ((CAST(a.s2 AS DOUBLE) - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE) / a.n) / (a.n - 1)) / a.n
+             + ((CAST(b.s2 AS DOUBLE) - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE) / b.n) / (b.n - 1)) / b.n
+           ), 0), 6) AS t_stat
+    FROM a, b
+    """,
+)
+def events_ab_test(spark, sf_dir):
+    """Two-sample experiment readout (operators.profiling.ab_test,
+    Welch): users hash into variants A/B (user_id parity — the
+    deterministic assignment), and the whole readout (sizes, means,
+    diff, standard error, t-statistic) derives from one map-side-
+    combined aggregate of (n, Σx, Σx²) per variant — re-aggregatable
+    sufficient statistics, the same contract as the closed-form OLS.
+    DECIMAL sums keep it engine-exact."""
+    from .operators.profiling import ab_test
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "variant",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return ab_test(ev, "variant", "value")

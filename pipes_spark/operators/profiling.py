@@ -343,3 +343,152 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .filter(F.col("skew_rank") <= top_n)
         .select("key", "n", "share", "skew_rank")
     )
+
+
+def quality_checks(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+    """Declarative data-quality rule evaluation (the Deequ/Great-
+    Expectations pattern): each rule is a tuple —
+
+    * ``("not_null", col)``
+    * ``("unique", col)``
+    * ``("in_set", col, (v1, v2, …))``
+    * ``("in_range", col, lo, hi)``       (inclusive, NULL counts as a
+      violation — a NULL price is not "in range")
+
+    Output: one row per rule with its violation count and pass flag —
+    the gate a pipeline checks before promoting a batch.
+
+    Cost: all row-level rules (not_null / in_set / in_range) fold into
+    ONE aggregate pass over the table (a sum of indicator columns —
+    map-side combined, no shuffle of data rows); each ``unique`` rule
+    adds one count-distinct aggregate on its column. The report is
+    assembled by unioning 1-row frames — rule count is tiny by nature.
+    """
+    from functools import reduce
+
+    row_exprs = []
+    row_meta = []
+    uniq_rules = []
+    for r in rules:
+        kind = r[0]
+        if kind == "not_null":
+            row_exprs.append(
+                F.sum(F.when(F.col(r[1]).isNull(), 1).otherwise(0)).cast("bigint")
+            )
+            row_meta.append(("not_null", r[1]))
+        elif kind == "in_set":
+            c = F.col(r[1])
+            row_exprs.append(
+                F.sum(
+                    F.when(c.isNull() | ~c.isin(*r[2]), 1).otherwise(0)
+                ).cast("bigint")
+            )
+            row_meta.append(("in_set", r[1]))
+        elif kind == "in_range":
+            c = F.col(r[1])
+            row_exprs.append(
+                F.sum(
+                    F.when(
+                        c.isNull() | (c < F.lit(r[2])) | (c > F.lit(r[3])), 1
+                    ).otherwise(0)
+                ).cast("bigint")
+            )
+            row_meta.append(("in_range", r[1]))
+        elif kind == "unique":
+            uniq_rules.append(r[1])
+        else:
+            raise ValueError(f"unknown rule kind {kind!r}")
+
+    spark = df.sparkSession
+    parts = []
+    if row_exprs:
+        agg = df.agg(*[e.alias(f"_v{i}") for i, e in enumerate(row_exprs)])
+        for i, (kind, col) in enumerate(row_meta):
+            parts.append(
+                agg.select(
+                    F.lit(kind).alias("rule"),
+                    F.lit(col).alias("col_name"),
+                    F.col(f"_v{i}").alias("violations"),
+                    (F.col(f"_v{i}") == 0).alias("passed"),
+                )
+            )
+    for col in uniq_rules:
+        # duplicated ROWS beyond the first occurrence of each value count
+        # as violations (NULLs participate like any value)
+        dup = df.groupBy(col).agg(F.count(F.lit(1)).alias("_n")).agg(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("_v")
+        )
+        parts.append(
+            dup.select(
+                F.lit("unique").alias("rule"),
+                F.lit(col).alias("col_name"),
+                F.col("_v").alias("violations"),
+                (F.col("_v") == 0).alias("passed"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "rule string, col_name string, violations bigint, passed boolean"
+        )
+    return reduce(DataFrame.unionByName, parts)
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Two-sample experiment readout (Welch): per group-pair sample
+    sizes, means, the difference, its standard error, and the Welch
+    t-statistic — the A/B-test summary computed entirely from
+    re-aggregatable sufficient statistics (n, Σx, Σx²), so ONE
+    map-side-combined aggregate pass over the events produces the whole
+    readout regardless of table size. Exactly two groups are expected;
+    the caller derives ``group_col`` (variant assignment) upstream.
+
+    Sums accumulate as DECIMAL(28,6) (order-independent, engine-exact);
+    the handful of final divisions/sqrt are double arithmetic on
+    identical inputs, rounded at 6 — the same cross-engine determinism
+    contract as the closed-form OLS operator.
+    """
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(28,6)")).alias("s1"),
+        F.sum(
+            (F.col(value_col) * F.col(value_col)).cast("decimal(28,6)")
+        ).alias("s2"),
+    )
+    a = stats.orderBy(group_col).limit(1).select(
+        F.col(group_col).alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = stats.orderBy(F.col(group_col).desc()).limit(1).select(
+        F.col(group_col).alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    j = a.crossJoin(b)
+    mean = lambda s, n: s.cast("double") / n  # noqa: E731
+    var = lambda s1, s2, n: (  # noqa: E731
+        s2.cast("double") - s1.cast("double") * s1.cast("double") / n
+    ) / (n - 1)
+    ma, mb = mean(F.col("s1_a"), F.col("n_a")), mean(F.col("s1_b"), F.col("n_b"))
+    va = var(F.col("s1_a"), F.col("s2_a"), F.col("n_a"))
+    vb = var(F.col("s1_b"), F.col("s2_b"), F.col("n_b"))
+    se = F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    return j.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(mb - ma, 6).alias("mean_diff"),
+        F.round(se, 6).alias("std_err"),
+        F.round((mb - ma) / F.nullif(se, F.lit(0.0)), 6).alias("t_stat"),
+    )

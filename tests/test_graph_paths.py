@@ -508,3 +508,69 @@ def test_time_weighted_avg_golden(spark):
     }
     assert got[1] == (round((5 * 10 + 10 * 30) / 40, 6), 40.0, 3)
     assert got[2][0] is None and got[2][1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# quality_checks / ab_test
+# ---------------------------------------------------------------------------
+
+
+def test_quality_checks_golden(spark):
+    from pipes_spark.operators.profiling import quality_checks
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, "z", -1.0), (None, "a", None)],
+        "k bigint, s string, v double",
+    )
+    got = {
+        (r["rule"], r["col_name"]): (r["violations"], r["passed"])
+        for r in quality_checks(
+            df,
+            [
+                ("not_null", "k"),
+                ("unique", "k"),
+                ("in_set", "s", ("a", "b")),
+                ("in_range", "v", 0, 10),
+            ],
+        ).collect()
+    }
+    assert got[("not_null", "k")] == (1, False)
+    # k values: 1, 2, 2, NULL -> one duplicated row beyond first
+    assert got[("unique", "k")] == (1, False)
+    assert got[("in_set", "s")] == (1, False)   # 'z'
+    # v: 5 ok, 50 out, -1 out, NULL counts as violation
+    assert got[("in_range", "v")] == (3, False)
+
+
+def test_quality_checks_all_pass_and_bad_rule(spark):
+    import pytest
+
+    from pipes_spark.operators.profiling import quality_checks
+
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    rows = quality_checks(df, [("not_null", "k"), ("unique", "k")]).collect()
+    assert all(r["passed"] and r["violations"] == 0 for r in rows)
+    with pytest.raises(ValueError):
+        quality_checks(df, [("no_such_rule", "k")])
+
+
+def test_ab_test_matches_scipy_free_reference(spark):
+    import math
+
+    from pipes_spark.operators.profiling import ab_test
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [2.0, 4.0, 6.0]
+    rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ab_test(df, "g", "v").collect()[0]
+    ma = sum(a_vals) / len(a_vals)
+    mb = sum(b_vals) / len(b_vals)
+    va = sum((x - ma) ** 2 for x in a_vals) / (len(a_vals) - 1)
+    vb = sum((x - mb) ** 2 for x in b_vals) / (len(b_vals) - 1)
+    se = math.sqrt(va / len(a_vals) + vb / len(b_vals))
+    assert (r["group_a"], r["group_b"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"]) == (4, 3)
+    assert abs(r["mean_diff"] - round(mb - ma, 6)) < 1e-9
+    assert abs(r["std_err"] - round(se, 6)) < 1e-9
+    assert abs(r["t_stat"] - round((mb - ma) / se, 6)) < 1e-9
