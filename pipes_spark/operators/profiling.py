@@ -402,16 +402,23 @@ def quality_checks(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     spark = df.sparkSession
     parts = []
     if row_exprs:
+        # ONE aggregate row exploded to one row per rule — a UNION of
+        # per-rule selects would recompute the aggregate (and rescan the
+        # table) once per branch: Spark does no common-subplan reuse
+        # across union arms
         agg = df.agg(*[e.alias(f"_v{i}") for i, e in enumerate(row_exprs)])
-        for i, (kind, col) in enumerate(row_meta):
-            parts.append(
-                agg.select(
-                    F.lit(kind).alias("rule"),
-                    F.lit(col).alias("col_name"),
-                    F.col(f"_v{i}").alias("violations"),
-                    (F.col(f"_v{i}") == 0).alias("passed"),
-                )
+        structs = [
+            F.struct(
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("col_name"),
+                F.col(f"_v{i}").alias("violations"),
+                (F.col(f"_v{i}") == 0).alias("passed"),
             )
+            for i, (kind, col) in enumerate(row_meta)
+        ]
+        parts.append(
+            agg.select(F.explode(F.array(*structs)).alias("_r")).select("_r.*")
+        )
     for col in uniq_rules:
         # duplicated ROWS beyond the first occurrence of each value count
         # as violations (NULLs participate like any value)

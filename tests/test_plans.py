@@ -364,3 +364,50 @@ def test_mad_outliers_broadcasts_the_aggregates(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_join_blocks_on_equi_keys_not_cartesian(spark, sf_dir):
+    """The segment pigeonhole must plan as an equi-join on (length,
+    segment index, segment) — never a BroadcastNestedLoop/Cartesian pass
+    over the string pairs."""
+    plan = _plan(spark, sf_dir, "text_fuzzy_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_wedge_join_is_equi_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_no_cartesian(spark, sf_dir):
+    """kNN pair generation must ride the block-cartesian cogroup (an
+    explicit, bounded replication), not an engine-planned cartesian."""
+    plan = _plan(spark, sf_dir, "sim_knn_graph")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan  # the tiled scan
+
+
+def test_quality_checks_row_rules_single_aggregate(spark, sf_dir):
+    """The three row-level rules must fold into ONE aggregate pass over
+    orders (plus one per-key aggregate for the uniqueness rule) — the
+    plan may scan orders at most twice."""
+    plan = _plan(spark, sf_dir, "quality_orders")
+    # one scan for the folded row-level rules + one for the uniqueness agg
+    assert plan.count("FileScan parquet") <= 2
+
+
+def test_ab_test_single_stats_aggregate_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_ab_test")
+    # sufficient-statistics pattern: partial_ then final HashAggregate
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan or "1 rows" not in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Attribution is one window pass per user: exactly one exchange of
+    the events by user_id, no joins."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
