@@ -73,3 +73,28 @@ def test_streaming_ingest_example(spark, sf_dir, monkeypatch, capsys, tmp_path):
     m_adm = int(out.split("admitted (store-deduped): ")[1].split("\n")[0])
     assert m_adm <= m_src
     assert (tmp_path / "out" / "chunks").exists()
+
+
+def test_experiment_pipeline_example(spark, sf_dir):
+    import experiment_pipeline
+
+    out = experiment_pipeline.main(sf_dir)
+    assert out["attributions"] > 0
+    assert out["transitions"] > 0
+    ro = out["readout"]
+    assert {ro["group_a"], ro["group_b"]} == {"A", "B"}
+    assert ro["n_a"] > 0 and ro["n_b"] > 0 and ro["std_err"] is not None
+
+
+def test_experiment_pipeline_gate_aborts_on_bad_batch(spark):
+    from pyspark.sql import functions as F
+
+    import experiment_pipeline
+
+    bad = spark.createDataFrame(
+        [(1, 1, "view"), (1, 2, "view")], "event_id bigint, user_id bigint, event_type string"
+    ).withColumn("ts", F.lit(None).cast("timestamp"))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="quality gate failed"):
+        experiment_pipeline.gated(bad)
