@@ -6115,3 +6115,108 @@ def events_ab_test(spark, sf_dir):
         F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
     )
     return ab_test(ev, "variant", "value")
+
+
+@query(
+    "stats_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS q_q,
+             sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_p,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS q_p,
+             sum(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+             sum(CAST(l_discount * l_discount AS DECIMAL(28,6))) AS q_d,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS p_qp,
+             sum(CAST(l_quantity * l_discount AS DECIMAL(28,6))) AS p_qd,
+             sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS p_pd
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round((n * CAST(p_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+                 / nullif(sqrt((n * CAST(q_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                             * (n * CAST(q_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 0), 6)
+             AS corr, n FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           round((n * CAST(p_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 / nullif(sqrt((n * CAST(q_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+                             * (n * CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 0), 6),
+           n FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           round((n * CAST(p_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+                 / nullif(sqrt((n * CAST(q_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+                             * (n * CAST(q_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 0), 6),
+           n FROM s
+    """,
+)
+def stats_correlation(spark, sf_dir):
+    """Pairwise Pearson correlation matrix
+    (operators.profiling.correlation_pairs) over quantity / price /
+    discount: ONE map-side-combined aggregate pass collects every
+    pair's sufficient statistics as DECIMAL(28,6) (exact,
+    order-independent), then the 1-row aggregate explodes into the
+    upper-triangle report — P pairs cost P·6 aggregate cells, not P
+    table passes."""
+    from .operators.profiling import correlation_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return correlation_pairs(li, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+@query(
+    "stats_winsorized",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS raw_mean,
+           round(CAST(sum(CAST(least(greatest(l.l_extendedprice, q.lo), q.hi)
+                              AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS winsorized_mean,
+           CAST(sum(CASE WHEN l.l_extendedprice < q.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN l.l_extendedprice > q.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           round(min(q.lo), 6) AS lo_bound,
+           round(min(q.hi), 6) AS hi_bound
+    FROM lineitem l JOIN q USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def stats_winsorized(spark, sf_dir):
+    """Winsorized per-group means (operators.profiling.winsorize_stats):
+    prices clipped at each return-flag group's exact [5%, 95%]
+    interpolated quantiles before the DECIMAL-exact mean — the
+    outlier-robust metric beside the raw one, with clip counts. Exact
+    per-group percentiles broadcast back onto one shuffle grain
+    (approx_percentile is the documented 100 TB swap)."""
+    from .operators.profiling import winsorize_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorize_stats(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+
+
+@query("streaming_trending")  # stateful sequential fold — rows-only; decay law pytest'd
+def streaming_trending(spark, sf_dir):
+    """Exponentially time-decayed per-type event scores
+    (streaming.stateful_trending_scores, half-life 1h): the "what's hot"
+    metric — old activity fades smoothly instead of falling off a
+    window cliff. State is two scalars per key; the decay uses event
+    times, so batch boundaries don't change the score (closed-form
+    telescoping pytest-verified across batches)."""
+    from .streaming import run_to_memory, stateful_trending_scores
+
+    stream = _events_stream(spark, sf_dir)
+    scored = stateful_trending_scores(stream, "event_type", "ts", 3600.0)
+    return run_to_memory(scored, output_mode="append").select(
+        "event_type", "n_events"
+    )

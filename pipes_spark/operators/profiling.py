@@ -499,3 +499,91 @@ def ab_test(
         F.round(se, 6).alias("std_err"),
         F.round((mb - ma) / F.nullif(se, F.lit(0.0)), 6).alias("t_stat"),
     )
+
+
+def correlation_pairs(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix (upper triangle) over numeric
+    columns — the feature-redundancy screen — computed from ONE
+    map-side-combined aggregate pass collecting every pair's sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) as DECIMAL(28,6): exact,
+    order-independent, so the result is engine-portable bit-for-bit
+    after the final rounded double arithmetic. P column pairs cost P·6
+    aggregate cells, not P passes."""
+    cols = list(cols)
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(d(c).cast("decimal(28,6)")).alias(f"_s_{c}"))
+        aggs.append(F.sum((d(c) * d(c)).cast("decimal(28,6)")).alias(f"_q_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum((d(a) * d(b)).cast("decimal(28,6)")).alias(f"_p_{a}_{b}"))
+    agg = df.agg(*aggs)
+    n = F.col("_n")
+    structs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+            qa, qb = F.col(f"_q_{a}").cast("double"), F.col(f"_q_{b}").cast("double")
+            pab = F.col(f"_p_{a}_{b}").cast("double")
+            num = n * pab - sa * sb
+            den = F.sqrt((n * qa - sa * sa) * (n * qb - sb * sb))
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("corr"),
+                    n.alias("n"),
+                )
+            )
+    return agg.select(F.explode(F.array(*structs)).alias("_r")).select("_r.*")
+
+
+def winsorize_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Winsorized per-group summary: values are clipped at the group's
+    exact [lo_q, hi_q] quantiles before averaging — the outlier-robust
+    mean every metrics pipeline reaches for when a few extreme rows move
+    the plain average.
+
+    Two aggregates over one shuffle grain: exact interpolated quantiles
+    per group (percentile — a sort within each group's partition, the
+    exact form; swap approx_percentile at 100 TB, same contract as
+    profiling.quantile_bins), broadcast-joined back, then the clipped
+    DECIMAL mean beside the raw mean and the clip counts.
+    """
+    q = df.groupBy(group_col).agg(
+        F.percentile(value_col, F.lit(lo_q)).alias("_lo"),
+        F.percentile(value_col, F.lit(hi_q)).alias("_hi"),
+    )
+    v = F.col(value_col)
+    clipped = F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(q), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)),
+                6,
+            ).alias("raw_mean"),
+            F.round(
+                F.sum(clipped.cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("winsorized_mean"),
+            F.sum(F.when(v < F.col("_lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(v > F.col("_hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.round(F.min("_lo"), 6).alias("lo_bound"),
+            F.round(F.min("_hi"), 6).alias("hi_bound"),
+        )
+    )

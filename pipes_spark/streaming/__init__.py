@@ -477,3 +477,77 @@ def stream_dedup_against_store(
     if not admitted_parts:
         return spark.createDataFrame([], stream_df.schema)
     return reduce(DataFrame.unionByName, admitted_parts)
+
+
+def stateful_trending_scores(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_seconds: float = 3600.0,
+) -> DataFrame:
+    """Streaming trending scores: per key, an exponentially time-decayed
+    event count ``score = Σ 2^(−Δt/half_life)`` over everything seen so
+    far — the "what's hot right now" metric (trending topics, surging
+    error types, hot products). A raw running count never forgets; the
+    half-life makes old activity fade smoothly without the cliff of a
+    sliding window.
+
+    State per key is TWO scalars (score, last event-time): on each batch
+    the carried score decays by the time elapsed to each event and
+    increments, row by row in event-time order — the classic
+    decayed-counter fold, exactly the stateful MiddleFunc accumulation
+    of the reference (ref: pipe/node.go:16-19). Emits one row per
+    (key, batch) with the post-batch score and count — the consumer
+    ranks the latest rows for the trending board.
+
+    Same ordering contract as the other stateful operators (per-batch
+    event-time sort; cross-batch correctness when ingestion is
+    time-ordered per key); decay math uses the event times themselves,
+    so batch boundaries do not affect the score.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, score double, n_events bigint, last_ts timestamp"
+    )
+
+    def fold(key, pdfs, state):
+        if state.exists:
+            score, last_us, n = state.get
+        else:
+            score, last_us, n = 0.0, None, 0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((score, last_us, n))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts_col, kind="stable", ignore_index=True
+        )
+        for t in pdf[ts_col]:
+            t_us = int(t.value // 1000)  # pandas ns -> us
+            if last_us is not None and t_us > last_us:
+                dt = (t_us - last_us) / 1e6
+                score *= math.pow(2.0, -dt / half_life_seconds)
+            score += 1.0
+            last_us = t_us if last_us is None else max(last_us, t_us)
+            n += 1
+        state.update((score, last_us, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "score": [round(score, 6)],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us * 1000)],
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold,
+        out_schema,
+        "score double, last_us bigint, n bigint",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -574,3 +574,52 @@ def test_ab_test_matches_scipy_free_reference(spark):
     assert abs(r["mean_diff"] - round(mb - ma, 6)) < 1e-9
     assert abs(r["std_err"] - round(se, 6)) < 1e-9
     assert abs(r["t_stat"] - round((mb - ma) / se, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# stateful_trending_scores
+# ---------------------------------------------------------------------------
+
+
+def test_trending_scores_decay_closed_form_across_batches(spark, tmp_path):
+    """The sequential fold telescopes to score = Σ 2^(−(t_last − t_i)/hl);
+    batch boundaries must not change it."""
+    import math
+
+    from pipes_spark.streaming import stateful_trending_scores
+
+    src = tmp_path / "src"
+    src.mkdir()
+    hl = 100.0
+    base = 1_000_000
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, sec bigint").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).drop("sec").coalesce(1).write.mode("append").parquet(str(src))
+
+    # batch 1: events at t=0, 50; batch 2: t=250
+    write([("x", base), ("x", base + 50)])
+    write([("x", base + 250)])
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = stateful_trending_scores(stream, "k", "ts", hl)
+    rows = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda b, i: rows.extend((i, r.asDict()) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    finals = [r for _, r in rows if r["n_events"] == 3]
+    assert len(finals) == 1
+    times = [0, 50, 250]
+    expect = sum(math.pow(2.0, -(250 - t) / hl) for t in times)
+    assert abs(finals[0]["score"] - round(expect, 6)) < 1e-6
+    assert finals[0]["last_ts"].timestamp() == base + 250
