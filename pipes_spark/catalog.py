@@ -3874,23 +3874,24 @@ _GRADED_WINDOW = [
     "subquery_scalar_corr", "subquery_scalar_uncorr",
     # join family
     "join_inner_agg", "join_semi",
-    "join_range_bands", "join_asof", "join_asof_forward_tol",
+    "join_range_bands", "join_asof",
     # aggregation family
     "agg_stats", "agg_count_distinct", "agg_percentiles",
-    "grouping_sets_mix",
+    "grouping_sets_mix", "agg_ordered_set", "agg_incremental_merge",
     # windows / ordering
     "window_ranking", "window_analytic", "topk_per_group",
     # set ops (the ALL variants carry the multiset subtlety)
-    "set_intersect_all", "set_except_all",
+    "set_intersect_all",
     # MERGE / SCD2
-    "merge_upsert_orders", "scd2_customer_snapshot", "scd2_point_in_time",
-    # events / sessionization / time-series
+    "merge_upsert_orders", "scd2_customer_snapshot",
+    # events / sessionization / time-series / attribution
     "events_hourly", "sessionize_stats", "sessionize_bucketed_stats",
-    "timeseries_gapfill", "timeseries_ffill", "timeseries_interpolate",
-    "timeseries_funnel",
+    "events_attribution",
+    "timeseries_gapfill", "timeseries_funnel",
     "ts_ewma", "ts_zscore_bucketed", "stats_mad_outliers",
-    # profiling / statistics
-    "stats_linear_fit", "profile_orders",
+    # profiling / statistics / quality
+    "stats_linear_fit", "profile_orders", "stats_correlation",
+    "quality_orders",
     # dedup / similarity / text (oracled paths)
     "dedup_keyed", "dedup_exact_docs", "dedup_lsh_verified",
     "dedup_jaccard_prefix", "text_sparse_cosine", "text_chunk_windows",
