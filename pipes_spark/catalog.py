@@ -6221,3 +6221,80 @@ def streaming_trending(spark, sf_dir):
     return run_to_memory(scored, output_mode="append").select(
         "event_type", "n_events"
     )
+
+
+@query(
+    "sim_retrieval_metrics",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+               AS cosine
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src AS q, dst AS i,
+             CAST(row_number() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst) AS BIGINT) AS rk
+      FROM p WHERE cosine >= 0.3
+      QUALIFY rk <= 3
+    ), truth AS (
+      SELECT a.vec_id AS q, b.vec_id AS i
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), nrel AS (
+      SELECT q, count(*) AS nr FROM truth GROUP BY q
+    ), pq AS (
+      SELECT r.q, count(*) AS h, min(r.rk) AS frst,
+             sum(1.0 / log2(r.rk + 1)) AS dcg
+      FROM ranked r JOIN truth t ON r.q = t.q AND r.i = t.i
+      GROUP BY r.q
+    ), perq AS (
+      SELECT n.q,
+             round(coalesce(h, 0) / CAST(least(3, nr) AS DOUBLE), 6) AS r_,
+             round(CASE WHEN frst IS NOT NULL THEN 1.0 / frst ELSE 0.0 END, 6)
+               AS m_,
+             round(coalesce(dcg, 0.0)
+                   / (CASE least(3, nr)
+                        WHEN 1 THEN 1.0
+                        WHEN 2 THEN 1.6309297535714575
+                        ELSE 2.1309297535714578 END), 6) AS n_
+      FROM nrel n LEFT JOIN pq ON n.q = pq.q
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(CAST(sum(CAST(r_ AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS recall_at_3,
+           round(CAST(sum(CAST(m_ AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS mrr_at_3,
+           round(CAST(sum(CAST(n_ AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS ndcg_at_3
+    FROM perq
+    """,
+)
+def sim_retrieval_metrics(spark, sf_dir):
+    """Retrieval-quality readout (operators.similarity.retrieval_metrics):
+    the kNN graph (k=3, floor 0.3) evaluated against same-label ground
+    truth — corpus-mean recall@3 / MRR@3 / nDCG@3, the evaluation loop
+    that turns the ANN stack's recall contract into a measured number.
+    Per-query metrics round at 6 then average via DECIMAL sums
+    (order-independent, engine-exact); the oracle recomputes the whole
+    chain — exact kNN via QUALIFY, label-join truth, identical metric
+    algebra."""
+    from .operators.similarity import knn_graph, retrieval_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ranked = knn_graph(emb, k=3, floor=0.3).select(
+        F.col("src").alias("query_id"),
+        F.col("dst").alias("neighbor_id"),
+        F.col("knn_rank").alias("rank"),
+    )
+    truth = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.expr("a.label = b.label AND a.vec_id <> b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"), F.col("b.vec_id").alias("neighbor_id")
+        )
+    )
+    return retrieval_metrics(ranked, truth, k=3)

@@ -1308,3 +1308,77 @@ def knn_graph(
         .filter(F.col("knn_rank") <= k)
         .select("src", "dst", "cosine", "knn_rank")
     )
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality readout — recall@k, MRR@k, nDCG@k (binary
+    gains) — for a ranked result table against a ground-truth relevance
+    table: the evaluation loop every ANN/retrieval stack needs beside
+    its recall-oriented pytest checks.
+
+    ``ranked``: (query, item, rank 1..k).  ``relevant``: (query, item)
+    ground-truth pairs.  Per query: recall@k = hits/min(k, n_relevant);
+    MRR = 1/rank of the first hit (0 when none); nDCG = Σ1/log2(r+1)
+    over hits ÷ the ideal DCG for min(k, n_relevant) items. Per-query
+    metrics are rounded at 6 then averaged as DECIMAL sums — the
+    corpus-level means are order-independent and engine-exact.
+
+    Scale: two key-equi joins (ranked×relevant on (query, item);
+    per-query aggregates); nothing exceeds the ranked table's size.
+    """
+    r = ranked.select(
+        F.col(query_col).alias("q"), F.col(item_col).alias("i"), F.col(rank_col).alias("rk")
+    ).filter(F.col("rk") <= k)
+    t = relevant.select(F.col(query_col).alias("q"), F.col(item_col).alias("i"))
+    n_rel = t.groupBy("q").agg(F.count(F.lit(1)).alias("_nrel"))
+    hits = r.join(t, ["q", "i"])
+    per_q_hits = hits.groupBy("q").agg(
+        F.count(F.lit(1)).alias("_hits"),
+        F.min("rk").alias("_first"),
+        F.sum(F.lit(1.0) / F.log2(F.col("rk") + 1)).alias("_dcg"),
+    )
+    # ideal DCG for m = min(k, n_relevant) items, as a literal lookup
+    # (k is tiny); log2 doubles are identical cross-engine
+    idcg = F.lit(0.0)
+    acc = 0.0
+    import math
+
+    idcg_vals = []
+    for i in range(1, k + 1):
+        acc += 1.0 / math.log2(i + 1)
+        idcg_vals.append(acc)
+    m = F.least(F.lit(k), F.col("_nrel")).cast("int")
+    ideal = F.element_at(F.array(*[F.lit(v) for v in idcg_vals]), m)
+    per_q = (
+        n_rel.join(per_q_hits, "q", "left")
+        .select(
+            "q",
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / m.cast("double"), 6
+            ).alias("_recall"),
+            F.round(
+                F.when(F.col("_first").isNotNull(), F.lit(1.0) / F.col("_first"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("_mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / ideal, 6
+            ).alias("_ndcg"),
+        )
+    )
+    dmean = lambda c: F.round(  # noqa: E731
+        F.sum(F.col(c).cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 6
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        dmean("_recall").alias(f"recall_at_{k}"),
+        dmean("_mrr").alias(f"mrr_at_{k}"),
+        dmean("_ndcg").alias(f"ndcg_at_{k}"),
+    )

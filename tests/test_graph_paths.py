@@ -623,3 +623,55 @@ def test_trending_scores_decay_closed_form_across_batches(spark, tmp_path):
     expect = sum(math.pow(2.0, -(250 - t) / hl) for t in times)
     assert abs(finals[0]["score"] - round(expect, 6)) < 1e-6
     assert finals[0]["last_ts"].timestamp() == base + 250
+
+
+# ---------------------------------------------------------------------------
+# retrieval_metrics
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_metrics_golden(spark):
+    from pipes_spark.operators.similarity import retrieval_metrics
+
+    # q1: relevant {10, 11, 12}; retrieved [10, 99, 11] -> recall 2/3,
+    #     mrr 1, dcg = 1/log2(2) + 1/log2(4), idcg(3) = 2.13093
+    # q2: relevant {20}; retrieved [98, 97, 20] -> recall 1, mrr 1/3
+    # q3: relevant {30}; retrieved [96, 95, 94] -> all zeros
+    ranked = spark.createDataFrame(
+        [
+            (1, 10, 1), (1, 99, 2), (1, 11, 3),
+            (2, 98, 1), (2, 97, 2), (2, 20, 3),
+            (3, 96, 1), (3, 95, 2), (3, 94, 3),
+        ],
+        "query_id bigint, neighbor_id bigint, rank bigint",
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, 30)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    import math
+
+    r = retrieval_metrics(ranked, truth, k=3).collect()[0]
+    assert r["n_queries"] == 3
+    exp_recall = (round(2 / 3, 6) + 1.0 + 0.0) / 3
+    assert abs(r["recall_at_3"] - round(exp_recall, 6)) < 1e-9
+    exp_mrr = (1.0 + round(1 / 3, 6) + 0.0) / 3
+    assert abs(r["mrr_at_3"] - round(exp_mrr, 6)) < 1e-9
+    idcg3 = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    q1_ndcg = round((1 / math.log2(2) + 1 / math.log2(4)) / idcg3, 6)
+    q2_ndcg = round((1 / math.log2(4)) / 1.0, 6)
+    exp_ndcg = (q1_ndcg + q2_ndcg + 0.0) / 3
+    assert abs(r["ndcg_at_3"] - round(exp_ndcg, 6)) < 1e-6
+
+
+def test_retrieval_metrics_perfect_ranking_is_one(spark):
+    from pipes_spark.operators.similarity import retrieval_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id bigint, neighbor_id bigint, rank bigint"
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11)], "query_id bigint, neighbor_id bigint"
+    )
+    r = retrieval_metrics(ranked, truth, k=2).collect()[0]
+    assert (r["recall_at_2"], r["mrr_at_2"], r["ndcg_at_2"]) == (1.0, 1.0, 1.0)
