@@ -6298,3 +6298,114 @@ def sim_retrieval_metrics(spark, sf_dir):
         )
     )
     return retrieval_metrics(ranked, truth, k=3)
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+             ts
+      FROM flagged
+    ), intervals AS (
+      SELECT user_id, session_id,
+             CAST(min(epoch_ms(ts)) / 1000 AS BIGINT) AS s_lo,
+             CAST(max(epoch_ms(ts)) / 1000 AS BIGINT) + 1 AS s_hi
+      FROM sess GROUP BY user_id, session_id
+    ), incidents AS (
+      SELECT CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT) AS i_lo,
+             CAST(epoch_ms(date_trunc('hour', ts)) / 1000 AS BIGINT) + 3600
+               AS i_hi
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT s.user_id, s.session_id,
+           CAST(count(i.i_lo) AS BIGINT) AS n_incident_windows
+    FROM intervals s JOIN incidents i
+      ON s.s_lo < i.i_hi AND i.i_lo < s.s_hi
+    GROUP BY s.user_id, s.session_id
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join
+    (operators.relational.interval_overlap_join): user session spans
+    against high-error incident hours — how many incident windows each
+    session touched (the ops question behind "was this user's session
+    during the outage?"). BOTH sides explode to a shared bin grid
+    (hour-width bins) and equi-join on the bin — a plain shuffle join
+    with an exact residual overlap predicate, lossless because every
+    intersecting pair shares a bin; never a nested-loop pass. The oracle
+    states the naive theta join."""
+    from .operators.relational import interval_overlap_join, sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    sessions = s.groupBy("user_id", "session_id").agg(
+        F.floor(F.min(F.unix_millis("ts")) / 1000).cast("long").alias("s_lo"),
+        (F.floor(F.max(F.unix_millis("ts")) / 1000) + 1).cast("long").alias("s_hi"),
+    )
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.floor(F.unix_millis(F.date_trunc("hour", "ts")) / 1000)
+            .cast("long")
+            .alias("i_lo")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .select("i_lo", (F.col("i_lo") + 3600).alias("i_hi"))
+    )
+    overlapped = interval_overlap_join(
+        sessions, incidents, "s_lo", "s_hi", "i_lo", "i_hi", bin_width=3600.0
+    )
+    return overlapped.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_incident_windows")
+    )
+
+
+@query("graph_kcore")  # iterative peel — rows-only; exact semantics pytest'd
+def graph_kcore(spark, sf_dir):
+    """Densest-region extraction (operators.components.k_core): the
+    35-core of the co-purchase graph — vertices that survive iterative
+    removal of everything with degree < 35, with their induced-subgraph
+    degrees. One degree aggregate + two vertex-keyed semi-joins per
+    round, lineage cut per round, fixed-point stop; result is unique
+    regardless of peel order (pytest: python-peel parity + golden)."""
+    from .operators.components import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return k_core(e, k=35, src_col="a", dst_col="b").orderBy("vertex")
+
+
+@query("sim_mmr_rerank")  # greedy sequential selection — rows-only; pytest'd
+def sim_mmr_rerank(spark, sf_dir):
+    """Diversity-aware retrieval (operators.similarity.mmr_rerank,
+    Carbonell 1998): top-5 MMR selection (λ=0.7) from each query's
+    exact top-20 candidate pool — near-duplicate results stop crowding
+    the list. The sequential greedy runs per query over its small pool
+    inside applyInPandas (queries in parallel); candidate generation is
+    the broadcast top-k scan. Deterministic (id tie-breaks, rounded
+    scores); λ=1 ≡ relevance order and the dup-demotion property are
+    pytest-verified."""
+    from .operators.similarity import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return mmr_rerank(emb, q, k=5, pool=20, lambda_=0.7)

@@ -288,3 +288,59 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("label").cast("bigint").alias("label"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where every
+    vertex keeps degree ≥ k — the standard densest-region peel (spam/bot
+    ring detection, community cores, visualization backbones).
+
+    Iterative peel: drop vertices with degree < k, recompute degrees on
+    the induced subgraph, repeat until stable. Each round is one degree
+    aggregate plus two semi-joins keyed on vertex ids; lineage is cut per
+    round and the loop stops on a fixed point (the per-round scalar is
+    one edge count — the same driver-side convergence contract as the
+    k-means/logistic rounds). The result is unique regardless of peel
+    order (k-core is order-independent), so the operator is
+    deterministic by construction.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = -1
+    for _ in range(max_iter):
+        n_edges = e.count()
+        if n_edges == prev or n_edges == 0:
+            break
+        prev = n_edges
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionByName(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    deg = (
+        e.select(F.col("a").alias("vertex"))
+        .unionByName(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+    return deg

@@ -764,3 +764,51 @@ def attribution(
         F.col("_first.id").alias("first_touch_id"),
         F.col("_first.t").alias("first_touch_type"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Interval×interval OVERLAP join — both sides are ranges (stays vs
+    promotions, sessions vs incidents, reservations vs maintenance
+    windows), matched when ``[l_lo, l_hi)`` and ``[r_lo, r_hi)``
+    intersect, optionally within equal ``keys``.
+
+    The scale shape extends :func:`binned_range_join` to two interval
+    sides: BOTH explode to the bin grid they cover, the join keys on
+    (keys…, bin) — a plain shuffle equi-join — and the exact overlap
+    predicate (``l_lo < r_hi AND r_lo < l_hi``) filters residually.
+    Each intersecting pair shares at least one grid bin (their
+    intersection is non-empty and every point lies in some bin), so the
+    rewrite is lossless; duplicate bin-matches are collapsed by the
+    final distinct on the pair. Shuffle volume is
+    Σ(interval_width/bin_width) per side — pick ``bin_width`` near the
+    typical interval width, exactly the knob the one-sided form
+    documents. Never a BroadcastNestedLoop/Cartesian.
+    """
+    w = float(bin_width)
+    keys = list(keys)
+
+    def explode_bins(df, lo, hi):
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor(F.col(hi) / w).cast("long"),
+                )
+            ),
+        )
+
+    l = explode_bins(left, left_lo, left_hi)
+    r = explode_bins(right, right_lo, right_hi)
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    joined = l.join(r, keys + ["_bin"]).filter(overlap).drop("_bin")
+    return joined.distinct()

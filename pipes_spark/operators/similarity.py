@@ -1382,3 +1382,90 @@ def retrieval_metrics(
         dmean("_mrr").alias(f"mrr_at_{k}"),
         dmean("_ndcg").alias(f"ndcg_at_{k}"),
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998):
+    diversity-aware top-k — greedily pick the candidate maximizing
+    ``λ·sim(query, c) − (1−λ)·max_{s∈selected} sim(c, s)``, so near-
+    duplicate results don't crowd the list (λ=1 is plain relevance
+    ranking, λ→0 pure diversity).
+
+    Two-stage Spark shape: the exact broadcast top-``pool`` scan
+    (:func:`cosine_topk`) bounds each query's candidate set, candidate
+    vectors re-attach by one id-keyed join, and the greedy selection —
+    inherently sequential but only over ``pool`` items — runs per query
+    inside ``applyInPandas`` (one small numpy problem per group, queries
+    in parallel). Ties break by candidate id; scores round at 6 — fully
+    deterministic.
+    """
+    import numpy as np  # noqa: F401 — used inside the grouped fn
+
+    from .multimodal import _ship_package
+
+    spark = corpus.sparkSession
+    _ship_package(spark)
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
+                       query_id_col=query_id_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _cast_double(vec_col).alias("_cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qv")
+    )
+    pool_df = cand.join(vecs, "neighbor_id").join(F.broadcast(qvecs), query_id_col)
+
+    lam = float(lambda_)
+    kk = int(k)
+
+    def rerank(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("neighbor_id", ignore_index=True)
+        C = np.vstack(pdf["_cv"].to_numpy()).astype("float64")
+        q = np.asarray(pdf["_qv"].iloc[0], dtype="float64")
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        qn = q / max(np.linalg.norm(q), 1e-300)
+        rel = np.round(Cn @ qn, 6)
+        S = np.round(Cn @ Cn.T, 6)
+        ids = pdf["neighbor_id"].to_numpy()
+        n = len(ids)
+        chosen: list[int] = []
+        avail = list(range(n))
+        while avail and len(chosen) < kk:
+            if chosen:
+                red = S[np.ix_(avail, chosen)].max(axis=1)
+            else:
+                red = np.zeros(len(avail))
+            mmr = lam * rel[avail] - (1.0 - lam) * red
+            # ties: highest mmr, then smallest id (avail is id-sorted and
+            # argmax returns the first maximum)
+            best = avail[int(np.argmax(np.round(mmr, 6)))]
+            chosen.append(best)
+            avail.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": pdf[query_id_col].iloc[: len(chosen)].to_numpy(),
+                "neighbor_id": ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype="int64"),
+                "relevance": np.round(rel[chosen], 6),
+            }
+        )
+
+    out = pool_df.groupBy(query_id_col).applyInPandas(
+        rerank,
+        schema=f"query_id bigint, neighbor_id bigint, mmr_rank bigint, relevance double",
+    )
+    if query_id_col != "query_id":
+        out = out.withColumnRenamed("query_id", query_id_col)
+    return out

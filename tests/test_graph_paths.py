@@ -675,3 +675,125 @@ def test_retrieval_metrics_perfect_ranking_is_one(spark):
     )
     r = retrieval_metrics(ranked, truth, k=2).collect()[0]
     assert (r["recall_at_2"], r["mrr_at_2"], r["ndcg_at_2"]) == (1.0, 1.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+
+def test_k_core_golden(spark):
+    from pipes_spark.operators.components import k_core
+
+    # triangle {1,2,3} + pendant 3-4 + path 5-6: 2-core = the triangle
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["vertex"]: r["core_degree"] for r in k_core(df, 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_k_core_matches_python_peel(spark):
+    import random
+
+    from pipes_spark.operators.components import k_core
+
+    rng = random.Random(5)
+    verts = list(range(30))
+    edges = sorted({tuple(sorted(rng.sample(verts, 2))) for _ in range(90)})
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    k = 4
+    # reference peel
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+    expect = {v: len(ns) for v, ns in adj.items() if ns}
+    got = {r["vertex"]: r["core_degree"] for r in k_core(df, k).collect()}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_lambda_one_is_relevance_order(spark):
+    import numpy as np
+
+    from pipes_spark.operators.similarity import cosine_topk, mmr_rerank
+
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(30, 6))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    mmr = mmr_rerank(df, q, k=5, pool=10, lambda_=1.0)
+    plain = cosine_topk(df, q, k=5)
+    a = [(r["neighbor_id"]) for r in mmr.orderBy("mmr_rank").collect()]
+    b = [(r["neighbor_id"]) for r in plain.orderBy("rank").collect()]
+    assert a == b
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    from pipes_spark.operators.similarity import mmr_rerank
+
+    # query along x; candidates: A ~ x (best), A' ≈ A (near-dup),
+    # B = diverse but still relevant. MMR at λ=0.5 must pick A then B.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # the query itself
+        (1, [0.99, 0.1, 0.0]),         # A
+        (2, [0.985, 0.11, 0.0]),       # A' near-dup of A
+        (3, [0.7, 0.0, 0.7]),          # B diverse
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = [
+        r["neighbor_id"]
+        for r in mmr_rerank(df, q, k=2, pool=3, lambda_=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert got == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# interval_overlap_join
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    import random
+
+    from pipes_spark.operators.relational import interval_overlap_join
+
+    rng = random.Random(9)
+    left = [(i, rng.randint(0, 500), rng.randint(1, 80)) for i in range(40)]
+    right = [(j, rng.randint(0, 500), rng.randint(1, 80)) for j in range(30)]
+    ldf = spark.createDataFrame(
+        [(i, lo, lo + w) for i, lo, w in left], "lid bigint, l_lo bigint, l_hi bigint"
+    )
+    rdf = spark.createDataFrame(
+        [(j, lo, lo + w) for j, lo, w in right], "rid bigint, r_lo bigint, r_hi bigint"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=50.0
+        ).collect()
+    }
+    expect = {
+        (i, j)
+        for i, llo, lw in left
+        for j, rlo, rw in right
+        if llo < rlo + rw and rlo < llo + lw
+    }
+    assert got == expect
