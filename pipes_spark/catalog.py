@@ -6409,3 +6409,143 @@ def sim_mmr_rerank(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     return mmr_rerank(emb, q, k=5, pool=20, lambda_=0.7)
+
+
+@query(
+    "events_session_window_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def events_session_window_batch(spark, sf_dir):
+    """Gap-based sessionization via the ENGINE-NATIVE ``session_window``
+    grouping in BATCH (the same operator the streaming path uses —
+    Spark merges per-key gap windows inside the aggregate, no window
+    function pass): per (user, session) start + event count. The oracle
+    states the classic lag/cumsum formulation — equality proves the
+    native operator implements exactly the 30-min-gap semantics. At
+    scale this is one shuffle on the user key with map-side partial
+    merging of session fragments."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "ts_seasonal_deviation",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), season AS (
+      SELECT hod,
+             CAST(sum(CAST(n AS DECIMAL(28,6))) AS DOUBLE) / count(*)
+               AS expected
+      FROM hourly GROUP BY hod
+    )
+    SELECT h.bucket, h.n,
+           round(s.expected, 6) AS expected,
+           round(h.n - s.expected, 6) AS deviation,
+           round(h.n / s.expected, 6) AS ratio
+    FROM hourly h JOIN season s USING (hod)
+    """,
+)
+def ts_seasonal_deviation(spark, sf_dir):
+    """Seasonal-baseline anomaly signal: each hour's event count against
+    the average for that HOUR-OF-DAY across the whole table (the
+    simplest seasonal-naive expectation) — deviation and ratio are the
+    standard first-pass traffic-anomaly columns. Two hash aggregates
+    (hourly grain, then the 24-row seasonal profile) and one broadcast
+    join back; the DECIMAL mean keeps the baseline engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    season = hourly.groupBy("hod").agg(
+        (
+            F.sum(F.col("n").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("expected")
+    )
+    return (
+        hourly.join(F.broadcast(season), "hod")
+        .select(
+            "bucket",
+            "n",
+            F.round(F.col("expected"), 6).alias("expected"),
+            F.round(F.col("n") - F.col("expected"), 6).alias("deviation"),
+            F.round(F.col("n") / F.col("expected"), 6).alias("ratio"),
+        )
+    )
+
+
+@query(
+    "ts_period_over_period",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT day, n, round(total, 6) AS total,
+           lag(n, 7) OVER (ORDER BY day) AS n_prev_week,
+           round(CAST(n - lag(n, 7) OVER (ORDER BY day) AS DOUBLE)
+                 / nullif(lag(n, 7) OVER (ORDER BY day), 0), 6)
+             AS wow_change
+    FROM daily
+    """,
+)
+def ts_period_over_period(spark, sf_dir):
+    """Week-over-week growth: daily counts/totals beside the value 7
+    days earlier and the relative change — the dashboard staple. One
+    hash aggregate to the daily grain, then a lag window over the tiny
+    daily table (the global window runs on days, never on events);
+    nullif guards the first week's division under ANSI."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6
+        ).alias("total"),
+    )
+    w = Window.orderBy("day")
+    prev = F.lag("n", 7).over(w)
+    return daily.select(
+        "day",
+        "n",
+        "total",
+        prev.alias("n_prev_week"),
+        F.round(
+            (F.col("n") - prev).cast("double") / F.nullif(prev, F.lit(0)), 6
+        ).alias("wow_change"),
+    )
