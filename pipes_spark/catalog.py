@@ -6549,3 +6549,97 @@ def ts_period_over_period(spark, sf_dir):
             (F.col("n") - prev).cast("double") / F.nullif(prev, F.lit(0)), 6
         ).alias("wow_change"),
     )
+
+
+@query(
+    "entity_resolution",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS s
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                    1, (doc_id % 12)) ||
+             'z' ||
+             substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                    (doc_id % 12) + 2)
+      FROM documents WHERE doc_id % 5 = 0
+    ), b2 AS (
+      SELECT id, s, length(s) AS len FROM base
+    ), segs AS (
+      SELECT id, s, len, i.seg_i,
+             substr(s, CAST(floor(len * i.seg_i / 2) AS INT) + 1,
+                    CAST(floor(len * (i.seg_i + 1) / 2) AS INT)
+                      - CAST(floor(len * i.seg_i / 2) AS INT)) AS seg
+      FROM b2, (SELECT unnest([0, 1]) AS seg_i) i
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM segs a
+      JOIN segs b ON a.len = b.len AND a.seg_i = b.seg_i AND a.seg = b.seg
+                  AND a.id < b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               levenshtein(x.s, y.s) AS d
+        FROM cand c JOIN b2 x ON c.id_a = x.id JOIN b2 y ON c.id_b = y.id
+      ) WHERE d = 1
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ), cc AS (
+      SELECT id, min(r) AS canonical FROM reach GROUP BY id
+    )
+    SELECT b2.id,
+           coalesce(cc.canonical, b2.id) AS canonical,
+           CAST(CASE WHEN cc.id IS NOT NULL AND cc.canonical <> b2.id
+                     THEN 1 ELSE 0 END AS BOOLEAN) AS is_duplicate
+    FROM b2 LEFT JOIN cc ON b2.id = cc.id
+    """,
+)
+def entity_resolution(spark, sf_dir):
+    """Entity resolution end to end over the dirty-ID corpus: blocked
+    fuzzy matching (operators.text.fuzzy_join_segments — segment
+    pigeonhole candidates + exact Levenshtein) feeds connected
+    components (large-star/small-star), and every record resolves to
+    its cluster's min-id canonical — the master-data "golden record"
+    assignment, with singletons passing through as their own canonical.
+    The oracle recomputes the identical chain: same blocking SQL, then
+    recursive-CTE transitive closure."""
+    from .operators.components import connected_components
+    from .operators.text import fuzzy_join_segments
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+    clean = d.select(F.col("doc_id").alias("id"), key.alias("s"))
+    dirty = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat(
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), 1, cast(doc_id % 12 as int))"),
+                F.lit("z"),
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), cast(doc_id % 12 as int) + 2)"),
+            ).alias("s"),
+        )
+    )
+    corpus = clean.unionByName(dirty)
+    pairs = fuzzy_join_segments(corpus, "s", "id", max_distance=1).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    resolved = corpus.join(
+        cc.withColumnRenamed("id", "_cid"), corpus["id"] == F.col("_cid"), "left"
+    )
+    return resolved.select(
+        "id",
+        F.coalesce(F.col("component"), F.col("id")).alias("canonical"),
+        (
+            F.col("component").isNotNull() & (F.col("component") != F.col("id"))
+        ).alias("is_duplicate"),
+    )
