@@ -6643,3 +6643,64 @@ def entity_resolution(spark, sf_dir):
             F.col("component").isNotNull() & (F.col("component") != F.col("id"))
         ).alias("is_duplicate"),
     )
+
+
+@query(
+    "ml_target_encode",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(28,6))) AS sm
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o.o_orderpriority,
+           round((CAST(sm AS DOUBLE) - o_totalprice) / nullif(n - 1, 0), 6)
+             AS te
+    FROM orders o JOIN s USING (o_orderpriority)
+    """,
+)
+def ml_target_encode(spark, sf_dir):
+    """Leave-one-out target encoding
+    (operators.features.target_encode_loo): each order's priority class
+    encoded as the mean total price of the OTHER orders in that class —
+    the high-cardinality categorical encoding with the own-row
+    exclusion that prevents target leakage. One (n, Σ) DECIMAL
+    aggregate per category broadcast back; per-row arithmetic stays in
+    codegen."""
+    from .operators.features import target_encode_loo
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(o, "o_orderpriority", "o_totalprice").select(
+        "o_orderkey", "o_orderpriority", "te"
+    )
+
+
+@query(
+    "ml_feature_hash",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                t -> t <> '')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(concat(t, 'fh')), 1, 8)) AS BIGINT)
+             % 64 AS bucket,
+           CAST(count(*) AS BIGINT) AS count
+    FROM tok GROUP BY 1, 2
+    """,
+)
+def ml_feature_hash(spark, sf_dir):
+    """The hashing trick (operators.features.feature_hash, Weinberger
+    2009): documents to fixed 64-wide sparse token-count features with
+    NO vocabulary artifact — buckets derive from the portable md5 hash,
+    so any engine/partitioning/rerun emits identical features (and the
+    oracle recomputes them). Map-side explode + one (id, bucket) count
+    shuffle of two ints per token occurrence."""
+    from .operators.features import feature_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return feature_hash(d, "text", "doc_id", num_features=64, salt="fh")

@@ -797,3 +797,46 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         if llo < rlo + rw and rlo < llo + lw
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# features: target encoding / hashing trick
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_loo_golden(spark):
+    from pipes_spark.operators.features import target_encode_loo
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0)],
+        "cat string, y double",
+    )
+    got = {
+        (r["cat"], r["y"]): r["te"]
+        for r in target_encode_loo(df, "cat", "y").collect()
+    }
+    # leave-one-out means exclude the own row
+    assert got[("a", 10.0)] == 25.0
+    assert got[("a", 20.0)] == 20.0
+    assert got[("a", 30.0)] == 15.0
+    # singleton category has no peers -> NULL (no leakage-prone self-mean)
+    assert got[("b", 5.0)] is None
+
+
+def test_feature_hash_deterministic_and_bounded(spark):
+    from pipes_spark.operators.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "alpha gamma")], "doc_id bigint, text string"
+    )
+    rows = feature_hash(df, "text", "doc_id", num_features=8).collect()
+    got = {(r["doc_id"], r["bucket"]): r["count"] for r in rows}
+    assert all(0 <= b < 8 for _, b in got)
+    # same token -> same bucket in both docs; beta counted twice in doc 1
+    alpha_buckets = {b for (d, b), c in got.items() if c >= 1}
+    again = {
+        (r["doc_id"], r["bucket"]): r["count"]
+        for r in feature_hash(df.repartition(5), "text", "doc_id", 8).collect()
+    }
+    assert got == again
+    assert sum(c for (d, _), c in got.items() if d == 1) == 3
