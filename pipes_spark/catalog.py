@@ -6704,3 +6704,79 @@ def ml_feature_hash(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return feature_hash(d, "text", "doc_id", num_features=64, salt="fh")
+
+
+@query(
+    "text_keywords",
+    oracle=r"""
+    WITH n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, token,
+             round(tf::DOUBLE * ln(n.n_docs / dfreq::DOUBLE), 6) AS tfidf
+      FROM tf JOIN dfreq USING (token), n
+    )
+    SELECT doc_id, token, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS BIGINT)
+             AS kw_rank
+    FROM scored QUALIFY kw_rank <= 3
+    """,
+)
+def text_keywords(spark, sf_dir):
+    """Per-document keyword extraction: each document's top-3 tokens by
+    TF-IDF (deterministic token tie-break) — the cheap extractive
+    tagger behind faceting/routing/weak labels, composed from the
+    oracled TF-IDF table plus one doc-keyed top-k window. Adds exactly
+    one shuffle on the doc id to the TF-IDF plan."""
+    from .operators.relational import top_k_per_group
+    from .operators.text import tfidf
+
+    d = _t(spark, sf_dir, "documents")
+    scored = tfidf(d).select("doc_id", "token", "tfidf")
+    return top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("token").asc()],
+        3,
+        rank_col="kw_rank",
+    ).withColumn("kw_rank", F.col("kw_rank").cast("bigint"))
+
+
+@query(
+    "join_shuffle_hash",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_shuffle_hash(spark, sf_dir):
+    """Join-strategy control surface: the same equi-join forced onto the
+    SHUFFLE_HASH path (no sort on either side — the right call when both
+    sides are large but one partitions small enough to hash-build, and
+    sort-merge's two sorts are the dominant cost). The hint's effect is
+    plan-asserted in test_plans (ShuffledHashJoin, no SortMergeJoin);
+    results are strategy-invariant, which the oracle verifies."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

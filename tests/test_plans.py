@@ -411,3 +411,9 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "events_attribution")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in plan
+
+
+def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_shuffle_hash")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
