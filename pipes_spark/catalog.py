@@ -6780,3 +6780,121 @@ def join_shuffle_hash(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+@query("streaming_threshold_alerts")  # edge-triggered state — rows-only; pytest'd
+def streaming_threshold_alerts(spark, sf_dir):
+    """Edge-triggered alerting (streaming.stateful_threshold_alerts):
+    one 'raised' row when a type's event value crosses 50 upward, one
+    'recovered' when it crosses back — transitions only, never a row
+    per sample while above. One boolean of state per key; the
+    exactly-one-alert-across-batches contract is pytest-verified."""
+    from .streaming import run_to_memory, stateful_threshold_alerts
+
+    stream = _events_stream(spark, sf_dir)
+    alerts = stateful_threshold_alerts(stream, "event_type", "ts", "value", 50.0)
+    return run_to_memory(alerts, output_mode="append").select(
+        "event_type", "alert"
+    ).groupBy("event_type", "alert").count()
+
+
+@query(
+    "events_multigrain_rollup",
+    oracle="""
+    SELECT CASE WHEN grain_day IS NOT NULL AND grain_hour IS NOT NULL THEN 'hour'
+                WHEN grain_day IS NOT NULL THEN 'day'
+                ELSE 'total' END AS grain,
+           grain_day, grain_hour,
+           n, total
+    FROM (
+      SELECT date_trunc('day', ts) AS grain_day,
+             date_trunc('hour', ts) AS grain_hour,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+      FROM events
+      GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                              (date_trunc('day', ts)),
+                              ())
+    )
+    """,
+)
+def events_multigrain_rollup(spark, sf_dir):
+    """Hour/day/total rollup in ONE pass: GROUPING SETS computes all
+    three grains from a single shuffle with map-side partials (the
+    warehouse pattern that replaces three separate aggregation jobs —
+    at 100 TB the input is read once, not three times). Grain labels
+    derive from the grouping-null pattern identically in both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    # hour ⊂ day ⊂ total is exactly ROLLUP(day, hour)
+    g = ev.rollup(
+        F.date_trunc("day", "ts").alias("grain_day"),
+        F.date_trunc("hour", "ts").alias("grain_hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+    )
+    grain = (
+        F.when(
+            F.col("grain_day").isNotNull() & F.col("grain_hour").isNotNull(),
+            F.lit("hour"),
+        )
+        .when(F.col("grain_day").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("total"))
+    )
+    return g.select(grain.alias("grain"), "grain_day", "grain_hour", "n", "total")
+
+
+@query(
+    "stats_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), ranked AS (
+      SELECT p_brand, round(revenue, 6) AS revenue,
+             round(revenue / sum(revenue) OVER (), 6) AS share,
+             round(CAST(sum(CAST(revenue AS DECIMAL(28,6)))
+                        OVER (ORDER BY revenue DESC, p_brand) AS DOUBLE)
+                   / sum(revenue) OVER (), 6) AS cum_share,
+             CAST(row_number() OVER (ORDER BY revenue DESC, p_brand) AS BIGINT)
+               AS rnk
+      FROM rev
+    )
+    SELECT p_brand, revenue, share, cum_share, rnk,
+           cum_share <= 0.8 AS in_top80
+    FROM ranked
+    """,
+)
+def stats_pareto(spark, sf_dir):
+    """Contribution / Pareto analysis: per-brand revenue with share,
+    DECIMAL-exact running cumulative share in (revenue desc, brand)
+    order, and the 80/20 flag — the concentration readout behind
+    "which 20% of brands drive 80% of revenue". The windows run over
+    the tiny per-brand aggregate, never the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("p_brand"))
+    total = F.sum("revenue").over(Window.partitionBy())
+    cum = F.sum(F.col("revenue").cast("decimal(28,6)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "p_brand",
+        F.round(F.col("revenue"), 6).alias("revenue"),
+        F.round(F.col("revenue") / total, 6).alias("share"),
+        F.round(cum.cast("double") / total, 6).alias("cum_share"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    ).withColumn("in_top80", F.col("cum_share") <= 0.8)

@@ -551,3 +551,61 @@ def stateful_trending_scores(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_threshold_alerts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Edge-triggered threshold alerting: emit one alert when a key's
+    value CROSSES the threshold upward (and a recovery when it crosses
+    back down) — not a row per sample while above, which is the
+    difference between an alert stream and a noise stream. State per
+    key is one boolean (was-above); rows inside each batch are folded
+    in event-time order and only the transitions are emitted.
+
+    The same cross-batch contract as the other stateful operators: the
+    carried flag survives micro-batches, so a value that goes high in
+    one batch and stays high in the next produces exactly one alert.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, ts timestamp, value double, alert string"
+    )
+
+    def detect(key, pdfs, state):
+        (above,) = state.get if state.exists else (False,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((above,))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts_col, kind="stable", ignore_index=True
+        )
+        out_ts, out_v, out_a = [], [], []
+        for t, v in zip(pdf[ts_col], pdf[value_col]):
+            now_above = bool(v > threshold)
+            if now_above and not above:
+                out_ts.append(t); out_v.append(float(v)); out_a.append("raised")
+            elif not now_above and above:
+                out_ts.append(t); out_v.append(float(v)); out_a.append("recovered")
+            above = now_above
+        state.update((above,))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    "ts": out_ts,
+                    "value": out_v,
+                    "alert": out_a,
+                }
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        detect, out_schema, "above boolean", "append", GroupStateTimeout.NoTimeout
+    )

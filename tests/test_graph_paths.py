@@ -840,3 +840,46 @@ def test_feature_hash_deterministic_and_bounded(spark):
     }
     assert got == again
     assert sum(c for (d, _), c in got.items() if d == 1) == 3
+
+
+# ---------------------------------------------------------------------------
+# stateful_threshold_alerts
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_alerts_edge_triggered_across_batches(spark, tmp_path):
+    """One 'raised' per upward crossing even when the value stays above
+    across a batch boundary; 'recovered' on the downward crossing."""
+    from pipes_spark.streaming import stateful_threshold_alerts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_000_000
+
+    def write(rows):
+        spark.createDataFrame(rows, "k string, sec bigint, v double").withColumn(
+            "ts", F.timestamp_seconds(F.col("sec"))
+        ).drop("sec").coalesce(1).write.mode("append").parquet(str(src))
+
+    # batch 1: below, above (raise), above (no repeat)
+    write([("x", base, 10.0), ("x", base + 1, 90.0), ("x", base + 2, 95.0)])
+    # batch 2: still above (no repeat), below (recover), above (raise again)
+    write([("x", base + 3, 80.0), ("x", base + 4, 5.0), ("x", base + 5, 99.0)])
+    stream = (
+        spark.readStream.schema("k string, v double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    alerts = stateful_threshold_alerts(stream, "k", "ts", "v", 50.0)
+    rows = []
+    q = (
+        alerts.writeStream.foreachBatch(
+            lambda b, i: rows.extend(r.asDict() for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seq = [(r["alert"], r["value"]) for r in sorted(rows, key=lambda r: r["ts"])]
+    assert seq == [("raised", 90.0), ("recovered", 5.0), ("raised", 99.0)]
