@@ -6898,3 +6898,149 @@ def stats_pareto(spark, sf_dir):
         F.round(cum.cast("double") / total, 6).alias("cum_share"),
         F.row_number().over(w).cast("bigint").alias("rnk"),
     ).withColumn("in_top80", F.col("cum_share") <= 0.8)
+
+
+@query(
+    "text_fuzzy_sorted_neighborhood",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id AS id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS s
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                    1, (doc_id % 12)) ||
+             'z' ||
+             substr(substr(md5(CAST(doc_id AS VARCHAR)), 1, 12),
+                    (doc_id % 12) + 2)
+      FROM documents WHERE doc_id % 5 = 0
+    ), ranked AS (
+      SELECT id, s,
+             CAST(row_number() OVER (ORDER BY s, id) AS BIGINT) AS rk
+      FROM base
+    ), cand AS (
+      SELECT a.id AS ia, a.s AS sa, b.id AS ib, b.s AS sb
+      FROM ranked a JOIN ranked b
+        ON b.rk BETWEEN a.rk + 1 AND a.rk + 5
+    )
+    SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+           CAST(levenshtein(sa, sb) AS BIGINT) AS distance
+    FROM cand WHERE levenshtein(sa, sb) = 1
+    """,
+)
+def text_fuzzy_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking
+    (operators.text.sorted_neighborhood_pairs, Hernández-Stolfo): the
+    OTHER classic record-linkage blocking beside segment pigeonhole —
+    sort by the match key, compare each record to its 5 successors
+    only (candidates = n·window exactly, skew-independent), verify
+    with exact Levenshtein. Run on the same dirty-ID corpus as
+    text_fuzzy_join; recall depends on near-dups sorting close, which
+    a corrupted character mid-string often preserves."""
+    from .operators.text import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)
+    clean = d.select(F.col("doc_id").alias("id"), key.alias("s"))
+    dirty = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat(
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), 1, cast(doc_id % 12 as int))"),
+                F.lit("z"),
+                F.expr("substr(substr(md5(cast(doc_id as string)), 1, 12), cast(doc_id % 12 as int) + 2)"),
+            ).alias("s"),
+        )
+    )
+    corpus = clean.unionByName(dirty)
+    return sorted_neighborhood_pairs(corpus, "s", "id", window=5, max_distance=1)
+
+
+@query(
+    "quality_fd",
+    oracle="""
+    SELECT 'fd' AS rule, 'o_orderkey->o_custkey' AS col_name,
+           CAST(sum(k - 1) AS BIGINT) AS violations,
+           sum(k - 1) = 0 AS passed
+    FROM (SELECT count(DISTINCT o_custkey) AS k FROM orders
+          GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fd', 'o_custkey->o_orderpriority',
+           CAST(sum(k - 1) AS BIGINT),
+           sum(k - 1) = 0
+    FROM (SELECT count(DISTINCT o_orderpriority) AS k FROM orders
+          GROUP BY o_custkey)
+    """,
+)
+def quality_fd(spark, sf_dir):
+    """Functional-dependency audit (quality_checks ``fd`` rules): the
+    key dependency o_orderkey→o_custkey HOLDS (0 violations — a sanity
+    invariant) while o_custkey→o_orderpriority FAILS loudly (customers
+    order under many priorities) — demonstrating both directions of
+    the check that catches denormalization drift. One count-distinct
+    aggregate per rule, determinant-keyed."""
+    from .operators.profiling import quality_checks
+
+    o = _t(spark, sf_dir, "orders")
+    return quality_checks(
+        o,
+        [
+            ("fd", "o_orderkey", "o_custkey"),
+            ("fd", "o_custkey", "o_orderpriority"),
+        ],
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts, max(value) AS cv FROM events
+      WHERE event_type = 'click' GROUP BY user_id, ts
+    ), b AS (
+      SELECT p.event_id, max(c.ts) AS bts
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+      GROUP BY p.event_id
+    ), f AS (
+      SELECT p.event_id, min(c.ts) AS fts
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN b.bts IS NOT NULL
+                     AND (f.fts IS NULL
+                          OR epoch_us(p.ts) - epoch_us(b.bts)
+                             <= epoch_us(f.fts) - epoch_us(p.ts))
+                THEN cb.cv ELSE cf.cv END AS asof_value
+    FROM purch p
+    LEFT JOIN b ON p.event_id = b.event_id
+    LEFT JOIN f ON p.event_id = f.event_id
+    LEFT JOIN clicks cb ON cb.user_id = p.user_id AND cb.ts = b.bts
+    LEFT JOIN clicks cf ON cf.user_id = p.user_id AND cf.ts = f.fts
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction=nearest
+    (operators.relational.asof_join_nearest): each purchase takes the
+    click CLOSEST in time on either side, ties backward — completing
+    the merge_asof direction surface. Two proven single-shuffle
+    directional passes joined on the unique event id; the oracle
+    states nearest directly with min/max candidate timestamps."""
+    from .operators.relational import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = asof_join_nearest(
+        purchases, clicks, on="ts", by=["user_id"], value_cols=["value"],
+        id_col="event_id",
+    )
+    return out.select("event_id", "user_id", "ts", "value", "asof_value")

@@ -354,6 +354,9 @@ def quality_checks(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     * ``("in_set", col, (v1, v2, …))``
     * ``("in_range", col, lo, hi)``       (inclusive, NULL counts as a
       violation — a NULL price is not "in range")
+    * ``("fd", det_col, dep_col)``        (functional dependency: every
+      determinant value maps to one dependent value; violations = extra
+      distinct dependents over all determinant groups)
 
     Output: one row per rule with its violation count and pass flag —
     the gate a pipeline checks before promoting a batch.
@@ -369,6 +372,7 @@ def quality_checks(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
     row_exprs = []
     row_meta = []
     uniq_rules = []
+    fd_rules = []
     for r in rules:
         kind = r[0]
         if kind == "not_null":
@@ -396,6 +400,8 @@ def quality_checks(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
             row_meta.append(("in_range", r[1]))
         elif kind == "unique":
             uniq_rules.append(r[1])
+        elif kind == "fd":
+            fd_rules.append((r[1], r[2]))
         else:
             raise ValueError(f"unknown rule kind {kind!r}")
 
@@ -431,6 +437,23 @@ def quality_checks(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
             dup.select(
                 F.lit("unique").alias("rule"),
                 F.lit(col).alias("col_name"),
+                F.col("_v").alias("violations"),
+                (F.col("_v") == 0).alias("passed"),
+            )
+        )
+    for det, dep in fd_rules:
+        # functional dependency det -> dep: each determinant value must
+        # map to ONE dependent value; violations = extra distinct
+        # dependents summed over determinant groups
+        v = (
+            df.groupBy(det)
+            .agg((F.count_distinct(F.col(dep)) - 1).alias("_k"))
+            .agg(F.sum("_k").cast("bigint").alias("_v"))
+        )
+        parts.append(
+            v.select(
+                F.lit("fd").alias("rule"),
+                F.lit(f"{det}->{dep}").alias("col_name"),
                 F.col("_v").alias("violations"),
                 (F.col("_v") == 0).alias("passed"),
             )

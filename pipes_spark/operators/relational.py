@@ -812,3 +812,57 @@ def interval_overlap_join(
     overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
     joined = l.join(r, keys + ["_bin"]).filter(overlap).drop("_bin")
     return joined.distinct()
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    id_col: str,
+    prefix: str = "asof_",
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """As-of join, ``direction="nearest"``: each left row takes the right
+    row CLOSEST in ``on`` within its ``by`` group — either side of the
+    timestamp — completing the merge_asof direction surface (backward
+    and forward live in :func:`asof_join`). Ties (equidistant matches)
+    take the backward row, the pandas convention.
+
+    Composed from the two proven directional passes — each is the
+    union+window single-shuffle formulation — joined back on the left's
+    unique ``id_col``; the matched timestamps ride along as carried
+    values, so choosing the nearer side is a per-row comparison, and a
+    ``tolerance_seconds`` bound applies inside each directional pass
+    before the comparison (a side beyond tolerance is already NULL).
+    """
+    right2 = right.withColumn("_rts", F.col(on))
+    vcols = list(value_cols) + ["_rts"]
+    b = asof_join(
+        left, right2, on, by, vcols, prefix="_b_",
+        direction="backward", tolerance_seconds=tolerance_seconds,
+    )
+    f = asof_join(
+        left, right2, on, by, vcols, prefix="_f_",
+        direction="forward", tolerance_seconds=tolerance_seconds,
+    )
+    fsel = f.select(F.col(id_col), *[F.col(f"_f_{c}") for c in vcols])
+    j = b.join(fsel, id_col)
+    on_type = dict(left.dtypes)[on]
+    if on_type.startswith("timestamp"):
+        t = F.unix_micros(F.col(on).cast("timestamp"))
+        bt = F.unix_micros(F.col("_b__rts").cast("timestamp"))
+        ft = F.unix_micros(F.col("_f__rts").cast("timestamp"))
+    else:
+        t, bt, ft = F.col(on), F.col("_b__rts"), F.col("_f__rts")
+    use_b = F.col("_b__rts").isNotNull() & (
+        F.col("_f__rts").isNull() | ((t - bt) <= (ft - t))
+    )
+    out = j
+    for c in value_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")),
+        )
+    return out.drop(*[f"_b_{c}" for c in vcols], *[f"_f_{c}" for c in vcols])

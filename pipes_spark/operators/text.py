@@ -673,3 +673,56 @@ def fuzzy_join_segments(
         .filter(F.col("distance") > 0)
         .select("id_a", "id_b", "s_a", "s_b", F.col("distance").cast("bigint").alias("distance"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    window: int = 5,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood record-linkage blocking (Hernández & Stolfo
+    1995): sort records by the match key and compare each record only to
+    its ``window`` successors in sort order — the OTHER classic blocking
+    paradigm beside segment pigeonhole (:func:`fuzzy_join_segments`).
+    Its strength is tolerance of leading-prefix noise (pigeonhole needs
+    equal lengths; sorted-neighborhood just needs near-dups to sort
+    close); its cost is missing pairs that sort far apart — the recall
+    knob is ``window``.
+
+    Shape: one global rank (a total sort — at 100 TB use range
+    partitioning, which Spark's sort already is), then a self-join on
+    rank distance ∈ [1, window] via an exploded rank-offset key (an
+    equi-join, never a theta/nested-loop), then the exact Levenshtein
+    verify. Candidates = n·window exactly — blocking cost is explicit
+    and tunable, independent of value skew.
+    """
+    w = Window.orderBy(F.col(col).asc(), F.col(id_col).asc())
+    ranked = df.select(F.col(id_col).alias("id"), F.col(col).alias("s")).withColumn(
+        "_rk", F.row_number().over(w)
+    )
+    # each row claims the ranks of its `window` successors; joining that
+    # exploded key to the successors' own rank is a plain equi-join
+    probes = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        F.explode(
+            F.sequence(F.col("_rk") + 1, F.col("_rk") + window)
+        ).alias("_rk"),
+    )
+    cand = probes.join(
+        ranked.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "_rk"),
+        "_rk",
+    )
+    return (
+        cand.withColumn("distance", F.levenshtein("s_a", "s_b"))
+        .filter((F.col("distance") > 0) & (F.col("distance") <= max_distance))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "distance",
+        )
+        .withColumn("distance", F.col("distance").cast("bigint"))
+        .distinct()
+    )

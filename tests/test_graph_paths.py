@@ -883,3 +883,88 @@ def test_threshold_alerts_edge_triggered_across_batches(spark, tmp_path):
     q.awaitTermination()
     seq = [(r["alert"], r["value"]) for r in sorted(rows, key=lambda r: r["ts"])]
     assert seq == [("raised", 90.0), ("recovered", 5.0), ("raised", 99.0)]
+
+
+# ---------------------------------------------------------------------------
+# sorted_neighborhood_pairs / asof_join_nearest / fd rule
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_finds_adjacent_typos(spark):
+    from pipes_spark.operators.text import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "apple0001"),
+        (2, "apple0002"),   # distance 1 from 1 — sorts adjacent
+        (3, "banana0001"),
+        (4, "banana0002"),  # distance 1 from 3
+        (5, "cherry0009"),  # no partner
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in sorted_neighborhood_pairs(df, "s", "id", window=2).collect()
+    }
+    assert got == {(1, 2): 1, (3, 4): 1}
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    from pipes_spark.operators.text import sorted_neighborhood_pairs
+
+    # identical-distance pair separated by > window rows in sort order is
+    # missed — the documented recall knob (window=1 here)
+    rows = [(1, "aa"), (2, "ab"), (3, "ac"), (4, "ad")]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(df, "s", "id", window=1).collect()
+    }
+    # only rank-adjacent pairs survive
+    assert got == {(1, 2), (2, 3), (3, 4)}
+
+
+def test_asof_nearest_matches_pandas(spark):
+    import pandas as pd
+
+    from pipes_spark.operators.relational import asof_join_nearest
+
+    left = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4],
+            "g": ["a", "a", "a", "b"],
+            "t": [10.0, 25.0, 40.0, 5.0],
+        }
+    )
+    right = pd.DataFrame(
+        {"g": ["a", "a", "b"], "t": [12.0, 30.0, 100.0], "v": [1.0, 2.0, 3.0]}
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="g",
+        direction="nearest",
+    ).sort_values("id")
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = (
+        asof_join_nearest(ldf, rdf, on="t", by=["g"], value_cols=["v"], id_col="id")
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["asof_v"] for r in got] == list(want["v"])
+
+
+def test_quality_fd_rule_golden(spark):
+    from pipes_spark.operators.profiling import quality_checks
+
+    df = spark.createDataFrame(
+        [("k1", "x"), ("k1", "x"), ("k2", "x"), ("k2", "y"), ("k3", "z")],
+        "a string, b string",
+    )
+    rows = {
+        r["col_name"]: (r["violations"], r["passed"])
+        for r in quality_checks(df, [("fd", "a", "b")]).collect()
+    }
+    # k2 maps to two b values -> one extra dependent
+    assert rows["a->b"] == (1, False)
