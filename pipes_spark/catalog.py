@@ -7044,3 +7044,68 @@ def join_asof_nearest(spark, sf_dir):
         id_col="event_id",
     )
     return out.select("event_id", "user_id", "ts", "value", "asof_value")
+
+
+@query(
+    "stats_psi_drift",
+    oracle="""
+    WITH ref AS (
+      SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ), cur AS (
+      SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ), b AS (
+      SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qb
+      FROM ref
+    ), rbin AS (
+      SELECT 1 + (value > qb[1])::INT + (value > qb[2])::INT
+               + (value > qb[3])::INT + (value > qb[4])::INT
+               + (value > qb[5])::INT + (value > qb[6])::INT
+               + (value > qb[7])::INT + (value > qb[8])::INT
+               + (value > qb[9])::INT AS bin
+      FROM ref, b
+    ), cbin AS (
+      SELECT 1 + (value > qb[1])::INT + (value > qb[2])::INT
+               + (value > qb[3])::INT + (value > qb[4])::INT
+               + (value > qb[5])::INT + (value > qb[6])::INT
+               + (value > qb[7])::INT + (value > qb[8])::INT
+               + (value > qb[9])::INT AS bin
+      FROM cur, b
+    ), rc AS (SELECT bin, count(*) AS n_ref FROM rbin GROUP BY bin),
+       cc AS (SELECT bin, count(*) AS n_cur FROM cbin GROUP BY bin),
+       bins AS (SELECT unnest(range(1, 11)) AS bin),
+       j AS (
+      SELECT bins.bin,
+             CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      FROM bins LEFT JOIN rc ON bins.bin = rc.bin
+                LEFT JOIN cc ON bins.bin = cc.bin
+    )
+    SELECT CAST(bin AS INT) AS bin, n_ref, n_cur,
+           round((n_ref + 1) / CAST(sum(n_ref) OVER () + 10 AS DOUBLE), 6)
+             AS p_ref,
+           round((n_cur + 1) / CAST(sum(n_cur) OVER () + 10 AS DOUBLE), 6)
+             AS p_cur,
+           round(((n_cur + 1) / CAST(sum(n_cur) OVER () + 10 AS DOUBLE)
+                  - (n_ref + 1) / CAST(sum(n_ref) OVER () + 10 AS DOUBLE))
+                 * ln(((n_cur + 1) / CAST(sum(n_cur) OVER () + 10 AS DOUBLE))
+                      / ((n_ref + 1) / CAST(sum(n_ref) OVER () + 10 AS DOUBLE))), 6)
+             AS psi_contrib
+    FROM j
+    """,
+)
+def stats_psi_drift(spark, sf_dir):
+    """Population Stability Index (operators.profiling.psi_drift): the
+    event-value distribution of the second half of January scored
+    against first-half reference deciles — the standard ML-ops drift
+    gate. Boundaries stay in-plan (a 1-row percentile aggregate
+    cross-joined onto both sides; bucket = unrolled indicator chain in
+    codegen), counts are Laplace-smoothed, and the oracle recomputes
+    the identical algebra."""
+    from .operators.profiling import psi_drift
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut).select("value")
+    cur = ev.filter(F.col("ts") >= cut).select("value")
+    return psi_drift(ref, cur, "value", n_bins=10)

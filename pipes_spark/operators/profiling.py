@@ -610,3 +610,64 @@ def winsorize_stats(
             F.round(F.min("_hi"), 6).alias("hi_bound"),
         )
     )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index — the ML-ops drift metric between a
+    reference batch and a current batch of the same numeric feature:
+    bins come from the REFERENCE distribution's exact interpolated
+    quantiles, both batches are bucketed against them, and
+    ``psi = Σ (p_cur − p_ref)·ln(p_cur/p_ref)`` (rule of thumb: <0.1
+    stable, 0.1–0.25 drifting, >0.25 shifted).
+
+    Fully declarative (oracle-mirrored): the 1-row boundary aggregate
+    (``percentile`` over the reference) cross-joins onto both sides and
+    the bucket id is an unrolled ``1 + Σ (v > qᵢ)`` indicator chain —
+    plain codegen, no driver-side collect, no UDF. Counts are Laplace-
+    smoothed (+1 per bin) so empty bins don't blow up the log; the
+    probabilities are exact integer ratios, making the final double
+    ln/round engine-portable. Two scans + two tiny aggregates total.
+    """
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = ref.agg(
+        F.percentile(value_col, F.array(*[F.lit(q) for q in qs])).alias("_qb")
+    )
+
+    def bucketize(df):
+        b = df.crossJoin(F.broadcast(bounds))
+        expr = F.lit(1)
+        for i in range(1, n_bins):
+            expr = expr + F.when(
+                F.col(value_col) > F.element_at(F.col("_qb"), i), 1
+            ).otherwise(0)
+        return b.select(expr.alias("bin"))
+
+    rc = bucketize(ref).groupBy("bin").agg(F.count(F.lit(1)).alias("n_ref"))
+    cc = bucketize(cur).groupBy("bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    bins = ref.sparkSession.range(1, n_bins + 1).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = Window.partitionBy()
+    p_ref = (F.col("n_ref") + 1) / (F.sum("n_ref").over(tot) + n_bins)
+    p_cur = (F.col("n_cur") + 1) / (F.sum("n_cur").over(tot) + n_bins)
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return j.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round(contrib, 6).alias("psi_contrib"),
+    )

@@ -968,3 +968,37 @@ def test_quality_fd_rule_golden(spark):
     }
     # k2 maps to two b values -> one extra dependent
     assert rows["a->b"] == (1, False)
+
+
+# ---------------------------------------------------------------------------
+# psi_drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    from pyspark.sql import functions as SF
+
+    from pipes_spark.operators.profiling import psi_drift
+
+    df = spark.range(0, 2000).select((SF.col("id") % 100).cast("double").alias("v"))
+    rows = psi_drift(df, df, "v", n_bins=10).collect()
+    total = sum(r["psi_contrib"] for r in rows)
+    assert abs(total) < 1e-6
+    assert len(rows) == 10
+
+
+def test_psi_detects_shift(spark):
+    from pyspark.sql import functions as SF
+
+    from pipes_spark.operators.profiling import psi_drift
+
+    ref = spark.range(0, 2000).select((SF.col("id") % 100).cast("double").alias("v"))
+    cur = spark.range(0, 2000).select(
+        ((SF.col("id") % 100) + 50).cast("double").alias("v")
+    )
+    rows = psi_drift(ref, cur, "v", n_bins=10).collect()
+    total = sum(r["psi_contrib"] for r in rows)
+    assert total > 0.25  # "shifted" by the standard rule of thumb
+    # mass left the low reference bins and piled into the top one
+    bymap = {r["bin"]: r for r in rows}
+    assert bymap[1]["n_cur"] == 0 and bymap[10]["n_cur"] > bymap[10]["n_ref"]
