@@ -7109,3 +7109,264 @@ def stats_psi_drift(spark, sf_dir):
     ref = ev.filter(F.col("ts") < cut).select("value")
     cur = ev.filter(F.col("ts") >= cut).select("value")
     return psi_drift(ref, cur, "value", n_bins=10)
+
+
+@query(
+    "graph_shortest_paths",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), lm AS (
+      SELECT v AS l FROM (
+        SELECT a AS v FROM e0 UNION SELECT b FROM e0
+      ) ORDER BY v LIMIT 3
+    ), bfs(vertex, landmark, distance) AS (
+      SELECT l, l, 0 FROM lm
+      UNION
+      SELECT u.b, bfs.landmark, bfs.distance + 1
+      FROM bfs JOIN e0 u ON u.a = bfs.vertex
+      WHERE bfs.distance < 4
+    )
+    SELECT CAST(vertex AS BIGINT) AS vertex,
+           CAST(landmark AS BIGINT) AS landmark,
+           CAST(min(distance) AS INT) AS distance
+    FROM bfs GROUP BY vertex, landmark
+    ORDER BY landmark, vertex
+    """,
+)
+def graph_shortest_paths(spark, sf_dir):
+    """Hop distances from the 3 smallest vertices of the co-purchase
+    graph (operators.components.shortest_paths): multi-source BFS as
+    join+min-agg rounds with per-round lineage cuts, capped at 4 hops
+    (bounded-radius semantics — at 100 TB you cap the radius, not run to
+    diameter). The oracle is the textbook recursive-CTE BFS with the
+    same hop cap; landmark selection is a 3-row driver-side collect (the
+    documented small-side contract)."""
+    from .operators.components import shortest_paths
+
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    verts = (
+        e.select(F.col("a").alias("v"))
+        .unionByName(e.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    lms = [r[0] for r in verts.orderBy("v").limit(3).collect()]
+    sp = shortest_paths(e, lms, "a", "b", max_hops=4)
+    return sp.orderBy("landmark", "vertex").select(
+        F.col("vertex").cast("bigint").alias("vertex"),
+        F.col("landmark").cast("bigint").alias("landmark"),
+        F.col("distance").cast("int").alias("distance"),
+    )
+
+
+@query(
+    "ml_auc_roc",
+    oracle="""
+    WITH t AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), per AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM t GROUP BY s
+    ), c AS (
+      SELECT np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cneg
+      FROM per
+    )
+    SELECT round(CAST(sum(np * (2 * cneg + nn)) AS DOUBLE)
+                 / nullif(2.0 * sum(np) * sum(nn), 0), 6) AS auc,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg
+    FROM c
+    """,
+)
+def ml_auc_roc(spark, sf_dir):
+    """Exact ROC AUC (operators.linear_model.auc_roc) of o_totalprice as
+    a score for "order is fulfilled" — the Mann-Whitney rank-sum identity
+    computed on the GROUPED score domain with an integer (decimal-exact,
+    order-independent) numerator; only the final division is floating, so
+    both engines round the same quotient. The oracle states the same
+    grouped identity in SQL."""
+    from .operators.linear_model import auc_roc
+
+    o = _t(spark, sf_dir, "orders")
+    return auc_roc(o, F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+
+
+@query(
+    "stats_chi_square",
+    oracle="""
+    WITH t AS (
+      SELECT event_type AS a, CAST(dayofweek(ts) + 1 AS VARCHAR) AS b
+      FROM events
+    ), obs AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM t GROUP BY a, b
+    ), ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY a),
+       cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY b),
+       tot AS (
+      SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+      FROM obs
+    )
+    SELECT round(sum((o - ra * cb / n) * (o - ra * cb / n)
+                     / (ra * cb / n)), 6) AS chi2,
+           CAST((max(ka) - 1) * (max(kb) - 1) AS BIGINT) AS dof,
+           CAST(max(n) AS BIGINT) AS n
+    FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    """,
+)
+def stats_chi_square(spark, sf_dir):
+    """Pearson chi-square independence test (operators.profiling.
+    chi_square) of event type against day-of-week — "is traffic mix a
+    function of weekday". One count shuffle to the contingency table;
+    marginals join back broadcast; the closed form runs on |a|·|b| rows.
+    Engines agree on day numbering via Spark's dayofweek (1=Sunday) vs
+    DuckDB's dayofweek+1."""
+    from .operators.profiling import chi_square
+
+    ev = _t(spark, sf_dir, "events")
+    return chi_square(ev, F.col("event_type"), F.dayofweek(F.col("ts")))
+
+
+@query(
+    "sample_shard_assignment",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), '|perm')), 1, 8)) AS BIGINT),
+               doc_id) - 1 AS idx
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(idx // 100 AS BIGINT) AS shard,
+           CAST(idx % 100 AS BIGINT) AS shard_pos
+    FROM r ORDER BY shard, shard_pos
+    """,
+)
+def sample_shard_assignment(spark, sf_dir):
+    """Deterministic training-shard assignment (operators.sampling.
+    shard_assignment): a portable-hash global permutation cut into
+    100-row shards — the reproducible "shuffle once, shard for the
+    trainer" export step. The permutation rank is built bucket-parallel
+    (no global window) yet EQUALS the global (hash, id) rank the oracle
+    states; sinks.write_training_shards writes one ordered file per
+    shard from the same assignment."""
+    from .operators.sampling import shard_assignment
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return (
+        shard_assignment(docs, "doc_id", 100)
+        .orderBy("shard", "shard_pos")
+        .select("doc_id", "shard", "shard_pos")
+    )
+
+
+@query("dedup_incremental_ingest")  # minhash not SQL-expressible: rows-only
+def dedup_incremental_ingest(spark, sf_dir):
+    """Incremental ingest-batch dedup (operators.dedup.
+    incremental_signature_ingest + minhash_lsh_pairs_delta): docs with
+    doc_id % 5 == 0 arrive as the new batch; signatures are computed for
+    the DELTA only and banded against the full corpus, never enumerating
+    old×old pairs — the per-batch dedup query of an append-mostly 100 TB
+    pipeline. pytest asserts the result equals the full-rebuild pair set
+    restricted to pairs touching the batch (tests/test_extensions.py)."""
+    from .operators.dedup import (
+        _minhash_wide,
+        incremental_signature_ingest,
+        minhash_lsh_pairs_delta,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    sigs_old = _minhash_wide(old, "doc_id", "text", 64, 3)
+    sigs_all = incremental_signature_ingest(sigs_old, new)
+    pairs = minhash_lsh_pairs_delta(
+        sigs_all, new.select("doc_id"), threshold=0.5
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@query(
+    "streaming_join_left_outer",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'error'))
+             - INTERVAL 71 MINUTE AS cut
+      FROM events
+    )
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+    FROM events c
+    LEFT JOIN events e
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    CROSS JOIN cutoff
+    WHERE c.event_type = 'click' AND c.ts <= cutoff.cut
+    """,
+)
+def streaming_join_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermarks (streaming.
+    stream_stream_join, how='left_outer'): clicks joined to errors within
+    the next 10 minutes; unmatched clicks emit with NULL error once the
+    watermark guarantees no match can arrive. The global watermark is the
+    MIN across both input streams (each side's max event − 1 h), and
+    outer rows only flush when it passes their join range — so BOTH
+    engines restrict to clicks ≤ min(max click ts, max error ts) −
+    71 min: every such click's outcome is final by end of stream (the
+    1-min margin keeps the comparison off the strict watermark edge)."""
+    from .streaming import run_to_memory, stream_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 71 MINUTES")
+        ).alias("c")
+    ).collect()[0]["c"]
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = stream_stream_join(
+        clicks, errors, cond, "c_ts", "e_ts", "1 hour", "1 hour", how="left_outer"
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.filter(F.col("c_ts") <= F.lit(cut)).select(
+        "click_id", "error_id", "user_id"
+    )

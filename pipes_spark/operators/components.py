@@ -118,6 +118,73 @@ def drop_near_duplicates(
     )
 
 
+def shortest_paths(
+    edges: DataFrame,
+    landmarks: list,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 6,
+) -> DataFrame:
+    """Unweighted shortest-path (hop) distances from a set of landmark
+    vertices over an undirected graph — the GraphFrames ``shortestPaths``
+    shape (landmark distance vectors feed graph features, reachability
+    audits, and hub-distance blocking keys).
+
+    Multi-source BFS as DataFrame rounds: the frontier starts at the
+    landmarks (distance 0); each round joins the frontier with the edge
+    list (keyed on vertex id), min-aggregates the new ``(vertex,
+    landmark)`` candidates, and anti-joins the already-settled set so
+    every pair is settled exactly once at its first (= shortest) hop
+    count. BFS settles each pair at its minimum distance, so rounds are
+    monotone and the loop ends when the frontier empties or ``max_hops``
+    is reached (bounded-hop semantics are part of the contract — at 100 TB
+    you cap the radius, you don't run to diameter).
+
+    Scale shape: per round one hash join keyed on vertex id + one
+    map-side-combined min-agg + one anti-join keyed on (vertex,
+    landmark); payloads are (id, id, int) triples only. Lineage is cut
+    per round (:func:`connected_components` rationale); convergence reads
+    ONE scalar (frontier count) per round. Returns ``(vertex, landmark,
+    distance)`` for every pair within ``max_hops``.
+    """
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lm = [int(x) for x in landmarks]
+    if not lm:
+        raise ValueError("landmarks must be non-empty")
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame(
+        [(v, v, 0) for v in lm], "vertex long, landmark long, distance int"
+    )
+    settled = frontier
+    for _ in range(max_hops):
+        nxt = (
+            frontier.join(und, frontier.vertex == und.a)
+            .select(
+                F.col("b").alias("vertex"),
+                "landmark",
+                (F.col("distance") + F.lit(1)).alias("distance"),
+            )
+            .groupBy("vertex", "landmark")
+            .agg(F.min("distance").alias("distance"))
+            .join(settled.select("vertex", "landmark"), ["vertex", "landmark"], "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return settled.select(
+        "vertex", "landmark", F.col("distance").cast("int").alias("distance")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

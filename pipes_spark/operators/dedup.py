@@ -121,7 +121,20 @@ def minhash_lsh_pairs(
     sigs, pairs = _lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sigs
     )
-    # attach signatures to the (much smaller) surviving pair set only
+    return _attach_est_jaccard(sigs, pairs, id_col, num_hashes, threshold)
+
+
+def _attach_est_jaccard(
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Attach the signature-estimated Jaccard to candidate ``(id_a, id_b)``
+    pairs and filter at ``threshold`` — signatures join to the (much
+    smaller) surviving pair set only, never travel through the band
+    shuffle."""
     sig_arr = F.array(*[f"_m{i}" for i in range(num_hashes)])
     sa = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))
@@ -136,6 +149,84 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def incremental_signature_ingest(
+    existing_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Maintain the ingest-time MinHash signature table incrementally:
+    hash ONLY the documents not already present (anti-join on id) and
+    union their wide signatures onto the existing table — at 100 TB the
+    corpus is append-mostly and re-hashing every shingle of every old
+    document per ingest batch is the cost you must not pay (signatures
+    are written beside the text once; see
+    ``warehouse.minhash_signature_table``).
+
+    Returns the combined wide ``_m0.._mN`` table. The delta pass has the
+    same shape as the full build (explode → one min-aggregate) but over
+    the new batch only; the anti-join keys on ids alone.
+    """
+    delta = new_docs.join(existing_sigs.select(id_col), id_col, "left_anti")
+    return existing_sigs.unionByName(
+        _minhash_wide(delta, id_col, text_col, num_hashes, shingle_n)
+    )
+
+
+def minhash_lsh_pairs_delta(
+    sigs_all: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH near-dup pairs restricted to pairs that TOUCH the ingest delta:
+    each new document is banded against the full corpus, but old×old
+    pairs — the quadratic bulk that was already resolved by previous
+    ingests — are never enumerated. This is the per-batch dedup query of
+    an incremental pipeline ("which incoming docs collide with anything
+    seen so far, or with each other").
+
+    Shape: band keys over the combined signature table (ids only through
+    the shuffle), degenerate buckets dropped at ``max_bucket`` as in the
+    full build, then one join of the NEW side's band rows against all
+    band rows — cost scales with |delta|·bucket, not |corpus|². Pairs are
+    canonicalized ``(least, greatest)`` and verified with the
+    signature-estimated Jaccard at ``threshold``.
+    """
+    r = num_hashes // bands
+    band_exprs = [
+        F.xxhash64(F.lit(0), *[F.col(f"_m{b * r + i}") for i in range(r)])
+        for b in range(bands)
+    ]
+    banded = sigs_all.select(
+        id_col, F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
+    )
+    bucket_sizes = banded.groupBy("band", "band_hash").count()
+    small = banded.join(
+        bucket_sizes.filter(F.col("count") <= max_bucket).drop("count"),
+        ["band", "band_hash"],
+    )
+    new_side = small.join(new_ids.select(id_col), id_col, "left_semi").select(
+        "band", "band_hash", F.col(id_col).alias("_id_n")
+    )
+    all_side = small.select("band", "band_hash", F.col(id_col).alias("_id_o"))
+    pairs = (
+        new_side.join(all_side, ["band", "band_hash"])
+        .filter(F.col("_id_n") != F.col("_id_o"))
+        .select(
+            F.least("_id_n", "_id_o").alias("id_a"),
+            F.greatest("_id_n", "_id_o").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return _attach_est_jaccard(sigs_all, pairs, id_col, num_hashes, threshold)
 
 
 def _lsh_candidate_pairs(

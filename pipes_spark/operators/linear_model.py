@@ -114,3 +114,65 @@ def predict_logistic(
     return df.withColumn(prob_col, F.round(prob(F.col(vec_col)), 6)).withColumn(
         "pred", (F.col(prob_col) >= 0.5).cast("int")
     )
+
+
+def auc_roc(
+    df: DataFrame,
+    label: F.Column,
+    score: F.Column,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Exact ROC AUC of ``score`` against binary ``label`` — the
+    threshold-free classifier metric, via the Mann-Whitney identity
+    AUC = P(s⁺ > s⁻) + ½·P(s⁺ = s⁻).
+
+    Computed on the GROUPED score domain, never per row: one aggregate to
+    ``(score, n_pos, n_neg)``, a cumulative-negatives window over the
+    distinct scores, and the integer identity
+
+        AUC = Σ_s n_pos(s) · (2·cumneg(<s) + n_neg(s))  /  (2·P·N)
+
+    The numerator is a sum of LONGs — exact and order-independent, so the
+    result is bit-stable across engines and partitionings (only the final
+    division is floating). The window runs over |distinct scores| rows,
+    not |rows|; for continuous scores at 100 TB, quantize the score into
+    bins first (AUC over binned scores is the standard
+    sklearn-on-histogram estimate) so the windowed domain stays bounded.
+    Returns one row ``(auc, n_pos, n_neg)``; ``auc`` is NULL when either
+    class is empty (nullif guard — ANSI mode throws on bare ÷0).
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.select(label.cast("int").alias("_y"), score.alias("_s"))
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("_np"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("_nn"),
+        )
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn(
+        "_cneg", F.coalesce(F.sum("_nn").over(w), F.lit(0)).cast("long")
+    )
+    # per-term products and the grand total go through DECIMAL (exact,
+    # order-independent; at 100 TB the rank-sum numerator exceeds LONG
+    # range and ANSI throws); the single final division runs in DOUBLE so
+    # both engines round the same quotient
+    num = F.sum(
+        F.col("_np").cast("decimal(19,0)")
+        * (F.lit(2) * F.col("_cneg") + F.col("_nn")).cast("decimal(19,0)")
+    )
+    den = (
+        F.lit(2).cast("decimal(19,0)")
+        * F.sum("_np").cast("decimal(19,0)")
+        * F.sum("_nn").cast("decimal(19,0)")
+    )
+    return cum.agg(
+        F.round(
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)),
+            round_decimals,
+        ).alias("auc"),
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum("_nn").cast("bigint").alias("n_neg"),
+    )

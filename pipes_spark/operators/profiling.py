@@ -671,3 +671,49 @@ def psi_drift(
         F.round(p_cur, 6).alias("p_cur"),
         F.round(contrib, 6).alias("psi_contrib"),
     )
+
+
+def chi_square(
+    df: DataFrame,
+    col_a: Column,
+    col_b: Column,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the profiling staple for "is this label correlated with
+    that segment" (feature screening, stratification checks, drift vs a
+    design assumption).
+
+    One scan to the (a, b) contingency counts, two tiny marginal
+    aggregates joined back broadcast, then the closed form
+    χ² = Σ (O − E)²/E with E = rowtot·coltot / n and
+    dof = (|a|−1)(|b|−1). Everything after the first groupBy runs on the
+    contingency table (|a|·|b| rows), so scale cost is the one
+    map-side-combined count shuffle. Returns one row
+    ``(chi2, dof, n)``; categories with zero marginal cannot occur by
+    construction (they'd have no observed rows), so E > 0 for every term.
+    """
+    obs = (
+        df.select(col_a.cast("string").alias("_a"), col_b.cast("string").alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    )
+    ra = obs.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = obs.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    tot = obs.agg(
+        F.sum("_o").alias("_n"),
+        F.count_distinct("_a").alias("_ka"),
+        F.count_distinct("_b").alias("_kb"),
+    )
+    j = (
+        obs.join(F.broadcast(ra), "_a")
+        .join(F.broadcast(cb), "_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    term = (F.col("_o") - e) * (F.col("_o") - e) / e
+    return j.agg(
+        F.round(F.sum(term), round_decimals).alias("chi2"),
+        ((F.first("_ka") - 1) * (F.first("_kb") - 1)).cast("bigint").alias("dof"),
+        F.first("_n").cast("bigint").alias("n"),
+    )

@@ -224,32 +224,20 @@ def kfold_sql(key_expr: str, k: int, salt: str = "") -> str:
     return f"CAST({hash_bucket_sql(key_expr, salt)} % {k} AS BIGINT)"
 
 
-def negative_samples(
-    df: DataFrame,
-    id_col: str,
-    k: int = 4,
-    salt: str = "",
-) -> DataFrame:
-    """Deterministic negative sampling: each row (the anchor) is paired
-    with ``k`` pseudo-random OTHER rows — the contrastive-training staple
-    (word2vec/SimCLR-style negatives) with reruns producing identical
-    pairs.
+def permutation_index(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
+    """Exact dense 0-based global rank of every row in (portable-hash, id)
+    order — a uniform deterministic permutation of the dataset, as a
+    ``(id, _idx)`` pair table.
 
-    Rows are ranked once by portable hash (a uniform permutation); each
-    anchor's j-th negative is the row at index ``hash(id, salt·j) mod
-    (n−1)``, skip-adjusted so an anchor never draws itself. Shuffles carry
-    ids and indexes only.
-
-    The permutation index is built WITHOUT a global window (a
-    no-partition ``row_number`` is one task at scale): rows bucket by the
-    hash's high bits (~4096 buckets), rank within buckets, and add the
-    tiny cumulative bucket-offset table back — because the bucket id is a
-    monotone prefix of the hash order, the result EQUALS the global rank
-    in (hash, id) order while the sort runs bucket-parallel (the
-    sessionize_bucketed trick applied to ranking).
+    Built WITHOUT a global window (a no-partition ``row_number`` is one
+    task at scale): rows bucket by the hash's high bits (~4096 buckets),
+    rank within buckets, and add the tiny cumulative bucket-offset table
+    back broadcast — the bucket id is a monotone prefix of the hash
+    order, so the result EQUALS the global rank while the sort runs
+    bucket-parallel (the sessionize_bucketed trick applied to ranking).
+    Shuffles carry (id, hash) pairs only. The salt is suffixed ``|perm``
+    so a caller's other draws from the same salt stay independent.
     """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     from pyspark.sql import Window
 
     idc = F.col(id_col)
@@ -267,11 +255,66 @@ def negative_samples(
         Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     )  # window over ≤4096 rows — trivially single-task safe
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
-    indexed = (
+    return (
         ranked.join(F.broadcast(offsets.select("_b", "_off")), "_b")
         .withColumn("_idx", F.col("_off") + F.col("_rn") - 1)
         .select(idc, "_idx")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str,
+    shard_size: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic training-shard assignment: globally permute the rows
+    by portable hash (:func:`permutation_index`) and cut the permutation
+    into fixed-size shards — the "shuffle once, shard for the trainer"
+    export step of a data pipeline (epoch order must be reproducible and
+    independent of how the corpus happened to be partitioned).
+
+    Adds ``shard = idx // shard_size`` and ``shard_pos = idx % shard_size``
+    to the input rows. All shards except the last are exactly
+    ``shard_size`` rows; membership and order are stable across reruns,
+    partitionings, and engines, and re-drawable with a different ``salt``
+    (= a new epoch permutation). One ids-only ranking pass plus one join
+    back to the full rows keyed on ``id_col``.
+    """
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    idx = permutation_index(df, id_col, salt)
+    return (
+        df.join(idx, id_col)
+        .withColumn(
+            "shard", F.floor(F.col("_idx") / F.lit(shard_size)).cast("bigint")
+        )
+        .withColumn("shard_pos", (F.col("_idx") % F.lit(shard_size)).cast("bigint"))
+        .drop("_idx")
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling: each row (the anchor) is paired
+    with ``k`` pseudo-random OTHER rows — the contrastive-training staple
+    (word2vec/SimCLR-style negatives) with reruns producing identical
+    pairs.
+
+    Rows are ranked once by portable hash (a uniform permutation, built
+    bucket-parallel by :func:`permutation_index`); each anchor's j-th
+    negative is the row at index ``hash(id, salt·j) mod (n−1)``,
+    skip-adjusted so an anchor never draws itself. Shuffles carry ids and
+    indexes only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idc = F.col(id_col)
+    indexed = permutation_index(df, id_col, salt)
     n = indexed.count()
     if n < 2:
         raise ValueError("need at least 2 rows to draw negatives")

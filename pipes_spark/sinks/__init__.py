@@ -241,3 +241,42 @@ def write_zordered(
         return path
 
     return sink
+
+
+def write_training_shards(
+    path: str,
+    id_col: str,
+    shard_size: int,
+    salt: str = "",
+    mode: str = "overwrite",
+):
+    """Deterministic training-shard export: globally permute the rows by
+    portable hash (``operators.sampling.shard_assignment``), cut into
+    fixed-size shards, and write ONE parquet file per shard with rows in
+    permutation order — the "shuffle once, serve shards to the trainer"
+    handoff (epoch order must be reproducible and independent of the
+    corpus's incidental partitioning; re-export with a new ``salt`` for a
+    fresh epoch permutation).
+
+    Layout: ``path/shard=N/part-*.parquet``; every shard except the last
+    holds exactly ``shard_size`` rows carrying their ``shard_pos``. Each
+    shard's rows hash-collect onto one task (repartition on the shard id)
+    and sort locally by position, so a shard is one file and one ordered
+    read downstream. Skew-free by construction: shards are equal-sized."""
+
+    def sink(df: DataFrame):
+        from pyspark.sql import functions as F
+
+        from ..operators.sampling import shard_assignment
+
+        sharded = shard_assignment(df, id_col, shard_size, salt)
+        (
+            sharded.repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "shard_pos")
+            .write.mode(mode)
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        return path
+
+    return sink

@@ -1,0 +1,234 @@
+"""Round-4 operators: multi-source BFS shortest paths, exact ROC AUC,
+chi-square independence, deterministic shard export, incremental MinHash
+ingest dedup."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+# ---------------------------------------------------------------------------
+
+
+def test_shortest_paths_chain_golden(spark):
+    from pipes_spark.operators.components import shortest_paths
+
+    # chain 1-2-3-4-5 plus a disconnected edge 8-9
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r.vertex, r.landmark): r.distance
+        for r in shortest_paths(df, [1], max_hops=6).collect()
+    }
+    assert got == {(1, 1): 0, (2, 1): 1, (3, 1): 2, (4, 1): 3, (5, 1): 4}
+
+
+def test_shortest_paths_hop_cap_and_multi_source(spark):
+    from pipes_spark.operators.components import shortest_paths
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r.vertex, r.landmark): r.distance
+        for r in shortest_paths(df, [1, 5], max_hops=2).collect()
+    }
+    # vertex 4 is 3 hops from 1 (beyond cap) but 1 hop from 5
+    assert got == {
+        (1, 1): 0, (2, 1): 1, (3, 1): 2,
+        (5, 5): 0, (4, 5): 1, (3, 5): 2,
+    }
+
+
+def test_shortest_paths_picks_min_over_multiple_routes(spark):
+    from pipes_spark.operators.components import shortest_paths
+
+    # 1-2-4 and 1-3-4 plus direct 1-4: distance(4)=1, not 2
+    edges = [(1, 2), (2, 4), (1, 3), (3, 4), (1, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r.vertex: r.distance for r in shortest_paths(df, [1], max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# auc_roc
+# ---------------------------------------------------------------------------
+
+
+def test_auc_golden_with_ties(spark):
+    from pipes_spark.operators.linear_model import auc_roc
+
+    rows = [(1.0, 0), (2.0, 0), (3.0, 1), (2.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = auc_roc(df, F.col("y") == 1, F.col("s")).collect()[0]
+    # pos {3,2,4} vs neg {1,2}: 5 wins + 1 tie of 6 pairs
+    assert r.auc == round((5 + 0.5) / 6, 6)
+    assert (r.n_pos, r.n_neg) == (3, 2)
+
+
+def test_auc_perfect_and_inverted(spark):
+    from pipes_spark.operators.linear_model import auc_roc
+
+    rows = [(float(i), 1 if i >= 5 else 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    assert auc_roc(df, F.col("y") == 1, F.col("s")).collect()[0].auc == 1.0
+    assert auc_roc(df, F.col("y") == 0, F.col("s")).collect()[0].auc == 0.0
+
+
+def test_auc_single_class_is_null(spark):
+    from pipes_spark.operators.linear_model import auc_roc
+
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert auc_roc(df, F.col("y") == 1, F.col("s")).collect()[0].auc is None
+
+
+# ---------------------------------------------------------------------------
+# chi_square
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_golden_2x2(spark):
+    from pipes_spark.operators.profiling import chi_square
+
+    rows = (
+        [("A", "x")] * 10 + [("A", "y")] * 20 + [("B", "x")] * 20 + [("B", "y")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, F.col("a"), F.col("b")).collect()[0]
+    # all expected cells are 15: chi2 = 4 * 25/15 = 6.666667
+    assert r.chi2 == round(4 * 25 / 15, 6)
+    assert r.dof == 1
+    assert r.n == 60
+
+
+def test_chi_square_independent_is_zero(spark):
+    from pipes_spark.operators.profiling import chi_square
+
+    # perfectly proportional table -> statistic exactly 0
+    rows = [("A", "x")] * 6 + [("A", "y")] * 2 + [("B", "x")] * 12 + [("B", "y")] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, F.col("a"), F.col("b")).collect()[0]
+    assert r.chi2 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# shard assignment / export
+# ---------------------------------------------------------------------------
+
+
+def test_shard_assignment_sizes_and_coverage(spark, sf_dir):
+    from pipes_spark.operators.sampling import shard_assignment
+    from pipes_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    s = shard_assignment(docs, "doc_id", 64)
+    sizes = {r.shard: r.c for r in s.groupBy("shard").agg(F.count("*").alias("c")).collect()}
+    last = max(sizes)
+    assert all(sizes[k] == 64 for k in sizes if k != last)
+    assert sizes[last] == n - 64 * last
+    # positions within each shard are exactly 0..size-1
+    pos_ok = s.groupBy("shard").agg(
+        F.min("shard_pos").alias("lo"),
+        F.max("shard_pos").alias("hi"),
+        F.count_distinct("shard_pos").alias("d"),
+        F.count("*").alias("c"),
+    )
+    assert pos_ok.filter(
+        (F.col("lo") != 0) | (F.col("hi") != F.col("c") - 1) | (F.col("d") != F.col("c"))
+    ).isEmpty()
+
+
+def test_shard_assignment_partitioning_invariant_and_salted(spark, sf_dir):
+    from pipes_spark.operators.sampling import shard_assignment
+    from pipes_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    a = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shard_assignment(docs, "doc_id", 64).collect()
+    }
+    b = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shard_assignment(docs.repartition(7), "doc_id", 64).collect()
+    }
+    assert a == b
+    c = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shard_assignment(docs, "doc_id", 64, salt="epoch2").collect()
+    }
+    assert {t[0] for t in c} == {t[0] for t in a}  # same rows
+    assert c != a  # different permutation
+
+
+def test_write_training_shards_one_ordered_file_per_shard(spark, sf_dir, tmp_path):
+    from pipes_spark.operators.sampling import shard_assignment
+    from pipes_spark.sinks import write_training_shards
+    from pipes_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = str(tmp_path / "shards")
+    write_training_shards(out, "doc_id", 128)(docs)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    expected = shard_assignment(docs, "doc_id", 128)
+    n_shards = expected.agg(F.max("shard")).collect()[0][0] + 1
+    assert len(dirs) == n_shards
+    for d in dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+    # file order is permutation order, content matches the assignment
+    got = spark.read.parquet(out)
+    gset = {(r.doc_id, r.shard, r.shard_pos) for r in got.collect()}
+    eset = {(r.doc_id, r.shard, r.shard_pos) for r in expected.collect()}
+    assert gset == eset
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash ingest
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_signatures_equal_full_rebuild(spark, sf_dir):
+    from pipes_spark.operators.dedup import _minhash_wide, incremental_signature_ingest
+    from pipes_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    sigs_old = _minhash_wide(old, "doc_id", "text", 64, 3)
+    inc = incremental_signature_ingest(sigs_old, new)
+    full = _minhash_wide(docs, "doc_id", "text", 64, 3)
+    assert inc.exceptAll(full).isEmpty() and full.exceptAll(inc).isEmpty()
+    # re-ingesting already-present docs is a no-op (anti-join guard)
+    again = incremental_signature_ingest(inc, docs)
+    assert again.count() == docs.count()
+
+
+def test_delta_pairs_equal_full_pairs_touching_batch(spark, sf_dir):
+    from pipes_spark.operators.dedup import (
+        _minhash_wide,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_delta,
+    )
+    from pipes_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    sigs = _minhash_wide(docs, "doc_id", "text", 64, 3)
+    full = minhash_lsh_pairs(docs, sigs=sigs, threshold=0.5)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    expected = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    got = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_pairs_delta(sigs, new.select("doc_id"), threshold=0.5).collect()
+    }
+    assert got == expected
