@@ -7370,3 +7370,191 @@ def streaming_join_left_outer(spark, sf_dir):
     return result.filter(F.col("c_ts") <= F.lit(cut)).select(
         "click_id", "error_id", "user_id"
     )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH mm AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), t AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             round((o_totalprice - mn) / (mx - mn), 6) AS s,
+             o_orderkey AS tb
+      FROM orders CROSS JOIN mm
+    ), b AS (
+      SELECT y, s, ntile(10) OVER (ORDER BY s, tb) AS bin FROM t
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS avg_score,
+           round(sum(y) / count(*), 6) AS pos_rate
+    FROM b GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram readout (operators.linear_model.
+    calibration_bins): min-max-normalized price as the score for "order
+    is fulfilled", cut into equal-frequency deciles with per-bin mean
+    score vs observed positive rate. Normalization bounds stay in-plan
+    (1-row aggregate cross-joined); mean scores sum DECIMAL so both
+    engines produce the identical report."""
+    from .operators.linear_model import calibration_bins
+
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    scored = o.crossJoin(F.broadcast(mm))
+    return calibration_bins(
+        scored,
+        F.col("o_orderstatus") == "F",
+        (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+        F.col("o_orderkey"),
+        n_bins=10,
+    ).orderBy("bin")
+
+
+@query(
+    "quality_id_islands",
+    oracle="""
+    WITH f AS (
+      SELECT o_orderkey AS id FROM orders WHERE o_orderstatus = 'F'
+    ), g AS (
+      SELECT id,
+             CASE WHEN id - lag(id) OVER (ORDER BY id) > 1
+                    OR lag(id) OVER (ORDER BY id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM f
+    ), lab AS (
+      SELECT id, sum(brk) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS isl
+      FROM g
+    )
+    SELECT min(id) AS island_start, max(id) AS island_end,
+           CAST(count(*) AS BIGINT) AS n_ids
+    FROM lab GROUP BY isl
+    ORDER BY island_start
+    """,
+)
+def quality_id_islands(spark, sf_dir):
+    """Gaps-and-islands completeness audit (operators.profiling.
+    id_islands): contiguous o_orderkey runs among fulfilled orders —
+    "which id ranges survived this filter intact". Classic break-flag +
+    running-sum labeling; the 100 TB swap (range-partition + boundary
+    stitch, the sessionize_bucketed two-pass) is documented on the
+    operator."""
+    from .operators.profiling import id_islands
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return id_islands(o, "o_orderkey").orderBy("island_start")
+
+
+@query(
+    "text_vocab_oov",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source AS grp,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+               AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        ORDER BY n DESC, tok ASC LIMIT 20
+      )
+    ), agg AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM toks GROUP BY grp
+    )
+    SELECT grp AS source, n_tokens, n_oov,
+           round(n_oov / n_tokens, 6) AS oov_rate
+    FROM agg
+    """,
+)
+def text_vocab_oov(spark, sf_dir):
+    """Vocabulary-coverage audit (operators.text.oov_stats): corpus
+    top-20 token vocabulary (bounded TakeOrdered, no global sort), then
+    per-source out-of-vocabulary rate via a broadcast membership join —
+    the "does this source speak the corpus's language" screen."""
+    from .operators.text import oov_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return oov_stats(docs, "text", "source", vocab_size=20)
+
+
+@query(
+    "pack_padding_report",
+    oracle="""
+    WITH b AS (
+      SELECT n_chars AS l, CAST(n_chars // 64 AS BIGINT) AS bucket
+      FROM documents
+    ), agg AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(max(l) AS BIGINT) AS max_len,
+             CAST(sum(l) AS BIGINT) AS total_len
+      FROM b GROUP BY bucket
+    )
+    SELECT bucket, n_rows, max_len, total_len,
+           n_rows * max_len - total_len AS padding,
+           round((n_rows * max_len - total_len)
+                 / nullif(n_rows * max_len, 0), 6) AS pad_frac
+    FROM agg ORDER BY bucket
+    """,
+)
+def pack_padding_report(spark, sf_dir):
+    """Length-bucketed padding-waste report (operators.packing.
+    padding_report) over document lengths in 64-char buckets — the
+    readout that decides training-batch bucketing granularity. Integer
+    math end to end; one groupBy, no other shuffle."""
+    from .operators.packing import padding_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return padding_report(docs, "n_chars", bucket_width=64).orderBy("bucket")
+
+
+@query(
+    "streaming_hourly_users",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT date_trunc('hour', ts) AS hour,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events CROSS JOIN mx
+    GROUP BY 1
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= max(m) - INTERVAL 61 MINUTE
+    ORDER BY hour
+    """,
+)
+def streaming_hourly_users(spark, sf_dir):
+    """Exact distinct users per hour as CHAINED stateful streaming
+    operators: watermarked dropDuplicates on (user_id, hour) feeding a
+    tumbling-window count — the standard way to get an EXACT streaming
+    distinct (DISTINCT aggregates are unsupported in streaming; dedup →
+    count is the equivalent decomposition, and both operators keep
+    bounded state under the same watermark). Append mode only emits
+    watermark-finalized windows, so both engines restrict to windows
+    ending ≤ max(ts) − 61 min (the deterministic finalization cutoff,
+    1-min margin off the strict edge)."""
+    from .streaming import run_to_memory
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 61 MINUTES")).alias("c")
+    ).collect()[0]["c"]
+    stream = _events_stream(spark, sf_dir)
+    dedup = (
+        stream.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "hour"])
+    )
+    agg = dedup.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    result = run_to_memory(agg, output_mode="append")
+    return (
+        result.filter(F.col("win.end") <= F.lit(cut))
+        .select(F.col("win.start").alias("hour"), F.col("n_users").cast("bigint").alias("n_users"))
+        .orderBy("hour")
+    )

@@ -176,3 +176,44 @@ def auc_roc(
         F.sum("_np").cast("bigint").alias("n_pos"),
         F.sum("_nn").cast("bigint").alias("n_neg"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    label: F.Column,
+    score: F.Column,
+    tiebreak: F.Column,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins: equal-frequency score bins with the mean
+    predicted score and the observed positive rate per bin — the standard
+    calibration readout for a probabilistic classifier (a calibrated model
+    has avg_score ≈ pos_rate in every bin).
+
+    Deterministic ntile over (score, tiebreak); per-bin mean score sums
+    DECIMAL(28,6) (round the score to ≤6 decimals first — then the mean is
+    exact and order/engine-independent), positive rate is an integer ratio.
+    Same global-sort caveat + width_bucket-at-scale swap as
+    ``profiling.quantile_bins`` (the per-bin aggregate is unchanged).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        label.cast("int").alias("_y"),
+        F.round(score, 6).alias("_s"),
+        tiebreak.alias("_t"),
+    )
+    w = Window.orderBy(F.col("_s"), F.col("_t"))
+    return (
+        base.withColumn("bin", F.ntile(n_bins).over(w).cast("bigint"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(F.col("_s").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_score"),
+            F.round(F.sum("_y") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        )
+    )

@@ -85,3 +85,46 @@ def pack_greedy(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets)).cast("int").alias("bucket"),
     )
     return keyed.groupBy("bucket").applyInPandas(pack, _OUT_SCHEMA)
+
+
+def padding_report(
+    df: DataFrame,
+    length_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Length-bucketed padding-waste report: group sequences into fixed
+    ``bucket_width`` length buckets and report how many pad positions a
+    batch-to-bucket-max strategy would burn — the readout that decides a
+    training pipeline's bucketing granularity (padding is pure wasted
+    FLOPs; the report shows where the length distribution actually puts
+    it).
+
+    Per bucket: row count, max length, total real positions, padding =
+    n·max − total, and the padded fraction. One map-side bucket
+    expression + one count/sum/max aggregate — no shuffle beyond the
+    groupBy, integer math throughout (the fraction is the only division,
+    rounded identically everywhere).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    ln = F.col(length_col).cast("long")
+    b = F.floor(ln / F.lit(bucket_width)).cast("bigint")
+    return (
+        df.select(ln.alias("_l"), b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max("_l").cast("bigint").alias("max_len"),
+            F.sum("_l").cast("bigint").alias("total_len"),
+        )
+        .withColumn(
+            "padding", F.col("n_rows") * F.col("max_len") - F.col("total_len")
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                F.col("padding") / F.nullif(F.col("n_rows") * F.col("max_len"), F.lit(0)),
+                6,
+            ),
+        )
+    )

@@ -717,3 +717,38 @@ def chi_square(
         ((F.first("_ka") - 1) * (F.first("_kb") - 1)).cast("bigint").alias("dof"),
         F.first("_n").cast("bigint").alias("n"),
     )
+
+
+def id_islands(df: DataFrame, id_col: str) -> DataFrame:
+    """Gap/island report over an integer id sequence: contiguous runs
+    (islands) with their start, end, and length — the completeness audit
+    for ingest ("which id ranges are missing after this filter/load").
+
+    Classic gaps-and-islands: an island starts where ``id − lag(id) > 1``;
+    a running sum of the start flags labels islands, one groupBy collapses
+    them. This exact form uses a global-order window (right up to the
+    single-task sort limit); at 100 TB range-partition the ids, run the
+    same lag within partitions, and stitch the per-partition boundary
+    pairs — the ``sessionize_bucketed`` two-pass pattern applied to a
+    single global sequence.
+    """
+    idc = F.col(id_col)
+    w = Window.orderBy(idc)
+    flagged = df.select(idc).withColumn(
+        "_new",
+        F.when(idc - F.lag(id_col).over(w) > 1, 1)
+        .when(F.lag(id_col).over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    lab = flagged.withColumn(
+        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        lab.groupBy("_island")
+        .agg(
+            F.min(id_col).alias("island_start"),
+            F.max(id_col).alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+        )
+        .drop("_island")
+    )

@@ -726,3 +726,49 @@ def sorted_neighborhood_pairs(
         .withColumn("distance", F.col("distance").cast("bigint"))
         .distinct()
     )
+
+
+def oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 20,
+) -> DataFrame:
+    """Vocabulary-coverage audit: build the corpus top-``vocab_size``
+    token vocabulary (count desc, token asc tie-break) and report each
+    group's out-of-vocabulary token rate — the quick "does this source
+    speak the corpus's language" screen (a spiking OOV rate flags
+    boilerplate, encoding damage, or a domain the tokenizer will
+    fragment).
+
+    One explode + count shuffle for the vocabulary (top-k is a bounded
+    TakeOrdered, never a global sort), then a broadcast membership join
+    flags each token occurrence and one groupBy folds the per-group
+    totals. The token stream carries (group, token) pairs only.
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok")
+    )
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(1))), "tok", "left"
+    )
+    return (
+        flagged.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        )
+        .withColumnRenamed("grp", group_col)
+    )

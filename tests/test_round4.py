@@ -232,3 +232,94 @@ def test_delta_pairs_equal_full_pairs_touching_batch(spark, sf_dir):
         for r in minhash_lsh_pairs_delta(sigs, new.select("doc_id"), threshold=0.5).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# calibration_bins
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_golden(spark):
+    from pipes_spark.operators.linear_model import calibration_bins
+
+    # 2 bins of 3: low scores (0.1,0.2,0.3) with 1 positive, high
+    # (0.7,0.8,0.9) with 3 positives
+    rows = [
+        (0.1, 0, 1), (0.2, 1, 2), (0.3, 0, 3),
+        (0.7, 1, 4), (0.8, 1, 5), (0.9, 1, 6),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int, k int")
+    got = {
+        r.bin: (r.n_rows, r.avg_score, r.pos_rate)
+        for r in calibration_bins(
+            df, F.col("y") == 1, F.col("s"), F.col("k"), n_bins=2
+        ).collect()
+    }
+    assert got == {
+        1: (3, round(0.6 / 3, 6), round(1 / 3, 6)),
+        2: (3, round(2.4 / 3, 6), 1.0),
+    }
+
+
+# ---------------------------------------------------------------------------
+# id_islands
+# ---------------------------------------------------------------------------
+
+
+def test_id_islands_golden(spark):
+    from pipes_spark.operators.profiling import id_islands
+
+    df = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 10]], "id long")
+    got = {
+        (r.island_start, r.island_end, r.n_ids)
+        for r in id_islands(df, "id").collect()
+    }
+    assert got == {(1, 3, 3), (7, 8, 2), (10, 10, 1)}
+
+
+def test_id_islands_single_run_and_partitioning_invariant(spark):
+    from pipes_spark.operators.profiling import id_islands
+
+    df = spark.createDataFrame([(i,) for i in range(5, 25)], "id long")
+    got = id_islands(df.repartition(8), "id").collect()
+    assert [(r.island_start, r.island_end, r.n_ids) for r in got] == [(5, 24, 20)]
+
+
+# ---------------------------------------------------------------------------
+# oov_stats
+# ---------------------------------------------------------------------------
+
+
+def test_oov_stats_golden(spark):
+    from pipes_spark.operators.text import oov_stats
+
+    rows = [
+        ("a", "x x x y"),       # with vocab {x,y}: 0 OOV of 4
+        ("b", "x z z"),         # 2 OOV of 3
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_stats(df, "text", "source", vocab_size=2).collect()
+    }
+    # corpus counts: x=4, z=2, y=1 -> vocab {x, z}
+    assert got == {"a": (4, 1, 0.25), "b": (3, 0, 0.0)}
+
+
+# ---------------------------------------------------------------------------
+# padding_report
+# ---------------------------------------------------------------------------
+
+
+def test_padding_report_golden(spark):
+    from pipes_spark.operators.packing import padding_report
+
+    df = spark.createDataFrame([(3,), (5,), (10,), (12,)], "l long")
+    got = {
+        r.bucket: (r.n_rows, r.max_len, r.total_len, r.padding, r.pad_frac)
+        for r in padding_report(df, "l", bucket_width=8).collect()
+    }
+    assert got == {
+        0: (2, 5, 8, 2, 0.2),          # lens 3,5: pad = 2*5-8
+        1: (2, 12, 22, 2, round(2 / 24, 6)),  # lens 10,12
+    }
