@@ -3885,10 +3885,13 @@ _GRADED_WINDOW = [
     # MERGE / SCD2
     "merge_upsert_orders", "scd2_customer_snapshot",
     # events / sessionization / time-series / attribution
-    "events_hourly", "sessionize_stats", "sessionize_bucketed_stats",
-    "events_attribution",
-    "timeseries_gapfill", "timeseries_funnel",
+    "events_hourly", "sessionize_stats", "events_attribution",
+    "timeseries_gapfill",
     "ts_ewma", "ts_zscore_bucketed", "stats_mad_outliers",
+    # graph + ML-metric families (round-4 additions; the displaced
+    # sessionize_bucketed_stats / timeseries_funnel variants re-register
+    # right after the window and stay fully oracle-gated locally)
+    "graph_shortest_paths", "ml_auc_roc",
     # profiling / statistics / quality
     "stats_linear_fit", "profile_orders", "stats_correlation",
     "quality_orders",
@@ -7558,3 +7561,118 @@ def streaming_hourly_users(spark, sf_dir):
         .select(F.col("win.start").alias("hour"), F.col("n_users").cast("bigint").alias("n_users"))
         .orderBy("hour")
     )
+
+
+_Q17_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                  / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_SQL)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (adapted — no p_container column): revenue lost to
+    small-quantity orders of one brand, with the per-part average quantity
+    as a CORRELATED scalar subquery. Catalyst decorrelates it to an
+    aggregate-then-join (one pass over lineitem for the averages, no
+    per-row re-scan); the brand filter pushes below the join so the probe
+    side is 1/25 of lineitem. The average is a decimal-exact sum divided
+    once in DOUBLE, so the strict `<` threshold is the same number in
+    both engines."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+@query(
+    "quality_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    HAVING count(*) < 5
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+)
+def quality_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators.profiling.k_anonymity): customer
+    (nation, market-segment) combos observed on fewer than k=5 rows —
+    the re-identification screen run before releasing any derived
+    dataset. One count shuffle; output bounded by the violation set."""
+    from .operators.profiling import k_anonymity
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment"], k=5).orderBy(
+        "c_nationkey", "c_mktsegment"
+    )
+
+
+@query(
+    "events_pmi_pairs",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id AS g, event_type AS i FROM events
+    ), n AS (SELECT count(DISTINCT g) AS ng FROM pres),
+    marg AS (SELECT i, count(*) AS m FROM pres GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+      FROM pres a JOIN pres b ON a.g = b.g AND a.i < b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT item_a, item_b, n_ab,
+           round(ln(n_ab * ng / (ma.m * mb.m)), 6) AS pmi
+    FROM pairs
+    JOIN marg ma ON ma.i = item_a
+    JOIN marg mb ON mb.i = item_b
+    CROSS JOIN n
+    ORDER BY item_a, item_b
+    """,
+)
+def events_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information between event types co-present on the
+    same user (operators.features.pmi_pairs) — association strength that
+    discounts globally frequent events. Exact integer presence counts;
+    one distinct + one group-keyed pair join + broadcast marginals."""
+    from .operators.features import pmi_pairs
+
+    ev = _t(spark, sf_dir, "events")
+    return pmi_pairs(ev, "user_id", "event_type").orderBy("item_a", "item_b")
+
+
+@query(
+    "ml_feature_scaling",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+             round(CAST(unnest(embedding) AS DOUBLE), 6) AS q
+      FROM embeddings
+    ), agg AS (
+      SELECT dim, count(*) AS n,
+             CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(q * q AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      FROM ex GROUP BY dim
+    )
+    SELECT dim, round(sx / n, 6) AS mean,
+           round(sqrt(greatest((sxx - sx * sx / n) / nullif(n - 1, 0), 0.0)), 6)
+             AS std,
+           CAST(n AS BIGINT) AS n
+    FROM agg ORDER BY dim
+    """,
+)
+def ml_feature_scaling(spark, sf_dir):
+    """Standard-scaler fit (operators.features.feature_scaling_stats):
+    per-dimension mean/std of the embedding column from DECIMAL-exact
+    sums of 6-decimal-quantized elements — bit-stable across engines and
+    partitionings (quantization is part of the declared semantics; the
+    transform is a broadcast of these 2·dim numbers). One posexplode +
+    one 64-group aggregate with map-side combine."""
+    from .operators.features import feature_scaling_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return feature_scaling_stats(emb, "embedding").orderBy("dim")

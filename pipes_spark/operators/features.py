@@ -83,3 +83,101 @@ def feature_hash(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information between items co-occurring in the same
+    group (events per user, tokens per document, products per basket) —
+    the association-strength feature that, unlike raw co-counts, discounts
+    globally frequent items.
+
+    PMI(a,b) = ln( n_ab · N / (n_a · n_b) ) over group-presence counts
+    (N = number of groups). Shape: one distinct to (group, item)
+    presence, a group-keyed self-join for pairs (bounded by per-group
+    item-set size — explode+join on the presence table, the item payload
+    is just the id), then broadcast marginals. All counts are exact
+    integers; the single ln runs on the same double in every engine."""
+    pres = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_groups = pres.select("_g").distinct().count()
+    marg = pres.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+    a = pres.select("_g", F.col("_i").alias("item_a"))
+    b = pres.select("_g", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("_i").alias("item_a"), F.col("_n").alias("_na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("_i").alias("item_b"), F.col("_n").alias("_nb"))),
+            "item_b",
+        )
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(n_groups) / (F.col("_na") * F.col("_nb"))
+                ),
+                round_decimals,
+            ),
+        )
+        .select("item_a", "item_b", "n_ab", "pmi")
+    )
+
+
+def feature_scaling_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    quantize_decimals: int = 6,
+) -> DataFrame:
+    """Per-dimension mean and sample std of a vector column — the fit step
+    of a standard scaler (the transform is a broadcast of these 2·dim
+    numbers into a map-side expression).
+
+    Elements are quantized to ``quantize_decimals`` first, then Σx and Σx²
+    accumulate as DECIMAL — exact and order-independent, so the fitted
+    stats are bit-stable across partitionings and engines (float feature
+    sums are not; quantization is part of the declared semantics). One
+    posexplode + one dim-keyed aggregate with map-side combine — the
+    shuffle carries ``dim`` cells per partition, not the vectors."""
+    v = F.round(F.col("_v").cast("double"), quantize_decimals)
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v")).select(
+        (F.col("dim") + 1).cast("int").alias("dim"), v.alias("_q")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_q").cast("decimal(38,12)")).cast("double").alias("_sx"),
+            F.sum((F.col("_q") * F.col("_q")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("_sxx"),
+        )
+        .select(
+            "dim",
+            F.round(F.col("_sx") / F.col("_n"), 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n"))
+                        / F.nullif(F.col("_n") - 1, F.lit(0)),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("std"),
+            F.col("_n").cast("bigint").alias("n"),
+        )
+    )

@@ -752,3 +752,21 @@ def id_islands(df: DataFrame, id_col: str) -> DataFrame:
         )
         .drop("_island")
     )
+
+
+def k_anonymity(df: DataFrame, cols: Sequence[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination: every
+    attribute combo observed on FEWER than ``k`` rows is a re-identification
+    risk (the release-readiness check run before shipping any derived
+    dataset that carries demographic-ish columns).
+
+    One map-side-combined count shuffle keyed on the combo; the report
+    carries only violating combos and their counts, so output is bounded
+    by the violation set, not the table."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

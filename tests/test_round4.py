@@ -323,3 +323,76 @@ def test_padding_report_golden(spark):
         0: (2, 5, 8, 2, 0.2),          # lens 3,5: pad = 2*5-8
         1: (2, 12, 22, 2, round(2 / 24, 6)),  # lens 10,12
     }
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_golden(spark):
+    from pipes_spark.operators.profiling import k_anonymity
+
+    rows = [("us", "a")] * 5 + [("us", "b")] * 2 + [("fr", "a")] * 1
+    df = spark.createDataFrame(rows, "nation string, seg string")
+    got = {
+        (r.nation, r.seg): r.n_rows
+        for r in k_anonymity(df, ["nation", "seg"], k=5).collect()
+    }
+    assert got == {("us", "b"): 2, ("fr", "a"): 1}
+
+
+# ---------------------------------------------------------------------------
+# pmi_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_pmi_pairs_golden(spark):
+    import math
+
+    from pipes_spark.operators.features import pmi_pairs
+
+    # 4 groups: x&y together twice, x alone once, z with x once
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"),
+        (4, "x"), (4, "z"),
+    ]
+    df = spark.createDataFrame(rows, "g int, i string")
+    got = {
+        (r.item_a, r.item_b): (r.n_ab, r.pmi)
+        for r in pmi_pairs(df, "g", "i").collect()
+    }
+    # N=4, n_x=4, n_y=2, n_z=1
+    assert got == {
+        ("x", "y"): (2, round(math.log(2 * 4 / (4 * 2)), 6)),
+        ("x", "z"): (1, round(math.log(1 * 4 / (4 * 1)), 6)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# feature_scaling_stats
+# ---------------------------------------------------------------------------
+
+
+def test_feature_scaling_golden_and_partitioning_invariant(spark):
+    import statistics
+
+    from pipes_spark.operators.features import feature_scaling_stats
+
+    vecs = [([1.0, 10.0],), ([2.0, 20.0],), ([3.0, 30.0],)]
+    df = spark.createDataFrame(vecs, "embedding array<float>")
+    got = {
+        r.dim: (r.mean, r.std, r.n)
+        for r in feature_scaling_stats(df, "embedding").collect()
+    }
+    assert got == {
+        1: (2.0, round(statistics.stdev([1, 2, 3]), 6), 3),
+        2: (20.0, round(statistics.stdev([10, 20, 30]), 6), 3),
+    }
+    rep = {
+        r.dim: (r.mean, r.std, r.n)
+        for r in feature_scaling_stats(df.repartition(5), "embedding").collect()
+    }
+    assert rep == got
