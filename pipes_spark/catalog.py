@@ -7676,3 +7676,36 @@ def ml_feature_scaling(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return feature_scaling_stats(emb, "embedding").orderBy("dim")
+
+
+@query(
+    "sample_shard_manifest",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(concat(
+                 CAST(doc_id AS VARCHAR), '|perm')), 1, 8)) AS BIGINT),
+               doc_id) - 1 AS idx
+      FROM documents
+    )
+    SELECT CAST(idx // 100 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+                 CAST(doc_id AS VARCHAR), CAST(n_chars AS VARCHAR))),
+                 1, 14)) AS BIGINT)) AS VARCHAR) AS content_digest
+    FROM r GROUP BY 1 ORDER BY shard
+    """,
+)
+def sample_shard_manifest(spark, sf_dir):
+    """Export-verification manifest (operators.sampling.shard_manifest)
+    over the deterministic shard assignment: per shard, the row count and
+    an order-independent md5-prefix content digest (commutative DECIMAL
+    sum — identical no matter how rows were partitioned or which engine
+    computed it). The check a trainer runs to prove the shards it reads
+    are exactly the shards that were written."""
+    from .operators.sampling import shard_assignment, shard_manifest
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = shard_assignment(docs, "doc_id", 100)
+    return shard_manifest(sharded, ["doc_id", "n_chars"]).orderBy("shard")

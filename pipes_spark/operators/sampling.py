@@ -363,3 +363,35 @@ def grouped_split(
     return df.withColumn(
         split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def shard_manifest(
+    sharded: DataFrame,
+    content_cols: Sequence[str],
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Per-shard manifest for a training-data export: row count plus an
+    order-independent content digest — what a trainer (or the next
+    pipeline run) checks to prove the shards it sees are exactly the
+    shards that were written (reproducibility audits, resumable
+    transfers, "did the re-export change anything" diffs).
+
+    Digest = Σ over rows of the first 14 hex chars of
+    md5(concat_ws('|', content_cols)) as an integer, summed exactly as
+    DECIMAL — commutative, so the digest is independent of row order,
+    partitioning, and engine (the same md5-prefix convention as
+    :func:`hash_bucket`; 14 hex = 56 bits keeps every addend inside a
+    portable integer). One map-side hash + one shard-keyed aggregate.
+    """
+    digest = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in content_cols])), 1, 14),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        sharded.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(digest).cast("decimal(38,0)").cast("string").alias("content_digest"),
+        )
+    )

@@ -98,3 +98,28 @@ def test_experiment_pipeline_gate_aborts_on_bad_batch(spark):
 
     with pytest.raises(RuntimeError, match="quality gate failed"):
         experiment_pipeline.gated(bad)
+
+
+def test_incremental_refresh_example(spark, sf_dir, tmp_path):
+    import incremental_refresh
+
+    out = str(tmp_path / "refresh")
+    res = incremental_refresh.main(sf_dir, out)
+    import glob
+
+    dirs = glob.glob(os.path.join(out, "shards", "shard=*"))
+    assert dirs and len(dirs) == len(res["manifest"])
+    total = sum(n for _, n, _ in res["manifest"])
+    got = spark.read.parquet(os.path.join(out, "shards"))
+    assert got.count() == total
+    # admitted batch never collides with the kept corpus at the LSH level:
+    # rerunning the delta dedup over the merged corpus must admit everything
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.dedup import _minhash_wide, minhash_lsh_pairs_delta
+
+    merged = got.select("doc_id", "text")
+    sigs = _minhash_wide(merged, "doc_id", "text", 64, 3)
+    new_ids = merged.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    residual = minhash_lsh_pairs_delta(sigs, new_ids, threshold=0.5)
+    assert residual.isEmpty()

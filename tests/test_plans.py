@@ -417,3 +417,39 @@ def test_shuffle_hash_hint_takes_effect(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_shuffle_hash")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_oov_vocab_joins_broadcast_not_shuffle(spark, sf_dir):
+    """The 20-row vocabulary must broadcast to the token stream — a
+    shuffled join would move every (group, token) pair twice."""
+    plan = _plan(spark, sf_dir, "text_vocab_oov")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_shard_assignment_offsets_broadcast(spark, sf_dir):
+    """The ≤4096-row bucket-offset table joins back broadcast; the ranked
+    side must NOT round-trip an extra shuffle for it."""
+    plan = _plan(spark, sf_dir, "sample_shard_assignment")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chi_square_marginals_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stats_chi_square")
+    assert plan.count("BroadcastHashJoin") >= 2  # row + column marginals
+    assert "CartesianProduct" not in plan
+
+
+def test_shortest_paths_rounds_are_hash_joins(spark, sf_dir):
+    """Every BFS round must be an equi hash join on the vertex id — no
+    cartesian/BNLJ fallback on the frontier expansion."""
+    plan = _plan(spark, sf_dir, "graph_shortest_paths")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_auc_groups_before_window(spark, sf_dir):
+    """The global cumulative window must run over the GROUPED score domain
+    — a HashAggregate must appear below the Window in the plan."""
+    plan = _plan(spark, sf_dir, "ml_auc_roc")
+    w = plan.find("Window")
+    assert w != -1
+    assert "HashAggregate" in plan[w:]

@@ -396,3 +396,34 @@ def test_feature_scaling_golden_and_partitioning_invariant(spark):
         for r in feature_scaling_stats(df.repartition(5), "embedding").collect()
     }
     assert rep == got
+
+
+# ---------------------------------------------------------------------------
+# shard_manifest
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_order_independent_and_content_sensitive(spark, sf_dir):
+    from pipes_spark.operators.sampling import shard_assignment, shard_manifest
+    from pipes_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = shard_assignment(docs, "doc_id", 100)
+    a = {
+        (r.shard, r.n_rows, r.content_digest)
+        for r in shard_manifest(sharded, ["doc_id", "n_chars"]).collect()
+    }
+    b = {
+        (r.shard, r.n_rows, r.content_digest)
+        for r in shard_manifest(sharded.repartition(11), ["doc_id", "n_chars"]).collect()
+    }
+    assert a == b  # digest independent of partitioning / row order
+    mutated = sharded.withColumn(
+        "n_chars", F.when(F.col("doc_id") == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars"))
+    )
+    c = {
+        (r.shard, r.n_rows, r.content_digest)
+        for r in shard_manifest(mutated, ["doc_id", "n_chars"]).collect()
+    }
+    assert c != a  # a single-row change flips exactly one shard digest
+    assert len(a - c) == 1

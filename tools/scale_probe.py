@@ -390,6 +390,77 @@ def main() -> None:
         ).count(),
     )
 
+    # --- round-4 operators ---
+    from pipes_spark.operators.components import shortest_paths
+    from pipes_spark.operators.dedup import (
+        _minhash_wide,
+        minhash_lsh_pairs_delta,
+    )
+    from pipes_spark.operators.linear_model import auc_roc
+    from pipes_spark.operators.sampling import shard_assignment
+    from pipes_spark.operators.text import oov_stats
+
+    def copurchase(li):
+        return (
+            li.select("l_orderkey", F.col("l_partkey").alias("a"))
+            .join(li.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    # 10× graph: id-offset replicas of the edge list (10× vertices/edges,
+    # same density — the scale-out direction for a sharded web graph)
+    e1 = copurchase(li1).localCheckpoint()
+    e10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            e1.select((F.col("a") + c * nn).alias("a"), (F.col("b") + c * nn).alias("b"))
+            for c in range(10)
+        ],
+    ).localCheckpoint()
+    run("shortest_paths_1x", lambda: shortest_paths(e1, [0, 1, 2], "a", "b", 4).count())
+    run("shortest_paths_10x", lambda: shortest_paths(e10, [0, 1, 2], "a", "b", 4).count())
+
+    run("shard_assign_1x", lambda: shard_assignment(docs1, "doc_id", 100).count())
+    run("shard_assign_10x", lambda: shard_assignment(docs10, "doc_id", 100).count())
+
+    def lsh_delta(docs):
+        sigs = _minhash_wide(docs, "doc_id", "text", 64, 3).localCheckpoint()
+        new_ids = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        return minhash_lsh_pairs_delta(sigs, new_ids, threshold=0.5).count()
+
+    run("lsh_delta_1x", lambda: lsh_delta(docs1))
+    run("lsh_delta_10x", lambda: lsh_delta(docs10))
+
+    ord1 = load_table(spark, SF_DIR, "orders")
+    ord10 = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            ord1.select(
+                (F.col("o_orderkey") + c * nn).alias("o_orderkey"),
+                "o_custkey",
+                "o_orderstatus",
+                (F.col("o_totalprice") + F.lit(c * 1e-3)).alias("o_totalprice"),
+                "o_orderdate",
+                "o_orderpriority",
+            )
+            for c in range(10)
+        ],
+    ).localCheckpoint()
+    run(
+        "auc_1x",
+        lambda: auc_roc(ord1, F.col("o_orderstatus") == "F", F.col("o_totalprice")).count(),
+    )
+    run(
+        "auc_10x",
+        lambda: auc_roc(ord10, F.col("o_orderstatus") == "F", F.col("o_totalprice")).count(),
+    )
+
+    run("oov_1x", lambda: oov_stats(docs1).count())
+    run("oov_10x", lambda: oov_stats(docs10).count())
+
 
 if __name__ == "__main__":
     main()
