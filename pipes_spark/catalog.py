@@ -7709,3 +7709,133 @@ def sample_shard_manifest(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     sharded = shard_assignment(docs, "doc_id", 100)
     return shard_manifest(sharded, ["doc_id", "n_chars"]).orderBy("shard")
+
+
+@query(
+    "events_rfm",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), per AS (
+      SELECT user_id, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2)
+               AS monetary
+      FROM p GROUP BY user_id
+    ), ref AS (SELECT max(ts) AS r FROM p), rec AS (
+      SELECT user_id, frequency, monetary,
+             CAST(floor((epoch_us(r) - epoch_us(last_ts)) / 86400000000.0)
+                  AS BIGINT) AS recency_days
+      FROM per CROSS JOIN ref
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency ASC, user_id) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary ASC, user_id) AS INT)
+             AS m_score
+    FROM rec ORDER BY user_id
+    """,
+)
+def events_rfm(spark, sf_dir):
+    """RFM value segmentation (operators.features.rfm_scores) over
+    purchase events: per-user recency/frequency/monetary with
+    deterministic quintile scores (5 = most recent / frequent / highest
+    spend). Monetary sums DECIMAL; the reference instant is the in-plan
+    max timestamp; ntiles run over the per-USER table (already
+    collapsed), not the event stream."""
+    from .operators.features import rfm_scores
+
+    p = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    return rfm_scores(p, "user_id", "ts", "value", n_bins=5).orderBy("user_id")
+
+
+@query(
+    "events_cumulative_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS d FROM events
+      GROUP BY user_id
+    ), per AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY d
+    )
+    SELECT d AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM per ORDER BY day
+    """,
+)
+def events_cumulative_users(spark, sf_dir):
+    """Cumulative-users growth curve: first-seen day per user (one
+    groupBy — the scalable form of a running DISTINCT, which would
+    otherwise hold per-day user sets), daily new-user counts, and a
+    running total over the tiny per-day table. The dashboard staple for
+    "how fast is the user base growing"."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("day")
+    )
+    per = first.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+        .orderBy("day")
+        .select("day", "n_new", "cum_users")
+    )
+
+
+@query(
+    "ts_forecast_backtest",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type, ts, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+    ), te AS (
+      SELECT event_type, ts, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    ), _g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(CAST((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0 AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) * value AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) * ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM tr GROUP BY event_type
+    ), fit AS (
+      SELECT event_type,
+             round(CASE WHEN n_points >= 3 AND (n_points * sxx - sx * sx) <> 0
+               THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) END, 12) AS slope,
+             round(CASE WHEN n_points >= 3 AND (n_points * sxx - sx * sx) <> 0
+               THEN (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx) / n_points END, 12) AS intercept
+      FROM _g
+    ), scored AS (
+      SELECT te.event_type, value AS y,
+             round(slope * ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) / 1000000.0) + intercept, 6) AS yhat
+      FROM te JOIN fit USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+           round(CAST(sum(CAST(round(abs((yhat - y) / nullif(y, 0)), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / nullif(count(round(abs((yhat - y) / nullif(y, 0)), 6)), 0), 6) AS mape,
+           round(CAST(sum(CAST(round(abs(yhat - y), 6) AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS mae
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_forecast_backtest(spark, sf_dir):
+    """Time-respecting forecast evaluation (operators.timeseries.
+    forecast_backtest): fit the linear trend on events before Jan 22,
+    score the held-out tail, report per-type MAPE/MAE — the readout that
+    decides whether the forecasting baseline ships. Exact-DECIMAL fit and
+    error means; broadcast coefficient table onto the test rows."""
+    from .operators.timeseries import forecast_backtest
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    return forecast_backtest(ev, ["event_type"], "ts", "value", cut).orderBy(
+        "event_type"
+    )

@@ -181,3 +181,55 @@ def feature_scaling_stats(
             F.col("_n").cast("bigint").alias("n"),
         )
     )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 5,
+) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quantile scores
+    per customer, the classic value-segmentation feature triple (score 5 =
+    most recent / most frequent / highest spend under the usual
+    convention).
+
+    One groupBy collapses the events to per-key aggregates (monetary sums
+    DECIMAL — exact and order-independent); the reference instant is the
+    dataset's max timestamp kept in-plan (1-row aggregate cross-joined
+    broadcast). Scores are deterministic ntiles with the key as tie-break.
+    The ntile windows run over the per-KEY table (already one row per
+    customer, not per event); at extreme key cardinality swap ntile for
+    width_bucket over approx quantiles — the `profiling.quantile_bins`
+    note applies."""
+    from pyspark.sql import Window
+
+    per = df.groupBy(key_col).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(
+            F.sum(F.col(amount_col).cast("decimal(28,6)")).cast("double"), 2
+        ).alias("monetary"),
+    )
+    ref = df.agg(F.max(ts_col).alias("_ref"))
+    per = per.crossJoin(F.broadcast(ref)).withColumn(
+        "recency_days",
+        F.floor(
+            (F.unix_micros(F.col("_ref")) - F.unix_micros(F.col("_last")))
+            / F.lit(86400000000.0)
+        ).cast("bigint"),
+    )
+    k = F.col(key_col)
+    wr = Window.orderBy(F.col("recency_days").desc(), k)
+    wf = Window.orderBy(F.col("frequency").asc(), k)
+    wm = Window.orderBy(F.col("monetary").asc(), k)
+    return per.select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_bins).over(wr).cast("int").alias("r_score"),
+        F.ntile(n_bins).over(wf).cast("int").alias("f_score"),
+        F.ntile(n_bins).over(wm).cast("int").alias("m_score"),
+    )

@@ -561,3 +561,59 @@ def time_weighted_avg(
         tsum.cast("double").alias("span_seconds"),
         (F.count(F.lit(1)) + 1).cast("bigint").alias("n_obs"),
     )
+
+
+def forecast_backtest(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    cutoff,
+    min_points: int = 3,
+) -> DataFrame:
+    """Backtest the linear-trend forecaster: fit per key on rows BEFORE
+    ``cutoff`` (a timestamp column expression), score rows at/after it,
+    and report per-key MAPE/MAE — the honest time-respecting evaluation
+    (random splits leak the future into the fit; every forecasting
+    pipeline needs this readout before the model ships).
+
+    Same exact-DECIMAL OLS as :func:`forecast_linear` (12-decimal
+    coefficients); predictions and per-row errors round to 6 decimals and
+    the error means sum DECIMAL — the whole report is engine- and
+    partitioning-exact. Zero actuals are excluded from MAPE (the standard
+    convention; they make the ratio undefined), counted in ``n_test``.
+    Shape: one groupBy for the fit, broadcast of the tiny per-key
+    coefficient table onto the test rows, one final per-key aggregate."""
+    from .profiling import linear_fit
+
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    x = (F.unix_micros(F.col(ts_col)) - base) / F.lit(1000000.0)
+    train = df.filter(F.col(ts_col) < cutoff)
+    test = df.filter(F.col(ts_col) >= cutoff)
+    fits = linear_fit(
+        train.select(*keys, ts_col, value_col), keys, x, F.col(value_col),
+        min_points, round_decimals=12,
+    ).select(*keys, "slope", "intercept")
+    scored = test.join(F.broadcast(fits), list(keys)).select(
+        *keys,
+        F.col(value_col).alias("_y"),
+        F.round(F.col("slope") * x + F.col("intercept"), 6).alias("_yhat"),
+    )
+    ape = F.round(
+        F.abs((F.col("_yhat") - F.col("_y")) / F.nullif(F.col("_y"), F.lit(0.0))), 6
+    )
+    ae = F.round(F.abs(F.col("_yhat") - F.col("_y")), 6)
+    return (
+        scored.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.round(
+                F.sum(ape.cast("decimal(28,6)")).cast("double")
+                / F.nullif(F.count(ape), F.lit(0)),
+                6,
+            ).alias("mape"),
+            F.round(
+                F.sum(ae.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mae"),
+        )
+    )

@@ -427,3 +427,45 @@ def test_shard_manifest_order_independent_and_content_sensitive(spark, sf_dir):
     }
     assert c != a  # a single-row change flips exactly one shard digest
     assert len(a - c) == 1
+
+
+# ---------------------------------------------------------------------------
+# rfm_scores / forecast_backtest
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_golden(spark):
+    import datetime
+
+    from pipes_spark.operators.features import rfm_scores
+
+    d = datetime.datetime
+    rows = [
+        (1, d(2024, 1, 1), 10.0), (1, d(2024, 1, 10), 10.0),   # stale, 2 buys
+        (2, d(2024, 1, 20), 100.0),                            # recent, big
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, v double")
+    got = {
+        r.u: (r.recency_days, r.frequency, r.monetary, r.r_score, r.f_score, r.m_score)
+        for r in rfm_scores(df, "u", "ts", "v", n_bins=2).collect()
+    }
+    assert got == {
+        1: (10, 2, 20.0, 1, 2, 1),   # 10 days stale -> low R; 2 buys -> high F
+        2: (0, 1, 100.0, 2, 1, 2),   # bought "today" -> high R; high spend -> high M
+    }
+
+
+def test_forecast_backtest_perfect_linear_has_zero_error(spark):
+    import datetime
+
+    from pipes_spark.operators.timeseries import forecast_backtest
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base + datetime.timedelta(days=i), 2.0 * i + 5.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    cut = F.lit("2024-01-06 00:00:00").cast("timestamp")
+    r = forecast_backtest(df, ["k"], "ts", "v", cut).collect()[0]
+    assert r.n_test == 5
+    assert r.mape == 0.0 and r.mae == 0.0
