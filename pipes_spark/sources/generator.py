@@ -127,3 +127,50 @@ def stream_generator_source(
 
     spark.dataSource.register(_GenStreamSource)
     return spark.readStream.format(_GenStreamSource._fmt).load()
+
+
+def function_sink(
+    df: DataFrame,
+    fn: Callable[[Iterator[tuple]], object],
+    mode: str = "append",
+) -> None:
+    """User-defined partition sink via the Spark 4 Python DataSource
+    writer API — the executor-side analog of the reference's ``Final``
+    node (an arbitrary user function consuming the stream,
+    ref: pipe/node.go:21-23).
+
+    ``fn(rows)`` runs ON AN EXECUTOR once per partition over that
+    partition's row iterator (cloudpickle-shipped closure; e.g. POST a
+    micro-batch to a service, write a side-format file). Contrast with
+    ``sinks.collect_rows``: nothing funnels through the driver, so the
+    sink scales with the partition count. Spark's task machinery gives
+    the standard write contract — failed tasks rerun, so ``fn`` must be
+    idempotent per partition content (the same contract every
+    distributed writer has).
+    """
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _Writer(DataSourceWriter):
+        def write(self, rows) -> WriterCommitMessage:
+            fn(rows)
+            return WriterCommitMessage()
+
+        def commit(self, messages) -> None:
+            return None
+
+        def abort(self, messages) -> None:
+            return None
+
+    class _FnSink(DataSource):
+        _fmt = f"pipes_fn_sink_{uuid.uuid4().hex[:12]}"
+
+        @classmethod
+        def name(cls) -> str:
+            return cls._fmt
+
+        def writer(self, schema, overwrite):
+            return _Writer()
+
+    spark = df.sparkSession
+    spark.dataSource.register(_FnSink)
+    df.write.format(_FnSink._fmt).mode(mode).save()

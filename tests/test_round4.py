@@ -469,3 +469,33 @@ def test_forecast_backtest_perfect_linear_has_zero_error(spark):
     r = forecast_backtest(df, ["k"], "ts", "v", cut).collect()[0]
     assert r.n_test == 5
     assert r.mape == 0.0 and r.mae == 0.0
+
+
+# ---------------------------------------------------------------------------
+# function_sink (Python DataSource writer)
+# ---------------------------------------------------------------------------
+
+
+def test_function_sink_runs_per_partition_executor_side(spark, tmp_path):
+    import json
+    import uuid as _uuid
+
+    from pipes_spark.sources.generator import function_sink
+
+    out = str(tmp_path / "fn_sink")
+    os.makedirs(out, exist_ok=True)
+
+    def sink(rows):
+        path = os.path.join(out, f"part-{_uuid.uuid4().hex}.jsonl")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"id": r[0]}) + "\n")
+
+    function_sink(spark.range(100).repartition(4), sink)
+    files = glob.glob(os.path.join(out, "*.jsonl"))
+    assert len(files) == 4  # one invocation per partition
+    ids = []
+    for p in files:
+        with open(p) as f:
+            ids += [json.loads(line)["id"] for line in f]
+    assert sorted(ids) == list(range(100))
