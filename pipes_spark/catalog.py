@@ -7839,3 +7839,88 @@ def ts_forecast_backtest(spark, sf_dir):
     return forecast_backtest(ev, ["event_type"], "ts", "value", cut).orderBy(
         "event_type"
     )
+
+
+@query(
+    "sample_hard_negatives",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6)
+               AS cosine
+      FROM v a JOIN v b
+        ON a.vec_id <> b.vec_id AND a.label <> b.label
+    )
+    SELECT anchor_id, negative_id, cosine,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY cosine DESC, negative_id) AS BIGINT)
+             AS neg_rank
+    FROM p WHERE cosine >= 0.3
+    QUALIFY neg_rank <= 5
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def sample_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators.similarity.hard_negatives): each
+    vector's top-5 most-similar OTHER-label vectors above cosine 0.3 —
+    the contrastive-training negatives that sit at the decision boundary.
+    Pair generation rides the floor-pruned block-cartesian tiled scan;
+    labels join by id onto surviving pairs only; deterministic
+    (cosine desc, id) ranking. The oracle is the naive all-pairs
+    statement of the same selection."""
+    from .operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, "label", k=5, floor=0.3).orderBy(
+        "anchor_id", "neg_rank"
+    )
+
+
+@query(
+    "events_next_event_eval",
+    oracle="""
+    WITH tr0 AS (
+      SELECT ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type,
+             event_type AS to_type
+      FROM events
+    ), tr AS (SELECT * FROM tr0 WHERE from_type IS NOT NULL),
+    train AS (
+      SELECT from_type, to_type, count(*) AS n FROM tr
+      WHERE ts < TIMESTAMP '2024-01-22 00:00:00' GROUP BY 1, 2
+    ), pred AS (
+      SELECT from_type, to_type AS p FROM (
+        SELECT from_type, to_type,
+               row_number() OVER (PARTITION BY from_type
+                                  ORDER BY n DESC, to_type ASC) AS rk
+        FROM train
+      ) WHERE rk = 1
+    )
+    SELECT from_type, CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN to_type = p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           round(sum(CASE WHEN to_type = p THEN 1 ELSE 0 END) / count(*), 6)
+             AS hit_rate
+    FROM tr LEFT JOIN pred USING (from_type)
+    WHERE ts >= TIMESTAMP '2024-01-22 00:00:00'
+    GROUP BY from_type ORDER BY from_type
+    """,
+)
+def events_next_event_eval(spark, sf_dir):
+    """Time-respecting evaluation of the first-order next-event baseline
+    (operators.relational.next_event_eval): argmax transitions learned
+    before Jan 22, hit rates on the held-out tail — the Markov baseline
+    every session-sequence model must beat. One lag window + map-side
+    train counts + a broadcast argmax table onto the test stream."""
+    from .operators.relational import next_event_eval
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    return next_event_eval(ev, "user_id", "ts", "event_type", "event_id", cut).orderBy(
+        "from_type"
+    )

@@ -866,3 +866,59 @@ def asof_join_nearest(
             F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")),
         )
     return out.drop(*[f"_b_{c}" for c in vcols], *[f"_f_{c}" for c in vcols])
+
+
+def next_event_eval(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    cutoff,
+) -> DataFrame:
+    """Evaluate the first-order "predict the next event type" baseline:
+    learn per-type argmax transitions from events BEFORE ``cutoff``,
+    score every transition at/after it, and report per-type hit rates —
+    the honest, time-respecting readout for session-based
+    next-item/prefetch heuristics (a Markov argmax is the baseline every
+    sequence model must beat).
+
+    One lag window builds the transition stream (per-key, deterministic
+    tiebreak); train counts aggregate map-side; the argmax table (≤
+    |types| rows) broadcasts onto the test transitions. Integer counts
+    throughout; the hit rate is the only division."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    trans = df.select(
+        F.col(ts_col).alias("_ts"),
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    train = (
+        trans.filter(F.col("_ts") < cutoff)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    wr = Window.partitionBy("from_type").orderBy(
+        F.col("_n").desc(), F.col("to_type").asc()
+    )
+    pred = (
+        train.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select("from_type", F.col("to_type").alias("_pred"))
+    )
+    test = trans.filter(F.col("_ts") >= cutoff)
+    scored = test.join(F.broadcast(pred), "from_type", "left")
+    return (
+        scored.groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("to_type") == F.col("_pred"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .withColumn("hit_rate", F.round(F.col("n_hit") / F.col("n_test"), 6))
+    )

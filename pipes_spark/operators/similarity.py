@@ -1469,3 +1469,52 @@ def mmr_rerank(
     if query_id_col != "query_id":
         out = out.withColumnRenamed("query_id", query_id_col)
     return out
+
+
+def hard_negatives(
+    df: DataFrame,
+    label_col: str = "label",
+    k: int = 5,
+    floor: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the top-``k`` most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually teach the model something (random negatives
+    are trivially separable; the hard ones sit right at the boundary).
+
+    Rides the block-cartesian tiled pair scan (numpy matmul per tile,
+    ``floor``-pruned, n·√P replication bound); labels join onto the
+    surviving pairs by id (ids + labels only, never vectors), mismatched
+    pairs symmetrize, and one per-anchor window keeps the top-k with a
+    deterministic (cosine desc, id) order. The floor bounds pair volume
+    exactly as in :func:`knn_graph` — at corpus scale you mine hard
+    negatives above a similarity cut, not from all n² pairs.
+    """
+    pairs = cosine_neardup_pairs_tiled(
+        df, threshold=floor, id_col=id_col, vec_col=vec_col, block_size=block_size
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("negative_id"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"), F.col("id_a").alias("negative_id"), "cosine"
+        )
+    )
+    la = df.select(F.col(id_col).alias("anchor_id"), F.col(label_col).alias("_la"))
+    lb = df.select(F.col(id_col).alias("negative_id"), F.col(label_col).alias("_lb"))
+    mism = (
+        sym.join(la, "anchor_id")
+        .join(lb, "negative_id")
+        .filter(F.col("_la") != F.col("_lb"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc()
+    )
+    return (
+        mism.withColumn("neg_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "negative_id", "cosine", "neg_rank")
+    )

@@ -499,3 +499,52 @@ def test_function_sink_runs_per_partition_executor_side(spark, tmp_path):
         with open(p) as f:
             ids += [json.loads(line)["id"] for line in f]
     assert sorted(ids) == list(range(100))
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives / next_event_eval
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from pipes_spark.operators.similarity import hard_negatives
+
+    vecs = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.14], 0),   # same label as 1 -> never its negative
+        (3, [0.9, 0.44], 1),    # closest other-label to 1
+        (4, [0.0, 1.0], 1),     # far from 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r.anchor_id, r.neg_rank): r.negative_id
+        for r in hard_negatives(df, "label", k=2, floor=-1.0).collect()
+    }
+    assert got[(1, 1)] == 3 and got[(1, 2)] == 4
+    assert 2 not in {got[(1, 1)], got[(1, 2)]}
+    # symmetric direction: 3's hard negatives are the label-0 vectors
+    assert got[(3, 1)] == 2  # cos(3,2) > cos(3,1)
+
+
+def test_next_event_eval_golden(spark):
+    import datetime
+
+    from pipes_spark.operators.relational import next_event_eval
+
+    d = datetime.datetime
+    # train: a->b twice, a->c once  => predict b after a
+    rows = [
+        (1, d(2024, 1, 1, 0), "a", 1), (1, d(2024, 1, 1, 1), "b", 2),
+        (1, d(2024, 1, 2, 0), "a", 3), (1, d(2024, 1, 2, 1), "b", 4),
+        (2, d(2024, 1, 3, 0), "a", 5), (2, d(2024, 1, 3, 1), "c", 6),
+        # test: a->b (hit), a->c (miss)
+        (3, d(2024, 2, 1, 0), "a", 7), (3, d(2024, 2, 1, 1), "b", 8),
+        (4, d(2024, 2, 2, 0), "a", 9), (4, d(2024, 2, 2, 1), "c", 10),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts timestamp, t string, e long")
+    cut = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    got = {
+        r.from_type: (r.n_test, r.n_hit, r.hit_rate)
+        for r in next_event_eval(df, "u", "ts", "t", "e", cut).collect()
+    }
+    assert got == {"a": (2, 1, 0.5)}
