@@ -7924,3 +7924,91 @@ def events_next_event_eval(spark, sf_dir):
     return next_event_eval(ev, "user_id", "ts", "event_type", "event_id", cut).orderBy(
         "from_type"
     )
+
+
+@query(
+    "scalar_xml",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS BIGINT) AS xk,
+           o_orderpriority AS xp
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_xml(spark, sf_dir):
+    """Spark 4 native XML parsing (`from_xml`): rows are serialized to an
+    XML fragment in-plan and parsed back with an explicit schema — the
+    round-trip-identity oracle checks the parse against the original
+    columns directly (DuckDB has no XML type; identity is the honest
+    cross-engine statement). The practical surface: ingesting XML-bearing
+    columns (feeds, legacy exports) without a UDF."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    xml = F.concat(
+        F.lit("<o><k>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</k><p>"),
+        F.col("o_orderpriority"),
+        F.lit("</p></o>"),
+    )
+    parsed = o.select(
+        "o_orderkey", F.from_xml(xml, "k BIGINT, p STRING").alias("_x")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("_x.k").alias("xk"),
+        F.col("_x.p").alias("xp"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "streaming_join_semi",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = c.user_id AND e.event_type = 'error'
+          AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+      )
+    ORDER BY click_id
+    """,
+)
+def streaming_join_semi(spark, sf_dir):
+    """Stream-stream LEFT SEMI join with watermarks (streaming.
+    stream_stream_join, how='left_semi'): clicks that saw an error from
+    the same user within the next 10 minutes — existence, emitted once
+    per left row, with both sides' state bounded by the watermark. Semi
+    matches emit as the match arrives (no null-flush wait), so unlike
+    the outer variant no finalization cutoff is needed; the oracle is
+    the batch EXISTS."""
+    from .streaming import run_to_memory, stream_stream_join
+
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = stream_stream_join(
+        clicks, errors, cond, "c_ts", "e_ts", "1 hour", "1 hour", how="left_semi"
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.select("click_id", "user_id").orderBy("click_id")
