@@ -130,3 +130,90 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows, direction, tol
     )
     want = {int(r.lid): (None if pd.isna(r.rv) else float(r.rv)) for r in want_df.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 operator properties
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),  # score (small domain -> ties)
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_auc_matches_naive_pairwise(spark, rows):
+    """Grouped rank-sum AUC == the O(P·N) pairwise definition."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.linear_model import auc_roc
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], "s double, y int"
+    )
+    got = auc_roc(df, F.col("y") == 1, F.col("s")).collect()[0].auc
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        assert got is None
+        return
+    wins = sum(1.0 for p in pos for n in neg if p > n)
+    ties = sum(1.0 for p in pos for n in neg if p == n)
+    assert got == round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ids=st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    shard_size=st.integers(min_value=1, max_value=7),
+)
+def test_shard_assignment_is_a_bijection_onto_prefix(spark, ids, shard_size):
+    """Every row gets exactly one (shard, pos); the flattened indexes are
+    exactly 0..n-1 (a permutation, no gaps, no dupes)."""
+    from pipes_spark.operators.sampling import shard_assignment
+
+    df = spark.createDataFrame([(i,) for i in sorted(ids)], "doc_id long")
+    out = shard_assignment(df, "doc_id", shard_size).collect()
+    assert len(out) == len(ids)
+    flat = sorted(r.shard * shard_size + r.shard_pos for r in out)
+    assert flat == list(range(len(ids)))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy, hops=st.integers(min_value=1, max_value=4))
+def test_shortest_paths_match_python_bfs(spark, edges, hops):
+    from pipes_spark.operators.components import shortest_paths
+
+    edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    verts = sorted({v for e in edges for v in e})
+    landmarks = verts[:2]
+    got = {
+        (r.vertex, r.landmark): r.distance
+        for r in shortest_paths(df, landmarks, max_hops=hops).collect()
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {}
+    for lm in landmarks:
+        dist = {lm: 0}
+        frontier = [lm]
+        for d in range(1, hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            expected[(v, lm)] = d
+    assert got == expected
