@@ -8012,3 +8012,79 @@ def streaming_join_semi(spark, sf_dir):
     )
     result = run_to_memory(joined, output_mode="append")
     return result.select("click_id", "user_id").orderBy("click_id")
+
+
+_RANGE_TIME_SQL = """
+SELECT event_id, event_type, ts,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@query("window_range_time", oracle=_RANGE_TIME_SQL)
+def window_range_time(spark, sf_dir):
+    """Event-time RANGE frame: per event type, the trailing-1-hour count
+    and exact DECIMAL sum for every event — the time-based sliding
+    aggregate (rate limiting, rolling exposure) that ROWS frames cannot
+    express when event spacing is irregular. RANGE frames are defined by
+    the ORDER-BY value interval, so the result is deterministic without
+    a tie-break; identical SQL runs on both engines."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(_RANGE_TIME_SQL)
+
+
+@query(
+    "agg_incremental_retract",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey % 10 = 0)
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+             AS total,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_price
+    FROM survivors GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_incremental_retract(spark, sf_dir):
+    """CDC-aware aggregate maintenance (operators.relational.
+    incremental_agg_retract): the pre-1997 per-priority state absorbs a
+    delta that INSERTS the 1997+ orders and RETRACTS every pre-1997
+    order with key % 10 == 0 — one outer join, no history re-scan. The
+    oracle recomputes the surviving set from scratch; hash equality
+    proves the signed-partial maintenance exact."""
+    from .operators.relational import incremental_agg_retract
+
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    base = o.filter(F.col("o_orderdate") < cut)
+    state = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).alias("sum_val"),
+    )
+    inserts = o.filter(F.col("o_orderdate") >= cut).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("val"),
+        F.lit(1).alias("op"),
+    )
+    retracts = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderpriority",
+        F.col("o_totalprice").alias("val"),
+        F.lit(-1).alias("op"),
+    )
+    merged = incremental_agg_retract(
+        state, inserts.unionByName(retracts), ["o_orderpriority"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("sum_val").cast("double"), 2).alias("total"),
+        F.round(F.col("sum_val").cast("double") / F.col("n"), 6).alias("avg_price"),
+    ).orderBy("o_orderpriority")

@@ -922,3 +922,43 @@ def next_event_eval(
         )
         .withColumn("hit_rate", F.round(F.col("n_hit") / F.col("n_test"), 6))
     )
+
+
+def incremental_agg_retract(
+    state: DataFrame,
+    delta: DataFrame,
+    key_cols,
+    value_col: str = "val",
+    op_col: str = "op",
+) -> DataFrame:
+    """Materialized-aggregate maintenance under INSERTS AND DELETES: the
+    delta stream carries ``op`` = +1 (insert) / −1 (retract), and the
+    per-key (count, sum) state is merged with the delta's signed partials
+    — one outer join on the key, cost O(delta + touched keys), never a
+    history re-scan. This is the CDC-feed version of
+    :func:`incremental_agg_merge`; keys whose count reaches zero drop out
+    of the state entirely.
+
+    Only the additive family (count/sum/avg) is retractable from
+    constant state — min/max need ordered per-key state and are
+    deliberately excluded (re-derive them from the base table when a
+    retraction touches the extremum; the docs of every incremental view
+    engine say the same). Sums carry DECIMAL partials: exact,
+    order-independent, so maintained state is hash-equal to a full
+    recompute."""
+    keys = list(key_cols)
+    d = delta.groupBy(*keys).agg(
+        F.sum(F.col(op_col)).cast("bigint").alias("_dn"),
+        F.sum(F.col(op_col) * F.col(value_col).cast("decimal(28,6)")).alias("_ds"),
+    )
+    merged = state.join(d, keys, "full_outer").select(
+        *keys,
+        (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.coalesce(F.col("sum_val"), F.lit(0).cast("decimal(28,6)"))
+            + F.coalesce(F.col("_ds"), F.lit(0).cast("decimal(28,6)"))
+        ).alias("sum_val"),
+    )
+    return merged.filter(F.col("n") > 0)

@@ -548,3 +548,33 @@ def test_next_event_eval_golden(spark):
         for r in next_event_eval(df, "u", "ts", "t", "e", cut).collect()
     }
     assert got == {"a": (2, 1, 0.5)}
+
+
+# ---------------------------------------------------------------------------
+# incremental_agg_retract
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_retract_matches_recompute_and_drops_empty_keys(spark):
+    from pipes_spark.operators.relational import incremental_agg_retract
+
+    base = [("a", 10.0), ("a", 20.0), ("b", 5.0)]
+    state = (
+        spark.createDataFrame(base, "k string, v double")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("sum_val"),
+        )
+    )
+    # retract both of b's rows? b only has one -> retract it (key drops),
+    # retract a's 10, insert c
+    delta = spark.createDataFrame(
+        [("b", 5.0, -1), ("a", 10.0, -1), ("c", 7.0, 1)],
+        "k string, val double, op int",
+    )
+    got = {
+        r.k: (r.n, float(r.sum_val))
+        for r in incremental_agg_retract(state, delta, ["k"]).collect()
+    }
+    assert got == {"a": (1, 20.0), "c": (1, 7.0)}  # b gone entirely
