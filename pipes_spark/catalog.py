@@ -8088,3 +8088,72 @@ def agg_incremental_retract(spark, sf_dir):
         F.round(F.col("sum_val").cast("double"), 2).alias("total"),
         F.round(F.col("sum_val").cast("double") / F.col("n"), 6).alias("avg_price"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "dedup_exact_best",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+           n_chars
+    FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+      ORDER BY n_chars DESC, doc_id) = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_best(spark, sf_dir):
+    """Quality-aware exact dedup (operators.dedup.exact_dedup_best): each
+    normalized-fingerprint group keeps its LONGEST member (ties by
+    smallest id) instead of blindly keeping the min id — how production
+    curation resolves duplicate scrapes (you keep the cleaner capture).
+    Same one-shuffle fingerprint shape as dedup_exact_docs."""
+    from .operators.dedup import exact_dedup_best
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        exact_dedup_best(d, F.col("n_chars"))
+        .select("doc_id", "fingerprint", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "ts_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, event_id, value,
+             CAST(sum(CAST(value - 55.0 - 1.0 AS DECIMAL(28,6))) OVER w
+                  AS DECIMAL(28,6)) AS prefix
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), m AS (
+      SELECT event_type, ts, event_id, value,
+             round(CAST(prefix - least(CAST(0 AS DECIMAL(28,6)),
+                                       min(prefix) OVER w2) AS DOUBLE), 6)
+               AS cusum
+      FROM s
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_type, ts, event_id, value, cusum, cusum > 500.0 AS alert
+    FROM m ORDER BY event_type, ts, event_id
+    """,
+)
+def ts_cusum(spark, sf_dir):
+    """One-sided CUSUM drift chart per event type (operators.timeseries.
+    cusum): S_n = max(0, S_{n−1} + x − target − slack), alert above the
+    decision interval. The recursion is computed via the closed form
+    S_n = prefix_n − min(prefix_0..prefix_n) — two window passes over
+    exact DECIMAL running sums, fully declarative and parallel across
+    keys (no stateful UDF); the oracle states the identical identity."""
+    from .operators.timeseries import cusum
+
+    ev = _t(spark, sf_dir, "events")
+    out = cusum(
+        ev, ["event_type"], "ts", "value",
+        target=55.0, slack=1.0, threshold=500.0, tiebreak_col="event_id",
+    )
+    return out.orderBy("event_type", "ts", "event_id")

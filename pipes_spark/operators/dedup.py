@@ -748,3 +748,32 @@ def containment_pairs(
         )
         .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a", "jaccard")
     )
+
+
+def exact_dedup_best(
+    df: DataFrame,
+    score,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup keeping the BEST group member instead of the smallest
+    id: within each normalized-fingerprint group the survivor is the row
+    maximizing ``score`` (a column expression — quality score, length,
+    freshness), ties broken by smallest id. This is how production
+    curation actually resolves duplicate clusters — two scrapes of the
+    same page are not interchangeable; you keep the cleaner one.
+
+    Same shape as :func:`exact_dedup`: one shuffle on the 128-bit
+    fingerprint, a deterministic per-group row_number, payloads never
+    pairwise-compared.
+    """
+    fp = normalized_fingerprint(text_col)
+    w = Window.partitionBy("fingerprint").orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("fingerprint", fp)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

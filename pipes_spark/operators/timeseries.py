@@ -617,3 +617,52 @@ def forecast_backtest(
             ).alias("mae"),
         )
     )
+
+
+def cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """One-sided CUSUM control chart per key: the classic
+    S_n = max(0, S_{n−1} + (x_n − target − slack)) drift detector,
+    alerting where S_n > threshold — catches small sustained shifts that
+    per-point z-scores miss (SLO burn, slow quality regressions).
+
+    The recursion LOOKS inherently sequential, but the closed form
+    S_n = prefix_n − min(prefix_0..prefix_n) over the running sum
+    prefix_n = Σ(x_i − target − slack) turns it into two window passes —
+    a running DECIMAL sum (exact, order-independent addends) and a
+    running min — so the operator stays declarative, parallel across
+    keys, and engine-portable. The same identity is stated in the
+    oracle; no stateful UDF needed.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    step = (F.col(value_col) - F.lit(target) - F.lit(slack)).cast("decimal(28,6)")
+    prefix = F.sum(step).over(w)
+    base = df.withColumn("_prefix", prefix)
+    # min over prefix_0..prefix_n includes the virtual prefix_0 = 0
+    run_min = F.least(
+        F.lit(0).cast("decimal(28,6)"), F.min("_prefix").over(w)
+    )
+    out = base.withColumn(
+        "cusum", F.round((F.col("_prefix") - run_min).cast("double"), 6)
+    )
+    return out.select(
+        *keys,
+        ts_col,
+        *( [tiebreak_col] if tiebreak_col else [] ),
+        F.col(value_col),
+        "cusum",
+        (F.col("cusum") > F.lit(threshold)).alias("alert"),
+    )

@@ -578,3 +578,48 @@ def test_incremental_retract_matches_recompute_and_drops_empty_keys(spark):
         for r in incremental_agg_retract(state, delta, ["k"]).collect()
     }
     assert got == {"a": (1, 20.0), "c": (1, 7.0)}  # b gone entirely
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup_best / cusum
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_best_keeps_highest_score(spark):
+    from pipes_spark.operators.dedup import exact_dedup_best
+
+    rows = [
+        (1, "the same doc", 12),
+        (2, "THE  same   DOC", 15),   # same fingerprint, higher score
+        (3, "something else", 14),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    kept = sorted(r.doc_id for r in exact_dedup_best(df, F.col("n_chars")).collect())
+    assert kept == [2, 3]
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    import datetime
+
+    from pipes_spark.operators.timeseries import cusum
+
+    base = datetime.datetime(2024, 1, 1)
+    vals = [1.0, 5.0, 5.0, 0.0, 6.0, 6.0, 6.0, 0.0]
+    rows = [("k", base + datetime.timedelta(minutes=i), float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    got = [
+        r.cusum
+        for r in cusum(df, ["k"], "ts", "v", target=3.0, slack=0.5, threshold=4.0,
+                       tiebreak_col="i").orderBy("i").collect()
+    ]
+    s, expected = 0.0, []
+    for v in vals:
+        s = max(0.0, s + v - 3.0 - 0.5)
+        expected.append(round(s, 6))
+    assert got == expected
+    alerts = [
+        r.alert
+        for r in cusum(df, ["k"], "ts", "v", target=3.0, slack=0.5, threshold=4.0,
+                       tiebreak_col="i").orderBy("i").collect()
+    ]
+    assert alerts == [e > 4.0 for e in expected]
