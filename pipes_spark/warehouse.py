@@ -242,3 +242,28 @@ def minhash_signature_table(
             load_table(spark, sf_dir, "documents"), "doc_id", "text", num_hashes, shingle_n
         ).write.saveAsTable(name)
     return spark.table(name)
+
+
+def append_minhash_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Ingest-batch maintenance of the persisted signature table: compute
+    wide MinHash signatures for the batch docs NOT already present
+    (anti-join on id — the ``operators.dedup.incremental_signature_ingest``
+    contract) and APPEND them to the managed table, so the next dedup
+    pass reads stored signatures for the whole corpus and hashes nothing
+    twice. Idempotent per batch: re-appending an already-ingested batch
+    adds zero rows. Returns the refreshed table."""
+    from pipes_spark.operators.dedup import _minhash_wide
+
+    existing = minhash_signature_table(spark, sf_dir, num_hashes, shingle_n)
+    name = f"mh_sigs_documents_{_tag(sf_dir)}_{num_hashes}_{shingle_n}"
+    delta = new_docs.join(existing.select("doc_id"), "doc_id", "left_anti")
+    _minhash_wide(delta, "doc_id", "text", num_hashes, shingle_n).write.mode(
+        "append"
+    ).saveAsTable(name)
+    return spark.table(name)

@@ -623,3 +623,29 @@ def test_cusum_matches_sequential_recursion(spark):
                        tiebreak_col="i").orderBy("i").collect()
     ]
     assert alerts == [e > 4.0 for e in expected]
+
+
+# ---------------------------------------------------------------------------
+# warehouse signature append (ingest lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def test_append_minhash_signatures_idempotent(spark, sf_dir):
+    from pipes_spark.sources import load_table
+    from pipes_spark.warehouse import append_minhash_signatures, minhash_signature_table
+
+    # num_hashes=32 keys a SEPARATE managed table, so this append never
+    # pollutes the default (64-hash) table other tests and queries read
+    base = minhash_signature_table(spark, sf_dir, num_hashes=32)
+    n0 = base.count()
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .limit(10)
+        .select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text")
+    )
+    t1 = append_minhash_signatures(spark, sf_dir, batch, num_hashes=32)
+    assert t1.count() == n0 + 10
+    # re-append is a no-op (anti-join guard)
+    t2 = append_minhash_signatures(spark, sf_dir, batch, num_hashes=32)
+    assert t2.count() == n0 + 10
+    assert t2.filter(F.col("doc_id") >= 20_000_000).count() == 10
