@@ -8157,3 +8157,25 @@ def ts_cusum(spark, sf_dir):
         target=55.0, slack=1.0, threshold=500.0, tiebreak_col="event_id",
     )
     return out.orderBy("event_type", "ts", "event_id")
+
+
+@query("streaming_cusum")  # float recursion vs decimal closed form differ in
+# final-digit rounding on long streams: rows-only; exactness is pytest'd on
+# integer-valued data (cross-batch state carry) in tests/test_round4.py
+def streaming_cusum(spark, sf_dir):
+    """Streaming one-sided CUSUM drift alarm (streaming.stateful_cusum):
+    the true S_n = max(0, S_{n−1}+x−target−slack) recursion per event
+    type, carried ACROSS micro-batches as one scalar per key — the live
+    twin of the batch ts_cusum closed form, firing mid-stream instead of
+    at the next batch job."""
+    from .streaming import run_to_memory, stateful_cusum
+
+    stream = _events_stream(spark, sf_dir)
+    out = stateful_cusum(
+        stream, "event_type", "ts", "value",
+        target=55.0, slack=1.0, threshold=500.0, tiebreak_col="event_id",
+    )
+    result = run_to_memory(out, output_mode="append")
+    return result.select(
+        "event_type", "ts", "event_id", "value", "cusum", "alert"
+    ).orderBy("event_type", "ts", "event_id")

@@ -609,3 +609,59 @@ def stateful_threshold_alerts(
     return df.groupBy(key_col).applyInPandasWithState(
         detect, out_schema, "above boolean", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_cusum(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    target: float = 0.0,
+    slack: float = 0.0,
+    threshold: float = 0.0,
+    out_col: str = "cusum",
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Streaming one-sided CUSUM — S_i = max(0, S_{i−1} + x_i − target −
+    slack) per key, ACROSS micro-batches, with an ``alert`` flag above the
+    decision interval. The live twin of ``operators.timeseries.cusum``
+    (which computes the identical recursion in batch via the prefix-min
+    closed form): carried state is ONE scalar per key, so a drift alarm
+    fires mid-stream instead of at the next batch job.
+
+    Same ordering contract as ``stateful_ewma``: per-batch sort by event
+    time after concatenating the Arrow chunks (chunks arrive unordered);
+    cross-batch correctness when ingestion is time-ordered per key. One
+    scalar per key in the (RocksDB) state store.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} double", "alert boolean"]
+    )
+
+    def step(key, pdfs, state):
+        (s,) = state.get if state.exists else (0.0,)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((s,))
+            return
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            order, kind="stable", ignore_index=True
+        )
+        out = []
+        for v in pdf[value_col]:
+            if v == v and v is not None:
+                s = max(0.0, s + float(v) - target - slack)
+            out.append(round(s, 6))
+        state.update((s,))
+        yield pdf.assign(
+            **{out_col: out, "alert": [x > threshold for x in out]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        step, out_schema, "s double", "append", GroupStateTimeout.NoTimeout
+    )

@@ -649,3 +649,40 @@ def test_append_minhash_signatures_idempotent(spark, sf_dir):
     t2 = append_minhash_signatures(spark, sf_dir, batch, num_hashes=32)
     assert t2.count() == n0 + 10
     assert t2.filter(F.col("doc_id") >= 20_000_000).count() == 10
+
+
+def test_streaming_cusum_carries_state_across_batches(spark, tmp_path):
+    import datetime
+
+    from pipes_spark.streaming import run_to_memory, stateful_cusum
+
+    d = datetime.datetime
+    schema = "k string, ts timestamp, v double, i long"
+    src = str(tmp_path / "cusum_src")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: values push S to 5; batch 2 continues FROM 5, not from 0
+    b1 = [("k", d(2024, 1, 1, 0, m), float(v), m) for m, v in enumerate([3.0, 4.0])]
+    b2 = [("k", d(2024, 1, 1, 1, m), float(v), 10 + m) for m, v in enumerate([1.0, 6.0])]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f1")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stateful_cusum(
+        stream, "k", "ts", "v", target=1.0, slack=0.0, threshold=6.0, tiebreak_col="i"
+    )
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "f2")
+    )
+    got = run_to_memory(out, output_mode="append").orderBy("i").collect()
+    # python recursion over ALL rows in order: 2, 5, 5, 10
+    vals = [3.0, 4.0, 1.0, 6.0]
+    s, expected = 0.0, []
+    for v in vals:
+        s = max(0.0, s + v - 1.0)
+        expected.append(s)
+    assert [r.cusum for r in got] == expected
+    assert [r.alert for r in got] == [e > 6.0 for e in expected]
