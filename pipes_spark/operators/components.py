@@ -124,6 +124,7 @@ def shortest_paths(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 6,
+    cut_lineage: bool = True,
 ) -> DataFrame:
     """Unweighted shortest-path (hop) distances from a set of landmark
     vertices over an undirected graph — the GraphFrames ``shortestPaths``
@@ -146,14 +147,21 @@ def shortest_paths(
     per round (:func:`connected_components` rationale); convergence reads
     ONE scalar (frontier count) per round. Returns ``(vertex, landmark,
     distance)`` for every pair within ``max_hops``.
+
+    ``cut_lineage=False`` disables the per-round checkpoints so the FULL
+    logical plan (all frontier joins) stays inspectable — a plan-audit /
+    debugging switch for small graphs only (tests assert the rounds plan
+    as hash joins through it); production runs keep the default.
     """
+    def _cut(df, eager=True):
+        return df.localCheckpoint(eager=eager) if cut_lineage else df
+
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    und = (
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
+    und = _cut(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct(),
+        eager=False,
     )
     lm = [int(x) for x in landmarks]
     if not lm:
@@ -174,11 +182,11 @@ def shortest_paths(
             .groupBy("vertex", "landmark")
             .agg(F.min("distance").alias("distance"))
             .join(settled.select("vertex", "landmark"), ["vertex", "landmark"], "left_anti")
-            .localCheckpoint()
         )
+        nxt = _cut(nxt)
         if nxt.isEmpty():
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=False)
+        settled = _cut(settled.unionByName(nxt), eager=False)
         frontier = nxt
     return settled.select(
         "vertex", "landmark", F.col("distance").cast("int").alias("distance")

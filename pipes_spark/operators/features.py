@@ -97,15 +97,20 @@ def pmi_pairs(
     globally frequent items.
 
     PMI(a,b) = ln( n_ab · N / (n_a · n_b) ) over group-presence counts
-    (N = number of groups). Shape: one distinct to (group, item)
-    presence, a group-keyed self-join for pairs (bounded by per-group
-    item-set size — explode+join on the presence table, the item payload
-    is just the id), then broadcast marginals. All counts are exact
-    integers; the single ln runs on the same double in every engine."""
-    pres = df.select(
-        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
-    ).distinct()
-    n_groups = pres.select("_g").distinct().count()
+    (N = number of groups, kept in-plan as a 1-row aggregate cross-joined
+    broadcast). Shape: one distinct to (group, item) presence (persisted
+    for the query's lifetime — it feeds the pair join, the marginals, and
+    N), a group-keyed self-join for pairs (bounded by per-group item-set
+    size), then broadcast marginals. All counts are exact integers; the
+    single ln runs on the same double in every engine."""
+    from ..caching import scoped_persist
+
+    pres = scoped_persist(
+        df.select(F.col(group_col).alias("_g"), F.col(item_col).alias("_i")).distinct()
+    )
+    # N stays IN-PLAN (1-row aggregate cross-joined broadcast) — no eager
+    # driver action at construction time, no second scan of the input
+    ng = pres.agg(F.count_distinct("_g").alias("_ng"))
     marg = pres.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
     a = pres.select("_g", F.col("_i").alias("item_a"))
     b = pres.select("_g", F.col("_i").alias("item_b"))
@@ -115,6 +120,9 @@ def pmi_pairs(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
+    # ratio runs in DOUBLE: BIGINT marginal products overflow LONG under
+    # ANSI at large group counts (CLAUDE.md's long-multiply fact); counts
+    # below 2^53 convert exactly, and the value feeds ln() anyway
     return (
         pairs.join(
             F.broadcast(marg.select(F.col("_i").alias("item_a"), F.col("_n").alias("_na"))),
@@ -124,11 +132,14 @@ def pmi_pairs(
             F.broadcast(marg.select(F.col("_i").alias("item_b"), F.col("_n").alias("_nb"))),
             "item_b",
         )
+        .crossJoin(F.broadcast(ng))
         .withColumn(
             "pmi",
             F.round(
                 F.log(
-                    F.col("n_ab") * F.lit(n_groups) / (F.col("_na") * F.col("_nb"))
+                    F.col("n_ab").cast("double")
+                    * F.col("_ng")
+                    / (F.col("_na").cast("double") * F.col("_nb"))
                 ),
                 round_decimals,
             ),

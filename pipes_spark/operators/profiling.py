@@ -710,7 +710,10 @@ def chi_square(
         .join(F.broadcast(cb), "_b")
         .crossJoin(F.broadcast(tot))
     )
-    e = F.col("_ra") * F.col("_cb") / F.col("_n")
+    # marginal products run in DOUBLE: a BIGINT·BIGINT product overflows
+    # LONG under ANSI once marginals pass ~3e9 (the auc_roc lesson); the
+    # expected count feeds float math anyway and stays exact below 2^53
+    e = F.col("_ra").cast("double") * F.col("_cb") / F.col("_n")
     term = (F.col("_o") - e) * (F.col("_o") - e) / e
     return j.agg(
         F.round(F.sum(term), round_decimals).alias("chi2"),

@@ -237,6 +237,11 @@ def permutation_index(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
     bucket-parallel (the sessionize_bucketed trick applied to ranking).
     Shuffles carry (id, hash) pairs only. The salt is suffixed ``|perm``
     so a caller's other draws from the same salt stay independent.
+
+    CONTRACT: ``id_col`` must be unique — duplicate ids get distinct
+    ranks here and then multiply through any join back to the rows
+    (shard sizes and manifests silently double-count). Dedup first
+    (``dedup.exact_dedup`` / ``dropDuplicates``) if ids can repeat.
     """
     from pyspark.sql import Window
 
@@ -279,7 +284,10 @@ def shard_assignment(
     ``shard_size`` rows; membership and order are stable across reruns,
     partitionings, and engines, and re-drawable with a different ``salt``
     (= a new epoch permutation). One ids-only ranking pass plus one join
-    back to the full rows keyed on ``id_col``.
+    back to the full rows keyed on ``id_col`` — which inherits
+    :func:`permutation_index`'s contract that ``id_col`` is UNIQUE
+    (duplicates would multiply through this join and corrupt shard
+    sizes); dedup first if ids can repeat.
     """
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")

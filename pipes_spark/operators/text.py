@@ -744,10 +744,16 @@ def oov_stats(
     One explode + count shuffle for the vocabulary (top-k is a bounded
     TakeOrdered, never a global sort), then a broadcast membership join
     flags each token occurrence and one groupBy folds the per-group
-    totals. The token stream carries (group, token) pairs only.
+    totals. The token stream carries (group, token) pairs only and is
+    persisted for the query's lifetime — it feeds BOTH the vocabulary
+    build and the membership join, so the corpus tokenizes once.
     """
-    toks = df.select(
-        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+    from ..caching import scoped_persist
+
+    toks = scoped_persist(
+        df.select(
+            F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("tok")
+        )
     )
     vocab = (
         toks.groupBy("tok")

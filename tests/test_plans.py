@@ -439,10 +439,19 @@ def test_chi_square_marginals_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_shortest_paths_rounds_are_hash_joins(spark, sf_dir):
+def test_shortest_paths_rounds_are_hash_joins(spark):
     """Every BFS round must be an equi hash join on the vertex id — no
-    cartesian/BNLJ fallback on the frontier expansion."""
-    plan = _plan(spark, sf_dir, "graph_shortest_paths")
+    cartesian/BNLJ fallback on the frontier expansion. The declared query
+    checkpoints each round (empty final plan), so this inspects the FULL
+    uncut lineage via the operator's cut_lineage=False audit switch."""
+    from pipes_spark.operators.components import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    sp = shortest_paths(edges, [0], max_hops=3, cut_lineage=False)
+    plan = sp._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # the frontier joins are actually in this plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
