@@ -665,3 +665,37 @@ def stateful_cusum(
     return df.groupBy(key_col).applyInPandasWithState(
         step, out_schema, "s double", "append", GroupStateTimeout.NoTimeout
     )
+
+
+def progress_summary(query) -> list[dict]:
+    """Operational readout of a streaming query's recent progress: one
+    dict per micro-batch with the numbers an operator actually watches —
+    input volume/rate, batch duration, watermark, and per-stateful-op
+    state rows/memory (the state store is the thing that grows when a
+    watermark is mis-set; surfacing it is how you catch that before the
+    cluster does).
+
+    Pure driver-side introspection of ``recentProgress`` — no jobs, no
+    actions; call any time, including after ``awaitTermination``."""
+    out = []
+    for p in query.recentProgress:
+        state = [
+            {
+                "operator": s.get("operatorName"),
+                "state_rows": s.get("numRowsTotal"),
+                "state_memory_bytes": s.get("memoryUsedBytes"),
+                "rows_dropped_by_watermark": s.get("numRowsDroppedByWatermark"),
+            }
+            for s in (p.get("stateOperators") or [])
+        ]
+        out.append(
+            {
+                "batch_id": p.get("batchId"),
+                "num_input_rows": p.get("numInputRows"),
+                "input_rows_per_sec": p.get("inputRowsPerSecond"),
+                "batch_duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                "watermark": (p.get("eventTime") or {}).get("watermark"),
+                "state": state,
+            }
+        )
+    return out

@@ -686,3 +686,40 @@ def test_streaming_cusum_carries_state_across_batches(spark, tmp_path):
         expected.append(s)
     assert [r.cusum for r in got] == expected
     assert [r.alert for r in got] == [e > 6.0 for e in expected]
+
+
+def test_progress_summary_reports_batches_and_state(spark, sf_dir):
+    import uuid as _uuid
+
+    from pipes_spark.sources import load_table
+    from pipes_spark.streaming import progress_summary
+
+    # small watermarked stateful stream to a memory sink
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    d = tempfile.mkdtemp(prefix="prog_")
+    os.symlink(path, os.path.join(d, "events.parquet"))
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    name = f"prog_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    summary = progress_summary(q)
+    assert summary, "expected at least one progress entry"
+    data_batches = [s for s in summary if s["num_input_rows"]]
+    assert data_batches and all(s["batch_duration_ms"] is not None for s in summary)
+    assert any(
+        st["state_rows"] is not None for s in summary for st in s["state"]
+    ), "stateful operator metrics missing"
