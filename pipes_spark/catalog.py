@@ -8179,3 +8179,97 @@ def streaming_cusum(spark, sf_dir):
     return result.select(
         "event_type", "ts", "event_id", "value", "cusum", "alert"
     ).orderBy("event_type", "ts", "event_id")
+
+
+@query(
+    "text_lang_confusion",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' und ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' die ', ''))) / 5 AS BIGINT) AS score_de,
+        CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+        CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' la ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' que ', ''))) / 5 AS BIGINT) AS score_es,
+        CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' des ', ''))) / 5 AS BIGINT) AS score_fr,
+        CAST((length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' shi ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS score_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang AS actual,
+           CASE
+             WHEN score_de >= score_en AND score_de >= score_es
+                  AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr
+                  AND score_en >= score_zh THEN 'en'
+             WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted
+      FROM scored
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the marker-word language-ID heuristic against
+    the corpus's ground-truth ``lang`` column — the honest eval of a
+    classifier the pipeline itself ships (text_langid predicts; this
+    measures). One scan + one (actual, predicted) count shuffle."""
+    from .operators.text import with_lang_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_lang_scores(d)
+        .groupBy(F.col("lang").alias("actual"), F.col("lang_pred").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+@query("dedup_rate_report")  # LSH near-dup clustering is not SQL-expressible:
+# rows-only; internal consistency is pytest'd in tests/test_round4.py
+def dedup_rate_report(spark, sf_dir):
+    """One-row corpus dedup card: total docs, exact-duplicate rows,
+    near-duplicate non-canonical rows (LSH→verify pairs → connected
+    components, the documented scale path on the persisted signature
+    table), duplicate-cluster count, and the surviving-unique fraction —
+    the headline numbers of a dataset card. Composes the ingest artifact
+    (warehouse signatures), the verified-pair path, and the component
+    resolver; everything after the pair step runs on the tiny pair/graph
+    tables."""
+    from .operators.components import connected_components
+    from .operators.dedup import exact_dedup, lsh_verified_pairs
+    from .warehouse import minhash_signature_table
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    n_exact_unique = exact_dedup(d).count()
+    sigs = minhash_signature_table(spark, sf_dir)
+    pairs = lsh_verified_pairs(d, threshold=0.5, sigs=sigs)
+    cc = connected_components(pairs)
+    n_members = cc.count()
+    n_clusters = cc.filter(F.col("id") == F.col("component")).count()
+    n_near_losers = n_members - n_clusters
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_docs - n_exact_unique,
+                n_near_losers,
+                n_clusters,
+                round((n_docs - n_near_losers) / n_docs, 6),
+            )
+        ],
+        "n_docs bigint, n_exact_dup_rows bigint, n_near_dup_losers bigint, "
+        "n_dup_clusters bigint, unique_frac double",
+    )

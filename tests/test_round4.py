@@ -723,3 +723,17 @@ def test_progress_summary_reports_batches_and_state(spark, sf_dir):
     assert any(
         st["state_rows"] is not None for s in summary for st in s["state"]
     ), "stateful operator metrics missing"
+
+
+def test_dedup_rate_report_internally_consistent(spark, sf_dir):
+    from pipes_spark.catalog import QUERIES
+
+    r = QUERIES["dedup_rate_report"].fn(spark, sf_dir).collect()[0]
+    assert r.n_docs > 0
+    assert 0 <= r.n_exact_dup_rows < r.n_docs
+    # every near-dup loser belongs to a cluster that also has a canonical
+    assert r.n_near_dup_losers >= r.n_dup_clusters >= 0 or r.n_near_dup_losers == 0
+    assert r.unique_frac == round((r.n_docs - r.n_near_dup_losers) / r.n_docs, 6)
+    # exact dups are a subset of near-dup losers at threshold<=1 (an exact
+    # dup pair has jaccard 1.0), so the near count can't be smaller
+    assert r.n_near_dup_losers >= r.n_exact_dup_rows
