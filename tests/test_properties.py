@@ -217,3 +217,35 @@ def test_shortest_paths_match_python_bfs(spark, edges, hops):
         for v, d in dist.items():
             expected[(v, lm)] = d
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(st.integers(min_value=-8, max_value=12), min_size=1, max_size=20),
+    target=st.integers(min_value=-3, max_value=3),
+)
+def test_cusum_closed_form_equals_recursion(spark, vals, target):
+    """prefix-min closed form == the literal S_n = max(0, S_{n-1}+x-t-k)
+    recursion; integer inputs make both float- and decimal-exact."""
+    import datetime
+
+    from pipes_spark.operators.timeseries import cusum
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + datetime.timedelta(minutes=i), float(v), i)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double, i long")
+    got = [
+        r.cusum
+        for r in cusum(
+            df, ["k"], "ts", "v", target=float(target), slack=1.0,
+            threshold=5.0, tiebreak_col="i",
+        ).orderBy("i").collect()
+    ]
+    s, expected = 0.0, []
+    for v in vals:
+        s = max(0.0, s + v - target - 1.0)
+        expected.append(round(s, 6))
+    assert got == expected
