@@ -8273,3 +8273,86 @@ def dedup_rate_report(spark, sf_dir):
         "n_docs bigint, n_exact_dup_rows bigint, n_near_dup_losers bigint, "
         "n_dup_clusters bigint, unique_frac double",
     )
+
+
+@query(
+    "quality_benford",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ), tot AS (SELECT sum(n) AS t FROM obs)
+    SELECT digit, n,
+           round(log10(1.0 + 1.0 / digit) * t, 6) AS expected,
+           round(n / CAST(t AS DOUBLE), 6) AS share,
+           round((n - log10(1.0 + 1.0 / digit) * t)
+                 * (n - log10(1.0 + 1.0 / digit) * t)
+                 / (log10(1.0 + 1.0 / digit) * t), 6) AS chi2_part
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+)
+def quality_benford(spark, sf_dir):
+    """Benford first-digit audit (operators.profiling.benford_audit) of
+    order totals — the forensic screen for fabricated or mechanically
+    generated amounts (this synthetic corpus deliberately fails it:
+    uniform generators put ~11% on every digit, nature puts 30% on 1).
+    One digit extraction + one 9-group count; expectations against the
+    in-plan total."""
+    from .operators.profiling import benford_audit
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_audit(o, "o_totalprice").orderBy("digit")
+
+
+@query(
+    "text_zipf_fit",
+    oracle=r"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      ) GROUP BY tok
+    ), ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM counts
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_types,
+        CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+                      AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+                      AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM ranked
+    )
+    SELECT n_types,
+      round(CASE WHEN n_types >= 3 AND (n_types * sxx - sx * sx) <> 0
+        THEN (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) END, 6)
+        AS slope,
+      round(CASE WHEN n_types >= 3 AND (n_types * sxx - sx * sx) <> 0
+        THEN (sy - ((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)) * sx)
+             / n_types END, 6) AS intercept,
+      round(CASE WHEN n_types >= 3 AND (n_types * sxx - sx * sx) <> 0
+                  AND (n_types * syy - sy * sy) <> 0
+        THEN ((n_types * sxy - sx * sy) * (n_types * sxy - sx * sy))
+             / ((n_types * sxx - sx * sx) * (n_types * syy - sy * sy)) END, 6)
+        AS r2
+    FROM g
+    """,
+)
+def text_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus token frequencies (operators.text.
+    zipf_fit): OLS of ln(freq) on ln(rank) over the vocabulary — natural
+    text sits near slope −1; a flat slope flags synthetic or truncated-
+    vocabulary corpora (this 30-word synthetic corpus measures exactly
+    that deviation). Rank window runs over |vocab| rows, not |tokens|."""
+    from .operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d)

@@ -773,3 +773,37 @@ def k_anonymity(df: DataFrame, cols: Sequence[str], k: int = 5) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column — the
+    classic forensic screen for fabricated or mechanically-generated
+    amounts (natural multiplicative data puts ~30.1% of leading digits at
+    1; uniform generators put ~11.1%).
+
+    One map-side digit extraction + one 9-group count; expected counts
+    come from log10(1 + 1/d) against the in-plan total. Returns one row
+    per digit with observed/expected counts, observed share, and the
+    per-digit (O−E)²/E contribution (sum them for the chi-square
+    statistic against 8 dof). Rows with value < 1 are excluded (no
+    stable leading digit)."""
+    v = F.col(value_col)
+    digit = F.substring(F.floor(v).cast("string"), 1, 1).cast("int")
+    obs = (
+        df.filter(v >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("_t"))
+    e = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * F.col("_t")
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(e, 6).alias("expected"),
+            F.round(F.col("n") / F.col("_t"), 6).alias("share"),
+            F.round((F.col("n") - e) * (F.col("n") - e) / e, 6).alias("chi2_part"),
+        )
+    )

@@ -778,3 +778,36 @@ def oov_stats(
         )
         .withColumnRenamed("grp", group_col)
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency distribution: OLS of
+    ln(frequency) on ln(rank) over the vocabulary — natural language sits
+    near slope −1; a flat slope flags synthetic, truncated-vocabulary, or
+    boilerplate-dominated text (one of the quickest whole-corpus health
+    checks there is).
+
+    One explode+count to the vocabulary, a rank window over the
+    COMPRESSED type domain (|vocab| rows, not |tokens|), then the
+    closed-form DECIMAL-exact OLS (`profiling.linear_fit`). Returns one
+    row ``(n_types, slope, intercept, r2)``."""
+    from pyspark.sql import Window
+
+    from .profiling import linear_fit
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    fit = linear_fit(
+        ranked,
+        [],
+        F.log(F.col("rank").cast("double")),
+        F.log(F.col("freq").cast("double")),
+    )
+    return fit.select(
+        F.col("n_points").alias("n_types"), "slope", "intercept", "r2"
+    )

@@ -737,3 +737,33 @@ def test_dedup_rate_report_internally_consistent(spark, sf_dir):
     # exact dups are a subset of near-dup losers at threshold<=1 (an exact
     # dup pair has jaccard 1.0), so the near count can't be smaller
     assert r.n_near_dup_losers >= r.n_exact_dup_rows
+
+
+# ---------------------------------------------------------------------------
+# benford_audit / zipf_fit
+# ---------------------------------------------------------------------------
+
+
+def test_benford_golden_shares_and_exclusions(spark):
+    from pipes_spark.operators.profiling import benford_audit
+
+    rows = [(1.5,), (12.0,), (19.9,), (25.0,), (0.4,)]  # 0.4 excluded
+    df = spark.createDataFrame(rows, "v double")
+    got = {r.digit: (r.n, r.share) for r in benford_audit(df, "v").collect()}
+    assert got == {1: (3, 0.75), 2: (1, 0.25)}
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    import math
+
+    from pipes_spark.operators.text import zipf_fit
+
+    # corpus where token t_r appears round(100/r) times: slope ~= -1
+    words = []
+    for r in range(1, 9):
+        words += [f"w{r:02d}"] * round(100 / r)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    row = zipf_fit(df).collect()[0]
+    assert row.n_types == 8
+    assert abs(row.slope + 1.0) < 0.05  # near the Zipf exponent
+    assert row.r2 > 0.99
