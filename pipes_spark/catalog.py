@@ -8356,3 +8356,94 @@ def text_zipf_fit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return zipf_fit(d)
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g, value AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), per AS (
+      SELECT v, CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n2
+      FROM t GROUP BY v
+    ), c AS (
+      SELECT n1, n2,
+             CAST(coalesce(sum(n1 + n2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum
+      FROM per
+    ), agg AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n2) AS BIGINT) AS n2,
+             CAST(sum(CAST(n1 AS DECIMAL(19,0))
+                      * (2 * CAST(cum AS DECIMAL(19,0))
+                         + CAST(n1 + n2 AS DECIMAL(19,0)) + 1)) AS DOUBLE)
+               AS r1x2,
+             CAST(sum(CAST(n1 + n2 AS DECIMAL(19,0))
+                      * CAST(n1 + n2 AS DECIMAL(19,0))
+                      * CAST(n1 + n2 AS DECIMAL(19,0))
+                      - CAST(n1 + n2 AS DECIMAL(19,0))) AS DOUBLE) AS ties
+      FROM c
+    )
+    SELECT n1, n2,
+           round(r1x2 / 2.0 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           round((r1x2 / 2.0 - n1 * (n1 + 1) / 2.0 - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(nullif(n1 * CAST(n2 AS DOUBLE) / 12.0
+                        * ((n1 + n2 + 1) - ties / (CAST(n1 + n2 AS DOUBLE)
+                                                   * (n1 + n2 - 1))), 0)), 6) AS z
+    FROM agg
+    """,
+)
+def stats_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (operators.profiling.mann_whitney_u):
+    are purchase values stochastically larger than click values — the
+    nonparametric complement to the Welch A/B readout, computed on the
+    GROUPED value domain with exact DECIMAL doubled-rank-sums and
+    tie-corrected variance (the auc_roc machinery applied to hypothesis
+    testing)."""
+    from .operators.profiling import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return mann_whitney_u(ev, F.col("event_type") == "purchase", F.col("value"))
+
+
+@query(
+    "stats_theil_sen",
+    oracle="""
+    WITH s AS (
+      SELECT event_id AS k,
+             (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+               / 1000000.0 AS x,
+             value AS y
+      FROM events
+      WHERE event_type = 'view'
+        AND CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) < 214748364
+    ), pairs AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM s a JOIN s b ON a.k < b.k AND a.x <> b.x
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sample,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 6) AS slope_ts
+    FROM pairs
+    """,
+)
+def stats_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend (operators.profiling.theil_sen_slope): the
+    exact median of pairwise slopes over a deterministic 5% hash sample
+    of view events — the 29%-breakdown robust check next to the OLS
+    forecast family (one wild point moves OLS arbitrarily, shifts this
+    by one rank). Pair volume is the sample's square; the fraction is the
+    scale knob."""
+    from .operators.profiling import theil_sen_slope
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    base = F.unix_micros(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    x = (F.unix_micros(F.col("ts")) - base) / F.lit(1000000.0)
+    return theil_sen_slope(
+        ev, x, F.col("value"), F.col("event_id"), sample_fraction=0.05
+    )

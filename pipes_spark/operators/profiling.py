@@ -807,3 +807,109 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
             F.round((F.col("n") - e) * (F.col("n") - e) / e, 6).alias("chi2_part"),
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test of whether one group's
+    values are stochastically larger — the nonparametric complement to
+    the Welch A/B readout (no normality assumption; the right test for
+    skewed metrics like revenue or latency).
+
+    Computed on the GROUPED value domain exactly like ``auc_roc``: one
+    aggregate to (value, n₁, n₂), a cumulative window over distinct
+    values, then the doubled-rank-sum identity (2·R₁ = Σ n₁(v)·(2·cum(<v)
+    + n(v) + 1)) in exact DECIMAL integers. z uses the tie-corrected
+    variance n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))); only z's final division
+    is floating, so both engines agree. Returns one row
+    ``(n1, n2, u1, z)``; the two-sided p is 2(1−Φ(|z|)) by lookup."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(group.cast("int").alias("_g"), value.alias("_v"))
+        .groupBy("_v")
+        .agg(
+            F.sum("_g").cast("long").alias("_n1"),
+            (F.count(F.lit(1)) - F.sum("_g")).cast("long").alias("_n2"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn(
+        "_c", F.coalesce(F.sum(F.col("_n1") + F.col("_n2")).over(w), F.lit(0))
+    )
+    t = (F.col("_n1") + F.col("_n2")).cast("decimal(19,0)")
+    r1x2 = F.sum(
+        F.col("_n1").cast("decimal(19,0)")
+        * (F.lit(2).cast("decimal(19,0)") * F.col("_c").cast("decimal(19,0)") + t + 1)
+    )
+    ties = F.sum(t * t * t - t)
+    agg = cum.agg(
+        F.sum("_n1").cast("long").alias("n1"),
+        F.sum("_n2").cast("long").alias("n2"),
+        r1x2.alias("_r1x2"),
+        ties.cast("double").alias("_ties"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    u1 = (F.col("_r1x2").cast("double") / 2.0) - n1 * (n1 + 1) / 2.0
+    var = n1 * n2 / 12.0 * ((nn + 1) - F.col("_ties") / (nn * (nn - 1)))
+    z = (u1 - n1 * n2 / 2.0) / F.sqrt(F.nullif(var, F.lit(0.0)))
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, round_decimals).alias("u1"),
+        F.round(z, round_decimals).alias("z"),
+    )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    key: Column,
+    sample_fraction: float = 0.05,
+    salt: str = "",
+) -> DataFrame:
+    """Outlier-robust trend estimate: the median of pairwise slopes
+    (Theil–Sen) over a DETERMINISTIC hash sample of the rows — a single
+    wild point moves OLS arbitrarily but shifts a median of slopes by one
+    rank (29% breakdown). The standard robust check next to
+    :func:`linear_fit` before trusting a trend.
+
+    Exact Theil–Sen is O(n²) pairs; the estimator keeps its robustness on
+    a uniform subsample, so rows pass the portable md5 keep-filter first
+    (reproducible across runs/partitionings/engines — the
+    ``deterministic_sample`` contract) and all pairs of the SAMPLE are
+    formed by a hash-keyed self-join. Size ``sample_fraction`` so the
+    sampled count stays in the 10³–10⁴ range at your scale (pairs ~ its
+    square); the sampled ids travel with x/y doubles only. Returns one
+    row ``(n_sample, n_pairs, slope_ts)`` with the exact median of the
+    pairwise slopes."""
+    from .sampling import hash_bucket
+
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+    s = (
+        df.select(key.alias("_k"), x.cast("double").alias("_x"), y.cast("double").alias("_y"))
+        .filter(hash_bucket(F.col("_k"), salt) < int(sample_fraction * (1 << 32)))
+    )
+    a = s.select(F.col("_k").alias("_ka"), F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = s.select(F.col("_k").alias("_kb"), F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter((F.col("_ka") < F.col("_kb")) & (F.col("_xa") != F.col("_xb")))
+        .select(
+            ((F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa"))).alias("_s")
+        )
+    )
+    n_sample = s.count()
+    return pairs.agg(
+        F.lit(n_sample).cast("bigint").alias("n_sample"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(_s, 0.5)"), 6).alias("slope_ts"),
+    )

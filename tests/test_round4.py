@@ -767,3 +767,40 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert row.n_types == 8
     assert abs(row.slope + 1.0) < 0.05  # near the Zipf exponent
     assert row.r2 > 0.99
+
+
+# ---------------------------------------------------------------------------
+# mann_whitney_u / theil_sen_slope
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_golden_with_ties(spark):
+    from pipes_spark.operators.profiling import mann_whitney_u
+
+    # group1 = [3, 2, 4], group0 = [1, 2]: same data as the AUC golden
+    rows = [(1.0, 0), (2.0, 0), (3.0, 1), (2.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "v double, g int")
+    r = mann_whitney_u(df, F.col("g") == 1, F.col("v")).collect()[0]
+    # ranks: 1->1, 2->2.5 (tie), 3->4, 4->5; R1 = 2.5+4+5 = 11.5
+    # U1 = 11.5 - 3*4/2 = 5.5 ; matches AUC*n1*n2 = 0.916667*6
+    assert (r.n1, r.n2) == (3, 2)
+    assert r.u1 == 5.5
+    # z: mean 3, tie-corrected var = 6/12*((5+1) - 6/(5*4)) = 2.85
+    import math
+
+    assert r.z == round((5.5 - 3.0) / math.sqrt(2.85), 6)
+
+
+def test_theil_sen_ignores_outlier_ols_cannot(spark):
+    from pipes_spark.operators.profiling import linear_fit, theil_sen_slope
+
+    # y = 2x line with one wild outlier at the end
+    rows = [(i, float(i), 2.0 * i) for i in range(30)] + [(99, 30.0, 500.0)]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    ts = theil_sen_slope(
+        df, F.col("x"), F.col("y"), F.col("k"), sample_fraction=1.0
+    ).collect()[0]
+    assert ts.n_sample == 31
+    assert abs(ts.slope_ts - 2.0) < 0.1  # robust: median slope stays on the line
+    ols = linear_fit(df, [], F.col("x"), F.col("y")).collect()[0]
+    assert ols.slope > 2.5  # OLS dragged far off by the single outlier
