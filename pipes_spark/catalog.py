@@ -8447,3 +8447,77 @@ def stats_theil_sen(spark, sf_dir):
     return theil_sen_slope(
         ev, x, F.col("value"), F.col("event_id"), sample_fraction=0.05
     )
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g, value AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), per AS (
+      SELECT v, CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n2
+      FROM t GROUP BY v
+    ), c AS (
+      SELECT CAST(sum(n1) OVER w AS BIGINT) AS c1,
+             CAST(sum(n2) OVER w AS BIGINT) AS c2
+      FROM per
+      WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ), tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS N1, CAST(sum(n2) AS BIGINT) AS N2
+      FROM per
+    )
+    SELECT N1 AS n1, N2 AS n2,
+           round(CAST(max(abs(CAST(c1 AS DECIMAL(19,0)) * N2
+                              - CAST(c2 AS DECIMAL(19,0)) * N1)) AS DOUBLE)
+                 / (CAST(N1 AS DOUBLE) * N2), 6) AS ks_d
+    FROM c CROSS JOIN tot GROUP BY N1, N2
+    """,
+)
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic (operators.profiling.
+    ks_two_sample): purchase vs click value distributions — the
+    shape-sensitive test that catches same-mean/different-spread shifts.
+    Grouped-domain cumulative counts, integer max-gap identity, one
+    final division — bit-identical D in both engines."""
+    from .operators.profiling import ks_two_sample
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return ks_two_sample(ev, F.col("event_type") == "purchase", F.col("value"))
+
+
+@query(
+    "stats_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS y
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT y, row_number() OVER (ORDER BY y ASC, o_custkey ASC) AS i
+      FROM spend
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE), 2) AS total,
+           round(2.0 * CAST(sum(CAST(i * y AS DECIMAL(38,6))) AS DOUBLE)
+                 / (count(*) * CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r
+    """,
+)
+def stats_gini(spark, sf_dir):
+    """Gini coefficient of per-customer spend (operators.profiling.
+    gini_coefficient): the revenue-concentration readout via the
+    rank-sum identity with DECIMAL-exact Σi·y. Deterministic ranking
+    (spend, custkey); the bucket-parallel permutation_index swap is
+    documented on the operator for extreme cardinality."""
+    from .operators.profiling import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("y")
+    )
+    return gini_coefficient(spend, F.col("y"), F.col("o_custkey"))

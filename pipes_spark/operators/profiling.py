@@ -913,3 +913,99 @@ def theil_sen_slope(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
         F.round(F.expr("percentile(_s, 0.5)"), 6).alias("slope_ts"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic D = max |ECDF₁ − ECDF₂| —
+    the distribution-shape test that catches what mean-based tests miss
+    (same mean, different spread/modality), completing the family next to
+    chi-square and Mann-Whitney.
+
+    Grouped-domain shape again: one aggregate to (value, n₁, n₂),
+    INCLUSIVE cumulative counts over distinct values, and the integer
+    identity D = max |cum₁·n₂ − cum₂·n₁| / (n₁·n₂) — the max runs over
+    exact DECIMAL integers, so D is bit-identical everywhere; only the
+    single final division floats. Returns one row ``(n1, n2, ks_d)``."""
+    from pyspark.sql import Window
+
+    per = (
+        df.select(group.cast("int").alias("_g"), value.alias("_v"))
+        .groupBy("_v")
+        .agg(
+            F.sum("_g").cast("long").alias("_n1"),
+            (F.count(F.lit(1)) - F.sum("_g")).cast("long").alias("_n2"),
+        )
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("_n1").over(w).alias("_c1"), F.sum("_n2").over(w).alias("_c2")
+    )
+    gap = F.abs(
+        F.col("_c1").cast("decimal(19,0)") * F.col("_N2")
+        - F.col("_c2").cast("decimal(19,0)") * F.col("_N1")
+    )
+    tot = per.agg(
+        F.sum("_n1").cast("decimal(19,0)").alias("_N1"),
+        F.sum("_n2").cast("decimal(19,0)").alias("_N2"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("_N1").cast("bigint").alias("n1"),
+            F.first("_N2").cast("bigint").alias("n2"),
+            F.round(
+                F.max(gap).cast("double")
+                / F.nullif(
+                    (F.first("_N1") * F.first("_N2")).cast("double"), F.lit(0.0)
+                ),
+                round_decimals,
+            ).alias("ks_d"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value: Column,
+    tiebreak: Column,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a non-negative quantity — the concentration
+    readout ("what share of revenue do the top customers carry"); 0 =
+    perfectly equal, →1 = one unit holds everything.
+
+    Rank-sum form G = 2·Σᵢ i·yᵢ / (n·Σy) − (n+1)/n over values sorted
+    ascending (deterministic via the tiebreak). Σ i·y accumulates as
+    DECIMAL — exact and order-independent — so both engines produce the
+    identical coefficient. This exact form uses a global-order window (up
+    to the single-task sort limit); at extreme cardinality rank via the
+    bucket-parallel ``sampling.permutation_index`` and keep the same
+    aggregate. Returns one row ``(n, total, gini)``."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_y").asc(), F.col("_t").asc())
+    ranked = df.select(
+        value.cast("double").alias("_y"), tiebreak.alias("_t")
+    ).withColumn("_i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum(F.col("_y").cast("decimal(28,6)")).cast("double"), 2).alias(
+            "total"
+        ),
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("_i") * F.col("_y")).cast("decimal(38,6)")).cast("double")
+            / F.nullif(
+                F.count(F.lit(1))
+                * F.sum(F.col("_y").cast("decimal(28,6)")).cast("double"),
+                F.lit(0.0),
+            )
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            round_decimals,
+        ).alias("gini"),
+    )

@@ -804,3 +804,35 @@ def test_theil_sen_ignores_outlier_ols_cannot(spark):
     assert abs(ts.slope_ts - 2.0) < 0.1  # robust: median slope stays on the line
     ols = linear_fit(df, [], F.col("x"), F.col("y")).collect()[0]
     assert ols.slope > 2.5  # OLS dragged far off by the single outlier
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample / gini_coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_ks_golden_separated_and_identical(spark):
+    from pipes_spark.operators.profiling import ks_two_sample
+
+    # fully separated distributions -> D = 1
+    rows = [(1.0, 1), (2.0, 1), (10.0, 0), (11.0, 0)]
+    df = spark.createDataFrame(rows, "v double, g int")
+    r = ks_two_sample(df, F.col("g") == 1, F.col("v")).collect()[0]
+    assert (r.n1, r.n2, r.ks_d) == (2, 2, 1.0)
+    # identical samples -> D = 0
+    rows2 = [(1.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)]
+    df2 = spark.createDataFrame(rows2, "v double, g int")
+    assert ks_two_sample(df2, F.col("g") == 1, F.col("v")).collect()[0].ks_d == 0.0
+
+
+def test_gini_extremes(spark):
+    from pipes_spark.operators.profiling import gini_coefficient
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([(i, 10.0) for i in range(5)], "k long, y double")
+    assert gini_coefficient(eq, F.col("y"), F.col("k")).collect()[0].gini == 0.0
+    # one unit holds everything -> (n-1)/n = 0.8
+    one = spark.createDataFrame(
+        [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "k long, y double"
+    )
+    assert gini_coefficient(one, F.col("y"), F.col("k")).collect()[0].gini == 0.8
