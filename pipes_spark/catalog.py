@@ -8521,3 +8521,49 @@ def stats_gini(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("y")
     )
     return gini_coefficient(spend, F.col("y"), F.col("o_custkey"))
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH base AS (
+      SELECT event_id AS k, value AS y FROM events
+      WHERE event_type = 'purchase'
+    ), idx AS (
+      SELECT k, y,
+             row_number() OVER (
+               ORDER BY CAST(concat('0x', substr(md5(concat(
+                 CAST(k AS VARCHAR), '|perm')), 1, 8)) AS BIGINT), k) - 1 AS i
+      FROM base
+    ), nn AS (SELECT count(*) AS n FROM base),
+    draws AS (
+      SELECT b.b,
+             CAST(concat('0x', substr(md5(concat(CAST(b.b AS VARCHAR), '#',
+                 CAST(i.i AS VARCHAR), '|boot')), 1, 8)) AS BIGINT) % nn.n AS di
+      FROM generate_series(0, 199) AS b(b), idx i, nn
+    ), means AS (
+      SELECT b, CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+      FROM draws JOIN idx ON idx.i = draws.di GROUP BY b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM base) AS n,
+           CAST(200 AS BIGINT) AS n_replicates,
+           (SELECT round(CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE)
+                         / count(*), 6) FROM base) AS mean,
+           round(quantile_cont(m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) AS ci_hi
+    FROM means
+    """,
+)
+def stats_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap CI for the mean purchase value
+    (operators.profiling.bootstrap_mean_ci): 200 with-replacement
+    resamples whose every draw is a pure portable hash — "random"
+    resampling the oracle restates verbatim, reproducible across
+    engines and partitionings. Replicate means are DECIMAL-exact; the
+    CI interpolates over the 200 replicate rows."""
+    from .operators.profiling import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return bootstrap_mean_ci(
+        ev, F.col("value"), F.col("event_id"), n_replicates=200
+    )

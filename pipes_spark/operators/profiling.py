@@ -1009,3 +1009,82 @@ def gini_coefficient(
             round_decimals,
         ).alias("gini"),
     )
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value: Column,
+    key: Column,
+    n_replicates: int = 200,
+    alpha: float = 0.05,
+    salt: str = "",
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean — interval
+    estimation to go with the point tests (Welch / Mann-Whitney / KS):
+    resample the rows with replacement ``n_replicates`` times, take each
+    replicate's mean, and read the CI off the replicate-mean quantiles.
+
+    Every draw is a pure hash function — replicate b's j-th draw is the
+    row ranked ``md5(b#j|boot) mod n`` in the portable hash permutation
+    (``sampling.permutation_index``) — so the "random" resampling is
+    reproducible across runs, partitionings, and engines, and the oracle
+    can restate it verbatim. n stays IN-PLAN (1-row count cross-joined);
+    replicate means sum DECIMAL (exact); the quantiles interpolate over
+    ``n_replicates`` rows. Cost: n·B draw rows through one index join —
+    size the replicate count and/or pre-sample the input so n·B stays in
+    the 10⁵–10⁷ range (bootstrap at 100 TB runs on a sample or on
+    per-partition aggregates, not raw rows). Returns one row
+    ``(n, n_replicates, mean, ci_lo, ci_hi)``."""
+    from .sampling import hash_bucket, permutation_index
+
+    if n_replicates < 2:
+        raise ValueError(f"n_replicates must be >= 2, got {n_replicates}")
+    base = df.select(key.alias("_k"), value.cast("double").alias("_y"))
+    idx = permutation_index(base, "_k", salt).join(base, "_k")
+    cnt = idx.agg(F.count(F.lit(1)).alias("_n"))
+    spark = df.sparkSession
+    reps = spark.range(int(n_replicates)).select(F.col("id").alias("_b"))
+    draws = (
+        idx.select(F.col("_idx").alias("_j"))
+        .crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "_b",
+            (
+                hash_bucket(
+                    F.concat(
+                        F.col("_b").cast("string"), F.lit("#"), F.col("_j").cast("string")
+                    ),
+                    salt + "|boot",
+                )
+                % F.col("_n")
+            ).alias("_idx"),
+        )
+    )
+    means = (
+        draws.join(idx.select("_idx", "_y"), "_idx")
+        .groupBy("_b")
+        .agg(
+            (
+                F.sum(F.col("_y").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+    )
+    lo, hi = alpha / 2.0, 1.0 - alpha / 2.0
+    overall = idx.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("_y").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean"),
+    )
+    ci = means.agg(
+        F.lit(int(n_replicates)).cast("bigint").alias("n_replicates"),
+        F.round(F.expr(f"percentile(_m, {lo!r})"), 6).alias("ci_lo"),
+        F.round(F.expr(f"percentile(_m, {hi!r})"), 6).alias("ci_hi"),
+    )
+    return overall.crossJoin(F.broadcast(ci)).select(
+        "n", "n_replicates", "mean", "ci_lo", "ci_hi"
+    )

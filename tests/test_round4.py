@@ -836,3 +836,19 @@ def test_gini_extremes(spark):
         [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "k long, y double"
     )
     assert gini_coefficient(one, F.col("y"), F.col("k")).collect()[0].gini == 0.8
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pipes_spark.operators.profiling import bootstrap_mean_ci
+
+    rows = [(i, float(10 + (i * 7) % 13)) for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, y double")
+    r1 = bootstrap_mean_ci(df, F.col("y"), F.col("k"), n_replicates=100).collect()[0]
+    assert r1.n == 120 and r1.n_replicates == 100
+    assert r1.ci_lo <= r1.mean <= r1.ci_hi
+    assert r1.ci_lo < r1.ci_hi  # non-degenerate interval
+    # determinism across partitionings (hash draws, no RNG state)
+    r2 = bootstrap_mean_ci(
+        df.repartition(7), F.col("y"), F.col("k"), n_replicates=100
+    ).collect()[0]
+    assert (r1.mean, r1.ci_lo, r1.ci_hi) == (r2.mean, r2.ci_lo, r2.ci_hi)
