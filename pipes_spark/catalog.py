@@ -8567,3 +8567,44 @@ def stats_bootstrap_ci(spark, sf_dir):
     return bootstrap_mean_ci(
         ev, F.col("value"), F.col("event_id"), n_replicates=200
     )
+
+
+@query(
+    "ml_prob_metrics",
+    oracle="""
+    WITH mm AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), t AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+             least(1.0 - 0.000001, greatest(0.000001,
+               round((o_totalprice - mn) / (mx - mn), 6))) AS p
+      FROM orders CROSS JOIN mm
+    ), terms AS (
+      SELECT round(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)), 6) AS ll,
+             round((p - y) * (p - y), 6) AS br
+      FROM t
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(ll AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS log_loss,
+           round(CAST(sum(CAST(br AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+             AS brier
+    FROM terms
+    """,
+)
+def ml_prob_metrics(spark, sf_dir):
+    """Proper scoring rules (operators.linear_model.prob_metrics): mean
+    log-loss and Brier score of the min-max-normalized price as a
+    probability for "order is fulfilled" — the calibration-sensitive
+    complement to AUC (same score/label pairing as ml_calibration_bins,
+    so the three metrics read as one evaluation suite). Terms round then
+    sum DECIMAL — engine-exact means."""
+    from .operators.linear_model import prob_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    scored = o.crossJoin(F.broadcast(mm))
+    p = F.round(
+        (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+    )
+    return prob_metrics(scored, F.col("o_orderstatus") == "F", p)

@@ -217,3 +217,37 @@ def calibration_bins(
             F.round(F.sum("_y") / F.count(F.lit(1)), 6).alias("pos_rate"),
         )
     )
+
+
+def prob_metrics(
+    df: DataFrame,
+    label: F.Column,
+    prob: F.Column,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Proper-scoring-rule metrics for probabilistic predictions: mean
+    log-loss (cross-entropy) and Brier score — the pair that, unlike
+    accuracy/AUC, punishes CONFIDENT wrong probabilities and so actually
+    measures calibration quality end to end.
+
+    Probabilities clamp into [eps, 1−eps] (log-loss is infinite at a
+    confident miss otherwise); per-row terms round to 6 decimals and sum
+    DECIMAL, so the means are order- and engine-exact. One aggregate, no
+    shuffle beyond it. Returns one row ``(n, log_loss, brier)``."""
+    p = F.least(F.lit(1.0 - eps), F.greatest(F.lit(eps), prob.cast("double")))
+    y = label.cast("int").cast("double")
+    ll = F.round(-(y * F.log(p) + (1.0 - y) * F.log(1.0 - p)), 6)
+    br = F.round((p - y) * (p - y), 6)
+    return df.select(ll.alias("_ll"), br.alias("_br")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col("_ll").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("log_loss"),
+        F.round(
+            F.sum(F.col("_br").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("brier"),
+    )

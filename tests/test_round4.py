@@ -852,3 +852,21 @@ def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
         df.repartition(7), F.col("y"), F.col("k"), n_replicates=100
     ).collect()[0]
     assert (r1.mean, r1.ci_lo, r1.ci_hi) == (r2.mean, r2.ci_lo, r2.ci_hi)
+
+
+def test_prob_metrics_golden(spark):
+    import math
+
+    from pipes_spark.operators.linear_model import prob_metrics
+
+    rows = [(0.9, 1), (0.1, 0), (0.8, 0), (0.3, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = prob_metrics(df, F.col("y") == 1, F.col("p")).collect()[0]
+    lls = [
+        round(-math.log(0.9), 6), round(-math.log(0.9), 6),
+        round(-math.log(0.2), 6), round(-math.log(0.3), 6),
+    ]
+    brs = [round(x, 6) for x in (0.01, 0.01, 0.64, 0.49)]
+    assert r.n == 4
+    assert r.log_loss == round(sum(lls) / 4, 6)
+    assert r.brier == round(sum(brs) / 4, 6)
