@@ -8608,3 +8608,62 @@ def ml_prob_metrics(spark, sf_dir):
         (F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
     )
     return prob_metrics(scored, F.col("o_orderstatus") == "F", p)
+
+
+@query(
+    "stats_permutation_test",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             value AS y, CAST(event_id AS VARCHAR) AS k
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), sizes AS (
+      SELECT CAST(sum(g) AS BIGINT) AS na, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN g = 1 THEN CAST(y AS DECIMAL(28,6)) END)
+                  AS DOUBLE) AS sa,
+             CAST(sum(CASE WHEN g = 0 THEN CAST(y AS DECIMAL(28,6)) END)
+                  AS DOUBLE) AS sb
+      FROM base
+    ), permed AS (
+      SELECT r.b, y,
+             row_number() OVER (
+               PARTITION BY r.b
+               ORDER BY CAST(concat('0x', substr(md5(concat(
+                 CAST(r.b AS VARCHAR), '#', k, '|permtest')), 1, 8)) AS BIGINT),
+               k) AS rn
+      FROM base, generate_series(0, 99) AS r(b)
+    ), diffs AS (
+      SELECT b,
+             CAST(sum(CASE WHEN rn <= sizes.na
+                           THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE)
+               / sizes.na
+             - CAST(sum(CASE WHEN rn > sizes.na
+                             THEN CAST(y AS DECIMAL(28,6)) END) AS DOUBLE)
+               / (sizes.n - sizes.na) AS d
+      FROM permed, sizes GROUP BY b, sizes.na, sizes.n
+    ), obs AS (
+      SELECT n, na, round(sa / na - sb / (n - na), 6) AS obs_diff FROM sizes
+    )
+    SELECT obs.n AS n, obs.na AS n_a, obs.obs_diff,
+           round((sum(CASE WHEN round(abs(d), 6) >= round(abs(obs_diff), 6)
+                           THEN 1 ELSE 0 END) + 1.0) / 101.0, 6) AS p_value
+    FROM diffs CROSS JOIN obs
+    GROUP BY obs.n, obs.na, obs.obs_diff
+    """,
+)
+def stats_permutation_test(spark, sf_dir):
+    """Assumption-free two-sample permutation test (operators.profiling.
+    permutation_test_mean_diff): are purchase and click values different
+    in mean — 100 size-preserving relabelings, each a per-replicate
+    portable-hash ranking the oracle restates verbatim; permutations run
+    in parallel (window partitioned by replicate), means are
+    DECIMAL-exact, p uses the (b+1)/(R+1) convention."""
+    from .operators.profiling import permutation_test_mean_diff
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return permutation_test_mean_diff(
+        ev, F.col("event_type") == "purchase", F.col("value"), F.col("event_id"),
+        n_permutations=100,
+    )

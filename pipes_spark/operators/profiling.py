@@ -1088,3 +1088,94 @@ def bootstrap_mean_ci(
     return overall.crossJoin(F.broadcast(ci)).select(
         "n", "n_replicates", "mean", "ci_lo", "ci_hi"
     )
+
+
+def permutation_test_mean_diff(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    key: Column,
+    n_permutations: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Two-sample permutation test for the difference in means — the
+    assumption-free p-value (no normality, no equal variance; the test
+    Welch approximates). Each permutation relabels the pooled rows into
+    groups of the ORIGINAL sizes by ranking on a per-replicate portable
+    hash — fully deterministic, restated verbatim by the oracle, stable
+    across partitionings and engines.
+
+    Shape: the pooled table replicates ``n_permutations`` times (size the
+    replicate count / pre-sample the input so N·R stays bounded — at
+    scale you permute a sample or group-level aggregates); ranking runs
+    in a window PARTITIONED BY replicate, so permutations execute in
+    parallel; per-replicate means sum DECIMAL (exact). p uses the
+    add-one convention (b+1)/(R+1). Returns one row
+    ``(n, n_a, obs_diff, p_value)``."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    if n_permutations < 1:
+        raise ValueError(f"n_permutations must be >= 1, got {n_permutations}")
+    base = df.select(
+        group.cast("int").alias("_g"),
+        value.cast("double").alias("_y"),
+        key.cast("string").alias("_k"),
+    )
+    dec = "decimal(28,6)"
+    sizes = base.agg(
+        F.sum("_g").cast("long").alias("_na"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.when(F.col("_g") == 1, F.col("_y")).cast(dec))
+        .cast("double")
+        .alias("_sa"),
+        F.sum(F.when(F.col("_g") == 0, F.col("_y")).cast(dec))
+        .cast("double")
+        .alias("_sb"),
+    )
+    spark = df.sparkSession
+    reps = spark.range(int(n_permutations)).select(F.col("id").alias("_b"))
+    h = hash_bucket(
+        F.concat(F.col("_b").cast("string"), F.lit("#"), F.col("_k")), salt + "|permtest"
+    )
+    w = Window.partitionBy("_b").orderBy(h.asc(), F.col("_k").asc())
+    permed = (
+        base.crossJoin(F.broadcast(reps))
+        .withColumn("_r", F.row_number().over(w))
+        .crossJoin(F.broadcast(sizes))
+        .withColumn("_ga", (F.col("_r") <= F.col("_na")).cast("int"))
+    )
+    diffs = permed.groupBy("_b").agg(
+        (
+            F.sum(F.when(F.col("_ga") == 1, F.col("_y")).cast(dec)).cast("double")
+            / F.first("_na")
+            - F.sum(F.when(F.col("_ga") == 0, F.col("_y")).cast(dec)).cast("double")
+            / (F.first("_n") - F.first("_na"))
+        ).alias("_d")
+    )
+    obs = sizes.select(
+        F.col("_n").alias("n"),
+        F.col("_na").alias("n_a"),
+        F.round(
+            F.col("_sa") / F.col("_na") - F.col("_sb") / (F.col("_n") - F.col("_na")),
+            6,
+        ).alias("obs_diff"),
+    )
+    extreme = diffs.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            (F.round(F.abs(F.col("_d")), 6) >= F.round(F.abs(F.col("obs_diff")), 6))
+            .cast("int")
+        ).alias("_extreme")
+    )
+    return (
+        obs.crossJoin(F.broadcast(extreme))
+        .select(
+            "n",
+            "n_a",
+            "obs_diff",
+            F.round(
+                (F.col("_extreme") + 1.0) / F.lit(float(n_permutations) + 1.0), 6
+            ).alias("p_value"),
+        )
+    )

@@ -870,3 +870,26 @@ def test_prob_metrics_golden(spark):
     assert r.n == 4
     assert r.log_loss == round(sum(lls) / 4, 6)
     assert r.brier == round(sum(brs) / 4, 6)
+
+
+def test_permutation_test_separated_vs_identical(spark):
+    from pipes_spark.operators.profiling import permutation_test_mean_diff
+
+    # hugely separated groups: p should be the minimum (1/(R+1))
+    rows = [(i, float(i % 7), 0) for i in range(40)] + [
+        (100 + i, 100.0 + (i % 7), 1) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, y double, g int")
+    r = permutation_test_mean_diff(
+        df, F.col("g") == 1, F.col("y"), F.col("k"), n_permutations=50
+    ).collect()[0]
+    assert (r.n, r.n_a) == (80, 40)
+    assert r.p_value == round(1 / 51, 6)
+    # identical groups (same multiset): obs diff 0 -> p = 1 (every
+    # permutation is at least as extreme)
+    same = [(i, float(i % 5), i % 2) for i in range(40)]
+    df2 = spark.createDataFrame(same, "k long, y double, g int")
+    r2 = permutation_test_mean_diff(
+        df2, F.col("g") == 1, F.col("y"), F.col("k"), n_permutations=50
+    ).collect()[0]
+    assert r2.p_value > 0.5
