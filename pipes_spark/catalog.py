@@ -8667,3 +8667,63 @@ def stats_permutation_test(spark, sf_dir):
         ev, F.col("event_type") == "purchase", F.col("value"), F.col("event_id"),
         n_permutations=100,
     )
+
+
+@query(
+    "ts_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT CAST(floor((epoch_us(l) - epoch_us(f)) / 86400000000.0) AS BIGINT)
+               AS duration,
+             CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS e
+      FROM span CROSS JOIN mx
+    ), per AS (
+      SELECT duration, CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM dur GROUP BY duration
+    ), tot AS (SELECT sum(n_events + n_censored) AS N FROM per),
+    risk AS (
+      SELECT duration, n_events, n_censored,
+             CAST(N - coalesce(sum(n_events + n_censored) OVER (
+               ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM per CROSS JOIN tot
+    )
+    SELECT duration, n_risk, n_events, n_censored,
+           round(exp(sum(CASE WHEN n_events < n_risk
+                              THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
+                              ELSE CAST('-infinity' AS DOUBLE) END)
+                     OVER (ORDER BY duration
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 6) AS survival
+    FROM risk ORDER BY duration
+    """,
+)
+def ts_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier churn curve (operators.timeseries.kaplan_meier):
+    per-user activity span in days, "churned" when the last event falls
+    more than 3 days before the dataset edge, censored otherwise — the
+    right-censored survival estimate naive retention curves get wrong.
+    Risk sets come from one cumulative window over the compressed
+    duration domain; the product runs in log space."""
+    from .operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    dur = span.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            (F.unix_micros(F.col("l")) - F.unix_micros(F.col("f")))
+            / F.lit(86400000000.0)
+        )
+        .cast("long")
+        .alias("duration"),
+        (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
+    )
+    return kaplan_meier(dur, "duration", "e").orderBy("duration")

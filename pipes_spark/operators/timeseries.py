@@ -666,3 +666,68 @@ def cusum(
         "cusum",
         (F.col("cusum") > F.lit(threshold)).alias("alert"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival curve with right-censoring — time-to-event
+    analytics (churn, hardware failure, subscription survival) done
+    correctly: censored subjects (still alive at last observation) leave
+    the risk set without counting as deaths, which naive "fraction still
+    here at t" curves get wrong.
+
+    Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct event times, with nᵢ the
+    at-risk count just before tᵢ. Shape: one groupBy to per-duration
+    (deaths, censored) counts, a cumulative window over the COMPRESSED
+    duration domain for the risk sets, and the product as
+    exp(Σ ln(1 − d/n)) — the standard log-space cumulative product
+    (Catalyst has no product aggregate); integer counts keep both engines
+    on identical doubles. Returns one row per distinct duration:
+    ``(duration, n_risk, n_events, n_censored, survival)``; survival hits
+    exactly 0 when the last risk set dies out."""
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per = (
+        df.select(d.alias("duration"), e.alias("_e"))
+        .groupBy("duration")
+        .agg(
+            F.sum("_e").cast("long").alias("n_events"),
+            (F.count(F.lit(1)) - F.sum("_e")).cast("long").alias("n_censored"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    total = per.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("_N"))
+    risk = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("_N")
+                - F.coalesce(
+                    F.sum(F.col("n_events") + F.col("n_censored")).over(w_all),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+    )
+    # log-space cumulative product; a time where the whole risk set dies
+    # (d == n) zeroes the curve from there on
+    term = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")),
+    ).otherwise(F.lit(float("-inf")))
+    surv = F.exp(F.sum(term).over(w_cum))
+    return risk.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, round_decimals).alias("survival"),
+    )

@@ -893,3 +893,25 @@ def test_permutation_test_separated_vs_identical(spark):
         df2, F.col("g") == 1, F.col("y"), F.col("k"), n_permutations=50
     ).collect()[0]
     assert r2.p_value > 0.5
+
+
+def test_kaplan_meier_matches_hand_computation_with_censoring(spark):
+    from pipes_spark.operators.timeseries import kaplan_meier
+
+    # durations: deaths at t=1 (2 of 10), censor 1 at t=2, deaths at t=3
+    # (3 of 7), censor 2 at t=4, deaths at t=5 (2 of 2) -> S hits 0
+    rows = (
+        [(1, 1)] * 2 + [(2, 0)] + [(3, 1)] * 3 + [(4, 0)] * 2 + [(5, 1)] * 2
+    )
+    df = spark.createDataFrame(rows, "d long, e int")
+    got = {
+        r.duration: (r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in kaplan_meier(df, "d", "e").collect()
+    }
+    s1 = 1 - 2 / 10
+    s3 = s1 * (1 - 3 / 7)
+    assert got[1] == (10, 2, 0, round(s1, 6))
+    assert got[2] == (8, 0, 1, round(s1, 6))      # censoring leaves S flat
+    assert got[3] == (7, 3, 0, round(s3, 6))
+    assert got[4] == (4, 0, 2, round(s3, 6))
+    assert got[5] == (2, 2, 0, 0.0)               # whole risk set dies
