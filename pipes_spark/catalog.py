@@ -8727,3 +8727,73 @@ def ts_kaplan_meier(spark, sf_dir):
         (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
     )
     return kaplan_meier(dur, "duration", "e").orderBy("duration")
+
+
+@query(
+    "ts_logrank_test",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT CAST(floor((epoch_us(l) - epoch_us(f)) / 86400000000.0) AS BIGINT)
+               AS t,
+             CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS e,
+             CAST(user_id % 2 AS INT) AS g
+      FROM span CROSS JOIN mx
+    ), per AS (
+      SELECT t,
+             CAST(coalesce(sum(CASE WHEN g = 1 THEN e END), 0) AS BIGINT) AS d1,
+             CAST(coalesce(sum(CASE WHEN g = 0 THEN e END), 0) AS BIGINT) AS d0,
+             CAST(coalesce(sum(CASE WHEN g = 1 THEN 1 END), 0) AS BIGINT) AS a1,
+             CAST(coalesce(sum(CASE WHEN g = 0 THEN 1 END), 0) AS BIGINT) AS a0
+      FROM dur GROUP BY t
+    ), tot AS (SELECT sum(a1) AS N1, sum(a0) AS N0 FROM per),
+    risk AS (
+      SELECT t, d1, d0,
+             CAST(N1 - coalesce(sum(a1) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n1,
+             CAST(N0 - coalesce(sum(a0) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n0,
+             N1, N0
+      FROM per CROSS JOIN tot
+    )
+    SELECT CAST(max(N1) AS BIGINT) AS n1, CAST(max(N0) AS BIGINT) AS n0,
+           CAST(sum(d1) AS BIGINT) AS observed1,
+           round(sum((d1 + d0) * CAST(n1 AS DOUBLE) / (n1 + n0)), 6)
+             AS expected1,
+           round(sum(d1 - (d1 + d0) * CAST(n1 AS DOUBLE) / (n1 + n0))
+                 * sum(d1 - (d1 + d0) * CAST(n1 AS DOUBLE) / (n1 + n0))
+                 / nullif(sum(CASE WHEN d1 + d0 > 0 AND n1 + n0 > 1
+                   THEN (d1 + d0) * (CAST(n1 AS DOUBLE) / (n1 + n0))
+                        * (1.0 - CAST(n1 AS DOUBLE) / (n1 + n0))
+                        * ((n1 + n0) - (d1 + d0))
+                        / CAST((n1 + n0) - 1 AS DOUBLE)
+                   ELSE 0.0 END), 0), 6) AS chi2
+    FROM risk
+    """,
+)
+def ts_logrank_test(spark, sf_dir):
+    """Log-rank comparison of churn curves between even and odd user ids
+    (operators.timeseries.logrank_test) — the censoring-aware "does
+    segment A churn faster" significance test completing the survival
+    family. Exact integer risk sets from per-group cumulative windows;
+    the hypergeometric E/V terms are the only floats."""
+    from .operators.timeseries import logrank_test
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    dur = span.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            (F.unix_micros(F.col("l")) - F.unix_micros(F.col("f")))
+            / F.lit(86400000000.0)
+        )
+        .cast("long")
+        .alias("duration"),
+        (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
+        (F.col("user_id") % 2).cast("int").alias("g"),
+    )
+    return logrank_test(dur, "duration", "e", F.col("g"))

@@ -731,3 +731,78 @@ def kaplan_meier(
         "n_censored",
         F.round(surv, round_decimals).alias("survival"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Log-rank test: do two right-censored survival curves differ — the
+    standard significance test to go with :func:`kaplan_meier` (is
+    segment A churning faster than segment B, accounting for censoring).
+
+    At each distinct duration with deaths, group 1's expected deaths
+    under H₀ are d·n₁/n over the combined risk set; the statistic is
+    χ² = (Σ(d₁−E₁))² / ΣV with the hypergeometric variance
+    V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1). Risk sets come from per-group
+    cumulative windows over the compressed duration domain; every count
+    is an exact integer, the E/V terms are the only floats. Returns one
+    row ``(n1, n0, observed1, expected1, chi2)`` (compare χ² to 1 dof)."""
+    from pyspark.sql import Window
+
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    g = group_col.cast("int")
+    per = (
+        df.select(d.alias("t"), e.alias("_e"), g.alias("_g"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("_g") == 1, F.col("_e"))).cast("long").alias("d1"),
+            F.sum(F.when(F.col("_g") == 0, F.col("_e"))).cast("long").alias("d0"),
+            F.sum(F.when(F.col("_g") == 1, 1)).cast("long").alias("a1"),
+            F.sum(F.when(F.col("_g") == 0, 1)).cast("long").alias("a0"),
+        )
+        .na.fill(0, ["d1", "d0", "a1", "a0"])
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    tot = per.agg(
+        F.sum("a1").alias("_N1"), F.sum("a0").alias("_N0")
+    )
+    risk = per.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d0",
+        (F.col("_N1") - F.coalesce(F.sum("a1").over(w_prev), F.lit(0)))
+        .cast("long")
+        .alias("n1"),
+        (F.col("_N0") - F.coalesce(F.sum("a0").over(w_prev), F.lit(0)))
+        .cast("long")
+        .alias("n0"),
+        F.col("_N1"),
+        F.col("_N0"),
+    )
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    dd = (F.col("d1") + F.col("d0")).cast("double")
+    e1 = dd * F.col("n1") / n
+    v = F.when(
+        (dd > 0) & (n > 1),
+        dd
+        * (F.col("n1") / n)
+        * (1.0 - F.col("n1") / n)
+        * (n - dd)
+        / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    return risk.agg(
+        F.first("_N1").cast("bigint").alias("n1"),
+        F.first("_N0").cast("bigint").alias("n0"),
+        F.sum("d1").cast("bigint").alias("observed1"),
+        F.round(F.sum(e1), round_decimals).alias("expected1"),
+        F.round(
+            (F.sum(F.col("d1") - e1) * F.sum(F.col("d1") - e1))
+            / F.nullif(F.sum(v), F.lit(0.0)),
+            round_decimals,
+        ).alias("chi2"),
+    )

@@ -915,3 +915,22 @@ def test_kaplan_meier_matches_hand_computation_with_censoring(spark):
     assert got[3] == (7, 3, 0, round(s3, 6))
     assert got[4] == (4, 0, 2, round(s3, 6))
     assert got[5] == (2, 2, 0, 0.0)               # whole risk set dies
+
+
+def test_logrank_identical_groups_chi2_near_zero_different_groups_large(spark):
+    from pipes_spark.operators.timeseries import logrank_test
+
+    # identical survival in both groups -> chi2 == 0 exactly (E1 == d1)
+    rows = [(t, 1, g) for g in (0, 1) for t in [1, 2, 3, 4, 5]]
+    df = spark.createDataFrame(rows, "d long, e int, g int")
+    r = logrank_test(df, "d", "e", F.col("g")).collect()[0]
+    assert (r.n1, r.n0, r.observed1) == (5, 5, 5)
+    assert r.chi2 == 0.0
+    # group 1 dies much earlier -> large chi2
+    rows2 = [(t, 1, 1) for t in [1, 1, 2, 2, 3]] + [
+        (t, 1, 0) for t in [10, 11, 12, 13, 14]
+    ]
+    df2 = spark.createDataFrame(rows2, "d long, e int, g int")
+    r2 = logrank_test(df2, "d", "e", F.col("g")).collect()[0]
+    assert r2.chi2 > 3.84  # significant at 5% for 1 dof
+    assert r2.observed1 > r2.expected1  # group 1 over-dies early
