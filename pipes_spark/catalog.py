@@ -8797,3 +8797,48 @@ def ts_logrank_test(spark, sf_dir):
         (F.col("user_id") % 2).cast("int").alias("g"),
     )
     return logrank_test(dur, "duration", "e", F.col("g"))
+
+
+@query(
+    "stats_spearman",
+    oracle="""
+    WITH base AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ), rx AS (
+      SELECT x, coalesce(sum(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS r
+      FROM (SELECT x, count(*) AS c FROM base GROUP BY x)
+    ), ry AS (
+      SELECT y, coalesce(sum(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + (c + 1) / 2.0 AS r
+      FROM (SELECT y, count(*) AS c FROM base GROUP BY y)
+    ), ranked AS (
+      SELECT rx.r AS a, ry.r AS b
+      FROM base JOIN rx USING (x) JOIN ry USING (y)
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CAST(a AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(b AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(a * b AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(a * a AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(b * b AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      FROM ranked
+    )
+    SELECT n,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0),
+                 6) AS rho
+    FROM g
+    """,
+)
+def stats_spearman(spark, sf_dir):
+    """Spearman rank correlation (operators.profiling.spearman_corr) of
+    quantity vs extended price — the monotone-association complement to
+    the Pearson matrix. Average ranks from grouped value domains (never
+    a per-row global sort), half-integer-exact DECIMAL Pearson sums."""
+    from .operators.profiling import spearman_corr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return spearman_corr(li, F.col("l_quantity"), F.col("l_extendedprice"))

@@ -1179,3 +1179,58 @@ def permutation_test_mean_diff(
             ).alias("p_value"),
         )
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x: Column,
+    y: Column,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson on average ranks, the monotone
+    (outlier- and nonlinearity-robust) complement to
+    :func:`correlation_pairs` (Pearson sees only linear association; a
+    perfect monotone curve scores ρ=1 here).
+
+    Average ranks come from the GROUPED value domain per column (one
+    aggregate + one cumulative window over distinct values each — never
+    a per-row global sort), joined back by value. Ranks are exact
+    half-integers, so the Pearson sums over them accumulate as DECIMAL —
+    exact, order-independent, engine-identical; the one sqrt/division is
+    the only float step. Returns one row ``(n, rho)``."""
+    from pyspark.sql import Window
+
+    base = df.select(x.cast("double").alias("_x"), y.cast("double").alias("_y"))
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                F.coalesce(F.sum("_c").over(w), F.lit(0))
+                + (F.col("_c") + 1) / 2.0
+            ).alias(out),
+        )
+
+    ranked = base.join(avg_ranks("_x", "_rx"), "_x").join(
+        avg_ranks("_y", "_ry"), "_y"
+    )
+    acc = "decimal(38,6)"
+    g = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("_rx").cast(acc)).cast("double").alias("_sx"),
+        F.sum(F.col("_ry").cast(acc)).cast("double").alias("_sy"),
+        F.sum((F.col("_rx") * F.col("_ry")).cast(acc)).cast("double").alias("_sxy"),
+        F.sum((F.col("_rx") * F.col("_rx")).cast(acc)).cast("double").alias("_sxx"),
+        F.sum((F.col("_ry") * F.col("_ry")).cast(acc)).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.sqrt(
+        (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+        * (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    )
+    return g.select(
+        "n", F.round(num / F.nullif(den, F.lit(0.0)), round_decimals).alias("rho")
+    )

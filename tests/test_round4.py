@@ -934,3 +934,36 @@ def test_logrank_identical_groups_chi2_near_zero_different_groups_large(spark):
     r2 = logrank_test(df2, "d", "e", F.col("g")).collect()[0]
     assert r2.chi2 > 3.84  # significant at 5% for 1 dof
     assert r2.observed1 > r2.expected1  # group 1 over-dies early
+
+
+def test_spearman_monotone_nonlinear_is_one_pearson_is_not(spark):
+    from pipes_spark.operators.profiling import spearman_corr
+
+    # perfect monotone but strongly nonlinear: rho = 1 exactly
+    rows = [(float(i), float(i) ** 5) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, F.col("x"), F.col("y")).collect()[0]
+    assert (r.n, r.rho) == (29, 1.0)
+    # reversed -> -1
+    rows2 = [(float(i), -(float(i) ** 3)) for i in range(1, 30)]
+    df2 = spark.createDataFrame(rows2, "x double, y double")
+    assert spearman_corr(df2, F.col("x"), F.col("y")).collect()[0].rho == -1.0
+
+
+def test_spearman_ties_match_scipy_free_reference(spark):
+    from pipes_spark.operators.profiling import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 3.0]
+    ys = [10.0, 20.0, 30.0, 30.0]
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    # average ranks: x -> [1, 2.5, 2.5, 4]; y -> [1, 2, 3.5, 3.5]
+    import statistics
+
+    rx, ry = [1, 2.5, 2.5, 4], [1, 2, 3.5, 3.5]
+    mx, my = statistics.mean(rx), statistics.mean(ry)
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    r = spearman_corr(df, F.col("x"), F.col("y")).collect()[0]
+    assert r.rho == round(num / den, 6)
