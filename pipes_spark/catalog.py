@@ -8842,3 +8842,78 @@ def stats_spearman(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return spearman_corr(li, F.col("l_quantity"), F.col("l_extendedprice"))
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+    ), cohorts AS (
+      SELECT user_id, date_trunc('week', f) AS cw, f FROM first_seen
+    ), sizes AS (
+      SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM cohorts GROUP BY cw
+    ), rev AS (
+      SELECT c.cw,
+             CAST(floor((epoch_us(e.ts) - epoch_us(c.f)) / 604800000000.0)
+                  AS BIGINT) AS age_weeks,
+             sum(CAST(e.value AS DECIMAL(28,6))) AS r
+      FROM events e JOIN cohorts c USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT rev.cw AS cohort_week, age_weeks, n_users,
+           round(CAST(sum(r) OVER (PARTITION BY rev.cw ORDER BY age_weeks
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_revenue,
+           round(CAST(sum(r) OVER (PARTITION BY rev.cw ORDER BY age_weeks
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_users, 6)
+             AS ltv_per_user
+    FROM rev JOIN sizes ON sizes.cw = rev.cw
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: cumulative purchase revenue per user by
+    cohort-age in weeks since each user's FIRST activity — the
+    "how fast does a cohort pay back" readout next to retention. One
+    user-keyed join to attach cohorts, one (cohort, age) revenue
+    aggregate (DECIMAL-exact), a cumulative window over the tiny
+    cohort×age grid, and broadcast cohort sizes."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    cohorts = first.select(
+        "user_id", F.date_trunc("week", F.col("f")).alias("cw"), "f"
+    )
+    sizes = cohorts.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cw",
+            F.floor(
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("f")))
+                / F.lit(604800000000.0)
+            )
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("r"))
+    )
+    w = Window.partitionBy("cw").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "age_weeks",
+            "n_users",
+            F.round(F.sum("r").over(w).cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.sum("r").over(w).cast("double") / F.col("n_users"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -967,3 +967,22 @@ def test_spearman_ties_match_scipy_free_reference(spark):
     ) ** 0.5
     r = spearman_corr(df, F.col("x"), F.col("y")).collect()[0]
     assert r.rho == round(num / den, 6)
+
+
+def test_cohort_ltv_is_cumulative_and_per_user_scaled(spark, sf_dir):
+    from pipes_spark.catalog import QUERIES
+
+    rows = QUERIES["events_cohort_ltv"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    for cohort, rs in by_cohort.items():
+        ages = [r.age_weeks for r in rs]
+        assert ages == sorted(ages)
+        cums = [r.cum_revenue for r in rs]
+        assert cums == sorted(cums)  # cumulative never decreases
+        for r in rs:
+            assert r.ltv_per_user == round(r.cum_revenue / r.n_users, 6) or abs(
+                r.ltv_per_user - r.cum_revenue / r.n_users
+            ) < 1e-4  # ltv derives from the unrounded cumulative
