@@ -8917,3 +8917,56 @@ def events_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*), 6) AS y
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, day, y,
+             CASE WHEN count(*) OVER w = 7
+                  THEN round(CAST(sum(CAST(y AS DECIMAL(28,6))) OVER w
+                             AS DOUBLE) / 7.0, 6) END AS trend,
+             (dayofweek(day) + 6) % 7 AS pos
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), seas AS (
+      SELECT event_type, pos,
+             round(CAST(sum(CAST(y - trend AS DECIMAL(28,6))) AS DOUBLE)
+                   / count(*), 6) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT tr.event_type, day, y, trend, seasonal,
+           round(y - trend - seasonal, 6) AS remainder
+    FROM tr LEFT JOIN seas ON seas.event_type = tr.event_type
+                          AND seas.pos = tr.pos
+    ORDER BY tr.event_type, day
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily event-value series
+    per type (operators.timeseries.seasonal_decompose): centered 7-day
+    trend, day-of-week seasonal means over the detrended middle,
+    remainder — "is this spike real or just Tuesday". Windows + one tiny
+    per-(type, weekday) aggregate; DECIMAL-exact means throughout."""
+    from .operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("y")
+    )
+    return seasonal_decompose(daily, ["event_type"], "day", "y").orderBy(
+        "event_type", "day"
+    )

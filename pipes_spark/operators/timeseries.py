@@ -806,3 +806,72 @@ def logrank_test(
             round_decimals,
         ).alias("chi2"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal-trend decomposition of a daily series (the
+    classical-decomposition core of STL): trend = centered ``period``-day
+    moving average, seasonal = mean detrended value per position-in-cycle
+    (day-of-week for period 7), remainder = observed − trend − seasonal —
+    the "is this spike real or just Tuesday" readout.
+
+    Everything is windows and one small per-(key, position) aggregate:
+    the centered MA runs over a ROWS frame on the per-key daily series
+    (defined only where the full window exists — edges stay NULL, the
+    honest convention), means sum DECIMAL (6-decimal-exact, engine- and
+    order-independent). Returns one row per (keys…, day) with
+    ``y/trend/seasonal/remainder``."""
+    from pyspark.sql import Window
+
+    half = period // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(day_col)
+        .rowsBetween(-half, half)
+    )
+    dec = "decimal(28,6)"
+    base = df.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == period,
+            F.round(
+                F.sum(F.col(value_col).cast(dec)).over(w).cast("double")
+                / F.lit(float(period)),
+                6,
+            ),
+        ),
+    )
+    pos = F.pmod(F.dayofweek(F.col(day_col)) + F.lit(5), F.lit(7)) if period == 7 else (
+        F.pmod(F.datediff(F.col(day_col), F.lit("2024-01-01").cast("date")), F.lit(period))
+    )
+    base = base.withColumn("_pos", pos)
+    seas = (
+        base.filter(F.col("trend").isNotNull())
+        .groupBy(*keys, "_pos")
+        .agg(
+            F.round(
+                F.sum((F.col(value_col) - F.col("trend")).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("seasonal")
+        )
+    )
+    return (
+        base.join(seas, [*keys, "_pos"], "left")
+        .select(
+            *keys,
+            day_col,
+            F.round(F.col(value_col).cast("double"), 6).alias("y"),
+            "trend",
+            "seasonal",
+            F.round(
+                F.col(value_col) - F.col("trend") - F.col("seasonal"), 6
+            ).alias("remainder"),
+        )
+    )

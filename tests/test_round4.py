@@ -986,3 +986,24 @@ def test_cohort_ltv_is_cumulative_and_per_user_scaled(spark, sf_dir):
             assert r.ltv_per_user == round(r.cum_revenue / r.n_users, 6) or abs(
                 r.ltv_per_user - r.cum_revenue / r.n_users
             ) < 1e-4  # ltv derives from the unrounded cumulative
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    import datetime
+
+    from pipes_spark.operators.timeseries import seasonal_decompose
+
+    # flat level 100 + weekly bumps: +10 on pos 0, -10 on pos 3
+    base = datetime.datetime(2024, 1, 1)  # a Monday -> pos 0
+    rows = []
+    for i in range(28):
+        bump = 10.0 if i % 7 == 0 else (-10.0 if i % 7 == 3 else 0.0)
+        rows.append(("k", base + datetime.timedelta(days=i), 100.0 + bump))
+    df = spark.createDataFrame(rows, "k string, day timestamp, y double")
+    out = {r.day.day: r for r in seasonal_decompose(df, ["k"], "day", "y").collect() if r.day.month == 1}
+    mid = out[10]  # interior day, full window
+    assert mid.trend == 100.0  # the bumps cancel inside every 7-day window
+    assert out[8].seasonal == 10.0 and out[11].seasonal == -10.0
+    assert out[10].remainder == 0.0
+    # edges (first/last 3 days) have NULL trend, honestly
+    assert out[1].trend is None and out[28].trend is None
