@@ -8970,3 +8970,43 @@ def ts_seasonal_decompose(spark, sf_dir):
     return seasonal_decompose(daily, ["event_type"], "day", "y").orderBy(
         "event_type", "day"
     )
+
+
+@query(
+    "text_perplexity",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk
+    ), big AS (
+      SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM toks QUALIFY w1 IS NOT NULL
+    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM toks),
+    scored AS (
+      SELECT doc_id,
+             round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lp
+      FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*)), 6) AS perplexity
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_perplexity(spark, sf_dir):
+    """Per-document bigram-LM perplexity (operators.text.
+    bigram_perplexity): the CCNet/C4-style statistical quality filter —
+    add-one-smoothed bigram model trained on the corpus, each document
+    scored by how surprising the model finds it. Count aggregates are
+    the ingest-time model artifact at scale; ln terms round-then-
+    DECIMAL-sum for engine-exact scores."""
+    from .operators.text import bigram_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return bigram_perplexity(d).orderBy("doc_id")

@@ -811,3 +811,64 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     return fit.select(
         F.col("n_points").alias("n_types"), "slope", "intercept", "r2"
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed bigram language
+    model trained on the corpus itself — THE classic statistical quality
+    filter (CCNet/C4 lineage): documents whose word sequences the corpus
+    model finds surprising (high perplexity) are boilerplate, mangled
+    encodings, or wrong-language text.
+
+    P(w₂|w₁) = (C(w₁,w₂)+1)/(C(w₁)+V); ppl = exp(−mean ln P) over the
+    document's bigrams. Shape: one posexplode + a per-doc lag window for
+    the bigram stream, two corpus-level count aggregates (model training
+    — at 100 TB these are the ingest-time artifact you'd persist like
+    the MinHash signatures), a bigram-keyed join back, and one per-doc
+    aggregate. All counts are exact integers; per-bigram ln terms round
+    to 6 then sum DECIMAL, so scores are engine- and order-exact.
+    Documents with fewer than 2 tokens have no bigrams and emit no row."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = toks.select(
+        F.col(id_col),
+        F.lag("w").over(w_doc).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
+    v = toks.agg(F.count_distinct("w").alias("_v"))
+    lp = F.round(
+        F.log(
+            (F.col("_c2") + 1).cast("double")
+            / (F.col("_c1") + F.col("_v")).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.exp(
+                    -F.sum(F.col("_lp").cast("decimal(28,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                6,
+            ).alias("perplexity"),
+        )
+    )

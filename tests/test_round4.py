@@ -1007,3 +1007,30 @@ def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
     assert out[10].remainder == 0.0
     # edges (first/last 3 days) have NULL trend, honestly
     assert out[1].trend is None and out[28].trend is None
+
+
+def test_perplexity_flags_shuffled_text_above_natural(spark):
+    from pipes_spark.operators.text import bigram_perplexity
+
+    # doc 1/2: repeated natural bigrams; doc 3: the same words in an
+    # order the corpus model never sees elsewhere
+    rows = [
+        (1, "the cat sat on the mat " * 5),
+        (2, "the cat sat on the mat " * 5),
+        (3, "mat the on sat cat the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.perplexity for r in bigram_perplexity(df).collect()}
+    assert got[1] == got[2]  # identical docs score identically
+    assert got[3] > got[1] * 2  # shuffled word order is far more surprising
+
+
+def test_perplexity_short_docs_are_null_or_absent(spark):
+    from pipes_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two words here")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_bigrams for r in bigram_perplexity(df).collect()}
+    assert 1 not in got  # no bigrams -> no row (the <2-token contract)
+    assert got[2] == 2
