@@ -9010,3 +9010,26 @@ def text_perplexity(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return bigram_perplexity(d).orderBy("doc_id")
+
+
+@query("dedup_drop_near_dups_best")  # LSH clusters not SQL-expressible:
+# rows-only; the keep-best-member policy is pytest'd on a golden cluster
+def dedup_drop_near_dups_best(spark, sf_dir):
+    """Quality-aware end-to-end near-dup removal (operators.components.
+    drop_near_duplicates_best): LSH→verify pairs from the persisted
+    signature table resolve to clusters, and each cluster keeps its
+    LONGEST member instead of the arbitrary min id — the production
+    curation policy applied at cluster level (the near-dup analog of
+    dedup_exact_best)."""
+    from .operators.components import drop_near_duplicates_best
+    from .operators.dedup import lsh_verified_pairs
+    from .warehouse import minhash_signature_table
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature_table(spark, sf_dir)
+    pairs = lsh_verified_pairs(d, threshold=0.5, sigs=sigs)
+    return (
+        drop_near_duplicates_best(d, pairs, F.col("n_chars"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -419,3 +419,39 @@ def k_core(
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
     )
     return deg
+
+
+def drop_near_duplicates_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate cluster removal keeping each cluster's BEST member
+    (highest ``score``, ties by smallest id) instead of the arbitrary
+    min-id canonical of :func:`drop_near_duplicates` — the
+    production-curation policy (two scrapes of one page are not
+    interchangeable; keep the cleaner capture), applied at the CLUSTER
+    level the way `dedup.exact_dedup_best` applies it per fingerprint.
+
+    Shape: resolve components, join member ids to their scores (ids +
+    scores only — never document payloads), one window per component for
+    the keeper, then a single anti-join of the corpus against the loser
+    set (the tiny side)."""
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    scored = cc.join(
+        docs.select(F.col(id_col).alias("id"), score.alias("_s")), "id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("_s").desc(), F.col("id").asc()
+    )
+    losers = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(F.col("id").alias("_loser"))
+    )
+    return docs.join(
+        F.broadcast(losers), docs[id_col] == F.col("_loser"), "left_anti"
+    )

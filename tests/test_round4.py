@@ -1034,3 +1034,27 @@ def test_perplexity_short_docs_are_null_or_absent(spark):
     got = {r.doc_id: r.n_bigrams for r in bigram_perplexity(df).collect()}
     assert 1 not in got  # no bigrams -> no row (the <2-token contract)
     assert got[2] == 2
+
+
+def test_drop_near_duplicates_best_keeps_highest_quality_member(spark):
+    from pipes_spark.operators.components import (
+        drop_near_duplicates,
+        drop_near_duplicates_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (9, 2.0)],
+        "doc_id long, quality double",
+    )
+    # cluster {1,2,3} plus a pair {4,9}; 2 and 9 are the best members
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 9)], "id_a long, id_b long"
+    )
+    best = sorted(
+        r.doc_id
+        for r in drop_near_duplicates_best(docs, pairs, F.col("quality")).collect()
+    )
+    assert best == [2, 9]
+    # contrast: the min-id policy keeps 1 and 4
+    minid = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
+    assert minid == [1, 4]
