@@ -9033,3 +9033,74 @@ def dedup_drop_near_dups_best(spark, sf_dir):
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "ts_rmst",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT CAST(floor((epoch_us(l) - epoch_us(f)) / 86400000000.0) AS BIGINT)
+               AS duration,
+             CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS e
+      FROM span CROSS JOIN mx
+    ), per AS (
+      SELECT duration, CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM dur GROUP BY duration
+    ), tot AS (SELECT sum(n_events + n_censored) AS N FROM per),
+    risk AS (
+      SELECT duration, n_events,
+             CAST(N - coalesce(sum(n_events + n_censored) OVER (
+               ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM per CROSS JOIN tot
+    ), km AS (
+      SELECT duration,
+             round(exp(sum(CASE WHEN n_events < n_risk
+                                THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
+                                ELSE CAST('-infinity' AS DOUBLE) END)
+                       OVER (ORDER BY duration
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)), 6) AS survival
+      FROM risk
+    ), stepped AS (
+      SELECT CAST(coalesce(lag(survival) OVER w, 1.0)
+                  * (least(CAST(duration AS DOUBLE), 21.0)
+                     - least(CAST(coalesce(lag(duration) OVER w, 0) AS DOUBLE),
+                             21.0)) AS DECIMAL(28,6)) AS a
+      FROM km WINDOW w AS (ORDER BY duration)
+    ), tail AS (
+      SELECT CAST(arg_max(survival, duration)
+                  * (21.0 - least(CAST(max(duration) AS DOUBLE), 21.0))
+                  AS DECIMAL(28,6)) AS t
+      FROM km
+    )
+    SELECT 21.0 AS tau,
+           round(CAST((SELECT sum(a) FROM stepped) + (SELECT t FROM tail)
+                      AS DOUBLE), 6) AS rmst
+    """,
+)
+def ts_rmst(spark, sf_dir):
+    """Restricted mean survival time at τ=21 days (operators.timeseries.
+    rmst over the kaplan_meier churn curve): expected active days in a
+    user's first three weeks — the censoring-safe single-number summary
+    of the survival family (KM curve → log-rank test → RMST)."""
+    from .operators.timeseries import kaplan_meier, rmst
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    dur = span.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            (F.unix_micros(F.col("l")) - F.unix_micros(F.col("f")))
+            / F.lit(86400000000.0)
+        )
+        .cast("long")
+        .alias("duration"),
+        (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
+    )
+    return rmst(kaplan_meier(dur, "duration", "e"), tau=21.0)

@@ -875,3 +875,47 @@ def seasonal_decompose(
             ).alias("remainder"),
         )
     )
+
+
+def rmst(km: DataFrame, tau: float, round_decimals: int = 6) -> DataFrame:
+    """Restricted mean survival time: the area under the Kaplan–Meier
+    curve up to horizon ``tau`` — "expected active days in the first τ" —
+    the single-number survival summary that stays well-defined under
+    censoring (the plain mean does not when the tail is censored).
+
+    Takes :func:`kaplan_meier` output. The step integral is one lag
+    window over the (tiny) distinct-duration table:
+    Σ S(t_{i−1})·(min(t_i,τ) − min(t_{i−1},τ)) plus the tail rectangle
+    S(t_last)·(τ − min(t_last,τ)). Survival values are 6-decimal-exact
+    and durations integers, so the DECIMAL term sum is engine-exact."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("duration")
+    t = F.least(F.col("duration").cast("double"), F.lit(float(tau)))
+    t_prev = F.least(
+        F.coalesce(F.lag("duration").over(w), F.lit(0)).cast("double"),
+        F.lit(float(tau)),
+    )
+    s_prev = F.coalesce(F.lag("survival").over(w), F.lit(1.0))
+    stepped = km.select(
+        (s_prev * (t - t_prev)).cast("decimal(28,6)").alias("_a"),
+        F.col("duration"),
+        F.col("survival"),
+    )
+    tail = km.agg(
+        (
+            F.max_by("survival", "duration")
+            * (F.lit(float(tau)) - F.least(F.max("duration").cast("double"), F.lit(float(tau))))
+        )
+        .cast("decimal(28,6)")
+        .alias("_tail")
+    )
+    return (
+        stepped.crossJoin(F.broadcast(tail))
+        .agg(
+            F.lit(float(tau)).alias("tau"),
+            F.round(
+                (F.sum("_a") + F.first("_tail")).cast("double"), round_decimals
+            ).alias("rmst"),
+        )
+    )

@@ -1058,3 +1058,18 @@ def test_drop_near_duplicates_best_keeps_highest_quality_member(spark):
     # contrast: the min-id policy keeps 1 and 4
     minid = sorted(r.doc_id for r in drop_near_duplicates(docs, pairs).collect())
     assert minid == [1, 4]
+
+
+def test_rmst_hand_computed_and_capped(spark):
+    from pipes_spark.operators.timeseries import kaplan_meier, rmst
+
+    # half die at t=2, rest survive past the horizon (censored at 10)
+    rows = [(2, 1)] * 5 + [(10, 0)] * 5
+    df = spark.createDataFrame(rows, "d long, e int")
+    km = kaplan_meier(df, "d", "e")
+    # S=1 on [0,2), S=0.5 on [2,10): RMST(6) = 1*2 + 0.5*4 = 4
+    r = rmst(km, tau=6.0).collect()[0]
+    assert (r.tau, r.rmst) == (6.0, 4.0)
+    # tau beyond last duration: 1*2 + 0.5*8 + 0.5*(12-10) = 7
+    r2 = rmst(km, tau=12.0).collect()[0]
+    assert r2.rmst == 7.0
