@@ -9104,3 +9104,130 @@ def ts_rmst(spark, sf_dir):
         (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
     )
     return rmst(kaplan_meier(dur, "duration", "e"), tau=21.0)
+
+
+@query(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY event_type, user_id ORDER BY ts, event_id)))
+               / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type, CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+           round(CAST(sum(CAST(gap_s AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(gap_s), 6) AS mean_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interarrival(spark, sf_dir):
+    """Arrival-process profile: per event type, the distribution of
+    inter-arrival times within each user's stream (median/p90/mean
+    seconds) — the input to rate-limit sizing, session-gap selection, and
+    anomaly baselines. One per-(type, user) lag window; exact-DECIMAL
+    mean, interpolated exact percentiles."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        / F.lit(1000000.0)
+    )
+    gaps = ev.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_s").cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+            F.round(
+                F.sum(F.col("gap_s").cast("decimal(28,6)")).cast("double")
+                / F.count("gap_s"),
+                6,
+            ).alias("mean_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_peak_concurrency",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    ), m AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ), sess AS (
+      SELECT min(ts) AS st, max(ts) AS en FROM s GROUP BY user_id, sid
+    ), deltas AS (
+      SELECT st AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT en + INTERVAL 1 MICROSECOND AS t, -1 AS d FROM sess
+    ), running AS (
+      SELECT t, sum(d) OVER (ORDER BY t, d
+                             ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT date_trunc('day', t) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent
+    FROM running GROUP BY 1 ORDER BY day
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day via the sweep line: sessionize
+    (30-min gap), emit +1 at session start and −1 just after session
+    end, running-sum the deltas in time order, take the per-day max —
+    the capacity-planning readout interval tables can't answer with a
+    plain groupBy. The running sum is a global-order window over 2×
+    sessions (the compressed domain); ties order (−1 before +1 at equal
+    t is avoided by the 1-µs end shift, +1 before −1 at identical
+    instants by the (t, d) sort — both engines state the identical
+    order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) >= F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    sid = F.sum("brk").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("brk", brk)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    deltas = sess.select(F.col("st").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(
+            (F.col("en") + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    wr = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
+    running = deltas.withColumn("conc", F.sum("d").over(wr))
+    return (
+        running.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )

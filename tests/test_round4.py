@@ -1073,3 +1073,25 @@ def test_rmst_hand_computed_and_capped(spark):
     # tau beyond last duration: 1*2 + 0.5*8 + 0.5*(12-10) = 7
     r2 = rmst(km, tau=12.0).collect()[0]
     assert r2.rmst == 7.0
+
+
+def test_peak_concurrency_golden_overlaps(spark):
+    import datetime
+
+    from pipes_spark.catalog import QUERIES
+
+    # validate the sweep-line shape on the real table: peak can never
+    # exceed the number of distinct users active that day, and is >= 1
+    rows = QUERIES["events_peak_concurrency"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.peak_concurrent >= 1 for r in rows)
+    from pipes_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    per_day_users = {
+        r.day: r.n
+        for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.peak_concurrent <= per_day_users.get(r.day, 10**9)
