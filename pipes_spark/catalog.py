@@ -9231,3 +9231,40 @@ def events_peak_concurrency(spark, sf_dir):
         .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@query(
+    "scalar_url",
+    oracle="""
+    SELECT doc_id,
+           concat('src-', source, '.example.com') AS host,
+           concat('/docs/', CAST(doc_id AS VARCHAR)) AS path,
+           lang AS q_lang
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def scalar_url(spark, sf_dir):
+    """URL parsing (`F.parse_url`): URLs are built in-plan from table
+    columns and decomposed back into HOST / PATH / a QUERY parameter —
+    the round-trip-identity oracle checks Spark's parser against the
+    original components (DuckDB has no URL type; same honest contract as
+    scalar_xml). The practical surface: domain extraction for
+    provenance-grouped splits and per-host dedup in web corpora
+    (sampling.grouped_split's natural key)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    url = F.concat(
+        F.lit("https://src-"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+    ).orderBy("doc_id")
