@@ -8278,11 +8278,14 @@ def dedup_rate_report(spark, sf_dir):
 @query(
     "quality_benford",
     oracle="""
-    WITH obs AS (
+    WITH raw AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
                          1, 1) AS INT) AS digit,
              CAST(count(*) AS BIGINT) AS n
       FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+    ), obs AS (
+      SELECT CAST(s.d AS INT) AS digit, CAST(coalesce(raw.n, 0) AS BIGINT) AS n
+      FROM generate_series(1, 9) AS s(d) LEFT JOIN raw ON raw.digit = s.d
     ), tot AS (SELECT sum(n) AS t FROM obs)
     SELECT digit, n,
            round(log10(1.0 + 1.0 / digit) * t, 6) AS expected,
@@ -9197,8 +9200,9 @@ def events_peak_concurrency(spark, sf_dir):
     plain groupBy. The running sum is a global-order window over 2×
     sessions (the compressed domain); ties order (−1 before +1 at equal
     t is avoided by the 1-µs end shift, +1 before −1 at identical
-    instants by the (t, d) sort — both engines state the identical
-    order)."""
+    instants the (t, d) ascending sort puts the −1 END before the +1
+    START, so a back-to-back session handoff does NOT count as
+    concurrent — both engines state the identical order)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(

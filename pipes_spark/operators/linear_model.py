@@ -238,7 +238,10 @@ def prob_metrics(
     y = label.cast("int").cast("double")
     ll = F.round(-(y * F.log(p) + (1.0 - y) * F.log(1.0 - p)), 6)
     br = F.round((p - y) * (p - y), 6)
-    return df.select(ll.alias("_ll"), br.alias("_br")).agg(
+    # rows with a NULL prediction are EXCLUDED (greatest/least skip NULLs,
+    # which would silently score a missing prediction as a confident eps);
+    # n reports the scored rows only
+    return df.filter(prob.isNotNull()).select(ll.alias("_ll"), br.alias("_br")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(
             F.sum(F.col("_ll").cast("decimal(28,6)")).cast("double")

@@ -789,12 +789,18 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
     stable leading digit)."""
     v = F.col(value_col)
     digit = F.substring(F.floor(v).cast("string"), 1, 1).cast("int")
-    obs = (
+    spark = df.sparkSession
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    # complete against the 1-9 spine: a digit that never occurs (the very
+    # signature this screen hunts) must still contribute its (0-E)^2/E
+    obs = spine.join(
         df.filter(v >= 1)
         .select(digit.alias("digit"))
         .groupBy("digit")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+        "digit",
+        "left",
+    ).select("digit", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"))
     tot = obs.agg(F.sum("n").alias("_t"))
     e = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")) * F.col("_t")
     return (
@@ -831,6 +837,7 @@ def mann_whitney_u(
 
     per = (
         df.select(group.cast("int").alias("_g"), value.alias("_v"))
+        .filter(F.col("_v").isNotNull())  # NULLs would rank below the min
         .groupBy("_v")
         .agg(
             F.sum("_g").cast("long").alias("_n1"),
@@ -890,11 +897,14 @@ def theil_sen_slope(
     square); the sampled ids travel with x/y doubles only. Returns one
     row ``(n_sample, n_pairs, slope_ts)`` with the exact median of the
     pairwise slopes."""
+    from ..caching import scoped_persist
     from .sampling import hash_bucket
 
     if not 0.0 < sample_fraction <= 1.0:
         raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
-    s = (
+    # persisted: the sample feeds both cross-join sides and the size
+    # aggregate; n_sample stays IN-PLAN (no eager action at construction)
+    s = scoped_persist(
         df.select(key.alias("_k"), x.cast("double").alias("_x"), y.cast("double").alias("_y"))
         .filter(hash_bucket(F.col("_k"), salt) < int(sample_fraction * (1 << 32)))
     )
@@ -907,11 +917,14 @@ def theil_sen_slope(
             ((F.col("_yb") - F.col("_ya")) / (F.col("_xb") - F.col("_xa"))).alias("_s")
         )
     )
-    n_sample = s.count()
-    return pairs.agg(
-        F.lit(n_sample).cast("bigint").alias("n_sample"),
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.expr("percentile(_s, 0.5)"), 6).alias("slope_ts"),
+    cnt = s.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample"))
+    return (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(_s, 0.5)"), 6).alias("slope_ts"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select("n_sample", "n_pairs", "slope_ts")
     )
 
 
@@ -935,6 +948,7 @@ def ks_two_sample(
 
     per = (
         df.select(group.cast("int").alias("_g"), value.alias("_v"))
+        .filter(F.col("_v").isNotNull())  # NULLs would rank below the min
         .groupBy("_v")
         .agg(
             F.sum("_g").cast("long").alias("_n1"),
@@ -989,9 +1003,11 @@ def gini_coefficient(
     from pyspark.sql import Window
 
     w = Window.orderBy(F.col("_y").asc(), F.col("_t").asc())
-    ranked = df.select(
-        value.cast("double").alias("_y"), tiebreak.alias("_t")
-    ).withColumn("_i", F.row_number().over(w))
+    ranked = (
+        df.select(value.cast("double").alias("_y"), tiebreak.alias("_t"))
+        .filter(F.col("_y").isNotNull())  # NULLs would take rank 1, inflate n
+        .withColumn("_i", F.row_number().over(w))
+    )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum(F.col("_y").cast("decimal(28,6)")).cast("double"), 2).alias(

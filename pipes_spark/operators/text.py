@@ -834,15 +834,22 @@ def bigram_perplexity(
     Documents with fewer than 2 tokens have no bigrams and emit no row."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    from ..caching import scoped_persist
+
+    # both streams feed multiple branches (toks -> bigrams + vocab size;
+    # bigrams -> counts + the scored join): persist for the query lifetime
+    # so the corpus tokenizes and windows once
+    toks = scoped_persist(
+        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
     )
     w_doc = Window.partitionBy(id_col).orderBy("pos")
-    big = toks.select(
-        F.col(id_col),
-        F.lag("w").over(w_doc).alias("w1"),
-        F.col("w").alias("w2"),
-    ).filter(F.col("w1").isNotNull())
+    big = scoped_persist(
+        toks.select(
+            F.col(id_col),
+            F.lag("w").over(w_doc).alias("w1"),
+            F.col("w").alias("w2"),
+        ).filter(F.col("w1").isNotNull())
+    )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
     c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     v = toks.agg(F.count_distinct("w").alias("_v"))

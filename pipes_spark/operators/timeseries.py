@@ -829,11 +829,16 @@ def seasonal_decompose(
     ``y/trend/seasonal/remainder``."""
     from pyspark.sql import Window
 
-    half = period // 2
+    # frame of EXACTLY `period` rows: centered for odd periods, one row
+    # heavier on the past for even ones (a 7-row frame is (-3, 3); a
+    # 14-row frame is (-7, 6) — a naive (-half, half) frame holds
+    # period+1 rows for even periods and the ==period guard never fires)
+    lo = -(period // 2)
+    hi = period + lo - 1
     w = (
         Window.partitionBy(*keys)
         .orderBy(day_col)
-        .rowsBetween(-half, half)
+        .rowsBetween(lo, hi)
     )
     dec = "decimal(28,6)"
     base = df.withColumn(

@@ -745,12 +745,21 @@ def test_dedup_rate_report_internally_consistent(spark, sf_dir):
 
 
 def test_benford_golden_shares_and_exclusions(spark):
+    import math
+
     from pipes_spark.operators.profiling import benford_audit
 
     rows = [(1.5,), (12.0,), (19.9,), (25.0,), (0.4,)]  # 0.4 excluded
     df = spark.createDataFrame(rows, "v double")
     got = {r.digit: (r.n, r.share) for r in benford_audit(df, "v").collect()}
-    assert got == {1: (3, 0.75), 2: (1, 0.25)}
+    # the 1-9 spine is always complete; absent digits carry n=0
+    assert set(got) == set(range(1, 10))
+    assert got[1] == (3, 0.75) and got[2] == (1, 0.25)
+    assert all(got[d] == (0, 0.0) for d in range(3, 10))
+    # an absent digit still contributes its full (0-E)^2/E = E to chi2
+    by_digit = {r.digit: r for r in benford_audit(df, "v").collect()}
+    e9 = math.log10(1 + 1 / 9) * 4
+    assert by_digit[9].chi2_part == round(e9, 6)
 
 
 def test_zipf_fit_recovers_planted_power_law(spark):
@@ -1075,18 +1084,16 @@ def test_rmst_hand_computed_and_capped(spark):
     assert r2.rmst == 7.0
 
 
-def test_peak_concurrency_golden_overlaps(spark):
-    import datetime
-
+def test_peak_concurrency_golden_overlaps(spark, sf_dir):
     from pipes_spark.catalog import QUERIES
 
     # validate the sweep-line shape on the real table: peak can never
     # exceed the number of distinct users active that day, and is >= 1
-    rows = QUERIES["events_peak_concurrency"].fn(spark, "/root/testdata/sf0.001").collect()
+    rows = QUERIES["events_peak_concurrency"].fn(spark, sf_dir).collect()
     assert rows and all(r.peak_concurrent >= 1 for r in rows)
     from pipes_spark.sources import load_table
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark, sf_dir, "events")
     per_day_users = {
         r.day: r.n
         for r in ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
