@@ -9272,3 +9272,67 @@ def scalar_url(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
     ).orderBy("doc_id")
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), bounds AS (SELECT max(day) AS mx FROM du),
+    contrib AS (
+      SELECT t.wday, du.user_id
+      FROM du CROSS JOIN bounds,
+           LATERAL unnest(generate_series(du.day, least(du.day + INTERVAL 6 DAY,
+                                                        bounds.mx),
+                                          INTERVAL 1 DAY)) AS t(wday)
+    ), wau AS (
+      SELECT wday AS day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY 1
+    ), dau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM du
+      GROUP BY 1
+    )
+    SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+    FROM dau JOIN wau USING (day) ORDER BY day
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day — the product-health ratio (what share
+    of the weekly audience shows up daily). Trailing-7-day distinct users
+    are NOT window-expressible over raw events; the scalable shape is:
+    dedup to (day, user) once, explode each activity day onto the ≤7
+    future days it supports (bounded fan-out on the compressed daily
+    table), and count distinct per target day. The same statement runs
+    as the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    mx = du.agg(F.max("day").alias("mx"))
+    contrib = du.crossJoin(F.broadcast(mx)).select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.least(F.col("day") + F.expr("INTERVAL 6 DAYS"), F.col("mx")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wday"),
+        "user_id",
+    )
+    wau = contrib.groupBy(F.col("wday").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    dau = du.groupBy("day").agg(
+        F.count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
