@@ -9336,3 +9336,30 @@ def events_dau_wau(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(xor(event_id, user_id) AS BIGINT) AS x,
+           CAST(event_id & 255 AS BIGINT) AS lo_byte,
+           CAST(event_id | 1 AS BIGINT) AS set_lsb,
+           CAST((event_id & 4095) << 4 AS BIGINT) AS shifted
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar surface (XOR/AND/OR/shift) — the integer-level
+    toolkit behind the engine's own SimHash bit votes and Morton
+    interleaves, declared as user-facing scalars (flag fields, packed
+    ids, hash mixing). The shift operand is masked first so ANSI mode
+    can never see an overflow."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.expr("event_id ^ user_id").cast("bigint").alias("x"),
+        F.expr("event_id & 255").cast("bigint").alias("lo_byte"),
+        F.expr("event_id | 1").cast("bigint").alias("set_lsb"),
+        F.expr("shiftleft(event_id & 4095, 4)").cast("bigint").alias("shifted"),
+    ).orderBy("event_id")
