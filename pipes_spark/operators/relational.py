@@ -480,24 +480,25 @@ def association_rules(
     so results are engine-exact.
 
     Scale: sessionize (one window pass), reduce to DISTINCT (session,
-    type) — the basket table, ≤ #types rows per session — then the pair
-    join keys on the session id: pair volume is Σ_s |basket_s|², bounded
-    by the type-vocabulary squared per session, never by event counts.
+    type) — the basket table, ≤ #types rows per session (persisted for
+    the query's lifetime: it feeds the pair join, the marginals, and the
+    session count) — then the pair join keys on the session id: pair
+    volume is Σ_s |basket_s|², bounded by the type-vocabulary squared
+    per session, never by event counts. The session count N stays
+    IN-PLAN (1-row aggregate cross-joined broadcast, the pmi_pairs
+    pattern) — no eager driver action at construction time; an empty
+    input yields an empty pair table, so the divisions never run.
     """
+    from ..caching import scoped_persist
+
     s = sessionize(events, user_col, ts_col, gap_seconds, order_tiebreak=order_tiebreak)
-    baskets = s.select(
-        F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_id").cast("string")).alias("_sid"),
-        F.col(type_col).alias("_t"),
-    ).distinct()
-    n_sessions = baskets.select("_sid").distinct().count()
-    if n_sessions == 0:
-        # empty input would otherwise divide by zero into Inf/NaN lift
-        spark = events.sparkSession
-        return spark.createDataFrame(
-            [],
-            "type_a string, type_b string, support bigint, "
-            "pair_freq double, lift double",
-        )
+    baskets = scoped_persist(
+        s.select(
+            F.concat_ws("#", F.col(user_col).cast("string"), F.col("session_id").cast("string")).alias("_sid"),
+            F.col(type_col).alias("_t"),
+        ).distinct()
+    )
+    ng = baskets.agg(F.count_distinct("_sid").cast("double").alias("_n"))
     singles = baskets.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
     a = baskets.select("_sid", F.col("_t").alias("type_a"))
     b = baskets.select("_sid", F.col("_t").alias("type_b"))
@@ -510,17 +511,21 @@ def association_rules(
     )
     ca = singles.select(F.col("_t").alias("type_a"), F.col("_c").alias("_ca"))
     cb = singles.select(F.col("_t").alias("type_b"), F.col("_c").alias("_cb"))
-    n = float(n_sessions)
+    # ratios run in DOUBLE: BIGINT marginal products overflow LONG under
+    # ANSI at large session counts, and both feed a rounded float anyway
     return (
         pairs.join(F.broadcast(ca), "type_a")
         .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(ng))
         .select(
             "type_a",
             "type_b",
             "support",
-            F.round(F.col("support") / F.lit(n), 6).alias("pair_freq"),
+            F.round(F.col("support") / F.col("_n"), 6).alias("pair_freq"),
             F.round(
-                (F.col("support") * F.lit(n)) / (F.col("_ca") * F.col("_cb")), 6
+                (F.col("support") * F.col("_n"))
+                / (F.col("_ca").cast("double") * F.col("_cb")),
+                6,
             ).alias("lift"),
         )
     )

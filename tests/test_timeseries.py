@@ -271,6 +271,11 @@ def test_association_rules_lift_semantics(spark):
     # lift = (10/20) / ((10/20)*(10/20)) = 2.0
     assert r["lift"] == pytest.approx(2.0)
     assert ("click", "error") not in out and ("error", "view") not in out
+    # empty input: construction stays lazy (no eager count) and the
+    # in-plan N produces an empty pair table, not a division error
+    empty = spark.createDataFrame([], "user_id long, ts timestamp, event_type string, event_id long")
+    assert association_rules(empty, "user_id", "ts", "event_type",
+                             gap_seconds=1800, order_tiebreak="event_id").count() == 0
 
 
 def test_cohort_retention_golden(spark):
