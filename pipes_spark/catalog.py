@@ -9363,3 +9363,58 @@ def scalar_bitwise(spark, sf_dir):
         F.expr("event_id | 1").cast("bigint").alias("set_lsb"),
         F.expr("shiftleft(event_id & 4095, 4)").cast("bigint").alias("shifted"),
     ).orderBy("event_id")
+
+
+@query(
+    "ts_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             round(v, 6) AS v6
+      FROM daily
+    ), st AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(v6 AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM base GROUP BY 1
+    ), c AS (
+      SELECT b.event_type, t, v6 - s / n AS c FROM base b JOIN st USING (event_type)
+    ), den AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(c * c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS den
+      FROM c GROUP BY 1
+    ), contrib AS (
+      SELECT event_type, t + k AS t2, k, c AS c_lag
+      FROM c, LATERAL unnest(generate_series(1, 7)) AS u(k)
+    ), num AS (
+      SELECT c.event_type, CAST(k AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(round(c.c * contrib.c_lag, 6) AS DECIMAL(28,6))) AS DOUBLE) AS num
+      FROM c JOIN contrib ON c.event_type = contrib.event_type AND c.t = contrib.t2
+      GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs, round(num / nullif(den, 0), 6) AS acf
+    FROM num JOIN den USING (event_type)
+    ORDER BY event_type, lag
+    """,
+)
+def ts_acf(spark, sf_dir):
+    """Per-key autocorrelation function (operators.timeseries.
+    autocorrelation): ACF of each event type's daily-count series at lags
+    1..7 — the seasonality fingerprint behind cadence checks and forecast
+    model selection. Bounded-explode lag pairing (n·max_lag rows through
+    one equi-join), never a theta self-join; round-then-DECIMAL-sum terms
+    keep both engines bit-identical."""
+    from .operators.timeseries import autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return autocorrelation(daily, ["event_type"], "day", "v", max_lag=7).orderBy(
+        "event_type", "lag"
+    )

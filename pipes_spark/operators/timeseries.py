@@ -924,3 +924,76 @@ def rmst(km: DataFrame, tau: float, round_decimals: int = 6) -> DataFrame:
             ).alias("rmst"),
         )
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key sample autocorrelation function (ACF) at lags 1..``max_lag``
+    — the seasonality/momentum fingerprint of a series (a weekly cycle
+    shows as a spike at lag 7; white noise decays immediately). Uses the
+    standard biased estimator r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+    with the GLOBAL per-key mean, so r_0 ≡ 1 and |r_k| ≤ 1.
+
+    Scale shape: one window pass per key assigns observation index t
+    (shuffle on the key), per-key mean and denominator are a single
+    aggregate over the same partitioning, and the lagged pairing is a
+    bounded explode — each observation emits ``max_lag`` (t+k, k) probe
+    rows joined back equi on (key, t) — never a theta self-join. Rows
+    through the shuffle: n·max_lag of (key, t, centered-value) triples.
+
+    Cross-engine determinism: values quantize to 6 decimals, per-term
+    products round(·, 6) then sum as DECIMAL(28,6) (order-independent,
+    exact — the perplexity pattern), and the single num/den division is
+    double + round(6). A zero denominator (constant series) yields NULL.
+    """
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy(order_col)
+    dec = "decimal(28,6)"
+    base = df.select(
+        *ks,
+        F.row_number().over(w).alias("_t"),
+        F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+    )
+    st = base.groupBy(*ks).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast(dec)).cast("double").alias("_s"),
+    )
+    cent = base.join(st, ks).select(
+        *ks, "_t", (F.col("_v") - F.col("_s") / F.col("_n")).alias("_c")
+    )
+    den = cent.groupBy(*ks).agg(
+        F.sum(F.round(F.col("_c") * F.col("_c"), 6).cast(dec))
+        .cast("double")
+        .alias("_den")
+    )
+    # columns renamed so the lineage-shared self-join stays unambiguous
+    contrib = cent.select(
+        *[F.col(k).alias("_ck_" + k) for k in ks],
+        F.col("_t").alias("_tsrc"),
+        F.explode(F.sequence(F.lit(1), F.lit(int(max_lag)))).alias("lag"),
+        F.col("_c").alias("_clag"),
+    ).withColumn("_t2", F.col("_tsrc") + F.col("lag"))
+    cond = F.col("_t") == F.col("_t2")
+    for k in ks:
+        cond = cond & (F.col(k) == F.col("_ck_" + k))
+    num = (
+        cent.join(contrib, cond)
+        .groupBy(*ks, "lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.round(F.col("_c") * F.col("_clag"), 6).cast(dec))
+            .cast("double")
+            .alias("_num"),
+        )
+    )
+    return num.join(den, ks).select(
+        *ks,
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.round(F.col("_num") / F.nullif(F.col("_den"), F.lit(0.0)), 6).alias("acf"),
+    )

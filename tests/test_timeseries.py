@@ -299,3 +299,30 @@ def test_cohort_retention_golden(spark):
     assert out[(a, 1)]["n_active"] == 1 and out[(a, 1)]["retention"] == 0.5
     assert out[(b, 0)]["n_active"] == 1 and out[(b, 0)]["cohort_size"] == 1
     assert set(out) == {(a, 0), (a, 1), (b, 0)}
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from pipes_spark.operators.timeseries import autocorrelation
+
+    rng = np.random.RandomState(7)
+    x = np.round(np.sin(np.arange(40) * 2 * np.pi / 8) * 10 + rng.randn(40), 3)
+    rows = [("a", i, float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    out = {r["lag"]: r for r in
+           autocorrelation(df, ["k"], "t", "v", max_lag=8).collect()}
+    mu = x.mean()
+    c = x - mu
+    den = float((c * c).sum())
+    for k in range(1, 9):
+        expect = float((c[k:] * c[:-k]).sum()) / den
+        assert out[k]["acf"] == pytest.approx(expect, abs=1e-4), k
+        assert out[k]["n_pairs"] == 40 - k
+    # period-8 sinusoid: strong positive ACF at the period, negative at half
+    assert out[8]["acf"] > 0.7 and out[4]["acf"] < -0.7
+    # constant series → zero denominator → NULL, not a DIVIDE_BY_ZERO throw
+    const = spark.createDataFrame([("c", i, 5.0) for i in range(10)],
+                                  "k string, t int, v double")
+    vals = autocorrelation(const, ["k"], "t", "v", max_lag=3).collect()
+    assert vals and all(r["acf"] is None for r in vals)
