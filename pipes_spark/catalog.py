@@ -9418,3 +9418,46 @@ def ts_acf(spark, sf_dir):
     return autocorrelation(daily, ["event_type"], "day", "v", max_lag=7).orderBy(
         "event_type", "lag"
     )
+
+
+@query(
+    "stats_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS gr, round(CAST(value AS DOUBLE), 6) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), per AS (
+      SELECT gr, count(*) AS n,
+             sum(CAST(v AS DECIMAL(28,6))) AS s,
+             sum(CAST(v * v AS DECIMAL(38,6))) AS q
+      FROM g GROUP BY gr
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(s) AS DOUBLE) AS st,
+             CAST(sum(q) AS DOUBLE) AS qt,
+             CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS a
+      FROM per
+    )
+    SELECT n_groups, n_total,
+           CAST(n_groups - 1 AS BIGINT) AS df_between,
+           CAST(n_total - n_groups AS BIGINT) AS df_within,
+           round(a - st * st / n_total, 6) AS ss_between,
+           round(qt - a, 6) AS ss_within,
+           round((a - st * st / n_total)
+                   / nullif(CAST(n_groups - 1 AS DOUBLE), 0)
+                 / nullif((qt - a) / nullif(CAST(n_total - n_groups AS DOUBLE), 0),
+                          0), 6) AS f_stat
+    FROM tot
+    """,
+)
+def stats_anova(spark, sf_dir):
+    """One-way ANOVA (operators.profiling.anova_oneway): F-test of
+    event value means across event types — the k-group generalization of
+    the A/B t-test. One map-side-combinable pass for per-group sufficient
+    statistics (DECIMAL-exact), one k-row reduce for the F-statistic."""
+    from .operators.profiling import anova_oneway
+
+    ev = _t(spark, sf_dir, "events")
+    return anova_oneway(ev, "event_type", "value")

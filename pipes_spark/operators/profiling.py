@@ -1250,3 +1250,70 @@ def spearman_corr(
     return g.select(
         "n", F.round(num / F.nullif(den, F.lit(0.0)), round_decimals).alias("rho")
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA: does the mean of ``value_col`` differ across the
+    levels of ``group_col`` more than within-group noise explains? The
+    F-statistic generalizes the two-sample t-test to k groups — the first
+    question asked of any segment/variant/source breakdown before
+    trusting per-group means.
+
+    One row out: group count, total n, between/within sum-of-squares,
+    and F = (SSB/(k−1)) / (SSW/(n−k)). Degrees of freedom ride along so
+    a caller can look up the p-value against F(k−1, n−k).
+
+    Scale: ONE map-side-combinable aggregation over the data (per-group
+    n, Σv as DECIMAL(28,6), Σv² as DECIMAL(38,6) on 6-decimal-quantized
+    values — the linear_fit convention: per-term decimals identical in
+    both engines, order-independent sums), then a second aggregate over
+    the k-row group table. Per-group float terms S_g²/n_g round(6) then
+    DECIMAL-sum so both engines combine groups identically. NULL values
+    and NULL groups are excluded; F is NULL when a degree of freedom or
+    SSW is zero (k=1, n=k, or perfectly constant groups) rather than a
+    DIVIDE_BY_ZERO throw.
+    """
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    per = g.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast("decimal(28,6)")).alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,6)")).alias("_q"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("_n").cast("bigint").alias("n_total"),
+        F.sum("_s").cast("double").alias("_S"),
+        F.sum("_q").cast("double").alias("_Q"),
+        F.sum(
+            F.round(
+                F.col("_s").cast("double") * F.col("_s").cast("double") / F.col("_n"),
+                6,
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("_A"),
+    )
+    ssb = F.col("_A") - F.col("_S") * F.col("_S") / F.col("n_total")
+    ssw = F.col("_Q") - F.col("_A")
+    df1 = (F.col("n_groups") - 1).cast("bigint")
+    df2 = (F.col("n_total") - F.col("n_groups")).cast("bigint")
+    return tot.select(
+        "n_groups",
+        "n_total",
+        df1.alias("df_between"),
+        df2.alias("df_within"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(
+            (ssb / F.nullif(df1.cast("double"), F.lit(0.0)))
+            / F.nullif(ssw / F.nullif(df2.cast("double"), F.lit(0.0)), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )

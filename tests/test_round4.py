@@ -1102,3 +1102,34 @@ def test_peak_concurrency_golden_overlaps(spark, sf_dir):
     }
     for r in rows:
         assert r.peak_concurrent <= per_day_users.get(r.day, 10**9)
+
+
+# ---------------------------------------------------------------------------
+# anova_oneway
+# ---------------------------------------------------------------------------
+
+
+def test_anova_oneway_matches_closed_form(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.profiling import anova_oneway
+
+    rng = np.random.RandomState(11)
+    groups = {"a": rng.randn(30) + 0.0, "b": rng.randn(25) + 1.5, "c": rng.randn(40) + 0.5}
+    rows = [(g, round(float(v), 6)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    xs = np.concatenate(list(groups.values())).round(6)
+    mu = xs.mean()
+    ssb = sum(len(v) * (v.round(6).mean() - mu) ** 2 for v in groups.values())
+    ssw = sum(((v.round(6) - v.round(6).mean()) ** 2).sum() for v in groups.values())
+    f = (ssb / 2) / (ssw / (len(xs) - 3))
+    assert r["n_groups"] == 3 and r["n_total"] == 95
+    assert r["df_between"] == 2 and r["df_within"] == 92
+    assert r["ss_between"] == pytest.approx(ssb, rel=1e-4)
+    assert r["ss_within"] == pytest.approx(ssw, rel=1e-4)
+    assert r["f_stat"] == pytest.approx(f, rel=1e-4)
+    # one group / empty input degeneracies: NULL F, no throw
+    one = anova_oneway(df.filter(F.col("g") == "a"), "g", "v").collect()[0]
+    assert one["f_stat"] is None and one["df_between"] == 0
