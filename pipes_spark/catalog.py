@@ -9461,3 +9461,54 @@ def stats_anova(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return anova_oneway(ev, "event_type", "value")
+
+
+@query(
+    "ml_naive_bayes",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id AS d, lang AS actual,
+             unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
+      FROM documents
+    ), docs AS (SELECT doc_id AS d, lang AS cls FROM documents),
+    priors AS (SELECT cls, count(*) AS ndocs FROM docs GROUP BY 1),
+    nall AS (SELECT count(*) AS n FROM docs),
+    ctot AS (SELECT actual AS cls, count(*) AS nc FROM toks GROUP BY 1),
+    cwc AS (SELECT w, actual AS cls, count(*) AS c FROM toks GROUP BY 1, 2),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+    spine AS (
+      SELECT p.cls,
+             CAST(round(ln(ndocs / CAST(n AS DOUBLE)), 6) AS DECIMAL(28,6)) AS logprior,
+             nc, v
+      FROM priors p JOIN ctot USING (cls) CROSS JOIN nall CROSS JOIN vocab
+    ), scored AS (
+      SELECT t.d, t.actual, s.cls, s.logprior,
+             CAST(round(ln((coalesce(c.c, 0) + 1) / CAST(s.nc + s.v AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS lp
+      FROM toks t CROSS JOIN spine s
+      LEFT JOIN cwc c ON c.w = t.w AND c.cls = s.cls
+    ), per AS (
+      SELECT d, actual, cls, any_value(logprior) + sum(lp) AS score
+      FROM scored GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT d, actual, cls AS predicted
+      FROM per
+      QUALIFY row_number() OVER (PARTITION BY d ORDER BY score DESC, cls ASC) = 1
+    )
+    SELECT actual AS lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ml_naive_bayes(spark, sf_dir):
+    """Multinomial naive Bayes label-consistency audit (operators.
+    linear_model.naive_bayes_confusion): the corpus-trained bag-of-words
+    classifier scored back over its own labels, reported as a confusion
+    matrix — off-diagonal mass flags mislabeled/mixed documents. Training
+    is two count aggregates (the persistable model artifact); scoring
+    re-keys the token stream once and fans out only by #classes."""
+    from .operators.linear_model import naive_bayes_confusion
+
+    d = _t(spark, sf_dir, "documents")
+    return naive_bayes_confusion(d, "lang", "text", "doc_id").orderBy(
+        "lang", "predicted"
+    )

@@ -254,3 +254,108 @@ def prob_metrics(
             6,
         ).alias("brier"),
     )
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Multinomial naive Bayes trained on the corpus' own labels and
+    scored back over it — the classic bag-of-words classifier as pure
+    count aggregation, reported as a (actual, predicted) confusion
+    matrix. As a curation readout this is the label-consistency audit:
+    documents whose own token distribution argues for a DIFFERENT class
+    than their label (off-diagonal mass) are the mislabeled / mixed /
+    boilerplate candidates.
+
+    score(d, c) = ln P(c) + Σ_w∈d ln (C(w,c)+1)/(C(c)+V)  (add-one
+    smoothing over the corpus vocabulary V), predicted = argmax_c with
+    class-name tie-break.
+
+    Scale: tokenization explodes once (persisted for the query), model
+    "training" is two count aggregates — (w, class) counts and per-class
+    totals, the ingest-time artifact you'd persist at 100 TB — and
+    scoring re-keys the token stream by w to join the model (co-keyed
+    equi-join), fans out only by the number of classes (bounded), then
+    reduces per (doc, class). Per-token ln terms round(6) then DECIMAL-
+    sum (the perplexity pattern) so scores are engine- and order-exact;
+    the class spine and per-class totals are broadcast.
+    """
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+    from .text import tokens
+
+    toks = scoped_persist(
+        df.select(
+            F.col(id_col).alias("_doc"),
+            F.col(class_col).alias("_actual"),
+            F.explode(tokens(text_col)).alias("_w"),
+        )
+    )
+    # model: class priors, per-class token totals, (w, class) counts, |V|
+    docs = df.select(F.col(id_col).alias("_doc"), F.col(class_col).alias("_cls"))
+    priors = docs.groupBy("_cls").agg(F.count(F.lit(1)).alias("_ndocs"))
+    n_all = docs.agg(F.count(F.lit(1)).alias("_n"))
+    ctot = toks.groupBy(F.col("_actual").alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    cwc = toks.groupBy("_w", F.col("_actual").alias("_cls")).agg(
+        F.count(F.lit(1)).alias("_cwc")
+    )
+    vocab = toks.agg(F.count_distinct("_w").alias("_v"))
+    # class spine: every doc token scored under every class
+    spine = F.broadcast(
+        priors.crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(vocab))
+        .join(ctot, "_cls")
+        .select(
+            "_cls",
+            F.round(F.log(F.col("_ndocs") / F.col("_n").cast("double")), 6)
+            .cast("decimal(28,6)")
+            .alias("_logprior"),
+            "_nc",
+            "_v",
+        )
+    )
+    cwc2 = cwc.select(
+        F.col("_w").alias("_w2"), F.col("_cls").alias("_cls2"), "_cwc"
+    )
+    scored = (
+        toks.crossJoin(spine)
+        .join(
+            cwc2,
+            (F.col("_w") == F.col("_w2")) & (F.col("_cls") == F.col("_cls2")),
+            "left",
+        )
+        .select(
+            "_doc",
+            "_actual",
+            "_cls",
+            "_logprior",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("_cwc"), F.lit(0)) + 1)
+                    / (F.col("_nc") + F.col("_v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("_lp"),
+        )
+    )
+    per_dc = scored.groupBy("_doc", "_actual", "_cls").agg(
+        (F.first("_logprior") + F.sum("_lp")).alias("_score")
+    )
+    w = Window.partitionBy("_doc").orderBy(F.col("_score").desc(), F.col("_cls").asc())
+    pred = (
+        per_dc.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_doc", "_actual", F.col("_cls").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("_actual").alias(class_col), "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )

@@ -1133,3 +1133,24 @@ def test_anova_oneway_matches_closed_form(spark):
     # one group / empty input degeneracies: NULL F, no throw
     one = anova_oneway(df.filter(F.col("g") == "a"), "g", "v").collect()[0]
     assert one["f_stat"] is None and one["df_between"] == 0
+
+
+def test_naive_bayes_confusion_golden(spark):
+    from pipes_spark.operators.linear_model import naive_bayes_confusion
+
+    rows = [
+        # class "en": token "the" dominates; class "de": token "der"
+        (1, "en", "the cat the dog"),
+        (2, "en", "the bird"),
+        (3, "de", "der hund der"),
+        (4, "de", "der vogel"),
+        # a "de"-labeled doc written with English tokens → predicted en
+        (5, "de", "the the the cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {(r["lang"], r["predicted"]): r["n_docs"]
+           for r in naive_bayes_confusion(df, "lang", "text", "doc_id").collect()}
+    assert got[("en", "en")] == 2
+    assert got[("de", "de")] == 2
+    assert got[("de", "en")] == 1
+    assert sum(got.values()) == 5
