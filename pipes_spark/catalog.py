@@ -9512,3 +9512,58 @@ def ml_naive_bayes(spark, sf_dir):
     return naive_bayes_confusion(d, "lang", "text", "doc_id").orderBy(
         "lang", "predicted"
     )
+
+
+@query(
+    "graph_link_pred",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS l, l_partkey AS r
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), deg_r AS (SELECT r, count(*) AS dr FROM e GROUP BY r),
+    deg_l AS (SELECT l, count(*) AS dl FROM e GROUP BY l),
+    kept AS (
+      SELECT l, e.r, CAST(round(1.0 / ln(CAST(dr AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w
+      FROM e JOIN deg_r ON e.r = deg_r.r
+      WHERE dr BETWEEN 2 AND 1000
+    ), pairs AS (
+      SELECT a.l AS left_a, b.l AS left_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(a.w) AS DOUBLE) AS aa
+      FROM kept a JOIN kept b ON a.r = b.r AND a.l < b.l
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT left_a, left_b, n_common,
+           round(aa, 6) AS adamic_adar,
+           round(n_common / CAST(da.dl + db.dl - n_common AS DOUBLE), 6) AS jaccard
+    FROM pairs
+      JOIN deg_l da ON left_a = da.l
+      JOIN deg_l db ON left_b = db.l
+    ORDER BY adamic_adar DESC, n_common DESC, left_a, left_b
+    LIMIT 50
+    """,
+)
+def graph_link_pred(spark, sf_dir):
+    """Bipartite link prediction (operators.components.
+    link_prediction_bipartite): common-neighbor / Adamic–Adar / Jaccard
+    scores between customers over the customer–part purchase graph — the
+    "customers who bought X also…" candidate scorer. Pair generation is
+    the LSH-banding shape (self-join keyed by the part, degree-capped);
+    only id/weight triples shuffle."""
+    from .operators.components import link_prediction_bipartite
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey"), F.col("l_partkey")
+    )
+    return (
+        link_prediction_bipartite(
+            edges, "o_custkey", "l_partkey", min_common=3, max_postings=1000
+        )
+        .orderBy(
+            F.col("adamic_adar").desc(), F.col("n_common").desc(), "left_a", "left_b"
+        )
+        .limit(50)
+    )

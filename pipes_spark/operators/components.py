@@ -455,3 +455,71 @@ def drop_near_duplicates_best(
     return docs.join(
         F.broadcast(losers), docs[id_col] == F.col("_loser"), "left_anti"
     )
+
+
+def link_prediction_bipartite(
+    edges: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_common: int = 2,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Link-prediction scores between LEFT vertices of a bipartite graph
+    (customer–product, user–tag, doc–entity): common neighbors,
+    Adamic–Adar (common neighbors discounted by 1/ln(degree) — a shared
+    RARE item says more than a shared popular one), and Jaccard overlap
+    of neighborhoods — the classic "people who bought X also…"
+    candidate scorer.
+
+    Scale: the pair generation is the LSH-banding shape — a self-join
+    keyed by the RIGHT vertex, so pair volume is Σ_r deg(r)², bounded by
+    dropping right vertices with more than ``max_postings`` neighbors
+    (boilerplate items score ~0 Adamic–Adar anyway; the cap is the same
+    degenerate-bucket guard as MinHash-LSH). Only (id, id, weight)
+    triples flow through the shuffle; per-item 1/ln(deg) weights round(6)
+    then DECIMAL-sum so scores are engine-exact.
+    """
+    e = edges.select(
+        F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+    ).distinct()
+    deg_r = e.groupBy("_r").agg(F.count(F.lit(1)).alias("_dr"))
+    deg_l = e.groupBy("_l").agg(F.count(F.lit(1)).alias("_dl"))
+    # degree-1 right vertices can't form a pair, and 1/ln(1) is infinite —
+    # drop them with the posting cap in one filter
+    kept = e.join(
+        deg_r.filter((F.col("_dr") >= 2) & (F.col("_dr") <= max_postings)), "_r"
+    ).withColumn(
+        "_w",
+        F.round(F.lit(1.0) / F.log(F.col("_dr").cast("double")), 6).cast(
+            "decimal(28,6)"
+        ),
+    )
+    a = kept.select(F.col("_r").alias("_ra"), F.col("_l").alias("left_a"), "_w")
+    b = kept.select(F.col("_r").alias("_rb"), F.col("_l").alias("left_b"))
+    pairs = (
+        a.join(b, F.col("_ra") == F.col("_rb"))
+        .filter(F.col("left_a") < F.col("left_b"))
+        .groupBy("left_a", "left_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("_w").cast("double").alias("adamic_adar"),
+        )
+        .filter(F.col("n_common") >= min_common)
+    )
+    da = deg_l.select(F.col("_l").alias("left_a"), F.col("_dl").alias("_da"))
+    db = deg_l.select(F.col("_l").alias("left_b"), F.col("_dl").alias("_db"))
+    return (
+        pairs.join(da, "left_a")
+        .join(db, "left_b")
+        .select(
+            "left_a",
+            "left_b",
+            "n_common",
+            F.round(F.col("adamic_adar"), 6).alias("adamic_adar"),
+            F.round(
+                F.col("n_common")
+                / (F.col("_da") + F.col("_db") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1154,3 +1154,39 @@ def test_naive_bayes_confusion_golden(spark):
     assert got[("de", "de")] == 2
     assert got[("de", "en")] == 1
     assert sum(got.values()) == 5
+
+
+def test_link_prediction_bipartite_golden(spark):
+    import math
+
+    import pytest
+
+    from pipes_spark.operators.components import link_prediction_bipartite
+
+    # items: p1 shared by u1,u2,u3 (deg 3); p2 shared by u1,u2 (deg 2);
+    # p3 only u3 (deg 1 → dropped); p4 shared by all four (deg 4)
+    edges = [
+        (1, "p1"), (2, "p1"), (3, "p1"),
+        (1, "p2"), (2, "p2"),
+        (3, "p3"),
+        (1, "p4"), (2, "p4"), (3, "p4"), (4, "p4"),
+    ]
+    df = spark.createDataFrame(edges, "u long, item string")
+    got = {(r["left_a"], r["left_b"]): r
+           for r in link_prediction_bipartite(df, "u", "item", min_common=1).collect()}
+    r12 = got[(1, 2)]
+    assert r12["n_common"] == 3
+    expect_aa = round(1 / math.log(3), 6) + round(1 / math.log(2), 6) + round(1 / math.log(4), 6)
+    assert r12["adamic_adar"] == pytest.approx(expect_aa, abs=2e-6)
+    # deg(u1)=3, deg(u2)=3 (p3 dropped does not affect LEFT degrees... u3 has p3)
+    assert r12["jaccard"] == pytest.approx(3 / (3 + 3 - 3), 6)
+    # u4 shares only the popular p4
+    assert got[(1, 4)]["n_common"] == 1
+    assert got[(1, 4)]["adamic_adar"] == pytest.approx(round(1 / math.log(4), 6), abs=2e-6)
+    # jaccard uses FULL left degrees: u3 has {p1,p3,p4} → |∪|=3+3-2
+    assert got[(1, 3)]["jaccard"] == pytest.approx(round(2 / 4, 6))
+    # posting cap drops p4 from scoring
+    capped = {(r["left_a"], r["left_b"]): r["n_common"]
+              for r in link_prediction_bipartite(df, "u", "item",
+                                                 min_common=1, max_postings=3).collect()}
+    assert (1, 4) not in capped and capped[(1, 2)] == 2
