@@ -9567,3 +9567,19 @@ def graph_link_pred(spark, sf_dir):
         )
         .limit(50)
     )
+
+
+@query("ml_ridge")  # matrix solve not SQL-expressible: rows-only; numpy
+# closed-form parity (incl. l2=0 == lstsq) is pytest'd in test_round4.py
+def ml_ridge(spark, sf_dir):
+    """Ridge regression by distributed normal equations (operators.
+    linear_model.fit_ridge): ONE exact-DECIMAL aggregation pass builds
+    XᵀX and Xᵀy — (d+1)(d+4)/2 cells through the shuffle regardless of
+    row count — and the tiny solve runs driver-side; bit-reproducible
+    across partitionings. Fits l_extendedprice ~ quantity+discount+tax."""
+    from .operators.linear_model import fit_ridge
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fit_ridge(
+        li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", l2=1.0
+    ).orderBy("feature")

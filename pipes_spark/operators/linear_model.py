@@ -359,3 +359,61 @@ def naive_bayes_confusion(
         pred.groupBy(F.col("_actual").alias(class_col), "predicted")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     )
+
+
+def fit_ridge(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    l2: float = 0.0,
+    intercept: bool = True,
+) -> DataFrame:
+    """Ridge (L2-regularized) linear regression by distributed normal
+    equations: ONE aggregation pass accumulates the Gram matrix XᵀX and
+    moment vector Xᵀy as exact DECIMAL sums — (d+1)(d+4)/2 cells through
+    the shuffle regardless of row count — then the (d+1)×(d+1) solve
+    happens driver-side with numpy (the documented small-side contract:
+    a few hundred floats, like the k-means codebook). β =
+    (XᵀX + λI)⁻¹ Xᵀy, with the intercept unpenalized as standard.
+
+    Because the sufficient statistics are DECIMAL (order-independent,
+    exact at 12 decimals per term), the fit is bit-reproducible across
+    partitionings, retries, and cluster sizes — the same property the
+    logistic trainer guarantees for its gradients. Features and label
+    quantize to 6 decimals first.
+
+    Returns a small DataFrame of (feature, coef), one row per feature
+    (plus ``intercept`` when requested).
+    """
+    import numpy as np
+
+    cols = list(feature_cols)
+    xs = [F.round(F.col(c).cast("double"), 6) for c in cols]
+    names = list(cols)
+    if intercept:
+        xs = [F.lit(1.0)] + xs
+        names = ["intercept"] + names
+    d = len(xs)
+    y = F.round(F.col(label_col).cast("double"), 6)
+    acc = "decimal(38,12)"
+    aggs = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum((xs[i] * xs[j]).cast(acc)).alias(f"_xx_{i}_{j}"))
+        aggs.append(F.sum((xs[i] * y).cast(acc)).alias(f"_xy_{i}"))
+    row = df.agg(*aggs).collect()[0]
+    A = np.zeros((d, d))
+    b = np.zeros(d)
+    for i in range(d):
+        for j in range(i, d):
+            A[i, j] = A[j, i] = float(row[f"_xx_{i}_{j}"])
+        b[i] = float(row[f"_xy_{i}"])
+    reg = np.eye(d) * float(l2)
+    if intercept:
+        reg[0, 0] = 0.0  # the intercept is conventionally unpenalized
+    beta = np.linalg.solve(A + reg, b)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(names[i], round(float(beta[i]), 6)) for i in range(d)],
+        "feature string, coef double",
+    )

@@ -1190,3 +1190,33 @@ def test_link_prediction_bipartite_golden(spark):
               for r in link_prediction_bipartite(df, "u", "item",
                                                  min_common=1, max_postings=3).collect()}
     assert (1, 4) not in capped and capped[(1, 2)] == 2
+
+
+def test_fit_ridge_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.linear_model import fit_ridge
+
+    rng = np.random.RandomState(3)
+    n, d = 400, 3
+    X = np.round(rng.randn(n, d) * 2, 6)
+    beta_true = np.array([1.5, -2.0, 0.75])
+    y = np.round(X @ beta_true + 4.0 + rng.randn(n) * 0.1, 6)
+    rows = [tuple(map(float, X[i])) + (float(y[i]),) for i in range(n)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, x3 double, y double")
+
+    for l2 in (0.0, 5.0):
+        got = {r["feature"]: r["coef"]
+               for r in fit_ridge(df, ["x1", "x2", "x3"], "y", l2=l2).collect()}
+        Xa = np.hstack([np.ones((n, 1)), X])
+        A = Xa.T @ Xa + l2 * np.diag([0.0, 1, 1, 1])
+        expect = np.linalg.solve(A, Xa.T @ y)
+        assert got["intercept"] == pytest.approx(expect[0], abs=1e-5)
+        for i, c in enumerate(["x1", "x2", "x3"]):
+            assert got[c] == pytest.approx(expect[i + 1], abs=1e-5), (l2, c)
+    # l2=0 equals ordinary least squares
+    got0 = {r["feature"]: r["coef"]
+            for r in fit_ridge(df, ["x1", "x2", "x3"], "y", l2=0.0).collect()}
+    lst, *_ = np.linalg.lstsq(np.hstack([np.ones((n, 1)), X]), y, rcond=None)
+    assert got0["x1"] == pytest.approx(lst[1], abs=1e-5)
