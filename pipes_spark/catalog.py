@@ -9583,3 +9583,72 @@ def ml_ridge(spark, sf_dir):
     return fit_ridge(
         li, ["l_quantity", "l_discount", "l_tax"], "l_extendedprice", l2=1.0
     ).orderBy("feature")
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+        CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' und ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' die ', ''))) / 5 AS BIGINT) AS score_de,
+        CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' and ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+        CAST((length(text) - length(replace(text, ' el ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' la ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' que ', ''))) / 5 AS BIGINT) AS score_es,
+        CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' les ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' des ', ''))) / 5 AS BIGINT) AS score_fr,
+        CAST((length(text) - length(replace(text, ' de ', ''))) / 4 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' shi ', ''))) / 5 AS BIGINT)
+         + CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS score_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang AS a,
+           CASE
+             WHEN score_de >= score_en AND score_de >= score_es
+                  AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_en >= score_es AND score_en >= score_fr
+                  AND score_en >= score_zh THEN 'en'
+             WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr >= score_zh THEN 'fr'
+             ELSE 'zh'
+           END AS b
+      FROM scored
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+      FROM pred
+    ), ma AS (SELECT a, count(*) AS na FROM pred GROUP BY a),
+    mb AS (SELECT b, count(*) AS nb FROM pred GROUP BY b),
+    pe AS (
+      SELECT coalesce(sum(CAST(na AS DECIMAL(38,0)) * nb),
+                      CAST(0 AS DECIMAL(38,0))) AS pe_num
+      FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT n_items,
+           round(agree / CAST(n_items AS DOUBLE), 6) AS observed_agreement,
+           round(CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * n_items), 6)
+             AS expected_agreement,
+           round((agree / CAST(n_items AS DOUBLE)
+                   - CAST(pe_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * n_items))
+                 / nullif(1.0 - CAST(pe_num AS DOUBLE)
+                                / (CAST(n_items AS DOUBLE) * n_items), 0), 6)
+             AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def ml_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa (operators.profiling.cohens_kappa) between the
+    marker-word language-ID heuristic and the gold ``lang`` labels —
+    chance-corrected agreement, the statistic text_lang_confusion's raw
+    matrix feeds. Class-count shuffles only; marginal products through
+    DECIMAL(38,0)."""
+    from .operators.profiling import cohens_kappa
+    from .operators.text import with_lang_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return cohens_kappa(with_lang_scores(d), "lang", "lang_pred")

@@ -1317,3 +1317,56 @@ def anova_oneway(
             6,
         ).alias("f_stat"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa: chance-corrected agreement between two categorical
+    labelings of the same items — the standard inter-annotator (or
+    model-vs-gold) agreement statistic behind every labeling-quality
+    gate. κ = (p_o − p_e)/(1 − p_e) where p_o is raw agreement and p_e
+    the agreement two independent raters with these marginals would
+    reach by chance; κ≈0 means the observed agreement is all chance.
+
+    Scale: one pass for (n, agreements), one small marginal aggregate
+    per rater, and the chance term is a class-keyed join of the two
+    marginal tables — every shuffle carries class-count rows only. All
+    counting is exact integer; marginal PRODUCTS go through
+    DECIMAL(38,0) (BIGINT·BIGINT overflows LONG under ANSI at the
+    100 TB design point); the two divisions run in DOUBLE at the end.
+    Rows with a NULL label on either side are excluded. κ is NULL when
+    p_e = 1 (both raters constant — chance explains everything).
+    """
+    base = df.select(
+        F.col(rater_a).alias("_a"), F.col(rater_b).alias("_b")
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    tot = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum((F.col("_a") == F.col("_b")).cast("bigint"))
+        .cast("bigint")
+        .alias("_agree"),
+    )
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_na"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
+    pe_num = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_na").cast("decimal(38,0)") * F.col("_nb")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("_pe_num")
+        )
+    )
+    po = F.col("_agree") / F.col("n_items").cast("double")
+    pe = F.col("_pe_num").cast("double") / (
+        F.col("n_items").cast("double") * F.col("n_items")
+    )
+    return tot.crossJoin(F.broadcast(pe_num)).select(
+        "n_items",
+        F.round(po, 6).alias("observed_agreement"),
+        F.round(pe, 6).alias("expected_agreement"),
+        F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias("kappa"),
+    )

@@ -1220,3 +1220,26 @@ def test_fit_ridge_matches_numpy(spark):
             for r in fit_ridge(df, ["x1", "x2", "x3"], "y", l2=0.0).collect()}
     lst, *_ = np.linalg.lstsq(np.hstack([np.ones((n, 1)), X]), y, rcond=None)
     assert got0["x1"] == pytest.approx(lst[1], abs=1e-5)
+
+
+def test_cohens_kappa_golden(spark):
+    import pytest
+
+    from pipes_spark.operators.profiling import cohens_kappa
+
+    # textbook 2x2: raters agree on 20 of 30; both marginals are 20/10
+    rows = (
+        [("x", "x")] * 15 + [("x", "y")] * 5 + [("y", "y")] * 5 + [("y", "x")] * 0
+        + [("y", "y")] * 0 + [("y", "x")] * 5
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # po = 20/30; pe = (20*20 + 10*10)/900
+    po, pe = 20 / 30, (20 * 20 + 10 * 10) / 900
+    assert r["n_items"] == 30
+    assert r["observed_agreement"] == pytest.approx(po, abs=1e-6)
+    assert r["expected_agreement"] == pytest.approx(pe, abs=1e-6)
+    assert r["kappa"] == pytest.approx((po - pe) / (1 - pe), abs=1e-6)
+    # constant raters → pe = 1 → NULL kappa, no division error
+    const = spark.createDataFrame([("k", "k")] * 5, "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
