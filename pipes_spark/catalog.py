@@ -9652,3 +9652,39 @@ def ml_cohens_kappa(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return cohens_kappa(with_lang_scores(d), "lang", "lang_pred")
+
+
+@query(
+    "events_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT lag(event_type, 2) OVER w AS step1,
+             lag(event_type, 1) OVER w AS step2,
+             event_type AS step3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), c AS (
+      SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE step1 IS NOT NULL
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 2
+    )
+    SELECT step1, step2, step3, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY step1, step2), 6)
+             AS prob
+    FROM c ORDER BY step1, step2, step3
+    """,
+)
+def events_trigram_paths(spark, sf_dir):
+    """Second-order Markov paths (operators.relational.sequence_ngrams,
+    n=3): counts of every 3-step event-type sequence per user stream and
+    the conditional probability of the third step given the first two —
+    path_transitions' higher-order sibling. Both lags ride ONE window
+    sort; the n-gram matrix is |types|³ rows."""
+    from .operators.relational import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_ngrams(
+        ev, "user_id", "ts", "event_type", n=3, order_tiebreak="event_id",
+        min_count=2,
+    ).orderBy("step1", "step2", "step3")

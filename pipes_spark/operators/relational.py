@@ -967,3 +967,50 @@ def incremental_agg_retract(
         ).alias("sum_val"),
     )
     return merged.filter(F.col("n") > 0)
+
+
+def sequence_ngrams(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    n: int = 3,
+    order_tiebreak: Optional[str] = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Order-(n−1) extension of :func:`path_transitions`: counts of every
+    n-step event-type sequence in each user's stream, with the
+    conditional probability of the final step given its (n−1)-prefix —
+    the higher-order Markov readout behind "users who did A then B
+    usually do C next" (and the behavioral-cloning n-gram baseline).
+
+    One window pass per user materializes the n−1 lags in a single sort
+    (Catalyst collapses same-window lags into one physical window node),
+    then one integer groupBy on the n-tuple; the prefix totals come from
+    a second window over the tiny |types|ⁿ matrix. Deterministic via the
+    explicit unique tie-break; same hot-user caveat and bucketed remedy
+    as sessionize. With ``min_count`` > 1 the probabilities renormalize
+    over the KEPT continuations (rare paths are dropped before the
+    prefix total — "among frequent paths" semantics).
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [
+        F.lag(F.col(type_col), n - 1 - i).over(w).alias(f"step{i + 1}")
+        for i in range(n - 1)
+    ] + [F.col(type_col).alias(f"step{n}")]
+    names = [f"step{i + 1}" for i in range(n)]
+    seq = events.select(*steps).filter(
+        F.col("step1").isNotNull()  # older lags are NULL whenever step1 is
+    )
+    counts = seq.groupBy(*names).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wp = Window.partitionBy(*names[:-1])
+    return counts.filter(F.col("n") >= min_count).select(
+        *names,
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("prob"),
+    )

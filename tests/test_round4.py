@@ -1243,3 +1243,32 @@ def test_cohens_kappa_golden(spark):
     # constant raters → pe = 1 → NULL kappa, no division error
     const = spark.createDataFrame([("k", "k")] * 5, "a string, b string")
     assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+
+
+def test_sequence_ngrams_golden(spark):
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from pipes_spark.operators.relational import sequence_ngrams
+
+    t0 = datetime(2024, 1, 1)
+    # u1: a b c a b d ; u2: a b c  → trigrams: (a,b,c)x2, (b,c,a), (c,a,b), (a,b,d)
+    seqs = {1: ["a", "b", "c", "a", "b", "d"], 2: ["a", "b", "c"]}
+    rows = [(u, t0 + timedelta(minutes=i), s, u * 100 + i)
+            for u, types in seqs.items() for i, s in enumerate(types)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {(r["step1"], r["step2"], r["step3"]): r
+           for r in sequence_ngrams(df, "user_id", "ts", "event_type", n=3,
+                                    order_tiebreak="event_id").collect()}
+    assert got[("a", "b", "c")]["n"] == 2
+    assert got[("a", "b", "d")]["n"] == 1
+    # P(c | a,b) = 2/3, P(d | a,b) = 1/3
+    assert got[("a", "b", "c")]["prob"] == pytest.approx(2 / 3, abs=1e-6)
+    assert got[("a", "b", "d")]["prob"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[("b", "c", "a")]["n"] == 1 and got[("b", "c", "a")]["prob"] == 1.0
+    # bigram mode degenerates to path_transitions counts
+    got2 = {(r["step1"], r["step2"]): r["n"]
+            for r in sequence_ngrams(df, "user_id", "ts", "event_type", n=2,
+                                     order_tiebreak="event_id").collect()}
+    assert got2[("a", "b")] == 3 and got2[("b", "c")] == 2
