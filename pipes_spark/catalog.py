@@ -9688,3 +9688,27 @@ def events_trigram_paths(spark, sf_dir):
         ev, "user_id", "ts", "event_type", n=3, order_tiebreak="event_id",
         min_count=2,
     ).orderBy("step1", "step2", "step3")
+
+
+@query("multimodal_phash_pairs", oracle=None)  # mapInPandas hash: rows-only;
+# duplicate/near-duplicate-asset semantics are pytest'd in test_round4.py
+def multimodal_phash_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup detection over binary assets (operators.
+    multimodal.perceptual_hash + phash_pairs): 64-bit aHash-style
+    fingerprint per asset (8 bytes per asset through the shuffle, never
+    the content), byte-pigeonhole blocked pair generation, exact
+    bit_count verification — image dedup's standard shape with the
+    decode stubbed deterministically (no codecs in this container)."""
+    from .operators.multimodal import (
+        binary_assets_from_text,
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    assets = binary_assets_from_text(d)
+    return (
+        phash_pairs(perceptual_hash(assets), max_hamming=7)
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )

@@ -274,3 +274,90 @@ def cdc_chunks(
         gen,
         schema=f"{id_col} bigint, chunk_idx bigint, offset bigint, length bigint, chunk_hash string",
     )
+
+
+def perceptual_hash(assets: DataFrame, fake: bool = True) -> DataFrame:
+    """64-bit perceptual hash per asset — the image-dedup fingerprint
+    (aHash family: bit i says whether region i is brighter than the
+    asset's mean). Real mode would decode to grayscale pixels first and
+    hash 8×8 downsampled blocks; with no codecs in this container the
+    deterministic stand-in applies the IDENTICAL rule to the raw byte
+    stream split into 64 equal blocks — the hash math, Arrow batching,
+    and pair plumbing are the real thing, only the decode differs.
+
+    Returns ``(asset_id, phash bigint)`` — 8 bytes per asset through any
+    downstream shuffle, never the content.
+    """
+    _ship_package(assets.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if not fake:
+            raise NotImplementedError(
+                "media codecs (PIL/ffmpeg) are not available in this "
+                "environment; use fake=True for the deterministic byte-block hash"
+            )
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = np.frombuffer(content, dtype=np.uint8)
+                if arr.size == 0:
+                    arr = np.zeros(64, dtype=np.uint8)
+                pad = (-arr.size) % 64
+                a = np.pad(arr, (0, pad), mode="wrap")
+                blocks = a.reshape(64, -1).mean(axis=1)
+                bits = blocks > blocks.mean()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                if h >= 1 << 63:
+                    h -= 1 << 64  # signed 64-bit for the BIGINT column
+                out.append({"asset_id": int(asset_id), "phash": h})
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema="asset_id bigint, phash bigint")
+
+
+def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate asset pairs by perceptual-hash Hamming distance ≤
+    ``max_hamming`` (≤ 7: the pigeonhole blocks are the hash's 8 bytes —
+    any pair within Hamming 7 of a 64-bit hash agrees on at least one of
+    them, so candidate generation is a per-byte-value equi-join, never
+    all-pairs; the same blocking scheme as text SimHash). Only
+    (id, hash) longs flow through the shuffle; the exact distance check
+    is one bit_count(XOR) per surviving candidate.
+    """
+    if not 0 <= max_hamming <= 7:
+        raise ValueError(f"max_hamming must be in [0, 7], got {max_hamming}")
+    blocked = hashes.select(
+        F.col("asset_id"),
+        F.col("phash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 8 * i).bitwiseAND(F.lit(255)).cast("int")
+                    for i in range(8)
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    a = blocked.select(
+        "block", "block_val", F.col("asset_id").alias("id_a"), F.col("phash").alias("ph_a")
+    )
+    b = blocked.select(
+        "block", "block_val", F.col("asset_id").alias("id_b"), F.col("phash").alias("ph_b")
+    )
+    return (
+        a.join(b, ["block", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("bigint"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1272,3 +1272,36 @@ def test_sequence_ngrams_golden(spark):
             for r in sequence_ngrams(df, "user_id", "ts", "event_type", n=2,
                                      order_tiebreak="event_id").collect()}
     assert got2[("a", "b")] == 3 and got2[("b", "c")] == 2
+
+
+def test_perceptual_hash_pairs_semantics(spark):
+    from pipes_spark.operators.multimodal import (
+        binary_assets_from_text,
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    docs = [
+        (1, base),
+        (2, base),                      # exact duplicate → hamming 0
+        (3, base[:-9] + "CAT RULES"),   # small tail edit → small hamming
+        (4, "".join(chr(65 + (i * 7) % 26) for i in range(800))),  # unrelated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hashes = {r["asset_id"]: r["phash"]
+              for r in perceptual_hash(binary_assets_from_text(df)).collect()}
+    assert hashes[1] == hashes[2]
+    # determinism across partitionings
+    hashes_re = {r["asset_id"]: r["phash"]
+                 for r in perceptual_hash(
+                     binary_assets_from_text(df.repartition(3))).collect()}
+    assert hashes == hashes_re
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in phash_pairs(
+                 perceptual_hash(binary_assets_from_text(df)), max_hamming=7
+             ).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(h <= 7 for h in pairs.values())
+    # the unrelated doc pairs with nothing
+    assert not any(4 in p for p in pairs)
