@@ -9712,3 +9712,202 @@ def multimodal_phash_pairs(spark, sf_dir):
         .orderBy("id_a", "id_b")
         .limit(200)
     )
+
+
+@query(
+    "streaming_join_full_outer",
+    oracle="""
+    WITH cutoff AS (
+      SELECT least(max(ts) FILTER (event_type = 'click'),
+                   max(ts) FILTER (event_type = 'error'))
+             - INTERVAL 71 MINUTE AS cut
+      FROM events
+    )
+    SELECT c.event_id AS click_id, e.event_id AS error_id,
+           coalesce(c.user_id, e.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+    CROSS JOIN cutoff
+    WHERE (c.event_id IS NOT NULL AND c.ts <= cutoff.cut)
+       OR (c.event_id IS NULL AND e.ts <= cutoff.cut)
+    """,
+)
+def streaming_join_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER join with watermarks (streaming.
+    stream_stream_join, how='full_outer'): clicks joined to errors in the
+    next 10 minutes, with BOTH unmatched sides emitting NULL-padded rows
+    once the global watermark (min across inputs) passes their join
+    range. Both engines restrict to rows finalized by end of stream:
+    click-side rows with c_ts ≤ cut, error-only rows with e_ts ≤ cut
+    (cut = min(per-side max) − 60 m delay − 10 m range − 1 m margin)."""
+    from .streaming import run_to_memory, stream_stream_join
+
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 71 MINUTES")
+        ).alias("c")
+    ).collect()[0]["c"]
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+        )
+    )
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts"))
+        & (F.col("e_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = stream_stream_join(
+        clicks, errors, cond, "c_ts", "e_ts", "1 hour", "1 hour", how="full_outer"
+    )
+    result = run_to_memory(joined, output_mode="append")
+    return result.filter(
+        F.when(F.col("click_id").isNotNull(), F.col("c_ts") <= F.lit(cut)).otherwise(
+            F.col("e_ts") <= F.lit(cut)
+        )
+    ).select(
+        "click_id",
+        "error_id",
+        F.coalesce(F.col("user_id"), F.col("e_user")).alias("user_id"),
+    )
+
+
+@query(
+    "stats_tukey_hsd",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS gr, round(CAST(value AS DOUBLE), 6) AS v
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), per AS (
+      SELECT gr, count(*) AS n,
+             sum(CAST(v AS DECIMAL(28,6))) AS s,
+             sum(CAST(v * v AS DECIMAL(38,6))) AS q
+      FROM g GROUP BY gr
+    ), msw AS (
+      SELECT (CAST(sum(q) AS DOUBLE)
+               - CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                               AS DECIMAL(28,6))) AS DOUBLE))
+             / nullif(CAST(sum(n) - count(*) AS DOUBLE), 0) AS msw
+      FROM per
+    ), m AS (SELECT gr, n, CAST(s AS DOUBLE) / n AS mu FROM per)
+    SELECT a.gr AS group_a, b.gr AS group_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           round(a.mu - b.mu, 6) AS mean_diff,
+           round(abs(a.mu - b.mu)
+                 / nullif(sqrt(msw / CAST(2 AS DOUBLE)
+                               * (CAST(1 AS DOUBLE) / a.n
+                                  + CAST(1 AS DOUBLE) / b.n)), 0), 6) AS q_stat
+    FROM m a JOIN m b ON a.gr < b.gr CROSS JOIN msw
+    ORDER BY group_a, group_b
+    """,
+)
+def stats_tukey_hsd(spark, sf_dir):
+    """Tukey HSD post-hoc contrasts (operators.profiling.tukey_hsd):
+    pairwise studentized-range statistics across event types after the
+    stats_anova F-test — which groups actually differ. Same one-pass
+    sufficient statistics as ANOVA; all pairwise math runs on the k-row
+    group table."""
+    from .operators.profiling import tukey_hsd
+
+    ev = _t(spark, sf_dir, "events")
+    return tukey_hsd(ev, "event_type", "value").orderBy("group_a", "group_b")
+
+
+@query(
+    "sample_balanced",
+    oracle="""
+    WITH cls AS (SELECT lang, count(*) AS nc FROM documents GROUP BY lang),
+    mn AS (SELECT min(nc) AS mnc FROM cls),
+    r AS (
+      SELECT lang,
+             CAST(floor(CAST(mnc AS DOUBLE) / nc * 4294967296.0) AS BIGINT) AS thr
+      FROM cls CROSS JOIN mn
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < thr
+    ORDER BY doc_id
+    """,
+)
+def sample_balanced(spark, sf_dir):
+    """Class-balanced downsampling (operators.sampling.balanced_sample):
+    every language keeps ≈ the smallest language's row count via the
+    portable md5 bucket, with per-class thresholds derived IN-PLAN from
+    the class counts — the deterministic label-rebalancing step (the
+    corpus is ~3.4× en-heavy; the sample is not)."""
+    from .operators.sampling import balanced_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return balanced_sample(d, "lang", "doc_id").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+@query("ts_pacf")  # the Durbin–Levinson recursion is not SQL-expressible:
+# rows-only; Yule–Walker Toeplitz-solve parity is pytest'd in test_timeseries.py
+def ts_pacf(spark, sf_dir):
+    """Per-key partial autocorrelation (operators.timeseries.
+    partial_autocorrelation): PACF of each event type's daily-count
+    series at lags 1..7 via Durbin–Levinson over the distributed ACF
+    table — an Arrow-batched grouped map of ≤max_lag rows per key, never
+    a driver collect. The AR-order companion to ts_acf."""
+    from .operators.timeseries import partial_autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return partial_autocorrelation(
+        daily, ["event_type"], "day", "v", max_lag=7
+    ).orderBy("event_type", "lag")
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), anchored AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INTEGER) AS anchor
+      FROM du
+    ), islands AS (
+      SELECT user_id, anchor, count(*) AS len
+      FROM anchored GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands streaks (operators.relational.activity_streaks):
+    per-user longest run of consecutive active days via the day −
+    row_number island anchor — no self-join, no iteration; everything
+    after the (user, day) dedup is proportional to active user-days."""
+    from .operators.relational import activity_streaks
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_streaks(ev, "user_id", "ts").orderBy("user_id")

@@ -1370,3 +1370,85 @@ def cohens_kappa(
         F.round(pe, 6).alias("expected_agreement"),
         F.round((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0)), 6).alias("kappa"),
     )
+
+
+def tukey_hsd(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Tukey HSD pairwise contrasts — the post-hoc step after a
+    significant ANOVA: for every pair of groups, the mean difference and
+    the studentized-range statistic q = |μ_a − μ_b| / √(MSW/2·(1/n_a +
+    1/n_b)), compared against the studentized-range distribution to see
+    WHICH groups differ (ANOVA only says that some do).
+
+    Scale: the same single sufficient-statistics pass as
+    :func:`anova_oneway` (per-group n/Σv/Σv², DECIMAL-exact), then all
+    pairwise arithmetic runs on the k-row group table — a k² self-join
+    of a broadcast-sized aggregate, never a second data pass. q is NULL
+    when MSW is zero (perfectly constant groups). Values quantize to 6
+    decimals; within-group mean-square combines per-group terms with the
+    round-then-DECIMAL-sum convention so both engines agree exactly.
+    """
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    from ..caching import scoped_persist
+
+    per = scoped_persist(
+        g.groupBy("_g").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast("decimal(28,6)")).alias("_s"),
+            F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,6)")).alias("_q"),
+        )
+    )
+    msw = per.agg(
+        (
+            (
+                F.sum("_q").cast("double")
+                - F.sum(
+                    F.round(
+                        F.col("_s").cast("double") * F.col("_s").cast("double")
+                        / F.col("_n"),
+                        6,
+                    ).cast("decimal(28,6)")
+                ).cast("double")
+            )
+            / F.nullif(
+                (F.sum("_n") - F.count(F.lit(1))).cast("double"), F.lit(0.0)
+            )
+        ).alias("_msw")
+    )
+    a = per.select(
+        F.col("_g").alias("group_a"),
+        F.col("_n").alias("_na"),
+        (F.col("_s").cast("double") / F.col("_n")).alias("_ma"),
+    )
+    b = per.select(
+        F.col("_g").alias("group_b"),
+        F.col("_n").alias("_nb"),
+        (F.col("_s").cast("double") / F.col("_n")).alias("_mb"),
+    )
+    se = F.sqrt(
+        F.col("_msw")
+        / F.lit(2.0)
+        * (F.lit(1.0) / F.col("_na") + F.lit(1.0) / F.col("_nb"))
+    )
+    return (
+        a.join(b, F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "group_a",
+            "group_b",
+            F.col("_na").cast("bigint").alias("n_a"),
+            F.col("_nb").cast("bigint").alias("n_b"),
+            F.round(F.col("_ma") - F.col("_mb"), 6).alias("mean_diff"),
+            F.round(
+                F.abs(F.col("_ma") - F.col("_mb"))
+                / F.nullif(se, F.lit(0.0)),
+                6,
+            ).alias("q_stat"),
+        )
+    )

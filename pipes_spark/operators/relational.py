@@ -1014,3 +1014,36 @@ def sequence_ngrams(
         "n",
         F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias("prob"),
     )
+
+
+def activity_streaks(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the gaps-and-islands
+    classic (engagement/retention's "longest streak" and "how fragmented
+    is this user's activity"). An island is a maximal run of consecutive
+    active days; its id is the invariant ``day − row_number`` anchor, so
+    no self-join and no iteration.
+
+    Scale: dedup to (user, day) first (the compressed activity table —
+    bounded by users × days regardless of event volume), ONE window pass
+    per user for row_number, then two integer aggregates. Everything
+    after the dedup is proportional to active user-days.
+    """
+    du = events.select(
+        F.col(user_col), F.date_trunc("day", F.col(ts_col)).cast("date").alias("_day")
+    ).distinct()
+    w = Window.partitionBy(user_col).orderBy("_day")
+    anchored = du.withColumn(
+        "_anchor", F.date_sub(F.col("_day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy(user_col, "_anchor").agg(
+        F.count(F.lit(1)).alias("_len")
+    )
+    return islands.groupBy(user_col).agg(
+        F.sum("_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("_len").cast("bigint").alias("longest_streak"),
+    )

@@ -403,3 +403,38 @@ def shard_manifest(
             F.sum(digest).cast("decimal(38,0)").cast("string").alias("content_digest"),
         )
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    key: Union[str, Column],
+    salt: str = "",
+) -> DataFrame:
+    """Class-balanced downsampling: every class keeps ≈ the row count of
+    the SMALLEST class (rate_c = min_count / count_c), with membership a
+    pure deterministic function of (key, salt) — the rebalancing step
+    before training on skewed labels, reproducible across partitionings,
+    retries, engines, and corpus growth (stratified_sample with the
+    rates derived from the data instead of supplied).
+
+    Scale: one count aggregate per class, the per-class thresholds stay
+    IN-PLAN (class-count table cross-joined with the 1-row min, then
+    broadcast back onto the data — no eager driver action), and the
+    filter is the same portable md5 bucket as deterministic_sample.
+    """
+    cls = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("_nc"))
+    mn = cls.agg(F.min("_nc").alias("_mnc"))
+    rates = cls.crossJoin(F.broadcast(mn)).select(
+        F.col(class_col),
+        F.floor(
+            F.col("_mnc").cast("double") / F.col("_nc") * F.lit(float(_BUCKETS))
+        )
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), class_col)
+        .filter(hash_bucket(key, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -997,3 +997,65 @@ def autocorrelation(
         "n_pairs",
         F.round(F.col("_num") / F.nullif(F.col("_den"), F.lit(0.0)), 6).alias("acf"),
     )
+
+
+def partial_autocorrelation(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Per-key partial autocorrelation (PACF) at lags 1..``max_lag`` —
+    the AR-order fingerprint (an AR(p) series cuts off after lag p while
+    its plain ACF decays slowly; PACF at lag k is the correlation left
+    after regressing out lags 1..k−1). Computed from the distributed
+    :func:`autocorrelation` table by the Durbin–Levinson recursion,
+    applied per key as an Arrow-batched grouped map: each key's input is
+    its ≤``max_lag`` ACF rows — O(K²) floats per key, distributed across
+    keys, never a driver-side collect.
+    """
+    import pandas as pd
+
+    acf = autocorrelation(df, keys, order_col, value_col, max_lag)
+    ks = list(keys)
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in acf.schema.fields
+        if f.name in ks
+    )
+    out_schema = f"{key_fields}, lag bigint, pacf double"
+
+    def durbin_levinson(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lag", ignore_index=True)
+        r = pdf["acf"].to_numpy(dtype="float64")
+        lags = pdf["lag"].to_numpy()
+        if len(r) == 0 or not (r == r).all():  # constant series → NULL acf
+            res = pdf[ks + ["lag"]].copy()
+            res["pacf"] = None
+            return res
+        phi_prev: list[float] = []
+        out = []
+        for k in range(1, len(r) + 1):
+            rk = r[k - 1]
+            if k == 1:
+                phi_kk = rk
+                phi = [phi_kk]
+            else:
+                num = rk - sum(
+                    phi_prev[j] * r[k - 2 - j] for j in range(k - 1)
+                )
+                den = 1.0 - sum(phi_prev[j] * r[j] for j in range(k - 1))
+                phi_kk = num / den if den != 0.0 else float("nan")
+                phi = [
+                    phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
+                    for j in range(k - 1)
+                ] + [phi_kk]
+            out.append(round(phi_kk, 6) if phi_kk == phi_kk else None)
+            phi_prev = phi
+        res = pdf[ks + ["lag"]].copy()
+        res["pacf"] = out
+        res["lag"] = lags
+        return res
+
+    return acf.groupBy(*ks).applyInPandas(durbin_levinson, out_schema)

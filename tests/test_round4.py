@@ -1305,3 +1305,78 @@ def test_perceptual_hash_pairs_semantics(spark):
     assert all(h <= 7 for h in pairs.values())
     # the unrelated doc pairs with nothing
     assert not any(4 in p for p in pairs)
+
+
+def test_tukey_hsd_matches_closed_form(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.profiling import tukey_hsd
+
+    rng = np.random.RandomState(5)
+    groups = {"a": rng.randn(20).round(6), "b": (rng.randn(30) + 2).round(6),
+              "c": (rng.randn(25) + 2).round(6)}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["group_a"], r["group_b"]): r for r in tukey_hsd(df, "g", "v").collect()}
+    N = sum(len(v) for v in groups.values())
+    k = 3
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    msw = ssw / (N - k)
+    for (ga, gb), r in got.items():
+        va, vb = groups[ga], groups[gb]
+        diff = va.mean() - vb.mean()
+        se = np.sqrt(msw / 2 * (1 / len(va) + 1 / len(vb)))
+        assert r["mean_diff"] == pytest.approx(diff, abs=1e-4)
+        assert r["q_stat"] == pytest.approx(abs(diff) / se, rel=1e-3)
+    # separated pair (a vs b) scores far above the equal-mean pair (b vs c)
+    assert got[("a", "b")]["q_stat"] > 5 * got[("b", "c")]["q_stat"]
+    # constant single-group input → zero MSW → NULL q, no throw
+    const = spark.createDataFrame([("x", 1.0), ("x", 1.0), ("y", 1.0)],
+                                  "g string, v double")
+    rr = tukey_hsd(const, "g", "v").collect()
+    assert all(r["q_stat"] is None for r in rr)
+
+
+def test_balanced_sample_semantics(spark):
+    from pipes_spark.operators.sampling import balanced_sample
+
+    rows = ([("big", i) for i in range(2000)] + [("small", 10000 + i) for i in range(100)])
+    df = spark.createDataFrame(rows, "cls string, k long")
+    out = balanced_sample(df, "cls", "k")
+    sizes = {r["cls"]: r["n"] for r in
+             out.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # smallest class kept (almost) whole; big class downsampled to ≈ 100
+    assert sizes["small"] >= 95
+    assert 60 <= sizes["big"] <= 150
+    # determinism across partitionings
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in balanced_sample(df.repartition(7), "cls", "k").collect()}
+    assert a == b
+    # independent salt gives a different (same-sized-ish) subset
+    c = {tuple(r) for r in balanced_sample(df, "cls", "k", salt="v2").collect()}
+    assert c != a
+
+
+def test_activity_streaks_golden(spark):
+    from datetime import datetime
+
+    from pipes_spark.operators.relational import activity_streaks
+
+    def d(day):
+        return datetime(2024, 1, day, 12, 0)
+
+    rows = (
+        # u1: days 1,2,3 then 5,6 → streaks [3, 2]; duplicate events same day
+        [(1, d(1)), (1, d(1)), (1, d(2)), (1, d(3)), (1, d(5)), (1, d(6))]
+        # u2: single day
+        + [(2, d(10))]
+        # u3: all 5 days consecutive
+        + [(3, d(i)) for i in range(20, 25)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["user_id"]: r for r in activity_streaks(df, "user_id", "ts").collect()}
+    assert got[1]["n_active_days"] == 5
+    assert got[1]["n_streaks"] == 2 and got[1]["longest_streak"] == 3
+    assert got[2]["n_streaks"] == 1 and got[2]["longest_streak"] == 1
+    assert got[3]["n_streaks"] == 1 and got[3]["longest_streak"] == 5

@@ -326,3 +326,37 @@ def test_autocorrelation_matches_numpy(spark):
                                   "k string, t int, v double")
     vals = autocorrelation(const, ["k"], "t", "v", max_lag=3).collect()
     assert vals and all(r["acf"] is None for r in vals)
+
+
+def test_partial_autocorrelation_matches_yule_walker(spark):
+    import numpy as np
+
+    from pipes_spark.operators.timeseries import partial_autocorrelation
+
+    rng = np.random.RandomState(19)
+    # AR(2): x_t = 0.6 x_{t-1} - 0.3 x_{t-2} + e
+    x = np.zeros(300)
+    for t in range(2, 300):
+        x[t] = 0.6 * x[t - 1] - 0.3 * x[t - 2] + rng.randn()
+    x = x.round(6)
+    df = spark.createDataFrame([("a", i, float(v)) for i, v in enumerate(x)],
+                               "k string, t int, v double")
+    got = {r["lag"]: r["pacf"] for r in
+           partial_autocorrelation(df, ["k"], "t", "v", max_lag=6).collect()}
+    # independent check: PACF at lag k = last coefficient of the
+    # Yule-Walker Toeplitz solve of order k on the same biased ACF
+    c = x - x.mean()
+    den = float((c * c).sum())
+    r = np.array([(c[k:] * c[:-k]).sum() / den for k in range(1, 7)])
+    r = np.round(r, 6)  # the operator consumes the rounded ACF column
+    for k in range(1, 7):
+        R = np.eye(k)
+        for i in range(k):
+            for j in range(k):
+                if i != j:
+                    R[i, j] = r[abs(i - j) - 1]
+        phi = np.linalg.solve(R, r[:k])
+        assert got[k] == pytest.approx(phi[-1], abs=1e-3), k
+    # AR(2) signature: PACF cuts off after lag 2
+    assert abs(got[1]) > 0.3 and abs(got[2]) > 0.2
+    assert all(abs(got[k]) < 0.15 for k in (3, 4, 5, 6))
