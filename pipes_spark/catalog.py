@@ -9911,3 +9911,77 @@ def events_activity_streaks(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return activity_streaks(ev, "user_id", "ts").orderBy("user_id")
+
+
+@query("ml_silhouette")  # iterative k-means + argmin not SQL-expressible:
+# rows-only; separated-vs-overlapping semantics pytest'd in test_stats_clustering.py
+def ml_silhouette(spark, sf_dir):
+    """Clustering-quality readout (operators.clustering.silhouette_stats):
+    simplified centroid-based silhouette per k-means cluster plus the
+    overall row — one map-side Arrow pass against the broadcast codebook
+    and a k-row aggregate; the O(n²) pairwise form is deliberately not
+    offered (dies long before 100 TB)."""
+    from .operators.clustering import kmeans_fit, silhouette_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = kmeans_fit(emb, k=8, iters=3, seed=42)
+    return silhouette_stats(emb, C).orderBy("cluster_id")
+
+
+@query("events_hll_overlap")  # Datasketches HLL binaries are not portable to
+# DuckDB's HLL: rows-only; estimate-vs-exact tolerance pytest'd in test_round4.py
+def events_hll_overlap(spark, sf_dir):
+    """Audience overlap by sketch algebra (operators.rollup.
+    sketch_overlap): pairwise |A∩B| between event types' user sets via
+    inclusion–exclusion on the SAME per-type HLL sketches — one data
+    pass builds k sketches, all k² pair estimates run on the k-row
+    sketch table (kilobytes per union), the re-aggregatable form of
+    shared-audience analysis."""
+    from .operators.rollup import sketch_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    return sketch_overlap(ev, "event_type", "user_id").orderBy("set_a", "set_b")
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_orderpriority AS modal_priority, CAST(n AS BIGINT) AS n
+    FROM c
+    QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY n DESC, o_orderpriority) = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Deterministic statistical mode per group (the built-in ``mode()``
+    breaks ties arbitrarily — useless for reproducible pipelines): count
+    aggregate + top_k_per_group with an explicit value tie-break. Modal
+    order priority per market segment across a broadcast dimension
+    join."""
+    from .operators.relational import top_k_per_group
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    counts = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        top_k_per_group(
+            counts,
+            ["c_mktsegment"],
+            [F.col("n").desc(), F.col("o_orderpriority").asc()],
+            1,
+        )
+        .select(
+            "c_mktsegment", F.col("o_orderpriority").alias("modal_priority"), "n"
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -264,3 +264,62 @@ def semantic_dedup_keep(
         .distinct()
     )
     return df.join(F.broadcast(losers), on=id_col, how="left_anti")
+
+
+def silhouette_stats(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette score per cluster — the
+    standard clustering-quality readout: for each point, a = cosine
+    distance to its OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; near 1 means tight,
+    well-separated clusters, near 0 overlapping ones. The centroid-based
+    simplification (a/b against centroids, not all pairwise members) is
+    the form that scales — one map-side Arrow pass against the broadcast
+    codebook, one k-row aggregate; the full pairwise silhouette is O(n²)
+    and dies long before 100 TB.
+
+    Returns one row per cluster (cluster_id, n_members, avg_silhouette)
+    plus the ``overall`` row (cluster_id −1). DECIMAL-summed means keep
+    the report order-independent.
+    """
+    C_list = [list(map(float, c)) for c in centroids]
+
+    @F.pandas_udf("struct<cluster_id:int, s:double>")
+    def sil(v: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        M = np.array(C_list, dtype="float64")
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        X = np.vstack(v.to_numpy()).astype("float64")
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        D = 1.0 - Xn @ Mn.T  # cosine distance to every centroid
+        idx = D.argmin(axis=1)
+        a = D[np.arange(len(idx)), idx]
+        D2 = D.copy()
+        D2[np.arange(len(idx)), idx] = np.inf
+        b = D2.min(axis=1)
+        denom = np.maximum(np.maximum(a, b), 1e-300)
+        return pd.DataFrame(
+            {"cluster_id": idx.astype("int32"), "s": (b - a) / denom}
+        )
+
+    per_point = df.select(sil(F.col(vec_col)).alias("_r")).select(
+        "_r.cluster_id", "_r.s"
+    )
+    per_cluster = per_point.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(F.col("s").cast(_ACC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_silhouette"),
+    )
+    overall = per_point.agg(
+        F.lit(-1).cast("int").alias("cluster_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(F.col("s").cast(_ACC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_silhouette"),
+    )
+    return per_cluster.unionByName(overall)

@@ -206,3 +206,48 @@ def streaming_rollup_writer(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def sketch_overlap(
+    df: DataFrame,
+    set_col: str,
+    member_col: str,
+) -> DataFrame:
+    """Approximate pairwise overlap between member sets (users per event
+    type, tokens per source…) by HLL sketch algebra: |A∩B| is estimated
+    via inclusion–exclusion |A| + |B| − |A∪B|, where every term comes
+    from the SAME per-set sketches — one pass over the data builds k
+    sketches, and all k² pair estimates run on the k-row sketch table
+    (sketch-union per pair, kilobytes each), never re-reading the data.
+    The re-aggregatable form of "shared audience" at 100 TB.
+
+    Returns (set_a, set_b, est_a, est_b, est_union, est_intersection,
+    overlap_frac) per unordered pair, where overlap_frac =
+    est_intersection / min(est_a, est_b) (the containment-style ratio).
+    Estimates are HLL-approximate (±~2% at the default lgk); negatives
+    from estimator noise clamp to 0.
+    """
+    sk = df.groupBy(F.col(set_col).alias("_s")).agg(
+        F.hll_sketch_agg(member_col).alias("_sk"),
+        F.hll_sketch_estimate(F.hll_sketch_agg(member_col)).alias("_est"),
+    )
+    a = sk.select(
+        F.col("_s").alias("set_a"), F.col("_sk").alias("_ska"), F.col("_est").alias("_ea")
+    )
+    b = sk.select(
+        F.col("_s").alias("set_b"), F.col("_sk").alias("_skb"), F.col("_est").alias("_eb")
+    )
+    pairs = a.join(b, F.col("set_a") < F.col("set_b"))
+    un = F.hll_sketch_estimate(F.hll_union("_ska", "_skb"))
+    inter = F.greatest(F.col("_ea") + F.col("_eb") - un, F.lit(0.0))
+    return pairs.select(
+        "set_a",
+        "set_b",
+        F.round("_ea", 2).alias("est_a"),
+        F.round("_eb", 2).alias("est_b"),
+        F.round(un, 2).alias("est_union"),
+        F.round(inter, 2).alias("est_intersection"),
+        F.round(
+            inter / F.nullif(F.least(F.col("_ea"), F.col("_eb")), F.lit(0.0)), 6
+        ).alias("overlap_frac"),
+    )

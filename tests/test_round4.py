@@ -1380,3 +1380,25 @@ def test_activity_streaks_golden(spark):
     assert got[1]["n_streaks"] == 2 and got[1]["longest_streak"] == 3
     assert got[2]["n_streaks"] == 1 and got[2]["longest_streak"] == 1
     assert got[3]["n_streaks"] == 1 and got[3]["longest_streak"] == 5
+
+
+def test_sketch_overlap_close_to_exact(spark):
+    import pytest
+
+    from pipes_spark.operators.rollup import sketch_overlap
+
+    # set A = users 0..999; set B = 500..1499 (overlap 500); C = 2000..2099
+    rows = ([("A", i) for i in range(1000)]
+            + [("B", i) for i in range(500, 1500)]
+            + [("C", i) for i in range(2000, 2100)])
+    df = spark.createDataFrame(rows, "s string, u long")
+    got = {(r["set_a"], r["set_b"]): r for r in sketch_overlap(df, "s", "u").collect()}
+    ab = got[("A", "B")]
+    assert ab["est_a"] == pytest.approx(1000, rel=0.05)
+    assert ab["est_union"] == pytest.approx(1500, rel=0.05)
+    assert ab["est_intersection"] == pytest.approx(500, rel=0.15)
+    assert ab["overlap_frac"] == pytest.approx(0.5, abs=0.1)
+    # disjoint pair estimates ≈ 0 intersection (clamped ≥ 0)
+    ac = got[("A", "C")]
+    assert ac["est_intersection"] <= 0.1 * 1000
+    assert ac["overlap_frac"] is not None and ac["overlap_frac"] < 0.12

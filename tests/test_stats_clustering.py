@@ -857,3 +857,32 @@ def test_rrf_fuse_semantics(spark):
     assert set(out) == {10, 20, 30, 40}
     # item present in both rankings outranks single-list items at worse ranks
     assert out[20] > out[10] > out[30]
+
+
+def test_silhouette_separated_vs_overlapping(spark):
+    import numpy as np
+
+    from pipes_spark.operators.clustering import silhouette_stats
+
+    rng = np.random.RandomState(2)
+
+    def blob(center, n=60, spread=0.05):
+        return center + rng.randn(n, 4) * spread
+
+    tight = np.vstack([blob(np.array(c)) for c in
+                       ([5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0])])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(tight)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0]]
+    got = {r["cluster_id"]: r for r in silhouette_stats(df, cents).collect()}
+    assert got[-1]["n_members"] == 180
+    assert got[-1]["avg_silhouette"] > 0.9  # tight, well-separated
+    for c in (0, 1, 2):
+        assert got[c]["n_members"] == 60
+    # heavy overlap → much lower silhouette
+    loose = np.vstack([blob(np.array(c), spread=3.0) for c in
+                       ([5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0])])
+    rows2 = [(i, [float(x) for x in v]) for i, v in enumerate(loose)]
+    df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
+    got2 = {r["cluster_id"]: r for r in silhouette_stats(df2, cents).collect()}
+    assert got2[-1]["avg_silhouette"] < got[-1]["avg_silhouette"] - 0.3
