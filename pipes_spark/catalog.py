@@ -9985,3 +9985,86 @@ def agg_mode(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT event_type,
+           round(count(*) / CAST(sum(CAST(round(CAST(1 AS DOUBLE) / value, 6)
+                                          AS DECIMAL(28,6))) AS DOUBLE), 6)
+             AS harmonic_mean
+    FROM events
+    WHERE value IS NOT NULL AND value <> 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udf_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate Pandas UDF surface (operators.udfs.
+    grouped_agg_harmonic_mean): a true Python UDAF — Spark reduces each
+    group's Arrow batches through the series→scalar UDF, composing with
+    groupBy like a built-in. Harmonic mean of event values per type,
+    oracled against the n/Σ(1/x) SQL identity."""
+    from .operators.udfs import grouped_agg_harmonic_mean
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_agg_harmonic_mean(ev, "event_type", "value").orderBy(
+        "event_type"
+    )
+
+
+@query("udf_arrow_map")  # mapInArrow output (float64 norms over float32
+# vectors) is numpy-summed: rows-only; numpy parity pytest'd in test_round4.py
+def udf_arrow_map(spark, sf_dir):
+    """``mapInArrow`` surface (operators.udfs.arrow_batch_normalize): the
+    lowest-overhead Python tier — raw pyarrow RecordBatches in and out,
+    no pandas conversion; one numpy kernel per batch computes vector
+    norms + unit forms. Completes the UDF ladder above pandas_udf /
+    mapInPandas."""
+    from .operators.udfs import arrow_batch_normalize
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        arrow_batch_normalize(emb, "vec_id", "embedding")
+        .select("vec_id", "l2_norm")
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "quality_observed",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_custkeys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+             AS sum_totalprice,
+           CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonpositive_totals
+    FROM orders
+    """,
+)
+def quality_observed(spark, sf_dir):
+    """Observation-API quality counters (operators.profiling.
+    observed_quality_metrics): row/null/sum/violation counters computed
+    AS the rows stream through a noop write — the zero-extra-pass
+    profile you attach to a production write. Oracled against the same
+    aggregates as plain SQL."""
+    from .operators.profiling import observed_quality_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    return observed_quality_metrics(
+        o,
+        {
+            "n_rows": F.count(F.lit(1)).cast("bigint"),
+            "null_custkeys": F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ).cast("bigint"),
+            "sum_totalprice": F.sum(
+                F.col("o_totalprice").cast("decimal(28,6)")
+            ).cast("double"),
+            "nonpositive_totals": F.sum(
+                F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+            ).cast("bigint"),
+        },
+    )

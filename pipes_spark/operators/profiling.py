@@ -1452,3 +1452,26 @@ def tukey_hsd(
             ).alias("q_stat"),
         )
     )
+
+
+def observed_quality_metrics(
+    df: DataFrame, metrics: "dict[str, Column]"
+) -> DataFrame:
+    """Data-quality counters piggybacked on a single pass via Spark's
+    ``Observation`` API: the metrics are computed AS the rows stream
+    through an action (here a ``noop``-format write — all scan and
+    filter work, no output), so the profile costs zero extra passes over
+    the data. The production shape: attach the same observation to the
+    pipeline's real write and get row counts / null counts / sums for
+    free with the job.
+
+    Returns the observed metrics as a one-row DataFrame (column order =
+    dict order)."""
+    from pyspark.sql import Observation, Row
+
+    obs = Observation("quality")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    spark = df.sparkSession
+    return spark.createDataFrame([Row(**{n: got[n] for n in metrics})])

@@ -97,3 +97,74 @@ def row_udf_demo(df: DataFrame, value_col: str = "value") -> DataFrame:
     _ship_package(df.sparkSession)
     fmt = F.udf(lambda v: f"v={v:.2f}", "string")
     return df.withColumn("formatted", fmt(F.col(value_col)))
+
+
+def grouped_agg_harmonic_mean(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Custom AGGREGATE via the grouped-agg Pandas UDF surface (the
+    series→scalar tier of the UDF ladder — a true UDAF: Spark splits the
+    group across Arrow batches and the UDF reduces each, so it composes
+    with groupBy exactly like a built-in). Harmonic mean per group —
+    the correct average for rates — as the demonstrator.
+
+    The same quantity is expressible as n/Σ(1/x) in pure SQL (and that
+    is what the oracle does); the point here is the API surface, kept
+    numerically aligned by rounding reciprocals to 6 decimals before
+    summation on both sides. NULLs and zeros are excluded (a zero rate
+    has no harmonic mean)."""
+    _ship_package(df.sparkSession)
+
+    @F.pandas_udf("double")
+    def hmean(v: pd.Series) -> float:
+        import numpy as np
+
+        x = v.to_numpy(dtype="float64")
+        x = x[(x == x) & (x != 0.0)]
+        if len(x) == 0:
+            return None
+        return float(len(x) / np.round(1.0 / x, 6).sum())
+
+    out = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) != 0)
+    ).groupBy(group_col)
+    return out.agg(F.round(hmean(F.col(value_col)), 6).alias("harmonic_mean"))
+
+
+def arrow_batch_normalize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """``mapInArrow`` demonstrator — the lowest-overhead Python tier:
+    the UDF receives raw ``pyarrow.RecordBatch``es (no pandas
+    conversion at all) and yields batches back. Computes each vector's
+    L2 norm and its unit-normalized form with one numpy pass per batch.
+
+    At 100 TB this tier matters when the per-batch work is a single
+    vectorized kernel and even the Arrow→pandas conversion of
+    mapInPandas is measurable overhead."""
+    _ship_package(df.sparkSession)
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = batch.to_pydict()
+            ids = tbl[id_col]
+            vecs = [np.asarray(v, dtype="float64") for v in tbl[vec_col]]
+            norms = [float(np.linalg.norm(v)) for v in vecs]
+            units = [
+                [float(x) for x in (v / n if n > 0 else v)]
+                for v, n in zip(vecs, norms)
+            ]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    id_col: ids,
+                    "l2_norm": [round(n, 6) for n in norms],
+                    "unit": units,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        gen, schema=f"{id_col} bigint, l2_norm double, unit array<double>"
+    )

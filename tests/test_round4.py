@@ -1402,3 +1402,38 @@ def test_sketch_overlap_close_to_exact(spark):
     ac = got[("A", "C")]
     assert ac["est_intersection"] <= 0.1 * 1000
     assert ac["overlap_frac"] is not None and ac["overlap_frac"] < 0.12
+
+
+def test_arrow_batch_normalize_matches_numpy(spark, sf_dir):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.udfs import arrow_batch_normalize
+    from pipes_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    raw = {r["vec_id"]: np.asarray(r["embedding"], dtype="float64")
+           for r in emb.collect()}
+    got = {r["vec_id"]: r for r in arrow_batch_normalize(emb).collect()}
+    assert set(got) == set(raw)
+    for vid, v in raw.items():
+        n = float(np.linalg.norm(v))
+        assert got[vid]["l2_norm"] == pytest.approx(n, rel=1e-6)
+        u = np.asarray(got[vid]["unit"])
+        assert float(np.linalg.norm(u)) == pytest.approx(1.0 if n > 0 else 0.0, abs=1e-9)
+
+
+def test_grouped_agg_harmonic_mean_semantics(spark):
+    import pytest
+
+    from pipes_spark.operators.udfs import grouped_agg_harmonic_mean
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 3.0),
+            ("b", None), ("b", 0.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r["harmonic_mean"]
+           for r in grouped_agg_harmonic_mean(df, "g", "v").collect()}
+    assert got["a"] == pytest.approx(3 / (1 + 0.5 + 0.25), abs=1e-6)
+    # null/zero excluded; the 6-decimal reciprocal convention makes the
+    # lone value 1/round(1/3, 6) = 3.000003, matching the SQL oracle
+    assert got["b"] == pytest.approx(1 / round(1 / 3, 6), abs=1e-6)
