@@ -10068,3 +10068,37 @@ def quality_observed(spark, sf_dir):
             ).cast("bigint"),
         },
     )
+
+
+@query("ml_pca")  # eigendecomposition is not SQL-expressible: rows-only;
+# numpy full-PCA parity is pytest'd in test_round4.py
+def ml_pca(spark, sf_dir):
+    """Distributed PCA (operators.linear_model.fit_pca): per-batch numpy
+    sufficient statistics (d(d+3)/2 cells per batch, never per row) →
+    exact DECIMAL cross-batch reduce → driver-side eigh on the KB-sized
+    covariance. Top-8 eigenvalues + explained-variance ratios of the
+    embedding corpus — the dimensionality audit before picking an index
+    or projection width."""
+    from .operators.linear_model import fit_pca
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return fit_pca(emb, "embedding", k=8).orderBy("component")
+
+
+@query("streaming_holt", oracle=None)
+def streaming_holt(spark, sf_dir):
+    """Streaming Holt level+trend smoothing (streaming.stateful_holt):
+    the double-exponential recursion across micro-batches — two scalars
+    of state per key, emitting the smoothed level and one-step forecast.
+    The trend-following sibling of streaming_ewma; same stateful-
+    MiddleFunc shape (ref: pipe/node.go:16-19). Non-SQL-expressible
+    (unbounded two-term recursion); pytest asserts literal-recursion
+    parity across a batch boundary."""
+    from .streaming import run_to_memory, stateful_holt
+
+    stream = _events_stream(spark, sf_dir)
+    sm = stateful_holt(stream, "user_id", "ts", "value", alpha=0.3, beta=0.1)
+    return run_to_memory(
+        sm.select("event_id", "user_id", "value", "holt_level", "holt_forecast"),
+        output_mode="append",
+    )

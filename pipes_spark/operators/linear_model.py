@@ -417,3 +417,93 @@ def fit_ridge(
         [(names[i], round(float(beta[i]), 6)) for i in range(d)],
         "feature string, coef double",
     )
+
+
+def fit_pca(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> DataFrame:
+    """Distributed PCA over an embedding column: ONE Arrow pass computes
+    per-batch sufficient statistics (n, Σx, upper-triangle of Σxxᵀ)
+    with a numpy matmul — d(d+3)/2 + 1 cells per BATCH, never per row —
+    which reduce to global sums via a (position, value) explode +
+    DECIMAL aggregate; the d×d covariance assembles and eigendecomposes
+    driver-side (numpy ``eigh`` on KBs — the fit_ridge small-side
+    contract). Returns the top-``k`` components' eigenvalues and
+    explained-variance ratios.
+
+    Precision note: within-batch sums are IEEE float64 (row order inside
+    a batch), so unlike fit_ridge the fit is reproducible for a FIXED
+    partitioning rather than bit-identical across partitionings; the
+    cross-batch reduce is still exact DECIMAL, and eigenvalue ratios are
+    rounded at 6 — far above any batch-order drift.
+    """
+    import numpy as np
+
+    from ..caching import scoped_persist
+
+    dim = len(df.select(vec_col).first()[0])
+    iu = np.triu_indices(dim)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            G = X.T @ X
+            yield pd.DataFrame(
+                [
+                    {
+                        "n": len(X),
+                        "sx": [float(v) for v in X.sum(axis=0)],
+                        "sxx": [float(v) for v in G[np.triu_indices(X.shape[1])]],
+                    }
+                ]
+            )
+
+    parts = scoped_persist(
+        df.select(vec_col).mapInPandas(
+            partials, schema="n bigint, sx array<double>, sxx array<double>"
+        )
+    )
+    n = parts.agg(F.sum("n")).first()[0]
+    acc = "decimal(38,12)"
+
+    def reduce_vec(col: str) -> "np.ndarray":
+        rows = (
+            parts.select(F.posexplode(col).alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("v").cast(acc)).cast("double").alias("s"))
+            .collect()
+        )
+        out = np.zeros(max(r["pos"] for r in rows) + 1)
+        for r in rows:
+            out[r["pos"]] = r["s"]
+        return out
+
+    sx = reduce_vec("sx")
+    sxx_flat = reduce_vec("sxx")
+    G = np.zeros((dim, dim))
+    G[iu] = sxx_flat
+    G = G + G.T - np.diag(np.diag(G))
+    mu = sx / n
+    C = G / n - np.outer(mu, mu)
+    evals = np.linalg.eigh(C)[0][::-1]  # descending
+    total = float(evals.sum())
+    spark = df.sparkSession
+    top = evals[: min(k, dim)]
+    return spark.createDataFrame(
+        [
+            (
+                i + 1,
+                round(float(v), 6),
+                round(float(v) / total, 6) if total > 0 else None,
+            )
+            for i, v in enumerate(top)
+        ],
+        "component int, eigenvalue double, explained_variance_ratio double",
+    )

@@ -699,3 +699,71 @@ def progress_summary(query) -> list[dict]:
             }
         )
     return out
+
+
+def stateful_holt(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """Streaming Holt (double exponential) smoothing — the level+trend
+    recursion
+
+        level_i = α·x_i + (1−α)·(level_{i−1} + trend_{i−1})
+        trend_i = β·(level_i − level_{i−1}) + (1−β)·trend_{i−1}
+
+    per key, ACROSS micro-batches, emitting the smoothed level and the
+    one-step-ahead forecast ``level + trend``. Where EWMA tracks a slowly
+    drifting mean, Holt follows a trending series without lag — the live
+    form of short-horizon load/throughput forecasting. No batch window
+    can express the recursion; the carried state is TWO scalars per key
+    (level, trend), pandas-``ewm``-style seeding (level₀ = x₀,
+    trend₀ = 0). Same ordering contract and RocksDB state-store scale
+    shape as ``stateful_ewma`` (ref: pipe/node.go:16-19 — the stateful
+    MiddleFunc accumulation pattern).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + ["holt_level double", "holt_forecast double"]
+    )
+
+    def smooth(key, pdfs, state):
+        level, trend = state.get if state.exists else (None, None)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((level, trend))
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ts_col, kind="stable", ignore_index=True
+        )
+        levels, forecasts = [], []
+        for v in pdf[value_col]:
+            if v == v and v is not None:  # non-null, NaN-safe
+                x = float(v)
+                if level is None:
+                    level, trend = x, 0.0
+                else:
+                    prev = level
+                    level = alpha * x + (1.0 - alpha) * (level + trend)
+                    trend = beta * (level - prev) + (1.0 - beta) * trend
+            levels.append(level)
+            forecasts.append(None if level is None else level + trend)
+        state.update((level, trend))
+        yield pdf.assign(
+            holt_level=[round(x, 6) if x is not None else None for x in levels],
+            holt_forecast=[round(x, 6) if x is not None else None for x in forecasts],
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        smooth,
+        out_schema,
+        "level double, trend double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

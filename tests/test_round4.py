@@ -1437,3 +1437,35 @@ def test_grouped_agg_harmonic_mean_semantics(spark):
     # null/zero excluded; the 6-decimal reciprocal convention makes the
     # lone value 1/round(1/3, 6) = 3.000003, matching the SQL oracle
     assert got["b"] == pytest.approx(1 / round(1 / 3, 6), abs=1e-6)
+
+
+def test_fit_pca_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.linear_model import fit_pca
+
+    rng = np.random.RandomState(13)
+    # anisotropic gaussian: variances 25, 9, 1, 1e-2 along rotated axes
+    base = rng.randn(300, 4) * np.array([5.0, 3.0, 1.0, 0.1])
+    Q, _ = np.linalg.qr(rng.randn(4, 4))
+    X = (base @ Q).round(6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["component"]: r for r in fit_pca(df, "embedding", k=4).collect()}
+    # float32 storage quantizes the inputs — compare against numpy on the
+    # same float32-rounded matrix
+    X32 = X.astype("float32").astype("float64")
+    C = np.cov(X32, rowvar=False, bias=True)
+    evals = np.linalg.eigh(C)[0][::-1]
+    ratios = evals / evals.sum()
+    for i in range(1, 5):
+        assert got[i]["eigenvalue"] == pytest.approx(evals[i - 1], rel=1e-3)
+        assert got[i]["explained_variance_ratio"] == pytest.approx(ratios[i - 1], abs=1e-4)
+    # partition invariance of the reported (rounded) spectrum
+    got2 = {r["component"]: r["eigenvalue"]
+            for r in fit_pca(df.repartition(7), "embedding", k=4).collect()}
+    for i in range(1, 5):
+        assert got2[i] == pytest.approx(got[i]["eigenvalue"], abs=1e-4)

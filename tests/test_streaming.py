@@ -444,3 +444,53 @@ def test_stateful_ewma_cross_batch_matches_pandas(spark, tmp_path):
     assert len(got) == 20
     for i in range(20):
         assert got[i] == pytest.approx(round(float(exp[i]), 6), abs=1e-6), i
+
+
+def test_stateful_holt_cross_batch_matches_recursion(spark, tmp_path):
+    import os
+
+    from pipes_spark.streaming import run_to_memory, stateful_holt
+
+    # trending series split across two micro-batches: state (level, trend)
+    # must carry over the boundary
+    rows = [(i, 7, float(2 * i + ((i * 7) % 5))) for i in range(20)]
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, u, v, i) for i, u, v in rows[:10]],
+        "event_id long, user_id long, value double, ts long",
+    ).coalesce(1).write.parquet(d + "/f0")
+    spark.createDataFrame(
+        [(i, u, v, i) for i, u, v in rows[10:]],
+        "event_id long, user_id long, value double, ts long",
+    ).coalesce(1).write.parquet(d + "/f1")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for sub in ("f0", "f1"):
+        for f in sorted(os.listdir(f"{d}/{sub}")):
+            if f.endswith(".parquet"):
+                os.symlink(f"{d}/{sub}/{f}", f"{flat}/{n:02d}.parquet")
+                n += 1
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = run_to_memory(
+        stateful_holt(stream, "user_id", "ts", "value", alpha=0.3, beta=0.1),
+        output_mode="append",
+    )
+    got = {r["event_id"]: (r["holt_level"], r["holt_forecast"]) for r in out.collect()}
+    level, trend = None, None
+    for i, (_, _, x) in enumerate(rows):
+        if level is None:
+            level, trend = x, 0.0
+        else:
+            prev = level
+            level = 0.3 * x + 0.7 * (level + trend)
+            trend = 0.1 * (level - prev) + 0.9 * trend
+        assert got[i][0] == pytest.approx(round(level, 6), abs=1e-6), i
+        assert got[i][1] == pytest.approx(round(level + trend, 6), abs=1e-6), i
+    # Holt tracks the +2/step trend: late forecasts stay close to the series
+    assert abs(got[19][1] - rows[19][2]) < 3.0
