@@ -10102,3 +10102,55 @@ def streaming_holt(spark, sf_dir):
         sm.select("event_id", "user_id", "value", "holt_level", "holt_forecast"),
         output_mode="append",
     )
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle="""
+    WITH pv AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), per_v AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS nv FROM pv GROUP BY v
+    ), cum_v AS (
+      SELECT v, nv,
+             CAST(coalesce(sum(nv) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum
+      FROM per_v
+    ), per_vg AS (
+      SELECT v, g, CAST(count(*) AS BIGINT) AS nvg FROM pv GROUP BY v, g
+    ), rg AS (
+      SELECT g, CAST(sum(nvg) AS BIGINT) AS ng,
+             sum(CAST(nvg AS DECIMAL(38,0))
+                 * (CAST(2 AS DECIMAL(38,0)) * cum + nv + 1)) AS r2g
+      FROM per_vg JOIN cum_v USING (v) GROUP BY g
+    ), ties AS (
+      SELECT CAST(sum(CAST(nv AS DECIMAL(38,0)) * nv * nv - nv) AS DOUBLE) AS t
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(sum(ng) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CAST(round(CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                                 / (CAST(4 AS DOUBLE) * ng), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS a
+      FROM rg
+    )
+    SELECT n_total, n_groups, CAST(n_groups - 1 AS BIGINT) AS df,
+           round((CAST(12 AS DOUBLE) / (n_total * CAST(n_total + 1 AS DOUBLE)) * a
+                  - CAST(3 AS DOUBLE) * (n_total + 1))
+                 / nullif(CAST(1 AS DOUBLE)
+                          - t / nullif(CAST(n_total AS DOUBLE) * n_total * n_total
+                                       - n_total, 0), 0), 6) AS h_stat
+    FROM tot CROSS JOIN ties
+    """,
+)
+def stats_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H (operators.profiling.kruskal_wallis): k-group
+    rank test of event values across event types — the nonparametric
+    sibling of stats_anova, on the grouped value domain with exact
+    DECIMAL doubled ranks and tie correction."""
+    from .operators.profiling import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis(ev, "event_type", "value")

@@ -1475,3 +1475,86 @@ def observed_quality_metrics(
     got = obs.get
     spark = df.sparkSession
     return spark.createDataFrame([Row(**{n: got[n] for n in metrics})])
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H test — the k-group rank generalization of
+    Mann–Whitney (and the nonparametric sibling of :func:`anova_oneway`):
+    do the groups' value DISTRIBUTIONS differ, with no normality
+    assumption. The right k-way test for skewed metrics.
+
+    Computed on the GROUPED value domain like ``mann_whitney_u``: one
+    aggregate to (value, group) counts, a cumulative window over the
+    distinct values, doubled average ranks 2·r̄(v) = 2·cum(<v) + n(v) + 1
+    in exact DECIMAL integers, per-group rank sums, then
+    H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)] with
+    the tie correction. Per-group R_g²/n_g routes through DOUBLE
+    (squared rank sums exceed DECIMAL(38) at the 100 TB design point)
+    with the round-then-DECIMAL-sum convention over the k rows. H is
+    NULL when every value ties (the correction divisor hits zero).
+    Returns one row (n_total, n_groups, df, h_stat).
+    """
+    pv = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    from ..caching import scoped_persist
+
+    per_v = scoped_persist(
+        pv.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum_v = per_v.withColumn(
+        "_cum", F.coalesce(F.sum("_nv").over(w), F.lit(0)).cast("long")
+    )
+    per_vg = pv.groupBy("_v", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_nvg")
+    )
+    dec = "decimal(38,0)"
+    rg = (
+        per_vg.join(cum_v, "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_nvg").cast("long").alias("_ng"),
+            F.sum(
+                F.col("_nvg").cast(dec)
+                * (
+                    F.lit(2).cast(dec) * F.col("_cum")
+                    + F.col("_nv")
+                    + F.lit(1)
+                )
+            ).alias("_r2g"),  # 2·R_g, exact
+        )
+    )
+    ties = per_v.agg(
+        F.sum(
+            F.col("_nv").cast(dec) * F.col("_nv") * F.col("_nv") - F.col("_nv")
+        )
+        .cast("double")
+        .alias("_t")
+    )
+    tot = rg.agg(
+        F.sum("_ng").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(
+            F.round(
+                F.col("_r2g").cast("double") * F.col("_r2g").cast("double")
+                / (F.lit(4.0) * F.col("_ng")),
+                6,
+            ).cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("_a"),
+    )
+    n = F.col("n_total").cast("double")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("_a") - F.lit(3.0) * (n + 1)
+    corr = F.lit(1.0) - F.col("_t") / F.nullif(n * n * n - n, F.lit(0.0))
+    return tot.crossJoin(F.broadcast(ties)).select(
+        "n_total",
+        "n_groups",
+        (F.col("n_groups") - 1).cast("long").alias("df"),
+        F.round(h_raw / F.nullif(corr, F.lit(0.0)), 6).alias("h_stat"),
+    )

@@ -1469,3 +1469,45 @@ def test_fit_pca_matches_numpy(spark):
             for r in fit_pca(df.repartition(7), "embedding", k=4).collect()}
     for i in range(1, 5):
         assert got2[i] == pytest.approx(got[i]["eigenvalue"], abs=1e-4)
+
+
+def test_kruskal_wallis_matches_closed_form(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.profiling import kruskal_wallis
+
+    rng = np.random.RandomState(23)
+    groups = {"a": rng.randn(25).round(3), "b": (rng.randn(30) + 1.2).round(3),
+              "c": (rng.randn(20) + 0.4).round(3)}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    # closed form with scipy-free average ranks
+    allv = np.concatenate(list(groups.values()))
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    pos = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    N = len(allv)
+    off = 0
+    ssum = 0.0
+    for g, vs in groups.items():
+        rg = ranks[off:off + len(vs)].sum()
+        ssum += rg * rg / len(vs)
+        off += len(vs)
+    uniq, counts = np.unique(allv, return_counts=True)
+    corr = 1 - ((counts ** 3 - counts).sum()) / (N ** 3 - N)
+    h = (12 / (N * (N + 1)) * ssum - 3 * (N + 1)) / corr
+    assert r["n_total"] == N and r["n_groups"] == 3 and r["df"] == 2
+    assert r["h_stat"] == pytest.approx(h, rel=1e-4)
+    # identical single-value input → correction divisor 0 → NULL
+    const = spark.createDataFrame([("a", 1.0), ("b", 1.0)], "g string, v double")
+    assert kruskal_wallis(const, "g", "v").collect()[0]["h_stat"] is None
