@@ -10154,3 +10154,69 @@ def stats_kruskal_wallis(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return kruskal_wallis(ev, "event_type", "value")
+
+
+@query(
+    "ml_conformal",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey * 100 + l_linenumber AS k,
+             round(CAST(l_quantity AS DOUBLE), 6) AS x,
+             round(CAST(l_extendedprice AS DOUBLE), 6) AS y,
+             CAST(concat('0x', substr(md5(concat(
+                    CAST(l_orderkey * 100 + l_linenumber AS VARCHAR),
+                    'conformal')), 1, 8)) AS BIGINT) < 2147483648 AS fit
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_fit,
+             CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+      FROM base WHERE fit
+    ), params AS (
+      SELECT n_fit,
+             (CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+               / nullif(CAST(n_fit AS DOUBLE) * sxx - sx * sx, 0) AS slope,
+             (sy - ((CAST(n_fit AS DOUBLE) * sxy - sx * sy)
+                    / nullif(CAST(n_fit AS DOUBLE) * sxx - sx * sx, 0)) * sx)
+               / CAST(n_fit AS DOUBLE) AS b
+      FROM st
+    ), calib AS (
+      SELECT k, round(abs(y - (slope * x + b)), 6) AS resid
+      FROM base CROSS JOIN params WHERE NOT fit
+    ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calib),
+    q AS (
+      SELECT n_cal, resid AS qhat
+      FROM (SELECT k, resid,
+                   row_number() OVER (ORDER BY resid, k) AS rn FROM calib)
+           CROSS JOIN nc
+      WHERE rn = least(CAST(ceil((n_cal + 1) * CAST(0.9 AS DOUBLE)) AS BIGINT),
+                       n_cal)
+    )
+    SELECT any_value(params.n_fit) AS n_fit,
+           any_value(q.n_cal) AS n_cal,
+           round(any_value(slope), 6) AS slope,
+           round(any_value(b), 6) AS intercept,
+           any_value(q.qhat) AS qhat,
+           round(avg(CASE WHEN round(abs(y - (slope * x + b)), 6) <= qhat
+                          THEN 1 ELSE 0 END), 6) AS coverage
+    FROM base CROSS JOIN params CROSS JOIN q
+    """,
+)
+def ml_conformal(spark, sf_dir):
+    """Split-conformal prediction interval (operators.linear_model.
+    conformal_interval_report): deterministic md5 half-split, in-plan
+    OLS fit of l_extendedprice ~ l_quantity, the ⌈(n+1)(1−α)⌉-th
+    calibration residual as the finite-sample-valid band, and measured
+    coverage — distribution-free uncertainty for any point predictor."""
+    from .operators.linear_model import conformal_interval_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.withColumn(
+        "_ck", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
+    return conformal_interval_report(
+        keyed, "_ck", "l_quantity", "l_extendedprice", alpha=0.1
+    )

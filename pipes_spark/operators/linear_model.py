@@ -507,3 +507,113 @@ def fit_pca(
         ],
         "component int, eigenvalue double, explained_variance_ratio double",
     )
+
+
+def conformal_interval_report(
+    df: DataFrame,
+    key_col,
+    x_col: str,
+    y_col: str,
+    alpha: float = 0.1,
+    salt: str = "conformal",
+) -> DataFrame:
+    """Split-conformal prediction interval for a simple linear model —
+    the distribution-free way to attach a FINITE-SAMPLE-VALID ±q band to
+    any point predictor: fit on a deterministic half, take q̂ as the
+    ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on the held-out
+    calibration half, and [ŷ − q̂, ŷ + q̂] covers ≥ 1−α of future points
+    (Vovk et al.; Lei et al. 2018). Returns one row: (n_fit, n_cal,
+    slope, intercept, qhat, coverage) with coverage measured over the
+    whole table.
+
+    Everything stays IN-PLAN and lazy: the OLS fit is a 1-row DECIMAL
+    sufficient-statistics aggregate cross-joined back (linear_fit's
+    normal equations), the conformal rank is an exact row_number over
+    the calibration residuals (deterministic tie-break on the key;
+    swap in approx_percentile at 100 TB — the exact rank needs a single
+    ordered partition), and the split is the portable md5 bucket.
+    """
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+    from .sampling import hash_bucket
+
+    base = scoped_persist(
+        df.select(
+            F.col(key_col).alias("_k") if isinstance(key_col, str) else key_col.alias("_k"),
+            F.round(F.col(x_col).cast("double"), 6).alias("_x"),
+            F.round(F.col(y_col).cast("double"), 6).alias("_y"),
+        )
+        .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+        .withColumn("_fit", hash_bucket(F.col("_k"), salt) < (1 << 31))
+    )
+    acc = "decimal(38,6)"
+    st = base.filter(F.col("_fit")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_x").cast(acc)).cast("double").alias("_sx"),
+        F.sum(F.col("_y").cast(acc)).cast("double").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_y")).cast(acc)).cast("double").alias("_sxy"),
+        F.sum((F.col("_x") * F.col("_x")).cast(acc)).cast("double").alias("_sxx"),
+    )
+    nf = F.col("_n").cast("double")
+    den = nf * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = (nf * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / F.nullif(
+        den, F.lit(0.0)
+    )
+    params = st.select(
+        F.col("_n").alias("n_fit"),
+        slope.alias("_slope"),
+        ((F.col("_sy") - slope * F.col("_sx")) / nf).alias("_b"),
+    )
+    calib = (
+        base.filter(~F.col("_fit"))
+        .crossJoin(F.broadcast(params))
+        .withColumn(
+            "_resid",
+            F.round(
+                F.abs(F.col("_y") - (F.col("_slope") * F.col("_x") + F.col("_b"))),
+                6,
+            ),
+        )
+    )
+    ncal = calib.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    wr = Window.orderBy(F.col("_resid").asc(), F.col("_k").asc())
+    qhat = (
+        calib.crossJoin(F.broadcast(ncal))
+        .withColumn("_rn", F.row_number().over(wr))
+        .filter(
+            F.col("_rn")
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha)).cast("long"),
+                F.col("n_cal"),
+            )
+        )
+        .select("n_cal", F.col("_resid").alias("qhat"))
+    )
+    covered = (
+        base.crossJoin(F.broadcast(params))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.first("n_fit").alias("n_fit"),
+            F.first("n_cal").alias("n_cal"),
+            F.round(F.first("_slope"), 6).alias("slope"),
+            F.round(F.first("_b"), 6).alias("intercept"),
+            F.first("qhat").alias("qhat"),
+            F.round(
+                F.avg(
+                    (
+                        F.round(
+                            F.abs(
+                                F.col("_y")
+                                - (F.col("_slope") * F.col("_x") + F.col("_b"))
+                            ),
+                            6,
+                        )
+                        <= F.col("qhat")
+                    ).cast("int")
+                ),
+                6,
+            ).alias("coverage"),
+        )
+    )
+    return covered

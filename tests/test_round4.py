@@ -1511,3 +1511,32 @@ def test_kruskal_wallis_matches_closed_form(spark):
     # identical single-value input → correction divisor 0 → NULL
     const = spark.createDataFrame([("a", 1.0), ("b", 1.0)], "g string, v double")
     assert kruskal_wallis(const, "g", "v").collect()[0]["h_stat"] is None
+
+
+def test_conformal_interval_validity(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.linear_model import conformal_interval_report
+
+    rng = np.random.RandomState(31)
+    n = 2000
+    x = np.round(rng.uniform(0, 10, n), 3)
+    y = np.round(3.0 * x + 5.0 + rng.randn(n), 3)
+    df = spark.createDataFrame(
+        [(i, float(x[i]), float(y[i])) for i in range(n)],
+        "k long, x double, y double",
+    )
+    r = conformal_interval_report(df, "k", "x", "y", alpha=0.1).collect()[0]
+    # recovers the linear model and a sane band for unit-normal noise
+    assert r["slope"] == pytest.approx(3.0, abs=0.1)
+    assert r["intercept"] == pytest.approx(5.0, abs=0.5)
+    assert 1.2 < r["qhat"] < 2.2  # ≈ z_0.95 ≈ 1.64 for N(0,1) residuals
+    # the conformal guarantee: coverage ≥ 1 − α (up to sampling noise)
+    assert r["coverage"] >= 0.88
+    assert r["n_fit"] + r["n_cal"] == n
+    # determinism across partitionings
+    r2 = conformal_interval_report(
+        df.repartition(7), "k", "x", "y", alpha=0.1
+    ).collect()[0]
+    assert (r2["qhat"], r2["coverage"]) == (r["qhat"], r["coverage"])
