@@ -10220,3 +10220,155 @@ def ml_conformal(spark, sf_dir):
     return conformal_interval_report(
         keyed, "_ck", "l_quantity", "l_extendedprice", alpha=0.1
     )
+
+
+@query(
+    "events_cuped",
+    oracle="""
+    WITH d0 AS (SELECT min(date_trunc('day', ts)) AS d0 FROM events),
+    pu AS (
+      SELECT user_id,
+        CAST(sum(CASE WHEN ts < d0 + INTERVAL 15 DAY
+                      THEN CAST(value AS DECIMAL(28,6))
+                      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS pre,
+        CAST(sum(CASE WHEN ts >= d0 + INTERVAL 15 DAY
+                      THEN CAST(value AS DECIMAL(28,6))
+                      ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE) AS post,
+        CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                   'cuped')), 1, 8)) AS BIGINT) < 2147483648
+             THEN 'A' ELSE 'B' END AS variant
+      FROM events CROSS JOIN d0
+      GROUP BY user_id
+    ), b2 AS (
+      SELECT variant, round(pre, 6) AS x, round(post, 6) AS y FROM pu
+    ), pooled AS (
+      SELECT count(*) AS np,
+        CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM b2
+    ), pl AS (
+      SELECT (np * sxy - sx * sy) / nullif(np * sxx - sx * sx, 0) AS theta,
+             sx / np AS xbar,
+             (syy - sy * sy / np) / nullif(CAST(np - 1 AS DOUBLE), 0) AS vary
+      FROM pooled
+    ), per AS (
+      SELECT variant, count(*) AS n,
+        CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM b2 GROUP BY variant
+    ), enr AS (
+      SELECT variant, n, theta, vary,
+        (sy - theta * sx + n * theta * xbar) / n AS m,
+        ((syy + theta * theta * sxx + n * (theta * xbar) * (theta * xbar)
+          - 2 * theta * sxy + 2 * (theta * xbar) * sy
+          - 2 * (theta * xbar) * theta * sx)
+         - (sy - theta * sx + n * theta * xbar)
+           * (sy - theta * sx + n * theta * xbar) / n)
+        / nullif(CAST(n - 1 AS DOUBLE), 0) AS s2
+      FROM per CROSS JOIN pl
+    ), aa AS (
+      SELECT variant AS variant_a, n AS n_a, m AS ma, s2 AS s2a, theta, vary
+      FROM enr ORDER BY variant LIMIT 1
+    ), bb AS (
+      SELECT variant AS variant_b, n AS n_b, m AS mb, s2 AS s2b
+      FROM enr ORDER BY variant DESC LIMIT 1
+    )
+    SELECT variant_a, variant_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(theta, 6) AS theta,
+           round(ma, 6) AS adj_mean_a, round(mb, 6) AS adj_mean_b,
+           round(ma - mb, 6) AS diff,
+           round((ma - mb) / nullif(sqrt(s2a / n_a + s2b / n_b), 0), 6)
+             AS t_welch,
+           round(CAST(1 AS DOUBLE)
+                 - ((CAST(n_a - 1 AS DOUBLE) * s2a + CAST(n_b - 1 AS DOUBLE) * s2b)
+                    / nullif(CAST(n_a + n_b - 2 AS DOUBLE), 0))
+                   / nullif(vary, 0), 6) AS var_reduction
+    FROM aa CROSS JOIN bb
+    """,
+)
+def events_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (operators.profiling.
+    cuped_ab_test): per-user pre/post-period metrics (first vs last 15
+    days), md5-parity variant assignment, θ from pooled covariance, and
+    the Welch t on the adjusted metric y − θ(x − x̄) — all derived
+    algebraically from ONE pass of DECIMAL sufficient statistics, no
+    materialized adjusted column."""
+    from .operators.profiling import cuped_ab_test
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    d0 = ev.agg(F.min(F.date_trunc("day", F.col("ts"))).alias("_d0"))
+    dec = "decimal(28,6)"
+    cut = F.col("_d0") + F.expr("INTERVAL 15 DAYS")
+    pu = (
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("pre"),
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value").cast(dec)).otherwise(
+                    F.lit(0).cast(dec)
+                )
+            )
+            .cast("double")
+            .alias("post"),
+        )
+        .withColumn(
+            "variant",
+            F.when(
+                hash_bucket(F.col("user_id"), "cuped") < (1 << 31), F.lit("A")
+            ).otherwise(F.lit("B")),
+        )
+    )
+    return cuped_ab_test(pu, "variant", "pre", "post")
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT n_name, c.c_name AS top_customer, c.c_acctbal AS top_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 1
+    ) c
+    ORDER BY n_name
+    """,
+)
+def join_lateral(spark, sf_dir):
+    """LATERAL (correlated table subquery) join surface: for each nation,
+    its single top customer by account balance via a per-row dependent
+    subquery — the SQL-standard form of top-1-per-group. Catalyst
+    DECORRELATES the lateral into the same window/aggregate plan the
+    explicit top_k_per_group builds, so the friendly syntax costs
+    nothing at scale (no per-row re-execution)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_name AS top_customer, c.c_acctbal AS top_acctbal
+        FROM nation, LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 1
+        ) c
+        ORDER BY n_name
+        """
+    )

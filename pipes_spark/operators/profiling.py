@@ -1558,3 +1558,118 @@ def kruskal_wallis(
         (F.col("n_groups") - 1).cast("long").alias("df"),
         F.round(h_raw / F.nullif(corr, F.lit(0.0)), 6).alias("h_stat"),
     )
+
+
+def cuped_ab_test(
+    df: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al. 2013): the experiment
+    metric y is replaced by y* = y − θ(x − x̄), where x is the SAME
+    unit's pre-experiment metric and θ = cov(x,y)/var(x) — removing the
+    between-user variance that the pre-period already explains. The
+    industry-standard variance-reduction trick: same unbiased lift,
+    tighter confidence, smaller/faster experiments.
+
+    ONE aggregation pass: per-variant sufficient statistics (n, Σx, Σy,
+    Σx², Σy², Σxy — DECIMAL-exact) plus the pooled 1-row θ/x̄ aggregate
+    cross-joined back; every adjusted mean and variance is derived
+    algebraically from those sums, so no second data pass and no
+    materialized y* column. Returns one row: θ, per-variant adjusted
+    means, diff, Welch t on the adjusted metric, and the pooled
+    variance-reduction fraction. Expects exactly two variants (name
+    order decides a/b).
+    """
+    acc = "decimal(38,6)"
+
+    def sufficient(grouped):
+        return grouped.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("_x").cast(acc)).cast("double").alias("sx"),
+            F.sum(F.col("_y").cast(acc)).cast("double").alias("sy"),
+            F.sum((F.col("_x") * F.col("_x")).cast(acc)).cast("double").alias("sxx"),
+            F.sum((F.col("_y") * F.col("_y")).cast(acc)).cast("double").alias("syy"),
+            F.sum((F.col("_x") * F.col("_y")).cast(acc)).cast("double").alias("sxy"),
+        )
+
+    base = df.select(
+        F.col(variant_col).alias("_v"),
+        F.round(F.col(pre_col).cast("double"), 6).alias("_x"),
+        F.round(F.col(post_col).cast("double"), 6).alias("_y"),
+    ).filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    from ..caching import scoped_persist
+
+    base = scoped_persist(base)
+    pooled = sufficient(base.groupBy()).select(
+        F.col("n").alias("_np"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+            )
+        ).alias("_theta"),
+        (F.col("sx") / F.col("n")).alias("_xbar"),
+        (
+            (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ).alias("_vary"),
+    )
+    per = sufficient(base.groupBy("_v")).crossJoin(F.broadcast(pooled))
+    th = F.col("_theta")
+    c = th * F.col("_xbar")
+    n = F.col("n").cast("double")
+    sy_star = F.col("sy") - th * F.col("sx") + n * c
+    syy_star = (
+        F.col("syy")
+        + th * th * F.col("sxx")
+        + n * c * c
+        - 2 * th * F.col("sxy")
+        + 2 * c * F.col("sy")
+        - 2 * c * th * F.col("sx")
+    )
+    enriched = per.select(
+        "_v",
+        "n",
+        "_theta",
+        "_vary",
+        (sy_star / n).alias("_m"),
+        (
+            (syy_star - sy_star * sy_star / n)
+            / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+        ).alias("_s2"),
+    )
+    a = enriched.orderBy("_v").limit(1).select(
+        F.col("_v").alias("variant_a"), F.col("n").alias("n_a"),
+        F.col("_m").alias("_ma"), F.col("_s2").alias("_s2a"),
+        "_theta", "_vary",
+    )
+    b = enriched.orderBy(F.col("_v").desc()).limit(1).select(
+        F.col("_v").alias("variant_b"), F.col("n").alias("n_b"),
+        F.col("_m").alias("_mb"), F.col("_s2").alias("_s2b"),
+    )
+    j = a.crossJoin(b)
+    se = F.sqrt(
+        F.col("_s2a") / F.col("n_a") + F.col("_s2b") / F.col("n_b")
+    )
+    pooled_var_star = (
+        (F.col("n_a") - 1).cast("double") * F.col("_s2a")
+        + (F.col("n_b") - 1).cast("double") * F.col("_s2b")
+    ) / F.nullif((F.col("n_a") + F.col("n_b") - 2).cast("double"), F.lit(0.0))
+    return j.select(
+        "variant_a",
+        "variant_b",
+        "n_a",
+        "n_b",
+        F.round("_theta", 6).alias("theta"),
+        F.round("_ma", 6).alias("adj_mean_a"),
+        F.round("_mb", 6).alias("adj_mean_b"),
+        F.round(F.col("_ma") - F.col("_mb"), 6).alias("diff"),
+        F.round(
+            (F.col("_ma") - F.col("_mb")) / F.nullif(se, F.lit(0.0)), 6
+        ).alias("t_welch"),
+        F.round(
+            F.lit(1.0) - pooled_var_star / F.nullif(F.col("_vary"), F.lit(0.0)), 6
+        ).alias("var_reduction"),
+    )

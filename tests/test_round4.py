@@ -1540,3 +1540,34 @@ def test_conformal_interval_validity(spark):
         df.repartition(7), "k", "x", "y", alpha=0.1
     ).collect()[0]
     assert (r2["qhat"], r2["coverage"]) == (r["qhat"], r["coverage"])
+
+
+def test_cuped_reduces_variance_preserves_lift(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.profiling import cuped_ab_test
+
+    rng = np.random.RandomState(41)
+    n = 2000
+    # strong user-level baseline carried from pre to post + true lift 0.5 in B
+    base = rng.randn(n) * 5
+    pre = np.round(base + rng.randn(n), 6)
+    variant = np.where(np.arange(n) % 2 == 0, "A", "B")
+    lift = np.where(variant == "B", 0.5, 0.0)
+    post = np.round(base + lift + rng.randn(n), 6)
+    df = spark.createDataFrame(
+        [(str(variant[i]), float(pre[i]), float(post[i])) for i in range(n)],
+        "variant string, pre double, post double",
+    )
+    r = cuped_ab_test(df, "variant", "pre", "post").collect()[0]
+    assert (r["variant_a"], r["variant_b"]) == ("A", "B")
+    # theta ≈ cov/var ≈ 25/26; big variance reduction; lift preserved
+    assert r["theta"] == pytest.approx(25 / 26, abs=0.08)
+    assert r["var_reduction"] > 0.85
+    assert r["diff"] == pytest.approx(-0.5, abs=0.15)
+    # CUPED must make the lift far more significant than raw Welch
+    from pipes_spark.operators.profiling import ab_test
+
+    raw = ab_test(df, "variant", "post").collect()[0]
+    assert abs(r["t_welch"]) > 2 * abs(raw["t_stat"])
