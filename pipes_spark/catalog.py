@@ -10372,3 +10372,96 @@ def join_lateral(spark, sf_dir):
         ORDER BY n_name
         """
     )
+
+
+@query(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           round(coalesce(o_totalprice / nullif(o_orderkey % 5, 0), -1), 6)
+             AS safe_ratio,
+           TRY_CAST(o_orderpriority AS DOUBLE) AS bad_cast,
+           CAST(o_orderkey + 1 AS BIGINT) AS safe_add
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+)
+def scalar_try_funcs(spark, sf_dir):
+    """ANSI-mode error-safe scalar surface: with ANSI ON (the Spark 4
+    default, and this engine's contract) divide-by-zero and bad casts
+    THROW — ``try_divide``/``try_cast``/``try_add`` are the per-
+    expression opt-outs that return NULL instead, the right tool when a
+    single dirty row must not kill a 100 TB job. Oracled against the
+    nullif/TRY_CAST equivalents."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.coalesce(
+                F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5),
+                F.lit(-1.0),
+            ),
+            6,
+        ).alias("safe_ratio"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("99999.9"))
+        .cast("double")
+        .alias("bad_cast"),
+        F.try_add(F.col("o_orderkey"), F.lit(1)).cast("bigint").alias("safe_add"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_sql_udf",
+    oracle="""
+    SELECT l_orderkey,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_charge
+    FROM lineitem WHERE l_orderkey < 100
+    GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def scalar_sql_udf(spark, sf_dir):
+    """SQL-defined scalar UDF surface (Spark 4 ``CREATE FUNCTION …
+    RETURN expr``): reusable business logic declared once in SQL and
+    INLINED by Catalyst at plan time — zero UDF-invocation overhead,
+    full codegen, unlike any Python tier. The oracle runs the inlined
+    expression directly, proving the equivalence."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(CAST(sum(CAST(charge(l_extendedprice, l_discount, l_tax)
+                                  AS DECIMAL(28,6))) AS DOUBLE), 2) AS total_charge
+        FROM lineitem WHERE l_orderkey < 100
+        GROUP BY l_orderkey ORDER BY l_orderkey
+        """
+    )
+
+
+@query(
+    "scalar_collation",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_en
+    FROM documents
+    WHERE lower(lang) = lower('EN')
+    GROUP BY source ORDER BY source
+    """,
+)
+def scalar_collation(spark, sf_dir):
+    """Collation surface (Spark 4 collated string comparisons): equality
+    under ``UTF8_LCASE`` matches case-insensitively with NO function
+    wrapping on the column — unlike ``lower(col) = …``, the collated
+    comparison stays sargable (pushable/prunable) on collated tables.
+    Oracled against the lower() formulation."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            F.expr("lang COLLATE UTF8_LCASE = 'EN' COLLATE UTF8_LCASE")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_en"))
+        .orderBy("source")
+    )
