@@ -267,3 +267,36 @@ def append_minhash_signatures(
         "append"
     ).saveAsTable(name)
     return spark.table(name)
+
+
+def append_ivf_vectors(
+    spark: SparkSession,
+    sf_dir: str,
+    new_vectors: DataFrame,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ingest-batch maintenance of the persisted IVF index: assign the
+    batch's NEW vectors (anti-join on id) to the EXISTING codebook —
+    centroids are never refit per batch, so every process keeps probing
+    identical lists — and APPEND them to the list-partitioned corpus
+    table (dynamic partition append: each new vector lands in its
+    list's partition, and probe queries keep pruning to n_probe lists).
+    Idempotent per batch. The faiss ``add``-after-``train`` lifecycle as
+    warehouse maintenance; retrain (rebuild the tables) only when drift
+    makes list sizes degenerate. Returns the refreshed corpus table."""
+    from pipes_spark.operators.similarity import assign_ivf_lists
+
+    codebook, corpus = ivf_index_tables(
+        spark, sf_dir, num_centroids, id_col=id_col, vec_col=vec_col
+    )
+    name = f"ivf_corpus_{_tag(sf_dir)}_{num_centroids}"
+    C = [r["centroid"] for r in codebook.orderBy("list_id").collect()]
+    delta = new_vectors.join(
+        corpus.select(id_col), id_col, "left_anti"
+    )
+    assign_ivf_lists(delta, C, id_col, vec_col).write.mode("append").partitionBy(
+        "list_id"
+    ).saveAsTable(name)
+    return spark.table(name)

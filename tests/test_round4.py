@@ -1571,3 +1571,43 @@ def test_cuped_reduces_variance_preserves_lift(spark):
 
     raw = ab_test(df, "variant", "post").collect()[0]
     assert abs(r["t_welch"]) > 2 * abs(raw["t_stat"])
+
+
+def test_append_ivf_vectors_lifecycle(spark, sf_dir, tmp_path):
+    """add-after-train: new vectors join the persisted index without a
+    refit, idempotently, and probes over the refreshed table find them."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from pipes_spark.warehouse import append_ivf_vectors, ivf_index_tables
+
+    # isolated index namespace: table names derive from the dir basename
+    fake_sf = str(tmp_path / "ivfappend")
+    os.makedirs(fake_sf)
+    shutil.copy(os.path.join(sf_dir, "embeddings.parquet"),
+                os.path.join(fake_sf, "embeddings.parquet"))
+    try:
+        cb, corpus = ivf_index_tables(spark, fake_sf, num_centroids=8)
+        n0 = corpus.count()
+        # three new vectors = tiny perturbations of existing centroids
+        C = [r["centroid"] for r in cb.orderBy("list_id").collect()]
+        new_rows = [(100000 + i, [float(x) + 0.001 for x in C[i]], 0)
+                    for i in range(3)]
+        new_df = spark.createDataFrame(
+            new_rows, "vec_id long, embedding array<float>, label int")
+        refreshed = append_ivf_vectors(spark, fake_sf, new_df, num_centroids=8)
+        assert refreshed.count() == n0 + 3
+        # idempotent: same batch again adds zero rows
+        refreshed = append_ivf_vectors(spark, fake_sf, new_df, num_centroids=8)
+        assert refreshed.count() == n0 + 3
+        # each appended vector landed in the list whose centroid it hugs,
+        # so a probe that prunes to that list finds it
+        got = {r["vec_id"]: r["list_id"] for r in
+               refreshed.filter(F.col("vec_id") >= 100000).collect()}
+        assert got == {100000 + i: i for i in range(3)}
+    finally:
+        tag = "ivfappend"
+        for t in (f"ivf_codebook_{tag}_8", f"ivf_corpus_{tag}_8"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
