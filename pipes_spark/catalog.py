@@ -10465,3 +10465,22 @@ def scalar_collation(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_en"))
         .orderBy("source")
     )
+
+
+@query("ts_harmonic")  # normal-equation solve not SQL-expressible: rows-only;
+# planted-amplitude recovery pytest'd in test_timeseries.py
+def ts_harmonic(spark, sf_dir):
+    """Harmonic seasonality fit (operators.timeseries.harmonic_regression):
+    daily event counts regressed on trend + weekly sin/cos Fourier terms
+    via the exact-DECIMAL normal-equation pass — closed-form amplitude/
+    phase per harmonic, robust to missing days, extrapolates (the
+    parametric sibling of ts_seasonal_decompose)."""
+    from .operators.timeseries import harmonic_regression
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    return harmonic_regression(daily, "day", "v", period=7.0, n_harmonics=2).orderBy(
+        "feature"
+    )

@@ -1059,3 +1059,49 @@ def partial_autocorrelation(
         return res
 
     return acf.groupBy(*ks).applyInPandas(durbin_levinson, out_schema)
+
+
+def harmonic_regression(
+    df: DataFrame,
+    day_col: str,
+    value_col: str,
+    period: float = 7.0,
+    n_harmonics: int = 2,
+    l2: float = 0.0,
+) -> DataFrame:
+    """Harmonic (Fourier) seasonality fit: regress the series on
+    sin/cos(2πk·t/period) features plus trend — the parametric
+    alternative to seasonal_decompose that yields a CLOSED-FORM seasonal
+    curve (amplitude/phase per harmonic) instead of per-position means,
+    works with missing days, and extrapolates. y ~ β₀ + β₁·t +
+    Σ_k [a_k sin + b_k cos]; amplitude_k = √(a_k² + b_k²).
+
+    Distribution shape is inherited from :func:`fit_ridge` (one exact-
+    DECIMAL normal-equation pass over 2+2·n_harmonics features, tiny
+    driver solve); the day index t is days since the series minimum,
+    kept IN-PLAN via a 1-row broadcast. Returns the coefficient rows
+    plus one ``amplitude_k`` row per harmonic.
+    """
+    import math
+
+    from ..operators.linear_model import fit_ridge
+
+    mn = df.agg(F.min(F.col(day_col)).alias("_d0"))
+    base = df.crossJoin(F.broadcast(mn)).withColumn(
+        "_t", F.datediff(F.col(day_col).cast("date"), F.col("_d0").cast("date")).cast("double")
+    )
+    feats = ["_t"]
+    for k in range(1, n_harmonics + 1):
+        w = 2.0 * math.pi * k / period
+        base = base.withColumn(f"_sin{k}", F.sin(F.col("_t") * w)).withColumn(
+            f"_cos{k}", F.cos(F.col("_t") * w)
+        )
+        feats += [f"_sin{k}", f"_cos{k}"]
+    coefs = fit_ridge(base, feats, value_col, l2=l2)
+    rows = {r["feature"]: r["coef"] for r in coefs.collect()}
+    out = [(k, v) for k, v in rows.items()]
+    for k in range(1, n_harmonics + 1):
+        amp = math.sqrt(rows[f"_sin{k}"] ** 2 + rows[f"_cos{k}"] ** 2)
+        out.append((f"amplitude_{k}", round(amp, 6)))
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "feature string, coef double")

@@ -360,3 +360,29 @@ def test_partial_autocorrelation_matches_yule_walker(spark):
     # AR(2) signature: PACF cuts off after lag 2
     assert abs(got[1]) > 0.3 and abs(got[2]) > 0.2
     assert all(abs(got[k]) < 0.15 for k in (3, 4, 5, 6))
+
+
+def test_harmonic_regression_recovers_planted_cycle(spark):
+    import math
+    from datetime import date, timedelta
+
+    from pipes_spark.operators.timeseries import harmonic_regression
+
+    d0 = date(2024, 1, 1)
+    rows = []
+    for t in range(56):  # 8 weeks, clean weekly cycle + trend
+        v = 100.0 + 0.5 * t + 10.0 * math.sin(2 * math.pi * t / 7) \
+            + 4.0 * math.cos(2 * math.pi * 2 * t / 7)
+        rows.append((d0 + timedelta(days=t), round(v, 6)))
+    df = spark.createDataFrame(rows, "day date, v double")
+    got = {r["feature"]: r["coef"]
+           for r in harmonic_regression(df, "day", "v", 7.0, 2).collect()}
+    assert got["intercept"] == pytest.approx(100.0, abs=0.05)
+    assert got["_t"] == pytest.approx(0.5, abs=0.01)
+    assert got["amplitude_1"] == pytest.approx(10.0, abs=0.05)
+    assert got["amplitude_2"] == pytest.approx(4.0, abs=0.05)
+    # missing days must not break the fit (parametric, not positional)
+    df2 = df.filter(F.dayofmonth("day") % 5 != 0)
+    got2 = {r["feature"]: r["coef"]
+            for r in harmonic_regression(df2, "day", "v", 7.0, 2).collect()}
+    assert got2["amplitude_1"] == pytest.approx(10.0, abs=0.2)
