@@ -10241,6 +10241,7 @@ def ml_conformal(spark, sf_dir):
       GROUP BY user_id
     ), b2 AS (
       SELECT variant, round(pre, 6) AS x, round(post, 6) AS y FROM pu
+      WHERE pre IS NOT NULL AND post IS NOT NULL
     ), pooled AS (
       SELECT count(*) AS np,
         CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,

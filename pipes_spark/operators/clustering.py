@@ -282,8 +282,9 @@ def silhouette_stats(
     and dies long before 100 TB.
 
     Returns one row per cluster (cluster_id, n_members, avg_silhouette)
-    plus the ``overall`` row (cluster_id −1). DECIMAL-summed means keep
-    the report order-independent.
+    plus the ``overall`` row (cluster_id −1), derived from the SAME
+    k-row per-cluster DECIMAL sums — the data scans once, and the
+    DECIMAL-summed means keep the report order-independent.
     """
     C_list = [list(map(float, c)) for c in centroids]
 
@@ -306,20 +307,27 @@ def silhouette_stats(
             {"cluster_id": idx.astype("int32"), "s": (b - a) / denom}
         )
 
-    per_point = df.select(sil(F.col(vec_col)).alias("_r")).select(
-        "_r.cluster_id", "_r.s"
-    )
-    per_cluster = per_point.groupBy("cluster_id").agg(
+    per_point = ensure_min_partitions(df.select(vec_col)).select(
+        sil(F.col(vec_col)).alias("_r")
+    ).select("_r.cluster_id", "_r.s")
+    # keep the exact DECIMAL sums so the overall row derives from the
+    # k-row table — the Arrow UDF pass runs exactly once
+    sums = per_point.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        F.round(
-            F.sum(F.col("s").cast(_ACC)).cast("double") / F.count(F.lit(1)), 6
-        ).alias("avg_silhouette"),
+        F.sum(F.col("s").cast(_ACC)).alias("_ssum"),
     )
-    overall = per_point.agg(
+    per_cluster = sums.select(
+        "cluster_id",
+        "n_members",
+        F.round(F.col("_ssum").cast("double") / F.col("n_members"), 6).alias(
+            "avg_silhouette"
+        ),
+    )
+    overall = sums.agg(
         F.lit(-1).cast("int").alias("cluster_id"),
-        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("n_members").cast("bigint").alias("n_members"),
         F.round(
-            F.sum(F.col("s").cast(_ACC)).cast("double") / F.count(F.lit(1)), 6
+            F.sum("_ssum").cast("double") / F.sum("n_members"), 6
         ).alias("avg_silhouette"),
     )
     return per_cluster.unionByName(overall)

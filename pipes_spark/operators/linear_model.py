@@ -442,6 +442,7 @@ def fit_pca(
     import numpy as np
 
     from ..caching import scoped_persist
+    from .scale import ensure_min_partitions
 
     dim = len(df.select(vec_col).first()[0])
     iu = np.triu_indices(dim)
@@ -466,7 +467,7 @@ def fit_pca(
             )
 
     parts = scoped_persist(
-        df.select(vec_col).mapInPandas(
+        ensure_min_partitions(df.select(vec_col)).mapInPandas(
             partials, schema="n bigint, sx array<double>, sxx array<double>"
         )
     )

@@ -288,7 +288,10 @@ def perceptual_hash(assets: DataFrame, fake: bool = True) -> DataFrame:
     Returns ``(asset_id, phash bigint)`` — 8 bytes per asset through any
     downstream shuffle, never the content.
     """
+    from .scale import ensure_min_partitions
+
     _ship_package(assets.sparkSession)
+    assets = ensure_min_partitions(assets)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -353,11 +356,14 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     return (
         a.join(b, ["block", "block_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # hamming is a pure function of the pair: verify map-side BEFORE
+        # the dedup shuffle, so only true near-pairs (not every
+        # one-byte-coincidence candidate, ≤8× per pair) reach the exchange
         .withColumn(
             "hamming",
             F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("bigint"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )

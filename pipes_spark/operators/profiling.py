@@ -1579,8 +1579,11 @@ def cuped_ab_test(
     algebraically from those sums, so no second data pass and no
     materialized y* column. Returns one row: θ, per-variant adjusted
     means, diff, Welch t on the adjusted metric, and the pooled
-    variance-reduction fraction. Expects exactly two variants (name
-    order decides a/b).
+    variance-reduction fraction. Exactly two variants are REQUIRED and
+    enforced in-plan (``raise_error`` at runtime otherwise — one or
+    three variants would silently produce plausible-looking numbers);
+    name order decides a/b. Rows with a NULL pre or post metric are
+    excluded on both the operator and oracle sides.
     """
     acc = "decimal(38,6)"
 
@@ -1649,7 +1652,8 @@ def cuped_ab_test(
         F.col("_v").alias("variant_b"), F.col("n").alias("n_b"),
         F.col("_m").alias("_mb"), F.col("_s2").alias("_s2b"),
     )
-    j = a.crossJoin(b)
+    nv = enriched.agg(F.count(F.lit(1)).cast("long").alias("_nv"))
+    j = a.crossJoin(b).crossJoin(F.broadcast(nv))
     se = F.sqrt(
         F.col("_s2a") / F.col("n_a") + F.col("_s2b") / F.col("n_b")
     )
@@ -1657,10 +1661,23 @@ def cuped_ab_test(
         (F.col("n_a") - 1).cast("double") * F.col("_s2a")
         + (F.col("n_b") - 1).cast("double") * F.col("_s2b")
     ) / F.nullif((F.col("n_a") + F.col("n_b") - 2).cast("double"), F.lit(0.0))
+    # a wrong variant derivation must FAIL, not return plausible numbers:
+    # with one variant a == b (silent zero diff), with three the middle
+    # one silently drops while θ was fit pooled — raise at runtime instead
+    two = F.when(
+        F.col("_nv") == 2, F.lit(1)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("cuped_ab_test expects exactly 2 variants, got "),
+                F.col("_nv").cast("string"),
+            )
+        )
+    )
     return j.select(
         "variant_a",
         "variant_b",
-        "n_a",
+        (F.col("n_a") * two).alias("n_a"),
         "n_b",
         F.round("_theta", 6).alias("theta"),
         F.round("_ma", 6).alias("adj_mean_a"),

@@ -228,8 +228,9 @@ def sketch_overlap(
     from estimator noise clamp to 0.
     """
     sk = df.groupBy(F.col(set_col).alias("_s")).agg(
-        F.hll_sketch_agg(member_col).alias("_sk"),
-        F.hll_sketch_estimate(F.hll_sketch_agg(member_col)).alias("_est"),
+        F.hll_sketch_agg(member_col).alias("_sk")
+    ).select(
+        "_s", "_sk", F.hll_sketch_estimate("_sk").alias("_est")
     )
     a = sk.select(
         F.col("_s").alias("set_a"), F.col("_sk").alias("_ska"), F.col("_est").alias("_ea")

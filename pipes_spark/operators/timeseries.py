@@ -939,32 +939,41 @@ def autocorrelation(
     standard biased estimator r_k = Σ_{t>k}(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
     with the GLOBAL per-key mean, so r_0 ≡ 1 and |r_k| ≤ 1.
 
-    Scale shape: one window pass per key assigns observation index t
-    (shuffle on the key), per-key mean and denominator are a single
-    aggregate over the same partitioning, and the lagged pairing is a
-    bounded explode — each observation emits ``max_lag`` (t+k, k) probe
-    rows joined back equi on (key, t) — never a theta self-join. Rows
+    Scale shape: the window pass per key assigns observation index t
+    (shuffle on the key), per-key mean and denominator are aggregates
+    over the same partitioning, and the lagged pairing is a bounded
+    explode — each observation emits ``max_lag`` (t+k, k) probe rows
+    joined back equi on (key, t) — never a theta self-join. Rows
     through the shuffle: n·max_lag of (key, t, centered-value) triples.
+    The indexed table and its centered form feed several branches each
+    (mean join, denominator, both pair-join sides), so both persist for
+    the query's lifetime — the sort and scan run once.
 
     Cross-engine determinism: values quantize to 6 decimals, per-term
     products round(·, 6) then sum as DECIMAL(28,6) (order-independent,
     exact — the perplexity pattern), and the single num/den division is
     double + round(6). A zero denominator (constant series) yields NULL.
     """
+    from ..caching import scoped_persist
+
     ks = list(keys)
     w = Window.partitionBy(*ks).orderBy(order_col)
     dec = "decimal(28,6)"
-    base = df.select(
-        *ks,
-        F.row_number().over(w).alias("_t"),
-        F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+    base = scoped_persist(
+        df.select(
+            *ks,
+            F.row_number().over(w).alias("_t"),
+            F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+        )
     )
     st = base.groupBy(*ks).agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col("_v").cast(dec)).cast("double").alias("_s"),
     )
-    cent = base.join(st, ks).select(
-        *ks, "_t", (F.col("_v") - F.col("_s") / F.col("_n")).alias("_c")
+    cent = scoped_persist(
+        base.join(st, ks).select(
+            *ks, "_t", (F.col("_v") - F.col("_s") / F.col("_n")).alias("_c")
+        )
     )
     den = cent.groupBy(*ks).agg(
         F.sum(F.round(F.col("_c") * F.col("_c"), 6).cast(dec))

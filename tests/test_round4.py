@@ -1611,3 +1611,16 @@ def test_append_ivf_vectors_lifecycle(spark, sf_dir, tmp_path):
         tag = "ivfappend"
         for t in (f"ivf_codebook_{tag}_8", f"ivf_corpus_{tag}_8"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cuped_rejects_wrong_variant_count(spark):
+    import pytest
+
+    from pipes_spark.operators.profiling import cuped_ab_test
+
+    three = spark.createDataFrame(
+        [("A", 1.0, 1.0), ("B", 2.0, 2.0), ("C", 3.0, 3.0)] * 4,
+        "variant string, pre double, post double",
+    )
+    with pytest.raises(Exception, match="exactly 2 variants"):
+        cuped_ab_test(three, "variant", "pre", "post").collect()
