@@ -10485,3 +10485,45 @@ def ts_harmonic(spark, sf_dir):
     return harmonic_regression(daily, "day", "v", period=7.0, n_harmonics=2).orderBy(
         "feature"
     )
+
+
+@query(
+    "events_ab_power",
+    oracle="""
+    WITH st AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_observed,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE), 6) AS DECIMAL(28,6)))
+                  AS DOUBLE) AS s,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+                           * round(CAST(value AS DOUBLE), 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS q
+      FROM events WHERE value IS NOT NULL
+    ), mdes AS (
+      SELECT unnest([0.01, 0.02, 0.05, 0.10]) AS mde_frac
+    )
+    SELECT CAST(mde_frac AS DOUBLE) AS mde_frac, n_observed,
+           round(s / n_observed, 6) AS metric_mean,
+           round((q - s * s / n_observed)
+                 / nullif(CAST(n_observed - 1 AS DOUBLE), 0), 6) AS metric_var,
+           round(s / n_observed * mde_frac, 6) AS abs_delta,
+           CAST(ceil(CAST(2 AS DOUBLE) * (CAST(1.959964 AS DOUBLE) + 0.841621)
+                     * (CAST(1.959964 AS DOUBLE) + 0.841621)
+                     * ((q - s * s / n_observed)
+                        / nullif(CAST(n_observed - 1 AS DOUBLE), 0))
+                     / nullif((s / n_observed * mde_frac)
+                              * (s / n_observed * mde_frac), 0)) AS BIGINT)
+             AS n_per_arm
+    FROM st CROSS JOIN mdes
+    ORDER BY mde_frac
+    """,
+)
+def events_ab_power(spark, sf_dir):
+    """Experiment power analysis (operators.profiling.ab_power_analysis):
+    per-arm sample sizes to detect 1/2/5/10% lifts on the event value at
+    95% confidence / 80% power, with mean and variance measured in ONE
+    DECIMAL-exact pass — the planning step before events_cuped shrinks
+    the required n."""
+    from .operators.profiling import ab_power_analysis
+
+    ev = _t(spark, sf_dir, "events")
+    return ab_power_analysis(ev, "value")

@@ -1690,3 +1690,58 @@ def cuped_ab_test(
             F.lit(1.0) - pooled_var_star / F.nullif(F.col("_vary"), F.lit(0.0)), 6
         ).alias("var_reduction"),
     )
+
+
+def ab_power_analysis(
+    df: DataFrame,
+    value_col: str,
+    mde_fracs=(0.01, 0.02, 0.05, 0.10),
+    z_alpha: float = 1.959964,
+    z_beta: float = 0.841621,
+) -> DataFrame:
+    """Experiment sizing: per-arm sample size needed to detect a relative
+    lift of ``mde`` on this metric at α=0.05 (two-sided) / 80% power —
+    n = 2·(z_α/2 + z_β)²·σ²/δ², with σ² and the mean measured from the
+    data in ONE DECIMAL-exact pass. The planning step before events_cuped
+    runs the experiment (and the reason to run CUPED at all: divide these
+    n's by 1/(1−var_reduction)).
+
+    The z constants ride in as literals (both engines have no inverse
+    normal CDF — 1.96/0.84 are the textbook 95%/80% values). One row per
+    requested MDE with the absolute δ and the per-arm n (ceil'd).
+    """
+    stats = df.select(
+        F.round(F.col(value_col).cast("double"), 6).alias("_v")
+    ).filter(F.col("_v").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        F.sum(F.col("_v").cast("decimal(28,6)")).cast("double").alias("_s"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_q"),
+    )
+    mean = F.col("_s") / F.col("n_observed")
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / F.col("n_observed")) / F.nullif(
+        (F.col("n_observed") - 1).cast("double"), F.lit(0.0)
+    )
+    spark = df.sparkSession
+    mdes = spark.createDataFrame(
+        [(float(m),) for m in mde_fracs], "mde_frac double"
+    )
+    k = (z_alpha + z_beta) ** 2
+    delta = mean * F.col("mde_frac")
+    return (
+        stats.crossJoin(F.broadcast(mdes))
+        .select(
+            "mde_frac",
+            "n_observed",
+            F.round(mean, 6).alias("metric_mean"),
+            F.round(var, 6).alias("metric_var"),
+            F.round(delta, 6).alias("abs_delta"),
+            F.ceil(
+                F.lit(2.0 * k) * var / F.nullif(delta * delta, F.lit(0.0))
+            )
+            .cast("bigint")
+            .alias("n_per_arm"),
+        )
+        .orderBy("mde_frac")
+    )

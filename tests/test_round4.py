@@ -1624,3 +1624,24 @@ def test_cuped_rejects_wrong_variant_count(spark):
     )
     with pytest.raises(Exception, match="exactly 2 variants"):
         cuped_ab_test(three, "variant", "pre", "post").collect()
+
+
+def test_ab_power_analysis_closed_form(spark):
+    import math
+
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.profiling import ab_power_analysis
+
+    rng = np.random.RandomState(47)
+    v = np.round(rng.randn(5000) * 2 + 10, 6)
+    df = spark.createDataFrame([(float(x),) for x in v], "value double")
+    got = {r["mde_frac"]: r for r in ab_power_analysis(df, "value").collect()}
+    var = v.var(ddof=1)
+    for mde in (0.01, 0.05):
+        delta = v.mean() * mde
+        expect = math.ceil(2 * (1.959964 + 0.841621) ** 2 * var / delta**2)
+        assert got[mde]["n_per_arm"] == pytest.approx(expect, rel=1e-3)
+    # smaller effects need quadratically more samples
+    assert got[0.01]["n_per_arm"] > 20 * got[0.05]["n_per_arm"]
