@@ -123,3 +123,17 @@ def test_incremental_refresh_example(spark, sf_dir, tmp_path):
     new_ids = merged.filter(F.col("doc_id") % 5 == 0).select("doc_id")
     residual = minhash_lsh_pairs_delta(sigs, new_ids, threshold=0.5)
     assert residual.isEmpty()
+
+
+def test_inference_lab_example(spark, sf_dir):
+    import inference_lab
+
+    out = inference_lab.main(sf_dir)
+    assert set(out) == {"anova", "tukey", "kruskal", "power"}
+    anova = out["anova"][0]
+    assert anova["n_groups"] == 5 and anova["f_stat"] is not None
+    assert len(out["tukey"]) == 10  # C(5,2) pairs
+    assert out["kruskal"][0]["df"] == 4
+    # power rows are MDE-monotone
+    ns = [r["n_per_arm"] for r in sorted(out["power"], key=lambda r: r["mde_frac"])]
+    assert ns == sorted(ns, reverse=True)
