@@ -10527,3 +10527,18 @@ def events_ab_power(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return ab_power_analysis(ev, "value")
+
+
+@query("events_markov_stationary")  # power iteration not SQL-expressible:
+# rows-only; numpy-eigenvector parity pytest'd in test_round4.py
+def events_markov_stationary(spark, sf_dir):
+    """Markov steady state (operators.relational.markov_stationary):
+    long-run share of user attention per event type via power iteration
+    on the path_transitions matrix — distributed matrix build (one
+    window shuffle), driver-side iteration on the |types|² KBs."""
+    from .operators.relational import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_stationary(
+        ev, "user_id", "ts", "event_type", order_tiebreak="event_id"
+    ).orderBy("state")

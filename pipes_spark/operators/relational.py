@@ -1047,3 +1047,55 @@ def activity_streaks(
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         F.max("_len").cast("bigint").alias("longest_streak"),
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    order_tiebreak: Optional[str] = None,
+    iters: int = 100,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    user attention settles in the long run (the steady-state share of
+    each event type if sessions ran forever), computed by power
+    iteration π ← πP on the transition matrix from
+    :func:`path_transitions`.
+
+    The DISTRIBUTED work is the transition-matrix build (one window
+    shuffle over the events); the matrix itself is |types|² — a few
+    KBs at any corpus size — so the iteration runs driver-side on
+    numpy (the documented small-side contract, like the k-means
+    codebook). Types never observed as a source state keep their
+    incoming probability mass via the standard self-loop completion.
+    Returns (state, stationary_prob) rows summing to 1.
+    """
+    import numpy as np
+
+    trans = path_transitions(
+        events, user_col, ts_col, type_col, order_tiebreak=order_tiebreak
+    ).collect()
+    states = sorted({r["from_type"] for r in trans} | {r["to_type"] for r in trans})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    P = np.zeros((k, k))
+    for r in trans:
+        P[idx[r["from_type"]], idx[r["to_type"]]] = r["prob"]
+    # absorbing/unseen source states: self-loop so rows sum to 1
+    for i in range(k):
+        tot = P[i].sum()
+        if tot == 0.0:
+            P[i, i] = 1.0
+        else:
+            P[i] /= tot  # renormalize rounded probs
+    pi = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        pi = pi @ P
+        pi /= pi.sum()
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(s, round(float(pi[idx[s]]), round_decimals)) for s in states],
+        "state string, stationary_prob double",
+    )

@@ -1645,3 +1645,37 @@ def test_ab_power_analysis_closed_form(spark):
         assert got[mde]["n_per_arm"] == pytest.approx(expect, rel=1e-3)
     # smaller effects need quadratically more samples
     assert got[0.01]["n_per_arm"] > 20 * got[0.05]["n_per_arm"]
+
+
+def test_markov_stationary_matches_eigenvector(spark):
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.relational import markov_stationary
+
+    # a chain with a known bias: a→b always, b→a 30% / b→b 70%
+    rng = np.random.RandomState(53)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    state = "a"
+    for i in range(600):
+        rows.append((1, t0 + timedelta(minutes=i), state, i))
+        state = "b" if state == "a" else ("a" if rng.rand() < 0.3 else "b")
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, event_id long")
+    got = {r["state"]: r["stationary_prob"]
+           for r in markov_stationary(df, "user_id", "ts", "event_type",
+                                      order_tiebreak="event_id").collect()}
+    # independent check: left eigenvector of the EMPIRICAL matrix
+    trans = np.zeros((2, 2))
+    seq = [r[2] for r in rows]
+    for x, y in zip(seq, seq[1:]):
+        trans[0 if x == "a" else 1][0 if y == "a" else 1] += 1
+    P = trans / trans.sum(axis=1, keepdims=True)
+    w, v = np.linalg.eig(P.T)
+    pi = np.real(v[:, np.argmax(np.real(w))])
+    pi = pi / pi.sum()
+    assert got["a"] == pytest.approx(pi[0], abs=2e-3)
+    assert got["b"] == pytest.approx(pi[1], abs=2e-3)
+    assert got["a"] + got["b"] == pytest.approx(1.0, abs=2e-6)
