@@ -10542,3 +10542,68 @@ def events_markov_stationary(spark, sf_dir):
     return markov_stationary(
         ev, "user_id", "ts", "event_type", order_tiebreak="event_id"
     ).orderBy("state")
+
+
+@query(
+    "geo_nearest_poi",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT user_id AS point_id,
+        40.0 + (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                 'lat')), 1, 8)) AS BIGINT) % 2000) / 10000.0 AS lat,
+        -74.0 + (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                 'lon')), 1, 8)) AS BIGINT) % 2000) / 10000.0 AS lon
+      FROM events
+    ), pois AS (
+      SELECT p_partkey AS poi_id,
+        40.0 + (CAST(concat('0x', substr(md5(concat(CAST(p_partkey AS VARCHAR),
+                 'plat')), 1, 8)) AS BIGINT) % 2000) / 10000.0 AS lat,
+        -74.0 + (CAST(concat('0x', substr(md5(concat(CAST(p_partkey AS VARCHAR),
+                 'plon')), 1, 8)) AS BIGINT) % 2000) / 10000.0 AS lon
+      FROM part WHERE p_partkey <= 50
+    ), scored AS (
+      SELECT point_id, poi_id,
+        round(2 * 6371 * asin(sqrt(least(
+          sin((pois.lat - pts.lat) * pi() / 180 / 2)
+            * sin((pois.lat - pts.lat) * pi() / 180 / 2)
+          + cos(pts.lat * pi() / 180) * cos(pois.lat * pi() / 180)
+            * sin((pois.lon - pts.lon) * pi() / 180 / 2)
+            * sin((pois.lon - pts.lon) * pi() / 180 / 2),
+          CAST(1 AS DOUBLE)))), 6) AS distance_km
+      FROM pts CROSS JOIN pois
+    )
+    SELECT point_id, poi_id, distance_km
+    FROM scored
+    WHERE distance_km <= 2.0
+    QUALIFY row_number() OVER (PARTITION BY point_id
+                               ORDER BY distance_km, poi_id) = 1
+    ORDER BY point_id
+    """,
+)
+def geo_nearest_poi(spark, sf_dir):
+    """Grid-blocked nearest-POI join (operators.geo.geo_nearest_join):
+    every user location matched to its nearest point of interest within
+    2 km — candidate pairs from a radius-sized integer grid cell with a
+    bounded 3×3 probe (the spatial member of the blocked-join family),
+    exact haversine verify, deterministic nearest pick. Coordinates are
+    synthesized deterministically from portable md5 buckets (the
+    testdata carries no geo columns; the operator is generic). The
+    oracle brute-forces the cross join — same winners."""
+    from .operators.geo import geo_nearest_join
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    pt = _t(spark, sf_dir, "part")
+    pts = ev.select("user_id").distinct().select(
+        F.col("user_id").alias("point_id"),
+        (40.0 + (hash_bucket(F.col("user_id"), "lat") % 2000) / 10000.0).alias("lat"),
+        (-74.0 + (hash_bucket(F.col("user_id"), "lon") % 2000) / 10000.0).alias("lon"),
+    )
+    pois = pt.filter(F.col("p_partkey") <= 50).select(
+        F.col("p_partkey").alias("poi_id"),
+        (40.0 + (hash_bucket(F.col("p_partkey"), "plat") % 2000) / 10000.0).alias("lat"),
+        (-74.0 + (hash_bucket(F.col("p_partkey"), "plon") % 2000) / 10000.0).alias("lon"),
+    )
+    return geo_nearest_join(
+        pts, pois, radius_km=2.0, point_id="point_id", poi_id="poi_id"
+    ).orderBy("point_id")

@@ -1,0 +1,136 @@
+"""Geospatial operators: grid-blocked nearest-neighbour joins on
+lat/lon columns (SURVEY.md §2.C extensions — the spatial member of the
+blocked-join family alongside MinHash-LSH banding and SimHash byte
+pigeonholes).
+
+Scale (100 TB design point): a naive nearest-POI join is points × POIs —
+dead on arrival. The scalable shape is the same candidate-generation /
+exact-verify split every similarity operator here uses:
+
+* both sides key by a ``radius``-sized lat/lon GRID CELL (integer pair);
+* each point probes its 3×3 cell neighbourhood (bounded ×9 fan-out —
+  any POI within ``radius_km`` of the point lies in one of those cells
+  as long as the cell edge ≥ radius);
+* the join is a plain equi-join on the cell key (hash shuffle, AQE
+  skew-split on dense cells);
+* the exact haversine runs only on surviving candidates, and a
+  row_number window keeps the nearest POI per point (deterministic
+  (distance, poi_id) tie-break).
+
+Degenerate geographies: the cell width uses the longitude degree at the
+worst-case |latitude| of the data (cos shrinks lon degrees toward the
+poles); above ~85° the 3×3 neighbourhood no longer guarantees coverage —
+callers with polar data should bucket on lat bands instead.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> F.Column:
+    """Great-circle distance in km between two (degree) coordinate pairs —
+    pure codegen column math, no UDF."""
+    rad = math.pi / 180.0
+    dphi = (lat2 - lat1) * rad / 2.0
+    dlmb = (lon2 - lon1) * rad / 2.0
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(lat1 * rad) * F.cos(lat2 * rad) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    # clamp: float drift can push a to 1 + ε and asin out of domain
+    return 2.0 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def geo_nearest_join(
+    points: DataFrame,
+    pois: DataFrame,
+    radius_km: float,
+    point_id: str = "point_id",
+    poi_id: str = "poi_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """For every point, the nearest POI within ``radius_km`` (points with
+    no POI in range drop out — compose with a left join against the
+    input for NULL semantics). See module docstring for the blocking
+    design. Returns (point_id, poi_id, distance_km) with distance
+    rounded at 6.
+    """
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be > 0, got {radius_km}")
+    # cell edge in degrees: ≥ radius in BOTH axes at the worst |lat|
+    lat_deg = radius_km / 111.0
+    lon_deg = radius_km / (111.0 * math.cos(math.radians(max_abs_lat)))
+    cell = max(lat_deg, lon_deg)
+
+    def cell_of(lat, lon):
+        return (
+            F.floor(lat / F.lit(cell)).cast("long"),
+            F.floor(lon / F.lit(cell)).cast("long"),
+        )
+
+    p_cy, p_cx = cell_of(F.col(lat_col), F.col(lon_col))
+    probe = points.select(
+        F.col(point_id),
+        F.col(lat_col).alias("_plat"),
+        F.col(lon_col).alias("_plon"),
+        p_cy.alias("_cy0"),
+        p_cx.alias("_cx0"),
+    ).select(
+        point_id,
+        "_plat",
+        "_plon",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("_dy"),
+        "_cy0",
+        "_cx0",
+    ).select(
+        point_id,
+        "_plat",
+        "_plon",
+        (F.col("_cy0") + F.col("_dy")).alias("_cy"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("_dx"),
+        "_cx0",
+    ).select(
+        point_id,
+        "_plat",
+        "_plon",
+        "_cy",
+        (F.col("_cx0") + F.col("_dx")).alias("_cx"),
+    )
+    q_cy, q_cx = cell_of(F.col(lat_col), F.col(lon_col))
+    cand = probe.join(
+        pois.select(
+            F.col(poi_id),
+            F.col(lat_col).alias("_qlat"),
+            F.col(lon_col).alias("_qlon"),
+            q_cy.alias("_cy"),
+            q_cx.alias("_cx"),
+        ),
+        ["_cy", "_cx"],
+    )
+    scored = cand.withColumn(
+        "distance_km",
+        F.round(
+            haversine_km(
+                F.col("_plat"), F.col("_plon"), F.col("_qlat"), F.col("_qlon")
+            ),
+            6,
+        ),
+    ).filter(F.col("distance_km") <= radius_km)
+    w = Window.partitionBy(point_id).orderBy(
+        F.col("distance_km").asc(), F.col(poi_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(point_id, poi_id, "distance_km")
+    )

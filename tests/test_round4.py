@@ -1679,3 +1679,46 @@ def test_markov_stationary_matches_eigenvector(spark):
     assert got["a"] == pytest.approx(pi[0], abs=2e-3)
     assert got["b"] == pytest.approx(pi[1], abs=2e-3)
     assert got["a"] + got["b"] == pytest.approx(1.0, abs=2e-6)
+
+
+def test_geo_nearest_join_matches_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.geo import geo_nearest_join, haversine_km
+
+    rng = np.random.RandomState(59)
+    # points in a ~20km box around (40, -74); POIs sparser in the same box
+    plat = 40 + rng.uniform(0, 0.18, 200)
+    plon = -74 + rng.uniform(0, 0.18, 200)
+    qlat = 40 + rng.uniform(0, 0.18, 15)
+    qlon = -74 + rng.uniform(0, 0.18, 15)
+    pts = spark.createDataFrame(
+        [(i, float(plat[i]), float(plon[i])) for i in range(200)],
+        "point_id long, lat double, lon double",
+    )
+    pois = spark.createDataFrame(
+        [(j, float(qlat[j]), float(qlon[j])) for j in range(15)],
+        "poi_id long, lat double, lon double",
+    )
+    got = {r["point_id"]: (r["poi_id"], r["distance_km"])
+           for r in geo_nearest_join(pts, pois, radius_km=3.0).collect()}
+
+    def hav(a1, o1, a2, o2):
+        import math
+        r = math.pi / 180
+        x = (math.sin((a2 - a1) * r / 2) ** 2
+             + math.cos(a1 * r) * math.cos(a2 * r) * math.sin((o2 - o1) * r / 2) ** 2)
+        return 2 * 6371 * math.asin(math.sqrt(min(x, 1.0)))
+
+    for i in range(200):
+        d = [(hav(plat[i], plon[i], qlat[j], qlon[j]), j) for j in range(15)]
+        dmin, jmin = min(d)
+        if dmin <= 3.0:
+            assert i in got, i
+            assert got[i][0] == jmin
+            assert got[i][1] == pytest.approx(dmin, abs=1e-5)
+        else:
+            assert i not in got, i
+    # grid blocking must prune: candidate pairs < full cross product
+    from pipes_spark.operators.geo import EARTH_RADIUS_KM  # noqa: F401
