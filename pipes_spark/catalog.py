@@ -10607,3 +10607,50 @@ def geo_nearest_poi(spark, sf_dir):
     return geo_nearest_join(
         pts, pois, radius_km=2.0, point_id="point_id", poi_id="poi_id"
     ).orderBy("point_id")
+
+
+@query(
+    "geo_hotspots",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+        40.0 + (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                 'lat')), 1, 8)) AS BIGINT) % 2000) / 10000.0 AS lat,
+        -74.0 + (CAST(concat('0x', substr(md5(concat(CAST(user_id AS VARCHAR),
+                 'lon')), 1, 8)) AS BIGINT) % 2000) / 10000.0 AS lon
+      FROM events
+    ), cells AS (
+      SELECT CAST(floor(lat / 0.018018018018018018) AS BIGINT) AS cy,
+             CAST(floor(lon / 0.018018018018018018) AS BIGINT) AS cx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2
+    ), spread AS (
+      SELECT cy + dy AS cy, cx + dx AS cx, n
+      FROM cells,
+           LATERAL unnest([-1, 0, 1]) AS t1(dy),
+           LATERAL unnest([-1, 0, 1]) AS t2(dx)
+    ), hood AS (
+      SELECT cy, cx, CAST(sum(n) AS BIGINT) AS hood_n FROM spread GROUP BY 1, 2
+    )
+    SELECT cells.cy, cells.cx, n, hood_n,
+           round(n / CAST(hood_n AS DOUBLE), 6) AS density_ratio
+    FROM cells JOIN hood USING (cy, cx)
+    ORDER BY cy, cx
+    """,
+)
+def geo_hotspots(spark, sf_dir):
+    """Spatial hotspot surface (operators.geo.geo_hotspots): per-cell
+    activity counts with 3×3-neighbourhood-smoothed density over the
+    md5-synthesized user locations — the Getis-Ord-style clustering
+    readout; neighbourhood sums run on the COMPACT cell table only.
+    The 2 km cell width (2/111 ≈ 0.018018… degrees) is inlined
+    identically in the oracle."""
+    from .operators.geo import geo_hotspots as hotspots
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select("user_id").distinct().select(
+        (40.0 + (hash_bucket(F.col("user_id"), "lat") % 2000) / 10000.0).alias("lat"),
+        (-74.0 + (hash_bucket(F.col("user_id"), "lon") % 2000) / 10000.0).alias("lon"),
+    )
+    return hotspots(pts, cell_km=2.0, max_abs_lat=0.0).orderBy("cy", "cx")

@@ -134,3 +134,71 @@ def geo_nearest_join(
         .filter(F.col("_rn") == 1)
         .select(point_id, poi_id, "distance_km")
     )
+
+
+def geo_hotspots(
+    points: DataFrame,
+    cell_km: float = 1.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    min_count: int = 1,
+    max_abs_lat: float = 60.0,
+) -> DataFrame:
+    """Spatial hotspot surface: activity count per grid cell plus the
+    3×3-neighbourhood-smoothed density (a Getis-Ord-style local
+    statistic without the variance term) — "where is activity
+    clustering" for ops dashboards and geo-skew diagnosis.
+
+    One groupBy to cell counts (map-side combined), then the bounded
+    ×9 explode of the COMPACT cell table joined back to itself — the
+    neighbourhood sum never touches row-level data. Density ratio =
+    cell count / neighbourhood count; a cell that holds most of its
+    neighbourhood's mass is a spike, not a plateau.
+    """
+    from ..caching import scoped_persist
+
+    lat_deg = cell_km / 111.0
+    lon_deg = cell_km / (111.0 * math.cos(math.radians(max_abs_lat)))
+    cell = max(lat_deg, lon_deg)
+    # the compact cell table feeds both the neighbourhood spread and the
+    # final join — persist so the row-level scan runs once
+    cells = scoped_persist(
+        points.select(
+            F.floor(F.col(lat_col) / F.lit(cell)).cast("long").alias("cy"),
+            F.floor(F.col(lon_col) / F.lit(cell)).cast("long").alias("cx"),
+        ).groupBy("cy", "cx").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    spread = (
+        cells.select(
+            F.col("cy").alias("_cy0"), F.col("cx").alias("_cx0"), F.col("n").alias("_n")
+        )
+        .select(
+            "_cy0",
+            "_cx0",
+            "_n",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dy"),
+        )
+        .select(
+            (F.col("_cy0") + F.col("_dy")).alias("cy"),
+            "_cx0",
+            "_n",
+            F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("_dx"),
+        )
+        .select("cy", (F.col("_cx0") + F.col("_dx")).alias("cx"), "_n")
+    )
+    hood = spread.groupBy("cy", "cx").agg(
+        F.sum("_n").cast("bigint").alias("hood_n")
+    )
+    return (
+        cells.join(hood, ["cy", "cx"])
+        .filter(F.col("n") >= min_count)
+        .select(
+            "cy",
+            "cx",
+            "n",
+            "hood_n",
+            F.round(F.col("n") / F.col("hood_n").cast("double"), 6).alias(
+                "density_ratio"
+            ),
+        )
+    )

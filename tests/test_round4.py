@@ -1722,3 +1722,28 @@ def test_geo_nearest_join_matches_brute_force(spark):
             assert i not in got, i
     # grid blocking must prune: candidate pairs < full cross product
     from pipes_spark.operators.geo import EARTH_RADIUS_KM  # noqa: F401
+
+
+def test_geo_hotspots_semantics(spark):
+    import pytest
+
+    from pipes_spark.operators.geo import geo_hotspots
+
+    # dense blob at one cell + singleton far away (cell ≈ 0.009° at 1 km)
+    rows = [(40.0005, -74.0005)] * 50 + [(40.0995, -74.0995)]
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    got = {(r["cy"], r["cx"]): r for r in geo_hotspots(df, cell_km=1.0,
+                                                       max_abs_lat=0.0).collect()}
+    assert len(got) == 2
+    hot = max(got.values(), key=lambda r: r["n"])
+    lone = min(got.values(), key=lambda r: r["n"])
+    assert hot["n"] == 50 and lone["n"] == 1
+    # isolated cells hold 100% of their neighbourhood mass
+    assert hot["density_ratio"] == pytest.approx(1.0)
+    assert lone["density_ratio"] == pytest.approx(1.0)
+    # two adjacent singletons split their shared neighbourhood
+    adj = spark.createDataFrame(
+        [(40.0005, -74.0005), (40.0005, -74.0005 + 0.009)], "lat double, lon double")
+    g2 = {(r["cy"], r["cx"]): r["density_ratio"]
+          for r in geo_hotspots(adj, cell_km=1.0, max_abs_lat=0.0).collect()}
+    assert all(v == pytest.approx(0.5) for v in g2.values())
