@@ -10654,3 +10654,39 @@ def geo_hotspots(spark, sf_dir):
         (-74.0 + (hash_bucket(F.col("user_id"), "lon") % 2000) / 10000.0).alias("lon"),
     )
     return hotspots(pts, cell_km=2.0, max_abs_lat=0.0).orderBy("cy", "cx")
+
+
+@query(
+    "udtf_dynamic_unpivot",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey * 100 + l_linenumber AS id,
+             l_quantity, l_discount, l_tax
+      FROM lineitem WHERE l_orderkey < 40
+    )
+    SELECT id, 'l_discount' AS "column", l_discount AS value FROM src
+    UNION ALL
+    SELECT id, 'l_quantity', l_quantity FROM src
+    UNION ALL
+    SELECT id, 'l_tax', l_tax FROM src
+    ORDER BY id, "column"
+    """,
+)
+def udtf_dynamic_unpivot(spark, sf_dir):
+    """Polymorphic Python UDTF surface (operators.udfs.
+    dynamic_unpivot_udtf): the ``analyze`` static method types the output
+    at PLAN time from the input struct — the three DOUBLE measures stay
+    DOUBLE (the oracle's UNION ALL proves the typed equivalence). The
+    dynamic-schema tier the fixed-returnType udtf_tokens cannot reach."""
+    from .operators.udfs import dynamic_unpivot_udtf
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 40)
+    keyed = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("id"),
+        "l_quantity",
+        "l_discount",
+        "l_tax",
+    )
+    return dynamic_unpivot_udtf(
+        keyed, ["l_quantity", "l_discount", "l_tax"], id_col="id"
+    ).orderBy("id", "column")

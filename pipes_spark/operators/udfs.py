@@ -168,3 +168,53 @@ def arrow_batch_normalize(
     return df.select(id_col, vec_col).mapInArrow(
         gen, schema=f"{id_col} bigint, l2_norm double, unit array<double>"
     )
+
+
+def dynamic_unpivot_udtf(df: DataFrame, cols, id_col: str = "doc_id") -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` static method): the
+    output schema is decided at PLAN time from the input's actual type —
+    the value column adopts the fields' common type when they share one
+    (numeric measures stay numeric) and falls back to string otherwise.
+    A fixed-``returnType`` UDTF (``explode_tokens_udtf``) cannot do
+    this; ``analyze`` is what makes a table function generic over
+    schemas, the way built-in ``unpivot``/``explode`` are.
+
+    Emits (id, column, value) — one row per listed column per input row.
+    Row-at-a-time tier: prefer the built-in unpivot unless the per-row
+    logic is genuinely opaque; declared for API-surface parity.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    _ship_package(df.sparkSession)
+
+    @udtf
+    class UnpivotAny:
+        @staticmethod
+        def analyze(id_arg, row_arg) -> AnalyzeResult:
+            ftypes = {f.dataType for f in row_arg.dataType.fields}
+            vt = ftypes.pop() if len(ftypes) == 1 else StringType()
+            st = (
+                StructType()
+                .add("id", id_arg.dataType)
+                .add("column", StringType())
+                .add("value", vt)
+            )
+            return AnalyzeResult(schema=st)
+
+        def eval(self, id_val, row):
+            d = row.asDict()
+            for k in sorted(d):
+                v = d[k]
+                yield id_val, k, v if v is not None else None
+
+    df.sparkSession.udtf.register("pipes_unpivot_any", UnpivotAny)
+    cols = list(cols)
+    view = f"_udtf_up_{abs(hash((id_col, tuple(cols)))) % 10**8}"
+    df.select(F.col(id_col), *[F.col(c) for c in cols]).createOrReplaceTempView(view)
+    struct_args = ", ".join(cols)
+    return df.sparkSession.sql(
+        f"SELECT t.* FROM {view}, "
+        f"LATERAL pipes_unpivot_any({id_col}, struct({struct_args})) t"
+    )

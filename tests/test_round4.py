@@ -1747,3 +1747,19 @@ def test_geo_hotspots_semantics(spark):
     g2 = {(r["cy"], r["cx"]): r["density_ratio"]
           for r in geo_hotspots(adj, cell_km=1.0, max_abs_lat=0.0).collect()}
     assert all(v == pytest.approx(0.5) for v in g2.values())
+
+
+def test_dynamic_unpivot_udtf_polymorphic_schema(spark):
+    from pipes_spark.operators.udfs import dynamic_unpivot_udtf
+
+    # homogeneous doubles → value column is DOUBLE
+    num = spark.createDataFrame([(1, 1.5, 2.5)], "doc_id long, a double, b double")
+    out = dynamic_unpivot_udtf(num, ["a", "b"])
+    assert dict(out.dtypes)["value"] == "double"
+    rows = {(r["column"], r["value"]) for r in out.collect()}
+    assert rows == {("a", 1.5), ("b", 2.5)}
+    # mixed types → the analyze fallback types value as STRING
+    mixed = spark.createDataFrame([(1, 7, "x")], "doc_id long, a long, b string")
+    out2 = dynamic_unpivot_udtf(mixed, ["a", "b"])
+    assert dict(out2.dtypes)["value"] == "string"
+    assert {(r["column"], r["value"]) for r in out2.collect()} == {("a", "7"), ("b", "x")}
