@@ -10690,3 +10690,39 @@ def udtf_dynamic_unpivot(spark, sf_dir):
     return dynamic_unpivot_udtf(
         keyed, ["l_quantity", "l_discount", "l_tax"], id_col="id"
     ).orderBy("id", "column")
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+             AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 10
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe-syntax surface (Spark 4 ``|>`` chained-relational SQL,
+    the ISO/IEC 9075 pipe-operator proposal): the same logical plan as
+    the classic SELECT — Catalyst parses both into identical trees, so
+    the linear readable form costs nothing. Oracled against the classic
+    formulation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6)))
+                                AS DOUBLE), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> ORDER BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue
+        """
+    )
