@@ -767,3 +767,39 @@ def stateful_holt(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def read_checkpoint_state(
+    spark,
+    checkpoint_location: str,
+    operator_id: int = 0,
+    batch_id: Optional[int] = None,
+) -> DataFrame:
+    """Read a stateful streaming query's CHECKPOINTED STATE as a batch
+    DataFrame (the State Data Source): the post-mortem/debugging view of
+    what the state store actually holds — audit watermark eviction,
+    inspect a hot key's accumulated state, or reconcile state against
+    the emitted output without touching the running query.
+    ``progress_summary`` shows state SIZE per batch; this shows the
+    CONTENT. Pass ``batch_id`` to time-travel to an earlier micro-batch
+    (default: latest committed)."""
+    r = (
+        spark.read.format("statestore")
+        .option("path", checkpoint_location)
+        .option("operatorId", operator_id)
+    )
+    if batch_id is not None:
+        r = r.option("batchId", batch_id)
+    return r.load()
+
+
+def read_state_metadata(spark, checkpoint_location: str) -> DataFrame:
+    """Operator-level metadata of a checkpoint (the state-metadata
+    source): which stateful operators exist, their state store names,
+    partition counts, and the min/max batch ids still readable — the
+    index you consult before ``read_checkpoint_state``."""
+    return (
+        spark.read.format("state-metadata")
+        .option("path", checkpoint_location)
+        .load()
+    )

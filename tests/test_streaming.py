@@ -494,3 +494,47 @@ def test_stateful_holt_cross_batch_matches_recursion(spark, tmp_path):
         assert got[i][1] == pytest.approx(round(level + trend, 6), abs=1e-6), i
     # Holt tracks the +2/step trend: late forecasts stay close to the series
     assert abs(got[19][1] - rows[19][2]) < 3.0
+
+
+def test_read_checkpoint_state_contents(spark, tmp_path, sf_dir):
+    """State Data Source: the checkpointed aggregation state must be
+    readable as a batch DataFrame and reconcile with the stream's own
+    per-key output."""
+    import os
+
+    from pipes_spark.sources import load_table
+    from pipes_spark.streaming import read_checkpoint_state, read_state_metadata
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev.select("user_id", "value").coalesce(1).write.parquet(src + "/f0")
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    n = 0
+    for f in sorted(os.listdir(src + "/f0")):
+        if f.endswith(".parquet"):
+            os.symlink(f"{src}/f0/{f}", f"{flat}/{n:02d}.parquet")
+            n += 1
+    stream = spark.readStream.schema("user_id long, value double").parquet(flat)
+    counts = stream.groupBy("user_id").count()
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(
+            # the batch must be FULLY consumed or state-store commit
+            # validation fails — a noop write touches every partition
+            lambda df, bid: df.write.format("noop").mode("overwrite").save()
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = read_state_metadata(spark, ckpt).collect()
+    assert any(r["operatorName"] == "stateStoreSave" for r in meta)
+    state = read_checkpoint_state(spark, ckpt).collect()
+    got = {r["key"]["user_id"]: r["value"]["count"] for r in state}
+    expect = {r["user_id"]: r["n"] for r in
+              ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == expect
