@@ -10726,3 +10726,51 @@ def sql_pipe_syntax(spark, sf_dir):
         |> SELECT o_orderpriority, n_orders, revenue
         """
     )
+
+
+@query(
+    "events_return_rate",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), mx AS (SELECT max(day) AS mx FROM du),
+    support AS (
+      SELECT DISTINCT u, CAST(s AS DATE) AS day
+      FROM du, LATERAL unnest(generate_series(day - 7, day - 1,
+                                              INTERVAL 1 DAY)) AS t(s)
+    ), ret AS (
+      SELECT du.day, CAST(count(*) AS BIGINT) AS n_returned
+      FROM du
+      WHERE EXISTS (SELECT 1 FROM support s
+                    WHERE s.u = du.u AND s.day = du.day)
+      GROUP BY du.day
+    ), act AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY day
+    )
+    SELECT CAST(act.day AS TIMESTAMP) AS day, n_active,
+           CAST(coalesce(n_returned, 0) AS BIGINT) AS n_returned,
+           CASE WHEN act.day <= mx - 7
+                THEN round(coalesce(n_returned, 0) / CAST(n_active AS DOUBLE), 6)
+           END AS return_rate
+    FROM act LEFT JOIN ret USING (day) CROSS JOIN mx
+    ORDER BY day
+    """,
+)
+def events_return_rate(spark, sf_dir):
+    """Rolling 7-day return rate (operators.relational.
+    rolling_return_rate): per day, the share of active users back within
+    the next week — the day-level churn pulse. Bounded backward-support
+    explode on the compressed (user, day) table + one semi-join; the
+    truncated last week honestly reports NULL."""
+    from .operators.relational import rolling_return_rate
+
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_return_rate(ev, "user_id", "ts", window_days=7)
+    # DATE → TIMESTAMP for the comparator (the cohort_retention convention)
+    return out.select(
+        F.col("day").cast("timestamp").alias("day"),
+        "n_active",
+        "n_returned",
+        "return_rate",
+    ).orderBy("day")

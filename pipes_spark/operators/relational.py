@@ -1099,3 +1099,72 @@ def markov_stationary(
         [(s, round(float(pi[idx[s]]), round_decimals)) for s in states],
         "state string, stationary_prob double",
     )
+
+
+def rolling_return_rate(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling N-day return rate: for each day, the fraction of that
+    day's active users who come back within the NEXT ``window_days``
+    days — the day-level churn pulse (cohort_retention's calendar
+    matrix answers "how do cohorts age"; this answers "is stickiness
+    moving this week").
+
+    Shape: dedup once to the compressed (user, day) table, then each
+    activity day emits ≤``window_days`` *backward* support rows — "I am
+    a return for day d−k" — joined equi on (user, day) against the
+    active-day table; never a per-day subquery or range self-join. The
+    last ``window_days`` days have a truncated observation window and
+    report NULL rate (the honest convention) — their denominator rides
+    along so a caller can still inspect them.
+    """
+    from ..caching import scoped_persist
+
+    du = scoped_persist(
+        events.select(
+            F.col(user_col).alias("_u"),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("_day"),
+        ).distinct()
+    )
+    mx = du.agg(F.max("_day").alias("_mx"))
+    # backward support: activity on day d supports "returned" for days
+    # d-window..d-1 (equi-join keys only; bounded fan-out)
+    support = du.select(
+        "_u",
+        F.explode(
+            F.sequence(
+                F.date_sub(F.col("_day"), window_days),
+                F.date_sub(F.col("_day"), 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("_day"),
+    ).distinct()
+    returned = du.join(support, ["_u", "_day"], "left_semi")
+    per_day = du.groupBy("_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active")
+    )
+    per_day_ret = returned.groupBy("_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_returned")
+    )
+    return (
+        per_day.join(per_day_ret, "_day", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("_day").alias("day"),
+            "n_active",
+            F.coalesce(F.col("n_returned"), F.lit(0)).cast("bigint").alias(
+                "n_returned"
+            ),
+            F.when(
+                F.col("_day") <= F.date_sub(F.col("_mx"), window_days),
+                F.round(
+                    F.coalesce(F.col("n_returned"), F.lit(0))
+                    / F.col("n_active").cast("double"),
+                    6,
+                ),
+            ).alias("return_rate"),
+        )
+    )

@@ -1763,3 +1763,34 @@ def test_dynamic_unpivot_udtf_polymorphic_schema(spark):
     out2 = dynamic_unpivot_udtf(mixed, ["a", "b"])
     assert dict(out2.dtypes)["value"] == "string"
     assert {(r["column"], r["value"]) for r in out2.collect()} == {("a", "7"), ("b", "x")}
+
+
+def test_rolling_return_rate_golden(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from pipes_spark.operators.relational import rolling_return_rate
+
+    def d(day, hour=9):
+        return datetime(2024, 1, day, hour)
+
+    rows = (
+        # day 1: users 1,2,3 active; 1 returns day 3, 2 returns day 9 (>7d → no)
+        [(1, d(1)), (2, d(1)), (3, d(1)), (1, d(3)), (2, d(9))]
+        # day 3: users 1,4; 4 returns day 4
+        + [(4, d(3)), (4, d(4))]
+        # spread activity to day 20 so early days have full windows
+        + [(9, d(20))]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"].day: r for r in
+           rolling_return_rate(df, "user_id", "ts", window_days=7).collect()}
+    r1 = got[1]
+    assert r1["n_active"] == 3 and r1["n_returned"] == 1
+    assert r1["return_rate"] == pytest.approx(1 / 3)
+    r3 = got[3]
+    assert r3["n_active"] == 2 and r3["n_returned"] == 1  # user 4 (day 4)
+    assert r3["return_rate"] == pytest.approx(0.5)
+    # day 20 is inside the truncated tail → NULL rate, counts still present
+    assert got[20]["return_rate"] is None and got[20]["n_active"] == 1
