@@ -10774,3 +10774,30 @@ def events_return_rate(spark, sf_dir):
         "n_returned",
         "return_rate",
     ).orderBy("day")
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE o_totalprice > 50000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark, sf_dir):
+    """Parameterized-SQL surface (named parameter markers): values bind
+    server-side as TYPED literals — no string interpolation, no
+    injection, and Catalyst still constant-folds and pushes the
+    predicates down exactly as inline literals. The oracle inlines the
+    same values."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "O"},
+    )
