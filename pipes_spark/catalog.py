@@ -10801,3 +10801,89 @@ def sql_parameterized(spark, sf_dir):
         """,
         args={"min_price": 50000.0, "status": "O"},
     )
+
+
+@query(
+    "scan_transpose",
+    oracle="""
+    WITH a AS (
+      SELECT c_mktsegment,
+             round(avg(c_acctbal), 6) AS avg_bal,
+             round(min(c_acctbal), 6) AS min_bal,
+             round(max(c_acctbal), 6) AS max_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT 'avg_bal' AS key,
+           max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN avg_bal END) AS "AUTOMOBILE",
+           max(CASE WHEN c_mktsegment = 'BUILDING'   THEN avg_bal END) AS "BUILDING",
+           max(CASE WHEN c_mktsegment = 'FURNITURE'  THEN avg_bal END) AS "FURNITURE",
+           max(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN avg_bal END) AS "HOUSEHOLD",
+           max(CASE WHEN c_mktsegment = 'MACHINERY'  THEN avg_bal END) AS "MACHINERY"
+    FROM a
+    UNION ALL
+    SELECT 'max_bal',
+           max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'BUILDING'   THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'FURNITURE'  THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN max_bal END),
+           max(CASE WHEN c_mktsegment = 'MACHINERY'  THEN max_bal END)
+    FROM a
+    UNION ALL
+    SELECT 'min_bal',
+           max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'BUILDING'   THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'FURNITURE'  THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN min_bal END),
+           max(CASE WHEN c_mktsegment = 'MACHINERY'  THEN min_bal END)
+    FROM a
+    ORDER BY key
+    """,
+)
+def scan_transpose(spark, sf_dir):
+    """DataFrame ``transpose()`` surface (Spark 4): metric rows become
+    columns keyed by the index column's values — the report-shaping
+    flip done engine-side (values unify to the least common type). The
+    oracle restates it as conditional aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+    )
+    return agg.transpose().orderBy("key")
+
+
+@query(
+    "join_lateral_df",
+    oracle="""
+    SELECT n_name, c.c_name AS top_customer, c.c_acctbal AS top_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 1
+    ) c
+    ORDER BY n_name
+    """,
+)
+def join_lateral_df(spark, sf_dir):
+    """DataFrame ``lateralJoin`` surface (Spark 4) — the API twin of the
+    SQL LATERAL in join_lateral: the subquery correlates to the outer
+    row via ``F.col(...).outer()``, and Catalyst decorrelates into the
+    same window plan. Same oracle as the SQL form — both formulations,
+    one result."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    sub = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(1)
+        .select(
+            F.col("c_name").alias("top_customer"),
+            F.col("c_acctbal").alias("top_acctbal"),
+        )
+    )
+    return n.lateralJoin(sub).select(
+        "n_name", "top_customer", "top_acctbal"
+    ).orderBy("n_name")
