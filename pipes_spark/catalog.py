@@ -10887,3 +10887,41 @@ def join_lateral_df(spark, sf_dir):
     return n.lateralJoin(sub).select(
         "n_name", "top_customer", "top_acctbal"
     ).orderBy("n_name")
+
+
+@query(
+    "scalar_string_advanced",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist,
+           split_part(p_name, ' ', 2) AS second_tok,
+           translate(p_brand, '#', '_') AS translated,
+           repeat(left(p_brand, 2), 3) AS repeated,
+           reverse(p_name) AS rev,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+             AS vowel_runs,
+           replace(p_type, ' ', '·') AS dotted,
+           right(p_name, 4) AS tail4
+    FROM part WHERE p_partkey <= 300 ORDER BY p_partkey
+    """,
+)
+def scalar_string_advanced(spark, sf_dir):
+    """Extended string-scalar surface beyond scalar_string: edit
+    distance (levenshtein — fuzzy-matching's primitive), token field
+    extraction (split_part), character translation, repetition,
+    reversal, regex match COUNTS (regexp_extract_all + size), and
+    edge-anchored slicing — all JVM-codegen built-ins, zero Python."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("bigint").alias("edit_dist"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_tok"),
+        F.translate(F.col("p_brand"), "#", "_").alias("translated"),
+        F.repeat(F.substring("p_brand", 1, 2), 3).alias("repeated"),
+        F.reverse(F.col("p_name")).alias("rev"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("vowel_runs"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("·")).alias("dotted"),
+        F.substring(F.col("p_name"), -4, 4).alias("tail4"),
+    ).orderBy("p_partkey")
