@@ -462,3 +462,43 @@ def test_auc_groups_before_window(spark, sf_dir):
     w = plan.find("Window")
     assert w != -1
     assert "HashAggregate" in plan[w:]
+
+
+def test_geo_nearest_join_no_cartesian(spark, sf_dir):
+    """The grid-cell blocking must plan as an equi (hash) join on the cell
+    key — never a cartesian/BNLJ of points × POIs."""
+    plan = _plan(spark, sf_dir, "geo_nearest_poi")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+
+
+def test_phash_pairs_filters_before_dedup_exchange(spark, sf_dir):
+    """The bit_count(XOR) hamming verify must run BELOW the pair-dedup
+    exchange: only true near-pairs reach the shuffle (the review-fixed
+    ordering)."""
+    plan = _plan(spark, sf_dir, "multimodal_phash_pairs")
+    # the dedup exchange partitions on (id_a, id_b); locate it, then check
+    # the subtree UNDER it already applies the hamming filter
+    segs = plan.split("Exchange hashpartitioning(id_a")
+    assert len(segs) >= 2, "expected a pair-dedup exchange keyed on id_a"
+    below = segs[-1]
+    assert "bit_count" in below, "hamming filter must sit below the dedup exchange"
+
+
+def test_link_pred_shuffles_ids_not_payload(spark, sf_dir):
+    """The item-keyed pair self-join must shuffle id/weight columns only —
+    no customer names or part payloads ride the banding shuffle."""
+    plan = _plan(spark, sf_dir, "graph_link_pred")
+    joins = [seg for seg in plan.split("+- ")
+             if "Exchange hashpartitioning(_r" in seg]
+    assert joins, "expected shuffle exchanges keyed on the right vertex"
+    assert all("c_name" not in seg and "p_name" not in seg for seg in joins)
+
+
+def test_naive_bayes_model_join_keys_on_token(spark, sf_dir):
+    """Scoring re-keys the token stream by word to meet the (w, class)
+    count table — an equi-join, with the tiny class spine broadcast."""
+    plan = _plan(spark, sf_dir, "ml_naive_bayes")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
