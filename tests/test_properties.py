@@ -249,3 +249,71 @@ def test_cusum_closed_form_equals_recursion(spark, vals, target):
         s = max(0.0, s + v - target - 1.0)
         expected.append(round(s, 6))
     assert got == expected
+
+
+_streams = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user
+        st.integers(min_value=0, max_value=40),  # minute offset
+        st.sampled_from(["a", "b", "c"]),        # type
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_streams)
+def test_sequence_bigrams_match_path_transitions(spark, rows):
+    """sequence_ngrams(n=2) must agree with path_transitions counts on
+    arbitrary per-user streams (ties broken by the same unique key)."""
+    from datetime import datetime, timedelta
+
+    from pipes_spark.operators.relational import path_transitions, sequence_ngrams
+
+    t0 = datetime(2024, 1, 1)
+    data = [(u, t0 + timedelta(minutes=m), ty, i)
+            for i, (u, m, ty) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string, event_id long")
+    grams = {(r["step1"], r["step2"]): r["n"]
+             for r in sequence_ngrams(df, "user_id", "ts", "event_type", n=2,
+                                      order_tiebreak="event_id").collect()}
+    trans = {(r["from_type"], r["to_type"]): r["n"]
+             for r in path_transitions(df, "user_id", "ts", "event_type",
+                                       order_tiebreak="event_id").collect()}
+    assert grams == trans
+
+
+_days = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2),
+              st.integers(min_value=1, max_value=25)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_days)
+def test_activity_streak_invariants(spark, rows):
+    """Σ streak lengths = distinct active days; longest ≤ active days;
+    streak count ≥ 1 for every active user — for arbitrary day sets."""
+    from datetime import datetime
+
+    from pipes_spark.operators.relational import activity_streaks
+
+    data = [(u, datetime(2024, 1, d, 12)) for u, d in rows]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp")
+    per_user_days = {}
+    for u, d in rows:
+        per_user_days.setdefault(u, set()).add(d)
+    got = {r["user_id"]: r for r in activity_streaks(df, "user_id", "ts").collect()}
+    assert set(got) == set(per_user_days)
+    for u, days in per_user_days.items():
+        r = got[u]
+        assert r["n_active_days"] == len(days)
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        # independent streak count: runs of consecutive days
+        ds = sorted(days)
+        runs = 1 + sum(1 for a, b in zip(ds, ds[1:]) if b - a > 1)
+        assert r["n_streaks"] == runs
