@@ -10925,3 +10925,127 @@ def scalar_string_advanced(spark, sf_dir):
         F.replace(F.col("p_type"), F.lit(" "), F.lit("·")).alias("dotted"),
         F.substring(F.col("p_name"), -4, 4).alias("tail4"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_array_advanced",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id <= 100
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           toks[1:3] AS head3,
+           list_sort(list_distinct(toks))[1] AS first_alpha,
+           CAST(list_position(toks, 'the') AS BIGINT) AS pos_the,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(toks[1:2], '|') AS joined2
+    FROM t ORDER BY doc_id
+    """,
+)
+def scalar_array_advanced(spark, sf_dir):
+    """Extended array-scalar surface beyond explode: size/distinct,
+    slicing, sorted element access, position lookup (1-based, 0 = absent
+    — both engines agree), membership, and join-to-string — the
+    list-manipulation toolkit, all JVM codegen (slice/sort/position are
+    flat expressions, not higher-order lambdas)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_toks"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+        F.slice("toks", 1, 3).alias("head3"),
+        F.element_at(F.array_sort(F.array_distinct("toks")), 1).alias("first_alpha"),
+        F.array_position("toks", "the").cast("bigint").alias("pos_the"),
+        F.array_contains("toks", "the").alias("has_the"),
+        F.array_join(F.slice("toks", 1, 2), "|").alias("joined2"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "events_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), sizes AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounced,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+    FROM sizes
+    """,
+)
+def events_bounce_rate(spark, sf_dir):
+    """Bounce rate: share of 30-minute sessions containing exactly one
+    event — the standard engagement-quality headline, one integer
+    aggregate over the sessionize output (relational.sessionize, the
+    same window pass every session metric shares)."""
+    from .operators.relational import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
+    sizes = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounced = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounced.cast("bigint").alias("n_bounced"),
+        F.round(bounced / F.count(F.lit(1)).cast("double"), 6).alias("bounce_rate"),
+    )
+
+
+@query(
+    "streaming_join_anti_static",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE e.event_type = 'purchase'
+      AND NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_acctbal < 0
+      )
+    """,
+)
+def streaming_join_anti_static(spark, sf_dir):
+    """Stream-static LEFT ANTI join — the live exclusion filter (drop
+    events from a blocklist/debtor table as they arrive): each micro-
+    batch anti-joins the broadcast static side, the stream never
+    shuffles, and updates to the static table take effect on the next
+    batch. Oracled against the batch NOT EXISTS."""
+    from .streaming import run_to_memory
+
+    stream = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    debtors = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey"))
+    )
+    out = stream.join(
+        F.broadcast(debtors),
+        stream["user_id"] == debtors["c_custkey"],
+        "left_anti",
+    ).select("event_id", "user_id")
+    return run_to_memory(out, output_mode="append")
