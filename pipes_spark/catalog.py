@@ -11049,3 +11049,45 @@ def streaming_join_anti_static(spark, sf_dir):
         "left_anti",
     ).select("event_id", "user_id")
     return run_to_memory(out, output_mode="append")
+
+
+@query(
+    "text_augment_dropout",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id <= 150
+    ), toks AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk
+    ), kept AS (
+      SELECT doc_id, w, pos FROM toks
+      WHERE CAST(concat('0x', substr(md5(concat(
+              CAST(doc_id AS VARCHAR), '#', CAST(pos - 1 AS VARCHAR),
+              'aug1')), 1, 8)) AS BIGINT) >= 429496729
+    )
+    SELECT doc_id,
+           coalesce(string_agg(w, ' ' ORDER BY pos), '') AS text_aug,
+           CAST(count(w) AS BIGINT) AS n_kept
+    FROM (SELECT doc_id FROM tk) d
+      LEFT JOIN kept USING (doc_id)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_augment_dropout(spark, sf_dir):
+    """Deterministic token-dropout augmentation (operators.text.
+    augment_token_dropout): every token kept or dropped by a pure
+    (doc, position, salt) md5 hash — a reproducible second view of each
+    document for contrastive/robustness training; same output across
+    partitionings, retries, and engines, independent views per salt.
+    10% dropout over the first 150 docs; the oracle restates the hash
+    verbatim (positions aligned 0-based)."""
+    from .operators.text import augment_token_dropout, token_count
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 150)
+    out = augment_token_dropout(d, rate=0.1, salt="aug1")
+    return out.select(
+        "doc_id",
+        "text_aug",
+        token_count(F.col("text_aug")).cast("bigint").alias("n_kept"),
+    ).orderBy("doc_id")

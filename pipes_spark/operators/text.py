@@ -879,3 +879,58 @@ def bigram_perplexity(
             ).alias("perplexity"),
         )
     )
+
+
+def augment_token_dropout(
+    df: DataFrame,
+    rate: float = 0.1,
+    salt: str = "aug1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_aug",
+) -> DataFrame:
+    """Deterministic token-dropout augmentation: each token is kept or
+    dropped by a pure hash of (doc, position, salt) — the
+    regularization-style corpus augmentation (a second "view" of every
+    document for contrastive training or robustness), REPRODUCIBLE the
+    way the sampling operators are: the same (doc, salt) always yields
+    the same augmented text across partitionings, retries, engines, and
+    re-runs, and distinct salts give independent views.
+
+    Shape: posexplode → hash filter → re-aggregate in position order
+    (collect_list of (pos, token) structs, array_sort, join) — one
+    shuffle keyed by the doc id. The md5 bucket matches
+    ``sampling.hash_bucket`` so the oracle restates it verbatim.
+    """
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"rate must be in [0, 1), got {rate}")
+    from .sampling import _BUCKETS, hash_bucket
+
+    thr = int(rate * _BUCKETS)
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w")
+    )
+    kept = toks.filter(
+        hash_bucket(
+            F.concat_ws("#", F.col(id_col).cast("string"), F.col("pos").cast("string")),
+            salt,
+        )
+        >= thr
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("_w")))
+            ).alias("_ordered")
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(F.transform(F.col("_ordered"), lambda s: s["_w"]), " ").alias(
+                out_col
+            ),
+        )
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))  # fully-dropped docs
+    )

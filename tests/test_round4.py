@@ -1794,3 +1794,33 @@ def test_rolling_return_rate_golden(spark):
     assert r3["return_rate"] == pytest.approx(0.5)
     # day 20 is inside the truncated tail → NULL rate, counts still present
     assert got[20]["return_rate"] is None and got[20]["n_active"] == 1
+
+
+def test_augment_token_dropout_semantics(spark):
+    from pipes_spark.operators.text import augment_token_dropout
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 25
+    df = spark.createDataFrame([(i, base) for i in range(4)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r["text_aug"]
+           for r in augment_token_dropout(df, rate=0.2, salt="s1").collect()}
+    n0 = len(base.split())
+    for i, aug in out.items():
+        toks = aug.split()
+        # ~20% dropped, never reordered, always a subsequence
+        assert 0.6 * n0 < len(toks) < 0.95 * n0
+        it = iter(base.split())
+        assert all(any(t == u for u in it) for t in toks), "order broken"
+    # different docs drop different positions (hash includes doc_id)
+    assert len(set(out.values())) > 1
+    # determinism across partitionings; independence across salts
+    again = {r["doc_id"]: r["text_aug"]
+             for r in augment_token_dropout(df.repartition(5), rate=0.2,
+                                            salt="s1").collect()}
+    assert again == out
+    other = {r["doc_id"]: r["text_aug"]
+             for r in augment_token_dropout(df, rate=0.2, salt="s2").collect()}
+    assert other != out
+    # rate 0 keeps everything
+    keep = augment_token_dropout(df, rate=0.0).collect()[0]["text_aug"]
+    assert keep.split() == base.split()
