@@ -11091,3 +11091,40 @@ def text_augment_dropout(spark, sf_dir):
         "text_aug",
         token_count(F.col("text_aug")).cast("bigint").alias("n_kept"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ml_woe_encoding",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS c,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_neg
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_pos) AS DOUBLE) AS p, CAST(sum(n_neg) AS DOUBLE) AS n
+      FROM per
+    )
+    SELECT c AS o_orderpriority, n_pos, n_neg,
+           round(ln(((n_pos + 0.5) / (p + 1.0)) / ((n_neg + 0.5) / (n + 1.0))), 6)
+             AS woe,
+           round(((n_pos + 0.5) / (p + 1.0) - (n_neg + 0.5) / (n + 1.0))
+                 * ln(((n_pos + 0.5) / (p + 1.0)) / ((n_neg + 0.5) / (n + 1.0))),
+                 6) AS iv_term
+    FROM per CROSS JOIN tot
+    ORDER BY o_orderpriority
+    """,
+)
+def ml_woe_encoding(spark, sf_dir):
+    """Weight-of-evidence encoding (operators.features.woe_encoding):
+    smoothed ln-odds of order priority against the fulfilled flag plus
+    per-category information-value terms — the risk-scoring encoder;
+    one count aggregate + broadcast totals, engine-exact."""
+    from .operators.features import woe_encoding
+
+    o = _t(spark, sf_dir, "orders")
+    return woe_encoding(
+        o, "o_orderpriority", F.col("o_orderstatus") == "F"
+    ).orderBy("o_orderpriority")

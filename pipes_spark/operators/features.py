@@ -244,3 +244,45 @@ def rfm_scores(
         F.ntile(n_bins).over(wf).cast("int").alias("f_score"),
         F.ntile(n_bins).over(wm).cast("int").alias("m_score"),
     )
+
+
+def woe_encoding(
+    df: DataFrame,
+    cat_col: str,
+    label: Column,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding of a categorical against a binary
+    target: WOE(c) = ln( (pos_c/POS) / (neg_c/NEG) ) with additive
+    smoothing — the credit-scoring/risk staple (monotone in the event
+    rate, comparable across categories, the input to IV feature
+    ranking). Returns one row per category with counts, WOE, and its
+    information-value contribution (p_pos − p_neg)·WOE; Σ iv is the
+    feature's predictive-power score.
+
+    One count aggregate + a broadcast 1-row total — all integer counts,
+    the two ratios and the single ln run in double and round(6), so the
+    encoding table is engine-exact and (being a table) joins back onto
+    any corpus as a broadcast map-side enrichment.
+    """
+    per = df.select(F.col(cat_col).alias("_c"), label.cast("int").alias("_y")).groupBy(
+        "_c"
+    ).agg(
+        F.sum("_y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("n_neg"),
+    )
+    tot = per.agg(
+        F.sum("n_pos").cast("double").alias("_P"),
+        F.sum("n_neg").cast("double").alias("_N"),
+    )
+    sm = float(smoothing)
+    p_pos = (F.col("n_pos") + sm) / (F.col("_P") + 2 * sm)
+    p_neg = (F.col("n_neg") + sm) / (F.col("_N") + 2 * sm)
+    woe = F.log(p_pos / p_neg)
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("_c").alias(cat_col),
+        "n_pos",
+        "n_neg",
+        F.round(woe, 6).alias("woe"),
+        F.round((p_pos - p_neg) * woe, 6).alias("iv_term"),
+    )

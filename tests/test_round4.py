@@ -1824,3 +1824,24 @@ def test_augment_token_dropout_semantics(spark):
     # rate 0 keeps everything
     keep = augment_token_dropout(df, rate=0.0).collect()[0]["text_aug"]
     assert keep.split() == base.split()
+
+
+def test_woe_encoding_golden(spark):
+    import math
+
+    import pytest
+
+    from pipes_spark.operators.features import woe_encoding
+
+    # category A: 8 pos / 2 neg; B: 2 pos / 8 neg → symmetric ± WOE
+    rows = [("A", 1)] * 8 + [("A", 0)] * 2 + [("B", 1)] * 2 + [("B", 0)] * 8
+    df = spark.createDataFrame(rows, "c string, y int")
+    got = {r["c"]: r for r in woe_encoding(df, "c", F.col("y") == 1).collect()}
+    pp = (8 + 0.5) / 11.0
+    pn = (2 + 0.5) / 11.0
+    expect = math.log(pp / pn)
+    assert got["A"]["woe"] == pytest.approx(expect, abs=1e-6)
+    assert got["B"]["woe"] == pytest.approx(-expect, abs=1e-6)
+    assert got["A"]["iv_term"] == pytest.approx((pp - pn) * expect, abs=1e-6)
+    # IV terms are non-negative by construction
+    assert all(r["iv_term"] >= 0 for r in got.values())
