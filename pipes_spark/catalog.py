@@ -11128,3 +11128,51 @@ def ml_woe_encoding(spark, sf_dir):
     return woe_encoding(
         o, "o_orderpriority", F.col("o_orderstatus") == "F"
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "stats_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, CAST(dayofweek(ts) AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ), nt AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM cells),
+    ma AS (SELECT a, CAST(sum(n) AS BIGINT) AS na FROM cells GROUP BY a),
+    mb AS (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY b),
+    ha AS (
+      SELECT CAST(sum(CAST(round(-(na / ntot) * ln(na / ntot), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS h
+      FROM ma CROSS JOIN nt
+    ), hb AS (
+      SELECT CAST(sum(CAST(round(-(nb / ntot) * ln(nb / ntot), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE) AS h
+      FROM mb CROSS JOIN nt
+    ), mi AS (
+      SELECT CAST(sum(CAST(round((n / ntot)
+                     * ln(CAST(n AS DOUBLE) * ntot
+                          / (CAST(na AS DOUBLE) * nb)), 9)
+                     AS DECIMAL(28,9))) AS DOUBLE) AS mi
+      FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nt
+    )
+    SELECT round(mi, 6) AS mutual_information,
+           round(ha.h, 6) AS entropy_a,
+           round(hb.h, 6) AS entropy_b,
+           round(mi / nullif(sqrt(ha.h * hb.h), 0), 6) AS nmi
+    FROM mi CROSS JOIN ha CROSS JOIN hb
+    """,
+)
+def stats_mutual_information(spark, sf_dir):
+    """Normalized mutual information (operators.profiling.
+    mutual_information) between event type and day-of-week — how much
+    one categorical explains another, scale-free; the soft complement
+    to quality_fd and stats_chi_square. Contingency cells in one count
+    shuffle; plogp terms round(9)-then-DECIMAL-sum."""
+    from .operators.profiling import mutual_information
+
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", F.dayofweek(F.col("ts")).cast("bigint").alias("dow")
+    )
+    return mutual_information(keyed, "event_type", "dow")

@@ -1745,3 +1745,94 @@ def ab_power_analysis(
         )
         .orderBy("mde_frac")
     )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Normalized mutual information between two categorical columns:
+    I(X;Y) / √(H(X)·H(Y)) ∈ [0, 1] — the info-theoretic dependency
+    strength (0 = independent, 1 = bijective), the soft complement to
+    quality_fd's hard functional-dependency check and chi-square's
+    significance test: NMI says HOW MUCH one column explains another,
+    scale-free.
+
+    One count shuffle to the (a, b) contingency cells; marginals reduce
+    from the cell table; every plogp term is an exact-integer ratio fed
+    to ln, rounded(9) then DECIMAL-summed (the perplexity convention at
+    higher precision — entropy sums are small), and the final
+    normalization divides once in double. NULLs excluded; NMI is NULL
+    when either column is constant (zero entropy).
+    """
+    from ..caching import scoped_persist
+
+    dec = "decimal(28,9)"
+    cells = scoped_persist(
+        df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    n_tot = cells.agg(F.sum("_n").cast("double").alias("_N"))
+    ma = cells.groupBy("_a").agg(F.sum("_n").cast("long").alias("_na"))
+    mb = cells.groupBy("_b").agg(F.sum("_n").cast("long").alias("_nb"))
+
+    def ent(marg, cnt):
+        return (
+            marg.crossJoin(F.broadcast(n_tot))
+            .agg(
+                F.sum(
+                    F.round(
+                        -(F.col(cnt) / F.col("_N"))
+                        * F.log(F.col(cnt) / F.col("_N")),
+                        9,
+                    ).cast(dec)
+                )
+                .cast("double")
+                .alias("h")
+            )
+        )
+
+    ha = ent(ma, "_na").select(F.col("h").alias("_ha"))
+    hb = ent(mb, "_nb").select(F.col("h").alias("_hb"))
+    # rename the marginal keys: all three tables share the cells lineage
+    # and same-named attributes trip the self-join ambiguity check
+    ma2 = ma.select(F.col("_a").alias("_a2"), "_na")
+    mb2 = mb.select(F.col("_b").alias("_b2"), "_nb")
+    cjoin = cells.select("_a", "_b", F.col("_n").alias("_ncell"))
+    joint = (
+        cjoin.join(F.broadcast(ma2), F.col("_a") == F.col("_a2"))
+        .join(F.broadcast(mb2), F.col("_b") == F.col("_b2"))
+        .crossJoin(F.broadcast(n_tot))
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("_ncell") / F.col("_N"))
+                    * F.log(
+                        F.col("_ncell").cast("double")
+                        * F.col("_N")
+                        / (F.col("_na").cast("double") * F.col("_nb"))
+                    ),
+                    9,
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("_mi")
+        )
+    )
+    return (
+        joint.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.round("_mi", 6).alias("mutual_information"),
+            F.round("_ha", 6).alias("entropy_a"),
+            F.round("_hb", 6).alias("entropy_b"),
+            F.round(
+                F.col("_mi")
+                / F.nullif(F.sqrt(F.col("_ha") * F.col("_hb")), F.lit(0.0)),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -1845,3 +1845,26 @@ def test_woe_encoding_golden(spark):
     assert got["A"]["iv_term"] == pytest.approx((pp - pn) * expect, abs=1e-6)
     # IV terms are non-negative by construction
     assert all(r["iv_term"] >= 0 for r in got.values())
+
+
+def test_mutual_information_semantics(spark):
+    import math
+
+    import pytest
+
+    from pipes_spark.operators.profiling import mutual_information
+
+    # perfectly dependent: b = f(a) bijectively → NMI = 1
+    dep = spark.createDataFrame(
+        [("x", 1)] * 10 + [("y", 2)] * 20 + [("z", 3)] * 30, "a string, b int")
+    r = mutual_information(dep, "a", "b").collect()[0]
+    assert r["nmi"] == pytest.approx(1.0, abs=1e-6)
+    # independent (balanced product) → MI = 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in (1, 2) for _ in range(5)], "a string, b int")
+    r2 = mutual_information(ind, "a", "b").collect()[0]
+    assert r2["mutual_information"] == pytest.approx(0.0, abs=1e-6)
+    assert r2["entropy_a"] == pytest.approx(math.log(2), abs=1e-6)
+    # constant column → zero entropy → NULL NMI, no divide error
+    const = spark.createDataFrame([("k", i % 3) for i in range(9)], "a string, b int")
+    assert mutual_information(const, "a", "b").collect()[0]["nmi"] is None
