@@ -11176,3 +11176,81 @@ def stats_mutual_information(spark, sf_dir):
         "event_type", F.dayofweek(F.col("ts")).cast("bigint").alias("dow")
     )
     return mutual_information(keyed, "event_type", "dow")
+
+
+@query(
+    "text_augment_spans",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents WHERE doc_id <= 120
+    ), toks AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) - 1 AS pos FROM tk
+    ), starts AS (
+      SELECT doc_id, pos AS s,
+        CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#',
+             CAST(pos AS VARCHAR), 'lnspan1')), 1, 8)) AS BIGINT) % 5 + 1 AS len
+      FROM toks
+      WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#',
+             CAST(pos AS VARCHAR), 'stspan1')), 1, 8)) AS BIGINT) < 214748364
+    ), covered AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM starts, LATERAL unnest(generate_series(s, s + len - 1)) AS t(p)
+    ), masked AS (
+      SELECT toks.doc_id, toks.pos FROM toks
+      WHERE EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = toks.doc_id AND c.pos = toks.pos)
+    ), islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS anchor
+      FROM masked
+    ), spans AS (
+      SELECT doc_id, anchor, min(pos) AS pos, count(*) AS span_n
+      FROM islands GROUP BY 1, 2
+    ), sentinels AS (
+      SELECT doc_id, pos,
+             concat('<extra_id_',
+                    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                         AS VARCHAR), '>') AS w,
+             span_n
+      FROM spans
+    ), kept AS (
+      SELECT doc_id, pos, w FROM toks
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.doc_id = toks.doc_id AND c.pos = toks.pos)
+    ), unioned AS (
+      SELECT doc_id, pos, w FROM kept
+      UNION ALL SELECT doc_id, pos, w FROM sentinels
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_corrupted
+      FROM unioned GROUP BY doc_id
+    ), stats AS (
+      SELECT doc_id, CAST(sum(span_n) AS BIGINT) AS n_masked,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM sentinels GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(text_corrupted, '') AS text_corrupted,
+           CAST(coalesce(n_masked, 0) AS BIGINT) AS n_masked,
+           CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans
+    FROM (SELECT doc_id FROM tk) d
+      LEFT JOIN rebuilt USING (doc_id)
+      LEFT JOIN stats USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_augment_spans(spark, sf_dir):
+    """T5-style span corruption (operators.text.augment_span_corruption):
+    contiguous token spans replaced by numbered ``<extra_id_k>``
+    sentinels, all span choices pure (doc, position, salt) hashes —
+    reproducible denoising views (15% target rate, mean span 3). The
+    oracle restates every hash, the bounded cover explode, and the
+    island merge verbatim."""
+    from .operators.text import augment_span_corruption
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 120)
+    return (
+        augment_span_corruption(d, rate=0.15, mean_span=3, salt="span1")
+        .select("doc_id", "text_corrupted", "n_masked", "n_spans")
+        .orderBy("doc_id")
+    )

