@@ -11254,3 +11254,26 @@ def text_augment_spans(spark, sf_dir):
         .select("doc_id", "text_corrupted", "n_masked", "n_spans")
         .orderBy("doc_id")
     )
+
+
+@query("graph_modularity")  # LPA labels are not SQL-expressible: rows-only;
+# known-structure semantics pytest'd in test_round4.py
+def graph_modularity(spark, sf_dir):
+    """Community-quality score (operators.components.modularity): Newman
+    Q of the label-propagation communities on the part co-purchase
+    graph — LPA proposes, modularity grades; everything reduces to the
+    tiny per-community (internal edges, degree sum) table."""
+    from .operators.components import label_propagation, modularity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    labels = label_propagation(edges, num_iter=5)
+    return modularity(edges, labels, node_col="id", community_col="label")

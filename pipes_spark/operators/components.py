@@ -523,3 +523,68 @@ def link_prediction_bipartite(
             ).alias("jaccard"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    assignment: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "vertex",
+    community_col: str = "label",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment over an undirected
+    graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the standard "are these
+    communities real" score (≈0 for random structure, ~0.3+ for strong
+    structure). The evaluation companion to ``label_propagation``:
+    LPA proposes, modularity grades.
+
+    Shape: edges dedup to undirected form once, two broadcast-joins
+    attach endpoint communities, then everything reduces to the tiny
+    per-community (internal-edge count, degree sum) table. All counting
+    is exact integer; degree-sum squares route through DOUBLE (the
+    100 TB overflow rule); one row out.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    asg_a = assignment.select(
+        F.col(node_col).alias("_a"), F.col(community_col).alias("_ca")
+    )
+    asg_b = assignment.select(
+        F.col(node_col).alias("_b"), F.col(community_col).alias("_cb")
+    )
+    tagged = und.join(asg_a, "_a").join(asg_b, "_b")
+    from ..caching import scoped_persist
+
+    tagged = scoped_persist(tagged)
+    m = tagged.agg(F.count(F.lit(1)).cast("double").alias("_m"))
+    internal = (
+        tagged.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_ec"))
+    )
+    # degree sum per community: each endpoint contributes 1 per incident edge
+    deg = (
+        tagged.select(F.col("_ca").alias("_c"))
+        .unionByName(tagged.select(F.col("_cb").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("_dc"))
+    )
+    per = deg.join(internal, "_c", "left").crossJoin(F.broadcast(m))
+    term = F.round(
+        F.coalesce(F.col("_ec"), F.lit(0)) / F.col("_m")
+        - (F.col("_dc") / (F.lit(2.0) * F.col("_m")))
+        * (F.col("_dc") / (F.lit(2.0) * F.col("_m"))),
+        9,
+    ).cast("decimal(28,9)")
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.max("_m").cast("bigint").alias("n_edges"),
+        F.round(F.sum(term).cast("double"), 6).alias("modularity"),
+    )

@@ -1908,3 +1908,36 @@ def test_augment_span_corruption_semantics(spark):
     assert other != again
     # doc_id participates in the hash → different docs mask differently
     assert out[1]["text_corrupted"] != out[2]["text_corrupted"]
+
+
+def test_modularity_known_structure(spark):
+    import pytest
+
+    from pipes_spark.operators.components import modularity
+
+    # two K4 cliques joined by one bridge edge
+    k4a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    k4b = [(a + 10, b + 10) for a, b in k4a]
+    edges = spark.createDataFrame(k4a + k4b + [(0, 10)], "src long, dst long")
+    good = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(i + 10, 1) for i in range(4)],
+        "vertex long, label long",
+    )
+    r = modularity(edges, good).collect()[0]
+    assert r["n_communities"] == 2 and r["n_edges"] == 13
+    # closed form: e_c/m = 6/13 each; degree sums 13 each
+    expect = 2 * (6 / 13 - (13 / 26) ** 2)
+    assert r["modularity"] == pytest.approx(expect, abs=1e-6)
+    # one-big-community scores ZERO exactly (e=m, d=2m)
+    allone = spark.createDataFrame(
+        [(i, 7) for i in list(range(4)) + [v + 10 for v in range(4)]],
+        "vertex long, label long",
+    )
+    assert modularity(edges, allone).collect()[0]["modularity"] == pytest.approx(0.0, abs=1e-6)
+    # the good partition beats a random-ish split
+    bad = spark.createDataFrame(
+        [(i, i % 2) for i in range(4)] + [(i + 10, i % 2) for i in range(4)],
+        "vertex long, label long",
+    )
+    rb = modularity(edges, bad).collect()[0]
+    assert r["modularity"] > rb["modularity"] + 0.2
