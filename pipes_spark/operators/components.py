@@ -544,6 +544,11 @@ def modularity(
     per-community (internal-edge count, degree sum) table. All counting
     is exact integer; degree-sum squares route through DOUBLE (the
     100 TB overflow rule); one row out.
+
+    Coverage contract: edges whose endpoints lack an assignment are
+    EXCLUDED from Q (inner join) and their count is surfaced as
+    ``n_edges_dropped`` — a stale or partial assignment scores the
+    covered subgraph, visibly, never silently.
     """
     und = (
         edges.select(
@@ -559,10 +564,11 @@ def modularity(
     asg_b = assignment.select(
         F.col(node_col).alias("_b"), F.col(community_col).alias("_cb")
     )
-    tagged = und.join(asg_a, "_a").join(asg_b, "_b")
     from ..caching import scoped_persist
 
-    tagged = scoped_persist(tagged)
+    und = scoped_persist(und)
+    tagged = scoped_persist(und.join(asg_a, "_a").join(asg_b, "_b"))
+    m_all = und.agg(F.count(F.lit(1)).cast("long").alias("_mall"))
     m = tagged.agg(F.count(F.lit(1)).cast("double").alias("_m"))
     internal = (
         tagged.filter(F.col("_ca") == F.col("_cb"))
@@ -587,4 +593,9 @@ def modularity(
         F.count(F.lit(1)).cast("bigint").alias("n_communities"),
         F.max("_m").cast("bigint").alias("n_edges"),
         F.round(F.sum(term).cast("double"), 6).alias("modularity"),
+    ).crossJoin(F.broadcast(m_all)).select(
+        "n_communities",
+        "n_edges",
+        (F.col("_mall") - F.col("n_edges")).cast("bigint").alias("n_edges_dropped"),
+        "modularity",
     )

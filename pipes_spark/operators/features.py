@@ -260,16 +260,22 @@ def woe_encoding(
     information-value contribution (p_pos − p_neg)·WOE; Σ iv is the
     feature's predictive-power score.
 
+    Rows with a NULL label are excluded (unknowable, not negative).
     One count aggregate + a broadcast 1-row total — all integer counts,
     the two ratios and the single ln run in double and round(6), so the
     encoding table is engine-exact and (being a table) joins back onto
     any corpus as a broadcast map-side enrichment.
     """
-    per = df.select(F.col(cat_col).alias("_c"), label.cast("int").alias("_y")).groupBy(
-        "_c"
-    ).agg(
-        F.sum("_y").cast("long").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("n_neg"),
+    # NULL labels are EXCLUDED (a NULL target is unknowable, not negative
+    # — counting it as negative would bias WOE on any nullable label)
+    per = (
+        df.select(F.col(cat_col).alias("_c"), label.cast("int").alias("_y"))
+        .filter(F.col("_y").isNotNull())
+        .groupBy("_c")
+        .agg(
+            F.sum("_y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("n_neg"),
+        )
     )
     tot = per.agg(
         F.sum("n_pos").cast("double").alias("_P"),

@@ -1068,8 +1068,12 @@ def markov_stationary(
     shuffle over the events); the matrix itself is |types|² — a few
     KBs at any corpus size — so the iteration runs driver-side on
     numpy (the documented small-side contract, like the k-means
-    codebook). Types never observed as a source state keep their
-    incoming probability mass via the standard self-loop completion.
+    codebook). The iteration uses the LAZY walk P' = (P + I)/2 — the
+    IDENTICAL stationary distribution (πP = π ⇔ πP' = π) but aperiodic
+    by construction, so periodic chains (hub-and-spoke alternations)
+    converge instead of oscillating; iteration stops on convergence.
+    Types never observed as a source state keep their incoming
+    probability mass via the standard self-loop completion.
     Returns (state, stationary_prob) rows summing to 1.
     """
     import numpy as np
@@ -1090,10 +1094,17 @@ def markov_stationary(
             P[i, i] = 1.0
         else:
             P[i] /= tot  # renormalize rounded probs
+    # lazy walk: same fixed point, aperiodic (no oscillation on
+    # period-2 chains), monotone convergence
+    P = (P + np.eye(k)) / 2.0
     pi = np.full(k, 1.0 / k)
     for _ in range(iters):
-        pi = pi @ P
-        pi /= pi.sum()
+        nxt = pi @ P
+        nxt /= nxt.sum()
+        if np.abs(nxt - pi).max() < 1e-12:
+            pi = nxt
+            break
+        pi = nxt
     spark = events.sparkSession
     return spark.createDataFrame(
         [(s, round(float(pi[idx[s]]), round_decimals)) for s in states],

@@ -905,9 +905,10 @@ def augment_token_dropout(
     if not 0.0 <= rate < 1.0:
         raise ValueError(f"rate must be in [0, 1), got {rate}")
     from .sampling import _BUCKETS, hash_bucket
+    from .scale import ensure_min_partitions
 
     thr = int(rate * _BUCKETS)
-    toks = df.select(
+    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w")
     )
     kept = toks.filter(
@@ -972,10 +973,14 @@ def augment_span_corruption(
     from ..caching import scoped_persist
     from .sampling import _BUCKETS, hash_bucket
 
+    from .scale import ensure_min_partitions
+
     start_thr = int(rate / mean_span * _BUCKETS)
     max_len = 2 * mean_span - 1
     toks = scoped_persist(
-        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w"))
+        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w")
+        )
     )
     key = F.concat_ws(
         "#", F.col(id_col).cast("string"), F.col("pos").cast("string")

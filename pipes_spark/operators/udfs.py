@@ -206,15 +206,22 @@ def dynamic_unpivot_udtf(df: DataFrame, cols, id_col: str = "doc_id") -> DataFra
         def eval(self, id_val, row):
             d = row.asDict()
             for k in sorted(d):
-                v = d[k]
-                yield id_val, k, v if v is not None else None
+                yield id_val, k, d[k]
 
     df.sparkSession.udtf.register("pipes_unpivot_any", UnpivotAny)
     cols = list(cols)
-    view = f"_udtf_up_{abs(hash((id_col, tuple(cols)))) % 10**8}"
+    # uuid-suffixed so concurrent/subsequent calls never share a view
+    # (the run_to_memory naming pattern)
+    import uuid
+
+    view = f"_udtf_up_{uuid.uuid4().hex[:12]}"
     df.select(F.col(id_col), *[F.col(c) for c in cols]).createOrReplaceTempView(view)
     struct_args = ", ".join(cols)
-    return df.sparkSession.sql(
+    out = df.sparkSession.sql(
         f"SELECT t.* FROM {view}, "
         f"LATERAL pipes_unpivot_any({id_col}, struct({struct_args})) t"
     )
+    # classic-mode sql() analyzes eagerly, so the resolved plan no longer
+    # needs the view — drop it to avoid per-call catalog leaks
+    df.sparkSession.catalog.dropTempView(view)
+    return out

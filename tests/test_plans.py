@@ -486,14 +486,19 @@ def test_phash_pairs_filters_before_dedup_exchange(spark, sf_dir):
     assert "bit_count" in below, "hamming filter must sit below the dedup exchange"
 
 
-def test_link_pred_shuffles_ids_not_payload(spark, sf_dir):
-    """The item-keyed pair self-join must shuffle id/weight columns only —
-    no customer names or part payloads ride the banding shuffle."""
+def test_link_pred_prunes_scans_to_join_keys(spark, sf_dir):
+    """Column pruning must reach both scans: the edge build needs ONLY the
+    two key columns of each table — payload columns (prices, dates,
+    names) never enter the plan, so nothing but ids and weights can ride
+    the banding shuffle."""
     plan = _plan(spark, sf_dir, "graph_link_pred")
-    joins = [seg for seg in plan.split("+- ")
-             if "Exchange hashpartitioning(_r" in seg]
-    assert joins, "expected shuffle exchanges keyed on the right vertex"
-    assert all("c_name" not in seg and "p_name" not in seg for seg in joins)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert schemas, "expected parquet scans"
+    for sch in schemas:
+        assert "l_extendedprice" not in sch and "l_quantity" not in sch
+        assert "o_totalprice" not in sch and "o_orderdate" not in sch
+    assert any("l_orderkey" in sch and "l_partkey" in sch for sch in schemas)
+    assert any("o_orderkey" in sch and "o_custkey" in sch for sch in schemas)
 
 
 def test_naive_bayes_model_join_keys_on_token(spark, sf_dir):

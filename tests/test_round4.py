@@ -1679,6 +1679,22 @@ def test_markov_stationary_matches_eigenvector(spark):
     assert got["a"] == pytest.approx(pi[0], abs=2e-3)
     assert got["b"] == pytest.approx(pi[1], abs=2e-3)
     assert got["a"] + got["b"] == pytest.approx(1.0, abs=2e-6)
+    # PERIODIC chain (hub-and-spoke: h→a→h→b→…): the raw power iteration
+    # oscillates forever; the lazy walk must converge to the true
+    # stationary distribution (0.5, 0.25, 0.25)
+    seq2, cur = [], "h"
+    rng2 = np.random.RandomState(7)
+    for i in range(400):
+        seq2.append(cur)
+        cur = ("a" if rng2.rand() < 0.5 else "b") if cur == "h" else "h"
+    rows2 = [(1, t0 + timedelta(minutes=i), s2, i) for i, s2 in enumerate(seq2)]
+    df2 = spark.createDataFrame(
+        rows2, "user_id long, ts timestamp, event_type string, event_id long")
+    got2 = {r["state"]: r["stationary_prob"]
+            for r in markov_stationary(df2, "user_id", "ts", "event_type",
+                                       order_tiebreak="event_id").collect()}
+    assert got2["h"] == pytest.approx(0.5, abs=0.02)
+    assert got2["a"] + got2["b"] == pytest.approx(0.5, abs=0.02)
 
 
 def test_geo_nearest_join_matches_brute_force(spark):
@@ -1720,8 +1736,8 @@ def test_geo_nearest_join_matches_brute_force(spark):
             assert got[i][1] == pytest.approx(dmin, abs=1e-5)
         else:
             assert i not in got, i
-    # grid blocking must prune: candidate pairs < full cross product
-    from pipes_spark.operators.geo import EARTH_RADIUS_KM  # noqa: F401
+    # (the no-cartesian pruning property is asserted on the physical plan
+    # in tests/test_plans.py::test_geo_nearest_join_no_cartesian)
 
 
 def test_geo_hotspots_semantics(spark):
@@ -1845,6 +1861,14 @@ def test_woe_encoding_golden(spark):
     assert got["A"]["iv_term"] == pytest.approx((pp - pn) * expect, abs=1e-6)
     # IV terms are non-negative by construction
     assert all(r["iv_term"] >= 0 for r in got.values())
+    # NULL labels are EXCLUDED, not counted as negatives
+    withnull = spark.createDataFrame(
+        rows + [("A", None)] * 5, "c string, y int")
+    got2 = {r["c"]: r for r in
+            woe_encoding(withnull, "c", F.when(F.col("y").isNotNull(),
+                                               F.col("y") == 1)).collect()}
+    assert got2["A"]["n_pos"] == 8 and got2["A"]["n_neg"] == 2
+    assert got2["A"]["woe"] == got["A"]["woe"]
 
 
 def test_mutual_information_semantics(spark):
@@ -1894,11 +1918,18 @@ def test_augment_span_corruption_semantics(spark):
         assert idx == sorted(idx)
         # consecutive surviving tokens never straddle a removed span
         # without a sentinel between them
-        pos = 0
+        last_idx = None
+        prev_was_sentinel = False
         for t in toks:
             if t.startswith("<extra_id_"):
+                prev_was_sentinel = True
                 continue
-        # determinism / salt independence
+            idx2 = int(t[1:])
+            if last_idx is not None and idx2 > last_idx + 1:
+                assert prev_was_sentinel, (last_idx, idx2)
+            last_idx = idx2
+            prev_was_sentinel = False
+    # determinism / salt independence
     again = {r["doc_id"]: r["text_corrupted"] for r in
              augment_span_corruption(df.repartition(4), rate=0.15, mean_span=3,
                                      salt="s1").collect()}
@@ -1925,6 +1956,7 @@ def test_modularity_known_structure(spark):
     )
     r = modularity(edges, good).collect()[0]
     assert r["n_communities"] == 2 and r["n_edges"] == 13
+    assert r["n_edges_dropped"] == 0
     # closed form: e_c/m = 6/13 each; degree sums 13 each
     expect = 2 * (6 / 13 - (13 / 26) ** 2)
     assert r["modularity"] == pytest.approx(expect, abs=1e-6)
@@ -1941,3 +1973,7 @@ def test_modularity_known_structure(spark):
     )
     rb = modularity(edges, bad).collect()[0]
     assert r["modularity"] > rb["modularity"] + 0.2
+    # partial assignment: uncovered edges are dropped VISIBLY
+    half = good.filter(good.vertex < 10)
+    rh = modularity(edges, half).collect()[0]
+    assert rh["n_edges"] == 6 and rh["n_edges_dropped"] == 7
