@@ -11277,3 +11277,31 @@ def graph_modularity(spark, sf_dir):
     )
     labels = label_propagation(edges, num_iter=5)
     return modularity(edges, labels, node_col="id", community_col="label")
+
+
+@query("sim_set_lsh")  # banded LSH not SQL-expressible: rows-only;
+# estimated-vs-exact Jaccard + recall pytest'd in test_round4.py
+def sim_set_lsh(spark, sf_dir):
+    """Jaccard-similar TOKEN SETS by set MinHash-LSH (operators.dedup.
+    similar_sets): the text dedup machinery generalized to arbitrary
+    item sets — 32-long signatures per set regardless of cardinality,
+    the identical banding/capping/estimate pipeline, ids-only shuffles.
+    Demonstrated on document unigram sets (bag-of-words Jaccard, a
+    coarser granularity than the shingle pipeline); the same call
+    handles user baskets, tag sets, or dependency lists."""
+    from .operators.dedup import similar_sets
+
+    d = _t(spark, sf_dir, "documents")
+    toksets = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("token"),
+    )
+    return (
+        similar_sets(
+            toksets, "doc_id", "token", num_hashes=32, bands=8, threshold=0.5
+        )
+        .orderBy("id_a", "id_b")
+        .limit(500)
+    )

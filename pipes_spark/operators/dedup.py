@@ -777,3 +777,62 @@ def exact_dedup_best(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def set_minhash_signatures(
+    df: DataFrame,
+    set_col: str,
+    member_col: str,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Wide MinHash signatures over arbitrary item SETS (user baskets,
+    tag sets, dependency lists) — the text pipeline's signature machinery
+    generalized past shingles: member values hash once, seeded re-hashes
+    min-aggregate per set (map-side combinable), and the output uses the
+    SAME ``_m0.._mN`` wide layout, so every downstream consumer —
+    ``minhash_lsh_pairs(sigs=…)`` banding, the estimated-Jaccard attach,
+    the warehouse persistence pattern — works unchanged.
+
+    Scale: a signature is ``num_hashes`` longs regardless of set size;
+    the only shuffle is the set-keyed min-aggregate over (set, member)
+    distinct rows.
+    """
+    hashed = (
+        df.select(F.col(set_col), F.col(member_col))
+        .distinct()
+        .select(
+            F.col(set_col),
+            F.xxhash64(F.col(member_col).cast("string")).alias("_h"),
+        )
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_h"))).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy(set_col).agg(*mins)
+
+
+def similar_sets(
+    df: DataFrame,
+    set_col: str,
+    member_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Jaccard-similar set pairs by banded MinHash-LSH over arbitrary
+    item sets: :func:`set_minhash_signatures` feeds the SAME banding /
+    bucket-capping / estimated-Jaccard pipeline as document dedup —
+    "users with similar baskets" at the cost structure of text near-dup
+    (ids + band keys through the shuffle, never the sets)."""
+    sigs = set_minhash_signatures(df, set_col, member_col, num_hashes)
+    return minhash_lsh_pairs(
+        df,
+        id_col=set_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        max_bucket=max_bucket,
+        sigs=sigs,
+    )

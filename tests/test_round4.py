@@ -1977,3 +1977,28 @@ def test_modularity_known_structure(spark):
     half = good.filter(good.vertex < 10)
     rh = modularity(edges, half).collect()[0]
     assert rh["n_edges"] == 6 and rh["n_edges_dropped"] == 7
+
+
+def test_set_minhash_similarity_estimates(spark):
+    import pytest
+
+    from pipes_spark.operators.dedup import set_minhash_signatures, similar_sets
+
+    # sets with known Jaccard: A∩B = 95/105 ≈ 0.905 (high enough that a
+    # full 4-row band match is near-certain); C disjoint
+    rows = ([("A", f"i{i}") for i in range(100)]
+            + [("B", f"i{i}") for i in range(5, 105)]
+            + [("C", f"z{i}") for i in range(100)])
+    df = spark.createDataFrame(rows, "s string, m string")
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in similar_sets(df, "s", "m", num_hashes=64, bands=16,
+                                   threshold=0.2).collect()}
+    assert ("A", "B") in pairs
+    assert pairs[("A", "B")] == pytest.approx(95 / 105, abs=0.12)
+    assert not any("C" in p for p in pairs)
+    # signatures are set-semantic: duplicate members don't change them
+    dup = df.unionByName(spark.createDataFrame(
+        [("A", f"i{i}") for i in range(50)], "s string, m string"))
+    a = set_minhash_signatures(df, "s", "m", 16).filter(F.col("s") == "A").collect()[0]
+    b = set_minhash_signatures(dup, "s", "m", 16).filter(F.col("s") == "A").collect()[0]
+    assert a.asDict() == b.asDict()
