@@ -11305,3 +11305,48 @@ def sim_set_lsh(spark, sf_dir):
         .orderBy("id_a", "id_b")
         .limit(500)
     )
+
+
+@query(
+    "sim_filtered_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 20
+    ), scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id, c.label,
+             round(list_dot_product(qe, c.e) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))), 6)
+               AS cosine
+      FROM q JOIN v c ON c.vec_id <> query_id
+      WHERE c.label = 2
+    )
+    SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label, cosine, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def sim_filtered_topk(spark, sf_dir):
+    """FILTERED vector search: top-5 cosine neighbours restricted to a
+    metadata predicate (label = 2) — the retrieval-with-filters shape
+    every RAG/recsys stack needs. The predicate composes BEFORE the
+    similarity scan (pre-filtering — exact, no post-filter recall
+    loss), and on the IVF path the same predicate rides the
+    list-partitioned store as an ordinary pushed filter next to the
+    partition prune. Exact brute-force form here, fully oracled."""
+    from .operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    filtered = emb.filter(F.col("label") == 2)
+    out = cosine_topk(filtered, emb.filter(F.col("vec_id") < 20), k=5)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").cast("bigint").alias("label")
+    )
+    return out.join(F.broadcast(lab), "neighbor_id").select(
+        "query_id", "neighbor_id", "label", "cosine", "rank"
+    )
