@@ -11350,3 +11350,66 @@ def sim_filtered_topk(spark, sf_dir):
     return out.join(F.broadcast(lab), "neighbor_id").select(
         "query_id", "neighbor_id", "label", "cosine", "rank"
     )
+
+
+@query(
+    "events_lateness_profile",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, ts,
+             max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS high_water
+      FROM events
+    ), late AS (
+      SELECT event_type,
+             CAST(floor((epoch_us(high_water) - epoch_us(ts)) / 1000000.0)
+                  AS BIGINT) AS late_s
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(floor(quantile_cont(late_s, 0.95)) AS BIGINT) AS p95_late_s,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM late GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_lateness_profile(spark, sf_dir):
+    """Event-time lateness profile — the measurement that PICKS a
+    watermark delay: per type, how far events arrive behind the stream's
+    running event-time high-water mark (arrival order = ingest id).
+    p95/max lateness in seconds bound the state a given ``withWatermark``
+    delay would drop; profiling this in batch BEFORE deploying the
+    stream is how the 1-hour delays in the streaming queries were
+    chosen. One global-order window over the arrival sequence (at scale:
+    per-partition/per-source high-water marks — arrival order is only
+    meaningful per ingest shard — then the same aggregate)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        "event_type",
+        F.floor(
+            (
+                F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+            )
+            / 1_000_000.0
+        ).cast("bigint").alias("late_s"),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_out_of_order"),
+            F.floor(F.expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY late_s)"))
+            .cast("bigint")
+            .alias("p95_late_s"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+        )
+        .orderBy("event_type")
+    )
