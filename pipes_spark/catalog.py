@@ -11413,3 +11413,25 @@ def events_lateness_profile(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query("scalar_variant_schema")  # schema_of_variant_agg's type-string
+# rendering is Spark-specific: rows-only; field discovery pytest'd below
+# via the semantic assertion in test_round4.py
+def scalar_variant_schema(spark, sf_dir):
+    """Semi-structured schema DISCOVERY (Spark 4
+    ``schema_of_variant_agg``): one aggregate over parsed VARIANTs
+    returns the merged/widened schema of every JSON document in the
+    column — the drift-detection primitive for ingest pipelines (a new
+    field or a type widening shows up in this one string before any
+    consumer breaks). Per event type, so schema differences BETWEEN
+    types surface too."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("schema_of_variant_agg(parse_json(props))").alias("props_schema"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("event_type")
+    )

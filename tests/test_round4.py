@@ -2002,3 +2002,23 @@ def test_set_minhash_similarity_estimates(spark):
     a = set_minhash_signatures(df, "s", "m", 16).filter(F.col("s") == "A").collect()[0]
     b = set_minhash_signatures(dup, "s", "m", 16).filter(F.col("s") == "A").collect()[0]
     assert a.asDict() == b.asDict()
+
+
+def test_variant_schema_discovery(spark):
+    rows = [
+        (1, '{"a": 1, "b": "x"}'),
+        (1, '{"a": 2.5}'),            # a widens int → decimal/double
+        (1, '{"c": [1, 2]}'),         # new field appears
+        (2, '{"only": true}'),
+    ]
+    df = spark.createDataFrame(rows, "g int, props string")
+    got = {r["g"]: r["props_schema"] for r in
+           df.groupBy("g").agg(
+               F.expr("schema_of_variant_agg(parse_json(props))").alias("props_schema")
+           ).collect()}
+    # merged schema of group 1 must mention all three fields with widened a
+    assert "a:" in got[1].replace(" ", "") and "b:" in got[1].replace(" ", "")
+    assert "c:" in got[1].replace(" ", "") and "ARRAY" in got[1]
+    assert "STRING" in got[1]
+    # group 2 sees only its own field
+    assert "only" in got[2] and "a" not in got[2].replace("ARRAY", "")
