@@ -11435,3 +11435,32 @@ def scalar_variant_schema(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sql_identifier_templating",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_identifier_templating(spark, sf_dir):
+    """SQL templating surface: the table name binds through the
+    ``IDENTIFIER(:param)`` clause (injection-safe object references —
+    the sanctioned way to parameterize WHICH table a reusable statement
+    hits) and the grouping uses ``GROUP BY ALL`` / ``ORDER BY ALL``
+    (every non-aggregate output column — the de-duplication-free way to
+    keep SELECT and GROUP BY in sync). Same plan as the explicit classic
+    form the oracle runs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl)
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        args={"tbl": "orders"},
+    )
