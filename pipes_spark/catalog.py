@@ -11464,3 +11464,60 @@ def sql_identifier_templating(spark, sf_dir):
         """,
         args={"tbl": "orders"},
     )
+
+
+@query(
+    "ml_threshold_sweep",
+    oracle="""
+    WITH mm AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), t AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             round((o_totalprice - mn) / (mx - mn), 3) AS s
+      FROM orders CROSS JOIN mm
+    ), per AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM t GROUP BY s
+    ), tot AS (SELECT CAST(sum(np) AS BIGINT) AS p FROM per),
+    cum AS (
+      SELECT s AS threshold,
+             CAST(sum(np) OVER (ORDER BY s DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tp,
+             CAST(sum(nn) OVER (ORDER BY s DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS fp
+      FROM per
+    )
+    SELECT threshold, tp, fp, CAST(p - tp AS BIGINT) AS fn,
+           round(tp / nullif(CAST(tp + fp AS DOUBLE), 0), 6) AS precision,
+           round(tp / nullif(CAST(p AS DOUBLE), 0), 6) AS recall,
+           round(2 * tp / nullif(CAST(2 * tp + fp + (p - tp) AS DOUBLE), 0), 6)
+             AS f1
+    FROM cum CROSS JOIN tot
+    ORDER BY threshold
+    """,
+)
+def ml_threshold_sweep(spark, sf_dir):
+    """Operating-point selection (operators.linear_model.threshold_sweep):
+    precision/recall/F1 at every distinct (3-decimal-quantized) score
+    cutoff — AUC grades the ranking, this says where to cut it. The
+    auc_roc grouped-domain machinery with cumulative-from-the-top
+    counts; quantization bounds the windowed domain at scale."""
+    from .operators.linear_model import threshold_sweep
+
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    scored = o.crossJoin(F.broadcast(mm)).select(
+        (F.col("o_orderstatus") == "F").alias("_lab"),
+        F.round(
+            (F.col("o_totalprice") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            3,
+        ).alias("_score"),
+    )
+    return threshold_sweep(scored, F.col("_lab"), F.col("_score")).orderBy(
+        "threshold"
+    )

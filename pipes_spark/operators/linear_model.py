@@ -618,3 +618,62 @@ def conformal_interval_report(
         )
     )
     return covered
+
+
+def threshold_sweep(
+    df: DataFrame,
+    label,
+    score,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Classifier threshold sweep: precision / recall / F1 at EVERY
+    distinct score cutoff (predict positive when score ≥ t) — the
+    operating-point selection table behind "pick the threshold", and the
+    domain over which PR curves and F-beta optima live. AUC says how
+    good the ranking is; this says where to cut it.
+
+    Same scale shape as :func:`auc_roc`: one aggregate to the GROUPED
+    score domain (quantize continuous scores first), one cumulative
+    window over distinct scores — never per-row work. All counts exact
+    integers; the P/R/F1 ratios divide once per DISTINCT score and
+    round(6). Returns (threshold, tp, fp, fn, precision, recall, f1)
+    ordered by threshold.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.select(label.cast("int").alias("_y"), score.alias("_s"))
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("_np"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("_nn"),
+        )
+    )
+    w = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("_np").cast("long").alias("_P"))
+    cum = per.select(
+        F.col("_s").alias("threshold"),
+        F.sum("_np").over(w).cast("long").alias("tp"),
+        F.sum("_nn").over(w).cast("long").alias("fp"),
+    ).crossJoin(F.broadcast(tot))
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = (F.col("_P") - F.col("tp")).cast("double")
+    return cum.select(
+        "threshold",
+        "tp",
+        "fp",
+        (F.col("_P") - F.col("tp")).cast("long").alias("fn"),
+        F.round(tp / F.nullif(tp + fp, F.lit(0.0)), round_decimals).alias(
+            "precision"
+        ),
+        F.round(tp / F.nullif(tp + fn, F.lit(0.0)), round_decimals).alias(
+            "recall"
+        ),
+        F.round(
+            2 * tp / F.nullif(2 * tp + fp + fn, F.lit(0.0)), round_decimals
+        ).alias("f1"),
+    ).orderBy("threshold")

@@ -2022,3 +2022,25 @@ def test_variant_schema_discovery(spark):
     assert "STRING" in got[1]
     # group 2 sees only its own field
     assert "only" in got[2] and "a" not in got[2].replace("ARRAY", "")
+
+
+def test_threshold_sweep_golden(spark):
+    import pytest
+
+    from pipes_spark.operators.linear_model import threshold_sweep
+
+    # scores: positives at 0.9, 0.8, 0.4; negatives at 0.7, 0.3
+    rows = [(1, 0.9), (1, 0.8), (0, 0.7), (1, 0.4), (0, 0.3)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = {r["threshold"]: r for r in
+           threshold_sweep(df, F.col("y") == 1, F.col("s")).collect()}
+    r8 = got[0.8]  # predict positive at s >= 0.8: TP=2 FP=0 FN=1
+    assert (r8["tp"], r8["fp"], r8["fn"]) == (2, 0, 1)
+    assert r8["precision"] == 1.0 and r8["recall"] == pytest.approx(2 / 3)
+    assert r8["f1"] == pytest.approx(2 * 2 / (2 * 2 + 0 + 1))
+    r4 = got[0.4]  # TP=3 FP=1 FN=0
+    assert (r4["tp"], r4["fp"], r4["fn"]) == (3, 1, 0)
+    assert r4["recall"] == 1.0
+    # best F1 lives at 0.8 (f1=0.8) vs 0.4 (f1≈0.857) → actually 0.4 wins
+    best = max(got.values(), key=lambda r: r["f1"])
+    assert best["threshold"] == 0.4
