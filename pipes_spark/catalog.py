@@ -11521,3 +11521,55 @@ def ml_threshold_sweep(spark, sf_dir):
     return threshold_sweep(scored, F.col("_lab"), F.col("_score")).orderBy(
         "threshold"
     )
+
+
+@query(
+    "ml_pr_auc",
+    oracle="""
+    WITH mm AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), t AS (
+      SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+             round((o_totalprice - mn) / (mx - mn), 3) AS s
+      FROM orders CROSS JOIN mm
+    ), per AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+      FROM t GROUP BY s
+    ), cum AS (
+      SELECT np, nn,
+             CAST(sum(np) OVER (ORDER BY s DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS ctp,
+             CAST(sum(nn) OVER (ORDER BY s DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cfp
+      FROM per
+    )
+    SELECT round(CAST(sum(CAST(round(np * (ctp / CAST(ctp + cfp AS DOUBLE)), 9)
+                              AS DECIMAL(28,9))) AS DOUBLE)
+                 / nullif(CAST(sum(np) AS DOUBLE), 0), 6) AS avg_precision,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg
+    FROM cum
+    """,
+)
+def ml_pr_auc(spark, sf_dir):
+    """Average precision / PR-AUC (operators.linear_model.
+    average_precision): the imbalance-honest ranking metric over the
+    same grouped score domain as ml_auc_roc — per-cutoff precision
+    terms round-then-DECIMAL-sum, engine-exact."""
+    from .operators.linear_model import average_precision
+
+    o = _t(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("_mn"), F.max("o_totalprice").alias("_mx")
+    )
+    scored = o.crossJoin(F.broadcast(mm)).select(
+        (F.col("o_orderstatus") == "F").alias("_lab"),
+        F.round(
+            (F.col("o_totalprice") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")),
+            3,
+        ).alias("_score"),
+    )
+    return average_precision(scored, F.col("_lab"), F.col("_score"))

@@ -677,3 +677,57 @@ def threshold_sweep(
             2 * tp / F.nullif(2 * tp + fp + fn, F.lit(0.0)), round_decimals
         ).alias("f1"),
     ).orderBy("threshold")
+
+
+def average_precision(
+    df: DataFrame,
+    label,
+    score,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve by
+    the step rule): AP = Σ_s n_pos(s)·precision(≥s) / P over the distinct
+    score cutoffs — the ranking metric that, unlike ROC AUC, stays
+    honest under heavy class imbalance (the curation-filter regime:
+    a 0.99-AUC model can still have terrible precision at usable recall
+    when positives are 1 in 10⁴; AP says so).
+
+    Same grouped-score-domain shape as :func:`auc_roc` and
+    :func:`threshold_sweep`; per-cutoff precision terms round(9) then
+    DECIMAL-sum so the result is engine- and order-exact. Returns one
+    row (avg_precision, n_pos, n_neg); NULL when no positives exist.
+    """
+    from pyspark.sql import Window
+
+    per = (
+        df.select(label.cast("int").alias("_y"), score.alias("_s"))
+        .filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").cast("long").alias("_np"),
+            (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("_nn"),
+        )
+    )
+    w = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "_np",
+        "_nn",
+        F.sum("_np").over(w).cast("long").alias("_ctp"),
+        F.sum("_nn").over(w).cast("long").alias("_cfp"),
+    )
+    term = F.round(
+        F.col("_np")
+        * (F.col("_ctp") / (F.col("_ctp") + F.col("_cfp")).cast("double")),
+        9,
+    ).cast("decimal(28,9)")
+    return cum.agg(
+        F.round(
+            F.sum(term).cast("double")
+            / F.nullif(F.sum("_np").cast("double"), F.lit(0.0)),
+            round_decimals,
+        ).alias("avg_precision"),
+        F.sum("_np").cast("bigint").alias("n_pos"),
+        F.sum("_nn").cast("bigint").alias("n_neg"),
+    )

@@ -2044,3 +2044,41 @@ def test_threshold_sweep_golden(spark):
     # best F1 lives at 0.8 (f1=0.8) vs 0.4 (f1≈0.857) → actually 0.4 wins
     best = max(got.values(), key=lambda r: r["f1"])
     assert best["threshold"] == 0.4
+
+
+def test_average_precision_matches_sklearn_formula(spark):
+    import numpy as np
+    import pytest
+
+    from pipes_spark.operators.linear_model import average_precision
+
+    rng = np.random.RandomState(61)
+    y = (rng.rand(500) < 0.2).astype(int)
+    s = np.round(np.clip(y * 0.3 + rng.rand(500) * 0.7, 0, 1), 3)
+    df = spark.createDataFrame(
+        [(int(y[i]), float(s[i])) for i in range(500)], "y int, s double")
+    r = average_precision(df, F.col("y") == 1, F.col("s")).collect()[0]
+    # reference: AP = sum over ranked positives of precision at that rank,
+    # computed on the grouped score domain (ties share one cutoff)
+    order = np.argsort(-s, kind="stable")
+    ss, yy = s[order], y[order]
+    ap_terms, ctp, cfp = [], 0, 0
+    i = 0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j] == ss[i]:
+            j += 1
+        np_here = int(yy[i:j].sum())
+        ctp += np_here
+        cfp += (j - i) - np_here
+        ap_terms.append(np_here * ctp / (ctp + cfp))
+        i = j
+    expect = sum(ap_terms) / y.sum()
+    assert r["avg_precision"] == pytest.approx(expect, abs=1e-5)
+    assert r["n_pos"] == int(y.sum())
+    # a random scorer's AP ≈ positive rate, far below this one
+    assert r["avg_precision"] > 0.3
+    # no positives → NULL
+    neg = spark.createDataFrame([(0, 0.5), (0, 0.7)], "y int, s double")
+    assert average_precision(neg, F.col("y") == 1, F.col("s")).collect()[0][
+        "avg_precision"] is None
