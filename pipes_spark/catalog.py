@@ -11573,3 +11573,58 @@ def ml_pr_auc(spark, sf_dir):
         ).alias("_score"),
     )
     return average_precision(scored, F.col("_lab"), F.col("_score"))
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), firsts AS (
+      SELECT user_id, min(day) AS first_day FROM du GROUP BY user_id
+    )
+    SELECT CAST(du.day AS TIMESTAMP) AS day,
+           CAST(sum(CASE WHEN du.day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN du.day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           round(sum(CASE WHEN du.day = first_day THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS new_share
+    FROM du JOIN firsts USING (user_id)
+    GROUP BY du.day ORDER BY day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning split: each active user classified by
+    whether today is their first-ever active day — the acquisition-vs-
+    retention composition of every DAU point. One min-aggregate per user
+    (the first-touch table, the same artifact cohort_retention builds)
+    joined back onto the compressed (user, day) activity table; work is
+    bounded by active user-days."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).distinct()
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        du.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(is_new).cast("bigint").alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("returning_users"),
+            F.round(F.sum(is_new) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "new_share"
+            ),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "new_users",
+            "returning_users",
+            "new_share",
+        )
+        .orderBy("day")
+    )
