@@ -11628,3 +11628,39 @@ def events_new_vs_returning(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "events_weekly_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+    FROM events
+    GROUP BY 1, 2 ORDER BY dow, hod
+    """,
+)
+def events_weekly_heatmap(spark, sf_dir):
+    """Weekday × hour activity heatmap with global share — the ops
+    dashboard's load-profile staple (when to schedule maintenance, what
+    'normal' looks like per cell for anomaly baselines). One
+    map-side-combined groupBy over derived calendar keys; the share
+    normalizes against an over-() total window on the 168-row result.
+    DuckDB's dayofweek (0=Sunday) differs from Spark's (1=Sunday) by a
+    constant — the Spark side subtracts 1 to match."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek(F.col("ts")) - 1).cast("bigint").alias("dow"),
+            F.hour(F.col("ts")).cast("bigint").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "share",
+            F.round(
+                F.col("n") / F.sum("n").over(Window.partitionBy()).cast("double"), 6
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
