@@ -69,6 +69,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_EMB_META: dict[str, tuple[int, int]] = {}
+
+
+def _emb_meta(sf_dir: str) -> tuple[int, int]:
+    """(dim, n_rows) of the embeddings table from parquet FOOTERS — a
+    driver-side pyarrow read, no Spark job. Supplied to the similarity
+    operators so constructing their DataFrames stays fully lazy (the
+    reference's nothing-runs-before-Runner.Start contract,
+    ref: pipe/runner.go:18-22); cached per sf_dir."""
+    if sf_dir not in _EMB_META:
+        from .sources import parquet_list_width, parquet_row_count
+
+        path = f"{sf_dir}/embeddings.parquet"
+        _EMB_META[sf_dir] = (
+            parquet_list_width(path, "embedding") or 0,
+            parquet_row_count(path),
+        )
+    return _EMB_META[sf_dir]
+
+
 def _dsum(col) -> F.Column:
     """Order-independent exact sum of a money-product expression: sum as
     DECIMAL(28,6) (the operands have ≤6 true decimals), cast back to DOUBLE.
@@ -1440,7 +1460,9 @@ def sim_cosine_topk(spark, sf_dir):
     from .operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, dim=_emb_meta(sf_dir)[0]
+    )
 
 
 @query(
@@ -1473,7 +1495,8 @@ def sim_cosine_neardup(spark, sf_dir):
     # default block_size=4096: at bench scale (20k vectors) that is ~15
     # tiles; 1024 would mean 210 tiny Python tasks of pure Arrow overhead.
     # The multi-block tiling path is parity-tested with block_size=64.
-    return cosine_neardup_pairs_tiled(emb, threshold=0.3)
+    d, n = _emb_meta(sf_dir)
+    return cosine_neardup_pairs_tiled(emb, threshold=0.3, n_rows=n, dim=d)
 
 
 @query("sim_lsh_topk")  # approximate by construction → rows-only check
@@ -1484,7 +1507,9 @@ def sim_lsh_topk(spark, sf_dir):
     from .operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, dim=_emb_meta(sf_dir)[0]
+    )
 
 
 @query("sim_quantized_topk")  # approximate by construction → rows-only check
@@ -1502,7 +1527,11 @@ def sim_quantized_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qtab = quantized_embeddings_table(spark, sf_dir)
     return quantized_cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 20), k=5, quantized_corpus=qtab
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        quantized_corpus=qtab,
+        dim=_emb_meta(sf_dir)[0],
     )
 
 
@@ -2317,7 +2346,9 @@ def sim_ivf_topk(spark, sf_dir):
     from .operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    return ivf_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, dim=_emb_meta(sf_dir)[0]
+    )
 
 
 @query("sim_ivf_indexed")  # approximate by construction → rows-only check
@@ -4655,9 +4686,9 @@ def sim_pq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     books = fit_pq_codebooks(emb, m=8, num_codes=64, iters=5)
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return pq_adc_topk(emb, qs, books, k=5, oversample=4).orderBy(
-        "query_id", "rank"
-    )
+    return pq_adc_topk(
+        emb, qs, books, k=5, oversample=4, dim=_emb_meta(sf_dir)[0]
+    ).orderBy("query_id", "rank")
 
 
 @query(
@@ -4951,9 +4982,9 @@ def sim_ivfpq_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     C, books = fit_ivfpq(emb, num_lists=8, m=8, num_codes=64, iters=5)
     qs = emb.filter(F.col("vec_id") % 100 == 0)
-    return ivfpq_topk(emb, qs, C, books, k=5, n_probe=4, oversample=4).orderBy(
-        "query_id", "rank"
-    )
+    return ivfpq_topk(
+        emb, qs, C, books, k=5, n_probe=4, oversample=4, dim=_emb_meta(sf_dir)[0]
+    ).orderBy("query_id", "rank")
 
 
 @query("sim_ivfpq_indexed", oracle=None)
@@ -4973,7 +5004,15 @@ def sim_ivfpq_indexed(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 100 == 0)
     return ivfpq_topk(
-        emb, qs, C, books, k=5, n_probe=4, oversample=4, encoded_corpus=codes
+        emb,
+        qs,
+        C,
+        books,
+        k=5,
+        n_probe=4,
+        oversample=4,
+        encoded_corpus=codes,
+        dim=_emb_meta(sf_dir)[0],
     ).orderBy("query_id", "rank")
 
 
@@ -5237,7 +5276,7 @@ def sim_random_projection(spark, sf_dir):
     from .operators.similarity import random_projection
 
     emb = _t(spark, sf_dir, "embeddings")
-    p = random_projection(emb, out_dim=16, seed=42)
+    p = random_projection(emb, out_dim=16, seed=42, dim=_emb_meta(sf_dir)[0])
     norm2 = F.aggregate(F.col("proj"), F.lit(0.0), lambda a, x: a + x * x)
     return (
         p.withColumn("_n2", norm2)
@@ -5470,7 +5509,9 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("rank") <= 20)
         .select(F.col("doc_id").alias("id"), "rank")
     )
-    dense = cosine_topk(emb, emb.filter(F.col("vec_id") == 7), k=20)
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 7), k=20, dim=_emb_meta(sf_dir)[0]
+    )
     dense_rank = dense.select(F.col("neighbor_id").alias("id"), "rank")
     return rrf_fuse([lex_rank, dense_rank], id_col="id")
 
@@ -5900,7 +5941,8 @@ def sim_knn_graph(spark, sf_dir):
     from .operators.similarity import knn_graph
 
     emb = _t(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=3, floor=0.3)
+    d, n = _emb_meta(sf_dir)
+    return knn_graph(emb, k=3, floor=0.3, n_rows=n, dim=d)
 
 
 @query(
@@ -6288,7 +6330,8 @@ def sim_retrieval_metrics(spark, sf_dir):
     from .operators.similarity import knn_graph, retrieval_metrics
 
     emb = _t(spark, sf_dir, "embeddings")
-    ranked = knn_graph(emb, k=3, floor=0.3).select(
+    d, n = _emb_meta(sf_dir)
+    ranked = knn_graph(emb, k=3, floor=0.3, n_rows=n, dim=d).select(
         F.col("src").alias("query_id"),
         F.col("dst").alias("neighbor_id"),
         F.col("knn_rank").alias("rank"),
@@ -6411,7 +6454,7 @@ def sim_mmr_rerank(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    return mmr_rerank(emb, q, k=5, pool=20, lambda_=0.7)
+    return mmr_rerank(emb, q, k=5, pool=20, lambda_=0.7, dim=_emb_meta(sf_dir)[0])
 
 
 @query(
@@ -7875,7 +7918,8 @@ def sample_hard_negatives(spark, sf_dir):
     from .operators.similarity import hard_negatives
 
     emb = _t(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, "label", k=5, floor=0.3).orderBy(
+    d, n = _emb_meta(sf_dir)
+    return hard_negatives(emb, "label", k=5, floor=0.3, n_rows=n, dim=d).orderBy(
         "anchor_id", "neg_rank"
     )
 
@@ -11343,7 +11387,9 @@ def sim_filtered_topk(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     filtered = emb.filter(F.col("label") == 2)
-    out = cosine_topk(filtered, emb.filter(F.col("vec_id") < 20), k=5)
+    out = cosine_topk(
+        filtered, emb.filter(F.col("vec_id") < 20), k=5, dim=_emb_meta(sf_dir)[0]
+    )
     lab = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").cast("bigint").alias("label")
     )
@@ -11646,21 +11692,25 @@ def events_weekly_heatmap(spark, sf_dir):
     dashboard's load-profile staple (when to schedule maintenance, what
     'normal' looks like per cell for anomaly baselines). One
     map-side-combined groupBy over derived calendar keys; the share
-    normalizes against an over-() total window on the 168-row result.
-    DuckDB's dayofweek (0=Sunday) differs from Spark's (1=Sunday) by a
-    constant — the Spark side subtracts 1 to match."""
+    normalizes against a 1-row total aggregate cross-joined broadcast (the
+    catalog's standard scalar idiom — a partitionBy() window would funnel
+    the result through one task). DuckDB's dayofweek (0=Sunday) differs
+    from Spark's (1=Sunday) by a constant — the Spark side subtracts 1 to
+    match."""
     ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek(F.col("ts")) - 1).cast("bigint").alias("dow"),
+        F.hour(F.col("ts")).cast("bigint").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # total derived from the 168-row cell aggregate — no second events scan
+    total = cells.agg(F.sum("n").cast("double").alias("_total"))
     return (
-        ev.groupBy(
-            (F.dayofweek(F.col("ts")) - 1).cast("bigint").alias("dow"),
-            F.hour(F.col("ts")).cast("bigint").alias("hod"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .withColumn(
-            "share",
-            F.round(
-                F.col("n") / F.sum("n").over(Window.partitionBy()).cast("double"), 6
-            ),
+        cells.crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
         )
         .orderBy("dow", "hod")
     )

@@ -317,25 +317,30 @@ def negative_samples(
     bucket-parallel by :func:`permutation_index`); each anchor's j-th
     negative is the row at index ``hash(id, salt·j) mod (n−1)``,
     skip-adjusted so an anchor never draws itself. Shuffles carry ids and
-    indexes only.
+    indexes only. The row count n stays IN-PLAN (1-row aggregate
+    cross-joined broadcast) — construction fires no Spark job; the
+    need-2-rows validation runs in-plan via ``raise_error``.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     idc = F.col(id_col)
     indexed = permutation_index(df, id_col, salt)
-    n = indexed.count()
-    if n < 2:
-        raise ValueError("need at least 2 rows to draw negatives")
+    nrow = indexed.agg(F.count(F.lit(1)).alias("_n"))
     anchors = indexed.select(idc.alias("anchor_id"), F.col("_idx").alias("_aidx"))
-    draws = anchors.select(
+    draws = anchors.crossJoin(F.broadcast(nrow)).select(
         "anchor_id",
         "_aidx",
+        "_n",
         F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("neg_rank"),
     )
+    modulus = F.when(
+        F.col("_n") < 2,
+        F.raise_error(F.lit("need at least 2 rows to draw negatives")).cast("bigint"),
+    ).otherwise(F.col("_n") - 1)
     raw = hash_bucket(
         F.concat(F.col("anchor_id").cast("string"), F.lit("#"), F.col("neg_rank").cast("string")),
         salt + "|neg",
-    ) % (n - 1)
+    ) % modulus
     # skip-adjust: indexes ≥ own index shift up by one, so self is excluded
     # while the draw stays uniform over the other n−1 rows
     neg_idx = F.when(raw >= F.col("_aidx"), raw + 1).otherwise(raw)

@@ -83,13 +83,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``queries`` must be broadcastable (the usual case: a probe/eval set).
     Results are deterministic: ties broken by neighbor id.
     """
-    dim = _probe_dim(corpus, vec_col)
+    dim = dim or _probe_dim(corpus, vec_col)
     # cast + norm once per vector (O(n)), not once per pair (O(n·q));
     # spread the corpus (stream side of the broadcast join) across cores
     q = queries.select(
@@ -144,7 +145,7 @@ def lsh_cosine_topk(
     query_id_col: str = "query_id",
     num_planes: int = 6,
     num_tables: int = 8,
-    dim: int = 64,
+    dim: Optional[int] = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
@@ -155,8 +156,11 @@ def lsh_cosine_topk(
     More tables → higher recall, more shuffle volume; the standard knob.
 
     Scale: one shuffle keyed by (table, bucket); rerank is per-bucket exact
-    cosine; no broadcast required on either side.
+    cosine; no broadcast required on either side. Pass ``dim`` (callers at
+    ingest know the width; parquet footers expose it driver-side) to keep
+    construction fully lazy — probing is the documented LIMIT-1 fallback.
     """
+    dim = dim or _probe_dim(corpus, vec_col) or 64
     tables = [
         _random_hyperplanes(num_planes, dim, seed + 1000 * t) for t in range(num_tables)
     ]
@@ -189,7 +193,6 @@ def lsh_cosine_topk(
             F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
         )
 
-    dim = _probe_dim(corpus, vec_col) or dim
     c = with_buckets(corpus, id_col, "neighbor_id")
     q = with_buckets(queries, id_col, query_id_col)
     cand = (
@@ -227,6 +230,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (corpus self-similarity).
 
@@ -238,7 +242,7 @@ def cosine_neardup_pairs(
 
     spark = df.sparkSession
     _ship_package(spark)
-    dim = _probe_dim(df, vec_col)
+    dim = dim or _probe_dim(df, vec_col)
 
     # Stage 1 — vectorized PRUNE: one numpy matmul per Arrow batch against
     # the broadcast corpus matrix finds candidate pairs, with a safety
@@ -451,6 +455,7 @@ def ivf_cosine_topk(
     n_probe: int = 4,
     seed: int = 42,
     centroids: str = "sample",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization: corpus
     vectors are assigned to their nearest centroid's inverted list; each
@@ -468,7 +473,7 @@ def ivf_cosine_topk(
     """
     import numpy as np  # noqa: F401 — used by fit_ivf_centroids callers
 
-    dim = _probe_dim(corpus, vec_col)
+    dim = dim or _probe_dim(corpus, vec_col)
     C = fit_ivf_centroids(corpus, num_centroids, seed, id_col, vec_col, method=centroids)
     C_list = [list(map(float, row)) for row in C]
 
@@ -515,6 +520,8 @@ def cosine_neardup_pairs_tiled(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 4096,
+    n_rows: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """All-pairs cosine for corpora too large to broadcast: block-cartesian
     tiling. Rows are hashed into ~n/block_size blocks; each unordered block
@@ -532,8 +539,8 @@ def cosine_neardup_pairs_tiled(
 
     spark = df.sparkSession
     _ship_package(spark)
-    dim = _probe_dim(df, vec_col)
-    n = df.count()
+    dim = dim or _probe_dim(df, vec_col)
+    n = n_rows if n_rows is not None else df.count()
     n_blocks = max(1, math.ceil(n / block_size))
     prune_at = threshold - 2e-6
 
@@ -636,6 +643,7 @@ def quantized_cosine_topk(
     query_id_col: str = "query_id",
     oversample: int = 4,
     quantized_corpus: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k cosine: int8-quantized scan + exact rerank.
 
@@ -660,7 +668,7 @@ def quantized_cosine_topk(
 
     spark = corpus.sparkSession
     _ship_package(spark)
-    dim = _probe_dim(corpus, vec_col)
+    dim = dim or _probe_dim(corpus, vec_col)
     kq = k * oversample
 
     q_rows = quantize_int8(queries, id_col, vec_col).collect()
@@ -847,6 +855,7 @@ def pq_adc_topk(
     query_id_col: str = "query_id",
     oversample: int = 4,
     encoded_corpus: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k cosine via PQ asymmetric distance computation:
     the scan reads ONLY the m-byte codes (+8-byte norm) per corpus vector
@@ -870,7 +879,7 @@ def pq_adc_topk(
 
     spark = corpus.sparkSession
     _ship_package(spark)
-    dim = _probe_dim(corpus, vec_col)
+    dim = dim or _probe_dim(corpus, vec_col)
     books = np.asarray(codebooks, dtype="float64")  # (m, kc, dsub)
     m, _, dsub = books.shape
     kq = k * oversample
@@ -1081,6 +1090,7 @@ def ivfpq_topk(
     query_id_col: str = "query_id",
     oversample: int = 4,
     encoded_corpus: Optional[DataFrame] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """IVFPQ top-k: probe the ``n_probe`` nearest inverted lists per query,
     ADC-score ONLY those lists' m-byte codes, exact-rerank the survivors.
@@ -1099,7 +1109,7 @@ def ivfpq_topk(
 
     spark = corpus.sparkSession
     _ship_package(spark)
-    dim = _probe_dim(corpus, vec_col)
+    dim = dim or _probe_dim(corpus, vec_col)
     C = np.asarray(centroids, dtype="float64")
     B = np.asarray(books, dtype="float64")
     m, _, dsub = B.shape
@@ -1204,6 +1214,7 @@ def random_projection(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_col: str = "proj",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: embeddings → ``out_dim``
     Gaussian-projected sketches with pairwise distances preserved within
@@ -1222,7 +1233,7 @@ def random_projection(
     """
     import numpy as np
 
-    dim = _probe_dim(df, vec_col)
+    dim = dim or _probe_dim(df, vec_col)
     rng = np.random.RandomState(seed)
     P_list = [
         [float(x) for x in row]
@@ -1278,6 +1289,8 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 4096,
+    n_rows: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """k-nearest-neighbor graph over an embedding corpus: for every vector,
     its top-``k`` neighbors by cosine among pairs scoring at/above
@@ -1295,7 +1308,8 @@ def knn_graph(
     enough to afford all n² pairs.
     """
     pairs = cosine_neardup_pairs_tiled(
-        df, threshold=floor, id_col=id_col, vec_col=vec_col, block_size=block_size
+        df, threshold=floor, id_col=id_col, vec_col=vec_col,
+        block_size=block_size, n_rows=n_rows, dim=dim,
     )
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
@@ -1393,6 +1407,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Maximal-Marginal-Relevance rerank (Carbonell & Goldstein 1998):
     diversity-aware top-k — greedily pick the candidate maximizing
@@ -1415,7 +1430,7 @@ def mmr_rerank(
     spark = corpus.sparkSession
     _ship_package(spark)
     cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col,
-                       query_id_col=query_id_col)
+                       query_id_col=query_id_col, dim=dim)
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), _cast_double(vec_col).alias("_cv")
     )
@@ -1479,6 +1494,8 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 4096,
+    n_rows: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor,
     the top-``k`` most-similar vectors carrying a DIFFERENT label — the
@@ -1494,7 +1511,8 @@ def hard_negatives(
     negatives above a similarity cut, not from all n² pairs.
     """
     pairs = cosine_neardup_pairs_tiled(
-        df, threshold=floor, id_col=id_col, vec_col=vec_col, block_size=block_size
+        df, threshold=floor, id_col=id_col, vec_col=vec_col,
+        block_size=block_size, n_rows=n_rows, dim=dim,
     )
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"), F.col("id_b").alias("negative_id"), "cosine"

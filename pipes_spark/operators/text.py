@@ -115,18 +115,20 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     """Token-level TF-IDF: tf = in-document occurrences, idf = ln(N/df).
 
     Scale shape: one explode + two hash aggregations (both map-side
-    partial), then a shuffle join keyed on the token. The document count is
-    attached as a literal computed up front (a LIMIT-free count over the
-    id column only) rather than a cross join, so the plan stays a single
-    join. No Python in the data path.
+    partial), then a shuffle join keyed on the token. The document count N
+    stays IN-PLAN (1-row aggregate cross-joined broadcast, the pmi_pairs /
+    association_rules pattern) — constructing the DataFrame fires no Spark
+    job, matching the reference's lazy-build contract (nothing runs before
+    Runner.Start, ref: pipe/runner.go:18-22). No Python in the data path.
     """
-    n_docs = df.select(id_col).count()
+    nd = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("dfreq"))
-    idf = F.log(F.lit(float(n_docs)) / F.col("dfreq").cast("double"))
+    idf = F.log(F.col("_n_docs") / F.col("dfreq").cast("double"))
     return (
         tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
         .select(
             F.col(id_col),
             "token",
@@ -563,14 +565,16 @@ def bm25_scores(
     restricted to the query terms (map-side filtered — the corpus never
     fully explodes through a shuffle for a short query), tiny df/avgdl
     aggregates broadcast back, one rounded float per (doc, term), summed
-    exactly as DECIMAL.
+    exactly as DECIMAL. N and avgdl stay IN-PLAN (1-row aggregate
+    cross-joined broadcast) — construction fires no Spark job, matching
+    the reference's lazy-build contract (ref: pipe/runner.go:18-22).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    n_docs = df.select(id_col).count()
+    nd = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
-    avgdl = dl.agg(F.avg("_dl")).first()[0] or 1.0
+    ad = dl.agg(F.coalesce(F.avg("_dl"), F.lit(1.0)).alias("_avgdl"))
     qt = toks.filter(F.col("token").isin(list(query_terms)))
     tf = qt.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_tf"))
     dfreq = qt.select(id_col, "token").distinct().groupBy("token").agg(
@@ -578,11 +582,13 @@ def bm25_scores(
     )
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+        + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
     )
     per_term = (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, id_col)
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ad))
         .withColumn(
             "_s",
             F.round(
@@ -591,7 +597,7 @@ def bm25_scores(
                 / (
                     F.col("_tf")
                     + F.lit(k1)
-                    * (1 - b + F.lit(b) * F.col("_dl") / F.lit(float(avgdl)))
+                    * (1 - b + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
                 ),
                 6,
             ),

@@ -52,14 +52,104 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+_FOOTER_SCHEMAS: dict = {}
+
+
+def _footer_schema(path: str):
+    """(spark_schema, had_naive_timestamp) from the parquet FOOTER via
+    pyarrow — driver-side, no Spark job. Timestamp-without-zone columns
+    map straight to TIMESTAMP (``prefer_timestamp_ntz=False``), which
+    under the engine's pinned UTC session zone is value-identical to the
+    NTZ-read-then-cast path in :func:`normalize_ntz` (raw epoch micros
+    either way). Cached per path."""
+    if path not in _FOOTER_SCHEMAS:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow = pq.ParquetFile(path).schema_arrow
+        naive_ts = any(
+            isinstance(f.type, pa.TimestampType) and f.type.tz is None for f in arrow
+        )
+        _FOOTER_SCHEMAS[path] = (
+            from_arrow_schema(arrow, prefer_timestamp_ntz=False),
+            naive_ts,
+        )
+    return _FOOTER_SCHEMAS[path]
+
+
 def read_parquet(spark: SparkSession, path: str, columns: Optional[Sequence[str]] = None) -> DataFrame:
     """Parquet scan; TIMESTAMP_NTZ columns normalized to TIMESTAMP (see
     :func:`normalize_ntz`). The cast is a zero-cost projection — pushdown
-    and pruning on other columns are unaffected."""
-    df = normalize_ntz(spark.read.parquet(path))
+    and pruning on other columns are unaffected.
+
+    Single-file reads pin the schema from the parquet footer (driver-side
+    pyarrow) so constructing the scan fires NO Spark job — schema
+    inference otherwise launches a footer-reading job per query. Directory
+    reads keep Spark's inference: hive-partitioned layouts carry partition
+    columns in the paths, which footers can't see."""
+    import os
+
+    if os.path.isfile(path):
+        schema, naive_ts = _footer_schema(path)
+        if naive_ts:
+            # same deliberate session-wide UTC pin (and rationale) as
+            # normalize_ntz: the raw epoch micros must render as UTC wall
+            # clock to stay value-identical to DuckDB's naive read
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = normalize_ntz(spark.read.parquet(path))
     if columns:
         df = df.select(*columns)
     return df
+
+
+def parquet_row_count(path: str) -> int:
+    """Exact row count from parquet FOOTERS — a driver-side pyarrow
+    metadata read that touches no data pages and fires no Spark job.
+
+    The scale-aware operators that need a corpus size to shape their plan
+    (block grids, shard math) take it as a parameter; this is the standard
+    way for a caller to supply it without an eager ``df.count()`` at
+    construction time (CLAUDE.md "no eager actions" rule). Accepts a file
+    or a directory of part files."""
+    import os
+    from glob import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def parquet_list_width(path: str, column: str) -> Optional[int]:
+    """Width of a fixed-width list/array column, read from the first
+    non-null value of the first data page — driver-side pyarrow, no Spark
+    job. Embeddings tables are fixed-width by construction, so one value
+    determines the dimension. Returns None if the file has no non-null
+    value (caller falls back to its in-Spark probe)."""
+    import os
+    from glob import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    for f in files:
+        for batch in pq.ParquetFile(f).iter_batches(batch_size=64, columns=[column]):
+            col = batch.column(0)
+            for v in col:
+                if v.is_valid:
+                    return len(v)
+    return None
 
 
 def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True, **options) -> DataFrame:
