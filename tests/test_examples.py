@@ -12,60 +12,66 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 sys.path.insert(0, EXAMPLES)
 
 
-def test_minigrep_example(spark, tmp_path, monkeypatch, capsys):
+def test_minigrep_example(spark, tmp_path, monkeypatch, capsys, job_budget):
     import minigrep
 
     f = tmp_path / "input.txt"
     f.write_text("hello click world\nno match here\nanother click line\n")
     monkeypatch.setattr(sys, "argv", ["minigrep.py", "click", str(f)])
-    assert minigrep.main() == 0
+    with job_budget("minigrep", 4):
+        assert minigrep.main() == 0
     out = capsys.readouterr().out
     assert out.count("click") >= 2 and "no match here" not in out
 
 
-def test_product_analytics_example(spark, sf_dir, monkeypatch, capsys):
+def test_product_analytics_example(spark, sf_dir, monkeypatch, capsys, job_budget):
     import product_analytics
 
     monkeypatch.setattr(sys, "argv", ["product_analytics.py", sf_dir])
-    assert product_analytics.main() == 0
+    with job_budget("product_analytics", 16):
+        assert product_analytics.main() == 0
     out = capsys.readouterr().out
     assert "sessions=" in out and "step 3 purchase" in out
 
 
-def test_stream_portability_example(spark, sf_dir, monkeypatch, capsys):
+def test_stream_portability_example(spark, sf_dir, monkeypatch, capsys, job_budget):
     import stream_portability
 
     monkeypatch.setattr(sys, "argv", ["stream_portability.py", sf_dir])
     monkeypatch.delenv("KAFKA_BOOTSTRAP", raising=False)
-    assert stream_portability.main() == 0
+    with job_budget("stream_portability", 10):
+        assert stream_portability.main() == 0
     out = capsys.readouterr().out
     assert "windows=" in out and "events=" in out
 
 
-def test_corpus_pipeline_example(spark, sf_dir, tmp_path, monkeypatch):
+def test_corpus_pipeline_example(spark, sf_dir, tmp_path, monkeypatch, job_budget):
     import corpus_pipeline
 
     out_dir = str(tmp_path / "corpus_out")
     monkeypatch.setattr(sys, "argv", ["corpus_pipeline.py", sf_dir, out_dir])
-    assert corpus_pipeline.main() == 0
+    with job_budget("corpus_pipeline", 70):
+        assert corpus_pipeline.main() == 0
     assert os.path.isdir(os.path.join(out_dir, "corpus"))
 
 
-def test_embedding_pipeline_example(spark, sf_dir, monkeypatch, capsys, tmp_path):
+def test_embedding_pipeline_example(spark, sf_dir, monkeypatch, capsys, tmp_path, job_budget):
     import embedding_pipeline
 
     monkeypatch.setattr(sys, "argv", ["embedding_pipeline.py", sf_dir, str(tmp_path / "out")])
-    assert embedding_pipeline.main() == 0
+    with job_budget("embedding_pipeline", 30):
+        assert embedding_pipeline.main() == 0
     out = capsys.readouterr().out
     assert "clusters: 8" in out and "pq codes written" in out
     assert (tmp_path / "out" / "pq_codes").exists()
 
 
-def test_streaming_ingest_example(spark, sf_dir, monkeypatch, capsys, tmp_path):
+def test_streaming_ingest_example(spark, sf_dir, monkeypatch, capsys, tmp_path, job_budget):
     import streaming_ingest
 
     monkeypatch.setattr(sys, "argv", ["streaming_ingest.py", sf_dir, str(tmp_path / "out")])
-    assert streaming_ingest.main() == 0
+    with job_budget("streaming_ingest", 20):
+        assert streaming_ingest.main() == 0
     out = capsys.readouterr().out
     # the re-crawled duplicates must be rejected by the fingerprint store:
     # admitted equals the distinct source docs, not source + 20
@@ -75,10 +81,11 @@ def test_streaming_ingest_example(spark, sf_dir, monkeypatch, capsys, tmp_path):
     assert (tmp_path / "out" / "chunks").exists()
 
 
-def test_experiment_pipeline_example(spark, sf_dir):
+def test_experiment_pipeline_example(spark, sf_dir, job_budget):
     import experiment_pipeline
 
-    out = experiment_pipeline.main(sf_dir)
+    with job_budget("experiment_pipeline", 12):
+        out = experiment_pipeline.main(sf_dir)
     assert out["attributions"] > 0
     assert out["transitions"] > 0
     ro = out["readout"]
@@ -100,11 +107,12 @@ def test_experiment_pipeline_gate_aborts_on_bad_batch(spark):
         experiment_pipeline.gated(bad)
 
 
-def test_incremental_refresh_example(spark, sf_dir, tmp_path):
+def test_incremental_refresh_example(spark, sf_dir, tmp_path, job_budget):
     import incremental_refresh
 
     out = str(tmp_path / "refresh")
-    res = incremental_refresh.main(sf_dir, out)
+    with job_budget("incremental_refresh", 80):
+        res = incremental_refresh.main(sf_dir, out)
     import glob
 
     dirs = glob.glob(os.path.join(out, "shards", "shard=*"))
@@ -125,10 +133,11 @@ def test_incremental_refresh_example(spark, sf_dir, tmp_path):
     assert residual.isEmpty()
 
 
-def test_inference_lab_example(spark, sf_dir):
+def test_inference_lab_example(spark, sf_dir, job_budget):
     import inference_lab
 
-    out = inference_lab.main(sf_dir)
+    with job_budget("inference_lab", 8):
+        out = inference_lab.main(sf_dir)
     assert set(out) == {"anova", "tukey", "kruskal", "power"}
     anova = out["anova"][0]
     assert anova["n_groups"] == 5 and anova["f_stat"] is not None

@@ -507,3 +507,80 @@ def test_naive_bayes_model_join_keys_on_token(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ml_naive_bayes")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# construction laziness: the reference runs nothing before Runner.Start
+# (ref: pipe/runner.go:18-22) — building a query's DataFrame must fire no
+# Spark job. Exemptions are the documented contracts where construction IS
+# the work, each with its reason.
+
+CONSTRUCTION_JOB_EXEMPT = {
+    # iterative algorithms: driver-side convergence loop / per-round
+    # checkpoint (documented contract — collect only per-round scalars)
+    "dedup_components": "iterative (large-star/small-star rounds)",
+    "dedup_drop_near_dups": "iterative (connected components)",
+    "dedup_drop_near_dups_best": "iterative + signature-table ingest",
+    "dedup_rate_report": "iterative + signature-table ingest",
+    "dedup_semantic_pairs": "k-means training sample (codebook contract)",
+    "entity_resolution": "iterative (connected components)",
+    "graph_pagerank": "iterative (power rounds, checkpointed)",
+    "graph_labelprop": "iterative + signature-table ingest",
+    "graph_kcore": "iterative (peel rounds)",
+    "graph_shortest_paths": "iterative (relaxation rounds)",
+    "graph_modularity": "iterative (label propagation)",
+    "ml_logistic_confusion": "gradient iterations (per-round scalars)",
+    "ml_ridge": "closed-form solve collects sufficient statistics",
+    "ml_pca": "power-iteration rounds",
+    "ml_silhouette": "k-means training rounds",
+    "cluster_kmeans_stats": "k-means training rounds",
+    "ts_harmonic": "normal-equation solve collects Gram scalars",
+    "events_markov_stationary": "power-iteration rounds",
+    # ingest artifacts: construction build-or-reads a persisted warehouse
+    # table (idempotent per sf; bench/ingest pre-builds them)
+    "dedup_minhash_lsh": "minhash signature table build-or-read",
+    "dedup_lsh_verified": "minhash signature table build-or-read",
+    "dedup_incremental_ingest": "delta signature ingest artifact",
+    "sim_quantized_topk": "int8 table build-or-read + query-set collect",
+    "sim_ivf_indexed": "IVF index table build-or-read",
+    "sim_ivfpq_indexed": "IVFPQ index table build-or-read",
+    "q3_bucketed_colocated": "bucketed fact table build-or-read",
+    "events_daily_from_rollup": "hourly rollup table build-or-read",
+    "events_daily_users_from_rollup": "hourly rollup table build-or-read",
+    # documented small-side collect contracts (codebooks / probe sets)
+    "sim_ivf_topk": "centroid training sample (codebook contract)",
+    "sim_pq_topk": "PQ codebook training sample",
+    "sim_ivfpq_topk": "IVFPQ codebook training sample",
+    "quality_observed": "observe-API demo: metrics exist only after a run",
+    "scan_transpose": "Spark transpose() collects the index values",
+}
+
+
+def test_query_construction_fires_no_spark_job(spark, sf_dir):
+    """Every declared non-exempt query must build its DataFrame without
+    launching a single Spark job (no hidden counts/collects/inference —
+    the lazy-build contract). Uses per-query job groups + the status
+    tracker; streaming queries are exempt wholesale (construction runs
+    the availableNow stream by design, on threads job groups can't tag)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name in CONSTRUCTION_JOB_EXEMPT or name.startswith("streaming_"):
+            continue
+        group = f"lazybuild-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            spec.fn(spark, sf_dir)
+        finally:
+            sc.setJobGroup("lazybuild-idle", "idle")
+        jobs = tracker.getJobIdsForGroup(group)
+        if jobs:
+            offenders[name] = len(jobs)
+    assert not offenders, f"construction ran Spark jobs: {offenders}"
+
+
+def test_laziness_exemptions_are_declared_queries():
+    """The exemption list must not rot: every entry names a live query."""
+    unknown = sorted(set(CONSTRUCTION_JOB_EXEMPT) - set(QUERIES))
+    assert not unknown, f"exempt names not in registry: {unknown}"
