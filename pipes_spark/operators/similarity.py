@@ -42,6 +42,17 @@ def dot(a, b, dim: Optional[int] = None) -> Column:
     same left-to-right fold as ``aggregate``, so results are bit-identical.
     """
     if dim:
+        if isinstance(a, str) and isinstance(b, str):
+            # ONE py4j round trip: the unrolled chain built as Column
+            # objects costs 3·dim JVM calls (~1.5 s of pure driver-side
+            # construction at dim=64); parsing the same left-associative
+            # expression from SQL is JVM-side and instant. Tree shape and
+            # fold order are identical, so results stay bit-exact.
+            terms = " + ".join(
+                f"element_at(`{a}`, {i}) * element_at(`{b}`, {i})"
+                for i in range(1, dim + 1)
+            )
+            return F.expr(f"0.0D + {terms}")
         expr = F.lit(0.0)
         for i in range(1, dim + 1):
             expr = expr + F.element_at(a, i) * F.element_at(b, i)
@@ -53,6 +64,12 @@ def dot(a, b, dim: Optional[int] = None) -> Column:
 
 def l2_norm(a, dim: Optional[int] = None) -> Column:
     if dim:
+        if isinstance(a, str):
+            terms = " + ".join(
+                f"element_at(`{a}`, {i}) * element_at(`{a}`, {i})"
+                for i in range(1, dim + 1)
+            )
+            return F.sqrt(F.expr(f"0.0D + {terms}"))
         expr = F.lit(0.0)
         for i in range(1, dim + 1):
             expr = expr + F.element_at(a, i) * F.element_at(a, i)
