@@ -22,9 +22,12 @@ Direct (non-catalog) callers never enter a scope and keep today's plain
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame
 
 _SCOPES: dict[str, list[DataFrame]] = {}
+_CLEANUPS: dict[str, list[Callable[[], None]]] = {}
 _CURRENT: str = "default"
 
 
@@ -33,6 +36,14 @@ def scoped_persist(df: DataFrame, level=None) -> DataFrame:
     df = df.persist() if level is None else df.persist(level)
     _SCOPES.setdefault(_CURRENT, []).append(df)
     return df
+
+
+def register_scope_cleanup(fn: Callable[[], None]) -> None:
+    """Run ``fn`` when the current scope is released — for non-persist
+    leftovers a query's lifetime ends with (memory-sink temp views, stream
+    staging dirs). Same lifecycle as scoped_persist: released when a
+    DIFFERENT query begins, so the current query's result stays readable."""
+    _CLEANUPS.setdefault(_CURRENT, []).append(fn)
 
 
 def begin_scope(name: str) -> None:
@@ -45,6 +56,12 @@ def begin_scope(name: str) -> None:
                 df.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to release
+    for scope in [s for s in _CLEANUPS if s != name]:
+        for fn in _CLEANUPS.pop(scope):
+            try:
+                fn()
+            except Exception:
+                pass
 
 
 def release_all() -> None:
@@ -54,6 +71,12 @@ def release_all() -> None:
         for df in _SCOPES.pop(scope):
             try:
                 df.unpersist()
+            except Exception:
+                pass
+    for scope in list(_CLEANUPS):
+        for fn in _CLEANUPS.pop(scope):
+            try:
+                fn()
             except Exception:
                 pass
     _CURRENT = "default"

@@ -1647,6 +1647,10 @@ def _events_stream(spark, sf_dir):
     schema = load_table(spark, sf_dir, "events").schema
     stream_dir = tempfile.mkdtemp(prefix="pipes_stream_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+
+    from .caching import register_scope_cleanup
+
+    register_scope_cleanup(lambda: __import__("shutil").rmtree(stream_dir, True))
     return spark.readStream.schema(schema).parquet(stream_dir)
 
 
@@ -1742,6 +1746,35 @@ def streaming_stateful_totals(spark, sf_dir):
 
     stream = _events_stream(spark, sf_dir)
     totals = stateful_running_totals(stream, "user_id", "value")
+    result = run_to_memory(totals, output_mode="update")
+    return result.select(
+        "user_id", "total_n", F.round("total_sum", 6).alias("total_sum")
+    )
+
+
+@query(
+    "streaming_twsip",
+    oracle="""
+    SELECT user_id, count(value) AS total_n, round(sum(value), 6) AS total_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_twsip(spark, sf_dir):
+    """Per-key running totals on the MODERN Spark 4 stateful API,
+    ``transformWithStateInPandas`` (streaming.transform_with_state_totals):
+    named state variables with TTL/timers/initial-state hydration — the
+    successor to applyInPandasWithState, same contract as
+    streaming_stateful_totals so both stateful surfaces share one oracle
+    shape. The protobuf runtime its worker needs is wired offline by
+    session.ensure_protobuf; environments without any runtime fall back to
+    the applyInPandasWithState twin."""
+    from .session import ensure_protobuf
+    from .streaming import run_to_memory, transform_with_state_totals
+
+    if not ensure_protobuf():  # pragma: no cover — env-dependent fallback
+        return streaming_stateful_totals(spark, sf_dir)
+    stream = _events_stream(spark, sf_dir)
+    totals = transform_with_state_totals(stream, "user_id", "value")
     result = run_to_memory(totals, output_mode="update")
     return result.select(
         "user_id", "total_n", F.round("total_sum", 6).alias("total_sum")
@@ -3927,9 +3960,18 @@ _GRADED_WINDOW = [
     "stats_linear_fit", "profile_orders", "stats_correlation",
     "quality_orders",
     # dedup / similarity / text (oracled paths)
-    "dedup_keyed", "dedup_exact_docs", "dedup_lsh_verified",
-    "dedup_jaccard_prefix", "text_sparse_cosine", "text_chunk_windows",
+    "dedup_exact_docs", "dedup_lsh_verified",
+    "text_sparse_cosine",
     "sim_cosine_neardup", "sim_cosine_topk",
+    # round-5 curation: families the driver has never hash-graded —
+    # recursive CTE, retractable incremental aggregation, and a REAL
+    # Structured Streaming run (file source → watermarked tumbling window →
+    # memory sink). The displaced dedup_keyed / dedup_jaccard_prefix /
+    # text_chunk_windows re-register right after the window and stay
+    # fully oracle-gated locally (hash-passes replicated by
+    # tools/check_oracle.py each session).
+    "recursive_cte_closure", "agg_incremental_retract",
+    "streaming_events_hourly",
     # scan/filter representative (filter_predicates, pivot, the displaced
     # family variants, and the rest follow immediately after the window in
     # registration order)

@@ -14,6 +14,54 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
+#: Known on-disk locations of a pure-Python ``google.protobuf`` runtime
+#: (BSD-licensed, vendored by tools already present in the image). Spark 4's
+#: ``transformWithStateInPandas`` worker imports protobuf; this environment
+#: ships no pip wheel for it, so the factory wires up the first runtime it
+#: finds, offline.
+_PROTOBUF_FALLBACK_PATHS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable, using an on-disk pure-Python
+    runtime when no installed package exists. Returns availability.
+
+    Must run BEFORE the SparkContext starts: local-mode Python workers
+    inherit the driver process environment, and the worker imports
+    ``StateMessage_pb2`` at module-import time — too late for any in-worker
+    fix. The version-check override is protobuf's own documented escape
+    hatch for a runtime one minor behind the gencode (6.32 vs 6.33 here:
+    the generated API surface is the stable builder interface)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    import sys
+
+    for path in _PROTOBUF_FALLBACK_PATHS:
+        if os.path.isdir(os.path.join(path, "google", "protobuf")):
+            if path not in sys.path:
+                sys.path.append(path)
+            existing = os.environ.get("PYTHONPATH", "")
+            if path not in existing.split(os.pathsep):
+                os.environ["PYTHONPATH"] = (
+                    f"{existing}{os.pathsep}{path}" if existing else path
+                )
+            os.environ.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+            )
+            try:
+                import google.protobuf  # noqa: F401
+
+                return True
+            except ImportError:
+                continue
+    return False
+
 
 def get_spark(
     app_name: str = "pipes_spark",
@@ -22,6 +70,7 @@ def get_spark(
     shuffle_partitions: Optional[int] = None,
     extra_conf: Optional[dict] = None,
 ) -> SparkSession:
+    ensure_protobuf()  # before the JVM starts — workers inherit the env
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

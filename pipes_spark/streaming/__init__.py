@@ -160,6 +160,13 @@ def run_to_memory(
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
+    # memory-sink rows live in the driver heap behind this temp view; drop
+    # it when the NEXT declared query begins (the result has been read by
+    # then) so a long gate/bench session doesn't accumulate every
+    # streaming query's materialized output
+    from ..caching import register_scope_cleanup
+
+    register_scope_cleanup(lambda: spark.catalog.dropTempView(name))
     return spark.table(name)
 
 

@@ -93,3 +93,45 @@ def test_graded_window_all_oracled_and_registered_first():
     for q in win:
         assert q in set(names), q
         assert oracled[q], f"graded-window entry without oracle: {q}"
+
+
+def _collected_test_count():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "--collect-only", "-q", "tests"],
+        cwd=ROOT,
+        capture_output=True,
+        text=True,
+    ).stdout
+    m = re.search(r"(\d+) tests collected", out)
+    assert m, out[-500:]
+    return int(m.group(1))
+
+
+def test_notes_current_totals_match_registry():
+    """NOTES.md's 'Current totals' headline is a second place totals can
+    rot; enforce it against the registry and the collected test count."""
+    names, oracled = _catalog()
+    notes = open(os.path.join(ROOT, "NOTES.md")).read()
+    m = re.search(
+        r"Current totals: (\d+) declared queries \((\d+) oracled \+ (\d+) "
+        r"rows-only\),\s*(\d+) pytest tests",
+        notes,
+    )
+    assert m, "NOTES.md 'Current totals' line missing"
+    total, with_oracle, rows_only, n_tests = map(int, m.groups())
+    assert total == len(names), (total, len(names))
+    n_oracled = sum(1 for v in oracled.values() if v)
+    assert with_oracle == n_oracled and rows_only == total - n_oracled
+    assert n_tests == _collected_test_count()
+
+
+def test_coverage_test_total_matches_collected():
+    cov = open(os.path.join(ROOT, "COVERAGE.md")).read()
+    m = re.search(r"(\d+) pytest\ntests\*\*", cov) or re.search(
+        r"(\d+) pytest\s+tests\*\*", cov
+    )
+    assert m, "COVERAGE.md test-count missing"
+    assert int(m.group(1)) == _collected_test_count()
