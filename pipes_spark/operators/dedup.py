@@ -419,12 +419,22 @@ def _token_hashes(col, seed_salt: str = "") -> Column:
 def _simhash_from_hashes(th) -> Column:
     """SimHash fingerprint from a token-hash array column: bit i of the
     fingerprint is the sign of the vote sum over tokens of
-    (bit i of hash ? +1 : -1)."""
-    th = F.col(th) if isinstance(th, str) else th
+    (bit i of hash ? +1 : -1).
 
-    # bit positions unrolled in Python (shift amounts must be literal ints,
-    # and the bit index must be closed over — an extra lambda parameter
-    # would be turned into a higher-order-function variable by PySpark)
+    Given a column NAME, the 32 bit-vote aggregates are parsed from one
+    SQL string — a single py4j round trip instead of ~400 Column-building
+    JVM calls (~1 s of driver time per construction; same expression tree,
+    bit-identical results). The Column-input path keeps the unrolled
+    Python build (bit indexes must be closed over as literal ints)."""
+    if isinstance(th, str):
+        parts = " + ".join(
+            f"CAST(IF(aggregate(`{th}`, 0, (acc, h) -> acc + "
+            f"CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) > 0, "
+            f"{1 << i}, 0) AS BIGINT)"
+            for i in range(32)
+        )
+        return F.expr(f"CAST(CAST(0 AS BIGINT) + {parts} AS BIGINT)")
+
     def _vote(i: int):
         def merge(acc, h):
             return acc + F.when(
