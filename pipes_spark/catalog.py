@@ -11756,3 +11756,46 @@ def events_weekly_heatmap(spark, sf_dir):
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "dedup_duplicate_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest([concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                               tk[i+4], tk[i+5], tk[i+6], tk[i+7])
+                     for i in range(1, greatest(len(tk) - 7, 0) + 1)]) AS g
+      FROM toks
+    ), marked AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY g) AS cnt FROM grams
+    ), dup AS (
+      SELECT doc_id, count(*) FILTER (cnt > 1) AS dup_starts,
+             count(*) AS n_grams
+      FROM marked GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS BIGINT) AS n_tokens,
+           CAST(coalesce(d.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(d.dup_starts, 0) AS BIGINT) AS dup_starts,
+           round(coalesce(d.dup_starts, 0)::DOUBLE
+                 / nullif(coalesce(d.n_grams, 0), 0), 6) AS dup_ratio
+    FROM toks t LEFT JOIN dup d USING (doc_id)
+    """,
+)
+def dedup_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplication profile (operators.dedup.
+    duplicate_ngram_spans): per document, the fraction of 8-gram start
+    positions whose gram occurs more than once corpus-wide — the
+    Spark-native form of Lee et al. 2021's substring dedup, catching
+    shared boilerplate/templated spans inside documents that whole-doc
+    (exact or MinHash) dedup scores as distinct. Shuffles carry (id,
+     64-bit gram hash) only; the oracle recomputes the counts on the gram
+    strings, so the hash-pass doubles as a collision check."""
+    from .operators.dedup import duplicate_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_ngram_spans(docs, "text", "doc_id", n=8)

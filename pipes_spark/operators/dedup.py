@@ -846,3 +846,68 @@ def similar_sets(
         max_bucket=max_bucket,
         sigs=sigs,
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication signal per document: the fraction of
+    token positions starting an ``n``-gram that occurs MORE THAN ONCE
+    corpus-wide — the Spark-friendly form of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"), whose
+    suffix-array substring dedup this approximates with fixed-width
+    n-gram hashing. High ratios mark boilerplate/templated/near-copied
+    text that exact-doc and MinHash dedup both miss (they judge whole
+    documents; this sees shared SPANS inside otherwise-distinct docs).
+
+    Scale shape: posexplode to (doc, pos, token), n-grams from lead()
+    over the per-doc window (flat codegen, one shuffle keyed by doc id),
+    then ONE count aggregate keyed by the 64-bit gram hash and a
+    hash-keyed join back — shuffles carry (id, hash) pairs only, never
+    text. Duplicate counting is corpus-global including repeats within
+    one document, matching the oracle's window count. 64-bit hashing can
+    merge distinct grams at vanishing probability; swap the hash for the
+    gram string when bit-exact span attribution is worth the bytes.
+    """
+    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_t")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, n)]
+    # concat_ws skips NULLs (it would silently emit short tail grams), so
+    # positions past len-n are dropped by the last-lead null check
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.concat_ws(" ", *parts).alias("_g"),
+            parts[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select(F.col(id_col), F.xxhash64("_g").alias("_gh"))
+    )
+    grams = scoped_persist(grams)  # feeds the count agg AND the join back
+    counts = grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup = (
+        grams.join(counts.filter(F.col("_cnt") > 1), "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_starts"))
+    )
+    ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    n_grams = F.greatest(F.col("n_tokens") - (n - 1), F.lit(0))
+    return (
+        ntok.join(dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            n_grams.cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("dup_starts"), F.lit(0)).cast("bigint").alias("dup_starts"),
+            F.round(
+                F.coalesce(F.col("dup_starts"), F.lit(0)).cast("double")
+                / F.nullif(n_grams.cast("double"), F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )

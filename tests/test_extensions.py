@@ -857,3 +857,28 @@ def test_fuzzy_match_golden(spark):
         for r in fuzzy_match(names, probes, "name", "needle", max_distance=2).collect()
     }
     assert got == {(1, 100): 1, (2, 100): 2}  # margaret/xyz out of range
+
+
+def test_duplicate_ngram_spans_semantics(spark):
+    """Constructed corpus: one shared 8-token span across two docs, one
+    short doc (no grams), one all-unique doc — per-doc counts and the
+    null-when-undefined ratio must come out exactly."""
+    from pipes_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y z"),
+            (2, shared + " p q r"),
+            (3, "u v w"),
+            (4, "k l m n o p q r s t"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicate_ngram_spans(docs, n=8).collect()}
+    assert out[1]["n_tokens"] == 11 and out[1]["n_grams"] == 4
+    assert out[1]["dup_starts"] == 1 and out[1]["dup_ratio"] == 0.25
+    assert out[2]["dup_starts"] == 1
+    assert out[3]["n_grams"] == 0 and out[3]["dup_starts"] == 0
+    assert out[3]["dup_ratio"] is None
+    assert out[4]["dup_starts"] == 0 and out[4]["dup_ratio"] == 0.0
