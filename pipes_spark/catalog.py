@@ -11799,3 +11799,48 @@ def dedup_duplicate_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return duplicate_ngram_spans(docs, "text", "doc_id", n=8)
+
+
+@query(
+    "streaming_session_timers",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid,
+             min(epoch_ms(ts)) AS start_ms, max(epoch_ms(ts)) AS end_ms,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, sid
+    ), cut AS (SELECT max(epoch_ms(ts)) - 600000 AS wm FROM events)
+    SELECT user_id, start_ms, end_ms, n_events
+    FROM agg, cut
+    WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+       OR end_ms + 1800000 <= wm
+    """,
+)
+def streaming_session_timers(spark, sf_dir):
+    """Timer-driven session finalization on transformWithStateInPandas
+    (streaming.transform_with_state_sessions): per-user event-time timers
+    close idle sessions when the watermark passes last_event + gap (30
+    min), in-batch gap breaks close inline — the stateful surface the
+    older applyInPandasWithState cannot express. Deterministic for the
+    finite run: every session but a user's last closes inline, the last
+    closes iff end + gap <= max(ts) - delay (10 min watermark); the
+    oracle is batch sessionization filtered at exactly that cutoff."""
+    from .streaming import run_to_memory, transform_with_state_sessions
+
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    sess = transform_with_state_sessions(
+        stream, "user_id", "ts", gap_ms=1_800_000
+    )
+    return run_to_memory(sess, output_mode="append")

@@ -810,3 +810,96 @@ def read_state_metadata(spark, checkpoint_location: str) -> DataFrame:
         .option("path", checkpoint_location)
         .load()
     )
+
+
+def transform_with_state_sessions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_ms: int = 1_800_000,
+) -> DataFrame:
+    """Event-time session finalization with TIMERS on
+    ``transformWithStateInPandas`` — the surface the older
+    ``applyInPandasWithState`` cannot express: a per-key event-time timer
+    re-registered at ``last_event + gap`` closes the open session when the
+    WATERMARK passes it, so idle sessions emit without waiting for the
+    key's next event. In-batch gap breaks close inline; the timer handles
+    the tail.
+
+    Emission is deterministic for a finite run: every session except a
+    key's last closes inline, and the last closes iff
+    ``end + gap <= final watermark`` (max event time − delay) — the batch
+    twin is plain sessionization filtered at that cutoff, which is the
+    SQL oracle. Input must carry a watermark (timeMode="EventTime").
+    Chunks per key arrive unordered — concat first, sort once (CLAUDE.md).
+    Derived columns must not start with an underscore: the Arrow
+    transfer into the stateful worker renames them positionally.
+
+    Scale: state is one (start, last, n) triple + one live timer per key
+    in the state store; each batch shuffles only its own rows by key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = f"{key_col} bigint, start_ms bigint, end_ms bigint, n_events bigint"
+
+    class Sessions(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.s = handle.getValueState(
+                "sess", "start_ms bigint, last_ms bigint, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values("ts_ms_drv")
+            cur = self.s.get() if self.s.exists() else None
+            closed = []
+            for t in pdf["ts_ms_drv"].tolist():
+                t = int(t)
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_ms:
+                    cur = (cur[0], t, cur[2] + 1)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+            self.s.update(cur)
+            # one live timer per key: replace any previous registration
+            for texp in self.h.listTimers():
+                self.h.deleteTimer(texp)
+            self.h.registerTimer(cur[1] + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]] * len(closed),
+                        "start_ms": [c[0] for c in closed],
+                        "end_ms": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self.s.exists():
+                st = self.s.get()
+                self.s.clear()
+                yield pd.DataFrame(
+                    {
+                        key_col: [key[0]],
+                        "start_ms": [st[0]],
+                        "end_ms": [st[1]],
+                        "n_events": [st[2]],
+                    }
+                )
+
+        def close(self):
+            pass
+
+    # NOTE: leading-underscore derived names arrive in the worker as
+    # positional Arrow fields (_6) — use a plain name
+    keyed = df.withColumn("ts_ms_drv", F.unix_millis(F.col(ts_col)))
+    return keyed.groupBy(key_col).transformWithStateInPandas(
+        Sessions(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -538,3 +538,37 @@ def test_read_checkpoint_state_contents(spark, tmp_path, sf_dir):
     expect = {r["user_id"]: r["n"] for r in
               ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == expect
+
+
+def test_transform_with_state_session_timers(spark, tmp_path):
+    """Timer semantics, constructed: in-batch gap breaks close inline;
+    the per-key event-time timer closes a key's last session only once
+    the final watermark (max ts − delay) passes end + gap."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.streaming import run_to_memory, transform_with_state_sessions
+
+    # user 1: sessions [5..50s] and [200..220s]; user 2: [10..40s]
+    rows = [(1, 5), (1, 30), (1, 50), (1, 200), (1, 220), (2, 10), (2, 40)]
+    d = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        [(u, t * 1000) for u, t in rows], "user_id bigint, ms bigint"
+    ).select("user_id", F.timestamp_millis("ms").alias("ts")).write.parquet(d)
+    stream = (
+        spark.readStream.schema("user_id bigint, ts timestamp")
+        .parquet(d)
+        .withWatermark("ts", "10 seconds")
+    )
+    out = run_to_memory(
+        transform_with_state_sessions(stream, "user_id", "ts", gap_ms=60_000),
+        output_mode="append",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    # watermark ends at 220s − 10s = 210s:
+    # u1 [5..50] closes inline (200 breaks the gap); u1 [200..220] needs
+    # 220+60 ≤ 210 — stays open, NOT emitted; u2 [10..40] timer-fires
+    # (40+60=100 ≤ 210).
+    assert got == [
+        (1, 5000, 50000, 3),
+        (2, 10000, 40000, 2),
+    ]
