@@ -11844,3 +11844,57 @@ def streaming_session_timers(spark, sf_dir):
         stream, "user_id", "ts", gap_ms=1_800_000
     )
     return run_to_memory(sess, output_mode="append")
+
+
+@query(
+    "dedup_remove_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS tk
+      FROM documents
+    ), pt AS (
+      SELECT doc_id, u.p AS p, u.t AS t
+      FROM (SELECT doc_id,
+                   unnest([{'p': p - 1, 't': tk[p]} for p in range(1, len(tk) + 1)]) AS u
+            FROM toks)
+    ), g AS (
+      SELECT doc_id, u.p AS p, u.g AS g
+      FROM (SELECT doc_id,
+                   unnest([{'p': i - 1,
+                            'g': concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+                                           tk[i+4], tk[i+5], tk[i+6], tk[i+7])}
+                           for i in range(1, greatest(len(tk) - 7, 0) + 1)]) AS u
+            FROM toks)
+    ), dupg AS (
+      SELECT doc_id, p
+      FROM (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS c FROM g)
+      WHERE c > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, p
+      FROM (SELECT doc_id, unnest(range(p, p + 8)) AS p FROM dupg)
+    ), kept AS (
+      SELECT pt.doc_id, pt.p, pt.t FROM pt ANTI JOIN covered USING (doc_id, p)
+    ), reb AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY p) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    ), nt AS (SELECT doc_id, len(tk) AS n_tokens FROM toks)
+    SELECT nt.doc_id,
+           CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+           CAST(nt.n_tokens - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(reb.cleaned_text, '') AS cleaned_text
+    FROM nt LEFT JOIN reb USING (doc_id)
+    """,
+)
+def dedup_remove_spans(spark, sf_dir):
+    """Corpus rewrite excising duplicated spans (operators.dedup.
+    remove_duplicate_spans) — the cleaning step of Lee et al. 2021's
+    substring dedup: every token covered by a corpus-duplicated 8-gram is
+    removed and the document re-joined. The oracle replays the whole
+    pipeline (gram counts, coverage explode, anti-join, ordered
+    reassembly) on the gram STRINGS, so the hash-pass certifies both the
+    span arithmetic and the rebuilt text byte-for-byte."""
+    from .operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "text", "doc_id", n=8)

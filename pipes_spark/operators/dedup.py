@@ -848,6 +848,30 @@ def similar_sets(
     )
 
 
+def _positional_gram_hashes(df, text_col, id_col, n):
+    """(toks, grams): the (doc, pos, token) stream and the per-position
+    64-bit n-gram hashes ``(id, _pos, _gh)`` — n-grams derived with lead()
+    over the per-doc window (flat codegen, one shuffle keyed by doc id).
+    concat_ws skips NULLs (it would silently emit short tail grams), so
+    positions past len-n are dropped by the last-lead null check."""
+    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_t")
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("_pos"),
+            F.concat_ws(" ", *parts).alias("_g"),
+            parts[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .select(F.col(id_col), F.col("_pos"), F.xxhash64("_g").alias("_gh"))
+    )
+    return toks, grams
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -872,22 +896,7 @@ def duplicate_ngram_spans(
     merge distinct grams at vanishing probability; swap the hash for the
     gram string when bit-exact span attribution is worth the bytes.
     """
-    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_t")
-    )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    parts = [F.col("_t")] + [F.lead("_t", i).over(w) for i in range(1, n)]
-    # concat_ws skips NULLs (it would silently emit short tail grams), so
-    # positions past len-n are dropped by the last-lead null check
-    grams = (
-        toks.select(
-            F.col(id_col),
-            F.concat_ws(" ", *parts).alias("_g"),
-            parts[-1].isNotNull().alias("_full"),
-        )
-        .filter(F.col("_full"))
-        .select(F.col(id_col), F.xxhash64("_g").alias("_gh"))
-    )
+    toks, grams = _positional_gram_hashes(df, text_col, id_col, n)
     grams = scoped_persist(grams)  # feeds the count agg AND the join back
     counts = grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_cnt"))
     dup = (
@@ -909,5 +918,63 @@ def duplicate_ngram_spans(
                 / F.nullif(n_grams.cast("double"), F.lit(0.0)),
                 6,
             ).alias("dup_ratio"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Excise corpus-duplicated spans from every document — the cleaning
+    step of Lee et al. 2021's substring dedup: any token covered by an
+    ``n``-gram occurring more than once corpus-wide is REMOVED (every
+    occurrence; keeping exactly one copy would make output order-dependent
+    across partitionings). Returns ``(id, n_tokens, n_removed,
+    cleaned_text)`` with cleaned_text re-joined on single spaces
+    (original whitespace is not preserved — the op's contract is a
+    token-stream rewrite).
+
+    Scale shape: reuses the positional gram hashes (one doc-keyed window
+    shuffle), ONE count aggregate keyed by gram hash, covered positions
+    as a bounded n-per-start explode, an (id, pos)-keyed anti-join to
+    drop them, and one final per-doc reassembly — the only stage that
+    carries tokens, which a corpus rewrite cannot avoid. Reassembly uses
+    sort_array over collected (pos, token) structs, not a window, so the
+    order is deterministic under any partitioning.
+    """
+    toks, grams = _positional_gram_hashes(df, text_col, id_col, n)
+    grams = scoped_persist(grams)
+    counts = grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup_starts = grams.join(counts.filter(F.col("_cnt") > 1), "_gh").select(
+        id_col, "_pos"
+    )
+    covered = dup_starts.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_pos"),
+    ).dropDuplicates([id_col, "_pos"])
+    kept = toks.join(covered, [id_col, "_pos"], "left_anti")
+    ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_t"))),
+                lambda s: s["_t"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        ntok.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
         )
     )

@@ -882,3 +882,29 @@ def test_duplicate_ngram_spans_semantics(spark):
     assert out[3]["n_grams"] == 0 and out[3]["dup_starts"] == 0
     assert out[3]["dup_ratio"] is None
     assert out[4]["dup_starts"] == 0 and out[4]["dup_ratio"] == 0.0
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """The shared 8-gram's tokens vanish from both docs; untouched docs
+    pass through re-joined; overlapping coverage merges."""
+    from pipes_spark.operators.dedup import remove_duplicate_spans
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " x y z"),
+            (2, "p q r " + shared),
+            (3, "k l m n o u v w s t"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=8).collect()}
+    assert out[1]["n_removed"] == 8 and out[1]["cleaned_text"] == "x y z"
+    assert out[2]["n_removed"] == 8 and out[2]["cleaned_text"] == "p q r"
+    assert out[3]["n_removed"] == 0 and out[3]["cleaned_text"] == "k l m n o u v w s t"
+    # a doc that is ONE duplicated span ends up empty, not null
+    docs2 = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id bigint, text string"
+    )
+    out2 = {r["doc_id"]: r for r in remove_duplicate_spans(docs2, n=8).collect()}
+    assert out2[1]["cleaned_text"] == "" and out2[1]["n_removed"] == 8
