@@ -11898,3 +11898,50 @@ def dedup_remove_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicate_spans(docs, "text", "doc_id", n=8)
+
+
+def _temperature_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("doc_id", "temp")
+    return f"""
+    WITH counts AS (
+      SELECT source, count(*) AS cnt FROM documents GROUP BY source
+    ), norm AS (
+      SELECT source, cnt,
+             pow(cnt, 0.5) / sum(pow(cnt, 0.5)) OVER () AS p
+      FROM counts
+    ), thr AS (
+      SELECT source,
+             floor(round(least(1.0,
+                     (min(cnt / p) OVER ()) * p / cnt), 9)
+                   * 4294967296.0) AS t
+      FROM norm
+    )
+    SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(d.doc_id) AS BIGINT) AS min_id,
+           CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+    FROM documents d JOIN thr USING (source)
+    WHERE {h} < thr.t
+    GROUP BY d.source
+    """
+
+
+@query("sample_temperature_mixture", oracle=_temperature_oracle())
+def sample_temperature_mixture(spark, sf_dir):
+    """Temperature-based domain rebalancing (operators.sampling.
+    temperature_mixture): keep-fractions derived IN-PLAN from observed
+    source sizes as count^0.5 (the multilingual-pretraining staple —
+    alpha<1 upweights rare sources), membership by portable md5 hash so
+    the resample is identical across runs/partitionings/engines.
+    Declared as the per-source audit (kept count + id checksums); the
+    oracle replays the full pow/normalize/threshold pipeline in SQL."""
+    from .operators.sampling import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_mixture(docs, "source", alpha=0.5, key="doc_id", salt="temp")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )

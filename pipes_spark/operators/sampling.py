@@ -443,3 +443,48 @@ def balanced_sample(
         .filter(hash_bucket(key, salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    key: Union[str, Column] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based domain rebalancing: target weights derived from
+    the OBSERVED group sizes as ``w_g ∝ count_g^alpha`` (the multilingual-
+    pretraining staple — alpha<1 upweights rare domains/languages without
+    a hand-written recipe; alpha=1 keeps natural proportions, alpha=0 is
+    uniform). Downsampling-only, like :func:`mixture_sample`: output size
+    is the largest reachable without upsampling, and membership is the
+    portable md5 hash of ``key`` — deterministic across runs,
+    partitionings, and engines.
+
+    Everything stays IN-PLAN: one tiny per-group count aggregate, the
+    ``pow``/normalization on those few rows, and a broadcast join back.
+    Per-group keep fractions round at 9 decimals before the threshold
+    floor so both engines' libm pow() land in the same bucket.
+    """
+    if key is None:
+        raise ValueError("key (a stable row identifier) is required")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    wsum = Window.partitionBy()
+    p = F.pow(F.col("_cnt").cast("double"), F.lit(float(alpha)))
+    norm = counts.withColumn("_w", p).withColumn(
+        "_p", F.col("_w") / F.sum("_w").over(wsum)
+    )
+    n_out = F.min(F.col("_cnt") / F.col("_p")).over(wsum)
+    frac = F.round(
+        F.least(F.lit(1.0), n_out * F.col("_p") / F.col("_cnt")), 9
+    )
+    thresholds = norm.select(
+        group_col, F.floor(frac * F.lit(float(_BUCKETS))).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(key, salt) < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -886,3 +886,27 @@ def test_silhouette_separated_vs_overlapping(spark):
     df2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>")
     got2 = {r["cluster_id"]: r for r in silhouette_stats(df2, cents).collect()}
     assert got2[-1]["avg_silhouette"] < got[-1]["avg_silhouette"] - 0.3
+
+
+def test_temperature_mixture_contract(spark):
+    """alpha=1 keeps natural proportions (everything kept); alpha=0 targets
+    uniform — the largest group is downsampled toward the smallest; output
+    is deterministic across repartitionings."""
+    from pipes_spark.operators.sampling import temperature_mixture
+    from pyspark.sql import functions as F
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept_a1 = temperature_mixture(df, "source", alpha=1.0, key="doc_id", salt="t")
+    assert kept_a1.count() == 1000  # natural proportions: nothing dropped
+    kept_a0 = temperature_mixture(df, "source", alpha=0.0, key="doc_id", salt="t")
+    by = {r["source"]: r["n"] for r in kept_a0.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # uniform target: big downsampled to ~small's size; small fully kept
+    assert by["small"] == 200
+    assert abs(by["big"] - 200) <= 30  # hash-sampling tolerance
+    ids1 = sorted(r["doc_id"] for r in kept_a0.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  temperature_mixture(df.repartition(13), "source", alpha=0.0,
+                                      key="doc_id", salt="t").collect())
+    assert ids1 == ids2
