@@ -896,7 +896,7 @@ def duplicate_ngram_spans(
     merge distinct grams at vanishing probability; swap the hash for the
     gram string when bit-exact span attribution is worth the bytes.
     """
-    toks, grams = _positional_gram_hashes(df, text_col, id_col, n)
+    _toks, grams = _positional_gram_hashes(df, text_col, id_col, n)
     grams = scoped_persist(grams)  # feeds the count agg AND the join back
     counts = grams.groupBy("_gh").agg(F.count(F.lit(1)).alias("_cnt"))
     dup = (
@@ -904,7 +904,12 @@ def duplicate_ngram_spans(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("dup_starts"))
     )
-    ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # token counts as a flat per-row projection on the BASE table — no
+    # explode/shuffle, and zero-token documents stay in the output (the
+    # exploded stream has no rows for them; the oracle keeps them too)
+    ntok = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    )
     n_grams = F.greatest(F.col("n_tokens") - (n - 1), F.lit(0))
     return (
         ntok.join(dup, id_col, "left")
@@ -956,7 +961,11 @@ def remove_duplicate_spans(
         F.explode(F.sequence(F.col("_pos"), F.col("_pos") + (n - 1))).alias("_pos"),
     ).dropDuplicates([id_col, "_pos"])
     kept = toks.join(covered, [id_col, "_pos"], "left_anti")
-    ntok = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tokens"))
+    # flat per-row token count on the base table (see duplicate_ngram_spans):
+    # no extra shuffle, zero-token documents survive the rewrite
+    ntok = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("n_tokens")
+    )
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("_n_kept"),
         F.concat_ws(

@@ -319,7 +319,11 @@ def negative_samples(
     skip-adjusted so an anchor never draws itself. Shuffles carry ids and
     indexes only. The row count n stays IN-PLAN (1-row aggregate
     cross-joined broadcast) — construction fires no Spark job; the
-    need-2-rows validation runs in-plan via ``raise_error``.
+    need-2-rows validation runs in-plan via ``raise_error`` when a lone
+    anchor row evaluates it (an EMPTY input produces no anchor rows, so
+    it yields an empty result rather than raising — callers guarding
+    against an accidentally-empty corpus should check the count they
+    already have at ingest).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")

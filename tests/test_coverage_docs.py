@@ -95,6 +95,10 @@ def test_graded_window_all_oracled_and_registered_first():
         assert oracled[q], f"graded-window entry without oracle: {q}"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _collected_test_count():
     import subprocess
     import sys

@@ -872,6 +872,7 @@ def test_duplicate_ngram_spans_semantics(spark):
             (2, shared + " p q r"),
             (3, "u v w"),
             (4, "k l m n o p q r s t"),
+            (5, ""),
         ],
         "doc_id bigint, text string",
     )
@@ -882,6 +883,8 @@ def test_duplicate_ngram_spans_semantics(spark):
     assert out[3]["n_grams"] == 0 and out[3]["dup_starts"] == 0
     assert out[3]["dup_ratio"] is None
     assert out[4]["dup_starts"] == 0 and out[4]["dup_ratio"] == 0.0
+    # empty-text docs must not vanish (they have no exploded token rows)
+    assert out[5]["n_tokens"] == 0 and out[5]["dup_ratio"] is None
 
 
 def test_remove_duplicate_spans_semantics(spark):
@@ -895,6 +898,7 @@ def test_remove_duplicate_spans_semantics(spark):
             (1, shared + " x y z"),
             (2, "p q r " + shared),
             (3, "k l m n o u v w s t"),
+            (4, ""),
         ],
         "doc_id bigint, text string",
     )
@@ -902,6 +906,7 @@ def test_remove_duplicate_spans_semantics(spark):
     assert out[1]["n_removed"] == 8 and out[1]["cleaned_text"] == "x y z"
     assert out[2]["n_removed"] == 8 and out[2]["cleaned_text"] == "p q r"
     assert out[3]["n_removed"] == 0 and out[3]["cleaned_text"] == "k l m n o u v w s t"
+    assert out[4]["n_tokens"] == 0 and out[4]["cleaned_text"] == ""
     # a doc that is ONE duplicated span ends up empty, not null
     docs2 = spark.createDataFrame(
         [(1, shared), (2, shared)], "doc_id bigint, text string"
