@@ -88,6 +88,14 @@ def main() -> None:
 
     _warm_udf = F.pandas_udf(lambda v: v, "long")
     spark.range(100).select(_warm_udf("id")).write.mode("overwrite").format("noop").save()
+    # ...and the grouped-map pool: applyInPandas runs one Python worker per
+    # core, so a single-worker warmup leaves 31 cold spawns inside the
+    # first measured applyInPandas query (the udf_grouped_zscore spread)
+    spark.range(10_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", 32))).groupBy(
+        (F.col("id") % 64).alias("g")
+    ).applyInPandas(lambda pdf: pdf, "id long").write.mode("overwrite").format(
+        "noop"
+    ).save()
 
     # warm the Structured Streaming engine (streaming planner, state store,
     # memory sink) — its one-time init otherwise lands on the first
