@@ -217,6 +217,7 @@ def transform_with_state_totals(
     key_col: str = "user_id",
     value_col: str = "value",
     ttl_ms: Optional[int] = None,
+    initial_state: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-key running totals on the ``transformWithStateInPandas`` API —
     the successor to ``applyInPandasWithState``: named state variables with
@@ -227,6 +228,11 @@ def transform_with_state_totals(
     NOTE: this API's driver worker imports protobuf; environments without a
     working ``google.protobuf`` fail at query start (the
     ``applyInPandasWithState`` variant has no such dependency).
+
+    NOTE: passing ``ttl_ms`` makes the query inherently long-running —
+    wall-clock TTL keeps the ProcessingTime trigger scheduling batches, so
+    an availableNow run (``run_to_memory``) never terminates. Drain TTL'd
+    queries with ``query.processAllAvailable()`` + ``query.stop()``.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
@@ -234,6 +240,14 @@ def transform_with_state_totals(
     class Totals(StatefulProcessor):
         def init(self, handle):
             self._state = handle.getValueState("totals", "n bigint, s double", ttl_ms)
+
+        def handleInitialState(self, key, initialState, timerValues):
+            # hydration: warm-start each key's running totals from a batch
+            # table (``initial_state`` rows: key, total_n, total_sum) —
+            # the migrate-a-running-aggregation-into-streaming path
+            self._state.update(
+                (int(initialState["total_n"]), float(initialState["total_sum"]))
+            )
 
         def handleInputRows(self, key, rows, timerValues):
             n, s = self._state.get() if self._state.exists() else (0, 0.0)
@@ -252,7 +266,10 @@ def transform_with_state_totals(
         Totals(),
         outputStructType=f"{key_col} bigint, total_n bigint, total_sum double",
         outputMode="Update",
-        timeMode="None",
+        # TTL is wall-clock-based; Spark only permits it in ProcessingTime
+        # mode, so the mode follows the ttl argument
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+        initialState=initial_state.groupBy(key_col) if initial_state is not None else None,
     )
 
 

@@ -572,3 +572,71 @@ def test_transform_with_state_session_timers(spark, tmp_path):
         (1, 5000, 50000, 3),
         (2, 10000, 40000, 2),
     ]
+
+
+def test_transform_with_state_initial_state_hydration(spark, tmp_path):
+    """Warm-starting the stateful totals from a batch table: hydrated keys
+    continue from their prior totals, fresh keys start from zero."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.streaming import run_to_memory, transform_with_state_totals
+
+    d = str(tmp_path / "hydr_src")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (3, 1.0)], "user_id bigint, value double"
+    ).write.parquet(d)
+    prior = spark.createDataFrame(
+        [(1, 4, 100.0), (9, 2, 50.0)], "user_id bigint, total_n bigint, total_sum double"
+    )
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(d)
+    out = run_to_memory(
+        transform_with_state_totals(stream, "user_id", "value", initial_state=prior),
+        output_mode="update",
+    )
+    got = {r["user_id"]: (r["total_n"], r["total_sum"]) for r in out.collect()}
+    assert got[1] == (5, 110.0)  # hydrated + this batch
+    assert got[2] == (1, 5.0) and got[3] == (1, 1.0)  # fresh keys
+
+
+def test_transform_with_state_ttl_smoke(spark, tmp_path):
+    """TTL plumbing on the modern API: a ttl_ms forces ProcessingTime
+    mode (Spark rejects TTL under timeMode=None) and the stateful totals
+    still compute within the batch. A TTL'd query is inherently
+    long-running — wall-clock expiry keeps the trigger alive, so
+    availableNow/run_to_memory would never terminate; drain with
+    processAllAvailable() and stop the query explicitly instead.
+    Cross-run wall-clock expiry itself is untestable deterministically."""
+    from pipes_spark.streaming import transform_with_state_totals
+
+    d = str(tmp_path / "ttl_src")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 2.0), (2, 5.0)], "user_id bigint, value double"
+    ).write.parquet(d)
+    stream = spark.readStream.schema("user_id bigint, value double").parquet(d)
+    q = (
+        transform_with_state_totals(stream, "user_id", "value", ttl_ms=3_600_000)
+        .writeStream.format("memory")
+        .queryName("ttl_smoke")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        # processAllAvailable() never quiesces either (the trigger keeps
+        # firing zero-row batches for TTL upkeep) — poll until the data
+        # batch has committed, then read and stop.
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and int(p.get("batchId", -1)) >= 1:
+                break
+            time.sleep(1)
+        got = {
+            r["user_id"]: (r["total_n"], r["total_sum"])
+            for r in spark.table("ttl_smoke").collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("ttl_smoke")
+    assert got == {1: (2, 12.0), 2: (1, 5.0)}
