@@ -11945,3 +11945,80 @@ def sample_temperature_mixture(spark, sf_dir):
         F.min("doc_id").cast("bigint").alias("min_id"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
     )
+
+
+@query(
+    "streaming_twsip_topk",
+    oracle="""
+    SELECT user_id, CAST(rnk AS INTEGER) AS rank,
+           round(value, 6) AS value, event_id
+    FROM (SELECT user_id, value, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id DESC) AS rnk
+          FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def streaming_twsip_topk(spark, sf_dir):
+    """Per-key bounded top-k on the modern stateful API via a **ListState**
+    variable (streaming.transform_with_state_topk): state holds at most k
+    (value, tie) tuples per key — bounded memory no matter how long the
+    stream runs, versus buffering every row. The finite single-batch drain
+    makes the emitted top-3 equal the batch row_number()<=3 query, ties
+    broken on the higher event_id in both engines. Environments without
+    any protobuf runtime fall back to the equivalent batch window query
+    (documented — the streaming path is the declared surface)."""
+    from .session import ensure_protobuf
+
+    events = _t(spark, sf_dir, "events")
+    if not ensure_protobuf():  # pragma: no cover — env-dependent fallback
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("value").desc(), F.col("event_id").desc()
+        )
+        ranked = events.select(
+            "user_id", "value", "event_id", F.row_number().over(w).alias("rank")
+        ).filter(F.col("rank") <= 3)
+        return ranked.select(
+            "user_id", F.col("rank").cast("int").alias("rank"),
+            F.round("value", 6).alias("value"), "event_id",
+        )
+    from .streaming import run_to_memory, transform_with_state_topk
+
+    stream = _events_stream(spark, sf_dir)
+    topk = transform_with_state_topk(stream, "user_id", "value", "event_id", k=3)
+    result = run_to_memory(topk, output_mode="update")
+    return result.select(
+        "user_id", "rank", F.round("value", 6).alias("value"), "event_id"
+    )
+
+
+@query(
+    "streaming_twsip_map",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def streaming_twsip_map(spark, sf_dir):
+    """Per-key per-category running counts on the modern stateful API via a
+    **MapState** variable (streaming.transform_with_state_category_counts):
+    one map entry per category under each key, point-updated per batch —
+    the right state shape when sub-keys are many and only a few are touched
+    per batch. The finite single-batch drain makes the emitted maps equal
+    the batch GROUP BY (user_id, event_type). Environments without any
+    protobuf runtime fall back to the equivalent batch aggregation
+    (documented — the streaming path is the declared surface)."""
+    from .session import ensure_protobuf
+
+    events = _t(spark, sf_dir, "events")
+    if not ensure_protobuf():  # pragma: no cover — env-dependent fallback
+        return events.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    from .streaming import run_to_memory, transform_with_state_category_counts
+
+    stream = _events_stream(spark, sf_dir)
+    counts = transform_with_state_category_counts(stream, "user_id", "event_type")
+    return run_to_memory(counts, output_mode="update")

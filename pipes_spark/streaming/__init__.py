@@ -273,6 +273,107 @@ def transform_with_state_totals(
     )
 
 
+def transform_with_state_topk(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-key bounded top-k on ``transformWithStateInPandas`` using a
+    **ListState** variable (the ValueState surface is
+    :func:`transform_with_state_totals`): the state holds at most ``k``
+    (value, tie) tuples per key — bounded regardless of stream length,
+    which is the point of a streaming top-k versus buffering all rows.
+    Ordering is (value desc, tie desc) so results are deterministic under
+    ties. Each batch emits the key's refreshed top-k with 1-based ranks;
+    a finite single-batch drain therefore equals the batch
+    ``row_number() <= k`` query."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class TopK(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getListState("topk", "v double, tie bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = list(self._state.get()) if self._state.exists() else []
+            for pdf in rows:
+                sub = pdf[[value_col, tie_col]].dropna(subset=[value_col])
+                cur.extend(
+                    (float(v), int(t))
+                    for v, t in zip(sub[value_col], sub[tie_col])
+                )
+            cur.sort(key=lambda p: (-p[0], -p[1]))
+            cur = cur[:k]
+            self._state.put(cur)
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(cur),
+                    "rank": list(range(1, len(cur) + 1)),
+                    value_col: [p[0] for p in cur],
+                    tie_col: [p[1] for p in cur],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        TopK(),
+        outputStructType=(
+            f"{key_col} bigint, rank int, {value_col} double, {tie_col} bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def transform_with_state_category_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """Per-key per-category running counts on ``transformWithStateInPandas``
+    using a **MapState** variable: one map entry per category under each
+    key (point lookup + update per distinct category in the batch — no
+    rewrite of the whole per-key state, which is what makes MapState the
+    right variable shape for high-cardinality sub-keys). Each batch emits
+    the full refreshed (category, n) map for keys that saw input; a finite
+    single-batch drain equals the batch ``GROUP BY key, category``."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class CatCounts(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getMapState("counts", "cat string", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for cat, n in pdf.groupby(cat_col).size().items():
+                    prev = self._state.getValue((cat,))
+                    self._state.updateValue(
+                        (cat,), (int(n) + (int(prev[0]) if prev else 0),)
+                    )
+            cats, counts = [], []
+            for (cat,), (n,) in self._state.iterator():
+                cats.append(cat)
+                counts.append(int(n))
+            yield pd.DataFrame(
+                {key_col: [key[0]] * len(cats), cat_col: cats, "n": counts}
+            )
+
+        def close(self):
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        CatCounts(),
+        outputStructType=f"{key_col} bigint, {cat_col} string, n bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_upsert_latest(
     stream_df: DataFrame,
     keys: list[str],

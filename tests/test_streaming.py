@@ -640,3 +640,103 @@ def test_transform_with_state_ttl_smoke(spark, tmp_path):
         q.stop()
         spark.catalog.dropTempView("ttl_smoke")
     assert got == {1: (2, 12.0), 2: (1, 5.0)}
+
+
+def _run_batches(df, checkpoint, output_mode="update"):
+    """Drain a finite stream via foreachBatch, returning {batch_id: rows}."""
+    captured = {}
+    q = (
+        df.writeStream.foreachBatch(
+            lambda bdf, bid: captured.__setitem__(bid, bdf.collect())
+        )
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return captured
+
+
+def test_transform_with_state_topk_cross_batch(spark, tmp_path):
+    """ListState top-k: the bounded per-key list must merge across
+    micro-batches (k=3 survivors only), and equal values must tie-break
+    on the higher event_id deterministically."""
+    import os
+
+    from pipes_spark.streaming import transform_with_state_topk
+
+    schema = "user_id long, value double, event_id long"
+    batches = [
+        [(1, 5.0, 1), (1, 9.0, 2), (1, 7.0, 3), (1, 1.0, 4), (2, 4.0, 10)],
+        [(1, 8.0, 5), (1, 2.0, 6), (1, 7.0, 7)],  # 7.0@7 ties 7.0@3 → id 7 wins
+    ]
+    src = tmp_path / "topk_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"tb{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"tb{i}").iterdir() if p.name.endswith(".parquet")
+        )
+        (src / f"{i:03d}.parquet").symlink_to(part)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    got = _run_batches(
+        transform_with_state_topk(stream, "user_id", "value", "event_id", k=3),
+        str(tmp_path / "topk_ckpt"),
+    )
+    by_key = lambda bid: {
+        u: [(r["rank"], r["value"], r["event_id"]) for r in sorted(got[bid], key=lambda r: r["rank"]) if r["user_id"] == u]
+        for u in {r["user_id"] for r in got[bid]}
+    }
+    assert by_key(0) == {
+        1: [(1, 9.0, 2), (2, 7.0, 3), (3, 5.0, 1)],
+        2: [(1, 4.0, 10)],
+    }
+    # batch 1: only user 1 saw input; merged top-3 with the tie resolved to
+    # the higher event_id
+    assert by_key(1) == {1: [(1, 9.0, 2), (2, 8.0, 5), (3, 7.0, 7)]}
+
+
+def test_transform_with_state_map_counts_cross_batch(spark, tmp_path):
+    """MapState per-category counts: point updates must accumulate across
+    micro-batches, untouched keys are not re-emitted."""
+    from pipes_spark.streaming import transform_with_state_category_counts
+
+    schema = "user_id long, event_type string"
+    batches = [
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a")],
+        [(1, "b"), (1, "c")],
+    ]
+    src = tmp_path / "mc_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"mb{i}")
+        )
+        part = next(
+            p for p in (tmp_path / f"mb{i}").iterdir() if p.name.endswith(".parquet")
+        )
+        (src / f"{i:03d}.parquet").symlink_to(part)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    got = _run_batches(
+        transform_with_state_category_counts(stream, "user_id", "event_type"),
+        str(tmp_path / "mc_ckpt"),
+    )
+    shape = lambda bid: {
+        u: {r["event_type"]: r["n"] for r in got[bid] if r["user_id"] == u}
+        for u in {r["user_id"] for r in got[bid]}
+    }
+    assert shape(0) == {1: {"a": 2, "b": 1}, 2: {"a": 1}}
+    assert shape(1) == {1: {"a": 2, "b": 2, "c": 1}}
