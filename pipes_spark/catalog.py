@@ -12022,3 +12022,20 @@ def streaming_twsip_map(spark, sf_dir):
     stream = _events_stream(spark, sf_dir)
     counts = transform_with_state_category_counts(stream, "user_id", "event_type")
     return run_to_memory(counts, output_mode="update")
+
+
+@query("text_bpe_vocab")
+def text_bpe_vocab(spark, sf_dir):
+    """Distributed BPE tokenizer training (text.bpe_learn_merges, Sennrich
+    et al. 2016): greedy highest-count adjacent-symbol merges learned over
+    the word-frequency table — ONE corpus pass builds the vocab-sized word
+    table, then every merge round touches only that compact table and
+    collects exactly one argmax scalar (the k-means per-round contract).
+    Deterministic lexicographic tie-break ⇒ the merge sequence is
+    reproducible across engines; pytest proves parity with a pure-Python
+    reference implementation. Rows-only: the greedy iterative argmax has
+    no ANSI-SQL equivalent."""
+    from .operators.text import bpe_learn_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "text", n_merges=8)

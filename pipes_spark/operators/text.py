@@ -1049,3 +1049,146 @@ def augment_span_corruption(
         .withColumn("n_masked", F.coalesce(F.col("n_masked"), F.lit(0)))
         .withColumn("n_spans", F.coalesce(F.col("n_spans"), F.lit(0)))
     )
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The ONE corpus pass of BPE training: lowercase-alpha word counts.
+
+    Classic BPE (Sennrich et al. 2016) trains on the distinct-word
+    frequency table, not the raw corpus — at 100 TB this is the whole
+    scale story: one map-side tokenize + one (word) shuffle produces a
+    vocab-sized table (≪ corpus), and every merge round after that
+    touches only the compact table."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909):
+    greedy highest-frequency adjacent-symbol merges over the word-frequency
+    table. Returns the learned merge table (rank, left, right, merged,
+    pair_count) — the tokenizer model artifact, inherently tiny.
+
+    Scale/laziness contract (the k-means pattern): construction IS the
+    training run — each round collects exactly ONE scalar (the argmax
+    pair) and re-persists the vocab-sized symbol table, so per-round cost
+    is independent of corpus size after the single
+    :func:`bpe_word_counts` pass. Ties break lexicographically so the
+    merge sequence is deterministic across partitionings and engines."""
+    from ..caching import scoped_persist
+
+    spark = df.sparkSession
+    words = bpe_word_counts(df, text_col)
+    cur = scoped_persist(
+        words.select(
+            "wc",
+            F.concat(
+                F.filter(F.split(F.col("word"), ""), lambda ch: ch != ""),
+                F.array(F.lit("</w>")),
+            ).alias("syms"),
+        )
+    )
+    merges = []
+    for rank in range(n_merges):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                "wc",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms)-1),"
+                        " (s, i) -> struct(s AS l, syms[i+1] AS r))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy(F.col("pair.l").alias("l"), F.col("pair.r").alias("r"))
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).first()
+        if best is None or best["cnt"] < min_pair_count:
+            break
+        l, r = best["l"], best["r"]
+        merges.append((rank, l, r, l + r, int(best["cnt"])))
+
+        def _merge_batch(s, _l=l, _r=r):
+            def one(a):
+                out, i, n = [], 0, len(a)
+                while i < n:
+                    if i + 1 < n and a[i] == _l and a[i + 1] == _r:
+                        out.append(_l + _r)
+                        i += 2
+                    else:
+                        out.append(a[i])
+                        i += 1
+                return out
+
+            return s.apply(one)
+
+        mudf = F.pandas_udf(_merge_batch, "array<string>")
+        # re-persist each round: the next pair count reads the merged table
+        # directly instead of replaying every earlier merge (O(rounds), not
+        # O(rounds²)); scope-released like all operator persists
+        cur = scoped_persist(cur.withColumn("syms", mudf(F.col("syms"))))
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: Sequence[tuple],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned merge table (rank-ordered (left, right) pairs — the
+    broadcast-by-closure model artifact from :func:`bpe_learn_merges`) to
+    segment each document into BPE tokens. Pure map-side Arrow batches,
+    zero shuffle; distinct words are memoized per batch so hot words cost
+    one merge walk regardless of frequency."""
+    ranked = [(m[1], m[2]) if len(m) >= 3 else tuple(m) for m in merges]
+
+    def _segment_batch(s):
+        cache: dict = {}
+
+        def word_tokens(w):
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            a = list(w) + ["</w>"]
+            for l, r in ranked:
+                out, i, n = [], 0, len(a)
+                while i < n:
+                    if i + 1 < n and a[i] == l and a[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(a[i])
+                        i += 1
+                a = out
+            cache[w] = a
+            return a
+
+        import re as _re
+
+        return s.apply(
+            lambda t: [
+                tok
+                for w in _re.split(r"[^a-z]+", (t or "").lower())
+                if w
+                for tok in word_tokens(w)
+            ]
+        )
+
+    seg = F.pandas_udf(_segment_batch, "array<string>")
+    return df.withColumn(out_col, seg(F.col(text_col)))

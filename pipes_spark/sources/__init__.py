@@ -209,5 +209,6 @@ def register_views(spark: SparkSession, sf_dir: str, names: Optional[Sequence[st
 # Start-node analog for arbitrary user generators, pipe/node.go:12-14)
 from pipes_spark.sources.generator import (  # noqa: E402,F401
     generator_source,
+    stream_function_sink,
     stream_generator_source,
 )

@@ -174,3 +174,72 @@ def function_sink(
     spark = df.sparkSession
     spark.dataSource.register(_FnSink)
     df.write.format(_FnSink._fmt).mode(mode).save()
+
+
+def stream_function_sink(
+    stream_df: DataFrame,
+    fn: Callable[[int, Iterator[tuple]], object],
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Streaming twin of :func:`function_sink` via the Spark 4
+    ``DataSourceStreamWriter`` API — an arbitrary user function as the
+    terminal node of a STREAMING graph (the reference's ``Final`` on an
+    unbounded source, ref: pipe/node.go:21-23).
+
+    ``fn(batch_id, rows)`` runs ON AN EXECUTOR once per partition of each
+    micro-batch. Unlike ``foreachBatch`` (whole-batch DataFrame callback on
+    the driver), this is the partition-parallel contract: nothing funnels
+    through the driver, and Spark's streaming commit protocol invokes
+    ``commit(messages, batchId)`` only after every partition of the batch
+    succeeded — a failed batch is retried from the checkpoint, so ``fn``
+    must be idempotent per (batch_id, partition content), the standard
+    exactly-once-sink contract.
+
+    Returns the started ``StreamingQuery`` (awaited already when
+    ``available_now``).
+    """
+    from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+    class _StreamWriter(DataSourceStreamWriter):
+        def __init__(self):
+            self._batch_id = None
+
+        def write(self, rows) -> WriterCommitMessage:
+            from pyspark import TaskContext
+
+            # the streaming writer learns the batch id from the task's
+            # epoch coordinator property; fall back to -1 if absent
+            ctx = TaskContext.get()
+            bid = int(ctx.getLocalProperty("streaming.sql.batchId") or -1)
+            fn(bid, rows)
+            return WriterCommitMessage()
+
+        def commit(self, messages, batchId) -> None:
+            return None
+
+        def abort(self, messages, batchId) -> None:
+            return None
+
+    class _FnStreamSink(DataSource):
+        _fmt = f"pipes_fn_stream_sink_{uuid.uuid4().hex[:12]}"
+
+        @classmethod
+        def name(cls) -> str:
+            return cls._fmt
+
+        def streamWriter(self, schema, overwrite):
+            return _StreamWriter()
+
+    spark = stream_df.sparkSession
+    spark.dataSource.register(_FnStreamSink)
+    writer = (
+        stream_df.writeStream.format(_FnStreamSink._fmt)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

@@ -913,3 +913,102 @@ def test_remove_duplicate_spans_semantics(spark):
     )
     out2 = {r["doc_id"]: r for r in remove_duplicate_spans(docs2, n=8).collect()}
     assert out2[1]["cleaned_text"] == "" and out2[1]["n_removed"] == 8
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE training (text.bpe_learn_merges / bpe_segment)
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich-style BPE with the same deterministic
+    tie-break (count desc, then (left, right) lexicographic)."""
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (l, r), cnt = best
+        merges.append((l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    from pipes_spark.operators.text import bpe_learn_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(df, "text", n_merges=8).orderBy("rank").collect()
+    ]
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _reference_bpe(counts, 8)
+    assert got == want
+    assert len(got) == 8  # corpus supports all 8 rounds
+
+
+def test_bpe_learn_merges_stops_below_min_count(spark):
+    from pipes_spark.operators.text import bpe_learn_merges
+
+    df = spark.createDataFrame([("ab cd",)], "text string")  # every pair count 1
+    got = bpe_learn_merges(df, "text", n_merges=5, min_pair_count=2).collect()
+    assert got == []
+
+
+def test_bpe_segment_applies_learned_merges(spark):
+    from pipes_spark.operators.text import bpe_learn_merges, bpe_segment
+
+    texts = ["low low lower", "newest newest widest", "low newest"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(df, "text", n_merges=6).orderBy("rank").collect()
+    ]
+    out = bpe_segment(df, merges, "text").collect()
+    for row in out:
+        # every </w>-terminated token group reassembles the original words
+        rebuilt, cur = [], ""
+        for tok in row["bpe_tokens"]:
+            cur += tok
+            if cur.endswith("</w>"):
+                rebuilt.append(cur[: -len("</w>")])
+                cur = ""
+        assert cur == ""  # every word closed
+        assert rebuilt == [w for w in row["text"].lower().split() if w]
+    # hot path sanity: the most frequent word must have been compressed
+    # below its character length by the learned merges
+    low_row = next(r for r in out if r["text"] == "low newest")
+    n_low_tokens = 0
+    for tok in low_row["bpe_tokens"]:
+        n_low_tokens += 1
+        if tok.endswith("</w>"):
+            break
+    assert n_low_tokens < len("low") + 1

@@ -536,6 +536,7 @@ CONSTRUCTION_JOB_EXEMPT = {
     "cluster_kmeans_stats": "k-means training rounds",
     "ts_harmonic": "normal-equation solve collects Gram scalars",
     "events_markov_stationary": "power-iteration rounds",
+    "text_bpe_vocab": "iterative (per-round argmax merge scalar)",
     # ingest artifacts: construction build-or-reads a persisted warehouse
     # table (idempotent per sf; bench/ingest pre-builds them)
     "dedup_minhash_lsh": "minhash signature table build-or-read",

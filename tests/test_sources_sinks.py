@@ -268,3 +268,49 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None  # pre-evolution rows read as NULL
     assert rows[2]["score"] == 9.5
+
+
+def test_stream_function_sink_partition_parallel_exactly_once(spark, tmp_path):
+    """DataSourceStreamWriter sink: the user fn runs per partition of each
+    micro-batch on executors, sees distinct batch ids across triggers, and
+    the committed stream delivers every row exactly once."""
+    import glob as _glob
+    import json
+    import uuid as _uuid
+
+    from pipes_spark.sources.generator import stream_function_sink
+
+    src = tmp_path / "sfs_src"
+    src.mkdir()
+    for i, lo in enumerate([0, 100]):
+        spark.range(lo, lo + 100).coalesce(1).write.parquet(str(tmp_path / f"sb{i}"))
+        part = next(
+            p for p in (tmp_path / f"sb{i}").iterdir() if p.name.endswith(".parquet")
+        )
+        (src / f"{i:03d}.parquet").symlink_to(part)
+    out = tmp_path / "sfs_out"
+    out.mkdir()
+
+    def sink(batch_id, rows):
+        path = out / f"b{batch_id}-{_uuid.uuid4().hex}.jsonl"
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(json.dumps({"id": r[0]}) + "\n")
+
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    stream_function_sink(
+        stream.repartition(4, "id"), sink, str(tmp_path / "sfs_ckpt")
+    )
+    files = sorted(_glob.glob(str(out / "*.jsonl")))
+    ids, batch_ids = [], set()
+    for p in files:
+        batch_ids.add(os.path.basename(p).split("-")[0])
+        with open(p) as f:
+            ids += [json.loads(line)["id"] for line in f]
+    assert sorted(ids) == list(range(200))  # exactly once, nothing lost
+    assert batch_ids == {"b0", "b1"}  # per-trigger batch ids visible to fn
