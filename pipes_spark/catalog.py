@@ -12039,3 +12039,32 @@ def text_bpe_vocab(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_learn_merges(docs, "text", n_merges=8)
+
+
+@query(
+    "udf_grouped_minmax",
+    oracle="""
+    SELECT user_id, event_id, value,
+           round(CASE WHEN mx = mn THEN 0.0
+                      ELSE (value - mn) / (mx - mn) END, 6) AS scaled
+    FROM (SELECT user_id, event_id, value,
+                 min(value) OVER (PARTITION BY user_id) AS mn,
+                 max(value) OVER (PARTITION BY user_id) AS mx
+          FROM events)
+    """,
+)
+def udf_grouped_minmax(spark, sf_dir):
+    """Grouped-map **applyInArrow** (udfs.grouped_minmax_arrow): per-group
+    min-max scaling computed in pyarrow.compute with no pandas
+    materialization — completes the Arrow UDF family (scalar pandas_udf,
+    mapInPandas, applyInPandas, mapInArrow, grouped-agg, UDTF) with the
+    grouped-map Arrow tier. The pure-SQL window oracle proves the
+    per-group semantics; rounding happens in-plan on both sides."""
+    from .operators.scale import ensure_min_partitions
+    from .operators.udfs import grouped_minmax_arrow
+
+    events = ensure_min_partitions(_t(spark, sf_dir, "events"))
+    out = grouped_minmax_arrow(events, "user_id", "value")
+    return out.select(
+        "user_id", "event_id", "value", F.round("scaled", 6).alias("scaled")
+    )

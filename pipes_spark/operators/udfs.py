@@ -225,3 +225,46 @@ def dynamic_unpivot_udtf(df: DataFrame, cols, id_col: str = "doc_id") -> DataFra
     # needs the view — drop it to avoid per-call catalog leaks
     df.sparkSession.catalog.dropTempView(view)
     return out
+
+
+def grouped_minmax_arrow(
+    df: DataFrame, group_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Grouped-map **applyInArrow**: per-group min-max scaling computed
+    entirely in pyarrow.compute — the zero-copy tier of the grouped-map
+    family (no Arrow→pandas materialization at all, unlike
+    :func:`grouped_zscore`). Same scale contract: one shuffle on the group
+    key, each group must fit in executor memory. ``scaled`` is returned
+    raw; callers round in-plan so both engines share one rounding rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _ship_package(df.sparkSession)
+    out_schema = (
+        f"{group_col} bigint, event_id bigint, {value_col} double, scaled double"
+    )
+
+    def scale(table: "pa.Table") -> "pa.Table":
+        v = table.column(value_col)
+        mm = pc.min_max(v)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None or hi is None or hi == lo:
+            scaled = pa.array([0.0] * len(table), type=pa.float64())
+        else:
+            scaled = pc.divide(
+                pc.subtract(v.cast(pa.float64()), lo), float(hi - lo)
+            )
+        return pa.table(
+            {
+                group_col: table.column(group_col),
+                "event_id": table.column("event_id"),
+                value_col: v,
+                "scaled": scaled,
+            }
+        )
+
+    return (
+        df.select(group_col, "event_id", value_col)
+        .groupBy(group_col)
+        .applyInArrow(scale, schema=out_schema)
+    )

@@ -2082,3 +2082,20 @@ def test_average_precision_matches_sklearn_formula(spark):
     neg = spark.createDataFrame([(0, 0.5), (0, 0.7)], "y int, s double")
     assert average_precision(neg, F.col("y") == 1, F.col("s")).collect()[0][
         "avg_precision"] is None
+
+
+def test_grouped_minmax_arrow_scales_per_group(spark):
+    """applyInArrow grouped map: per-group min-max scaling; a constant
+    group has zero range and scales to 0.0 throughout."""
+    from pipes_spark.operators.udfs import grouped_minmax_arrow
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (2, 4, 7.0), (2, 5, 7.0)],
+        "user_id bigint, event_id bigint, value double",
+    )
+    got = {
+        r["event_id"]: r["scaled"]
+        for r in grouped_minmax_arrow(df, "user_id", "value").collect()
+    }
+    assert got[1] == 0.0 and got[2] == 1.0 and abs(got[3] - 0.5) < 1e-12
+    assert got[4] == 0.0 and got[5] == 0.0  # zero-range group
