@@ -50,3 +50,40 @@ def job_budget(spark):
         )
 
     return budget
+
+
+@pytest.fixture
+def action_audit(spark):
+    """EXACT foreground-action audit, the strict complement to
+    ``job_budget``: reads the SQL status store's execution counter (one
+    execution per collect/count/show/write action, regardless of how many
+    jobs AQE fans each into) before and after a block and asserts the
+    delta EQUALS the example's declared action count. Declared = its sink
+    actions + the documented library contracts (one ``count()`` per
+    persisted fan-out in ``Runner.start``, iterative-convergence /
+    codebook-fit collects). Any new hidden count/collect shifts the delta
+    and fails. Batch-only: streaming micro-batches also register
+    executions, on engine threads — streaming examples stay on the
+    ``job_budget`` ceiling."""
+    from contextlib import contextmanager
+
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def _flush():
+        # the status store is listener-bus-fed (async); drain before reading
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+
+    @contextmanager
+    def audit(name: str, actions: int):
+        _flush()
+        before = store.executionsCount()
+        yield
+        _flush()
+        n = store.executionsCount() - before
+        assert n == actions, (
+            f"{name} performed {n} SQL executions (declared {actions}) — "
+            "an undeclared action appeared (or one was removed: update the "
+            "declared count with its breakdown)"
+        )
+
+    return audit

@@ -12,23 +12,26 @@ EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 sys.path.insert(0, EXAMPLES)
 
 
-def test_minigrep_example(spark, tmp_path, monkeypatch, capsys, job_budget):
+def test_minigrep_example(spark, tmp_path, monkeypatch, capsys, job_budget, action_audit):
     import minigrep
 
     f = tmp_path / "input.txt"
     f.write_text("hello click world\nno match here\nanother click line\n")
     monkeypatch.setattr(sys, "argv", ["minigrep.py", "click", str(f)])
-    with job_budget("minigrep", 4):
+    # 1 action: the print-sink collect
+    with job_budget("minigrep", 4), action_audit("minigrep", 1):
         assert minigrep.main() == 0
     out = capsys.readouterr().out
     assert out.count("click") >= 2 and "no match here" not in out
 
 
-def test_product_analytics_example(spark, sf_dir, monkeypatch, capsys, job_budget):
+def test_product_analytics_example(spark, sf_dir, monkeypatch, capsys, job_budget, action_audit):
     import product_analytics
 
     monkeypatch.setattr(sys, "argv", ["product_analytics.py", sf_dir])
-    with job_budget("product_analytics", 16):
+    # 5 actions: 3 declared sinks (session-stats count, daily count, funnel
+    # collect) + 2 persisted fan-out materializations (events→2, sessions→2)
+    with job_budget("product_analytics", 16), action_audit("product_analytics", 5):
         assert product_analytics.main() == 0
     out = capsys.readouterr().out
     assert "sessions=" in out and "step 3 purchase" in out
@@ -45,21 +48,28 @@ def test_stream_portability_example(spark, sf_dir, monkeypatch, capsys, job_budg
     assert "windows=" in out and "events=" in out
 
 
-def test_corpus_pipeline_example(spark, sf_dir, tmp_path, monkeypatch, job_budget):
+def test_corpus_pipeline_example(spark, sf_dir, tmp_path, monkeypatch, job_budget, action_audit):
     import corpus_pipeline
 
     out_dir = str(tmp_path / "corpus_out")
     monkeypatch.setattr(sys, "argv", ["corpus_pipeline.py", sf_dir, out_dir])
-    with job_budget("corpus_pipeline", 70):
+    # 9 actions: 3 declared sinks (corpus write, report collect, manifest
+    # write) + 1 persisted fan-out (split→3) + 5 connected-components
+    # convergence actions inside drop_near_duplicates (documented
+    # iterative contract)
+    with job_budget("corpus_pipeline", 70), action_audit("corpus_pipeline", 9):
         assert corpus_pipeline.main() == 0
     assert os.path.isdir(os.path.join(out_dir, "corpus"))
 
 
-def test_embedding_pipeline_example(spark, sf_dir, monkeypatch, capsys, tmp_path, job_budget):
+def test_embedding_pipeline_example(spark, sf_dir, monkeypatch, capsys, tmp_path, job_budget, action_audit):
     import embedding_pipeline
 
     monkeypatch.setattr(sys, "argv", ["embedding_pipeline.py", sf_dir, str(tmp_path / "out")])
-    with job_budget("embedding_pipeline", 30):
+    # 13 actions: 3 declared sinks (codes write + 2 collects) + 1 persisted
+    # fan-out (dedup→3) + 4 k-means fit (init sample + 3 Lloyd rounds) +
+    # 5 PQ codebook fit (documented codebook contracts)
+    with job_budget("embedding_pipeline", 30), action_audit("embedding_pipeline", 13):
         assert embedding_pipeline.main() == 0
     out = capsys.readouterr().out
     assert "clusters: 8" in out and "pq codes written" in out
@@ -81,10 +91,12 @@ def test_streaming_ingest_example(spark, sf_dir, monkeypatch, capsys, tmp_path, 
     assert (tmp_path / "out" / "chunks").exists()
 
 
-def test_experiment_pipeline_example(spark, sf_dir, job_budget):
+def test_experiment_pipeline_example(spark, sf_dir, job_budget, action_audit):
     import experiment_pipeline
 
-    with job_budget("experiment_pipeline", 12):
+    # 5 actions: 3 declared sinks (attribution count, readout collect,
+    # transition count) + quality-gate collect + 1 persisted fan-out
+    with job_budget("experiment_pipeline", 12), action_audit("experiment_pipeline", 5):
         out = experiment_pipeline.main(sf_dir)
     assert out["attributions"] > 0
     assert out["transitions"] > 0
@@ -107,11 +119,13 @@ def test_experiment_pipeline_gate_aborts_on_bad_batch(spark):
         experiment_pipeline.gated(bad)
 
 
-def test_incremental_refresh_example(spark, sf_dir, tmp_path, job_budget):
+def test_incremental_refresh_example(spark, sf_dir, tmp_path, job_budget, action_audit):
     import incremental_refresh
 
     out = str(tmp_path / "refresh")
-    with job_budget("incremental_refresh", 80):
+    # 8 actions: per-batch delta-dedup admit + shard writes + the manifest
+    # collect (declared ingest-loop contract; see the example's docstring)
+    with job_budget("incremental_refresh", 80), action_audit("incremental_refresh", 8):
         res = incremental_refresh.main(sf_dir, out)
     import glob
 
@@ -133,10 +147,11 @@ def test_incremental_refresh_example(spark, sf_dir, tmp_path, job_budget):
     assert residual.isEmpty()
 
 
-def test_inference_lab_example(spark, sf_dir, job_budget):
+def test_inference_lab_example(spark, sf_dir, job_budget, action_audit):
     import inference_lab
 
-    with job_budget("inference_lab", 8):
+    # 5 actions: 4 declared readout sinks + 1 persisted fan-out (scan→4)
+    with job_budget("inference_lab", 8), action_audit("inference_lab", 5):
         out = inference_lab.main(sf_dir)
     assert set(out) == {"anova", "tukey", "kruskal", "power"}
     anova = out["anova"][0]
