@@ -12068,3 +12068,204 @@ def udf_grouped_minmax(spark, sf_dir):
     return out.select(
         "user_id", "event_id", "value", F.round("scaled", 6).alias("scaled")
     )
+
+
+@query(
+    "text_boilerplate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+                     FOR i IN generate_series(1, greatest(len(toks)-2, 0)+1)])) AS gram
+      FROM t
+    ),
+    d AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY gram),
+    nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+    b AS (SELECT gram FROM d, nd WHERE dfreq >= n_docs * 0.07)
+    SELECT g.doc_id,
+           count(*)::BIGINT AS n_grams,
+           coalesce(sum(CASE WHEN b.gram IS NOT NULL THEN 1 END), 0)::BIGINT
+             AS boiler_grams,
+           round(coalesce(sum(CASE WHEN b.gram IS NOT NULL THEN 1 END), 0)
+                 / count(*), 6) AS boiler_ratio
+    FROM g LEFT JOIN b ON g.gram = b.gram
+    GROUP BY g.doc_id
+    """,
+)
+def text_boilerplate(spark, sf_dir):
+    """Template/boilerplate detection by n-gram document frequency
+    (text.boilerplate_ngram_stats — the CCNet frequent-unit filter adapted
+    from lines to bigrams): a bigram in ≥7% of all documents is template
+    vocabulary; per doc, the fraction of its distinct bigrams that are
+    boilerplate marks scraped/templated shells. Doc count N stays IN-PLAN
+    (1-row broadcast aggregate); shuffles carry (gram, count) pairs."""
+    from .operators.text import boilerplate_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(docs, "doc_id", "text", n=2, min_doc_frac=0.07)
+
+
+@query(
+    "text_dsir",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+              FOR i IN generate_series(1, len(toks)-1)]) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(gram), 1, 14)) AS BIGINT) % 1024 AS bucket
+      FROM g
+    ),
+    rc AS (SELECT bucket, count(*) AS rcnt FROM h GROUP BY bucket),
+    rt AS (SELECT sum(rcnt)::DOUBLE AS rtot FROM rc),
+    tc AS (SELECT bucket, count(*) AS tcnt
+           FROM h JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket),
+    tt AS (SELECT coalesce(sum(tcnt), 0)::DOUBLE AS ttot FROM tc),
+    model AS (
+      SELECT rc.bucket,
+             CAST(round((ln((coalesce(tcnt, 0) + 1.0) / (ttot + 1.0 * 1024))
+                       - ln((rcnt + 1.0) / (rtot + 1.0 * 1024))) * 1e9) AS BIGINT)
+               AS sdiff
+      FROM rc LEFT JOIN tc USING (bucket), rt, tt
+    ),
+    d AS (SELECT doc_id, bucket, count(*) AS dc FROM h GROUP BY doc_id, bucket)
+    SELECT doc_id, sum(dc)::BIGINT AS n_bigrams,
+           round((sum(dc * sdiff))::DOUBLE / 1e9, 6) AS log_importance
+    FROM d JOIN model USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def text_dsir(spark, sf_dir):
+    """DSIR importance weights (text.dsir_importance, Xie et al. 2023,
+    arXiv:2302.03169): score every document by log p_target − log p_raw
+    under hashed-bigram unigram models — the published recipe for
+    resampling raw pretraining data toward a target domain (here: the
+    'en'-labelled slice). The md5-derived 56-bit bucket hash is portable
+    (shard_manifest pattern), and per-bucket log-ratios are scaled to
+    INTEGERS (×1e9) before the per-doc fold, so the distributed sum is
+    order-independent and the query is hash-exact against the oracle."""
+    from .operators.text import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_importance(docs, target, "doc_id", "text", num_buckets=1024)
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey,
+             c_name || ' user' || CAST(c_custkey AS VARCHAR)
+             || '@mail.example.org tel +1 (202) 555-'
+             || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+             || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1' AS profile
+      FROM customer
+    )
+    SELECT c_custkey, profile,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(profile,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g')
+             AS redacted
+    FROM p
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction rewrite (text.redact_pii): every match of the
+    portable PII pattern set is replaced with a typed placeholder — the
+    cleaning-side complement to `with_pii_counts`' detection. Synthetic
+    but deterministic PII (email/phone/IP built from c_custkey, identical
+    expression in both engines) exercises all three patterns; the long
+    digit run inside c_name is intentionally caught by the phone pattern
+    in BOTH engines (redaction is conservative). Map-side regexp chain —
+    zero shuffle, whole-stage codegen."""
+    from .operators.text import redact_pii
+
+    c = _t(spark, sf_dir, "customer")
+    profile = F.concat(
+        F.col("c_name"),
+        F.lit(" user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.org tel +1 (202) 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    df = c.select("c_custkey", profile.alias("profile"))
+    return redact_pii(df, "profile", "redacted")
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n,
+           round((sum(CAST(o_totalprice AS DECIMAL(28,6))))::DOUBLE, 2) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def sql_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` surface (Spark 3.4+/4): every non-aggregate select
+    item becomes a grouping key at ANALYSIS time — the resolved plan is
+    byte-identical to the explicit GROUP BY the oracle spells out, so the
+    convenience syntax costs nothing at any scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE), 2)
+                 AS revenue
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "sql_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderpriority,
+             count(*)::DOUBLE AS n_orders,
+             (sum(CAST(o_totalprice AS DECIMAL(28,6))))::DOUBLE AS revenue
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'n_orders' AS metric, round(n_orders, 2) AS val FROM agg
+    UNION ALL
+    SELECT o_orderpriority, 'revenue' AS metric, round(revenue, 2) AS val FROM agg
+    """,
+)
+def sql_unpivot(spark, sf_dir):
+    """Native SQL ``UNPIVOT`` (Spark 3.4+): wide per-priority aggregates
+    rotate into (metric, value) rows inside the engine — an Expand node,
+    one row-multiplying projection, NO shuffle and no UDTF (the
+    `udtf_dynamic_unpivot` twin does the same job when the column set is
+    only known at plan time). Oracled against the dialect-portable
+    UNION ALL formulation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, round(val, 2) AS val FROM (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS DOUBLE) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY o_orderpriority
+        ) UNPIVOT (val FOR metric IN (n_orders, revenue))
+        """
+    )

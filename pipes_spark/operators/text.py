@@ -1192,3 +1192,167 @@ def bpe_segment(
 
     seg = F.pandas_udf(_segment_batch, "array<string>")
     return df.withColumn(out_col, seg(F.col(text_col)))
+
+
+def boilerplate_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_doc_frac: float = 0.05,
+) -> DataFrame:
+    """Template/boilerplate detection by n-gram document frequency (the
+    CCNet-style frequent-unit filter, adapted from lines to n-grams for
+    unstructured text): an n-gram is *boilerplate* when it appears in more
+    than ``min_doc_frac`` of all documents; per document, report how much
+    of its distinct n-gram vocabulary is boilerplate. High ratios mark
+    templated/scraped shells worth dropping before training.
+
+    Scale shape: one explode of per-doc DISTINCT shingles, one hash
+    aggregate for document frequency (map-side partial — the shuffle
+    carries (gram-hash, count), not documents), a broadcast of the 1-row
+    corpus count, and one join back. The document count N stays IN-PLAN
+    (1-row aggregate cross-joined broadcast, the tfidf/pmi_pairs pattern),
+    so construction fires no Spark job. Output:
+    ``(id, n_grams, boiler_grams, boiler_ratio)``.
+    """
+    from ..operators.dedup import word_shingles
+    from .scale import ensure_min_partitions
+
+    ex = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
+    )
+    # per-doc shingles are already distinct → count(1) IS document frequency
+    dfreq = ex.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    nd = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .filter(F.col("_df") >= F.col("_n_docs") * min_doc_frac)
+        .select("_g", F.lit(1).alias("_b"))
+    )
+    marked = ex.join(boiler, "_g", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("_b"), F.lit(0)).cast("bigint").alias("boiler_grams"),
+        )
+        .withColumn(
+            "boiler_ratio",
+            F.round(F.col("boiler_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by how target-like its
+    hashed-bigram distribution is — ``log p_target(doc) − log p_raw(doc)``
+    under bag-of-hashed-bigrams unigram models with add-``smoothing``
+    estimation over ``num_buckets`` hash features. Documents with high
+    ``log_importance`` are up-weighted when resampling pretraining data
+    toward the target domain.
+
+    Scale shape: the target side collapses to ``num_buckets`` rows
+    (bucket, log-prob) and is BROADCAST; the raw corpus aggregates its own
+    bucket counts the same way (two hash aggregates, map-side partial),
+    then each document folds Σ count·(log p_t − log p_r) over its own
+    buckets in one grouped aggregate — the shuffles carry (id, bucket,
+    count) triples only. Bucket = portable md5-derived 56-bit hash mod
+    ``num_buckets`` (identical in DuckDB, the shard_manifest pattern), so
+    the whole computation is oracle-exact. Both model totals stay IN-PLAN
+    as 1-row broadcast aggregates — construction fires no Spark job.
+    """
+    from .scale import ensure_min_partitions
+
+    def bucketed(frame: DataFrame, keep_id: bool):
+        toks = tokens(text_col)
+        grams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        cols = [F.col(id_col)] if keep_id else []
+        ex = ensure_min_partitions(frame).select(*cols, F.explode(grams).alias("_gram"))
+        return ex.select(
+            *cols,
+            (
+                F.conv(F.substring(F.md5(F.col("_gram")), 1, 14), 16, 10)
+                .cast("decimal(38,0)")
+                .cast("bigint")
+                % num_buckets
+            ).alias("_bucket"),
+        )
+
+    # raw-corpus model: per-bucket counts + the 1-row total, all in-plan
+    raw_counts = bucketed(df, keep_id=True).groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("_rc")
+    )
+    raw_total = raw_counts.agg(F.sum("_rc").cast("double").alias("_rt"))
+    tgt_counts = bucketed(target, keep_id=False).groupBy("_bucket").agg(
+        F.count(F.lit(1)).alias("_tc")
+    )
+    tgt_total = tgt_counts.agg(
+        F.coalesce(F.sum("_tc"), F.lit(0)).cast("double").alias("_tt")
+    )
+
+    # per-bucket log-ratio, scaled to an INTEGER (×1e9): the per-document
+    # score then sums exactly in any order — float-summation order, the
+    # one thing a distributed groupBy cannot pin, never enters the result
+    sm = F.lit(float(smoothing))
+    nb = F.lit(float(num_buckets))
+    log_ratio = F.log(
+        (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + sm)
+        / (F.col("_tt") + sm * nb)
+    ) - F.log(
+        (F.col("_rc").cast("double") + sm) / (F.col("_rt") + sm * nb)
+    )
+    model = (
+        raw_counts.join(tgt_counts, "_bucket", "left")
+        .crossJoin(F.broadcast(raw_total))
+        .crossJoin(F.broadcast(tgt_total))
+        .select(
+            "_bucket",
+            F.round(log_ratio * F.lit(1e9)).cast("decimal(38,0)").alias("_sdiff"),
+        )
+    )
+
+    # per-document bucket counts fold against the broadcast model; every
+    # document bucket exists in the raw model by construction
+    doc = bucketed(df, keep_id=True).groupBy(F.col(id_col), F.col("_bucket")).agg(
+        F.count(F.lit(1)).alias("_dc")
+    )
+    return (
+        doc.join(F.broadcast(model), "_bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_dc").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("_dc").cast("decimal(38,0)") * F.col("_sdiff"))
+                .cast("double")
+                / F.lit(1e9),
+                6,
+            ).alias("log_importance"),
+        )
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """PII redaction rewrite: replace every :data:`PII_PATTERNS` match with
+    ``<PATTERN>`` placeholders (email → ``<EMAIL>``, …). Map-side
+    ``regexp_replace`` chain — zero shuffle, whole-stage codegen, and the
+    patterns are the same dialect-portable set `with_pii_counts` counts,
+    so the redaction is oracle-exact."""
+    c = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, F.lit(pat), F.lit(f"<{name.upper()}>"))
+    return df.withColumn(out_col, c)

@@ -1,0 +1,64 @@
+"""Round-5 operator tests: boilerplate n-gram stats, DSIR importance
+weights, PII redaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_boilerplate_flags_frequent_bigram(spark):
+    """A bigram present in most documents is boilerplate; documents made of
+    unique vocabulary score zero."""
+    from pipes_spark.operators.text import boilerplate_ngram_stats
+
+    rows = [(i, f"visit our site today unique{i} word{i}") for i in range(8)]
+    rows.append((8, "completely different tokens here"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_stats(df, n=2, min_doc_frac=0.5).collect()
+    }
+    # the 8 templated docs share 'visit our'/'our site'/'site today' (df=8/9)
+    for i in range(8):
+        assert out[i]["boiler_grams"] == 3
+        assert 0 < out[i]["boiler_ratio"] < 1
+    assert out[8]["boiler_grams"] == 0 and out[8]["boiler_ratio"] == 0.0
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """Documents written in the target style must out-score off-domain
+    documents, and n_bigrams is len(tokens)-1."""
+    from pipes_spark.operators.text import dsir_importance
+
+    target_style = "alpha beta gamma delta alpha beta"
+    other_style = "omega psi chi phi omega psi"
+    rows = [(i, target_style) for i in range(5)] + [
+        (i + 5, other_style) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = df.filter(F.col("doc_id") < 5)
+    out = {r["doc_id"]: r for r in dsir_importance(df, target).collect()}
+    assert all(out[i]["n_bigrams"] == 5 for i in out)
+    on_domain = min(out[i]["log_importance"] for i in range(5))
+    off_domain = max(out[i]["log_importance"] for i in range(5, 10))
+    assert on_domain > off_domain
+
+
+def test_redact_pii_replaces_all_patterns(spark):
+    """Email, phone, and IPv4 all collapse to typed placeholders; clean
+    text passes through untouched."""
+    from pipes_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail jane.doe@corp.example.com or call +1 (555) 867-5309 now"),
+            (2, "server at 192.168.10.20 responded"),
+            (3, "nothing sensitive here"),
+        ],
+        "id bigint, text string",
+    )
+    got = {r["id"]: r["redacted"] for r in redact_pii(df).collect()}
+    assert "<EMAIL>" in got[1] and "<PHONE>" in got[1]
+    assert "jane.doe" not in got[1] and "867" not in got[1]
+    assert got[2] == "server at <IPV4> responded"
+    assert got[3] == "nothing sensitive here"
