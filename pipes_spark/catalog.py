@@ -3959,9 +3959,13 @@ _GRADED_WINDOW = [
     # profiling / statistics / quality
     "stats_linear_fit", "profile_orders", "stats_correlation",
     "quality_orders",
-    # dedup / similarity / text (oracled paths)
+    # dedup / similarity / text (oracled paths). Round-5 curation #2:
+    # text_sparse_cosine (hash-graded green in r04) hands its slot to
+    # text_dsir — a brand-new family (hashed-bigram importance weights)
+    # the driver has never graded; text_sparse_cosine re-registers right
+    # after the window and stays locally gated.
     "dedup_exact_docs", "dedup_lsh_verified",
-    "text_sparse_cosine",
+    "text_dsir",
     "sim_cosine_neardup", "sim_cosine_topk",
     # round-5 curation: families the driver has never hash-graded —
     # recursive CTE, retractable incremental aggregation, and a REAL

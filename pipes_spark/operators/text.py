@@ -1230,7 +1230,10 @@ def boilerplate_ngram_stats(
         .filter(F.col("_df") >= F.col("_n_docs") * min_doc_frac)
         .select("_g", F.lit(1).alias("_b"))
     )
-    marked = ex.join(boiler, "_g", "left")
+    # the boiler set is inherently tiny (grams in ≥min_doc_frac of ALL
+    # docs); broadcast it so the full gram stream never shuffles here —
+    # the op's only shuffles are the two map-side-combined aggregates
+    marked = ex.join(F.broadcast(boiler), "_g", "left")
     return (
         marked.groupBy(id_col)
         .agg(

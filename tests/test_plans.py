@@ -585,3 +585,30 @@ def test_laziness_exemptions_are_declared_queries():
     """The exemption list must not rot: every entry names a live query."""
     unknown = sorted(set(CONSTRUCTION_JOB_EXEMPT) - set(QUERIES))
     assert not unknown, f"exempt names not in registry: {unknown}"
+
+
+def test_pii_redact_plans_zero_exchange(spark, sf_dir):
+    """The redaction rewrite is a pure map-side regexp chain — no shuffle
+    may appear anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan
+    # the starred project is the whole-stage-codegen span
+    assert re.search(r"\*\(\d+\) Project", plan)
+
+
+def test_dsir_model_join_broadcasts(spark, sf_dir):
+    """The per-doc fold joins the (≤num_buckets)-row model via broadcast —
+    the corpus-sized (id, bucket) stream must never sort-merge against
+    it."""
+    plan = _plan(spark, sf_dir, "text_dsir")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_mark_join_broadcasts(spark, sf_dir):
+    """The boiler-gram set (grams in ≥min_doc_frac of all docs — inherently
+    tiny) is broadcast, so the full gram stream shuffles only for the two
+    map-side-combined aggregates."""
+    plan = _plan(spark, sf_dir, "text_boilerplate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -317,3 +317,40 @@ def test_activity_streak_invariants(spark, rows):
         ds = sorted(days)
         runs = 1 + sum(1 for a, b in zip(ds, ds[1:]) if b - a > 1)
         assert r["n_streaks"] == runs
+
+
+pii_texts = st.lists(
+    st.one_of(
+        st.text(
+            alphabet="abcdefghij @.-+()0123456789",
+            min_size=0,
+            max_size=60,
+        ),
+        st.just("reach me at bob.lee@site.example.org today"),
+        st.just("call +1 (415) 555-0134 or 172.16.254.3 now"),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=pii_texts)
+def test_redact_pii_is_idempotent_and_leaves_no_matches(spark, texts):
+    """Redaction is a fixed point: redacting already-redacted text changes
+    nothing, and no PII pattern matches the output."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.text import PII_PATTERNS, redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id bigint, text string"
+    )
+    once = redact_pii(df, "text", "r1")
+    twice = redact_pii(once.select("id", F.col("r1").alias("text")), "text", "r2")
+    for row in twice.collect():
+        assert row["r2"] == row["text"]  # fixed point
+        for pat in PII_PATTERNS.values():
+            assert not _re.search(pat, row["r2"])
