@@ -12273,3 +12273,57 @@ def sql_unpivot(spark, sf_dir):
         ) UNPIVOT (val FOR metric IN (n_orders, revenue))
         """
     )
+
+
+@query(
+    "sketch_count_min",
+    oracle="""
+    WITH items AS (
+      SELECT l_partkey, CAST(l_partkey AS VARCHAR) AS s, count(*) AS exact_cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT seed,
+             CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                   || CAST(l_partkey AS VARCHAR)), 1, 14)) AS BIGINT) % 1024
+               AS bucket
+      FROM lineitem, (SELECT unnest([0, 1, 2, 3]) AS seed)
+    ),
+    sk AS (SELECT seed, bucket, count(*) AS cnt FROM pairs GROUP BY seed, bucket),
+    probes AS (
+      SELECT i.l_partkey, i.exact_cnt, seed,
+             CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 14))
+                  AS BIGINT) % 1024 AS bucket
+      FROM items i, (SELECT unnest([0, 1, 2, 3]) AS seed)
+    )
+    SELECT p.l_partkey, p.exact_cnt::BIGINT AS exact_cnt,
+           min(sk.cnt)::BIGINT AS cm_estimate,
+           (min(sk.cnt) - p.exact_cnt)::BIGINT AS overcount
+    FROM probes p JOIN sk USING (seed, bucket)
+    GROUP BY p.l_partkey, p.exact_cnt
+    """,
+)
+def sketch_count_min(spark, sf_dir):
+    """Count-Min sketch frequency audit (rollup.count_min_sketch /
+    count_min_estimate, Cormode & Muthukrishnan 2005): every l_partkey's
+    estimated count from a 4×1024 sketch beside its exact count — the
+    overcount column IS the collision error the ε=e/width bound promises.
+    The sketch is a bounded (seed, bucket, cnt) table built in one
+    map-side-combined aggregate and MERGEABLE across shards
+    (count_min_merge; pytest proves merge ≡ sketch-of-union). md5-derived
+    buckets ride BIGINT identically in DuckDB, so the whole sketch —
+    build, lookup, min — is hash-exact against the oracle."""
+    from .operators.rollup import count_min_estimate, count_min_sketch
+
+    li = _t(spark, sf_dir, "lineitem")
+    sk = count_min_sketch(li, "l_partkey", depth=4, width=1024)
+    items = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = count_min_estimate(
+        items.select("l_partkey"), sk, "l_partkey", depth=4, width=1024
+    )
+    return est.join(items, "l_partkey").select(
+        "l_partkey",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )

@@ -252,3 +252,100 @@ def sketch_overlap(
             inter / F.nullif(F.least(F.col("_ea"), F.col("_eb")), F.lit(0.0)), 6
         ).alias("overlap_frac"),
     )
+
+
+def _cm_bucket(item, seed: int, width: int):
+    """Portable seed-derived Count-Min bucket: md5-derived 56-bit hash of
+    ``seed ':' item`` mod width (the shard_manifest digest pattern — rides
+    BIGINT identically in DuckDB, so sketches are oracle-exact)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), item)), 1, 14), 16, 10
+        )
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        % width
+    )
+
+
+def count_min_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of an item stream as
+    a ``(seed, bucket, cnt)`` table — at most depth×width rows no matter
+    how many items flow through. The sketch is MERGEABLE: sketches of two
+    partitions sum element-wise into the sketch of their union (see
+    ``count_min_merge``), which is what makes it a per-shard ingest
+    artifact at 100 TB — the rollup-table shape, like the HLL sketches
+    above, but for frequencies instead of distinct counts.
+
+    Scale shape: each row fans out to ``depth`` (seed, bucket) pairs
+    map-side (depth md5 evaluations, whole-stage codegen), then ONE
+    map-side-combined aggregate — the shuffle carries at most depth×width
+    (long, long, count) triples per map task, regardless of input size.
+    """
+    item = F.col(item_col).cast("string")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("seed"),
+                        _cm_bucket(item, s, width).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("_sb")
+    )
+    return (
+        pairs.select(F.col("_sb.seed").alias("seed"), F.col("_sb.bucket").alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Element-wise sum of Count-Min sketches built with the same
+    (depth, width): the sketch of the unioned streams — the mergeability
+    contract that lets shards sketch independently and combine later."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("seed", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def count_min_estimate(
+    items: DataFrame,
+    sketch: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Frequency estimates for ``items`` from a Count-Min sketch: recompute
+    each item's ``depth`` buckets, look them up in the BROADCAST sketch
+    (≤ depth×width rows), and take the minimum — always ≥ the true count,
+    overestimating only on bucket collisions. Items-side work is map-side;
+    the only shuffle is the per-item min aggregate of (item, cnt) pairs."""
+    item = F.col(item_col).cast("string")
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("seed"),
+                        _cm_bucket(item, s, width).alias("bucket"),
+                    )
+                    for s in range(depth)
+                ]
+            )
+        ).alias("_sb"),
+    ).select(
+        F.col(item_col), F.col("_sb.seed").alias("seed"), F.col("_sb.bucket").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+    )

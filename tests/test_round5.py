@@ -62,3 +62,41 @@ def test_redact_pii_replaces_all_patterns(spark):
     assert "jane.doe" not in got[1] and "867" not in got[1]
     assert got[2] == "server at <IPV4> responded"
     assert got[3] == "nothing sensitive here"
+
+
+def test_count_min_overestimates_and_merges(spark):
+    """CM estimates never undercount, equal exact counts in the
+    collision-free regime, and sketches merge: merge(sk(A), sk(B)) is
+    byte-identical to the sketch of A∪B."""
+    from pipes_spark.operators.rollup import (
+        count_min_estimate,
+        count_min_merge,
+        count_min_sketch,
+    )
+
+    rows = [(i % 10,) for i in range(100)] + [(99,)] * 50
+    df = spark.createDataFrame(rows, "item bigint")
+    sk = count_min_sketch(df, "item", depth=4, width=512)
+    items = df.select("item").distinct()
+    est = {
+        r["item"]: r["cm_estimate"]
+        for r in count_min_estimate(items, sk, "item", depth=4, width=512).collect()
+    }
+    exact = {i: 10 for i in range(10)}
+    exact[99] = 50
+    for item, cnt in exact.items():
+        assert est[item] >= cnt
+    # 11 items in 512 buckets: expect the collision-free exact regime
+    assert est == exact
+
+    a = df.filter(F.col("item") < 5)
+    b = df.filter(F.col("item") >= 5)
+    merged = count_min_merge(
+        count_min_sketch(a, "item", depth=4, width=512),
+        count_min_sketch(b, "item", depth=4, width=512),
+    )
+    want = {
+        (r["seed"], r["bucket"]): r["cnt"] for r in sk.collect()
+    }
+    got = {(r["seed"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == want
