@@ -12327,3 +12327,59 @@ def sketch_count_min(spark, sf_dir):
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
     )
+
+
+@query(
+    "streaming_count_min",
+    oracle="""
+    WITH items AS (
+      SELECT user_id, CAST(user_id AS VARCHAR) AS s, count(*) AS exact_cnt
+      FROM events GROUP BY user_id
+    ),
+    pairs AS (
+      SELECT seed,
+             CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                   || CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) % 1024
+               AS bucket
+      FROM events, (SELECT unnest([0, 1, 2, 3]) AS seed)
+    ),
+    sk AS (SELECT seed, bucket, count(*) AS cnt FROM pairs GROUP BY seed, bucket),
+    probes AS (
+      SELECT i.user_id, i.exact_cnt, seed,
+             CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || s), 1, 14))
+                  AS BIGINT) % 1024 AS bucket
+      FROM items i, (SELECT unnest([0, 1, 2, 3]) AS seed)
+    )
+    SELECT p.user_id, p.exact_cnt::BIGINT AS exact_cnt,
+           min(sk.cnt)::BIGINT AS cm_estimate,
+           (min(sk.cnt) - p.exact_cnt)::BIGINT AS overcount
+    FROM probes p JOIN sk USING (seed, bucket)
+    GROUP BY p.user_id, p.exact_cnt
+    """,
+)
+def streaming_count_min(spark, sf_dir):
+    """Count-Min under streaming ingest (streaming.streaming_count_min):
+    each micro-batch sketches independently and the bounded sketches merge
+    across batches — mergeability makes the live result IDENTICAL to the
+    offline batch sketch regardless of micro-batch boundaries, which is
+    why the deterministic batch-twin SQL is a valid hash-exact oracle.
+    Per-batch state is the depth×width table, never rows; pytest
+    additionally proves the multi-batch split (maxFilesPerTrigger=1 over
+    two files) merges to the single-batch sketch."""
+    from .operators.rollup import count_min_estimate
+    from .sources import load_table
+    from .streaming import streaming_count_min as _scm
+
+    stream = _events_stream(spark, sf_dir)
+    sketch = _scm(stream, "user_id", depth=4, width=1024)
+    events = load_table(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = count_min_estimate(
+        exact.select("user_id"), sketch, "user_id", depth=4, width=1024
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )

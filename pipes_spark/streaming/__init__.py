@@ -1021,3 +1021,34 @@ def transform_with_state_sessions(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+def streaming_count_min(
+    stream_df: DataFrame, item_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Streaming Count-Min: sketch each micro-batch independently, merge
+    across batches (rollup.count_min_merge) — the sketch's mergeability
+    makes the result IDENTICAL to the batch sketch of the full stream no
+    matter how the engine splits micro-batches, so frequency estimates
+    from a live ingest equal the offline ones. Per-batch state is the
+    bounded depth×width (seed, bucket, cnt) table (`localCheckpoint`ed —
+    a few KB a batch), never the rows. Runs the stream to completion
+    (``availableNow``) and returns the merged sketch."""
+    from ..operators.rollup import count_min_merge, count_min_sketch
+
+    spark = stream_df.sparkSession
+    parts: list[DataFrame] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sk = count_min_sketch(batch, item_col, depth, width)
+        parts.append(sk.localCheckpoint(eager=True))
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not parts:
+        return spark.createDataFrame([], "seed bigint, bucket bigint, cnt bigint")
+    return count_min_merge(*parts)

@@ -740,3 +740,41 @@ def test_transform_with_state_map_counts_cross_batch(spark, tmp_path):
     }
     assert shape(0) == {1: {"a": 2, "b": 1}, 2: {"a": 1}}
     assert shape(1) == {1: {"a": 2, "b": 2, "c": 1}}
+
+
+def test_streaming_count_min_merge_equals_single_batch_sketch(spark, tmp_path):
+    """The merged per-micro-batch sketches (maxFilesPerTrigger=1 over two
+    files) are byte-identical to the one-shot batch sketch of all rows —
+    micro-batch boundaries never change the result."""
+    from pipes_spark.operators.rollup import count_min_sketch
+    from pipes_spark.streaming import streaming_count_min
+
+    schema = "item long"
+    a = [(i % 7,) for i in range(60)]
+    b = [(i % 11,) for i in range(40)]
+    d = str(tmp_path / "cm")
+    spark.createDataFrame(a, schema).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{d}/b1")
+    stream_dir = str(tmp_path / "cm_in")
+    os.makedirs(stream_dir)
+    files = sorted(
+        f"{d}/b{i}/{f}"
+        for i in range(2)
+        for f in os.listdir(f"{d}/b{i}")
+        if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), f"{stream_dir}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    merged = streaming_count_min(stream, "item", depth=4, width=256)
+    batch = count_min_sketch(
+        spark.createDataFrame(a + b, schema), "item", depth=4, width=256
+    )
+    got = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
+    want = {(r.seed, r.bucket): r.cnt for r in batch.collect()}
+    assert got == want and len(want) > 0
