@@ -284,8 +284,10 @@ def count_min_sketch(
     map-side-combined aggregate — the shuffle carries at most depth×width
     (long, long, count) triples per map task, regardless of input size.
     """
+    from .scale import ensure_min_partitions
+
     item = F.col(item_col).cast("string")
-    pairs = df.select(
+    pairs = ensure_min_partitions(df).select(
         F.explode(
             F.array(
                 *[
@@ -325,7 +327,9 @@ def count_min_estimate(
     """Frequency estimates for ``items`` from a Count-Min sketch: recompute
     each item's ``depth`` buckets, look them up in the BROADCAST sketch
     (≤ depth×width rows), and take the minimum — always ≥ the true count,
-    overestimating only on bucket collisions. Items-side work is map-side;
+    overestimating only on bucket collisions. A bucket the sketch never
+    touched reads as 0 (left join + coalesce), so never-seen items
+    estimate 0 instead of vanishing. Items-side work is map-side;
     the only shuffle is the per-item min aggregate of (item, cnt) pairs."""
     item = F.col(item_col).cast("string")
     probes = items.select(
@@ -345,7 +349,11 @@ def count_min_estimate(
         F.col(item_col), F.col("_sb.seed").alias("seed"), F.col("_sb.bucket").alias("bucket")
     )
     return (
-        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy(item_col)
-        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("bigint")
+            .alias("cm_estimate")
+        )
     )

@@ -1270,8 +1270,11 @@ def dsir_importance(
     buckets in one grouped aggregate — the shuffles carry (id, bucket,
     count) triples only. Bucket = portable md5-derived 56-bit hash mod
     ``num_buckets`` (identical in DuckDB, the shard_manifest pattern), so
-    the whole computation is oracle-exact. Both model totals stay IN-PLAN
-    as 1-row broadcast aggregates — construction fires no Spark job.
+    the whole computation is oracle-exact. Model totals stay IN-PLAN as
+    global windows over the bounded bucket table — construction fires no
+    Spark job, and the corpus is tokenized exactly once (the per-doc
+    triple table is scope-persisted and feeds both the raw model and the
+    final fold).
     """
     from .scale import ensure_min_partitions
 
@@ -1296,44 +1299,60 @@ def dsir_importance(
             ).alias("_bucket"),
         )
 
-    # raw-corpus model: per-bucket counts + the 1-row total, all in-plan
-    raw_counts = bucketed(df, keep_id=True).groupBy("_bucket").agg(
-        F.count(F.lit(1)).alias("_rc")
+    # per-document bucket counts — the ONE tokenize+hash pass over the raw
+    # corpus, persisted for the scope because BOTH the raw model and the
+    # final fold consume it (Spark shares no subplans across branches).
+    # Size bound: ≤ n_docs × min(num_buckets, doc_len) 24-byte triples —
+    # MEMORY_AND_DISK-safe orders of magnitude under the corpus itself.
+    from ..caching import scoped_persist
+
+    doc = scoped_persist(
+        bucketed(df, keep_id=True)
+        .groupBy(F.col(id_col), F.col("_bucket"))
+        .agg(F.count(F.lit(1)).alias("_dc"))
     )
-    raw_total = raw_counts.agg(F.sum("_rc").cast("double").alias("_rt"))
+    raw_counts = doc.groupBy("_bucket").agg(F.sum("_dc").alias("_rc"))
     tgt_counts = bucketed(target, keep_id=False).groupBy("_bucket").agg(
         F.count(F.lit(1)).alias("_tc")
     )
-    tgt_total = tgt_counts.agg(
-        F.coalesce(F.sum("_tc"), F.lit(0)).cast("double").alias("_tt")
-    )
 
-    # per-bucket log-ratio, scaled to an INTEGER (×1e9): the per-document
-    # score then sums exactly in any order — float-summation order, the
-    # one thing a distributed groupBy cannot pin, never enters the result
+    # model totals as global windows over the ≤num_buckets-row bucket
+    # table (bounded single-partition window — not a corpus re-scan), and
+    # the per-bucket log-ratio scaled to an INTEGER (×1e9): the
+    # per-document score then sums exactly in any order — float-summation
+    # order, the one thing a distributed groupBy cannot pin, never enters
+    # the result
+    from pyspark.sql import Window
+
     sm = F.lit(float(smoothing))
     nb = F.lit(float(num_buckets))
+    everything = Window.partitionBy()
+    rt = F.sum("_rc").over(everything).cast("double")
+    tt = F.sum("_tc").over(everything).cast("double")
     log_ratio = F.log(
-        (F.coalesce(F.col("_tc"), F.lit(0)).cast("double") + sm)
-        / (F.col("_tt") + sm * nb)
-    ) - F.log(
-        (F.col("_rc").cast("double") + sm) / (F.col("_rt") + sm * nb)
-    )
+        (F.col("_tc").cast("double") + sm) / (tt + sm * nb)
+    ) - F.log((F.col("_rc").cast("double") + sm) / (rt + sm * nb))
+    # union + re-aggregate instead of a full-outer join (which cannot
+    # broadcast): joins vanish from the model entirely, and a target that
+    # is NOT a subset of the corpus (DSIR's usual case — an external
+    # domain sample) still contributes its whole mass to the totals
     model = (
-        raw_counts.join(tgt_counts, "_bucket", "left")
-        .crossJoin(F.broadcast(raw_total))
-        .crossJoin(F.broadcast(tgt_total))
+        raw_counts.select("_bucket", "_rc", F.lit(0).cast("bigint").alias("_tc"))
+        .unionByName(
+            tgt_counts.select(
+                "_bucket", F.lit(0).cast("bigint").alias("_rc"), "_tc"
+            )
+        )
+        .groupBy("_bucket")
+        .agg(F.sum("_rc").alias("_rc"), F.sum("_tc").alias("_tc"))
         .select(
             "_bucket",
             F.round(log_ratio * F.lit(1e9)).cast("decimal(38,0)").alias("_sdiff"),
         )
     )
 
-    # per-document bucket counts fold against the broadcast model; every
-    # document bucket exists in the raw model by construction
-    doc = bucketed(df, keep_id=True).groupBy(F.col(id_col), F.col("_bucket")).agg(
-        F.count(F.lit(1)).alias("_dc")
-    )
+    # the per-document fold against the broadcast model; every document
+    # bucket exists in the raw model by construction
     return (
         doc.join(F.broadcast(model), "_bucket")
         .groupBy(id_col)

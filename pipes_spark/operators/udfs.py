@@ -248,7 +248,11 @@ def grouped_minmax_arrow(
         v = table.column(value_col)
         mm = pc.min_max(v)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
-        if lo is None or hi is None or hi == lo:
+        if lo is None or hi is None:
+            # all-NULL group: the SQL window twin's CASE sees NULL = NULL
+            # as unknown and yields NULL — match it, don't invent 0.0
+            scaled = pa.array([None] * len(table), type=pa.float64())
+        elif hi == lo:
             scaled = pa.array([0.0] * len(table), type=pa.float64())
         else:
             scaled = pc.divide(

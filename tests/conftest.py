@@ -11,7 +11,14 @@ os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 def spark():
     from pipes_spark.session import get_spark
 
-    s = get_spark("pipes_spark_tests", shuffle_partitions=4)
+    # retainedExecutions defaults to 1000 and the status store EVICTS
+    # completed executions past it — action_audit's exact deltas would
+    # read ~0 once the suite accumulates enough executions; retain plenty
+    s = get_spark(
+        "pipes_spark_tests",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.ui.retainedExecutions": "100000"},
+    )
     yield s
     s.stop()
 

@@ -2086,11 +2086,13 @@ def test_average_precision_matches_sklearn_formula(spark):
 
 def test_grouped_minmax_arrow_scales_per_group(spark):
     """applyInArrow grouped map: per-group min-max scaling; a constant
-    group has zero range and scales to 0.0 throughout."""
+    group has zero range and scales to 0.0 throughout; an all-NULL group
+    yields NULL (matching the SQL window twin's CASE semantics)."""
     from pipes_spark.operators.udfs import grouped_minmax_arrow
 
     df = spark.createDataFrame(
-        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (2, 4, 7.0), (2, 5, 7.0)],
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (2, 4, 7.0), (2, 5, 7.0),
+         (3, 6, None), (3, 7, None)],
         "user_id bigint, event_id bigint, value double",
     )
     got = {
@@ -2099,3 +2101,4 @@ def test_grouped_minmax_arrow_scales_per_group(spark):
     }
     assert got[1] == 0.0 and got[2] == 1.0 and abs(got[3] - 0.5) < 1e-12
     assert got[4] == 0.0 and got[5] == 0.0  # zero-range group
+    assert got[6] is None and got[7] is None  # all-NULL group

@@ -89,6 +89,12 @@ def test_count_min_overestimates_and_merges(spark):
     # 11 items in 512 buckets: expect the collision-free exact regime
     assert est == exact
 
+    # a never-seen item estimates 0 (left join + coalesce), not a dropped
+    # row or a collided positive count
+    unseen = spark.createDataFrame([(123456,)], "item bigint")
+    got = count_min_estimate(unseen, sk, "item", depth=4, width=512).collect()
+    assert len(got) == 1 and got[0]["cm_estimate"] == 0
+
     a = df.filter(F.col("item") < 5)
     b = df.filter(F.col("item") >= 5)
     merged = count_min_merge(
