@@ -12383,3 +12383,38 @@ def streaming_count_min(spark, sf_dir):
         "cm_estimate",
         (F.col("cm_estimate") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n_above
+    FROM orders
+    WHERE CAST(o_totalprice AS DOUBLE) >
+          (SELECT CAST(avg(o_totalprice) AS DOUBLE) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting(spark, sf_dir):
+    """SQL scripting surface (Spark 4.0, ISO/IEC 9075-4 SQL/PSM): a
+    BEGIN…END block with a DECLAREd session variable SET from one query
+    and consumed by the next — the procedural two-statement form of the
+    scalar-subquery oracle twin. The script body executes at ``sql()``
+    time by design (statements run in order), so this query carries a
+    documented construction-time-execution exemption — the scripted
+    statements ARE the contract, exactly like the reference running a
+    provider chain at build (ref: pipe/builder.go:110-135)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DOUBLE DEFAULT 0;
+          SET cutoff = (SELECT CAST(avg(o_totalprice) AS DOUBLE) FROM orders);
+          SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_above
+          FROM orders
+          WHERE CAST(o_totalprice AS DOUBLE) > cutoff
+          GROUP BY o_orderpriority;
+        END
+        """
+    )

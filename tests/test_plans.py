@@ -554,6 +554,7 @@ CONSTRUCTION_JOB_EXEMPT = {
     "sim_ivfpq_topk": "IVFPQ codebook training sample",
     "quality_observed": "observe-API demo: metrics exist only after a run",
     "scan_transpose": "Spark transpose() collects the index values",
+    "sql_scripting": "SQL script body executes statements at sql() time",
 }
 
 
