@@ -12418,3 +12418,31 @@ def sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@query(
+    "agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           count(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_listagg(spark, sf_dir):
+    """``listagg`` surface (new in Spark 4.0, ISO/IEC 9075-2): ordered
+    DISTINCT string aggregation WITHIN GROUP — the deterministic form
+    (explicit ORDER BY) that is safe to oracle; an unordered listagg is
+    partitioning-dependent and would never hash-match anything. Oracled
+    against DuckDB's ordered string_agg."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               listagg(DISTINCT o_orderstatus, ',')
+                 WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
