@@ -12446,3 +12446,49 @@ def agg_listagg(spark, sf_dir):
         FROM orders GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "geo_trajectory_pairs",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+        floor((CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
+               'elat')), 1, 8)) AS BIGINT) % 2000) / 100) * 100
+        + floor((CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
+               'elon')), 1, 8)) AS BIGINT) % 2000) / 100) AS cell
+      FROM events
+    ),
+    sizes AS (SELECT user_id, count(*) AS sz FROM pts GROUP BY user_id),
+    shared AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS shared_cells
+      FROM pts a JOIN pts b ON a.cell = b.cell AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT id_a, id_b, shared_cells::BIGINT AS shared_cells,
+           round(shared_cells / (sa.sz + sb.sz - shared_cells), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.user_id = id_a
+    JOIN sizes sb ON sb.user_id = id_b
+    WHERE round(shared_cells / (sa.sz + sb.sz - shared_cells), 6) >= 0.1
+    """,
+)
+def geo_trajectory_pairs(spark, sf_dir):
+    """Trajectory similarity join (geo.trajectory_jaccard_pairs, the
+    grid-snapped set reduction of REPOSE's distributed trajectory top-k,
+    ICDE 2021): users whose visited-cell footprints overlap with Jaccard
+    ≥ 0.1. Per-event coordinates synthesized from portable md5 buckets
+    (testdata has no geo columns) snapped to a 20×20 integer grid —
+    ALL-integer cell derivation, so both engines bucket identically.
+    Candidates from the cell-keyed posting self-join (never n²); set
+    sizes broadcast onto surviving pairs."""
+    from .operators.geo import trajectory_jaccard_pairs
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    cell = (
+        F.floor((hash_bucket(F.col("event_id"), "elat") % 2000) / F.lit(100)) * 100
+        + F.floor((hash_bucket(F.col("event_id"), "elon") % 2000) / F.lit(100))
+    ).cast("bigint")
+    visits = ev.select("user_id", cell.alias("cell"))
+    return trajectory_jaccard_pairs(visits, "user_id", "cell", threshold=0.1)

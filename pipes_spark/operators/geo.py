@@ -202,3 +202,54 @@ def geo_hotspots(
             ),
         )
     )
+
+
+def trajectory_jaccard_pairs(
+    visits: DataFrame,
+    id_col: str = "user_id",
+    cell_col: str = "cell",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Trajectory similarity join over visited-cell SETS (the distributed
+    top-k trajectory-similarity problem of REPOSE, ICDE 2021, reduced to
+    its grid-snapped set form): entities whose movement footprints overlap
+    — Jaccard of the distinct grid cells each entity visited — above
+    ``threshold``.
+
+    Scale shape: the posting-list self-join (the LSH-banding/AllPairs
+    shape) — candidates must share a CELL, so the join key is the cell,
+    the shuffle carries (cell, id) pairs, and nothing ever goes n².
+    Entity set sizes are a tiny table broadcast onto the surviving pairs.
+    Hot cells (airports) fatten postings quadratically — at scale either
+    drop the densest percentile of cells first (a boilerplate-style
+    frequency gate) or generate candidates with `dedup.similar_sets`
+    (set-MinHash LSH) and keep this exact join as the verifier.
+    """
+    v = visits.select(F.col(id_col), F.col(cell_col).alias("_c")).distinct()
+    sizes = v.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    a = v.select(F.col(id_col).alias("id_a"), "_c")
+    b = v.select(F.col(id_col).alias("id_b"), "_c")
+    shared = (
+        a.join(b, "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_cells"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_sa"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_sb"))
+    jac = F.round(
+        F.col("shared_cells")
+        / (F.col("_sa") + F.col("_sb") - F.col("shared_cells")),
+        6,
+    )
+    return (
+        shared.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared_cells").cast("bigint").alias("shared_cells"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -106,3 +106,30 @@ def test_count_min_overestimates_and_merges(spark):
     }
     got = {(r["seed"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == want
+
+
+def test_trajectory_jaccard_pairs_golden(spark):
+    """Hand-computed footprints: overlap ratio exact, disjoint pairs and
+    sub-threshold pairs excluded, duplicate visits to a cell count once."""
+    from pipes_spark.operators.geo import trajectory_jaccard_pairs
+
+    rows = [
+        (1, 10), (1, 11), (1, 12), (1, 12),   # user 1: {10, 11, 12}
+        (2, 11), (2, 12), (2, 13),            # user 2: {11, 12, 13}
+        (3, 99),                               # user 3: disjoint
+        (4, 10), (4, 50), (4, 51), (4, 52), (4, 53), (4, 54), (4, 55),
+        (4, 56), (4, 57), (4, 58),            # user 4: 1 shared of 10 -> J=1/12
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, cell bigint")
+    got = {
+        (r["id_a"], r["id_b"]): (r["shared_cells"], r["jaccard"])
+        for r in trajectory_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): (2, 0.5)}  # |{11,12}| / |{10,11,12,13}|
+    # lower threshold surfaces the weak pair too, never the disjoint one
+    low = {
+        (r["id_a"], r["id_b"])
+        for r in trajectory_jaccard_pairs(df, threshold=0.05).collect()
+    }
+    assert (1, 4) in low and (1, 2) in low
+    assert not any(3 in p for p in low)
