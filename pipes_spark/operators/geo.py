@@ -209,6 +209,7 @@ def trajectory_jaccard_pairs(
     id_col: str = "user_id",
     cell_col: str = "cell",
     threshold: float = 0.1,
+    max_cell_posting: int = None,
 ) -> DataFrame:
     """Trajectory similarity join over visited-cell SETS (the distributed
     top-k trajectory-similarity problem of REPOSE, ICDE 2021, reduced to
@@ -220,15 +221,29 @@ def trajectory_jaccard_pairs(
     shape) — candidates must share a CELL, so the join key is the cell,
     the shuffle carries (cell, id) pairs, and nothing ever goes n².
     Entity set sizes are a tiny table broadcast onto the surviving pairs.
-    Hot cells (airports) fatten postings quadratically — at scale either
-    drop the densest percentile of cells first (a boilerplate-style
-    frequency gate) or generate candidates with `dedup.similar_sets`
+    Hot cells (airports) fatten postings quadratically — measured: a
+    fixed grid under 10× entities produced 100× candidate pairs
+    (tools/scale_probe.py trajectory_10x). Knobs, in order: scale grid
+    resolution with density; set ``max_cell_posting`` to gate the
+    densest cells out of candidate GENERATION (the minhash
+    ``max_bucket`` pattern — lossy: a pair sharing ONLY gated cells is
+    missed and survivors' shared counts become lower bounds; set sizes
+    stay exact); or generate candidates with `dedup.similar_sets`
     (set-MinHash LSH) and keep this exact join as the verifier.
     """
     v = visits.select(F.col(id_col), F.col(cell_col).alias("_c")).distinct()
     sizes = v.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
-    a = v.select(F.col(id_col).alias("id_a"), "_c")
-    b = v.select(F.col(id_col).alias("id_b"), "_c")
+    cand = v
+    if max_cell_posting is not None:
+        hot = (
+            v.groupBy("_c")
+            .agg(F.count(F.lit(1)).alias("_pc"))
+            .filter(F.col("_pc") > max_cell_posting)
+            .select("_c")
+        )
+        cand = v.join(F.broadcast(hot), "_c", "left_anti")
+    a = cand.select(F.col(id_col).alias("id_a"), "_c")
+    b = cand.select(F.col(id_col).alias("id_b"), "_c")
     shared = (
         a.join(b, "_c")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -133,3 +133,28 @@ def test_trajectory_jaccard_pairs_golden(spark):
     }
     assert (1, 4) in low and (1, 2) in low
     assert not any(3 in p for p in low)
+
+
+def test_trajectory_hot_cell_gate(spark):
+    """max_cell_posting drops only hot-cell-mediated candidates: a pair
+    sharing a quiet cell still surfaces (with exact sizes), a pair whose
+    ONLY shared cell is hot is missed — the documented lossy trade."""
+    from pipes_spark.operators.geo import trajectory_jaccard_pairs
+
+    hot = [(u, 1) for u in range(1, 7)]           # cell 1: 6 visitors
+    quiet = [(1, 2), (2, 2)]                       # users 1,2 also share cell 2
+    df = spark.createDataFrame(hot + quiet, "user_id bigint, cell bigint")
+    gated = {
+        (r["id_a"], r["id_b"]): r["shared_cells"]
+        for r in trajectory_jaccard_pairs(
+            df, threshold=0.01, max_cell_posting=3
+        ).collect()
+    }
+    # only (1,2) survives, via the quiet cell; its shared count is the
+    # gated lower bound (1, not 2)
+    assert gated == {(1, 2): 1}
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in trajectory_jaccard_pairs(df, threshold=0.01).collect()
+    }
+    assert len(full) == 15  # all C(6,2) pairs without the gate

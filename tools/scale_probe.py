@@ -461,6 +461,56 @@ def main() -> None:
     run("oov_1x", lambda: oov_stats(docs1).count())
     run("oov_10x", lambda: oov_stats(docs10).count())
 
+    # --- round-5 operators ---
+    from pipes_spark.operators.geo import trajectory_jaccard_pairs
+    from pipes_spark.operators.rollup import count_min_estimate, count_min_sketch
+    from pipes_spark.operators.sampling import hash_bucket
+    from pipes_spark.operators.text import boilerplate_ngram_stats, dsir_importance
+
+    def dsir(docs):
+        return dsir_importance(
+            docs, docs.filter(F.col("lang") == "en"), num_buckets=1024
+        ).count()
+
+    run("dsir_1x", lambda: dsir(docs1))
+    run("dsir_10x", lambda: dsir(docs10))
+
+    run("boilerplate_1x", lambda: boilerplate_ngram_stats(docs1, n=2).count())
+    run("boilerplate_10x", lambda: boilerplate_ngram_stats(docs10, n=2).count())
+
+    def cm(li):
+        sk = count_min_sketch(li, "l_partkey")
+        items = li.select("l_partkey").distinct()
+        return count_min_estimate(items, sk, "l_partkey").count()
+
+    run("count_min_1x", lambda: cm(li1))
+    run("count_min_10x", lambda: cm(li10))
+
+    def trajectory(ev):
+        cell = (
+            F.floor((hash_bucket(F.col("event_id"), "elat") % 2000) / F.lit(100)) * 100
+            + F.floor((hash_bucket(F.col("event_id"), "elon") % 2000) / F.lit(100))
+        ).cast("bigint")
+        visits = ev.select("user_id", cell.alias("cell"))
+        return trajectory_jaccard_pairs(visits, "user_id", "cell", 0.1).count()
+
+    run("trajectory_1x", lambda: trajectory(ev1))
+    run("trajectory_10x", lambda: trajectory(ev10))
+
+    # fixed grid + 10x users = 10x postings per cell = 100x candidate
+    # pairs (the density trap the operator docstring warns about). The
+    # knob: scale grid resolution with density — 4x the cells per axis
+    # keeps per-cell postings, and therefore pair volume, in check.
+    def trajectory_fine(ev):
+        cell = (
+            F.floor((hash_bucket(F.col("event_id"), "elat") % 2000) / F.lit(25)) * 1000
+            + F.floor((hash_bucket(F.col("event_id"), "elon") % 2000) / F.lit(25))
+        ).cast("bigint")
+        visits = ev.select("user_id", cell.alias("cell"))
+        return trajectory_jaccard_pairs(visits, "user_id", "cell", 0.1).count()
+
+    run("trajectory_10x_fine_grid", lambda: trajectory_fine(ev10))
+
 
 if __name__ == "__main__":
     main()
