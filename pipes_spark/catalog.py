@@ -12492,3 +12492,178 @@ def geo_trajectory_pairs(spark, sf_dir):
     ).cast("bigint")
     visits = ev.select("user_id", cell.alias("cell"))
     return trajectory_jaccard_pairs(visits, "user_id", "cell", threshold=0.1)
+
+
+@query(
+    "sketch_kmv_overlap",
+    oracle="""
+    WITH tagged AS (
+      SELECT 'y' || CAST(extract(year FROM o_orderdate) AS VARCHAR) AS s,
+             CAST(o_custkey AS VARCHAR) AS k,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h
+      FROM orders WHERE extract(year FROM o_orderdate) IN (1995, 1996)
+    ), both_sets AS (
+      SELECT s, k, h FROM tagged
+      UNION ALL SELECT 'union', k, h FROM tagged
+    ), exact AS (
+      SELECT s, count(DISTINCT k)::BIGINT AS n_exact FROM both_sets GROUP BY s
+    ), dh AS (SELECT DISTINCT s, h FROM both_sets),
+    ranked AS (
+      SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM dh
+    ), kth AS (SELECT s, h AS hk FROM ranked WHERE rn = 64),
+    per AS (
+      SELECT e.s AS set_name, e.n_exact,
+             coalesce(round(63.0 * 72057594037927936 / kth.hk, 6),
+                      CAST(e.n_exact AS DOUBLE)) AS est
+      FROM exact e LEFT JOIN kth ON e.s = kth.s
+    ), inter AS (
+      SELECT 'intersect' AS set_name,
+             CAST(sum(CASE WHEN set_name <> 'union' THEN n_exact ELSE 0 END)
+                  - sum(CASE WHEN set_name = 'union' THEN n_exact ELSE 0 END)
+                  AS BIGINT) AS n_exact,
+             round(sum(CASE WHEN set_name <> 'union' THEN est ELSE 0.0 END)
+                   - sum(CASE WHEN set_name = 'union' THEN est ELSE 0.0 END),
+                   6) AS est
+      FROM per
+    )
+    SELECT set_name, n_exact, est FROM per
+    UNION ALL SELECT set_name, n_exact, est FROM inter
+    ORDER BY set_name
+    """,
+)
+def sketch_kmv_overlap(spark, sf_dir):
+    """KMV / theta distinct sketch with set algebra
+    (operators.rollup.kmv_overlap): distinct customers ordering in 1995
+    vs 1996, their union, and the inclusion–exclusion intersection
+    estimate — each set summarized by its 64 smallest portable 56-bit
+    key hashes. Unlike the JVM-internal HLL sketches (sketch_overlap /
+    agg_approx rows), every KMV estimate is HASH-EXACT against the SQL
+    oracle: the estimator is a pure deterministic function of the md5
+    order statistics, so the correctness gate checks the sketch math
+    itself, not just row shape. Mergeable (k smallest of A∪B ⊆ per-set
+    k-smallests), two-level top-k selection (per-hash-bucket cap before
+    the per-set rank), exact distinct counts ride the same pass as the
+    audit column."""
+    from .operators.rollup import kmv_overlap
+
+    o = _t(spark, sf_dir, "orders")
+    two = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.concat(F.lit("y"), F.year("o_orderdate").cast("string")).alias("yr"),
+        "o_custkey",
+    )
+    return kmv_overlap(two, "yr", "o_custkey", k=64)
+
+
+@query(
+    "ts_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY user_id, sid
+    ), bounds AS (
+      SELECT s AS ts, 1 AS st, 0 AS en FROM spans
+      UNION ALL SELECT e, 0, 1 FROM spans
+    ), per_ts AS (
+      SELECT ts, sum(st) AS sn, sum(en) AS en FROM bounds GROUP BY ts
+    ), g AS (
+      SELECT date_trunc('hour', ts) AS bucket, ts,
+             sum(sn) OVER (ORDER BY ts) - sum(en) OVER (ORDER BY ts) + en
+               AS conc,
+             sum(sn) OVER (ORDER BY ts) - sum(en) OVER (ORDER BY ts) AS aft
+      FROM per_ts
+    )
+    SELECT bucket, CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(arg_max(aft, ts) AS BIGINT) AS close_concurrency
+    FROM g GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ts_concurrency(spark, sf_dir):
+    """Scale-safe sweep-line concurrency gauge (operators.timeseries.
+    concurrency_gauge): peak and closing number of simultaneously-open
+    user sessions per hour — the connection-pool/capacity-sizing
+    readout. Where events_peak_concurrency runs the textbook form (ONE
+    global-order running-sum window — a single task over 2×sessions
+    rows), this decomposes the same sweep into per-hour windows
+    PARTITIONED by bucket plus one bounded global window over the
+    hour-grain aggregate (the events_weekly_heatmap small-domain
+    shape) — the form that survives 100 TB of sessions. Conventions
+    differ deliberately: ends here are INCLUSIVE (a handoff at the same
+    instant counts as concurrent), and the close column reads the gauge
+    at each bucket boundary. The oracle replays the identical sweep
+    with plain SQL windows."""
+    from .operators.relational import sessionize
+    from .operators.timeseries import concurrency_gauge
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, order_tiebreak="event_id")
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    return concurrency_gauge(spans, "s", "e", "hour").orderBy("bucket")
+
+
+@query(
+    "sketch_join_cardinality",
+    oracle="""
+    WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    sk_a AS (
+      SELECT seed,
+             CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                   || CAST(o_custkey AS VARCHAR)), 1, 14)) AS BIGINT) % 1024
+               AS bucket,
+             count(*) AS cnt
+      FROM orders, seeds GROUP BY 1, 2
+    ),
+    sk_b AS (
+      SELECT seed,
+             CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':'
+                   || CAST(c_custkey AS VARCHAR)), 1, 14)) AS BIGINT) % 1024
+               AS bucket,
+             count(*) AS cnt
+      FROM customer, seeds GROUP BY 1, 2
+    ),
+    per_seed AS (
+      SELECT a.seed, sum(a.cnt * b.cnt) AS ip
+      FROM sk_a a JOIN sk_b b USING (seed, bucket) GROUP BY a.seed
+    ),
+    est AS (SELECT min(ip)::BIGINT AS est_join FROM per_seed),
+    fa AS (SELECT o_custkey AS k, count(*) AS na FROM orders GROUP BY 1),
+    fb AS (SELECT c_custkey AS k, count(*) AS nb FROM customer GROUP BY 1),
+    exact AS (
+      SELECT coalesce(sum(na * nb), 0)::BIGINT AS exact_join
+      FROM fa JOIN fb USING (k)
+    )
+    SELECT est_join, exact_join,
+           round(CAST(est_join AS DOUBLE) / nullif(CAST(exact_join AS DOUBLE),
+                 0.0), 6) AS overcount_ratio
+    FROM est, exact
+    """,
+)
+def sketch_join_cardinality(spark, sf_dir):
+    """Join-size estimation from Count-Min inner products
+    (rollup.count_min_join_cardinality, Cormode & Muthukrishnan 2005
+    §4.2): |orders ⋈ customer| estimated as the min-over-seeds
+    bucket-wise inner product of the two 4×1024 sketches — the
+    pre-flight a 100 TB pipeline runs before committing to an expensive
+    join, touching only the bounded sketch tables. Always ≥ exact
+    (collision overcount only); the exact count rides from the per-key
+    frequency tables, never a row-level join. Hash-exact oracle: the
+    estimator is all integer md5-bucket math, DECIMAL-routed products."""
+    from .operators.rollup import count_min_join_cardinality
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return count_min_join_cardinality(o, "o_custkey", c, "c_custkey")

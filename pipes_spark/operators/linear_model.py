@@ -731,3 +731,104 @@ def average_precision(
         F.sum("_np").cast("bigint").alias("n_pos"),
         F.sum("_nn").cast("bigint").alias("n_neg"),
     )
+
+
+def fit_fellegi_sunter(
+    pairs: DataFrame,
+    feature_cols: Sequence[str],
+    iters: int = 10,
+    prevalence: float = 0.1,
+    m_init: float = 0.9,
+    u_init: float = 0.1,
+    round_decimals: int = 12,
+) -> tuple[list[float], list[float], float]:
+    """Fellegi–Sunter record-linkage parameters by EM (Fellegi & Sunter
+    JASA 1969; Winkler 1988): for candidate pairs with BINARY agreement
+    columns ``feature_cols`` (1 = the two records agree on that field),
+    learn per-field m = P(agree | match), u = P(agree | non-match) and
+    the match prevalence p — unsupervised, from the agreement-pattern
+    mixture alone. Returns ``(m, u, p)``.
+
+    Distributed EM: the E-step posterior is a flat per-row codegen
+    expression built from the CURRENT scalar parameters (broadcast by
+    literal — KBs), and the M-step is ONE map-side-combined aggregate of
+    (Σγ, Σγ·g_i, Σ(1−γ)·g_i) per round, accumulated as DECIMAL so the
+    fit is bit-reproducible across partitionings and retries. Lineage is
+    cut every round (fresh aggregate over the base scan — the
+    fit_logistic discipline). Per-round driver collect is one scalar row
+    (the documented convergence-scalar contract, like kmeans_fit).
+    Parameters clamp to [1e-6, 1−1e-6] so degenerate fields cannot zero
+    a likelihood product.
+    """
+    m = [m_init] * len(feature_cols)
+    u = [u_init] * len(feature_cols)
+    p = prevalence
+    eps = 1e-6
+    for _ in range(iters):
+        log_w = F.lit(0.0)
+        log_v = F.lit(0.0)
+        import math
+
+        for i, c in enumerate(feature_cols):
+            g = F.col(c).cast("double")
+            log_w = log_w + g * math.log(m[i]) + (1.0 - g) * math.log(1.0 - m[i])
+            log_v = log_v + g * math.log(u[i]) + (1.0 - g) * math.log(1.0 - u[i])
+        w = F.lit(p) * F.exp(log_w)
+        v = F.lit(1.0 - p) * F.exp(log_v)
+        gamma = F.round(w / (w + v), round_decimals)
+        aggs = [
+            F.sum(gamma.cast(_ACC)).alias("_sg"),
+            F.count(F.lit(1)).alias("_n"),
+        ]
+        for i, c in enumerate(feature_cols):
+            gi = F.col(c).cast("double")
+            aggs.append(F.sum((gamma * gi).cast(_ACC)).alias(f"_mg{i}"))
+            aggs.append(
+                F.sum(((F.lit(1.0) - gamma) * gi).cast(_ACC)).alias(f"_ug{i}")
+            )
+        row = pairs.agg(*aggs).collect()[0]
+        sg, n = float(row["_sg"]), float(row["_n"])
+        p = min(max(sg / n, eps), 1.0 - eps)
+        for i in range(len(feature_cols)):
+            m[i] = min(max(float(row[f"_mg{i}"]) / max(sg, eps), eps), 1.0 - eps)
+            u[i] = min(
+                max(float(row[f"_ug{i}"]) / max(n - sg, eps), eps), 1.0 - eps
+            )
+    return m, u, p
+
+
+def fellegi_sunter_scores(
+    pairs: DataFrame,
+    feature_cols: Sequence[str],
+    m: Sequence[float],
+    u: Sequence[float],
+    p: float,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Score candidate pairs with fitted Fellegi–Sunter parameters: the
+    classic log2 match weight Σ_i [g_i·log2(m_i/u_i) +
+    (1−g_i)·log2((1−m_i)/(1−u_i))] plus the posterior match probability —
+    both flat codegen expressions over the broadcast-by-literal scalars;
+    no shuffle, no UDF. Rank/threshold downstream exactly like a blocking
+    + clerical-review pipeline would."""
+    import math
+
+    weight = F.lit(0.0)
+    log_w = F.lit(0.0)
+    log_v = F.lit(0.0)
+    for i, c in enumerate(feature_cols):
+        g = F.col(c).cast("double")
+        weight = (
+            weight
+            + g * math.log2(m[i] / u[i])
+            + (1.0 - g) * math.log2((1.0 - m[i]) / (1.0 - u[i]))
+        )
+        log_w = log_w + g * math.log(m[i]) + (1.0 - g) * math.log(1.0 - m[i])
+        log_v = log_v + g * math.log(u[i]) + (1.0 - g) * math.log(1.0 - u[i])
+    w = F.lit(p) * F.exp(log_w)
+    v = F.lit(1.0 - p) * F.exp(log_v)
+    return pairs.select(
+        "*",
+        F.round(weight, round_decimals).alias("match_weight"),
+        F.round(w / (w + v), round_decimals).alias("match_posterior"),
+    )

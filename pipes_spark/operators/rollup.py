@@ -357,3 +357,184 @@ def count_min_estimate(
             .alias("cm_estimate")
         )
     )
+
+
+_KMV_SPACE = 72057594037927936  # 2^56: the md5-prefix hash domain
+
+
+def kmv_hash56(key) -> F.Column:
+    """Portable 56-bit uniform hash of a key (first 14 hex chars of md5
+    as an integer — the shard_manifest digest convention, bit-identical
+    in DuckDB via ('0x' || substr(md5(x),1,14))::BIGINT), the uniform
+    order statistic a KMV sketch ranks."""
+    k = key if not isinstance(key, str) else F.col(key)
+    return F.conv(F.substring(F.md5(k.cast("string")), 1, 14), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_overlap(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 64,
+    buckets: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values / theta) distinct sketch over exactly two
+    labelled sets, with union and intersection estimates (Beyer et al.,
+    SIGMOD 2007; the Theta-sketch set algebra of Dasgupta et al.).
+
+    Each set keeps its k smallest 56-bit key hashes; the k-th smallest
+    h_k estimates the distinct count as (k−1)·2^56 / h_k. The sketch is
+    MERGEABLE by construction: the k smallest of A∪B lie within
+    (k smallest of A) ∪ (k smallest of B), so the union estimate reads
+    only sketch rows — the property that lets 100 TB shards sketch
+    independently and combine driver-free. Intersection estimates by
+    inclusion–exclusion on the ROUNDED per-set estimates. Sets smaller
+    than k degrade to their exact distinct count (coalesce fallback).
+
+    Scale shape: the k-smallest selection is two-level — per (set,
+    hash-bucket) row_number caps every bucket at k candidates in
+    parallel, then the final per-set window ranks only ≤ buckets·k
+    survivors, never a whole set on one task. Exact per-set distinct
+    counts ride the same pass for the audit columns. Deterministic and
+    engine-portable end to end: every estimate is hash-exact against a
+    DuckDB oracle, unlike the (also mergeable, JVM-internal) HLL
+    sketches in :func:`sketch_overlap`.
+
+    Returns (set_name, n_exact, est) rows: one per input set, one
+    'union', one 'intersect' (n_exact via inclusion–exclusion there,
+    negative estimator noise included — callers clamp if they need to).
+    Output column names are the oracle contract (catalog
+    ``sketch_kmv_overlap``).
+    """
+    from pyspark.sql import Window
+
+    tagged = df.select(
+        F.col(set_col).cast("string").alias("_s"),
+        F.col(key_col).cast("string").alias("_k"),
+        kmv_hash56(F.col(key_col)).alias("_h"),
+    )
+    both = tagged.unionByName(tagged.withColumn("_s", F.lit("union")))
+    exact = (
+        both.groupBy("_s")
+        .agg(F.count_distinct("_k").cast("bigint").alias("n_exact"))
+    )
+    dh = both.select("_s", "_h").distinct()
+    w_bucket = Window.partitionBy("_s", F.pmod(F.col("_h"), F.lit(buckets))).orderBy(
+        "_h"
+    )
+    survivors = (
+        dh.withColumn("_rb", F.row_number().over(w_bucket))
+        .filter(F.col("_rb") <= k)
+        .drop("_rb")
+    )
+    w_set = Window.partitionBy("_s").orderBy("_h")
+    kth = (
+        survivors.withColumn("_rn", F.row_number().over(w_set))
+        .filter(F.col("_rn") == k)
+        .select("_s", F.col("_h").alias("_hk"))
+    )
+    per = (
+        exact.join(kth, "_s", "left")
+        .select(
+            F.col("_s").alias("set_name"),
+            "n_exact",
+            F.coalesce(
+                F.round(
+                    F.lit(float(k - 1) * _KMV_SPACE) / F.col("_hk").cast("double"), 6
+                ),
+                F.col("n_exact").cast("double"),
+            ).alias("est"),
+        )
+    )
+    inter = (
+        per.groupBy()
+        .agg(
+            F.sum(
+                F.when(F.col("set_name") != "union", F.col("n_exact")).otherwise(0)
+            ).alias("_np"),
+            F.sum(
+                F.when(F.col("set_name") == "union", F.col("n_exact")).otherwise(0)
+            ).alias("_nu"),
+            F.sum(
+                F.when(F.col("set_name") != "union", F.col("est")).otherwise(0.0)
+            ).alias("_ep"),
+            F.sum(
+                F.when(F.col("set_name") == "union", F.col("est")).otherwise(0.0)
+            ).alias("_eu"),
+        )
+        .select(
+            F.lit("intersect").alias("set_name"),
+            (F.col("_np") - F.col("_nu")).cast("bigint").alias("n_exact"),
+            F.round(F.col("_ep") - F.col("_eu"), 6).alias("est"),
+        )
+    )
+    return per.unionByName(inter).orderBy("set_name")
+
+
+def count_min_join_cardinality(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Equi-join cardinality estimate from Count-Min sketch inner products
+    (Cormode & Muthukrishnan 2005 §4.2, the AMS-style join-size
+    estimator): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated per seed row as
+    the bucket-wise inner product of the two sketches, taking the MIN
+    over seeds — always ≥ the true size, overestimating only on bucket
+    collisions. THE pre-flight a planner (or a pipeline author sizing an
+    expensive join) runs at 100 TB: both sides reduce to depth×width
+    integer tables in one map-side-combined pass each, and the estimate
+    itself joins kilobytes. The exact count rides along from the
+    per-key frequency tables (Σ n_a·n_b — never a row-level join) for
+    the audit columns.
+
+    All integer md5-bucket math — hash-exact against the SQL oracle.
+    Products and sums route through DECIMAL(38,0): BIGINT·BIGINT
+    frequency products overflow LONG under ANSI at the 100 TB design
+    point (the marginal/rank-sum rule from the stats operators).
+
+    Returns ONE row: (est_join, exact_join, overcount_ratio).
+    """
+    sk_a = count_min_sketch(df_a, col_a, depth, width)
+    sk_b = count_min_sketch(df_b, col_b, depth, width).withColumnRenamed(
+        "cnt", "cnt_b"
+    )
+    per_seed = (
+        sk_a.join(sk_b, ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(
+            F.sum(
+                F.col("cnt").cast("decimal(38,0)")
+                * F.col("cnt_b").cast("decimal(38,0)")
+            ).alias("_ip")
+        )
+    )
+    est = per_seed.agg(F.min("_ip").cast("bigint").alias("est_join"))
+    fa = df_a.groupBy(F.col(col_a).cast("string").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_na")
+    )
+    fb = df_b.groupBy(F.col(col_b).cast("string").alias("_k")).agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    exact = fa.join(fb, "_k").agg(
+        F.coalesce(
+            F.sum(
+                F.col("_na").cast("decimal(38,0)") * F.col("_nb").cast("decimal(38,0)")
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("exact_join")
+    )
+    return est.crossJoin(exact).select(
+        "est_join",
+        "exact_join",
+        F.round(
+            F.col("est_join").cast("double")
+            / F.nullif(F.col("exact_join").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("overcount_ratio"),
+    )

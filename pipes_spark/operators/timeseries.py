@@ -1114,3 +1114,84 @@ def harmonic_regression(
         out.append((f"amplitude_{k}", round(amp, 6)))
     spark = df.sparkSession
     return spark.createDataFrame(out, "feature string, coef double")
+
+
+def concurrency_gauge(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Sweep-line concurrency gauge over [start, end] intervals: how many
+    intervals are simultaneously open at each moment, reported per time
+    bucket as its PEAK and CLOSE values — the "max concurrent sessions per
+    hour" / connection-pool-sizing readout. Ends are inclusive: an
+    interval ending at t is still counted at t.
+
+    The classic formulation is a running sum over the globally-ordered
+    boundary stream — a single-task window. This is the two-level
+    decomposition that scales: (1) boundaries collapse to one row per
+    DISTINCT timestamp (starts/ends counted per ts), (2) per-bucket
+    running sums are windows PARTITIONED by bucket (parallel across
+    buckets), and (3) the only global window runs over the per-bucket
+    aggregate — one row per bucket, ~10⁴ rows for a year of hours, the
+    same bounded-domain shape as the gap-fill segment grid above.
+
+    Concurrency at a distinct ts = (starts ≤ ts) − (ends < ts)
+      = carry-in + within-bucket cumulative (starts − ends) + ends@ts.
+
+    Returns (bucket, peak_concurrency, close_concurrency) per bucket that
+    contains at least one boundary; buckets strictly inside long intervals
+    (no boundary falls in them) are not emitted — their gauge equals the
+    previous bucket's close (gap-fill downstream if a dense grid is
+    needed).
+    """
+    s = intervals.select(
+        F.col(start_col).alias("ts"), F.lit(1).alias("_st"), F.lit(0).alias("_en")
+    )
+    e = intervals.select(
+        F.col(end_col).alias("ts"), F.lit(0).alias("_st"), F.lit(1).alias("_en")
+    )
+    per_ts = (
+        s.unionByName(e)
+        .groupBy("ts")
+        .agg(F.sum("_st").alias("_s"), F.sum("_en").alias("_e"))
+        .withColumn("bucket", F.date_trunc(grain, F.col("ts")))
+    )
+    # per-bucket totals → carry-in before each bucket (global window over
+    # the bucket-grain aggregate only: bounded domain)
+    per_bucket = per_ts.groupBy("bucket").agg(
+        F.sum("_s").alias("_bs"), F.sum("_e").alias("_be")
+    )
+    w_carry = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry = per_bucket.select(
+        "bucket",
+        (F.sum("_bs").over(w_carry) - F.col("_bs")).alias("_cs"),
+        (F.sum("_be").over(w_carry) - F.col("_be")).alias("_ce"),
+        # gauge at the bucket's last boundary, ends-exclusive going
+        # forward: exactly the carry-in of the NEXT bucket
+        (F.sum("_bs").over(w_carry) - F.sum("_be").over(w_carry))
+        .cast("bigint")
+        .alias("close_concurrency"),
+    )
+    # within-bucket cumulative, parallel across buckets
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gauged = per_ts.join(carry, "bucket").select(
+        "bucket",
+        "close_concurrency",
+        (
+            F.col("_cs")
+            + F.sum("_s").over(w_in)
+            - (F.col("_ce") + F.sum("_e").over(w_in))
+            + F.col("_e")
+        ).alias("_conc"),
+    )
+    return gauged.groupBy("bucket", "close_concurrency").agg(
+        F.max("_conc").cast("bigint").alias("peak_concurrency")
+    ).select("bucket", "peak_concurrency", "close_concurrency")

@@ -158,3 +158,87 @@ def test_trajectory_hot_cell_gate(spark):
         for r in trajectory_jaccard_pairs(df, threshold=0.01).collect()
     }
     assert len(full) == 15  # all C(6,2) pairs without the gate
+
+
+def test_kmv_union_mergeable_property():
+    """KMV mergeability: the k smallest hashes of A∪B are recoverable from
+    the per-set k-smallest sketches alone (no raw data re-read)."""
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(str(x).encode()).hexdigest()[:14], 16)
+
+    A = [h(i) for i in range(300)]
+    B = [h(i) for i in range(150, 450)]
+    k = 64
+    merged = sorted(set(sorted(A)[:k]) | set(sorted(B)[:k]))[:k]
+    direct = sorted(set(A) | set(B))[:k]
+    assert merged == direct
+
+
+def test_kmv_overlap_estimates_and_exact_fallback(spark):
+    """Sets below k report their exact distinct count; larger sets estimate
+    within KMV error bounds; the intersect row is inclusion–exclusion of
+    the other three."""
+    from pipes_spark.operators.rollup import kmv_overlap
+
+    rows = [("a", i) for i in range(40)] + [("b", i) for i in range(20, 520)]
+    df = spark.createDataFrame(rows, "s string, key bigint")
+    out = {r["set_name"]: r for r in kmv_overlap(df, "s", "key", k=64).collect()}
+    assert set(out) == {"a", "b", "union", "intersect"}
+    assert out["a"]["n_exact"] == 40 and out["a"]["est"] == 40.0
+    assert out["b"]["n_exact"] == 500
+    assert abs(out["b"]["est"] - 500) / 500 < 0.5  # ~1/sqrt(64) noise + slack
+    assert out["union"]["n_exact"] == 520
+    assert out["intersect"]["n_exact"] == 20
+    assert (
+        abs(
+            out["intersect"]["est"]
+            - round(out["a"]["est"] + out["b"]["est"] - out["union"]["est"], 6)
+        )
+        < 1e-9
+    )
+
+
+def test_concurrency_gauge_peak_carry_and_inclusive_ends(spark):
+    """Peak counts an end and a start at the same instant as overlapping;
+    buckets with no boundary are not emitted (carry-in rides the close
+    column); the final bucket closes at zero."""
+    import datetime as dt
+
+    from pipes_spark.operators.timeseries import concurrency_gauge
+
+    def T(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (T(10, 0), T(12, 30)),   # spans hour 11 with no boundary there
+        (T(10, 15), T(10, 45)),
+        (T(10, 45), T(12, 10)),  # starts exactly when the previous ends
+    ]
+    df = spark.createDataFrame(rows, "s timestamp, e timestamp")
+    out = {
+        r["bucket"]: r for r in concurrency_gauge(df, "s", "e", "hour").collect()
+    }
+    assert set(out) == {T(10), T(12)}
+    assert out[T(10)]["peak_concurrency"] == 3  # 10:45: open + ending + starting
+    assert out[T(10)]["close_concurrency"] == 2
+    assert out[T(12)]["peak_concurrency"] == 2
+    assert out[T(12)]["close_concurrency"] == 0
+
+
+def test_cm_join_cardinality_never_undercounts_and_exact_when_collision_free(spark):
+    """Inner-product estimate ≥ exact always; with width >> distinct keys
+    (no collisions) the estimate IS the exact join size."""
+    from pipes_spark.operators.rollup import count_min_join_cardinality
+
+    a = spark.createDataFrame(
+        [(i % 5,) for i in range(50)], "k bigint"
+    )  # f_A = 10 each of 0..4
+    b = spark.createDataFrame([(i % 3,) for i in range(9)], "k bigint")
+    # exact = sum over shared keys {0,1,2}: 10*3 = 90
+    wide = count_min_join_cardinality(a, "k", b, "k", depth=4, width=4096).first()
+    assert wide["exact_join"] == 90
+    assert wide["est_join"] == 90
+    narrow = count_min_join_cardinality(a, "k", b, "k", depth=2, width=2).first()
+    assert narrow["est_join"] >= narrow["exact_join"] == 90
