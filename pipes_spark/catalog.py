@@ -12667,3 +12667,70 @@ def sketch_join_cardinality(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return count_min_join_cardinality(o, "o_custkey", c, "c_custkey")
+
+
+@query("ml_record_linkage")  # EM is iterative (per-round scalar collects):
+# rows-only; numpy EM parity + separation are pytest'd in test_round5.py
+def ml_record_linkage(spark, sf_dir):
+    """Probabilistic record linkage (Fellegi & Sunter 1969; EM per
+    Winkler 1988 — operators.linear_model.fit_fellegi_sunter): a dirty
+    re-keyed copy of every 5th document is linked back against the
+    corpus on three binary agreement features (lang / source /
+    length-bucket, each perturbed at a deterministic modular rate).
+    EM learns per-field m = P(agree|match), u = P(agree|non-match) and
+    the prevalence UNSUPERVISED from the agreement-pattern mixture;
+    pairs then score with the classic log2 match weight. Candidate
+    pairs here are the planted match pairs plus shifted non-match
+    pairs — at 100 TB candidates come from blocking (fuzzy_join_segments
+    / LSH), and EM's per-round cost is ONE map-side-combined DECIMAL
+    aggregate regardless of corpus size. Returns the per-feature
+    parameter table with the fitted prevalence and the >0.5-posterior
+    pair count as audit columns."""
+    from .operators.linear_model import fellegi_sunter_scores, fit_fellegi_sunter
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", (F.col("n_chars") / 100).cast("int").alias("lb")
+    )
+    dirty = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("rid"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("other")).otherwise(F.col("source")).alias("source"),
+            F.when(F.col("doc_id") % 11 == 0, F.col("lb") + 17).otherwise(F.col("lb")).alias("lb"),
+        )
+    )
+    matches = d.join(dirty, d["doc_id"] == dirty["rid"])
+    nonmatches = d.join(dirty, d["doc_id"] == dirty["rid"] - 5)
+    feats = lambda p: p.select(
+        (d["lang"] == dirty["lang"]).cast("int").alias("g_lang"),
+        (d["source"] == dirty["source"]).cast("int").alias("g_source"),
+        (d["lb"] == dirty["lb"]).cast("int").alias("g_len"),
+    )
+    from .caching import scoped_persist
+
+    # EM re-aggregates the pairs every round: persist the tiny (3-int-col)
+    # agreement table once instead of replaying the joins 8×
+    pairs = scoped_persist(feats(matches).unionByName(feats(nonmatches)))
+    cols = ["g_lang", "g_source", "g_len"]
+    m, u, p = fit_fellegi_sunter(pairs, cols, iters=8)
+    scored = fellegi_sunter_scores(pairs, cols, m, u, p)
+    n_hi = scored.filter(F.col("match_posterior") > 0.5).count()
+    import math
+
+    rows = [
+        (
+            c,
+            round(m[i], 6),
+            round(u[i], 6),
+            round(math.log2(m[i] / u[i]), 6),
+            round(p, 6),
+            n_hi,
+        )
+        for i, c in enumerate(cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature string, m_prob double, u_prob double, agree_weight double, "
+        "prevalence double, n_high_posterior bigint",
+    ).orderBy("feature")

@@ -530,6 +530,7 @@ CONSTRUCTION_JOB_EXEMPT = {
     "graph_shortest_paths": "iterative (relaxation rounds)",
     "graph_modularity": "iterative (label propagation)",
     "ml_logistic_confusion": "gradient iterations (per-round scalars)",
+    "ml_record_linkage": "EM rounds (per-round scalar collects)",
     "ml_ridge": "closed-form solve collects sufficient statistics",
     "ml_pca": "power-iteration rounds",
     "ml_silhouette": "k-means training rounds",

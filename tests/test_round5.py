@@ -242,3 +242,53 @@ def test_cm_join_cardinality_never_undercounts_and_exact_when_collision_free(spa
     assert wide["est_join"] == 90
     narrow = count_min_join_cardinality(a, "k", b, "k", depth=2, width=2).first()
     assert narrow["est_join"] >= narrow["exact_join"] == 90
+
+
+def test_fellegi_sunter_em_numpy_parity_and_separation(spark):
+    """Distributed EM must match a numpy reference bit-for-bit at every
+    round (DECIMAL-exact M-step sums), and the fitted posterior must
+    separate a planted match/non-match mixture."""
+    import numpy as np
+
+    from pipes_spark.operators.linear_model import (
+        fellegi_sunter_scores,
+        fit_fellegi_sunter,
+    )
+
+    rows = []
+    for i in range(300):
+        match = i < 90
+        f1 = 1 if (match and i % 9 != 0) or (not match and i % 7 == 0) else 0
+        f2 = 1 if (match and i % 6 != 0) or (not match and i % 10 == 0) else 0
+        rows.append((i, match, f1, f2))
+    df = spark.createDataFrame(rows, "pid bigint, is_match boolean, f1 int, f2 int")
+    m, u, p = fit_fellegi_sunter(df, ["f1", "f2"], iters=6)
+
+    g = np.array([[r[2], r[3]] for r in rows], dtype=float)
+    mm, uu, pp = np.array([0.9, 0.9]), np.array([0.1, 0.1]), 0.1
+    eps = 1e-6
+    for _ in range(6):
+        lw = (g * np.log(mm) + (1 - g) * np.log(1 - mm)).sum(axis=1)
+        lv = (g * np.log(uu) + (1 - g) * np.log(1 - uu)).sum(axis=1)
+        w, v = pp * np.exp(lw), (1 - pp) * np.exp(lv)
+        gam = np.round(w / (w + v), 12)
+        sg = gam.sum()
+        pp = min(max(sg / len(g), eps), 1 - eps)
+        mm = np.clip((gam[:, None] * g).sum(axis=0) / max(sg, eps), eps, 1 - eps)
+        uu = np.clip(
+            ((1 - gam)[:, None] * g).sum(axis=0) / max(len(g) - sg, eps),
+            eps,
+            1 - eps,
+        )
+    assert np.allclose(m, mm, atol=1e-9) and np.allclose(u, uu, atol=1e-9)
+    assert abs(p - pp) < 1e-9
+
+    scored = fellegi_sunter_scores(df, ["f1", "f2"], m, u, p).collect()
+    hi = {r["pid"] for r in scored if r["match_posterior"] > 0.5}
+    planted = {r[0] for r in rows if r[1]}
+    # both agreement fields planted at ~85% for matches vs ~12% for rest:
+    # the two-field posterior cannot be perfect, but must be discriminative
+    overlap = len(hi & planted) / max(len(planted), 1)
+    assert overlap > 0.6
+    false_rate = len(hi - planted) / max(len(hi), 1)
+    assert false_rate < 0.4
