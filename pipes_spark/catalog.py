@@ -12734,3 +12734,39 @@ def ml_record_linkage(spark, sf_dir):
         "feature string, m_prob double, u_prob double, agree_weight double, "
         "prevalence double, n_high_posterior bigint",
     ).orderBy("feature")
+
+
+@query(
+    "text_phrase_search",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, tk[i] AS token, i - 1 AS pos
+      FROM docs, LATERAL unnest(range(1, len(tk) + 1)) AS t(i)
+      WHERE tk[i] <> ''
+    ),
+    t0 AS (SELECT doc_id, pos FROM postings WHERE token = 'table'),
+    t1 AS (SELECT doc_id, pos - 1 AS pos FROM postings WHERE token = 'scan'),
+    t2 AS (SELECT doc_id, pos - 2 AS pos FROM postings WHERE token = 'fast')
+    SELECT t0.doc_id, count(*)::BIGINT AS n_occurrences
+    FROM t0 JOIN t1 USING (doc_id, pos) JOIN t2 USING (doc_id, pos)
+    GROUP BY t0.doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase search from a positional inverted index
+    (text.positional_postings + text.phrase_search, Zobel & Moffat CSUR
+    2006): documents containing the consecutive phrase "table scan
+    fast" with occurrence counts. Each phrase token contributes only
+    ITS posting list to an equi-join on (doc, pos+i) — the raw text is
+    never rescanned, which is the entire point of the index at 100 TB
+    (postings are the bucketed-by-token ingest artifact; a query
+    touches the probed tokens' buckets only). Overlapping occurrences
+    count individually; positions are portable 0-based raw-split
+    indices, so the whole chain is hash-exact against the oracle."""
+    from .operators.text import phrase_search, positional_postings
+
+    d = _t(spark, sf_dir, "documents")
+    return phrase_search(positional_postings(d), ["table", "scan", "fast"])

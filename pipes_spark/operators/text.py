@@ -1378,3 +1378,73 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str = "redacted")
     for name, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, F.lit(pat), F.lit(f"<{name.upper()}>"))
     return df.withColumn(out_col, c)
+
+
+def positional_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings: one (token, doc_id, pos) row per
+    token occurrence, positions 0-based over the raw whitespace-split
+    array (empty tokens filtered AFTER position assignment, so positions
+    are engine-portable regardless of leading/trailing whitespace). The
+    ingest artifact behind phrase and proximity search: partitioned/
+    bucketed by token at 100 TB, each query touches only the probed
+    tokens' postings — the classic IR decomposition (Zobel & Moffat,
+    CSUR 2006).
+
+    One map-side posexplode — no shuffle; writing grouped per-token
+    posting lists is the sink's bucketing choice, not this operator's.
+    """
+    from .scale import ensure_min_partitions
+
+    return (
+        ensure_min_partitions(df).select(
+            F.col(id_col),
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .select("token", id_col, F.col("pos").cast("bigint").alias("pos"))
+    )
+
+
+def phrase_search(
+    postings: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over positional postings: documents where the
+    phrase tokens appear at CONSECUTIVE positions, with the occurrence
+    count. Anchor on the first token's postings and equi-join each
+    subsequent token at (doc, pos+i) — every join side is pre-filtered
+    to ONE token's posting list (a vanishing fraction of the index), the
+    join keys are (doc_id, pos), and rarest-token-first anchoring is the
+    standard optimization when term statistics are at hand (left to the
+    caller: pass the phrase as given; Catalyst broadcasts the smaller
+    posting lists). Never touches raw text.
+    """
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    from ..caching import scoped_persist
+
+    toks = [t.lower() for t in phrase]
+    # each join leg references the postings subtree: materialize the probed
+    # slice ONCE (tokens ∈ phrase only — the buckets a real index would
+    # read) instead of re-deriving postings per leg
+    probe = scoped_persist(
+        postings.filter(F.col("token").isin(list(set(toks)))).select(
+            "token", id_col, "pos"
+        )
+    )
+    out = probe.filter(F.col("token") == toks[0]).select(
+        F.col(id_col), F.col("pos")
+    )
+    for i, t in enumerate(toks[1:], start=1):
+        nxt = probe.filter(F.col("token") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, [id_col, "pos"])
+    return out.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )

@@ -292,3 +292,25 @@ def test_fellegi_sunter_em_numpy_parity_and_separation(spark):
     assert overlap > 0.6
     false_rate = len(hi - planted) / max(len(hi), 1)
     assert false_rate < 0.4
+
+
+def test_phrase_search_overlaps_boundaries_and_case(spark):
+    """Overlapping matches count individually; matching is
+    case-insensitive; phrase split across docs never matches; positions
+    survive leading whitespace."""
+    from pipes_spark.operators.text import phrase_search, positional_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "A a a a"),          # 'a a' overlaps 3x
+            (2, "  b c"),            # leading whitespace, 'b c' once
+            (3, "b"),                # phrase tail missing
+            (4, "c b"),              # wrong order
+        ],
+        "doc_id bigint, text string",
+    )
+    p = positional_postings(df)
+    aa = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["a", "a"]).collect()}
+    assert aa == {1: 3}
+    bc = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["B", "C"]).collect()}
+    assert bc == {2: 1}
