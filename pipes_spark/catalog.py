@@ -12770,3 +12770,36 @@ def text_phrase_search(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return phrase_search(positional_postings(d), ["table", "scan", "fast"])
+
+
+@query(
+    "text_proximity_search",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, tk[i] AS token, i - 1 AS pos
+      FROM docs, LATERAL unnest(range(1, len(tk) + 1)) AS t(i)
+      WHERE tk[i] <> ''
+    ),
+    a AS (SELECT doc_id, pos FROM postings WHERE token = 'vector'),
+    b AS (SELECT doc_id, pos FROM postings WHERE token = 'hash')
+    SELECT a.doc_id, count(*)::BIGINT AS n_pairs,
+           min(abs(a.pos - b.pos))::BIGINT AS min_distance
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    WHERE abs(a.pos - b.pos) <= 4 AND abs(a.pos - b.pos) > 0
+    GROUP BY a.doc_id
+    """,
+)
+def text_proximity_search(spark, sf_dir):
+    """Proximity (NEAR) search from the positional index
+    (text.proximity_search): documents where 'vector' and 'hash' occur
+    within 4 token positions, either order, with pair count and closest
+    distance. The join reads only the two probed tokens' posting
+    slices and fans out only within each document's own occurrence
+    lists — the inherent output bound, never cross-document."""
+    from .operators.text import positional_postings, proximity_search
+
+    d = _t(spark, sf_dir, "documents")
+    return proximity_search(positional_postings(d), "vector", "hash", max_distance=4)

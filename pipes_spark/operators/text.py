@@ -1448,3 +1448,36 @@ def phrase_search(
     return out.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
+
+
+def proximity_search(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_distance: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity search (terms within ``max_distance`` token positions,
+    either order) over positional postings: the NEAR operator of classic
+    IR engines. Equi-join the two terms' posting slices on the document,
+    band the |posA − posB| ≤ d residual — the join fans out only within
+    a document's own occurrence lists (occ_a × occ_b per doc, the
+    inherent output bound), never across documents. Returns
+    (doc_id, n_pairs, min_distance) per matching document.
+    """
+    a = postings.filter(F.col("token") == term_a.lower()).select(
+        F.col(id_col), F.col("pos").alias("_pa")
+    )
+    b = postings.filter(F.col("token") == term_b.lower()).select(
+        F.col(id_col), F.col("pos").alias("_pb")
+    )
+    d = F.abs(F.col("_pa") - F.col("_pb"))
+    return (
+        a.join(b, id_col)
+        .filter((d <= max_distance) & (d > 0))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min(d).cast("bigint").alias("min_distance"),
+        )
+    )

@@ -314,3 +314,22 @@ def test_phrase_search_overlaps_boundaries_and_case(spark):
     assert aa == {1: 3}
     bc = {r["doc_id"]: r["n_occurrences"] for r in phrase_search(p, ["B", "C"]).collect()}
     assert bc == {2: 1}
+
+
+def test_proximity_search_window_and_order(spark):
+    """Either order matches; pairs outside the window don't; a doc with
+    only one of the terms never appears."""
+    from pipes_spark.operators.text import positional_postings, proximity_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "x y z q w x"),   # x@0, x@5 ; y@1 → pairs (0,1) d=1, (5,1) d=4
+            (2, "y a b c d e x"), # y@0, x@6 → d=6 outside w=4
+            (3, "x only here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    p = positional_postings(df)
+    out = {r["doc_id"]: r for r in proximity_search(p, "x", "y", 4).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_pairs"] == 2 and out[1]["min_distance"] == 1
