@@ -12803,3 +12803,55 @@ def text_proximity_search(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return proximity_search(positional_postings(d), "vector", "hash", max_distance=4)
+
+
+@query(
+    "graph_cc_incremental",
+    oracle="""
+    WITH RECURSIVE base AS (SELECT doc_id AS i FROM documents),
+    e1 AS (
+      SELECT i AS u, i + 1 AS v FROM base WHERE i % 10 = 0
+      UNION ALL SELECT i + 1 AS u, i + 2 AS v FROM base WHERE i % 10 = 0
+    ), e2 AS (
+      SELECT i + 2 AS u, i + 10 AS v FROM base WHERE i % 20 = 0
+    ), alledges AS (SELECT u, v FROM e1 UNION SELECT u, v FROM e2),
+    edges AS (
+      SELECT u, v FROM alledges UNION SELECT v AS u, u AS v FROM alledges
+    ),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    )
+    SELECT id::BIGINT AS id, min(r)::BIGINT AS component
+    FROM reach GROUP BY id ORDER BY id
+    """,
+)
+def graph_cc_incremental(spark, sf_dir):
+    """Incremental connected components (operators.components.
+    connected_components_incremental): a base chain graph is resolved
+    once, then a DELTA batch of bridge edges folds into the existing
+    assignment — only the touched clusters recompute (star edges ∪
+    delta), untouched assignments pass through with zero work. This is
+    the ingest-side maintenance step for near-dup clusters at 100 TB:
+    new LSH pairs arrive per batch and the cluster table updates without
+    re-reading the pair history. Result provably identical to full CC
+    over (base ∪ delta); the oracle is the recursive-CTE closure over
+    exactly that union."""
+    from .operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    tens = d.filter(F.col("i") % 10 == 0)
+    e1 = tens.select(
+        F.col("i").alias("id_a"), (F.col("i") + 1).alias("id_b")
+    ).unionByName(
+        tens.select((F.col("i") + 1).alias("id_a"), (F.col("i") + 2).alias("id_b"))
+    )
+    e2 = d.filter(F.col("i") % 20 == 0).select(
+        (F.col("i") + 2).alias("id_a"), (F.col("i") + 10).alias("id_b")
+    )
+    assign = connected_components(e1)
+    return connected_components_incremental(assign, e2).orderBy("id")

@@ -599,3 +599,55 @@ def modularity(
         (F.col("_mall") - F.col("n_edges")).cast("bigint").alias("n_edges_dropped"),
         "modularity",
     )
+
+
+def connected_components_incremental(
+    assign: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Incremental connected components: fold a delta batch of edges into
+    an existing ``(id, component)`` assignment WITHOUT re-reading the
+    original edge set — the ingest-side maintenance step for near-dup
+    clusters (new LSH pairs arrive; only the clusters they touch can
+    change). Result is IDENTICAL to full CC over (original ∪ delta)
+    edges: each existing assignment row is a star edge id→component, and
+    a component's star is connectivity-equivalent to its original
+    subgraph, so CC over (touched stars ∪ delta edges) relabels exactly
+    the merged clusters.
+
+    Scale shape: the delta's endpoints semi-join out the touched
+    components (small), untouched assignment rows pass through with ZERO
+    recompute (anti-join), and the large-star/small-star rounds run on
+    |touched members| + |delta| rows — never the corpus's full edge
+    history. Labels stay min-id canonical, so merges of two old clusters
+    deterministically adopt the smaller label.
+    """
+    new_edges = new_pairs.select(
+        F.col(src).cast("long").alias("id_a"), F.col(dst).cast("long").alias("id_b")
+    )
+    a = assign.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    delta_nodes = (
+        new_edges.select(F.col("id_a").alias("id"))
+        .unionByName(new_edges.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    touched = (
+        a.join(delta_nodes, "id", "left_semi").select("component").distinct()
+    )
+    affected = a.join(F.broadcast(touched), "component", "left_semi")
+    untouched = a.join(F.broadcast(touched), "component", "left_anti")
+    star_edges = affected.select(
+        F.col("id").alias("id_a"), F.col("component").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    merged = connected_components(
+        star_edges.unionByName(new_edges), max_iter=max_iter
+    )
+    return untouched.select("id", "component").unionByName(
+        merged.select("id", "component")
+    )

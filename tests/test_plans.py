@@ -525,6 +525,7 @@ CONSTRUCTION_JOB_EXEMPT = {
     "dedup_semantic_pairs": "k-means training sample (codebook contract)",
     "entity_resolution": "iterative (connected components)",
     "graph_pagerank": "iterative (power rounds, checkpointed)",
+    "graph_cc_incremental": "iterative (CC rounds on base + touched delta)",
     "graph_labelprop": "iterative + signature-table ingest",
     "graph_kcore": "iterative (peel rounds)",
     "graph_shortest_paths": "iterative (relaxation rounds)",

@@ -333,3 +333,28 @@ def test_proximity_search_window_and_order(spark):
     out = {r["doc_id"]: r for r in proximity_search(p, "x", "y", 4).collect()}
     assert set(out) == {1}
     assert out[1]["n_pairs"] == 2 and out[1]["min_distance"] == 1
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """CC(assign(E1) ⊕ E2) must equal CC(E1 ∪ E2) exactly — merges across
+    old clusters, brand-new nodes, and untouched clusters passing through
+    unrecomputed."""
+    from pipes_spark.operators.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    e1 = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    e2 = [(3, 10), (40, 41), (11, 20)]  # merge {1..3}+{10,11}+{20,21}; new {40,41}
+    df1 = spark.createDataFrame(e1, "id_a bigint, id_b bigint")
+    df2 = spark.createDataFrame(e2, "id_a bigint, id_b bigint")
+    assign = connected_components(df1)
+    inc = connected_components_incremental(assign, df2)
+    full = connected_components(df1.unionByName(df2))
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # untouched cluster {30,31} rides through with its original label
+    got = {r["id"]: r["component"] for r in inc.collect()}
+    assert got[30] == 30 and got[31] == 30
+    # merged clusters adopt the global min id
+    assert got[20] == 1 and got[11] == 1
+    assert got[40] == 40 and got[41] == 40
