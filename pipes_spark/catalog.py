@@ -3939,9 +3939,11 @@ _GRADED_WINDOW = [
     # join family
     "join_inner_agg", "join_semi",
     "join_range_bands", "join_asof",
-    # aggregation family
+    # aggregation family (round-5 curation #3: agg_ordered_set — a family
+    # already carried by agg_percentiles — hands its slot to
+    # sketch_kmv_overlap below; it re-registers right after the window)
     "agg_stats", "agg_count_distinct", "agg_percentiles",
-    "grouping_sets_mix", "agg_ordered_set", "agg_incremental_merge",
+    "grouping_sets_mix", "agg_incremental_merge",
     # windows / ordering
     "window_ranking", "window_analytic", "topk_per_group",
     # set ops (the ALL variants carry the multiset subtlety)
@@ -3951,7 +3953,13 @@ _GRADED_WINDOW = [
     # events / sessionization / time-series / attribution
     "events_hourly", "sessionize_stats", "events_attribution",
     "timeseries_gapfill",
-    "ts_ewma", "ts_zscore_bucketed", "stats_mad_outliers",
+    "ts_ewma", "stats_mad_outliers",
+    # round-5 curation #3: two families the driver has never hash-graded —
+    # deterministic KMV/theta sketch set algebra (the estimator itself is
+    # md5 order-statistic math) and positional-inverted-index phrase
+    # search. The displaced agg_ordered_set / ts_zscore_bucketed
+    # re-register right after the window, fully oracle-gated locally.
+    "sketch_kmv_overlap", "text_phrase_search",
     # graph + ML-metric families (round-4 additions; the displaced
     # sessionize_bucketed_stats / timeseries_funnel variants re-register
     # right after the window and stay fully oracle-gated locally)
