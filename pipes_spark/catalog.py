@@ -12863,3 +12863,53 @@ def graph_cc_incremental(spark, sf_dir):
     )
     assign = connected_components(e1)
     return connected_components_incremental(assign, e2).orderBy("id")
+
+
+@query(
+    "streaming_kmv_distinct",
+    oracle="""
+    WITH dh AS (
+      SELECT DISTINCT CAST(concat('0x',
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 14)) AS BIGINT) AS h
+      FROM events
+    ), ranked AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rn FROM dh
+    ), sk AS (SELECT h FROM ranked WHERE rn <= 64),
+    exact AS (SELECT count(*) AS n_exact FROM dh)
+    SELECT count(*)::BIGINT AS n_sketch,
+           round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                 ELSE 63.0 * 72057594037927936 / max(h) END, 6) AS est,
+           (SELECT n_exact FROM exact)::BIGINT AS n_exact_distinct
+    FROM sk
+    """,
+)
+def streaming_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch under streaming ingest
+    (streaming.streaming_kmv_distinct): every micro-batch keeps its k=64
+    smallest user-id hashes, merged across batches. Mergeability makes
+    the live sketch IDENTICAL to the offline batch sketch for any
+    micro-batch split — which is why the deterministic batch-twin SQL is
+    a valid hash-exact oracle (the streaming_count_min argument, for
+    distinct counts instead of frequencies). The exact distinct count
+    rides along as the audit column; pytest additionally proves the
+    2-file maxFilesPerTrigger=1 split merges to the single-batch
+    sketch row-for-row."""
+    from .operators.rollup import kmv_estimate
+    from .sources import load_table
+    from .streaming import streaming_kmv_distinct as _skd
+
+    stream = _events_stream(spark, sf_dir)
+    sketch = _skd(stream, "user_id", k=64)
+    est = kmv_estimate(sketch, k=64)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 14), 16, 10
+            )
+            .cast("bigint")
+            .alias("h")
+        )
+        .agg(F.count_distinct("h").cast("bigint").alias("n_exact_distinct"))
+    )
+    return est.crossJoin(exact)

@@ -538,3 +538,63 @@ def count_min_join_cardinality(
             6,
         ).alias("overcount_ratio"),
     )
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 64, buckets: int = 64
+) -> DataFrame:
+    """Bare KMV sketch of one key stream: the k smallest distinct 56-bit
+    key hashes as ``(h)`` rows — ≤ k rows no matter the input size, the
+    per-shard/per-batch ingest artifact :func:`kmv_merge` folds. Same
+    two-level selection as :func:`kmv_overlap` (per-hash-bucket cap in
+    parallel, final rank over ≤ buckets·k survivors)."""
+    from pyspark.sql import Window
+
+    dh = df.select(kmv_hash56(F.col(key_col)).alias("h")).distinct()
+    wb = Window.partitionBy(F.pmod(F.col("h"), F.lit(buckets))).orderBy("h")
+    surv = (
+        dh.withColumn("_rb", F.row_number().over(wb))
+        .filter(F.col("_rb") <= k)
+        .drop("_rb")
+    )
+    wa = Window.orderBy("h")  # bounded: ≤ buckets·k rows reach this rank
+    return (
+        surv.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Union KMV sketches: the k smallest of the distinct union of the
+    inputs' hash rows — exactly the sketch of the unioned streams (the
+    k smallest of A∪B lie within the per-input k-smallests), so shards
+    and micro-batches sketch independently and combine lossless-ly."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    u = reduce(lambda a, b: a.unionByName(b), sketches).distinct()
+    w = Window.orderBy("h")  # bounded: ≤ Σ inputs' k rows
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: (k−1)·2^56 / h_k when
+    the sketch is full, the exact sketch size when the stream had fewer
+    than k distinct keys. One row ``(n_sketch, est)``."""
+    return sketch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sketch"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+            ).otherwise(
+                F.lit(float(k - 1) * _KMV_SPACE) / F.max("h").cast("double")
+            ),
+            6,
+        ).alias("est"),
+    )

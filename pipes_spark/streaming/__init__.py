@@ -1052,3 +1052,34 @@ def streaming_count_min(
     if not parts:
         return spark.createDataFrame([], "seed bigint, bucket bigint, cnt bigint")
     return count_min_merge(*parts)
+
+
+def streaming_kmv_distinct(
+    stream_df: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Streaming KMV distinct sketch: each micro-batch keeps its own k
+    smallest key hashes (≤ k rows of state, `localCheckpoint`ed), merged
+    across batches — mergeability makes the final sketch IDENTICAL to
+    the offline batch sketch of the full stream for ANY micro-batch
+    split, so live distinct-count estimates equal the offline ones
+    (the rollup.kmv_merge contract; the streaming_count_min shape).
+    Runs the stream to completion (availableNow) and returns the merged
+    ≤ k-row sketch."""
+    from ..operators.rollup import kmv_merge, kmv_sketch
+
+    spark = stream_df.sparkSession
+    parts: list[DataFrame] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch, key_col, k=k)
+        parts.append(sk.localCheckpoint(eager=True))
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not parts:
+        return spark.createDataFrame([], "h bigint")
+    return kmv_merge(*parts, k=k)

@@ -778,3 +778,46 @@ def test_streaming_count_min_merge_equals_single_batch_sketch(spark, tmp_path):
     got = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
     want = {(r.seed, r.bucket): r.cnt for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_kmv_merge_equals_single_batch_sketch(spark, tmp_path):
+    """Per-micro-batch KMV sketches merged across a 2-file split equal the
+    one-shot batch sketch row-for-row, and the estimate falls back to the
+    exact count when distincts < k."""
+    from pipes_spark.operators.rollup import kmv_estimate, kmv_sketch
+    from pipes_spark.streaming import streaming_kmv_distinct
+
+    schema = "item long"
+    a = [(i,) for i in range(80)]
+    b = [(i,) for i in range(50, 140)]  # overlap keeps distincts interesting
+    d = str(tmp_path / "kmv")
+    spark.createDataFrame(a, schema).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{d}/b1")
+    stream_dir = str(tmp_path / "kmv_in")
+    os.makedirs(stream_dir)
+    files = sorted(
+        f"{d}/b{i}/{f}"
+        for i in range(2)
+        for f in os.listdir(f"{d}/b{i}")
+        if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), f"{stream_dir}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    merged = streaming_kmv_distinct(stream, "item", k=32)
+    batch = kmv_sketch(spark.createDataFrame(a + b, schema), "item", k=32)
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in batch.collect()
+    )
+    est = kmv_estimate(merged, k=32).first()
+    assert est["n_sketch"] == 32 and est["est"] > 0
+    # sub-k stream: estimate IS the exact distinct count
+    small = kmv_estimate(
+        kmv_sketch(spark.createDataFrame(a[:10], schema), "item", k=32), k=32
+    ).first()
+    assert small["n_sketch"] == 10 and small["est"] == 10.0
