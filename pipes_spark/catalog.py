@@ -12913,3 +12913,73 @@ def streaming_kmv_distinct(spark, sf_dir):
         .agg(F.count_distinct("h").cast("bigint").alias("n_exact_distinct"))
     )
     return est.crossJoin(exact)
+
+
+@query(
+    "profile_table_diff",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s FROM orders
+    ), n AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN p + 1.5 ELSE p END AS p,
+             CASE WHEN k % 21 = 0 THEN 'X' ELSE s END AS s
+      FROM o WHERE k % 13 <> 0
+      UNION ALL
+      SELECT k + 10000000 AS k, p, s FROM o WHERE k % 11 = 0
+    ), j AS (
+      SELECT o.k AS ko, n.k AS kn, o.p AS po, n.p AS pn, o.s AS so, n.s AS sn
+      FROM o FULL OUTER JOIN n ON o.k = n.k
+    ), f AS (
+      SELECT CASE WHEN ko IS NULL THEN 'added'
+                  WHEN kn IS NULL THEN 'removed'
+                  WHEN (po IS DISTINCT FROM pn) OR (so IS DISTINCT FROM sn)
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             (po IS DISTINCT FROM pn) AS cp,
+             (so IS DISTINCT FROM sn) AS cs
+      FROM j
+    )
+    SELECT status, count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN status = 'changed' AND cp THEN 1 ELSE 0 END)::BIGINT
+             AS chg_o_totalprice,
+           sum(CASE WHEN status = 'changed' AND cs THEN 1 ELSE 0 END)::BIGINT
+             AS chg_o_orderstatus
+    FROM f GROUP BY status ORDER BY status
+    """,
+)
+def profile_table_diff(spark, sf_dir):
+    """Keyed snapshot diff (operators.profiling.table_diff): a synthetic
+    re-export of orders — every 7th price bumped, every 21st status
+    rewritten, every 13th row dropped, every 11th re-keyed as an
+    addition — classified added/removed/changed/unchanged with
+    per-column change counts. ONE full-outer join on the key (the
+    inherent cost of a row diff; shard_manifest is the cheap yes/no
+    form), NULL-safe comparisons, per-column flags folded into a single
+    aggregate."""
+    from .operators.profiling import table_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    new = (
+        o.filter(k % 13 != 0)
+        .select(
+            k.alias("o_orderkey"),
+            F.when(k % 7 == 0, F.col("o_totalprice") + 1.5)
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            F.when(k % 21 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+        )
+        .unionByName(
+            o.filter(k % 11 == 0).select(
+                (k + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    return table_diff(o, new, ["o_orderkey"]).orderBy("status")

@@ -1836,3 +1836,69 @@ def mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Keyed snapshot diff: classify every key as added / removed /
+    changed / unchanged between two table versions and count which
+    columns changed — the row-level audit behind "what did this
+    re-export actually change" (shard_manifest answers the yes/no form;
+    this names the rows and columns). NULL-safe comparison via the
+    eqNullSafe operator, so NULL→value and value→NULL both count as
+    changes.
+
+    Scale: ONE full-outer join on the keys (the inherent cost of a diff)
+    with comparison columns only in the payload; the per-column change
+    flags fold into one aggregate. Returns one row per status with
+    n_rows plus a map of column → changed-row count (changed rows only).
+    """
+    cmp_cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys and c in old.columns]
+    )
+    o = old.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in cmp_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    j = o.join(n, [f"_k_{k}" for k in keys], "full_outer")
+    any_change = F.lit(False)
+    for c in cmp_cols:
+        any_change = any_change | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(any_change, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    flagged = j.select(
+        status.alias("status"),
+        *[
+            (~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))).alias(f"_chg_{c}")
+            for c in cmp_cols
+        ],
+    )
+    return flagged.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            F.sum(
+                F.when(
+                    (F.col("status") == "changed") & F.col(f"_chg_{c}"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"chg_{c}")
+            for c in cmp_cols
+        ],
+    )

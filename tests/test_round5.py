@@ -358,3 +358,25 @@ def test_incremental_cc_equals_full_recompute(spark):
     # merged clusters adopt the global min id
     assert got[20] == 1 and got[11] == 1
     assert got[40] == 40 and got[41] == 40
+
+
+def test_table_diff_statuses_null_safety_and_column_counts(spark):
+    """NULL→value and value→NULL both count as changes; added/removed keys
+    classify correctly; per-column counts tally changed rows only."""
+    from pipes_spark.operators.profiling import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k bigint, x string, y double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)],
+        "k bigint, x string, y double",
+    )
+    out = {r["status"]: r for r in table_diff(old, new, ["k"]).collect()}
+    assert out["unchanged"]["n_rows"] == 1          # key 1
+    assert out["changed"]["n_rows"] == 2            # keys 2 (x), 3 (y)
+    assert out["removed"]["n_rows"] == 1            # key 4
+    assert out["added"]["n_rows"] == 1              # key 5
+    assert out["changed"]["chg_x"] == 1 and out["changed"]["chg_y"] == 1
+    assert out["added"]["chg_x"] == 0 and out["removed"]["chg_y"] == 0
