@@ -182,3 +182,30 @@ def test_data_mixing_example(spark, sf_dir, tmp_path, monkeypatch, capsys, job_b
     # α=0.5 temperature mix by more than the natural-proportion ratio
     langs = {r["lang"] for r in got.select("lang").distinct().collect()}
     assert langs == {"de", "en", "es", "fr", "zh"}
+
+
+def test_search_lab_example(spark, sf_dir, job_budget, action_audit):
+    import search_lab
+
+    # 5 actions: 3 declared readout sinks + 2 persisted fan-outs
+    # (docs→{postings, bm25}, postings→{phrase, near})
+    with job_budget("search_lab", 16), action_audit("search_lab", 5):
+        out = search_lab.main(sf_dir)
+    assert set(out) == {"phrase", "near", "bm25"}
+    assert len(out["bm25"]) == 10
+    scores = [r["bm25"] for r in out["bm25"]]
+    assert scores == sorted(scores, reverse=True)
+    assert len(out["phrase"]) > 0 and len(out["near"]) > 0
+    # spot-verify one phrase hit against the raw text (distinct tokens ⇒
+    # occurrences are non-overlapping token windows)
+    hit = out["phrase"][0]
+    text = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(f"doc_id = {hit['doc_id']}")
+        .first()["text"]
+    )
+    toks = [t for t in text.lower().split() if t]
+    n = sum(
+        1 for i in range(len(toks) - 1) if toks[i : i + 2] == ["table", "scan"]
+    )
+    assert n == hit["n_occurrences"]

@@ -615,3 +615,42 @@ def test_boilerplate_mark_join_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_boilerplate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_phrase_search_legs_read_the_cached_posting_slice(spark, sf_dir):
+    """The per-token join legs must read the scoped-persisted posting
+    slice (InMemoryTableScan), not re-derive the posexplode per leg: the
+    documents scan appears only inside the one cached-relation build."""
+    plan = _plan(spark, sf_dir, "text_phrase_search")
+    assert "InMemoryTableScan" in plan
+    # outside the InMemoryRelation definition block, no second parquet scan
+    # of documents feeds a join leg
+    legs = plan.split("InMemoryRelation")[0]
+    assert legs.count("FileScan parquet") == 0
+
+
+def test_kmv_selection_windows_are_bucket_partitioned_first(spark, sf_dir):
+    """The two-level top-k must run the first window PARTITIONED by the
+    hash bucket (pmod) — never a whole set ordered on one task before the
+    bucket cap."""
+    plan = _plan(spark, sf_dir, "sketch_kmv_overlap")
+    # Spark pre-projects the pmod bucket as _w0 and rewrites rank<=k into
+    # WindowGroupLimit: assert the bucket-keyed exchange precedes the
+    # per-set one, and the group-limit pushdown kicked in (partial+final)
+    assert re.search(r"Exchange hashpartitioning\(_s#\d+, _w0#\d+", plan)
+    assert "WindowGroupLimit" in plan
+
+
+def test_table_diff_plans_one_full_outer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "profile_table_diff")
+    assert "FullOuter" in plan
+    assert plan.count("FullOuter") == 1
+
+
+def test_incremental_cc_broadcasts_touched_components(spark, sf_dir):
+    """The touched-component set (tiny by construction) must broadcast
+    into both the affected semi-join and the untouched anti-join — the
+    corpus-sized assignment table never shuffles for the split."""
+    plan = _plan(spark, sf_dir, "graph_cc_incremental")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
