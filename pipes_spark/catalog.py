@@ -12983,3 +12983,47 @@ def profile_table_diff(spark, sf_dir):
         )
     )
     return table_diff(o, new, ["o_orderkey"]).orderBy("status")
+
+
+@query("ml_isotonic")  # PAV's sequential pooling is not SQL-expressible:
+# rows-only; monotonicity/parity are pytest'd in test_round5.py
+def ml_isotonic(spark, sf_dir):
+    """Isotonic (PAV) calibration per order priority
+    (operators.linear_model.isotonic_calibration, Zadrozny & Elkan 2002):
+    o_totalprice as the raw score for "order is fulfilled", calibrated to
+    a monotone step probability per priority class — the non-parametric
+    upgrade of ml_calibration_bins. Returns the per-class step summary
+    (one row per fitted step: score range + calibrated value + support)
+    rather than 150k calibrated rows."""
+    from .operators.linear_model import isotonic_calibration
+
+    o = _t(spark, sf_dir, "orders")
+    cal = isotonic_calibration(
+        o,
+        "o_totalprice",
+        (F.col("o_orderstatus") == "F").cast("double"),
+        group_col="o_orderpriority",
+    )
+    return (
+        cal.groupBy("o_orderpriority", F.col("calibrated"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.min("_score"), 6).alias("score_lo"),
+            F.round(F.max("_score"), 6).alias("score_hi"),
+        )
+        .orderBy("o_orderpriority", "calibrated")
+    )
+
+
+@query("stats_huber_location")  # 8 IRLS rounds of float re-weighting: the
+# fixpoint is not SQL-expressible; rows-only, numpy parity pytest'd
+def stats_huber_location(spark, sf_dir):
+    """Per-event-type Huber M-estimate of the value column
+    (operators.profiling.huber_location): the robust location between
+    mean and median, IRLS with MAD scale — fully in-plan iteration (no
+    per-round driver collects; the whole 8-round recursion is ONE lazy
+    Catalyst plan of broadcast joins + map-side-combined aggregates)."""
+    from .operators.profiling import huber_location
+
+    ev = _t(spark, sf_dir, "events")
+    return huber_location(ev, "event_type", "value").orderBy("event_type")

@@ -832,3 +832,71 @@ def fellegi_sunter_scores(
         F.round(weight, round_decimals).alias("match_weight"),
         F.round(w / (w + v), round_decimals).alias("match_posterior"),
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col,
+    label_col,
+    group_col: Optional[str] = None,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Isotonic (PAV) probability calibration per model group (Zadrozny &
+    Elkan, KDD 2002): the monotone step function minimizing squared error
+    of the 0/1 labels against the score order — the non-parametric
+    complement to the binned calibration audit (calibration_bins) and the
+    conformal intervals. Pool-adjacent-violators runs per group inside
+    one Arrow batch (a numpy stack pass, O(n) after the sort).
+
+    Scale contract: ONE shuffle on the group key; a group's calibration
+    set must fit a worker — calibration sets are bounded samples by
+    construction (the same per-group contract as the PACF grouped map).
+    Ties in score share one pooled value (the PAV block mean), so the
+    fit is deterministic regardless of within-tie order. Returns the
+    input rows plus ``out_col``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    g = group_col or "_g"
+    base = (
+        df.select(
+            F.lit(0).alias("_g") if group_col is None else F.col(group_col),
+            F.col(score_col).cast("double").alias("_score"),
+            label_col.cast("double").alias("_y")
+            if not isinstance(label_col, str)
+            else F.col(label_col).cast("double").alias("_y"),
+        )
+    )
+
+    schema = f"{'_g int' if group_col is None else g + ' string'}, _score double, _y double, {out_col} double"
+
+    def pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_score", "_y"], kind="mergesort").reset_index(
+            drop=True
+        )
+        # collapse ties on score first: PAV fits one value per distinct score
+        grp = pdf.groupby("_score", sort=True)["_y"].agg(["sum", "count"])
+        sums = grp["sum"].to_numpy(dtype=float)
+        cnts = grp["count"].to_numpy(dtype=float)
+        scores = grp.index.to_numpy()
+        # pool adjacent violators (stack of blocks with monotone means)
+        bs, bc, bn = [], [], []  # block sum, count, n_distinct_scores
+        for s_, c_ in zip(sums, cnts):
+            bs.append(s_)
+            bc.append(c_)
+            bn.append(1)
+            while len(bs) > 1 and bs[-2] * bc[-1] >= bs[-1] * bc[-2]:
+                bs[-2] += bs[-1]
+                bc[-2] += bc[-1]
+                bn[-2] += bn[-1]
+                bs.pop(), bc.pop(), bn.pop()
+        fitted = np.repeat(
+            np.array(bs) / np.array(bc), np.array(bn, dtype=int)
+        )
+        cal = dict(zip(scores, np.round(fitted, 12)))
+        pdf[out_col] = pdf["_score"].map(cal)
+        return pdf
+
+    out = base.groupBy(g).applyInPandas(pav, schema)
+    return out if group_col else out.drop("_g")

@@ -1902,3 +1902,61 @@ def table_diff(
             for c in cmp_cols
         ],
     )
+
+
+def huber_location(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    delta: float = 1.345,
+    iters: int = 8,
+) -> DataFrame:
+    """Per-group Huber M-estimate of location by IRLS (Huber 1964): the
+    robust mean that downweights observations beyond delta·scale instead
+    of trimming them — the estimator between the mean (delta→∞) and the
+    median (delta→0), completing the robust family next to mad_outliers
+    and winsorize_stats. Scale is the standard MAD·1.4826.
+
+    Fully IN-PLAN iteration: every IRLS round is one join of the data
+    against the (groups × 3)-row parameter table plus one weighted-mean
+    aggregate — no driver-side scalar collects (contrast fit_fellegi_
+    sunter's documented per-round collect contract), so constructing the
+    result fires no Spark job and the whole fixed-depth recursion
+    optimizes as one Catalyst plan. At 100 TB each round is one
+    broadcast join + one map-side-combined aggregate over the data.
+
+    Returns (group, n, scale, huber_mean).
+    """
+    g = group_col
+    base = df.select(F.col(g), F.col(value_col).cast("double").alias("_x"))
+    med = base.groupBy(g).agg(F.percentile("_x", 0.5).alias("_med"))
+    scale = (
+        base.join(F.broadcast(med), g)
+        .groupBy(g)
+        .agg(
+            (F.percentile(F.abs(F.col("_x") - F.col("_med")), 0.5) * 1.4826).alias(
+                "_s"
+            )
+        )
+    )
+    params = (
+        base.groupBy(g)
+        .agg(F.avg("_x").alias("_mu"), F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(scale), g)
+    )
+    for _ in range(iters):
+        j = base.join(F.broadcast(params.select(g, "_mu", "_n", "_s")), g)
+        r = F.abs(F.col("_x") - F.col("_mu"))
+        thr = F.lit(delta) * F.greatest(F.col("_s"), F.lit(1e-12))
+        w = F.when(r <= thr, F.lit(1.0)).otherwise(thr / r)
+        params = j.groupBy(g).agg(
+            (F.sum(w * F.col("_x")) / F.sum(w)).alias("_mu"),
+            F.max("_n").alias("_n"),
+            F.max("_s").alias("_s"),
+        )
+    return params.select(
+        F.col(g),
+        F.col("_n").cast("bigint").alias("n"),
+        F.round("_s", 6).alias("scale"),
+        F.round("_mu", 6).alias("huber_mean"),
+    )

@@ -380,3 +380,62 @@ def test_table_diff_statuses_null_safety_and_column_counts(spark):
     assert out["added"]["n_rows"] == 1              # key 5
     assert out["changed"]["chg_x"] == 1 and out["changed"]["chg_y"] == 1
     assert out["added"]["chg_x"] == 0 and out["removed"]["chg_y"] == 0
+
+
+def test_isotonic_pav_matches_hand_fit_and_is_monotone(spark):
+    """PAV on a known violator sequence pools exactly as the textbook fit;
+    the calibrated values are non-decreasing in score; ties share one
+    value."""
+    from pipes_spark.operators.linear_model import isotonic_calibration
+
+    # scores 1..6 with labels 0,1,1,0,0,1: PAV pools (2,3,4,5) -> 0.5
+    rows = [(1.0, 0.0), (2.0, 1.0), (3.0, 1.0), (4.0, 0.0), (5.0, 0.0), (6.0, 1.0)]
+    df = spark.createDataFrame(rows, "s double, y double")
+    out = (
+        isotonic_calibration(df, "s", "y")
+        .orderBy("_score")
+        .collect()
+    )
+    got = [r["calibrated"] for r in out]
+    assert got == [0.0, 0.5, 0.5, 0.5, 0.5, 1.0]
+    # ties on score collapse to one pooled value
+    df2 = spark.createDataFrame(
+        [(1.0, 0.0), (1.0, 1.0), (2.0, 1.0)], "s double, y double"
+    )
+    out2 = isotonic_calibration(df2, "s", "y").orderBy("_score", "_y").collect()
+    assert out2[0]["calibrated"] == out2[1]["calibrated"] == 0.5
+    assert out2[2]["calibrated"] == 1.0
+
+
+def test_huber_location_numpy_parity_and_robustness(spark):
+    """The distributed IRLS matches a numpy reference to float tolerance,
+    and a gross outlier that drags the mean barely moves the Huber
+    estimate."""
+    import numpy as np
+
+    from pipes_spark.operators.profiling import huber_location
+
+    vals = [1.0, 1.2, 0.8, 1.1, 0.9, 1.05, 0.95, 100.0]  # one gross outlier
+    df = spark.createDataFrame([("a", v) for v in vals], "g string, v double")
+    got = huber_location(df, "g", "v", iters=8).first()
+
+    x = np.array(vals)
+    med = np.percentile(x, 50)
+    s = 1.4826 * np.percentile(np.abs(x - med), 50)
+    mu = x.mean()
+    for _ in range(8):
+        r = np.abs(x - mu)
+        thr = 1.345 * max(s, 1e-12)
+        w = np.where(r <= thr, 1.0, thr / r)
+        mu = (w * x).sum() / w.sum()
+    assert abs(got["huber_mean"] - round(mu, 6)) < 1e-6
+    assert abs(got["scale"] - round(s, 6)) < 1e-6
+    plain_mean = x.mean()  # ~13.4
+    assert abs(got["huber_mean"] - 1.0) < 0.2 and plain_mean > 10
+    # lazy-construction contract: building the plan fires no job
+    tracker = spark.sparkContext.statusTracker()
+    group = "huber-lazy"
+    spark.sparkContext.setJobGroup(group, "huber")
+    huber_location(df, "g", "v", iters=4)
+    spark.sparkContext.setJobGroup("idle", "idle")
+    assert not tracker.getJobIdsForGroup(group)
