@@ -13027,3 +13027,59 @@ def stats_huber_location(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return huber_location(ev, "event_type", "value").orderBy("event_type")
+
+
+@query(
+    "ts_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, day,
+             sum(y) OVER w AS s1, sum(y * y) OVER w AS s2,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(y) OVER (PARTITION BY event_type) AS t1,
+             sum(y * y) OVER (PARTITION BY event_type) AS t2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+    ), cand AS (
+      SELECT event_type, day, k, n, t1, t2,
+             (s2 - s1 * s1 / k)
+             + ((t2 - s2) - (t1 - s1) * (t1 - s1) / (n - k)) AS sse
+      FROM pre WHERE k < n
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY sse, day) AS rn
+      FROM cand
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS change_point,
+           n::BIGINT AS n_points,
+           round(t2 - t1 * t1 / n, 6) AS sse_nochange,
+           round(sse, 6) AS sse_split,
+           round((t2 - t1 * t1 / n - sse)
+                 / nullif(t2 - t1 * t1 / n, 0.0), 6) AS drop_ratio
+    FROM best WHERE rn = 1 ORDER BY event_type
+    """,
+)
+def ts_changepoint(spark, sf_dir):
+    """Single-changepoint detection on the daily count series per event
+    type (operators.timeseries.changepoint_binary, binary segmentation):
+    the split minimizing total within-segment SSE, every candidate
+    scored from ONE prefix-sum window pass (SSE(1..k) = S2_k − S1_k²/k),
+    argmin with earliest-day tie-break. The series values are counts —
+    exact in double — so every prefix sum is order-independent and the
+    whole chain is hash-exact against the oracle."""
+    from .operators.timeseries import changepoint_binary
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    out = changepoint_binary(daily, "event_type", "day", "y")
+    return out.withColumn(
+        "change_point", F.col("change_point").cast("string")
+    ).orderBy("event_type")

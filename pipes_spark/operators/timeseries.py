@@ -1195,3 +1195,81 @@ def concurrency_gauge(
     return gauged.groupBy("bucket", "close_concurrency").agg(
         F.max("_conc").cast("bigint").alias("peak_concurrency")
     ).select("bucket", "peak_concurrency", "close_concurrency")
+
+
+def changepoint_binary(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single-changepoint detection per series by binary segmentation
+    (Scott & Knott 1974 / the first split of PELT-style methods): the
+    split minimizing total within-segment squared error, computed for
+    EVERY candidate split from one pass of prefix sums — SSE(1..k) =
+    S2_k − S1_k²/k needs only the cumulative Σy and Σy², so the argmin
+    over n−1 candidates costs one per-key window, not n fits.
+
+    Emits (key, change_point, n_points, sse_nochange, sse_split,
+    drop_ratio): drop_ratio near 0 ⇒ no structural break; large ⇒ the
+    mean shifted at change_point (the first segmentation a capacity/
+    incident review runs on a daily metric). Ties break to the earliest
+    split. Series are per-key aggregates (days, hours) — the bounded
+    compressed domain, so per-key windows never see raw-event volume.
+    """
+    w = Window.partitionBy(key_col).orderBy(time_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wk = Window.partitionBy(key_col)
+    y = F.col(value_col).cast("double")
+    pre = df.select(
+        F.col(key_col),
+        F.col(time_col),
+        F.sum(y).over(w).alias("_s1"),
+        F.sum(y * y).over(w).alias("_s2"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy(time_col))
+        .alias("_k"),
+        F.count(F.lit(1)).over(wk).alias("_n"),
+        F.sum(y).over(wk).alias("_t1"),
+        F.sum(y * y).over(wk).alias("_t2"),
+    )
+    cand = pre.filter(F.col("_k") < F.col("_n")).select(
+        F.col(key_col),
+        F.col(time_col),
+        "_k",
+        "_n",
+        "_t1",
+        "_t2",
+        (
+            (F.col("_s2") - F.col("_s1") * F.col("_s1") / F.col("_k"))
+            + (
+                (F.col("_t2") - F.col("_s2"))
+                - (F.col("_t1") - F.col("_s1"))
+                * (F.col("_t1") - F.col("_s1"))
+                / (F.col("_n") - F.col("_k"))
+            )
+        ).alias("_sse"),
+    )
+    best = cand.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy(key_col).orderBy(F.col("_sse").asc(), F.col(time_col).asc())
+        ),
+    ).filter(F.col("_rn") == 1)
+    return best.select(
+        F.col(key_col),
+        F.col(time_col).alias("change_point"),
+        F.col("_n").cast("bigint").alias("n_points"),
+        F.round(F.col("_t2") - F.col("_t1") * F.col("_t1") / F.col("_n"), 6).alias(
+            "sse_nochange"
+        ),
+        F.round("_sse", 6).alias("sse_split"),
+        F.round(
+            (F.col("_t2") - F.col("_t1") * F.col("_t1") / F.col("_n") - F.col("_sse"))
+            / F.nullif(
+                F.col("_t2") - F.col("_t1") * F.col("_t1") / F.col("_n"), F.lit(0.0)
+            ),
+            6,
+        ).alias("drop_ratio"),
+    )

@@ -439,3 +439,18 @@ def test_huber_location_numpy_parity_and_robustness(spark):
     huber_location(df, "g", "v", iters=4)
     spark.sparkContext.setJobGroup("idle", "idle")
     assert not tracker.getJobIdsForGroup(group)
+
+
+def test_changepoint_finds_planted_mean_shift(spark):
+    """A series with a clean level shift at t=10 must split exactly there
+    with a large SSE drop; a flat series reports drop_ratio 0 (or a split
+    with no gain)."""
+    from pipes_spark.operators.timeseries import changepoint_binary
+
+    rows = [("a", t, 10.0 if t <= 10 else 30.0) for t in range(1, 21)]
+    rows += [("flat", t, 7.0) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    out = {r["k"]: r for r in changepoint_binary(df, "k", "t", "y").collect()}
+    assert out["a"]["change_point"] == 10
+    assert out["a"]["sse_split"] == 0.0 and out["a"]["drop_ratio"] == 1.0
+    assert out["flat"]["sse_nochange"] == 0.0 and out["flat"]["drop_ratio"] is None
