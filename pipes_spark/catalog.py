@@ -13083,3 +13083,64 @@ def ts_changepoint(spark, sf_dir):
     return out.withColumn(
         "change_point", F.col("change_point").cast("string")
     ).orderBy("event_type")
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS v,
+             CAST(l_quantity AS DOUBLE) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT flag, v, wt,
+             sum(wt) OVER (PARTITION BY flag ORDER BY v, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY flag) AS tw
+      FROM w
+    ), hit AS (
+      SELECT flag, v, row_number() OVER (PARTITION BY flag ORDER BY v, wt) AS rn
+      FROM cum WHERE cw >= tw / 2
+    )
+    SELECT flag, round(v, 2) AS weighted_median,
+           (SELECT count(*) FROM w w2 WHERE w2.flag = hit.flag)::BIGINT AS n_rows
+    FROM hit WHERE rn = 1 ORDER BY flag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Weighted median per group (the 50% point of the weight-CDF, lower
+    tie convention): extendedprice weighted by quantity per returnflag —
+    the aggregation percentile()/median() cannot express (they weight
+    rows equally). One cumulative-weight window over the group-sorted
+    values, first row where cumweight ≥ half the total; quantities are
+    exact in double, so the cutoff comparison is engine-exact."""
+    ev = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("double").alias("wt"),
+    )
+    wcum = Window.partitionBy("flag").orderBy("v", "wt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy("flag")
+    cum = ev.select(
+        "flag",
+        "v",
+        "wt",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    hit = cum.filter(F.col("cw") >= F.col("tw") / 2).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("flag").orderBy("v", "wt")),
+    )
+    return (
+        hit.filter(F.col("rn") == 1)
+        .select(
+            "flag",
+            F.round("v", 2).alias("weighted_median"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("flag")
+    )
