@@ -13144,3 +13144,25 @@ def agg_weighted_median(spark, sf_dir):
         )
         .orderBy("flag")
     )
+
+
+@query("sim_lsh_multiprobe")  # approximate by construction → rows-only check
+def sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-5 (Lv et al., VLDB 2007 — operators.similarity.
+    lsh_cosine_topk with multiprobe=num_planes): per table the query also
+    probes its Hamming-distance-1 buckets (single sign-bit flips), so
+    recall rises like adding tables while only the tiny QUERY side fans
+    out — the corpus index stays exactly as bucketed at ingest. Recall ≥
+    the single-probe path on the identical table budget is asserted in
+    pytest."""
+    from .operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 20),
+        k=5,
+        dim=_emb_meta(sf_dir)[0],
+        num_tables=4,
+        multiprobe=6,
+    )

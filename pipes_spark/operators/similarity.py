@@ -164,6 +164,7 @@ def lsh_cosine_topk(
     num_tables: int = 8,
     dim: Optional[int] = None,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
 
@@ -176,6 +177,13 @@ def lsh_cosine_topk(
     cosine; no broadcast required on either side. Pass ``dim`` (callers at
     ingest know the width; parquet footers expose it driver-side) to keep
     construction fully lazy — probing is the documented LIMIT-1 fallback.
+
+    ``multiprobe`` > 0 additionally probes, per table, the QUERY's
+    ``multiprobe`` Hamming-distance-1 buckets (single sign-bit flips — the
+    multi-probe LSH of Lv et al., VLDB 2007): recall rises like adding
+    tables, but only the tiny query side fans out — the corpus index is
+    untouched, which at 100 TB is the difference between re-hashing the
+    corpus and reading a few more postings.
     """
     dim = dim or _probe_dim(corpus, vec_col) or 64
     tables = [
@@ -212,6 +220,17 @@ def lsh_cosine_topk(
 
     c = with_buckets(corpus, id_col, "neighbor_id")
     q = with_buckets(queries, id_col, query_id_col)
+    if multiprobe:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.expr(f"bucket ^ {1 << b}")
+                for b in range(min(multiprobe, num_planes))
+            ],
+        )
+        q = q.select(
+            query_id_col, "table", F.explode(flips).alias("bucket")
+        )
     cand = (
         c.join(q, ["table", "bucket"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))

@@ -454,3 +454,32 @@ def test_changepoint_finds_planted_mean_shift(spark):
     assert out["a"]["change_point"] == 10
     assert out["a"]["sse_split"] == 0.0 and out["a"]["drop_ratio"] == 1.0
     assert out["flat"]["sse_nochange"] == 0.0 and out["flat"]["drop_ratio"] is None
+
+
+def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
+    """On the SAME (tables, planes) budget, probing Hamming-1 buckets must
+    reach recall >= the single-probe path, strictly widening the candidate
+    set on this corpus; both stay valid top-k (scores descend)."""
+    from pipes_spark.operators.similarity import (
+        cosine_topk,
+        lsh_cosine_topk,
+    )
+    from pipes_spark.sources import load_table, parquet_list_width
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = parquet_list_width(f"{sf_dir}/embeddings.parquet", "embedding")
+    q = emb.filter("vec_id < 12")
+    exact = cosine_topk(emb, q, k=5, dim=dim)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(multiprobe):
+        got = lsh_cosine_topk(
+            emb, q, k=5, dim=dim, num_tables=2, num_planes=6,
+            multiprobe=multiprobe,
+        )
+        hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+        return len(hits & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(6)
+    assert r1 >= r0
+    assert r1 >= 0.3  # 2 tables × 7 probed buckets on the toy corpus
