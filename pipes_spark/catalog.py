@@ -13166,3 +13166,112 @@ def sim_lsh_multiprobe(spark, sf_dir):
         num_tables=4,
         multiprobe=6,
     )
+
+
+@query(
+    "stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type, sign(b.y - a.y) AS sg
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ), s AS (
+      SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat
+      FROM pairs GROUP BY 1
+    ), n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie
+      FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    ), v AS (
+      SELECT s.event_type, n.n, s.s_stat,
+             CAST(n * (n - 1) * (2 * n + 5) - tie AS DOUBLE) / 18.0 AS var_s
+      FROM s JOIN n ON s.event_type = n.event_type
+             JOIN ties ON s.event_type = ties.event_type
+    )
+    SELECT event_type, n::BIGINT AS n_points, s_stat,
+           round(var_s, 6) AS var_s,
+           round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                      WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z
+    FROM v ORDER BY event_type
+    """,
+)
+def stats_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test on the daily count series per event type
+    (operators.profiling.mann_kendall_trend): exact integer S over the
+    day pairs of the COMPRESSED series (days², never raw rows),
+    tie-corrected variance DECIMAL-exact, continuity-corrected z — the
+    non-parametric "is it trending" companion to stats_theil_sen (MK
+    decides IF, Theil–Sen says how fast)."""
+    from .operators.profiling import mann_kendall_trend
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return mann_kendall_trend(daily, "event_type", "day", "y").orderBy("event_type")
+
+
+def _fdr_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("concat(event_type, ':', dow)", salt="fdr")
+    return f"""
+    WITH tests AS (
+      SELECT DISTINCT event_type || ':' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+               AS test_id,
+             event_type, CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow
+      FROM events
+    ), p AS (
+      SELECT test_id,
+             round(CAST({h} % 1000000 AS DOUBLE) / 999999.0, 6) AS p
+      FROM tests
+    ), ranked AS (
+      SELECT test_id, p,
+             row_number() OVER (ORDER BY p, test_id) AS rank,
+             count(*) OVER () AS m
+      FROM p
+    )
+    SELECT test_id, round(p, 6) AS p, rank::BIGINT AS rank,
+           round(least(min(p * m / rank) OVER (
+             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
+             AS p_adj,
+           (round(least(min(p * m / rank) OVER (
+             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
+            <= 0.25) AS reject
+    FROM ranked ORDER BY rank
+    """
+
+
+@query("stats_fdr_bh", oracle=_fdr_oracle())
+def stats_fdr_bh(spark, sf_dir):
+    """Benjamini–Hochberg FDR step-up (operators.profiling.fdr_bh) over a
+    deterministic per-(event_type, weekday) p-value table (md5-uniform —
+    the correction is pure rank algebra on a p column; where the p-values
+    come from is orthogonal, see stats_permutation_test /
+    stats_mann_whitney for real sources). Ascending-p rank + reversed
+    cumulative-min envelope, both over the one-row-per-hypothesis test
+    table (bounded domain)."""
+    from .operators.profiling import fdr_bh
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    tests = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.dayofweek("ts").cast("string")
+        ).alias("test_id")
+    ).distinct()
+    p = tests.select(
+        "test_id",
+        F.round(
+            (hash_bucket(F.col("test_id"), salt="fdr") % 1000000).cast("double")
+            / 999999.0,
+            6,
+        ).alias("p"),
+    )
+    return fdr_bh(p, "p", "test_id", alpha=0.25).orderBy("rank")

@@ -1960,3 +1960,132 @@ def huber_location(
         F.round("_s", 6).alias("scale"),
         F.round("_mu", 6).alias("huber_mean"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    test_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR correction (B&H 1995) over a table of
+    per-test p-values: adjusted p = min over j≥rank of p_(j)·m/j (the
+    step-up monotone envelope), plus the reject flag at level ``alpha``.
+    The multiple-testing step every fleet-wide metric sweep needs once it
+    runs one test per segment — pure rank algebra over (test, p), source
+    of the p-values orthogonal.
+
+    One ascending-p window (tiebreak on the test id for determinism) +
+    one reversed cumulative-min window over the SAME sorted run — the
+    test table is one row per hypothesis (thousands, not data-sized), so
+    a single-partition window is the bounded-domain shape. Returns
+    (test, p, rank, p_adj, reject).
+    """
+    m = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    asc = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
+    desc_cum = Window.orderBy(F.col(p_col).desc(), F.col(test_col).desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = df.select(
+        F.col(test_col),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(asc).alias("rank"),
+        F.count(F.lit(1)).over(m).alias("_m"),
+    )
+    adj = ranked.withColumn(
+        "p_adj",
+        F.round(
+            F.least(
+                F.min(F.col("p") * F.col("_m") / F.col("rank")).over(desc_cum),
+                F.lit(1.0),
+            ),
+            6,
+        ),
+    )
+    return adj.select(
+        test_col,
+        F.round("p", 6).alias("p"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "p_adj",
+        (F.col("p_adj") <= alpha).alias("reject"),
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test per series (Mann 1945; Kendall 1975): the
+    exact integer S = Σ_{i<j} sign(x_j − x_i), tie-corrected variance,
+    and the continuity-corrected z — the non-parametric "is this metric
+    trending" test that pairs with theil_sen_slope (MK decides IF,
+    Theil–Sen says how fast). Runs on per-key COMPRESSED series (daily
+    aggregates), so the pair self-join is bounded by days², never raw
+    rows; S and Var(S) are all-integer (DECIMAL-routed at the 100 TB
+    design point), only the final z is floating.
+
+    Returns (key, n_points, s_stat, var_s, z).
+    """
+    a = df.select(
+        F.col(key_col),
+        F.col(time_col).alias("_ta"),
+        F.col(value_col).cast("double").alias("_xa"),
+    )
+    b = df.select(
+        F.col(key_col),
+        F.col(time_col).alias("_tb"),
+        F.col(value_col).cast("double").alias("_xb"),
+    )
+    pairs = a.join(b, key_col).filter(F.col("_ta") < F.col("_tb"))
+    s = pairs.groupBy(key_col).agg(
+        F.sum(F.signum(F.col("_xb") - F.col("_xa")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    n = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    ties = (
+        df.groupBy(key_col, F.col(value_col).cast("double").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(key_col)
+        .agg(
+            F.sum(
+                F.col("_t").cast("decimal(38,0)")
+                * (F.col("_t") - 1)
+                * (2 * F.col("_t") + 5)
+            ).alias("_tie_term")
+        )
+    )
+    out = (
+        s.join(n, key_col)
+        .join(ties, key_col)
+        .select(
+            F.col(key_col),
+            F.col("_n").cast("bigint").alias("n_points"),
+            "s_stat",
+            # numerator exact in DECIMAL, ONE double division (the
+            # decimal/decimal scale-6 quantization rule from CLAUDE.md)
+            (
+                (
+                    F.col("_n").cast("decimal(38,0)")
+                    * (F.col("_n") - 1)
+                    * (2 * F.col("_n") + 5)
+                    - F.col("_tie_term")
+                ).cast("double")
+                / F.lit(18.0)
+            ).alias("var_s"),
+        )
+    )
+    z = F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s")).when(
+        F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        key_col,
+        "n_points",
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )

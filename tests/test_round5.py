@@ -483,3 +483,41 @@ def test_multiprobe_lsh_recall_dominates_single_probe(spark, sf_dir):
     r0, r1 = recall(0), recall(6)
     assert r1 >= r0
     assert r1 >= 0.3  # 2 tables × 7 probed buckets on the toy corpus
+
+
+def test_mann_kendall_direction_and_scipy_free_parity(spark):
+    """A strictly increasing series has S = n(n-1)/2 and large positive z;
+    a constant series has S = 0, var 0-from-ties handled, z = 0; the
+    tie-corrected variance matches the closed form."""
+    from pipes_spark.operators.profiling import mann_kendall_trend
+
+    rows = [("up", t, float(t)) for t in range(1, 11)]
+    rows += [("const", t, 5.0) for t in range(1, 11)]
+    df = spark.createDataFrame(rows, "k string, t int, y double")
+    out = {r["k"]: r for r in mann_kendall_trend(df, "k", "t", "y").collect()}
+    n = 10
+    assert out["up"]["s_stat"] == n * (n - 1) // 2 == 45
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    assert abs(out["up"]["var_s"] - round(var, 6)) < 1e-9
+    assert abs(out["up"]["z"] - round((45 - 1) / var**0.5, 6)) < 1e-9
+    # all-tied series: tie term cancels the variance entirely, S = 0
+    assert out["const"]["s_stat"] == 0 and out["const"]["var_s"] == 0.0
+    assert out["const"]["z"] == 0.0
+
+
+def test_fdr_bh_matches_statsmodels_convention(spark):
+    """BH adjusted p-values equal the textbook step-up (monotone envelope
+    of p*m/rank), and rejection at alpha matches the largest-k rule."""
+    from pipes_spark.operators.profiling import fdr_bh
+
+    ps = [0.01, 0.02, 0.03, 0.2, 0.9]
+    df = spark.createDataFrame(
+        [(f"t{i}", p) for i, p in enumerate(ps)], "test string, p double"
+    )
+    out = {r["test"]: r for r in fdr_bh(df, "p", "test", alpha=0.05).collect()}
+    m = len(ps)
+    # hand step-up: raw = [0.05, 0.05, 0.05, 0.25, 0.9]; envelope keeps them
+    assert out["t0"]["p_adj"] == 0.05 and out["t2"]["p_adj"] == 0.05
+    assert out["t3"]["p_adj"] == 0.25 and out["t4"]["p_adj"] == 0.9
+    assert out["t0"]["reject"] and out["t1"]["reject"] and out["t2"]["reject"]
+    assert not out["t3"]["reject"] and not out["t4"]["reject"]
