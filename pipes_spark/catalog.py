@@ -13275,3 +13275,38 @@ def stats_fdr_bh(spark, sf_dir):
         ).alias("p"),
     )
     return fdr_bh(p, "p", "test_id", alpha=0.25).orderBy("rank")
+
+
+@query(
+    "ml_quantile_normalize",
+    oracle="""
+    WITH ref AS (
+      SELECT quantile_cont(value, [x / 1000.0 for x in range(0, 1001)]) AS r
+      FROM events
+    ), ranked AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_id, event_type, round(value, 6) AS value,
+           round(r[CAST(round((rk - 0.5) / n * 1000, 0) AS INT) + 1], 6)
+             AS qnorm
+    FROM ranked, ref
+    """,
+)
+def ml_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of event values across event types
+    (operators.features.quantile_normalize, Bolstad et al. 2003): each
+    row maps to the pooled distribution's value at its within-type
+    quantile, killing per-type marginal drift. Reference curve = ONE
+    1001-percentile aggregate row broadcast back; per-type ranks are
+    ordinary windows; no global rank anywhere."""
+    from .operators.features import quantile_normalize
+
+    ev = _t(spark, sf_dir, "events")
+    out = quantile_normalize(ev, "event_type", "value", "event_id")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "qnorm"
+    )

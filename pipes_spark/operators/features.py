@@ -292,3 +292,53 @@ def woe_encoding(
         F.round(woe, 6).alias("woe"),
         F.round((p_pos - p_neg) * woe, 6).alias("iv_term"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    grid: int = 1000,
+    out_col: str = "qnorm",
+) -> DataFrame:
+    """Quantile normalization of a value column across groups (the
+    microarray-era standard, Bolstad et al. 2003, at grid resolution):
+    every row maps to the POOLED distribution's value at its
+    within-group quantile u = (rank − 0.5)/n, so all groups share one
+    marginal distribution afterwards — the cross-group drift killer for
+    heterogeneous feature sources.
+
+    Scale shape: the reference curve is ONE aggregate row of grid+1
+    pooled percentiles (built as a single SQL string — the driver-side
+    py4j rule) cross-joined broadcast; ranks are per-group windows
+    (groups are the partitions); the grid lookup is element_at. No
+    global rank, no per-row join against pooled order statistics. Ties
+    order by ``id_col`` (stable, engine-portable); equal inputs in one
+    group may map to adjacent grid values — the standard stable-sort QN
+    convention.
+    """
+    from pyspark.sql import Window
+
+    pcts = ",".join(f"{i / grid:.6f}" for i in range(grid + 1))
+    ref = df.agg(
+        F.expr(f"percentile({value_col}, array({pcts}))").alias("_ref")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(id_col))
+    wg = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    idx = (
+        F.round((F.col("_r") - 0.5) / F.col("_n") * grid, 0).cast("int") + 1
+    )
+    return ranked.crossJoin(F.broadcast(ref)).select(
+        id_col,
+        group_col,
+        value_col,
+        F.round(F.element_at(F.col("_ref"), idx), 6).alias(out_col),
+    )

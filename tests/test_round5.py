@@ -521,3 +521,23 @@ def test_fdr_bh_matches_statsmodels_convention(spark):
     assert out["t3"]["p_adj"] == 0.25 and out["t4"]["p_adj"] == 0.9
     assert out["t0"]["reject"] and out["t1"]["reject"] and out["t2"]["reject"]
     assert not out["t3"]["reject"] and not out["t4"]["reject"]
+
+
+def test_quantile_normalize_equalizes_group_marginals(spark):
+    """Two equal-size groups with different scales get IDENTICAL sorted
+    normalized sequences (the defining QN property), and the map is
+    monotone within each group."""
+    from pipes_spark.operators.features import quantile_normalize
+
+    rows = [("a", i, float(i)) for i in range(1, 21)]
+    rows += [("b", 100 + i, 1000.0 + 5 * i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, id bigint, v double")
+    out = quantile_normalize(df, "g", "v", "id").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["v"], r["qnorm"]))
+    qa = [q for _, q in sorted(by_g["a"])]
+    qb = [q for _, q in sorted(by_g["b"])]
+    assert qa == qb                      # shared marginal
+    assert qa == sorted(qa)              # monotone
+    assert qa[0] < qa[-1]
