@@ -13310,3 +13310,60 @@ def ml_quantile_normalize(spark, sf_dir):
     return out.select(
         "event_id", "event_type", F.round("value", 6).alias("value"), "qnorm"
     )
+
+
+@query(
+    "stats_cliffs_delta",
+    oracle="""
+    WITH t AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g,
+             value AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), per AS (
+      SELECT v, CAST(sum(g) AS BIGINT) AS n1,
+             CAST(count(*) - sum(g) AS BIGINT) AS n2
+      FROM t GROUP BY v
+    ), c AS (
+      SELECT n1, n2,
+             CAST(coalesce(sum(n1 + n2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum
+      FROM per
+    ), agg AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n2) AS BIGINT) AS n2,
+             CAST(sum(CAST(n1 AS DECIMAL(19,0))
+                      * (2 * CAST(cum AS DECIMAL(19,0))
+                         + CAST(n1 + n2 AS DECIMAL(19,0)) + 1)) AS DOUBLE)
+               AS r1x2
+      FROM c
+    ), u AS (
+      SELECT n1, n2,
+             round(r1x2 / 2.0 - n1 * (n1 + 1) / 2.0, 12) AS u1
+      FROM agg
+    )
+    SELECT n1, n2,
+           round(2.0 * u1 / (CAST(n1 AS DOUBLE) * n2) - 1.0, 6) AS cliffs_delta,
+           CASE WHEN abs(2.0 * u1 / (CAST(n1 AS DOUBLE) * n2) - 1.0) < 0.147
+                     THEN 'negligible'
+                WHEN abs(2.0 * u1 / (CAST(n1 AS DOUBLE) * n2) - 1.0) < 0.33
+                     THEN 'small'
+                WHEN abs(2.0 * u1 / (CAST(n1 AS DOUBLE) * n2) - 1.0) < 0.474
+                     THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM u
+    """,
+)
+def stats_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size for purchase-vs-click values
+    (operators.profiling.cliffs_delta): the magnitude companion to
+    stats_mann_whitney's significance, read off the SAME grouped
+    rank-sum identity (δ = 2U₁/n₁n₂ − 1, midrank convention) — one
+    aggregate + one cumulative window, never an n₁×n₂ pair join."""
+    from .operators.profiling import cliffs_delta
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    return cliffs_delta(
+        ev, (F.col("event_type") == "purchase"), F.col("value")
+    )

@@ -2089,3 +2089,36 @@ def mann_kendall_trend(
         F.round("var_s", 6).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+def cliffs_delta(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993): δ = (#(x>y) −
+    #(x<y)) / n₁n₂ ∈ [−1, 1] — the magnitude companion to the
+    Mann-Whitney z (stats significance says IF, δ says HOW MUCH the
+    distributions separate; the nonparametric Cohen's d). With the
+    midrank convention δ = 2U₁/n₁n₂ − 1, so it reads off the same
+    grouped-value-domain rank identity as :func:`mann_whitney_u` — one
+    aggregate + one cumulative window, never an n₁×n₂ pair join.
+    Magnitude labels use the Romano et al. (2006) thresholds.
+    """
+    mw = mann_whitney_u(df, group, value, round_decimals=12)
+    d = (
+        F.lit(2.0) * F.col("u1") / (F.col("n1").cast("double") * F.col("n2"))
+        - 1.0
+    )
+    mag = (
+        F.when(F.abs(d) < 0.147, "negligible")
+        .when(F.abs(d) < 0.33, "small")
+        .when(F.abs(d) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return mw.select(
+        "n1",
+        "n2",
+        F.round(d, 6).alias("cliffs_delta"),
+        mag.alias("magnitude"),
+    )

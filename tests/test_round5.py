@@ -541,3 +541,28 @@ def test_quantile_normalize_equalizes_group_marginals(spark):
     assert qa == qb                      # shared marginal
     assert qa == sorted(qa)              # monotone
     assert qa[0] < qa[-1]
+
+
+def test_cliffs_delta_known_values_and_magnitude(spark):
+    """Fully separated groups give delta = +/-1 ('large'); identical
+    groups give 0 ('negligible'); a hand case matches the pair count."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.profiling import cliffs_delta
+
+    sep = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (0, 1.0), (0, 2.0)], "g int, v double"
+    )
+    r = cliffs_delta(sep, F.col("g") == 1, F.col("v")).first()
+    assert r["cliffs_delta"] == 1.0 and r["magnitude"] == "large"
+    same = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (0, 5.0), (0, 7.0)], "g int, v double"
+    )
+    r2 = cliffs_delta(same, F.col("g") == 1, F.col("v")).first()
+    assert r2["cliffs_delta"] == 0.0 and r2["magnitude"] == "negligible"
+    # hand case: x={1,3}, y={2}: pairs (1<2):-1, (3>2):+1 → delta 0
+    hand = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (0, 2.0)], "g int, v double"
+    )
+    r3 = cliffs_delta(hand, F.col("g") == 1, F.col("v")).first()
+    assert r3["cliffs_delta"] == 0.0
