@@ -13367,3 +13367,51 @@ def stats_cliffs_delta(spark, sf_dir):
     return cliffs_delta(
         ev, (F.col("event_type") == "purchase"), F.col("value")
     )
+
+
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+    SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id, event_type,
+           round(value, 6) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def streaming_upsert_latest(spark, sf_dir):
+    """Streaming keyed upsert (streaming.streaming_upsert_writer): the
+    live "latest event per user" table — each micro-batch reduces to one
+    winner per user and conditionally MERGEs (source wins only on a
+    newer (ts, event_id)), so replayed or out-of-order batches never
+    regress state. Idempotence under replay is pytest'd; here the
+    availableNow run over the events stream must equal the batch
+    per-user argmax, which is the oracle."""
+    import tempfile
+
+    from .caching import register_scope_cleanup
+    from .streaming import streaming_upsert_writer
+
+    stream = _events_stream(spark, sf_dir)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    table = f"upsert_latest_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ckpt = tempfile.mkdtemp(prefix="pipes_upsert_ck_")
+    register_scope_cleanup(lambda: __import__("shutil").rmtree(ckpt, True))
+    register_scope_cleanup(lambda: spark.sql(f"DROP TABLE IF EXISTS {table}"))
+    out = streaming_upsert_writer(
+        stream,
+        table,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        checkpointLocation=ckpt,
+    )
+    return out.select(
+        "user_id",
+        F.col("ts").cast("string").alias("ts"),
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id")

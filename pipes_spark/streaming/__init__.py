@@ -1083,3 +1083,74 @@ def streaming_kmv_distinct(
     if not parts:
         return spark.createDataFrame([], "h bigint")
     return kmv_merge(*parts, k=k)
+
+
+def streaming_upsert_writer(
+    stream_df: DataFrame,
+    table: str,
+    keys: "list[str]",
+    order_cols: "list[str]",
+    **trigger,
+):
+    """Streaming keyed upsert (CDC-style MERGE) into a managed table:
+    each micro-batch reduces to one winner per key (max ``order_cols``,
+    compared lexicographically), then conditionally merges into the
+    table — a source row replaces the target row ONLY if its order key
+    is >= the stored one, so replayed or out-of-order batches can never
+    regress state: the writer is idempotent under micro-batch replay by
+    construction (the exactly-once argument foreachBatch sinks need).
+
+    The merged result is localCheckpoint-ed before the overwrite because
+    Spark refuses to overwrite a table its own plan is reading. At
+    100 TB the overwrite becomes MERGE INTO on a transactional table
+    format; the batch-side algebra (per-key winner + conditional merge)
+    is exactly this. Runs to completion (availableNow unless a trigger
+    is supplied) and returns the final table DataFrame.
+    """
+    from pyspark.sql import Window
+
+    spark = stream_df.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if spark.catalog.tableExists(table):
+            tgt = spark.table(table).alias("t")
+            src = latest.alias("s")
+            cond = None
+            for k in keys:
+                c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                cond = c if cond is None else (cond & c)
+            s_ord = F.struct(*[F.col(f"s.{c}") for c in order_cols])
+            t_ord = F.struct(*[F.col(f"t.{c}") for c in order_cols])
+            take_src = F.col(f"s.{keys[0]}").isNotNull() & (
+                F.col(f"t.{keys[0]}").isNull() | (s_ord >= t_ord)
+            )
+            cols = [
+                F.when(take_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in batch.columns
+            ]
+            merged = tgt.join(src, cond, "full_outer").select(*cols)
+        else:
+            merged = latest
+        merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(
+            table
+        )
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch)
+    checkpoint = trigger.pop("checkpointLocation", None)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    else:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    q.awaitTermination()
+    return spark.table(table)

@@ -821,3 +821,49 @@ def test_streaming_kmv_merge_equals_single_batch_sketch(spark, tmp_path):
         kmv_sketch(spark.createDataFrame(a[:10], schema), "item", k=32), k=32
     ).first()
     assert small["n_sketch"] == 10 and small["est"] == 10.0
+
+
+def test_streaming_upsert_idempotent_and_order_safe(spark, tmp_path):
+    """Two-file split upsert equals the batch per-key argmax; replaying the
+    whole stream into the existing table changes nothing (conditional
+    merge never regresses); an OLDER row arriving later is ignored."""
+    from pipes_spark.streaming import streaming_upsert_writer
+
+    schema = "k long, ver long, payload string"
+    b0 = [(1, 1, "a1"), (2, 5, "b5"), (3, 2, "c2")]
+    b1 = [(1, 3, "a3"), (2, 4, "B-OLD"), (4, 1, "d1")]  # k=2 older: ignored
+    d = str(tmp_path / "up")
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{d}/b1")
+    stream_dir = str(tmp_path / "up_in")
+    os.makedirs(stream_dir)
+    files = sorted(
+        f"{d}/b{i}/{f}"
+        for i in range(2)
+        for f in os.listdir(f"{d}/b{i}")
+        if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), f"{stream_dir}/{i:03d}.parquet")
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(stream_dir)
+        )
+        return streaming_upsert_writer(
+            stream, "t_upsert_test", keys=["k"], order_cols=["ver"],
+            checkpointLocation=ck,
+        )
+
+    try:
+        out = run(str(tmp_path / "ck1"))
+        want = {(1, 3, "a3"), (2, 5, "b5"), (3, 2, "c2"), (4, 1, "d1")}
+        assert {tuple(r) for r in out.collect()} == want
+        # full replay with a fresh checkpoint: state must not change
+        out2 = run(str(tmp_path / "ck2"))
+        assert {tuple(r) for r in out2.collect()} == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_upsert_test")
