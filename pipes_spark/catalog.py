@@ -13370,7 +13370,7 @@ def stats_cliffs_delta(spark, sf_dir):
 
 
 @query(
-    "streaming_upsert_latest",
+    "streaming_upsert_conditional",
     oracle="""
     SELECT user_id, CAST(ts AS VARCHAR) AS ts, event_id, event_type,
            round(value, 6) AS value
@@ -13381,9 +13381,12 @@ def stats_cliffs_delta(spark, sf_dir):
     ) WHERE rn = 1 ORDER BY user_id
     """,
 )
-def streaming_upsert_latest(spark, sf_dir):
-    """Streaming keyed upsert (streaming.streaming_upsert_writer): the
-    live "latest event per user" table — each micro-batch reduces to one
+def streaming_upsert_conditional(spark, sf_dir):
+    """ORDER-SAFE streaming keyed upsert (streaming.streaming_upsert_
+    writer): unlike streaming_upsert_latest (which SCD1-merges each
+    batch's winner unconditionally — last batch wins), the merge here is
+    CONDITIONAL on the order key, so replayed or out-of-order batches
+    never regress the live "latest event per user" table — each micro-batch reduces to one
     winner per user and conditionally MERGEs (source wins only on a
     newer (ts, event_id)), so replayed or out-of-order batches never
     regress state. Idempotence under replay is pytest'd; here the
@@ -13394,10 +13397,13 @@ def streaming_upsert_latest(spark, sf_dir):
     from .caching import register_scope_cleanup
     from .streaming import streaming_upsert_writer
 
+    from .warehouse import clear_stale_location
+
     stream = _events_stream(spark, sf_dir)
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     table = f"upsert_latest_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    clear_stale_location(spark, table)  # orphan from a previous process
     ckpt = tempfile.mkdtemp(prefix="pipes_upsert_ck_")
     register_scope_cleanup(lambda: __import__("shutil").rmtree(ckpt, True))
     register_scope_cleanup(lambda: spark.sql(f"DROP TABLE IF EXISTS {table}"))
