@@ -13421,3 +13421,61 @@ def streaming_upsert_conditional(spark, sf_dir):
         "event_type",
         F.round("value", 6).alias("value"),
     ).orderBy("user_id")
+
+
+@query(
+    "ts_nelson_aalen",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT CAST(floor((epoch_us(l) - epoch_us(f)) / 86400000000.0) AS BIGINT)
+               AS duration,
+             CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS e
+      FROM span CROSS JOIN mx
+    ), per AS (
+      SELECT duration, CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM dur GROUP BY duration
+    ), tot AS (SELECT sum(n_events + n_censored) AS N FROM per),
+    risk AS (
+      SELECT duration, n_events, n_censored,
+             CAST(N - coalesce(sum(n_events + n_censored) OVER (
+               ORDER BY duration
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS n_risk
+      FROM per CROSS JOIN tot
+    )
+    SELECT duration, n_risk, n_events, n_censored,
+           round(sum(n_events / CAST(n_risk AS DOUBLE)) OVER w, 6)
+             AS cum_hazard,
+           round(sum(n_events / (CAST(n_risk AS DOUBLE) * n_risk)) OVER w, 6)
+             AS hazard_var
+    FROM risk
+    WINDOW w AS (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY duration
+    """,
+)
+def ts_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative churn hazard (operators.timeseries.
+    nelson_aalen): the additive companion to ts_kaplan_meier on the SAME
+    right-censored activity spans — hazard increments dᵢ/nᵢ read rate
+    changes directly, and the Σ d/n² variance gives the pointwise error
+    band. One cumulative window over the compressed duration domain."""
+    from .operators.timeseries import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(F.min("ts").alias("f"), F.max("ts").alias("l"))
+    mx = ev.agg(F.max("ts").alias("m"))
+    dur = span.crossJoin(F.broadcast(mx)).select(
+        F.floor(
+            (F.unix_micros(F.col("l")) - F.unix_micros(F.col("f")))
+            / F.lit(86400000000.0)
+        )
+        .cast("long")
+        .alias("duration"),
+        (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
+    )
+    return nelson_aalen(dur, "duration", "e").orderBy("duration")

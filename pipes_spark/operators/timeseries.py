@@ -1273,3 +1273,56 @@ def changepoint_binary(
             6,
         ).alias("drop_ratio"),
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard with right-censoring (Nelson 1972;
+    Aalen 1978): Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ with variance Σ dᵢ/nᵢ² — the
+    additive companion to :func:`kaplan_meier` (H = −ln S asymptotically;
+    hazard INCREMENTS are what you read rate changes from, and sums are
+    friendlier than products for comparing groups). Identical shape: one
+    groupBy to per-duration counts, one cumulative window over the
+    compressed duration domain; integer counts keep both engines on
+    identical doubles. Returns (duration, n_risk, n_events, n_censored,
+    cum_hazard, hazard_var)."""
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per = (
+        df.select(d.alias("duration"), e.alias("_e"))
+        .groupBy("duration")
+        .agg(
+            F.sum("_e").cast("long").alias("n_events"),
+            (F.count(F.lit(1)) - F.sum("_e")).cast("long").alias("n_censored"),
+        )
+    )
+    w_all = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    total = per.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("_N"))
+    risk = per.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        (
+            F.col("_N")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_all),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    nr = F.col("n_risk").cast("double")
+    return risk.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(F.sum(F.col("n_events") / nr).over(w_cum), round_decimals).alias(
+            "cum_hazard"
+        ),
+        F.round(
+            F.sum(F.col("n_events") / (nr * nr)).over(w_cum), round_decimals
+        ).alias("hazard_var"),
+    )

@@ -566,3 +566,24 @@ def test_cliffs_delta_known_values_and_magnitude(spark):
     )
     r3 = cliffs_delta(hand, F.col("g") == 1, F.col("v")).first()
     assert r3["cliffs_delta"] == 0.0
+
+
+def test_nelson_aalen_hand_computed_and_km_relation(spark):
+    """Hand case with censoring: hazard increments skip censored exits but
+    shrink the risk set; H <= -ln(S) pointwise (x <= -ln(1-x)), both
+    close."""
+    import math
+
+    from pipes_spark.operators.timeseries import kaplan_meier, nelson_aalen
+
+    # durations: events at 1 (d=1/n=5), censor at 2, events at 3 (d=2/n=3)
+    rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+    df = spark.createDataFrame(rows, "dur int, e int")
+    na = {r["duration"]: r for r in nelson_aalen(df, "dur", "e").collect()}
+    assert na[1]["n_risk"] == 5 and abs(na[1]["cum_hazard"] - 0.2) < 1e-9
+    assert na[2]["cum_hazard"] == na[1]["cum_hazard"]  # censor adds nothing
+    assert abs(na[3]["cum_hazard"] - round(0.2 + 2 / 3, 6)) < 1e-9
+    assert abs(na[3]["hazard_var"] - round(1 / 25 + 2 / 9, 6)) < 1e-9
+    km = {r["duration"]: r["survival"] for r in kaplan_meier(df, "dur", "e").collect()}
+    for t in (1, 3):
+        assert na[t]["cum_hazard"] <= -math.log(km[t]) + 1e-9
