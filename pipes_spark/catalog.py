@@ -13479,3 +13479,52 @@ def ts_nelson_aalen(spark, sf_dir):
         (F.col("l") < F.col("m") - F.expr("INTERVAL 3 DAYS")).cast("int").alias("e"),
     )
     return nelson_aalen(dur, "duration", "e").orderBy("duration")
+
+
+@query(
+    "stats_skyline",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             l_quantity AS qty, l_orderkey, l_linenumber
+      FROM lineitem
+    ), per_cost AS (
+      SELECT flag, price, max(qty) AS best_here FROM li GROUP BY 1, 2
+    ), prev AS (
+      SELECT flag, price, best_here,
+             max(best_here) OVER (PARTITION BY flag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper
+      FROM per_cost
+    )
+    SELECT li.flag, round(li.price, 2) AS price, round(li.qty, 2) AS qty,
+           li.l_orderkey, li.l_linenumber
+    FROM li JOIN prev ON li.flag = prev.flag AND li.price = prev.price
+    WHERE NOT (coalesce(prev.best_cheaper >= li.qty, FALSE)
+               OR prev.best_here > li.qty)
+    ORDER BY li.flag, li.price, li.l_orderkey, li.l_linenumber
+    """,
+)
+def stats_skyline(spark, sf_dir):
+    """Per-returnflag 2-D Pareto skyline of lineitems — cheapest price vs
+    largest quantity tradeoffs (operators.relational.skyline_2d,
+    Börzsönyi ICDE 2001): the n² dominance anti-join collapsed to one
+    per-distinct-cost aggregate + a 1-PRECEDING running max over the
+    compressed cost domain. No self-join anywhere."""
+    from .operators.relational import skyline_2d
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    out = skyline_2d(li, ["flag"], "price", "qty", "l_orderkey")
+    return out.select(
+        "flag",
+        F.round("price", 2).alias("price"),
+        F.round("qty", 2).alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    ).orderBy("flag", "price", "l_orderkey", "l_linenumber")

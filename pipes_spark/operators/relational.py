@@ -1179,3 +1179,47 @@ def rolling_return_rate(
             ).alias("return_rate"),
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    minimize_col: str,
+    maximize_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group 2-D Pareto skyline (Börzsönyi et al., ICDE 2001): rows no
+    other row dominates (≤ on the minimized axis, ≥ on the maximized one,
+    strict somewhere) — the "best tradeoffs" query (cheapest-vs-largest,
+    fastest-vs-freshest) a plain ORDER BY cannot answer.
+
+    The classic formulation is an n² dominance anti-join; in 2-D it
+    collapses to TWO window tests per row over the group sorted by the
+    minimized axis: dominated iff (a) some strictly-cheaper row has ≥ the
+    maximized value (RANGE-frame running max), or (b) an equal-cost row
+    has a strictly greater one (per-cost partition max). One shuffle on
+    the group key; no self-join. Ties (both axes equal) all survive —
+    they are mutually non-dominating; ``tiebreak_col`` only stabilizes
+    output order.
+    """
+    mn, mx = F.col(minimize_col), F.col(maximize_col)
+    # best maximized value per DISTINCT cost, then "best among strictly
+    # cheaper" as a 1-PRECEDING rows window over the compressed cost domain
+    per_cost = df.groupBy(*group_cols, minimize_col).agg(
+        F.max(mx).alias("_best_here")
+    )
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy(mn)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = per_cost.withColumn("_best_cheaper", F.max("_best_here").over(w_prev))
+    joined = df.join(prev, [*group_cols, minimize_col])
+    dominated = F.coalesce(F.col("_best_cheaper") >= mx, F.lit(False)) | (
+        F.col("_best_here") > mx
+    )
+    return (
+        joined.filter(~dominated)
+        .drop("_best_here", "_best_cheaper")
+        .orderBy(*group_cols, mn, F.col(tiebreak_col))
+    )

@@ -587,3 +587,22 @@ def test_nelson_aalen_hand_computed_and_km_relation(spark):
     km = {r["duration"]: r["survival"] for r in kaplan_meier(df, "dur", "e").collect()}
     for t in (1, 3):
         assert na[t]["cum_hazard"] <= -math.log(km[t]) + 1e-9
+
+
+def test_skyline_dominance_hand_case_and_tie_survival(spark):
+    """Hand frontier: dominated points drop (strictly cheaper with >= qty,
+    or equal cost with strictly more), exact duplicates both survive
+    (mutually non-dominating)."""
+    from pipes_spark.operators.relational import skyline_2d
+
+    rows = [
+        ("g", 1.0, 10.0, 1),   # frontier
+        ("g", 2.0, 10.0, 2),   # dominated by id1 (costlier, same qty)
+        ("g", 2.0, 20.0, 3),   # frontier
+        ("g", 2.0, 15.0, 4),   # dominated by id3 (same cost, more qty)
+        ("g", 3.0, 30.0, 5),   # frontier
+        ("g", 1.0, 10.0, 6),   # duplicate of id1: both survive
+    ]
+    df = spark.createDataFrame(rows, "grp string, price double, qty double, id int")
+    got = {r["id"] for r in skyline_2d(df, ["grp"], "price", "qty", "id").collect()}
+    assert got == {1, 3, 5, 6}
