@@ -13528,3 +13528,36 @@ def stats_skyline(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     ).orderBy("flag", "price", "l_orderkey", "l_linenumber")
+
+
+@query(
+    "text_phrase_indexed",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk
+      FROM documents
+    ), postings AS (
+      SELECT doc_id, tk[i] AS token, i - 1 AS pos
+      FROM docs, LATERAL unnest(range(1, len(tk) + 1)) AS t(i)
+      WHERE tk[i] <> ''
+    ),
+    t0 AS (SELECT doc_id, pos FROM postings WHERE token = 'hash'),
+    t1 AS (SELECT doc_id, pos - 1 AS pos FROM postings WHERE token = 'join')
+    SELECT t0.doc_id, count(*)::BIGINT AS n_occurrences
+    FROM t0 JOIN t1 USING (doc_id, pos)
+    GROUP BY t0.doc_id
+    """,
+)
+def text_phrase_indexed(spark, sf_dir):
+    """Phrase search against the PERSISTED postings index
+    (warehouse.postings_table — token-bucketed ingest artifact, the IR
+    analog of the MinHash signature table): same posting-join algebra as
+    text_phrase_search, but the raw text is never touched at query time;
+    the bucketed layout means each term's posting slice reads its own
+    buckets. append_postings maintains the table per ingest batch
+    (delta-only, idempotent — pytest'd)."""
+    from .operators.text import phrase_search
+    from .warehouse import postings_table
+
+    postings = postings_table(spark, sf_dir)
+    return phrase_search(postings, ["hash", "join"])

@@ -300,3 +300,50 @@ def append_ivf_vectors(
         "list_id"
     ).saveAsTable(name)
     return spark.table(name)
+
+
+def postings_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize (once) the positional inverted index for the documents
+    corpus — postings are an INGEST artifact like the MinHash signatures:
+    at corpus scale the (token, doc, pos) table is written beside the
+    text, BUCKETED BY TOKEN, so phrase/proximity queries read only the
+    probed tokens' buckets and the raw text is never re-exploded per
+    query. Idempotent per sf."""
+    from pipes_spark.operators.text import positional_postings
+    from pipes_spark.sources import load_table
+
+    name = f"postings_documents_{_tag(sf_dir)}"
+    if not spark.catalog.tableExists(name):
+        clear_stale_location(spark, name)
+        (
+            positional_postings(load_table(spark, sf_dir, "documents"))
+            .write.bucketBy(32, "token")
+            .sortBy("token")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
+def append_postings(
+    spark: SparkSession, sf_dir: str, new_docs: DataFrame
+) -> DataFrame:
+    """Ingest-batch maintenance of the persisted postings: explode only
+    the batch docs NOT already indexed (anti-join on doc id against the
+    index's doc set) and append their postings — the next phrase query
+    sees the whole corpus without anything re-tokenized. Idempotent per
+    batch. Returns the refreshed table."""
+    from pipes_spark.operators.text import positional_postings
+
+    existing = postings_table(spark, sf_dir)
+    name = f"postings_documents_{_tag(sf_dir)}"
+    delta = new_docs.join(
+        existing.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    (
+        positional_postings(delta)
+        .write.mode("append")
+        .bucketBy(32, "token")
+        .sortBy("token")
+        .saveAsTable(name)
+    )
+    return spark.table(name)

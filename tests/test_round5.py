@@ -606,3 +606,43 @@ def test_skyline_dominance_hand_case_and_tie_survival(spark):
     df = spark.createDataFrame(rows, "grp string, price double, qty double, id int")
     got = {r["id"] for r in skyline_2d(df, ["grp"], "price", "qty", "id").collect()}
     assert got == {1, 3, 5, 6}
+
+
+def test_postings_table_append_is_delta_only_and_idempotent(spark, sf_dir):
+    """append_postings indexes only unseen docs, re-appending a batch adds
+    zero rows, and phrase search over the table equals the fresh-postings
+    result."""
+    from pipes_spark.operators.text import phrase_search, positional_postings
+    from pipes_spark.sources import load_table
+    from pipes_spark.warehouse import (
+        _tag,
+        append_postings,
+        clear_stale_location,
+        postings_table,
+    )
+
+    # self-contained: a previous run of this test appended to the shared
+    # warehouse table — rebuild from scratch so the delta is predictable
+    name = f"postings_documents_{_tag(sf_dir)}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    clear_stale_location(spark, name)
+    base = postings_table(spark, sf_dir)
+    n0 = base.count()
+    docs = load_table(spark, sf_dir, "documents")
+    old_doc = docs.limit(1)
+    new_doc = spark.createDataFrame(
+        [(10_000_001, "table scan table scan", "en", "t", 21)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    batch = old_doc.unionByName(new_doc)
+    t1 = append_postings(spark, sf_dir, batch)
+    assert t1.count() == n0 + 4  # only the new doc's 4 tokens
+    t2 = append_postings(spark, sf_dir, batch)  # replay: zero new rows
+    assert t2.count() == n0 + 4
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(t2, ["table", "scan"]).collect()
+        if r["doc_id"] == 10_000_001
+    }
+    fresh = phrase_search(positional_postings(new_doc), ["table", "scan"]).first()
+    assert got[10_000_001] == fresh["n_occurrences"] == 2
