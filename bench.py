@@ -184,6 +184,24 @@ def main() -> None:
     spread = {name: round(max(rs) - min(rs), 3) for name, rs in runs.items()}
 
     total = round(sum(timings.values()), 3)
+
+    # Per-query detail (spread, cold timings, raw warm samples) goes to a
+    # side file: the driver captures only the last ~2,000 chars of stdout,
+    # so the FINAL line must stay compact — r05's inline spread map pushed
+    # the line past the capture window and the driver recorded parsed=null.
+    detail = {
+        "queries_cold": cold,
+        "queries_spread": spread,
+        "queries_warm_runs": {n: [round(x, 3) for x in rs] for n, rs in runs.items()},
+        "warm_pass_totals": pass_totals,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass  # detail is best-effort; the headline line below is the contract
+
     print(
         json.dumps(
             {
@@ -195,7 +213,6 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "warm_passes": n_warm,
                 "warm_pass_totals": pass_totals,
-                "queries_spread": spread,
             }
         )
     )
