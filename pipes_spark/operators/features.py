@@ -209,12 +209,12 @@ def rfm_scores(
     One groupBy collapses the events to per-key aggregates (monetary sums
     DECIMAL — exact and order-independent); the reference instant is the
     dataset's max timestamp kept in-plan (1-row aggregate cross-joined
-    broadcast). Scores are deterministic ntiles with the key as tie-break.
-    The ntile windows run over the per-KEY table (already one row per
-    customer, not per event); at extreme key cardinality swap ntile for
-    width_bucket over approx quantiles — the `profiling.quantile_bins`
-    note applies."""
-    from pyspark.sql import Window
+    broadcast). Scores are deterministic ntiles with the key as tie-break,
+    each computed by the bucket-parallel ``ranks.bucketed_ntile`` (exact
+    global ntile semantics, hash-equal to the global-sort oracle) — at
+    10⁹ customers the per-key table never serializes through one window
+    task; the three scores are three independent bucketed passes."""
+    from .ranks import bucketed_ntile
 
     per = df.groupBy(key_col).agg(
         F.max(ts_col).alias("_last"),
@@ -232,17 +232,31 @@ def rfm_scores(
         ).cast("bigint"),
     )
     k = F.col(key_col)
-    wr = Window.orderBy(F.col("recency_days").desc(), k)
-    wf = Window.orderBy(F.col("frequency").asc(), k)
-    wm = Window.orderBy(F.col("monetary").asc(), k)
-    return per.select(
+    per = per.select(key_col, "recency_days", "frequency", "monetary")
+    tot = per.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    scored = bucketed_ntile(
+        per,
+        "recency_days",
+        [F.col("recency_days").desc(), k],
+        n_bins,
+        "r_score",
+        descending_bucket=True,
+        total=tot,
+    )
+    scored = bucketed_ntile(
+        scored, "frequency", [F.col("frequency").asc(), k], n_bins, "f_score", total=tot
+    )
+    scored = bucketed_ntile(
+        scored, "monetary", [F.col("monetary").asc(), k], n_bins, "m_score", total=tot
+    )
+    return scored.select(
         key_col,
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(n_bins).over(wr).cast("int").alias("r_score"),
-        F.ntile(n_bins).over(wf).cast("int").alias("f_score"),
-        F.ntile(n_bins).over(wm).cast("int").alias("m_score"),
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
     )
 
 
@@ -320,7 +334,10 @@ def quantile_normalize(
     """
     from pyspark.sql import Window
 
-    pcts = ",".join(f"{i / grid:.6f}" for i in range(grid + 1))
+    # full-precision fractions: %.6f-style formatting silently truncates
+    # grids that don't divide 10^6 (e.g. grid=3 → 0.333333), biasing the
+    # probed quantiles; repr() round-trips the exact double
+    pcts = ",".join(repr(i / grid) for i in range(grid + 1))
     ref = df.agg(
         F.expr(f"percentile({value_col}, array({pcts}))").alias("_ref")
     )

@@ -134,14 +134,15 @@ def auc_roc(
 
     The numerator is a sum of LONGs — exact and order-independent, so the
     result is bit-stable across engines and partitionings (only the final
-    division is floating). The window runs over |distinct scores| rows,
-    not |rows|; for continuous scores at 100 TB, quantize the score into
-    bins first (AUC over binned scores is the standard
-    sklearn-on-histogram estimate) so the windowed domain stays bounded.
+    division is floating). The cumulative-negatives pass runs over the
+    |distinct scores| domain via ``ranks.bucketed_cumsum`` — bucket-parallel,
+    never a single-partition sort, so a continuous score column (distinct
+    domain ≈ n) still scales; the stitched cumsum is row-for-row equal to
+    the global window (the oracle hash-checks it).
     Returns one row ``(auc, n_pos, n_neg)``; ``auc`` is NULL when either
     class is empty (nullif guard — ANSI mode throws on bare ÷0).
     """
-    from pyspark.sql import Window
+    from .ranks import bucketed_cumsum
 
     per = (
         df.select(label.cast("int").alias("_y"), score.alias("_s"))
@@ -151,9 +152,8 @@ def auc_roc(
             (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("_nn"),
         )
     )
-    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per.withColumn(
-        "_cneg", F.coalesce(F.sum("_nn").over(w), F.lit(0)).cast("long")
+    cum = bucketed_cumsum(per, "_s", {"_cneg": "_nn"}).withColumn(
+        "_cneg", F.col("_cneg").cast("long")
     )
     # per-term products and the grand total go through DECIMAL (exact,
     # order-independent; at 100 TB the rank-sum numerator exceeds LONG
@@ -193,19 +193,20 @@ def calibration_bins(
     Deterministic ntile over (score, tiebreak); per-bin mean score sums
     DECIMAL(28,6) (round the score to ≤6 decimals first — then the mean is
     exact and order/engine-independent), positive rate is an integer ratio.
-    Same global-sort caveat + width_bucket-at-scale swap as
-    ``profiling.quantile_bins`` (the per-bin aggregate is unchanged).
+    The tile assignment is the bucket-parallel ``ranks.bucketed_ntile`` —
+    exact global ntile semantics (oracle hash-checked against the
+    global-sort SQL) with no single-partition sort, so it scales past the
+    one-task window the naive form serializes through.
     """
-    from pyspark.sql import Window
+    from .ranks import bucketed_ntile
 
     base = df.select(
         label.cast("int").alias("_y"),
         F.round(score, 6).alias("_s"),
         tiebreak.alias("_t"),
     )
-    w = Window.orderBy(F.col("_s"), F.col("_t"))
     return (
-        base.withColumn("bin", F.ntile(n_bins).over(w).cast("bigint"))
+        bucketed_ntile(base, "_s", [F.col("_s"), F.col("_t")], n_bins, "bin")
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -529,14 +530,14 @@ def conformal_interval_report(
 
     Everything stays IN-PLAN and lazy: the OLS fit is a 1-row DECIMAL
     sufficient-statistics aggregate cross-joined back (linear_fit's
-    normal equations), the conformal rank is an exact row_number over
-    the calibration residuals (deterministic tie-break on the key;
-    swap in approx_percentile at 100 TB — the exact rank needs a single
-    ordered partition), and the split is the portable md5 bucket.
+    normal equations), the conformal rank is an exact GLOBAL row_number
+    over the calibration residuals computed bucket-parallel
+    (``ranks.bucketed_row_number`` — no single ordered partition; tie-break
+    on the key keeps it deterministic), and the split is the portable md5
+    bucket.
     """
-    from pyspark.sql import Window
-
     from ..caching import scoped_persist
+    from .ranks import bucketed_row_number
     from .sampling import hash_bucket
 
     base = scoped_persist(
@@ -578,10 +579,11 @@ def conformal_interval_report(
         )
     )
     ncal = calib.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
-    wr = Window.orderBy(F.col("_resid").asc(), F.col("_k").asc())
     qhat = (
-        calib.crossJoin(F.broadcast(ncal))
-        .withColumn("_rn", F.row_number().over(wr))
+        bucketed_row_number(
+            calib, "_resid", [F.col("_resid").asc(), F.col("_k").asc()], "_rn"
+        )
+        .crossJoin(F.broadcast(ncal))
         .filter(
             F.col("_rn")
             == F.least(
@@ -633,13 +635,14 @@ def threshold_sweep(
     good the ranking is; this says where to cut it.
 
     Same scale shape as :func:`auc_roc`: one aggregate to the GROUPED
-    score domain (quantize continuous scores first), one cumulative
-    window over distinct scores — never per-row work. All counts exact
-    integers; the P/R/F1 ratios divide once per DISTINCT score and
-    round(6). Returns (threshold, tp, fp, fn, precision, recall, f1)
-    ordered by threshold.
+    score domain (quantize continuous scores first), then the cumulative
+    counts run top-down over distinct scores via ``ranks.bucketed_cumsum``
+    (bucket-parallel, no single-partition sort; hash-equal to the global
+    window) — never per-row work. All counts exact integers; the P/R/F1
+    ratios divide once per DISTINCT score and round(6). Returns
+    (threshold, tp, fp, fn, precision, recall, f1) ordered by threshold.
     """
-    from pyspark.sql import Window
+    from .ranks import bucketed_cumsum
 
     per = (
         df.select(label.cast("int").alias("_y"), score.alias("_s"))
@@ -650,15 +653,22 @@ def threshold_sweep(
             (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("_nn"),
         )
     )
-    w = Window.orderBy(F.col("_s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     tot = per.agg(F.sum("_np").cast("long").alias("_P"))
-    cum = per.select(
-        F.col("_s").alias("threshold"),
-        F.sum("_np").over(w).cast("long").alias("tp"),
-        F.sum("_nn").over(w).cast("long").alias("fp"),
-    ).crossJoin(F.broadcast(tot))
+    cum = (
+        bucketed_cumsum(
+            per,
+            "_s",
+            {"tp": "_np", "fp": "_nn"},
+            inclusive=True,
+            descending=True,
+        )
+        .select(
+            F.col("_s").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     tp = F.col("tp").cast("double")
     fp = F.col("fp").cast("double")
     fn = (F.col("_P") - F.col("tp")).cast("double")
@@ -693,11 +703,13 @@ def average_precision(
     when positives are 1 in 10⁴; AP says so).
 
     Same grouped-score-domain shape as :func:`auc_roc` and
-    :func:`threshold_sweep`; per-cutoff precision terms round(9) then
-    DECIMAL-sum so the result is engine- and order-exact. Returns one
-    row (avg_precision, n_pos, n_neg); NULL when no positives exist.
+    :func:`threshold_sweep` (cumulatives via the bucket-parallel
+    ``ranks.bucketed_cumsum``, hash-equal to the global window); per-cutoff
+    precision terms round(9) then DECIMAL-sum so the result is engine- and
+    order-exact. Returns one row (avg_precision, n_pos, n_neg); NULL when
+    no positives exist.
     """
-    from pyspark.sql import Window
+    from .ranks import bucketed_cumsum
 
     per = (
         df.select(label.cast("int").alias("_y"), score.alias("_s"))
@@ -708,14 +720,17 @@ def average_precision(
             (F.count(F.lit(1)) - F.sum("_y")).cast("long").alias("_nn"),
         )
     )
-    w = Window.orderBy(F.col("_s").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = per.select(
+    cum = bucketed_cumsum(
+        per,
+        "_s",
+        {"_ctp": "_np", "_cfp": "_nn"},
+        inclusive=True,
+        descending=True,
+    ).select(
         "_np",
         "_nn",
-        F.sum("_np").over(w).cast("long").alias("_ctp"),
-        F.sum("_nn").over(w).cast("long").alias("_cfp"),
+        F.col("_ctp").cast("long").alias("_ctp"),
+        F.col("_cfp").cast("long").alias("_cfp"),
     )
     term = F.round(
         F.col("_np")
@@ -869,7 +884,13 @@ def isotonic_calibration(
         )
     )
 
-    schema = f"{'_g int' if group_col is None else g + ' string'}, _score double, _y double, {out_col} double"
+    # group column type follows the input schema — hardcoding 'string'
+    # would mis-type a non-string group key (e.g. an int model id) at the
+    # applyInPandas Arrow boundary
+    g_type = (
+        "int" if group_col is None else df.schema[group_col].dataType.simpleString()
+    )
+    schema = f"{g} {g_type}, _score double, _y double, {out_col} double"
 
     def pav(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_score", "_y"], kind="mergesort").reset_index(

@@ -241,16 +241,18 @@ def quantile_bins(
     """Equal-frequency (quantile) binning with per-bin stats — the
     length-decile report every curation pipeline starts from.
 
-    This exact form uses ``ntile`` over a GLOBAL sort (deterministic via
-    the tiebreak), which is the right tool up to the single-task sort
-    limit; at 100 TB swap the bin id for ``width_bucket`` against
-    ``approx_percentile`` boundaries — one pass, no global sort — and keep
-    the same per-bin aggregate. The aggregate output is identical either
-    way up to boundary-tie placement."""
-    w = Window.orderBy(F.col(value_col), F.col(tiebreak_col))
+    Bin ids come from ``ranks.bucketed_ntile`` — exact equal-frequency
+    ntile semantics (deterministic via the tiebreak, hash-equal to the
+    global-sort form the oracle states) computed bucket-parallel over
+    approx-percentile value buckets, so no single-task global sort exists
+    at any scale."""
+    from .ranks import bucketed_ntile
+
     v = F.col(value_col)
     return (
-        df.withColumn("bin", F.ntile(n_bins).over(w).cast("bigint"))
+        bucketed_ntile(
+            df, value_col, [F.col(value_col), F.col(tiebreak_col)], n_bins, "bin"
+        )
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -727,31 +729,31 @@ def id_islands(df: DataFrame, id_col: str) -> DataFrame:
     (islands) with their start, end, and length — the completeness audit
     for ingest ("which id ranges are missing after this filter/load").
 
-    Classic gaps-and-islands: an island starts where ``id − lag(id) > 1``;
-    a running sum of the start flags labels islands, one groupBy collapses
-    them. This exact form uses a global-order window (right up to the
-    single-task sort limit); at 100 TB range-partition the ids, run the
-    same lag within partitions, and stitch the per-partition boundary
-    pairs — the ``sessionize_bucketed`` two-pass pattern applied to a
-    single global sequence.
+    Classic gaps-and-islands via the rank-difference identity: over the
+    DISTINCT ids in ascending order, ``id − row_number(id)`` is constant
+    exactly within a contiguous run, so it labels islands with no lag and
+    no running sum. The global rank is ``ranks.bucketed_row_number`` —
+    bucket-parallel, no single-task sort at any id cardinality — and
+    duplicate ids are pre-collapsed with their row counts so ``n_ids``
+    still counts input ROWS (hash-equal to the lag/running-sum form the
+    oracle states).
     """
+    from .ranks import bucketed_row_number
+
     idc = F.col(id_col)
-    w = Window.orderBy(idc)
-    flagged = df.select(idc).withColumn(
-        "_new",
-        F.when(idc - F.lag(id_col).over(w) > 1, 1)
-        .when(F.lag(id_col).over(w).isNull(), 1)
-        .otherwise(0),
+    per_id = (
+        df.select(idc)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_rows"))
     )
-    lab = flagged.withColumn(
-        "_island", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    ranked = bucketed_row_number(per_id, id_col, [idc.asc()], "_rn")
     return (
-        lab.groupBy("_island")
+        ranked.withColumn("_island", idc - F.col("_rn"))
+        .groupBy("_island")
         .agg(
             F.min(id_col).alias("island_start"),
             F.max(id_col).alias("island_end"),
-            F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+            F.sum("_rows").cast("bigint").alias("n_ids"),
         )
         .drop("_island")
     )
@@ -827,13 +829,15 @@ def mann_whitney_u(
     skewed metrics like revenue or latency).
 
     Computed on the GROUPED value domain exactly like ``auc_roc``: one
-    aggregate to (value, n₁, n₂), a cumulative window over distinct
-    values, then the doubled-rank-sum identity (2·R₁ = Σ n₁(v)·(2·cum(<v)
-    + n(v) + 1)) in exact DECIMAL integers. z uses the tie-corrected
-    variance n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))); only z's final division
-    is floating, so both engines agree. Returns one row
+    aggregate to (value, n₁, n₂), bucket-parallel cumulative counts over
+    distinct values (``ranks.bucketed_cumsum`` — no single-partition
+    window; hash-equal to the global form), then the doubled-rank-sum
+    identity (2·R₁ = Σ n₁(v)·(2·cum(<v) + n(v) + 1)) in exact DECIMAL
+    integers. z uses the tie-corrected variance
+    n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))); only z's final division is
+    floating, so both engines agree. Returns one row
     ``(n1, n2, u1, z)``; the two-sided p is 2(1−Φ(|z|)) by lookup."""
-    from pyspark.sql import Window
+    from .ranks import bucketed_cumsum
 
     per = (
         df.select(group.cast("int").alias("_g"), value.alias("_v"))
@@ -844,10 +848,7 @@ def mann_whitney_u(
             (F.count(F.lit(1)) - F.sum("_g")).cast("long").alias("_n2"),
         )
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = per.withColumn(
-        "_c", F.coalesce(F.sum(F.col("_n1") + F.col("_n2")).over(w), F.lit(0))
-    )
+    cum = bucketed_cumsum(per, "_v", {"_c": F.col("_n1") + F.col("_n2")})
     t = (F.col("_n1") + F.col("_n2")).cast("decimal(19,0)")
     r1x2 = F.sum(
         F.col("_n1").cast("decimal(19,0)")
@@ -940,11 +941,13 @@ def ks_two_sample(
     chi-square and Mann-Whitney.
 
     Grouped-domain shape again: one aggregate to (value, n₁, n₂),
-    INCLUSIVE cumulative counts over distinct values, and the integer
-    identity D = max |cum₁·n₂ − cum₂·n₁| / (n₁·n₂) — the max runs over
+    INCLUSIVE bucket-parallel cumulative counts over distinct values
+    (``ranks.bucketed_cumsum`` — no single-partition window; hash-equal
+    to the global form), and the integer identity
+    D = max |cum₁·n₂ − cum₂·n₁| / (n₁·n₂) — the max runs over
     exact DECIMAL integers, so D is bit-identical everywhere; only the
     single final division floats. Returns one row ``(n1, n2, ks_d)``."""
-    from pyspark.sql import Window
+    from .ranks import bucketed_cumsum
 
     per = (
         df.select(group.cast("int").alias("_g"), value.alias("_v"))
@@ -955,10 +958,9 @@ def ks_two_sample(
             (F.count(F.lit(1)) - F.sum("_g")).cast("long").alias("_n2"),
         )
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per.select(
-        F.sum("_n1").over(w).alias("_c1"), F.sum("_n2").over(w).alias("_c2")
-    )
+    cum = bucketed_cumsum(
+        per, "_v", {"_c1": "_n1", "_c2": "_n2"}, inclusive=True
+    ).select("_c1", "_c2")
     gap = F.abs(
         F.col("_c1").cast("decimal(19,0)") * F.col("_N2")
         - F.col("_c2").cast("decimal(19,0)") * F.col("_N1")
@@ -996,17 +998,18 @@ def gini_coefficient(
     Rank-sum form G = 2·Σᵢ i·yᵢ / (n·Σy) − (n+1)/n over values sorted
     ascending (deterministic via the tiebreak). Σ i·y accumulates as
     DECIMAL — exact and order-independent — so both engines produce the
-    identical coefficient. This exact form uses a global-order window (up
-    to the single-task sort limit); at extreme cardinality rank via the
-    bucket-parallel ``sampling.permutation_index`` and keep the same
-    aggregate. Returns one row ``(n, total, gini)``."""
-    from pyspark.sql import Window
+    identical coefficient. The rank is the exact global row_number
+    computed bucket-parallel (``ranks.bucketed_row_number`` — no
+    single-task sort at any cardinality; hash-equal to the global-order
+    window the oracle states). Returns one row ``(n, total, gini)``."""
+    from .ranks import bucketed_row_number
 
-    w = Window.orderBy(F.col("_y").asc(), F.col("_t").asc())
-    ranked = (
+    ranked = bucketed_row_number(
         df.select(value.cast("double").alias("_y"), tiebreak.alias("_t"))
-        .filter(F.col("_y").isNotNull())  # NULLs would take rank 1, inflate n
-        .withColumn("_i", F.row_number().over(w))
+        .filter(F.col("_y").isNotNull()),  # NULLs would take rank 1, inflate n
+        "_y",
+        [F.col("_y").asc(), F.col("_t").asc()],
+        "_i",
     )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -1209,24 +1212,22 @@ def spearman_corr(
     perfect monotone curve scores ρ=1 here).
 
     Average ranks come from the GROUPED value domain per column (one
-    aggregate + one cumulative window over distinct values each — never
-    a per-row global sort), joined back by value. Ranks are exact
+    aggregate + one bucket-parallel cumulative pass over distinct values
+    each, via ``ranks.bucketed_cumsum`` — never a per-row OR
+    single-partition global sort), joined back by value. Ranks are exact
     half-integers, so the Pearson sums over them accumulate as DECIMAL —
     exact, order-independent, engine-identical; the one sqrt/division is
     the only float step. Returns one row ``(n, rho)``."""
-    from pyspark.sql import Window
+    from .ranks import bucketed_cumsum
 
     base = df.select(x.cast("double").alias("_x"), y.cast("double").alias("_y"))
 
     def avg_ranks(col: str, out: str) -> DataFrame:
         per = base.groupBy(col).agg(F.count(F.lit(1)).alias("_c"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return per.select(
+        cum = bucketed_cumsum(per, col, {"_cum": "_c"})
+        return cum.select(
             col,
-            (
-                F.coalesce(F.sum("_c").over(w), F.lit(0))
-                + (F.col("_c") + 1) / 2.0
-            ).alias(out),
+            (F.col("_cum") + (F.col("_c") + 1) / 2.0).alias(out),
         )
 
     ranked = base.join(avg_ranks("_x", "_rx"), "_x").join(
@@ -1488,8 +1489,10 @@ def kruskal_wallis(
     assumption. The right k-way test for skewed metrics.
 
     Computed on the GROUPED value domain like ``mann_whitney_u``: one
-    aggregate to (value, group) counts, a cumulative window over the
-    distinct values, doubled average ranks 2·r̄(v) = 2·cum(<v) + n(v) + 1
+    aggregate to (value, group) counts, a bucket-parallel cumulative pass
+    over the distinct values (``ranks.bucketed_cumsum`` — no
+    single-partition window; hash-equal to the global form), doubled
+    average ranks 2·r̄(v) = 2·cum(<v) + n(v) + 1
     in exact DECIMAL integers, per-group rank sums, then
     H = [12/(N(N+1))·Σ R_g²/n_g − 3(N+1)] / [1 − Σ(t³−t)/(N³−N)] with
     the tie correction. Per-group R_g²/n_g routes through DOUBLE
@@ -1506,9 +1509,10 @@ def kruskal_wallis(
     per_v = scoped_persist(
         pv.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_nv"))
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    cum_v = per_v.withColumn(
-        "_cum", F.coalesce(F.sum("_nv").over(w), F.lit(0)).cast("long")
+    from .ranks import bucketed_cumsum
+
+    cum_v = bucketed_cumsum(per_v, "_v", {"_cum": "_nv"}).withColumn(
+        "_cum", F.col("_cum").cast("long")
     )
     per_vg = pv.groupBy("_v", "_g").agg(
         F.count(F.lit(1)).cast("long").alias("_nvg")
@@ -2028,6 +2032,10 @@ def mann_kendall_trend(
     rows; S and Var(S) are all-integer (DECIMAL-routed at the 100 TB
     design point), only the final z is floating.
 
+    Single-observation series are KEPT (S=0, var_s=0, z=0) — the pairs
+    aggregate has no row for them, so the count table left-joins it
+    rather than letting an inner join drop the key.
+
     Returns (key, n_points, s_stat, var_s, z).
     """
     a = df.select(
@@ -2060,12 +2068,16 @@ def mann_kendall_trend(
         )
     )
     out = (
-        s.join(n, key_col)
+        # LEFT join from the per-key count table: a series with a single
+        # observation has NO i<j pairs, so the S aggregate has no row for
+        # it — an inner join would silently drop the key instead of
+        # reporting S=0 (z=0, var from the n=1 formula = 0)
+        n.join(s, key_col, "left")
         .join(ties, key_col)
         .select(
             F.col(key_col),
             F.col("_n").cast("bigint").alias("n_points"),
-            "s_stat",
+            F.coalesce(F.col("s_stat"), F.lit(0)).cast("bigint").alias("s_stat"),
             # numerator exact in DECIMAL, ONE double division (the
             # decimal/decimal scale-6 quantization rule from CLAUDE.md)
             (

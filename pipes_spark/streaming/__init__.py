@@ -1107,6 +1107,8 @@ def streaming_upsert_writer(
     is exactly this. Runs to completion (availableNow unless a trigger
     is supplied) and returns the final table DataFrame.
     """
+    from functools import reduce
+
     from pyspark.sql import Window
 
     spark = stream_df.sparkSession
@@ -1129,8 +1131,24 @@ def streaming_upsert_writer(
                 cond = c if cond is None else (cond & c)
             s_ord = F.struct(*[F.col(f"s.{c}") for c in order_cols])
             t_ord = F.struct(*[F.col(f"t.{c}") for c in order_cols])
+            # NULL-guarded ordering: a NULL order field makes the struct
+            # comparison evaluate to NULL, which would pin the target row
+            # forever (a NULL-keyed insert could never be replaced by a
+            # later row with a real order key). When the comparison is
+            # indeterminate, the source wins iff ITS order key is complete
+            # and the target's is not; both-incomplete keeps the target
+            # (stable under replay).
+            s_null = reduce(
+                lambda a, b: a | b,
+                [F.col(f"s.{c}").isNull() for c in order_cols],
+            )
+            t_null = reduce(
+                lambda a, b: a | b,
+                [F.col(f"t.{c}").isNull() for c in order_cols],
+            )
             take_src = F.col(f"s.{keys[0]}").isNotNull() & (
-                F.col(f"t.{keys[0]}").isNull() | (s_ord >= t_ord)
+                F.col(f"t.{keys[0]}").isNull()
+                | F.coalesce(s_ord >= t_ord, t_null & ~s_null)
             )
             cols = [
                 F.when(take_src, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
