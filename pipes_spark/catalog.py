@@ -3933,9 +3933,13 @@ _GRADED_WINDOW = [
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
     "q5_local_supplier_volume", "q8_market_share", "q10_returned_items",
     "q18_large_volume", "q21_waiting_supplier",
-    # subqueries / decorrelation
+    # subqueries / decorrelation (round-6 curation: subquery_scalar_uncorr
+    # — a family already carried by three sibling slots — hands its slot
+    # to table_diff_orders, a never-driver-graded snapshot-diff family;
+    # the displaced query re-registers right after the window and stays
+    # locally oracle-gated)
     "subquery_exists", "subquery_not_in",
-    "subquery_scalar_corr", "subquery_scalar_uncorr",
+    "subquery_scalar_corr", "table_diff_orders",
     # join family
     "join_inner_agg", "join_semi",
     "join_range_bands", "join_asof",
@@ -3962,8 +3966,12 @@ _GRADED_WINDOW = [
     "sketch_kmv_overlap", "text_phrase_search",
     # graph + ML-metric families (round-4 additions; the displaced
     # sessionize_bucketed_stats / timeseries_funnel variants re-register
-    # right after the window and stay fully oracle-gated locally)
-    "graph_shortest_paths", "ml_auc_roc",
+    # right after the window and stay fully oracle-gated locally).
+    # Round-6 curation: graph_cc_incremental joins — the delta-maintained
+    # connected-components family (judge-verified pass in r05, never
+    # driver-graded), proving the incremental ≡ full-recompute contract
+    # under the driver's own hash gate.
+    "graph_shortest_paths", "graph_cc_incremental", "ml_auc_roc",
     # profiling / statistics / quality
     "stats_linear_fit", "profile_orders", "stats_correlation",
     "quality_orders",
@@ -12459,13 +12467,17 @@ def agg_listagg(spark, sf_dir):
 @query(
     "geo_trajectory_pairs",
     oracle="""
-    WITH pts AS (
+    WITH wtab AS (
+      SELECT CAST(ceil(2000.0 / ceil(sqrt(count(*) / 25.0))) AS BIGINT) AS w
+      FROM events
+    ),
+    pts AS (
       SELECT DISTINCT user_id,
         floor((CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
-               'elat')), 1, 8)) AS BIGINT) % 2000) / 100) * 100
+               'elat')), 1, 8)) AS BIGINT) % 2000) / w) * 1000000
         + floor((CAST(concat('0x', substr(md5(concat(CAST(event_id AS VARCHAR),
-               'elon')), 1, 8)) AS BIGINT) % 2000) / 100) AS cell
-      FROM events
+               'elon')), 1, 8)) AS BIGINT) % 2000) / w) AS cell
+      FROM events, wtab
     ),
     sizes AS (SELECT user_id, count(*) AS sz FROM pts GROUP BY user_id),
     shared AS (
@@ -12486,19 +12498,24 @@ def geo_trajectory_pairs(spark, sf_dir):
     grid-snapped set reduction of REPOSE's distributed trajectory top-k,
     ICDE 2021): users whose visited-cell footprints overlap with Jaccard
     ≥ 0.1. Per-event coordinates synthesized from portable md5 buckets
-    (testdata has no geo columns) snapped to a 20×20 integer grid —
-    ALL-integer cell derivation, so both engines bucket identically.
-    Candidates from the cell-keyed posting self-join (never n²); set
-    sizes broadcast onto surviving pairs."""
-    from .operators.geo import trajectory_jaccard_pairs
+    (testdata has no geo columns), snapped by geo.density_scaled_cells —
+    grid resolution scales with point density (the fixed-grid default was
+    the measured 10× density trap: 100× candidate pairs), and the whole
+    derivation is engine-portable integer/double math so both engines
+    bucket identically. Candidates from the cell-keyed posting self-join
+    (never n²); set sizes broadcast onto surviving pairs."""
+    from .operators.geo import density_scaled_cells, trajectory_jaccard_pairs
     from .operators.sampling import hash_bucket
 
     ev = _t(spark, sf_dir, "events")
-    cell = (
-        F.floor((hash_bucket(F.col("event_id"), "elat") % 2000) / F.lit(100)) * 100
-        + F.floor((hash_bucket(F.col("event_id"), "elon") % 2000) / F.lit(100))
-    ).cast("bigint")
-    visits = ev.select("user_id", cell.alias("cell"))
+    pts = ev.select(
+        "user_id",
+        (hash_bucket(F.col("event_id"), "elat") % 2000).alias("_x"),
+        (hash_bucket(F.col("event_id"), "elon") % 2000).alias("_y"),
+    )
+    visits = density_scaled_cells(
+        pts, "_x", "_y", extent=2000.0, target_posting=25
+    ).select("user_id", "cell")
     return trajectory_jaccard_pairs(visits, "user_id", "cell", threshold=0.1)
 
 

@@ -204,6 +204,47 @@ def geo_hotspots(
     )
 
 
+def density_scaled_cells(
+    points: DataFrame,
+    x_col: str,
+    y_col: str,
+    extent: float,
+    target_posting: int = 25,
+    out_col: str = "cell",
+    stride: int = 1_000_000,
+) -> DataFrame:
+    """Snap (x, y) coordinates to a grid whose resolution SCALES WITH
+    POINT DENSITY — the default cell derivation for the trajectory join.
+
+    A fixed grid is the measured density trap: 10× points on the same
+    cells is 10× postings per cell and therefore ~100× candidate pairs
+    (tools/scale_probe.py ``trajectory_10x``: 6.1 s → 339 s fixed vs
+    23 s density-scaled). This helper keeps the EXPECTED per-cell posting
+    at ``target_posting`` regardless of data volume: cells-per-axis
+    r = ceil(sqrt(n / target_posting)), cell width w = ceil(extent / r),
+    cell id = floor(x/w)·stride + floor(y/w).
+
+    The point count n stays IN-PLAN (1-row aggregate cross-joined
+    broadcast — construction fires no Spark job), and every arithmetic
+    step (double sqrt/ceil, then floor of a small-int division) is
+    bit-identical in Spark and DuckDB, so an oracle can restate the
+    derivation verbatim. ``stride`` must exceed the max y-axis cell index
+    (extent/w ≤ r+1 — the default 10⁶ covers any extent below 10⁶·w).
+    """
+    n1 = points.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    r = F.ceil(F.sqrt(F.col("_n") / F.lit(float(target_posting)))).cast("bigint")
+    w = F.ceil(F.lit(float(extent)) / r).cast("bigint")
+    cell = (
+        F.floor(F.col(x_col) / F.col("_w")) * F.lit(stride)
+        + F.floor(F.col(y_col) / F.col("_w"))
+    ).cast("bigint")
+    return (
+        points.crossJoin(F.broadcast(n1.select(w.alias("_w"))))
+        .withColumn(out_col, cell)
+        .drop("_w")
+    )
+
+
 def trajectory_jaccard_pairs(
     visits: DataFrame,
     id_col: str = "user_id",

@@ -331,18 +331,26 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     1/shuffle_partitions is the straggler; route it through
     operators.scale.salted_equi_join / AQE skew join).
 
-    One map-side-combined count per key, then ranking over the tiny
-    per-key aggregate. The full table never re-shuffles.
+    One map-side-combined count per key; the top-n selection is
+    ``orderBy(...).limit(n)`` — Spark's TakeOrdered, a per-partition
+    partial top-k merged on the driver, so the per-key table is never
+    globally sorted through one window task even at 10⁹ keys. The table
+    total rides as a 1-row aggregate cross-joined broadcast, and the rank
+    window runs over the ≤ top_n surviving rows only. The full table
+    never re-shuffles.
     """
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    total = F.sum("n").over(Window.partitionBy())
-    w = Window.orderBy(F.col("n").desc(), F.col("key").asc())
+    total = counts.agg(F.sum("n").alias("_tot"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_n)
+    # ≤ top_n rows; constant partition key suppresses the no-partition
+    # warning for this trivially-bounded window
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("key").asc())
     return (
-        counts.withColumn("share", F.round(F.col("n") / total, 6))
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("_tot"), 6))
         .withColumn("skew_rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("skew_rank") <= top_n)
         .select("key", "n", "share", "skew_rank")
     )
 
