@@ -3940,9 +3940,12 @@ _GRADED_WINDOW = [
     # locally oracle-gated)
     "subquery_exists", "subquery_not_in",
     "subquery_scalar_corr", "table_diff_orders",
-    # join family
+    # join family (round-7 curation: join_range_bands — hash-graded green
+    # in r04–r06 — hands its slot to join_interval_overlap, the
+    # session-interval overlap-grid rewrite the driver has never graded;
+    # the displaced query re-registers right after the window)
     "join_inner_agg", "join_semi",
-    "join_range_bands", "join_asof",
+    "join_interval_overlap", "join_asof",
     # aggregation family (round-5 curation #3: agg_ordered_set — a family
     # already carried by agg_percentiles — hands its slot to
     # sketch_kmv_overlap below; it re-registers right after the window)
@@ -3956,8 +3959,14 @@ _GRADED_WINDOW = [
     "merge_upsert_orders", "scd2_customer_snapshot",
     # events / sessionization / time-series / attribution
     "events_hourly", "sessionize_stats", "events_attribution",
+    # round-7 curation: ts_ewma and stats_mad_outliers (both hash-graded
+    # green since r04) hand their slots to ts_kaplan_meier — proving this
+    # round's bucket-parallel cumulative-product rewrite under the driver's
+    # own hash gate — and sample_shard_manifest (portable-digest shard
+    # manifests, never driver-graded). Both displaced queries re-register
+    # right after the window and stay locally oracle-gated.
     "timeseries_gapfill",
-    "ts_ewma", "stats_mad_outliers",
+    "ts_kaplan_meier", "sample_shard_manifest",
     # round-5 curation #3: two families the driver has never hash-graded —
     # deterministic KMV/theta sketch set algebra (the estimator itself is
     # md5 order-statistic math) and positional-inverted-index phrase
@@ -3992,10 +4001,11 @@ _GRADED_WINDOW = [
     # tools/check_oracle.py each session).
     "recursive_cte_closure", "agg_incremental_retract",
     "streaming_events_hourly",
-    # scan/filter representative (filter_predicates, pivot, the displaced
-    # family variants, and the rest follow immediately after the window in
-    # registration order)
-    "scan_project_cast",
+    # (round-7: scan_project_cast — entry #51 in r06, silently past the
+    # driver's 50-query grading window — is removed to restore the exact-50
+    # invariant; it re-registers right after the window with
+    # filter_predicates, pivot, and the other displaced variants, all
+    # locally oracle-gated by tools/check_oracle.py each session.)
 ]
 
 
@@ -5558,19 +5568,24 @@ def search_hybrid_rrf(spark, sf_dir):
     vec_id) via reciprocal-rank fusion
     (operators.similarity.rrf_fuse, Cormack 2009, k=60) — the standard
     production search architecture with both halves already first-class
-    here. Fixed fold order makes fused scores engine-exact."""
+    here. Fixed fold order makes fused scores engine-exact. The lexical
+    top-20 is ``orderBy().limit()`` (Spark's TakeOrdered: per-partition
+    partial top-k merged on the driver — the scored table is never
+    globally sorted through one window task); only the ≤20 survivors
+    get the rank window."""
     from .operators.similarity import cosine_topk, rrf_fuse
     from .operators.text import bm25_scores
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     lex = bm25_scores(docs, ["spark", "query", "join"])
-    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
-    lex_rank = (
-        lex.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 20)
-        .select(F.col("doc_id").alias("id"), "rank")
-    )
+    top = lex.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+    # ≤20 rows; the constant partition key only suppresses Spark's
+    # no-partition warning for this trivially-bounded window
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex_rank = top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select(F.col("doc_id").alias("id"), "rank")
     dense = cosine_topk(
         emb, emb.filter(F.col("vec_id") == 7), k=20, dim=_emb_meta(sf_dir)[0]
     )
@@ -8803,13 +8818,20 @@ def stats_permutation_test(spark, sf_dir):
       FROM per CROSS JOIN tot
     )
     SELECT duration, n_risk, n_events, n_censored,
-           round(exp(sum(CASE WHEN n_events < n_risk
-                              THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
-                              ELSE CAST('-infinity' AS DOUBLE) END)
-                     OVER (ORDER BY duration
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                 6) AS survival
-    FROM risk ORDER BY duration
+           round(CASE WHEN sum(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                           OVER w > 0
+                      THEN 0.0
+                      ELSE exp(CAST(sum(CAST(
+                        CASE WHEN n_events < n_risk
+                             THEN round(ln(1.0 - n_events
+                                           / CAST(n_risk AS DOUBLE)), 12)
+                             ELSE 0.0 END AS DECIMAL(38,12)))
+                        OVER w AS DOUBLE))
+                 END, 6) AS survival
+    FROM risk
+    WINDOW w AS (ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY duration
     """,
 )
 def ts_kaplan_meier(spark, sf_dir):
@@ -9169,13 +9191,19 @@ def dedup_drop_near_dups_best(spark, sf_dir):
       FROM per CROSS JOIN tot
     ), km AS (
       SELECT duration,
-             round(exp(sum(CASE WHEN n_events < n_risk
-                                THEN ln(1.0 - n_events / CAST(n_risk AS DOUBLE))
-                                ELSE CAST('-infinity' AS DOUBLE) END)
-                       OVER (ORDER BY duration
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW)), 6) AS survival
+             round(CASE WHEN sum(CASE WHEN n_events >= n_risk
+                                      THEN 1 ELSE 0 END) OVER wc > 0
+                        THEN 0.0
+                        ELSE exp(CAST(sum(CAST(
+                          CASE WHEN n_events < n_risk
+                               THEN round(ln(1.0 - n_events
+                                             / CAST(n_risk AS DOUBLE)), 12)
+                               ELSE 0.0 END AS DECIMAL(38,12)))
+                          OVER wc AS DOUBLE))
+                   END, 6) AS survival
       FROM risk
+      WINDOW wc AS (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     ), stepped AS (
       SELECT CAST(coalesce(lag(survival) OVER w, 1.0)
                   * (least(CAST(duration AS DOUBLE), 21.0)
@@ -9303,12 +9331,16 @@ def events_peak_concurrency(spark, sf_dir):
     (30-min gap), emit +1 at session start and −1 just after session
     end, running-sum the deltas in time order, take the per-day max —
     the capacity-planning readout interval tables can't answer with a
-    plain groupBy. The running sum is a global-order window over 2×
-    sessions (the compressed domain); ties order (−1 before +1 at equal
-    t is avoided by the 1-µs end shift, +1 before −1 at identical
-    instants the (t, d) ascending sort puts the −1 END before the +1
-    START, so a back-to-back session handoff does NOT count as
-    concurrent — both engines state the identical order)."""
+    plain groupBy. Ties order: the (t, d) ascending sort puts a −1 END
+    before a +1 START at identical instants, so a back-to-back handoff
+    does NOT count as concurrent — both engines state the identical
+    order. The sweep itself is BUCKET-PARALLEL: deltas compress to one
+    row per distinct instant carrying (net, within-instant prefix max —
+    closed form: −1s sort first, so the prefix peaks at −1 or at net),
+    the running base is ``ranks.bucketed_cumsum`` over the distinct
+    instants (exact integer sums — bit-identical to the one-task global
+    window), and each instant's row-level max is base + prefix-max, so
+    the per-day max equals the oracle's row-by-row sweep exactly."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     brk = F.when(
@@ -9334,11 +9366,33 @@ def events_peak_concurrency(spark, sf_dir):
             F.lit(-1).alias("d"),
         )
     )
-    wr = Window.orderBy("t", "d").rowsBetween(Window.unboundedPreceding, 0)
-    running = deltas.withColumn("conc", F.sum("d").over(wr))
+    from .operators.ranks import bucketed_cumsum
+
+    per_t = deltas.groupBy("t").agg(
+        F.sum("d").alias("_net"),
+        F.sum(F.when(F.col("d") < 0, 1).otherwise(0)).alias("_minus"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("_plus"),
+    )
+    # max over the instant's ordered prefix sums (−1s first, then +1s):
+    # the sequence dips to −_minus then climbs to net, so it peaks at −1
+    # (right after the first −1) or at net — whichever is larger
+    mx = F.when(
+        F.col("_minus") > 0,
+        F.greatest(F.lit(-1), F.col("_plus") - F.col("_minus")),
+    ).otherwise(F.col("_plus"))
+    cum = bucketed_cumsum(
+        per_t.withColumn("_tus", F.unix_micros("t")).withColumn("_mx", mx),
+        "_tus",
+        {"_base": "_net"},
+        inclusive=False,
+    )
     return (
-        running.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
-        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+        cum.groupBy(F.date_trunc("day", F.col("t")).alias("day"))
+        .agg(
+            F.max(F.col("_base") + F.col("_mx"))
+            .cast("bigint")
+            .alias("peak_concurrent")
+        )
         .orderBy("day")
     )
 
@@ -11491,19 +11545,24 @@ def events_lateness_profile(spark, sf_dir):
     p95/max lateness in seconds bound the state a given ``withWatermark``
     delay would drop; profiling this in batch BEFORE deploying the
     stream is how the 1-hour delays in the streaming queries were
-    chosen. One global-order window over the arrival sequence (at scale:
-    per-partition/per-source high-water marks — arrival order is only
-    meaningful per ingest shard — then the same aggregate)."""
-    from pyspark.sql import Window
+    chosen. The running high-water mark over the arrival sequence is a
+    BUCKET-PARALLEL cumulative max (``ranks.bucketed_cummax`` over the
+    unique arrival id — max re-associates exactly, so the stitch is
+    bit-identical to the one-task global window it replaces; at real
+    scale arrival order is per ingest shard, making the same helper the
+    per-shard shape too)."""
+    from .operators.ranks import bucketed_cummax
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    late = ev.select(
+    hw = bucketed_cummax(
+        ev.select("event_type", "ts", "event_id"),
+        "event_id",
+        {"_hw": "ts"},
+    )
+    late = hw.select(
         "event_type",
         F.floor(
-            (
-                F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
-            )
+            (F.unix_micros(F.col("_hw")) - F.unix_micros(F.col("ts")))
             / 1_000_000.0
         ).cast("bigint").alias("late_s"),
     )
@@ -13465,9 +13524,12 @@ def streaming_upsert_conditional(spark, sf_dir):
       FROM per CROSS JOIN tot
     )
     SELECT duration, n_risk, n_events, n_censored,
-           round(sum(n_events / CAST(n_risk AS DOUBLE)) OVER w, 6)
+           round(CAST(sum(CAST(round(n_events / CAST(n_risk AS DOUBLE), 12)
+                               AS DECIMAL(38,12))) OVER w AS DOUBLE), 6)
              AS cum_hazard,
-           round(sum(n_events / (CAST(n_risk AS DOUBLE) * n_risk)) OVER w, 6)
+           round(CAST(sum(CAST(round(n_events
+                                     / (CAST(n_risk AS DOUBLE) * n_risk), 12)
+                               AS DECIMAL(38,12))) OVER w AS DOUBLE), 6)
              AS hazard_var
     FROM risk
     WINDOW w AS (ORDER BY duration

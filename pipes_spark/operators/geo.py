@@ -232,7 +232,13 @@ def density_scaled_cells(
     (extent/w ≤ r+1 — the default 10⁶ covers any extent below 10⁶·w).
     """
     n1 = points.agg(F.count(F.lit(1)).cast("double").alias("_n"))
-    r = F.ceil(F.sqrt(F.col("_n") / F.lit(float(target_posting)))).cast("bigint")
+    # empty input: n=0 → r=0 → extent/0 = Infinity, and CAST(Infinity AS
+    # BIGINT) THROWS under ANSI when the 1-row projection evaluates —
+    # clamp the axis count to ≥1 so an empty table yields zero pairs
+    # instead of CAST_OVERFLOW.
+    r = F.greatest(
+        F.ceil(F.sqrt(F.col("_n") / F.lit(float(target_posting)))), F.lit(1)
+    ).cast("bigint")
     w = F.ceil(F.lit(float(extent)) / r).cast("bigint")
     cell = (
         F.floor(F.col(x_col) / F.col("_w")) * F.lit(stride)

@@ -1987,34 +1987,34 @@ def fdr_bh(
     runs one test per segment — pure rank algebra over (test, p), source
     of the p-values orthogonal.
 
-    One ascending-p window (tiebreak on the test id for determinism) +
-    one reversed cumulative-min window over the SAME sorted run — the
-    test table is one row per hypothesis (thousands, not data-sized), so
-    a single-partition window is the bounded-domain shape. Returns
-    (test, p, rank, p_adj, reject).
+    Shape: BUCKET-PARALLEL throughout (one test per segment makes the
+    hypothesis table data-sized at fleet scale, so the round-6 global
+    windows were a one-task sort): the ascending-p rank is
+    ``ranks.bucketed_row_number`` (p-tiebreak on the test id), m rides
+    as a 1-row count cross-joined broadcast (never a count-over-window),
+    and the reversed step-up envelope is a running MIN over the now
+    DISTINCT rank via ``ranks.bucketed_cummax(minimum=True)`` — min
+    re-associates exactly, so the stitched envelope is bit-identical to
+    the sequential form. Returns (test, p, rank, p_adj, reject).
     """
-    m = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    from .ranks import bucketed_cummax, bucketed_row_number
+
+    m = df.agg(F.count(F.lit(1)).alias("_m"))
+    ranked = bucketed_row_number(
+        df.select(F.col(test_col), F.col(p_col).cast("double").alias("p")),
+        "p",
+        [F.col("p").asc(), F.col(test_col).asc()],
+        "rank",
+    ).crossJoin(F.broadcast(m))
+    env = bucketed_cummax(
+        ranked.withColumn("_q", F.col("p") * F.col("_m") / F.col("rank")),
+        "rank",
+        {"_env": "_q"},
+        minimum=True,
+        descending=True,
     )
-    asc = Window.orderBy(F.col(p_col).asc(), F.col(test_col).asc())
-    desc_cum = Window.orderBy(F.col(p_col).desc(), F.col(test_col).desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = df.select(
-        F.col(test_col),
-        F.col(p_col).cast("double").alias("p"),
-        F.row_number().over(asc).alias("rank"),
-        F.count(F.lit(1)).over(m).alias("_m"),
-    )
-    adj = ranked.withColumn(
-        "p_adj",
-        F.round(
-            F.least(
-                F.min(F.col("p") * F.col("_m") / F.col("rank")).over(desc_cum),
-                F.lit(1.0),
-            ),
-            6,
-        ),
+    adj = env.withColumn(
+        "p_adj", F.round(F.least(F.col("_env"), F.lit(1.0)), 6)
     )
     return adj.select(
         test_col,

@@ -48,6 +48,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_value_buckets",
     "bucketed_cumsum",
+    "bucketed_cummax",
+    "bucketed_lag",
     "bucketed_row_number",
     "bucketed_ntile",
 ]
@@ -75,7 +77,16 @@ def with_value_buckets(
     correctness — ANY monotone value-deterministic split yields the same
     stitched ranks — so the approx sketch's merge nondeterminism cannot
     leak into results.
+
+    NULL handling: rows where ``order_col`` IS NULL are FILTERED OUT (in
+    both the bucketed and the ``n_buckets<=1`` degenerate path). A NULL
+    value has no position in a value-ordered sweep; before this filter a
+    NULL row got a NULL bucket id, was silently dropped by the downstream
+    equi-join, yet its contribution still leaked into every bucket's
+    offset (NULL sorts first under ASC). Callers ranking a possibly-null
+    column must pre-filter or pre-coalesce explicitly.
     """
+    df = df.filter(F.col(order_col).isNotNull())
     if n_buckets <= 1:
         return df.withColumn(_BKT, F.lit(0))
     fracs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
@@ -125,7 +136,8 @@ def bucketed_cumsum(
     CONTRACT: ``order_col`` values must be DISTINCT per row (the callers
     all cumsum over an already-grouped value domain) — with duplicates a
     row-order-dependent frame would be nondeterministic in the global form
-    too.
+    too. Rows with a NULL ``order_col`` are excluded (see
+    :func:`with_value_buckets`); pre-filter/coalesce if they must count.
     """
     b = with_value_buckets(df, order_col, n_buckets)
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
@@ -163,6 +175,112 @@ def bucketed_cumsum(
     return out.drop(_BKT, *[f"{k}__off" for k in cols])
 
 
+def bucketed_lag(
+    df: DataFrame,
+    order_col: str,
+    lags: Dict[str, str],
+    *,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Global ``lag(1)`` over rows ordered by ``order_col`` — the
+    scale-safe replacement for ``F.lag(x).over(Window.orderBy(order_col))``.
+
+    ``lags`` maps output column names to lagged source column names. The
+    globally-first row gets NULL, exactly like the single-partition form.
+
+    Shape: value-bucket, lag within each bucket in parallel, and hand each
+    bucket's FIRST row the PREVIOUS bucket's last row via a ≤ ``n_buckets``
+    per-bucket ``max_by`` aggregate whose own lag runs over that tiny
+    table. Bucket-boundary rows are detected by within-bucket
+    ``row_number == 1`` (not by the lag being NULL), so legitimately-NULL
+    source values lag through exactly.
+
+    CONTRACT: ``order_col`` values must be DISTINCT per row and non-null
+    (NULL order rows are excluded — see :func:`with_value_buckets`).
+    """
+    b = with_value_buckets(df, order_col, n_buckets)
+    w_in = Window.partitionBy(_BKT).orderBy(F.col(order_col).asc())
+    # one row per non-empty bucket: that bucket's last row's lagged values
+    last = b.groupBy(_BKT).agg(
+        *[F.max_by(src, order_col).alias(f"{k}__pb") for k, src in lags.items()]
+    )
+    # ≤ n_buckets rows; constant partition key suppresses the no-partition
+    # warning for this trivially-bounded stitch window. lag skips EMPTY
+    # buckets naturally — only non-empty buckets have rows here.
+    w_off = Window.partitionBy(F.lit(0)).orderBy(F.col(_BKT).asc())
+    prev = last.select(
+        _BKT,
+        *[F.lag(f"{k}__pb").over(w_off).alias(f"{k}__pb") for k in lags],
+    )
+    out = b.join(F.broadcast(prev), _BKT)
+    rn = F.row_number().over(w_in)
+    for k, src in lags.items():
+        out = out.withColumn(
+            k,
+            F.when(rn == 1, F.col(f"{k}__pb")).otherwise(
+                F.lag(src).over(w_in)
+            ),
+        )
+    return out.drop(_BKT, *[f"{k}__pb" for k in lags])
+
+
+def bucketed_cummax(
+    df: DataFrame,
+    order_col: str,
+    exts: Dict[str, Union[str, Column]],
+    *,
+    minimum: bool = False,
+    inclusive: bool = True,
+    descending: bool = False,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Global running max (or min, with ``minimum=True``) over rows
+    ordered by ``order_col`` — the scale-safe replacement for
+    ``F.max(x).over(Window.orderBy(order_col))``.
+
+    ``exts`` maps output column names to the tracked input (name or
+    Column). Unlike the float-sum case, min/max are IDEMPOTENT and
+    re-associate exactly, so the bucketed offset stitch is bit-identical
+    to a sequential fold for every type. The per-bucket offset (the
+    running extreme of all PRECEDING buckets' extremes) is NULL for the
+    first bucket; ``greatest``/``least`` skip NULLs, so no sentinel is
+    needed and legitimately-NULL inputs behave exactly like the global
+    window (ignored until a non-null value appears).
+
+    CONTRACT: ``order_col`` values must be DISTINCT per row and non-null
+    (NULL order rows are excluded — see :func:`with_value_buckets`);
+    rank first (``bucketed_row_number``) when a tiebreak is needed.
+    """
+    ext = F.min if minimum else F.max
+    comb = F.least if minimum else F.greatest
+    b = with_value_buckets(df, order_col, n_buckets)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    upper = 0 if inclusive else -1
+    w_in = (
+        Window.partitionBy(_BKT)
+        .orderBy(oc)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    cols = {k: (F.col(v) if isinstance(v, str) else v) for k, v in exts.items()}
+    totals = b.groupBy(_BKT).agg(
+        *[ext(c).alias(f"{k}__t") for k, c in cols.items()]
+    )
+    bc = F.col(_BKT).desc() if descending else F.col(_BKT).asc()
+    # window over ≤ n_buckets rows — trivially single-task safe; the
+    # constant partition key only suppresses Spark's no-partition warning
+    w_off = Window.partitionBy(F.lit(0)).orderBy(bc).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        _BKT,
+        *[ext(f"{k}__t").over(w_off).alias(f"{k}__off") for k in cols],
+    )
+    out = b.join(F.broadcast(offs), _BKT)
+    for k, c in cols.items():
+        out = out.withColumn(k, comb(F.col(f"{k}__off"), ext(c).over(w_in)))
+    return out.drop(_BKT, *[f"{k}__off" for k in cols])
+
+
 def bucketed_row_number(
     df: DataFrame,
     bucket_col: str,
@@ -180,7 +298,8 @@ def bucketed_row_number(
     values share a bucket, so bucket order + within-bucket order equals the
     global order). Set ``descending_bucket`` when that first column sorts
     descending. The full ``order_cols`` must be a total (deterministic)
-    order, same as any reproducible global rank.
+    order, same as any reproducible global rank. Rows with a NULL
+    ``bucket_col`` are excluded (see :func:`with_value_buckets`).
     """
     b = with_value_buckets(df, bucket_col, n_buckets)
     w_in = Window.partitionBy(_BKT).orderBy(*order_cols)

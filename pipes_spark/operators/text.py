@@ -697,17 +697,32 @@ def sorted_neighborhood_pairs(
     close); its cost is missing pairs that sort far apart — the recall
     knob is ``window``.
 
-    Shape: one global rank (a total sort — at 100 TB use range
-    partitioning, which Spark's sort already is), then a self-join on
-    rank distance ∈ [1, window] via an exploded rank-offset key (an
-    equi-join, never a theta/nested-loop), then the exact Levenshtein
-    verify. Candidates = n·window exactly — blocking cost is explicit
-    and tunable, independent of value skew.
+    Shape: one BUCKET-PARALLEL global rank (``ranks.bucketed_row_number``
+    — an unpartitioned ``row_number()`` window moves every record to one
+    task no matter how the upstream sort is partitioned; buckets are cut
+    on a numeric proxy of the match key: the first 7 UTF-8 bytes as a
+    big-endian integer, which is monotone non-strict in Spark's binary
+    string order, so proxy-equal prefixes share a bucket and the full
+    (key, id) order inside buckets composes to the exact global rank),
+    then a self-join on rank distance ∈ [1, window] via an exploded
+    rank-offset key (an equi-join, never a theta/nested-loop), then the
+    exact Levenshtein verify. Candidates = n·window exactly — blocking
+    cost is explicit and tunable, independent of value skew. Records
+    with a NULL match key are excluded (they could never produce a
+    verified pair — levenshtein(NULL, ·) is NULL — but previously
+    consumed rank slots; pair output is identical).
     """
-    w = Window.orderBy(F.col(col).asc(), F.col(id_col).asc())
-    ranked = df.select(F.col(id_col).alias("id"), F.col(col).alias("s")).withColumn(
-        "_rk", F.row_number().over(w)
+    from .ranks import bucketed_row_number
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(col).alias("s")).withColumn(
+        "_ord",
+        F.expr(
+            "cast(conv(substr(rpad(hex(s), 14, '0'), 1, 14), 16, 10) as bigint)"
+        ),
     )
+    ranked = bucketed_row_number(
+        sel, "_ord", [F.col("s").asc(), F.col("id").asc()], "_rk"
+    ).drop("_ord")
     # each row claims the ranks of its `window` successors; joining that
     # exploded key to the successors' own rank is a plain equi-join
     probes = ranked.select(
@@ -793,21 +808,27 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate-dominated text (one of the quickest whole-corpus health
     checks there is).
 
-    One explode+count to the vocabulary, a rank window over the
-    COMPRESSED type domain (|vocab| rows, not |tokens|), then the
+    One explode+count to the vocabulary, then a BUCKET-PARALLEL global
+    rank over the compressed type domain (``ranks.bucketed_row_number`` —
+    the vocabulary is 10⁸+ types at corpus scale, so an unpartitioned
+    ``row_number()`` window would sort it all in one task), then the
     closed-form DECIMAL-exact OLS (`profiling.linear_fit`). Returns one
     row ``(n_types, slope, intercept, r2)``."""
-    from pyspark.sql import Window
-
     from .profiling import linear_fit
+    from .ranks import bucketed_row_number
 
     counts = (
         df.select(F.explode(tokens(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
-    ranked = counts.withColumn("rank", F.row_number().over(w))
+    ranked = bucketed_row_number(
+        counts,
+        "freq",
+        [F.col("freq").desc(), F.col("tok").asc()],
+        "rank",
+        descending_bucket=True,
+    )
     fit = linear_fit(
         ranked,
         [],

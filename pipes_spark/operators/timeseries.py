@@ -682,13 +682,23 @@ def kaplan_meier(
 
     Ŝ(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct event times, with nᵢ the
     at-risk count just before tᵢ. Shape: one groupBy to per-duration
-    (deaths, censored) counts, a cumulative window over the COMPRESSED
-    duration domain for the risk sets, and the product as
-    exp(Σ ln(1 − d/n)) — the standard log-space cumulative product
-    (Catalyst has no product aggregate); integer counts keep both engines
-    on identical doubles. Returns one row per distinct duration:
+    (deaths, censored) counts, then BUCKET-PARALLEL cumulative sums over
+    the compressed duration domain (``ranks.bucketed_cumsum`` — with
+    fine-grained durations the distinct-duration table is data-sized at
+    100×, so an unpartitioned ``Window.orderBy`` would be one task). The
+    product runs in log space (Catalyst has no product aggregate); each
+    log increment is quantized to 12 decimals and summed as
+    DECIMAL(38,12), making the cumulative sum EXACT and
+    order/association-independent — the bucketed offset-stitch
+    re-associates addends, so a raw double fold could differ in the last
+    ulp. A duration where the whole risk set dies (d == n) zeroes the
+    curve from there on via an explicit cumulative dead-flag (DECIMAL
+    cannot carry the −inf sentinel and ANSI would throw on the cast).
+    Returns one row per distinct duration:
     ``(duration, n_risk, n_events, n_censored, survival)``; survival hits
     exactly 0 when the last risk set dies out."""
+    from .ranks import bucketed_cumsum
+
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
     per = (
@@ -699,32 +709,35 @@ def kaplan_meier(
             (F.count(F.lit(1)) - F.sum("_e")).cast("long").alias("n_censored"),
         )
     )
-    from pyspark.sql import Window
-
-    w_all = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
     total = per.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("_N"))
     risk = (
-        per.crossJoin(F.broadcast(total))
-        .withColumn(
-            "n_risk",
-            (
-                F.col("_N")
-                - F.coalesce(
-                    F.sum(F.col("n_events") + F.col("n_censored")).over(w_all),
-                    F.lit(0),
-                )
-            ).cast("long"),
+        bucketed_cumsum(
+            per,
+            "duration",
+            {"_rm": F.col("n_events") + F.col("n_censored")},
+            inclusive=False,
         )
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_risk", (F.col("_N") - F.col("_rm")).cast("long"))
+        .drop("_rm", "_N")
     )
-    # log-space cumulative product; a time where the whole risk set dies
-    # (d == n) zeroes the curve from there on
     term = F.when(
         F.col("n_events") < F.col("n_risk"),
-        F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")),
-    ).otherwise(F.lit(float("-inf")))
-    surv = F.exp(F.sum(term).over(w_cum))
-    return risk.select(
+        F.round(
+            F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")), 12
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(38,12)")
+    dead = (F.col("n_events") >= F.col("n_risk")).cast("int")
+    cum = bucketed_cumsum(
+        risk.withColumn("_t", term).withColumn("_dd", dead),
+        "duration",
+        {"_ls": "_t", "_dead": "_dd"},
+        inclusive=True,
+    )
+    surv = F.when(F.col("_dead") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_ls").cast("double"))
+    )
+    return cum.select(
         "duration",
         "n_risk",
         "n_events",
@@ -748,10 +761,13 @@ def logrank_test(
     under H₀ are d·n₁/n over the combined risk set; the statistic is
     χ² = (Σ(d₁−E₁))² / ΣV with the hypergeometric variance
     V = d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1). Risk sets come from per-group
-    cumulative windows over the compressed duration domain; every count
-    is an exact integer, the E/V terms are the only floats. Returns one
-    row ``(n1, n0, observed1, expected1, chi2)`` (compare χ² to 1 dof)."""
-    from pyspark.sql import Window
+    BUCKET-PARALLEL cumulative sums over the compressed duration domain
+    (``ranks.bucketed_cumsum`` — exact integer counts, so the bucketed
+    offset re-association is bit-identical to the one-task global window
+    it replaces); every count is an exact integer, the E/V terms are the
+    only floats and fold once in the final single-row aggregate. Returns
+    one row ``(n1, n0, observed1, expected1, chi2)`` (χ² vs 1 dof)."""
+    from .ranks import bucketed_cumsum
 
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
@@ -767,22 +783,23 @@ def logrank_test(
         )
         .na.fill(0, ["d1", "d0", "a1", "a0"])
     )
-    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
     tot = per.agg(
         F.sum("a1").alias("_N1"), F.sum("a0").alias("_N0")
     )
-    risk = per.crossJoin(F.broadcast(tot)).select(
-        "t",
-        "d1",
-        "d0",
-        (F.col("_N1") - F.coalesce(F.sum("a1").over(w_prev), F.lit(0)))
-        .cast("long")
-        .alias("n1"),
-        (F.col("_N0") - F.coalesce(F.sum("a0").over(w_prev), F.lit(0)))
-        .cast("long")
-        .alias("n0"),
-        F.col("_N1"),
-        F.col("_N0"),
+    risk = (
+        bucketed_cumsum(
+            per, "t", {"_ca1": "a1", "_ca0": "a0"}, inclusive=False
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d1",
+            "d0",
+            (F.col("_N1") - F.col("_ca1")).cast("long").alias("n1"),
+            (F.col("_N0") - F.col("_ca0")).cast("long").alias("n0"),
+            F.col("_N1"),
+            F.col("_N0"),
+        )
     )
     n = (F.col("n1") + F.col("n0")).cast("double")
     dd = (F.col("d1") + F.col("d0")).cast("double")
@@ -888,21 +905,25 @@ def rmst(km: DataFrame, tau: float, round_decimals: int = 6) -> DataFrame:
     the single-number survival summary that stays well-defined under
     censoring (the plain mean does not when the tail is censored).
 
-    Takes :func:`kaplan_meier` output. The step integral is one lag
-    window over the (tiny) distinct-duration table:
+    Takes :func:`kaplan_meier` output. The step integral is one GLOBAL
+    lag over the distinct-duration table — data-sized at 100× with
+    fine-grained durations, so it routes through ``ranks.bucketed_lag``
+    (bucket-parallel, exactly equal to the one-task global window):
     Σ S(t_{i−1})·(min(t_i,τ) − min(t_{i−1},τ)) plus the tail rectangle
     S(t_last)·(τ − min(t_last,τ)). Survival values are 6-decimal-exact
     and durations integers, so the DECIMAL term sum is engine-exact."""
-    from pyspark.sql import Window
+    from .ranks import bucketed_lag
 
-    w = Window.orderBy("duration")
+    lagged = bucketed_lag(
+        km, "duration", {"_d_prev": "duration", "_s_prev": "survival"}
+    )
     t = F.least(F.col("duration").cast("double"), F.lit(float(tau)))
     t_prev = F.least(
-        F.coalesce(F.lag("duration").over(w), F.lit(0)).cast("double"),
+        F.coalesce(F.col("_d_prev"), F.lit(0)).cast("double"),
         F.lit(float(tau)),
     )
-    s_prev = F.coalesce(F.lag("survival").over(w), F.lit(1.0))
-    stepped = km.select(
+    s_prev = F.coalesce(F.col("_s_prev"), F.lit(1.0))
+    stepped = lagged.select(
         (s_prev * (t - t_prev)).cast("decimal(28,6)").alias("_a"),
         F.col("duration"),
         F.col("survival"),
@@ -1286,10 +1307,15 @@ def nelson_aalen(
     additive companion to :func:`kaplan_meier` (H = −ln S asymptotically;
     hazard INCREMENTS are what you read rate changes from, and sums are
     friendlier than products for comparing groups). Identical shape: one
-    groupBy to per-duration counts, one cumulative window over the
-    compressed duration domain; integer counts keep both engines on
-    identical doubles. Returns (duration, n_risk, n_events, n_censored,
-    cum_hazard, hazard_var)."""
+    groupBy to per-duration counts, then BUCKET-PARALLEL cumulative sums
+    over the compressed duration domain (``ranks.bucketed_cumsum`` — the
+    distinct-duration table is data-sized at 100×, so an unpartitioned
+    window would be one task). Hazard increments quantize to 12 decimals
+    and sum as DECIMAL(38,12) — exact and association-independent, so the
+    bucketed offset stitch is bit-identical to a sequential fold. Returns
+    (duration, n_risk, n_events, n_censored, cum_hazard, hazard_var)."""
+    from .ranks import bucketed_cumsum
+
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
     per = (
@@ -1300,29 +1326,36 @@ def nelson_aalen(
             (F.count(F.lit(1)) - F.sum("_e")).cast("long").alias("n_censored"),
         )
     )
-    w_all = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, -1)
-    w_cum = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
     total = per.agg(F.sum(F.col("n_events") + F.col("n_censored")).alias("_N"))
-    risk = per.crossJoin(F.broadcast(total)).withColumn(
-        "n_risk",
-        (
-            F.col("_N")
-            - F.coalesce(
-                F.sum(F.col("n_events") + F.col("n_censored")).over(w_all),
-                F.lit(0),
-            )
-        ).cast("long"),
+    risk = (
+        bucketed_cumsum(
+            per,
+            "duration",
+            {"_rm": F.col("n_events") + F.col("n_censored")},
+            inclusive=False,
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn("n_risk", (F.col("_N") - F.col("_rm")).cast("long"))
+        .drop("_rm", "_N")
     )
     nr = F.col("n_risk").cast("double")
-    return risk.select(
+    cum = bucketed_cumsum(
+        risk.withColumn(
+            "_th",
+            F.round(F.col("n_events") / nr, 12).cast("decimal(38,12)"),
+        ).withColumn(
+            "_tv",
+            F.round(F.col("n_events") / (nr * nr), 12).cast("decimal(38,12)"),
+        ),
+        "duration",
+        {"_ch": "_th", "_hv": "_tv"},
+        inclusive=True,
+    )
+    return cum.select(
         "duration",
         "n_risk",
         "n_events",
         "n_censored",
-        F.round(F.sum(F.col("n_events") / nr).over(w_cum), round_decimals).alias(
-            "cum_hazard"
-        ),
-        F.round(
-            F.sum(F.col("n_events") / (nr * nr)).over(w_cum), round_decimals
-        ).alias("hazard_var"),
+        F.round(F.col("_ch").cast("double"), round_decimals).alias("cum_hazard"),
+        F.round(F.col("_hv").cast("double"), round_decimals).alias("hazard_var"),
     )

@@ -655,3 +655,63 @@ def test_incremental_cc_broadcasts_touched_components(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_cc_incremental")
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+
+
+# every declared query's optimized plan is screened for the one plan
+# shape that silently stops scaling: a Window that globally sorts its
+# input into a single task (tools/window_lint.py — Catalyst folds away
+# constant partition keys, so bounded stitch windows are recognized by
+# their `_rkb`/`_b#` bucket-id order). The residual allowance below is
+# the full documented list of bounded-domain windows; anything new must
+# either route through operators/ranks.py or be added here with a reason.
+WINDOW_LINT_ALLOWED = {
+    # rank over ≤k rows surviving an orderBy().limit(k) TakeOrdered
+    "search_hybrid_rrf": (1, "rank over the LIMIT-20 lexical top-k"),
+    "stats_skew_report": (1, "rank over the LIMIT top_n heaviest keys"),
+    # calendar-compressed domains: one row per day/time bucket — thousands
+    # of rows at ANY corpus size (the window input is bounded by elapsed
+    # time, not by data volume)
+    "ts_period_over_period": (1, "per-day compressed series"),
+    "events_cumulative_users": (1, "per-day first-seen counts"),
+    "ts_concurrency": (1, "per-time-bucket concurrency deltas"),
+    # bounded-dimension domain: one row per part brand
+    "stats_pareto": (1, "per-brand revenue concentration sweep"),
+}
+
+
+def test_no_unpartitioned_data_window_in_any_query(spark, sf_dir):
+    """No declared query may plan an unpartitioned ordered Window outside
+    the documented bounded-domain allowance — the gate form of the
+    round-6 finding that the survival family / zipf / sorted-neighborhood
+    rode one-task global sorts (this test fails on any such regression:
+    reverting timeseries.kaplan_meier to `Window.orderBy("duration")`
+    trips it)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tools.window_lint import unpartitioned_windows
+
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name in CONSTRUCTION_JOB_EXEMPT or name.startswith("streaming_"):
+            continue
+        plan = (
+            spec.fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        hits = unpartitioned_windows(plan)
+        allowed = WINDOW_LINT_ALLOWED.get(name, (0, ""))[0]
+        if len(hits) > allowed:
+            offenders[name] = [order[:80] for _, order in hits]
+    assert not offenders, f"unpartitioned data windows: {offenders}"
+
+
+def test_window_lint_allowance_is_tight():
+    """The allowance list must not rot: every entry names a live query."""
+    unknown = sorted(set(WINDOW_LINT_ALLOWED) - set(QUERIES))
+    assert not unknown, f"allowance names not in registry: {unknown}"

@@ -141,23 +141,40 @@ def test_bucketed_helpers_degenerate_single_bucket(spark):
 
 def test_bucketed_plan_has_no_unpartitioned_big_window(spark):
     """The stitched plan's only unpartitioned window is over the tiny
-    per-bucket offset table (bounded by n_buckets), never over the data:
-    every Window node either declares a partition spec or sits above the
-    bucket-count aggregate."""
+    per-bucket offset table (ordered by the bucket id `_rkb`, bounded by
+    n_buckets), never over the data. Parses the Window nodes' top-level
+    bracket groups — an unpartitioned Window prints only (exprs, order),
+    a partitioned one (exprs, partition, order) — via tools/window_lint;
+    the round-6 regex form was vacuous (optimized plans never contain the
+    literal 'partitionBy', so its assert branch never ran)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tools.window_lint import unpartitioned_windows, window_nodes
+
     from pipes_spark.operators.ranks import bucketed_row_number
 
     df = _skewed_values(spark)
     plan = bucketed_row_number(
         df, "v", [F.col("v").asc(), F.col("id").asc()], n_buckets=8
     )._jdf.queryExecution().optimizedPlan().toString()
-    import re
+    nodes = window_nodes(plan)
+    # non-vacuous: the plan has both window shapes — the partitioned
+    # within-bucket rank and the _rkb-ordered bounded offset stitch
+    assert any(len(g) == 3 for g in nodes), plan
+    assert any(len(g) == 2 for g in nodes), plan
+    # ...and the ONLY unpartitioned ones are the bounded stitches
+    assert unpartitioned_windows(plan) == [], plan
+    # prove the detector bites: the plain global form must be flagged
+    from pyspark.sql import Window as W
 
-    for m in re.finditer(r"Window \[(.*?)\]((, \[.*?\])?)", plan):
-        spec = m.group(0)
-        if "partitionBy" not in spec and "_rkb" not in spec:
-            # unpartitioned window must be the offset stitch (sums __c,
-            # the per-bucket count) — not a row-level rank
-            assert "__c" in spec, spec
+    bad = df.withColumn(
+        "r", F.row_number().over(W.orderBy(F.col("v").asc()))
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert len(unpartitioned_windows(bad)) == 1, bad
 
 
 # ---------------------------------------------------------------------------
