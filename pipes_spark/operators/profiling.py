@@ -1999,9 +1999,15 @@ def fdr_bh(
     """
     from .ranks import bucketed_cummax, bucketed_row_number
 
-    m = df.agg(F.count(F.lit(1)).alias("_m"))
+    # NULL p-values hold no rank (the bucketed rank drops them — see
+    # ranks.with_value_buckets), so m must count only the ranked domain:
+    # an unfiltered count would inflate every p_adj = p·m/rank.
+    valid = df.select(
+        F.col(test_col), F.col(p_col).cast("double").alias("p")
+    ).filter(F.col("p").isNotNull())
+    m = valid.agg(F.count(F.lit(1)).alias("_m"))
     ranked = bucketed_row_number(
-        df.select(F.col(test_col), F.col(p_col).cast("double").alias("p")),
+        valid,
         "p",
         [F.col("p").asc(), F.col(test_col).asc()],
         "rank",

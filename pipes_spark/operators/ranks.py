@@ -342,7 +342,9 @@ def bucketed_ntile(
                 = rem + ceil((r − (q+1)·rem) / q)     otherwise
 
     ``n`` stays IN-PLAN (1-row count cross-joined broadcast; pass ``total``
-    to reuse a caller's existing 1-row frame). All arithmetic is integer
+    to reuse a caller's existing 1-row frame — it must count the NON-NULL
+    ``bucket_col`` domain, same as the default, since NULL rows hold no
+    rank). All arithmetic is integer
     (ceil(a/b) = (a+b−1) div b), branch-guarded so the q=0 division is
     never evaluated (ANSI-safe: when q=0, every rank satisfies the first
     branch).
@@ -355,9 +357,9 @@ def bucketed_ntile(
         descending_bucket=descending_bucket,
         n_buckets=n_buckets,
     )
-    tot = total if total is not None else df.agg(
-        F.count(F.lit(1)).cast("long").alias("__n")
-    )
+    tot = total if total is not None else df.filter(
+        F.col(bucket_col).isNotNull()
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
     r = F.col("__r")
     q = F.floor(F.col("__n") / n_bins).cast("long")
     rem = (F.col("__n") % n_bins).cast("long")

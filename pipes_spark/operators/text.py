@@ -808,26 +808,65 @@ def zipf_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate-dominated text (one of the quickest whole-corpus health
     checks there is).
 
-    One explode+count to the vocabulary, then a BUCKET-PARALLEL global
-    rank over the compressed type domain (``ranks.bucketed_row_number`` —
-    the vocabulary is 10⁸+ types at corpus scale, so an unpartitioned
-    ``row_number()`` window would sort it all in one task), then the
-    closed-form DECIMAL-exact OLS (`profiling.linear_fit`). Returns one
-    row ``(n_types, slope, intercept, r2)``."""
-    from .profiling import linear_fit
-    from .ranks import bucketed_row_number
+    One explode+count to the vocabulary, then a TIE-PARALLEL global rank
+    built for the Zipfian shape of the type domain itself: the frequency
+    column is massively tied (at 10⁸+ types, roughly half the vocabulary
+    is hapax legomena, freq=1), so value-bucketing on freq alone would
+    dump the whole freq=1 tier into ONE bucket — the same one-task sort
+    the rewrite exists to remove. Instead the rank decomposes exactly:
 
+      rank = (#types with strictly higher freq)      — per-TIER offset:
+             ``ranks.bucketed_cumsum`` over the compressed distinct-freq
+             table (≤ O(√Σfreq) rows — Zipf's own tail bound)
+           + (#tier rows in lower token-hash salts)  — per-(tier, salt)
+             counts, cumulated by a window partitioned per tier over
+             ≤ ``salts`` rows
+           + row_number within (tier, salt)          — partitioned window
+
+    Within a tie tier ANY bijection onto the tier's rank interval yields
+    the IDENTICAL fit: freq is constant across the tier, the (rank, freq)
+    multiset is permutation-invariant, and `profiling.linear_fit`
+    quantizes every per-row term to DECIMAL(38,6) before summing, so the
+    hash-salted assignment is bit-equal to the lexicographic one. Then
+    the closed-form DECIMAL-exact OLS. Returns one row
+    ``(n_types, slope, intercept, r2)``."""
+    from pyspark.sql import Window
+
+    from .profiling import linear_fit
+    from .ranks import bucketed_cumsum
+
+    salts = 1024
     counts = (
         df.select(F.explode(tokens(text_col)).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = bucketed_row_number(
-        counts,
-        "freq",
-        [F.col("freq").desc(), F.col("tok").asc()],
-        "rank",
-        descending_bucket=True,
+    tiers = counts.groupBy("freq").agg(F.count(F.lit(1)).alias("_tn"))
+    tier_off = bucketed_cumsum(
+        tiers, "freq", {"_off": "_tn"}, descending=True, inclusive=False
+    ).select("freq", "_off")
+    salted = counts.withColumn("_sb", F.pmod(F.xxhash64("tok"), F.lit(salts)))
+    w_salt = (
+        Window.partitionBy("freq")
+        .orderBy("_sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # ≤ `salts` rows per tier: bounded, partitioned
+    salt_off = (
+        salted.groupBy("freq", "_sb")
+        .agg(F.count(F.lit(1)).alias("_sc"))
+        .withColumn("_soff", F.coalesce(F.sum("_sc").over(w_salt), F.lit(0)))
+        .select("freq", "_sb", "_soff")
+    )
+    w_in = Window.partitionBy("freq", "_sb").orderBy("tok")
+    ranked = (
+        salted.join(salt_off, ["freq", "_sb"])
+        .join(tier_off, "freq")
+        .withColumn(
+            "rank",
+            (F.col("_off") + F.col("_soff") + F.row_number().over(w_in)).cast(
+                "long"
+            ),
+        )
     )
     fit = linear_fit(
         ranked,

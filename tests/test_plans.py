@@ -706,8 +706,12 @@ def test_no_unpartitioned_data_window_in_any_query(spark, sf_dir):
         )
         hits = unpartitioned_windows(plan)
         allowed = WINDOW_LINT_ALLOWED.get(name, (0, ""))[0]
-        if len(hits) > allowed:
-            offenders[name] = [order[:80] for _, order in hits]
+        # exact match, not <=: a stale allowance must fail too, or it
+        # silently grants its query one future one-task window for free
+        if len(hits) != allowed:
+            offenders[name] = [order[:80] for _, order in hits] or [
+                f"allowance says {allowed}, plan has none — remove the entry"
+            ]
     assert not offenders, f"unpartitioned data windows: {offenders}"
 
 

@@ -72,3 +72,76 @@ def test_grouped_zscore_groups_span_arrow_batches(spark):
         assert (got["zscore"].values == exp.values).all()
     finally:
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+
+# ---------------------------------------------------------------------------
+# review fixes: NULL-p FDR totals, anchored lint markers, tie-parallel zipf
+# ---------------------------------------------------------------------------
+
+
+def test_fdr_bh_null_p_excluded_from_m(spark):
+    """A NULL p-value holds no rank; m must count only ranked rows, so
+    adjusted p-values are identical with and without NULL-p rows."""
+    from pipes_spark.operators.profiling import fdr_bh
+
+    rows = [(f"t{i}", (i + 1) / 10.0) for i in range(9)]
+    clean = spark.createDataFrame(rows, "test string, p double")
+    dirty = clean.unionByName(
+        spark.createDataFrame([("t_null", None)], "test string, p double")
+    )
+    a = {r.test: (r.rank, r.p_adj) for r in fdr_bh(clean, "p", "test").collect()}
+    b = {r.test: (r.rank, r.p_adj) for r in fdr_bh(dirty, "p", "test").collect()}
+    assert a == b  # the NULL row neither appears nor inflates m
+
+
+def test_window_lint_markers_are_anchored():
+    """Bounded-stitch exemption matches the FULL attribute name: a user
+    column merely ending in `_b` (id_b) must still be flagged."""
+    from tools.window_lint import unpartitioned_windows
+
+    flagged = "Window [row_number() AS r#9], [id_b#123 ASC NULLS FIRST]"
+    assert len(unpartitioned_windows(flagged)) == 1
+    exempt = "Window [sum(c#1) AS s#2], [_rkb#44 ASC NULLS FIRST]"
+    assert unpartitioned_windows(exempt) == []
+    exempt2 = "Window [sum(c#1) AS s#2], [_b#7 ASC NULLS FIRST]"
+    assert unpartitioned_windows(exempt2) == []
+
+
+def test_zipf_fit_tie_parallel_rank_matches_lexicographic(spark):
+    """zipf_fit's hash-salted tie-tier rank must give the identical fit to
+    the plain (freq desc, tok asc) global rank — the (rank, freq) multiset
+    is permutation-invariant within a tier and linear_fit's sums are
+    DECIMAL-quantized per row."""
+    from pyspark.sql import Window as W
+
+    from pipes_spark.operators.profiling import linear_fit
+    from pipes_spark.operators.text import tokens, zipf_fit
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b b b c c d e f g h i j"),
+            (2, "a b c d d e f g k l m n o p q r"),
+            (3, "a b b c c c d e f s t u v w x y"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = zipf_fit(docs).collect()[0]
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("freq").desc(), F.col("tok").asc())),
+    )
+    exp = linear_fit(
+        ranked,
+        [],
+        F.log(F.col("rank").cast("double")),
+        F.log(F.col("freq").cast("double")),
+    ).collect()[0]
+    assert got.n_types == exp.n_points
+    assert got.slope == exp.slope
+    assert got.intercept == exp.intercept
+    assert got.r2 == exp.r2

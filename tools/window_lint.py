@@ -25,12 +25,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: order-spec markers of provably-bounded stitch windows, matched against
 #: the ORDER group: the ranks.py offset stitches order by the `_rkb`
-#: bucket id (≤ n_buckets rows by construction); `_b#` is the same
+#: bucket id (≤ n_buckets rows by construction); `_b` is the same
 #: pattern in sampling.permutation_index (≤4096 hash buckets) and
-#: profiling.bootstrap_ci (≤ n_boot replicate buckets). Matching the
-#: attr-ref prefix `_b#` (printed with its expr id) cannot collide with
-#: user columns merely containing `_b`.
-BOUNDED_ORDER_MARKERS = ("_rkb", "_b#")
+#: profiling.bootstrap_ci (≤ n_boot replicate buckets). Attr refs print
+#: as `name#exprId`, so the regex anchors the FULL attribute name — a
+#: lookbehind rejects user columns merely ENDING in `_b` (`id_b#7`
+#: must not be exempted; a bare substring match would have been).
+BOUNDED_ORDER_RE = re.compile(r"(?<![A-Za-z0-9_])(?:_rkb|_b)#\d+")
 
 
 def _top_level_groups(s: str) -> List[str]:
@@ -76,7 +77,7 @@ def unpartitioned_windows(plan: str) -> List[Tuple[str, str]]:
         if (
             len(groups) == 2
             and re.search(r"(ASC|DESC) NULLS", groups[1])
-            and not any(m in groups[1] for m in BOUNDED_ORDER_MARKERS)
+            and not BOUNDED_ORDER_RE.search(groups[1])
         ):
             bad.append((groups[0], groups[1]))
     return bad
