@@ -145,3 +145,78 @@ def test_zipf_fit_tie_parallel_rank_matches_lexicographic(spark):
     assert got.slope == exp.slope
     assert got.intercept == exp.intercept
     assert got.r2 == exp.r2
+
+
+# ---------------------------------------------------------------------------
+# new ranks helpers (bucketed_lag / bucketed_cummax) must EQUAL the global
+# single-partition window forms row-for-row, including legitimately-NULL
+# source values, all-in-one-bucket degenerate splits, and min/max duality
+# ---------------------------------------------------------------------------
+
+
+def _lag_table(spark):
+    """Distinct order keys, NULL-bearing payloads, duplicate payload
+    values — the shapes that would expose a boundary-handoff bug."""
+    rows = []
+    for i in range(211):
+        v = None if i % 17 == 0 else float((i * 31) % 23)
+        rows.append((i * 3 + (i % 2), v, i % 5))
+    return spark.createDataFrame(rows, "k bigint, v double, g int")
+
+
+def test_bucketed_lag_equals_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from pipes_spark.operators.ranks import bucketed_lag
+
+    df = _lag_table(spark)
+    w = W.orderBy(F.col("k").asc())
+    expect = {
+        r.k: (r.pv, r.pg)
+        for r in df.select(
+            "k",
+            F.lag("v").over(w).alias("pv"),
+            F.lag("g").over(w).alias("pg"),
+        ).collect()
+    }
+    for n in (1, 4, 16):
+        got = {
+            r.k: (r.pv, r.pg)
+            for r in bucketed_lag(
+                df, "k", {"pv": "v", "pg": "g"}, n_buckets=n
+            ).collect()
+        }
+        assert got == expect, n
+
+
+def test_bucketed_cummax_equals_global_window(spark):
+    from pyspark.sql import Window as W
+
+    from pipes_spark.operators.ranks import bucketed_cummax
+
+    df = _lag_table(spark)
+    for minimum in (False, True):
+        for inclusive in (True, False):
+            for descending in (False, True):
+                oc = F.col("k").desc() if descending else F.col("k").asc()
+                w = W.orderBy(oc).rowsBetween(
+                    W.unboundedPreceding, 0 if inclusive else -1
+                )
+                ext = F.min("v") if minimum else F.max("v")
+                expect = {
+                    r.k: r.e
+                    for r in df.select("k", ext.over(w).alias("e")).collect()
+                }
+                got = {
+                    r.k: r.e
+                    for r in bucketed_cummax(
+                        df,
+                        "k",
+                        {"e": "v"},
+                        minimum=minimum,
+                        inclusive=inclusive,
+                        descending=descending,
+                        n_buckets=6,
+                    ).collect()
+                }
+                assert got == expect, (minimum, inclusive, descending)
