@@ -771,7 +771,9 @@ def logrank_test(
 
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
-    g = group_col.cast("int")
+    g = (F.col(group_col) if isinstance(group_col, str) else group_col).cast(
+        "int"
+    )
     per = (
         df.select(d.alias("t"), e.alias("_e"), g.alias("_g"))
         .groupBy("t")

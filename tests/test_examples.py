@@ -209,3 +209,26 @@ def test_search_lab_example(spark, sf_dir, job_budget, action_audit):
         1 for i in range(len(toks) - 1) if toks[i : i + 2] == ["table", "scan"]
     )
     assert n == hit["n_occurrences"]
+
+
+def test_survival_report_example(spark, sf_dir, job_budget, action_audit):
+    import survival_report
+
+    # 4 actions: 3 declared readout sinks + 1 persisted fan-out
+    # (durations → KM / NA / logrank)
+    with job_budget("survival_report", 10), action_audit("survival_report", 4):
+        out = survival_report.main(sf_dir)
+    assert set(out) == {"km", "na", "logrank"}
+    km, na = out["km"], out["na"]
+    assert len(km) == len(na)  # same distinct-duration domain
+    # survival is non-increasing in duration, hazard non-decreasing
+    surv = [float(r["survival"]) for r in km]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    haz = [float(r["cum_hazard"]) for r in na]
+    assert all(a <= b for a, b in zip(haz, haz[1:]))
+    # risk set starts at the cohort size and shrinks to the last subject
+    assert km[0]["n_risk"] == sum(r["n_events"] + r["n_censored"] for r in km)
+    assert km[-1]["n_risk"] >= 1
+    lr = out["logrank"][0]
+    assert lr["n1"] + lr["n0"] == km[0]["n_risk"]
+    assert lr["chi2"] is not None and lr["chi2"] >= 0.0
