@@ -711,6 +711,13 @@ def sorted_neighborhood_pairs(
     with a NULL match key are excluded (they could never produce a
     verified pair — levenshtein(NULL, ·) is NULL — but previously
     consumed rank slots; pair output is identical).
+
+    Skew note: proxy-EQUAL prefixes must share a bucket (the split is
+    only monotone, never tie-breaking), so a corpus where one 7-byte key
+    prefix dominates degrades that one bucket toward a single sort task
+    proportionally to the duplicate share. That is the exact-duplicate
+    regime — run exact dedup (one groupBy) BEFORE fuzzy blocking, which
+    is the standard ER pipeline order anyway.
     """
     from .ranks import bucketed_row_number
 

@@ -220,3 +220,30 @@ def test_bucketed_cummax_equals_global_window(spark):
                     ).collect()
                 }
                 assert got == expect, (minimum, inclusive, descending)
+
+
+def test_bucketed_row_number_nan_order_values(spark):
+    """NaN order keys must not corrupt the rank: Spark sorts NaN above all
+    doubles, and with_value_buckets' split only needs to be MONOTONE for
+    correctness (whatever bucket the NaNs land in, bucket order plus
+    within-bucket order must still compose to the global rank)."""
+    from pyspark.sql import Window as W
+
+    from pipes_spark.operators.ranks import bucketed_row_number
+
+    rows = [(i, float((i * 13) % 7)) for i in range(40)]
+    rows += [(100 + i, float("nan")) for i in range(5)]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    expect = {
+        r.id: r.r
+        for r in df.withColumn(
+            "r", F.row_number().over(W.orderBy(F.col("v").asc(), F.col("id").asc()))
+        ).collect()
+    }
+    got = {
+        r.id: r.r
+        for r in bucketed_row_number(
+            df, "v", [F.col("v").asc(), F.col("id").asc()], "r", n_buckets=4
+        ).collect()
+    }
+    assert got == expect
