@@ -13640,3 +13640,42 @@ def text_phrase_indexed(spark, sf_dir):
 
     postings = postings_table(spark, sf_dir)
     return phrase_search(postings, ["hash", "join"])
+
+
+@query(
+    "contamination_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id AS bid, e AS be FROM v WHERE vec_id % 97 = 0
+    ), scored AS (
+      SELECT c.vec_id AS id,
+             list_dot_product(c.e, be) /
+               (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(be, be)))
+               AS cos
+      FROM v c JOIN b ON c.vec_id % 97 <> 0
+    )
+    SELECT id, round(max(cos), 6) AS max_cos,
+           round(max(cos), 6) >= 0.35 AS contaminated
+    FROM scored GROUP BY id
+    """,
+)
+def contamination_embedding(spark, sf_dir):
+    """Semantic test-set contamination: every corpus vector annotated with
+    its max cosine against the benchmark subset (vec_id % 97 — the eval
+    set stand-in), flagged at 0.35
+    (operators.similarity.embedding_contamination). Broadcast benchmark ×
+    map-side corpus pass, no corpus shuffle — the companion to the n-gram
+    `contamination_report`; rounding after the max keeps both engines on
+    the same rounded value (round is monotone, so round∘max == max∘round)."""
+    from .operators.similarity import embedding_contamination
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_contamination(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.35,
+        dim=_emb_meta(sf_dir)[0],
+    )

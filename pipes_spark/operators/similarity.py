@@ -1572,3 +1572,44 @@ def hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "negative_id", "cosine", "neg_rank")
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Test-set contamination via embeddings: annotate EVERY corpus vector
+    with its maximum cosine similarity against a benchmark/eval set — the
+    semantic companion to the n-gram shingle check
+    (``dedup.benchmark_contamination``): paraphrased or reformatted eval
+    leakage that shares no 5-gram still sits next to the benchmark in
+    embedding space (Yang et al. 2023, "Rethinking Benchmark and
+    Contamination"). Returns ``(id, max_cos, contaminated)`` — one row per
+    corpus vector, the annotation you filter on before training.
+
+    Shape: the benchmark side is SMALL by construction (eval sets are
+    thousands of rows, the corpus is the 100 TB side) — broadcast it, one
+    map-side pass over the corpus computes all |bench| cosines per row
+    (norms hoisted to once per vector), and a per-id max folds them; the
+    corpus is never shuffled and the plan is linear in corpus size.
+    Rounding happens AFTER the max (round is monotone, so
+    round(max) == max(round) — engine-independent)."""
+    dim = dim or _probe_dim(corpus, vec_col)
+    b = benchmark.select(
+        F.col(id_col).alias("_bid"), _cast_double(vec_col).alias("_bvec")
+    ).withColumn("_bn", l2_norm("_bvec", dim))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("id"), _cast_double(vec_col).alias("_cvec")
+    ).withColumn("_cn", l2_norm("_cvec", dim))
+    scored = c.join(F.broadcast(b), F.col("id") != F.col("_bid")).withColumn(
+        "_cos", dot("_cvec", "_bvec", dim) / (F.col("_cn") * F.col("_bn"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.round(F.max("_cos"), 6).alias("max_cos"))
+        .withColumn("contaminated", F.col("max_cos") >= F.lit(float(threshold)))
+    )
