@@ -13679,3 +13679,66 @@ def contamination_embedding(spark, sf_dir):
         threshold=0.35,
         dim=_emb_meta(sf_dir)[0],
     )
+
+
+def _fdr_by_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("concat(event_type, ':', dow)", salt="fdr")
+    return f"""
+    WITH tests AS (
+      SELECT DISTINCT event_type || ':' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+               AS test_id,
+             event_type, CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow
+      FROM events
+    ), p AS (
+      SELECT test_id,
+             round(CAST({h} % 1000000 AS DOUBLE) / 999999.0, 6) AS p
+      FROM tests
+    ), ranked AS (
+      SELECT test_id, p,
+             row_number() OVER (ORDER BY p, test_id) AS rank,
+             count(*) OVER () AS m
+      FROM p
+    ), hc AS (
+      SELECT CAST(sum(CAST(round(1.0 / rank, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE) AS c
+      FROM ranked
+    )
+    SELECT test_id, round(p, 6) AS p, rank::BIGINT AS rank,
+           round(least(min(p * m / rank * c) OVER (
+             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
+             AS p_adj,
+           (round(least(min(p * m / rank * c) OVER (
+             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
+            <= 0.25) AS reject
+    FROM ranked CROSS JOIN hc ORDER BY rank
+    """
+
+
+@query("stats_fdr_by", oracle=_fdr_by_oracle())
+def stats_fdr_by(spark, sf_dir):
+    """Benjamini–Yekutieli FDR step-up (operators.profiling.fdr_by) over
+    the same deterministic per-(event_type, weekday) p-value table as
+    stats_fdr_bh — the arbitrary-dependence-safe variant: adjusted
+    p = min envelope of p·(m/rank)·c(m), with the harmonic c(m) folded
+    DECIMAL-exact from the ranked table itself (order-independent, so the
+    bucketed stitch and both engines agree bit-for-bit)."""
+    from .operators.profiling import fdr_by
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    tests = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.dayofweek("ts").cast("string")
+        ).alias("test_id")
+    ).distinct()
+    p = tests.select(
+        "test_id",
+        F.round(
+            (hash_bucket(F.col("test_id"), salt="fdr") % 1000000).cast("double")
+            / 999999.0,
+            6,
+        ).alias("p"),
+    )
+    return fdr_by(p, "p", "test_id", alpha=0.25)

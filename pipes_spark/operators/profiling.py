@@ -2031,6 +2031,63 @@ def fdr_bh(
     )
 
 
+def fdr_by(
+    df: DataFrame,
+    p_col: str,
+    test_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR step-up (B&Y 2001): :func:`fdr_bh` with the
+    harmonic correction c(m) = Σ_{i=1..m} 1/i — the variant that stays
+    valid under ARBITRARY dependence between the tests (correlated
+    segments, overlapping windows), at the price of a log(m)-ish factor
+    of conservatism. Adjusted p = min over j≥rank of p_(j)·(m/j)·c(m).
+
+    Same bucket-parallel shape as BH; c(m) folds from the ranked table
+    itself — each row contributes round(1/rank, 12) summed as
+    DECIMAL(38,12), exact and order-independent, so both engines (and the
+    bucketed re-association) agree bit-for-bit — and rides along as a
+    1-row broadcast (in-plan, construction stays lazy)."""
+    from .ranks import bucketed_cummax, bucketed_row_number
+
+    valid = df.select(
+        F.col(test_col), F.col(p_col).cast("double").alias("p")
+    ).filter(F.col("p").isNotNull())
+    m = valid.agg(F.count(F.lit(1)).alias("_m"))
+    ranked = bucketed_row_number(
+        valid,
+        "p",
+        [F.col("p").asc(), F.col(test_col).asc()],
+        "rank",
+    ).crossJoin(F.broadcast(m))
+    c = ranked.agg(
+        F.sum(
+            F.round(F.lit(1.0) / F.col("rank"), 12).cast("decimal(38,12)")
+        )
+        .cast("double")
+        .alias("_c")
+    )
+    env = bucketed_cummax(
+        ranked.crossJoin(F.broadcast(c)).withColumn(
+            "_q", F.col("p") * F.col("_m") / F.col("rank") * F.col("_c")
+        ),
+        "rank",
+        {"_env": "_q"},
+        minimum=True,
+        descending=True,
+    )
+    adj = env.withColumn(
+        "p_adj", F.round(F.least(F.col("_env"), F.lit(1.0)), 6)
+    )
+    return adj.select(
+        test_col,
+        F.round("p", 6).alias("p"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "p_adj",
+        (F.col("p_adj") <= alpha).alias("reject"),
+    )
+
+
 def mann_kendall_trend(
     df: DataFrame,
     key_col: str,

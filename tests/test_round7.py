@@ -247,3 +247,28 @@ def test_bucketed_row_number_nan_order_values(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_fdr_by_is_bh_times_harmonic(spark):
+    """BY = BH with the harmonic factor: on a clean p table the BY
+    adjusted p must equal min(1, BH_envelope · c(m)) and is never less
+    conservative than BH."""
+    import math
+
+    from pipes_spark.operators.profiling import fdr_bh, fdr_by
+
+    rows = [(f"t{i}", (i * 37 % 19 + 1) / 25.0) for i in range(12)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    m = len(rows)
+    c = sum(round(1.0 / i, 12) for i in range(1, m + 1))
+    bh = {r.test: r.p_adj for r in fdr_bh(df, "p", "test").collect()}
+    by = {r.test: r.p_adj for r in fdr_by(df, "p", "test").collect()}
+    assert set(by) == set(bh)
+    for t in bh:
+        assert by[t] >= bh[t]
+    # spot-exact on the smallest p (envelope = its own q there)
+    smallest = min(rows, key=lambda r: (r[1], r[0]))[0]
+    # reconstruct: envelope at rank 1 is min over all ranks of p*m/rank*c
+    qs = sorted((p, t) for t, p in rows)
+    env = min(p * m / (i + 1) * c for i, (p, t) in enumerate(qs))
+    assert abs(by[smallest] - round(min(env, 1.0), 6)) <= 1e-6
