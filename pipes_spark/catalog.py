@@ -13742,3 +13742,62 @@ def stats_fdr_by(spark, sf_dir):
         ).alias("p"),
     )
     return fdr_by(p, "p", "test_id", alpha=0.25)
+
+
+def _holm_oracle() -> str:
+    from .operators.sampling import hash_bucket_sql
+
+    h = hash_bucket_sql("concat(event_type, ':', dow)", salt="fdr")
+    return f"""
+    WITH tests AS (
+      SELECT DISTINCT event_type || ':' || CAST(dayofweek(ts) + 1 AS VARCHAR)
+               AS test_id,
+             event_type, CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow
+      FROM events
+    ), p AS (
+      SELECT test_id,
+             round(CAST({h} % 1000000 AS DOUBLE) / 999999.0, 6) AS p
+      FROM tests
+    ), ranked AS (
+      SELECT test_id, p,
+             row_number() OVER (ORDER BY p, test_id) AS rank,
+             count(*) OVER () AS m
+      FROM p
+    )
+    SELECT test_id, round(p, 6) AS p, rank::BIGINT AS rank,
+           round(least(max((m - rank + 1) * p) OVER (
+             ORDER BY p, test_id ROWS UNBOUNDED PRECEDING), 1.0), 6)
+             AS p_adj,
+           (round(least(max((m - rank + 1) * p) OVER (
+             ORDER BY p, test_id ROWS UNBOUNDED PRECEDING), 1.0), 6)
+            <= 0.25) AS reject
+    FROM ranked ORDER BY rank
+    """
+
+
+@query("stats_holm", oracle=_holm_oracle())
+def stats_holm(spark, sf_dir):
+    """Holm–Bonferroni step-down FWER correction
+    (operators.profiling.holm_bonferroni) over the same deterministic
+    per-(event_type, weekday) p-value table as the FDR queries — the
+    family-wise-error member of the multiple-testing family: adjusted
+    p = max envelope of (m−rank+1)·p over ranks ≤ mine (bucket-parallel
+    running max; max re-associates exactly, no quantization needed)."""
+    from .operators.profiling import holm_bonferroni
+    from .operators.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    tests = ev.select(
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.dayofweek("ts").cast("string")
+        ).alias("test_id")
+    ).distinct()
+    p = tests.select(
+        "test_id",
+        F.round(
+            (hash_bucket(F.col("test_id"), salt="fdr") % 1000000).cast("double")
+            / 999999.0,
+            6,
+        ).alias("p"),
+    )
+    return holm_bonferroni(p, "p", "test_id", alpha=0.25)

@@ -2088,6 +2088,58 @@ def fdr_by(
     )
 
 
+def holm_bonferroni(
+    df: DataFrame,
+    p_col: str,
+    test_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm–Bonferroni step-DOWN FWER correction (Holm 1979): adjusted
+    p_(i) = min(1, max_{j≤i} (m−j+1)·p_(j)) — uniformly more powerful
+    than plain Bonferroni at the same family-wise error guarantee, no
+    independence assumption. The complement of the FDR step-ups: control
+    the chance of ANY false positive rather than the false-discovery
+    rate.
+
+    Shape: ascending-p bucket-parallel rank, m as a 1-row in-plan
+    broadcast, and the step-down envelope is a running MAX over the
+    DISTINCT rank via ``ranks.bucketed_cummax`` — max re-associates
+    exactly, so the stitched envelope is bit-identical to the sequential
+    form. NULL p-values are excluded (they hold no rank and must not
+    inflate m). Returns (test, p, rank, p_adj, reject)."""
+    from .ranks import bucketed_cummax, bucketed_row_number
+
+    valid = df.select(
+        F.col(test_col), F.col(p_col).cast("double").alias("p")
+    ).filter(F.col("p").isNotNull())
+    m = valid.agg(F.count(F.lit(1)).alias("_m"))
+    ranked = bucketed_row_number(
+        valid,
+        "p",
+        [F.col("p").asc(), F.col(test_col).asc()],
+        "rank",
+    ).crossJoin(F.broadcast(m))
+    env = bucketed_cummax(
+        ranked.withColumn(
+            "_q", (F.col("_m") - F.col("rank") + F.lit(1)) * F.col("p")
+        ),
+        "rank",
+        {"_env": "_q"},
+        minimum=False,
+        descending=False,
+    )
+    adj = env.withColumn(
+        "p_adj", F.round(F.least(F.col("_env"), F.lit(1.0)), 6)
+    )
+    return adj.select(
+        test_col,
+        F.round("p", 6).alias("p"),
+        F.col("rank").cast("bigint").alias("rank"),
+        "p_adj",
+        (F.col("p_adj") <= alpha).alias("reject"),
+    )
+
+
 def mann_kendall_trend(
     df: DataFrame,
     key_col: str,

@@ -272,3 +272,23 @@ def test_fdr_by_is_bh_times_harmonic(spark):
     qs = sorted((p, t) for t, p in rows)
     env = min(p * m / (i + 1) * c for i, (p, t) in enumerate(qs))
     assert abs(by[smallest] - round(min(env, 1.0), 6)) <= 1e-6
+
+
+def test_holm_bonferroni_textbook(spark):
+    """Golden step-down example (m=4): raw p (.01,.02,.03,.04) →
+    Holm-adjusted (.04,.06,.06,.06) — the envelope both clamps and
+    enforces monotonicity."""
+    from pipes_spark.operators.profiling import fdr_bh, holm_bonferroni
+
+    rows = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04)]
+    df = spark.createDataFrame(rows, "test string, p double")
+    got = {r.test: r.p_adj for r in holm_bonferroni(df, "p", "test").collect()}
+    assert got == {"a": 0.04, "b": 0.06, "c": 0.06, "d": 0.06}
+    # FWER control is never more liberal than the FDR step-up
+    bh = {r.test: r.p_adj for r in fdr_bh(df, "p", "test").collect()}
+    assert all(got[t] >= bh[t] for t in got)
+    # adjusted p is monotone in rank and never below raw p
+    ordered = sorted(rows, key=lambda r: r[1])
+    adj = [got[t] for t, _ in ordered]
+    assert adj == sorted(adj)
+    assert all(a >= p for (_, p), a in zip(ordered, adj))
