@@ -13801,3 +13801,78 @@ def stats_holm(spark, sf_dir):
         ).alias("p"),
     )
     return holm_bonferroni(p, "p", "test_id", alpha=0.25)
+
+
+@query(
+    "ts_kaplan_meier_grouped",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(event_type) AS grp, min(ts) AS f, max(ts) AS l
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT grp,
+             CAST(floor((epoch_us(l) - epoch_us(f)) / 86400000000.0) AS BIGINT)
+               AS duration,
+             CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS e
+      FROM span CROSS JOIN mx
+    ), per AS (
+      SELECT grp, duration, CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM dur GROUP BY grp, duration
+    ), risk AS (
+      SELECT grp, duration, n_events, n_censored,
+             CAST(sum(n_events + n_censored) OVER (PARTITION BY grp)
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      PARTITION BY grp ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM per
+    )
+    SELECT grp, duration, n_risk, n_events, n_censored,
+           round(CASE WHEN sum(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                           OVER w > 0
+                      THEN 0.0
+                      ELSE exp(CAST(sum(CAST(
+                        CASE WHEN n_events < n_risk
+                             THEN round(ln(1.0 - n_events
+                                           / CAST(n_risk AS DOUBLE)), 12)
+                             ELSE 0.0 END AS DECIMAL(38,12)))
+                        OVER w AS DOUBLE))
+                 END, 6) AS survival
+    FROM risk
+    WINDOW w AS (PARTITION BY grp ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY grp, duration
+    """,
+)
+def ts_kaplan_meier_grouped(spark, sf_dir):
+    """Per-segment Kaplan–Meier curves
+    (operators.timeseries.kaplan_meier_grouped): the same churn-duration
+    construction as ts_kaplan_meier, segmented by each user's
+    alphabetically-first event type — one survival curve per segment,
+    windows partitioned by segment (parallel across segments; the
+    per-segment compressed duration domain carries the sort)."""
+    from .operators.timeseries import kaplan_meier_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_m"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("grp"),
+            F.min("ts").alias("_f"),
+            F.max("ts").alias("_l"),
+        )
+        .crossJoin(F.broadcast(mx))
+    )
+    dur = span.select(
+        "grp",
+        F.floor(
+            (F.unix_micros("_l") - F.unix_micros("_f")) / 86400000000.0
+        ).cast("long").alias("duration"),
+        (F.col("_l") < F.col("_m") - F.expr("INTERVAL 3 DAY")).cast("int").alias(
+            "event"
+        ),
+    )
+    return kaplan_meier_grouped(dur, "duration", "event", "grp")

@@ -1361,3 +1361,87 @@ def nelson_aalen(
         F.round(F.col("_ch").cast("double"), round_decimals).alias("cum_hazard"),
         F.round(F.col("_hv").cast("double"), round_decimals).alias("hazard_var"),
     )
+
+
+def kaplan_meier_grouped(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Per-segment Kaplan–Meier curves — one survival curve per value of
+    ``group_col``, the form cohort/priority/treatment comparisons actually
+    read (the pooled :func:`kaplan_meier` is the single-curve special
+    case; :func:`logrank_test` is the significance test between two of
+    these curves).
+
+    Shape: cumulative sums over the per-(group, duration) compressed
+    domain with windows PARTITIONED BY the group — parallel across
+    segments, lint-clean, and each segment's window carries only its own
+    distinct durations. The scale caveat is per-segment: a single segment
+    whose distinct-duration domain is itself data-sized sorts in one task
+    — for few-and-huge segments with fine-grained durations, pre-quantize
+    durations (day granularity) or run the pooled bucketed form per
+    segment. Same DECIMAL(38,12)-quantized log-space product as the
+    pooled form, so results are association-independent and engine-exact.
+    Returns one row per (group, distinct duration):
+    ``(group, duration, n_risk, n_events, n_censored, survival)``."""
+    from pyspark.sql import Window
+
+    d = F.col(duration_col).cast("long")
+    e = F.col(event_col).cast("int")
+    per = (
+        df.select(F.col(group_col).alias("grp"), d.alias("duration"), e.alias("_e"))
+        .groupBy("grp", "duration")
+        .agg(
+            F.sum("_e").cast("long").alias("n_events"),
+            (F.count(F.lit(1)) - F.sum("_e")).cast("long").alias("n_censored"),
+        )
+    )
+    w_all = (
+        Window.partitionBy("grp")
+        .orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("duration")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("grp")
+    risk = per.withColumn(
+        "n_risk",
+        (
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_tot)
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_all),
+                F.lit(0),
+            )
+        ).cast("long"),
+    )
+    term = (
+        F.when(
+            F.col("n_events") < F.col("n_risk"),
+            F.round(
+                F.log(F.lit(1.0) - F.col("n_events") / F.col("n_risk")), 12
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .cast("decimal(38,12)")
+    )
+    dead = (F.col("n_events") >= F.col("n_risk")).cast("int")
+    cum = risk.withColumn("_ls", F.sum(term).over(w_cum)).withColumn(
+        "_dead", F.sum(dead).over(w_cum)
+    )
+    surv = F.when(F.col("_dead") > 0, F.lit(0.0)).otherwise(
+        F.exp(F.col("_ls").cast("double"))
+    )
+    return cum.select(
+        F.col("grp").alias(group_col),
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, round_decimals).alias("survival"),
+    )

@@ -292,3 +292,29 @@ def test_holm_bonferroni_textbook(spark):
     adj = [got[t] for t, _ in ordered]
     assert adj == sorted(adj)
     assert all(a >= p for (_, p), a in zip(ordered, adj))
+
+
+def test_kaplan_meier_grouped_matches_pooled_per_segment(spark):
+    """Each segment's curve from the grouped form must equal the pooled
+    kaplan_meier run on that segment's rows alone."""
+    from pipes_spark.operators.timeseries import kaplan_meier, kaplan_meier_grouped
+
+    rows = []
+    for g, durs in (("a", [2, 2, 5, 7, 7, 9]), ("b", [1, 3, 3, 3, 8])):
+        for i, d in enumerate(durs):
+            rows.append((g, d, i % 2))  # alternate event/censor
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    grouped = kaplan_meier_grouped(df, "duration", "event", "grp").collect()
+    for g in ("a", "b"):
+        pooled = {
+            (r.duration): (r.n_risk, r.n_events, r.n_censored, r.survival)
+            for r in kaplan_meier(
+                df.filter(F.col("grp") == g), "duration", "event"
+            ).collect()
+        }
+        got = {
+            r.duration: (r.n_risk, r.n_events, r.n_censored, r.survival)
+            for r in grouped
+            if r.grp == g
+        }
+        assert got == pooled, g
