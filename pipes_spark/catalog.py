@@ -13293,7 +13293,10 @@ def stats_mann_kendall(spark, sf_dir):
     return mann_kendall_trend(daily, "event_type", "day", "y").orderBy("event_type")
 
 
-def _fdr_oracle() -> str:
+def _fdr_oracle_base() -> str:
+    """Shared CTE prefix of the three multiple-testing oracles: the
+    deterministic per-(event_type, weekday) p table and its ascending-p
+    rank — one definition, three envelope SELECTs."""
     from .operators.sampling import hash_bucket_sql
 
     h = hash_bucket_sql("concat(event_type, ':', dow)", salt="fdr")
@@ -13312,28 +13315,33 @@ def _fdr_oracle() -> str:
              row_number() OVER (ORDER BY p, test_id) AS rank,
              count(*) OVER () AS m
       FROM p
-    )
+    )"""
+
+
+def _step_oracle(q_expr: str, envelope: str, order: str, extra: str = "") -> str:
+    """One multiple-testing oracle: envelope ('min'/'max') of ``q_expr``
+    over the ``order``-sorted unbounded-preceding frame, clamped at 1,
+    rounded to 6, rejected at 0.25 — appended to the shared base."""
+    env = f"""round(least({envelope}({q_expr}) OVER (
+             ORDER BY {order} ROWS UNBOUNDED PRECEDING), 1.0), 6)"""
+    return f"""{_fdr_oracle_base()}{extra}
     SELECT test_id, round(p, 6) AS p, rank::BIGINT AS rank,
-           round(least(min(p * m / rank) OVER (
-             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
-             AS p_adj,
-           (round(least(min(p * m / rank) OVER (
-             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
-            <= 0.25) AS reject
-    FROM ranked ORDER BY rank
+           {env} AS p_adj,
+           ({env} <= 0.25) AS reject
+    FROM ranked{', hc' if extra else ''} ORDER BY rank
     """
 
 
-@query("stats_fdr_bh", oracle=_fdr_oracle())
-def stats_fdr_bh(spark, sf_dir):
-    """Benjamini–Hochberg FDR step-up (operators.profiling.fdr_bh) over a
-    deterministic per-(event_type, weekday) p-value table (md5-uniform —
-    the correction is pure rank algebra on a p column; where the p-values
-    come from is orthogonal, see stats_permutation_test /
-    stats_mann_whitney for real sources). Ascending-p rank + reversed
-    cumulative-min envelope, both over the one-row-per-hypothesis test
-    table (bounded domain)."""
-    from .operators.profiling import fdr_bh
+def _fdr_oracle() -> str:
+    return _step_oracle("p * m / rank", "min", "p DESC, test_id DESC")
+
+
+def _fdr_p_table(spark, sf_dir):
+    """The deterministic per-(event_type, weekday) p-value table shared by
+    the three multiple-testing queries (md5-uniform — the corrections are
+    pure rank algebra on a p column; where the p-values come from is
+    orthogonal, see stats_permutation_test / stats_mann_whitney for real
+    sources)."""
     from .operators.sampling import hash_bucket
 
     ev = _t(spark, sf_dir, "events")
@@ -13342,7 +13350,7 @@ def stats_fdr_bh(spark, sf_dir):
             F.col("event_type"), F.lit(":"), F.dayofweek("ts").cast("string")
         ).alias("test_id")
     ).distinct()
-    p = tests.select(
+    return tests.select(
         "test_id",
         F.round(
             (hash_bucket(F.col("test_id"), salt="fdr") % 1000000).cast("double")
@@ -13350,7 +13358,16 @@ def stats_fdr_bh(spark, sf_dir):
             6,
         ).alias("p"),
     )
-    return fdr_bh(p, "p", "test_id", alpha=0.25).orderBy("rank")
+
+
+@query("stats_fdr_bh", oracle=_fdr_oracle())
+def stats_fdr_bh(spark, sf_dir):
+    """Benjamini-Hochberg FDR step-up (operators.profiling.fdr_bh) over
+    the shared deterministic p table (_fdr_p_table). Ascending-p
+    bucket-parallel rank + reversed bucketed cumulative-min envelope."""
+    from .operators.profiling import fdr_bh
+
+    return fdr_bh(_fdr_p_table(spark, sf_dir), "p", "test_id", alpha=0.25)
 
 
 @query(
@@ -13682,125 +13699,44 @@ def contamination_embedding(spark, sf_dir):
 
 
 def _fdr_by_oracle() -> str:
-    from .operators.sampling import hash_bucket_sql
-
-    h = hash_bucket_sql("concat(event_type, ':', dow)", salt="fdr")
-    return f"""
-    WITH tests AS (
-      SELECT DISTINCT event_type || ':' || CAST(dayofweek(ts) + 1 AS VARCHAR)
-               AS test_id,
-             event_type, CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow
-      FROM events
-    ), p AS (
-      SELECT test_id,
-             round(CAST({h} % 1000000 AS DOUBLE) / 999999.0, 6) AS p
-      FROM tests
-    ), ranked AS (
-      SELECT test_id, p,
-             row_number() OVER (ORDER BY p, test_id) AS rank,
-             count(*) OVER () AS m
-      FROM p
-    ), hc AS (
+    hc = """, hc AS (
       SELECT CAST(sum(CAST(round(1.0 / rank, 12) AS DECIMAL(38,12)))
                   AS DOUBLE) AS c
       FROM ranked
+    )"""
+    return _step_oracle(
+        "p * m / rank * c", "min", "p DESC, test_id DESC", extra=hc
     )
-    SELECT test_id, round(p, 6) AS p, rank::BIGINT AS rank,
-           round(least(min(p * m / rank * c) OVER (
-             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
-             AS p_adj,
-           (round(least(min(p * m / rank * c) OVER (
-             ORDER BY p DESC, test_id DESC ROWS UNBOUNDED PRECEDING), 1.0), 6)
-            <= 0.25) AS reject
-    FROM ranked CROSS JOIN hc ORDER BY rank
-    """
 
 
 @query("stats_fdr_by", oracle=_fdr_by_oracle())
 def stats_fdr_by(spark, sf_dir):
-    """Benjamini–Yekutieli FDR step-up (operators.profiling.fdr_by) over
-    the same deterministic per-(event_type, weekday) p-value table as
-    stats_fdr_bh — the arbitrary-dependence-safe variant: adjusted
-    p = min envelope of p·(m/rank)·c(m), with the harmonic c(m) folded
-    DECIMAL-exact from the ranked table itself (order-independent, so the
-    bucketed stitch and both engines agree bit-for-bit)."""
+    """Benjamini-Yekutieli FDR step-up (operators.profiling.fdr_by) over
+    the shared deterministic p table — the arbitrary-dependence-safe
+    variant: adjusted p = min envelope of p*(m/rank)*c(m), harmonic c(m)
+    folded DECIMAL-exact from the ranked table (order-independent, so
+    the bucketed stitch and both engines agree bit-for-bit)."""
     from .operators.profiling import fdr_by
-    from .operators.sampling import hash_bucket
 
-    ev = _t(spark, sf_dir, "events")
-    tests = ev.select(
-        F.concat(
-            F.col("event_type"), F.lit(":"), F.dayofweek("ts").cast("string")
-        ).alias("test_id")
-    ).distinct()
-    p = tests.select(
-        "test_id",
-        F.round(
-            (hash_bucket(F.col("test_id"), salt="fdr") % 1000000).cast("double")
-            / 999999.0,
-            6,
-        ).alias("p"),
-    )
-    return fdr_by(p, "p", "test_id", alpha=0.25)
+    return fdr_by(_fdr_p_table(spark, sf_dir), "p", "test_id", alpha=0.25)
 
 
 def _holm_oracle() -> str:
-    from .operators.sampling import hash_bucket_sql
-
-    h = hash_bucket_sql("concat(event_type, ':', dow)", salt="fdr")
-    return f"""
-    WITH tests AS (
-      SELECT DISTINCT event_type || ':' || CAST(dayofweek(ts) + 1 AS VARCHAR)
-               AS test_id,
-             event_type, CAST(dayofweek(ts) + 1 AS VARCHAR) AS dow
-      FROM events
-    ), p AS (
-      SELECT test_id,
-             round(CAST({h} % 1000000 AS DOUBLE) / 999999.0, 6) AS p
-      FROM tests
-    ), ranked AS (
-      SELECT test_id, p,
-             row_number() OVER (ORDER BY p, test_id) AS rank,
-             count(*) OVER () AS m
-      FROM p
-    )
-    SELECT test_id, round(p, 6) AS p, rank::BIGINT AS rank,
-           round(least(max((m - rank + 1) * p) OVER (
-             ORDER BY p, test_id ROWS UNBOUNDED PRECEDING), 1.0), 6)
-             AS p_adj,
-           (round(least(max((m - rank + 1) * p) OVER (
-             ORDER BY p, test_id ROWS UNBOUNDED PRECEDING), 1.0), 6)
-            <= 0.25) AS reject
-    FROM ranked ORDER BY rank
-    """
+    return _step_oracle("(m - rank + 1) * p", "max", "p, test_id")
 
 
 @query("stats_holm", oracle=_holm_oracle())
 def stats_holm(spark, sf_dir):
-    """Holm–Bonferroni step-down FWER correction
-    (operators.profiling.holm_bonferroni) over the same deterministic
-    per-(event_type, weekday) p-value table as the FDR queries — the
-    family-wise-error member of the multiple-testing family: adjusted
-    p = max envelope of (m−rank+1)·p over ranks ≤ mine (bucket-parallel
-    running max; max re-associates exactly, no quantization needed)."""
+    """Holm-Bonferroni step-down FWER correction
+    (operators.profiling.holm_bonferroni) over the shared deterministic
+    p table — the family-wise-error member of the multiple-testing
+    family: adjusted p = max envelope of (m-rank+1)*p over ranks <= mine
+    (bucket-parallel running max; exact re-association)."""
     from .operators.profiling import holm_bonferroni
-    from .operators.sampling import hash_bucket
 
-    ev = _t(spark, sf_dir, "events")
-    tests = ev.select(
-        F.concat(
-            F.col("event_type"), F.lit(":"), F.dayofweek("ts").cast("string")
-        ).alias("test_id")
-    ).distinct()
-    p = tests.select(
-        "test_id",
-        F.round(
-            (hash_bucket(F.col("test_id"), salt="fdr") % 1000000).cast("double")
-            / 999999.0,
-            6,
-        ).alias("p"),
+    return holm_bonferroni(
+        _fdr_p_table(spark, sf_dir), "p", "test_id", alpha=0.25
     )
-    return holm_bonferroni(p, "p", "test_id", alpha=0.25)
 
 
 @query(

@@ -1974,34 +1974,19 @@ def huber_location(
     )
 
 
-def fdr_bh(
-    df: DataFrame,
-    p_col: str,
-    test_col: str,
-    alpha: float = 0.05,
-) -> DataFrame:
-    """Benjamini–Hochberg FDR correction (B&H 1995) over a table of
-    per-test p-values: adjusted p = min over j≥rank of p_(j)·m/j (the
-    step-up monotone envelope), plus the reject flag at level ``alpha``.
-    The multiple-testing step every fleet-wide metric sweep needs once it
-    runs one test per segment — pure rank algebra over (test, p), source
-    of the p-values orthogonal.
-
-    Shape: BUCKET-PARALLEL throughout (one test per segment makes the
-    hypothesis table data-sized at fleet scale, so the round-6 global
-    windows were a one-task sort): the ascending-p rank is
-    ``ranks.bucketed_row_number`` (p-tiebreak on the test id), m rides
-    as a 1-row count cross-joined broadcast (never a count-over-window),
-    and the reversed step-up envelope is a running MIN over the now
-    DISTINCT rank via ``ranks.bucketed_cummax(minimum=True)`` — min
-    re-associates exactly, so the stitched envelope is bit-identical to
-    the sequential form. Returns (test, p, rank, p_adj, reject).
-    """
+def _p_step_adjust(df, p_col, test_col, alpha, variant):
+    """Shared scaffold of the multiple-testing corrections: NULL-p rows
+    are excluded (they hold no rank and must not inflate m), the
+    ascending-p rank is bucket-parallel, m rides as a 1-row in-plan
+    broadcast, and the step envelope is a bucketed running min/max over
+    the DISTINCT rank (exact re-association). ``variant`` picks the
+    per-row q and the envelope direction; BY additionally folds the
+    harmonic c(m) from the ranked table (DECIMAL-quantized per-rank
+    terms — exact and order-independent) and scope-persists the ranked
+    frame so the c aggregate does not re-run the rank subplan."""
+    from ..caching import scoped_persist
     from .ranks import bucketed_cummax, bucketed_row_number
 
-    # NULL p-values hold no rank (the bucketed rank drops them — see
-    # ranks.with_value_buckets), so m must count only the ranked domain:
-    # an unfiltered count would inflate every p_adj = p·m/rank.
     valid = df.select(
         F.col(test_col), F.col(p_col).cast("double").alias("p")
     ).filter(F.col("p").isNotNull())
@@ -2012,12 +1997,30 @@ def fdr_bh(
         [F.col("p").asc(), F.col(test_col).asc()],
         "rank",
     ).crossJoin(F.broadcast(m))
+    if variant == "by":
+        ranked = scoped_persist(ranked)
+        c = ranked.agg(
+            F.sum(
+                F.round(F.lit(1.0) / F.col("rank"), 12).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("_c")
+        )
+        ranked = ranked.crossJoin(F.broadcast(c))
+        q = F.col("p") * F.col("_m") / F.col("rank") * F.col("_c")
+        minimum = descending = True
+    elif variant == "bh":
+        q = F.col("p") * F.col("_m") / F.col("rank")
+        minimum = descending = True
+    else:  # holm: step-down, max envelope over ranks <= mine
+        q = (F.col("_m") - F.col("rank") + F.lit(1)) * F.col("p")
+        minimum = descending = False
     env = bucketed_cummax(
-        ranked.withColumn("_q", F.col("p") * F.col("_m") / F.col("rank")),
+        ranked.withColumn("_q", q),
         "rank",
         {"_env": "_q"},
-        minimum=True,
-        descending=True,
+        minimum=minimum,
+        descending=descending,
     )
     adj = env.withColumn(
         "p_adj", F.round(F.least(F.col("_env"), F.lit(1.0)), 6)
@@ -2029,6 +2032,20 @@ def fdr_bh(
         "p_adj",
         (F.col("p_adj") <= alpha).alias("reject"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    test_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (B&H 1995) over a table of
+    per-test p-values: adjusted p = min over j>=rank of p_(j)*m/j (the
+    step-up monotone envelope), plus the reject flag at level ``alpha``.
+    Shape and NULL-p semantics: :func:`_p_step_adjust`. Returns
+    (test, p, rank, p_adj, reject)."""
+    return _p_step_adjust(df, p_col, test_col, alpha, "bh")
 
 
 def fdr_by(
@@ -2037,55 +2054,13 @@ def fdr_by(
     test_col: str,
     alpha: float = 0.05,
 ) -> DataFrame:
-    """Benjamini–Yekutieli FDR step-up (B&Y 2001): :func:`fdr_bh` with the
-    harmonic correction c(m) = Σ_{i=1..m} 1/i — the variant that stays
-    valid under ARBITRARY dependence between the tests (correlated
-    segments, overlapping windows), at the price of a log(m)-ish factor
-    of conservatism. Adjusted p = min over j≥rank of p_(j)·(m/j)·c(m).
-
-    Same bucket-parallel shape as BH; c(m) folds from the ranked table
-    itself — each row contributes round(1/rank, 12) summed as
-    DECIMAL(38,12), exact and order-independent, so both engines (and the
-    bucketed re-association) agree bit-for-bit — and rides along as a
-    1-row broadcast (in-plan, construction stays lazy)."""
-    from .ranks import bucketed_cummax, bucketed_row_number
-
-    valid = df.select(
-        F.col(test_col), F.col(p_col).cast("double").alias("p")
-    ).filter(F.col("p").isNotNull())
-    m = valid.agg(F.count(F.lit(1)).alias("_m"))
-    ranked = bucketed_row_number(
-        valid,
-        "p",
-        [F.col("p").asc(), F.col(test_col).asc()],
-        "rank",
-    ).crossJoin(F.broadcast(m))
-    c = ranked.agg(
-        F.sum(
-            F.round(F.lit(1.0) / F.col("rank"), 12).cast("decimal(38,12)")
-        )
-        .cast("double")
-        .alias("_c")
-    )
-    env = bucketed_cummax(
-        ranked.crossJoin(F.broadcast(c)).withColumn(
-            "_q", F.col("p") * F.col("_m") / F.col("rank") * F.col("_c")
-        ),
-        "rank",
-        {"_env": "_q"},
-        minimum=True,
-        descending=True,
-    )
-    adj = env.withColumn(
-        "p_adj", F.round(F.least(F.col("_env"), F.lit(1.0)), 6)
-    )
-    return adj.select(
-        test_col,
-        F.round("p", 6).alias("p"),
-        F.col("rank").cast("bigint").alias("rank"),
-        "p_adj",
-        (F.col("p_adj") <= alpha).alias("reject"),
-    )
+    """Benjamini-Yekutieli FDR step-up (B&Y 2001): :func:`fdr_bh` with
+    the harmonic correction c(m) = sum_{i=1..m} 1/i — valid under
+    ARBITRARY dependence between the tests (correlated segments,
+    overlapping windows), at the price of a log(m)-ish factor of
+    conservatism. Adjusted p = min over j>=rank of p_(j)*(m/j)*c(m).
+    Shape and NULL-p semantics: :func:`_p_step_adjust`."""
+    return _p_step_adjust(df, p_col, test_col, alpha, "by")
 
 
 def holm_bonferroni(
@@ -2094,50 +2069,13 @@ def holm_bonferroni(
     test_col: str,
     alpha: float = 0.05,
 ) -> DataFrame:
-    """Holm–Bonferroni step-DOWN FWER correction (Holm 1979): adjusted
-    p_(i) = min(1, max_{j≤i} (m−j+1)·p_(j)) — uniformly more powerful
+    """Holm-Bonferroni step-DOWN FWER correction (Holm 1979): adjusted
+    p_(i) = min(1, max_{j<=i} (m-j+1)*p_(j)) — uniformly more powerful
     than plain Bonferroni at the same family-wise error guarantee, no
     independence assumption. The complement of the FDR step-ups: control
     the chance of ANY false positive rather than the false-discovery
-    rate.
-
-    Shape: ascending-p bucket-parallel rank, m as a 1-row in-plan
-    broadcast, and the step-down envelope is a running MAX over the
-    DISTINCT rank via ``ranks.bucketed_cummax`` — max re-associates
-    exactly, so the stitched envelope is bit-identical to the sequential
-    form. NULL p-values are excluded (they hold no rank and must not
-    inflate m). Returns (test, p, rank, p_adj, reject)."""
-    from .ranks import bucketed_cummax, bucketed_row_number
-
-    valid = df.select(
-        F.col(test_col), F.col(p_col).cast("double").alias("p")
-    ).filter(F.col("p").isNotNull())
-    m = valid.agg(F.count(F.lit(1)).alias("_m"))
-    ranked = bucketed_row_number(
-        valid,
-        "p",
-        [F.col("p").asc(), F.col(test_col).asc()],
-        "rank",
-    ).crossJoin(F.broadcast(m))
-    env = bucketed_cummax(
-        ranked.withColumn(
-            "_q", (F.col("_m") - F.col("rank") + F.lit(1)) * F.col("p")
-        ),
-        "rank",
-        {"_env": "_q"},
-        minimum=False,
-        descending=False,
-    )
-    adj = env.withColumn(
-        "p_adj", F.round(F.least(F.col("_env"), F.lit(1.0)), 6)
-    )
-    return adj.select(
-        test_col,
-        F.round("p", 6).alias("p"),
-        F.col("rank").cast("bigint").alias("rank"),
-        "p_adj",
-        (F.col("p_adj") <= alpha).alias("reject"),
-    )
+    rate. Shape and NULL-p semantics: :func:`_p_step_adjust`."""
+    return _p_step_adjust(df, p_col, test_col, alpha, "holm")
 
 
 def mann_kendall_trend(

@@ -1605,11 +1605,22 @@ def embedding_contamination(
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("id"), _cast_double(vec_col).alias("_cvec")
     ).withColumn("_cn", l2_norm("_cvec", dim))
-    scored = c.join(F.broadcast(b), F.col("id") != F.col("_bid")).withColumn(
+    # LEFT join: a corpus vector with no benchmark counterpart (empty
+    # benchmark, or its only candidate is itself) must still come back —
+    # with NULL max_cos and contaminated=false — or downstream
+    # "filter on the annotation" joins silently lose clean rows.
+    scored = c.join(
+        F.broadcast(b), F.col("id") != F.col("_bid"), "left"
+    ).withColumn(
         "_cos", dot("_cvec", "_bvec", dim) / (F.col("_cn") * F.col("_bn"))
     )
     return (
         scored.groupBy("id")
         .agg(F.round(F.max("_cos"), 6).alias("max_cos"))
-        .withColumn("contaminated", F.col("max_cos") >= F.lit(float(threshold)))
+        .withColumn(
+            "contaminated",
+            F.coalesce(
+                F.col("max_cos") >= F.lit(float(threshold)), F.lit(False)
+            ),
+        )
     )

@@ -701,8 +701,12 @@ def kaplan_meier(
 
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
+    # NULL durations hold no place on the time axis and are EXCLUDED from
+    # both the curve and every risk set (previously they were dropped from
+    # the rank domain but still counted into the total — inflating n_risk)
     per = (
-        df.select(d.alias("duration"), e.alias("_e"))
+        df.filter(d.isNotNull())
+        .select(d.alias("duration"), e.alias("_e"))
         .groupBy("duration")
         .agg(
             F.sum("_e").cast("long").alias("n_events"),
@@ -775,7 +779,8 @@ def logrank_test(
         "int"
     )
     per = (
-        df.select(d.alias("t"), e.alias("_e"), g.alias("_g"))
+        df.filter(d.isNotNull())
+        .select(d.alias("t"), e.alias("_e"), g.alias("_g"))
         .groupBy("t")
         .agg(
             F.sum(F.when(F.col("_g") == 1, F.col("_e"))).cast("long").alias("d1"),
@@ -1320,8 +1325,12 @@ def nelson_aalen(
 
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
+    # NULL durations hold no place on the time axis and are EXCLUDED from
+    # both the curve and every risk set (previously they were dropped from
+    # the rank domain but still counted into the total — inflating n_risk)
     per = (
-        df.select(d.alias("duration"), e.alias("_e"))
+        df.filter(d.isNotNull())
+        .select(d.alias("duration"), e.alias("_e"))
         .groupBy("duration")
         .agg(
             F.sum("_e").cast("long").alias("n_events"),
@@ -1392,7 +1401,8 @@ def kaplan_meier_grouped(
     d = F.col(duration_col).cast("long")
     e = F.col(event_col).cast("int")
     per = (
-        df.select(F.col(group_col).alias("grp"), d.alias("duration"), e.alias("_e"))
+        df.filter(d.isNotNull())
+        .select(F.col(group_col).alias("grp"), d.alias("duration"), e.alias("_e"))
         .groupBy("grp", "duration")
         .agg(
             F.sum("_e").cast("long").alias("n_events"),

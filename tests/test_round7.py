@@ -318,3 +318,53 @@ def test_kaplan_meier_grouped_matches_pooled_per_segment(spark):
             if r.grp == g
         }
         assert got == pooled, g
+
+
+def test_embedding_contamination_empty_benchmark_keeps_all_rows(spark):
+    """A corpus vector with no benchmark counterpart must still come back
+    (NULL max_cos, contaminated=false) — the annotate-then-filter contract."""
+    from pipes_spark.operators.similarity import embedding_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    empty = corpus.filter(F.col("vec_id") < 0)
+    got = embedding_contamination(corpus, empty, dim=2).collect()
+    assert {r.id for r in got} == {1, 2}
+    assert all(r.max_cos is None and r.contaminated is False for r in got)
+    # self-only benchmark: the lone candidate is excluded, row still emitted
+    self_only = embedding_contamination(
+        corpus.filter(F.col("vec_id") == 1),
+        corpus.filter(F.col("vec_id") == 1),
+        dim=2,
+    ).collect()
+    assert len(self_only) == 1 and self_only[0].max_cos is None
+    assert self_only[0].contaminated is False
+
+
+def test_survival_family_excludes_null_durations(spark):
+    """NULL durations are excluded from curve, risk sets, and totals —
+    identically in the pooled, grouped, and Nelson-Aalen forms."""
+    from pipes_spark.operators.timeseries import (
+        kaplan_meier,
+        kaplan_meier_grouped,
+        nelson_aalen,
+    )
+
+    clean = spark.createDataFrame(
+        [("a", 2, 1), ("a", 5, 0), ("a", 7, 1)],
+        "grp string, duration int, event int",
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [("a", None, 1), ("a", None, 0)], "grp string, duration int, event int"
+        )
+    )
+    for fn in (
+        lambda d: kaplan_meier(d, "duration", "event"),
+        lambda d: nelson_aalen(d, "duration", "event"),
+        lambda d: kaplan_meier_grouped(d, "duration", "event", "grp"),
+    ):
+        a = sorted(map(tuple, fn(clean).collect()))
+        b = sorted(map(tuple, fn(dirty).collect()))
+        assert a == b
