@@ -13812,3 +13812,96 @@ def ts_kaplan_meier_grouped(spark, sf_dir):
         ),
     )
     return kaplan_meier_grouped(dur, "duration", "event", "grp")
+
+
+@query(
+    "ts_rmst_grouped",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, min(event_type) AS grp, min(ts) AS f, max(ts) AS l
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS m FROM events),
+    dur AS (
+      SELECT grp,
+             CAST(floor((epoch_us(l) - epoch_us(f)) / 86400000000.0) AS BIGINT)
+               AS duration,
+             CASE WHEN l < m - INTERVAL 3 DAY THEN 1 ELSE 0 END AS e
+      FROM span CROSS JOIN mx
+    ), per AS (
+      SELECT grp, duration, CAST(sum(e) AS BIGINT) AS n_events,
+             CAST(count(*) - sum(e) AS BIGINT) AS n_censored
+      FROM dur GROUP BY grp, duration
+    ), risk AS (
+      SELECT grp, duration, n_events, n_censored,
+             CAST(sum(n_events + n_censored) OVER (PARTITION BY grp)
+                  - coalesce(sum(n_events + n_censored) OVER (
+                      PARTITION BY grp ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_risk
+      FROM per
+    ), km AS (
+      SELECT grp, duration,
+             round(CASE WHEN sum(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                             OVER w > 0
+                        THEN 0.0
+                        ELSE exp(CAST(sum(CAST(
+                          CASE WHEN n_events < n_risk
+                               THEN round(ln(1.0 - n_events
+                                             / CAST(n_risk AS DOUBLE)), 12)
+                               ELSE 0.0 END AS DECIMAL(38,12)))
+                          OVER w AS DOUBLE))
+                   END, 6) AS survival
+      FROM risk
+      WINDOW w AS (PARTITION BY grp ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), stepped AS (
+      SELECT grp,
+             CAST(coalesce(lag(survival) OVER w, 1.0)
+                  * (least(CAST(duration AS DOUBLE), 21.0)
+                     - least(CAST(coalesce(lag(duration) OVER w, 0) AS DOUBLE),
+                             21.0)) AS DECIMAL(28,6)) AS a
+      FROM km WINDOW w AS (PARTITION BY grp ORDER BY duration)
+    ), areas AS (
+      SELECT grp, sum(a) AS area FROM stepped GROUP BY grp
+    ), tails AS (
+      SELECT grp,
+             CAST(arg_max(survival, duration)
+                  * (21.0 - least(CAST(max(duration) AS DOUBLE), 21.0))
+                  AS DECIMAL(28,6)) AS t
+      FROM km GROUP BY grp
+    )
+    SELECT areas.grp, 21.0 AS tau,
+           round(CAST(area + t AS DOUBLE), 6) AS rmst
+    FROM areas JOIN tails ON areas.grp = tails.grp
+    """,
+)
+def ts_rmst_grouped(spark, sf_dir):
+    """Per-segment restricted mean survival time at τ=21 days
+    (operators.timeseries.rmst_grouped over kaplan_meier_grouped) — the
+    between-arm effect size the survival comparison reports when
+    proportional hazards fail: expected active days in the first three
+    weeks, one row per segment, windows partitioned by segment."""
+    from .operators.timeseries import kaplan_meier_grouped, rmst_grouped
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("_m"))
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("grp"),
+            F.min("ts").alias("_f"),
+            F.max("ts").alias("_l"),
+        )
+        .crossJoin(F.broadcast(mx))
+    )
+    dur = span.select(
+        "grp",
+        F.floor(
+            (F.unix_micros("_l") - F.unix_micros("_f")) / 86400000000.0
+        ).cast("long").alias("duration"),
+        (F.col("_l") < F.col("_m") - F.expr("INTERVAL 3 DAY")).cast("int").alias(
+            "event"
+        ),
+    )
+    kmg = kaplan_meier_grouped(dur, "duration", "event", "grp")
+    return rmst_grouped(kmg, tau=21.0, group_col="grp")

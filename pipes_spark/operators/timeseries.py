@@ -1455,3 +1455,59 @@ def kaplan_meier_grouped(
         "n_censored",
         F.round(surv, round_decimals).alias("survival"),
     )
+
+
+def rmst_grouped(
+    kmg: DataFrame,
+    tau: float,
+    group_col: str = "grp",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Restricted mean survival time PER SEGMENT — the between-arm
+    effect-size companion to :func:`kaplan_meier_grouped` (RMST
+    difference is the recommended reporting metric when proportional
+    hazards fail; Royston & Parmar 2013). Takes grouped-KM output; the
+    step integral is one ``lag`` window PARTITIONED BY segment (parallel
+    across segments, each carrying its own compressed duration domain)
+    plus the per-segment tail rectangle S(t_last)·(τ − min(t_last, τ)).
+    Survival values are 6-decimal-exact and durations integers, so the
+    DECIMAL term sum is engine-exact. Returns one row per segment:
+    ``(group, tau, rmst)``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("duration")
+    t = F.least(F.col("duration").cast("double"), F.lit(float(tau)))
+    t_prev = F.least(
+        F.coalesce(F.lag("duration").over(w), F.lit(0)).cast("double"),
+        F.lit(float(tau)),
+    )
+    s_prev = F.coalesce(F.lag("survival").over(w), F.lit(1.0))
+    stepped = kmg.select(
+        F.col(group_col),
+        (s_prev * (t - t_prev)).cast("decimal(28,6)").alias("_a"),
+        "duration",
+        "survival",
+    )
+    tails = kmg.groupBy(group_col).agg(
+        (
+            F.max_by("survival", "duration")
+            * (
+                F.lit(float(tau))
+                - F.least(F.max("duration").cast("double"), F.lit(float(tau)))
+            )
+        )
+        .cast("decimal(28,6)")
+        .alias("_tail")
+    )
+    return (
+        stepped.groupBy(group_col)
+        .agg(F.sum("_a").alias("_area"))
+        .join(tails, group_col)
+        .select(
+            group_col,
+            F.lit(float(tau)).alias("tau"),
+            F.round(
+                (F.col("_area") + F.col("_tail")).cast("double"), round_decimals
+            ).alias("rmst"),
+        )
+    )

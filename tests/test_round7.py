@@ -368,3 +368,27 @@ def test_survival_family_excludes_null_durations(spark):
         a = sorted(map(tuple, fn(clean).collect()))
         b = sorted(map(tuple, fn(dirty).collect()))
         assert a == b
+
+
+def test_rmst_grouped_matches_pooled_per_segment(spark):
+    """Each segment's RMST from the grouped form equals the pooled rmst
+    run on that segment's KM curve alone — including the tail rectangle
+    when a curve ends before tau."""
+    from pipes_spark.operators.timeseries import (
+        kaplan_meier,
+        kaplan_meier_grouped,
+        rmst,
+        rmst_grouped,
+    )
+
+    rows = []
+    for g, durs in (("a", [2, 2, 5, 7, 7, 9]), ("b", [1, 3, 3, 3, 8])):
+        for i, d in enumerate(durs):
+            rows.append((g, d, i % 2))
+    df = spark.createDataFrame(rows, "grp string, duration int, event int")
+    kmg = kaplan_meier_grouped(df, "duration", "event", "grp")
+    got = {r.grp: r.rmst for r in rmst_grouped(kmg, tau=20.0).collect()}
+    for g in ("a", "b"):
+        km = kaplan_meier(df.filter(F.col("grp") == g), "duration", "event")
+        pooled = rmst(km, tau=20.0).collect()[0].rmst
+        assert got[g] == pooled, g
