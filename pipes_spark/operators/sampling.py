@@ -248,20 +248,23 @@ def permutation_index(df: DataFrame, id_col: str, salt: str = "") -> DataFrame:
     idc = F.col(id_col)
     h = hash_bucket(id_col, salt + "|perm")
     b = F.floor(h / F.lit(1 << 20)).cast("bigint")  # 4096 buckets of 2^20
-    wb = Window.partitionBy("_b").orderBy(F.col("_h").asc(), idc.asc())
+    # `_rkb` is the repo-wide RESERVED name for bounded bucket-id columns
+    # that order an offset-stitch window (tools/window_lint.py exempts
+    # exactly this name; user data must never reuse it).
+    wb = Window.partitionBy("_rkb").orderBy(F.col("_h").asc(), idc.asc())
     ranked = (
         df.select(idc)
         .withColumn("_h", h)
-        .withColumn("_b", b)
+        .withColumn("_rkb", b)
         .withColumn("_rn", F.row_number().over(wb))
     )
-    counts = ranked.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    counts = ranked.groupBy("_rkb").agg(F.count(F.lit(1)).alias("_c"))
     woff = (
-        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        Window.orderBy("_rkb").rowsBetween(Window.unboundedPreceding, -1)
     )  # window over ≤4096 rows — trivially single-task safe
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_c").over(woff), F.lit(0)))
     return (
-        ranked.join(F.broadcast(offsets.select("_b", "_off")), "_b")
+        ranked.join(F.broadcast(offsets.select("_rkb", "_off")), "_rkb")
         .withColumn("_idx", F.col("_off") + F.col("_rn") - 1)
         .select(idc, "_idx")
     )

@@ -1609,10 +1609,17 @@ def embedding_contamination(
     # benchmark, or its only candidate is itself) must still come back —
     # with NULL max_cos and contaminated=false — or downstream
     # "filter on the annotation" joins silently lose clean rows.
+    # nullif guard: a zero-norm vector on either side would make the
+    # division 0/0 = NaN, and Spark orders NaN ABOVE all doubles — max_cos
+    # would go NaN and `NaN >= threshold` is true, flagging the row
+    # contaminated. NULL instead rides the same no-match path as the LEFT
+    # join (NULL max_cos, contaminated=false). (ADVICE r7.)
     scored = c.join(
         F.broadcast(b), F.col("id") != F.col("_bid"), "left"
     ).withColumn(
-        "_cos", dot("_cvec", "_bvec", dim) / (F.col("_cn") * F.col("_bn"))
+        "_cos",
+        dot("_cvec", "_bvec", dim)
+        / F.nullif(F.col("_cn") * F.col("_bn"), F.lit(0.0)),
     )
     return (
         scored.groupBy("id")

@@ -56,7 +56,11 @@ def grouped_zscore(
     has, and hash bucketing keeps them balanced under group-key skew."""
     _ship_package(df.sparkSession)
     if n_buckets <= 0:
-        n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        try:
+            n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            # AQE-managed deployments may hold a non-numeric value ("auto")
+            n_buckets = 32
     out_schema = f"{group_col} bigint, event_id bigint, {value_col} double, zscore double"
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -57,26 +57,37 @@ def test_coverage_totals_match_catalog():
     assert rows_only == len(names) - n_oracled
 
 
+# backticked COVERAGE names that share a catalog-family prefix but are
+# operator FUNCTIONS, not declared queries — the only legitimate
+# near-misses; anything new here is either a doc typo or needs a reason
+COVERAGE_NON_QUERY_NAMES = {
+    "approx_top_k",  # operators/profiling.py function (query: stats_approx_top_k)
+    "pack_greedy",  # operators/packing.py function (query: pack_sequences)
+    "sessionize_bucketed",  # operators/relational.py fn (query: sessionize_bucketed_stats)
+}
+
+
 def test_every_coverage_query_exists():
     names, _ = _catalog()
+    catalog_set = set(names)
     cov = open(os.path.join(ROOT, "COVERAGE.md")).read()
     mentioned = set(re.findall(r"`([a-z0-9_]+)`", cov))
-    missing = [
-        q for q in mentioned
-        if re.fullmatch(r"(q\d+|[a-z]+)_[a-z0-9_]+", q) and q in set()  # placeholder
-    ]
-    # queries referenced in COVERAGE that are not in the catalog:
-    known_non_queries = set()
-    catalog_set = set(names)
-    stale = []
-    for q in mentioned:
-        # heuristically: backticked snake_case names that exactly match a
-        # catalog query naming pattern and are claimed as declared queries
-        if q in catalog_set:
-            continue
-    # the strong direction: every catalog query is mentioned in COVERAGE
+    # strong direction: every catalog query is mentioned in COVERAGE
     unmentioned = [q for q in names if q not in mentioned]
     assert not unmentioned, f"catalog queries missing from COVERAGE.md: {unmentioned}"
+    # reverse direction (doc-typo catcher): a backticked name that starts
+    # with a catalog family prefix must be a real catalog query or a
+    # listed operator-function name
+    prefixes = {n.split("_")[0] for n in catalog_set}
+    stale = sorted(
+        q
+        for q in mentioned
+        if "_" in q
+        and q.split("_")[0] in prefixes
+        and q not in catalog_set
+        and q not in COVERAGE_NON_QUERY_NAMES
+    )
+    assert not stale, f"COVERAGE.md references unknown query-like names: {stale}"
 
 
 def test_graded_window_all_oracled_and_registered_first():

@@ -661,7 +661,7 @@ def test_incremental_cc_broadcasts_touched_components(spark, sf_dir):
 # shape that silently stops scaling: a Window that globally sorts its
 # input into a single task (tools/window_lint.py — Catalyst folds away
 # constant partition keys, so bounded stitch windows are recognized by
-# their `_rkb`/`_b#` bucket-id order). The residual allowance below is
+# their reserved `_rkb` bucket-id order). The residual allowance below is
 # the full documented list of bounded-domain windows; anything new must
 # either route through operators/ranks.py or be added here with a reason.
 WINDOW_LINT_ALLOWED = {

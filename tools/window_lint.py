@@ -23,15 +23,15 @@ from typing import List, Tuple
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-#: order-spec markers of provably-bounded stitch windows, matched against
-#: the ORDER group: the ranks.py offset stitches order by the `_rkb`
-#: bucket id (≤ n_buckets rows by construction); `_b` is the same
-#: pattern in sampling.permutation_index (≤4096 hash buckets) and
-#: profiling.bootstrap_ci (≤ n_boot replicate buckets). Attr refs print
-#: as `name#exprId`, so the regex anchors the FULL attribute name — a
-#: lookbehind rejects user columns merely ENDING in `_b` (`id_b#7`
-#: must not be exempted; a bare substring match would have been).
-BOUNDED_ORDER_RE = re.compile(r"(?<![A-Za-z0-9_])(?:_rkb|_b)#\d+")
+#: order-spec marker of provably-bounded stitch windows, matched against
+#: the ORDER group: `_rkb` is the repo-wide RESERVED bucket-id name —
+#: the ranks.py offset stitches and sampling.permutation_index both emit
+#: it, and by contract it orders only windows over ≤ n_buckets rows.
+#: (Round 8 retired the 1-letter `_b` exemption: too collision-prone as
+#: an exact name — ADVICE r7.) Attr refs print as `name#exprId`, so the
+#: regex anchors the FULL attribute name — a lookbehind rejects user
+#: columns merely ENDING in `_rkb`.
+BOUNDED_ORDER_RE = re.compile(r"(?<![A-Za-z0-9_])_rkb#\d+")
 
 
 def _top_level_groups(s: str) -> List[str]:
