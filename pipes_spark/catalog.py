@@ -3938,7 +3938,11 @@ _GRADED_WINDOW = [
     # to table_diff_orders, a never-driver-graded snapshot-diff family;
     # the displaced query re-registers right after the window and stays
     # locally oracle-gated)
-    "subquery_exists", "subquery_not_in",
+    # round-8 curation: subquery_not_in (hash-graded green since r04; the
+    # family stays carried by subquery_exists + subquery_scalar_corr)
+    # hands its slot to contamination_embedding — the broadcast map-side
+    # benchmark-decontamination family the driver has never hash-graded.
+    "subquery_exists", "contamination_embedding",
     "subquery_scalar_corr", "table_diff_orders",
     # join family (round-7 curation: join_range_bands — hash-graded green
     # in r04–r06 — hands its slot to join_interval_overlap, the
@@ -3949,14 +3953,23 @@ _GRADED_WINDOW = [
     # aggregation family (round-5 curation #3: agg_ordered_set — a family
     # already carried by agg_percentiles — hands its slot to
     # sketch_kmv_overlap below; it re-registers right after the window)
-    "agg_stats", "agg_count_distinct", "agg_percentiles",
+    # round-8 curation: agg_count_distinct (green since r04; distinctness
+    # still carried by agg_percentiles/sketch_kmv_overlap) hands its slot
+    # to stats_fdr_bh — the bucketed-rank Benjamini-Hochberg family whose
+    # r7 one-task-window rewrite the driver has never hash-graded.
+    "agg_stats", "stats_fdr_bh", "agg_percentiles",
     "grouping_sets_mix", "agg_incremental_merge",
-    # windows / ordering
-    "window_ranking", "window_analytic", "topk_per_group",
+    # windows / ordering (round-8 curation: window_analytic — green since
+    # r04, family carried by window_ranking + topk_per_group — hands its
+    # slot to text_bm25, the Okapi BM25 ranking family over the bucketed
+    # postings table, never driver-graded)
+    "window_ranking", "text_bm25", "topk_per_group",
     # set ops (the ALL variants carry the multiset subtlety)
     "set_intersect_all",
-    # MERGE / SCD2
-    "merge_upsert_orders", "scd2_customer_snapshot",
+    # MERGE / SCD2 (round-8 curation: scd2_customer_snapshot — green
+    # since r04 — hands its slot to scd2_point_in_time, the as-of version
+    # lookup over the same SCD2 table, never driver-graded)
+    "merge_upsert_orders", "scd2_point_in_time",
     # events / sessionization / time-series / attribution
     "events_hourly", "sessionize_stats", "events_attribution",
     # round-7 curation: ts_ewma and stats_mad_outliers (both hash-graded
