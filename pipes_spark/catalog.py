@@ -1622,6 +1622,9 @@ def streaming_python_source(spark, sf_dir):
         deadline = time.time() + 120
         while time.time() < deadline and spark.table(name).count() < 240:
             time.sleep(0.3)
+        from .streaming import record_executed_plan
+
+        record_executed_plan(q)
     finally:
         q.stop()
     return spark.table(name).groupBy((F.col("i") % 7).alias("m")).agg(

@@ -19,6 +19,36 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: final micro-batch EXECUTED plans of finite streaming runs, appended by
+#: ``record_executed_plan`` — the streaming window-lint hook: batch queries
+#: are screened for one-task data-sized Window sorts at construction time
+#: (tests/test_plans.py), but a streaming plan only exists per micro-batch,
+#: so the lint instead reads what actually executed. Bounded ring; tests
+#: clear it, run a streaming query, and lint what was captured.
+EXECUTED_MICROBATCH_PLANS: "list[tuple[str, str]]" = []
+
+
+def record_executed_plan(q) -> None:
+    """Record a finished StreamingQuery's last micro-batch executed plan
+    (the final IncrementalExecution of an availableNow drain). A query
+    that never ran a batch has no lastExecution — py4j surfaces that as
+    an exception and nothing is recorded; the lint test asserts a
+    non-empty capture per query so a silent capture regression shows."""
+    try:
+        # _jsq is a StreamingQueryWrapper (interface proxy); lastExecution
+        # lives on the underlying StreamExecution behind streamingQuery()
+        plan = q._jsq.streamingQuery().lastExecution().executedPlan().toString()
+    except Exception:
+        return
+    if plan:
+        EXECUTED_MICROBATCH_PLANS.append((q.name or str(q.id), plan))
+        del EXECUTED_MICROBATCH_PLANS[:-64]
+
+
+def _await_and_record(q) -> None:
+    q.awaitTermination()
+    record_executed_plan(q)
+
 
 def read_stream_parquet(
     spark: SparkSession,
@@ -158,7 +188,7 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q)
     spark = stream_df.sparkSession
     # memory-sink rows live in the driver heap behind this temp view; drop
     # it when the NEXT declared query begins (the result has been read by
@@ -423,7 +453,7 @@ def stream_upsert_latest(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q)
     if not spark.catalog.tableExists(qualified):  # empty stream → empty target
         return spark.createDataFrame([], stream_df.schema)
     return spark.table(qualified)
@@ -598,7 +628,7 @@ def stream_dedup_against_store(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q)
     if not admitted_parts:
         return spark.createDataFrame([], stream_df.schema)
     return reduce(DataFrame.unionByName, admitted_parts)
@@ -1048,7 +1078,7 @@ def streaming_count_min(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q)
     if not parts:
         return spark.createDataFrame([], "seed bigint, bucket bigint, cnt bigint")
     return count_min_merge(*parts)
@@ -1079,7 +1109,7 @@ def streaming_kmv_distinct(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    _await_and_record(q)
     if not parts:
         return spark.createDataFrame([], "h bigint")
     return kmv_merge(*parts, k=k)
@@ -1170,5 +1200,5 @@ def streaming_upsert_writer(
     else:
         writer = writer.trigger(availableNow=True)
     q = writer.start()
-    q.awaitTermination()
+    _await_and_record(q)
     return spark.table(table)

@@ -716,6 +716,66 @@ def test_no_unpartitioned_data_window_in_any_query(spark, sf_dir):
 
 
 def test_window_lint_allowance_is_tight():
-    """The allowance list must not rot: every entry names a live query."""
+    """The allowance lists must not rot: every entry names a live query."""
     unknown = sorted(set(WINDOW_LINT_ALLOWED) - set(QUERIES))
     assert not unknown, f"allowance names not in registry: {unknown}"
+    unknown_s = sorted(
+        (set(STREAMING_LINT_ALLOWED) | set(STREAMING_LINT_UNCAPTURED_ALLOWED))
+        - set(QUERIES)
+    )
+    assert not unknown_s, f"streaming allowance names not in registry: {unknown_s}"
+
+
+# streaming queries with a documented reason to have no capturable
+# micro-batch plan (none today — every finite runner records its final
+# IncrementalExecution via streaming.record_executed_plan)
+STREAMING_LINT_UNCAPTURED_ALLOWED: dict = {}
+
+# bounded-domain allowance for the streaming lint (exact counts, like
+# WINDOW_LINT_ALLOWED): windows whose input is provably tiny at any scale
+STREAMING_LINT_ALLOWED = {
+    # kmv_merge's final top-k rank runs over the UNION OF SKETCHES —
+    # ≤ 64 rows per micro-batch regardless of data volume (each batch's
+    # kmv_sketch caps itself bucket-parallel first)
+    "streaming_kmv_distinct": (1, "kmv_merge rank over ≤ 64·n_batches sketch rows"),
+}
+
+
+def test_no_unpartitioned_data_window_in_streaming_microbatch(spark, sf_dir):
+    """Streaming twin of the batch window lint: a streaming query has no
+    construction-time optimized plan (the plan exists per micro-batch), so
+    every finite runner records its final micro-batch EXECUTED plan
+    (streaming.EXECUTED_MICROBATCH_PLANS) and the lint screens that — plus
+    the returned batch DataFrame's optimized plan, which covers the
+    foreachBatch merge trees (upsert/count-min/KMV) the streaming engine
+    never sees. Closes the `streaming_*` skip of the batch lint above."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from pipes_spark import streaming as st
+    from tools.window_lint import unpartitioned_windows
+
+    offenders, uncaptured = {}, []
+    for name, spec in QUERIES.items():
+        if not name.startswith("streaming_"):
+            continue
+        st.EXECUTED_MICROBATCH_PLANS.clear()
+        df = spec.fn(spark, sf_dir)
+        plans = [p for _, p in st.EXECUTED_MICROBATCH_PLANS]
+        if not plans and name not in STREAMING_LINT_UNCAPTURED_ALLOWED:
+            uncaptured.append(name)
+        plans.append(
+            df._jdf.queryExecution().optimizedPlan().toString()
+        )
+        hits = [h for p in plans for h in unpartitioned_windows(p)]
+        allowed = STREAMING_LINT_ALLOWED.get(name, (0, ""))[0]
+        # exact match, not <=: a stale allowance must fail too
+        if len(hits) != allowed:
+            offenders[name] = [order[:80] for _, order in hits] or [
+                f"allowance says {allowed}, plan has none — remove the entry"
+            ]
+    assert not uncaptured, f"no micro-batch plan captured for: {uncaptured}"
+    assert not offenders, f"unpartitioned streaming windows: {offenders}"
