@@ -95,16 +95,18 @@ def test_fdr_bh_null_p_excluded_from_m(spark):
 
 
 def test_window_lint_markers_are_anchored():
-    """Bounded-stitch exemption matches the FULL attribute name: a user
-    column merely ending in `_b` (id_b) must still be flagged."""
+    """Bounded-stitch exemption matches the FULL attribute name and ONLY
+    the reserved `_rkb`: a user column merely ending in `_rkb` (id_rkb)
+    must still be flagged, and the collision-prone 1-letter `_b` marker
+    retired in round 8 (ADVICE r7) must no longer exempt anything."""
     from tools.window_lint import unpartitioned_windows
 
-    flagged = "Window [row_number() AS r#9], [id_b#123 ASC NULLS FIRST]"
+    flagged = "Window [row_number() AS r#9], [id_rkb#123 ASC NULLS FIRST]"
     assert len(unpartitioned_windows(flagged)) == 1
     exempt = "Window [sum(c#1) AS s#2], [_rkb#44 ASC NULLS FIRST]"
     assert unpartitioned_windows(exempt) == []
-    exempt2 = "Window [sum(c#1) AS s#2], [_b#7 ASC NULLS FIRST]"
-    assert unpartitioned_windows(exempt2) == []
+    retired = "Window [sum(c#1) AS s#2], [_b#7 ASC NULLS FIRST]"
+    assert len(unpartitioned_windows(retired)) == 1
 
 
 def test_zipf_fit_tie_parallel_rank_matches_lexicographic(spark):
