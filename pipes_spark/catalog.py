@@ -13684,14 +13684,17 @@ def text_phrase_indexed(spark, sf_dir):
     ), b AS (
       SELECT vec_id AS bid, e AS be FROM v WHERE vec_id % 97 = 0
     ), scored AS (
+      -- nullif + coalesce mirror the engine's zero-norm guard
+      -- (similarity.embedding_contamination): 0/0 -> NULL cosine, and a
+      -- NULL max_cos reads as contaminated=false like the no-match case
       SELECT c.vec_id AS id,
              list_dot_product(c.e, be) /
-               (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(be, be)))
+               nullif(sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(be, be)), 0)
                AS cos
       FROM v c JOIN b ON c.vec_id % 97 <> 0
     )
     SELECT id, round(max(cos), 6) AS max_cos,
-           round(max(cos), 6) >= 0.35 AS contaminated
+           coalesce(round(max(cos), 6) >= 0.35, false) AS contaminated
     FROM scored GROUP BY id
     """,
 )

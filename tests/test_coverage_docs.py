@@ -57,14 +57,31 @@ def test_coverage_totals_match_catalog():
     assert rows_only == len(names) - n_oracled
 
 
-# backticked COVERAGE names that share a catalog-family prefix but are
-# operator FUNCTIONS, not declared queries — the only legitimate
-# near-misses; anything new here is either a doc typo or needs a reason
+# backticked COVERAGE names the reverse check would flag but which are
+# operator FUNCTIONS, not declared queries; anything new here is either
+# a doc typo or needs a reason
 COVERAGE_NON_QUERY_NAMES = {
-    "approx_top_k",  # operators/profiling.py function (query: stats_approx_top_k)
-    "pack_greedy",  # operators/packing.py function (query: pack_sequences)
     "sessionize_bucketed",  # operators/relational.py fn (query: sessionize_bucketed_stats)
+    "top_k_per_group",  # operators/relational.py fn (query: topk_per_group)
 }
+
+
+def _edit_distance_le(a: str, b: str, k: int = 2) -> bool:
+    """Levenshtein(a, b) <= k, with cheap length/band early-outs."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            lo = min(lo, v)
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
 
 
 def test_every_coverage_query_exists():
@@ -75,17 +92,27 @@ def test_every_coverage_query_exists():
     # strong direction: every catalog query is mentioned in COVERAGE
     unmentioned = [q for q in names if q not in mentioned]
     assert not unmentioned, f"catalog queries missing from COVERAGE.md: {unmentioned}"
-    # reverse direction (doc-typo catcher): a backticked name that starts
-    # with a catalog family prefix must be a real catalog query or a
-    # listed operator-function name
-    prefixes = {n.split("_")[0] for n in catalog_set}
+
+    # reverse direction (doc-typo catcher): flag a backticked name only if
+    # it is genuinely query-LIKE — it shares a TWO-token prefix with a
+    # catalog query (`sessionize_bucketed*`) or is within edit distance 2
+    # of one (`text_bm52`). One-token family prefixes alone ('window_*',
+    # 'text_*') would flag legitimate tool/helper references.
+    def two_tok(n: str) -> str:
+        parts = n.split("_")
+        return "_".join(parts[:2]) if len(parts) >= 2 else n
+
+    catalog_prefixes = {two_tok(n) for n in catalog_set}
     stale = sorted(
         q
         for q in mentioned
         if "_" in q
-        and q.split("_")[0] in prefixes
         and q not in catalog_set
         and q not in COVERAGE_NON_QUERY_NAMES
+        and (
+            two_tok(q) in catalog_prefixes
+            or any(_edit_distance_le(q, n) for n in catalog_set)
+        )
     )
     assert not stale, f"COVERAGE.md references unknown query-like names: {stale}"
 

@@ -53,9 +53,16 @@ def main() -> None:
         n = fn()
         print(f"{name}: {time.perf_counter() - t0:.2f}s ({n} rows)", flush=True)
 
-    emb1 = load_table(spark, SF_DIR, "embeddings")
-    emb10 = replicate_embeddings(emb1, 10).localCheckpoint()
-    emb30 = replicate_embeddings(emb1, 30).localCheckpoint()
+    def selected(prefix: str) -> bool:
+        return not only or any(n.startswith(prefix) for n in only)
+
+    # materialize inputs only for selected probes — resident checkpoint
+    # blocks are exactly what OOM'd the first r8 run on the shared heap
+    emb10 = emb30 = None
+    if selected("knn_"):
+        emb1 = load_table(spark, SF_DIR, "embeddings")
+        emb10 = replicate_embeddings(emb1, 10).localCheckpoint()
+        emb30 = replicate_embeddings(emb1, 30).localCheckpoint()
 
     # knob effect at 10× (cheap): floor 0.3 (the COVERAGE baseline) vs 0.75
     run("knn_10x_floor03", lambda: knn_graph(emb10, k=3, floor=0.3).count())
@@ -75,8 +82,10 @@ def main() -> None:
             .filter(F.col("src") != F.col("dst"))
         )
 
-    e3x = synth_edges(1_350_000, 100_000).localCheckpoint()  # 3× the 10× probe's edges
-    e9x = synth_edges(4_050_000, 300_000).localCheckpoint()  # 9×
+    e3x = e9x = None
+    if selected("lpa_"):
+        e3x = synth_edges(1_350_000, 100_000).localCheckpoint()  # 3× the 10× edges
+        e9x = synth_edges(4_050_000, 300_000).localCheckpoint()  # 9×
     run("lpa_3xedges_r5", lambda: label_propagation(e3x, num_iter=5).count())
     run("lpa_9xedges_r5", lambda: label_propagation(e9x, num_iter=5).count())
     run("lpa_9xedges_r2", lambda: label_propagation(e9x, num_iter=2).count())
@@ -85,6 +94,8 @@ def main() -> None:
     # holding them while 32 tasks buffer the 18M-row lineitem replica OOMs
     # the shared 8g heap (first r8 probe run died exactly there)
     for df in (emb10, emb30, e3x, e9x):
+        if df is None:
+            continue
         try:
             df.unpersist(blocking=True)
         except Exception:
