@@ -13924,3 +13924,88 @@ def ts_rmst_grouped(spark, sf_dir):
     )
     kmg = kaplan_meier_grouped(dur, "duration", "event", "grp")
     return rmst_grouped(kmg, tau=21.0, group_col="grp")
+
+
+@query(
+    "text_kn_perplexity",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk
+    ), big AS (
+      SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM toks QUALIFY w1 IS NOT NULL
+    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+    bt AS (SELECT count(*) AS bt FROM c2),
+    scored AS (
+      SELECT doc_id,
+             round(ln(
+               (c2.c2 - 0.75) / CAST(ctx.c1 AS DOUBLE)
+               + (0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                 * (CAST(cont.n1b AS DOUBLE) / CAST(bt.bt AS DOUBLE))
+             ), 6) AS lp
+      FROM big JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+               JOIN cont USING (w2) CROSS JOIN bt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*)), 6) AS kn_perplexity
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_kn_perplexity(spark, sf_dir):
+    """Per-document interpolated Kneser-Ney bigram perplexity
+    (operators.text.kneser_ney_perplexity, d=0.75): the KenLM-style
+    quality-filter smoothing — backoff mass weighted by continuation
+    diversity, not raw frequency. Model counts are three aggregates over
+    the distinct-bigram table (the persisted ingest artifact at scale);
+    the bigram-type total stays in-plan as a broadcast cross join. ln
+    terms round-then-DECIMAL-sum for engine-exact scores."""
+    from .operators.text import kneser_ney_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_perplexity(d).orderBy("doc_id")
+
+
+@query(
+    "quality_domain_wilson",
+    oracle="""
+    WITH agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(n_chars >= 300 AS BIGINT)) AS BIGINT) AS n_pass
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_pass,
+           round(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS pass_rate,
+           round(
+             (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              + (1.959964 * 1.959964) / (2.0 * CAST(n_docs AS DOUBLE))
+              - 1.959964 * sqrt(
+                  ((CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   * (1.0 - CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                   + (1.959964 * 1.959964) / (4.0 * CAST(n_docs AS DOUBLE)))
+                  / CAST(n_docs AS DOUBLE)))
+             / (1.0 + (1.959964 * 1.959964) / CAST(n_docs AS DOUBLE)), 6
+           ) AS wilson_lb
+    FROM agg ORDER BY source
+    """,
+)
+def quality_domain_wilson(spark, sf_dir):
+    """Per-source quality pass rate ranked by its Wilson score lower
+    bound (operators.profiling.wilson_lower_bound, z=1.96): the
+    small-sample-honest "which domains do we keep" rollup — a 3/3 source
+    cannot outrank a 960/1000 one. One map-side-combined aggregate per
+    source; output is bounded by domain cardinality at any corpus size."""
+    from .operators.profiling import wilson_lower_bound
+
+    d = _t(spark, sf_dir, "documents")
+    return wilson_lower_bound(
+        d, F.col("n_chars") >= 300, ["source"]
+    ).orderBy("source")

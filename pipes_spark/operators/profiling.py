@@ -2195,3 +2195,45 @@ def cliffs_delta(
         F.round(d, 6).alias("cliffs_delta"),
         mag.alias("magnitude"),
     )
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    pass_col,
+    group_cols: Sequence[str],
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group binomial pass rate ranked by its Wilson score LOWER bound
+    (Wilson 1927) — the small-sample-honest way to rank domains/sources by
+    quality: a source with 3/3 passing docs must NOT outrank one with
+    960/1000, which the raw rate does and the Wilson lower bound does not.
+    The standard tool for "which domains do we keep" decisions over a
+    crawl, where per-domain counts span 1 to millions.
+
+        lb = (p̂ + z²/2n − z·√((p̂(1−p̂) + z²/4n)/n)) / (1 + z²/n)
+
+    Shape: ONE count/sum aggregate per group then pure scalar math — the
+    group cardinality (#domains) is the output bound, so the whole thing
+    is a map-side-combined shuffle regardless of corpus size. ``pass_col``
+    is any boolean Column; counts are exact BIGINTs and the float math is
+    a fixed expression tree, so results are engine-exact under round(6)."""
+    p = F.col("_pass").cast("double") / F.col("n_docs").cast("double")
+    n = F.col("n_docs").cast("double")
+    z2 = F.lit(float(z) * float(z))
+    lb = (
+        p
+        + z2 / (F.lit(2.0) * n)
+        - F.lit(float(z))
+        * F.sqrt((p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n)
+    ) / (F.lit(1.0) + z2 / n)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(pass_col.cast("bigint")).cast("bigint").alias("_pass"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_docs",
+        F.col("_pass").alias("n_pass"),
+        F.round(p, 6).alias("pass_rate"),
+        F.round(lb, 6).alias("wilson_lb"),
+    )

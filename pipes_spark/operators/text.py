@@ -1548,3 +1548,79 @@ def proximity_search(
             F.min(d).cast("bigint").alias("min_distance"),
         )
     )
+
+
+def kneser_ney_perplexity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under an interpolated Kneser-Ney-smoothed
+    bigram model trained on the corpus itself — the smoothing actually
+    used by the KenLM-style quality filters (CCNet lineage; Kneser &
+    Ney 1995, Chen & Goodman 1999), upgrading :func:`bigram_perplexity`'s
+    add-one baseline: the backoff mass of a context is weighted by each
+    word's CONTINUATION diversity (how many distinct contexts it follows),
+    not its raw frequency — "San Francisco" stops inflating P(Francisco)
+    in unseen contexts.
+
+        P_KN(w|v) = (c(v,w) − d)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/N1+(··)
+
+    Only observed bigrams are scored (the model is trained on the corpus
+    being scored, as in bigram_perplexity), so c(v,w) ≥ 1 > d and the
+    max(·,0) clamp is vacuous. Shape: the same one posexplode + per-doc
+    lag window for the bigram stream; model "training" is three count
+    aggregates over the distinct-bigram table (c(v), N1+(v·) ride ONE
+    groupBy — N1+(v·) is just the row count per v; N1+(·w) is one more;
+    N1+(··) is a 1-row aggregate kept in-plan as a broadcast cross join,
+    never collected). At 100 TB the count tables are the persisted
+    ingest artifact, like the MinHash signature table. Per-bigram ln
+    terms round to 6 then sum DECIMAL — engine- and order-exact.
+    Documents with fewer than 2 tokens emit no row."""
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+
+    d_ = float(discount)
+    if not 0.0 < d_ < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = scoped_persist(
+        toks.select(
+            F.col(id_col),
+            F.lag("w").over(w_doc).alias("w1"),
+            F.col("w").alias("w2"),
+        ).filter(F.col("w1").isNotNull())
+    )
+    c2 = scoped_persist(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")))
+    # one pass per direction: context totals + forward type counts share a
+    # groupBy; backward type counts and the bigram-type total are the rest
+    ctx = c2.groupBy("w1").agg(
+        F.sum("_c2").alias("_c1"), F.count(F.lit(1)).alias("_n1f")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("_n1b"))
+    btypes = c2.agg(F.count(F.lit(1)).alias("_bt"))
+    p = (
+        (F.col("_c2") - F.lit(d_)).cast("double") / F.col("_c1").cast("double")
+        + (F.lit(d_) * F.col("_n1f").cast("double") / F.col("_c1").cast("double"))
+        * (F.col("_n1b").cast("double") / F.col("_bt").cast("double"))
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(F.col(id_col), F.round(F.log(p), 6).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.exp(
+                -F.sum(F.col("_lp").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("kn_perplexity"),
+    )
