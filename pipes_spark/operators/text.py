@@ -905,24 +905,7 @@ def bigram_perplexity(
     aggregate. All counts are exact integers; per-bigram ln terms round
     to 6 then sum DECIMAL, so scores are engine- and order-exact.
     Documents with fewer than 2 tokens have no bigrams and emit no row."""
-    from pyspark.sql import Window
-
-    from ..caching import scoped_persist
-
-    # both streams feed multiple branches (toks -> bigrams + vocab size;
-    # bigrams -> counts + the scored join): persist for the query lifetime
-    # so the corpus tokenizes and windows once
-    toks = scoped_persist(
-        df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
-    )
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    big = scoped_persist(
-        toks.select(
-            F.col(id_col),
-            F.lag("w").over(w_doc).alias("w1"),
-            F.col("w").alias("w2"),
-        ).filter(F.col("w1").isNotNull())
-    )
+    toks, big = _bigram_stream(df, text_col, id_col, persist_tokens=True)
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2"))
     c1 = c2.groupBy("w1").agg(F.sum("_c2").alias("_c1"))
     v = toks.agg(F.count_distinct("w").alias("_v"))
@@ -939,18 +922,49 @@ def bigram_perplexity(
         .crossJoin(F.broadcast(v))
         .select(F.col(id_col), lp.alias("_lp"))
     )
-    return (
-        scored.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.round(
-                F.exp(
-                    -F.sum(F.col("_lp").cast("decimal(28,6)")).cast("double")
-                    / F.count(F.lit(1))
-                ),
-                6,
-            ).alias("perplexity"),
-        )
+    return _perplexity_agg(scored, id_col, "perplexity")
+
+
+def _bigram_stream(df, text_col: str, id_col: str, persist_tokens: bool = False):
+    """The posexplode + per-doc lag-window bigram stream shared by the
+    bigram-LM scorers. Returns (toks, big); ``big`` is scope-persisted —
+    it always feeds both the count aggregates and the scored join — and
+    ``toks`` only when the caller reads it again (vocab size). Routed
+    through ensure_min_partitions: regex tokenization + explode is the
+    CPU stage and the single-row-group testdata scans are one task."""
+    from pyspark.sql import Window
+
+    from ..caching import scoped_persist
+    from .scale import ensure_min_partitions
+
+    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    if persist_tokens:
+        toks = scoped_persist(toks)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    big = scoped_persist(
+        toks.select(
+            F.col(id_col),
+            F.lag("w").over(w_doc).alias("w1"),
+            F.col("w").alias("w2"),
+        ).filter(F.col("w1").isNotNull())
+    )
+    return toks, big
+
+
+def _perplexity_agg(scored, id_col: str, out_col: str) -> DataFrame:
+    """ppl = exp(−mean ln P) with the house round(6)-then-DECIMAL-sum
+    convention so scores are engine- and order-exact."""
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.exp(
+                -F.sum(F.col("_lp").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias(out_col),
     )
 
 
@@ -1578,22 +1592,13 @@ def kneser_ney_perplexity(
     ingest artifact, like the MinHash signature table. Per-bigram ln
     terms round to 6 then sum DECIMAL — engine- and order-exact.
     Documents with fewer than 2 tokens emit no row."""
-    from pyspark.sql import Window
-
     from ..caching import scoped_persist
 
     d_ = float(discount)
     if not 0.0 < d_ < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
-    w_doc = Window.partitionBy(id_col).orderBy("pos")
-    big = scoped_persist(
-        toks.select(
-            F.col(id_col),
-            F.lag("w").over(w_doc).alias("w1"),
-            F.col("w").alias("w2"),
-        ).filter(F.col("w1").isNotNull())
-    )
+
+    _, big = _bigram_stream(df, text_col, id_col)
     c2 = scoped_persist(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")))
     # one pass per direction: context totals + forward type counts share a
     # groupBy; backward type counts and the bigram-type total are the rest
@@ -1607,20 +1612,16 @@ def kneser_ney_perplexity(
         + (F.lit(d_) * F.col("_n1f").cast("double") / F.col("_c1").cast("double"))
         * (F.col("_n1b").cast("double") / F.col("_bt").cast("double"))
     )
-    scored = (
-        big.join(c2, ["w1", "w2"])
-        .join(ctx, "w1")
+    # all model math runs at DISTINCT-bigram granularity (vocab-sized
+    # tables joining each other), and the occurrence stream then joins
+    # ONCE against the per-bigram lp table — not three times against the
+    # vocab aggregates, which would re-shuffle the full corpus by w1 and
+    # again by w2
+    lp_table = (
+        c2.join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(btypes))
-        .select(F.col(id_col), F.round(F.log(p), 6).alias("_lp"))
+        .select("w1", "w2", F.round(F.log(p), 6).alias("_lp"))
     )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-        F.round(
-            F.exp(
-                -F.sum(F.col("_lp").cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1))
-            ),
-            6,
-        ).alias("kn_perplexity"),
-    )
+    scored = big.join(lp_table, ["w1", "w2"]).select(F.col(id_col), "_lp")
+    return _perplexity_agg(scored, id_col, "kn_perplexity")

@@ -29,6 +29,8 @@ def _kn_reference(docs, d=0.75):
         n1b[w] += 1
     bt = len(c2)
     out = {}
+    from decimal import Decimal
+
     for doc_id, bg in bigrams.items():
         if not bg:
             continue
@@ -41,7 +43,11 @@ def _kn_reference(docs, d=0.75):
             )
             for v, w in bg
         ]
-        out[doc_id] = (len(bg), round(math.exp(-sum(lps) / len(lps)), 6))
+        # DECIMAL sum, mirroring the operator's round-then-DECIMAL-sum
+        # convention — a float sum() differs in the last ulp and would
+        # make the equality assertion knife-edged on rounding boundaries
+        s = float(sum(Decimal(f"{lp:.6f}") for lp in lps))
+        out[doc_id] = (len(bg), round(math.exp(-s / len(lps)), 6))
     return out
 
 
