@@ -1583,15 +1583,17 @@ def kneser_ney_perplexity(
 
     Only observed bigrams are scored (the model is trained on the corpus
     being scored, as in bigram_perplexity), so c(v,w) ≥ 1 > d and the
-    max(·,0) clamp is vacuous. Shape: the same one posexplode + per-doc
-    lag window for the bigram stream; model "training" is three count
-    aggregates over the distinct-bigram table (c(v), N1+(v·) ride ONE
-    groupBy — N1+(v·) is just the row count per v; N1+(·w) is one more;
-    N1+(··) is a 1-row aggregate kept in-plan as a broadcast cross join,
-    never collected). At 100 TB the count tables are the persisted
-    ingest artifact, like the MinHash signature table. Per-bigram ln
-    terms round to 6 then sum DECIMAL — engine- and order-exact.
-    Documents with fewer than 2 tokens emit no row."""
+    max(·,0) clamp is vacuous. Shape: the shared _bigram_stream
+    (posexplode + per-doc lag window, min-partition routed); model
+    "training" is three count aggregates over the distinct-bigram table
+    (c(v), N1+(v·) ride ONE groupBy — N1+(v·) is just the row count per
+    v; N1+(·w) is one more; N1+(··) is a 1-row aggregate kept in-plan as
+    a broadcast cross join, never collected), and ALL model math runs at
+    distinct-bigram granularity — the occurrence stream joins exactly
+    once, against the per-bigram lp table. At 100 TB the count tables
+    are the persisted ingest artifact, like the MinHash signature table.
+    Per-bigram ln terms round to 6 then sum DECIMAL — engine- and
+    order-exact. Documents with fewer than 2 tokens emit no row."""
     from ..caching import scoped_persist
 
     d_ = float(discount)
