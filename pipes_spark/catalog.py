@@ -3976,8 +3976,12 @@ _GRADED_WINDOW = [
     # since r04 — hands its slot to scd2_point_in_time, the as-of version
     # lookup over the same SCD2 table, never driver-graded)
     "merge_upsert_orders", "scd2_point_in_time",
-    # events / sessionization / time-series / attribution
-    "events_hourly", "sessionize_stats", "events_attribution",
+    # events / sessionization / time-series (round-8 curation #3:
+    # events_attribution — green since r04, family carried by
+    # events_hourly + sessionize_stats — hands its slot to
+    # quality_domain_wilson, the never-graded Wilson-lower-bound domain
+    # rollup; per CLAUDE.md new high-value oracled queries take a slot)
+    "events_hourly", "sessionize_stats", "quality_domain_wilson",
     # round-7 curation: ts_ewma and stats_mad_outliers (both hash-graded
     # green since r04) hand their slots to ts_kaplan_meier — proving this
     # round's bucket-parallel cumulative-product rewrite under the driver's

@@ -56,13 +56,23 @@ def main() -> None:
     def selected(prefix: str) -> bool:
         return not only or any(n.startswith(prefix) for n in only)
 
-    # materialize inputs only for selected probes — resident checkpoint
-    # blocks are exactly what OOM'd the first r8 run on the shared heap
+    def materialize(df):
+        """persist + count, NOT localCheckpoint: checkpoint blocks live in
+        the BlockManager with no CacheManager entry, so unpersist() on
+        them is a silent no-op and the 'release' below would be illusory
+        (round-8 review finding). persist() both materializes the input
+        outside the measured region and stays releasable."""
+        df = df.persist()
+        df.count()
+        return df
+
+    # materialize inputs only for selected probes — resident input blocks
+    # are exactly what OOM'd the first r8 run on the shared heap
     emb10 = emb30 = None
     if selected("knn_"):
         emb1 = load_table(spark, SF_DIR, "embeddings")
-        emb10 = replicate_embeddings(emb1, 10).localCheckpoint()
-        emb30 = replicate_embeddings(emb1, 30).localCheckpoint()
+        emb10 = materialize(replicate_embeddings(emb1, 10))
+        emb30 = materialize(replicate_embeddings(emb1, 30))
 
     # knob effect at 10× (cheap): floor 0.3 (the COVERAGE baseline) vs 0.75
     run("knn_10x_floor03", lambda: knn_graph(emb10, k=3, floor=0.3).count())
@@ -84,8 +94,8 @@ def main() -> None:
 
     e3x = e9x = None
     if selected("lpa_"):
-        e3x = synth_edges(1_350_000, 100_000).localCheckpoint()  # 3× the 10× edges
-        e9x = synth_edges(4_050_000, 300_000).localCheckpoint()  # 9×
+        e3x = materialize(synth_edges(1_350_000, 100_000))  # 3× the 10× edges
+        e9x = materialize(synth_edges(4_050_000, 300_000))  # 9×
     run("lpa_3xedges_r5", lambda: label_propagation(e3x, num_iter=5).count())
     run("lpa_9xedges_r5", lambda: label_propagation(e9x, num_iter=5).count())
     run("lpa_9xedges_r2", lambda: label_propagation(e9x, num_iter=2).count())
