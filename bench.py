@@ -176,7 +176,10 @@ def main() -> None:
     for i in range(n_warm):
         if i >= 2 and pass_totals:
             elapsed = time.perf_counter() - script_t0
-            if elapsed + max(pass_totals) > budget_s:
+            # 1.5× the worst observed pass: steal spikes can exceed any
+            # pass seen so far (CLAUDE.md documents ~2.2× swings), and a
+            # flat margin only covers history, not a worst-yet pass
+            if elapsed + 1.5 * max(pass_totals) > budget_s:
                 break
         spark.catalog.clearCache()
         pass_t0 = time.perf_counter()

@@ -2216,7 +2216,14 @@ def wilson_lower_bound(
     group cardinality (#domains) is the output bound, so the whole thing
     is a map-side-combined shuffle regardless of corpus size. ``pass_col``
     is any boolean Column; counts are exact BIGINTs and the float math is
-    a fixed expression tree, so results are engine-exact under round(6)."""
+    a fixed expression tree, so results are engine-exact under round(6).
+
+    NULL pass flags propagate: a group whose ``pass_col`` is entirely NULL
+    gets NULL ``n_pass``/``pass_rate``/``wilson_lb`` (SQL sum-of-NULLs
+    semantics, matching the DuckDB oracle). Callers ranking by the bound
+    should either treat NULL as fail upstream
+    (``coalesce(pass_col, false)``) or expect NULL bounds to sort with
+    their engine's NULL ordering."""
     p = F.col("_pass").cast("double") / F.col("n_docs").cast("double")
     n = F.col("n_docs").cast("double")
     z2 = F.lit(float(z) * float(z))

@@ -100,7 +100,8 @@ def main() -> None:
     run("lpa_9xedges_r5", lambda: label_propagation(e9x, num_iter=5).count())
     run("lpa_9xedges_r2", lambda: label_propagation(e9x, num_iter=2).count())
 
-    # free the embedding/edge checkpoint blocks before the graph section —
+    # free the persisted embedding/edge input blocks before the graph
+    # section —
     # holding them while 32 tasks buffer the 18M-row lineitem replica OOMs
     # the shared 8g heap (first r8 probe run died exactly there)
     for df in (emb10, emb30, e3x, e9x):
