@@ -14016,3 +14016,45 @@ def quality_domain_wilson(spark, sf_dir):
     return wilson_lower_bound(
         d, F.col("n_chars") >= 300, ["source"]
     ).orderBy("source")
+
+
+@query(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_avro_roundtrip(spark, sf_dir):
+    """Avro container-file SOURCE, end to end: the customer table is
+    written once per sf as a deflate Avro file by the engine's own
+    pure-Python writer (warehouse.avro_customer_fixture — driver-side,
+    no Spark job, idempotent ingest artifact) and read back through the
+    split-parallel Python-DataSource reader (sources.avro.read_avro:
+    block-aligned byte-range splits, per the public Avro 1.11 spec — no
+    spark-avro jar in this environment, so the format is implemented
+    from the spec; at real scale the jar-based format("avro") reader is
+    the drop-in swap). The oracle aggregates the SAME rows straight from
+    the parquet table, so the hash gate proves the full encode→decode
+    round trip value-exact. Sums ride DECIMAL (exact, order-free), cast
+    to DOUBLE once (ml_auc_roc pattern)."""
+    from .sources.avro import read_avro
+    from .warehouse import avro_customer_fixture
+
+    path = avro_customer_fixture(spark, sf_dir)
+    # 64 KiB split target: exercises the multi-split read path even on
+    # the small fixtures (scale-default is 32 MiB)
+    df = read_avro(spark, path, split_target_bytes=1 << 16)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

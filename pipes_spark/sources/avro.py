@@ -1,0 +1,912 @@
+"""Pure-Python Apache Avro container-file source/sink via the Spark 4
+Python DataSource API (SURVEY.md §2.C scans/sources row — the one
+previously env-blocked format: no spark-avro jar ships in this
+environment, re-probed every round).
+
+Everything here implements the PUBLIC Apache Avro 1.11 specification
+(container file layout, binary encoding, schema resolution) from
+scratch; there is no Avro library in the environment to wrap.
+
+Scale shape
+-----------
+* **Split-parallel reads.** An Avro container file is a header followed
+  by independent compressed blocks, each delimited by the file's 16-byte
+  sync marker — the format is designed for exactly this. ``read_avro``
+  carves every file into byte ranges (``split_target_bytes``) and each
+  Spark input partition decodes ONLY the blocks whose first byte falls
+  inside its range; skipped blocks cost two varints and a seek (their
+  payload is never read, let alone decompressed). A 10 GB file at the
+  default 32 MB target is ~320 parallel decode tasks.
+* **Partition-parallel writes.** ``write_avro`` is a
+  ``DataSourceWriter``: every partition streams its rows into its own
+  container file under the target directory — nothing funnels through
+  the driver, standard task-retry write contract.
+* **The honest caveat.** Decode/encode is Python per value — the slow
+  path by this repo's own rules. That is the deliberate trade for having
+  the format AT ALL without the spark-avro jar; the wrapper keeps the
+  jar-based reader as the drop-in swap at real scale (same DataFrame
+  surface: ``spark.read.format("avro")``), and the split math above
+  means the Python path still scales OUT even though per-core decode is
+  slower than the JVM's.
+
+Supported schema surface: all eight primitives, record / enum / array /
+map / fixed / union, named-type references, and the common logical
+types (date, timestamp-millis/micros, decimal on bytes/fixed, uuid).
+Codecs: ``null`` and ``deflate`` (the two the spec requires; snappy is
+gated behind an import-try). Schema resolution (reader schema ≠ writer
+schema) follows the spec's matching rules: fields by name, reader
+defaults for missing fields, the standard numeric/string promotions,
+and union branch resolution.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid as _uuid
+import zlib
+from decimal import Decimal
+from typing import Callable, Iterator, Optional, Sequence
+
+MAGIC = b"Obj\x01"
+SYNC_SIZE = 16
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------------------------------------------------------------------
+# binary decoder
+# ---------------------------------------------------------------------------
+
+
+class _Bin:
+    """Cursor over a decompressed block's bytes."""
+
+    __slots__ = ("b", "pos")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+
+    def read(self, n: int) -> bytes:
+        p = self.pos
+        self.pos = p + n
+        if self.pos > len(self.b):
+            raise EOFError("truncated avro data")
+        return self.b[p : self.pos]
+
+    def long(self) -> int:
+        # zigzag varint (spec: "binary encoding / primitive types")
+        b = self.b
+        p = self.pos
+        acc = 0
+        shift = 0
+        while True:
+            byte = b[p]
+            p += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        self.pos = p
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def _parse(schema, names: dict):
+    """Normalize a schema fragment: resolve named-type references and
+    register new named types so later references (and resolution by
+    full name) find them."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"unknown avro type reference: {schema!r}")
+    if isinstance(schema, list):
+        return [_parse(s, names) for s in schema]
+    t = schema.get("type")
+    if t in ("record", "enum", "fixed"):
+        ns = schema.get("namespace")
+        full = schema["name"] if "." in schema["name"] or not ns else f"{ns}.{schema['name']}"
+        if full in names:
+            return names[full]
+        names[full] = schema
+        names.setdefault(schema["name"], schema)
+        if t == "record":
+            for f in schema["fields"]:
+                f["type"] = _parse(f["type"], names)
+        return schema
+    if t == "array":
+        schema["items"] = _parse(schema["items"], names)
+    elif t == "map":
+        schema["values"] = _parse(schema["values"], names)
+    elif isinstance(t, (dict, list)):
+        # {"type": <complex>} wrapper
+        return _parse(t, names)
+    return schema
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"] if isinstance(schema["type"], str) else _type_name(schema["type"])
+
+
+def _logical(schema) -> Optional[str]:
+    return schema.get("logicalType") if isinstance(schema, dict) else None
+
+
+_EPOCH_DATE_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+
+
+def _wrap_logical(schema, fn: Callable) -> Callable:
+    """Post-decode conversion for logical types (spec: 'Logical Types')."""
+    lt = _logical(schema)
+    if lt is None:
+        return fn
+    if lt == "date":
+        from datetime import date
+
+        return lambda r: date.fromordinal(_EPOCH_DATE_ORD + fn(r))
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        from datetime import datetime, timedelta
+
+        mult = 1 if lt == "timestamp-micros" else 1000
+        epoch = datetime(1970, 1, 1)
+        # naive UTC wall-clock: the engine pins the session zone to UTC
+        # (sources.read_parquet rationale), so values are epoch-exact
+        return lambda r: epoch + timedelta(microseconds=fn(r) * mult)
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+        q = Decimal(1).scaleb(-scale)
+
+        def _dec(r):
+            raw = fn(r)
+            return Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(-scale).quantize(q)
+
+        return _dec
+    return fn  # uuid and unknown logical types ride the base type
+
+
+def _promote(writer: str, reader: str) -> Optional[Callable]:
+    """Spec 'Schema Resolution' promotions; returns a value converter."""
+    ok = {
+        ("int", "long"): int,
+        ("int", "float"): float,
+        ("int", "double"): float,
+        ("long", "float"): float,
+        ("long", "double"): float,
+        ("float", "double"): float,
+        ("string", "bytes"): lambda v: v.encode("utf-8"),
+        ("bytes", "string"): lambda v: v.decode("utf-8"),
+    }
+    return ok.get((writer, reader))
+
+
+def _default_value(schema, default):
+    """JSON default → runtime value (spec: field defaults)."""
+    t = _type_name(schema)
+    if isinstance(schema, list):
+        return _default_value(schema[0], default)  # default matches first branch
+    if t == "bytes" or t == "fixed":
+        return default.encode("latin-1") if isinstance(default, str) else default
+    if t in ("int", "long") and isinstance(default, (int, float)):
+        return int(default)
+    if t in ("float", "double") and isinstance(default, (int, float)):
+        return float(default)
+    if t == "array" and default == []:
+        return []
+    if t == "map" and default == {}:
+        return {}
+    return default
+
+
+def _make_decoder(writer, reader, names_w: dict, names_r: dict) -> Callable:
+    """Compile a decode closure for (writer schema, reader schema) — the
+    fastavro-style factory: resolution decided ONCE per schema pair, not
+    per value."""
+    wt, rt = _type_name(writer), _type_name(reader)
+
+    # union handling first (spec: resolution recurses through unions)
+    if wt == "union":
+        branches = [
+            _make_decoder(b, _resolve_reader_branch(b, reader, names_r), names_w, names_r)
+            for b in writer
+        ]
+
+        def _union(r):
+            return branches[r.long()](r)
+
+        return _union
+    if rt == "union":
+        # writer non-union vs reader union: first matching branch
+        return _make_decoder(writer, _resolve_reader_branch(writer, reader, names_r), names_w, names_r)
+
+    if wt == rt and wt in _PRIMITIVES:
+        base = _PRIM_DECODERS[wt]
+        return _wrap_logical(reader if isinstance(reader, dict) else writer, base)
+
+    conv = _promote(wt, rt)
+    if conv is not None:
+        base = _PRIM_DECODERS[wt]
+        return lambda r: conv(base(r))
+
+    if wt != rt:
+        raise ValueError(f"cannot resolve writer type {wt!r} against reader type {rt!r}")
+
+    if wt == "record":
+        return _record_decoder(writer, reader, names_w, names_r)
+    if wt == "enum":
+        symbols = writer["symbols"]
+        rsym = set(reader["symbols"])
+        missing = [s for s in symbols if s not in rsym]
+        if missing:
+            raise ValueError(f"enum symbols {missing} absent from reader schema")
+        return lambda r: symbols[r.long()]
+    if wt == "array":
+        item = _make_decoder(writer["items"], reader["items"], names_w, names_r)
+
+        def _array(r):
+            out = []
+            n = r.long()
+            while n != 0:
+                if n < 0:
+                    n = -n
+                    r.long()  # block byte size (fast-skip aid; unused)
+                for _ in range(n):
+                    out.append(item(r))
+                n = r.long()
+            return out
+
+        return _array
+    if wt == "map":
+        val = _make_decoder(writer["values"], reader["values"], names_w, names_r)
+
+        def _map(r):
+            out = {}
+            n = r.long()
+            while n != 0:
+                if n < 0:
+                    n = -n
+                    r.long()
+                for _ in range(n):
+                    k = r.read(r.long()).decode("utf-8")
+                    out[k] = val(r)
+                n = r.long()
+            return out
+
+        return _map
+    if wt == "fixed":
+        size = writer["size"]
+        return _wrap_logical(reader, lambda r: r.read(size))
+    raise ValueError(f"unsupported avro type: {wt!r}")
+
+
+def _resolve_reader_branch(writer, reader_union, names_r):
+    """Pick the reader-union branch the writer schema resolves to."""
+    if not isinstance(reader_union, list):
+        return reader_union
+    wt = _type_name(writer)
+    for b in reader_union:
+        if _type_name(b) == wt:
+            return b
+    for b in reader_union:  # promotion fallback
+        if _promote(wt, _type_name(b)):
+            return b
+    raise ValueError(f"writer type {wt!r} matches no reader union branch")
+
+
+def _record_decoder(writer, reader, names_w, names_r):
+    """Field-by-name resolution: writer-only fields decode-and-discard,
+    reader-only fields take their declared default."""
+    rfields = reader["fields"]
+    rindex = {f["name"]: i for i, f in enumerate(rfields)}
+    n_out = len(rfields)
+    steps = []  # (out_slot | None, decode_fn)
+    seen = set()
+    for wf in writer["fields"]:
+        slot = rindex.get(wf["name"])
+        if slot is None:
+            steps.append((None, _make_decoder(wf["type"], wf["type"], names_w, names_w)))
+        else:
+            seen.add(wf["name"])
+            steps.append((slot, _make_decoder(wf["type"], rfields[slot]["type"], names_w, names_r)))
+    defaults = {}
+    for f in rfields:
+        if f["name"] not in seen:
+            if "default" not in f:
+                raise ValueError(
+                    f"reader field {f['name']!r} missing from writer schema and has no default"
+                )
+            defaults[rindex[f["name"]]] = _default_value(f["type"], f["default"])
+
+    def _rec(r):
+        out = [None] * n_out
+        for slot, fn in steps:
+            v = fn(r)
+            if slot is not None:
+                out[slot] = v
+        for slot, dv in defaults.items():
+            out[slot] = dv
+        return tuple(out)
+
+    return _rec
+
+
+_PRIM_DECODERS = {
+    "null": lambda r: None,
+    "boolean": lambda r: r.read(1) == b"\x01",
+    "int": _Bin.long,
+    "long": _Bin.long,
+    "float": lambda r: struct.unpack("<f", r.read(4))[0],
+    "double": lambda r: struct.unpack("<d", r.read(8))[0],
+    "bytes": lambda r: bytes(r.read(r.long())),
+    "string": lambda r: r.read(r.long()).decode("utf-8"),
+}
+
+
+# ---------------------------------------------------------------------------
+# avro schema → Spark schema
+# ---------------------------------------------------------------------------
+
+
+def _spark_type(schema):
+    from pyspark.sql import types as T
+
+    lt = _logical(schema)
+    t = _type_name(schema)
+    if isinstance(schema, list):
+        nonnull = [b for b in schema if _type_name(b) != "null"]
+        if len(nonnull) != 1:
+            raise ValueError(
+                "unions other than [null, T] have no first-class Spark type; "
+                f"got {len(nonnull)} non-null branches"
+            )
+        return _spark_type(nonnull[0])
+    if lt == "date":
+        return T.DateType()
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        return T.TimestampType()
+    if lt == "decimal":
+        return T.DecimalType(schema.get("precision", 38), schema.get("scale", 0))
+    prim = {
+        "null": T.NullType(),
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "bytes": T.BinaryType(),
+        "string": T.StringType(),
+        "enum": T.StringType(),
+        "fixed": T.BinaryType(),
+    }
+    if t in prim:
+        return prim[t]
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(f["name"], _spark_type(f["type"]), _nullable(f["type"]))
+                for f in schema["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(_spark_type(schema["items"]), _nullable(schema["items"]))
+    if t == "map":
+        return T.MapType(
+            T.StringType(), _spark_type(schema["values"]), _nullable(schema["values"])
+        )
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def _nullable(schema) -> bool:
+    return isinstance(schema, list) and any(_type_name(b) == "null" for b in schema)
+
+
+def spark_schema_for(avro_schema):
+    """Public: the Spark StructType a given Avro schema reads as (top
+    level must be a record, per the container-file convention)."""
+    names: dict = {}
+    parsed = _parse(json.loads(avro_schema) if isinstance(avro_schema, str) else avro_schema, names)
+    if _type_name(parsed) != "record":
+        raise ValueError("top-level avro schema must be a record")
+    return _spark_type(parsed)
+
+
+# ---------------------------------------------------------------------------
+# container file: header / blocks
+# ---------------------------------------------------------------------------
+
+
+def _read_header(f) -> tuple:
+    """Returns (meta dict, sync bytes, first-block offset)."""
+    if f.read(4) != MAGIC:
+        raise ValueError("not an avro container file (bad magic)")
+    # the header's metadata map uses the standard map encoding; read it
+    # incrementally (we don't know its byte length up front)
+    buf = f.read(1 << 16)
+    r = _Bin(buf)
+    while True:
+        try:
+            meta = {}
+            n = r.long()
+            while n != 0:
+                if n < 0:
+                    n = -n
+                    r.long()
+                for _ in range(n):
+                    k = r.read(r.long()).decode("utf-8")
+                    meta[k] = bytes(r.read(r.long()))
+                n = r.long()
+            sync = bytes(r.read(SYNC_SIZE))
+            return meta, sync, 4 + r.pos
+        except (EOFError, IndexError):
+            more = f.read(1 << 16)
+            if not more:
+                raise ValueError("truncated avro header")
+            buf += more
+            r = _Bin(buf)
+
+
+def read_file_metadata(path: str) -> dict:
+    """Driver-side peek at a container file's metadata (schema, codec)
+    without touching any data block."""
+    with open(path, "rb") as f:
+        meta, sync, first = _read_header(f)
+    return {
+        "schema": json.loads(meta["avro.schema"].decode("utf-8")),
+        "codec": meta.get("avro.codec", b"null").decode("utf-8"),
+        "sync": sync,
+        "first_block_offset": first,
+        "size": os.path.getsize(path),
+    }
+
+
+def _decompress(codec: str, data: bytes) -> bytes:
+    if codec == "null":
+        return data
+    if codec == "deflate":
+        return zlib.decompress(data, -15)  # raw DEFLATE, no zlib header (spec)
+    if codec == "snappy":
+        try:
+            import snappy  # type: ignore
+        except ImportError as e:  # pragma: no cover - env gate
+            raise NotImplementedError("snappy codec needs the python-snappy package") from e
+        return snappy.decompress(data[:-4])  # trailing 4-byte CRC32
+    raise ValueError(f"unsupported avro codec: {codec!r}")
+
+
+def _iter_range_rows(path: str, lo: int, hi: int, reader_schema=None) -> Iterator[tuple]:
+    """Decode the blocks whose FIRST byte offset falls in [lo, hi).
+
+    Blocks outside the range are skipped by their declared byte size —
+    two varints and a seek each, no payload read. This is the split
+    contract that makes one big container file N parallel tasks."""
+    with open(path, "rb") as f:
+        meta, sync, first = _read_header(f)
+        writer_names: dict = {}
+        writer = _parse(json.loads(meta["avro.schema"].decode("utf-8")), writer_names)
+        if reader_schema is None:
+            reader, reader_names = writer, writer_names
+        else:
+            reader_names = {}
+            reader = _parse(
+                json.loads(reader_schema) if isinstance(reader_schema, str) else reader_schema,
+                reader_names,
+            )
+        decode = _make_decoder(writer, reader, writer_names, reader_names)
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        size = os.path.getsize(path)
+        pos = first
+        f.seek(pos)
+        while pos < size and pos < hi:
+            head = f.read(20)  # two varints: row count, byte size
+            if not head:
+                break
+            r = _Bin(head)
+            n_rows = r.long()
+            n_bytes = r.long()
+            data_at = pos + r.pos
+            block_end = data_at + n_bytes + SYNC_SIZE
+            if pos >= lo:
+                f.seek(data_at)
+                block = _Bin(_decompress(codec, f.read(n_bytes)))
+                for _ in range(n_rows):
+                    yield decode(block)
+                if f.read(SYNC_SIZE) != sync:
+                    raise ValueError(f"sync marker mismatch at offset {data_at + n_bytes}")
+            else:
+                f.seek(block_end)
+            pos = block_end
+
+
+# ---------------------------------------------------------------------------
+# the Spark source
+# ---------------------------------------------------------------------------
+
+
+def _avro_paths(path: str) -> list:
+    if os.path.isdir(path):
+        out = sorted(
+            os.path.join(path, n) for n in os.listdir(path) if n.endswith(".avro")
+        )
+        if not out:
+            raise ValueError(f"no .avro files under {path!r}")
+        return out
+    return [path]
+
+
+def read_avro(
+    spark,
+    path: str,
+    reader_schema: Optional[str] = None,
+    split_target_bytes: int = 32 << 20,
+):
+    """Batch DataFrame over Avro container file(s) — pure Python, no
+    spark-avro jar required (module docstring has the scale story and
+    the jar-swap caveat).
+
+    ``path`` is one file or a directory of ``*.avro`` part files.
+    ``reader_schema`` (JSON string) activates spec schema resolution
+    against each file's writer schema; default is the first file's own
+    schema. Each file is carved into ``split_target_bytes`` byte ranges
+    → one Spark input partition per range."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    files = _avro_paths(path)
+    head = read_file_metadata(files[0])
+    schema_json = reader_schema if reader_schema is not None else json.dumps(head["schema"])
+    spark_schema = spark_schema_for(schema_json)
+
+    splits = []
+    for p in files:
+        m = head if p == files[0] else read_file_metadata(p)
+        lo = m["first_block_offset"]
+        sz = m["size"]
+        step = max(int(split_target_bytes), 1 << 16)
+        while lo < sz:  # header-only (0-row) files contribute no split
+            splits.append((p, lo, min(lo + step, sz)))
+            lo += step
+
+    class _Reader(DataSourceReader):
+        def partitions(self) -> Sequence[InputPartition]:
+            return [InputPartition(s) for s in splits]
+
+        def read(self, partition: InputPartition):
+            p, lo, hi = partition.value
+            return _iter_range_rows(p, lo, hi, schema_json)
+
+    class _AvroSource(DataSource):
+        _fmt = f"pipes_avro_{_uuid.uuid4().hex[:12]}"
+
+        @classmethod
+        def name(cls):
+            return cls._fmt
+
+        def schema(self):
+            return spark_schema
+
+        def reader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_AvroSource)
+    return spark.read.format(_AvroSource._fmt).load()
+
+
+# ---------------------------------------------------------------------------
+# binary encoder + container writer
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(out: bytearray, v: int) -> None:
+    # (v << 1) ^ (v >> 63) is the spec's zigzag for 64-bit longs; Python's
+    # arbitrary-precision arithmetic-shift makes it sign-correct as-is,
+    # and the mask bounds the XOR'd value to the u64 the varint carries
+    v = ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1)
+    while v > 0x7F:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _make_encoder(schema, names: dict) -> Callable:
+    t = _type_name(schema)
+    lt = _logical(schema)
+    if isinstance(schema, list):
+        branch_enc = [(b, _make_encoder(b, names)) for b in schema]
+        null_idx = next((i for i, b in enumerate(schema) if _type_name(b) == "null"), None)
+
+        def _union(v, out):
+            if v is None and null_idx is not None:
+                _zigzag(out, null_idx)
+                return
+            for i, (b, enc) in enumerate(branch_enc):
+                if _type_name(b) != "null":
+                    _zigzag(out, i)
+                    enc(v, out)
+                    return
+
+        return _union
+    if lt == "date":
+        return lambda v, out: _zigzag(out, v.toordinal() - _EPOCH_DATE_ORD)
+    if lt in ("timestamp-micros", "timestamp-millis"):
+        from datetime import datetime
+
+        div = 1 if lt == "timestamp-micros" else 1000
+        epoch = datetime(1970, 1, 1)
+
+        def _ts(v, out):
+            naive = v.replace(tzinfo=None) if v.tzinfo else v
+            delta = naive - epoch
+            _zigzag(out, (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds) // div)
+
+        return _ts
+    if lt == "decimal":
+        scale = schema.get("scale", 0)
+
+        def _dec(v, out):
+            unscaled = int(v.scaleb(scale).to_integral_value())
+            nbytes = max((unscaled.bit_length() + 8) // 8, 1)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            if _type_name(schema) == "fixed":
+                raw = raw.rjust(schema["size"], b"\xff" if unscaled < 0 else b"\x00")
+                out += raw
+            else:
+                _zigzag(out, len(raw))
+                out += raw
+
+        return _dec
+    if t in ("int", "long"):
+        return lambda v, out: _zigzag(out, int(v))
+    if t == "null":
+        return lambda v, out: None
+    if t == "boolean":
+        return lambda v, out: out.append(1 if v else 0)
+    if t == "float":
+        return lambda v, out: out.extend(struct.pack("<f", v))
+    if t == "double":
+        return lambda v, out: out.extend(struct.pack("<d", v))
+    if t == "bytes":
+        def _bytes(v, out):
+            b = bytes(v)
+            _zigzag(out, len(b))
+            out += b
+
+        return _bytes
+    if t == "string":
+        def _str(v, out):
+            b = v.encode("utf-8")
+            _zigzag(out, len(b))
+            out += b
+
+        return _str
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        return lambda v, out: _zigzag(out, index[v])
+    if t == "fixed":
+        size = schema["size"]
+
+        def _fixed(v, out):
+            b = bytes(v)
+            if len(b) != size:
+                raise ValueError(f"fixed {schema['name']} needs {size} bytes, got {len(b)}")
+            out += b
+
+        return _fixed
+    if t == "array":
+        item = _make_encoder(schema["items"], names)
+
+        def _arr(v, out):
+            if v:
+                _zigzag(out, len(v))
+                for x in v:
+                    item(x, out)
+            _zigzag(out, 0)
+
+        return _arr
+    if t == "map":
+        val = _make_encoder(schema["values"], names)
+
+        def _map(v, out):
+            if v:
+                _zigzag(out, len(v))
+                for k, x in v.items():
+                    kb = k.encode("utf-8")
+                    _zigzag(out, len(kb))
+                    out += kb
+                    val(x, out)
+            _zigzag(out, 0)
+
+        return _map
+    if t == "record":
+        fields = schema["fields"]
+        encs = [_make_encoder(f["type"], names) for f in fields]
+        fnames = [f["name"] for f in fields]
+
+        def _rec(v, out):
+            if isinstance(v, dict):
+                for name, enc in zip(fnames, encs):
+                    enc(v[name], out)
+            else:  # sequence / Row in declared field order
+                for x, enc in zip(v, encs):
+                    enc(x, out)
+
+        return _rec
+    raise ValueError(f"unsupported avro type: {t!r}")
+
+
+def write_avro_file(
+    path: str,
+    schema,
+    rows,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+    sync: Optional[bytes] = None,
+) -> int:
+    """Write one Avro container file (spec layout: magic, metadata map,
+    sync, then size-prefixed blocks). Returns the row count. ``sync``
+    may be pinned for byte-deterministic fixtures."""
+    schema_obj = json.loads(schema) if isinstance(schema, str) else schema
+    names: dict = {}
+    enc = _make_encoder(_parse(json.loads(json.dumps(schema_obj)), names), names)
+    sync = sync or os.urandom(SYNC_SIZE)
+    if len(sync) != SYNC_SIZE:
+        raise ValueError("sync marker must be 16 bytes")
+
+    def _compress(b: bytes) -> bytes:
+        if codec == "null":
+            return b
+        if codec == "deflate":
+            c = zlib.compressobj(9, zlib.DEFLATED, -15)
+            return c.compress(b) + c.flush()
+        raise ValueError(f"unsupported write codec: {codec!r}")
+
+    header = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema_obj).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    _zigzag(header, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode("utf-8")
+        _zigzag(header, len(kb))
+        header += kb
+        _zigzag(header, len(v))
+        header += v
+    _zigzag(header, 0)
+    header += sync
+
+    n_total = 0
+    with open(path, "wb") as f:
+        f.write(header)
+        buf = bytearray()
+        n_buf = 0
+
+        def _flush():
+            nonlocal buf, n_buf, n_total
+            if n_buf == 0:
+                return
+            data = _compress(bytes(buf))
+            head = bytearray()
+            _zigzag(head, n_buf)
+            _zigzag(head, len(data))
+            f.write(head)
+            f.write(data)
+            f.write(sync)
+            n_total += n_buf
+            buf = bytearray()
+            n_buf = 0
+
+        for row in rows:
+            enc(row, buf)
+            n_buf += 1
+            if n_buf >= block_rows:
+                _flush()
+        _flush()
+    return n_total
+
+
+# ---------------------------------------------------------------------------
+# Spark schema → avro schema, and the distributed sink
+# ---------------------------------------------------------------------------
+
+
+def avro_schema_for(spark_schema, name: str = "spark_record") -> dict:
+    """Spark StructType → Avro record schema (nullable → union[null,T])."""
+    from pyspark.sql import types as T
+
+    def _field_type(dt, nullable, path):
+        if isinstance(dt, T.BooleanType):
+            a = "boolean"
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            a = "int"
+        elif isinstance(dt, T.LongType):
+            a = "long"
+        elif isinstance(dt, T.FloatType):
+            a = "float"
+        elif isinstance(dt, T.DoubleType):
+            a = "double"
+        elif isinstance(dt, T.StringType):
+            a = "string"
+        elif isinstance(dt, T.BinaryType):
+            a = "bytes"
+        elif isinstance(dt, T.DateType):
+            a = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.TimestampType):
+            a = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.DecimalType):
+            a = {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
+        elif isinstance(dt, T.ArrayType):
+            a = {"type": "array", "items": _field_type(dt.elementType, dt.containsNull, path + "_item")}
+        elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("avro maps require string keys")
+            a = {"type": "map", "values": _field_type(dt.valueType, dt.valueContainsNull, path + "_value")}
+        elif isinstance(dt, T.StructType):
+            a = {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {"name": f.name, "type": _field_type(f.dataType, f.nullable, f"{path}_{f.name}")}
+                    for f in dt.fields
+                ],
+            }
+        else:
+            raise ValueError(f"no avro mapping for Spark type {dt!r}")
+        return ["null", a] if nullable else a
+
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": _field_type(f.dataType, f.nullable, f"{name}_{f.name}")}
+            for f in spark_schema.fields
+        ],
+    }
+
+
+def write_avro(df, directory: str, codec: str = "deflate", block_rows: int = 4096) -> None:
+    """Distributed Avro sink via the Python DataSource writer API: every
+    partition streams its rows into its own container part file under
+    ``directory`` — the partition-parallel write contract (nothing
+    funnels through the driver). Local-filesystem paths (the env has no
+    distributed FS); at real scale the jar-based ``format("avro")``
+    writer is the drop-in swap."""
+    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
+
+    schema_json = json.dumps(avro_schema_for(df.schema))
+    os.makedirs(directory, exist_ok=True)
+
+    class _Writer(DataSourceWriter):
+        def write(self, rows) -> WriterCommitMessage:
+            part = os.path.join(directory, f"part-{_uuid.uuid4().hex}.avro")
+            write_avro_file(part, schema_json, (tuple(r) for r in rows), codec, block_rows)
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            return None
+
+        def abort(self, messages):
+            return None
+
+    class _AvroSink(DataSource):
+        _fmt = f"pipes_avro_sink_{_uuid.uuid4().hex[:12]}"
+
+        @classmethod
+        def name(cls):
+            return cls._fmt
+
+        def writer(self, schema, overwrite):
+            return _Writer()
+
+    spark = df.sparkSession
+    spark.dataSource.register(_AvroSink)
+    df.write.format(_AvroSink._fmt).mode("append").save()

@@ -347,3 +347,47 @@ def append_postings(
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+def avro_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Driver-side idempotent Avro container copy of the customer table
+    (deflate codec, pinned sync marker) — the fixture behind the
+    ``source_avro_roundtrip`` query. pyarrow parquet read + the engine's
+    own pure-Python Avro writer: building it fires NO Spark job, so
+    query construction stays lazy. At real scale the analog is data that
+    ARRIVES as Avro (Kafka archive dumps, CDC/export feeds); here the
+    writer produces it once per sf. Returns the file path."""
+    import os
+    from urllib.parse import urlparse
+
+    from pipes_spark.sources.avro import write_avro_file
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = f"{wh}/avro_customer_{_tag(sf_dir)}.avro"
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        tb = pq.read_table(f"{sf_dir.rstrip('/')}/customer.parquet")
+        schema = {
+            "type": "record",
+            "name": "customer",
+            "fields": [
+                {"name": "c_custkey", "type": "long"},
+                {"name": "c_name", "type": "string"},
+                {"name": "c_nationkey", "type": "int"},
+                {"name": "c_acctbal", "type": "double"},
+                {"name": "c_mktsegment", "type": "string"},
+            ],
+        }
+        os.makedirs(wh, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_avro_file(
+            tmp,
+            schema,
+            tb.to_pylist(),
+            codec="deflate",
+            block_rows=512,
+            sync=b"pipes_avro_fixt!",
+        )
+        os.replace(tmp, path)  # atomic: a concurrent reader never sees a partial file
+    return path
