@@ -14058,3 +14058,52 @@ def source_avro_roundtrip(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "text_kn_perplexity_indexed",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM tk
+    ), big AS (
+      SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+             w AS w2
+      FROM toks QUALIFY w1 IS NOT NULL
+    ), c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY 1),
+    cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+    bt AS (SELECT count(*) AS bt FROM c2),
+    scored AS (
+      SELECT doc_id,
+             round(ln(
+               (c2.c2 - 0.75) / CAST(ctx.c1 AS DOUBLE)
+               + (0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE))
+                 * (CAST(cont.n1b AS DOUBLE) / CAST(bt.bt AS DOUBLE))
+             ), 6) AS lp
+      FROM big JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+               JOIN cont USING (w2) CROSS JOIN bt
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(-CAST(sum(CAST(lp AS DECIMAL(28,6))) AS DOUBLE)
+                     / count(*)), 6) AS kn_perplexity
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_kn_perplexity_indexed(spark, sf_dir):
+    """Kneser-Ney perplexity scored against the PERSISTED bigram model
+    (warehouse.bigram_model_table — idempotent per-sf ingest artifact,
+    delta-appendable like the MinHash signatures): only the scored
+    documents are tokenized per query; the model counts are read, not
+    refit (operators.text.kneser_ney_perplexity_from_model). The oracle
+    is the full-corpus KN formula — hash equality proves the persisted
+    model path is value-identical to the in-flight fit."""
+    from .operators.text import kneser_ney_perplexity_from_model
+    from .warehouse import bigram_model_table
+
+    counts = bigram_model_table(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_perplexity_from_model(d, counts).orderBy("doc_id")

@@ -25,6 +25,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -199,6 +201,8 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     num_iter: int = 10,
+    tol: Optional[float] = None,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Simplified PageRank by power iteration over a directed edge list —
     the per-vertex importance formula ``r = (1-d) + d·Σ r_in/deg_out``
@@ -210,9 +214,19 @@ def pagerank(
     after the first round, so AQE reuses the partitioning) and one
     dst-keyed aggregation with map-side combine. Lineage is cut every
     round with ``localCheckpoint`` (same rationale as
-    :func:`connected_components`); round count is fixed — power iteration
-    converges geometrically at rate ``damping``, so 10 rounds ≈ 1e-1
-    …1e-2 relative error, enough for ranking use.
+    :func:`connected_components`); ``num_iter`` is the round budget —
+    power iteration converges geometrically at rate ``damping``, so 10
+    rounds ≈ 1e-1…1e-2 relative error, enough for ranking use.
+
+    ``tol`` (off by default, keeping the fixed-round semantics oracles
+    encode) adds convergence early exit: stop once the max absolute
+    per-vertex rank change of a round falls below ``tol`` — one scalar
+    aggregate per round over the checkpointed vectors, the same
+    driver-side convergence contract as :func:`k_core`. On graphs that
+    settle early (the common case for near-dup/cluster graphs) this
+    skips the converged tail rounds the r8 probes measured as the
+    entire cost at 30× volume. ``stats`` receives ``{"rounds": n,
+    "converged": bool}``.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     verts = (
@@ -224,6 +238,8 @@ def pagerank(
     # edge list with degree attached once, reused every round
     ed = e.join(out_deg, "src").localCheckpoint(eager=False)
     ranks = verts.withColumn("rank", F.lit(1.0))
+    rounds = 0
+    converged = False
     for _ in range(num_iter):
         contribs = (
             ed.join(ranks, ed.src == ranks.id)
@@ -231,7 +247,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
+        new_ranks = (
             verts.join(contribs, "id", "left")
             .select(
                 "id",
@@ -240,8 +256,26 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=tol is not None)
         )
+        rounds += 1
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.select("id", F.col("rank").alias("_prev")), "id"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("_prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                converged = True
+                break
+        else:
+            ranks = new_ranks
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return ranks
 
 
@@ -323,6 +357,8 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
     num_iter: int = 5,
+    early_exit: bool = True,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (LPA): every
     vertex starts with its own id as label and each round adopts the most
@@ -335,10 +371,17 @@ def label_propagation(
     label vector (both keyed on vertex id — co-partitioned after round 1)
     and one (vertex, label) count aggregate with map-side combine;
     lineage is cut per round like :func:`connected_components` /
-    :func:`pagerank`. Fixed round count: LPA on near-dup/cluster graphs
-    stabilizes in a few rounds; it is a heuristic community method, not a
-    convergence-guaranteed one, and the round count is part of the
-    declared semantics.
+    :func:`pagerank`. ``num_iter`` is the round BUDGET: with
+    ``early_exit`` (default) the loop stops as soon as a round changes
+    zero labels — synchronous LPA is a deterministic function of the
+    label vector, so once a round is an identity every further round is
+    too, and the result is bit-identical to running the full budget.
+    The per-round change count is one scalar aggregate riding the
+    checkpoint the round materializes anyway (the k_core convergence
+    contract); the r8 scale probes showed rounds are the ENTIRE cost
+    tail at 30× volume, so not running converged rounds is the knob.
+    ``stats`` (optional dict) receives ``{"rounds": n, "converged":
+    bool}`` for probes/tests.
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b")).filter(
         F.col("a") != F.col("b")
@@ -348,6 +391,8 @@ def label_propagation(
     ).distinct()
     verts = und.select(F.col("a").alias("id")).distinct()
     labels = verts.withColumn("label", F.col("id"))
+    rounds = 0
+    converged = False
     for _ in range(num_iter):
         nbr = (
             und.join(labels, und.b == labels.id)
@@ -356,12 +401,31 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("_n"))
         )
         w = Window.partitionBy("id").orderBy(F.col("_n").desc(), F.col("label").asc())
-        labels = (
+        new_labels = (
             nbr.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .select("id", "label")
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=early_exit)
         )
+        rounds += 1
+        if early_exit:
+            # changed = vertices whose label differs from last round; the
+            # semi-join runs on the two checkpointed label vectors (id,
+            # label payloads only) — one scalar per round
+            changed = (
+                new_labels.join(labels, ["id", "label"], "left_anti")
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+        else:
+            labels = new_labels
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select("id", F.col("label").cast("bigint").alias("label"))
 
 

@@ -1596,12 +1596,21 @@ def kneser_ney_perplexity(
     order-exact. Documents with fewer than 2 tokens emit no row."""
     from ..caching import scoped_persist
 
+    _, big = _bigram_stream(df, text_col, id_col)
+    c2 = scoped_persist(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")))
+    lp_table = kneser_ney_lp_table(c2, discount)
+    scored = big.join(lp_table, ["w1", "w2"]).select(F.col(id_col), "_lp")
+    return _perplexity_agg(scored, id_col, "kn_perplexity")
+
+
+def kneser_ney_lp_table(c2: DataFrame, discount: float = 0.75) -> DataFrame:
+    """Distinct-bigram counts ``(w1, w2, _c2)`` → the per-bigram KN
+    log-prob table ``(w1, w2, _lp)``. Shared by the in-flight scorer
+    above and the persisted-model path
+    (:func:`kneser_ney_perplexity_from_model`)."""
     d_ = float(discount)
     if not 0.0 < d_ < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-
-    _, big = _bigram_stream(df, text_col, id_col)
-    c2 = scoped_persist(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c2")))
     # one pass per direction: context totals + forward type counts share a
     # groupBy; backward type counts and the bigram-type total are the rest
     ctx = c2.groupBy("w1").agg(
@@ -1619,11 +1628,38 @@ def kneser_ney_perplexity(
     # ONCE against the per-bigram lp table — not three times against the
     # vocab aggregates, which would re-shuffle the full corpus by w1 and
     # again by w2
-    lp_table = (
+    return (
         c2.join(ctx, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(btypes))
         .select("w1", "w2", F.round(F.log(p), 6).alias("_lp"))
     )
+
+
+def kneser_ney_perplexity_from_model(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Score documents against a PERSISTED bigram-count model
+    (``warehouse.bigram_model_table``) instead of refitting in-flight —
+    the CLAUDE.md MinHash-signature economics applied to the LM: at
+    corpus scale the count table is an ingest artifact, and every
+    scoring pass reads it rather than re-tokenizing the corpus twice.
+
+    ``counts`` is the append-log count table ``(w1, w2, c2)`` — delta
+    batches append rows, so counts are summed per bigram here (the
+    standard append-log + read-time-compact contract). Only the SCORED
+    documents are tokenized; bigrams absent from the model are skipped
+    (same trained-on-observed contract as the in-flight scorer)."""
+    from ..caching import scoped_persist
+
+    c2 = scoped_persist(
+        counts.groupBy("w1", "w2").agg(F.sum("c2").alias("_c2"))
+    )
+    lp_table = kneser_ney_lp_table(c2, discount)
+    _, big = _bigram_stream(df, text_col, id_col)
     scored = big.join(lp_table, ["w1", "w2"]).select(F.col(id_col), "_lp")
     return _perplexity_agg(scored, id_col, "kn_perplexity")

@@ -20,6 +20,7 @@ import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from pipes_spark.sinks import write_bucketed
 from pipes_spark.sources import load_table
@@ -391,3 +392,74 @@ def avro_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
         )
         os.replace(tmp, path)  # atomic: a concurrent reader never sees a partial file
     return path
+
+
+def bigram_model_table(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: Optional[DataFrame] = None,
+    tag: Optional[str] = None,
+) -> DataFrame:
+    """Materialize (once) the distinct-bigram count table for the
+    documents corpus — the Kneser-Ney model's sufficient statistic,
+    persisted like the MinHash signatures: at corpus scale the counts
+    are an INGEST artifact, and every LM-scoring pass reads them instead
+    of re-tokenizing the whole corpus to refit the model per query.
+
+    Layout: ``(w1, w2, c2)`` as an APPEND-LOG — delta batches
+    (:func:`append_bigram_counts`) append partial counts and readers sum
+    per bigram at read time (the append-log + read-time-compact pattern;
+    Spark managed tables have no in-place MERGE). Bucketed by ``w1`` so
+    the reader's context aggregate and c2⋈ctx join plan exchange-free on
+    this side. A companion ``(doc_id)`` registry makes delta ingestion
+    idempotent. ``corpus``/``tag`` exist for tests building throwaway
+    models; production uses the per-sf defaults."""
+    from pipes_spark.operators.text import _bigram_stream
+
+    t = tag or _tag(sf_dir)
+    name = f"bigram_counts_documents_{t}"
+    docs_name = f"bigram_docs_documents_{t}"
+    if not spark.catalog.tableExists(name):
+        docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
+        clear_stale_location(spark, name)
+        clear_stale_location(spark, docs_name)
+        _, big = _bigram_stream(docs, "text", "doc_id")
+        (
+            big.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c2"))
+            .write.bucketBy(32, "w1")
+            .saveAsTable(name)
+        )
+        docs.select("doc_id").distinct().write.saveAsTable(docs_name)
+    return spark.table(name)
+
+
+def append_bigram_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    new_docs: DataFrame,
+    tag: Optional[str] = None,
+) -> DataFrame:
+    """Ingest-batch maintenance of the persisted bigram model: tokenize
+    ONLY the batch docs not already registered (anti-join on doc id) and
+    append their partial counts — the next scoring pass reads a model
+    covering the whole corpus with nothing re-counted. Idempotent per
+    batch: re-appending an ingested batch adds zero rows. Returns the
+    refreshed count table."""
+    from pipes_spark.operators.text import _bigram_stream
+
+    t = tag or _tag(sf_dir)
+    existing = bigram_model_table(spark, sf_dir, tag=tag)
+    name = f"bigram_counts_documents_{t}"
+    docs_name = f"bigram_docs_documents_{t}"
+    delta = new_docs.join(spark.table(docs_name), "doc_id", "left_anti")
+    _, big = _bigram_stream(delta, "text", "doc_id")
+    (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .write.mode("append")
+        .bucketBy(32, "w1")
+        .saveAsTable(name)
+    )
+    delta.select("doc_id").distinct().write.mode("append").saveAsTable(docs_name)
+    return spark.table(name)

@@ -549,6 +549,7 @@ CONSTRUCTION_JOB_EXEMPT = {
     "sim_ivfpq_indexed": "IVFPQ index table build-or-read",
     "q3_bucketed_colocated": "bucketed fact table build-or-read",
     "text_phrase_indexed": "postings table build-or-read",
+    "text_kn_perplexity_indexed": "bigram count table build-or-read",
     "events_daily_from_rollup": "hourly rollup table build-or-read",
     "events_daily_users_from_rollup": "hourly rollup table build-or-read",
     # documented small-side collect contracts (codebooks / probe sets)
