@@ -3936,8 +3936,12 @@ _GRADED_WINDOW = [
     # r01 in an 8-slot family — hands its slot to text_kn_perplexity, the
     # Kneser-Ney LM quality filter the driver has never hash-graded; the
     # displaced query re-registers right after the window)
+    # round-9 curation: q8_market_share (hash-graded green since r01 in a
+    # TPC-H family still carried by six sibling slots) hands its slot to
+    # streaming_twsip — the modern transformWithStateInPandas path, whose
+    # driver grading certifies the offline protobuf wiring end to end.
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
-    "q5_local_supplier_volume", "q8_market_share", "q10_returned_items",
+    "q5_local_supplier_volume", "streaming_twsip", "q10_returned_items",
     "text_kn_perplexity", "q21_waiting_supplier",
     # subqueries / decorrelation (round-6 curation: subquery_scalar_uncorr
     # — a family already carried by three sibling slots — hands its slot
@@ -3963,13 +3967,23 @@ _GRADED_WINDOW = [
     # still carried by agg_percentiles/sketch_kmv_overlap) hands its slot
     # to stats_fdr_bh — the bucketed-rank Benjamini-Hochberg family whose
     # r7 one-task-window rewrite the driver has never hash-graded.
-    "agg_stats", "stats_fdr_bh", "agg_percentiles",
-    "grouping_sets_mix", "agg_incremental_merge",
+    # round-9 curation: agg_percentiles (green since r01; approx-agg
+    # distinctness still carried by agg_stats + sketch_kmv_overlap) hands
+    # its slot to sketch_join_cardinality, and agg_incremental_merge
+    # (green since r04; incremental family carried by
+    # agg_incremental_retract) hands its slot to text_kn_perplexity_indexed
+    # — the round-9 persisted-bigram-model read path, per CLAUDE.md "new
+    # high-value oracled queries belong in _GRADED_WINDOW".
+    "agg_stats", "stats_fdr_bh", "sketch_join_cardinality",
+    "grouping_sets_mix", "text_kn_perplexity_indexed",
     # windows / ordering (round-8 curation: window_analytic — green since
     # r04, family carried by window_ranking + topk_per_group — hands its
     # slot to text_bm25, the Okapi BM25 ranking family over the bucketed
     # postings table, never driver-graded)
-    "window_ranking", "text_bm25", "topk_per_group",
+    # round-9 curation: window_ranking (green since r04; ranking carried
+    # by topk_per_group) hands its slot to text_phrase_indexed — the
+    # persisted token-bucketed postings READ path, never driver-graded.
+    "text_phrase_indexed", "text_bm25", "topk_per_group",
     # set ops (the ALL variants carry the multiset subtlety)
     "set_intersect_all",
     # MERGE / SCD2 (round-8 curation: scd2_customer_snapshot — green
@@ -3988,7 +4002,12 @@ _GRADED_WINDOW = [
     # own hash gate — and sample_shard_manifest (portable-digest shard
     # manifests, never driver-graded). Both displaced queries re-register
     # right after the window and stay locally oracle-gated.
-    "timeseries_gapfill",
+    # round-9 curation: timeseries_gapfill (green since r04; the
+    # time-series family stays carried by ts_kaplan_meier + events_hourly
+    # + sessionize_stats) hands its slot to streaming_join_left_outer —
+    # the hardest watermark semantics in the suite (stream-stream outer
+    # join null-flush cutoff), never driver-graded.
+    "streaming_join_left_outer",
     "ts_kaplan_meier", "sample_shard_manifest",
     # round-5 curation #3: two families the driver has never hash-graded —
     # deterministic KMV/theta sketch set algebra (the estimator itself is
@@ -4005,7 +4024,11 @@ _GRADED_WINDOW = [
     # under the driver's own hash gate.
     "graph_shortest_paths", "graph_cc_incremental", "ml_auc_roc",
     # profiling / statistics / quality
-    "stats_linear_fit", "profile_orders", "stats_correlation",
+    # round-9 curation: stats_correlation (green since r04; the profiling
+    # family stays carried by stats_linear_fit + profile_orders +
+    # quality_orders) hands its slot to ml_pr_auc — precision-recall AUC,
+    # the ml-metric family's never-graded half (ml_auc_roc is graded).
+    "stats_linear_fit", "profile_orders", "ml_pr_auc",
     "quality_orders",
     # dedup / similarity / text (oracled paths). Round-5 curation #2:
     # text_sparse_cosine (hash-graded green in r04) hands its slot to
@@ -4014,7 +4037,11 @@ _GRADED_WINDOW = [
     # after the window and stays locally gated.
     "dedup_exact_docs", "dedup_lsh_verified",
     "text_dsir",
-    "sim_cosine_neardup", "sim_cosine_topk",
+    # round-9 curation: sim_cosine_topk (green since r04; similarity
+    # carried by sim_cosine_neardup) hands its slot to
+    # source_avro_roundtrip — the new pure-Python Avro container source,
+    # hash-proving encode→decode value-exact under the driver's own gate.
+    "sim_cosine_neardup", "source_avro_roundtrip",
     # round-5 curation: families the driver has never hash-graded —
     # recursive CTE, retractable incremental aggregation, and a REAL
     # Structured Streaming run (file source → watermarked tumbling window →
