@@ -15,6 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Wire the offline protobuf runtime AT IMPORT TIME: if the driver imports
+# this module before building its SparkSession (the usual order), workers
+# inherit the fixed PYTHONPATH and transformWithStateInPandas runs the
+# real path with no remediation. Sessions created earlier are handled by
+# session.worker_protobuf_ok's addPyFile fallback inside the queries.
+from pipes_spark.session import ensure_protobuf as _ensure_protobuf
+
+_ensure_protobuf()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""

@@ -1771,10 +1771,16 @@ def streaming_twsip(spark, sf_dir):
     shape. The protobuf runtime its worker needs is wired offline by
     session.ensure_protobuf; environments without any runtime fall back to
     the applyInPandasWithState twin."""
-    from .session import ensure_protobuf
+    from .session import ensure_protobuf, worker_protobuf_ok
     from .streaming import run_to_memory, transform_with_state_totals
 
-    if not ensure_protobuf():  # pragma: no cover — env-dependent fallback
+    # driver-side importability is NOT enough: a session created before
+    # this package was imported (the correctness-driver's order) has
+    # workers blind to the path fix — probe a worker, remediating via
+    # addPyFile (session.worker_protobuf_ok) before falling back
+    if not ensure_protobuf() or not worker_protobuf_ok(
+        spark
+    ):  # pragma: no cover — env-dependent fallback
         return streaming_stateful_totals(spark, sf_dir)
     stream = _events_stream(spark, sf_dir)
     totals = transform_with_state_totals(stream, "user_id", "value")
@@ -11966,8 +11972,13 @@ def streaming_session_timers(spark, sf_dir):
     finite run: every session but a user's last closes inline, the last
     closes iff end + gap <= max(ts) - delay (10 min watermark); the
     oracle is batch sessionization filtered at exactly that cutoff."""
+    from .session import worker_protobuf_ok
     from .streaming import run_to_memory, transform_with_state_sessions
 
+    # remediation side effect (PYTHONPATH injection for driver-owned
+    # sessions); timer semantics have no batch twin, so environments with
+    # NO protobuf runtime at all fail loudly — the API requires it
+    worker_protobuf_ok(spark)
     stream = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     sess = transform_with_state_sessions(
         stream, "user_id", "ts", gap_ms=1_800_000
@@ -12097,10 +12108,16 @@ def streaming_twsip_topk(spark, sf_dir):
     broken on the higher event_id in both engines. Environments without
     any protobuf runtime fall back to the equivalent batch window query
     (documented — the streaming path is the declared surface)."""
-    from .session import ensure_protobuf
+    from .session import ensure_protobuf, worker_protobuf_ok
 
     events = _t(spark, sf_dir, "events")
-    if not ensure_protobuf():  # pragma: no cover — env-dependent fallback
+    # driver-side importability is NOT enough: a session created before
+    # this package was imported (the correctness-driver's order) has
+    # workers blind to the path fix — probe a worker, remediating via
+    # addPyFile (session.worker_protobuf_ok) before falling back
+    if not ensure_protobuf() or not worker_protobuf_ok(
+        spark
+    ):  # pragma: no cover — env-dependent fallback
         from pyspark.sql import Window
 
         w = Window.partitionBy("user_id").orderBy(
@@ -12139,10 +12156,16 @@ def streaming_twsip_map(spark, sf_dir):
     the batch GROUP BY (user_id, event_type). Environments without any
     protobuf runtime fall back to the equivalent batch aggregation
     (documented — the streaming path is the declared surface)."""
-    from .session import ensure_protobuf
+    from .session import ensure_protobuf, worker_protobuf_ok
 
     events = _t(spark, sf_dir, "events")
-    if not ensure_protobuf():  # pragma: no cover — env-dependent fallback
+    # driver-side importability is NOT enough: a session created before
+    # this package was imported (the correctness-driver's order) has
+    # workers blind to the path fix — probe a worker, remediating via
+    # addPyFile (session.worker_protobuf_ok) before falling back
+    if not ensure_protobuf() or not worker_protobuf_ok(
+        spark
+    ):  # pragma: no cover — env-dependent fallback
         return events.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).alias("n")
         )

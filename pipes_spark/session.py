@@ -63,6 +63,88 @@ def ensure_protobuf() -> bool:
     return False
 
 
+_WORKER_PROTOBUF_STATE: dict = {}
+
+
+def worker_protobuf_ok(spark: SparkSession) -> bool:
+    """True iff the protobuf runtime is importable INSIDE a Python worker
+    — the contract ``transformWithStateInPandas`` actually needs.
+
+    Driver-side importability is NOT enough: workers inherit the
+    PYTHONPATH captured when the JVM launched, so a session created
+    BEFORE this package was imported (the correctness-driver's order)
+    has workers that cannot see :func:`ensure_protobuf`'s path fix even
+    though the driver can. And ``sc.addPyFile`` cannot remediate it: the
+    ``transformWithStateInPandas`` pre-init runner
+    (``transform_with_state_driver_worker.py``) is a
+    ``StreamingPythonRunner`` that syncs NO pyFiles — its ``sys.path``
+    comes solely from the PYTHONPATH ``PythonWorkerFactory`` assembles.
+    The one channel that reaches it post-JVM-launch is the
+    PythonFunction envVars map, which pyspark snapshots from
+    ``sc.environment`` at UDF-creation time and the factory merges into
+    the worker PYTHONPATH (and process env — carrying protobuf's
+    version-check escape hatch too). So: if the JVM env lacks the
+    wiring, inject it into ``sc.environment`` (changing the factory's
+    env key also retires any stale daemon), then CONFIRM with one
+    single-partition RDD probe importing exactly what the TWS worker
+    imports. Cached per application."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _WORKER_PROTOBUF_STATE:
+        return _WORKER_PROTOBUF_STATE[key]
+    if not ensure_protobuf():
+        _WORKER_PROTOBUF_STATE[key] = False
+        return False
+
+    import google.protobuf as _gp
+
+    fb = next(
+        (p for p in _PROTOBUF_FALLBACK_PATHS if (_gp.__file__ or "").startswith(p)),
+        None,
+    )
+    if fb is not None:
+        # a real installed wheel needs nothing; the fallback runtime does
+        # iff the JVM env missed it (session created before our import)
+        jvm_pp = spark._jvm.System.getenv("PYTHONPATH") or ""
+        if fb not in jvm_pp.split(os.pathsep):
+            env = sc.environment
+            existing = env.get("PYTHONPATH", "")
+            if fb not in existing.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    f"{existing}{os.pathsep}{fb}" if existing else fb
+                )
+            env.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+
+    def _probe_fn(_it):
+        try:
+            import os as _os
+            import sys as _sys
+
+            # daemon workers are REUSED: a failed probe leaves the broken
+            # 'google' namespace package cached in sys.modules, which
+            # would mask a now-fixed path on the retry — purge first
+            for m in [
+                k
+                for k in _sys.modules
+                if k == "google" or k.startswith("google.")
+            ]:
+                del _sys.modules[m]
+            _os.environ.setdefault(
+                "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+            )
+            # exactly what the TWS worker imports (pb2 also runs the
+            # gencode-vs-runtime version validation)
+            import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+
+            yield 1
+        except Exception:
+            yield 0
+
+    ok = sc.parallelize([0], 1).mapPartitions(_probe_fn).collect()[0] == 1
+    _WORKER_PROTOBUF_STATE[key] = ok
+    return ok
+
+
 def get_spark(
     app_name: str = "pipes_spark",
     *,

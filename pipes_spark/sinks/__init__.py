@@ -55,6 +55,20 @@ def write_orc(path: str, mode: str = "overwrite"):
     return sink
 
 
+def write_avro(path: str, codec: str = "deflate"):
+    """Avro container sink via the engine's pure-Python partition-parallel
+    DataSourceWriter (sources.avro.write_avro — one container part file
+    per partition; public Avro 1.11 spec, no spark-avro jar needed)."""
+
+    def sink(df: DataFrame):
+        from pipes_spark.sources.avro import write_avro as _wa
+
+        _wa(df, path, codec=codec)
+        return path
+
+    return sink
+
+
 def collect_rows(df: DataFrame) -> list:
     """In-memory collect sink (ref: pipe/node_test.go:56-61)."""
     return df.collect()

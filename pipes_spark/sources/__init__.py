@@ -170,6 +170,17 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_avro(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Avro container file(s) via the engine's pure-Python split-parallel
+    DataSource (sources.avro — implemented from the public Avro 1.11
+    spec; this environment has no spark-avro jar). Accepts
+    ``reader_schema`` / ``split_target_bytes``; the jar-based
+    ``format("avro")`` reader is the drop-in swap at real scale."""
+    from .avro import read_avro as _ra
+
+    return _ra(spark, path, **options)
+
+
 def read_text(spark: SparkSession, paths, with_file_name: bool = True) -> DataFrame:
     """Text-file scan: one row per line. With ``with_file_name`` the result
     matches the reference's ``FileLine{FileName, Line}`` shape

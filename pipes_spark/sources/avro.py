@@ -55,6 +55,28 @@ SYNC_SIZE = 16
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
 
 
+def _ship_self_by_value() -> None:
+    """Register this module for cloudpickle BY-VALUE serialization.
+
+    The DataSource reader/writer classes are defined inside functions
+    (pickled by value), but their methods call module-level helpers —
+    which cloudpickle normally pickles BY REFERENCE, requiring
+    ``import pipes_spark.sources.avro`` to succeed on the worker. A
+    driver-owned session (the correctness gate) only has the repo on the
+    DRIVER's sys.path; workers resolve it via cwd at best. By-value
+    registration makes the shipped closures self-contained (this module
+    needs only stdlib at decode time), so reads/writes work regardless
+    of worker sys.path. Idempotent."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle as _cp
+    except ImportError:  # pragma: no cover - plain cloudpickle fallback
+        import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+
+
 # ---------------------------------------------------------------------------
 # binary decoder
 # ---------------------------------------------------------------------------
@@ -556,6 +578,7 @@ def read_avro(
     → one Spark input partition per range."""
     from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+    _ship_self_by_value()
     files = _avro_paths(path)
     head = read_file_metadata(files[0])
     schema_json = reader_schema if reader_schema is not None else json.dumps(head["schema"])
@@ -882,6 +905,7 @@ def write_avro(df, directory: str, codec: str = "deflate", block_rows: int = 409
     writer is the drop-in swap."""
     from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
 
+    _ship_self_by_value()
     schema_json = json.dumps(avro_schema_for(df.schema))
     os.makedirs(directory, exist_ok=True)
 

@@ -242,6 +242,28 @@ def stream_stream_join(
     )
 
 
+def _ensure_tws_state_store(df: DataFrame) -> None:
+    """``transformWithStateInPandas`` requires a state-store provider with
+    column-family support (stock option: RocksDB). The engine's own
+    session factory sets it at build time (session.py); a DRIVER-OWNED
+    session (the correctness gate) arrives with the HDFS-backed default,
+    which throws UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES
+    at query start. The conf is a runtime-settable SQLConf read per query
+    start — upgrade exactly the default case, leaving any deliberately
+    configured custom provider untouched."""
+    spark = df.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        cur = spark.conf.get(key)
+    except Exception:
+        cur = None
+    if not cur or cur.endswith("HDFSBackedStateStoreProvider"):
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+
+
 def transform_with_state_totals(
     df: DataFrame,
     key_col: str = "user_id",
@@ -264,6 +286,7 @@ def transform_with_state_totals(
     an availableNow run (``run_to_memory``) never terminates. Drain TTL'd
     queries with ``query.processAllAvailable()`` + ``query.stop()``.
     """
+    _ensure_tws_state_store(df)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -319,6 +342,7 @@ def transform_with_state_topk(
     ties. Each batch emits the key's refreshed top-k with 1-based ranks;
     a finite single-batch drain therefore equals the batch
     ``row_number() <= k`` query."""
+    _ensure_tws_state_store(df)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -371,6 +395,7 @@ def transform_with_state_category_counts(
     right variable shape for high-cardinality sub-keys). Each batch emits
     the full refreshed (category, n) map for keys that saw input; a finite
     single-batch drain equals the batch ``GROUP BY key, category``."""
+    _ensure_tws_state_store(df)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
@@ -986,6 +1011,7 @@ def transform_with_state_sessions(
     Scale: state is one (start, last, n) triple + one live timer per key
     in the state store; each batch shuffles only its own rows by key.
     """
+    _ensure_tws_state_store(df)
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 

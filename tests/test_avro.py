@@ -338,3 +338,17 @@ def test_union_beyond_nullable_has_no_spark_type():
                 }
             )
         )
+
+
+def test_sources_sinks_wrappers_roundtrip(spark, sf_dir, tmp_path):
+    """The package-level wrappers (sources.read_avro / sinks.write_avro)
+    compose like every other format pair."""
+    from pipes_spark import sinks, sources
+
+    out = str(tmp_path / "nation_avro")
+    nation = sources.load_table(spark, sf_dir, "nation")
+    assert sinks.write_avro(out)(nation) == out
+    back = sources.read_avro(spark, out)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )

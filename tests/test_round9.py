@@ -145,3 +145,61 @@ def test_pagerank_default_keeps_fixed_round_semantics(spark):
     stats: dict = {}
     pagerank(e, num_iter=7, stats=stats).collect()
     assert stats["rounds"] == 7 and not stats["converged"], stats
+
+
+# ---------------------------------------------------------------------------
+# driver-owned sessions: protobuf remediation for transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+
+def test_twsip_survives_session_created_before_import(tmp_path):
+    """The correctness driver builds its SparkSession BEFORE importing
+    this package, so TWS workers inherit a PYTHONPATH without the
+    offline protobuf runtime — exactly the crash r9 fixed via
+    session.worker_protobuf_ok (sc.environment PYTHONPATH injection: the
+    TWS pre-init StreamingPythonRunner syncs no pyFiles, the
+    PythonFunction envVars map is the only post-launch channel) plus
+    streaming._ensure_tws_state_store (driver sessions default to the
+    HDFS state store, which lacks column families). Run the hostile
+    order in a subprocess (own cwd → own warehouse; no managed tables
+    touched) and require the REAL TWS path to produce oracle-matching
+    values."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {root!r})
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .appName("twsip_hostile").getOrCreate())
+        from pipes_spark.catalog import QUERIES
+        from pipes_spark.session import _WORKER_PROTOBUF_STATE
+        df = QUERIES["streaming_twsip"].fn(spark, {sf!r})
+        rows = sorted(tuple(r) for r in df.collect())
+        import duckdb
+        want = sorted(duckdb.sql(
+            "SELECT user_id, count(value), round(sum(value), 6) "
+            "FROM read_parquet({sf!r} || '/events.parquet') GROUP BY user_id"
+        ).fetchall())
+        assert rows == want, (rows[:2], want[:2])
+        # the probe must have actually run and passed (real TWS path,
+        # not the applyInPandasWithState fallback)
+        assert list(_WORKER_PROTOBUF_STATE.values()) == [True]
+        print("HOSTILE_TWSIP_OK", len(rows))
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert "HOSTILE_TWSIP_OK" in out.stdout, out.stdout[-800:] + out.stderr[-2000:]
