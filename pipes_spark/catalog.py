@@ -1776,8 +1776,10 @@ def streaming_twsip(spark, sf_dir):
 
     # driver-side importability is NOT enough: a session created before
     # this package was imported (the correctness-driver's order) has
-    # workers blind to the path fix — probe a worker, remediating via
-    # addPyFile (session.worker_protobuf_ok) before falling back
+    # workers blind to the path fix — session.worker_protobuf_ok
+    # remediates via sc.environment PYTHONPATH injection (addPyFile
+    # cannot reach the TWS pre-init runner) and probes a worker
+    # before we fall back
     if not ensure_protobuf() or not worker_protobuf_ok(
         spark
     ):  # pragma: no cover — env-dependent fallback
@@ -12113,8 +12115,10 @@ def streaming_twsip_topk(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     # driver-side importability is NOT enough: a session created before
     # this package was imported (the correctness-driver's order) has
-    # workers blind to the path fix — probe a worker, remediating via
-    # addPyFile (session.worker_protobuf_ok) before falling back
+    # workers blind to the path fix — session.worker_protobuf_ok
+    # remediates via sc.environment PYTHONPATH injection (addPyFile
+    # cannot reach the TWS pre-init runner) and probes a worker
+    # before we fall back
     if not ensure_protobuf() or not worker_protobuf_ok(
         spark
     ):  # pragma: no cover — env-dependent fallback
@@ -12161,8 +12165,10 @@ def streaming_twsip_map(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     # driver-side importability is NOT enough: a session created before
     # this package was imported (the correctness-driver's order) has
-    # workers blind to the path fix — probe a worker, remediating via
-    # addPyFile (session.worker_protobuf_ok) before falling back
+    # workers blind to the path fix — session.worker_protobuf_ok
+    # remediates via sc.environment PYTHONPATH injection (addPyFile
+    # cannot reach the TWS pre-init runner) and probes a worker
+    # before we fall back
     if not ensure_protobuf() or not worker_protobuf_ok(
         spark
     ):  # pragma: no cover — env-dependent fallback

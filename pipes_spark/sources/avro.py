@@ -501,12 +501,44 @@ def _decompress(codec: str, data: bytes) -> bytes:
     raise ValueError(f"unsupported avro codec: {codec!r}")
 
 
-def _iter_range_rows(path: str, lo: int, hi: int, reader_schema=None) -> Iterator[tuple]:
-    """Decode the blocks whose FIRST byte offset falls in [lo, hi).
+def _find_block_start(f, sync: bytes, lo: int, hi: int, first: int):
+    """First block start in ``[lo, hi)`` — the standard Avro split
+    protocol: scan forward for the 16-byte sync marker whose END falls
+    in the range, so each task's positioning cost is O(its own split),
+    not a header walk from the top of the file (which would make the
+    aggregate skip work quadratic in split count). A sync-pattern false
+    match inside block data is the spec-accepted 2⁻¹²⁸ risk; the
+    per-block trailing-sync verification downstream turns one into a
+    loud error, never silent corruption."""
+    if lo <= first:
+        return first if first < hi else None
+    # a sync ending at block start s (lo <= s < hi) occupies [s-16, s):
+    # scan the byte window [lo-16, hi) chunked with a 15-byte overlap
+    abs_base = lo - SYNC_SIZE
+    f.seek(abs_base)
+    carry = b""
+    while True:
+        to_read = min(1 << 20, hi - (abs_base + len(carry)))
+        if to_read <= 0:
+            return None
+        data = f.read(to_read)
+        if not data:
+            return None
+        buf = carry + data
+        i = buf.find(sync)
+        if i != -1:
+            s = abs_base + i + SYNC_SIZE
+            return s if s < hi else None
+        carry = buf[-(SYNC_SIZE - 1):]
+        abs_base += len(buf) - len(carry)
 
-    Blocks outside the range are skipped by their declared byte size —
-    two varints and a seek each, no payload read. This is the split
-    contract that makes one big container file N parallel tasks."""
+
+def _iter_range_rows(path: str, lo: int, hi: int, reader_schema=None) -> Iterator[tuple]:
+    """Decode the blocks whose FIRST byte offset falls in [lo, hi) —
+    positioned by sync-marker scan (:func:`_find_block_start`), decoded
+    sequentially until the first block starting at or past ``hi``. This
+    is the split contract that makes one big container file N parallel
+    tasks, each touching only its own byte range."""
     with open(path, "rb") as f:
         meta, sync, first = _read_header(f)
         writer_names: dict = {}
@@ -522,7 +554,9 @@ def _iter_range_rows(path: str, lo: int, hi: int, reader_schema=None) -> Iterato
         decode = _make_decoder(writer, reader, writer_names, reader_names)
         codec = meta.get("avro.codec", b"null").decode("utf-8")
         size = os.path.getsize(path)
-        pos = first
+        pos = _find_block_start(f, sync, lo, min(hi, size), first)
+        if pos is None:
+            return
         f.seek(pos)
         while pos < size and pos < hi:
             head = f.read(20)  # two varints: row count, byte size
@@ -532,17 +566,13 @@ def _iter_range_rows(path: str, lo: int, hi: int, reader_schema=None) -> Iterato
             n_rows = r.long()
             n_bytes = r.long()
             data_at = pos + r.pos
-            block_end = data_at + n_bytes + SYNC_SIZE
-            if pos >= lo:
-                f.seek(data_at)
-                block = _Bin(_decompress(codec, f.read(n_bytes)))
-                for _ in range(n_rows):
-                    yield decode(block)
-                if f.read(SYNC_SIZE) != sync:
-                    raise ValueError(f"sync marker mismatch at offset {data_at + n_bytes}")
-            else:
-                f.seek(block_end)
-            pos = block_end
+            f.seek(data_at)
+            block = _Bin(_decompress(codec, f.read(n_bytes)))
+            for _ in range(n_rows):
+                yield decode(block)
+            if f.read(SYNC_SIZE) != sync:
+                raise ValueError(f"sync marker mismatch at offset {data_at + n_bytes}")
+            pos = data_at + n_bytes + SYNC_SIZE
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +591,127 @@ def _avro_paths(path: str) -> list:
     return [path]
 
 
+def _resolved_reader_schema_json(options: dict) -> str:
+    rs = options.get("reader_schema")
+    if rs:
+        return rs
+    files = _avro_paths(options["path"])
+    return json.dumps(read_file_metadata(files[0])["schema"])
+
+
+def _make_avro_source():
+    """Build the ONE static DataSource class for the ``pipes_avro``
+    format (read and write paths; everything parameterized through the
+    options map). Built inside a function so the class is pickled BY
+    VALUE with the module's helpers (see :func:`_ship_self_by_value`) —
+    a worker unpickling it needs only the stdlib."""
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class _AvroCommit(WriterCommitMessage):
+        tmp: str
+        final: str
+
+    class _RangeReader(DataSourceReader):
+        def __init__(self, options):
+            self._options = dict(options)
+
+        def partitions(self) -> Sequence[InputPartition]:
+            opts = self._options
+            step = max(int(opts.get("split_target_bytes", 32 << 20)), 1 << 16)
+            splits = []
+            for p in _avro_paths(opts["path"]):
+                m = read_file_metadata(p)
+                lo = m["first_block_offset"]
+                sz = m["size"]
+                while lo < sz:  # header-only (0-row) files add no split
+                    splits.append((p, lo, min(lo + step, sz)))
+                    lo += step
+            return [InputPartition(s) for s in splits]
+
+        def read(self, partition: InputPartition):
+            p, lo, hi = partition.value
+            return _iter_range_rows(
+                p, lo, hi, _resolved_reader_schema_json(self._options)
+            )
+
+    class _PartWriter(DataSourceWriter):
+        """One container part file per partition, with the standard
+        task-commit protocol: tasks write to dot-prefixed temp names
+        (invisible to ``_avro_paths``, which lists ``*.avro`` only) and
+        ``commit`` renames the SUCCEEDED attempts' files into place —
+        a failed or speculative attempt never leaves a partial final
+        file, and its orphaned temp is invisible to readers. Rename
+        runs driver-side: local-filesystem contract (module docstring);
+        the jar writer is the swap on a distributed FS."""
+
+        def __init__(self, options):
+            self._options = dict(options)
+
+        def write(self, rows) -> "_AvroCommit":
+            opts = self._options
+            directory = opts["path"]
+            part = f"part-{_uuid.uuid4().hex}.avro"
+            tmp = os.path.join(directory, f".{part}.tmp")
+            write_avro_file(
+                tmp,
+                opts["avro_schema"],
+                (tuple(r) for r in rows),
+                opts.get("codec", "deflate"),
+                int(opts.get("block_rows", 4096)),
+            )
+            return _AvroCommit(tmp=tmp, final=os.path.join(directory, part))
+
+        def commit(self, messages):
+            for m in messages:
+                os.replace(m.tmp, m.final)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(m.tmp)
+                    except OSError:
+                        pass
+
+    class PipesAvroDataSource(DataSource):
+        """``format("pipes_avro")`` — options: ``path`` (file or
+        directory), ``reader_schema`` (JSON, optional), ``split_target_
+        bytes`` (read side); ``avro_schema`` (JSON), ``codec``,
+        ``block_rows`` (write side)."""
+
+        @classmethod
+        def name(cls):
+            return "pipes_avro"
+
+        def schema(self):
+            return spark_schema_for(_resolved_reader_schema_json(self.options))
+
+        def reader(self, schema):
+            return _RangeReader(self.options)
+
+        def writer(self, schema, overwrite):
+            return _PartWriter(self.options)
+
+    return PipesAvroDataSource
+
+
+def _register(spark) -> None:
+    """(Re-)register the single static ``pipes_avro`` source — same name
+    every time, so repeated calls replace rather than grow the session's
+    datasource registry."""
+    _ship_self_by_value()
+    spark.dataSource.register(_make_avro_source())
+
+
 def read_avro(
     spark,
     path: str,
@@ -576,47 +727,15 @@ def read_avro(
     against each file's writer schema; default is the first file's own
     schema. Each file is carved into ``split_target_bytes`` byte ranges
     → one Spark input partition per range."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
-    _ship_self_by_value()
-    files = _avro_paths(path)
-    head = read_file_metadata(files[0])
-    schema_json = reader_schema if reader_schema is not None else json.dumps(head["schema"])
-    spark_schema = spark_schema_for(schema_json)
-
-    splits = []
-    for p in files:
-        m = head if p == files[0] else read_file_metadata(p)
-        lo = m["first_block_offset"]
-        sz = m["size"]
-        step = max(int(split_target_bytes), 1 << 16)
-        while lo < sz:  # header-only (0-row) files contribute no split
-            splits.append((p, lo, min(lo + step, sz)))
-            lo += step
-
-    class _Reader(DataSourceReader):
-        def partitions(self) -> Sequence[InputPartition]:
-            return [InputPartition(s) for s in splits]
-
-        def read(self, partition: InputPartition):
-            p, lo, hi = partition.value
-            return _iter_range_rows(p, lo, hi, schema_json)
-
-    class _AvroSource(DataSource):
-        _fmt = f"pipes_avro_{_uuid.uuid4().hex[:12]}"
-
-        @classmethod
-        def name(cls):
-            return cls._fmt
-
-        def schema(self):
-            return spark_schema
-
-        def reader(self, schema):
-            return _Reader()
-
-    spark.dataSource.register(_AvroSource)
-    return spark.read.format(_AvroSource._fmt).load()
+    _register(spark)
+    r = (
+        spark.read.format("pipes_avro")
+        .option("path", path)
+        .option("split_target_bytes", str(int(split_target_bytes)))
+    )
+    if reader_schema is not None:
+        r = r.option("reader_schema", reader_schema)
+    return r.load()
 
 
 # ---------------------------------------------------------------------------
@@ -639,18 +758,77 @@ def _make_encoder(schema, names: dict) -> Callable:
     t = _type_name(schema)
     lt = _logical(schema)
     if isinstance(schema, list):
-        branch_enc = [(b, _make_encoder(b, names)) for b in schema]
-        null_idx = next((i for i, b in enumerate(schema) if _type_name(b) == "null"), None)
+        # branch selection by runtime type (spec: the writer picks the
+        # union branch matching the datum) — first-non-null would write
+        # 1.5 through a long branch (silent corruption) or crash a
+        # string branch on an int
+        import datetime as _dt
+
+        def _pred(b):
+            bt, blt = _type_name(b), _logical(b)
+            if bt == "null":
+                return lambda v: v is None
+            if blt == "date":
+                return lambda v: isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            if blt in ("timestamp-micros", "timestamp-millis"):
+                return lambda v: isinstance(v, _dt.datetime)
+            if blt == "decimal":
+                return lambda v: isinstance(v, Decimal)
+            if bt == "boolean":
+                return lambda v: isinstance(v, bool)
+            if bt in ("int", "long"):
+                return lambda v: isinstance(v, int) and not isinstance(v, bool)
+            if bt in ("float", "double"):
+                return lambda v: isinstance(v, float)
+            if bt == "enum":
+                symbols = set(b["symbols"])
+                return lambda v: isinstance(v, str) and v in symbols
+            if bt == "string":
+                return lambda v: isinstance(v, str)
+            if bt in ("bytes", "fixed"):
+                return lambda v: isinstance(v, (bytes, bytearray))
+            if bt == "array":
+                return lambda v: isinstance(v, (list, tuple))
+            if bt == "map":
+                return lambda v: isinstance(v, dict)
+            if bt == "record":
+                # dicts always; sequences only when no array branch
+                # competes for them (checked by branch order below)
+                return lambda v: isinstance(v, (dict, list, tuple))
+            return lambda v: False
+
+        branch_enc = [
+            (i, _pred(b), _make_encoder(b, names)) for i, b in enumerate(schema)
+        ]
+        # numeric promotion fallback: an int datum with no int/long
+        # branch still fits a float/double branch
+        float_fallback = next(
+            (
+                (i, _make_encoder(b, names))
+                for i, b in enumerate(schema)
+                if _type_name(b) in ("float", "double") and _logical(b) is None
+            ),
+            None,
+        )
 
         def _union(v, out):
-            if v is None and null_idx is not None:
-                _zigzag(out, null_idx)
-                return
-            for i, (b, enc) in enumerate(branch_enc):
-                if _type_name(b) != "null":
+            for i, pred, enc in branch_enc:
+                if pred(v):
                     _zigzag(out, i)
                     enc(v, out)
                     return
+            if (
+                float_fallback is not None
+                and isinstance(v, int)
+                and not isinstance(v, bool)
+            ):
+                _zigzag(out, float_fallback[0])
+                float_fallback[1](float(v), out)
+                return
+            raise ValueError(
+                f"value {v!r} ({type(v).__name__}) matches no union branch "
+                f"of {[_type_name(b) for b in schema]}"
+            )
 
         return _union
     if lt == "date":
@@ -896,41 +1074,38 @@ def avro_schema_for(spark_schema, name: str = "spark_record") -> dict:
     }
 
 
-def write_avro(df, directory: str, codec: str = "deflate", block_rows: int = 4096) -> None:
+def write_avro(
+    df,
+    directory: str,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+    mode: str = "overwrite",
+) -> None:
     """Distributed Avro sink via the Python DataSource writer API: every
     partition streams its rows into its own container part file under
     ``directory`` — the partition-parallel write contract (nothing
-    funnels through the driver). Local-filesystem paths (the env has no
-    distributed FS); at real scale the jar-based ``format("avro")``
-    writer is the drop-in swap."""
-    from pyspark.sql.datasource import DataSource, DataSourceWriter, WriterCommitMessage
-
-    _ship_self_by_value()
-    schema_json = json.dumps(avro_schema_for(df.schema))
-    os.makedirs(directory, exist_ok=True)
-
-    class _Writer(DataSourceWriter):
-        def write(self, rows) -> WriterCommitMessage:
-            part = os.path.join(directory, f"part-{_uuid.uuid4().hex}.avro")
-            write_avro_file(part, schema_json, (tuple(r) for r in rows), codec, block_rows)
-            return WriterCommitMessage()
-
-        def commit(self, messages):
-            return None
-
-        def abort(self, messages):
-            return None
-
-    class _AvroSink(DataSource):
-        _fmt = f"pipes_avro_sink_{_uuid.uuid4().hex[:12]}"
-
-        @classmethod
-        def name(cls):
-            return cls._fmt
-
-        def writer(self, schema, overwrite):
-            return _Writer()
-
+    funnels through the driver), with the standard task-commit protocol
+    (temp name per attempt, rename on commit — a failed/speculative task
+    never leaves a partial final file). ``mode``: "overwrite" (default,
+    matching the sibling sinks) clears existing part files first so a
+    re-run cannot silently double the data; "append" adds part files.
+    Local-filesystem paths (the env has no distributed FS); at real
+    scale the jar-based ``format("avro")`` writer is the drop-in swap."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = df.sparkSession
-    spark.dataSource.register(_AvroSink)
-    df.write.format(_AvroSink._fmt).mode("append").save()
+    _register(spark)
+    os.makedirs(directory, exist_ok=True)
+    if mode == "overwrite":
+        for n in os.listdir(directory):
+            if n.endswith(".avro") or (n.startswith(".") and n.endswith(".avro.tmp")):
+                os.remove(os.path.join(directory, n))
+    (
+        df.write.format("pipes_avro")
+        .option("path", directory)
+        .option("avro_schema", json.dumps(avro_schema_for(df.schema)))
+        .option("codec", codec)
+        .option("block_rows", str(int(block_rows)))
+        .mode("append")  # cleanup handled above; tasks only ever add temps
+        .save()
+    )

@@ -352,3 +352,79 @@ def test_sources_sinks_wrappers_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in nation.collect()
     )
+
+
+def test_union_encoder_dispatches_by_runtime_type(tmp_path):
+    """Multi-branch unions pick the branch matching the datum (spec), not
+    blindly the first non-null branch (which would write 1.5 through a
+    long branch — silent corruption)."""
+    schema = {
+        "type": "record",
+        "name": "U",
+        "fields": [{"name": "u", "type": ["null", "long", "double", "string"]}],
+    }
+    rows = [(None,), (5,), (1.5,), ("x",)]
+    p = str(tmp_path / "union.avro")
+    av.write_avro_file(p, schema, rows)
+    assert list(av._iter_range_rows(p, 0, 10**9)) == rows
+    # int datum with only a double branch promotes, and an unmatchable
+    # datum raises instead of corrupting
+    p2 = str(tmp_path / "union2.avro")
+    av.write_avro_file(
+        p2,
+        {"type": "record", "name": "U2", "fields": [{"name": "u", "type": ["null", "double"]}]},
+        [(3,)],
+    )
+    assert list(av._iter_range_rows(p2, 0, 10**9)) == [(3.0,)]
+    with pytest.raises(ValueError, match="union branch"):
+        av.write_avro_file(
+            str(tmp_path / "union3.avro"),
+            {"type": "record", "name": "U3", "fields": [{"name": "u", "type": ["null", "long"]}]},
+            [("not an int",)],
+        )
+
+
+def test_write_avro_overwrite_replaces_and_append_adds(spark, sf_dir, tmp_path):
+    from pipes_spark.sources import load_table
+
+    out = str(tmp_path / "modes")
+    nation = load_table(spark, sf_dir, "nation")
+    av.write_avro(nation, out)  # default overwrite
+    assert av.read_avro(spark, out).count() == 25
+    av.write_avro(nation, out)  # re-run must NOT double the data
+    assert av.read_avro(spark, out).count() == 25
+    av.write_avro(nation, out, mode="append")
+    assert av.read_avro(spark, out).count() == 50
+    with pytest.raises(ValueError, match="mode"):
+        av.write_avro(nation, out, mode="errorifexists")
+
+
+def test_orphaned_tmp_files_invisible_to_readers(spark, sf_dir, tmp_path):
+    """A failed/speculative task attempt leaves only a dot-prefixed temp
+    file (the commit protocol renames succeeded attempts); readers list
+    *.avro and never see it."""
+    from pipes_spark.sources import load_table
+
+    out = str(tmp_path / "tmpvis")
+    nation = load_table(spark, sf_dir, "nation")
+    av.write_avro(nation, out)
+    # simulate a dead attempt's leftover
+    stray = os.path.join(out, ".part-deadbeef.avro.tmp")
+    with open(stray, "wb") as f:
+        f.write(b"truncated garbage")
+    assert av.read_avro(spark, out).count() == 25
+    # and the next overwrite clears it
+    av.write_avro(nation, out)
+    assert not os.path.exists(stray)
+
+
+def test_repeated_reads_do_not_grow_datasource_registry(spark, tmp_path):
+    """The format is ONE static registration ('pipes_avro'); per-call
+    uuid-named sources would leak a registry entry per query."""
+    schema = {"type": "record", "name": "S", "fields": [{"name": "i", "type": "long"}]}
+    p = str(tmp_path / "reg.avro")
+    av.write_avro_file(p, schema, [(1,), (2,)])
+    for _ in range(3):
+        assert av.read_avro(spark, p).count() == 2
+    # same name resolves; a fourth read still works after re-registration
+    assert av.read_avro(spark, p, split_target_bytes=1 << 16).count() == 2

@@ -771,17 +771,24 @@ def test_no_unpartitioned_data_window_in_streaming_microbatch(spark, sf_dir):
         plans.append(
             df._jdf.queryExecution().optimizedPlan().toString()
         )
-        # dedup by order-spec string: the returned batch DataFrame's plan
-        # can repeat a window already captured in a micro-batch plan (the
-        # foreachBatch merge trees), and a double-counted hit would force
-        # a misleading allowance bump
-        seen_orders = set()
-        hits = []
+        # dedup ACROSS plans but not within one: the returned batch
+        # DataFrame's plan can repeat a window already captured in a
+        # micro-batch plan (the foreachBatch merge trees) — that is one
+        # window, not two. But two DISTINCT windows sharing an order
+        # spec inside the SAME plan are two real bottlenecks, so count
+        # each order spec at its max per-plan multiplicity.
+        per_plan: dict = {}
+        examples: dict = {}
         for p in plans:
+            counts_in_plan: dict = {}
             for h in unpartitioned_windows(p):
-                if h[1] not in seen_orders:
-                    seen_orders.add(h[1])
-                    hits.append(h)
+                counts_in_plan[h[1]] = counts_in_plan.get(h[1], 0) + 1
+                examples.setdefault(h[1], h)
+            for order, c in counts_in_plan.items():
+                per_plan[order] = max(per_plan.get(order, 0), c)
+        hits = [
+            examples[order] for order, c in per_plan.items() for _ in range(c)
+        ]
         allowed = STREAMING_LINT_ALLOWED.get(name, (0, ""))[0]
         # exact match, not <=: a stale allowance must fail too
         if len(hits) != allowed:

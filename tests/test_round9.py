@@ -203,3 +203,66 @@ def test_twsip_survives_session_created_before_import(tmp_path):
         timeout=420,
     )
     assert "HOSTILE_TWSIP_OK" in out.stdout, out.stdout[-800:] + out.stderr[-2000:]
+
+
+def test_bigram_append_replays_half_applied_batch_without_double_count(spark, sf_dir):
+    """Crash-safety: counts land in a partition keyed by a deterministic
+    digest of the delta doc set (dynamic partition overwrite), registry
+    appended LAST — so a process dying between the two writes retries
+    into the SAME partition. Simulate the half-applied state (counts
+    written, registry not) and require the retry to converge to the
+    exact fresh recount."""
+    from pipes_spark.operators.text import _bigram_stream
+    from pipes_spark.sources import load_table
+    from pipes_spark.warehouse import (
+        append_bigram_counts,
+        bigram_model_table,
+        clear_stale_location,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 20)
+    batch = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 35))
+
+    tag = "t9kn_crash"
+    name = f"bigram_counts_documents_{tag}"
+    for t in (name, f"bigram_docs_documents_{tag}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        clear_stale_location(spark, t)
+    bigram_model_table(spark, sf_dir, corpus=base, tag=tag)
+
+    # replicate exactly what a process that died between the counts
+    # insert and the registry append left behind
+    batch_id = batch.agg(
+        F.md5(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col("doc_id").cast("string")))
+            )
+        ).alias("d")
+    ).collect()[0]["d"]
+    _, big = _bigram_stream(batch, "text", "doc_id")
+    half = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn("_batch", F.lit(batch_id))
+        .select("w1", "w2", "c2", "_batch")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    half.write.insertInto(name, overwrite=True)
+
+    # the retry: must replace the half-applied partition, not add to it
+    refreshed = append_bigram_counts(spark, sf_dir, batch, tag=tag)
+    summed = sorted(
+        tuple(r)
+        for r in refreshed.groupBy("w1", "w2")
+        .agg(F.sum("c2").cast("bigint").alias("c2"))
+        .collect()
+    )
+    _, big2 = _bigram_stream(base.unionByName(batch), "text", "doc_id")
+    fresh = sorted(
+        tuple(r)
+        for r in big2.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .collect()
+    )
+    assert summed == fresh
