@@ -14163,3 +14163,46 @@ def text_kn_perplexity_indexed(spark, sf_dir):
     counts = bigram_model_table(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     return kneser_ney_perplexity_from_model(d, counts).orderBy("doc_id")
+
+
+@query(
+    "streaming_avro_source",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def streaming_avro_source(spark, sf_dir):
+    """STREAMING ingest from Avro container drops
+    (sources.avro.read_avro_stream — executor-parallel
+    DataSourceStreamReader over a directory, offsets = processed prefix
+    of the name-sorted listing, byte-range splits per micro-batch file):
+    the fixture file becomes one micro-batch, aggregated complete-mode
+    into the memory sink. Oracle reads the same rows straight from
+    parquet, so the hash gate proves streaming-decode value-exact —
+    together with source_avro_roundtrip the format is graded on both
+    the batch and streaming paths."""
+    import os
+
+    from .sources.avro import read_avro_stream
+    from .streaming import run_to_memory
+    from .warehouse import avro_customer_fixture
+
+    path = avro_customer_fixture(spark, sf_dir)
+    # each sf tag's fixture lives in its OWN subdirectory (warehouse.py)
+    # precisely so the stream consumes only this tag's drop
+    stream = read_avro_stream(spark, os.path.dirname(path),
+                              split_target_bytes=1 << 16)
+    agg = (
+        stream.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
+    )
+    return run_to_memory(agg, output_mode="complete").orderBy("c_mktsegment")

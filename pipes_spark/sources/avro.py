@@ -610,6 +610,7 @@ def _make_avro_source():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamReader,
         DataSourceWriter,
         InputPartition,
         WriterCommitMessage,
@@ -682,6 +683,55 @@ def _make_avro_source():
                     except OSError:
                         pass
 
+    class _DirStreamReader(DataSourceStreamReader):
+        """Micro-batch streaming over a DIRECTORY of container files —
+        the ingest-drop pattern (each upstream batch lands one
+        monotonically-named ``*.avro`` file). Offsets are the processed
+        prefix length of the name-sorted file list, so the contract is
+        MONOTONE NAMING (``batch-000001.avro`` …): a new file sorting
+        before an already-committed one would be skipped, exactly like
+        renaming history under any offset-prefix source. Each
+        micro-batch file is carved into the same byte-range splits as
+        the batch reader — the decode work stays executor-parallel."""
+
+        def __init__(self, options):
+            self._options = dict(options)
+
+        def _files(self):
+            try:
+                return _avro_paths(self._options["path"])
+            except ValueError:  # empty dir: stream idles until a drop
+                return []
+
+        def initialOffset(self) -> dict:
+            return {"n": 0}
+
+        def latestOffset(self) -> dict:
+            return {"n": len(self._files())}
+
+        def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+            step = max(
+                int(self._options.get("split_target_bytes", 32 << 20)), 1 << 16
+            )
+            splits = []
+            for p in self._files()[start["n"] : end["n"]]:
+                m = read_file_metadata(p)
+                lo = m["first_block_offset"]
+                sz = m["size"]
+                while lo < sz:
+                    splits.append((p, lo, min(lo + step, sz)))
+                    lo += step
+            return [InputPartition(s) for s in splits]
+
+        def read(self, partition: InputPartition):
+            p, lo, hi = partition.value
+            return _iter_range_rows(
+                p, lo, hi, _resolved_reader_schema_json(self._options)
+            )
+
+        def commit(self, end: dict) -> None:
+            return None
+
     class PipesAvroDataSource(DataSource):
         """``format("pipes_avro")`` — options: ``path`` (file or
         directory), ``reader_schema`` (JSON, optional), ``split_target_
@@ -697,6 +747,9 @@ def _make_avro_source():
 
         def reader(self, schema):
             return _RangeReader(self.options)
+
+        def streamReader(self, schema):
+            return _DirStreamReader(self.options)
 
         def writer(self, schema, overwrite):
             return _PartWriter(self.options)
@@ -1109,3 +1162,28 @@ def write_avro(
         .mode("append")  # cleanup handled above; tasks only ever add temps
         .save()
     )
+
+
+def read_avro_stream(
+    spark,
+    path: str,
+    reader_schema: Optional[str] = None,
+    split_target_bytes: int = 32 << 20,
+):
+    """STREAMING DataFrame over a directory of Avro container files —
+    the ingest-drop pattern: each upstream batch lands one monotonically
+    named ``*.avro`` file and becomes one micro-batch (offsets = the
+    processed prefix of the name-sorted listing; see the stream reader's
+    docstring for the naming contract). Decode stays executor-parallel
+    via the same byte-range splits as :func:`read_avro`. The directory
+    must hold at least one file (or pass ``reader_schema``) so the
+    query's schema is known at start."""
+    _register(spark)
+    r = (
+        spark.readStream.format("pipes_avro")
+        .option("path", path)
+        .option("split_target_bytes", str(int(split_target_bytes)))
+    )
+    if reader_schema is not None:
+        r = r.option("reader_schema", reader_schema)
+    return r.load()

@@ -364,7 +364,13 @@ def avro_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
     from pipes_spark.sources.avro import write_avro_file
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = f"{wh}/avro_customer_{_tag(sf_dir)}.avro"
+    # own subdirectory per sf tag: the streaming reader consumes the
+    # fixture's DIRECTORY, which must not union other tags' fixtures
+    path = f"{wh}/avro_fixture_{_tag(sf_dir)}/customer-000001.avro"
+    # drop the pre-r9.1 flat-file layout so it can't leak into streams
+    legacy = f"{wh}/avro_customer_{_tag(sf_dir)}.avro"
+    if os.path.exists(legacy):
+        os.remove(legacy)
     if not os.path.exists(path):
         import pyarrow.parquet as pq
 
@@ -380,7 +386,7 @@ def avro_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
                 {"name": "c_mktsegment", "type": "string"},
             ],
         }
-        os.makedirs(wh, exist_ok=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         write_avro_file(
             tmp,

@@ -428,3 +428,54 @@ def test_repeated_reads_do_not_grow_datasource_registry(spark, tmp_path):
         assert av.read_avro(spark, p).count() == 2
     # same name resolves; a fourth read still works after re-registration
     assert av.read_avro(spark, p, split_target_bytes=1 << 16).count() == 2
+
+
+def test_read_avro_stream_unions_drops_and_discovers_new_files(spark, tmp_path):
+    """Directory streaming: existing monotone-named drops form the first
+    micro-batches; a file landing while the query runs is picked up by
+    the next offset discovery."""
+    from pyspark.sql import functions as F
+
+    schema = {
+        "type": "record",
+        "name": "S",
+        "fields": [{"name": "i", "type": "long"}, {"name": "g", "type": "string"}],
+    }
+    d = str(tmp_path / "drops")
+    os.makedirs(d)
+    av.write_avro_file(f"{d}/batch-000001.avro", schema, [(i, "a") for i in range(100)])
+    av.write_avro_file(f"{d}/batch-000002.avro", schema, [(i, "b") for i in range(50)])
+
+    stream = av.read_avro_stream(spark, d, split_target_bytes=1 << 16)
+    agg = stream.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("i").alias("s")
+    )
+    name = "avro_stream_inc"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["g"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+        assert got == {"a": (100, 4950), "b": (50, 1225)}
+
+        av.write_avro_file(
+            f"{d}/batch-000003.avro", schema, [(i, "a") for i in range(10)]
+        )
+        q.processAllAvailable()
+        got = {r["g"]: (r["n"], r["s"]) for r in spark.table(name).collect()}
+        assert got == {"a": (110, 4995), "b": (50, 1225)}
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
+def test_streaming_avro_query_matches_batch(spark, sf_dir):
+    from pipes_spark.catalog import QUERIES
+
+    a = [tuple(r) for r in QUERIES["streaming_avro_source"].fn(spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["source_avro_roundtrip"].fn(spark, sf_dir).collect()]
+    assert a == b and len(a) > 0
