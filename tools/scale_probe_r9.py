@@ -28,7 +28,7 @@ def main() -> None:
 
     from pipes_spark.session import get_spark
 
-    which = set(sys.argv[1:]) or {"lpa", "kn"}
+    which = set(sys.argv[1:]) or {"lpa", "kn", "avro"}
     spark = get_spark("scale_probe_r9")
 
     def run(name, fn):
@@ -73,6 +73,40 @@ def main() -> None:
             ),
         )
         e.unpersist(blocking=True)
+
+    if "avro" in which:
+        import shutil
+
+        from pipes_spark.sources.avro import read_avro, write_avro
+
+        d = "/tmp/avro_probe_dir"
+        shutil.rmtree(d, ignore_errors=True)
+        n = 2_000_000
+        src = spark.range(n).select(
+            F.col("id"),
+            (F.col("id") % 97).alias("k"),
+            (F.col("id") * 0.5).alias("v"),
+            F.concat(F.lit("row-"), F.col("id")).alias("s"),
+        ).repartition(32)
+        t0 = time.perf_counter()
+        write_avro(src, d)
+        t_w = time.perf_counter() - t0
+        sz = sum(
+            os.path.getsize(os.path.join(d, f)) for f in os.listdir(d)
+        )
+        df = read_avro(spark, d, split_target_bytes=1 << 21)
+        t0 = time.perf_counter()
+        got = df.agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")).collect()[0]
+        t_r = time.perf_counter() - t0
+        assert got["n"] == n, got
+        print(
+            f"avro_probe: {n} rows, {sz/1e6:.1f} MB deflate, "
+            f"write {t_w:.2f}s ({n/t_w/1e6:.2f} Mrows/s), "
+            f"read+agg {t_r:.2f}s ({n/t_r/1e6:.2f} Mrows/s, "
+            f"{df.rdd.getNumPartitions()} splits)",
+            flush=True,
+        )
+        shutil.rmtree(d, ignore_errors=True)
 
     if "kn" in which:
         from pipes_spark.operators.text import (
