@@ -3944,12 +3944,15 @@ _GRADED_WINDOW = [
     # r01 in an 8-slot family — hands its slot to text_kn_perplexity, the
     # Kneser-Ney LM quality filter the driver has never hash-graded; the
     # displaced query re-registers right after the window)
-    # round-9 curation: q8_market_share (hash-graded green since r01 in a
-    # TPC-H family still carried by six sibling slots) hands its slot to
-    # streaming_twsip — the modern transformWithStateInPandas path, whose
-    # driver grading certifies the offline protobuf wiring end to end.
+    # round-9 curation: q8_market_share and q10_returned_items (both
+    # hash-graded green since r01 in a TPC-H family still carried by five
+    # sibling slots) hand their slots to streaming_twsip — the modern
+    # transformWithStateInPandas path, whose driver grading certifies the
+    # offline protobuf wiring end to end — and streaming_avro_source —
+    # the Python-DataSource STREAMING read path (offsets/partitions/
+    # micro-batch machinery), a family the driver has never graded.
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
-    "q5_local_supplier_volume", "streaming_twsip", "q10_returned_items",
+    "q5_local_supplier_volume", "streaming_twsip", "streaming_avro_source",
     "text_kn_perplexity", "q21_waiting_supplier",
     # subqueries / decorrelation (round-6 curation: subquery_scalar_uncorr
     # — a family already carried by three sibling slots — hands its slot
