@@ -599,6 +599,25 @@ def _resolved_reader_schema_json(options: dict) -> str:
     return json.dumps(read_file_metadata(files[0])["schema"])
 
 
+def _carve_splits(paths, options: dict, schema_json: str) -> list:
+    """Byte-range split tuples ``(path, lo, hi, reader_schema_json)``
+    for a list of container files — shared by the batch and streaming
+    readers so the split math cannot diverge. The resolved reader
+    schema rides INSIDE each tuple: tasks decode without re-listing the
+    directory or re-reading headers (and without a time-of-plan vs
+    time-of-run window on which file defines the schema)."""
+    step = max(int(options.get("split_target_bytes", 32 << 20)), 1 << 16)
+    splits = []
+    for p in paths:
+        m = read_file_metadata(p)
+        lo = m["first_block_offset"]
+        sz = m["size"]
+        while lo < sz:  # header-only (0-row) files add no split
+            splits.append((p, lo, min(lo + step, sz), schema_json))
+            lo += step
+    return splits
+
+
 def _make_avro_source():
     """Build the ONE static DataSource class for the ``pipes_avro``
     format (read and write paths; everything parameterized through the
@@ -627,22 +646,15 @@ def _make_avro_source():
 
         def partitions(self) -> Sequence[InputPartition]:
             opts = self._options
-            step = max(int(opts.get("split_target_bytes", 32 << 20)), 1 << 16)
-            splits = []
-            for p in _avro_paths(opts["path"]):
-                m = read_file_metadata(p)
-                lo = m["first_block_offset"]
-                sz = m["size"]
-                while lo < sz:  # header-only (0-row) files add no split
-                    splits.append((p, lo, min(lo + step, sz)))
-                    lo += step
-            return [InputPartition(s) for s in splits]
+            schema_json = _resolved_reader_schema_json(opts)
+            return [
+                InputPartition(s)
+                for s in _carve_splits(_avro_paths(opts["path"]), opts, schema_json)
+            ]
 
         def read(self, partition: InputPartition):
-            p, lo, hi = partition.value
-            return _iter_range_rows(
-                p, lo, hi, _resolved_reader_schema_json(self._options)
-            )
+            p, lo, hi, schema_json = partition.value
+            return _iter_range_rows(p, lo, hi, schema_json)
 
     class _PartWriter(DataSourceWriter):
         """One container part file per partition, with the standard
@@ -658,9 +670,16 @@ def _make_avro_source():
             self._options = dict(options)
 
         def write(self, rows) -> "_AvroCommit":
+            import time as _time
+
             opts = self._options
             directory = opts["path"]
-            part = f"part-{_uuid.uuid4().hex}.avro"
+            # zero-padded nanosecond prefix makes part names MONOTONE
+            # across sequential writes, so the directory stream reader's
+            # name-watermark offsets compose with this module's own sink
+            # (uuid alone sorts randomly — a later write could land
+            # below the committed watermark and be silently skipped)
+            part = f"part-{_time.time_ns():020d}-{_uuid.uuid4().hex[:8]}.avro"
             tmp = os.path.join(directory, f".{part}.tmp")
             write_avro_file(
                 tmp,
@@ -685,49 +704,79 @@ def _make_avro_source():
 
     class _DirStreamReader(DataSourceStreamReader):
         """Micro-batch streaming over a DIRECTORY of container files —
-        the ingest-drop pattern (each upstream batch lands one
-        monotonically-named ``*.avro`` file). Offsets are the processed
-        prefix length of the name-sorted file list, so the contract is
-        MONOTONE NAMING (``batch-000001.avro`` …): a new file sorting
-        before an already-committed one would be skipped, exactly like
-        renaming history under any offset-prefix source. Each
-        micro-batch file is carved into the same byte-range splits as
-        the batch reader — the decode work stays executor-parallel."""
+        the ingest-drop pattern (each upstream batch lands one ``*.avro``
+        file). Offsets are a NAME WATERMARK (the greatest processed file
+        name), so replay after recovery re-reads exactly the committed
+        name range and a retried batch can never duplicate rows. The
+        naming contract is monotone names across drops — which the
+        module's own sink satisfies (``write_avro`` part names lead with
+        a zero-padded nanosecond timestamp): a late file sorting below
+        the watermark is SKIPPED, never double-read. Robustness: a
+        missing or still-empty directory idles; a torn file mid-write
+        (producers that don't write-then-rename) holds the watermark
+        back — only the readable name-sorted prefix of new files is
+        admitted, so the torn file and everything after it simply wait
+        for the next discovery. Each admitted file is carved into the
+        same byte-range splits as the batch reader (shared
+        ``_carve_splits``) — decode stays executor-parallel."""
 
         def __init__(self, options):
             self._options = dict(options)
+            # driver-side high-water mark: keeps latestOffset monotone
+            # even if a torn out-of-order name later appears below it
+            # (after a restart it starts at "" — an end offset below the
+            # checkpointed start just plans an empty batch until
+            # discovery catches back up)
+            self._hwm = ""
 
-        def _files(self):
+        def _files_after(self, last: str) -> list:
+            path = self._options["path"]
+            if not os.path.exists(path):
+                return []  # producer has not created the drop dir yet
             try:
-                return _avro_paths(self._options["path"])
-            except ValueError:  # empty dir: stream idles until a drop
+                names = _avro_paths(path)
+            except ValueError:  # empty dir: idle until the first drop
                 return []
+            fresh = [p for p in names if os.path.basename(p) > last]
+            ready = []
+            for p in fresh:
+                try:
+                    read_file_metadata(p)
+                except (ValueError, OSError, EOFError):
+                    break  # torn/in-flight drop: it and later names wait
+                ready.append(p)
+            return ready
 
         def initialOffset(self) -> dict:
-            return {"n": 0}
+            return {"last": ""}
 
         def latestOffset(self) -> dict:
-            return {"n": len(self._files())}
+            # watermark only ever advances, and only to the last name of
+            # the READABLE prefix of new files
+            ready = self._files_after(self._hwm)
+            if ready:
+                self._hwm = max(self._hwm, os.path.basename(ready[-1]))
+            return {"last": self._hwm}
 
         def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-            step = max(
-                int(self._options.get("split_target_bytes", 32 << 20)), 1 << 16
+            batch = [
+                p
+                for p in self._files_after(start["last"])
+                if os.path.basename(p) <= end["last"]
+            ]
+            if not batch:
+                return []
+            schema_json = self._options.get("reader_schema") or json.dumps(
+                read_file_metadata(batch[0])["schema"]
             )
-            splits = []
-            for p in self._files()[start["n"] : end["n"]]:
-                m = read_file_metadata(p)
-                lo = m["first_block_offset"]
-                sz = m["size"]
-                while lo < sz:
-                    splits.append((p, lo, min(lo + step, sz)))
-                    lo += step
-            return [InputPartition(s) for s in splits]
+            return [
+                InputPartition(s)
+                for s in _carve_splits(batch, self._options, schema_json)
+            ]
 
         def read(self, partition: InputPartition):
-            p, lo, hi = partition.value
-            return _iter_range_rows(
-                p, lo, hi, _resolved_reader_schema_json(self._options)
-            )
+            p, lo, hi, schema_json = partition.value
+            return _iter_range_rows(p, lo, hi, schema_json)
 
         def commit(self, end: dict) -> None:
             return None

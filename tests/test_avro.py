@@ -479,3 +479,76 @@ def test_streaming_avro_query_matches_batch(spark, sf_dir):
     a = [tuple(r) for r in QUERIES["streaming_avro_source"].fn(spark, sf_dir).collect()]
     b = [tuple(r) for r in QUERIES["source_avro_roundtrip"].fn(spark, sf_dir).collect()]
     assert a == b and len(a) > 0
+
+
+def test_stream_idles_on_missing_dir_and_torn_drop_holds_watermark(spark, tmp_path):
+    """A not-yet-created drop directory idles (no crash); a torn
+    in-flight file holds the name watermark back so it and later names
+    wait, then flow once the file is complete."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    schema = {"type": "record", "name": "S", "fields": [{"name": "i", "type": "long"}]}
+    d = str(tmp_path / "notyet")
+    stream = av.read_avro_stream(spark, d, reader_schema=_json.dumps(schema))
+    agg = stream.agg(F.count(F.lit(1)).alias("n"))
+    name = "avro_stream_torn"
+    q = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    )
+    try:
+        q.processAllAvailable()  # missing dir: idle, not crash
+        assert spark.table(name).collect()[0]["n"] == 0
+
+        os.makedirs(d)
+        av.write_avro_file(f"{d}/batch-000001.avro", schema, [(i,) for i in range(7)])
+        with open(f"{d}/batch-000002.avro", "wb") as f:
+            f.write(b"Obj\x01torn-in-flight")  # producer mid-write
+        av.write_avro_file(f"{d}/batch-000003.avro", schema, [(i,) for i in range(5)])
+        q.processAllAvailable()
+        # only the readable prefix (file 1) is admitted
+        assert spark.table(name).collect()[0]["n"] == 7
+
+        av.write_avro_file(f"{d}/batch-000002.avro", schema, [(i,) for i in range(3)])
+        q.processAllAvailable()
+        assert spark.table(name).collect()[0]["n"] == 15
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+
+def test_write_avro_part_names_monotone_for_stream_composition(spark, sf_dir, tmp_path):
+    """Sequential write_avro batches produce lexicographically increasing
+    part names (nanosecond prefix), so the module's own sink composes
+    with the directory stream's name-watermark offsets."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.sources import load_table
+
+    d = str(tmp_path / "compose")
+    nation = load_table(spark, sf_dir, "nation")
+    av.write_avro(nation.repartition(2), d, mode="append")
+    first = sorted(f for f in os.listdir(d) if f.endswith(".avro"))
+    av.write_avro(nation.repartition(2), d, mode="append")
+    both = sorted(f for f in os.listdir(d) if f.endswith(".avro"))
+    second = [f for f in both if f not in first]
+    assert len(first) == 2 and len(second) == 2
+    assert min(second) > max(first)
+
+    # end to end: the stream sees both batches
+    stream = av.read_avro_stream(spark, d)
+    out_name = "avro_stream_compose"
+    q = (
+        stream.agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(out_name).collect()[0]["n"] == 50
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(out_name)

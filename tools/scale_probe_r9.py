@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Round-9 scale probes: measure the two new cost knobs.
+"""Round-9 scale probes: measure the three new cost knobs.
 
 1. LPA convergence early exit — a clique forest (the shape near-dup /
    entity-resolution graphs actually have) converges in ~3 rounds; the
@@ -8,8 +8,11 @@
 2. Persisted KN bigram model — score documents against
    warehouse.bigram_model_table vs refitting in-flight (both warm, model
    table pre-built outside the measured region — the ingest contract).
+3. Pure-Python Avro throughput — partition-parallel write + 32-split
+   read of a 2M-row table: the honest slow-path number for the jar-free
+   format.
 
-Usage: python tools/scale_probe_r9.py [lpa] [kn]
+Usage: python tools/scale_probe_r9.py [lpa] [kn] [avro]
 """
 
 from __future__ import annotations
