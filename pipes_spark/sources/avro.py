@@ -41,7 +41,6 @@ and union branch resolution.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
