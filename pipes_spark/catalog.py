@@ -14209,3 +14209,287 @@ def streaming_avro_source(spark, sf_dir):
         )
     )
     return run_to_memory(agg, output_mode="complete").orderBy("c_mktsegment")
+
+
+@query(
+    "sketch_theta_diff",
+    oracle="""
+    WITH tagged AS (
+      SELECT DISTINCT
+             'y' || CAST(extract(year FROM o_orderdate) AS VARCHAR) AS s,
+             CAST(o_custkey AS VARCHAR) AS k,
+             CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 14))
+                  AS BIGINT) AS h
+      FROM orders WHERE extract(year FROM o_orderdate) IN (1995, 1996)
+    ), dh AS (SELECT DISTINCT s, h FROM tagged),
+    ranked AS (
+      SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn FROM dh
+    ), theta AS (
+      SELECT coalesce(min(h), 72057594037927936) AS th FROM ranked WHERE rn = 64
+    ), names AS (SELECT min(s) AS s_lo, max(s) AS s_hi FROM dh),
+    only_h AS (
+      SELECT min(s) AS owner, count(*) AS ns
+      FROM dh, theta WHERE h < th GROUP BY h
+    ), sk AS (
+      SELECT owner AS s, count(*)::BIGINT AS n_sk
+      FROM only_h WHERE ns = 1 GROUP BY owner
+    ), only_k AS (
+      SELECT min(s) AS owner, count(*) AS ns FROM tagged GROUP BY k
+    ), ex AS (
+      SELECT owner AS s, count(*)::BIGINT AS n_exact
+      FROM only_k WHERE ns = 1 GROUP BY owner
+    ), sets AS (SELECT DISTINCT s FROM dh),
+    per AS (
+      SELECT concat(s, '_not_',
+                    CASE WHEN s = s_lo THEN s_hi ELSE s_lo END) AS set_name,
+             CAST(coalesce(n_exact, 0) AS BIGINT) AS n_exact,
+             round(CAST(coalesce(n_sk, 0) AS DOUBLE) * 72057594037927936.0
+                   / CAST(th AS DOUBLE), 6) AS est
+      FROM sets LEFT JOIN ex USING (s) LEFT JOIN sk USING (s), theta, names
+    )
+    SELECT set_name, n_exact, est FROM per
+    UNION ALL
+    SELECT 'sym_diff', CAST(sum(n_exact) AS BIGINT), round(sum(est), 6)
+    FROM per
+    ORDER BY set_name
+    """,
+)
+def sketch_theta_diff(spark, sf_dir):
+    """Theta-sketch A-not-B set difference (operators.rollup.kmv_a_not_b):
+    customers who ordered in 1995 but not 1996, the reverse, and the
+    symmetric difference — the DIRECTIONAL set-algebra operation
+    sketch_kmv_overlap's inclusion–exclusion can't express. Hashes below
+    theta = min(theta_A, theta_B) present in exactly one set are an
+    unbiased difference sample: est = count · 2^56 / theta. Same
+    deterministic md5 order-statistic machinery as the KMV family, so
+    the hash gate checks the estimator math itself; exact directional
+    counts ride a parallel key-grain groupBy as the audit column."""
+    from .operators.rollup import kmv_a_not_b
+
+    o = _t(spark, sf_dir, "orders")
+    two = o.filter(F.year("o_orderdate").isin(1995, 1996)).select(
+        F.concat(F.lit("y"), F.year("o_orderdate").cast("string")).alias("yr"),
+        "o_custkey",
+    )
+    return kmv_a_not_b(two, "yr", "o_custkey", k=64)
+
+
+@query(
+    "quality_l_diversity",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+             o_orderstatus,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority, order_month,
+           CAST(count(*) AS BIGINT) AS distinct_l,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           round(exp(ln(sum(n))
+                     - CAST(sum(CAST(round(n * ln(n), 6) AS DECIMAL(28,6)))
+                            AS DOUBLE) / sum(n)), 6) AS entropy_l
+    FROM cell GROUP BY 1, 2 HAVING count(*) < 3
+    ORDER BY o_orderpriority, order_month
+    """,
+)
+def quality_l_diversity(spark, sf_dir):
+    """l-diversity audit (operators.profiling.l_diversity), the stronger
+    companion to quality_k_anonymity: (order-priority, order-month)
+    groups whose order-status column shows fewer than l=3 distinct
+    values — k-anonymous groups can still leak the sensitive attribute
+    when it is near-constant inside them. Reports plain distinct-l and
+    entropy-l (exp of the group's value entropy — the effective number
+    of values, which punishes 99%/1% splits). Two map-side-combined
+    grouped passes; output bounded by the violation set. The month key
+    rides as TIMESTAMP on both sides (the events_hourly comparator
+    convention — bare DATE output columns normalize differently)."""
+    from .operators.profiling import l_diversity
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        "o_orderstatus",
+    )
+    return l_diversity(
+        o, ["o_orderpriority", "order_month"], "o_orderstatus", l=3
+    ).orderBy("o_orderpriority", "order_month")
+
+
+@query(
+    "stats_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+             CAST(o_orderpriority AS VARCHAR) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), rm AS (SELECT a, sum(n) AS na FROM cells GROUP BY a),
+    cm AS (SELECT b, sum(n) AS nb FROM cells GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c
+      FROM cells
+    ), s AS (
+      SELECT CAST(sum(CAST(round(
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+               / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 12)
+             AS DECIMAL(38,12))) AS DOUBLE) AS s
+      FROM cells JOIN rm USING (a) JOIN cm USING (b)
+    )
+    SELECT nn AS n_rows, r AS n_levels_a, c AS n_levels_b,
+           round(CAST(nn AS DOUBLE) * (s - 1.0), 6) AS chi2,
+           round(sqrt((s - 1.0)
+                 / nullif(least(CAST(r AS DOUBLE) - 1, CAST(c AS DOUBLE) - 1),
+                          0.0)), 6) AS cramers_v,
+           round(sqrt(
+             greatest(0.0, s - 1.0
+               - (CAST(r AS DOUBLE) - 1) * (CAST(c AS DOUBLE) - 1)
+                 / nullif(CAST(nn AS DOUBLE) - 1, 0.0))
+             / nullif(least(
+                 CAST(r AS DOUBLE) - (CAST(r AS DOUBLE) - 1)
+                   * (CAST(r AS DOUBLE) - 1)
+                   / nullif(CAST(nn AS DOUBLE) - 1, 0.0) - 1,
+                 CAST(c AS DOUBLE) - (CAST(c AS DOUBLE) - 1)
+                   * (CAST(c AS DOUBLE) - 1)
+                   / nullif(CAST(nn AS DOUBLE) - 1, 0.0) - 1), 0.0)), 6)
+             AS cramers_v_corrected
+    FROM tot, s
+    """,
+)
+def stats_cramers_v(spark, sf_dir):
+    """Cramér's V categorical association with the Bergsma bias
+    correction (operators.profiling.cramers_v): order status × order
+    priority — the normalized effect size a raw chi-square can't give
+    (chi² grows with n; V is comparable across tables, the readout for
+    ranking feature pairs by redundancy/leakage). One contingency-cell
+    pass plus broadcast margins; per-cell terms round-then-DECIMAL-sum
+    so the statistic is summation-order-independent across engines."""
+    from .operators.profiling import cramers_v
+
+    o = _t(spark, sf_dir, "orders")
+    return cramers_v(o, "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "ts_ljung_box",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             round(v, 6) AS v6
+      FROM daily
+    ), st AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(v6 AS DECIMAL(28,6))) AS DOUBLE) AS s
+      FROM base GROUP BY 1
+    ), c AS (
+      SELECT b.event_type, t, v6 - s / n AS c FROM base b JOIN st USING (event_type)
+    ), den AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(c * c, 6) AS DECIMAL(28,6))) AS DOUBLE) AS den
+      FROM c GROUP BY 1
+    ), contrib AS (
+      SELECT event_type, t + k AS t2, k, c AS c_lag
+      FROM c, LATERAL unnest(generate_series(1, 7)) AS u(k)
+    ), num AS (
+      SELECT c.event_type, CAST(k AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(round(c.c * contrib.c_lag, 6) AS DECIMAL(28,6))) AS DOUBLE) AS num
+      FROM c JOIN contrib ON c.event_type = contrib.event_type AND c.t = contrib.t2
+      GROUP BY 1, 2
+    ), acf AS (
+      SELECT num.event_type, lag, n_pairs,
+             round(num / nullif(den, 0), 6) AS r
+      FROM num JOIN den USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n_pairs + lag) AS BIGINT) AS n_obs,
+           CAST(count(*) AS BIGINT) AS h_lags,
+           round(CAST(max(n_pairs + lag) AS DOUBLE)
+                 * (CAST(max(n_pairs + lag) AS DOUBLE) + 2.0)
+                 * CAST(sum(CAST(round((r * r) / CAST(n_pairs AS DOUBLE), 12)
+                                 AS DECIMAL(38,12))) AS DOUBLE), 6) AS q_stat
+    FROM acf GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_ljung_box(spark, sf_dir):
+    """Ljung–Box white-noise portmanteau statistic per event type
+    (operators.timeseries.ljung_box): Q = n(n+2) Σ r_h²/(n−h) over the
+    first 7 autocorrelations of each type's daily-count series — the
+    standard "is anything left" gate after detrending; under white noise
+    Q ~ χ²(7), so the large values here certify the synthetic traffic's
+    real weekly structure. Rides the ts_acf machinery (bounded-explode
+    lag pairing, round-then-DECIMAL sums), one extra per-key aggregate."""
+    from .operators.timeseries import ljung_box
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("v"))
+    return ljung_box(daily, ["event_type"], "day", "v", max_lag=7).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "sample_rendezvous_reshard",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents),
+    h AS (
+      SELECT k, CAST(concat('0x', substr(md5(k), 1, 14)) AS BIGINT) AS h
+      FROM keys
+    ), mod_s AS (
+      SELECT 'mod' AS scheme, k, h % 8 AS old_s, h % 10 AS new_s FROM h
+    ), cand AS (
+      SELECT k, s,
+             CAST(concat('0x', substr(md5(concat(k, '#', CAST(s AS VARCHAR))),
+                                      1, 14)) AS BIGINT) * 128 + (127 - s) AS p
+      FROM keys, LATERAL unnest(generate_series(0, 9)) AS u(s)
+    ), hrw AS (
+      SELECT 'rendezvous' AS scheme, k,
+             127 - (max(CASE WHEN s < 8 THEN p END) % 128) AS old_s,
+             127 - (max(p) % 128) AS new_s
+      FROM cand GROUP BY k
+    ), both_s AS (
+      SELECT * FROM mod_s UNION ALL SELECT * FROM hrw
+    ), loads AS (
+      SELECT scheme, CAST(max(l) AS BIGINT) AS max_shard_keys,
+             CAST(min(l) AS BIGINT) AS min_shard_keys
+      FROM (SELECT scheme, new_s, count(*) AS l
+            FROM both_s GROUP BY scheme, new_s)
+      GROUP BY scheme
+    ), mv AS (
+      SELECT scheme, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved
+      FROM both_s GROUP BY scheme
+    )
+    SELECT scheme, n_keys, n_moved,
+           round(CAST(n_moved AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+             AS moved_frac,
+           max_shard_keys, min_shard_keys
+    FROM mv JOIN loads USING (scheme) ORDER BY scheme
+    """,
+)
+def sample_rendezvous_reshard(spark, sf_dir):
+    """Reshard-movement planner (operators.sampling.rendezvous_reshard):
+    growing the documents layout from 8 to 10 shards under naive
+    mod-hashing versus rendezvous (highest-random-weight) hashing. The
+    100 TB pre-flight: mod remaps ~90% of keys (a full-corpus shuffle);
+    rendezvous moves only keys whose argmax lands on a NEW shard — the
+    optimal 1 − 8/10 = 20% expected — with zero ring state, pure per-row
+    md5 math. Movement and new-layout balance readouts per scheme;
+    the (weight, shard) argmax packs into one BIGINT conditional MAX
+    (no window, no skewed NULL partition)."""
+    from .operators.sampling import rendezvous_reshard
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_reshard(d, "doc_id", 8, 10)

@@ -2244,3 +2244,133 @@ def wilson_lower_bound(
         F.round(p, 6).alias("pass_rate"),
         F.round(lb, 6).alias("wilson_lb"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    stronger companion to :func:`k_anonymity`: a quasi-identifier group
+    can be large (k-anonymous) yet still leak its members' sensitive
+    attribute when almost every row in it shares one value. Reports
+    every group whose sensitive column shows FEWER than ``l`` distinct
+    values, with both diversity readouts:
+
+    - ``distinct_l`` — distinct sensitive values in the group (plain
+      l-diversity);
+    - ``entropy_l`` — exp(H) of the group's sensitive-value distribution
+      (entropy l-diversity: effective number of values; punishes a
+      99%/1% split that plain distinctness scores as 2).
+
+    One grouped pass at (quasi, sensitive) grain feeding one group-grain
+    aggregate — both map-side combined; output is bounded by the
+    violation set. NULL sensitive values count as one distinct value
+    (they ARE a disclosure: "this group's salary is unknown" is itself
+    informative), via a sentinel coalesce."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    sv = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x00null"))
+    cell = df.groupBy(*quasi_cols, sv.alias("_sv")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    tot = F.sum("_n")
+    # H = ln(N) − Σ n·ln(n) / N (one pass; no per-row p=n/N division).
+    # The Σ n·ln(n) terms are rounded then DECIMAL-summed so the result
+    # is independent of summation order — the cross-engine float rule
+    # (CLAUDE.md): a plain double sum hashes differently per scan order.
+    nlogn = F.sum(
+        F.round(F.col("_n") * F.log("_n"), 6).cast("decimal(28,6)")
+    ).cast("double")
+    return (
+        cell.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("distinct_l"),
+            F.sum("_n").cast("bigint").alias("n_rows"),
+            F.round(F.exp(F.log(tot) - nlogn / tot), 6).alias("entropy_l"),
+        )
+        .filter(F.col("distinct_l") < l)
+    )
+
+
+def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cramér's V association between two categorical columns, with the
+    Bergsma (2013) bias correction — the effect-size readout a chi-square
+    statistic alone doesn't give (chi² grows with n; V is comparable
+    across tables). The profiling use: rank column PAIRS by association
+    strength when hunting redundant or leaking features.
+
+    One pass to the contingency cells (map-side combined), then
+    cell-grain arithmetic against broadcast 1-row margins — no row-level
+    rework, output is ONE row. NULLs form their own category (a missing
+    value can carry association). Expected counts and chi² are exact
+    DECIMAL→DOUBLE math at cell grain; r, c, n ride the same pass.
+
+    Returns (n_rows, n_levels_a, n_levels_b, chi2, cramers_v,
+    cramers_v_corrected)."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("\x00null"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("\x00null"))
+    cells = df.groupBy(a.alias("_a"), b.alias("_b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    row_m = cells.groupBy("_a").agg(F.sum("_n").alias("_na"))
+    col_m = cells.groupBy("_b").agg(F.sum("_n").alias("_nb"))
+    tot = cells.agg(
+        F.sum("_n").cast("bigint").alias("_N"),
+        F.count_distinct("_a").cast("bigint").alias("_r"),
+        F.count_distinct("_b").cast("bigint").alias("_c"),
+    )
+    # chi² = N·(Σ o²/(na·nb) − 1): one cell-grain sum, margins joined by
+    # key (broadcast-sized: |levels| rows), N as a broadcast cross join
+    # per-cell terms o²/(na·nb) ∈ (0,1] are rounded then DECIMAL-summed:
+    # order-independent across engines (the ts_acf oracle pattern)
+    cell_sum = (
+        cells.join(row_m, "_a")
+        .join(col_m, "_b")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("_n").cast("double") * F.col("_n").cast("double"))
+                    / (F.col("_na").cast("double") * F.col("_nb").cast("double")),
+                    12,
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("_s")
+        )
+    )
+    n, r, c = (F.col("_N").cast("double"), F.col("_r").cast("double"), F.col("_c").cast("double"))
+    chi2 = n * (F.col("_s") - F.lit(1.0))
+    phi2 = F.col("_s") - F.lit(1.0)  # chi²/N
+    # Bergsma bias correction: phi2~ = max(0, phi2 − (r−1)(c−1)/(N−1)),
+    # r~ = r − (r−1)²/(N−1), c~ = c − (c−1)²/(N−1)
+    phi2c = F.greatest(
+        F.lit(0.0), phi2 - (r - 1) * (c - 1) / F.nullif(n - 1, F.lit(0.0))
+    )
+    rc = r - (r - 1) * (r - 1) / F.nullif(n - 1, F.lit(0.0))
+    cc = c - (c - 1) * (c - 1) / F.nullif(n - 1, F.lit(0.0))
+    return (
+        cell_sum.join(F.broadcast(tot))
+        .select(
+            F.col("_N").alias("n_rows"),
+            F.col("_r").alias("n_levels_a"),
+            F.col("_c").alias("n_levels_b"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    phi2
+                    / F.nullif(F.least(r - 1, c - 1), F.lit(0.0))
+                ),
+                6,
+            ).alias("cramers_v"),
+            F.round(
+                F.sqrt(
+                    phi2c
+                    / F.nullif(F.least(rc - 1, cc - 1), F.lit(0.0))
+                ),
+                6,
+            ).alias("cramers_v_corrected"),
+        )
+    )

@@ -598,3 +598,123 @@ def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
             6,
         ).alias("est"),
     )
+
+
+def kmv_a_not_b(
+    df: DataFrame,
+    set_col: str,
+    key_col: str,
+    k: int = 64,
+    buckets: int = 64,
+) -> DataFrame:
+    """Theta-sketch A-not-B set difference (the directional operation of
+    the Dasgupta et al. Theta set algebra that :func:`kmv_overlap`'s
+    inclusion–exclusion can't express without double noise): estimate
+    |A∖B| and |B∖A| between the two labelled key sets, plus their
+    symmetric difference.
+
+    Math: per set, theta_s is the k-th smallest distinct 56-bit key hash
+    (2^56 — i.e. "retain everything" — when the set has fewer than k
+    distinct keys); theta = min(theta_A, theta_B). Every retained hash
+    below theta is an EXACT member sample of its set at threshold theta
+    (the KMV sketch keeps all distinct hashes below its own theta ≥
+    theta), so hashes below theta present in exactly one set are an
+    unbiased sample of the difference: est(A∖B) = |{h < theta : h ∈ A,
+    h ∉ B}| · 2^56 / theta. When both sets are smaller than k the
+    estimate degrades to the exact hash-level difference count.
+
+    Scale shape: theta selection is the same two-level rank as
+    :func:`kmv_overlap` (per-hash-bucket cap, then a rank over ≤
+    buckets·k survivors); the one-row theta joins back as a broadcast
+    cross join (stays lazy — no driver collect); the single-set test is
+    ONE groupBy on the hash (never a row-level set-vs-set join). Exact
+    difference counts ride a parallel groupBy on the key for the audit
+    column. Deterministic md5 order-statistic math end to end —
+    hash-exact against the DuckDB oracle (catalog ``sketch_theta_diff``).
+
+    Returns (set_name, n_exact, est) rows: one per direction
+    (``<a>_not_<b>``), one ``sym_diff``.
+    """
+    from pyspark.sql import Window
+
+    dk = df.select(
+        F.col(set_col).cast("string").alias("_s"),
+        F.col(key_col).cast("string").alias("_k"),
+        kmv_hash56(F.col(key_col)).alias("_h"),
+    ).distinct()
+    dh = dk.select("_s", "_h").distinct()
+    w_bucket = Window.partitionBy("_s", F.pmod(F.col("_h"), F.lit(buckets))).orderBy(
+        "_h"
+    )
+    surv = (
+        dh.withColumn("_rb", F.row_number().over(w_bucket))
+        .filter(F.col("_rb") <= k)
+        .drop("_rb")
+    )
+    w_set = Window.partitionBy("_s").orderBy("_h")
+    theta = (
+        surv.withColumn("_rn", F.row_number().over(w_set))
+        .filter(F.col("_rn") == k)
+        .agg(
+            F.coalesce(F.min("_h"), F.lit(_KMV_SPACE)).cast("bigint").alias("_theta")
+        )
+    )
+    # set-name pair (two labelled sets — the kmv_overlap contract); a
+    # 1-row aggregate like theta, broadcast not collected
+    names = dh.agg(
+        F.min("_s").alias("_s_lo"), F.max("_s").alias("_s_hi")
+    )
+    # hashes below theta present in exactly ONE set: one groupBy on _h
+    below = dh.join(F.broadcast(theta)).filter(F.col("_h") < F.col("_theta"))
+    only = (
+        below.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_ns"),
+            F.min("_s").alias("_owner"),
+            F.max("_theta").alias("_theta"),
+        )
+        .filter(F.col("_ns") == 1)
+    )
+    sk_counts = only.groupBy(F.col("_owner").alias("_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_sk"),
+        F.max("_theta").alias("_theta"),
+    )
+    # exact directional difference: one groupBy on the key
+    exact = (
+        dk.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_ns"), F.min("_s").alias("_owner"))
+        .filter(F.col("_ns") == 1)
+        .groupBy(F.col("_owner").alias("_s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    # seed from the distinct set names so an empty direction (A ⊆ B)
+    # still emits its zero row instead of vanishing from the report
+    sets = dh.select("_s").distinct()
+    per = (
+        sets.join(exact, "_s", "left")
+        .join(sk_counts, "_s", "left")
+        .join(F.broadcast(theta.select(F.col("_theta").alias("_th"))))
+        .join(F.broadcast(names))
+        .select(
+            F.concat(
+                F.col("_s"),
+                F.lit("_not_"),
+                F.when(F.col("_s") == F.col("_s_lo"), F.col("_s_hi")).otherwise(
+                    F.col("_s_lo")
+                ),
+            ).alias("set_name"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("bigint")).alias("n_exact"),
+            F.round(
+                F.coalesce(F.col("_n_sk"), F.lit(0).cast("bigint")).cast("double")
+                * F.lit(float(_KMV_SPACE))
+                / F.col("_th").cast("double"),
+                6,
+            ).alias("est"),
+        )
+    )
+    sym = per.agg(
+        F.lit("sym_diff").alias("set_name"),
+        F.sum("n_exact").cast("bigint").alias("n_exact"),
+        F.round(F.sum("est"), 6).alias("est"),
+    )
+    return per.unionByName(sym).orderBy("set_name")

@@ -495,3 +495,111 @@ def temperature_mixture(
         .filter(hash_bucket(key, salt) < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def rendezvous_reshard(
+    df: DataFrame,
+    key_col: str,
+    n_old: int,
+    n_new: int,
+) -> DataFrame:
+    """Reshard-movement planner: how much data a shard-count change from
+    ``n_old`` to ``n_new`` forces to MOVE, under the naive scheme versus
+    rendezvous hashing — the pre-flight run before rescaling a 100 TB
+    keyed layout, where the answer decides between an hour and a week of
+    shuffle:
+
+    - ``mod``: shard = hash(key) % n — the default everywhere, and the
+      trap: changing n remaps almost EVERY key (expected moved fraction
+      ≈ 1 − 1/lcm-ish, ~90% for 8→10);
+    - ``rendezvous`` (highest-random-weight, Thaler & Ravishankar 1998):
+      shard = argmax over shards of hash(key, shard). Growing the fleet
+      moves a key ONLY if one of the NEW shards wins its argmax —
+      expected moved fraction is the optimal 1 − n_old/n_new (~20% for
+      8→10), no ring maintenance, pure per-row math.
+
+    Scale shape: distinct keys explode ×``n_new`` candidate weights
+    (bounded fan-out, flat md5 expressions, no UDF), one window rank per
+    scheme keyed on the key (tiny per-key partitions), then one summary
+    aggregate; output is one row per scheme with movement and balance
+    readouts. Deterministic md5 weights — hash-exact against the DuckDB
+    oracle (catalog ``sample_rendezvous_reshard``); ties (2^-56) break
+    to the lower shard id identically in both engines.
+
+    Returns (scheme, n_keys, n_moved, moved_frac, max_shard_keys,
+    min_shard_keys) — min/max over the NEW layout's shards."""
+    if not (0 < n_old and 0 < n_new):
+        raise ValueError(f"shard counts must be positive, got {n_old}->{n_new}")
+    from .rollup import kmv_hash56
+
+    keys = df.select(F.col(key_col).cast("string").alias("_k")).distinct()
+    # mod scheme: one narrow expression per key
+    h = kmv_hash56(F.col("_k"))
+    mod = keys.select(
+        F.lit("mod").alias("scheme"),
+        F.col("_k"),
+        F.pmod(h, F.lit(n_old)).alias("_old"),
+        F.pmod(h, F.lit(n_new)).alias("_new"),
+    )
+    # rendezvous: weight(key, shard) = portable 56-bit md5 order statistic
+    cand = keys.select(
+        "_k",
+        F.explode(F.sequence(F.lit(0), F.lit(int(n_new) - 1))).alias("_s"),
+    ).select(
+        "_k",
+        "_s",
+        kmv_hash56(F.concat(F.col("_k"), F.lit("#"), F.col("_s").cast("string"))).alias(
+            "_w"
+        ),
+    )
+    # argmax without a window: pack (weight, shard) into one BIGINT —
+    # w·128 + (127−s) ≤ 2^63−1 for w < 2^56, s < 128 — and take a plain
+    # conditional MAX per key (map-side combined, skew-free; a window
+    # rank would also drag every key's spare shards into one NULL
+    # partition for the old-layout rank). Decode: s = 127 − packed % 128.
+    if n_new > 128 or n_old > 128:
+        raise ValueError("rendezvous packing supports up to 128 shards")
+    packed = F.col("_w") * F.lit(128) + (F.lit(127) - F.col("_s"))
+    hrw = (
+        cand.groupBy("_k")
+        .agg(
+            F.max(F.when(F.col("_s") < n_old, packed)).alias("_po"),
+            F.max(packed).alias("_pn"),
+        )
+        .select(
+            F.lit("rendezvous").alias("scheme"),
+            "_k",
+            (F.lit(127) - F.pmod(F.col("_po"), F.lit(128))).alias("_old"),
+            (F.lit(127) - F.pmod(F.col("_pn"), F.lit(128))).alias("_new"),
+        )
+    )
+    both = mod.unionByName(hrw)
+    loads = (
+        both.groupBy("scheme", "_new")
+        .agg(F.count(F.lit(1)).alias("_l"))
+        .groupBy("scheme")
+        .agg(
+            F.max("_l").cast("bigint").alias("max_shard_keys"),
+            F.min("_l").cast("bigint").alias("min_shard_keys"),
+        )
+    )
+    moved = both.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(F.when(F.col("_old") != F.col("_new"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+    return (
+        moved.join(loads, "scheme")
+        .select(
+            "scheme",
+            "n_keys",
+            "n_moved",
+            F.round(
+                F.col("n_moved").cast("double") / F.col("n_keys").cast("double"), 6
+            ).alias("moved_frac"),
+            "max_shard_keys",
+            "min_shard_keys",
+        )
+        .orderBy("scheme")
+    )

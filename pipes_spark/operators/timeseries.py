@@ -1511,3 +1511,37 @@ def rmst_grouped(
             ).alias("rmst"),
         )
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Ljung–Box portmanteau white-noise test statistic per key:
+    Q = n(n+2) Σ_{h=1..H} r_h² / (n−h) over the first ``max_lag``
+    autocorrelations (Ljung & Box, Biometrika 1978) — the standard
+    "is anything left in the residuals" gate after detrending or
+    forecasting; under white noise Q ~ χ²(H), so large Q flags
+    remaining structure. Built directly on :func:`autocorrelation`
+    (r_h and n−h = n_pairs ride its output — no extra pass over the
+    series); the per-lag terms round-then-DECIMAL-sum so Q is
+    independent of summation order (cross-engine float rule). A
+    constant series (NULL acf) yields a NULL statistic.
+
+    Returns one row per key: (keys…, n_obs, h_lags, q_stat)."""
+    ks = list(keys)
+    r = autocorrelation(df, ks, order_col, value_col, max_lag)
+    n = (F.max(F.col("n_pairs") + F.col("lag"))).cast("double")
+    s = F.sum(
+        F.round(
+            (F.col("acf") * F.col("acf")) / F.col("n_pairs").cast("double"), 12
+        ).cast("decimal(38,12)")
+    ).cast("double")
+    return r.groupBy(*ks).agg(
+        n.cast("bigint").alias("n_obs"),
+        F.count(F.lit(1)).cast("bigint").alias("h_lags"),
+        F.round(n * (n + F.lit(2.0)) * s, 6).alias("q_stat"),
+    )

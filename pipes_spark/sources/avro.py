@@ -172,14 +172,36 @@ def _wrap_logical(schema, fn: Callable) -> Callable:
         from datetime import date
 
         return lambda r: date.fromordinal(_EPOCH_DATE_ORD + fn(r))
-    if lt in ("timestamp-micros", "timestamp-millis"):
+    if lt in (
+        "timestamp-micros",
+        "timestamp-millis",
+        "local-timestamp-micros",
+        "local-timestamp-millis",
+    ):
         from datetime import datetime, timedelta
 
-        mult = 1 if lt == "timestamp-micros" else 1000
+        mult = 1 if lt.endswith("-micros") else 1000
         epoch = datetime(1970, 1, 1)
         # naive UTC wall-clock: the engine pins the session zone to UTC
-        # (sources.read_parquet rationale), so values are epoch-exact
+        # (sources.read_parquet rationale), so values are epoch-exact.
+        # local-* variants decode identically — the distinction is the
+        # Spark type they surface as (TIMESTAMP vs TIMESTAMP_NTZ).
         return lambda r: epoch + timedelta(microseconds=fn(r) * mult)
+    if lt in ("time-micros", "time-millis"):
+        from datetime import time
+
+        mult = 1 if lt == "time-micros" else 1000
+
+        def _time(r):
+            us = fn(r) * mult
+            return time(
+                us // 3_600_000_000,
+                (us // 60_000_000) % 60,
+                (us // 1_000_000) % 60,
+                us % 1_000_000,
+            )
+
+        return _time
     if lt == "decimal":
         scale = schema.get("scale", 0)
         q = Decimal(1).scaleb(-scale)
@@ -391,6 +413,10 @@ def _spark_type(schema):
         return T.DateType()
     if lt in ("timestamp-micros", "timestamp-millis"):
         return T.TimestampType()
+    if lt in ("local-timestamp-micros", "local-timestamp-millis"):
+        return T.TimestampNTZType()
+    if lt in ("time-micros", "time-millis"):
+        return T.TimeType()
     if lt == "decimal":
         return T.DecimalType(schema.get("precision", 38), schema.get("scale", 0))
     prim = {
@@ -871,8 +897,17 @@ def _make_encoder(schema, names: dict) -> Callable:
                 return lambda v: v is None
             if blt == "date":
                 return lambda v: isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
-            if blt in ("timestamp-micros", "timestamp-millis"):
+            if blt in (
+                "timestamp-micros",
+                "timestamp-millis",
+                "local-timestamp-micros",
+                "local-timestamp-millis",
+            ):
                 return lambda v: isinstance(v, _dt.datetime)
+            if blt in ("time-micros", "time-millis"):
+                # datetime is a date subclass, not a time subclass — no
+                # extra exclusion needed
+                return lambda v: isinstance(v, _dt.time)
             if blt == "decimal":
                 return lambda v: isinstance(v, Decimal)
             if bt == "boolean":
@@ -934,10 +969,15 @@ def _make_encoder(schema, names: dict) -> Callable:
         return _union
     if lt == "date":
         return lambda v, out: _zigzag(out, v.toordinal() - _EPOCH_DATE_ORD)
-    if lt in ("timestamp-micros", "timestamp-millis"):
+    if lt in (
+        "timestamp-micros",
+        "timestamp-millis",
+        "local-timestamp-micros",
+        "local-timestamp-millis",
+    ):
         from datetime import datetime
 
-        div = 1 if lt == "timestamp-micros" else 1000
+        div = 1 if lt.endswith("-micros") else 1000
         epoch = datetime(1970, 1, 1)
 
         def _ts(v, out):
@@ -946,6 +986,19 @@ def _make_encoder(schema, names: dict) -> Callable:
             _zigzag(out, (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds) // div)
 
         return _ts
+    if lt in ("time-micros", "time-millis"):
+        div = 1 if lt == "time-micros" else 1000
+
+        def _time(v, out):
+            us = (
+                v.hour * 3_600_000_000
+                + v.minute * 60_000_000
+                + v.second * 1_000_000
+                + v.microsecond
+            )
+            _zigzag(out, us // div)
+
+        return _time
     if lt == "decimal":
         scale = schema.get("scale", 0)
 
@@ -1139,6 +1192,10 @@ def avro_schema_for(spark_schema, name: str = "spark_record") -> dict:
             a = {"type": "int", "logicalType": "date"}
         elif isinstance(dt, T.TimestampType):
             a = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, T.TimestampNTZType):
+            a = {"type": "long", "logicalType": "local-timestamp-micros"}
+        elif isinstance(dt, T.TimeType):
+            a = {"type": "long", "logicalType": "time-micros"}
         elif isinstance(dt, T.DecimalType):
             a = {
                 "type": "bytes",

@@ -552,3 +552,131 @@ def test_write_avro_part_names_monotone_for_stream_composition(spark, sf_dir, tm
     finally:
         q.stop()
         spark.catalog.dropTempView(out_name)
+
+
+# ---------------------------------------------------------------------------
+# round-9 extension: time-millis/micros + local-timestamp logical types
+# ---------------------------------------------------------------------------
+
+TIME_SCHEMA = {
+    "type": "record",
+    "name": "TT",
+    "fields": [
+        {"name": "t_ms", "type": {"type": "int", "logicalType": "time-millis"}},
+        {"name": "t_us", "type": {"type": "long", "logicalType": "time-micros"}},
+        {
+            "name": "lts_ms",
+            "type": {"type": "long", "logicalType": "local-timestamp-millis"},
+        },
+        {
+            "name": "lts_us",
+            "type": ["null", {"type": "long", "logicalType": "local-timestamp-micros"}],
+        },
+        {
+            "name": "t_opt",
+            "type": ["null", {"type": "long", "logicalType": "time-micros"}],
+        },
+    ],
+}
+
+TIME_ROWS = [
+    (
+        datetime.time(13, 45, 30, 250000),
+        datetime.time(23, 59, 59, 999999),
+        datetime.datetime(2021, 3, 4, 5, 6, 7, 123000),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 1),
+        datetime.time(0, 0, 0, 7),
+    ),
+    (
+        datetime.time(0, 0),
+        datetime.time(0, 0),
+        datetime.datetime(1970, 1, 1),
+        None,
+        None,
+    ),
+]
+
+
+def test_time_and_local_timestamp_roundtrip(tmp_path):
+    p = str(tmp_path / "times.avro")
+    av.write_avro_file(p, TIME_SCHEMA, TIME_ROWS, block_rows=1)
+    assert list(av._iter_range_rows(p, 0, 10**9)) == TIME_ROWS
+
+
+def test_time_logicals_decode_handmade_bytes(tmp_path):
+    """time-millis (int) and local-timestamp-millis (long) laid out by
+    hand from the spec: 13:45:30.250 = 49_530_250 ms-of-day;
+    1970-01-02T03:04:05.006 local = 97_445_006 ms since epoch."""
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "HM",
+            "fields": [
+                {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}},
+                {
+                    "name": "lts",
+                    "type": {"type": "long", "logicalType": "local-timestamp-millis"},
+                },
+            ],
+        }
+    ).encode()
+    sync = bytes(range(16))
+    row = _varint(49_530_250) + _varint(97_445_006)
+    header = (
+        b"Obj\x01"
+        + _varint(2)
+        + _varint(len(b"avro.schema")) + b"avro.schema"
+        + _varint(len(schema)) + schema
+        + _varint(len(b"avro.codec")) + b"avro.codec"
+        + _varint(len(b"null")) + b"null"
+        + _varint(0)
+        + sync
+    )
+    p = str(tmp_path / "hand_time.avro")
+    with open(p, "wb") as f:
+        f.write(header + _varint(1) + _varint(len(row)) + row + sync)
+    assert list(av._iter_range_rows(p, 0, 10**9)) == [
+        (
+            datetime.time(13, 45, 30, 250000),
+            datetime.datetime(1970, 1, 2, 3, 4, 5, 6000),
+        )
+    ]
+
+
+def test_time_logicals_spark_types():
+    from pyspark.sql import types as T
+
+    st = av.spark_schema_for(av._parse(dict(TIME_SCHEMA), {}))
+    assert isinstance(st["t_ms"].dataType, T.TimeType)
+    assert isinstance(st["t_us"].dataType, T.TimeType)
+    assert isinstance(st["lts_ms"].dataType, T.TimestampNTZType)
+    assert isinstance(st["lts_us"].dataType, T.TimestampNTZType)
+    assert st["lts_us"].nullable and not st["lts_ms"].nullable
+
+
+def test_time_and_ntz_spark_roundtrip(spark, tmp_path):
+    """TimeType and TimestampNTZType survive the full DataSource path:
+    Spark DF → distributed writer → split-parallel reader → Spark DF."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType(), False),
+            T.StructField("t", T.TimeType(), True),
+            T.StructField("lts", T.TimestampNTZType(), True),
+        ]
+    )
+    rows = [
+        (
+            1,
+            datetime.time(13, 45, 30, 250000),
+            datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+        ),
+        (2, None, None),
+    ]
+    dest = str(tmp_path / "times_avro")
+    av.write_avro(spark.createDataFrame(rows, schema), dest)
+    back = av.read_avro(spark, dest)
+    assert isinstance(back.schema["t"].dataType, T.TimeType)
+    assert isinstance(back.schema["lts"].dataType, T.TimestampNTZType)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)

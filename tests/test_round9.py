@@ -266,3 +266,159 @@ def test_bigram_append_replays_half_applied_batch_without_double_count(spark, sf
         .collect()
     )
     assert summed == fresh
+
+
+# ---------------------------------------------------------------------------
+# round-9 second wave: theta A-not-B, l-diversity, Cramér's V, Ljung–Box,
+# rendezvous reshard
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_a_not_b_small_sets_are_exact(spark):
+    """Below k the sketch retains everything (theta = 2^56), so every
+    estimate must EQUAL the exact hash-level difference."""
+    from pipes_spark.operators.rollup import kmv_a_not_b
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    got = {r["set_name"]: r for r in kmv_a_not_b(df, "s", "k", k=64).collect()}
+    assert got["a_not_b"]["n_exact"] == 20
+    assert got["b_not_a"]["n_exact"] == 20
+    assert got["sym_diff"]["n_exact"] == 40
+    for r in got.values():
+        assert r["est"] == float(r["n_exact"])
+
+
+def test_kmv_a_not_b_disjoint_and_subset(spark):
+    from pipes_spark.operators.rollup import kmv_a_not_b
+
+    # A ⊂ B: a_not_b must be exactly zero in both readouts
+    rows = [("a", i) for i in range(10)] + [("b", i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    got = {r["set_name"]: r for r in kmv_a_not_b(df, "s", "k", k=64).collect()}
+    assert got["a_not_b"]["n_exact"] == 0 and got["a_not_b"]["est"] == 0.0
+    assert got["b_not_a"]["n_exact"] == 30
+
+
+def test_kmv_a_not_b_estimates_track_truth_when_sketched(spark):
+    """Above k the estimator is approximate: relative error of each
+    directional estimate stays within the ~1/sqrt(k) KMV regime."""
+    from pipes_spark.operators.rollup import kmv_a_not_b
+
+    rows = [("a", i) for i in range(3000)] + [("b", i) for i in range(1000, 4000)]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    got = {r["set_name"]: r for r in kmv_a_not_b(df, "s", "k", k=256).collect()}
+    for name in ("a_not_b", "b_not_a"):
+        exact, est = got[name]["n_exact"], got[name]["est"]
+        assert exact == 1000
+        assert abs(est - exact) / exact < 0.35, (name, est)
+
+
+def test_l_diversity_flags_low_diversity_groups_only(spark):
+    from pipes_spark.operators.profiling import l_diversity
+
+    rows = (
+        [("g1", "x")] * 99 + [("g1", "y")]          # 2 distinct, skewed
+        + [("g2", "x")] * 5 + [("g2", "y")] * 5 + [("g2", "z")] * 5
+        + [("g3", None)] * 4                          # NULL is one value
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r for r in l_diversity(df, ["g"], "v", l=3).collect()}
+    assert set(got) == {"g1", "g3"}                   # g2 has 3 values: passes
+    assert got["g1"]["distinct_l"] == 2 and got["g1"]["n_rows"] == 100
+    # entropy-l punishes the 99/1 split: effective values ≪ 2
+    assert 1.0 < got["g1"]["entropy_l"] < 1.1
+    assert got["g3"]["distinct_l"] == 1 and got["g3"]["entropy_l"] == 1.0
+
+
+def test_cramers_v_bounds_on_perfect_and_independent(spark):
+    from pipes_spark.operators.profiling import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "y")] * 10 + [("c", "z")] * 10, ["u", "v"]
+    )
+    r = cramers_v(perfect, "u", "v").collect()[0]
+    assert r["cramers_v"] == 1.0
+    assert r["n_levels_a"] == r["n_levels_b"] == 3
+    # exact independence: every cell = product of margins / n → V = 0
+    indep = spark.createDataFrame(
+        [(u, v) for u in "ab" for v in "xy" for _ in range(5)], ["u", "v"]
+    )
+    r2 = cramers_v(indep, "u", "v").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+    assert r2["cramers_v_corrected"] == 0.0
+
+
+def test_ljung_box_matches_hand_computation(spark):
+    """Q recomputed in pure Python over the same quantized series."""
+    import math
+
+    from pipes_spark.operators.timeseries import ljung_box
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)], ["key", "t", "v"]
+    )
+    got = ljung_box(df, ["key"], "t", "v", max_lag=3).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    c = [v - mean for v in vals]
+    den = sum(round(x * x, 6) for x in c)
+    q = 0.0
+    for h in (1, 2, 3):
+        num = sum(round(c[t] * c[t - h], 6) for t in range(h, n))
+        r = round(num / den, 6)
+        q += round(r * r / (n - h), 12)
+    expected = round(n * (n + 2.0) * q, 6)
+    assert got["n_obs"] == n and got["h_lags"] == 3
+    assert abs(got["q_stat"] - expected) < 1e-9
+
+
+def test_rendezvous_reshard_matches_pure_python_and_beats_mod(spark):
+    """Summary numbers recomputed from scratch with hashlib md5; the
+    rendezvous scheme must (a) move every moved key ONTO a new shard
+    and (b) move materially fewer keys than mod hashing."""
+    import hashlib
+
+    from pipes_spark.operators.sampling import rendezvous_reshard
+
+    keys = [str(i) for i in range(200)]
+    n_old, n_new = 4, 6
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    exp = {}
+    for scheme in ("mod", "rendezvous"):
+        moved, load = 0, {}
+        for k in keys:
+            if scheme == "mod":
+                old, new = h56(k) % n_old, h56(k) % n_new
+            else:
+                ws = [(h56(f"{k}#{s}"), -s) for s in range(n_new)]
+                new = -max(ws)[1]
+                old = -max(ws[:n_old])[1]
+                if old != new:
+                    assert new >= n_old  # moves only onto NEW shards
+            moved += old != new
+            load[new] = load.get(new, 0) + 1
+        exp[scheme] = (len(keys), moved, max(load.values()), min(load.values()))
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {
+        r["scheme"]: r for r in rendezvous_reshard(df, "k", n_old, n_new).collect()
+    }
+    for scheme, (nk, mv, mx, mn) in exp.items():
+        r = got[scheme]
+        assert (r["n_keys"], r["n_moved"], r["max_shard_keys"], r["min_shard_keys"]) == (
+            nk, mv, mx, mn
+        ), scheme
+    assert got["rendezvous"]["n_moved"] < got["mod"]["n_moved"]
+
+
+def test_rendezvous_reshard_same_counts_move_nothing(spark):
+    from pipes_spark.operators.sampling import rendezvous_reshard
+
+    df = spark.createDataFrame([(str(i),) for i in range(50)], ["k"])
+    for r in rendezvous_reshard(df, "k", 5, 5).collect():
+        assert r["n_moved"] == 0 and r["moved_frac"] == 0.0
