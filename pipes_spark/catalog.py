@@ -3951,8 +3951,14 @@ _GRADED_WINDOW = [
     # offline protobuf wiring end to end — and streaming_avro_source —
     # the Python-DataSource STREAMING read path (offsets/partitions/
     # micro-batch machinery), a family the driver has never graded.
+    # round-9 second wave: q5_local_supplier_volume (hash-graded green
+    # since r01; the TPC-H family stays carried by q1/q3/q6/q21) hands
+    # its slot to sketch_theta_diff — the new theta A-not-B directional
+    # set-difference estimator, whose driver grading checks the sketch
+    # math itself (the kmv_overlap precedent); the displaced query
+    # re-registers right after the window.
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
-    "q5_local_supplier_volume", "streaming_twsip", "streaming_avro_source",
+    "sketch_theta_diff", "streaming_twsip", "streaming_avro_source",
     "text_kn_perplexity", "q21_waiting_supplier",
     # subqueries / decorrelation (round-6 curation: subquery_scalar_uncorr
     # — a family already carried by three sibling slots — hands its slot
@@ -3969,7 +3975,12 @@ _GRADED_WINDOW = [
     # in r04–r06 — hands its slot to join_interval_overlap, the
     # session-interval overlap-grid rewrite the driver has never graded;
     # the displaced query re-registers right after the window)
-    "join_inner_agg", "join_semi",
+    # round-9 second wave: join_semi (green since r04; the join family
+    # keeps three slots — inner/interval/asof) hands its slot to
+    # sample_rendezvous_reshard, the new reshard-movement planner (a
+    # family the driver has never graded; pure md5 argmax math, so the
+    # hash gate checks the movement accounting itself).
+    "join_inner_agg", "sample_rendezvous_reshard",
     "join_interval_overlap", "join_asof",
     # aggregation family (round-5 curation #3: agg_ordered_set — a family
     # already carried by agg_percentiles — hands its slot to
