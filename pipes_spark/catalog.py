@@ -14504,3 +14504,91 @@ def sample_rendezvous_reshard(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return rendezvous_reshard(d, "doc_id", 8, 10)
+
+
+@query(
+    "multimodal_png_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 31 + 1 AS INT) AS width,
+             CAST((doc_id * 7) % 17 + 1 AS INT) AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(sum((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(width AS BIGINT) * height - 1))
+             AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'png' AS format, width, height,
+           CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_png_roundtrip(spark, sf_dir):
+    """REAL image codec round trip — the one multimodal step this
+    environment can run without PIL/ffmpeg (PNG needs only stdlib zlib):
+    per-document deterministic dimensions → real grayscale PNG encode
+    (operators.multimodal.encode_png_assets, Arrow-batched) → real
+    decode (png_decode_stats: CRC-checked IHDR, IDAT inflate, filter
+    strip, pixel checksum). The oracle recomputes the pixel checksum
+    from the closed-form content contract, so the hash gate proves the
+    DECODER actually inflated and summed real pixels — unlike the
+    documented decode stub, nothing here is faked. Pixels never cross a
+    shuffle (encode and decode fuse into the same mapInPandas stage
+    chain; only metadata rows leave it)."""
+    from .operators.multimodal import encode_png_assets, png_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 31 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 7) % 17 + 1).cast("int").alias("height"),
+    )
+    assets = encode_png_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height"
+    )
+    return png_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ln((CAST(concat('0x', substr(md5(concat(
+                   CAST(o_orderkey AS VARCHAR), 'aes')), 1, 8)) AS BIGINT) + 1)
+                / 4294967296.0)
+               / CAST(o_totalprice AS DOUBLE) AS aes
+      FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0
+    ), r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY aes DESC, o_orderkey) AS rn
+      FROM w
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM r WHERE rn <= 20
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir per group, algorithm A-ES (operators.sampling.
+    weighted_reservoir_per_group; Efraimidis & Spirakis 2006): 20 orders
+    per priority with inclusion probability ∝ total price — the
+    quality-weighted "keep good documents per source, stochastically"
+    draw of corpus curation, fully deterministic because u derives from
+    the portable md5 hash. The oracle restates the u^(1/w) ranking as
+    ln(u)/w verbatim, so the hash gate checks the weighted-order math,
+    not just row shape."""
+    from .operators.sampling import weighted_reservoir_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return weighted_reservoir_per_group(
+        o, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=20, salt="aes"
+    ).orderBy("o_orderpriority", "o_orderkey")

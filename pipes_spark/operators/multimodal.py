@@ -367,3 +367,184 @@ def phash_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec surface (round-9 second wave): PNG needs only zlib +
+# struct — both stdlib — so unlike the PIL/ffmpeg-gated decode stub above,
+# this encode → decode path runs for real in this environment.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def png_encode_gray(asset_id: int, width: int, height: int) -> bytes:
+    """Minimal REAL grayscale 8-bit PNG (spec: IHDR + one IDAT + IEND,
+    filter 0 scanlines): pixel i (row-major) = (asset_id + i) % 256 —
+    the deterministic content contract the decode oracle recomputes."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    px = ((asset_id + np.arange(height * width)) % 256).astype(np.uint8)
+    scan = np.zeros((height, width + 1), dtype=np.uint8)
+    scan[:, 1:] = px.reshape(height, width)  # leading 0 = filter None
+    idat = _z.compress(scan.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def sniff_image_header(content: bytes):
+    """Codec-free header sniff of the three classic formats — returns
+    (format, width, height, bit_depth, color_type) or Nones. PNG: IHDR
+    with CRC verification; GIF87a/89a: logical-screen descriptor; JPEG:
+    first SOFn marker scan (the dimension source; C4/C8/CC are not
+    frame headers). Pure byte parsing from the public specs — the
+    'typed metadata without decoding pixels' step of an ingest scan."""
+    import struct
+    import zlib as _z
+
+    if content[:8] == _PNG_SIG and content[12:16] == b"IHDR":
+        data = content[16:29]
+        (crc,) = struct.unpack(">I", content[29:33])
+        if _z.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG IHDR CRC mismatch")
+        w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
+        return ("png", w, h, depth, ctype)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        depth = ((content[10] >> 4) & 0x7) + 1
+        return ("gif", w, h, depth, None)
+    if content[:2] == b"\xff\xd8":
+        i, n = 2, len(content)
+        while i + 4 <= n and content[i] == 0xFF:
+            marker, seglen = content[i + 1], struct.unpack(">H", content[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                depth = content[i + 4]
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                ncomp = content[i + 9]
+                return ("jpeg", w, h, depth, ncomp)
+            i += 2 + seglen
+        return ("jpeg", None, None, None, None)
+    return (None, None, None, None, None)
+
+
+def encode_png_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Arrow-batched REAL PNG encode: (id, width, height) rows →
+    (id, content binary). mapInPandas so blobs are produced executor-
+    side in batch — at 100 TB the encode is embarrassingly parallel and
+    pixels never cross a shuffle (the module's features-not-pixels
+    rule; downstream ops reduce to metadata before any exchange)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import png_encode_gray
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        png_encode_gray(int(i), int(w), int(h))
+                        for i, w, h in zip(
+                            pdf[id_col], pdf[width_col], pdf[height_col]
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, width_col, height_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def png_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL full PNG decode over Arrow batches: CRC-checked IHDR parse,
+    IDAT zlib inflate, filter-byte strip, and a pixel checksum —
+    (asset_id, format, width, height, bit_depth, color_type, n_pixels,
+    pixel_sum). The pixel_sum is the proof-of-decode: it can only be
+    computed from the inflated scanlines, so a hash-match against the
+    closed-form oracle certifies the decoder ran for real (catalog
+    ``multimodal_png_roundtrip``). Only filter-0 scanlines (what
+    :func:`png_encode_gray` emits) are supported; anything else raises
+    loudly rather than guessing."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import sniff_image_header
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "format": [],
+                "width": [],
+                "height": [],
+                "bit_depth": [],
+                "color_type": [],
+                "n_pixels": [],
+                "pixel_sum": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                content = bytes(content)
+                fmt, w, h, depth, ctype = sniff_image_header(content)
+                if fmt != "png":
+                    raise ValueError(f"asset {aid}: not a PNG")
+                idat, i = b"", 8
+                while i + 8 <= len(content):
+                    (ln,) = struct.unpack(">I", content[i : i + 4])
+                    typ = content[i + 4 : i + 8]
+                    if typ == b"IDAT":
+                        idat += content[i + 8 : i + 8 + ln]
+                    i += 12 + ln
+                    if typ == b"IEND":
+                        break
+                raw = np.frombuffer(_z.decompress(idat), dtype=np.uint8)
+                scan = raw.reshape(h, w + 1)
+                if scan[:, 0].any():
+                    raise ValueError(f"asset {aid}: non-zero PNG filter type")
+                px = scan[:, 1:]
+                out["asset_id"].append(int(aid))
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["color_type"].append(ctype)
+                out["n_pixels"].append(int(px.size))
+                out["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, width int, height int, "
+        "bit_depth int, color_type int, n_pixels bigint, pixel_sum bigint",
+    )

@@ -603,3 +603,44 @@ def rendezvous_reshard(
         )
         .orderBy("scheme")
     )
+
+
+def weighted_reservoir_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key: Union[str, Column],
+    weight: Union[str, Column],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted reservoir sampling per group, algorithm A-ES (Efraimidis
+    & Spirakis 2006): each row draws u = (hash(key)+1)/2^32 ∈ (0,1] and
+    the k rows with the largest u^(1/w) win — inclusion probability
+    proportional to weight, which is exactly the quality-weighted
+    "keep the best k documents per source, but not deterministically
+    top-k" draw of corpus curation. Ranking uses the monotone-equivalent
+    ln(u)/w (descending): numerically tame and reproducible across
+    engines, since u derives from the portable md5 hash — same
+    determinism contract as :func:`reservoir_per_group` (stable across
+    runs, partitionings, engines; re-salt for an independent draw).
+
+    Rows with NULL or non-positive weight are EXCLUDED (u^(1/w) is
+    undefined there — a zero-weight row should never be sampled).
+    One shuffle on the group key; skewed groups pre-thin with
+    :func:`deterministic_sample` exactly as reservoir_per_group
+    documents."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w_col = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = (hash_bucket(key, salt) + F.lit(1)).cast("double") / F.lit(float(_BUCKETS))
+    aes = F.log(u) / w_col
+    key_col = F.col(key) if isinstance(key, str) else key
+    win = Window.partitionBy(*group_cols).orderBy(aes.desc(), key_col)
+    return (
+        df.filter(w_col > 0)
+        .withColumn("_rs", F.row_number().over(win))
+        .filter(F.col("_rs") <= k)
+        .drop("_rs")
+    )

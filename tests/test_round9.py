@@ -422,3 +422,98 @@ def test_rendezvous_reshard_same_counts_move_nothing(spark):
     df = spark.createDataFrame([(str(i),) for i in range(50)], ["k"])
     for r in rendezvous_reshard(df, "k", 5, 5).collect():
         assert r["n_moved"] == 0 and r["moved_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# real PNG codec surface + A-ES weighted reservoir
+# ---------------------------------------------------------------------------
+
+
+def test_png_encode_decode_roundtrip_matches_formula(spark):
+    from pipes_spark.operators.multimodal import (
+        encode_png_assets,
+        png_decode_stats,
+    )
+
+    d = spark.createDataFrame(
+        [(7, 5, 3), (200, 1, 1), (9999, 31, 17)], ["doc_id", "width", "height"]
+    )
+    got = {
+        r["asset_id"]: r
+        for r in png_decode_stats(
+            encode_png_assets(d, "doc_id", "width", "height")
+        ).collect()
+    }
+    for aid, w, h in [(7, 5, 3), (200, 1, 1), (9999, 31, 17)]:
+        r = got[aid]
+        assert (r["format"], r["width"], r["height"]) == ("png", w, h)
+        assert (r["bit_depth"], r["color_type"]) == (8, 0)
+        assert r["n_pixels"] == w * h
+        assert r["pixel_sum"] == sum((aid + i) % 256 for i in range(w * h))
+
+
+def test_sniff_image_header_png_gif_jpeg_and_crc():
+    import pytest as _pytest
+
+    from pipes_spark.operators.multimodal import (
+        png_encode_gray,
+        sniff_image_header,
+    )
+
+    png = png_encode_gray(42, 6, 4)
+    assert sniff_image_header(png) == ("png", 6, 4, 8, 0)
+    # corrupt one IHDR byte: the CRC check must refuse, not misreport
+    bad = bytearray(png)
+    bad[16] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        sniff_image_header(bytes(bad))
+    # GIF89a logical screen descriptor, 320x200, 8-bit colour resolution
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes([0xF7, 0, 0])
+    assert sniff_image_header(gif) == ("gif", 320, 200, 8, None)
+    # minimal JPEG: SOI, APP0 (empty), SOF0 precision 8, 480x640, 3 comps
+    import struct
+
+    sof0 = b"\xff\xc0" + struct.pack(">H", 8 + 9) + bytes([8]) + struct.pack(">HH", 480, 640) + bytes([3] + [1, 0x11, 0] * 3)
+    jpeg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 2) + sof0
+    assert sniff_image_header(jpeg) == ("jpeg", 640, 480, 8, 3)
+    assert sniff_image_header(b"plain text")[0] is None
+
+
+def test_png_decode_rejects_non_png(spark):
+    import pytest as _pytest
+
+    from pipes_spark.operators.multimodal import png_decode_stats
+
+    bad = spark.createDataFrame([(1, bytearray(b"not a png"))], "asset_id bigint, content binary")
+    with _pytest.raises(Exception, match="not a PNG"):
+        png_decode_stats(bad).collect()
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark):
+    from pipes_spark.operators.sampling import weighted_reservoir_per_group
+
+    rows = [("g", f"k{i}", 1.0) for i in range(200)] + [("g", "heavy", 1e9)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    for salt in ("s1", "s2", "s3"):
+        got = weighted_reservoir_per_group(df, ["g"], "id", "w", k=10, salt=salt).collect()
+        assert len(got) == 10
+        # weight 1e9 vs 1: u^(1/w) ≈ 1 — the heavy row wins every draw
+        assert any(r["id"] == "heavy" for r in got), salt
+
+
+def test_weighted_reservoir_deterministic_and_excludes_nonpositive(spark):
+    from pipes_spark.operators.sampling import weighted_reservoir_per_group
+
+    rows = [("a", f"k{i}", float(i % 7 - 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    a = sorted(r["id"] for r in weighted_reservoir_per_group(df, ["g"], "id", "w", 5).collect())
+    b = sorted(
+        r["id"]
+        for r in weighted_reservoir_per_group(df.repartition(13), ["g"], "id", "w", 5).collect()
+    )
+    assert a == b and len(a) == 5
+    kept_w = {
+        r["id"]: r["w"]
+        for r in weighted_reservoir_per_group(df, ["g"], "id", "w", 100).collect()
+    }
+    assert all(w > 0 for w in kept_w.values())
