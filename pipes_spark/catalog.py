@@ -14592,3 +14592,58 @@ def sample_weighted_reservoir(spark, sf_dir):
     return weighted_reservoir_per_group(
         o, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=20, salt="aes"
     ).orderBy("o_orderpriority", "o_orderkey")
+
+
+@query(
+    "quality_t_closeness",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS q, o_orderstatus AS sv,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM orders GROUP BY 1, 2
+    ), gtot AS (SELECT q, sum(n) AS g FROM cells GROUP BY q),
+    vals AS (SELECT sv, sum(n) AS nv FROM cells GROUP BY sv),
+    mt AS (SELECT sum(nv) AS nn, CAST(count(*) AS INT) AS m FROM vals),
+    grid AS (
+      SELECT gtot.q, vals.sv, g, m,
+             coalesce(cells.n, 0.0) / g - nv / nn AS d
+      FROM gtot CROSS JOIN vals
+      LEFT JOIN cells ON cells.q = gtot.q AND cells.sv = vals.sv
+      CROSS JOIN mt
+    ), cum AS (
+      SELECT q, g, m,
+             sum(d) OVER (PARTITION BY q ORDER BY sv
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM grid
+    ), emds AS (
+      SELECT q AS o_orderpriority,
+             CAST(max(g) AS BIGINT) AS n_rows,
+             round(CAST(sum(CAST(round(abs(c), 9) AS DECIMAL(38,9)))
+                        AS DOUBLE)
+                   / nullif(CAST(max(m) AS DOUBLE) - 1.0, 0.0), 6) AS emd
+      FROM cum GROUP BY q
+    )
+    SELECT o_orderpriority, n_rows, emd,
+           CAST(CASE WHEN emd > 0.005 THEN 1 ELSE 0 END AS INT) AS violates_t
+    FROM emds ORDER BY o_orderpriority
+    """,
+)
+def quality_t_closeness(spark, sf_dir):
+    """t-closeness audit (operators.profiling.t_closeness — Li, Li &
+    Venkatasubramanian 2007), completing the privacy ladder after
+    quality_k_anonymity and quality_l_diversity: per order-priority
+    group, the ordered-EMD distance between the group's order-status
+    distribution and the global one. A group can be large AND diverse
+    yet still skew toward one sensitive value; EMD = Σ|cum(p−q)|/(m−1)
+    catches exactly that. All groups reported with a violates_t flag at
+    t = 0.005 (chosen to split this corpus: the URGENT and HIGH
+    priorities deviate, the rest don't — a constant flag would gate
+    nothing). Cumulative sums fold in value order (engine-identical);
+    the |cum| terms round-then-DECIMAL-sum."""
+    from .operators.profiling import t_closeness
+
+    o = _t(spark, sf_dir, "orders")
+    return t_closeness(
+        o, ["o_orderpriority"], "o_orderstatus", t=0.005
+    ).orderBy("o_orderpriority")

@@ -2374,3 +2374,87 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
             ).alias("cramers_v_corrected"),
         )
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after :func:`k_anonymity` and
+    :func:`l_diversity`: a group can be large AND diverse yet still leak
+    when its sensitive-value DISTRIBUTION deviates from the global one
+    (e.g. one zip code skewing heavily to a rare diagnosis). Distance is
+    the ordered-attribute Earth Mover's Distance of the paper:
+    EMD = Σ_i |Σ_{j≤i} (p_j − q_j)| / (m−1) over the m globally-observed
+    sensitive values in sort order, p the group's distribution and q the
+    global one (values absent from a group contribute p_j = 0 via the
+    group×value grid).
+
+    Scale shape: one count pass at (quasi, sensitive) grain, one at
+    value grain (both map-side combined); the grid is |groups|·m rows —
+    m is the sensitive domain, small by the audit's nature — and the
+    cumulative window runs over m rows per group. Cumulative sums fold
+    in declared value order, so the doubles are engine-identical; the
+    final EMD rounds to 6.
+
+    Returns one row per group: (quasi…, n_rows, emd, violates_t) —
+    every group reported, flag rather than filter, because the audit's
+    deliverable is the full closeness profile."""
+    qs = list(quasi_cols)
+    sv = F.coalesce(F.col(sensitive_col).cast("string"), F.lit("\x00null"))
+    cells = df.groupBy(*qs, sv.alias("_sv")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    gtot = cells.groupBy(*qs).agg(F.sum("_n").alias("_g"))
+    vals = cells.groupBy("_sv").agg(F.sum("_n").alias("_nv"))
+    m_tot = vals.agg(
+        F.sum("_nv").alias("_N"), F.count(F.lit(1)).cast("int").alias("_m")
+    )
+    # group × value grid so absent values carry p = 0 (cell counts are
+    # renamed before the join back — gtot/vals share cells' lineage, so
+    # a bare `_n` is ambiguous to the analyzer)
+    cells_r = cells.select(*qs, "_sv", F.col("_n").alias("_cn"))
+    grid = (
+        gtot.crossJoin(F.broadcast(vals))
+        .join(cells_r, qs + ["_sv"], "left")
+        .join(F.broadcast(m_tot))
+        .select(
+            *qs,
+            "_sv",
+            "_g",
+            "_m",
+            (
+                F.coalesce(F.col("_cn"), F.lit(0.0)) / F.col("_g")
+                - F.col("_nv") / F.col("_N")
+            ).alias("_d"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*qs)
+        .orderBy("_sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("_cum", F.sum("_d").over(w))
+    return (
+        cum.groupBy(*qs)
+        .agg(
+            F.max("_g").cast("bigint").alias("n_rows"),
+            # |cum| terms round-then-DECIMAL-sum: order-independent
+            # across engines (the cell-term rule above)
+            F.round(
+                F.sum(F.round(F.abs("_cum"), 9).cast("decimal(38,9)")).cast(
+                    "double"
+                )
+                / F.nullif(F.max("_m").cast("double") - 1.0, F.lit(0.0)),
+                6,
+            ).alias("emd"),
+        )
+        .withColumn(
+            "violates_t", (F.col("emd") > F.lit(float(t))).cast("int")
+        )
+    )

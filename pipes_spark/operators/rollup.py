@@ -637,12 +637,19 @@ def kmv_a_not_b(
     """
     from pyspark.sql import Window
 
-    dk = df.select(
-        F.col(set_col).cast("string").alias("_s"),
-        F.col(key_col).cast("string").alias("_k"),
-        kmv_hash56(F.col(key_col)).alias("_h"),
-    ).distinct()
-    dh = dk.select("_s", "_h").distinct()
+    from ..caching import scoped_persist
+
+    # dk feeds the exact-count branch and dh; dh feeds theta, the set
+    # names, and the below-theta test — persist both so the source scans
+    # once, not six times (the autocorrelation shared-branch pattern)
+    dk = scoped_persist(
+        df.select(
+            F.col(set_col).cast("string").alias("_s"),
+            F.col(key_col).cast("string").alias("_k"),
+            kmv_hash56(F.col(key_col)).alias("_h"),
+        ).distinct()
+    )
+    dh = scoped_persist(dk.select("_s", "_h").distinct())
     w_bucket = Window.partitionBy("_s", F.pmod(F.col("_h"), F.lit(buckets))).orderBy(
         "_h"
     )

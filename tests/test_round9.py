@@ -517,3 +517,36 @@ def test_weighted_reservoir_deterministic_and_excludes_nonpositive(spark):
         for r in weighted_reservoir_per_group(df, ["g"], "id", "w", 100).collect()
     }
     assert all(w > 0 for w in kept_w.values())
+
+
+def test_t_closeness_matches_hand_computation_and_zero_case(spark):
+    from pipes_spark.operators.profiling import t_closeness
+
+    rows = (
+        [("g1", "a")] * 75 + [("g1", "b")] * 25
+        + [("g2", "a")] * 75 + [("g2", "b")] * 25
+        + [("g3", "a")] * 100
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["g"]: r for r in t_closeness(df, ["g"], "v", t=0.1).collect()}
+
+    # pure-Python replica of the ordered-EMD formula
+    from collections import Counter
+
+    groups = {"g1": ["a"] * 75 + ["b"] * 25, "g2": ["a"] * 75 + ["b"] * 25,
+              "g3": ["a"] * 100}
+    all_vals = sorted({v for vs in groups.values() for v in vs})
+    n = sum(len(vs) for vs in groups.values())
+    q = {v: sum(vs.count(v) for vs in groups.values()) / n for v in all_vals}
+    for g, vs in groups.items():
+        c = Counter(vs)
+        cum, emd = 0.0, 0.0
+        for v in all_vals:
+            cum += c.get(v, 0) / len(vs) - q[v]
+            emd += round(abs(cum), 9)
+        expected = round(emd / (len(all_vals) - 1), 6)
+        assert abs(got[g]["emd"] - expected) < 1e-9, g
+        assert got[g]["n_rows"] == len(vs)
+        assert got[g]["violates_t"] == int(expected > 0.1)
+    # the all-"a" group must deviate; the two global-shaped groups equally
+    assert got["g3"]["emd"] > got["g1"]["emd"] == got["g2"]["emd"]
