@@ -14351,8 +14351,8 @@ def quality_l_diversity(spark, sf_dir):
       FROM cells JOIN rm USING (a) JOIN cm USING (b)
     )
     SELECT nn AS n_rows, r AS n_levels_a, c AS n_levels_b,
-           round(CAST(nn AS DOUBLE) * (s - 1.0), 6) AS chi2,
-           round(sqrt((s - 1.0)
+           round(CAST(nn AS DOUBLE) * greatest(0.0, s - 1.0), 6) AS chi2,
+           round(sqrt(greatest(0.0, s - 1.0)
                  / nullif(least(CAST(r AS DOUBLE) - 1, CAST(c AS DOUBLE) - 1),
                           0.0)), 6) AS cramers_v,
            round(sqrt(

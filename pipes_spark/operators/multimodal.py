@@ -422,27 +422,48 @@ def sniff_image_header(content: bytes):
     import struct
     import zlib as _z
 
-    if content[:8] == _PNG_SIG and content[12:16] == b"IHDR":
+    if content[:8] == _PNG_SIG:
+        # truncated or non-IHDR-first files violate the spec: refuse
+        # with the documented ValueError, not a raw struct.error
+        if len(content) < 33 or content[12:16] != b"IHDR":
+            raise ValueError("truncated or malformed PNG header")
         data = content[16:29]
         (crc,) = struct.unpack(">I", content[29:33])
         if _z.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
             raise ValueError("PNG IHDR CRC mismatch")
         w, h, depth, ctype = struct.unpack(">IIBB", data[:10])
         return ("png", w, h, depth, ctype)
-    if content[:6] in (b"GIF87a", b"GIF89a"):
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 11:
         w, h = struct.unpack("<HH", content[6:10])
         depth = ((content[10] >> 4) & 0x7) + 1
         return ("gif", w, h, depth, None)
     if content[:2] == b"\xff\xd8":
+        # standard marker walk: fill bytes (repeated 0xFF) are padding,
+        # and TEM/RSTn/SOI are standalone markers with NO length field —
+        # reading a length there derails the scan past a present SOF
         i, n = 2, len(content)
-        while i + 4 <= n and content[i] == 0xFF:
-            marker, seglen = content[i + 1], struct.unpack(">H", content[i + 2 : i + 4])[0]
+        while i < n:
+            if content[i] != 0xFF:
+                break
+            while i < n and content[i] == 0xFF:
+                i += 1
+            if i >= n:
+                break
+            marker = content[i]
+            i += 1
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                continue
+            if marker == 0xD9 or i + 2 > n:
+                break
+            seglen = struct.unpack(">H", content[i : i + 2])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-                depth = content[i + 4]
-                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
-                ncomp = content[i + 9]
+                if i + 8 > n:
+                    break
+                depth = content[i + 2]
+                h, w = struct.unpack(">HH", content[i + 3 : i + 7])
+                ncomp = content[i + 7]
                 return ("jpeg", w, h, depth, ncomp)
-            i += 2 + seglen
+            i += seglen
         return ("jpeg", None, None, None, None)
     return (None, None, None, None, None)
 

@@ -2342,8 +2342,13 @@ def cramers_v(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         )
     )
     n, r, c = (F.col("_N").cast("double"), F.col("_r").cast("double"), F.col("_c").cast("double"))
-    chi2 = n * (F.col("_s") - F.lit(1.0))
-    phi2 = F.col("_s") - F.lit(1.0)  # chi²/N
+    # clamp at zero: on an exactly-independent table the rounded-term
+    # DECIMAL sum can land a hair BELOW 1 (e.g. 1/9 → 0.111111111111 ×9
+    # = 0.999999999999), and sqrt(−ε) is NaN — which Spark then sorts
+    # ABOVE every number (CLAUDE.md rolling_zscore rule); chi2 gets the
+    # same clamp so it can't print −0.0
+    phi2 = F.greatest(F.lit(0.0), F.col("_s") - F.lit(1.0))  # chi²/N
+    chi2 = n * phi2
     # Bergsma bias correction: phi2~ = max(0, phi2 − (r−1)(c−1)/(N−1)),
     # r~ = r − (r−1)²/(N−1), c~ = c − (c−1)²/(N−1)
     phi2c = F.greatest(

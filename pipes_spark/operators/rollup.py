@@ -667,9 +667,14 @@ def kmv_a_not_b(
         )
     )
     # set-name pair (two labelled sets — the kmv_overlap contract); a
-    # 1-row aggregate like theta, broadcast not collected
+    # 1-row aggregate like theta, broadcast not collected. The set count
+    # rides along: with 3+ labels the difference math and the
+    # lo/hi-derived names would both be silently wrong, so the cardinality
+    # is enforced in-plan (the cuped_ab_test raise_error pattern)
     names = dh.agg(
-        F.min("_s").alias("_s_lo"), F.max("_s").alias("_s_hi")
+        F.min("_s").alias("_s_lo"),
+        F.max("_s").alias("_s_hi"),
+        F.count_distinct("_s").alias("_nsets"),
     )
     # hashes below theta present in exactly ONE set: one groupBy on _h
     below = dh.join(F.broadcast(theta)).filter(F.col("_h") < F.col("_theta"))
@@ -678,13 +683,11 @@ def kmv_a_not_b(
         .agg(
             F.count(F.lit(1)).alias("_ns"),
             F.min("_s").alias("_owner"),
-            F.max("_theta").alias("_theta"),
         )
         .filter(F.col("_ns") == 1)
     )
     sk_counts = only.groupBy(F.col("_owner").alias("_s")).agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_sk"),
-        F.max("_theta").alias("_theta"),
     )
     # exact directional difference: one groupBy on the key
     exact = (
@@ -710,7 +713,19 @@ def kmv_a_not_b(
                     F.col("_s_lo")
                 ),
             ).alias("set_name"),
-            F.coalesce(F.col("n_exact"), F.lit(0).cast("bigint")).alias("n_exact"),
+            (
+                F.coalesce(F.col("n_exact"), F.lit(0).cast("bigint"))
+                * F.when(F.col("_nsets") == 2, F.lit(1)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("kmv_a_not_b expects exactly 2 sets, got "),
+                            F.col("_nsets").cast("string"),
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("n_exact"),
             F.round(
                 F.coalesce(F.col("_n_sk"), F.lit(0).cast("bigint")).cast("double")
                 * F.lit(float(_KMV_SPACE))

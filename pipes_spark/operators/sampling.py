@@ -541,10 +541,14 @@ def rendezvous_reshard(
         F.pmod(h, F.lit(n_old)).alias("_old"),
         F.pmod(h, F.lit(n_new)).alias("_new"),
     )
-    # rendezvous: weight(key, shard) = portable 56-bit md5 order statistic
+    # rendezvous: weight(key, shard) = portable 56-bit md5 order
+    # statistic. Candidates span BOTH layouts' shard ids — a shrink
+    # (n_new < n_old) must still see the old layout's high shards, or
+    # every key reads as unmoved
+    n_span = max(int(n_old), int(n_new))
     cand = keys.select(
         "_k",
-        F.explode(F.sequence(F.lit(0), F.lit(int(n_new) - 1))).alias("_s"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_span - 1))).alias("_s"),
     ).select(
         "_k",
         "_s",
@@ -564,7 +568,7 @@ def rendezvous_reshard(
         cand.groupBy("_k")
         .agg(
             F.max(F.when(F.col("_s") < n_old, packed)).alias("_po"),
-            F.max(packed).alias("_pn"),
+            F.max(F.when(F.col("_s") < n_new, packed)).alias("_pn"),
         )
         .select(
             F.lit("rendezvous").alias("scheme"),
@@ -624,9 +628,11 @@ def weighted_reservoir_per_group(
     determinism contract as :func:`reservoir_per_group` (stable across
     runs, partitionings, engines; re-salt for an independent draw).
 
-    Rows with NULL or non-positive weight are EXCLUDED (u^(1/w) is
-    undefined there — a zero-weight row should never be sampled).
-    One shuffle on the group key; skewed groups pre-thin with
+    Rows with NULL, NaN, or non-positive weight are EXCLUDED (u^(1/w)
+    is undefined there — a zero-weight row should never be sampled, and
+    NaN both passes a bare ``> 0`` comparison AND sorts above every
+    finite rank under Spark's ordering, so it would monopolize the
+    sample). One shuffle on the group key; skewed groups pre-thin with
     :func:`deterministic_sample` exactly as reservoir_per_group
     documents."""
     from pyspark.sql import Window
@@ -639,7 +645,7 @@ def weighted_reservoir_per_group(
     key_col = F.col(key) if isinstance(key, str) else key
     win = Window.partitionBy(*group_cols).orderBy(aes.desc(), key_col)
     return (
-        df.filter(w_col > 0)
+        df.filter((w_col > 0) & ~F.isnan(w_col))
         .withColumn("_rs", F.row_number().over(win))
         .filter(F.col("_rs") <= k)
         .drop("_rs")

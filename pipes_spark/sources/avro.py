@@ -996,6 +996,14 @@ def _make_encoder(schema, names: dict) -> Callable:
                 + v.second * 1_000_000
                 + v.microsecond
             )
+            if us % div:
+                # same raise-loudly convention as the decimal encoder:
+                # silently dropping sub-millisecond precision would make
+                # a write→read round trip return a DIFFERENT value
+                raise ValueError(
+                    f"time value {v} has sub-millisecond precision; "
+                    "use time-micros or truncate explicitly"
+                )
             _zigzag(out, us // div)
 
         return _time

@@ -550,3 +550,119 @@ def test_t_closeness_matches_hand_computation_and_zero_case(spark):
         assert got[g]["violates_t"] == int(expected > 0.1)
     # the all-"a" group must deviate; the two global-shaped groups equally
     assert got["g3"]["emd"] > got["g1"]["emd"] == got["g2"]["emd"]
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (wave 5)
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_reshard_shrink_counts_real_moves(spark):
+    """Shrinking 6→4: a key moves iff its old argmax was a retired
+    shard — candidates must span BOTH layouts or every key reads
+    unmoved."""
+    import hashlib
+
+    from pipes_spark.operators.sampling import rendezvous_reshard
+
+    keys = [str(i) for i in range(150)]
+
+    def h56(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    exp_moved = 0
+    for k in keys:
+        ws = [(h56(f"{k}#{s}"), -s) for s in range(6)]
+        old = -max(ws)[1]
+        new = -max(ws[:4])[1]
+        if old != new:
+            assert old >= 4  # only keys on retired shards move
+            exp_moved += 1
+    assert exp_moved > 0
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r["scheme"]: r for r in rendezvous_reshard(df, "k", 6, 4).collect()}
+    assert got["rendezvous"]["n_moved"] == exp_moved
+    assert 0 < got["rendezvous"]["n_moved"] < got["mod"]["n_moved"]
+
+
+def test_cramers_v_exact_independence_rounding_cannot_go_negative(spark):
+    """3×3 with 7 rows/cell: every term is 1/9, whose 12-decimal
+    rounding sums to 0.999999999999 — the clamp must yield 0.0, never
+    −0.0 chi2 or NaN V."""
+    import math
+
+    from pipes_spark.operators.profiling import cramers_v
+
+    rows = [(a, b) for a in "xyz" for b in "pqr" for _ in range(7)]
+    r = cramers_v(spark.createDataFrame(rows, ["u", "v"]), "u", "v").collect()[0]
+    assert r["chi2"] == 0.0 and math.copysign(1, r["chi2"]) == 1.0
+    assert r["cramers_v"] == 0.0 and not math.isnan(r["cramers_v"])
+    assert r["cramers_v_corrected"] == 0.0
+
+
+def test_weighted_reservoir_nan_weights_excluded(spark):
+    from pipes_spark.operators.sampling import weighted_reservoir_per_group
+
+    rows = [("g", f"k{i}", 1.0) for i in range(20)] + [
+        ("g", "nan1", float("nan")),
+        ("g", "nan2", float("nan")),
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "w"])
+    got = [r["id"] for r in weighted_reservoir_per_group(df, ["g"], "id", "w", 5).collect()]
+    assert len(got) == 5 and not any(i.startswith("nan") for i in got)
+
+
+def test_kmv_a_not_b_three_sets_raises(spark):
+    import pytest as _pytest
+
+    from pipes_spark.operators.rollup import kmv_a_not_b
+
+    rows = [("a", 1), ("b", 2), ("c", 3)]
+    df = spark.createDataFrame(rows, ["s", "k"])
+    with _pytest.raises(Exception, match="exactly 2 sets"):
+        kmv_a_not_b(df, "s", "k").collect()
+
+
+def test_avro_time_millis_submillisecond_raises(tmp_path):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from pipes_spark.sources import avro as _av
+
+    schema = {
+        "type": "record",
+        "name": "TMS",
+        "fields": [
+            {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}}
+        ],
+    }
+    p = str(tmp_path / "subms.avro")
+    with _pytest.raises(ValueError, match="sub-millisecond"):
+        _av.write_avro_file(p, schema, [(_dt.time(0, 0, 0, 500),)])
+
+
+def test_sniff_header_jpeg_fill_bytes_and_truncated_png():
+    import struct
+
+    import pytest as _pytest
+
+    from pipes_spark.operators.multimodal import (
+        png_encode_gray,
+        sniff_image_header,
+    )
+
+    # JPEG with fill padding and a standalone RST marker before SOF2
+    sof2 = (
+        b"\xff\xff\xff\xc2"  # fill bytes then SOF2
+        + struct.pack(">H", 8 + 6)
+        + bytes([12])
+        + struct.pack(">HH", 100, 50)
+        + bytes([1, 1, 0x11, 0])
+    )
+    jpeg = b"\xff\xd8" + b"\xff\xd0" + sof2  # RST0 is standalone: no length
+    assert sniff_image_header(jpeg) == ("jpeg", 50, 100, 12, 1)
+    # truncated PNG: documented ValueError, not struct.error
+    png = png_encode_gray(1, 4, 4)
+    with _pytest.raises(ValueError, match="truncated"):
+        sniff_image_header(png[:20])
