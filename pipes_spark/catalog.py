@@ -4017,7 +4017,15 @@ _GRADED_WINDOW = [
     # events_hourly + sessionize_stats — hands its slot to
     # quality_domain_wilson, the never-graded Wilson-lower-bound domain
     # rollup; per CLAUDE.md new high-value oracled queries take a slot)
-    "events_hourly", "sessionize_stats", "quality_domain_wilson",
+    # round-9 second wave: events_hourly (green since r01; the hourly
+    # aggregation is double-carried — sessionize_stats batch-side and
+    # streaming_events_hourly is the SAME aggregation through the
+    # stream) hands its slot to multimodal_png_roundtrip: the first
+    # REAL (non-stub) multimodal decode, and the first mapInPandas
+    # binary path the driver would ever hash-grade — the oracle
+    # recomputes the pixel checksum, so a pass certifies the worker-side
+    # decoder end to end under the driver's own session.
+    "multimodal_png_roundtrip", "sessionize_stats", "quality_domain_wilson",
     # round-7 curation: ts_ewma and stats_mad_outliers (both hash-graded
     # green since r04) hand their slots to ts_kaplan_meier — proving this
     # round's bucket-parallel cumulative-product rewrite under the driver's
@@ -14647,3 +14655,53 @@ def quality_t_closeness(spark, sf_dir):
     return t_closeness(
         o, ["o_orderpriority"], "o_orderstatus", t=0.005
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "stats_brown_forsythe",
+    oracle="""
+    WITH g0 AS (
+      SELECT event_type AS gr, round(CAST(value AS DOUBLE), 6) AS v0
+      FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    ), med AS (
+      SELECT gr, quantile_cont(v0, 0.5) AS m FROM g0 GROUP BY gr
+    ), g AS (
+      SELECT gr, round(abs(v0 - m), 6) AS v FROM g0 JOIN med USING (gr)
+    ), per AS (
+      SELECT gr, count(*) AS n,
+             sum(CAST(v AS DECIMAL(28,6))) AS s,
+             sum(CAST(v * v AS DECIMAL(38,6))) AS q
+      FROM g GROUP BY gr
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(s) AS DOUBLE) AS st,
+             CAST(sum(q) AS DOUBLE) AS qt,
+             CAST(sum(CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS a
+      FROM per
+    )
+    SELECT n_groups, n_total,
+           CAST(n_groups - 1 AS BIGINT) AS df_between,
+           CAST(n_total - n_groups AS BIGINT) AS df_within,
+           round(a - st * st / n_total, 6) AS ss_between,
+           round(qt - a, 6) AS ss_within,
+           round((a - st * st / n_total)
+                   / nullif(CAST(n_groups - 1 AS DOUBLE), 0)
+                 / nullif((qt - a) / nullif(CAST(n_total - n_groups AS DOUBLE), 0),
+                          0), 6) AS f_stat
+    FROM tot
+    """,
+)
+def stats_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity test (operators.profiling.
+    brown_forsythe): do the event types differ in value SPREAD, not just
+    mean — the robustness check behind stats_anova's pooled-variance
+    assumption. Median-centered |deviations| (Levene's robust variant)
+    fed through the exact same one-pass ANOVA machinery; the oracle
+    restates the whole pipeline including the interpolated per-group
+    median."""
+    from .operators.profiling import brown_forsythe
+
+    e = _t(spark, sf_dir, "events")
+    return brown_forsythe(e, "event_type", "value")

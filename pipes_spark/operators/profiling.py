@@ -2463,3 +2463,32 @@ def t_closeness(
             "violates_t", (F.col("emd") > F.lit(float(t))).cast("int")
         )
     )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test (the median-centered
+    Levene 1960 variant, Brown & Forsythe 1974): one-way ANOVA applied
+    to z = |x − median_g| — "do the groups differ in SPREAD", the
+    assumption check behind trusting :func:`anova_oneway`'s pooled
+    within-group variance and behind any per-segment volatility claim.
+    Median centering (not mean) keeps the test robust to heavy tails.
+
+    One exact per-group median pass (percentile 0.5, linear
+    interpolation — engine-identical on the 6-decimal-quantized
+    values), a broadcast-sized join of the k medians back onto the
+    stream, then the whole :func:`anova_oneway` machinery reused on the
+    quantized |deviations| — same output contract (the F statistic IS
+    Brown–Forsythe's W)."""
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    med = g.groupBy("_g").agg(F.percentile("_v", 0.5).alias("_med"))
+    z = g.join(F.broadcast(med), "_g").select(
+        "_g", F.round(F.abs(F.col("_v") - F.col("_med")), 6).alias("_z")
+    )
+    return anova_oneway(z, "_g", "_z")

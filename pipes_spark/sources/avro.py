@@ -517,6 +517,14 @@ def _decompress(codec: str, data: bytes) -> bytes:
         return data
     if codec == "deflate":
         return zlib.decompress(data, -15)  # raw DEFLATE, no zlib header (spec)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(data)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(data)
     if codec == "snappy":
         try:
             import snappy  # type: ignore
@@ -1125,6 +1133,14 @@ def write_avro_file(
         if codec == "deflate":
             c = zlib.compressobj(9, zlib.DEFLATED, -15)
             return c.compress(b) + c.flush()
+        if codec == "bzip2":
+            import bz2
+
+            return bz2.compress(b)
+        if codec == "xz":
+            import lzma
+
+            return lzma.compress(b)
         raise ValueError(f"unsupported write codec: {codec!r}")
 
     header = bytearray(MAGIC)

@@ -73,6 +73,14 @@ def _handmade_file(tmp_path, codec: str = "null") -> str:
     if codec == "deflate":
         c = zlib.compressobj(9, zlib.DEFLATED, -15)
         data = c.compress(data) + c.flush()
+    elif codec == "bzip2":
+        import bz2
+
+        data = bz2.compress(data)
+    elif codec == "xz":
+        import lzma
+
+        data = lzma.compress(data)
     block = _varint(2) + _varint(len(data)) + data + sync
     p = str(tmp_path / f"hand_{codec}.avro")
     with open(p, "wb") as f:
@@ -80,7 +88,7 @@ def _handmade_file(tmp_path, codec: str = "null") -> str:
     return p
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
 def test_reader_decodes_handmade_bytes(tmp_path, codec):
     p = _handmade_file(tmp_path, codec)
     rows = list(av._iter_range_rows(p, 0, 10**9))
@@ -157,7 +165,7 @@ FULL_ROWS = [
 ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
 def test_full_surface_roundtrip(tmp_path, codec):
     p = str(tmp_path / f"full_{codec}.avro")
     n = av.write_avro_file(p, FULL_SCHEMA, FULL_ROWS, codec=codec, block_rows=1)

@@ -666,3 +666,22 @@ def test_sniff_header_jpeg_fill_bytes_and_truncated_png():
     png = png_encode_gray(1, 4, 4)
     with _pytest.raises(ValueError, match="truncated"):
         sniff_image_header(png[:20])
+
+
+def test_brown_forsythe_spread_sensitivity(spark):
+    """Mean shifts alone must NOT trigger it (z-distributions identical
+    ⇒ F = 0); a genuine spread difference must."""
+    from pipes_spark.operators.profiling import brown_forsythe
+
+    shifted = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v + 10)) for v in (1, 2, 3, 4, 5)
+    ]
+    r = brown_forsythe(spark.createDataFrame(shifted, ["g", "v"]), "g", "v").collect()[0]
+    assert r["ss_between"] == 0.0 and r["f_stat"] == 0.0
+    assert (r["n_groups"], r["n_total"]) == (2, 10)
+
+    spread = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v)) for v in (-20, -10, 0, 10, 20)
+    ]
+    r2 = brown_forsythe(spark.createDataFrame(spread, ["g", "v"]), "g", "v").collect()[0]
+    assert r2["f_stat"] > 5.0
