@@ -14705,3 +14705,88 @@ def stats_brown_forsythe(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return brown_forsythe(e, "event_type", "value")
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, round(CAST(value AS DOUBLE), 6) AS v
+      FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), m AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
+               / sum(CASE WHEN event_type = 'click' THEN 1 END) AS ma,
+             CAST(sum(CASE WHEN event_type = 'view'
+                           THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
+               / sum(CASE WHEN event_type = 'view' THEN 1 END) AS mb
+      FROM e GROUP BY user_id
+    ), dd AS (
+      SELECT round(ma - mb, 6) AS d FROM m
+      WHERE ma IS NOT NULL AND mb IS NOT NULL
+    ), nz AS (SELECT d FROM dd WHERE d <> 0),
+    per AS (
+      SELECT abs(d) AS v, count(*) AS nt,
+             sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS np
+      FROM nz GROUP BY abs(d)
+    ), cum AS (
+      SELECT v, nt, np,
+             coalesce(sum(nt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM per
+    ), agg AS (
+      SELECT CAST(sum(nt) AS BIGINT) AS n_pairs,
+             sum(CAST(np AS DECIMAL(19,0))
+                 * (2 * CAST(c AS DECIMAL(19,0))
+                    + CAST(nt AS DECIMAL(19,0)) + 1)) AS wp2,
+             CAST(sum(CAST(nt AS DECIMAL(19,0)) * nt * nt - nt) AS DOUBLE)
+               AS ties
+      FROM cum
+    )
+    SELECT n_pairs,
+           round(CAST(wp2 AS DOUBLE) / 2.0, 6) AS w_plus,
+           round(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 2.0
+                 - CAST(wp2 AS DOUBLE) / 2.0, 6) AS w_minus,
+           round((CAST(wp2 AS DOUBLE) / 2.0
+                  - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4.0)
+                 / sqrt(nullif(CAST(n_pairs AS DOUBLE) * (n_pairs + 1)
+                               * (2 * n_pairs + 1) / 24.0 - ties / 48.0,
+                               0.0)), 6) AS z
+    FROM agg
+    """,
+)
+def stats_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank test (operators.profiling.
+    wilcoxon_signed_rank): per-user mean click value vs mean view value
+    — the PAIRED nonparametric test stats_mann_whitney can't do (same
+    subject under two conditions; differences, not independent
+    samples). Zeros dropped, |d| ties midranked, tie-corrected z; the
+    doubled-midrank sum stays exact DECIMAL through the bucketed
+    cumulative counts, so the oracle hash checks the rank math."""
+    from .operators.profiling import wilcoxon_signed_rank
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    v6 = F.round(F.col("value").cast("double"), 6)
+    m = e.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "click", v6.cast("decimal(28,6)"))
+            ).cast("double")
+            / F.sum(F.when(F.col("event_type") == "click", 1))
+        ).alias("_ma"),
+        (
+            F.sum(
+                F.when(F.col("event_type") == "view", v6.cast("decimal(28,6)"))
+            ).cast("double")
+            / F.sum(F.when(F.col("event_type") == "view", 1))
+        ).alias("_mb"),
+    )
+    d = m.filter(
+        F.col("_ma").isNotNull() & F.col("_mb").isNotNull()
+    ).select(F.round(F.col("_ma") - F.col("_mb"), 6).alias("d"))
+    return wilcoxon_signed_rank(d, "d")

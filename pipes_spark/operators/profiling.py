@@ -2492,3 +2492,56 @@ def brown_forsythe(
         "_g", F.round(F.abs(F.col("_v") - F.col("_med")), 6).alias("_z")
     )
     return anova_oneway(z, "_g", "_z")
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    diff_col: str,
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test over PAIRED differences — the matched
+    companion to :func:`mann_whitney_u` (same subject under two
+    conditions: before/after, variant A/B on the same user). Input is
+    one row per pair carrying the difference; zeros are dropped and
+    |d| ties take midranks, both per the standard treatment.
+
+    Same scale shape as mann_whitney_u / auc_roc: one aggregate to the
+    distinct |d| grain, bucket-parallel cumulative counts
+    (``ranks.bucketed_cumsum`` — no single-partition window), then the
+    doubled-midrank identity 2·W⁺ = Σ n₊(v)·(2·cum(<v) + n(v) + 1) in
+    exact DECIMAL integers; .5-midranks only materialize in the final
+    halving. z uses the tie-corrected variance n(n+1)(2n+1)/24 −
+    Σ(t³−t)/48 (no continuity correction); only z's final division is
+    floating. Returns one row (n_pairs, w_plus, w_minus, z)."""
+    from .ranks import bucketed_cumsum
+
+    d = df.select(
+        F.round(F.col(diff_col).cast("double"), 6).alias("_d")
+    ).filter(F.col("_d").isNotNull() & (F.col("_d") != 0))
+    per = d.groupBy(F.abs(F.col("_d")).alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_nt"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).cast("long").alias("_np"),
+    )
+    cum = bucketed_cumsum(per, "_v", {"_c": F.col("_nt")})
+    dec = "decimal(19,0)"
+    t = F.col("_nt").cast(dec)
+    two_wp = F.sum(
+        F.col("_np").cast(dec)
+        * (F.lit(2).cast(dec) * F.col("_c").cast(dec) + t + 1)
+    )
+    agg = cum.agg(
+        F.sum("_nt").cast("long").alias("n_pairs"),
+        two_wp.alias("_2wp"),
+        F.sum(t * t * t - t).cast("double").alias("_ties"),
+    )
+    n = F.col("n_pairs").cast("double")
+    wp = F.col("_2wp").cast("double") / 2.0
+    wm = n * (n + 1) / 2.0 - wp
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("_ties") / 48.0
+    z = (wp - n * (n + 1) / 4.0) / F.sqrt(F.nullif(var, F.lit(0.0)))
+    return agg.select(
+        "n_pairs",
+        F.round(wp, round_decimals).alias("w_plus"),
+        F.round(wm, round_decimals).alias("w_minus"),
+        F.round(z, round_decimals).alias("z"),
+    )

@@ -685,3 +685,36 @@ def test_brown_forsythe_spread_sensitivity(spark):
     ]
     r2 = brown_forsythe(spark.createDataFrame(spread, ["g", "v"]), "g", "v").collect()[0]
     assert r2["f_stat"] > 5.0
+
+
+def test_wilcoxon_signed_rank_matches_hand_computation(spark):
+    """W⁺/W⁻/z recomputed in pure Python with midranks and the
+    tie-corrected variance, zeros dropped."""
+    import math
+
+    from pipes_spark.operators.profiling import wilcoxon_signed_rank
+
+    diffs = [1.5, -0.5, 0.5, 2.0, -2.0, 3.0, 0.0, 0.5, -1.5, 4.0]
+    df = spark.createDataFrame([(d,) for d in diffs], ["d"])
+    got = wilcoxon_signed_rank(df, "d").collect()[0]
+
+    nz = [d for d in diffs if d != 0]
+    n = len(nz)
+    ranked = sorted(nz, key=abs)
+    # midranks over |d|
+    from collections import Counter
+
+    cnt = Counter(abs(d) for d in nz)
+    below = 0
+    midrank = {}
+    for v in sorted(cnt):
+        midrank[v] = below + (cnt[v] + 1) / 2
+        below += cnt[v]
+    wp = sum(midrank[abs(d)] for d in nz if d > 0)
+    wm = n * (n + 1) / 2 - wp
+    ties = sum(t**3 - t for t in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - ties / 48
+    z = (wp - n * (n + 1) / 4) / math.sqrt(var)
+    assert got["n_pairs"] == n
+    assert got["w_plus"] == round(wp, 6) and got["w_minus"] == round(wm, 6)
+    assert abs(got["z"] - z) < 1e-6
