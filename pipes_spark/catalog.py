@@ -14790,3 +14790,46 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
         F.col("_ma").isNotNull() & F.col("_mb").isNotNull()
     ).select(F.round(F.col("_ma") - F.col("_mb"), 6).alias("d"))
     return wilcoxon_signed_rank(d, "d")
+
+
+@query(
+    "streaming_weighted_reservoir",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, event_id,
+             ln((CAST(concat('0x', substr(md5(concat(
+                   CAST(event_id AS VARCHAR), 'srv')), 1, 8)) AS BIGINT) + 1)
+                / 4294967296.0)
+               / CAST(value AS DOUBLE) AS aes
+      FROM events WHERE value IS NOT NULL AND CAST(value AS DOUBLE) > 0
+    ), r AS (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY aes DESC, event_id) AS rn
+      FROM w
+    )
+    SELECT event_type, event_id FROM r WHERE rn <= 10
+    ORDER BY event_type, event_id
+    """,
+)
+def streaming_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir under streaming ingest
+    (streaming.streaming_weighted_reservoir): 10 events per type,
+    inclusion ∝ value, drawn LIVE — per-micro-batch A-ES top-k merged
+    across batches. The A-ES rank is a pure static function of
+    (key, weight), so the merged reservoir is provably identical to the
+    offline batch draw for any micro-batch split — which is why the
+    deterministic batch-twin SQL is a valid hash-exact oracle (the
+    streaming_kmv_distinct mergeability argument, for weighted
+    sampling). pytest additionally proves the 2-file
+    maxFilesPerTrigger=1 split merges row-for-row to the single-batch
+    draw."""
+    from .streaming import streaming_weighted_reservoir as _swr
+
+    stream = _events_stream(spark, sf_dir)
+    res = _swr(
+        stream, ["event_type"], "event_id", "value", k=10, salt="srv"
+    )
+    return res.select("event_type", "event_id").orderBy(
+        "event_type", "event_id"
+    )

@@ -1228,3 +1228,49 @@ def streaming_upsert_writer(
     q = writer.start()
     _await_and_record(q)
     return spark.table(table)
+
+
+def streaming_weighted_reservoir(
+    stream_df: DataFrame,
+    group_cols: "list[str]",
+    key_col: str,
+    weight_col: str,
+    k: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted reservoir (A-ES) under streaming ingest: each micro-batch
+    keeps its own per-group top-k by the A-ES rank (≤ k rows per group
+    of state, `localCheckpoint`ed), merged at the end by the SAME
+    selection. The A-ES rank ln(u)/w is a pure static function of
+    (key, weight), so top-k is mergeable: any row in the global top-k
+    has fewer than k group rows ranked above it anywhere — hence it
+    survives its own batch's cut — making the merged reservoir
+    IDENTICAL to the offline batch draw over the full stream for ANY
+    micro-batch split (the streaming_kmv_distinct argument, for
+    weighted sampling instead of distinct counts). Runs to completion
+    (availableNow) and returns the merged per-group reservoir."""
+    from functools import reduce
+
+    from ..operators.sampling import weighted_reservoir_per_group
+
+    spark = stream_df.sparkSession
+    parts: "list[DataFrame]" = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        r = weighted_reservoir_per_group(
+            batch, group_cols, key_col, weight_col, k=k, salt=salt
+        )
+        parts.append(r.localCheckpoint(eager=True))
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_and_record(q)
+    if not parts:
+        return spark.createDataFrame([], stream_df.schema)
+    merged = reduce(lambda a, b: a.unionByName(b), parts)
+    return weighted_reservoir_per_group(
+        merged, group_cols, key_col, weight_col, k=k, salt=salt
+    )

@@ -867,3 +867,48 @@ def test_streaming_upsert_idempotent_and_order_safe(spark, tmp_path):
         assert {tuple(r) for r in out2.collect()} == want
     finally:
         spark.sql("DROP TABLE IF EXISTS t_upsert_test")
+
+
+def test_streaming_weighted_reservoir_merge_equals_batch_draw(spark, tmp_path):
+    """Per-micro-batch A-ES top-k merged across a 2-file split equals
+    the one-shot batch draw row-for-row (mergeability of the static
+    rank), including when a group's global winners straddle batches."""
+    from pipes_spark.operators.sampling import weighted_reservoir_per_group
+    from pipes_spark.streaming import streaming_weighted_reservoir
+
+    schema = "g string, id string, w double"
+    a = [("x", f"a{i}", float(1 + i % 5)) for i in range(60)]
+    b = [("x", f"b{i}", float(1 + i % 7)) for i in range(60)] + [
+        ("y", f"c{i}", 1.0) for i in range(20)
+    ]
+    d = str(tmp_path / "wr")
+    spark.createDataFrame(a, schema).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{d}/b1")
+    stream_dir = str(tmp_path / "wr_in")
+    os.makedirs(stream_dir)
+    files = sorted(
+        f"{d}/b{i}/{f}"
+        for i in range(2)
+        for f in os.listdir(f"{d}/b{i}")
+        if f.endswith(".parquet")
+    )
+    for i, f in enumerate(files):
+        os.symlink(os.path.abspath(f), f"{stream_dir}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_dir)
+    )
+    merged = streaming_weighted_reservoir(stream, ["g"], "id", "w", k=8)
+    batch = weighted_reservoir_per_group(
+        spark.createDataFrame(a + b, schema), ["g"], "id", "w", k=8
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+    # both groups fully represented: x at k, y at min(k, n)
+    got = {}
+    for r in merged.collect():
+        got[r["g"]] = got.get(r["g"], 0) + 1
+    assert got == {"x": 8, "y": 8}
