@@ -3969,8 +3969,12 @@ _GRADED_WINDOW = [
     # family stays carried by subquery_exists + subquery_scalar_corr)
     # hands its slot to contamination_embedding — the broadcast map-side
     # benchmark-decontamination family the driver has never hash-graded.
+    # round-9 second wave: subquery_scalar_corr (green since r01; the
+    # subquery family stays carried by subquery_exists) hands its slot
+    # to quality_t_closeness — the privacy ladder's new third rung
+    # (ordered-EMD distribution-skew audit), never driver-graded.
     "subquery_exists", "contamination_embedding",
-    "subquery_scalar_corr", "table_diff_orders",
+    "quality_t_closeness", "table_diff_orders",
     # join family (round-7 curation: join_range_bands — hash-graded green
     # in r04–r06 — hands its slot to join_interval_overlap, the
     # session-interval overlap-grid rewrite the driver has never graded;
@@ -4052,7 +4056,11 @@ _GRADED_WINDOW = [
     # connected-components family (judge-verified pass in r05, never
     # driver-graded), proving the incremental ≡ full-recompute contract
     # under the driver's own hash gate.
-    "graph_shortest_paths", "graph_cc_incremental", "ml_auc_roc",
+    # round-9 second wave: graph_shortest_paths (hash-graded green since
+    # r04; the graph family stays carried by graph_cc_incremental) hands
+    # its slot to stats_wilcoxon_signed_rank — the paired rank test,
+    # whose driver grading checks the bucketed midrank math end to end.
+    "stats_wilcoxon_signed_rank", "graph_cc_incremental", "ml_auc_roc",
     # profiling / statistics / quality
     # round-9 curation: stats_correlation (green since r04; the profiling
     # family stays carried by stats_linear_fit + profile_orders +
@@ -4065,7 +4073,12 @@ _GRADED_WINDOW = [
     # text_dsir — a brand-new family (hashed-bigram importance weights)
     # the driver has never graded; text_sparse_cosine re-registers right
     # after the window and stays locally gated.
-    "dedup_exact_docs", "dedup_lsh_verified",
+    # round-9 second wave: dedup_exact_docs (green since r01; exact
+    # dedup stays carried by dedup_lsh_verified + dedup family pytests)
+    # hands its slot to streaming_weighted_reservoir — mergeable A-ES
+    # sampling through a REAL stream, a family the driver has never
+    # graded on either the sampling or the streaming side.
+    "streaming_weighted_reservoir", "dedup_lsh_verified",
     "text_dsir",
     # round-9 curation: sim_cosine_topk (green since r04; similarity
     # carried by sim_cosine_neardup) hands its slot to

@@ -232,3 +232,23 @@ def test_survival_report_example(spark, sf_dir, job_budget, action_audit):
     lr = out["logrank"][0]
     assert lr["n1"] + lr["n0"] == km[0]["n_risk"]
     assert lr["chi2"] is not None and lr["chi2"] >= 0.0
+
+
+def test_privacy_audit_example(spark, sf_dir, job_budget, action_audit):
+    import privacy_audit
+
+    # 4 actions: 3 audit sinks + 1 persisted fan-out (scan→3)
+    with job_budget("privacy_audit", 8), action_audit("privacy_audit", 4):
+        out = privacy_audit.main(sf_dir)
+    assert set(out) == {"k_anon", "l_div", "t_close"}
+    # t-closeness reports EVERY group with a flag; the other two are
+    # violation-bounded
+    assert len(out["t_close"]) == 5
+    assert {r["o_orderpriority"] for r in out["t_close"]} == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    }
+    assert all(r["emd"] is not None for r in out["t_close"])
+    for r in out["l_div"]:
+        assert r["distinct_l"] < 3
+    for r in out["k_anon"]:
+        assert r["n_rows"] < 5
