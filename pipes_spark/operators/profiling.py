@@ -2512,12 +2512,20 @@ def wilcoxon_signed_rank(
     exact DECIMAL integers; .5-midranks only materialize in the final
     halving. z uses the tie-corrected variance n(n+1)(2n+1)/24 −
     Σ(t³−t)/48 (no continuity correction); only z's final division is
-    floating. Returns one row (n_pairs, w_plus, w_minus, z)."""
+    floating. ``round_decimals`` sets BOTH the input quantization grain
+    (zero-drop and |d| ties) and the output rounding — sub-grain
+    differences round to zero and drop, so callers with finer data
+    raise it rather than silently losing pairs. NULL and NaN
+    differences are excluded (NaN passes ``!= 0`` and sorts above every
+    finite |d| under Spark's ordering — the weighted-reservoir hazard).
+    Returns one row (n_pairs, w_plus, w_minus, z)."""
     from .ranks import bucketed_cumsum
 
     d = df.select(
-        F.round(F.col(diff_col).cast("double"), 6).alias("_d")
-    ).filter(F.col("_d").isNotNull() & (F.col("_d") != 0))
+        F.round(F.col(diff_col).cast("double"), round_decimals).alias("_d")
+    ).filter(
+        F.col("_d").isNotNull() & ~F.isnan("_d") & (F.col("_d") != 0)
+    )
     per = d.groupBy(F.abs(F.col("_d")).alias("_v")).agg(
         F.count(F.lit(1)).cast("long").alias("_nt"),
         F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).cast("long").alias("_np"),

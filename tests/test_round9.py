@@ -718,3 +718,19 @@ def test_wilcoxon_signed_rank_matches_hand_computation(spark):
     assert got["n_pairs"] == n
     assert got["w_plus"] == round(wp, 6) and got["w_minus"] == round(wm, 6)
     assert abs(got["z"] - z) < 1e-6
+
+
+def test_wilcoxon_excludes_nan_and_honors_quantization_grain(spark):
+    from pipes_spark.operators.profiling import wilcoxon_signed_rank
+
+    rows = [(1.5,), (-0.5,), (2.0,), (float("nan"),), (None,)]
+    got = wilcoxon_signed_rank(spark.createDataFrame(rows, ["d"]), "d").collect()[0]
+    assert got["n_pairs"] == 3  # NaN and NULL excluded, not ranked
+
+    # sub-grain differences survive when round_decimals is raised
+    tiny = [(5e-8,), (-3e-8,), (4e-8,)]
+    df = spark.createDataFrame(tiny, ["d"])
+    at6 = wilcoxon_signed_rank(df, "d", round_decimals=6).collect()[0]
+    at8 = wilcoxon_signed_rank(df, "d", round_decimals=8).collect()[0]
+    assert at6["n_pairs"] is None or at6["n_pairs"] == 0  # all rounded to 0
+    assert at8["n_pairs"] == 3
