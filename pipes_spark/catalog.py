@@ -14846,3 +14846,67 @@ def streaming_weighted_reservoir(spark, sf_dir):
     return res.select("event_type", "event_id").orderBy(
         "event_type", "event_id"
     )
+
+
+@query(
+    "stats_friedman",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(sum(CAST(round(CAST(value AS DOUBLE), 6)
+                           AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS m
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS (SELECT count(DISTINCT t) AS k FROM cell),
+    sizes AS (SELECT b, count(*) AS nb FROM cell GROUP BY b),
+    complete AS (
+      SELECT cell.b, cell.t, cell.m, kk.k
+      FROM cell JOIN sizes USING (b) CROSS JOIN kk WHERE nb = k
+    ), ranked AS (
+      SELECT b, t, k,
+             CAST(rank() OVER (PARTITION BY b ORDER BY m) AS DOUBLE)
+             + (CAST(count(*) OVER (PARTITION BY b, m) AS DOUBLE) - 1.0)
+               / 2.0 AS r
+      FROM complete
+    ), per_t AS (
+      SELECT t,
+             CAST(sum(CAST(round(r, 6) AS DECIMAL(28,6))) AS DOUBLE) AS rs,
+             count(*) AS n, max(k) AS k
+      FROM ranked GROUP BY t
+    ), sq AS (
+      SELECT CAST(sum(CAST(round(r * r, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               AS sq
+      FROM ranked
+    ), agg AS (
+      SELECT max(n) AS n_blocks, max(k) AS k_treatments,
+             CAST(sum(CAST(round(
+               (rs / n - (k + 1.0) / 2.0) * (rs / n - (k + 1.0) / 2.0), 9)
+               AS DECIMAL(38,9))) AS DOUBLE) AS dev2
+      FROM per_t
+    )
+    SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(k_treatments AS BIGINT) AS k_treatments,
+           round((CAST(k_treatments AS DOUBLE) - 1.0)
+                 * (CAST(n_blocks AS DOUBLE) * dev2)
+                 * CAST(n_blocks AS DOUBLE)
+                 / nullif(sq - CAST(n_blocks AS DOUBLE) * k_treatments
+                          * (k_treatments + 1.0) * (k_treatments + 1.0)
+                          / 4.0, 0.0), 6) AS chi2,
+           CAST(k_treatments - 1 AS BIGINT) AS df
+    FROM agg, sq
+    """,
+)
+def stats_friedman(spark, sf_dir):
+    """Friedman repeated-measures rank test (operators.profiling.
+    friedman_test): every user ranks the five event types by their own
+    mean value, so between-user level differences cancel — completing
+    the nonparametric quartet (Mann–Whitney: 2 independent; Wilcoxon
+    signed-rank: 2 paired; Kruskal–Wallis: k independent; Friedman:
+    k paired). Tie-corrected χ²(k−1); within-block midranks run in
+    k-row windows, never a global sort."""
+    from .operators.profiling import friedman_test
+
+    e = _t(spark, sf_dir, "events")
+    return friedman_test(e, "user_id", "event_type", "value")

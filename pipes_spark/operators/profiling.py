@@ -2553,3 +2553,103 @@ def wilcoxon_signed_rank(
         F.round(wm, round_decimals).alias("w_minus"),
         F.round(z, round_decimals).alias("z"),
     )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test (1937) — the k-treatment PAIRED rank test that
+    completes the nonparametric quartet (:func:`mann_whitney_u` for two
+    independent samples, :func:`wilcoxon_signed_rank` for two paired,
+    :func:`kruskal_wallis` for k independent, this for k paired): every
+    BLOCK (subject) ranks the k treatments among themselves, so
+    between-subject level differences cancel entirely — "does treatment
+    order hold up across subjects", the repeated-measures question.
+
+    Only blocks observing ALL k treatments enter (an incomplete block
+    cannot rank the full set). Within-block ties take midranks; the
+    statistic uses the tie-corrected form
+    χ² = (k−1)·Σ_j n(R̄_j − (k+1)/2)² / (Σ r² − n·k(k+1)²/4)
+    over the per-block midranks r, which reduces to the classic
+    12/(nk(k+1))·ΣR_j² − 3n(k+1) when tie-free. Under H₀, χ²(k−1).
+
+    Scale shape: one (block, treatment) mean aggregate (map-side
+    combined, 6-decimal-quantized DECIMAL sums), a within-block midrank
+    window (k rows per partition — never a global sort), then one
+    treatment-grain and one final aggregate; rank sums and squared-rank
+    sums round-then-DECIMAL so the statistic is summation-order
+    independent. Returns one row (n_blocks, k_treatments, chi2, df)."""
+    from pyspark.sql import Window
+
+    cell = (
+        df.select(
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_t"),
+            F.round(F.col(value_col).cast("double"), 6).alias("_v"),
+        )
+        .filter(F.col("_b").isNotNull() & F.col("_t").isNotNull() & F.col("_v").isNotNull())
+        .groupBy("_b", "_t")
+        .agg(
+            (
+                F.sum(F.col("_v").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("_m")
+        )
+    )
+    # k = global treatment count; complete blocks only (in-plan, no collect)
+    k_row = cell.select("_t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    sizes = cell.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
+    complete = (
+        cell.join(sizes, "_b")
+        .join(F.broadcast(k_row))
+        .filter(F.col("_nb") == F.col("_k"))
+    )
+    # within-block midrank: rank + (ties−1)/2, all inside a k-row window
+    w = Window.partitionBy("_b").orderBy("_m")
+    ranked = complete.withColumn(
+        "_r",
+        F.rank().over(w).cast("double")
+        + (F.count(F.lit(1)).over(
+            Window.partitionBy("_b", "_m")
+        ).cast("double") - 1.0) / 2.0,
+    )
+    per_t = ranked.groupBy("_t").agg(
+        F.sum(F.round(F.col("_r"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("_R"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.max("_k").alias("_k"),
+    )
+    sq = ranked.agg(
+        F.sum(F.round(F.col("_r") * F.col("_r"), 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_sq")
+    )
+    agg = per_t.agg(
+        F.max("_n").alias("n_blocks"),
+        F.max("_k").alias("k_treatments"),
+        F.sum(
+            F.round(
+                (F.col("_R") / F.col("_n") - (F.col("_k") + 1.0) / 2.0)
+                * (F.col("_R") / F.col("_n") - (F.col("_k") + 1.0) / 2.0),
+                9,
+            ).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("_dev2"),
+    ).join(F.broadcast(sq))
+    n = F.col("n_blocks").cast("double")
+    k = F.col("k_treatments").cast("double")
+    denom = F.col("_sq") - n * k * (k + 1.0) * (k + 1.0) / 4.0
+    chi2 = (k - 1.0) * (n * F.col("_dev2")) * n / F.nullif(denom, F.lit(0.0))
+    return agg.select(
+        "n_blocks",
+        "k_treatments",
+        F.round(chi2, 6).alias("chi2"),
+        (F.col("k_treatments") - 1).cast("long").alias("df"),
+    )

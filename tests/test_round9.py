@@ -734,3 +734,57 @@ def test_wilcoxon_excludes_nan_and_honors_quantization_grain(spark):
     at8 = wilcoxon_signed_rank(df, "d", round_decimals=8).collect()[0]
     assert at6["n_pairs"] is None or at6["n_pairs"] == 0  # all rounded to 0
     assert at8["n_pairs"] == 3
+
+
+def test_friedman_matches_hand_computation_and_cancels_block_levels(spark):
+    """Tie-corrected chi2 recomputed in pure Python; adding a huge
+    per-block offset must not change the statistic (within-block ranks
+    are offset-invariant)."""
+    from pipes_spark.operators.profiling import friedman_test
+
+    # 4 blocks x 3 treatments with one within-block tie
+    data = {
+        "b1": {"t1": 1.0, "t2": 2.0, "t3": 3.0},
+        "b2": {"t1": 2.0, "t2": 2.0, "t3": 5.0},   # tie t1/t2
+        "b3": {"t1": 1.0, "t2": 3.0, "t3": 2.0},
+        "b4": {"t1": 1.0, "t2": 2.0, "t3": 4.0},
+    }
+    rows = [(b, t, v) for b, ts in data.items() for t, v in ts.items()]
+    df = spark.createDataFrame(rows, ["b", "t", "v"])
+    got = friedman_test(df, "b", "t", "v").collect()[0]
+
+    # pure-Python midranks + tie-corrected statistic
+    n, k = len(data), 3
+    ranks = {}
+    sq = 0.0
+    for b, ts in data.items():
+        vals = sorted(ts.values())
+        for t, v in ts.items():
+            less = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            r = less + (ties + 1) / 2
+            ranks.setdefault(t, []).append(r)
+            sq += round(r * r, 6)
+    dev2 = sum(
+        round((sum(rs) / n - (k + 1) / 2) ** 2, 9) for rs in ranks.values()
+    )
+    denom = sq - n * k * (k + 1) ** 2 / 4
+    expected = round((k - 1) * (n * dev2) * n / denom, 6)
+    assert (got["n_blocks"], got["k_treatments"], got["df"]) == (4, 3, 2)
+    assert abs(got["chi2"] - expected) < 1e-9
+
+    # block-level invariance: +1000 on every b2 value, identical chi2
+    shifted = [
+        (b, t, v + (1000.0 if b == "b2" else 0.0)) for b, t, v in rows
+    ]
+    got2 = friedman_test(
+        spark.createDataFrame(shifted, ["b", "t", "v"]), "b", "t", "v"
+    ).collect()[0]
+    assert got2["chi2"] == got["chi2"]
+
+    # incomplete blocks are excluded
+    partial = rows + [("b5", "t1", 9.0)]
+    got3 = friedman_test(
+        spark.createDataFrame(partial, ["b", "t", "v"]), "b", "t", "v"
+    ).collect()[0]
+    assert got3["n_blocks"] == 4 and got3["chi2"] == got["chi2"]
