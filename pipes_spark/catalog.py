@@ -14492,12 +14492,19 @@ def ts_ljung_box(spark, sf_dir):
       FROM cand GROUP BY k
     ), both_s AS (
       SELECT * FROM mod_s UNION ALL SELECT * FROM hrw
+    ), dom AS (
+      SELECT scheme, s AS new_s
+      FROM (SELECT DISTINCT scheme FROM both_s),
+           LATERAL unnest(generate_series(0, 9)) AS u(s)
+    ), obs AS (
+      SELECT scheme, new_s, count(*) AS l FROM both_s GROUP BY scheme, new_s
     ), loads AS (
-      SELECT scheme, CAST(max(l) AS BIGINT) AS max_shard_keys,
-             CAST(min(l) AS BIGINT) AS min_shard_keys
-      FROM (SELECT scheme, new_s, count(*) AS l
-            FROM both_s GROUP BY scheme, new_s)
-      GROUP BY scheme
+      SELECT dom.scheme,
+             CAST(max(coalesce(l, 0)) AS BIGINT) AS max_shard_keys,
+             CAST(min(coalesce(l, 0)) AS BIGINT) AS min_shard_keys
+      FROM dom LEFT JOIN obs
+        ON obs.scheme = dom.scheme AND obs.new_s = dom.new_s
+      GROUP BY dom.scheme
     ), mv AS (
       SELECT scheme, CAST(count(*) AS BIGINT) AS n_keys,
              CAST(sum(CASE WHEN old_s <> new_s THEN 1 ELSE 0 END) AS BIGINT)

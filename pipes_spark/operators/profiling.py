@@ -2450,13 +2450,20 @@ def t_closeness(
         .agg(
             F.max("_g").cast("bigint").alias("n_rows"),
             # |cum| terms round-then-DECIMAL-sum: order-independent
-            # across engines (the cell-term rule above)
-            F.round(
-                F.sum(F.round(F.abs("_cum"), 9).cast("decimal(38,9)")).cast(
-                    "double"
-                )
-                / F.nullif(F.max("_m").cast("double") - 1.0, F.lit(0.0)),
-                6,
+            # across engines (the cell-term rule above). m = 1 (a
+            # single-valued sensitive domain) makes the normalizer NULL;
+            # every group then equals the global distribution, so the
+            # DEFINED answer is emd = 0 — coalesce, matching the
+            # oracle's CASE WHEN flag semantics
+            F.coalesce(
+                F.round(
+                    F.sum(
+                        F.round(F.abs("_cum"), 9).cast("decimal(38,9)")
+                    ).cast("double")
+                    / F.nullif(F.max("_m").cast("double") - 1.0, F.lit(0.0)),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias("emd"),
         )
         .withColumn(
@@ -2486,7 +2493,11 @@ def brown_forsythe(
     g = df.select(
         F.col(group_col).alias("_g"),
         F.round(F.col(value_col).cast("double"), 6).alias("_v"),
-    ).filter(F.col("_g").isNotNull() & F.col("_v").isNotNull())
+    ).filter(
+        # NaN would skew the median (Spark sorts NaN above all numbers)
+        # and then throw in anova_oneway's ANSI decimal casts
+        F.col("_g").isNotNull() & F.col("_v").isNotNull() & ~F.isnan("_v")
+    )
     med = g.groupBy("_g").agg(F.percentile("_v", 0.5).alias("_med"))
     z = g.join(F.broadcast(med), "_g").select(
         "_g", F.round(F.abs(F.col("_v") - F.col("_med")), 6).alias("_z")
@@ -2572,8 +2583,10 @@ def friedman_test(
     Only blocks observing ALL k treatments enter (an incomplete block
     cannot rank the full set). Within-block ties take midranks; the
     statistic uses the tie-corrected form
-    χ² = (k−1)·Σ_j n(R̄_j − (k+1)/2)² / (Σ r² − n·k(k+1)²/4)
-    over the per-block midranks r, which reduces to the classic
+    χ² = (k−1)·Σ_j (R_j − n(k+1)/2)² / (Σ r² − n·k(k+1)²/4)
+    over the per-block midranks r and rank SUMS R_j — equivalently
+    (k−1)·n²·Σ_j (R̄_j − (k+1)/2)² / (same denominator) on rank MEANS,
+    which is what the code computes — reducing to the classic
     12/(nk(k+1))·ΣR_j² − 3n(k+1) when tie-free. Under H₀, χ²(k−1).
 
     Scale shape: one (block, treatment) mean aggregate (map-side
@@ -2590,7 +2603,12 @@ def friedman_test(
             F.col(treatment_col).alias("_t"),
             F.round(F.col(value_col).cast("double"), 6).alias("_v"),
         )
-        .filter(F.col("_b").isNotNull() & F.col("_t").isNotNull() & F.col("_v").isNotNull())
+        .filter(
+            F.col("_b").isNotNull()
+            & F.col("_t").isNotNull()
+            & F.col("_v").isNotNull()
+            & ~F.isnan("_v")  # same NaN hazard as brown_forsythe
+        )
         .groupBy("_b", "_t")
         .agg(
             (

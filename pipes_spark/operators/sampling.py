@@ -578,13 +578,29 @@ def rendezvous_reshard(
         )
     )
     both = mod.unionByName(hrw)
+    # balance over the FULL new layout: a shard receiving zero keys must
+    # read min_shard_keys = 0, not vanish from the report — the dead
+    # shard is exactly the imbalance this planner exists to surface
+    dom = (
+        both.select("scheme")
+        .distinct()
+        .select(
+            "scheme",
+            F.explode(F.sequence(F.lit(0), F.lit(int(n_new) - 1))).alias("_s"),
+        )
+        .select("scheme", F.col("_s").cast("bigint").alias("_new"))
+    )
+    obs = both.groupBy("scheme", "_new").agg(F.count(F.lit(1)).alias("_l"))
     loads = (
-        both.groupBy("scheme", "_new")
-        .agg(F.count(F.lit(1)).alias("_l"))
+        dom.join(obs, ["scheme", "_new"], "left")
         .groupBy("scheme")
         .agg(
-            F.max("_l").cast("bigint").alias("max_shard_keys"),
-            F.min("_l").cast("bigint").alias("min_shard_keys"),
+            F.max(F.coalesce(F.col("_l"), F.lit(0)))
+            .cast("bigint")
+            .alias("max_shard_keys"),
+            F.min(F.coalesce(F.col("_l"), F.lit(0)))
+            .cast("bigint")
+            .alias("min_shard_keys"),
         )
     )
     moved = both.groupBy("scheme").agg(
@@ -632,7 +648,11 @@ def weighted_reservoir_per_group(
     is undefined there — a zero-weight row should never be sampled, and
     NaN both passes a bare ``> 0`` comparison AND sorts above every
     finite rank under Spark's ordering, so it would monopolize the
-    sample). One shuffle on the group key; skewed groups pre-thin with
+    sample). Keys must be UNIQUE within a group (the
+    :func:`reservoir_per_group` precondition): duplicate keys draw
+    identical (u, aes) and the tie-broken row_number picks arbitrarily
+    among them, which also voids the streaming merge-equals-batch
+    contract. One shuffle on the group key; skewed groups pre-thin with
     :func:`deterministic_sample` exactly as reservoir_per_group
     documents."""
     from pyspark.sql import Window

@@ -991,7 +991,20 @@ def _make_encoder(schema, names: dict) -> Callable:
         def _ts(v, out):
             naive = v.replace(tzinfo=None) if v.tzinfo else v
             delta = naive - epoch
-            _zigzag(out, (delta.days * 86_400_000_000 + delta.seconds * 1_000_000 + delta.microseconds) // div)
+            us = (
+                delta.days * 86_400_000_000
+                + delta.seconds * 1_000_000
+                + delta.microseconds
+            )
+            if us % div:
+                # raise-loudly convention (decimal / time-millis): a
+                # -millis field silently flooring sub-ms precision makes
+                # a write→read round trip return a DIFFERENT value
+                raise ValueError(
+                    f"timestamp value {v} has sub-millisecond precision; "
+                    f"use a -micros logical type or truncate explicitly"
+                )
+            _zigzag(out, us // div)
 
         return _ts
     if lt in ("time-micros", "time-millis"):

@@ -788,3 +788,76 @@ def test_friedman_matches_hand_computation_and_cancels_block_levels(spark):
         spark.createDataFrame(partial, ["b", "t", "v"]), "b", "t", "v"
     ).collect()[0]
     assert got3["n_blocks"] == 4 and got3["chi2"] == got["chi2"]
+
+
+# ---------------------------------------------------------------------------
+# high-effort review regressions (wave 10)
+# ---------------------------------------------------------------------------
+
+
+def test_rendezvous_reshard_reports_empty_shards(spark):
+    """5 keys over 10 new shards: some shards MUST be empty, and
+    min_shard_keys must read 0, not the smallest non-empty load."""
+    from pipes_spark.operators.sampling import rendezvous_reshard
+
+    df = spark.createDataFrame([(str(i),) for i in range(5)], ["k"])
+    got = {r["scheme"]: r for r in rendezvous_reshard(df, "k", 8, 10).collect()}
+    for scheme in ("mod", "rendezvous"):
+        assert got[scheme]["min_shard_keys"] == 0, scheme
+        assert got[scheme]["max_shard_keys"] >= 1
+
+
+def test_avro_local_timestamp_millis_submicro_raises(tmp_path):
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from pipes_spark.sources import avro as _av
+
+    schema = {
+        "type": "record",
+        "name": "LTM",
+        "fields": [
+            {
+                "name": "lts",
+                "type": {"type": "long", "logicalType": "local-timestamp-millis"},
+            }
+        ],
+    }
+    p = str(tmp_path / "ltm.avro")
+    with _pytest.raises(ValueError, match="sub-millisecond"):
+        _av.write_avro_file(
+            p, schema, [(_dt.datetime(2021, 3, 4, 5, 6, 7, 123456),)]
+        )
+    # exact milliseconds still round-trip
+    rows = [(_dt.datetime(2021, 3, 4, 5, 6, 7, 123000),)]
+    _av.write_avro_file(p, schema, rows)
+    assert list(_av._iter_range_rows(p, 0, 10**9)) == rows
+
+
+def test_brown_forsythe_and_friedman_exclude_nan(spark):
+    from pipes_spark.operators.profiling import brown_forsythe, friedman_test
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("b", float(v)) for v in (2, 3, 4, 5, 6)
+    ] + [("a", float("nan"))]
+    r = brown_forsythe(spark.createDataFrame(rows, ["g", "v"]), "g", "v").collect()[0]
+    assert r["n_total"] == 10  # NaN row excluded, no ANSI throw
+
+    f_rows = [
+        (b, t, float(i + j)) for i, b in enumerate("xyz") for j, t in enumerate("pq")
+    ] + [("x", "p", float("nan"))]
+    f = friedman_test(
+        spark.createDataFrame(f_rows, ["b", "t", "v"]), "b", "t", "v"
+    ).collect()[0]
+    assert f["n_blocks"] == 3 and f["chi2"] is not None
+
+
+def test_t_closeness_single_valued_domain_is_zero_not_null(spark):
+    from pipes_spark.operators.profiling import t_closeness
+
+    df = spark.createDataFrame(
+        [("g1", "only"), ("g1", "only"), ("g2", "only")], ["g", "v"]
+    )
+    for r in t_closeness(df, ["g"], "v", t=0.1).collect():
+        assert r["emd"] == 0.0 and r["violates_t"] == 0
