@@ -14917,3 +14917,53 @@ def stats_friedman(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return friedman_test(e, "user_id", "event_type", "value")
+
+
+@query(
+    "stats_cochran_q",
+    oracle="""
+    WITH cell AS (
+      SELECT user_id AS b, event_type AS t,
+             CASE WHEN max(value) > 150 THEN 1 ELSE 0 END AS x
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), kk AS (SELECT count(DISTINCT t) AS k FROM cell),
+    per_b AS (SELECT b, count(*) AS nb, sum(x) AS r FROM cell GROUP BY b),
+    complete AS (
+      SELECT cell.b, cell.t, cell.x, per_b.r, kk.k
+      FROM cell JOIN per_b USING (b) CROSS JOIN kk WHERE nb = k
+    ), r_agg AS (
+      SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_blocks,
+             max(k) AS k,
+             sum(CAST(rr AS DECIMAL(38,0)) * rr) AS sr2,
+             CAST(sum(rr) AS DECIMAL(38,0)) AS n
+      FROM (SELECT b, max(r) AS rr, max(k) AS k FROM complete GROUP BY b)
+           AS blocks(b, rr, k)
+    ), c_agg AS (
+      SELECT sum(CAST(c AS DECIMAL(38,0)) * c) AS sc2
+      FROM (SELECT t, sum(x) AS c FROM complete GROUP BY t) AS cols(t, c)
+    )
+    SELECT n_blocks, CAST(k AS BIGINT) AS k_treatments,
+           round(CAST((CAST(k AS DECIMAL(38,0)) - 1)
+                      * (CAST(k AS DECIMAL(38,0)) * sc2 - n * n) AS DOUBLE)
+                 / nullif(CAST(CAST(k AS DECIMAL(38,0)) * n - sr2 AS DOUBLE),
+                          0.0), 6) AS q_stat,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM r_agg, c_agg
+    """,
+)
+def stats_cochran_q(spark, sf_dir):
+    """Cochran's Q test (operators.profiling.cochran_q): did each user
+    ever see a value above 150 per event type — do the five types'
+    binary success rates differ with every user experiencing all five?
+    The k-paired-binary member completing the matched-test family
+    (McNemar → Cochran's Q, as Wilcoxon → Friedman). All-integer
+    numerator/denominator in exact DECIMAL, one final double division —
+    the hash gate checks the identity itself."""
+    from .operators.profiling import cochran_q
+
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cell = e.groupBy(
+        F.col("user_id").alias("b"), F.col("event_type").alias("t")
+    ).agg((F.max("value") > 150).cast("int").alias("x"))
+    return cochran_q(cell, "b", "t", "x")

@@ -2671,3 +2671,71 @@ def friedman_test(
         F.round(chi2, 6).alias("chi2"),
         (F.col("k_treatments") - 1).cast("long").alias("df"),
     )
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test (1950) — the k-paired-BINARY sibling of
+    :func:`friedman_test` (and the k-treatment generalization of
+    McNemar): do the k treatments' success RATES differ when every
+    block (subject) experiences all k? Input is one row per
+    (block, treatment) carrying a 0/1 (or boolean) success flag;
+    incomplete blocks are excluded like Friedman's.
+
+    Computed via the all-integer identity
+    Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    with C_j the treatment success totals, R_i the block totals, N the
+    grand total — numerator and denominator stay exact DECIMAL
+    integers, one final double division (χ²(k−1) under H₀; NULL when
+    every block is constant, which zeroes the denominator).
+
+    Scale shape: the (block, treatment) grain IS the input; one block
+    aggregate (map-side combined) for sizes and R_i, one treatment
+    aggregate for C_j, two 1-row reductions — no windows at all.
+    Returns one row (n_blocks, k_treatments, q_stat, df)."""
+    cell = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        F.col(success_col).cast("int").alias("_x"),
+    ).filter(
+        F.col("_b").isNotNull() & F.col("_t").isNotNull() & F.col("_x").isNotNull()
+    )
+    k_row = cell.select("_t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    per_b = cell.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_nb"), F.sum("_x").alias("_r")
+    )
+    complete = (
+        cell.join(per_b, "_b")
+        .join(F.broadcast(k_row))
+        .filter(F.col("_nb") == F.col("_k"))
+    )
+    dec = "decimal(38,0)"
+    rows = complete.groupBy("_b").agg(
+        F.max("_r").cast(dec).alias("_r"), F.max("_k").alias("_k")
+    )
+    r_agg = rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("_k").alias("_k"),
+        F.sum(F.col("_r") * F.col("_r")).alias("_sr2"),
+        F.sum("_r").cast(dec).alias("_N"),
+    )
+    cols = complete.groupBy("_t").agg(F.sum("_x").cast(dec).alias("_c"))
+    c_agg = cols.agg(F.sum(F.col("_c") * F.col("_c")).alias("_sc2"))
+    agg = r_agg.join(F.broadcast(c_agg))
+    k = F.col("_k").cast(dec)
+    num = (k - 1) * (k * F.col("_sc2") - F.col("_N") * F.col("_N"))
+    den = k * F.col("_N") - F.col("_sr2")
+    return agg.select(
+        "n_blocks",
+        F.col("_k").alias("k_treatments"),
+        F.round(
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0)), 6
+        ).alias("q_stat"),
+        (F.col("_k") - 1).cast("long").alias("df"),
+    )

@@ -861,3 +861,45 @@ def test_t_closeness_single_valued_domain_is_zero_not_null(spark):
     )
     for r in t_closeness(df, ["g"], "v", t=0.1).collect():
         assert r["emd"] == 0.0 and r["violates_t"] == 0
+
+
+def test_cochran_q_matches_hand_computation(spark):
+    """Q recomputed in pure Python via the integer identity; constant
+    blocks zero the denominator -> NULL; incomplete blocks excluded."""
+    data = {
+        "b1": {"t1": 1, "t2": 0, "t3": 0},
+        "b2": {"t1": 1, "t2": 1, "t3": 0},
+        "b3": {"t1": 1, "t2": 0, "t3": 1},
+        "b4": {"t1": 0, "t2": 0, "t3": 0},
+        "b5": {"t1": 1, "t2": 1, "t3": 1},
+        "b6": {"t1": 1, "t2": 0, "t3": 0},
+    }
+    from pipes_spark.operators.profiling import cochran_q
+
+    rows = [(b, t, x) for b, ts in data.items() for t, x in ts.items()]
+    got = cochran_q(
+        spark.createDataFrame(rows, ["b", "t", "x"]), "b", "t", "x"
+    ).collect()[0]
+    k = 3
+    n_tot = sum(sum(ts.values()) for ts in data.values())
+    sc2 = sum(
+        sum(ts[t] for ts in data.values()) ** 2 for t in ("t1", "t2", "t3")
+    )
+    sr2 = sum(sum(ts.values()) ** 2 for ts in data.values())
+    expected = round((k - 1) * (k * sc2 - n_tot**2) / (k * n_tot - sr2), 6)
+    assert (got["n_blocks"], got["k_treatments"], got["df"]) == (6, 3, 2)
+    assert got["q_stat"] == expected
+
+    # all-constant blocks: denominator zero -> NULL statistic, no throw
+    const = [(b, t, 1) for b in ("c1", "c2") for t in ("t1", "t2")]
+    r = cochran_q(
+        spark.createDataFrame(const, ["b", "t", "x"]), "b", "t", "x"
+    ).collect()[0]
+    assert r["q_stat"] is None
+
+    # incomplete block excluded
+    partial = rows + [("b7", "t1", 1)]
+    r2 = cochran_q(
+        spark.createDataFrame(partial, ["b", "t", "x"]), "b", "t", "x"
+    ).collect()[0]
+    assert r2["n_blocks"] == 6 and r2["q_stat"] == got["q_stat"]
