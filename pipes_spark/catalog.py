@@ -14592,6 +14592,7 @@ def multimodal_png_roundtrip(spark, sf_dir):
                 / 4294967296.0)
                / CAST(o_totalprice AS DOUBLE) AS aes
       FROM orders WHERE CAST(o_totalprice AS DOUBLE) > 0
+        AND NOT isnan(CAST(o_totalprice AS DOUBLE))
     ), r AS (
       SELECT o_orderpriority, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_orderpriority
@@ -14822,6 +14823,7 @@ def stats_wilcoxon_signed_rank(spark, sf_dir):
                 / 4294967296.0)
                / CAST(value AS DOUBLE) AS aes
       FROM events WHERE value IS NOT NULL AND CAST(value AS DOUBLE) > 0
+        AND NOT isnan(CAST(value AS DOUBLE))
     ), r AS (
       SELECT event_type, event_id,
              row_number() OVER (PARTITION BY event_type
@@ -14928,10 +14930,12 @@ def stats_friedman(spark, sf_dir):
       FROM events WHERE value IS NOT NULL
       GROUP BY 1, 2
     ), kk AS (SELECT count(DISTINCT t) AS k FROM cell),
-    per_b AS (SELECT b, count(*) AS nb, sum(x) AS r FROM cell GROUP BY b),
+    per_b AS (SELECT b, count(*) AS nb, count(DISTINCT t) AS ndt,
+                     sum(x) AS r FROM cell GROUP BY b),
     complete AS (
       SELECT cell.b, cell.t, cell.x, per_b.r, kk.k
-      FROM cell JOIN per_b USING (b) CROSS JOIN kk WHERE nb = k
+      FROM cell JOIN per_b USING (b) CROSS JOIN kk
+      WHERE nb = k AND ndt = k
     ), r_agg AS (
       SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_blocks,
              max(k) AS k,

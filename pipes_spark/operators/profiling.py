@@ -2386,6 +2386,7 @@ def t_closeness(
     quasi_cols: Sequence[str],
     sensitive_col: str,
     t: float = 0.2,
+    ordered: bool = True,
 ) -> DataFrame:
     """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
     third rung of the privacy ladder after :func:`k_anonymity` and
@@ -2397,6 +2398,15 @@ def t_closeness(
     sensitive values in sort order, p the group's distribution and q the
     global one (values absent from a group contribute p_j = 0 via the
     group×value grid).
+
+    ``ordered=True`` (the default) ASSUMES the sensitive attribute is
+    ORDINAL under its string sort order — the cumulative EMD walks the
+    values lexicographically, so for a purely categorical domain the
+    reported distance depends on label spelling (renaming 'a'→'z'
+    changes it). For categorical attributes pass ``ordered=False`` to
+    get the paper's equal-distance EMD, 0.5·Σ|p_j − q_j| (total
+    variation distance) — label-permutation invariant, no cumulative
+    window at all.
 
     Scale shape: one count pass at (quasi, sensitive) grain, one at
     value grain (both map-side combined); the grid is |groups|·m rows —
@@ -2437,6 +2447,27 @@ def t_closeness(
             ).alias("_d"),
         )
     )
+    if not ordered:
+        # categorical (equal-distance) EMD: 0.5 · Σ|p − q| — the same
+        # round-then-DECIMAL-sum discipline as the ordered branch, no
+        # window, label-permutation invariant
+        return (
+            grid.groupBy(*qs)
+            .agg(
+                F.max("_g").cast("bigint").alias("n_rows"),
+                F.round(
+                    F.sum(
+                        F.round(F.abs("_d"), 9).cast("decimal(38,9)")
+                    ).cast("double")
+                    * 0.5,
+                    6,
+                ).alias("emd"),
+            )
+            .withColumn(
+                "violates_t", (F.col("emd") > F.lit(float(t))).cast("int")
+            )
+        )
+
     from pyspark.sql import Window
 
     w = (
@@ -2707,13 +2738,19 @@ def cochran_q(
     k_row = cell.select("_t").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("_k")
     )
+    # completeness = exactly one row per (block, treatment) cell:
+    # count == countDistinct == k. A bare row-count == k would let a
+    # duplicated (block, treatment) pair mask a missing treatment and
+    # double-count into R_i / C_j.
     per_b = cell.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_nb"), F.sum("_x").alias("_r")
+        F.count(F.lit(1)).alias("_nb"),
+        F.countDistinct("_t").alias("_ndt"),
+        F.sum("_x").alias("_r"),
     )
     complete = (
         cell.join(per_b, "_b")
         .join(F.broadcast(k_row))
-        .filter(F.col("_nb") == F.col("_k"))
+        .filter((F.col("_nb") == F.col("_k")) & (F.col("_ndt") == F.col("_k")))
     )
     dec = "decimal(38,0)"
     rows = complete.groupBy("_b").agg(

@@ -889,7 +889,7 @@ def _zigzag(out: bytearray, v: int) -> None:
     out.append(v)
 
 
-def _make_encoder(schema, names: dict) -> Callable:
+def _make_encoder(schema, names: dict, truncate_millis: bool = False) -> Callable:
     t = _type_name(schema)
     lt = _logical(schema)
     if isinstance(schema, list):
@@ -942,13 +942,14 @@ def _make_encoder(schema, names: dict) -> Callable:
             return lambda v: False
 
         branch_enc = [
-            (i, _pred(b), _make_encoder(b, names)) for i, b in enumerate(schema)
+            (i, _pred(b), _make_encoder(b, names, truncate_millis))
+            for i, b in enumerate(schema)
         ]
         # numeric promotion fallback: an int datum with no int/long
         # branch still fits a float/double branch
         float_fallback = next(
             (
-                (i, _make_encoder(b, names))
+                (i, _make_encoder(b, names, truncate_millis))
                 for i, b in enumerate(schema)
                 if _type_name(b) in ("float", "double") and _logical(b) is None
             ),
@@ -997,13 +998,21 @@ def _make_encoder(schema, names: dict) -> Callable:
                 + delta.microseconds
             )
             if us % div:
-                # raise-loudly convention (decimal / time-millis): a
-                # -millis field silently flooring sub-ms precision makes
-                # a write→read round trip return a DIFFERENT value
-                raise ValueError(
-                    f"timestamp value {v} has sub-millisecond precision; "
-                    f"use a -micros logical type or truncate explicitly"
-                )
+                if truncate_millis:
+                    # opt-in escape hatch: floor toward -inf (Python //
+                    # semantics, consistent for pre-epoch values) — the
+                    # caller accepts the lossy round trip explicitly
+                    us -= us % div
+                else:
+                    # raise-loudly convention (decimal / time-millis): a
+                    # -millis field silently flooring sub-ms precision
+                    # makes a write→read round trip return a DIFFERENT
+                    # value
+                    raise ValueError(
+                        f"timestamp value {v} has sub-millisecond "
+                        f"precision; use a -micros logical type, pass "
+                        f"truncate_millis=True, or truncate explicitly"
+                    )
             _zigzag(out, us // div)
 
         return _ts
@@ -1018,6 +1027,10 @@ def _make_encoder(schema, names: dict) -> Callable:
                 + v.microsecond
             )
             if us % div:
+                if truncate_millis:
+                    us -= us % div
+                    _zigzag(out, us // div)
+                    return
                 # same raise-loudly convention as the decimal encoder:
                 # silently dropping sub-millisecond precision would make
                 # a write→read round trip return a DIFFERENT value
@@ -1081,7 +1094,7 @@ def _make_encoder(schema, names: dict) -> Callable:
 
         return _fixed
     if t == "array":
-        item = _make_encoder(schema["items"], names)
+        item = _make_encoder(schema["items"], names, truncate_millis)
 
         def _arr(v, out):
             if v:
@@ -1092,7 +1105,7 @@ def _make_encoder(schema, names: dict) -> Callable:
 
         return _arr
     if t == "map":
-        val = _make_encoder(schema["values"], names)
+        val = _make_encoder(schema["values"], names, truncate_millis)
 
         def _map(v, out):
             if v:
@@ -1107,7 +1120,9 @@ def _make_encoder(schema, names: dict) -> Callable:
         return _map
     if t == "record":
         fields = schema["fields"]
-        encs = [_make_encoder(f["type"], names) for f in fields]
+        encs = [
+            _make_encoder(f["type"], names, truncate_millis) for f in fields
+        ]
         fnames = [f["name"] for f in fields]
 
         def _rec(v, out):
@@ -1129,13 +1144,19 @@ def write_avro_file(
     codec: str = "deflate",
     block_rows: int = 4096,
     sync: Optional[bytes] = None,
+    truncate_millis: bool = False,
 ) -> int:
     """Write one Avro container file (spec layout: magic, metadata map,
     sync, then size-prefixed blocks). Returns the row count. ``sync``
-    may be pinned for byte-deterministic fixtures."""
+    may be pinned for byte-deterministic fixtures. ``truncate_millis``
+    opts into flooring sub-millisecond timestamps/times written to
+    -millis logical types (default raises — a silent floor makes the
+    round trip return a different value)."""
     schema_obj = json.loads(schema) if isinstance(schema, str) else schema
     names: dict = {}
-    enc = _make_encoder(_parse(json.loads(json.dumps(schema_obj)), names), names)
+    enc = _make_encoder(
+        _parse(json.loads(json.dumps(schema_obj)), names), names, truncate_millis
+    )
     sync = sync or os.urandom(SYNC_SIZE)
     if len(sync) != SYNC_SIZE:
         raise ValueError("sync marker must be 16 bytes")
