@@ -3957,9 +3957,16 @@ _GRADED_WINDOW = [
     # set-difference estimator, whose driver grading checks the sketch
     # math itself (the kmv_overlap precedent); the displaced query
     # re-registers right after the window.
+    # round-10 curation (VERDICT r9 ask #1: rotate toward the
+    # never-driver-graded LLM-core dedup/ANN/text families):
+    # q21_waiting_supplier (hash-graded green since r01; TPC-H stays
+    # carried by q1/q3/q6) hands its slot to dedup_remove_spans — the
+    # Lee-et-al. byte-exact duplicate-span REMOVAL rebuild, the cleaning
+    # step the 100 TB pipeline actually runs; the displaced query
+    # re-registers right after the window.
     "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
     "sketch_theta_diff", "streaming_twsip", "streaming_avro_source",
-    "text_kn_perplexity", "q21_waiting_supplier",
+    "text_kn_perplexity", "dedup_remove_spans",
     # subqueries / decorrelation (round-6 curation: subquery_scalar_uncorr
     # — a family already carried by three sibling slots — hands its slot
     # to table_diff_orders, a never-driver-graded snapshot-diff family;
@@ -3984,8 +3991,13 @@ _GRADED_WINDOW = [
     # sample_rendezvous_reshard, the new reshard-movement planner (a
     # family the driver has never graded; pure md5 argmax math, so the
     # hash gate checks the movement accounting itself).
+    # round-10 curation: join_asof (hash-graded green since r01; the
+    # join family stays carried by join_inner_agg + join_interval_overlap,
+    # and as-of semantics stay pytest-anchored by the merge_asof parity
+    # suite) hands its slot to dedup_duplicated_spans — the winnowing
+    # duplicate-span DETECTION guarantee, never driver-graded.
     "join_inner_agg", "sample_rendezvous_reshard",
-    "join_interval_overlap", "join_asof",
+    "join_interval_overlap", "dedup_duplicated_spans",
     # aggregation family (round-5 curation #3: agg_ordered_set — a family
     # already carried by agg_percentiles — hands its slot to
     # sketch_kmv_overlap below; it re-registers right after the window)
@@ -4000,8 +4012,13 @@ _GRADED_WINDOW = [
     # agg_incremental_retract) hands its slot to text_kn_perplexity_indexed
     # — the round-9 persisted-bigram-model read path, per CLAUDE.md "new
     # high-value oracled queries belong in _GRADED_WINDOW".
+    # round-10 curation: grouping_sets_mix (hash-graded green since r01;
+    # multi-grain aggregation stays carried by agg_stats and the local
+    # cube/rollup gates) hands its slot to dedup_containment — the
+    # asymmetric containment (one-sided Jaccard) near-dup family, never
+    # driver-graded.
     "agg_stats", "stats_fdr_bh", "sketch_join_cardinality",
-    "grouping_sets_mix", "text_kn_perplexity_indexed",
+    "dedup_containment", "text_kn_perplexity_indexed",
     # windows / ordering (round-8 curation: window_analytic — green since
     # r04, family carried by window_ranking + topk_per_group — hands its
     # slot to text_bm25, the Okapi BM25 ranking family over the bucketed
@@ -4015,7 +4032,11 @@ _GRADED_WINDOW = [
     # MERGE / SCD2 (round-8 curation: scd2_customer_snapshot — green
     # since r04 — hands its slot to scd2_point_in_time, the as-of version
     # lookup over the same SCD2 table, never driver-graded)
-    "merge_upsert_orders", "scd2_point_in_time",
+    # round-10 curation: merge_upsert_orders (hash-graded green since
+    # r01; the MERGE/SCD2 family stays carried by scd2_point_in_time)
+    # hands its slot to entity_resolution — the Fellegi–Sunter blocked
+    # record-linkage family, never driver-graded.
+    "entity_resolution", "scd2_point_in_time",
     # events / sessionization / time-series (round-8 curation #3:
     # events_attribution — green since r04, family carried by
     # events_hourly + sessionize_stats — hands its slot to
@@ -4048,7 +4069,16 @@ _GRADED_WINDOW = [
     # md5 order-statistic math) and positional-inverted-index phrase
     # search. The displaced agg_ordered_set / ts_zscore_bucketed
     # re-register right after the window, fully oracle-gated locally.
-    "sketch_kmv_overlap", "text_phrase_search",
+    # round-10 curation: sketch_kmv_overlap (hash-graded green since r05;
+    # the sketch family stays carried by sketch_theta_diff +
+    # sketch_join_cardinality) hands its slot to sim_knn_graph — the
+    # blocked k-nearest-neighbor graph builder ANN curation depends on,
+    # never driver-graded. text_phrase_search (green since r05; phrase
+    # search stays carried by text_phrase_indexed, the persisted-postings
+    # read path of the SAME operator) hands its slot to
+    # sim_retrieval_metrics — recall/MRR/NDCG over ranked retrievals,
+    # never driver-graded.
+    "sim_knn_graph", "sim_retrieval_metrics",
     # graph + ML-metric families (round-4 additions; the displaced
     # sessionize_bucketed_stats / timeseries_funnel variants re-register
     # right after the window and stay fully oracle-gated locally).
@@ -4060,13 +4090,21 @@ _GRADED_WINDOW = [
     # r04; the graph family stays carried by graph_cc_incremental) hands
     # its slot to stats_wilcoxon_signed_rank — the paired rank test,
     # whose driver grading checks the bucketed midrank math end to end.
-    "stats_wilcoxon_signed_rank", "graph_cc_incremental", "ml_auc_roc",
+    # round-10 curation: ml_auc_roc (hash-graded green since r04; the
+    # ml-metric family stays carried by ml_pr_auc) hands its slot to
+    # ml_threshold_sweep — the full operating-characteristic sweep
+    # (precision/recall/F1 at every threshold), never driver-graded.
+    "stats_wilcoxon_signed_rank", "graph_cc_incremental", "ml_threshold_sweep",
     # profiling / statistics / quality
     # round-9 curation: stats_correlation (green since r04; the profiling
     # family stays carried by stats_linear_fit + profile_orders +
     # quality_orders) hands its slot to ml_pr_auc — precision-recall AUC,
     # the ml-metric family's never-graded half (ml_auc_roc is graded).
-    "stats_linear_fit", "profile_orders", "ml_pr_auc",
+    # round-10 curation: profile_orders (hash-graded green since r04;
+    # profiling stays carried by stats_linear_fit + quality_orders)
+    # hands its slot to text_boilerplate — the CCNet-style boilerplate
+    # line-hash filter, never driver-graded.
+    "stats_linear_fit", "text_boilerplate", "ml_pr_auc",
     "quality_orders",
     # dedup / similarity / text (oracled paths). Round-5 curation #2:
     # text_sparse_cosine (hash-graded green in r04) hands its slot to
