@@ -3980,8 +3980,14 @@ _GRADED_WINDOW = [
     # subquery family stays carried by subquery_exists) hands its slot
     # to quality_t_closeness — the privacy ladder's new third rung
     # (ordered-EMD distribution-skew audit), never driver-graded.
+    # round-10 curation: table_diff_orders (hash-graded green r06–r09,
+    # four consecutive rounds; snapshot-diff stays locally oracle-gated)
+    # hands its slot to multimodal_gif_roundtrip — the NEW from-the-spec
+    # GIF89a LZW codec round trip (r9 verdict ask #2), whose hash grade
+    # proves the variable-width LZW decoder + palette deref + interlace
+    # reassembly end to end (the multimodal_png_roundtrip pattern).
     "subquery_exists", "contamination_embedding",
-    "quality_t_closeness", "table_diff_orders",
+    "quality_t_closeness", "multimodal_gif_roundtrip",
     # join family (round-7 curation: join_range_bands — hash-graded green
     # in r04–r06 — hands its slot to join_interval_overlap, the
     # session-interval overlap-grid rewrite the driver has never graded;
@@ -4130,7 +4136,13 @@ _GRADED_WINDOW = [
     # text_chunk_windows re-register right after the window and stay
     # fully oracle-gated locally (hash-passes replicated by
     # tools/check_oracle.py each session).
-    "recursive_cte_closure", "agg_incremental_retract",
+    # round-10 curation: recursive_cte_closure (hash-graded green since
+    # r05; the recursive-CTE family stays locally oracle-gated and
+    # graph reachability stays carried by graph_cc_incremental) hands
+    # its slot to source_avro_evolution — spec schema RESOLUTION under
+    # the driver's hash gate (promotion + alias rename + added default +
+    # dropped field in one read), the r9 verdict's ask #5.
+    "source_avro_evolution", "agg_incremental_retract",
     "streaming_events_hourly",
     # (round-7: scan_project_cast — entry #51 in r06, silently past the
     # driver's 50-query grading window — is removed to restore the exact-50
@@ -14190,6 +14202,69 @@ def source_avro_roundtrip(spark, sf_dir):
 
 
 @query(
+    "source_avro_evolution",
+    oracle="""
+    SELECT c_mktsegment, 'UNKNOWN' AS region_code,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(max(c_nationkey) AS BIGINT) AS max_nationkey,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_balance
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_avro_evolution(spark, sf_dir):
+    """Avro SCHEMA EVOLUTION under the hash gate (r9 verdict ask #5):
+    the v1 customer fixture (written by source_avro_roundtrip's ingest
+    path) is read back with a v2 READER schema exercising every spec
+    resolution rule at once — c_nationkey PROMOTED int→long, c_acctbal
+    RENAMED to `balance` via the reader field's aliases list, a new
+    `region_code` field ADDED with default 'UNKNOWN', and the writer's
+    c_name field dropped (decode-and-discard). The oracle recomputes
+    the aggregate from the parquet table with the default as a literal,
+    so a hash-pass proves the resolved decode is value-exact — not just
+    that resolution didn't crash. Sums ride DECIMAL, one DOUBLE cast
+    (ml_auc_roc pattern)."""
+    import json as _json
+
+    from .sources.avro import read_avro
+    from .warehouse import avro_customer_fixture
+
+    path = avro_customer_fixture(spark, sf_dir)
+    v2 = {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "c_custkey", "type": "long"},
+            {"name": "c_nationkey", "type": "long"},
+            {"name": "balance", "type": "double", "aliases": ["c_acctbal"]},
+            {"name": "c_mktsegment", "type": "string"},
+            {"name": "region_code", "type": "string", "default": "UNKNOWN"},
+        ],
+    }
+    df = read_avro(
+        spark, path, reader_schema=_json.dumps(v2), split_target_bytes=1 << 16
+    )
+    return (
+        df.groupBy("c_mktsegment", "region_code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.max("c_nationkey").cast("bigint").alias("max_nationkey"),
+            F.round(
+                F.sum(F.col("balance").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_balance"),
+        )
+        .select(
+            "c_mktsegment",
+            "region_code",
+            "n_customers",
+            "max_nationkey",
+            "total_balance",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
     "text_kn_perplexity_indexed",
     oracle=r"""
     WITH tk AS (
@@ -14618,6 +14693,58 @@ def multimodal_png_roundtrip(spark, sf_dir):
         ensure_min_partitions(d), "doc_id", "width", "height"
     )
     return png_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_gif_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 29 + 1 AS INT) AS width,
+             CAST((doc_id * 5) % 19 + 1 AS INT) AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(sum((doc_id + i) % 256) AS BIGINT) AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(width AS BIGINT) * height - 1))
+             AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'gif' AS format, width, height,
+           CAST(8 AS INT) AS bit_depth, CAST(256 AS INT) AS n_colors,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_gif_roundtrip(spark, sf_dir):
+    """REAL GIF codec round trip (r9 verdict ask #2 — route around the
+    media-codec blocker the way Avro and PNG were routed): per-document
+    deterministic dimensions → real GIF89a encode with a from-the-spec
+    variable-width LZW compressor (operators.multimodal.
+    encode_gif_assets; odd doc_ids stored INTERLACED in the spec's
+    4-pass row order) → real decode (gif_decode_stats: screen/image
+    descriptor parse, color-table load, LZW inflate, de-interlace,
+    palette-mapped pixel checksum). The oracle recomputes the checksum
+    from the closed-form content contract, so a hash-pass proves the
+    LZW decoder inflated real pixels AND dereferenced the palette —
+    interlaced rows reassembled correctly, since row order doesn't
+    change the sum but a misparse upends the stream. Pixels never cross
+    a shuffle (encode → decode fuse into one mapInPandas stage chain;
+    only metadata rows leave it)."""
+    from .operators.multimodal import encode_gif_assets, gif_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 29 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 5) % 19 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 2 == 1).alias("interlaced"),
+    )
+    assets = encode_gif_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "interlaced"
+    )
+    return gif_decode_stats(assets).orderBy("asset_id")
 
 
 @query(

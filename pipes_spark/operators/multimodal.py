@@ -569,3 +569,349 @@ def png_decode_stats(assets: DataFrame) -> DataFrame:
         "asset_id bigint, format string, width int, height int, "
         "bit_depth int, color_type int, n_pixels bigint, pixel_sum bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# GIF: REAL LZW codec from the public GIF89a specification (no PIL/ffmpeg —
+# the sources/avro.py / png_decode_stats precedent: when the env lacks the
+# library, implement the format from its spec with stdlib only).
+#
+# Variable-width LZW per the spec's "Appendix F" scheme as implemented by
+# every interoperable codec: clear = 1<<min_code_size, EOI = clear+1, first
+# dynamic entry = EOI+1, code width starts at min_code_size+1 and grows to
+# at most 12 bits. Width-change alignment is the subtle part (the encoder
+# assigns table entries one emit AHEAD of the decoder): both sides key the
+# bump on a per-CODE counter — the encoder checks its next-entry counter
+# after every WRITE, the decoder increments a read counter after every READ
+# and bumps when it exceeds 2^width — which provably lines up, tail
+# included (see tests/test_round10.py fixture, hand-derived from the spec
+# rules). Codes pack LSB-first into bytes (spec: "codes are formed into a
+# stream of bits as if they were packed right to left").
+# --------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """LZW-compress ``data`` (GIF89a spec section 22 / Appendix F).
+
+    Emits an initial clear code, resets the table via a clear code when the
+    entry counter reaches 4095 (the conservative full-table reset every
+    mainstream codec performs), and terminates with EOI."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    cs = min_code_size + 1
+    next_code = eoi + 1
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits, cs
+        bitbuf |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+        # post-write width check keyed on the next entry to assign — the
+        # count that the decoder's per-read counter mirrors exactly
+        if next_code >= (1 << cs) and cs < 12:
+            cs += 1
+
+    table: dict = {bytes([i]): i for i in range(clear)}
+    emit(clear)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        if next_code >= 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            cs = min_code_size + 1
+        else:
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytearray:
+    """Inverse of :func:`_gif_lzw_encode`, tolerant of deferred clear codes
+    (spec-conformant streams may keep emitting 12-bit codes on a full
+    table). Raises ValueError on corrupt streams (code beyond the table,
+    missing EOI) instead of guessing."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    first = eoi + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    cs = min_code_size + 1
+    running = first  # per-READ counter driving width bumps (giflib scheme)
+    prefix: list = [b""] * 4096
+    for i in range(clear):
+        prefix[i] = bytes([i])
+    next_entry = first
+    prev: bytes | None = None
+
+    while True:
+        while nbits < cs:
+            if pos >= n:
+                raise ValueError("LZW stream ended before EOI")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << cs) - 1)
+        bitbuf >>= cs
+        nbits -= cs
+        if running < 4097:
+            running += 1
+            if running > (1 << cs) and cs < 12:
+                cs += 1
+        if code == clear:
+            cs = min_code_size + 1
+            running = first
+            next_entry = first
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= clear:
+                raise ValueError(f"invalid first LZW code {code}")
+            entry = prefix[code]
+        elif code < next_entry:
+            entry = prefix[code]
+        elif code == next_entry and next_entry < 4096:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW code {code} (table size {next_entry})")
+        out += entry
+        if prev is not None and next_entry < 4096:
+            prefix[next_entry] = prev + entry[:1]
+            next_entry += 1
+        prev = entry
+
+
+#: de-interlace row schedule (spec section 20: 4 passes)
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_row_order(height: int, interlaced: bool) -> list:
+    if not interlaced:
+        return list(range(height))
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, height, step))
+    return rows
+
+
+def gif_encode_gray(
+    asset_id: int, width: int, height: int, interlaced: bool = False
+) -> bytes:
+    """Minimal REAL grayscale GIF89a (spec: header, logical screen
+    descriptor, 256-entry global color table with palette[j] = (j,j,j),
+    one image descriptor, LZW-compressed 8-bit index data in ≤255-byte
+    sub-blocks, trailer): pixel i (row-major) = (asset_id + i) % 256 —
+    the same deterministic content contract as :func:`png_encode_gray`,
+    so the decode oracle recomputes the checksum in closed form.
+    ``interlaced=True`` stores rows in the spec's 4-pass order and sets
+    the interlace flag (decoder coverage for real-world GIFs)."""
+    import struct
+
+    import numpy as np
+
+    px = ((asset_id + np.arange(height * width)) % 256).astype(np.uint8)
+    grid = px.reshape(height, width)
+    order = _gif_row_order(height, interlaced)
+    stored = grid[order, :].tobytes()
+
+    out = bytearray(b"GIF89a")
+    # LSD packed 0xF7: global color table present, color resolution 8,
+    # unsorted, table size 2^(7+1) = 256
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(j for j in range(256) for _ in range(3))  # (j, j, j)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, width, height, 0x40 if interlaced else 0
+    )
+    out.append(8)  # LZW minimum code size
+    lzw = _gif_lzw_encode(stored, 8)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def encode_gif_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    interlace_col: str | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL GIF encode: (id, width, height[, interlaced])
+    rows → (id, content binary) — the GIF twin of
+    :func:`encode_png_assets` (same 100 TB shape: embarrassingly
+    parallel mapInPandas, pixels never cross a shuffle). An optional
+    boolean ``interlace_col`` stores those images in the spec's 4-pass
+    interlaced row order (exercising the decoder's de-interlace path)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+    cols = [id_col, width_col, height_col]
+    if interlace_col is not None:
+        cols.append(interlace_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import gif_encode_gray
+
+        for pdf in batches:
+            il = (
+                pdf[interlace_col]
+                if interlace_col is not None
+                else [False] * len(pdf)
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        gif_encode_gray(int(i), int(w), int(h), bool(f))
+                        for i, w, h, f in zip(
+                            pdf[id_col], pdf[width_col], pdf[height_col], il
+                        )
+                    ],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def gif_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL full GIF decode over Arrow batches: header + logical-screen
+    parse, global/local color table, extension-block walk, variable-width
+    LZW inflate, de-interlace, and a palette-mapped pixel checksum —
+    (asset_id, format, width, height, bit_depth, n_colors, n_pixels,
+    pixel_sum). pixel_sum sums the RED channel of each pixel's palette
+    entry, so it can only be computed by actually inflating the LZW
+    stream AND dereferencing the color table — a hash-match against the
+    closed-form oracle certifies the full decoder ran (catalog
+    ``multimodal_gif_roundtrip``; the png_decode_stats precedent).
+    Stats cover the FIRST image block (for animations, frame 0);
+    truncated/corrupt files raise loudly rather than guessing."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            _gif_lzw_decode,
+            _gif_row_order,
+        )
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "format": [],
+                "width": [],
+                "height": [],
+                "bit_depth": [],
+                "n_colors": [],
+                "n_pixels": [],
+                "pixel_sum": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+                    raise ValueError(f"asset {aid}: not a GIF")
+                _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+                depth = ((packed >> 4) & 0x7) + 1
+                i = 13
+                palette = None
+                if packed & 0x80:
+                    gct_n = 2 << (packed & 0x7)
+                    palette = np.frombuffer(
+                        b[i : i + 3 * gct_n], dtype=np.uint8
+                    ).reshape(gct_n, 3)
+                    i += 3 * gct_n
+                while i < len(b):
+                    blk = b[i]
+                    i += 1
+                    if blk == 0x21:  # extension: label + sub-blocks
+                        i += 1
+                        while b[i]:
+                            i += 1 + b[i]
+                        i += 1
+                        continue
+                    if blk == 0x3B:
+                        raise ValueError(f"asset {aid}: trailer before image")
+                    if blk != 0x2C:
+                        raise ValueError(
+                            f"asset {aid}: unknown block 0x{blk:02x}"
+                        )
+                    _l, _t, w, h, ipk = struct.unpack("<HHHHB", b[i : i + 9])
+                    i += 9
+                    if ipk & 0x80:  # local color table overrides
+                        lct_n = 2 << (ipk & 0x7)
+                        palette = np.frombuffer(
+                            b[i : i + 3 * lct_n], dtype=np.uint8
+                        ).reshape(lct_n, 3)
+                        i += 3 * lct_n
+                    if palette is None:
+                        raise ValueError(f"asset {aid}: no color table")
+                    mcs = b[i]
+                    i += 1
+                    lzw = bytearray()
+                    while b[i]:
+                        ln = b[i]
+                        lzw += b[i + 1 : i + 1 + ln]
+                        i += 1 + ln
+                    i += 1
+                    idx = np.frombuffer(
+                        bytes(_gif_lzw_decode(bytes(lzw), mcs)), dtype=np.uint8
+                    )
+                    if idx.size != w * h:
+                        raise ValueError(
+                            f"asset {aid}: decoded {idx.size} pixels, "
+                            f"expected {w * h}"
+                        )
+                    if int(idx.max(initial=0)) >= len(palette):
+                        raise ValueError(f"asset {aid}: index beyond palette")
+                    stored = idx.reshape(h, w)
+                    grid = np.empty_like(stored)
+                    grid[_gif_row_order(h, bool(ipk & 0x40)), :] = stored
+                    red = palette[:, 0][grid]
+                    out["asset_id"].append(int(aid))
+                    out["format"].append("gif")
+                    out["width"].append(int(w))
+                    out["height"].append(int(h))
+                    out["bit_depth"].append(int(depth))
+                    out["n_colors"].append(int(len(palette)))
+                    out["n_pixels"].append(int(red.size))
+                    out["pixel_sum"].append(int(red.sum(dtype=np.int64)))
+                    break
+                else:
+                    raise ValueError(f"asset {aid}: truncated GIF")
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, width int, height int, "
+        "bit_depth int, n_colors int, n_pixels bigint, pixel_sum bigint",
+    )

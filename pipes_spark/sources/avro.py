@@ -344,18 +344,27 @@ def _resolve_reader_branch(writer, reader_union, names_r):
 
 def _record_decoder(writer, reader, names_w, names_r):
     """Field-by-name resolution: writer-only fields decode-and-discard,
-    reader-only fields take their declared default."""
+    reader-only fields take their declared default, and a reader field's
+    ``aliases`` list matches a RENAMED writer field (spec "Aliases"
+    section — name match wins over alias match)."""
     rfields = reader["fields"]
     rindex = {f["name"]: i for i, f in enumerate(rfields)}
+    alias_index = {}
+    for i, f in enumerate(rfields):
+        for a in f.get("aliases", ()):
+            if a not in rindex:
+                alias_index.setdefault(a, i)
     n_out = len(rfields)
     steps = []  # (out_slot | None, decode_fn)
     seen = set()
     for wf in writer["fields"]:
         slot = rindex.get(wf["name"])
         if slot is None:
+            slot = alias_index.get(wf["name"])
+        if slot is None:
             steps.append((None, _make_decoder(wf["type"], wf["type"], names_w, names_w)))
         else:
-            seen.add(wf["name"])
+            seen.add(rfields[slot]["name"])
             steps.append((slot, _make_decoder(wf["type"], rfields[slot]["type"], names_w, names_r)))
     defaults = {}
     for f in rfields:

@@ -96,3 +96,191 @@ def test_avro_truncate_millis_escape_hatch(tmp_path):
     write_avro_file(p, schema, [{"ts": v}], codec="null", truncate_millis=True)
     ((got,),) = list(_iter_range_rows(p, 0, 10**9))
     assert got.replace(tzinfo=None) == datetime(2024, 3, 1, 12, 0, 0, 123000)
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW codec (round-10: multimodal_gif_roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_hand_fixture_from_spec_rules():
+    """min_code_size=2, pixels [1]*5: LZW per the spec gives codes
+    clear(4),1,6,6 then EOI(5) — the width bump to 4 bits fires after the
+    4th code (next entry 8 == 2^3), so EOI packs at 4 bits:
+    4 | 1<<3 | 6<<6 | 6<<9 | 5<<12 = 0x5D8C -> bytes 8C 5D (LSB-first)."""
+    from pipes_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    enc = _gif_lzw_encode(bytes([1] * 5), 2)
+    assert enc == bytes.fromhex("8c5d")
+    assert bytes(_gif_lzw_decode(enc, 2)) == bytes([1] * 5)
+
+
+def test_gif_lzw_round_trip_and_table_reset():
+    import random
+
+    from pipes_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    rng = random.Random(7)
+    for n in (0, 1, 255, 256, 5000, 30000):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert bytes(_gif_lzw_decode(_gif_lzw_encode(data, 8), 8)) == data
+    # low-entropy long stream: forces multiple 12-bit table resets and
+    # plenty of KwKwK cases
+    data = bytes(((i * i) >> 3) % 4 for i in range(200000))
+    assert bytes(_gif_lzw_decode(_gif_lzw_encode(data, 8), 8)) == data
+
+
+def test_gif_lzw_deferred_clear_tolerated():
+    """Spec-conformant encoders may keep emitting 12-bit codes on a full
+    table instead of clearing; hand-build such a stream (every code a
+    literal, never clearing) and check the decoder accepts it."""
+    from pipes_spark.operators.multimodal import _gif_lzw_decode
+
+    data = bytes((i * 7) % 256 for i in range(6000))  # 6000 > 4096-258 adds
+    out = bytearray()
+    bitbuf = nbits = 0
+    cs = 9
+    running = 258
+
+    def emit(code):
+        nonlocal bitbuf, nbits, cs, running
+        bitbuf |= code << nbits
+        nbits += cs
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+        # literal-only stream: the decoder still counts every read, so the
+        # width schedule matches its running counter (capped at 4097)
+        if running < 4097:
+            running += 1
+            if running > (1 << cs) and cs < 12:
+                cs += 1
+
+    emit(256)  # clear
+    running = 258  # decoder resets its counter on clear
+    for b in data:
+        emit(b)
+    emit(257)  # EOI
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    assert bytes(_gif_lzw_decode(bytes(out), 8)) == data
+
+
+def test_gif_lzw_corrupt_streams_raise():
+    from pipes_spark.operators.multimodal import _gif_lzw_decode, _gif_lzw_encode
+
+    enc = _gif_lzw_encode(b"hello world", 8)
+    with pytest.raises(ValueError, match="ended before EOI"):
+        _gif_lzw_decode(enc[:-2], 8)
+    # a code far beyond the table: craft 9-bit stream clear(256) then 300
+    bad = bytearray()
+    v = 256 | (300 << 9)
+    for _ in range(3):
+        bad.append(v & 0xFF)
+        v >>= 8
+    with pytest.raises(ValueError, match="invalid first LZW code"):
+        _gif_lzw_decode(bytes(bad), 8)
+
+
+def test_gif_interlace_row_order_is_permutation():
+    from pipes_spark.operators.multimodal import _gif_row_order
+
+    for h in (1, 2, 7, 8, 9, 19, 64):
+        order = _gif_row_order(h, True)
+        assert sorted(order) == list(range(h))
+    assert _gif_row_order(10, True) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+
+def test_gif_decode_stats_matches_content_contract(spark):
+    """Full Spark-side round trip incl. interlaced images, a GIF89a
+    graphic-control extension block, and a local color table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        encode_gif_assets,
+        gif_decode_stats,
+    )
+
+    d = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13 + 1).cast("int").alias("width"),
+        (F.col("id") % 9 + 1).cast("int").alias("height"),
+        (F.col("id") % 2 == 1).alias("interlaced"),
+    )
+    stats = gif_decode_stats(
+        encode_gif_assets(d, "doc_id", "width", "height", "interlaced")
+    ).collect()
+    assert len(stats) == 40
+    for r in stats:
+        n = r["width"] * r["height"]
+        expected = int(((r["asset_id"] + np.arange(n)) % 256).sum())
+        assert (r["format"], r["bit_depth"], r["n_colors"]) == ("gif", 8, 256)
+        assert r["n_pixels"] == n and r["pixel_sum"] == expected
+
+
+def test_gif_decoder_extension_blocks_and_local_color_table(spark):
+    """Hand-assemble a GIF with a graphic-control extension, a comment
+    extension, NO global color table, and a 4-entry LOCAL color table —
+    the decoder must skip the extensions and dereference the LCT."""
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        gif_decode_stats,
+    )
+
+    w, h = 3, 2
+    idx = bytes([0, 1, 2, 3, 0, 1])
+    lct = bytes([10, 0, 0, 20, 0, 0, 30, 0, 0, 40, 0, 0])  # reds 10/20/30/40
+    b = bytearray(b"GIF89a")
+    b += struct.pack("<HHBBB", w, h, 0x22, 0, 0)  # no GCT, color res 3
+    b += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+    b += b"\x21\xfe\x05hello\x00"  # comment ext
+    b += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | 0x01)  # LCT size 4
+    b += lct
+    b.append(2)  # LZW min code size for 4-color data
+    lzw = _gif_lzw_encode(idx, 2)
+    b.append(len(lzw))
+    b += lzw
+    b += b"\x00\x3b"
+    df = spark.createDataFrame([(1, bytes(b))], "asset_id long, content binary")
+    (r,) = gif_decode_stats(df).collect()
+    assert (r["width"], r["height"], r["n_colors"]) == (3, 2, 4)
+    assert r["bit_depth"] == 3  # color-resolution field of the LSD
+    assert r["pixel_sum"] == 10 + 20 + 30 + 40 + 10 + 20
+
+
+def test_avro_reader_alias_resolution(tmp_path):
+    """Spec 'Aliases': a reader field matches a renamed writer field via
+    its aliases list; a direct NAME match wins over an alias match."""
+    from pipes_spark.sources.avro import _iter_range_rows, write_avro_file
+
+    writer = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "old_name", "type": "long"},
+            {"name": "shared", "type": "long"},
+        ],
+    }
+    p = str(tmp_path / "v1.avro")
+    write_avro_file(p, writer, [(7, 100), (9, 200)], codec="null")
+
+    import json
+
+    reader = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "new_name", "type": "long", "aliases": ["old_name"]},
+            # 'shared' matches by NAME even though another field lists it
+            # as an alias — name match must win
+            {"name": "shared", "type": "long"},
+            {"name": "grabby", "type": "long", "aliases": ["shared"],
+             "default": -1},
+        ],
+    }
+    rows = list(_iter_range_rows(p, 0, 10**9, reader_schema=json.dumps(reader)))
+    assert rows == [(7, 100, -1), (9, 200, -1)]
