@@ -2335,7 +2335,11 @@ def graph_pagerank(spark, sf_dir):
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    out = pagerank(edges, "id_a", "id_b", num_iter=8)
+    # tol=None pins the exact fixed-round contract this rows-only gate
+    # and the numpy-parity pytest encode; the scale default (tol=1e-4,
+    # round 10) early-exits within tolerance — right for ranking use,
+    # wrong for a value-exact gate
+    out = pagerank(edges, "id_a", "id_b", num_iter=8, tol=None)
     return out.select("id", F.round("rank", 6).alias("rank"))
 
 

@@ -127,6 +127,7 @@ def shortest_paths(
     dst_col: str = "dst",
     max_hops: int = 6,
     cut_lineage: bool = True,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
     """Unweighted shortest-path (hop) distances from a set of landmark
     vertices over an undirected graph — the GraphFrames ``shortestPaths``
@@ -148,7 +149,12 @@ def shortest_paths(
     landmark); payloads are (id, id, int) triples only. Lineage is cut
     per round (:func:`connected_components` rationale); convergence reads
     ONE scalar (frontier count) per round. Returns ``(vertex, landmark,
-    distance)`` for every pair within ``max_hops``.
+    distance)`` for every pair within ``max_hops``. The frontier-empty
+    check IS the settled early exit (every reachable pair settles at its
+    first hop, so an empty frontier is the BFS fixed point — later
+    rounds are no-ops BY CONSTRUCTION, the bit-identical LPA exit
+    contract); ``stats`` receives ``{"rounds": n, "converged": bool}``
+    where ``converged`` means the frontier emptied within the budget.
 
     ``cut_lineage=False`` disables the per-round checkpoints so the FULL
     logical plan (all frontier joins) stays inspectable — a plan-audit /
@@ -173,6 +179,8 @@ def shortest_paths(
         [(v, v, 0) for v in lm], "vertex long, landmark long, distance int"
     )
     settled = frontier
+    rounds = 0
+    converged = False
     for _ in range(max_hops):
         nxt = (
             frontier.join(und, frontier.vertex == und.a)
@@ -186,10 +194,15 @@ def shortest_paths(
             .join(settled.select("vertex", "landmark"), ["vertex", "landmark"], "left_anti")
         )
         nxt = _cut(nxt)
+        rounds += 1
         if nxt.isEmpty():
+            converged = True
             break
         settled = _cut(settled.unionByName(nxt), eager=False)
         frontier = nxt
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return settled.select(
         "vertex", "landmark", F.col("distance").cast("int").alias("distance")
     )
@@ -201,7 +214,7 @@ def pagerank(
     dst_col: str = "dst",
     damping: float = 0.85,
     num_iter: int = 10,
-    tol: Optional[float] = None,
+    tol: Optional[float] = 1e-4,
     stats: Optional[dict] = None,
 ) -> DataFrame:
     """Simplified PageRank by power iteration over a directed edge list —
@@ -218,15 +231,19 @@ def pagerank(
     power iteration converges geometrically at rate ``damping``, so 10
     rounds ≈ 1e-1…1e-2 relative error, enough for ranking use.
 
-    ``tol`` (off by default, keeping the fixed-round semantics oracles
-    encode) adds convergence early exit: stop once the max absolute
-    per-vertex rank change of a round falls below ``tol`` — one scalar
+    ``tol`` is the convergence early exit and the DEFAULT at scale
+    (round 10; 1e-4 — the GraphX ``runUntilConvergence`` convention):
+    stop once the max absolute per-vertex rank change of a round falls
+    below ``tol``, turning ``num_iter`` into a round BUDGET — one scalar
     aggregate per round over the checkpointed vectors, the same
     driver-side convergence contract as :func:`k_core`. On graphs that
     settle early (the common case for near-dup/cluster graphs) this
     skips the converged tail rounds the r8 probes measured as the
-    entire cost at 30× volume. ``stats`` receives ``{"rounds": n,
-    "converged": bool}``.
+    entire cost at 30× volume. Pass ``tol=None`` for exact fixed-round
+    semantics — the contract hash oracles encode (rank values after an
+    early exit differ from the fixed-round values by < tol, which is
+    immaterial for ranking use but not bit-exact). ``stats`` receives
+    ``{"rounds": n, "converged": bool}``.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     verts = (

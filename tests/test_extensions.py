@@ -730,7 +730,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     # directed graph: hub 1 <- {2,3,4}; 1 -> 2; isolated-ish tail 5 -> 4
     edges = [(2, 1), (3, 1), (4, 1), (1, 2), (5, 4)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.id: r.rank for r in pagerank(df, num_iter=12).collect()}
+    got = {r.id: r.rank for r in pagerank(df, num_iter=12, tol=None).collect()}
 
     ids = sorted({v for e in edges for v in e})
     idx = {v: i for i, v in enumerate(ids)}

@@ -284,3 +284,50 @@ def test_avro_reader_alias_resolution(tmp_path):
     }
     rows = list(_iter_range_rows(p, 0, 10**9, reader_schema=json.dumps(reader)))
     assert rows == [(7, 100, -1), (9, 200, -1)]
+
+
+# ---------------------------------------------------------------------------
+# Iterative-loop convergence exits (round-10: pagerank tol default,
+# shortest_paths stats contract)
+# ---------------------------------------------------------------------------
+
+
+def test_shortest_paths_frontier_exit_identity(spark):
+    """A diameter-2 graph under a 6-hop budget: the frontier-empty exit
+    fires (converged, rounds == 3) and the settled set is IDENTICAL to
+    the exact-budget run — the exit is bit-identical by construction."""
+    from pipes_spark.operators.components import shortest_paths
+
+    # path graph 0-1-2 plus a disconnected 3-4: diameter from landmark 0 is 2
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "src long, dst long"
+    )
+    stats: dict = {}
+    wide = shortest_paths(e, [0], max_hops=6, stats=stats)
+    rows_wide = sorted(tuple(r) for r in wide.collect())
+    assert stats["converged"] and stats["rounds"] == 3, stats
+    tight = shortest_paths(e, [0], max_hops=2)
+    assert rows_wide == sorted(tuple(r) for r in tight.collect())
+    assert rows_wide == [(0, 0, 0), (1, 0, 1), (2, 0, 2)]
+
+    # budget smaller than the diameter: no convergence claim
+    s2: dict = {}
+    shortest_paths(e, [0], max_hops=1, stats=s2).collect()
+    assert s2 == {"rounds": 1, "converged": False}
+
+
+def test_pagerank_scale_default_converges_within_tol(spark):
+    """The new tol=1e-4 default: on a graph that needs several rounds,
+    every returned rank is within tol of the full-budget fixed-round
+    ranks, and the stats row records the saved rounds."""
+    from pipes_spark.operators.components import pagerank
+
+    edges = [(2, 1), (3, 1), (4, 1), (1, 2), (5, 4), (2, 3), (4, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = {r.id: r.rank for r in pagerank(df, num_iter=40, tol=None).collect()}
+    stats: dict = {}
+    got = {r.id: r.rank for r in pagerank(df, num_iter=40, stats=stats).collect()}
+    assert stats["converged"] and stats["rounds"] < 40, stats
+    assert got.keys() == exact.keys()
+    for k in exact:
+        assert abs(got[k] - exact[k]) < 1e-3, (k, got[k], exact[k])

@@ -127,24 +127,29 @@ def test_pagerank_tol_early_exit_on_converged_fixture(spark):
     )
     stats: dict = {}
     fast = pagerank(e, num_iter=10, tol=1e-9, stats=stats)
-    slow = pagerank(e, num_iter=10)
+    slow = pagerank(e, num_iter=10, tol=None)
     assert sorted(tuple(r) for r in fast.collect()) == sorted(
         tuple(r) for r in slow.collect()
     )
     assert stats["converged"] and stats["rounds"] == 1, stats
 
 
-def test_pagerank_default_keeps_fixed_round_semantics(spark):
-    """tol=None (the default every oracle encodes) must not early-exit
-    even on a converged fixture."""
+def test_pagerank_tol_none_keeps_fixed_round_semantics(spark):
+    """tol=None (the contract every oracle encodes; the scale DEFAULT is
+    tol=1e-4 since round 10) must not early-exit even on a converged
+    fixture — and the default must."""
     from pipes_spark.operators.components import pagerank
 
     e = spark.createDataFrame(
         [(i, (i + 1) % 4) for i in range(4)], "src long, dst long"
     )
     stats: dict = {}
-    pagerank(e, num_iter=7, stats=stats).collect()
+    pagerank(e, num_iter=7, tol=None, stats=stats).collect()
     assert stats["rounds"] == 7 and not stats["converged"], stats
+    # the cycle is the exact fixed point: the scale default exits round 1
+    dstats: dict = {}
+    pagerank(e, num_iter=7, stats=dstats).collect()
+    assert dstats["converged"] and dstats["rounds"] == 1, dstats
 
 
 # ---------------------------------------------------------------------------
