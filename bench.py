@@ -76,6 +76,7 @@ EXTENDED = [
     "source_avro_evolution",
     "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip",
+    "multimodal_jpeg_roundtrip",
     "sketch_theta_diff",
 ]
 

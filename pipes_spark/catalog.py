@@ -4126,8 +4126,15 @@ _GRADED_WINDOW = [
     # hands its slot to streaming_weighted_reservoir — mergeable A-ES
     # sampling through a REAL stream, a family the driver has never
     # graded on either the sampling or the streaming side.
+    # round-10 curation: text_dsir (hash-graded green since r05; the
+    # text-quality family stays carried by text_bm25 + text_boilerplate +
+    # text_phrase_indexed + both KN slots) hands its slot to
+    # multimodal_jpeg_roundtrip — the NEW baseline JPEG (ITU-T T.81)
+    # codec round trip, whose hash grade proves the canonical-Huffman
+    # entropy decode + IDCT chain on a LOSSY format made bit-exact by
+    # block-constant content (DC-only blocks, DC quantum 8).
     "streaming_weighted_reservoir", "dedup_lsh_verified",
-    "text_dsir",
+    "multimodal_jpeg_roundtrip",
     # round-9 curation: sim_cosine_topk (green since r04; similarity
     # carried by sim_cosine_neardup) hands its slot to
     # source_avro_roundtrip — the new pure-Python Avro container source,
@@ -14749,6 +14756,63 @@ def multimodal_gif_roundtrip(spark, sf_dir):
         ensure_min_partitions(d), "doc_id", "width", "height", "interlaced"
     )
     return gif_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_jpeg_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 27 + 1 AS INT) AS width,
+             CAST((doc_id * 3) % 21 + 1 AS INT) AS height,
+             CAST(ceil((doc_id % 27 + 1) / 8.0) AS BIGINT) AS bw,
+             CAST(ceil(((doc_id * 3) % 21 + 1) / 8.0) AS BIGINT) AS bh
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(sum(((doc_id + i) % 256)
+                      * least(8, width - 8 * (i % bw))
+                      * least(8, height - 8 * (i // bw))) AS BIGINT)
+               AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, bw * bh - 1)) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'jpeg' AS format, width, height,
+           CAST(8 AS INT) AS bit_depth, CAST(1 AS INT) AS n_components,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_roundtrip(spark, sf_dir):
+    """REAL baseline JPEG codec round trip — the third from-the-spec
+    image codec (ITU-T T.81, stdlib+numpy; the png/gif routing applied
+    to a LOSSY format): per-document deterministic dimensions →
+    BLOCK-CONSTANT grayscale content (each 8×8 block uniform, so blocks
+    carry only a DC coefficient and the DC quantum 8 makes the lossy
+    round trip bit-exact) → real encode (operators.multimodal.
+    encode_jpeg_assets: quantized block DCT, canonical Huffman, byte
+    stuffing; doc_id % 3 as the restart interval so DRI/RSTn resync runs
+    under the gate) → real decode (jpeg_decode_stats: marker walk,
+    DQT/DHT/SOF0/SOS parse, Huffman entropy decode, dequantize, IDCT,
+    pixel checksum). The oracle recomputes the per-block value×coverage
+    sum closed-form, so a hash-pass certifies the full entropy+transform
+    chain; entropy-layer bit-exactness on RANDOM content is pytest-held
+    (decode(encode(x)) == the direct quantize→dequantize reference).
+    Pixels never cross a shuffle."""
+    from .operators.multimodal import encode_jpeg_assets, jpeg_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 27 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 3) % 21 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 3).cast("int").alias("restart"),
+    )
+    assets = encode_jpeg_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "restart"
+    )
+    return jpeg_decode_stats(assets).orderBy("asset_id")
 
 
 @query(

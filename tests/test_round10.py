@@ -331,3 +331,163 @@ def test_pagerank_scale_default_converges_within_tol(spark):
     assert got.keys() == exact.keys()
     for k in exact:
         assert abs(got[k] - exact[k]) < 1e-3, (k, got[k], exact[k])
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec (round-10: multimodal_jpeg_roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_reference_decode(px, q):
+    """Direct quantize→dequantize reference: what a bit-exact entropy
+    layer must reproduce through the full file round trip."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import _jpeg_dct_matrix
+
+    m = _jpeg_dct_matrix()
+    h, w = px.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge")
+    blocks = (
+        padded.reshape(ph // 8, 8, pw // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+        - 128
+    )
+    F_ = np.einsum("ux,nxy,vy->nuv", m, blocks, m)
+    qq = np.asarray(q, dtype=np.int32).reshape(8, 8)
+    deq = np.round(F_ / qq[None]).astype(np.int64) * qq[None]
+    sp = np.einsum("xu,nuv,yv->nxy", m.T, deq.astype(np.float64), m.T) + 128
+    out = np.clip(np.round(sp), 0, 255).astype(np.uint8)
+    return (
+        out.reshape(ph // 8, pw // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(ph, pw)[:h, :w]
+    )
+
+
+def test_jpeg_dct_matrix_matches_spec_definition():
+    """The 8×8 DCT basis against the direct O(N^4) T.81 definition."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import _jpeg_dct_matrix
+
+    m = _jpeg_dct_matrix()
+    rng = np.random.default_rng(3)
+    f = rng.integers(0, 256, (8, 8)).astype(np.float64) - 128
+    ref = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        f[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            ref[u, v] = 0.25 * cu * cv * s
+    assert np.allclose(m @ f @ m.T, ref, atol=1e-9)
+    # orthonormal: inverse is the transpose
+    assert np.allclose(m.T @ m, np.eye(8), atol=1e-12)
+
+
+def test_jpeg_flat_block_round_trip_exact():
+    """Block-constant content under the default qtable (DC quantum 8)
+    round-trips bit-exactly — the oracle contract."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_block_gray,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+        sniff_image_header,
+    )
+
+    for (h, w, aid) in [(16, 24, 5), (17, 23, 42), (8, 8, 0), (1, 1, 200)]:
+        px = jpeg_block_gray(aid, w, h)
+        data = jpeg_encode_gray(px)
+        fmt, sw, sh, d, ncomp = sniff_image_header(data)
+        assert (fmt, sw, sh, d, ncomp) == ("jpeg", w, h, 8, 1)
+        assert np.array_equal(jpeg_decode_gray(data), px), (h, w, aid)
+
+
+def test_jpeg_entropy_layer_bit_exact_on_random_content():
+    """decode(encode(x)) must equal the direct quantize→dequantize
+    reference EXACTLY: the Huffman/bitstream/marker layers are lossless
+    around the lossy core. Also exercises ZRL/EOB and restart markers."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    q = [8] + [16] * 63
+    for trial in range(3):
+        h, w = int(rng.integers(9, 60)), int(rng.integers(9, 60))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        got = jpeg_decode_gray(jpeg_encode_gray(px, q))
+        assert np.array_equal(got, _jpeg_reference_decode(px, q)), trial
+    # sparse high-contrast image: long zero runs -> ZRL symbols
+    px = np.zeros((32, 32), dtype=np.uint8)
+    px[::9, ::9] = 255
+    got = jpeg_decode_gray(jpeg_encode_gray(px, q))
+    assert np.array_equal(got, _jpeg_reference_decode(px, q))
+    # restart markers every 2 MCUs
+    px = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    data = jpeg_encode_gray(px, q, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    assert np.array_equal(jpeg_decode_gray(data), _jpeg_reference_decode(px, q))
+
+
+def test_jpeg_out_of_scope_files_raise():
+    import numpy as np
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg_decode_gray(b"\xff\xd8\xff\xc2" + struct.pack(">H", 10) + bytes(8))
+    with pytest.raises(ValueError, match="missing SOI"):
+        jpeg_decode_gray(b"nope")
+    # truncated entropy segment
+    px = np.full((8, 8), 77, dtype=np.uint8)
+    data = jpeg_encode_gray(px)
+    with pytest.raises(ValueError):
+        jpeg_decode_gray(data[:-4])
+
+
+def test_jpeg_decode_stats_matches_content_contract(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        encode_jpeg_assets,
+        jpeg_block_gray,
+        jpeg_decode_stats,
+    )
+
+    d = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 21 + 1).cast("int").alias("width"),
+        (F.col("id") % 17 + 1).cast("int").alias("height"),
+        (F.col("id") % 3).cast("int").alias("restart"),
+    )
+    stats = jpeg_decode_stats(
+        encode_jpeg_assets(d, "doc_id", "width", "height", "restart")
+    ).collect()
+    assert len(stats) == 30
+    for r in stats:
+        px = jpeg_block_gray(r["asset_id"], r["width"], r["height"])
+        assert (r["format"], r["bit_depth"], r["n_components"]) == ("jpeg", 8, 1)
+        assert r["n_pixels"] == px.size
+        assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
