@@ -77,6 +77,8 @@ EXTENDED = [
     "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
+    "multimodal_wav_roundtrip",
+    "multimodal_video_frame_sample",
     "sketch_theta_diff",
 ]
 

@@ -4060,7 +4060,12 @@ _GRADED_WINDOW = [
     # binary path the driver would ever hash-grade — the oracle
     # recomputes the pixel checksum, so a pass certifies the worker-side
     # decoder end to end under the driver's own session.
-    "multimodal_png_roundtrip", "sessionize_stats", "quality_domain_wilson",
+    # round-10 curation: quality_domain_wilson (hash-graded green r08–r09;
+    # the quality family stays carried by quality_orders +
+    # quality_t_closeness) hands its slot to multimodal_wav_roundtrip —
+    # the NEW RIFF/WAVE PCM audio round trip, closing the audio-decode
+    # gap for the uncompressed case (sample-checksum oracle).
+    "multimodal_png_roundtrip", "sessionize_stats", "multimodal_wav_roundtrip",
     # round-7 curation: ts_ewma and stats_mad_outliers (both hash-graded
     # green since r04) hand their slots to ts_kaplan_meier — proving this
     # round's bucket-parallel cumulative-product rewrite under the driver's
@@ -4072,8 +4077,14 @@ _GRADED_WINDOW = [
     # + sessionize_stats) hands its slot to streaming_join_left_outer —
     # the hardest watermark semantics in the suite (stream-stream outer
     # join null-flush cutoff), never driver-graded.
+    # round-10 curation: sample_shard_manifest (hash-graded green
+    # r07–r09; the shard/manifest family stays carried by
+    # sample_rendezvous_reshard) hands its slot to
+    # multimodal_video_frame_sample — the NEW RIFF/AVI Motion-JPEG
+    # container walk + per-frame decode, replacing the byte-offset
+    # frame-sampling stub with a real codec path under the hash gate.
     "streaming_join_left_outer",
-    "ts_kaplan_meier", "sample_shard_manifest",
+    "ts_kaplan_meier", "multimodal_video_frame_sample",
     # round-5 curation #3: two families the driver has never hash-graded —
     # deterministic KMV/theta sketch set algebra (the estimator itself is
     # md5 order-statistic math) and positional-inverted-index phrase
@@ -14813,6 +14824,125 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         ensure_min_partitions(d), "doc_id", "width", "height", "restart"
     )
     return jpeg_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 400 + 50 AS INT) AS ns,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INT) AS n_channels
+      FROM documents
+    ), sm AS (
+      SELECT doc_id,
+             CAST(sum(((doc_id + i) * 2557) % 65536 - 32768) AS BIGINT)
+               AS sample_sum,
+             CAST(max(abs(((doc_id + i) * 2557) % 65536 - 32768)) AS BIGINT)
+               AS sample_abs_max
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(ns AS BIGINT) * n_channels - 1)
+           ) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'wav' AS format, n_channels, sample_rate,
+           CAST(16 AS INT) AS bit_depth, CAST(ns AS BIGINT) AS n_samples,
+           sample_sum, sample_abs_max
+    FROM dims d JOIN sm USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_wav_roundtrip(spark, sf_dir):
+    """REAL PCM audio codec round trip — RIFF/WAVE implemented from the
+    public format spec (round 10; audio needs no codec library for the
+    PCM case, the same routing that closed PNG/GIF/JPEG): per-document
+    deterministic sample counts/rates, mono and stereo mixed → real
+    16-bit PCM WAV encode (operators.multimodal.encode_wav_assets;
+    full-range int16 lattice signal) → real decode (wav_decode_stats:
+    RIFF chunk walk with word alignment, fmt parse, int16 stream
+    decode, sample checksum + abs-max). The oracle recomputes both
+    statistics closed-form from the signal contract, so a hash-pass
+    proves the decoder read real samples. Samples never cross a shuffle
+    (encode → decode fuse into one mapInPandas chain)."""
+    from .operators.multimodal import encode_wav_assets, wav_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 400 + 50).cast("int").alias("n_samples"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+    )
+    assets = encode_wav_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "channels"
+    )
+    return wav_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_video_frame_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 19 + 1 AS INT) AS width,
+             CAST((doc_id * 3) % 15 + 1 AS INT) AS height,
+             CAST(doc_id % 6 + 2 AS INT) AS nf,
+             CAST(ceil((doc_id % 19 + 1) / 8.0) AS BIGINT) AS bw,
+             CAST(ceil(((doc_id * 3) % 15 + 1) / 8.0) AS BIGINT) AS bh
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, width, height, bw, bh, CAST(f.f AS INT) AS frame_no
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(nf AS BIGINT) - 1, 2)
+           ) AS f(f)
+    ), px AS (
+      SELECT doc_id, frame_no,
+             CAST(sum(((doc_id + 11 * frame_no + i) % 256)
+                      * least(8, width - 8 * (i % bw))
+                      * least(8, height - 8 * (i // bw))) AS BIGINT)
+               AS pixel_sum
+      FROM fr,
+           LATERAL unnest(generate_series(0, bw * bh - 1)) AS u(i)
+      GROUP BY doc_id, frame_no
+    )
+    SELECT f.doc_id AS asset_id, frame_no, width, height, pixel_sum
+    FROM fr f JOIN px USING (doc_id, frame_no)
+    ORDER BY asset_id, frame_no
+    """,
+)
+def multimodal_video_frame_sample(spark, sf_dir):
+    """REAL video frame sampling — RIFF/AVI container from the public
+    spec with Motion-JPEG frames decoded by the module's own T.81
+    decoder (round 10; replaces the byte-offset frame_sample STUB with
+    an actual container walk + codec): per-document frame counts and
+    dimensions → real AVI encode (operators.multimodal.
+    encode_avi_assets: hdrl/avih/strh/strf headers, movi '00dc' chunks,
+    idx1 index) → frame sampler (avi_frame_sample_stats: header parse,
+    declared-vs-actual frame-count check, idx1 offset verification,
+    every-2nd-frame JPEG decode, per-frame pixel checksum). Each frame
+    is block-constant so the lossy codec is bit-exact, and the oracle
+    recomputes every sampled frame's pixel sum closed-form — the gate
+    certifies container + index + codec end to end. 1→N output (one row
+    per sampled frame); pixels never cross a shuffle."""
+    from .operators.multimodal import avi_frame_sample_stats, encode_avi_assets
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 19 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 3) % 15 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 6 + 2).cast("int").alias("n_frames"),
+    )
+    assets = encode_avi_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+    )
+    return avi_frame_sample_stats(assets, every_k=2).orderBy(
+        "asset_id", "frame_no"
+    )
 
 
 @query(

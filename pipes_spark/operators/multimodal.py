@@ -1459,3 +1459,395 @@ def jpeg_decode_stats(assets: DataFrame) -> DataFrame:
         "asset_id bigint, format string, width int, height int, "
         "bit_depth int, n_components int, n_pixels bigint, pixel_sum bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# WAV: REAL PCM audio codec from the public RIFF/WAVE format description
+# (Microsoft/IBM multimedia spec; the canonical fmt/data chunk layout).
+# PCM needs no codec library — this closes the AUDIO decode gap for the
+# uncompressed case the way PNG/GIF/JPEG closed images. 16-bit PCM, mono
+# or stereo; other encodings (fmt tag != 1) raise loudly.
+# --------------------------------------------------------------------------
+
+
+def wav_encode_pcm16(
+    asset_id: int, n_samples: int, sample_rate: int = 16000, channels: int = 1
+) -> bytes:
+    """Minimal REAL WAV (RIFF: 'WAVE' form, fmt chunk with PCM tag 1,
+    data chunk): sample i of channel c = ((asset_id + i·channels + c) ·
+    2557) % 65536 − 32768 — a deterministic full-range int16 signal the
+    decode oracle recomputes closed-form (2557 is odd, so the lattice
+    walks all residues)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.arange(n_samples * channels, dtype=np.int64)
+    samples = (((asset_id + idx) * 2557) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    out = bytearray(b"RIFF")
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:  # RIFF chunks are word-aligned
+        body += b"\x00"
+    out += struct.pack("<I", len(body)) + body
+    return bytes(out)
+
+
+def wav_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode over Arrow batches: RIFF walk (skipping unknown
+    chunks per the spec's chunk framing, word alignment honored), fmt
+    parse, PCM16 sample decode, and a sample checksum — (asset_id,
+    format, n_channels, sample_rate, bit_depth, n_samples, sample_sum,
+    sample_abs_max). sample_sum/abs_max can only come from decoding the
+    int16 stream, so a hash-match against the closed-form oracle
+    certifies the decoder (catalog ``multimodal_wav_roundtrip``).
+    Non-PCM encodings and truncated files raise loudly."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "format": [],
+                "n_channels": [],
+                "sample_rate": [],
+                "bit_depth": [],
+                "n_samples": [],
+                "sample_sum": [],
+                "sample_abs_max": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"asset {aid}: not a RIFF/WAVE file")
+                (riff_len,) = struct.unpack("<I", b[4:8])
+                if riff_len + 8 > len(b):
+                    raise ValueError(f"asset {aid}: truncated RIFF payload")
+                i = 12
+                fmt = None
+                data = None
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+                    body = b[i + 8 : i + 8 + clen]
+                    if len(body) != clen:
+                        raise ValueError(f"asset {aid}: truncated chunk {cid!r}")
+                    if cid == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    i += 8 + clen + (clen & 1)  # word alignment
+                if fmt is None or data is None:
+                    raise ValueError(f"asset {aid}: missing fmt or data chunk")
+                tag, nch, rate, _brate, _align, bits = fmt
+                if tag != 1 or bits != 16:
+                    raise ValueError(
+                        f"asset {aid}: only 16-bit PCM supported (tag {tag}, "
+                        f"{bits}-bit)"
+                    )
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                if samples.size % nch:
+                    raise ValueError(f"asset {aid}: partial sample frame")
+                out["asset_id"].append(int(aid))
+                out["format"].append("wav")
+                out["n_channels"].append(int(nch))
+                out["sample_rate"].append(int(rate))
+                out["bit_depth"].append(int(bits))
+                out["n_samples"].append(int(samples.size // nch))
+                out["sample_sum"].append(int(samples.sum()))
+                out["sample_abs_max"].append(int(np.abs(samples).max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, n_channels int, sample_rate int, "
+        "bit_depth int, n_samples bigint, sample_sum bigint, "
+        "sample_abs_max bigint",
+    )
+
+
+def encode_wav_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    samples_col: str = "n_samples",
+    rate_col: str = "sample_rate",
+    channels_col: str | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL WAV PCM16 encode: (id, n_samples, rate
+    [, channels]) → (id, content binary) — the audio member of the
+    encode_*_assets family (same 100 TB shape: embarrassingly parallel,
+    samples never cross a shuffle)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+    cols = [id_col, samples_col, rate_col]
+    if channels_col is not None:
+        cols.append(channels_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import wav_encode_pcm16
+
+        for pdf in batches:
+            ch = (
+                pdf[channels_col]
+                if channels_col is not None
+                else [1] * len(pdf)
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        wav_encode_pcm16(int(i), int(n), int(r), int(c))
+                        for i, n, r, c in zip(
+                            pdf[id_col], pdf[samples_col], pdf[rate_col], ch
+                        )
+                    ],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# AVI/MJPEG: REAL video container from the public RIFF/AVI specification
+# (Microsoft 'AVI ' form: hdrl/avih/strl/strh/strf headers, movi chunk
+# stream, idx1 index), with Motion-JPEG frames — each '00dc' chunk is a
+# complete baseline JPEG decoded by this module's own T.81 decoder. This
+# makes FRAME SAMPLING real: parse the container, pick every k-th frame,
+# decode actual pixels — the operation frame_sample stubbed byte-wise.
+# --------------------------------------------------------------------------
+
+
+def avi_mjpeg_encode(asset_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Minimal REAL AVI (RIFF 'AVI ': LIST hdrl with avih + one 'vids'
+    strl (handler MJPG, strf BITMAPINFOHEADER), LIST movi of '00dc'
+    JPEG frames, idx1 index): frame f's 8×8 block i is uniformly
+    (asset_id + 11·f + i) % 256 — block-constant content, so each frame
+    round-trips bit-exactly through the lossy codec (the
+    multimodal_jpeg_roundtrip contract) and the frame-sample oracle
+    recomputes per-frame pixel sums closed-form."""
+    import struct
+
+    frames = []
+    for f in range(n_frames):
+        px = jpeg_block_gray(asset_id + 11 * f, width, height)
+        frames.append(jpeg_encode_gray(px))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(fr) for fr in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        100_000,  # microseconds per frame (10 fps)
+        max_bytes * 10,
+        0,
+        0x10,  # AVIF_HASINDEX
+        n_frames,
+        0,
+        1,  # one stream
+        max_bytes,
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    # AVISTREAMHEADER (56 bytes): fccType, fccHandler, flags, priority,
+    # language, initialFrames, scale, rate, start, length,
+    # suggestedBuffer, quality, sampleSize, rcFrame(4×16-bit)
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHH8I", 0, 0, 0, 0, 1, 10, 0, n_frames, max_bytes, 0, 0
+        )
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for fr in frames:
+        offsets.append(len(movi_body))  # offset of ckid relative to 'movi'
+        movi_body += chunk(b"00dc", fr)
+    movi = chunk(b"LIST", movi_body)
+    idx = b""
+    for off, fr in zip(offsets, frames):
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(fr))
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL video frame sampling over Arrow batches: RIFF/AVI walk (hdrl
+    parse for declared frame count and handler, movi '00dc' chunk
+    iteration with word alignment, idx1 cross-check against actual
+    chunk offsets), then DECODE every ``every_k``-th Motion-JPEG frame
+    through the module's T.81 decoder — one output row per sampled
+    frame: (asset_id, frame_no, width, height, pixel_sum). The per-frame
+    pixel sums can only come from inflating real frames, so a
+    hash-match against the closed-form oracle certifies container walk +
+    index + codec together (catalog ``multimodal_video_frame_sample``).
+    Non-MJPG streams and index mismatches raise loudly."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import jpeg_decode_gray
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "frame_no": [],
+                "width": [],
+                "height": [],
+                "pixel_sum": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                    raise ValueError(f"asset {aid}: not a RIFF/AVI file")
+                i = 12
+                handler = None
+                declared_frames = None
+                movi_start = None
+                frames = []  # (offset_rel_movi, jpeg_bytes)
+                idx_entries = None
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+                    body = b[i + 8 : i + 8 + clen]
+                    if cid == b"LIST":
+                        kind = body[:4]
+                        if kind == b"hdrl":
+                            # walk sub-chunks for avih and strh
+                            j = 4
+                            while j + 8 <= len(body):
+                                scid = body[j : j + 4]
+                                (slen,) = struct.unpack("<I", body[j + 4 : j + 8])
+                                sbody = body[j + 8 : j + 8 + slen]
+                                if scid == b"avih":
+                                    declared_frames = struct.unpack(
+                                        "<I", sbody[16:20]
+                                    )[0]
+                                elif scid == b"LIST" and sbody[:4] == b"strl":
+                                    k = 4
+                                    while k + 8 <= len(sbody):
+                                        tcid = sbody[k : k + 4]
+                                        (tlen,) = struct.unpack(
+                                            "<I", sbody[k + 4 : k + 8]
+                                        )
+                                        if tcid == b"strh":
+                                            tb = sbody[k + 8 : k + 8 + tlen]
+                                            if tb[:4] == b"vids":
+                                                handler = tb[4:8]
+                                        k += 8 + tlen + (tlen & 1)
+                                j += 8 + slen + (slen & 1)
+                        elif kind == b"movi":
+                            movi_start = i + 8
+                            j = 4
+                            while j + 8 <= len(body):
+                                scid = body[j : j + 4]
+                                (slen,) = struct.unpack("<I", body[j + 4 : j + 8])
+                                if scid[2:4] == b"dc":
+                                    frames.append((j, body[j + 8 : j + 8 + slen]))
+                                j += 8 + slen + (slen & 1)
+                    elif cid == b"idx1":
+                        idx_entries = [
+                            (body[k : k + 4], *struct.unpack("<III", body[k + 4 : k + 16]))
+                            for k in range(0, len(body), 16)
+                        ]
+                    i += 8 + clen + (clen & 1)
+                if handler != b"MJPG":
+                    raise ValueError(
+                        f"asset {aid}: unsupported video handler {handler!r}"
+                    )
+                if movi_start is None or not frames:
+                    raise ValueError(f"asset {aid}: no movi frames")
+                if declared_frames is not None and declared_frames != len(frames):
+                    raise ValueError(
+                        f"asset {aid}: avih declares {declared_frames} frames, "
+                        f"movi holds {len(frames)}"
+                    )
+                if idx_entries is not None:
+                    if len(idx_entries) != len(frames):
+                        raise ValueError(f"asset {aid}: idx1 length mismatch")
+                    for (ckid, _fl, off, size), (real_off, fr) in zip(
+                        idx_entries, frames
+                    ):
+                        if ckid[2:4] != b"dc" or off != real_off or size != len(fr):
+                            raise ValueError(f"asset {aid}: idx1 entry mismatch")
+                for fno in range(0, len(frames), every_k):
+                    px = jpeg_decode_gray(frames[fno][1])
+                    out["asset_id"].append(int(aid))
+                    out["frame_no"].append(int(fno))
+                    out["width"].append(int(px.shape[1]))
+                    out["height"].append(int(px.shape[0]))
+                    out["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, frame_no int, width int, height int, "
+        "pixel_sum bigint",
+    )
+
+
+def encode_avi_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Arrow-batched REAL AVI/MJPEG encode: (id, width, height,
+    n_frames) → (id, content binary) — the video member of the
+    encode_*_assets family."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import avi_mjpeg_encode
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        avi_mjpeg_encode(int(i), int(w), int(h), int(nf))
+                        for i, w, h, nf in zip(
+                            pdf[id_col],
+                            pdf[width_col],
+                            pdf[height_col],
+                            pdf[frames_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, width_col, height_col, frames_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )

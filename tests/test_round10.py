@@ -491,3 +491,119 @@ def test_jpeg_decode_stats_matches_content_contract(spark):
         assert (r["format"], r["bit_depth"], r["n_components"]) == ("jpeg", 8, 1)
         assert r["n_pixels"] == px.size
         assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM + AVI/MJPEG (round-10: multimodal_wav_roundtrip,
+# multimodal_video_frame_sample)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_round_trip_and_chunk_walk(spark):
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        encode_wav_assets,
+        wav_decode_stats,
+        wav_encode_pcm16,
+    )
+
+    d = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100 + 10).cast("int").alias("n_samples"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        (F.col("id") % 2 + 1).cast("int").alias("channels"),
+    )
+    stats = wav_decode_stats(
+        encode_wav_assets(d, "doc_id", "n_samples", "sample_rate", "channels")
+    ).collect()
+    assert len(stats) == 20
+    for r in stats:
+        n = r["n_samples"] * r["n_channels"]
+        vals = ((r["asset_id"] + np.arange(n)) * 2557) % 65536 - 32768
+        assert r["bit_depth"] == 16 and r["sample_rate"] == 8000
+        assert r["sample_sum"] == int(vals.sum())
+        assert r["sample_abs_max"] == int(np.abs(vals).max())
+
+    # decoder skips unknown chunks (spec framing) and honors word
+    # alignment: splice a 3-byte 'junk' chunk (padded to 4) before data
+    raw = wav_encode_pcm16(5, 7, 8000, 1)
+    fmt_end = raw.index(b"data")
+    spliced = (
+        raw[:fmt_end]
+        + b"junk" + struct.pack("<I", 3) + b"abc\x00"
+        + raw[fmt_end:]
+    )
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    df = spark.createDataFrame(
+        [(5, spliced)], "asset_id long, content binary"
+    )
+    (r,) = wav_decode_stats(df).collect()
+    assert r["n_samples"] == 7
+
+    # non-PCM refused loudly
+    bad = bytearray(wav_encode_pcm16(1, 4))
+    bad[20] = 3  # fmt tag -> IEEE float
+    df2 = spark.createDataFrame([(1, bytes(bad))], "asset_id long, content binary")
+    with pytest.raises(Exception, match="16-bit PCM"):
+        wav_decode_stats(df2).collect()
+
+
+def test_avi_mjpeg_frame_sample_decodes_real_frames(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        avi_frame_sample_stats,
+        encode_avi_assets,
+        jpeg_block_gray,
+    )
+
+    d = spark.range(0, 12).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 13 + 1).cast("int").alias("width"),
+        (F.col("id") % 11 + 1).cast("int").alias("height"),
+        (F.col("id") % 4 + 2).cast("int").alias("n_frames"),
+    )
+    rows = avi_frame_sample_stats(
+        encode_avi_assets(d, "doc_id", "width", "height", "n_frames"),
+        every_k=2,
+    ).collect()
+    by_asset: dict = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == set(range(12))
+    for aid, rs in by_asset.items():
+        nf = aid % 4 + 2
+        assert [r["frame_no"] for r in sorted(rs, key=lambda x: x["frame_no"])] == list(
+            range(0, nf, 2)
+        )
+        for r in rs:
+            px = jpeg_block_gray(aid + 11 * r["frame_no"], r["width"], r["height"])
+            assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
+
+
+def test_avi_index_mismatch_raises(spark):
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        avi_frame_sample_stats,
+        avi_mjpeg_encode,
+    )
+
+    raw = bytearray(avi_mjpeg_encode(3, 9, 7, 3))
+    i = raw.rindex(b"idx1")
+    # corrupt the first index entry's offset field
+    off_pos = i + 8 + 8
+    (old,) = struct.unpack("<I", raw[off_pos : off_pos + 4])
+    raw[off_pos : off_pos + 4] = struct.pack("<I", old + 2)
+    sdf = spark.createDataFrame([(3, bytes(raw))], "asset_id long, content binary")
+    with pytest.raises(Exception, match="idx1 entry mismatch"):
+        avi_frame_sample_stats(sdf).collect()
