@@ -14810,7 +14810,10 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     sum closed-form, so a hash-pass certifies the full entropy+transform
     chain; entropy-layer bit-exactness on RANDOM content is pytest-held
     (decode(encode(x)) == the direct quantize→dequantize reference).
-    Pixels never cross a shuffle."""
+    Even doc_ids additionally encode with Annex-K.2 OPTIMIZED
+    (variable-length) Huffman tables, so the decoder's general canonical
+    table construction is hash-graded alongside the fixed-length
+    default. Pixels never cross a shuffle."""
     from .operators.multimodal import encode_jpeg_assets, jpeg_decode_stats
     from .operators.scale import ensure_min_partitions
 
@@ -14819,9 +14822,11 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 27 + 1).cast("int").alias("width"),
         ((F.col("doc_id") * 3) % 21 + 1).cast("int").alias("height"),
         (F.col("doc_id") % 3).cast("int").alias("restart"),
+        (F.col("doc_id") % 2 == 0).alias("optimize"),
     )
     assets = encode_jpeg_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "restart"
+        ensure_min_partitions(d), "doc_id", "width", "height", "restart",
+        "optimize",
     )
     return jpeg_decode_stats(assets).orderBy("asset_id")
 

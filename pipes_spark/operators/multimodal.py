@@ -1024,14 +1024,22 @@ def _jpeg_category(v: int):
 
 
 def jpeg_encode_gray(
-    pixels, quality_qtable=None, restart_interval: int = 0
+    pixels,
+    quality_qtable=None,
+    restart_interval: int = 0,
+    optimize_huffman: bool = False,
 ) -> bytes:
     """REAL baseline JPEG encode of an 8-bit grayscale image (2-D numpy
     array): SOI, JFIF APP0, DQT, SOF0, two DHTs, optional DRI, SOS,
     Huffman-coded quantized block DCTs with byte stuffing and restart
     markers, EOI. ``quality_qtable`` is the 64-entry quantization table
     in NATURAL (row-major) order — default is DC=8 / AC=16, the table
-    under which block-constant content round-trips bit-exactly."""
+    under which block-constant content round-trips bit-exactly.
+    ``optimize_huffman=True`` runs the two-pass table build of T.81
+    Annex K.2 (per-image symbol frequencies → spec CODE_SIZE/
+    ADJUST_BITS procedure), emitting VARIABLE-length canonical codes in
+    the DHTs — smaller files, and the decoder's general table
+    construction gets exercised beyond the fixed-length default."""
     import struct
 
     import numpy as np
@@ -1064,8 +1072,56 @@ def jpeg_encode_gray(
     quant = np.round(coef / q[None, :, :]).astype(np.int64).reshape(-1, 64)
     zz = quant[:, _JPEG_ZIGZAG]
 
-    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    def block_symbols(blk, prev_dc):
+        """Symbol stream for one block: [('dc'|'ac', symbol, size, bits)]
+        — shared between the counting pass (optimize_huffman) and the
+        emit pass so both see the identical stream."""
+        syms = []
+        size, bits = _jpeg_category(int(blk[0]) - prev_dc)
+        syms.append(("dc", size, size, bits))
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if blk[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                syms.append(("ac", 0xF0, 0, 0))  # ZRL
+                run -= 16
+            size, bits = _jpeg_category(v)
+            if size > 10:
+                raise ValueError("AC coefficient magnitude beyond category 10")
+            syms.append(("ac", (run << 4) | size, size, bits))
+            run = 0
+        if last_nz < 63:
+            syms.append(("ac", 0x00, 0, 0))  # EOB
+        return int(blk[0]), syms
+
+    if optimize_huffman:
+        # pass 1 (Annex K.2): per-image symbol frequencies -> spec tables
+        fdc = [0] * 257
+        fac = [0] * 257
+        prev_dc = 0
+        for i, blk in enumerate(zz):
+            if restart_interval and i and i % restart_interval == 0:
+                prev_dc = 0
+            prev_dc, syms = block_symbols(blk, prev_dc)
+            for tbl, sym, _size, _bits in syms:
+                (fdc if tbl == "dc" else fac)[sym] += 1
+        fdc[256] = 1
+        fac[256] = 1
+        dc_bits, dc_vals = _jpeg_optimal_table(fdc)
+        ac_bits, ac_vals = _jpeg_optimal_table(fac)
+    else:
+        dc_bits, dc_vals = _JPEG_DC_BITS, _JPEG_DC_VALS
+        ac_bits, ac_vals = _JPEG_AC_BITS, _JPEG_AC_VALS
+    dc_codes = _jpeg_canonical_codes(dc_bits, dc_vals)
+    ac_codes = _jpeg_canonical_codes(ac_bits, ac_vals)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1073,8 +1129,8 @@ def jpeg_encode_gray(
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(int(v) for v in zz_q)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
     for cls, bits, vals in (
-        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
-        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        (0x00, dc_bits, dc_vals),
+        (0x10, ac_bits, ac_vals),
     ):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
         out.append(cls)
@@ -1092,37 +1148,12 @@ def jpeg_encode_gray(
             bw = _JpegBitWriter()
             out += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
             prev_dc = 0
-        size, bits = _jpeg_category(int(blk[0]) - prev_dc)
-        prev_dc = int(blk[0])
-        ln, code = dc_codes[size]
-        bw.write(code, ln)
-        if size:
-            bw.write(bits, size)
-        run = 0
-        last_nz = 0
-        for k in range(63, 0, -1):
-            if blk[k]:
-                last_nz = k
-                break
-        for k in range(1, last_nz + 1):
-            v = int(blk[k])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                ln, code = ac_codes[0xF0]  # ZRL
-                bw.write(code, ln)
-                run -= 16
-            size, bits = _jpeg_category(v)
-            if size > 10:
-                raise ValueError("AC coefficient magnitude beyond category 10")
-            ln, code = ac_codes[(run << 4) | size]
+        prev_dc, syms = block_symbols(blk, prev_dc)
+        for tbl, sym, size, bits in syms:
+            ln, code = (dc_codes if tbl == "dc" else ac_codes)[sym]
             bw.write(code, ln)
-            bw.write(bits, size)
-            run = 0
-        if last_nz < 63:
-            ln, code = ac_codes[0x00]  # EOB
-            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -1361,18 +1392,24 @@ def encode_jpeg_assets(
     width_col: str = "width",
     height_col: str = "height",
     restart_col: str | None = None,
+    optimize_col: str | None = None,
 ) -> DataFrame:
     """Arrow-batched REAL baseline JPEG encode of block-constant
-    grayscale content: (id, width, height[, restart_interval]) →
-    (id, content binary) — the JPEG member of the encode_png_assets /
-    encode_gif_assets family (pixels never cross a shuffle). An optional
-    ``restart_col`` (int; 0 = none) emits DRI/RSTn restart markers,
-    exercising the decoder's resync path under the gate."""
+    grayscale content: (id, width, height[, restart_interval]
+    [, optimize]) → (id, content binary) — the JPEG member of the
+    encode_png_assets / encode_gif_assets family (pixels never cross a
+    shuffle). An optional ``restart_col`` (int; 0 = none) emits DRI/RSTn
+    restart markers, and an optional boolean ``optimize_col`` switches
+    those images to Annex-K.2 per-image Huffman tables — so the
+    decoder's resync AND variable-length-table paths both run under the
+    gate."""
     spark = df.sparkSession
     _ship_package(spark)
     cols = [id_col, width_col, height_col]
     if restart_col is not None:
         cols.append(restart_col)
+    if optimize_col is not None:
+        cols.append(optimize_col)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pipes_spark.operators.multimodal import (
@@ -1386,6 +1423,11 @@ def encode_jpeg_assets(
                 if restart_col is not None
                 else [0] * len(pdf)
             )
+            opt = (
+                pdf[optimize_col]
+                if optimize_col is not None
+                else [False] * len(pdf)
+            )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf[id_col].astype("int64"),
@@ -1393,9 +1435,14 @@ def encode_jpeg_assets(
                         jpeg_encode_gray(
                             jpeg_block_gray(int(i), int(w), int(h)),
                             restart_interval=int(r),
+                            optimize_huffman=bool(o),
                         )
-                        for i, w, h, r in zip(
-                            pdf[id_col], pdf[width_col], pdf[height_col], ri
+                        for i, w, h, r, o in zip(
+                            pdf[id_col],
+                            pdf[width_col],
+                            pdf[height_col],
+                            ri,
+                            opt,
                         )
                     ],
                 }
@@ -1851,3 +1898,64 @@ def encode_avi_assets(
     return df.select(id_col, width_col, height_col, frames_col).mapInPandas(
         gen, "asset_id bigint, content binary"
     )
+
+
+def _jpeg_optimal_table(freq257):
+    """T.81 Annex K.2 Huffman table generation: the spec's own
+    CODE_SIZE / COUNT_BITS / ADJUST_BITS / SORT_INPUT procedure —
+    entry 256 is the reserved codepoint (frequency 1) that keeps the
+    all-ones code unused. Returns (BITS[16], HUFFVAL)."""
+    freq = list(freq257)
+    assert len(freq) == 257
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        # v1 = least-frequency nonzero symbol (ties: LARGEST value)
+        v1 = v2 = -1
+        f1 = f2 = None
+        for i in range(257):
+            if freq[i] > 0 and (f1 is None or freq[i] <= f1):
+                f1, v1 = freq[i], i
+        for i in range(257):
+            if i != v1 and freq[i] > 0 and (f2 is None or freq[i] <= f2):
+                f2, v2 = freq[i], i
+        if v2 == -1:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # ADJUST_BITS: fold code lengths beyond 16 back under the limit
+    i = 32
+    while i > 16:
+        if bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        else:
+            i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved codepoint
+    huffval = [
+        s
+        for _, s in sorted(
+            (codesize[s], s) for s in range(256) if codesize[s]
+        )
+    ]
+    return bits[1:17], huffval

@@ -607,3 +607,65 @@ def test_avi_index_mismatch_raises(spark):
     sdf = spark.createDataFrame([(3, bytes(raw))], "asset_id long, content binary")
     with pytest.raises(Exception, match="idx1 entry mismatch"):
         avi_frame_sample_stats(sdf).collect()
+
+
+def test_jpeg_optimized_huffman_tables_annex_k2():
+    """optimize_huffman=True: Annex-K.2 per-image tables must decode to
+    the identical pixels while compressing markedly better, including
+    with restart markers and on flat-block exact content."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_block_gray,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    q = [8] + [16] * 63
+    for trial in range(3):
+        h, w = int(rng.integers(9, 80)), int(rng.integers(9, 80))
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        fixed = jpeg_encode_gray(px, q)
+        opt = jpeg_encode_gray(px, q, optimize_huffman=True)
+        assert np.array_equal(jpeg_decode_gray(opt), jpeg_decode_gray(fixed))
+        assert len(opt) < len(fixed), trial
+    px = jpeg_block_gray(42, 23, 17)
+    data = jpeg_encode_gray(px, restart_interval=2, optimize_huffman=True)
+    assert np.array_equal(jpeg_decode_gray(data), px)
+
+
+def test_jpeg_optimal_table_is_valid_canonical():
+    """The K.2 output must be a valid length-limited prefix code: Kraft
+    sum ≤ 1, ≤16-bit lengths, reserved all-ones code never assigned."""
+    from pipes_spark.operators.multimodal import (
+        _jpeg_canonical_codes,
+        _jpeg_optimal_table,
+    )
+
+    # adversarial frequency shapes incl. a deep skew (forces >16-bit
+    # lengths pre-adjustment: fibonacci-ish growth)
+    shapes = []
+    f = [0] * 257
+    a, b = 1, 1
+    for s in range(30):
+        f[s] = a
+        a, b = b, a + b
+    f[256] = 1
+    shapes.append(f)
+    shapes.append([1] * 257)
+    g = [0] * 257
+    g[3] = 1000
+    g[256] = 1
+    shapes.append(g)
+    for freq in shapes:
+        bits, vals = _jpeg_optimal_table(list(freq))
+        assert len(bits) == 16 and sum(bits) == len(vals)
+        assert sum(n * 2 ** (16 - ln) for ln, n in zip(range(1, 17), bits)) <= 2**16
+        codes = _jpeg_canonical_codes(bits, vals)
+        assert len(codes) == len(vals)
+        for sym, (ln, code) in codes.items():
+            assert code < (1 << ln) - (1 if ln == 16 else 0) or ln < 16
+        # every symbol with nonzero frequency (except the reserve) present
+        expect = {s for s in range(256) if freq[s] > 0}
+        assert set(vals) == expect
