@@ -14888,6 +14888,70 @@ def multimodal_wav_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 400 + 50 AS INT) AS ns,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INT) AS n_channels
+      FROM documents
+    ), vals AS (
+      SELECT doc_id, n_channels, sample_rate, ns,
+             i % n_channels AS ch, i // n_channels AS frame,
+             ((doc_id + i) * 2557) % 65536 - 32768 AS v
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(ns AS BIGINT) * n_channels - 1)
+           ) AS u(i)
+    ), lagged AS (
+      SELECT doc_id, v,
+             v * lag(v) OVER (PARTITION BY doc_id, ch ORDER BY frame)
+               AS sign_prod
+      FROM vals
+    ), agg AS (
+      SELECT doc_id,
+             round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms,
+             CAST(count(*) FILTER (WHERE sign_prod < 0) AS BIGINT)
+               AS zero_crossings,
+             CAST(max(abs(v)) AS BIGINT) AS peak
+      FROM lagged GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, n_channels, CAST(ns AS BIGINT) AS n_samples,
+           CAST(ns AS BIGINT) * 1000000 // sample_rate AS duration_us,
+           rms, zero_crossings, peak
+    FROM dims d JOIN agg USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction over REAL decoded PCM (operators.
+    multimodal.audio_pcm_features; round 10): the same WAV assets as
+    multimodal_wav_roundtrip, but the deliverable is the analysis row —
+    RMS (exact integer sum-of-squares, one double sqrt: engine-portable),
+    per-channel zero-crossing count over DEINTERLEAVED frames (the
+    stereo case proves the frame layout was honored — interleaved-order
+    crossings would differ), peak amplitude, exact integer duration_us (no float
+    rounding to straddle a half point across engines). The oracle
+    recomputes everything closed-form from the signal lattice; a
+    hash-pass certifies decode + deinterleave + feature math."""
+    from .operators.multimodal import audio_pcm_features, encode_wav_assets
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 400 + 50).cast("int").alias("n_samples"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+    )
+    assets = encode_wav_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "channels"
+    )
+    return audio_pcm_features(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_video_frame_sample",
     oracle="""
     WITH dims AS (

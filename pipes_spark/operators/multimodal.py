@@ -1959,3 +1959,76 @@ def _jpeg_optimal_table(freq257):
         )
     ]
     return bits[1:17], huffval
+
+
+def audio_pcm_features(assets: DataFrame) -> DataFrame:
+    """Audio FEATURE EXTRACTION over real decoded PCM (the multimodal
+    'decode / feature-extract' step, now on the real WAV decoder rather
+    than a byte stub): per asset — RMS (exact integer sum of squares,
+    one double sqrt), zero-crossing count (strict sign product < 0,
+    summed per channel over deinterleaved frames), peak amplitude, and
+    duration. All four derive from the inflated int16 stream, so the
+    hash gate (catalog ``multimodal_audio_features``) certifies decode +
+    deinterleave + the feature math together. Arrow-batched mapInPandas;
+    features, not samples, cross the shuffle."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "n_channels": [],
+                "n_samples": [],
+                "duration_us": [],
+                "rms": [],
+                "zero_crossings": [],
+                "peak": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    raise ValueError(f"asset {aid}: not a RIFF/WAVE file")
+                i = 12
+                fmt = None
+                data = None
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+                    body = b[i + 8 : i + 8 + clen]
+                    if cid == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    i += 8 + clen + (clen & 1)
+                if fmt is None or data is None:
+                    raise ValueError(f"asset {aid}: missing fmt or data chunk")
+                tag, nch, rate, _br, _al, bits = fmt
+                if tag != 1 or bits != 16:
+                    raise ValueError(f"asset {aid}: only 16-bit PCM supported")
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                frames = s.reshape(-1, nch)
+                n = frames.shape[0]
+                prod = frames[:-1, :] * frames[1:, :] if n > 1 else frames[:0, :]
+                out["asset_id"].append(int(aid))
+                out["n_channels"].append(int(nch))
+                out["n_samples"].append(int(n))
+                # exact integer microseconds: no float rounding to
+                # disagree across engines at half points
+                out["duration_us"].append(n * 1_000_000 // rate)
+                out["rms"].append(
+                    round(float(np.sqrt((s * s).sum() / s.size)), 6)
+                )
+                out["zero_crossings"].append(int((prod < 0).sum()))
+                out["peak"].append(int(np.abs(s).max(initial=0)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, n_channels int, n_samples bigint, "
+        "duration_us bigint, rms double, zero_crossings bigint, peak bigint",
+    )

@@ -669,3 +669,32 @@ def test_jpeg_optimal_table_is_valid_canonical():
         # every symbol with nonzero frequency (except the reserve) present
         expect = {s for s in range(256) if freq[s] > 0}
         assert set(vals) == expect
+
+
+def test_audio_pcm_features_deinterleaves_channels(spark):
+    """A stereo signal whose interleaved-order zero-crossing count
+    differs from the per-channel count: ch0 constant +1000, ch1 constant
+    -1000 — interleaved order crosses at EVERY step, per-channel never.
+    The operator must report 0."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import audio_pcm_features
+
+    import struct
+
+    n = 50
+    samples = np.empty(n * 2, dtype="<i2")
+    samples[0::2] = 1000
+    samples[1::2] = -1000
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([(9, wav)], "asset_id long, content binary")
+    (r,) = audio_pcm_features(df).collect()
+    assert r["n_channels"] == 2 and r["n_samples"] == n
+    assert r["zero_crossings"] == 0  # interleaved reading would give 2n-1
+    assert r["peak"] == 1000
+    assert r["duration_us"] == n * 1_000_000 // 8000
+    assert r["rms"] == 1000.0
