@@ -119,7 +119,13 @@ def _decode_batch(pdf: pd.DataFrame, fake: bool) -> pd.DataFrame:
 
 def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Per-asset feature extraction via mapInPandas (Arrow-batched; the
-    canonical shape for any decode/resize/frame-sample operator)."""
+    canonical shape for any decode/resize/frame-sample operator). Real
+    decode-backed feature extractors now exist for the formats the engine
+    parses itself: :func:`png_decode_stats`, :func:`gif_decode_stats`,
+    :func:`jpeg_decode_stats`, :func:`audio_pcm_features`,
+    :func:`avi_frame_sample_stats` — this generic stub remains the
+    plumbing demo for codecs the container lacks (color JPEG, compressed
+    audio, non-MJPEG video)."""
 
     _ship_package(assets.sparkSession)
 
@@ -132,8 +138,11 @@ def extract_features(assets: DataFrame, fake: bool = True) -> DataFrame:
 
 
 def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
-    """'Frame sampling' stand-in for video: emit one row per sampled offset
-    (1→N explode via mapInPandas, the real sampler's exact plumbing)."""
+    """'Frame sampling' stand-in over raw bytes (1→N explode via
+    mapInPandas). Since round 10 the REAL path exists:
+    :func:`avi_frame_sample_stats` walks an actual RIFF/AVI container and
+    decodes Motion-JPEG frames — this byte-offset variant remains for
+    formats the engine cannot yet parse."""
 
     _ship_package(assets.sparkSession)
 

@@ -252,3 +252,21 @@ def test_privacy_audit_example(spark, sf_dir, job_budget, action_audit):
         assert r["distinct_l"] < 3
     for r in out["k_anon"]:
         assert r["n_rows"] < 5
+
+
+def test_media_pipeline_example(spark, sf_dir, monkeypatch, job_budget, action_audit):
+    import media_pipeline
+
+    monkeypatch.setattr(sys, "argv", ["media_pipeline.py", sf_dir])
+    # 1 action: the report collect (the manifest fan-out feeds three
+    # branches but they converge on ONE sink, so the single-pass
+    # fan-out persist is skipped — sink_users == 1)
+    with job_budget("media_pipeline", 40), action_audit("media_pipeline", 1):
+        got: dict = {}
+        media_pipeline.build(spark, sf_dir, got).build().start().done()
+    report = got["report"]
+    assert set(report) == {"image", "audio", "video"}
+    n_docs = report["image"]["n_assets"]
+    assert report["audio"]["n_assets"] == n_docs
+    assert report["video"]["n_assets"] == n_docs
+    assert all(r["total_checksum"] > 0 for r in report.values())
