@@ -15015,6 +15015,60 @@ def multimodal_video_frame_sample(spark, sf_dir):
 
 
 @query(
+    "multimodal_cross_codec_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                  WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format
+      FROM documents
+    ), cells AS (
+      SELECT doc_id, i, CAST((doc_id + i) % 256 AS DOUBLE) AS v
+      FROM documents,
+           LATERAL unnest(generate_series(0, 63)) AS u(i)
+    ), m AS (SELECT doc_id, avg(v) AS mu FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v > mu THEN '1' ELSE '0' END, ''
+                        ORDER BY i) AS ahash_bits
+      FROM cells JOIN m USING (doc_id) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, format, ahash_bits
+    FROM dims d JOIN bits USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_cross_codec_ahash(spark, sf_dir):
+    """Codec-INDEPENDENT perceptual hashing over real decoded pixels
+    (operators.multimodal.image_ahash; round 10): the same 64×64
+    block-constant picture is stored as PNG, GIF, or JPEG by doc_id % 3
+    (three different byte streams from three different from-the-spec
+    encoders), decoded by the matching from-the-spec decoder via
+    sniff-and-dispatch, average-pooled to the 8×8 aHash grid, and
+    thresholded against the cell-mean. The oracle recomputes the 64-bit
+    pattern closed-form from the content lattice — a hash-pass proves
+    every decoder yields the IDENTICAL pixels (the cross-format
+    re-encode dedup primitive the byte-level pHash cannot provide: a
+    re-encoded copy has disjoint bytes but the same aHash). Emitted as
+    a bit STRING: engine-portable, no 64-bit sign games."""
+    from .operators.multimodal import encode_image_assets, image_ahash
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lit(64).cast("int").alias("width"),
+        F.lit(64).cast("int").alias("height"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("gif"), F.lit("jpeg")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("codec"),
+    )
+    assets = encode_image_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "codec"
+    )
+    return image_ahash(assets).orderBy("asset_id")
+
+
+@query(
     "sample_weighted_reservoir",
     oracle="""
     WITH w AS (

@@ -2041,3 +2041,243 @@ def audio_pcm_features(assets: DataFrame) -> DataFrame:
         "asset_id bigint, n_channels int, n_samples bigint, "
         "duration_us bigint, rms double, zero_crossings bigint, peak bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-codec grayscale decode + perceptual hash over REAL pixels.
+# --------------------------------------------------------------------------
+
+
+def png_decode_gray(content: bytes):
+    """Decode a grayscale filter-0 PNG (the :func:`png_encode_gray`
+    profile) to its (h, w) uint8 array — the standalone form of the
+    parse inside :func:`png_decode_stats`."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    fmt, w, h, _depth, _ctype = sniff_image_header(content)
+    if fmt != "png":
+        raise ValueError("not a PNG")
+    idat, i = b"", 8
+    while i + 8 <= len(content):
+        (ln,) = struct.unpack(">I", content[i : i + 4])
+        typ = content[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += content[i + 8 : i + 8 + ln]
+        i += 12 + ln
+        if typ == b"IEND":
+            break
+    raw = np.frombuffer(_z.decompress(idat), dtype=np.uint8)
+    scan = raw.reshape(h, w + 1)
+    if scan[:, 0].any():
+        raise ValueError("non-zero PNG filter type")
+    return scan[:, 1:].copy()
+
+
+def gif_decode_gray(content: bytes):
+    """Decode the first frame of a GIF to grayscale via the palette's
+    RED channel — the standalone form of :func:`gif_decode_stats`."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ValueError("not a GIF")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    i = 13
+    palette = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x7)
+        palette = np.frombuffer(b[i : i + 3 * gct_n], dtype=np.uint8).reshape(
+            gct_n, 3
+        )
+        i += 3 * gct_n
+    while i < len(b):
+        blk = b[i]
+        i += 1
+        if blk == 0x21:
+            i += 1
+            while b[i]:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{blk:02x}")
+        _l, _t, w, h, ipk = struct.unpack("<HHHHB", b[i : i + 9])
+        i += 9
+        if ipk & 0x80:
+            lct_n = 2 << (ipk & 0x7)
+            palette = np.frombuffer(
+                b[i : i + 3 * lct_n], dtype=np.uint8
+            ).reshape(lct_n, 3)
+            i += 3 * lct_n
+        if palette is None:
+            raise ValueError("GIF has no color table")
+        mcs = b[i]
+        i += 1
+        lzw = bytearray()
+        while b[i]:
+            ln = b[i]
+            lzw += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(bytes(lzw), mcs)), dtype=np.uint8
+        )
+        stored = idx.reshape(h, w)
+        grid = np.empty_like(stored)
+        grid[_gif_row_order(h, bool(ipk & 0x40)), :] = stored
+        return palette[:, 0][grid]
+    raise ValueError("truncated GIF")
+
+
+def decode_image_gray(content: bytes):
+    """Sniff-and-dispatch grayscale decode across every image codec the
+    engine implements (PNG / GIF / baseline JPEG) — the cross-format
+    entry point :func:`image_ahash` builds on."""
+    fmt, *_ = sniff_image_header(bytes(content))
+    if fmt == "png":
+        return png_decode_gray(bytes(content))
+    if fmt == "gif":
+        return gif_decode_gray(bytes(content))
+    if fmt == "jpeg":
+        return jpeg_decode_gray(bytes(content))
+    raise ValueError(f"unsupported image format {fmt!r}")
+
+
+def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) over REAL decoded pixels — the perceptual
+    dedup primitive, now codec-INDEPENDENT: the same picture stored as
+    PNG, GIF, or (losslessly-representable) JPEG hashes identically, so
+    near-dup clustering catches re-encoded copies across formats
+    (catalog ``multimodal_cross_codec_ahash`` proves that under the
+    driver's hash gate). Per asset: decode via :func:`decode_image_gray`,
+    average-pool to a grid×grid cell matrix (cell (r,c) spans rows
+    ⌊r·h/g⌋..⌊(r+1)·h/g⌋ — exact block means when dims are multiples of
+    g), threshold each cell against the mean of cell means, and emit the
+    row-major bit string. Returns (asset_id, format, ahash_bits string)
+    — a string so the 64-bit pattern is engine-portable with no sign-bit
+    arithmetic."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            decode_image_gray,
+            sniff_image_header,
+        )
+
+        for pdf in batches:
+            out = {"asset_id": [], "format": [], "ahash_bits": []}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                fmt, *_ = sniff_image_header(b)
+                px = decode_image_gray(b).astype(np.float64)
+                h, w = px.shape
+                cells = np.empty((grid, grid))
+                for r in range(grid):
+                    for c in range(grid):
+                        cells[r, c] = px[
+                            r * h // grid : (r + 1) * h // grid,
+                            c * w // grid : (c + 1) * w // grid,
+                        ].mean()
+                mean = cells.mean()
+                bits = "".join(
+                    "1" if cells[r, c] > mean else "0"
+                    for r in range(grid)
+                    for c in range(grid)
+                )
+                out["asset_id"].append(int(aid))
+                out["format"].append(fmt)
+                out["ahash_bits"].append(bits)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen, "asset_id bigint, format string, ahash_bits string"
+    )
+
+
+def encode_image_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Arrow-batched encode of the SAME block-constant grayscale content
+    (:func:`jpeg_block_gray`'s contract) through a per-row choice of
+    codec ('png' | 'gif' | 'jpeg') — the fixture generator behind the
+    cross-codec dedup gate: identical pixels, three different byte
+    streams."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib as _z
+
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            _PNG_SIG,
+            _gif_lzw_encode,
+            _png_chunk,
+            jpeg_block_gray,
+            jpeg_encode_gray,
+        )
+
+        def png_of(px):
+            h, w = px.shape
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            scan = np.zeros((h, w + 1), dtype=np.uint8)
+            scan[:, 1:] = px
+            return (
+                _PNG_SIG
+                + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", _z.compress(scan.tobytes(), 6))
+                + _png_chunk(b"IEND", b"")
+            )
+
+        def gif_of(px):
+            h, w = px.shape
+            out = bytearray(b"GIF89a")
+            out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+            out += bytes(j for j in range(256) for _ in range(3))
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            out.append(8)
+            lzw = _gif_lzw_encode(px.tobytes(), 8)
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                out.append(len(chunk))
+                out += chunk
+            out += b"\x00\x3b"
+            return bytes(out)
+
+        for pdf in batches:
+            blobs = []
+            for i, w, h, codec in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col], pdf[codec_col]
+            ):
+                px = jpeg_block_gray(int(i), int(w), int(h))
+                if codec == "png":
+                    blobs.append(png_of(px))
+                elif codec == "gif":
+                    blobs.append(gif_of(px))
+                elif codec == "jpeg":
+                    blobs.append(jpeg_encode_gray(px))
+                else:
+                    raise ValueError(f"unknown codec {codec!r}")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": blobs,
+                }
+            )
+
+    return df.select(id_col, width_col, height_col, codec_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )

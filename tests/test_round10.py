@@ -698,3 +698,84 @@ def test_audio_pcm_features_deinterleaves_channels(spark):
     assert r["peak"] == 1000
     assert r["duration_us"] == n * 1_000_000 // 8000
     assert r["rms"] == 1000.0
+
+
+def test_image_ahash_is_codec_independent(spark):
+    """The SAME picture through png/gif/jpeg byte streams must produce
+    the identical aHash — the cross-format re-encode dedup primitive —
+    and a DIFFERENT picture must differ."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import encode_image_assets, image_ahash
+
+    rows = []
+    for aid, codec in [(100, "png"), (100, "gif"), (100, "jpeg"), (230, "png")]:
+        rows.append((aid, 64, 64, codec))
+    # distinct asset_id per row so hashes are attributable
+    d = spark.createDataFrame(
+        [(i, a, w, h, c) for i, (a, w, h, c) in enumerate(rows)],
+        "row_id long, content_id long, width int, height int, codec string",
+    ).select(
+        F.col("row_id").alias("doc_id"),
+        "content_id",
+        "width",
+        "height",
+        "codec",
+    )
+    # encode_image_assets keys content on id: re-key so rows 0-2 share
+    # content 100 and row 3 carries content 230 (whose
+    # lattice WRAPS mid-image — aHash is brightness-invariant, so an
+    # unwrapped shifted ramp would hash identically by design)
+    enc = encode_image_assets(
+        d.select(F.col("content_id").alias("doc_id"), "width", "height", "codec"),
+        "doc_id",
+        "width",
+        "height",
+        "codec",
+    )
+    got = image_ahash(enc).collect()
+    hashes = {}
+    for r in got:
+        hashes.setdefault(r["asset_id"], set()).add(r["ahash_bits"])
+    assert len(hashes[100]) == 1  # png == gif == jpeg
+    assert hashes[230] != hashes[100]
+    fmts = {r["format"] for r in got if r["asset_id"] == 100}
+    assert fmts == {"png", "gif", "jpeg"}
+
+
+def test_image_ahash_stable_under_lossy_jpeg_noise():
+    """aHash's job: small pixel perturbations (lossy JPEG of a NON-flat
+    image) leave the hash within a few bits of the lossless PNG hash,
+    while a different image is far away — computed driver-side on the
+    raw operators."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        decode_image_gray,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(2)
+    base = np.clip(
+        rng.integers(0, 140, (64, 64)).astype(np.int32)
+        + np.repeat(np.arange(64)[:, None], 64, 1),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    def ahash(px):
+        cells = px.reshape(8, 8, 8, 8).transpose(0, 2, 1, 3).reshape(8, 8, 64)
+        means = cells.mean(axis=2)
+        mu = means.mean()
+        return "".join(
+            "1" if means[r, c] > mu else "0" for r in range(8) for c in range(8)
+        )
+
+    exact = ahash(base.astype(np.float64))
+    lossy_px = decode_image_gray(jpeg_encode_gray(base, [8] + [16] * 63))
+    lossy = ahash(lossy_px.astype(np.float64))
+    dist = sum(a != b for a, b in zip(exact, lossy))
+    assert dist <= 6, dist
+    other = ahash(base[::-1, ::-1].astype(np.float64))
+    far = sum(a != b for a, b in zip(exact, other))
+    assert far > 10, far
