@@ -32,11 +32,14 @@ Scale shape
 Supported schema surface: all eight primitives, record / enum / array /
 map / fixed / union, named-type references, and the common logical
 types (date, timestamp-millis/micros, decimal on bytes/fixed, uuid).
-Codecs: ``null`` and ``deflate`` (the two the spec requires; snappy is
-gated behind an import-try). Schema resolution (reader schema ≠ writer
-schema) follows the spec's matching rules: fields by name, reader
-defaults for missing fields, the standard numeric/string promotions,
-and union branch resolution.
+Codecs: ``null``, ``deflate``, ``bzip2``, ``xz``, and — since round 10 —
+``snappy`` via a pure-Python implementation of the public format
+description (:mod:`pipes_spark.sources.snappy_codec`; full LZ77 decode,
+spec-valid literal-only encode, avro's per-block big-endian CRC32
+framing). Schema resolution (reader schema ≠ writer schema) follows the
+spec's matching rules: fields by name OR reader-declared aliases
+(renamed fields), reader defaults for missing fields, the standard
+numeric/string promotions, and union branch resolution.
 """
 
 from __future__ import annotations
@@ -535,11 +538,19 @@ def _decompress(codec: str, data: bytes) -> bytes:
 
         return lzma.decompress(data)
     if codec == "snappy":
-        try:
-            import snappy  # type: ignore
-        except ImportError as e:  # pragma: no cover - env gate
-            raise NotImplementedError("snappy codec needs the python-snappy package") from e
-        return snappy.decompress(data[:-4])  # trailing 4-byte CRC32
+        # pure-Python snappy from the public format spec (round 10 —
+        # the python-snappy env blocker routed around like the jar);
+        # avro frames each snappy block with a trailing 4-byte
+        # BIG-ENDIAN CRC32 of the UNCOMPRESSED data (avro spec §codecs)
+        from .snappy_codec import snappy_decompress
+
+        if len(data) < 4:
+            raise ValueError("snappy avro block too short for its CRC32")
+        raw = snappy_decompress(data[:-4])
+        crc = int.from_bytes(data[-4:], "big")
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ValueError("snappy avro block CRC32 mismatch")
+        return raw
     raise ValueError(f"unsupported avro codec: {codec!r}")
 
 
@@ -1184,6 +1195,12 @@ def write_avro_file(
             import lzma
 
             return lzma.compress(b)
+        if codec == "snappy":
+            from .snappy_codec import snappy_compress
+
+            return snappy_compress(b) + (zlib.crc32(b) & 0xFFFFFFFF).to_bytes(
+                4, "big"
+            )
         raise ValueError(f"unsupported write codec: {codec!r}")
 
     header = bytearray(MAGIC)

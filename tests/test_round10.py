@@ -779,3 +779,86 @@ def test_image_ahash_stable_under_lossy_jpeg_noise():
     other = ahash(base[::-1, ::-1].astype(np.float64))
     far = sum(a != b for a, b in zip(exact, other))
     assert far > 10, far
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python snappy (round-10: avro snappy codec)
+# ---------------------------------------------------------------------------
+
+
+def test_snappy_decompress_handles_all_element_types():
+    """Hand-build a stream from the spec's element grammar: literal,
+    copy-1 (with the 3-bit length and split offset), copy-2, copy-4,
+    and an OVERLAPPING copy (offset < length — the run-length trick)."""
+    from pipes_spark.sources.snappy_codec import snappy_decompress
+
+    expected = b"abcdefgh" + b"abcd" + b"efgh" + b"x" * 10
+    stream = bytearray()
+    stream.append(len(expected))  # varint length (< 128)
+    # literal "abcdefgh": tag (8-1)<<2 | 00
+    stream.append((8 - 1) << 2)
+    stream += b"abcdefgh"
+    # copy-1: length 4, offset 8 -> tag 01 | (4-4)<<2 | (0)<<5 ; byte 8
+    stream.append(0x01)
+    stream.append(8)
+    # copy-2: length 4, offset 8 -> tag 10 | (4-1)<<2 ; 2-byte LE offset
+    stream.append(0x02 | ((4 - 1) << 2))
+    stream += (8).to_bytes(2, "little")
+    # literal "x"
+    stream.append(0)
+    stream += b"x"
+    # overlapping copy-4: length 9, offset 1 (repeats 'x')
+    stream.append(0x03 | ((9 - 1) << 2))
+    stream += (1).to_bytes(4, "little")
+    assert snappy_decompress(bytes(stream)) == expected
+
+    with pytest.raises(ValueError, match="offset out of range"):
+        snappy_decompress(bytes([4, 0x01, 200]))
+    with pytest.raises(ValueError, match="declared"):
+        snappy_decompress(bytes([99, (8 - 1) << 2]) + b"abcdefgh")
+
+
+def test_snappy_round_trip_and_long_literals():
+    import random
+
+    from pipes_spark.sources.snappy_codec import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    rng = random.Random(3)
+    for n in (0, 1, 59, 60, 61, 255, 256, 65535, 65536, 200_000):
+        data = bytes(rng.randrange(256) for _ in range(min(n, 4096))) * (
+            max(1, n // 4096)
+        )
+        data = data[:n]
+        assert snappy_decompress(snappy_compress(data)) == data, n
+
+
+def test_avro_snappy_codec_round_trip(tmp_path):
+    """Avro container with codec=snappy: write (literal-stream snappy +
+    big-endian CRC32 framing) and read back value-exact; a corrupted
+    CRC raises."""
+    from pipes_spark.sources.avro import _iter_range_rows, write_avro_file
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [(i, f"value-{i}") for i in range(500)]
+    p = str(tmp_path / "s.avro")
+    write_avro_file(p, schema, rows, codec="snappy", block_rows=64)
+    assert list(_iter_range_rows(p, 0, 10**9)) == rows
+
+    raw = bytearray(open(p, "rb").read())
+    # the last block's CRC32 is the 4 bytes just before the trailing
+    # 16-byte sync marker
+    raw[-18] ^= 0xFF
+    q = str(tmp_path / "bad.avro")
+    open(q, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC32 mismatch|snappy"):
+        list(_iter_range_rows(q, 0, 10**9))
