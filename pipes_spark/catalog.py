@@ -14832,6 +14832,66 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_color_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 27 + 1 AS INT) AS width,
+             CAST((doc_id * 3) % 21 + 1 AS INT) AS height,
+             CAST(ceil((doc_id % 27 + 1) / 8.0) AS BIGINT) AS bw,
+             CAST(ceil(((doc_id * 3) % 21 + 1) / 8.0) AS BIGINT) AS bh
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(3 * sum(((doc_id + i) % 256)
+                          * least(8, width - 8 * (i % bw))
+                          * least(8, height - 8 * (i // bw))) AS BIGINT)
+               AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, bw * bh - 1)) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'jpeg' AS format, width, height,
+           CAST(3 AS INT) AS n_components,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_color_roundtrip(spark, sf_dir):
+    """REAL COLOR JPEG round trip (round 10 — three-component YCbCr
+    with chroma subsampling, the ubiquitous web layout): gray-valued
+    RGB block-constant content (R = G = B ⇒ Cb = Cr = 128 exactly, so
+    the chroma planes carry all-zero coefficients and the lossy
+    pipeline is bit-exact) encoded 4:2:0 for even doc_ids and 4:4:4 for
+    odd (operators.multimodal.encode_jpeg_color_assets: interleaved
+    MCUs, per-component quant/Huffman selectors, 2×2 box chroma
+    downsample) → real decode (jpeg_decode: MCU de-interleave, chroma
+    upsample, YCbCr→RGB inverse). The oracle is 3× the per-block
+    value×coverage sum — a hash-pass certifies the full color chain,
+    subsampling included. Chroma-RICH content is pytest-held bit-exact
+    against the quantize→dequantize reference (the entropy layer is
+    lossless around the lossy core for 4:4:4 AND 4:2:0)."""
+    from .operators.multimodal import (
+        encode_jpeg_color_assets,
+        jpeg_color_decode_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 27 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 3) % 21 + 1).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("420"))
+        .otherwise(F.lit("444"))
+        .alias("subsample"),
+    )
+    assets = encode_jpeg_color_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "subsample"
+    )
+    return jpeg_color_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_wav_roundtrip",
     oracle="""
     WITH dims AS (

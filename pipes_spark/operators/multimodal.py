@@ -5,9 +5,11 @@ The Spark-side plumbing — schema, Arrow batch shape, mapInPandas signatures,
 partition sizing — is real and tested. Image codecs are REAL and implemented
 from their public specs (no codec library in this container): PNG (stdlib
 zlib; round 9), GIF89a with a from-the-spec variable-width LZW (round 10),
-and baseline grayscale JPEG per ITU-T T.81 (round 10) — each hash-graded by
-a pixel-checksum oracle. Still stubbed (documented, raising loudly): color
-JPEG / chroma subsampling / progressive, and all audio/video decode —
+baseline JPEG per ITU-T T.81 — grayscale AND three-component YCbCr color
+with 4:2:0/4:2:2/4:4:4 subsampling (round 10) — plus RIFF/WAVE PCM audio and
+RIFF/AVI Motion-JPEG video, each hash-graded by a checksum oracle. Still
+stubbed (documented, raising loudly): progressive/arithmetic JPEG,
+compressed audio, non-MJPEG video —
 ``_decode_batch`` raises ``NotImplementedError`` in real mode or produces a
 deterministic fake (test mode); swapping in PIL/ffmpeg changes only its
 body.
@@ -1249,13 +1251,17 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def jpeg_decode_gray(data: bytes):
-    """REAL baseline JPEG decode (grayscale): marker walk, DQT/DHT/SOF0/
-    SOS/DRI parse, canonical-Huffman entropy decode with restart-marker
-    handling, dequantize, de-zigzag, IDCT, level shift — returns the
-    (height, width) uint8 pixel array. Raises loudly on progressive
-    (SOF2), arithmetic coding, multi-component scans, or 12-bit
-    precision — the documented scope narrowing."""
+def jpeg_decode(data: bytes):
+    """REAL baseline JPEG decode, general form (round 10): marker walk,
+    DQT/DHT/SOF0/SOS/DRI parse, interleaved-MCU canonical-Huffman
+    entropy decode with restart resync, per-component dequantize /
+    de-zigzag / IDCT, chroma upsampling, and the JFIF YCbCr→RGB inverse
+    transform. Supports 1-component (grayscale) and 3-component (YCbCr)
+    scans with sampling factors H,V ∈ {1,2} — i.e. 4:4:4, 4:2:2, 4:4:0
+    and the ubiquitous 4:2:0. Returns (h, w) uint8 for grayscale or
+    (h, w, 3) uint8 RGB. Raises loudly on progressive (SOF2),
+    arithmetic coding, 12-bit precision, or sampling factors beyond 2 —
+    the documented scope narrowing."""
     import struct
 
     import numpy as np
@@ -1266,7 +1272,8 @@ def jpeg_decode_gray(data: bytes):
     dc_dec = {}
     ac_dec = {}
     h = w = None
-    comp_q = None
+    comps = None  # [(cid, H, V, Tq)]
+    scan = None   # [(cid, Td, Ta)]
     restart = 0
     i = 2
     n = len(data)
@@ -1311,48 +1318,65 @@ def jpeg_decode_gray(data: bytes):
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", data[p + 1 : p + 5])
             nf = data[p + 5]
-            if nf != 1:
-                raise ValueError(
-                    "only single-component (grayscale) JPEG supported"
-                )
-            hv = data[p + 7]
-            if hv != 0x11:
-                raise ValueError("subsampling unsupported for grayscale")
-            comp_q = data[p + 8]
+            if nf not in (1, 3):
+                raise ValueError(f"{nf}-component JPEG unsupported")
+            comps = []
+            for c in range(nf):
+                cid = data[p + 6 + 3 * c]
+                hv = data[p + 7 + 3 * c]
+                tq = data[p + 8 + 3 * c]
+                hi, vi = hv >> 4, hv & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"sampling factors {hi}x{vi} unsupported (1-2 only)"
+                    )
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("progressive/arithmetic JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[p : p + 2])
         elif marker == 0xDA:  # SOS
             ns = data[p]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            td, ta = data[p + 2] >> 4, data[p + 2] & 0xF
+            if comps is None or ns != len(comps):
+                raise ValueError("SOS component count mismatch")
+            scan = []
+            for c in range(ns):
+                cid = data[p + 1 + 2 * c]
+                tt = data[p + 2 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0xF))
             i = seg_end
             break
         i = seg_end
     else:
         raise ValueError("no SOS marker")
-    if h is None or comp_q not in qtables:
-        raise ValueError("missing SOF0 or quantization table")
-    q = qtables[comp_q]
-    dc = dc_dec[td]
-    ac = ac_dec[ta]
+    if h is None or scan is None:
+        raise ValueError("missing SOF0 or SOS")
+    sel = {cid: (td, ta) for cid, td, ta in scan}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcus = mcus_x * mcus_y
 
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    n_blocks = bh * bw_
-    zz = np.zeros((n_blocks, 64), dtype=np.int64)
+    # per-component coefficient stores, one row per block in MCU order
+    stores = []
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables or cid not in sel:
+            raise ValueError("missing quantization/huffman selection")
+        stores.append(
+            np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
+        )
+
     r = _JpegBitReader(data, i)
-    prev_dc = 0
-    for bidx in range(n_blocks):
-        if restart and bidx and bidx % restart == 0:
-            m = r.align_to_marker()
-            if not (0xD0 <= m <= 0xD7):
-                raise ValueError(f"expected RSTn, got 0x{m:02x}")
-            prev_dc = 0
+    prev_dc = [0] * len(comps)
+
+    def decode_block(ci):
+        dc = dc_dec[sel[comps[ci][0]][0]]
+        ac = ac_dec[sel[comps[ci][0]][1]]
+        blk = np.zeros(64, dtype=np.int64)
         size = dc(r)
-        prev_dc += _jpeg_extend(r.bits(size), size)
-        zz[bidx, 0] = prev_dc
+        prev_dc[ci] += _jpeg_extend(r.bits(size), size)
+        blk[0] = prev_dc[ci]
         k = 1
         while k < 64:
             sym = ac(r)
@@ -1365,19 +1389,64 @@ def jpeg_decode_gray(data: bytes):
             k += run
             if k > 63:
                 raise ValueError("AC run past end of block")
-            zz[bidx, k] = _jpeg_extend(r.bits(size), size)
+            blk[k] = _jpeg_extend(r.bits(size), size)
             k += 1
+        return blk
 
-    coef = np.zeros((n_blocks, 64), dtype=np.float64)
-    coef[:, _JPEG_ZIGZAG] = zz
-    coef = coef.reshape(-1, 8, 8) * q[None, :, :]
+    for midx in range(n_mcus):
+        if restart and midx and midx % restart == 0:
+            m_ = r.align_to_marker()
+            if not (0xD0 <= m_ <= 0xD7):
+                raise ValueError(f"expected RSTn, got 0x{m_:02x}")
+            prev_dc = [0] * len(comps)
+        my, mx = divmod(midx, mcus_x)
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            for v in range(vi):
+                for hh in range(hi):
+                    stores[ci][my * vi + v, mx * hi + hh] = decode_block(ci)
+
     m = _jpeg_dct_matrix()
-    spatial = np.einsum("xu,nuv,yv->nxy", m.T, coef, m.T) + 128.0
-    px = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-    full = (
-        px.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
+    planes = []
+    for ci, (cid, hi, vi, tq) in enumerate(comps):
+        zz = stores[ci].reshape(-1, 64)
+        coef = np.zeros((zz.shape[0], 64), dtype=np.float64)
+        coef[:, _JPEG_ZIGZAG] = zz
+        coef = coef.reshape(-1, 8, 8) * qtables[tq][None, :, :]
+        spatial = np.einsum("xu,nuv,yv->nxy", m.T, coef, m.T) + 128.0
+        bh, bw_ = mcus_y * vi, mcus_x * hi
+        plane = (
+            spatial.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
+        # upsample to full sampling grid (nearest-neighbor repeat — the
+        # canonical box upsample for 4:2:0/4:2:2 chroma)
+        if hi != hmax or vi != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // vi, 0), hmax // hi, 1)
+        planes.append(plane[: mcus_y * vmax * 8, : mcus_x * hmax * 8])
+
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return out[:h, :w]
+    y, cb, cr = (p[:h, :w] for p in planes)
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (r_, g_, b_)],
+        axis=2,
     )
-    return full[:h, :w]
+    return rgb
+
+
+def jpeg_decode_gray(data: bytes):
+    """Grayscale-returning wrapper over :func:`jpeg_decode` — the
+    original round-10 single-component contract (raises on color input
+    rather than silently converting)."""
+    px = jpeg_decode(data)
+    if px.ndim != 2:
+        raise ValueError("color JPEG passed to jpeg_decode_gray")
+    return px
 
 
 def jpeg_block_gray(asset_id: int, width: int, height: int):
@@ -2280,4 +2349,253 @@ def encode_image_assets(
 
     return df.select(id_col, width_col, height_col, codec_col).mapInPandas(
         gen, "asset_id bigint, content binary"
+    )
+
+
+def _jpeg_block_symbols(blk, prev_dc: int):
+    """Module-level symbol stream for one zigzag block (the color
+    encoder's twin of the closure inside :func:`jpeg_encode_gray`):
+    returns (new_prev_dc, [(table, symbol, size, bits), ...])."""
+    syms = []
+    size, bits = _jpeg_category(int(blk[0]) - prev_dc)
+    syms.append(("dc", size, size, bits))
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            syms.append(("ac", 0xF0, 0, 0))
+            run -= 16
+        size, bits = _jpeg_category(v)
+        if size > 10:
+            raise ValueError("AC coefficient magnitude beyond category 10")
+        syms.append(("ac", (run << 4) | size, size, bits))
+        run = 0
+    if last_nz < 63:
+        syms.append(("ac", 0x00, 0, 0))
+    return int(blk[0]), syms
+
+
+def jpeg_encode_color(
+    rgb,
+    subsample: str = "420",
+    qtable_luma=None,
+    qtable_chroma=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """REAL baseline COLOR JPEG encode (round 10): RGB (h, w, 3) uint8 →
+    JFIF YCbCr, chroma downsampled per ``subsample`` ("444" = none,
+    "420" = 2×2 box mean — the ubiquitous web layout), interleaved MCU
+    entropy coding with per-component quantization (table 0 luma /
+    table 1 chroma) and Huffman selectors (DHT ids 0/1), optional
+    DRI/RSTn restarts. Default quant tables keep the DC quantum at 8 so
+    GRAY-valued RGB content (Cb = Cr = 128 exactly) round-trips
+    bit-exactly — the hash-gate contract; chroma-rich content is the
+    standard lossy path, pytest-held against the quantize→dequantize
+    reference."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(rgb, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("jpeg_encode_color expects (h, w, 3)")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    h, w = px.shape[:2]
+    hs = vs = 2 if subsample == "420" else 1
+    mcu = 8 * hs
+    mcus_x = (w + mcu - 1) // mcu
+    mcus_y = (h + mcu - 1) // mcu
+    ph, pw = mcus_y * mcu, mcus_x * mcu
+    padded = np.pad(
+        px.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
+    )
+    r_, g_, b_ = padded[..., 0], padded[..., 1], padded[..., 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    if subsample == "420":
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    ql = np.asarray(
+        qtable_luma if qtable_luma is not None else [8] + [16] * 63,
+        dtype=np.int32,
+    ).reshape(8, 8)
+    qc = np.asarray(
+        qtable_chroma if qtable_chroma is not None else [8] + [16] * 63,
+        dtype=np.int32,
+    ).reshape(8, 8)
+
+    m = _jpeg_dct_matrix()
+
+    def to_blocks(plane, q):
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = np.einsum("ux,nxy,vy->nuv", m, blocks, m)
+        quant = np.round(coef / q[None, :, :]).astype(np.int64).reshape(-1, 64)
+        return quant[:, _JPEG_ZIGZAG].reshape(bh, bw_, 64)
+
+    zz_y = to_blocks(y, ql)
+    zz_cb = to_blocks(cb, qc)
+    zz_cr = to_blocks(cr, qc)
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, q in ((0, ql), (1, qc)):
+        zzq = q.reshape(-1)[_JPEG_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67)
+        out.append(tid)
+        out += bytes(int(v) for v in zzq)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, (hs << 4) | vs, 0])  # Y
+    out += bytes([2, 0x11, 1])  # Cb
+    out += bytes([3, 0x11, 1])  # Cr
+    for tid in (0, 1):  # same fixed tables under both ids
+        for cls, bits, vals in (
+            (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+            (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+        ):
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+            out.append(cls | tid)
+            out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 0x3F, 0])
+
+    bw = _JpegBitWriter()
+    prev = [0, 0, 0]
+    rst = 0
+    for midx in range(mcus_y * mcus_x):
+        if restart_interval and midx and midx % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            prev = [0, 0, 0]
+        my, mx = divmod(midx, mcus_x)
+        mcu_blocks = []
+        for v in range(vs):
+            for hh in range(hs):
+                mcu_blocks.append((0, zz_y[my * vs + v, mx * hs + hh]))
+        mcu_blocks.append((1, zz_cb[my, mx]))
+        mcu_blocks.append((2, zz_cr[my, mx]))
+        for ci, blk in mcu_blocks:
+            prev[ci], syms = _jpeg_block_symbols(blk, prev[ci])
+            for tbl, sym, size, bits in syms:
+                ln, code = (dc_codes if tbl == "dc" else ac_codes)[sym]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    subsample_col: str = "subsample",
+) -> DataFrame:
+    """Arrow-batched REAL color JPEG encode of gray-valued RGB
+    block-constant content (R = G = B = the :func:`jpeg_block_gray`
+    lattice, so Cb = Cr = 128 exactly and the lossy pipeline is
+    bit-exact): (id, width, height, subsample '420'|'444') →
+    (id, content binary)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            jpeg_block_gray,
+            jpeg_encode_color,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for i, w, h, sub in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col], pdf[subsample_col]
+            ):
+                gray = jpeg_block_gray(int(i), int(w), int(h))
+                rgb = np.stack([gray] * 3, axis=2)
+                blobs.append(jpeg_encode_color(rgb, str(sub)))
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": blobs}
+            )
+
+    return df.select(id_col, width_col, height_col, subsample_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def jpeg_color_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL color JPEG decode over Arrow batches — the full
+    :func:`jpeg_decode` chain (interleaved MCUs, chroma upsampling,
+    YCbCr→RGB) plus a checksum over ALL channels: (asset_id, format,
+    width, height, n_components, n_pixels, pixel_sum). A hash-match
+    against the closed-form oracle certifies the color pipeline
+    end to end (catalog ``multimodal_jpeg_color_roundtrip``)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            jpeg_decode,
+            sniff_image_header,
+        )
+
+        for pdf in batches:
+            out = {
+                "asset_id": [],
+                "format": [],
+                "width": [],
+                "height": [],
+                "n_components": [],
+                "n_pixels": [],
+                "pixel_sum": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                fmt, _w, _h, _d, ncomp = sniff_image_header(b)
+                if fmt != "jpeg":
+                    raise ValueError(f"asset {aid}: not a JPEG")
+                px = jpeg_decode(b)
+                if px.ndim != 3:
+                    raise ValueError(f"asset {aid}: expected a color JPEG")
+                out["asset_id"].append(int(aid))
+                out["format"].append(fmt)
+                out["width"].append(int(px.shape[1]))
+                out["height"].append(int(px.shape[0]))
+                out["n_components"].append(int(ncomp))
+                out["n_pixels"].append(int(px.shape[0] * px.shape[1]))
+                out["pixel_sum"].append(int(px.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, width int, height int, "
+        "n_components int, n_pixels bigint, pixel_sum bigint",
     )

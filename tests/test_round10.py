@@ -862,3 +862,119 @@ def test_avro_snappy_codec_round_trip(tmp_path):
     open(q, "wb").write(bytes(raw))
     with pytest.raises(ValueError, match="CRC32 mismatch|snappy"):
         list(_iter_range_rows(q, 0, 10**9))
+
+
+# ---------------------------------------------------------------------------
+# Color JPEG (round-10: multimodal_jpeg_color_roundtrip)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_color_reference(rgb, sub):
+    """Direct YCbCr → subsample → quantize→dequantize → upsample → RGB
+    reference (the lossy core without the file/entropy layers)."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import _jpeg_dct_matrix
+
+    m = _jpeg_dct_matrix()
+    px = rgb.astype(np.float64)
+    h, w = px.shape[:2]
+    hs = vs = 2 if sub == "420" else 1
+    mcu = 8 * hs
+    mcus_x, mcus_y = (w + mcu - 1) // mcu, (h + mcu - 1) // mcu
+    ph, pw = mcus_y * mcu, mcus_x * mcu
+    p = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    r_, g_, b_ = p[..., 0], p[..., 1], p[..., 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    if sub == "420":
+        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    q = np.asarray([8] + [16] * 63).reshape(8, 8).astype(np.int32)
+
+    def rt(plane):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128
+        )
+        F_ = np.einsum("ux,nxy,vy->nuv", m, blocks, m)
+        deq = np.round(F_ / q[None]).astype(np.int64) * q[None]
+        sp = np.einsum("xu,nuv,yv->nxy", m.T, deq.astype(np.float64), m.T) + 128
+        return (
+            sp.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+
+    y2, cb2, cr2 = rt(y), rt(cb), rt(cr)
+    if sub == "420":
+        cb2 = np.repeat(np.repeat(cb2, 2, 0), 2, 1)
+        cr2 = np.repeat(np.repeat(cr2, 2, 0), 2, 1)
+    y2, cb2, cr2 = y2[:h, :w], cb2[:h, :w], cr2[:h, :w]
+    rr = y2 + 1.402 * (cr2 - 128)
+    gg = y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128)
+    bb = y2 + 1.772 * (cb2 - 128)
+    return np.stack(
+        [np.clip(np.round(c), 0, 255).astype(np.uint8) for c in (rr, gg, bb)],
+        axis=2,
+    )
+
+
+def test_jpeg_color_gray_valued_round_trip_exact():
+    """Gray-valued RGB (Cb = Cr = 128 exactly) through 4:2:0 and 4:4:4
+    round-trips bit-exactly — the color hash-gate contract — including
+    with restart markers."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_block_gray,
+        jpeg_decode,
+        jpeg_encode_color,
+        sniff_image_header,
+    )
+
+    for (aid, w, h) in [(5, 23, 17), (42, 16, 16), (0, 1, 1), (200, 9, 31)]:
+        rgb = np.stack([jpeg_block_gray(aid, w, h)] * 3, axis=2)
+        data = jpeg_encode_color(rgb, "420")
+        fmt, sw, sh, _d, ncomp = sniff_image_header(data)
+        assert (fmt, sw, sh, ncomp) == ("jpeg", w, h, 3)
+        assert np.array_equal(jpeg_decode(data), rgb), (aid, w, h)
+    rgb = np.stack([jpeg_block_gray(7, 19, 21)] * 3, axis=2)
+    assert np.array_equal(jpeg_decode(jpeg_encode_color(rgb, "444")), rgb)
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_color(rgb, "420", restart_interval=2)), rgb
+    )
+
+
+def test_jpeg_color_entropy_layer_bit_exact_on_chroma_rich_content():
+    """Random COLOR content: the full file round trip must equal the
+    direct quantize→dequantize reference exactly, for 4:4:4 and 4:2:0 —
+    the interleaved-MCU entropy layer is lossless around the lossy
+    core, chroma included."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import jpeg_decode, jpeg_encode_color
+
+    rng = np.random.default_rng(9)
+    for sub in ("444", "420"):
+        for trial in range(2):
+            h, w = int(rng.integers(9, 50)), int(rng.integers(9, 50))
+            rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            got = jpeg_decode(jpeg_encode_color(rgb, sub))
+            assert np.array_equal(got, _jpeg_color_reference(rgb, sub)), (
+                sub,
+                trial,
+            )
+
+
+def test_jpeg_decode_gray_wrapper_rejects_color():
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_decode_gray,
+        jpeg_encode_color,
+    )
+
+    rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
+    with pytest.raises(ValueError, match="color JPEG"):
+        jpeg_decode_gray(jpeg_encode_color(rgb, "420"))
