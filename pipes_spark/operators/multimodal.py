@@ -2391,8 +2391,9 @@ def jpeg_encode_color(
     restart_interval: int = 0,
 ) -> bytes:
     """REAL baseline COLOR JPEG encode (round 10): RGB (h, w, 3) uint8 →
-    JFIF YCbCr, chroma downsampled per ``subsample`` ("444" = none,
-    "420" = 2×2 box mean — the ubiquitous web layout), interleaved MCU
+    JFIF YCbCr, chroma downsampled per ``subsample`` ("444" = none, "422" =
+    horizontal 2×1 box mean, "420" = 2×2 box mean — the ubiquitous web
+    layout), interleaved MCU
     entropy coding with per-component quantization (table 0 luma /
     table 1 chroma) and Huffman selectors (DHT ids 0/1), optional
     DRI/RSTn restarts. Default quant tables keep the DC quantum at 8 so
@@ -2407,14 +2408,14 @@ def jpeg_encode_color(
     px = np.asarray(rgb, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("jpeg_encode_color expects (h, w, 3)")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422', or '420'")
     h, w = px.shape[:2]
-    hs = vs = 2 if subsample == "420" else 1
-    mcu = 8 * hs
-    mcus_x = (w + mcu - 1) // mcu
-    mcus_y = (h + mcu - 1) // mcu
-    ph, pw = mcus_y * mcu, mcus_x * mcu
+    hs = 2 if subsample in ("420", "422") else 1
+    vs = 2 if subsample == "420" else 1
+    mcus_x = (w + 8 * hs - 1) // (8 * hs)
+    mcus_y = (h + 8 * vs - 1) // (8 * vs)
+    ph, pw = mcus_y * 8 * vs, mcus_x * 8 * hs
     padded = np.pad(
         px.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)), mode="edge"
     )
@@ -2422,9 +2423,12 @@ def jpeg_encode_color(
     y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
     cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
     cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
-    if subsample == "420":
-        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if vs == 2:
+        cb = cb.reshape(ph // 2, 2, pw).mean(axis=1)
+        cr = cr.reshape(ph // 2, 2, pw).mean(axis=1)
+    if hs == 2:
+        cb = cb.reshape(cb.shape[0], pw // 2, 2).mean(axis=2)
+        cr = cr.reshape(cr.shape[0], pw // 2, 2).mean(axis=2)
 
     ql = np.asarray(
         qtable_luma if qtable_luma is not None else [8] + [16] * 63,

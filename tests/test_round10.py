@@ -879,18 +879,22 @@ def _jpeg_color_reference(rgb, sub):
     m = _jpeg_dct_matrix()
     px = rgb.astype(np.float64)
     h, w = px.shape[:2]
-    hs = vs = 2 if sub == "420" else 1
-    mcu = 8 * hs
-    mcus_x, mcus_y = (w + mcu - 1) // mcu, (h + mcu - 1) // mcu
-    ph, pw = mcus_y * mcu, mcus_x * mcu
+    hs = 2 if sub in ("420", "422") else 1
+    vs = 2 if sub == "420" else 1
+    mcus_x = (w + 8 * hs - 1) // (8 * hs)
+    mcus_y = (h + 8 * vs - 1) // (8 * vs)
+    ph, pw = mcus_y * 8 * vs, mcus_x * 8 * hs
     p = np.pad(px, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
     r_, g_, b_ = p[..., 0], p[..., 1], p[..., 2]
     y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
     cb = 128 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
     cr = 128 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
-    if sub == "420":
-        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if vs == 2:
+        cb = cb.reshape(ph // 2, 2, pw).mean(axis=1)
+        cr = cr.reshape(ph // 2, 2, pw).mean(axis=1)
+    if hs == 2:
+        cb = cb.reshape(cb.shape[0], pw // 2, 2).mean(axis=2)
+        cr = cr.reshape(cr.shape[0], pw // 2, 2).mean(axis=2)
     q = np.asarray([8] + [16] * 63).reshape(8, 8).astype(np.int32)
 
     def rt(plane):
@@ -907,9 +911,12 @@ def _jpeg_color_reference(rgb, sub):
         )
 
     y2, cb2, cr2 = rt(y), rt(cb), rt(cr)
-    if sub == "420":
-        cb2 = np.repeat(np.repeat(cb2, 2, 0), 2, 1)
-        cr2 = np.repeat(np.repeat(cr2, 2, 0), 2, 1)
+    if vs == 2:
+        cb2 = np.repeat(cb2, 2, 0)
+        cr2 = np.repeat(cr2, 2, 0)
+    if hs == 2:
+        cb2 = np.repeat(cb2, 2, 1)
+        cr2 = np.repeat(cr2, 2, 1)
     y2, cb2, cr2 = y2[:h, :w], cb2[:h, :w], cr2[:h, :w]
     rr = y2 + 1.402 * (cr2 - 128)
     gg = y2 - 0.344136 * (cb2 - 128) - 0.714136 * (cr2 - 128)
@@ -941,6 +948,7 @@ def test_jpeg_color_gray_valued_round_trip_exact():
         assert np.array_equal(jpeg_decode(data), rgb), (aid, w, h)
     rgb = np.stack([jpeg_block_gray(7, 19, 21)] * 3, axis=2)
     assert np.array_equal(jpeg_decode(jpeg_encode_color(rgb, "444")), rgb)
+    assert np.array_equal(jpeg_decode(jpeg_encode_color(rgb, "422")), rgb)
     assert np.array_equal(
         jpeg_decode(jpeg_encode_color(rgb, "420", restart_interval=2)), rgb
     )
@@ -956,7 +964,7 @@ def test_jpeg_color_entropy_layer_bit_exact_on_chroma_rich_content():
     from pipes_spark.operators.multimodal import jpeg_decode, jpeg_encode_color
 
     rng = np.random.default_rng(9)
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         for trial in range(2):
             h, w = int(rng.integers(9, 50)), int(rng.integers(9, 50))
             rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
