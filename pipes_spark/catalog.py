@@ -14832,6 +14832,65 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_progressive_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 25 + 1 AS INT) AS width,
+             CAST((doc_id * 7) % 19 + 1 AS INT) AS height,
+             CAST(ceil((doc_id % 25 + 1) / 8.0) AS BIGINT) AS bw,
+             CAST(ceil(((doc_id * 7) % 19 + 1) / 8.0) AS BIGINT) AS bh
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(sum(((doc_id + i) % 256)
+                      * least(8, width - 8 * (i % bw))
+                      * least(8, height - 8 * (i // bw))) AS BIGINT)
+               AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, bw * bh - 1)) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'jpeg' AS format, width, height,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
+    """REAL PROGRESSIVE JPEG round trip (SOF2 — round 10's final image
+    routing: spectral selection + successive approximation, T.81 G):
+    block-constant content through the 4-scan script (even doc_ids) or
+    the 9-scan split-band SA ladder (odd) — encoder emits DC-first /
+    AC-first-with-EOB-runs / DC-refinement / AC-refinement-with-
+    correction-bits scans, the decoder reconstructs coefficients scan
+    by scan (operators.multimodal.jpeg_encode_progressive /
+    jpeg_decode's SOF2 path). Same closed-form pixel-sum oracle as the
+    baseline gate: a hash-pass certifies the multi-scan coefficient
+    assembly is value-exact; on arbitrary content the progressive
+    decode equals the BASELINE decode bit-for-bit (pytest soak, 160
+    round trips over 4 content kinds × 4 scan scripts)."""
+    from .operators.multimodal import (
+        encode_jpeg_progressive_assets,
+        jpeg_decode_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 25 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 7) % 19 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 2 == 1).alias("deep"),
+    )
+    assets = encode_jpeg_progressive_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "deep"
+    )
+    stats = jpeg_decode_stats(assets)
+    return stats.select(
+        "asset_id", "format", "width", "height", "n_pixels", "pixel_sum"
+    ).orderBy("asset_id")
+
+
+@query(
     "multimodal_jpeg_color_roundtrip",
     oracle="""
     WITH dims AS (

@@ -455,8 +455,10 @@ def test_jpeg_out_of_scope_files_raise():
         jpeg_encode_gray,
     )
 
-    with pytest.raises(ValueError, match="progressive"):
-        jpeg_decode_gray(b"\xff\xd8\xff\xc2" + struct.pack(">H", 10) + bytes(8))
+    # SOF2 is SUPPORTED since the progressive round trip landed; the
+    # remaining rejects are arithmetic (SOF9) and hierarchical codings
+    with pytest.raises(ValueError, match="arithmetic"):
+        jpeg_decode_gray(b"\xff\xd8\xff\xc9" + struct.pack(">H", 10) + bytes(8))
     with pytest.raises(ValueError, match="missing SOI"):
         jpeg_decode_gray(b"nope")
     # truncated entropy segment
@@ -986,3 +988,84 @@ def test_jpeg_decode_gray_wrapper_rejects_color():
     rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
     with pytest.raises(ValueError, match="color JPEG"):
         jpeg_decode_gray(jpeg_encode_color(rgb, "420"))
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (round-10: multimodal_jpeg_progressive_roundtrip)
+# ---------------------------------------------------------------------------
+
+_PROG_SCRIPTS = {
+    "default": None,
+    "deep": (
+        (0, 0, 0, 2), (1, 5, 0, 2), (6, 63, 0, 2),
+        (0, 0, 2, 1), (1, 5, 2, 1), (6, 63, 2, 1),
+        (0, 0, 1, 0), (1, 5, 1, 0), (6, 63, 1, 0),
+    ),
+    "no-sa": ((0, 0, 0, 0), (1, 20, 0, 0), (21, 63, 0, 0)),
+    "three-band": (
+        (0, 0, 0, 1), (1, 2, 0, 1), (3, 10, 0, 1), (11, 63, 0, 1),
+        (0, 0, 1, 0), (1, 2, 1, 0), (3, 10, 1, 0), (11, 63, 1, 0),
+    ),
+}
+
+
+def test_jpeg_progressive_equals_baseline_decode():
+    """Progressive decode must equal baseline decode bit-for-bit (both
+    reconstruct the same quantized coefficients) — across scan scripts
+    with/without successive approximation, split bands, and the four
+    content kinds that exercise EOB runs, ZRLs, and correction bits."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_gray,
+        jpeg_encode_progressive,
+    )
+
+    q = [8] + [16] * 63
+    rng = np.random.default_rng(99)
+    for trial in range(12):
+        h, w = int(rng.integers(8, 90)), int(rng.integers(8, 90))
+        kind = trial % 4
+        if kind == 0:
+            px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        elif kind == 1:
+            y, x = np.mgrid[0:h, 0:w]
+            px = ((x * 2 + y * 3) % 256).astype(np.uint8)
+        elif kind == 2:
+            px = np.zeros((h, w), dtype=np.uint8)
+            px[::7, ::5] = 255
+        else:
+            px = (rng.integers(0, 2, (h, w)) * 255).astype(np.uint8)
+        baseline = jpeg_decode(jpeg_encode_gray(px, q))
+        for name, sc in _PROG_SCRIPTS.items():
+            kw = {} if sc is None else {"scans": sc}
+            prog = jpeg_decode(jpeg_encode_progressive(px, q, **kw))
+            assert np.array_equal(prog, baseline), (trial, name)
+
+
+def test_jpeg_progressive_flat_blocks_exact():
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_block_gray,
+        jpeg_decode,
+        jpeg_encode_progressive,
+        sniff_image_header,
+    )
+
+    px = jpeg_block_gray(42, 23, 17)
+    data = jpeg_encode_progressive(px)
+    fmt, w, h, _d, ncomp = sniff_image_header(data)
+    assert (fmt, w, h, ncomp) == ("jpeg", 23, 17, 1)
+    assert np.array_equal(jpeg_decode(data), px)
+
+
+def test_jpeg_progressive_rejects_mixed_dc_ac_scan():
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import jpeg_encode_progressive
+
+    px = np.full((8, 8), 50, dtype=np.uint8)
+    with pytest.raises(ValueError, match="cannot mix DC and AC"):
+        jpeg_encode_progressive(px, scans=((0, 63, 0, 0),))
