@@ -77,8 +77,12 @@ EXTENDED = [
     "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip",
     "multimodal_jpeg_roundtrip",
+    "multimodal_jpeg_color_roundtrip",
+    "multimodal_jpeg_progressive_roundtrip",
     "multimodal_wav_roundtrip",
+    "multimodal_audio_features",
     "multimodal_video_frame_sample",
+    "multimodal_cross_codec_ahash",
     "sketch_theta_diff",
 ]
 
