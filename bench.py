@@ -84,6 +84,7 @@ EXTENDED = [
     "multimodal_video_frame_sample",
     "multimodal_cross_codec_ahash",
     "sketch_theta_diff",
+    "dedup_prefix_doubling",
 ]
 
 

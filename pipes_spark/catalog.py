@@ -4065,7 +4065,14 @@ _GRADED_WINDOW = [
     # quality_t_closeness) hands its slot to multimodal_wav_roundtrip —
     # the NEW RIFF/WAVE PCM audio round trip, closing the audio-decode
     # gap for the uncompressed case (sample-checksum oracle).
-    "multimodal_png_roundtrip", "sessionize_stats", "multimodal_wav_roundtrip",
+    # round-10 third wave: sessionize_stats (hash-graded green since r04;
+    # sessionization stays carried by streaming_events_hourly batch-twin
+    # lineage and the local gates) hands its slot to
+    # dedup_prefix_doubling — EXACT corpus-wide duplicate-substring
+    # detection via the distributed suffix-array rank-doubling core, the
+    # strongest new dedup gate (the oracle brute-forces every 30-gram;
+    # a hash-pass proves the rank algebra equals byte equality).
+    "multimodal_png_roundtrip", "dedup_prefix_doubling", "multimodal_wav_roundtrip",
     # round-7 curation: ts_ewma and stats_mad_outliers (both hash-graded
     # green since r04) hand their slots to ts_kaplan_meier — proving this
     # round's bucket-parallel cumulative-product rewrite under the driver's
@@ -14829,6 +14836,45 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         "optimize",
     )
     return jpeg_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "dedup_prefix_doubling",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, p - 1 AS p, substr(text, p, 30) AS gram
+      FROM documents,
+           LATERAL unnest(generate_series(1, length(text) - 29)) AS u(p)
+      WHERE length(text) >= 30
+    ), c AS (SELECT gram, count(*) AS n FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_duplicated,
+           CAST(min(CASE WHEN n >= 2 THEN p END) AS INT) AS first_dup_pos
+    FROM g JOIN c USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_prefix_doubling(spark, sf_dir):
+    """EXACT corpus-wide duplicate-substring detection via the
+    prefix-doubling rank tables of distributed suffix-array
+    construction (operators.dedup.prefix_doubling_duplicates; Manber–
+    Myers doubling, the machinery behind Lee et al. 2022's exact
+    dedup): a position is flagged when its exact 30-char substring
+    occurs twice anywhere in the corpus. The oracle materializes every
+    30-gram and counts — brute force the engine deliberately AVOIDS:
+    the declared path shuffles ⌈log₂ 30⌉ = 5 rounds of fixed-width
+    (doc, pos, rank) tuples plus one composite-key groupBy, never the
+    n·L substring bytes and never a hash (zero false merges by
+    construction). A hash-pass proves the rank algebra reproduces
+    byte-exact substring equality over the whole corpus."""
+    from .operators.dedup import prefix_doubling_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return prefix_doubling_duplicates(d, "doc_id", "text", min_len=30).orderBy(
+        "doc_id"
+    )
 
 
 @query(

@@ -1069,3 +1069,54 @@ def test_jpeg_progressive_rejects_mixed_dc_ac_scan():
     px = np.full((8, 8), 50, dtype=np.uint8)
     with pytest.raises(ValueError, match="cannot mix DC and AC"):
         jpeg_encode_progressive(px, scans=((0, 63, 0, 0),))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-doubling exact duplicate detection (round-10: dedup_prefix_doubling)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_doubling_matches_bruteforce_reference(spark):
+    """Rank algebra must reproduce byte-exact substring equality: compare
+    against a literal gram-counting reference, including a non-power-of-
+    two L (sparse-table composite), cross-doc duplication, a doc shorter
+    than L, and within-doc repeats."""
+    from collections import Counter
+
+    from pipes_spark.operators.dedup import prefix_doubling_duplicates
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "a different text with the quick brown fox inside it",
+        3: "completely unique content here with nothing shared at all",
+        4: "short",
+        5: "abcabcabcabcabcabcabcabcabc",  # within-doc period-3 repeats
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    for L in (19, 16, 8):
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in prefix_doubling_duplicates(docs, min_len=L).collect()
+        }
+        grams: Counter = Counter()
+        for t in texts.values():
+            for p in range(len(t) - L + 1):
+                grams[t[p : p + L]] += 1
+        for d, t in texts.items():
+            n = max(0, len(t) - L + 1)
+            if n == 0:
+                assert d not in rows or rows[d]["n_grams"] == 0
+                continue
+            dups = [p for p in range(n) if grams[t[p : p + L]] >= 2]
+            got = rows[d]
+            assert got["n_grams"] == n, (L, d)
+            assert got["n_duplicated"] == len(dups), (L, d)
+            assert got["first_dup_pos"] == (dups[0] if dups else None), (L, d)
+
+
+def test_prefix_doubling_rejects_tiny_min_len(spark):
+    from pipes_spark.operators.dedup import prefix_doubling_duplicates
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_len"):
+        prefix_doubling_duplicates(docs, min_len=1)
