@@ -3968,7 +3968,19 @@ _GRADED_WINDOW = [
     # Lee-et-al. byte-exact duplicate-span REMOVAL rebuild, the cleaning
     # step the 100 TB pipeline actually runs; the displaced query
     # re-registers right after the window.
-    "q1_pricing_summary", "q6_forecast_revenue", "q3_shipping_priority",
+    # round-11 curation (VERDICT r10 ask #1: burn down the never-graded
+    # backlog; 13 slots rotate, all displaced queries re-register right
+    # after the window and stay locally oracle-gated each session):
+    # q1/q6/q3 (hash-graded green NINE consecutive rounds — the
+    # longest-tenured slots in the window; TPC-H semantics stay anchored
+    # by the local gate over all 16 TPC-H shapes) hand their slots to the
+    # never-graded stateful-streaming tier: streaming_session_timers
+    # (event-time TIMERS through transformWithStateInPandas — the hardest
+    # semantics in the repo), streaming_join_full_outer (both-sided
+    # null-flush watermark cutoff), and streaming_upsert_conditional
+    # (MapState last-write-wins upsert with conditional replace).
+    "streaming_session_timers", "streaming_join_full_outer",
+    "streaming_upsert_conditional",
     "sketch_theta_diff", "streaming_twsip", "streaming_avro_source",
     "text_kn_perplexity", "dedup_remove_spans",
     # subqueries / decorrelation (round-6 curation: subquery_scalar_uncorr
@@ -3990,7 +4002,12 @@ _GRADED_WINDOW = [
     # GIF89a LZW codec round trip (r9 verdict ask #2), whose hash grade
     # proves the variable-width LZW decoder + palette deref + interlace
     # reassembly end to end (the multimodal_png_roundtrip pattern).
-    "subquery_exists", "contamination_embedding",
+    # round-11 curation: subquery_exists (hash-graded green since r02,
+    # eight consecutive rounds; the subquery family is locally gated over
+    # all five decorrelation shapes) hands its slot to
+    # streaming_count_min — the Count-Min frequency sketch maintained
+    # INSIDE a stateful stream, never driver-graded on either side.
+    "streaming_count_min", "contamination_embedding",
     "quality_t_closeness", "multimodal_gif_roundtrip",
     # join family (round-7 curation: join_range_bands — hash-graded green
     # in r04–r06 — hands its slot to join_interval_overlap, the
@@ -4006,7 +4023,12 @@ _GRADED_WINDOW = [
     # and as-of semantics stay pytest-anchored by the merge_asof parity
     # suite) hands its slot to dedup_duplicated_spans — the winnowing
     # duplicate-span DETECTION guarantee, never driver-graded.
-    "join_inner_agg", "sample_rendezvous_reshard",
+    # round-11 curation: join_inner_agg (hash-graded green NINE rounds;
+    # equi-join semantics stay carried by join_interval_overlap plus the
+    # local gate over left/full/cross/semi/anti) hands its slot to
+    # streaming_kmv_distinct — the mergeable KMV distinct-count sketch
+    # maintained in stateful streaming state, never driver-graded.
+    "streaming_kmv_distinct", "sample_rendezvous_reshard",
     "join_interval_overlap", "dedup_duplicated_spans",
     # aggregation family (round-5 curation #3: agg_ordered_set — a family
     # already carried by agg_percentiles — hands its slot to
@@ -4027,7 +4049,12 @@ _GRADED_WINDOW = [
     # cube/rollup gates) hands its slot to dedup_containment — the
     # asymmetric containment (one-sided Jaccard) near-dup family, never
     # driver-graded.
-    "agg_stats", "stats_fdr_bh", "sketch_join_cardinality",
+    # round-11 curation: agg_stats (hash-graded green NINE rounds;
+    # aggregation stays carried by agg_incremental_retract + stats_fdr_bh
+    # + the full local gate) hands its slot to geo_nearest_poi — the
+    # grid-bucketed nearest-neighbor spatial join, a geo family the
+    # driver has never graded at all.
+    "geo_nearest_poi", "stats_fdr_bh", "sketch_join_cardinality",
     "dedup_containment", "text_kn_perplexity_indexed",
     # windows / ordering (round-8 curation: window_analytic — green since
     # r04, family carried by window_ranking + topk_per_group — hands its
@@ -4036,9 +4063,18 @@ _GRADED_WINDOW = [
     # round-9 curation: window_ranking (green since r04; ranking carried
     # by topk_per_group) hands its slot to text_phrase_indexed — the
     # persisted token-bucketed postings READ path, never driver-graded.
-    "text_phrase_indexed", "text_bm25", "topk_per_group",
-    # set ops (the ALL variants carry the multiset subtlety)
-    "set_intersect_all",
+    # round-11 curation: topk_per_group (hash-graded green NINE rounds;
+    # ranking-window semantics stay locally gated by window_ranking +
+    # window_analytic + window_frames) hands its slot to
+    # geo_trajectory_pairs — windowed trajectory co-location (time-AND-
+    # space banded self-join), the geo family's second never-graded half.
+    "text_phrase_indexed", "text_bm25", "geo_trajectory_pairs",
+    # set ops (round-11: set_intersect_all — green since r02, eight
+    # consecutive rounds, and the set-op family stays locally gated over
+    # all six variants + hypothesis multiset properties — hands its slot
+    # to graph_triangles, the degree-ordered triangle count the driver
+    # has never graded)
+    "graph_triangles",
     # MERGE / SCD2 (round-8 curation: scd2_customer_snapshot — green
     # since r04 — hands its slot to scd2_point_in_time, the as-of version
     # lookup over the same SCD2 table, never driver-graded)
@@ -4132,8 +4168,16 @@ _GRADED_WINDOW = [
     # profiling stays carried by stats_linear_fit + quality_orders)
     # hands its slot to text_boilerplate — the CCNet-style boilerplate
     # line-hash filter, never driver-graded.
-    "stats_linear_fit", "text_boilerplate", "ml_pr_auc",
-    "quality_orders",
+    # round-11 curation: stats_linear_fit (green since r02, eight rounds;
+    # profiling stays carried by stats_fdr_bh + stats_wilcoxon + the
+    # local gate) hands its slot to graph_link_pred — common-neighbor /
+    # Adamic-Adar link prediction, the graph family's never-graded half.
+    # quality_orders (green since r04, seven rounds; the quality family
+    # stays carried by quality_t_closeness) hands its slot to text_dsir —
+    # rotated OUT in r10 after five green rounds, named BACK IN by the
+    # r10 verdict as LLM-core (hashed-bigram DSIR importance weights).
+    "graph_link_pred", "text_boilerplate", "ml_pr_auc",
+    "text_dsir",
     # dedup / similarity / text (oracled paths). Round-5 curation #2:
     # text_sparse_cosine (hash-graded green in r04) hands its slot to
     # text_dsir — a brand-new family (hashed-bigram importance weights)
@@ -4151,13 +4195,23 @@ _GRADED_WINDOW = [
     # codec round trip, whose hash grade proves the canonical-Huffman
     # entropy decode + IDCT chain on a LOSSY format made bit-exact by
     # block-constant content (DC-only blocks, DC quantum 8).
-    "streaming_weighted_reservoir", "dedup_lsh_verified",
+    # round-11 curation: dedup_lsh_verified (hash-graded green since r02,
+    # eight consecutive rounds; near-dup stays carried by
+    # dedup_duplicated_spans + dedup_containment + dedup_prefix_doubling,
+    # all rotated in last round) hands its slot to text_pii_redact — the
+    # byte-exact PII redaction rebuild, LLM-core cleaning never graded.
+    "streaming_weighted_reservoir", "text_pii_redact",
     "multimodal_jpeg_roundtrip",
     # round-9 curation: sim_cosine_topk (green since r04; similarity
     # carried by sim_cosine_neardup) hands its slot to
     # source_avro_roundtrip — the new pure-Python Avro container source,
     # hash-proving encode→decode value-exact under the driver's own gate.
-    "sim_cosine_neardup", "source_avro_roundtrip",
+    # round-11 curation: sim_cosine_neardup (hash-graded green NINE
+    # rounds; embedding similarity stays carried by sim_knn_graph +
+    # sim_retrieval_metrics, both rotated in last round) hands its slot
+    # to text_augment_spans — deterministic span-level augmentation with
+    # byte-exact rebuild, the LLM-core transform the r10 verdict named.
+    "text_augment_spans", "source_avro_roundtrip",
     # round-5 curation: families the driver has never hash-graded —
     # recursive CTE, retractable incremental aggregation, and a REAL
     # Structured Streaming run (file source → watermarked tumbling window →
@@ -4171,8 +4225,13 @@ _GRADED_WINDOW = [
     # its slot to source_avro_evolution — spec schema RESOLUTION under
     # the driver's hash gate (promotion + alias rename + added default +
     # dropped field in one read), the r9 verdict's ask #5.
+    # round-11 curation: streaming_events_hourly (hash-graded green since
+    # r05, six rounds; the windowed-streaming family is now carried by
+    # FIVE never-or-recently-graded streaming slots in this window) hands
+    # its slot to sample_negatives — in-batch hard-negative sampling for
+    # contrastive training, the sampling family's never-graded half.
     "source_avro_evolution", "agg_incremental_retract",
-    "streaming_events_hourly",
+    "sample_negatives",
     # (round-7: scan_project_cast — entry #51 in r06, silently past the
     # driver's 50-query grading window — is removed to restore the exact-50
     # invariant; it re-registers right after the window with
