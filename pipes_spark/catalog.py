@@ -4330,7 +4330,13 @@ _GRADED_WINDOW = [
     # sim_retrieval_metrics, both rotated in last round) hands its slot
     # to text_augment_spans — deterministic span-level augmentation with
     # byte-exact rebuild, the LLM-core transform the r10 verdict named.
-    "text_augment_spans", "source_avro_roundtrip",
+    # round-11 second wave (VERDICT r10 ask #5): source_avro_roundtrip
+    # (hash-graded green r09–r10; the deflate read path stays carried by
+    # source_avro_evolution over the SAME fixture) hands its slot to
+    # source_avro_snappy_roundtrip — the snappy-WRITTEN read, gating the
+    # homegrown pure-Python snappy encoder/decoder + spec CRC32 framing
+    # end to end under the driver's hash gate.
+    "text_augment_spans", "source_avro_snappy_roundtrip",
     # round-5 curation: families the driver has never hash-graded —
     # recursive CTE, retractable incremental aggregation, and a REAL
     # Structured Streaming run (file source → watermarked tumbling window →
@@ -14451,6 +14457,48 @@ def source_avro_roundtrip(spark, sf_dir):
         df.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "source_avro_snappy_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(max(c_custkey) AS BIGINT) AS max_custkey,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_avro_snappy_roundtrip(spark, sf_dir):
+    """Avro round trip through the SNAPPY block codec (round 11, VERDICT
+    r10 ask #5): the customer table is written as a snappy-compressed
+    Avro container by the engine's own writer — the compressor is the
+    pure-Python implementation of the public snappy format description
+    (sources.snappy_codec: LZ77 literals/copies + the spec's big-endian
+    CRC32 of the UNCOMPRESSED block that Avro appends) — and read back
+    through the split-parallel reader, which must locate copies across
+    the 64 KiB split boundaries and verify every checksum. Snappy is the
+    codec real clusters default to; a hash-pass proves compress →
+    frame → split-read → decompress → decode value-exact, not merely
+    that it didn't crash. Deflate stays carried by
+    source_avro_evolution over the sibling fixture."""
+    from .sources.avro import read_avro
+    from .warehouse import avro_customer_fixture
+
+    path = avro_customer_fixture(spark, sf_dir, codec="snappy")
+    df = read_avro(spark, path, split_target_bytes=1 << 16)
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.max("c_custkey").cast("bigint").alias("max_custkey"),
             F.round(
                 F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
             ).alias("total_acctbal"),

@@ -350,23 +350,31 @@ def append_postings(
     return spark.table(name)
 
 
-def avro_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
+def avro_customer_fixture(
+    spark: SparkSession, sf_dir: str, codec: str = "deflate"
+) -> str:
     """Driver-side idempotent Avro container copy of the customer table
-    (deflate codec, pinned sync marker) — the fixture behind the
-    ``source_avro_roundtrip`` query. pyarrow parquet read + the engine's
-    own pure-Python Avro writer: building it fires NO Spark job, so
-    query construction stays lazy. At real scale the analog is data that
-    ARRIVES as Avro (Kafka archive dumps, CDC/export feeds); here the
-    writer produces it once per sf. Returns the file path."""
+    (pinned sync marker; ``codec`` selects the block compression — the
+    deflate default feeds ``source_avro_roundtrip``/
+    ``source_avro_evolution``, and the snappy variant feeds
+    ``source_avro_snappy_roundtrip``, exercising the homegrown
+    pure-Python snappy encoder under the hash gate). pyarrow parquet
+    read + the engine's own pure-Python Avro writer: building it fires
+    NO Spark job, so query construction stays lazy. At real scale the
+    analog is data that ARRIVES as Avro (Kafka archive dumps, CDC/export
+    feeds); here the writer produces it once per sf. Returns the file
+    path."""
     import os
     from urllib.parse import urlparse
 
     from pipes_spark.sources.avro import write_avro_file
 
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    # own subdirectory per sf tag: the streaming reader consumes the
-    # fixture's DIRECTORY, which must not union other tags' fixtures
-    path = f"{wh}/avro_fixture_{_tag(sf_dir)}/customer-000001.avro"
+    # own subdirectory per sf tag AND codec: the streaming reader
+    # consumes the fixture's DIRECTORY, which must not union other
+    # tags' or codecs' fixtures
+    suffix = "" if codec == "deflate" else f"_{codec}"
+    path = f"{wh}/avro_fixture_{_tag(sf_dir)}{suffix}/customer-000001.avro"
     # drop the pre-r9.1 flat-file layout so it can't leak into streams
     legacy = f"{wh}/avro_customer_{_tag(sf_dir)}.avro"
     if os.path.exists(legacy):
@@ -392,7 +400,7 @@ def avro_customer_fixture(spark: SparkSession, sf_dir: str) -> str:
             tmp,
             schema,
             tb.to_pylist(),
-            codec="deflate",
+            codec=codec,
             block_rows=512,
             sync=b"pipes_avro_fixt!",
         )
