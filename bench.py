@@ -73,6 +73,7 @@ EXTENDED = [
     "text_phrase_indexed",
     "text_kn_perplexity_indexed",
     "source_avro_roundtrip",
+    "source_avro_snappy_roundtrip",  # round 11: homegrown snappy write+read
     "source_avro_evolution",
     "multimodal_png_roundtrip",
     "multimodal_gif_roundtrip",

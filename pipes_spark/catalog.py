@@ -10282,6 +10282,59 @@ def multimodal_phash_pairs(spark, sf_dir):
 
 
 @query(
+    "multimodal_resize",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, u.p // 64 AS sy, u.p % 64 AS sx,
+             (doc_id * 2557 + u.p * (31 + 2 * (doc_id % 13))) % 256 AS v
+      FROM documents, LATERAL unnest(generate_series(0, 4031)) AS u(p)
+    )
+    SELECT doc_id AS asset_id,
+           CAST((sy * 5) // 63 AS INT) AS y,
+           CAST((sx * 7) // 64 AS INT) AS x,
+           CAST(sum(v) // count(*) AS INT) AS v
+    FROM px
+    GROUP BY doc_id, (sy * 5) // 63, (sx * 7) // 64
+    ORDER BY asset_id, y, x
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """REAL image resize (round 11 — the last decode/feature/resize/
+    frame-sample stub to go real; operators.multimodal.
+    resize_image_assets): per-pixel 64×63 PNG/GIF fixtures are decoded
+    by the engine's own codecs, box-mean downsampled to 7×5 with the
+    floor-partition rule (source (y,x) → cell (y·5//63, x·7//64) —
+    NON-uniform boxes, so the rule itself is exercised, not just a
+    stride), floor-divided (bit-exact integer math, no rounding modes),
+    re-encoded as PNG, then decoded AGAIN and exploded to pixel rows.
+    The oracle recomputes every resized pixel closed-form from the
+    content lattice — a hash-pass proves decode → resample → re-encode
+    → decode, value-exact, across both source codecs. Pixels cross the
+    shuffle only in this verification explode (35 per asset); the
+    operator itself keeps them inside the Arrow batch."""
+    from .operators.multimodal import (
+        decoded_pixels,
+        encode_pixel_assets,
+        resize_image_assets,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("doc_id").alias("seed"),
+        F.lit(0).alias("delta"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("png"))
+        .otherwise(F.lit("gif"))
+        .alias("codec"),
+    )
+    assets = encode_pixel_assets(
+        ensure_min_partitions(d), width=64, height=63
+    )
+    small = resize_image_assets(assets, out_w=7, out_h=5)
+    return decoded_pixels(small).orderBy("asset_id", "y", "x")
+
+
+@query(
     "streaming_join_full_outer",
     oracle="""
     WITH cutoff AS (

@@ -243,11 +243,114 @@ def frame_sample(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     )
 
 
+def resize_image_assets(
+    assets: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """REAL image resize (round 11 — the last member of the
+    decode / feature-extract / resize / frame-sample quartet to go real):
+    decode via the module's own codecs (:func:`decode_image_gray`
+    sniff-and-dispatch), box-mean downsample with the floor-partition
+    rule — source pixel (y, x) belongs to output cell
+    (y·out_h // h, x·out_w // w), output value = FLOOR of the box mean
+    (integer division: bit-exact in any engine, no rounding-mode games)
+    — then re-encode as a filter-0 grayscale PNG. Binary in, binary out,
+    metadata rewrite: the true thumbnailer shape. Arrow-batched
+    mapInPandas; pixels never cross a shuffle (catalog
+    ``multimodal_resize`` decodes the output and hash-checks every
+    resized pixel against a closed-form oracle)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            decode_image_gray,
+            png_encode_array,
+        )
+
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                px = decode_image_gray(bytes(content)).astype(np.int64)
+                h, w = px.shape
+                if out_w > w or out_h > h:
+                    raise ValueError(
+                        f"asset {asset_id}: upscaling not supported "
+                        f"({w}x{h} -> {out_w}x{out_h})"
+                    )
+                ry = np.arange(h) * out_h // h
+                rx = np.arange(w) * out_w // w
+                sums = np.zeros((out_h, out_w), dtype=np.int64)
+                cnts = np.zeros((out_h, out_w), dtype=np.int64)
+                np.add.at(sums, (ry[:, None], rx[None, :]), px)
+                np.add.at(cnts, (ry[:, None], rx[None, :]), 1)
+                out = (sums // cnts).astype(np.uint8)
+                rows.append(
+                    {
+                        "asset_id": int(asset_id),
+                        "content": png_encode_array(out),
+                        "width": out_w,
+                        "height": out_h,
+                        "n_bytes": 0,
+                    }
+                )
+            if rows:
+                pdf2 = pd.DataFrame(rows)
+                pdf2["n_bytes"] = pdf2["content"].map(len)
+                yield pdf2
+
+    return assets.mapInPandas(
+        gen,
+        schema="asset_id bigint, content binary, width int, height int, n_bytes bigint",
+    )
+
+
+def decoded_pixels(assets: DataFrame) -> DataFrame:
+    """Explode decoded grayscale pixels to (asset_id, y, x, v) rows via
+    the sniff-and-dispatch decoder — the verification read behind the
+    resize gate (bounded use: call on SMALL images only; pixels DO cross
+    the shuffle here by design)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import decode_image_gray
+
+        for pdf in batches:
+            ids, ys, xs, vs = [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                px = decode_image_gray(bytes(content)).astype(np.int64)
+                h, w = px.shape
+                yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                ids.append(np.full(h * w, int(asset_id), dtype=np.int64))
+                ys.append(yy.reshape(-1))
+                xs.append(xx.reshape(-1))
+                vs.append(px.reshape(-1))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "asset_id": np.concatenate(ids),
+                        "y": np.concatenate(ys).astype("int32"),
+                        "x": np.concatenate(xs).astype("int32"),
+                        "v": np.concatenate(vs).astype("int32"),
+                    }
+                )
+
+    return assets.mapInPandas(
+        gen, schema="asset_id bigint, y int, x int, v int"
+    )
+
+
 def resize_stub(assets: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """'Resize' stand-in for images: emit a fixed-size byte payload per asset
     (truncate / zero-pad to width·height) with updated metadata — the exact
     plumbing of a real thumbnailer (binary in, binary out, metadata rewrite);
-    a real codec changes only the body."""
+    since round 11 the REAL path exists (:func:`resize_image_assets`,
+    decode → box-mean → PNG re-encode); this byte-level variant remains
+    for formats the engine cannot decode."""
 
     _ship_package(assets.sparkSession)
     target = width * height

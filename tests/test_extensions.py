@@ -218,6 +218,43 @@ def test_real_mode_unified_decode(spark):
     assert hashes[0] == h
 
 
+def test_resize_image_assets_box_mean(spark):
+    """Real resize: decode → floor box mean with the floor-partition rule
+    → PNG re-encode; verify against a literal numpy reference, including
+    non-uniform boxes (10×6 → 3×4) and an upscale rejection."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        decoded_pixels,
+        png_encode_array,
+        resize_image_assets,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(6, 10), dtype=np.uint8)
+    assets = spark.createDataFrame(
+        [(1, bytearray(png_encode_array(px)))], "asset_id long, content binary"
+    )
+    out = resize_image_assets(assets, out_w=3, out_h=4)
+    got = {
+        (r.y, r.x): r.v for r in decoded_pixels(out).collect()
+    }
+    want = {}
+    acc = {}
+    for y in range(6):
+        for x in range(10):
+            key = (y * 4 // 6, x * 3 // 10)
+            s, n = acc.get(key, (0, 0))
+            acc[key] = (s + int(px[y, x]), n + 1)
+    for key, (s, n) in acc.items():
+        want[key] = s // n
+    assert got == want
+    meta = out.collect()[0]
+    assert (meta.width, meta.height) == (3, 4)
+    with pytest.raises(Exception, match="upscaling"):
+        resize_image_assets(assets, out_w=11, out_h=4).collect()
+
+
 def test_frame_sample_explodes(docs_with_dups):
     assets = binary_assets_from_text(docs_with_dups.filter("doc_id = 1"))
     frames = frame_sample(assets, every_n_bytes=16).collect()
