@@ -99,6 +99,20 @@ HEADLINE = [
     "multimodal_jpeg_color_roundtrip",
     "multimodal_jpeg_progressive_roundtrip",
     "dedup_prefix_doubling",
+    # round-11 additions: the rotated-in graded families + the new
+    # real-mode multimodal gates and the snappy avro round trip
+    "geo_nearest_poi",
+    "geo_trajectory_pairs",
+    "graph_triangles",
+    "graph_link_pred",
+    "text_augment_spans",
+    "text_pii_redact",
+    "text_dsir",
+    "sample_negatives",
+    "multimodal_features",
+    "multimodal_phash_pairs",
+    "multimodal_resize",
+    "source_avro_snappy_roundtrip",
 ]
 
 
