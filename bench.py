@@ -80,6 +80,7 @@ EXTENDED = [
     "multimodal_jpeg_roundtrip",
     "multimodal_jpeg_color_roundtrip",
     "multimodal_jpeg_progressive_roundtrip",
+    "multimodal_jpeg_progressive_color_roundtrip",  # round 11
     "multimodal_wav_roundtrip",
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
@@ -173,6 +174,7 @@ def main() -> None:
     postings_table(spark, sf_dir)
     bigram_model_table(spark, sf_dir)
     avro_customer_fixture(spark, sf_dir)
+    avro_customer_fixture(spark, sf_dir, codec="snappy")
 
     wdir = tempfile.mkdtemp(prefix="bench_warm_stream_")
     spark.range(100).selectExpr(

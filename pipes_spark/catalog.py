@@ -15267,6 +15267,69 @@ def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_progressive_color_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 27 + 1 AS INT) AS width,
+             CAST((doc_id * 5) % 21 + 1 AS INT) AS height,
+             CAST(ceil((doc_id % 27 + 1) / 8.0) AS BIGINT) AS bw,
+             CAST(ceil(((doc_id * 5) % 21 + 1) / 8.0) AS BIGINT) AS bh
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(3 * sum(((doc_id + i) % 256)
+                          * least(8, width - 8 * (i % bw))
+                          * least(8, height - 8 * (i // bw))) AS BIGINT)
+               AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, bw * bh - 1)) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'jpeg' AS format, width, height,
+           CAST(3 AS INT) AS n_components,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_progressive_color_roundtrip(spark, sf_dir):
+    """REAL PROGRESSIVE COLOR JPEG round trip (round 11 — closes the
+    r10 'progressive COLOR' stub, the last JPEG mode short of
+    arithmetic/hierarchical): three-component SOF2 with INTERLEAVED DC
+    scans (per-component predictors over the MCU grid — the scan kind
+    grayscale progressive never has) + non-interleaved per-component AC
+    scans with successive-approximation refinement, over gray-valued RGB
+    block-constant content (Cb = Cr = 128 ⇒ bit-exact lossy pipeline).
+    Subsample cycles 4:2:0 / 4:2:2 / 4:4:4 by doc_id % 3; doc_id % 2
+    picks the 8-scan canonical script or the 15-scan split-band ladder —
+    so interleaved refinement, band splitting, and every chroma
+    geometry all run under the hash gate. The oracle is 3× the
+    per-block value×coverage sum; on arbitrary chroma-rich content the
+    progressive decode equals the BASELINE COLOR decode bit-for-bit
+    (pytest)."""
+    from .operators.multimodal import (
+        encode_jpeg_progressive_color_assets,
+        jpeg_color_decode_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 27 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 5) % 21 + 1).cast("int").alias("height"),
+        F.element_at(
+            F.array(F.lit("420"), F.lit("422"), F.lit("444")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("subsample"),
+        (F.col("doc_id") % 2 == 1).alias("deep"),
+    )
+    assets = encode_jpeg_progressive_color_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "subsample", "deep"
+    )
+    return jpeg_color_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_jpeg_color_roundtrip",
     oracle="""
     WITH dims AS (

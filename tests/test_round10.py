@@ -1071,6 +1071,58 @@ def test_jpeg_progressive_rejects_mixed_dc_ac_scan():
         jpeg_encode_progressive(px, scans=((0, 63, 0, 0),))
 
 
+def test_jpeg_progressive_color_equals_baseline_color_decode():
+    """Round 11: progressive COLOR decode must equal the baseline color
+    decode bit-for-bit on arbitrary chroma-rich content — interleaved
+    DC scans (first + refinement, per-component predictors over the MCU
+    grid incl. padding blocks), non-interleaved AC scans over each
+    component's true data units, across all three chroma geometries and
+    both the canonical 8-scan script and the 15-scan split-band
+    ladder."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        _JPEG_PROG_COLOR_DEEP_SCANS,
+        jpeg_decode,
+        jpeg_encode_color,
+        jpeg_encode_progressive_color,
+    )
+
+    rng = np.random.default_rng(4)
+    for trial in range(9):
+        h, w = int(rng.integers(8, 70)), int(rng.integers(8, 70))
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        sub = ("420", "422", "444")[trial % 3]
+        baseline = jpeg_decode(jpeg_encode_color(rgb, sub))
+        for scans in (None, _JPEG_PROG_COLOR_DEEP_SCANS):
+            kw = {} if scans is None else {"scans": scans}
+            prog = jpeg_decode(jpeg_encode_progressive_color(rgb, sub, **kw))
+            assert np.array_equal(prog, baseline), (trial, sub, scans is None)
+
+
+def test_jpeg_progressive_color_block_lattice_bit_exact():
+    """Gray-valued RGB block-constant content (Cb = Cr = 128 exactly)
+    must round-trip bit-exactly through progressive color — the
+    hash-gate contract, checked here for every subsampling at odd
+    dims."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        jpeg_block_gray,
+        jpeg_decode,
+        jpeg_encode_progressive_color,
+        sniff_image_header,
+    )
+
+    gray = jpeg_block_gray(42, 23, 17)
+    rgb = np.stack([gray] * 3, axis=2)
+    for sub in ("420", "422", "444"):
+        data = jpeg_encode_progressive_color(rgb, sub)
+        fmt, w, h, _d, ncomp = sniff_image_header(data)
+        assert (fmt, w, h, ncomp) == ("jpeg", 23, 17, 3)
+        assert np.array_equal(jpeg_decode(data), rgb)
+
+
 # ---------------------------------------------------------------------------
 # Prefix-doubling exact duplicate detection (round-10: dedup_prefix_doubling)
 # ---------------------------------------------------------------------------
