@@ -82,6 +82,7 @@ EXTENDED = [
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_jpeg_progressive_color_roundtrip",  # round 11
     "multimodal_wav_roundtrip",
+    "multimodal_g711_roundtrip",  # round 11: companded-audio expansion
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
     "multimodal_cross_codec_ahash",

@@ -15446,6 +15446,73 @@ def multimodal_wav_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_g711_roundtrip",
+    oracle="""
+    WITH doc AS (
+      SELECT doc_id, CAST(doc_id % 300 + 260 AS BIGINT) AS n,
+             CASE WHEN doc_id % 2 = 0 THEN 7 ELSE 6 END AS tag
+      FROM documents
+    ), code AS (
+      SELECT doc_id, n, tag,
+             CAST((doc_id * 7 + u.i * 13) % 256 AS BIGINT) AS c
+      FROM doc, LATERAL unnest(generate_series(0, CAST(n AS BIGINT) - 1))
+                AS u(i)
+    ), lin AS (
+      SELECT doc_id, n, tag,
+             CASE WHEN tag = 7 THEN
+               CASE WHEN (255 - c) >= 128 THEN -1 ELSE 1 END *
+               ((((255 - c) % 16) * 8 + 132)
+                * (CAST(1 AS BIGINT) << (((255 - c) // 16) % 8)) - 132)
+             ELSE
+               CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+               (CASE ((xor(c, 85) // 16) % 8)
+                  WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+                  WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+                  ELSE ((xor(c, 85) % 16) * 16 + 264)
+                       * (CAST(1 AS BIGINT) << (((xor(c, 85) // 16) % 8) - 1))
+                END)
+             END AS v
+      FROM code
+    )
+    SELECT doc_id AS asset_id, 'wav' AS format,
+           CAST(1 AS INT) AS n_channels, CAST(8000 AS INT) AS sample_rate,
+           CAST(8 AS INT) AS bit_depth, any_value(n) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sample_sum,
+           CAST(max(abs(v)) AS BIGINT) AS sample_abs_max
+    FROM lin GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def multimodal_g711_roundtrip(spark, sf_dir):
+    """REAL COMPRESSED-audio round trip — G.711 µ-law/A-law companded
+    WAV (round 11; narrows the 'compressed audio' stub to perceptual
+    codecs): fmt tags 7/6 with 8-bit log-companded codes, decoded
+    through the public CCITT expansion (operators.multimodal.
+    g711_ulaw_decode_table / g711_alaw_decode_table inside
+    wav_decode_pcm). Each document's code stream is a deterministic
+    lattice covering ALL 256 codes (n ≥ 260, step 13 coprime to 256),
+    so the hash gate checks every table entry of BOTH laws against the
+    oracle's closed-form restatement of the G.711 formula —
+    sign/segment/mantissa unpacking included. The encode direction is
+    pytest-held as the exact inverse (involution on all 256 A-law codes
+    and all µ-law codes except canonical negative zero)."""
+    from .operators.multimodal import encode_wav_g711_assets, wav_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 300 + 260).cast("int").alias("n_samples"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ulaw"))
+        .otherwise(F.lit("alaw"))
+        .alias("law"),
+    )
+    assets = encode_wav_g711_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "law"
+    )
+    return wav_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_audio_features",
     oracle="""
     WITH dims AS (

@@ -12,9 +12,10 @@ RIFF/AVI Motion-JPEG video, each hash-graded by a checksum oracle. Since
 round 11 the GENERIC real mode (``extract_features`` / ``perceptual_hash``
 with ``fake=False``) dispatches through these same decoders via
 ``decode_asset_values``; only genuinely unsupported formats raise
-``ValueError`` (arithmetic-coded/hierarchical JPEG, compressed audio,
-non-MJPEG video — swapping in PIL/ffmpeg widens only the dispatch;
-progressive COLOR joined the supported set in round 11). Fake mode
+``ValueError`` (arithmetic-coded/hierarchical JPEG, perceptual audio
+codecs (MP3/AAC-class), non-MJPEG video — swapping in PIL/ffmpeg widens
+only the dispatch; progressive COLOR JPEG and G.711 companded audio
+joined the supported set in round 11). Fake mode
 remains the deterministic byte-level plumbing path for arbitrary blobs.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
@@ -1915,14 +1916,84 @@ def wav_encode_pcm16(
     return bytes(out)
 
 
+def g711_ulaw_decode_table():
+    """G.711 µ-law code → linear value table (256 entries), from the
+    public CCITT reference expansion: complement the code, then
+    ((mantissa << 3) + 132) << exponent − 132, sign-applied."""
+    import numpy as np
+
+    c = np.arange(256, dtype=np.int64)
+    u = (~c) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    t = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -t, t)
+
+
+def g711_alaw_decode_table():
+    """G.711 A-law code → linear value table (256 entries), from the
+    public CCITT reference expansion (toggle the even bits with 0x55;
+    segment 0 adds 8, segment 1 adds 0x108, higher segments shift; the
+    sign bit SET means positive)."""
+    import numpy as np
+
+    c = np.arange(256, dtype=np.int64)
+    a = c ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, 0))
+    hi = ((a & 0x0F) << 4) + 0x108
+    for s in range(2, 8):
+        t = np.where(seg == s, hi << (s - 1), t)
+    return np.where((a & 0x80) != 0, t, -t)
+
+
+def g711_ulaw_encode(samples):
+    """Linear (16-bit domain) → µ-law code (G.711, the public reference
+    convention with BIAS 0x84 and CLIP 32635): clamp, add the bias, find
+    the segment (MSB position), pack sign/exponent/mantissa, complement.
+    Inverse of :func:`g711_ulaw_decode_table` on every code except the
+    canonical negative-zero 0x7F (which re-encodes as 0xFF)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    sign = x < 0
+    mag = np.clip(np.abs(x), 0, 32635) + 0x84
+    exp = (np.floor(np.log2(mag)).astype(np.int64) - 7).clip(0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    code = (np.where(sign, 0x80, 0) | (exp << 4) | mant) ^ 0xFF
+    return code.astype(np.uint8)
+
+
+def g711_alaw_encode(samples):
+    """Linear (16-bit domain) → A-law code (G.711 public reference
+    convention): segment by MSB (segment 0 below 256), pack, toggle the
+    even bits (sign bit set = positive). Exact inverse of
+    :func:`g711_alaw_decode_table` on all 256 codes."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int64)
+    pos = x >= 0
+    mag = np.clip(np.abs(x), 0, 32767)
+    seg = np.zeros_like(mag)
+    for s in range(1, 8):
+        seg = np.where(mag >= (1 << (s + 7)), s, seg)
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    code = (np.where(pos, 0x80, 0) | (seg << 4) | mant) ^ 0x55
+    return code.astype(np.uint8)
+
+
 def wav_decode_pcm(content: bytes, label: str = "asset"):
-    """Standalone RIFF/WAVE PCM16 decode (the parse inside
+    """Standalone RIFF/WAVE decode (the parse inside
     :func:`wav_decode_stats`, factored out so :func:`extract_features`
     real mode can dispatch to it): RIFF walk skipping unknown chunks per
-    the spec's chunk framing (word alignment honored), fmt parse, int16
-    sample decode. Returns ``(samples int64 ndarray, n_channels,
-    sample_rate, bit_depth)``; non-PCM encodings and truncated files
-    raise loudly."""
+    the spec's chunk framing (word alignment honored), fmt parse, sample
+    decode. Format tags: 1 = 16-bit linear PCM; 6/7 = G.711 A-law/µ-law
+    COMPANDED 8-bit audio (round 11), expanded to the spec's linear
+    values through the public CCITT tables. Returns ``(samples int64
+    ndarray, n_channels, sample_rate, bit_depth)``; other encodings and
+    truncated files raise loudly."""
     import struct
 
     import numpy as np
@@ -1950,14 +2021,83 @@ def wav_decode_pcm(content: bytes, label: str = "asset"):
     if fmt is None or data is None:
         raise ValueError(f"{label}: missing fmt or data chunk")
     tag, nch, rate, _brate, _align, bits = fmt
-    if tag != 1 or bits != 16:
-        raise ValueError(
-            f"{label}: only 16-bit PCM supported (tag {tag}, {bits}-bit)"
+    if tag == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif tag in (6, 7) and bits == 8:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        table = (
+            g711_alaw_decode_table() if tag == 6 else g711_ulaw_decode_table()
         )
-    samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+        samples = table[codes]
+    else:
+        raise ValueError(
+            f"{label}: unsupported WAV encoding (tag {tag}, {bits}-bit; "
+            "supported: 16-bit PCM, 8-bit G.711 A-law/mu-law)"
+        )
     if samples.size % nch:
         raise ValueError(f"{label}: partial sample frame")
     return samples, int(nch), int(rate), int(bits)
+
+
+def wav_encode_g711(
+    asset_id: int, n_samples: int, sample_rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """Minimal REAL G.711 companded WAV (RIFF 'WAVE', fmt tag 7 = µ-law
+    / 6 = A-law, 8-bit): code byte i = (asset_id·7 + i·13) % 256 — a
+    deterministic lattice covering all 256 codes, so the decode gate
+    exercises the full expansion table and the oracle recomputes every
+    linear value closed-form from the public G.711 formula."""
+    import struct
+
+    import numpy as np
+
+    idx = np.arange(n_samples, dtype=np.int64)
+    data = ((asset_id * 7 + idx * 13) % 256).astype(np.uint8).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    if law not in ("ulaw", "alaw"):
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    fmt = struct.pack("<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8)
+    out = bytearray(b"RIFF")
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    out += struct.pack("<I", len(body)) + body
+    return bytes(out)
+
+
+def encode_wav_g711_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    samples_col: str = "n_samples",
+    rate_col: str = "sample_rate",
+    law_col: str = "law",
+) -> DataFrame:
+    """Arrow-batched G.711 companded-WAV encode: (id, n_samples, rate,
+    law 'ulaw'|'alaw') → (id, content binary)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import wav_encode_g711
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        wav_encode_g711(int(i), int(n), int(r), str(lw))
+                        for i, n, r, lw in zip(
+                            pdf[id_col], pdf[samples_col], pdf[rate_col],
+                            pdf[law_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, samples_col, rate_col, law_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
 
 
 def wav_decode_stats(assets: DataFrame) -> DataFrame:

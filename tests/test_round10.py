@@ -1100,6 +1100,58 @@ def test_jpeg_progressive_color_equals_baseline_color_decode():
             assert np.array_equal(prog, baseline), (trial, sub, scans is None)
 
 
+def test_g711_companding_involution_and_bounds():
+    """Round 11: G.711 µ-law/A-law — encode must be the exact inverse of
+    the decode tables (all 256 A-law codes; all µ-law codes except the
+    canonical negative zero 0x7F, which re-encodes as 0xFF), and the
+    decode(encode(x)) quantization error must stay within half the top
+    segment step."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        g711_alaw_decode_table,
+        g711_alaw_encode,
+        g711_ulaw_decode_table,
+        g711_ulaw_encode,
+    )
+
+    ut, at = g711_ulaw_decode_table(), g711_alaw_decode_table()
+    assert [c for c in range(256) if g711_ulaw_encode(ut)[c] != c] == [0x7F]
+    assert [c for c in range(256) if g711_alaw_encode(at)[c] != c] == []
+    assert ut[0xFF] == 0 and at[0xD5] == 8  # spec anchors
+    xs = np.arange(-32635, 32636, 3)
+    assert np.abs(ut[g711_ulaw_encode(xs)] - xs).max() <= 512
+    xa = np.arange(-32767, 32768, 3)
+    assert np.abs(at[g711_alaw_encode(xa)] - xa).max() <= 512
+
+
+def test_g711_wav_decodes_through_generic_real_mode(spark):
+    """A G.711 WAV asset must flow through the generic sniff-and-dispatch
+    real mode (extract_features fake=False) like any other engine
+    codec."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        encode_wav_g711_assets,
+        extract_features,
+        g711_alaw_decode_table,
+        g711_ulaw_decode_table,
+    )
+
+    d = spark.createDataFrame(
+        [(0, 300, 8000, "ulaw"), (1, 300, 8000, "alaw")],
+        "doc_id long, n_samples int, sample_rate int, law string",
+    )
+    assets = encode_wav_g711_assets(d)
+    feats = {r.asset_id: r for r in extract_features(assets, fake=False).collect()}
+    for aid, table in ((0, g711_ulaw_decode_table()), (1, g711_alaw_decode_table())):
+        codes = (aid * 7 + np.arange(300) * 13) % 256
+        want = table[codes]
+        assert feats[aid].format == "wav"
+        assert feats[aid].val_sum == int(want.sum())
+        assert feats[aid].n_values == 300
+
+
 def test_jpeg_progressive_color_block_lattice_bit_exact():
     """Gray-valued RGB block-constant content (Cb = Cr = 128 exactly)
     must round-trip bit-exactly through progressive color — the
