@@ -85,6 +85,7 @@ EXTENDED = [
     "multimodal_g711_roundtrip",  # round 11: companded-audio expansion
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
+    "multimodal_video_dib_frame_sample",  # round 11: raw '00db' path
     "multimodal_cross_codec_ahash",
     "sketch_theta_diff",
     "dedup_prefix_doubling",

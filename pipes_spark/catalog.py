@@ -15640,6 +15640,65 @@ def multimodal_video_frame_sample(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_dib_frame_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 21 + 1 AS INT) AS width,
+             CAST((doc_id * 3) % 15 + 1 AS INT) AS height,
+             CAST(doc_id % 5 + 2 AS INT) AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, width, height, CAST(f.f AS INT) AS frame_no
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(nf AS BIGINT) - 1, 2)
+           ) AS f(f)
+    ), px AS (
+      SELECT doc_id, frame_no,
+             CAST(sum((doc_id + 11 * frame_no + i) % 256) AS BIGINT)
+               AS pixel_sum
+      FROM fr,
+           LATERAL unnest(
+             generate_series(0, CAST(width AS BIGINT) * height - 1)
+           ) AS u(i)
+      GROUP BY doc_id, frame_no
+    )
+    SELECT f.doc_id AS asset_id, frame_no, width, height, pixel_sum
+    FROM fr f JOIN px USING (doc_id, frame_no)
+    ORDER BY asset_id, frame_no
+    """,
+)
+def multimodal_video_dib_frame_sample(spark, sf_dir):
+    """REAL UNCOMPRESSED-video frame sampling (round 11 — the '00db'
+    raw path next to the Motion-JPEG gate; 'non-MJPEG video' now means
+    only inter-frame codecs): RIFF/AVI with handler 'DIB ', 8-bit
+    palettized BITMAPINFOHEADER (BI_RGB), and the DIB spec's bottom-up
+    row order with 4-byte stride padding — widths cycle all four stride
+    residues, so the padding path is exercised, and frames carry a
+    per-PIXEL lattice (raw video is lossless; no block-constant
+    contract needed, unlike the lossy MJPEG gate). Same sampler
+    operator as the MJPEG gate (avi_frame_sample_stats dispatches on
+    the stream handler); the oracle recomputes every sampled frame's
+    pixel sum closed-form. 1→N output; pixels never cross a shuffle."""
+    from .operators.multimodal import avi_frame_sample_stats, encode_avi_dib_assets
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 21 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 3) % 15 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
+    )
+    assets = encode_avi_dib_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+    )
+    return avi_frame_sample_stats(assets, every_k=2).orderBy(
+        "asset_id", "frame_no"
+    )
+
+
+@query(
     "multimodal_cross_codec_ahash",
     oracle="""
     WITH dims AS (

@@ -13,9 +13,10 @@ round 11 the GENERIC real mode (``extract_features`` / ``perceptual_hash``
 with ``fake=False``) dispatches through these same decoders via
 ``decode_asset_values``; only genuinely unsupported formats raise
 ``ValueError`` (arithmetic-coded/hierarchical JPEG, perceptual audio
-codecs (MP3/AAC-class), non-MJPEG video — swapping in PIL/ffmpeg widens
-only the dispatch; progressive COLOR JPEG and G.711 companded audio
-joined the supported set in round 11). Fake mode
+codecs (MP3/AAC-class), inter-frame video codecs (H.264-class) —
+swapping in PIL/ffmpeg widens only the dispatch; progressive COLOR
+JPEG, G.711 companded audio, and uncompressed-DIB AVI joined the
+supported set in round 11). Fake mode
 remains the deterministic byte-level plumbing path for arbitrary blobs.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
@@ -2269,17 +2270,85 @@ def avi_mjpeg_encode(asset_id: int, width: int, height: int, n_frames: int) -> b
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def avi_dib_encode(asset_id: int, width: int, height: int, n_frames: int) -> bytes:
+    """Minimal REAL uncompressed-video AVI (round 11 — the '00db' raw
+    path next to avi_mjpeg_encode's '00dc' codec path; narrows the
+    'non-MJPEG video' stub to inter-frame codecs): handler 'DIB ' with
+    an 8-bit palettized BITMAPINFOHEADER (biCompression 0 = BI_RGB,
+    256-entry grayscale RGBQUAD palette) and the DIB spec's BOTTOM-UP
+    row order with 4-byte row stride padding. Frame f's pixel
+    (y, x) = (asset_id + 11·f + y·width + x) % 256 — raw frames are
+    lossless, so the lattice is per-PIXEL (no block-constant contract
+    needed) and the oracle recomputes frame pixel sums closed-form."""
+    import struct
+
+    import numpy as np
+
+    stride = (width + 3) // 4 * 4
+    frames = []
+    for f in range(n_frames):
+        i = np.arange(height * width, dtype=np.int64)
+        px = ((asset_id + 11 * f + i) % 256).astype(np.uint8).reshape(
+            height, width
+        )
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, :width] = px
+        frames.append(rows[::-1].tobytes())  # bottom-up per the DIB spec
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    max_bytes = max(len(fr) for fr in frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        100_000, max_bytes * 10, 0, 0x10, n_frames, 0, 1, max_bytes,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, 10, 0, n_frames, max_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0,
+        stride * height, 0, 0, 256, 0,
+    ) + bytes(v for j in range(256) for v in (j, j, j, 0))  # B,G,R,reserved
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    offsets = []
+    for fr in frames:
+        offsets.append(len(movi_body))
+        movi_body += chunk(b"00db", fr)
+    movi = chunk(b"LIST", movi_body)
+    idx = b""
+    for off, fr in zip(offsets, frames):
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(fr))
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
     """REAL video frame sampling over Arrow batches: RIFF/AVI walk (hdrl
-    parse for declared frame count and handler, movi '00dc' chunk
-    iteration with word alignment, idx1 cross-check against actual
-    chunk offsets), then DECODE every ``every_k``-th Motion-JPEG frame
-    through the module's T.81 decoder — one output row per sampled
+    parse for declared frame count and handler, movi chunk iteration
+    with word alignment, idx1 cross-check against actual chunk offsets),
+    then DECODE every ``every_k``-th frame — Motion-JPEG '00dc' chunks
+    through the module's T.81 decoder, or (round 11) uncompressed
+    'DIB ' '00db' chunks through the BITMAPINFOHEADER / bottom-up /
+    stride-padded / palettized raw path — one output row per sampled
     frame: (asset_id, frame_no, width, height, pixel_sum). The per-frame
     pixel sums can only come from inflating real frames, so a
     hash-match against the closed-form oracle certifies container walk +
-    index + codec together (catalog ``multimodal_video_frame_sample``).
-    Non-MJPG streams and index mismatches raise loudly."""
+    index + codec together (catalog ``multimodal_video_frame_sample``,
+    ``multimodal_video_dib_frame_sample``). Other handlers (inter-frame
+    codecs) and index mismatches raise loudly."""
     spark = assets.sparkSession
     _ship_package(spark)
 
@@ -2306,8 +2375,9 @@ def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
                 handler = None
                 declared_frames = None
                 movi_start = None
-                frames = []  # (offset_rel_movi, jpeg_bytes)
+                frames = []  # (offset_rel_movi, chunk_type, frame_bytes)
                 idx_entries = None
+                strf_body = None
                 while i + 8 <= len(b):
                     cid = b[i : i + 4]
                     (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
@@ -2336,6 +2406,8 @@ def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
                                             tb = sbody[k + 8 : k + 8 + tlen]
                                             if tb[:4] == b"vids":
                                                 handler = tb[4:8]
+                                        elif tcid == b"strf":
+                                            strf_body = sbody[k + 8 : k + 8 + tlen]
                                         k += 8 + tlen + (tlen & 1)
                                 j += 8 + slen + (slen & 1)
                         elif kind == b"movi":
@@ -2344,8 +2416,10 @@ def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
                             while j + 8 <= len(body):
                                 scid = body[j : j + 4]
                                 (slen,) = struct.unpack("<I", body[j + 4 : j + 8])
-                                if scid[2:4] == b"dc":
-                                    frames.append((j, body[j + 8 : j + 8 + slen]))
+                                if scid[2:4] in (b"dc", b"db"):
+                                    frames.append(
+                                        (j, scid[2:4], body[j + 8 : j + 8 + slen])
+                                    )
                                 j += 8 + slen + (slen & 1)
                     elif cid == b"idx1":
                         idx_entries = [
@@ -2353,9 +2427,15 @@ def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
                             for k in range(0, len(body), 16)
                         ]
                     i += 8 + clen + (clen & 1)
-                if handler != b"MJPG":
+                if handler == b"MJPG":
+                    want_ct = b"dc"
+                elif handler == b"DIB ":
+                    want_ct = b"db"
+                else:
                     raise ValueError(
-                        f"asset {aid}: unsupported video handler {handler!r}"
+                        f"asset {aid}: unsupported video handler {handler!r} "
+                        "(supported: MJPG, 'DIB ' uncompressed; inter-frame "
+                        "codecs need an external library)"
                     )
                 if movi_start is None or not frames:
                     raise ValueError(f"asset {aid}: no movi frames")
@@ -2367,13 +2447,47 @@ def avi_frame_sample_stats(assets: DataFrame, every_k: int = 2) -> DataFrame:
                 if idx_entries is not None:
                     if len(idx_entries) != len(frames):
                         raise ValueError(f"asset {aid}: idx1 length mismatch")
-                    for (ckid, _fl, off, size), (real_off, fr) in zip(
+                    for (ckid, _fl, off, size), (real_off, ct, fr) in zip(
                         idx_entries, frames
                     ):
-                        if ckid[2:4] != b"dc" or off != real_off or size != len(fr):
+                        if (
+                            ckid[2:4] != want_ct
+                            or ct != want_ct
+                            or off != real_off
+                            or size != len(fr)
+                        ):
                             raise ValueError(f"asset {aid}: idx1 entry mismatch")
+                if want_ct == b"db":
+                    if strf_body is None or len(strf_body) < 40:
+                        raise ValueError(f"asset {aid}: DIB stream missing strf")
+                    (_bsz, bw_, bh_, _pl, bits, comp, _sz, _xp, _yp, used,
+                     _imp) = struct.unpack("<IiiHHIIiiII", strf_body[:40])
+                    if comp != 0 or bits != 8:
+                        raise ValueError(
+                            f"asset {aid}: only 8-bit BI_RGB DIB supported "
+                            f"(compression {comp}, {bits}-bit)"
+                        )
+                    n_pal = used or 256
+                    pal = np.frombuffer(
+                        strf_body[40 : 40 + 4 * n_pal], dtype=np.uint8
+                    ).reshape(n_pal, 4)
+                    red = pal[:, 2]  # RGBQUAD is B,G,R,reserved
+                    stride = (bw_ + 3) // 4 * 4
                 for fno in range(0, len(frames), every_k):
-                    px = jpeg_decode_gray(frames[fno][1])
+                    fr = frames[fno][2]
+                    if want_ct == b"dc":
+                        px = jpeg_decode_gray(fr)
+                    else:
+                        if len(fr) != stride * bh_:
+                            raise ValueError(
+                                f"asset {aid}: DIB frame {fno} size mismatch"
+                            )
+                        rows = np.frombuffer(fr, dtype=np.uint8).reshape(
+                            bh_, stride
+                        )
+                        # bottom-up rows, stride padding stripped, palette
+                        # red channel (grayscale-identity contract)
+                        px = red[rows[::-1, :bw_].astype(np.int64)]
                     out["asset_id"].append(int(aid))
                     out["frame_no"].append(int(fno))
                     out["width"].append(int(px.shape[1]))
@@ -2410,6 +2524,44 @@ def encode_avi_assets(
                     "asset_id": pdf[id_col].astype("int64"),
                     "content": [
                         avi_mjpeg_encode(int(i), int(w), int(h), int(nf))
+                        for i, w, h, nf in zip(
+                            pdf[id_col],
+                            pdf[width_col],
+                            pdf[height_col],
+                            pdf[frames_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, width_col, height_col, frames_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def encode_avi_dib_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Arrow-batched REAL uncompressed-AVI encode (round 11): (id, width,
+    height, n_frames) → (id, content binary) through
+    :func:`avi_dib_encode` — the raw-video sibling of
+    :func:`encode_avi_assets`."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import avi_dib_encode
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        avi_dib_encode(int(i), int(w), int(h), int(nf))
                         for i, w, h, nf in zip(
                             pdf[id_col],
                             pdf[width_col],

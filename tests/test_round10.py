@@ -1152,6 +1152,56 @@ def test_g711_wav_decodes_through_generic_real_mode(spark):
         assert feats[aid].n_values == 300
 
 
+def test_avi_dib_frame_sampling_matches_reference(spark):
+    """Round 11: uncompressed 'DIB ' AVI — bottom-up rows, 4-byte stride
+    padding, 256-entry palette — must decode to exactly the encoded
+    lattice at every stride residue, through the same sampler operator
+    as MJPEG."""
+    import numpy as np
+
+    from pipes_spark.operators.multimodal import (
+        avi_frame_sample_stats,
+        encode_avi_dib_assets,
+    )
+
+    rows = [(w, (w % 4) + 3, 3) for w in (5, 6, 7, 8)]  # all stride residues
+    d = spark.createDataFrame(
+        [(i, w, h, nf) for i, (w, h, nf) in enumerate(rows)],
+        "doc_id long, width int, height int, n_frames int",
+    )
+    got = {
+        (r.asset_id, r.frame_no): (r.width, r.height, r.pixel_sum)
+        for r in avi_frame_sample_stats(
+            encode_avi_dib_assets(d), every_k=1
+        ).collect()
+    }
+    for aid, (w, h, nf) in enumerate(rows):
+        for f in range(nf):
+            i = np.arange(w * h, dtype=np.int64)
+            want = int(((aid + 11 * f + i) % 256).sum())
+            assert got[(aid, f)] == (w, h, want), (aid, f)
+
+
+def test_avi_unknown_handler_raises(spark):
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        avi_frame_sample_stats,
+        avi_dib_encode,
+    )
+
+    b = bytearray(avi_dib_encode(1, 8, 8, 2))
+    pos = b.find(b"vids" + b"DIB ")
+    b[pos + 4 : pos + 8] = b"H264"
+    d = spark.createDataFrame(
+        [(1, bytes(b))], "asset_id long, content binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported video handler"):
+        avi_frame_sample_stats(d, every_k=1).collect()
+
+
 def test_jpeg_progressive_color_block_lattice_bit_exact():
     """Gray-valued RGB block-constant content (Cb = Cr = 128 exactly)
     must round-trip bit-exactly through progressive color — the
