@@ -15513,6 +15513,178 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_adpcm_roundtrip",
+    oracle="""
+    WITH RECURSIVE step(sidx, s) AS (VALUES
+      (0,7),(1,8),(2,9),(3,10),(4,11),(5,12),(6,13),(7,14),(8,16),(9,17),
+      (10,19),(11,21),(12,23),(13,25),(14,28),(15,31),(16,34),(17,37),
+      (18,41),(19,45),(20,50),(21,55),(22,60),(23,66),(24,73),(25,80),
+      (26,88),(27,97),(28,107),(29,118),(30,130),(31,143),(32,157),
+      (33,173),(34,190),(35,209),(36,230),(37,253),(38,279),(39,307),
+      (40,337),(41,371),(42,408),(43,449),(44,494),(45,544),(46,598),
+      (47,658),(48,724),(49,796),(50,876),(51,963),(52,1060),(53,1166),
+      (54,1282),(55,1411),(56,1552),(57,1707),(58,1878),(59,2066),
+      (60,2272),(61,2499),(62,2749),(63,3024),(64,3327),(65,3660),
+      (66,4026),(67,4428),(68,4871),(69,5358),(70,5894),(71,6484),
+      (72,7132),(73,7845),(74,8630),(75,9493),(76,10442),(77,11487),
+      (78,12635),(79,13899),(80,15289),(81,16818),(82,18500),(83,20350),
+      (84,22385),(85,24623),(86,27086),(87,29794),(88,32767)),
+    adapt(anib, av) AS (VALUES
+      (0,230),(1,230),(2,230),(3,230),(4,307),(5,409),(6,512),(7,614),
+      (8,768),(9,614),(10,512),(11,409),(12,307),(13,230),(14,230),
+      (15,230)),
+    coef(ci, c1, c2) AS (VALUES
+      (0,256,0),(1,512,-256),(2,0,0),(3,192,64),(4,240,0),(5,460,-208),
+      (6,392,-232)),
+    doc_i AS (
+      SELECT doc_id, CAST(65 + doc_id % 131 AS BIGINT) AS n
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    blk_i AS (
+      SELECT doc_id, n, CAST(u.b AS BIGINT) AS b,
+             CASE WHEN (u.b + 1) * 65 <= n THEN 65 ELSE n - u.b * 65 END AS r
+      FROM doc_i, LATERAL unnest(generate_series(0, (n - 1) // 65)) AS u(b)
+    ),
+    walk_i(doc_id, b, j, r, pred, sidx, ssum, smax) AS (
+      SELECT doc_id, b, CAST(0 AS BIGINT), r,
+             (doc_id * 2557 + b * 97) % 65536 - 32768,
+             (doc_id + b * 11) % 89,
+             CAST((doc_id * 2557 + b * 97) % 65536 - 32768 AS BIGINT),
+             CAST(abs((doc_id * 2557 + b * 97) % 65536 - 32768) AS BIGINT)
+      FROM blk_i
+      UNION ALL
+      SELECT doc_id, b, j, r, pred2, sidx2, ssum + pred2,
+             greatest(smax, abs(pred2))
+      FROM (
+        SELECT doc_id, b, j, r, ssum, smax,
+               least(32767, greatest(-32768,
+                 pred + CASE WHEN wnib >= 8 THEN -diff ELSE diff END))
+                 AS pred2,
+               least(88, greatest(0,
+                 sidx + CASE WHEN wnib % 8 < 4 THEN -1
+                             ELSE (wnib % 8 - 3) * 2 END)) AS sidx2
+        FROM (
+          SELECT w.doc_id, w.b, w.j + 1 AS j, w.r, w.pred, w.sidx,
+                 w.ssum, w.smax,
+                 (w.doc_id * 3 + w.b * 5 + w.j * 7) % 16 AS wnib,
+                 st.s // 8
+                 + CASE WHEN ((w.doc_id * 3 + w.b * 5 + w.j * 7) % 16) % 8
+                             >= 4 THEN st.s ELSE 0 END
+                 + CASE WHEN ((w.doc_id * 3 + w.b * 5 + w.j * 7) % 16) % 4
+                             >= 2 THEN st.s // 2 ELSE 0 END
+                 + CASE WHEN (w.doc_id * 3 + w.b * 5 + w.j * 7) % 2 = 1
+                        THEN st.s // 4 ELSE 0 END AS diff
+          FROM walk_i w JOIN step st ON st.sidx = w.sidx
+          WHERE w.j < w.r - 1
+        )
+      )
+    ),
+    agg_i AS (
+      SELECT doc_id, CAST(sum(ssum) AS BIGINT) AS sample_sum,
+             CAST(max(smax) AS BIGINT) AS sample_abs_max,
+             CAST(sum(j + 1) AS BIGINT) AS n_samples
+      FROM walk_i WHERE j = r - 1 GROUP BY doc_id
+    ),
+    doc_m AS (
+      SELECT doc_id, CAST(66 + doc_id % 133 AS BIGINT) AS n
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    blk_m AS (
+      SELECT doc_id, n, CAST(u.b AS BIGINT) AS b,
+             CASE WHEN (u.b + 1) * 66 <= n THEN 66 ELSE n - u.b * 66 END AS r
+      FROM doc_m, LATERAL unnest(generate_series(0, (n - 1) // 66)) AS u(b)
+    ),
+    walk_m(doc_id, b, j, r, s1, s2, delta, ssum, smax) AS (
+      SELECT doc_id, b, CAST(least(r, 2) AS BIGINT), r,
+             (doc_id * 2557 + b * 97) % 65536 - 32768,
+             (doc_id * 1901 + b * 53) % 65536 - 32768,
+             16 + (doc_id * 31 + b * 17) % 4000,
+             CAST((doc_id * 1901 + b * 53) % 65536 - 32768 AS BIGINT)
+               + CASE WHEN r >= 2
+                      THEN (doc_id * 2557 + b * 97) % 65536 - 32768
+                      ELSE 0 END,
+             CASE WHEN r >= 2
+                  THEN greatest(
+                    abs((doc_id * 2557 + b * 97) % 65536 - 32768),
+                    abs((doc_id * 1901 + b * 53) % 65536 - 32768))
+                  ELSE abs((doc_id * 1901 + b * 53) % 65536 - 32768) END
+      FROM blk_m
+      UNION ALL
+      SELECT doc_id, b, j, r, new, s1, delta2, ssum + new,
+             greatest(smax, abs(new))
+      FROM (
+        SELECT doc_id, b, j, r, s1, s2, ssum, smax,
+               least(32767, greatest(-32768, predf + snib * delta)) AS new,
+               greatest(16, (av * delta
+                 - ((av * delta) % 256 + 256) % 256) // 256) AS delta2
+        FROM (
+          SELECT w.doc_id, w.b, w.j + 1 AS j, w.r, w.s1, w.s2, w.delta,
+                 w.ssum, w.smax, a.av,
+                 CASE WHEN w.wnib >= 8 THEN w.wnib - 16 ELSE w.wnib END
+                   AS snib,
+                 (w.s1 * c.c1 + w.s2 * c.c2
+                  - ((w.s1 * c.c1 + w.s2 * c.c2) % 256 + 256) % 256) // 256
+                   AS predf
+          FROM (
+            SELECT *, (doc_id * 3 + b * 5 + (j - 2) * 7) % 16 AS wnib
+            FROM walk_m
+          ) w
+          JOIN adapt a ON a.anib = w.wnib
+          JOIN coef c ON c.ci = (w.doc_id + w.b) % 7
+          WHERE w.j < w.r
+        )
+      )
+    ),
+    agg_m AS (
+      SELECT doc_id, CAST(sum(ssum) AS BIGINT) AS sample_sum,
+             CAST(max(smax) AS BIGINT) AS sample_abs_max,
+             CAST(sum(j) AS BIGINT) AS n_samples
+      FROM walk_m WHERE j = r GROUP BY doc_id
+    )
+    SELECT doc_id AS asset_id, 'wav' AS format, CAST(1 AS INT) AS n_channels,
+           CAST(8000 AS INT) AS sample_rate, CAST(4 AS INT) AS bit_depth,
+           n_samples, sample_sum, sample_abs_max
+    FROM (SELECT * FROM agg_i UNION ALL SELECT * FROM agg_m)
+    ORDER BY asset_id
+    """,
+)
+def multimodal_adpcm_roundtrip(spark, sf_dir):
+    """REAL ADPCM compressed-audio round trip — IMA/DVI (fmt tag 17) and
+    Microsoft (fmt tag 2) 4-bit adaptive differential WAV, implemented
+    from the public specs (round 11; narrows the 'compressed audio' stub
+    further: G.711 covered companding, this covers ADAPTIVE PREDICTION —
+    per-block state headers, step/delta adaptation tables, fact-chunk
+    truncation of the zero-padded final block). Even documents encode
+    IMA (65-sample blocks, nBlockAlign 36), odd documents MS (66-sample
+    blocks, nBlockAlign 39, all seven coefficient pairs exercised via
+    (doc_id+b) % 7); every 4-bit code value appears in each stream
+    (step-7 lattice, coprime to 16). The oracle replays BOTH adaptive
+    recurrences as recursive SQL walks over the spec tables — predictor
+    clamp, step-index clamp, delta floor at 16, arithmetic->>8 as exact
+    floor division — so a hash-pass proves the stateful decode, not just
+    the framing. The true IMA encoder (quantize loop) is pytest-held to
+    track the decoder bit-for-bit with >20 dB SNR on a sine mix."""
+    from .operators.multimodal import encode_wav_adpcm_assets, wav_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 131 + 65)
+        .otherwise(F.col("doc_id") % 133 + 66)
+        .cast("int")
+        .alias("n_samples"),
+        F.lit(8000).cast("int").alias("sample_rate"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ima"))
+        .otherwise(F.lit("ms"))
+        .alias("codec"),
+    )
+    assets = encode_wav_adpcm_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "codec"
+    )
+    return wav_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_audio_features",
     oracle="""
     WITH dims AS (
