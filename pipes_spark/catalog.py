@@ -15513,6 +15513,66 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_aiff_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 400 + 50 AS INT) AS ns,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                  WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INT) AS n_channels
+      FROM documents
+    ), sm AS (
+      SELECT doc_id,
+             CAST(sum(((doc_id + i) * 2557) % 65536 - 32768) AS BIGINT)
+               AS sample_sum,
+             CAST(max(abs(((doc_id + i) * 2557) % 65536 - 32768)) AS BIGINT)
+               AS sample_abs_max
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(ns AS BIGINT) * n_channels - 1)
+           ) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'aiff' AS format, n_channels, sample_rate,
+           CAST(16 AS INT) AS bit_depth, CAST(ns AS BIGINT) AS n_samples,
+           sample_sum, sample_abs_max
+    FROM dims d JOIN sm USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_aiff_roundtrip(spark, sf_dir):
+    """REAL AIFF audio round trip — the IFF FORM/AIFF container from the
+    public EA-IFF-85/Apple spec (round 11): BIG-endian chunk framing,
+    COMM chunk with the 80-bit IEEE 754 extended-precision sample rate
+    (sign/15-bit-exponent/explicit-integer-bit mantissa — encoded AND
+    re-derived, with four distinct rates incl. 11025/44100 exercising
+    different exponents), SSND offset/blockSize preamble, big-endian
+    int16 stream. The signal is the SAME lattice as the WAV query, so a
+    joint pass proves byte-order handling is real (a little-endian
+    misread would flip sample bytes and break the checksum). Generic
+    real mode (decode_asset_values) dispatches on the FORM magic."""
+    from .operators.multimodal import aiff_decode_stats, encode_aiff_assets
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 400 + 50).cast("int").alias("n_samples"),
+        F.when(F.col("doc_id") % 4 == 0, 8000)
+        .when(F.col("doc_id") % 4 == 1, 11025)
+        .when(F.col("doc_id") % 4 == 2, 22050)
+        .otherwise(44100)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+    )
+    assets = encode_aiff_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate",
+        "channels",
+    )
+    return aiff_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_adpcm_roundtrip",
     oracle="""
     WITH RECURSIVE step(sidx, s) AS (VALUES

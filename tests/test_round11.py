@@ -114,3 +114,66 @@ def test_adpcm_dispatches_through_generic_real_mode():
         assert fmt == "wav" and w is None and h is None
         ref, *_ = wav_decode_pcm(content)
         assert (values == ref).all()
+
+
+# ----------------------------------------------------------------- AIFF
+
+
+def test_aiff_extended_rate_codec_all_common_rates():
+    from pipes_spark.operators.multimodal import (
+        _ieee754_extended_decode,
+        _ieee754_extended_encode,
+    )
+
+    for rate in (1, 8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+        assert _ieee754_extended_decode(_ieee754_extended_encode(rate)) == rate
+    # 44100 = 0x400E AC44... the canonical textbook bytes
+    assert _ieee754_extended_encode(44100).hex() == "400eac44000000000000"
+    with pytest.raises(ValueError):
+        _ieee754_extended_encode(0)
+
+
+def test_aiff_roundtrip_matches_wav_lattice_and_dispatch():
+    """AIFF carries the SAME lattice as the WAV encoder but big-endian;
+    decoding both and comparing proves byte order is honored."""
+    from pipes_spark.operators.multimodal import (
+        aiff_decode_pcm,
+        aiff_encode_pcm16,
+        decode_asset_values,
+        wav_decode_pcm,
+        wav_encode_pcm16,
+    )
+
+    for aid, n, ch in ((0, 100, 1), (7, 333, 2)):
+        a = aiff_encode_pcm16(aid, n, 44100, ch)
+        w = wav_encode_pcm16(aid, n, 44100, ch)
+        sa, nch_a, rate_a, bits_a = aiff_decode_pcm(a)
+        sw, *_ = wav_decode_pcm(w)
+        assert (sa == sw).all()
+        assert (nch_a, rate_a, bits_a) == (ch, 44100, 16)
+        fmt, values, wdt, hgt = decode_asset_values(a)
+        assert fmt == "aiff" and wdt is None and (values == sa).all()
+
+
+def test_aiff_error_paths():
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        aiff_decode_pcm,
+        aiff_encode_pcm16,
+    )
+
+    with pytest.raises(ValueError, match="not an IFF"):
+        aiff_decode_pcm(b"FORM\x00\x00\x00\x04AIFC")
+    good = aiff_encode_pcm16(1, 50, 8000, 1)
+    # inflate COMM numSampleFrames beyond the SSND payload
+    bad = bytearray(good)
+    comm_at = good.index(b"COMM")
+    bad[comm_at + 10 : comm_at + 14] = struct.pack(">I", 9999)
+    with pytest.raises(ValueError, match="SSND shorter"):
+        aiff_decode_pcm(bytes(bad))
+    # 8-bit sample size refused loudly
+    bad = bytearray(good)
+    bad[comm_at + 14 : comm_at + 16] = struct.pack(">h", 8)
+    with pytest.raises(ValueError, match="sample size"):
+        aiff_decode_pcm(bytes(bad))
