@@ -15513,6 +15513,69 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_bmp_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 7 AS INT) AS w,
+             CAST(8 + doc_id % 5 AS INT) AS h,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 24 END AS INT) AS bpp
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, bpp, ux.x AS x, uy.y AS y,
+             CASE WHEN bpp = 8
+                  THEN (doc_id * 7 + ux.x * 11 + uy.y * 13) % 256
+                  ELSE (((doc_id * 3 + ux.x * 13 + uy.y * 7) % 256) * 299
+                        + ((doc_id * 5 + ux.x * 3 + uy.y * 17) % 256) * 587
+                        + ((doc_id * 7 + ux.x * 11 + uy.y * 13) % 256) * 114
+                       ) // 1000
+             END AS g
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS ux(x),
+           LATERAL unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS uy(y)
+    )
+    SELECT doc_id AS asset_id, 'bmp' AS format, any_value(w) AS width,
+           any_value(h) AS height, any_value(bpp) AS bpp,
+           CAST(sum(g) AS BIGINT) AS pixel_sum,
+           CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS weighted_sum,
+           CAST(min(g) AS INT) AS px_min, CAST(max(g) AS INT) AS px_max
+    FROM px GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def multimodal_bmp_roundtrip(spark, sf_dir):
+    """REAL BMP image round trip (round 11 — the fourth image codec on
+    the unified dispatch): BITMAPFILE/INFOHEADER from the public
+    Windows DIB spec, 8-bit palettized (256-entry gray BGRA palette
+    dereferenced through the exact integer luma, which is the identity
+    for gray entries) on even documents and 24-bit BGR (three
+    per-channel lattices through (299R+587G+114B)//1000) on odd;
+    widths cycle ALL four 4-byte stride residues (w in 16..22 for
+    8-bit, ×3 for 24-bit) and doc_id//2 parity flips bottom-up vs
+    top-down (negative biHeight). The stats carry a POSITION-WEIGHTED
+    checksum over the top-down matrix, so a missed row flip or stride
+    slip fails the hash even though the plain pixel sum would survive
+    it. BMP also feeds decode_image_gray, so cross-codec aHash and
+    generic real mode gain the format for free."""
+    from .operators.multimodal import bmp_decode_stats, encode_bmp_assets
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 2 == 0, 8).otherwise(24)
+        .cast("int")
+        .alias("bpp"),
+        ((F.col("doc_id") / 2).cast("bigint") % 2 == 1).alias("topdown"),
+    )
+    assets = encode_bmp_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "bpp",
+        "topdown",
+    )
+    return bmp_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_aiff_roundtrip",
     oracle="""
     WITH dims AS (

@@ -95,7 +95,7 @@ def decode_asset_values(content: bytes, label: str = "asset"):
 
     b = bytes(content)
     fmt, *_ = sniff_image_header(b)
-    if fmt in ("png", "gif", "jpeg"):
+    if fmt in ("png", "gif", "jpeg", "bmp"):
         px = decode_image_gray(b)
         h, w = px.shape
         return fmt, px.reshape(-1).astype(np.int64), int(w), int(h)
@@ -653,6 +653,14 @@ def sniff_image_header(content: bytes):
         w, h = struct.unpack("<HH", content[6:10])
         depth = ((content[10] >> 4) & 0x7) + 1
         return ("gif", w, h, depth, None)
+    if content[:2] == b"BM" and len(content) >= 26:
+        # BITMAPINFOHEADER starts at offset 14; negative height = top-down
+        w, h = struct.unpack("<ii", content[18:26])
+        bitcount = (
+            struct.unpack("<H", content[28:30])[0] if len(content) >= 30
+            else None
+        )
+        return ("bmp", w, abs(h), bitcount, None)
     if content[:2] == b"\xff\xd8":
         # standard marker walk: fill bytes (repeated 0xFF) are padding,
         # and TEM/RSTn/SOI are standalone markers with NO length field —
@@ -3275,7 +3283,204 @@ def decode_image_gray(content: bytes):
         return gif_decode_gray(bytes(content))
     if fmt == "jpeg":
         return jpeg_decode_gray(bytes(content))
+    if fmt == "bmp":
+        return bmp_decode_gray(bytes(content))
     raise ValueError(f"unsupported image format {fmt!r}")
+
+
+def bmp_encode(
+    asset_id: int,
+    width: int,
+    height: int,
+    bpp: int = 8,
+    topdown: bool = False,
+) -> bytes:
+    """Minimal REAL BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB,
+    4-byte row stride, bottom-up by default / top-down via negative
+    biHeight): 8-bit palettized (256-entry gray BGRA palette, pixel
+    (x,y) = (asset_id·7 + x·11 + y·13) % 256) or 24-bit BGR (three
+    per-channel lattices). The oracle recomputes pixels closed-form;
+    a POSITION-WEIGHTED checksum in the stats proves orientation and
+    stride handling (a flipped or stride-slipped read keeps the plain
+    sum but breaks the weighted one)."""
+    import struct
+
+    import numpy as np
+
+    if bpp not in (8, 24):
+        raise ValueError(f"bpp must be 8 or 24, got {bpp}")
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    if bpp == 8:
+        px = ((asset_id * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+        palette = b"".join(
+            struct.pack("<BBBB", v, v, v, 0) for v in range(256)
+        )
+        stride = (width + 3) & ~3
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        rows[:, :width] = px
+        n_colors = 256
+    else:
+        bch = ((asset_id * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+        gch = ((asset_id * 5 + x * 3 + y * 17) % 256).astype(np.uint8)
+        rch = ((asset_id * 3 + x * 13 + y * 7) % 256).astype(np.uint8)
+        stride = (width * 3 + 3) & ~3
+        rows = np.zeros((height, stride), dtype=np.uint8)
+        inter = np.stack([bch, gch, rch], axis=-1).reshape(height, width * 3)
+        rows[:, : width * 3] = inter
+        palette = b""
+        n_colors = 0
+    if not topdown:
+        rows = rows[::-1]  # file stores bottom row first
+    data = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if topdown else height, 1, bpp, 0, len(data),
+        2835, 2835, n_colors, 0,
+    )
+    offset = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return header + info + palette + data
+
+
+def bmp_decode_gray(content: bytes):
+    """Standalone BMP decode to a grayscale matrix (top-down row-major):
+    BITMAPFILEHEADER/INFOHEADER parse, BI_RGB only, 8-bit palettized
+    (palette deref then exact integer luma (299R+587G+114B)//1000 — the
+    identity for gray palettes) or 24-bit BGR; bottom-up rows flipped,
+    4-byte stride honored. Other depths/compressions raise loudly."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP file")
+    (offset,) = struct.unpack("<I", b[10:14])
+    hsize, w, h = struct.unpack("<Iii", b[14:26])
+    if hsize < 40:
+        raise ValueError(f"unsupported BMP header size {hsize}")
+    planes, bpp, compression = struct.unpack("<HHI", b[26:34])
+    (n_colors,) = struct.unpack("<I", b[46:50])
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if bpp not in (8, 24):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    topdown = h < 0
+    h = abs(h)
+    stride = ((w * bpp + 31) // 32) * 4
+    data = b[offset : offset + stride * h]
+    if len(data) != stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+    if not topdown:
+        rows = rows[::-1]
+    if bpp == 8:
+        if n_colors == 0:
+            n_colors = 256
+        pal = np.frombuffer(
+            b[14 + hsize : 14 + hsize + n_colors * 4], dtype=np.uint8
+        ).reshape(-1, 4)
+        if pal.shape[0] < n_colors:
+            raise ValueError("truncated BMP palette")
+        idx = rows[:, :w].astype(np.int64)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("BMP pixel index beyond palette")
+        bch = pal[idx, 0].astype(np.int64)
+        gch = pal[idx, 1].astype(np.int64)
+        rch = pal[idx, 2].astype(np.int64)
+    else:
+        trip = rows[:, : w * 3].reshape(h, w, 3).astype(np.int64)
+        bch, gch, rch = trip[..., 0], trip[..., 1], trip[..., 2]
+    return ((rch * 299 + gch * 587 + bch * 114) // 1000).astype(np.uint8)
+
+
+def encode_bmp_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    bpp_col: str = "bpp",
+    topdown_col: str = "topdown",
+) -> DataFrame:
+    """Arrow-batched BMP encode: (id, width, height, bpp 8|24, topdown
+    bool) → (id, content binary)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import bmp_encode
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        bmp_encode(int(i), int(w), int(h), int(p), bool(t))
+                        for i, w, h, p, t in zip(
+                            pdf[id_col], pdf[width_col], pdf[height_col],
+                            pdf[bpp_col], pdf[topdown_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(
+        id_col, width_col, height_col, bpp_col, topdown_col
+    ).mapInPandas(gen, "asset_id bigint, content binary")
+
+
+def bmp_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL BMP decode with a position-weighted checksum: (asset_id,
+    format, width, height, bpp, pixel_sum, weighted_sum, px_min,
+    px_max) where weighted_sum = Σ px(x,y)·(y·W + x + 1) over the
+    TOP-DOWN orientation — bottom-up files must be flipped and strides
+    skipped exactly for the weight grid to line up (catalog
+    ``multimodal_bmp_roundtrip``)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            bmp_decode_gray,
+            sniff_image_header,
+        )
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "format": [], "width": [], "height": [],
+                "bpp": [], "pixel_sum": [], "weighted_sum": [],
+                "px_min": [], "px_max": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                fmt, w, h, bpp, _ = sniff_image_header(bytes(content))
+                if fmt != "bmp":
+                    raise ValueError(f"asset {aid}: expected BMP, got {fmt}")
+                px = bmp_decode_gray(bytes(content)).astype(np.int64)
+                hh, ww = px.shape
+                weights = (
+                    np.arange(hh, dtype=np.int64)[:, None] * ww
+                    + np.arange(ww, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["asset_id"].append(int(aid))
+                out["format"].append("bmp")
+                out["width"].append(int(ww))
+                out["height"].append(int(hh))
+                out["bpp"].append(int(bpp))
+                out["pixel_sum"].append(int(px.sum()))
+                out["weighted_sum"].append(int((px * weights).sum()))
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, width int, height int, bpp int, "
+        "pixel_sum bigint, weighted_sum bigint, px_min int, px_max int",
+    )
 
 
 def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:

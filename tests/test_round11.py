@@ -177,3 +177,60 @@ def test_aiff_error_paths():
     bad[comm_at + 14 : comm_at + 16] = struct.pack(">h", 8)
     with pytest.raises(ValueError, match="sample size"):
         aiff_decode_pcm(bytes(bad))
+
+
+# ------------------------------------------------------------------ BMP
+
+
+@pytest.mark.parametrize("bpp", [8, 24])
+@pytest.mark.parametrize("topdown", [False, True])
+@pytest.mark.parametrize("width", [16, 17, 18, 19])  # all stride residues
+def test_bmp_roundtrip_reference(bpp, topdown, width):
+    from pipes_spark.operators.multimodal import bmp_decode_gray, bmp_encode
+
+    aid, h = 42, 9
+    px = bmp_decode_gray(bmp_encode(aid, width, h, bpp, topdown))
+    x = np.arange(width)[None, :]
+    y = np.arange(h)[:, None]
+    if bpp == 8:
+        ref = (aid * 7 + x * 11 + y * 13) % 256
+    else:
+        bc = (aid * 7 + x * 11 + y * 13) % 256
+        gc = (aid * 5 + x * 3 + y * 17) % 256
+        rc = (aid * 3 + x * 13 + y * 7) % 256
+        ref = (rc * 299 + gc * 587 + bc * 114) // 1000
+    assert (px == ref).all()
+
+
+def test_bmp_cross_codec_ahash_identity():
+    """The same picture stored as PNG and BMP yields the IDENTICAL
+    aHash — BMP joins the codec-independent perceptual-dedup tier."""
+    from pipes_spark.operators.multimodal import (
+        bmp_encode,
+        decode_image_gray,
+        png_encode_array,
+    )
+
+    aid, w, h = 7, 20, 12
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    px = ((aid * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+    from_bmp = decode_image_gray(bmp_encode(aid, w, h, 8, False))
+    from_png = decode_image_gray(png_encode_array(px))
+    assert (from_bmp == from_png).all()
+
+
+def test_bmp_error_paths():
+    import struct
+
+    from pipes_spark.operators.multimodal import bmp_decode_gray, bmp_encode
+
+    with pytest.raises(ValueError, match="bpp"):
+        bmp_encode(1, 8, 8, 16)
+    good = bmp_encode(1, 8, 8, 8, False)
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        bmp_decode_gray(bytes(rle))
+    with pytest.raises(ValueError, match="truncated BMP pixel"):
+        bmp_decode_gray(good[:-4])
