@@ -15994,6 +15994,74 @@ def multimodal_video_dib_frame_sample(spark, sf_dir):
 
 
 @query(
+    "multimodal_video_rle_frame_sample",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 7 + 16 AS INT) AS width,
+             CAST(doc_id % 5 + 8 AS INT) AS height,
+             CAST(doc_id % 3 + 2 AS INT) AS nf
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, width, height, CAST(f.f AS INT) AS frame_no
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(nf AS BIGINT) - 1, 2)
+           ) AS f(f)
+    ), px AS (
+      SELECT doc_id, frame_no,
+             CAST(sum(CASE WHEN uy.y % 4 = 0
+                  THEN (doc_id + 11 * frame_no + ux.x * 13) % 256
+                  ELSE (doc_id + 11 * frame_no + uy.y * 7
+                        + (ux.x // 4) * 31) % 256 END) AS BIGINT)
+               AS pixel_sum
+      FROM fr,
+           LATERAL unnest(
+             generate_series(0, CAST(width AS BIGINT) - 1)) AS ux(x),
+           LATERAL unnest(
+             generate_series(0, CAST(height AS BIGINT) - 1)) AS uy(y)
+      GROUP BY doc_id, frame_no
+    )
+    SELECT f.doc_id AS asset_id, frame_no, width, height, pixel_sum
+    FROM fr f JOIN px USING (doc_id, frame_no)
+    ORDER BY asset_id, frame_no
+    """,
+)
+def multimodal_video_rle_frame_sample(spark, sf_dir):
+    """REAL RLE-COMPRESSED video frame sampling (round 11 — the third
+    video path: handler MRLE, '00dc' chunks holding Microsoft BI_RLE8
+    streams, biCompression 1; the remaining video stub is now ONLY
+    inter-frame codecs): every frame's content forces BOTH compression
+    modes — every 4th row is a step-13 literal lattice (absolute mode,
+    word-aligned) and other rows are runs of 4 (encoded mode) — plus
+    EOL/EOS escapes; the delta escape is pytest-held on a hand-built
+    stream. Same sampler operator (avi_frame_sample_stats dispatches
+    on the handler), decoding through rle8_decode_frame: bottom-up
+    coordinate walk flipped to top-down, palette deref. The oracle
+    recomputes every sampled frame's pixel sum closed-form from the
+    two-mode lattice, so a hash-pass proves real run/absolute/EOL
+    decode — a mode mix-up or alignment slip changes the sum."""
+    from .operators.multimodal import (
+        avi_frame_sample_stats,
+        encode_avi_rle8_assets,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
+    )
+    assets = encode_avi_rle8_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+    )
+    return avi_frame_sample_stats(assets, every_k=2).orderBy(
+        "asset_id", "frame_no"
+    )
+
+
+@query(
     "multimodal_cross_codec_ahash",
     oracle="""
     WITH dims AS (

@@ -234,3 +234,60 @@ def test_bmp_error_paths():
         bmp_decode_gray(bytes(rle))
     with pytest.raises(ValueError, match="truncated BMP pixel"):
         bmp_decode_gray(good[:-4])
+
+
+# ------------------------------------------------------------- RLE8 AVI
+
+
+@pytest.mark.parametrize("w,h", [(16, 8), (17, 9), (19, 12), (1, 1), (255, 3)])
+def test_rle8_roundtrip_shapes(w, h):
+    from pipes_spark.operators.multimodal import (
+        rle8_decode_frame,
+        rle8_encode_frame,
+        rle8_frame_lattice,
+    )
+
+    rng = np.random.default_rng(h * 1000 + w)
+    for px in (
+        rle8_frame_lattice(7, 2, w, h),
+        rng.integers(0, 256, (h, w), dtype=np.uint8),
+        np.full((h, w), 99, np.uint8),
+    ):
+        assert (rle8_decode_frame(rle8_encode_frame(px), w, h) == px).all()
+
+
+def test_rle8_delta_escape_and_long_runs():
+    from pipes_spark.operators.multimodal import (
+        rle8_decode_frame,
+        rle8_encode_frame,
+    )
+
+    # hand-built stream exercising the 00 02 delta escape (decoder-only
+    # path: the encoder never emits deltas, real-world streams do)
+    data = bytes(
+        [2, 7, 0, 2, 1, 2, 3, 9, 0, 0, 0, 1]
+    )  # run 2×7, delta(+1,+2), run 3×9, EOL, EOS
+    dec = rle8_decode_frame(data, 6, 4)
+    ref = np.zeros((4, 6), np.uint8)
+    ref[3, 0:2] = 7  # bottom-up row 0 = top-down row 3
+    ref[1, 3:6] = 9  # after delta: x=3, y=2 = top-down row 1
+    assert (dec == ref).all()
+    # runs longer than the 255-count ceiling split across encoded pairs
+    px = np.full((2, 600), 5, np.uint8)
+    assert (rle8_decode_frame(rle8_encode_frame(px), 600, 2) == px).all()
+    # RLE genuinely compresses run-dominated content
+    from pipes_spark.operators.multimodal import rle8_frame_lattice
+
+    px = rle8_frame_lattice(3, 0, 64, 32)
+    assert len(rle8_encode_frame(px)) < px.size
+
+
+def test_rle8_error_paths():
+    from pipes_spark.operators.multimodal import rle8_decode_frame
+
+    with pytest.raises(ValueError, match="beyond bitmap bounds"):
+        rle8_decode_frame(bytes([10, 1, 0, 1]), 4, 4)
+    with pytest.raises(ValueError, match="missing end-of-bitmap"):
+        rle8_decode_frame(bytes([2, 7, 0, 0]), 4, 4)
+    with pytest.raises(ValueError, match="truncated RLE8 absolute"):
+        rle8_decode_frame(bytes([0, 5, 1, 2]), 8, 4)
