@@ -15513,6 +15513,71 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_tiff_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 7 AS INT) AS w,
+             CAST(8 + doc_id % 5 AS INT) AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+             CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 32773 END
+                  AS INT) AS compression,
+             CAST((doc_id // 4) % 2 AS INT) AS photometric
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+             (doc_id * 7 + ux.x * 11 + uy.y * 13) % 256 AS g
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS ux(x),
+           LATERAL unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS uy(y)
+    ), agg AS (
+      SELECT doc_id, CAST(sum(g) AS BIGINT) AS pixel_sum,
+             CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS weighted_sum
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'tiff' AS format, byte_order, compression,
+           photometric, w AS width, h AS height, pixel_sum, weighted_sum
+    FROM dims d JOIN agg USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_tiff_roundtrip(spark, sf_dir):
+    """REAL TIFF image round trip (round 11 — fifth image codec on the
+    unified dispatch; TIFF 6.0 from the public Adobe spec): BOTH byte
+    orders ('II' little / 'MM' big — every tag value re-read under the
+    header's order), MULTI-STRIP layout (RowsPerStrip 4 < height, so
+    StripOffsets/ByteCounts are real out-of-line LONG arrays),
+    Compression 1 and 32773 (PackBits — Apple's run/literal scheme,
+    implemented both directions), and both PhotometricInterpretations
+    (WhiteIsZero files store the 255-complement; the decoder must
+    re-invert, and the position-weighted checksum would catch a missed
+    inversion or a strip mis-assembly). doc_id parity ladder covers the
+    full (order × compression × photometric) cube. TIFF also feeds
+    decode_image_gray, so cross-codec aHash and generic real mode gain
+    the format for free."""
+    from .operators.multimodal import encode_tiff_assets, tiff_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
+        F.when(F.col("doc_id") % 2 == 0, "II").otherwise("MM")
+        .alias("byte_order"),
+        F.when((F.col("doc_id") / 2).cast("bigint") % 2 == 0, 1)
+        .otherwise(32773)
+        .cast("int")
+        .alias("compression"),
+        ((F.col("doc_id") / 4).cast("bigint") % 2).cast("int")
+        .alias("photometric"),
+    )
+    assets = encode_tiff_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "byte_order",
+        "compression", "photometric",
+    )
+    return tiff_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_bmp_roundtrip",
     oracle="""
     WITH dims AS (

@@ -95,7 +95,7 @@ def decode_asset_values(content: bytes, label: str = "asset"):
 
     b = bytes(content)
     fmt, *_ = sniff_image_header(b)
-    if fmt in ("png", "gif", "jpeg", "bmp"):
+    if fmt in ("png", "gif", "jpeg", "bmp", "tiff"):
         px = decode_image_gray(b)
         h, w = px.shape
         return fmt, px.reshape(-1).astype(np.int64), int(w), int(h)
@@ -653,6 +653,32 @@ def sniff_image_header(content: bytes):
         w, h = struct.unpack("<HH", content[6:10])
         depth = ((content[10] >> 4) & 0x7) + 1
         return ("gif", w, h, depth, None)
+    if content[:4] in (b"II*\x00", b"MM\x00*") and len(content) >= 8:
+        e = "<" if content[:2] == b"II" else ">"
+        (ifd_at,) = struct.unpack(e + "I", content[4:8])
+        w = h = depth = None
+        if ifd_at + 2 <= len(content):
+            (n_entries,) = struct.unpack(
+                e + "H", content[ifd_at : ifd_at + 2]
+            )
+            for i in range(n_entries):
+                at = ifd_at + 2 + i * 12
+                if at + 12 > len(content):
+                    break
+                tag, typ, _cnt = struct.unpack(
+                    e + "HHI", content[at : at + 8]
+                )
+                if typ == 3:
+                    (val,) = struct.unpack(e + "H", content[at + 8 : at + 10])
+                else:
+                    (val,) = struct.unpack(e + "I", content[at + 8 : at + 12])
+                if tag == 256:
+                    w = val
+                elif tag == 257:
+                    h = val
+                elif tag == 258:
+                    depth = val
+        return ("tiff", w, h, depth, None)
     if content[:2] == b"BM" and len(content) >= 26:
         # BITMAPINFOHEADER starts at offset 14; negative height = top-down
         w, h = struct.unpack("<ii", content[18:26])
@@ -3510,6 +3536,8 @@ def decode_image_gray(content: bytes):
         return jpeg_decode_gray(bytes(content))
     if fmt == "bmp":
         return bmp_decode_gray(bytes(content))
+    if fmt == "tiff":
+        return tiff_decode_gray(bytes(content))
     raise ValueError(f"unsupported image format {fmt!r}")
 
 
@@ -3705,6 +3733,351 @@ def bmp_decode_stats(assets: DataFrame) -> DataFrame:
         gen,
         "asset_id bigint, format string, width int, height int, bpp int, "
         "pixel_sum bigint, weighted_sum bigint, px_min int, px_max int",
+    )
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Apple PackBits (the TIFF 6.0 Compression=32773 scheme): runs of
+    ≥ 3 as (257-n, value) replicate pairs, literals as (n-1, bytes);
+    128 is the no-op and never emitted."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        j = i + 1
+        while j < n and row[j] == row[i] and j - i < 127:
+            j += 1
+        if j - i >= 3:
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        # literal stretch: until the next ≥3 run or the 128-byte ceiling
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        out.append(k - i - 1)
+        out += row[i:k]
+        i = k
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int, label: str = "strip") -> bytes:
+    """PackBits inflate: n in 0..127 → copy n+1 literals; 129..255 →
+    repeat next byte 257-n times; 128 → no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while len(out) < expected and i < n:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                raise ValueError(f"{label}: truncated PackBits literal")
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                raise ValueError(f"{label}: truncated PackBits run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    if len(out) != expected:
+        raise ValueError(
+            f"{label}: PackBits inflated {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def tiff_encode_gray(
+    asset_id: int,
+    width: int,
+    height: int,
+    byte_order: str = "II",
+    compression: int = 1,
+    photometric: int = 1,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Minimal REAL TIFF 6.0 (public Adobe spec): header in EITHER byte
+    order ('II' little / 'MM' big — tag values follow it), one IFD with
+    the baseline grayscale tag set, MULTI-STRIP layout (RowsPerStrip
+    usually < height, so StripOffsets/ByteCounts are real arrays), and
+    Compression 1 (none) or 32773 (PackBits). Stored sample for pixel
+    (x,y): the standard lattice under PhotometricInterpretation 1
+    (BlackIsZero), or its 255-complement under 0 (WhiteIsZero) — the
+    decoder must re-invert, so the gate proves photometric handling."""
+    import struct
+
+    import numpy as np
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be 'II' or 'MM', got {byte_order!r}")
+    if compression not in (1, 32773):
+        raise ValueError(f"compression must be 1 or 32773, got {compression}")
+    if photometric not in (0, 1):
+        raise ValueError(f"photometric must be 0 or 1, got {photometric}")
+    e = "<" if byte_order == "II" else ">"
+    x = np.arange(width, dtype=np.int64)[None, :]
+    y = np.arange(height, dtype=np.int64)[:, None]
+    px = ((asset_id * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+    stored = (255 - px) if photometric == 0 else px
+    strips = []
+    for y0 in range(0, height, rows_per_strip):
+        raw = stored[y0 : y0 + rows_per_strip].tobytes()
+        strips.append(_packbits_encode(raw) if compression == 32773 else raw)
+
+    def entry(tag, typ, count, value):
+        # SHORT (3) and LONG (4) inline values live left-justified in the
+        # 4-byte field per the spec
+        if typ == 3:
+            return struct.pack(e + "HHI", tag, typ, count) + struct.pack(
+                e + "HH", value, 0
+            )
+        return struct.pack(e + "HHII", tag, typ, count, value)
+
+    n_strips = len(strips)
+    # layout: header(8) + IFD + [strip arrays] + strip data
+    n_entries = 9
+    ifd_size = 2 + n_entries * 12 + 4
+    arrays_at = 8 + ifd_size
+    if n_strips > 1:
+        offs_at = arrays_at
+        counts_at = offs_at + 4 * n_strips
+        data_at = counts_at + 4 * n_strips
+    else:
+        offs_at = counts_at = 0
+        data_at = arrays_at
+    strip_offsets = []
+    pos = data_at
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    entries = [
+        entry(256, 4, 1, width),  # ImageWidth
+        entry(257, 4, 1, height),  # ImageLength
+        entry(258, 3, 1, 8),  # BitsPerSample
+        entry(259, 3, 1, compression),
+        entry(262, 3, 1, photometric),
+        entry(
+            273, 4, n_strips,
+            strip_offsets[0] if n_strips == 1 else offs_at,
+        ),  # StripOffsets
+        entry(277, 3, 1, 1),  # SamplesPerPixel
+        entry(278, 4, 1, rows_per_strip),
+        entry(
+            279, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else counts_at,
+        ),  # StripByteCounts
+    ]
+    out = bytearray()
+    out += byte_order.encode() + struct.pack(e + "HI", 42, 8)
+    out += struct.pack(e + "H", n_entries)
+    for en in entries:
+        out += en
+    out += struct.pack(e + "I", 0)  # next-IFD terminator
+    if n_strips > 1:
+        for o in strip_offsets:
+            out += struct.pack(e + "I", o)
+        for s in strips:
+            out += struct.pack(e + "I", len(s))
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def tiff_decode_gray(content: bytes, label: str = "asset"):
+    """Standalone baseline-grayscale TIFF decode: byte-order-aware
+    header + first-IFD walk, strip concatenation (PackBits inflated),
+    WhiteIsZero re-inversion. Returns the grayscale matrix; color,
+    other depths, and other compressions raise loudly."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        raise ValueError(f"{label}: not a TIFF file")
+    e = "<" if b[:2] == b"II" else ">"
+    magic, ifd_at = struct.unpack(e + "HI", b[2:8])
+    if magic != 42:
+        raise ValueError(f"{label}: bad TIFF magic {magic}")
+    (n_entries,) = struct.unpack(e + "H", b[ifd_at : ifd_at + 2])
+    tags = {}
+    for i in range(n_entries):
+        at = ifd_at + 2 + i * 12
+        tag, typ, count = struct.unpack(e + "HHI", b[at : at + 8])
+        if typ == 3 and count == 1:
+            (val,) = struct.unpack(e + "H", b[at + 8 : at + 10])
+            tags[tag] = (typ, count, val)
+        else:
+            (val,) = struct.unpack(e + "I", b[at + 8 : at + 12])
+            tags[tag] = (typ, count, val)
+
+    def long_array(tag):
+        typ, count, val = tags[tag]
+        if count == 1:
+            return [val]
+        sz = 2 if typ == 3 else 4
+        fmt = "H" if typ == 3 else "I"
+        return list(
+            struct.unpack(e + fmt * count, b[val : val + sz * count])
+        )
+
+    for req in (256, 257, 273, 279):
+        if req not in tags:
+            raise ValueError(f"{label}: TIFF missing required tag {req}")
+    width = tags[256][2]
+    height = tags[257][2]
+    bits = tags.get(258, (3, 1, 1))[2]
+    compression = tags.get(259, (3, 1, 1))[2]
+    photometric = tags.get(262, (3, 1, 1))[2]
+    spp = tags.get(277, (3, 1, 1))[2]
+    rps = tags.get(278, (4, 1, height))[2]
+    if bits != 8 or spp != 1:
+        raise ValueError(
+            f"{label}: only 8-bit single-sample TIFF supported "
+            f"(bits {bits}, samples {spp})"
+        )
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"{label}: unsupported TIFF compression {compression} "
+            "(supported: none, PackBits)"
+        )
+    if photometric not in (0, 1):
+        raise ValueError(
+            f"{label}: unsupported photometric {photometric} (gray only)"
+        )
+    offsets = long_array(273)
+    counts = long_array(279)
+    if len(offsets) != len(counts):
+        raise ValueError(f"{label}: strip offset/count arity mismatch")
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = b[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError(f"{label}: truncated strip {si}")
+        rows_here = min(rps, height - si * rps)
+        if rows_here <= 0:
+            raise ValueError(f"{label}: more strips than image rows")
+        if compression == 32773:
+            strip = _packbits_decode(
+                strip, rows_here * width, label=f"{label} strip {si}"
+            )
+        elif len(strip) != rows_here * width:
+            raise ValueError(f"{label}: strip {si} size mismatch")
+        raw += strip
+    if len(raw) != width * height:
+        raise ValueError(f"{label}: strips cover {len(raw)} bytes, "
+                         f"expected {width * height}")
+    px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, width)
+    if photometric == 0:  # WhiteIsZero
+        px = 255 - px
+    return px
+
+
+def encode_tiff_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    order_col: str = "byte_order",
+    comp_col: str = "compression",
+    photo_col: str = "photometric",
+) -> DataFrame:
+    """Arrow-batched TIFF encode: (id, width, height, byte_order
+    'II'|'MM', compression 1|32773, photometric 0|1) → (id, content)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import tiff_encode_gray
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        tiff_encode_gray(
+                            int(i), int(w), int(h), str(o), int(c), int(p)
+                        )
+                        for i, w, h, o, c, p in zip(
+                            pdf[id_col], pdf[width_col], pdf[height_col],
+                            pdf[order_col], pdf[comp_col], pdf[photo_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(
+        id_col, width_col, height_col, order_col, comp_col, photo_col
+    ).mapInPandas(gen, "asset_id bigint, content binary")
+
+
+def tiff_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL TIFF decode with the position-weighted checksum row
+    (catalog ``multimodal_tiff_roundtrip``): (asset_id, format,
+    byte_order, compression, photometric, width, height, pixel_sum,
+    weighted_sum) — the weighted sum catches strip mis-assembly and a
+    skipped WhiteIsZero inversion alike."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import tiff_decode_gray
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "format": [], "byte_order": [],
+                "compression": [], "photometric": [], "width": [],
+                "height": [], "pixel_sum": [], "weighted_sum": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                e = "<" if b[:2] == b"II" else ">"
+                px = tiff_decode_gray(b, label=f"asset {aid}").astype(
+                    np.int64
+                )
+                # re-read compression/photometric for the evidence row
+                (_, ifd_at) = struct.unpack(e + "HI", b[2:8])
+                (n_entries,) = struct.unpack(e + "H", b[ifd_at : ifd_at + 2])
+                comp = photo = 1
+                for i in range(n_entries):
+                    at = ifd_at + 2 + i * 12
+                    tag, typ, _cnt = struct.unpack(e + "HHI", b[at : at + 8])
+                    if tag in (259, 262):
+                        (val,) = struct.unpack(e + "H", b[at + 8 : at + 10])
+                        if tag == 259:
+                            comp = val
+                        else:
+                            photo = val
+                hh, ww = px.shape
+                weights = (
+                    np.arange(hh, dtype=np.int64)[:, None] * ww
+                    + np.arange(ww, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["asset_id"].append(int(aid))
+                out["format"].append("tiff")
+                out["byte_order"].append(b[:2].decode())
+                out["compression"].append(int(comp))
+                out["photometric"].append(int(photo))
+                out["width"].append(int(ww))
+                out["height"].append(int(hh))
+                out["pixel_sum"].append(int(px.sum()))
+                out["weighted_sum"].append(int((px * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, byte_order string, "
+        "compression int, photometric int, width int, height int, "
+        "pixel_sum bigint, weighted_sum bigint",
     )
 
 

@@ -291,3 +291,84 @@ def test_rle8_error_paths():
         rle8_decode_frame(bytes([2, 7, 0, 0]), 4, 4)
     with pytest.raises(ValueError, match="truncated RLE8 absolute"):
         rle8_decode_frame(bytes([0, 5, 1, 2]), 8, 4)
+
+
+# ----------------------------------------------------------------- TIFF
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+@pytest.mark.parametrize("comp", [1, 32773])
+@pytest.mark.parametrize("photo", [0, 1])
+def test_tiff_roundtrip_cube(order, comp, photo):
+    from pipes_spark.operators.multimodal import (
+        tiff_decode_gray,
+        tiff_encode_gray,
+    )
+
+    aid, w, h = 11, 19, 9
+    px = tiff_decode_gray(tiff_encode_gray(aid, w, h, order, comp, photo))
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert (px == (aid * 7 + x * 11 + y * 13) % 256).all()
+
+
+def test_tiff_packbits_pathological_rows():
+    from pipes_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    rng = np.random.default_rng(1)
+    for row in (
+        bytes(rng.integers(0, 256, 300, dtype=np.uint8)),
+        b"\x05" * 300,  # run far beyond the 128 ceiling
+        b"ab" * 50,  # alternating: all literals
+        b"",
+        b"\x00",
+        b"aaabbbcccd",
+    ):
+        assert _packbits_decode(_packbits_encode(row), len(row)) == row
+    # 0x80 no-op byte is skipped on decode
+    assert _packbits_decode(b"\x80\x00A", 1) == b"A"
+
+
+def test_tiff_cross_codec_and_single_strip():
+    from pipes_spark.operators.multimodal import (
+        decode_image_gray,
+        png_encode_array,
+        tiff_encode_gray,
+    )
+
+    aid, w, h = 7, 20, 12
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    ref = ((aid * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+    # single-strip inline offsets vs multi-strip out-of-line arrays
+    for rps in (4, 64):
+        got = decode_image_gray(tiff_encode_gray(aid, w, h, "MM", 32773, 0, rps))
+        assert (got == ref).all()
+    assert (
+        decode_image_gray(tiff_encode_gray(aid, w, h))
+        == decode_image_gray(png_encode_array(ref))
+    ).all()
+
+
+def test_tiff_error_paths():
+    from pipes_spark.operators.multimodal import (
+        tiff_decode_gray,
+        tiff_encode_gray,
+    )
+
+    with pytest.raises(ValueError, match="bad TIFF magic 43"):
+        tiff_decode_gray(b"II\x2b\x00xxxx")  # BigTIFF magic 43 refused
+    with pytest.raises(ValueError, match="not a TIFF"):
+        tiff_decode_gray(b"JJ\x2a\x00xxxx")
+    good = tiff_encode_gray(1, 10, 8)
+    with pytest.raises(ValueError, match="truncated strip"):
+        tiff_decode_gray(good[:-5])
+    bad = bytearray(good)
+    # compression tag (259) value -> LZW (5): unsupported, loud
+    at = 8 + 2 + 3 * 12 + 8
+    bad[at] = 5
+    with pytest.raises(ValueError, match="compression 5"):
+        tiff_decode_gray(bytes(bad))
