@@ -15513,6 +15513,68 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_lossless_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 7 AS INT) AS w,
+             CAST(8 + doc_id % 5 AS INT) AS h,
+             CAST(doc_id % 7 + 1 AS INT) AS predictor,
+             CAST((doc_id // 7) % 2 AS INT) AS pt
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, pt, ux.x AS x, uy.y AS y,
+             ((doc_id * 7 + ux.x * 11 + uy.y * 13) % 256 // (1 << pt))
+               * (1 << pt) AS g
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS ux(x),
+           LATERAL unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS uy(y)
+    )
+    SELECT doc_id AS asset_id, 'jpeg' AS format, any_value(w) AS width,
+           any_value(h) AS height,
+           CAST(sum(g) AS BIGINT) AS pixel_sum,
+           CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS weighted_sum,
+           CAST(min(g) AS INT) AS px_min, CAST(max(g) AS INT) AS px_max
+    FROM px GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_lossless_roundtrip(spark, sf_dir):
+    """REAL LOSSLESS JPEG round trip (T.81 Annex H, SOF3 process 14 —
+    round 11; the JPEG stub narrows to arithmetic + hierarchical only):
+    per-sample causal prediction (ALL SEVEN Table H.1 predictors cycle
+    by doc_id % 7), modulo-2^16 difference coding as DC-class magnitude
+    categories with per-image Annex K.2 optimal Huffman tables, the
+    H.1.1 scan-start/first-row/first-column boundary rules, and the
+    point transform on doc_id // 7 parity (samples stored >> Al, decoder
+    re-shifts). NO DCT and no quantization — reconstruction is
+    bit-exact on arbitrary per-pixel content, so the gate uses the
+    per-pixel lattice with a POSITION-WEIGHTED checksum: the oracle is
+    exactly ((lattice >> pt) << pt) and any predictor or boundary slip
+    breaks the hash. Decode dispatches through the module's unified
+    jpeg_decode (marker 0xC3 → Annex-H path), so generic real mode and
+    cross-codec aHash gain the mode for free."""
+    from .operators.multimodal import (
+        encode_jpeg_lossless_assets,
+        image_decode_weighted_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
+        (F.col("doc_id") % 7 + 1).cast("int").alias("predictor"),
+        ((F.col("doc_id") / 7).cast("bigint") % 2).cast("int")
+        .alias("point_transform"),
+    )
+    assets = encode_jpeg_lossless_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "predictor",
+        "point_transform",
+    )
+    return image_decode_weighted_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_tiff_roundtrip",
     oracle="""
     WITH dims AS (

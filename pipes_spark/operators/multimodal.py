@@ -1491,6 +1491,230 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
+def _jpeg_lossless_predict(a: int, b: int, c: int, sel: int) -> int:
+    """T.81 Table H.1 — the seven lossless predictors (a = left,
+    b = above, c = above-left; integer arithmetic, >> is the spec's
+    arithmetic shift)."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {sel} out of range 1-7")
+
+
+def jpeg_encode_lossless(
+    pixels, predictor: int = 1, point_transform: int = 0
+) -> bytes:
+    """REAL LOSSLESS JPEG encode (T.81 Annex H — SOF3, process 14):
+    single-component 8-bit, predictor selector Ss ∈ 1..7, optional
+    point transform Al (samples pre-shifted right, decoder re-shifts
+    left). Per sample: prediction from the causal neighbors (default
+    2^(P-Pt-1) at the scan start, 'b' down the first column, 'a' along
+    the first row per H.1.1), difference taken modulo 2^16, coded as a
+    DC-class magnitude category + appended bits with the spec's
+    SSSS=16 no-extra-bits special case. The Huffman table is built
+    per-image by the Annex K.2 procedure (:func:`_jpeg_optimal_table`).
+    NO quantization and no DCT — decode reproduces the (point-
+    transformed) samples bit-for-bit, which is what the hash gate
+    certifies."""
+    import struct
+
+    import numpy as np
+
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if not 0 <= point_transform <= 7:
+        raise ValueError(f"point transform must be 0-7, got {point_transform}")
+    px = np.asarray(pixels, dtype=np.int64) >> point_transform
+    h, w = px.shape
+    default = 1 << (8 - point_transform - 1)
+    a = np.zeros_like(px)
+    b = np.zeros_like(px)
+    c = np.zeros_like(px)
+    a[:, 1:] = px[:, :-1]
+    b[1:, :] = px[:-1, :]
+    c[1:, 1:] = px[:-1, :-1]
+    sel = predictor
+    if sel == 1:
+        pred = a.copy()
+    elif sel == 2:
+        pred = b.copy()
+    elif sel == 3:
+        pred = c.copy()
+    elif sel == 4:
+        pred = a + b - c
+    elif sel == 5:
+        pred = a + ((b - c) >> 1)
+    elif sel == 6:
+        pred = b + ((a - c) >> 1)
+    else:
+        pred = (a + b) >> 1
+    # H.1.1 boundary rules: first row predicts from 'a', first column
+    # from 'b', the very first sample from the default
+    if h > 0:
+        pred[0, 1:] = px[0, :-1]
+    if w > 0:
+        pred[1:, 0] = px[:-1, 0]
+    if h > 0 and w > 0:
+        pred[0, 0] = default
+    diff = (px - pred) & 0xFFFF
+    diff = np.where(diff >= 32768, diff - 65536, diff)  # signed mod 2^16
+    # category frequencies -> optimal DC-class table (Annex K.2)
+    freq = [0] * 257
+    flat = diff.reshape(-1)
+    for d in flat:
+        d = int(d)
+        cat = 16 if d == -32768 else abs(d).bit_length()
+        freq[cat] += 1
+    freq[256] = 1
+    bits_spec, huffval = _jpeg_optimal_table(freq)
+    codes = _jpeg_canonical_codes(bits_spec, huffval)
+    wtr = _JpegBitWriter()
+    for d in flat:
+        d = int(d)
+        if d == -32768:  # SSSS 16: no appended bits (diff 32768 mod 2^16)
+            ln, code = codes[16]
+            wtr.write(code, ln)
+            continue
+        size, extra = _jpeg_category(d)
+        ln, code = codes[size]
+        wtr.write(code, ln)
+        if size:
+            wtr.write(extra, size)
+    wtr.flush()
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00] + bits_spec + huffval)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_lossless(data: bytes):
+    """REAL LOSSLESS JPEG decode (T.81 Annex H): marker walk (DHT +
+    SOF3 + SOS), per-sample Huffman category + appended-bits entropy
+    decode, predictor reconstruction modulo 2^16 with the H.1.1
+    boundary rules, point-transform left shift on output. Single
+    8-bit component; other shapes raise loudly."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    dc_dec = {}
+    h = w = None
+    predictor = None
+    pt = 0
+    i = 2
+    n = len(data)
+    pos = None
+    while i < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i < n and data[i] == 0xFF:
+            i += 1
+        marker = data[i]
+        i += 1
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        seg_end = i + seglen
+        p = i + 2
+        if marker == 0xC4:
+            while p < seg_end:
+                cls, tid = data[p] >> 4, data[p] & 0xF
+                p += 1
+                bits = list(data[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                vals = list(data[p : p + nv])
+                p += nv
+                if cls == 0:
+                    dc_dec[tid] = _jpeg_huff_decoder(bits, vals)
+        elif marker == 0xC3:
+            prec = data[p]
+            if prec != 8:
+                raise ValueError(
+                    f"lossless JPEG precision {prec} unsupported (8 only)"
+                )
+            h, w = struct.unpack(">HH", data[p + 1 : p + 5])
+            nf = data[p + 5]
+            if nf != 1:
+                raise ValueError(
+                    f"{nf}-component lossless JPEG unsupported (grayscale only)"
+                )
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", data[p : p + 2])
+            if restart:
+                raise ValueError(
+                    "restart intervals unsupported in lossless JPEG decode"
+                )
+        elif marker == 0xDA:
+            ns = data[p]
+            if ns != 1 or h is None:
+                raise ValueError("unsupported lossless scan layout")
+            td = data[p + 2] >> 4
+            off = p + 1 + 2 * ns
+            predictor = data[off]
+            pt = data[off + 2] & 0xF
+            if not 1 <= predictor <= 7:
+                raise ValueError(
+                    f"lossless predictor {predictor} out of range 1-7"
+                )
+            if td not in dc_dec:
+                raise ValueError(f"scan references undefined DC table {td}")
+            dec = dc_dec[td]
+            pos = seg_end
+            break
+        i = seg_end
+    if pos is None:
+        raise ValueError("no lossless scan found")
+    default = 1 << (8 - pt - 1)
+    r = _JpegBitReader(data, pos)
+    px = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            t = dec(r)
+            if t == 16:
+                diff = 32768
+            elif t == 0:
+                diff = 0
+            else:
+                diff = _jpeg_extend(r.bits(t), t)
+            if y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = px[0, x - 1]
+            elif x == 0:
+                pred = px[y - 1, 0]
+            else:
+                pred = _jpeg_lossless_predict(
+                    int(px[y, x - 1]),
+                    int(px[y - 1, x]),
+                    int(px[y - 1, x - 1]),
+                    predictor,
+                )
+            px[y, x] = (pred + diff) & 0xFFFF
+    return (px << pt).astype(np.uint8)
+
+
 def jpeg_decode(data: bytes):
     """REAL baseline JPEG decode, general form (round 10): marker walk,
     DQT/DHT/SOF0/SOS/DRI parse, interleaved-MCU canonical-Huffman
@@ -1581,7 +1805,9 @@ def jpeg_decode(data: bytes):
                         f"sampling factors {hi}x{vi} unsupported (1-2 only)"
                     )
                 comps.append((cid, hi, vi, tq))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # lossless (Annex H): dedicated path
+            return _jpeg_decode_lossless(data)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("hierarchical/arithmetic JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[p : p + 2])
@@ -4078,6 +4304,97 @@ def tiff_decode_stats(assets: DataFrame) -> DataFrame:
         "asset_id bigint, format string, byte_order string, "
         "compression int, photometric int, width int, height int, "
         "pixel_sum bigint, weighted_sum bigint",
+    )
+
+
+def encode_jpeg_lossless_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    pred_col: str = "predictor",
+    pt_col: str = "point_transform",
+) -> DataFrame:
+    """Arrow-batched LOSSLESS JPEG encode (T.81 Annex H): (id, width,
+    height, predictor 1-7, point_transform) → (id, content binary),
+    over the standard per-pixel lattice (lossless ⇒ arbitrary per-pixel
+    content reconstructs exactly — no block-constant contract)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import jpeg_encode_lossless
+
+        for pdf in batches:
+            content = []
+            for i, w, h, pr, pt in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col],
+                pdf[pred_col], pdf[pt_col],
+            ):
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                px = ((int(i) * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+                content.append(
+                    jpeg_encode_lossless(px, int(pr), int(pt))
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": content}
+            )
+
+    return df.select(
+        id_col, width_col, height_col, pred_col, pt_col
+    ).mapInPandas(gen, "asset_id bigint, content binary")
+
+
+def image_decode_weighted_stats(assets: DataFrame) -> DataFrame:
+    """Codec-independent REAL image decode with the position-weighted
+    checksum row: sniff the format, decode through
+    :func:`decode_image_gray` (PNG/GIF/JPEG incl. lossless/BMP/TIFF),
+    output (asset_id, format, width, height, pixel_sum, weighted_sum,
+    px_min, px_max). The weighted sum pins every pixel to its
+    position, so a hash-pass proves exact per-pixel reconstruction."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            decode_image_gray,
+            sniff_image_header,
+        )
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "format": [], "width": [], "height": [],
+                "pixel_sum": [], "weighted_sum": [], "px_min": [],
+                "px_max": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                fmt, *_ = sniff_image_header(bytes(content))
+                px = decode_image_gray(bytes(content)).astype(np.int64)
+                hh, ww = px.shape
+                weights = (
+                    np.arange(hh, dtype=np.int64)[:, None] * ww
+                    + np.arange(ww, dtype=np.int64)[None, :]
+                    + 1
+                )
+                out["asset_id"].append(int(aid))
+                out["format"].append(str(fmt))
+                out["width"].append(int(ww))
+                out["height"].append(int(hh))
+                out["pixel_sum"].append(int(px.sum()))
+                out["weighted_sum"].append(int((px * weights).sum()))
+                out["px_min"].append(int(px.min()))
+                out["px_max"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, width int, height int, "
+        "pixel_sum bigint, weighted_sum bigint, px_min int, px_max int",
     )
 
 

@@ -1,5 +1,5 @@
 """Round-11 session-2 additions: ADPCM audio (IMA + Microsoft), AIFF
-container, BMP images, RLE8 AVI video, BPE-merge training.
+container, BMP and TIFF images, RLE8 AVI video, lossless JPEG (SOF3).
 
 Reference parity: the reference engine (mariomac/pipes) has no media
 surface — these extend the LLM-data-pipeline tier the judge grades as
@@ -372,3 +372,68 @@ def test_tiff_error_paths():
     bad[at] = 5
     with pytest.raises(ValueError, match="compression 5"):
         tiff_decode_gray(bytes(bad))
+
+
+# ------------------------------------------------------- lossless JPEG
+
+
+@pytest.mark.parametrize("pred", list(range(1, 8)))
+def test_jpeg_lossless_bit_exact_all_predictors(pred):
+    from pipes_spark.operators.multimodal import (
+        _jpeg_decode_lossless,
+        jpeg_encode_lossless,
+    )
+
+    rng = np.random.default_rng(pred)
+    px = rng.integers(0, 256, (13, 17), dtype=np.uint8)
+    assert (_jpeg_decode_lossless(jpeg_encode_lossless(px, pred)) == px).all()
+
+
+@pytest.mark.parametrize("pt", [0, 1, 3])
+def test_jpeg_lossless_point_transform(pt):
+    from pipes_spark.operators.multimodal import (
+        decode_image_gray,
+        jpeg_encode_lossless,
+    )
+
+    rng = np.random.default_rng(pt + 100)
+    px = rng.integers(0, 256, (9, 21), dtype=np.uint8)
+    ref = ((px.astype(np.int64) >> pt) << pt).astype(np.uint8)
+    # dispatches through the unified jpeg_decode (marker 0xC3 path)
+    assert (decode_image_gray(jpeg_encode_lossless(px, 4, pt)) == ref).all()
+
+
+def test_jpeg_lossless_compresses_smooth_content_and_errors():
+    from pipes_spark.operators.multimodal import (
+        _jpeg_decode_lossless,
+        jpeg_encode_lossless,
+    )
+
+    smooth = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(
+        np.uint8
+    )
+    enc = jpeg_encode_lossless(smooth, 7)
+    assert len(enc) < smooth.size // 2  # prediction genuinely compresses
+    assert (_jpeg_decode_lossless(enc) == smooth).all()
+    with pytest.raises(ValueError, match="predictor must be 1-7"):
+        jpeg_encode_lossless(smooth, 8)
+    with pytest.raises(ValueError, match="point transform"):
+        jpeg_encode_lossless(smooth, 1, 9)
+    with pytest.raises(ValueError, match="missing SOI"):
+        _jpeg_decode_lossless(b"\x00\x00")
+
+
+def test_jpeg_lossless_single_pixel_and_boundary_rules():
+    """1×1 (default prediction only), 1×N (first-row 'a' rule) and N×1
+    (first-column 'b' rule) images round-trip exactly."""
+    from pipes_spark.operators.multimodal import (
+        _jpeg_decode_lossless,
+        jpeg_encode_lossless,
+    )
+
+    for shape in ((1, 1), (1, 9), (9, 1)):
+        rng = np.random.default_rng(shape[0] * 10 + shape[1])
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for pred in (1, 4, 7):
+            got = _jpeg_decode_lossless(jpeg_encode_lossless(px, pred))
+            assert (got == px).all(), (shape, pred)
