@@ -15513,6 +15513,61 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_hierarchical_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 7 AS INT) AS w,
+             CAST(8 + doc_id % 5 AS INT) AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+             (doc_id * 7 + ux.x * 11 + uy.y * 13) % 256 AS g
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS ux(x),
+           LATERAL unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS uy(y)
+    )
+    SELECT doc_id AS asset_id, 'jpeg' AS format, any_value(w) AS width,
+           any_value(h) AS height,
+           CAST(sum(g) AS BIGINT) AS pixel_sum,
+           CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS weighted_sum,
+           CAST(min(g) AS INT) AS px_min, CAST(max(g) AS INT) AS px_max
+    FROM px GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_hierarchical_roundtrip(spark, sf_dir):
+    """REAL HIERARCHICAL JPEG round trip (T.81 Annex J — round 11; the
+    JPEG stub is now ARITHMETIC CODING ONLY): SOI → DHP (hierarchical
+    progression header with the full dims) → a non-differential SOF0
+    first frame holding the 2×-decimated image (decoded through the
+    module's own baseline path, re-framed standalone) → EXP (Eh=Ev=1
+    reference expansion through the J.1.1.2 even-copy /
+    rounded-average-odd filter with edge replication) → a DIFFERENTIAL
+    LOSSLESS SOF7 frame adding the modulo-2^16 residual with zero
+    prediction. The encoder computes the residual against its own
+    decode of frame 1, so reconstruction is BIT-EXACT on arbitrary
+    content despite the lossy base — and the hash thereby certifies
+    the decoder's upsample filter (a filter slip leaves a nonzero net
+    error caught by the position-weighted checksum). Widths/heights
+    cycle odd dims, exercising the truncated expansion edge."""
+    from .operators.multimodal import (
+        encode_jpeg_hierarchical_assets,
+        image_decode_weighted_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
+    )
+    assets = encode_jpeg_hierarchical_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height"
+    )
+    return image_decode_weighted_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_jpeg_lossless_roundtrip",
     oracle="""
     WITH dims AS (

