@@ -86,9 +86,10 @@ REAL_FEATURE_SCHEMA = (
 def decode_asset_values(content: bytes, label: str = "asset"):
     """Sniff-and-dispatch decode across every codec the engine implements
     (round 11, VERDICT r10 ask #2 — the generic real-mode entry point):
-    PNG / GIF / baseline JPEG → grayscale pixel matrix via
-    :func:`decode_image_gray`; RIFF/WAVE → int16 PCM samples via
-    :func:`wav_decode_pcm`. Returns ``(format, values int64 1-D ndarray,
+    PNG / GIF / JPEG (baseline, progressive, lossless, hierarchical) /
+    BMP / TIFF → grayscale pixel matrix via :func:`decode_image_gray`;
+    RIFF/WAVE (PCM, G.711, ADPCM) → int16-domain samples via
+    :func:`wav_decode_pcm`; AIFF via :func:`aiff_decode_pcm`. Returns ``(format, values int64 1-D ndarray,
     width, height)`` (width/height ``None`` for audio); raises
     ``ValueError`` only for genuinely unsupported formats."""
     import numpy as np
@@ -107,9 +108,9 @@ def decode_asset_values(content: bytes, label: str = "asset"):
         return "aiff", samples, None, None
     raise ValueError(
         f"{label}: unsupported media format (engine codecs: PNG, GIF, "
-        "baseline/progressive JPEG, RIFF/WAVE PCM+G.711+ADPCM, AIFF; "
-        "perceptual audio codecs and other containers need an external "
-        "codec library)"
+        "JPEG baseline/progressive/lossless/hierarchical, BMP, TIFF, "
+        "RIFF/WAVE PCM+G.711+ADPCM, AIFF; perceptual audio codecs and "
+        "other containers need an external codec library)"
     )
 
 
@@ -1735,9 +1736,11 @@ def jpeg_decode(data: bytes):
     color since round 11 (interleaved DC scans over the MCU grid with
     per-component predictors, non-interleaved AC/DC scans over each
     component's true data units, spectral selection + successive
-    approximation). Raises loudly on arithmetic coding, hierarchical
-    modes, 12-bit precision, or sampling factors beyond 2 — the
-    documented scope narrowing."""
+    approximation). LOSSLESS (SOF3, Annex H) and
+    HIERARCHICAL (DHP, Annex J) streams dispatch to their dedicated
+    round-11 paths. Raises loudly on arithmetic coding, 12-bit
+    precision, or sampling factors beyond 2 — the documented scope
+    narrowing."""
     import struct
 
     import numpy as np
@@ -3764,8 +3767,9 @@ def gif_decode_gray(content: bytes):
 
 def decode_image_gray(content: bytes):
     """Sniff-and-dispatch grayscale decode across every image codec the
-    engine implements (PNG / GIF / baseline JPEG) — the cross-format
-    entry point :func:`image_ahash` builds on."""
+    engine implements (PNG / GIF / JPEG incl. lossless + hierarchical /
+    BMP / TIFF) — the cross-format entry point :func:`image_ahash`
+    builds on."""
     fmt, *_ = sniff_image_header(bytes(content))
     if fmt == "png":
         return png_decode_gray(bytes(content))
