@@ -4662,6 +4662,284 @@ def image_decode_weighted_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+# EXIF (round 11) — the public Exif/TIFF tag registry subset the
+# extractor names; everything else surfaces as tag_<id>.
+_EXIF_TAG_NAMES = {
+    271: "Make", 272: "Model", 274: "Orientation", 306: "DateTime",
+    282: "XResolution", 283: "YResolution", 296: "ResolutionUnit",
+    33434: "ExposureTime", 33437: "FNumber", 34855: "ISOSpeedRatings",
+    36867: "DateTimeOriginal", 40962: "PixelXDimension",
+    40963: "PixelYDimension", 34665: "ExifIFDPointer",
+}
+_EXIF_TYPE_NAMES = {2: "ASCII", 3: "SHORT", 4: "LONG", 5: "RATIONAL"}
+
+
+def _exif_ifd_bytes(entries, e: str, ifd_at: int, next_ifd: int = 0):
+    """Serialize one TIFF IFD (entries = [(tag, type, values)]) at
+    offset ``ifd_at`` inside the TIFF structure, placing out-of-line
+    values right after the IFD. Returns the IFD+data bytes."""
+    import struct
+
+    n = len(entries)
+    data_at = ifd_at + 2 + n * 12 + 4
+    body = bytearray(struct.pack(e + "H", n))
+    tail = bytearray()
+    for tag, typ, values in sorted(entries):
+        if typ == 2:  # ASCII: NUL-terminated
+            raw = values.encode() + b"\x00"
+            count = len(raw)
+        elif typ == 3:
+            raw = b"".join(struct.pack(e + "H", v) for v in values)
+            count = len(values)
+        elif typ == 4:
+            raw = b"".join(struct.pack(e + "I", v) for v in values)
+            count = len(values)
+        elif typ == 5:
+            raw = b"".join(
+                struct.pack(e + "II", num, den) for num, den in values
+            )
+            count = len(values)
+        else:
+            raise ValueError(f"unsupported EXIF type {typ}")
+        if len(raw) <= 4:
+            field = raw + b"\x00" * (4 - len(raw))
+        else:
+            field = struct.pack(e + "I", data_at + len(tail))
+            tail += raw
+            if len(raw) % 2:
+                tail += b"\x00"
+        body += struct.pack(e + "HHI", tag, typ, count) + field
+    body += struct.pack(e + "I", next_ifd)
+    return bytes(body) + bytes(tail)
+
+
+def exif_app1_payload(tags0, exif_tags, byte_order: str = "II") -> bytes:
+    """Build an APP1 'Exif\\x00\\x00' payload: TIFF header + IFD0 (with
+    an ExifIFDPointer when ``exif_tags`` is nonempty) + the Exif
+    sub-IFD, in either byte order."""
+    import struct
+
+    if byte_order not in ("II", "MM"):
+        raise ValueError(f"byte_order must be 'II' or 'MM', got {byte_order!r}")
+    e = "<" if byte_order == "II" else ">"
+    ifd0_at = 8
+    entries0 = list(tags0)
+    if exif_tags:
+        # two-pass: size IFD0 first to learn where the sub-IFD lands
+        probe = _exif_ifd_bytes(
+            entries0 + [(34665, 4, [0])], e, ifd0_at
+        )
+        exif_at = ifd0_at + len(probe)
+        entries0 = entries0 + [(34665, 4, [exif_at])]
+    ifd0 = _exif_ifd_bytes(entries0, e, ifd0_at)
+    out = byte_order.encode() + struct.pack(e + "HI", 42, ifd0_at) + ifd0
+    if exif_tags:
+        assert len(out) == exif_at
+        out += _exif_ifd_bytes(list(exif_tags), e, exif_at)
+    return b"Exif\x00\x00" + out
+
+
+def jpeg_with_exif(jpeg: bytes, app1_payload: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI (the Exif placement
+    rule)."""
+    import struct
+
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    seg = b"\xff\xe1" + struct.pack(">H", 2 + len(app1_payload)) + app1_payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def _exif_walk_ifd(b: bytes, e: str, ifd_at: int, label: str):
+    """Yield (tag, type, value_string) rows from one IFD; follows no
+    pointers itself (the caller chases ExifIFDPointer)."""
+    import struct
+
+    (n,) = struct.unpack(e + "H", b[ifd_at : ifd_at + 2])
+    rows = []
+    for i in range(n):
+        at = ifd_at + 2 + i * 12
+        tag, typ, count = struct.unpack(e + "HHI", b[at : at + 8])
+        field = b[at + 8 : at + 12]
+        if typ == 2:
+            size = count
+        elif typ == 3:
+            size = 2 * count
+        elif typ == 4:
+            size = 4 * count
+        elif typ == 5:
+            size = 8 * count
+        else:
+            raise ValueError(f"{label}: unsupported EXIF type {typ}")
+        if size <= 4:
+            raw = field[:size]
+        else:
+            (off,) = struct.unpack(e + "I", field)
+            raw = b[off : off + size]
+            if len(raw) != size:
+                raise ValueError(f"{label}: truncated EXIF value for tag {tag}")
+        if typ == 2:
+            val = raw.rstrip(b"\x00").decode("ascii", "replace")
+        elif typ == 3:
+            vals = struct.unpack(e + "H" * count, raw)
+            val = ",".join(str(v) for v in vals)
+        elif typ == 4:
+            vals = struct.unpack(e + "I" * count, raw)
+            val = ",".join(str(v) for v in vals)
+        else:
+            parts = struct.unpack(e + "II" * count, raw)
+            val = ",".join(
+                f"{parts[2 * i]}/{parts[2 * i + 1]}" for i in range(count)
+            )
+        rows.append((tag, typ, val))
+    return rows
+
+
+def exif_extract(content: bytes, label: str = "asset"):
+    """Extract EXIF metadata WITHOUT decoding pixels (the typed-metadata
+    ingest step): accepts a JPEG (APP1 'Exif\\x00\\x00' segment located
+    by a marker walk) or a bare TIFF; walks IFD0 and, when present, the
+    Exif sub-IFD pointed to by tag 34665. Returns rows of
+    (ifd, tag_id, tag_name, tag_type, value)."""
+    import struct
+
+    b = bytes(content)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        tiff = None
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+                tiff = b[i + 10 : i + 2 + seglen]
+                break
+            if marker == 0xDA:
+                break
+            i += 2 + seglen
+        if tiff is None:
+            raise ValueError(f"{label}: JPEG carries no Exif APP1 segment")
+        b = tiff
+    if b[:2] not in (b"II", b"MM"):
+        raise ValueError(f"{label}: no TIFF header in EXIF payload")
+    e = "<" if b[:2] == b"II" else ">"
+    magic, ifd0_at = struct.unpack(e + "HI", b[2:8])
+    if magic != 42:
+        raise ValueError(f"{label}: bad TIFF magic {magic} in EXIF payload")
+    rows = []
+    exif_at = None
+    for tag, typ, val in _exif_walk_ifd(b, e, ifd0_at, label):
+        if tag == 34665:
+            exif_at = int(val)
+            continue
+        rows.append(
+            ("IFD0", tag, _EXIF_TAG_NAMES.get(tag, f"tag_{tag}"),
+             _EXIF_TYPE_NAMES[typ], val)
+        )
+    if exif_at is not None:
+        for tag, typ, val in _exif_walk_ifd(b, e, exif_at, label):
+            rows.append(
+                ("Exif", tag, _EXIF_TAG_NAMES.get(tag, f"tag_{tag}"),
+                 _EXIF_TYPE_NAMES[typ], val)
+            )
+    return rows
+
+
+def exif_metadata_rows(assets: DataFrame) -> DataFrame:
+    """1→N EXIF extraction over Arrow batches: (asset_id, content) →
+    one row per metadata tag (asset_id, ifd, tag_id, tag_name,
+    tag_type, value) — pixels are never touched, which is the point:
+    a 100 TB ingest scan reads headers, not images (catalog
+    ``multimodal_exif_metadata``)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import exif_extract
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "ifd": [], "tag_id": [], "tag_name": [],
+                "tag_type": [], "value": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for ifd, tag, name, typ, val in exif_extract(
+                    content, label=f"asset {aid}"
+                ):
+                    out["asset_id"].append(int(aid))
+                    out["ifd"].append(ifd)
+                    out["tag_id"].append(int(tag))
+                    out["tag_name"].append(name)
+                    out["tag_type"].append(typ)
+                    out["value"].append(val)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, ifd string, tag_id int, tag_name string, "
+        "tag_type string, value string",
+    )
+
+
+def encode_exif_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched EXIF-bearing JPEG encode: per id, an 8×8 JPEG with
+    an APP1 Exif segment holding a deterministic tag ladder (byte order
+    by id parity — the extractor must honor 'MM' tag reads to
+    reproduce the same value strings)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            exif_app1_payload,
+            jpeg_encode_gray,
+            jpeg_with_exif,
+        )
+
+        for pdf in batches:
+            content = []
+            for i in pdf[id_col]:
+                i = int(i)
+                base = jpeg_encode_gray(
+                    np.full((8, 8), i % 256, np.uint8)
+                )
+                tags0 = [
+                    (271, 2, f"maker_{i % 5}"),
+                    (272, 2, f"model_{i % 7}"),
+                    (274, 3, [i % 8 + 1]),
+                    (306, 2, f"2021:{i % 12 + 1:02d}:{i % 28 + 1:02d} "
+                             f"10:30:{i % 60:02d}"),
+                    (282, 5, [(72 + (i % 4) * 72, 1)]),
+                ]
+                exif_tags = [
+                    (33434, 5, [(1, 60 + i % 200)]),
+                    (34855, 3, [100 * (1 + i % 8)]),
+                    (40962, 4, [8]),
+                    (40963, 4, [8]),
+                ]
+                order = "II" if i % 2 == 0 else "MM"
+                content.append(
+                    jpeg_with_exif(
+                        base, exif_app1_payload(tags0, exif_tags, order)
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": content}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
 def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
     """Average-hash (aHash) over REAL decoded pixels — the perceptual
     dedup primitive, now codec-INDEPENDENT: the same picture stored as

@@ -523,3 +523,55 @@ def test_jpeg_hierarchical_error_paths():
     bad[at + 4] = 0x22
     with pytest.raises(ValueError, match="EXP"):
         _jpeg_decode_hierarchical(bytes(bad))
+
+
+# ----------------------------------------------------------------- EXIF
+
+
+@pytest.mark.parametrize("order", ["II", "MM"])
+def test_exif_embed_extract_both_orders(order):
+    from pipes_spark.operators.multimodal import (
+        exif_app1_payload,
+        exif_extract,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+        jpeg_with_exif,
+    )
+
+    px = np.full((8, 8), 100, np.uint8)
+    base = jpeg_encode_gray(px)
+    tags0 = [
+        (271, 2, "maker_3"), (272, 2, "model_5"), (274, 3, [6]),
+        (306, 2, "2021:04:05 10:30:17"), (282, 5, [(300, 1)]),
+    ]
+    exif_tags = [
+        (33434, 5, [(1, 125)]), (34855, 3, [400]),
+        (40962, 4, [8]), (40963, 4, [8]),
+    ]
+    payload = exif_app1_payload(tags0, exif_tags, order)
+    j = jpeg_with_exif(base, payload)
+    d = {(r[0], r[2]): r[4] for r in exif_extract(j)}
+    assert d[("IFD0", "Make")] == "maker_3"
+    assert d[("IFD0", "XResolution")] == "300/1"  # out-of-line RATIONAL
+    assert d[("IFD0", "Orientation")] == "6"  # inline SHORT
+    assert d[("Exif", "ExposureTime")] == "1/125"  # sub-IFD via 34665
+    assert d[("Exif", "ISOSpeedRatings")] == "400"
+    # bare TIFF payload parses identically; pixels still decode
+    assert {(r[0], r[2]): r[4] for r in exif_extract(payload[6:])} == d
+    assert (jpeg_decode_gray(j) == px).all()
+
+
+def test_exif_error_paths():
+    from pipes_spark.operators.multimodal import (
+        exif_app1_payload,
+        exif_extract,
+        jpeg_encode_gray,
+    )
+
+    base = jpeg_encode_gray(np.full((8, 8), 7, np.uint8))
+    with pytest.raises(ValueError, match="no Exif APP1"):
+        exif_extract(base)
+    with pytest.raises(ValueError, match="byte_order"):
+        exif_app1_payload([], [], "XX")
+    with pytest.raises(ValueError, match="no TIFF header"):
+        exif_extract(b"XXYY")
