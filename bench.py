@@ -89,6 +89,15 @@ EXTENDED = [
     "multimodal_cross_codec_ahash",
     "sketch_theta_diff",
     "dedup_prefix_doubling",
+    # round 11 second session: the seven new codec families + EXIF
+    "multimodal_adpcm_roundtrip",
+    "multimodal_aiff_roundtrip",
+    "multimodal_bmp_roundtrip",
+    "multimodal_tiff_roundtrip",
+    "multimodal_video_rle_frame_sample",
+    "multimodal_jpeg_lossless_roundtrip",
+    "multimodal_jpeg_hierarchical_roundtrip",
+    "multimodal_exif_metadata",
 ]
 
 

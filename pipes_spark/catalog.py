@@ -15534,6 +15534,66 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_filters_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 7 AS INT) AS w,
+             CAST(8 + doc_id % 5 AS INT) AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, ux.x AS x, uy.y AS y,
+             (doc_id * 7 + ux.x * 11 + uy.y * 13) % 256 AS g
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS ux(x),
+           LATERAL unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS uy(y)
+    )
+    SELECT doc_id AS asset_id, 'png' AS format, any_value(w) AS width,
+           any_value(h) AS height,
+           CAST(sum(g) AS BIGINT) AS pixel_sum,
+           CAST(sum(g * (y * w + x + 1)) AS BIGINT) AS weighted_sum,
+           CAST(min(g) AS INT) AS px_min, CAST(max(g) AS INT) AS px_max
+    FROM px GROUP BY doc_id ORDER BY asset_id
+    """,
+)
+def multimodal_png_filters_roundtrip(spark, sf_dir):
+    """GENERAL-PROFILE PNG round trip (round 11 — the PNG decoder now
+    reads ANY 8-bit grayscale PNG, not just the engine's own filter-0
+    write profile): documents cycle ALL FIVE spec scanline filters
+    (None/Sub/Up/Average/Paeth, doc_id % 6) plus the libpng-style
+    adaptive minimum-SAD chooser, and doc_id // 6 parity turns on
+    ADAM7 interlacing (seven independently filtered sub-images merged
+    on the pass grid — partial edge passes exercised by the odd
+    dims). Lossless ⇒ the oracle is the plain lattice with a
+    position-weighted checksum; an unfiltering slip (wrong Paeth
+    tie-break, missed carry, wrong pass geometry) breaks the hash."""
+    from .operators.multimodal import (
+        encode_png_filtered_assets,
+        image_decode_weighted_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
+        F.element_at(
+            F.array(
+                F.lit("0"), F.lit("1"), F.lit("2"), F.lit("3"), F.lit("4"),
+                F.lit("adaptive"),
+            ),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("filter_mode"),
+        ((F.col("doc_id") / 6).cast("bigint") % 2 == 1).alias("interlaced"),
+    )
+    assets = encode_png_filtered_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "filter_mode",
+        "interlaced",
+    )
+    return image_decode_weighted_stats(assets).orderBy("asset_id")
+
+
+@query(
     "multimodal_exif_metadata",
     oracle="""
     WITH t AS (

@@ -3680,18 +3680,173 @@ def audio_pcm_features(assets: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def png_decode_gray(content: bytes):
-    """Decode a grayscale filter-0 PNG (the :func:`png_encode_gray`
-    profile) to its (h, w) uint8 array — the standalone form of the
-    parse inside :func:`png_decode_stats`."""
+#: Adam7 pass grid (PNG spec: x_start, x_step, y_start, y_step per pass)
+_PNG_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    """PNG filter-4 Paeth predictor (spec section 9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_unfilter_image(raw, w: int, h: int, label: str = "png"):
+    """Undo per-scanline filtering for one (sub)image of 8-bit grayscale
+    (bpp = 1): filter types 0-4 — None, Sub, Up, Average, Paeth —
+    reconstructed sequentially per the spec's recon() definitions.
+    ``raw`` is the h·(w+1) filtered byte stream; returns (h, w) uint8."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        row = raw[pos : pos + w]
+        pos += w
+        if ft == 0:
+            out[y, :] = row
+        elif ft == 1:  # Sub
+            acc = 0
+            for x in range(w):
+                acc = (int(row[x]) + acc) & 0xFF
+                out[y, x] = acc
+        elif ft == 2:  # Up
+            above = out[y - 1] if y else np.zeros(w, dtype=np.int64)
+            out[y, :] = (row.astype(np.int64) + above) & 0xFF
+        elif ft == 3:  # Average
+            above = out[y - 1] if y else np.zeros(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (int(row[x]) + (left + int(above[x])) // 2) & 0xFF
+                out[y, x] = left
+        elif ft == 4:  # Paeth
+            above = out[y - 1] if y else np.zeros(w, dtype=np.int64)
+            left = ul = 0
+            for x in range(w):
+                left = (
+                    int(row[x]) + _png_paeth(left, int(above[x]), ul)
+                ) & 0xFF
+                ul = int(above[x])
+                out[y, x] = left
+        else:
+            raise ValueError(f"{label}: unknown PNG filter type {ft}")
+    return out.astype(np.uint8)
+
+
+def _png_filter_row(row, above, ft: int):
+    """Apply one spec filter to a reconstructed row (encode side)."""
+    import numpy as np
+
+    row = row.astype(np.int64)
+    above = above.astype(np.int64)
+    if ft == 0:
+        return row.astype(np.uint8)
+    if ft == 1:
+        left = np.concatenate([[0], row[:-1]])
+        return ((row - left) & 0xFF).astype(np.uint8)
+    if ft == 2:
+        return ((row - above) & 0xFF).astype(np.uint8)
+    if ft == 3:
+        left = np.concatenate([[0], row[:-1]])
+        return ((row - (left + above) // 2) & 0xFF).astype(np.uint8)
+    if ft == 4:
+        out = []
+        left = ul = 0
+        for x in range(row.shape[0]):
+            out.append((int(row[x]) - _png_paeth(left, int(above[x]), ul)) & 0xFF)
+            left = int(row[x])
+            ul = int(above[x])
+        return np.asarray(out, dtype=np.uint8)
+    raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def png_encode_filtered(
+    px, filter_mode: str = "adaptive", interlaced: bool = False
+) -> bytes:
+    """REAL general-profile grayscale PNG encode: any of the five spec
+    scanline filters (``filter_mode`` '0'..'4'), the libpng-style
+    'adaptive' minimum-sum-of-absolute-differences heuristic, and
+    optional ADAM7 interlacing (seven sub-images, each independently
+    filtered, empty passes omitted per the spec)."""
     import struct
     import zlib as _z
 
     import numpy as np
 
-    fmt, w, h, _depth, _ctype = sniff_image_header(content)
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+
+    def filt_image(img):
+        ih, iw = img.shape
+        out = bytearray()
+        above = np.zeros(iw, dtype=np.uint8)
+        for y in range(ih):
+            row = img[y]
+            if filter_mode == "adaptive":
+                best = None
+                for ft in range(5):
+                    cand = _png_filter_row(row, above, ft)
+                    score = int(
+                        np.abs(cand.astype(np.int8).astype(np.int64)).sum()
+                    )
+                    if best is None or score < best[0]:
+                        best = (score, ft, cand)
+                _, ft, data = best
+            else:
+                ft = int(filter_mode)
+                data = _png_filter_row(row, above, ft)
+            out.append(ft)
+            out += data.tobytes()
+            above = row
+        return bytes(out)
+
+    if interlaced:
+        stream = bytearray()
+        for x0, xs, y0, ys in _PNG_ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            stream += filt_image(sub)
+        stream = bytes(stream)
+    else:
+        stream = filt_image(px)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlaced else 0)
+    out = bytearray(_PNG_SIG)
+    out += _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"IDAT", _z.compress(stream, 6))
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def png_decode_gray(content: bytes):
+    """Decode an 8-bit grayscale PNG to its (h, w) uint8 array — since
+    round 11 the GENERAL profile: all five scanline filters (None, Sub,
+    Up, Average, Paeth) and ADAM7 interlacing (seven independently
+    filtered sub-images merged on the pass grid), not just the
+    engine's own filter-0 write profile."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    fmt, w, h, depth, ctype = sniff_image_header(content)
     if fmt != "png":
         raise ValueError("not a PNG")
+    if depth != 8 or ctype != 0:
+        raise ValueError(
+            f"unsupported PNG shape (depth {depth}, color type {ctype}; "
+            "8-bit grayscale only)"
+        )
+    interlace = content[28]
     idat, i = b"", 8
     while i + 8 <= len(content):
         (ln,) = struct.unpack(">I", content[i : i + 4])
@@ -3702,10 +3857,26 @@ def png_decode_gray(content: bytes):
         if typ == b"IEND":
             break
     raw = np.frombuffer(_z.decompress(idat), dtype=np.uint8)
-    scan = raw.reshape(h, w + 1)
-    if scan[:, 0].any():
-        raise ValueError("non-zero PNG filter type")
-    return scan[:, 1:].copy()
+    if interlace == 0:
+        if raw.size != h * (w + 1):
+            raise ValueError("PNG stream size mismatch")
+        return _png_unfilter_image(raw, w, h)
+    if interlace != 1:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    out = np.zeros((h, w), dtype=np.uint8)
+    pos = 0
+    for x0, xs, y0, ys in _PNG_ADAM7:
+        sw = (w - x0 + xs - 1) // xs
+        sh = (h - y0 + ys - 1) // ys
+        if sw == 0 or sh == 0:
+            continue
+        need = sh * (sw + 1)
+        sub = _png_unfilter_image(raw[pos : pos + need], sw, sh)
+        pos += need
+        out[y0::ys, x0::xs] = sub
+    if pos != raw.size:
+        raise ValueError("PNG interlaced stream size mismatch")
+    return out
 
 
 def gif_decode_gray(content: bytes):
@@ -4938,6 +5109,44 @@ def encode_exif_jpeg_assets(
     return df.select(id_col).mapInPandas(
         gen, "asset_id bigint, content binary"
     )
+
+
+def encode_png_filtered_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    mode_col: str = "filter_mode",
+    interlace_col: str = "interlaced",
+) -> DataFrame:
+    """Arrow-batched general-profile PNG encode: (id, width, height,
+    filter_mode '0'..'4'|'adaptive', interlaced bool) → (id, content)
+    over the standard per-pixel lattice."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import png_encode_filtered
+
+        for pdf in batches:
+            content = []
+            for i, w, h, m, il in zip(
+                pdf[id_col], pdf[width_col], pdf[height_col],
+                pdf[mode_col], pdf[interlace_col],
+            ):
+                x = np.arange(int(w), dtype=np.int64)[None, :]
+                y = np.arange(int(h), dtype=np.int64)[:, None]
+                px = ((int(i) * 7 + x * 11 + y * 13) % 256).astype(np.uint8)
+                content.append(png_encode_filtered(px, str(m), bool(il)))
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": content}
+            )
+
+    return df.select(
+        id_col, width_col, height_col, mode_col, interlace_col
+    ).mapInPandas(gen, "asset_id bigint, content binary")
 
 
 def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:

@@ -575,3 +575,58 @@ def test_exif_error_paths():
         exif_app1_payload([], [], "XX")
     with pytest.raises(ValueError, match="no TIFF header"):
         exif_extract(b"XXYY")
+
+
+# ----------------------------------------------- PNG filters + Adam7
+
+
+@pytest.mark.parametrize("mode", ["0", "1", "2", "3", "4", "adaptive"])
+@pytest.mark.parametrize("interlaced", [False, True])
+def test_png_general_profile_bit_exact(mode, interlaced):
+    from pipes_spark.operators.multimodal import (
+        decode_image_gray,
+        png_decode_gray,
+        png_encode_filtered,
+    )
+
+    rng = np.random.default_rng(int(mode == "adaptive") * 50 + int(interlaced))
+    for shape in ((13, 17), (1, 1), (1, 9), (9, 1), (33, 31)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = png_encode_filtered(px, mode, interlaced)
+        assert (png_decode_gray(b) == px).all(), shape
+        assert (decode_image_gray(b) == px).all(), shape
+
+
+def test_png_adaptive_filtering_compresses_smooth_content():
+    from pipes_spark.operators.multimodal import png_encode_filtered
+
+    smooth = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(
+        np.uint8
+    )
+    s0 = len(png_encode_filtered(smooth, "0"))
+    sa = len(png_encode_filtered(smooth, "adaptive"))
+    assert sa < s0 // 2  # Sub/Up flatten the gradient; zlib eats it
+
+
+def test_png_paeth_tie_breaking_and_legacy_profile():
+    """Paeth prefers left, then above, then upper-left on ties (spec
+    order) — a hand row where the tie order matters round-trips only
+    if the decoder mirrors it. The engine's legacy filter-0 writer
+    still decodes."""
+    from pipes_spark.operators.multimodal import (
+        _png_paeth,
+        png_decode_gray,
+        png_encode_array,
+        png_encode_filtered,
+    )
+
+    assert _png_paeth(5, 5, 5) == 5
+    assert _png_paeth(10, 20, 21) == 10  # pa smallest -> left
+    assert _png_paeth(20, 10, 21) == 10  # pb smallest -> above
+    assert _png_paeth(3, 7, 5) == 5  # pa == pb, pc == 0 -> upper-left
+    assert _png_paeth(1, 9, 4) == 4  # pc smallest -> upper-left
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (10, 12), dtype=np.uint8)
+    assert (png_decode_gray(png_encode_array(px)) == px).all()
+    b = png_encode_filtered(px, "4", False)
+    assert (png_decode_gray(b) == px).all()
