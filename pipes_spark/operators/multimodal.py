@@ -2309,6 +2309,26 @@ def wav_decode_pcm(content: bytes, label: str = "asset"):
     tag, nch, rate, _brate, align, bits = fmt
     if tag == 1 and bits == 16:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    elif tag == 1 and bits == 8:
+        # 8-bit linear PCM is UNSIGNED per the WAV spec; center on 0
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+    elif tag == 1 and bits == 24:
+        # 3-byte little-endian signed frames (no numpy int24: widen)
+        if len(data) % 3:
+            raise ValueError(f"{label}: partial 24-bit sample")
+        raw = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        u = (
+            raw[:, 0].astype(np.int64)
+            | (raw[:, 1].astype(np.int64) << 8)
+            | (raw[:, 2].astype(np.int64) << 16)
+        )
+        samples = np.where(u >= 1 << 23, u - (1 << 24), u)
+    elif tag == 3 and bits == 32:
+        # IEEE float PCM in [-1, 1); scaled back to the 16-bit domain
+        # (values k/32768 with |k| < 32768 are exact in float32, so the
+        # scaling is lossless for the signal contract)
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        samples = np.rint(f * 32768.0).astype(np.int64)
     elif tag in (6, 7) and bits == 8:
         codes = np.frombuffer(data, dtype=np.uint8)
         table = (
@@ -2804,6 +2824,88 @@ def wav_encode_adpcm(
         body += b"\x00"
     out += struct.pack("<I", len(body)) + body
     return bytes(out)
+
+
+def wav_encode_pcm_depth(
+    asset_id: int, n_samples: int, sample_rate: int = 16000, bits: int = 16
+) -> bytes:
+    """Minimal REAL WAV at any linear PCM depth the decoder reads
+    (round 11): 8-bit UNSIGNED (code i = ((id+i)·2557) % 256), 16-bit
+    signed (the standard lattice), 24-bit signed (a step-7654321
+    lattice over the full 2^24 range), or fmt tag 3 IEEE float32
+    (k/32768 with k the 16-bit lattice — exactly representable, so
+    decode-and-rescale is bit-exact)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.arange(n_samples, dtype=np.int64)
+    if bits == 8:
+        data = (((asset_id + idx) * 2557) % 256).astype(np.uint8).tobytes()
+        tag, block = 1, 1
+    elif bits == 16:
+        data = (
+            (((asset_id + idx) * 2557) % 65536 - 32768).astype("<i2").tobytes()
+        )
+        tag, block = 1, 2
+    elif bits == 24:
+        v = ((asset_id + idx) * 7654321) % (1 << 24)
+        raw = np.zeros((n_samples, 3), dtype=np.uint8)
+        raw[:, 0] = v & 0xFF
+        raw[:, 1] = (v >> 8) & 0xFF
+        raw[:, 2] = (v >> 16) & 0xFF
+        data = raw.tobytes()
+        tag, block = 1, 3
+    elif bits == 32:
+        k = ((asset_id + idx) * 2557) % 65536 - 32768
+        data = (k.astype(np.float64) / 32768.0).astype("<f4").tobytes()
+        tag, block = 3, 4
+    else:
+        raise ValueError(f"bits must be 8/16/24/32, got {bits}")
+    fmt = struct.pack(
+        "<HHIIHH", tag, 1, sample_rate, sample_rate * block, block, bits
+    )
+    out = bytearray(b"RIFF")
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        body += b"\x00"
+    out += struct.pack("<I", len(body)) + body
+    return bytes(out)
+
+
+def encode_wav_depth_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    samples_col: str = "n_samples",
+    rate_col: str = "sample_rate",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Arrow-batched multi-depth WAV encode: (id, n_samples, rate,
+    bits 8|16|24|32) → (id, content binary)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import wav_encode_pcm_depth
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        wav_encode_pcm_depth(int(i), int(n), int(r), int(b))
+                        for i, n, r, b in zip(
+                            pdf[id_col], pdf[samples_col], pdf[rate_col],
+                            pdf[bits_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, samples_col, rate_col, bits_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
 
 
 def encode_wav_adpcm_assets(

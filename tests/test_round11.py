@@ -630,3 +630,49 @@ def test_png_paeth_tie_breaking_and_legacy_profile():
     assert (png_decode_gray(png_encode_array(px)) == px).all()
     b = png_encode_filtered(px, "4", False)
     assert (png_decode_gray(b) == px).all()
+
+
+# ------------------------------------------------------ WAV PCM depths
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24, 32])
+def test_wav_depth_ladder_bit_exact(bits):
+    from pipes_spark.operators.multimodal import (
+        wav_decode_pcm,
+        wav_encode_pcm_depth,
+    )
+
+    aid, n = 321, 200
+    s, nch, rate, got = wav_decode_pcm(wav_encode_pcm_depth(aid, n, 16000, bits))
+    assert (nch, rate, got, s.size) == (1, 16000, bits, n)
+    i = np.arange(n, dtype=np.int64)
+    if bits == 8:
+        ref = ((aid + i) * 2557) % 256 - 128
+    elif bits in (16, 32):
+        ref = ((aid + i) * 2557) % 65536 - 32768
+    else:
+        u = ((aid + i) * 7654321) % (1 << 24)
+        ref = np.where(u >= 1 << 23, u - (1 << 24), u)
+    assert (s == ref).all()
+
+
+def test_wav_24bit_sign_extension_edges():
+    """Hand-built 24-bit frames at the sign boundary widen correctly."""
+    import struct
+
+    from pipes_spark.operators.multimodal import wav_decode_pcm
+
+    frames = b"\xff\xff\x7f" + b"\x00\x00\x80" + b"\xff\xff\xff" + b"\x00\x00\x00"
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(frames)) + frames
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    s, *_ = wav_decode_pcm(wav)
+    assert list(s) == [8388607, -8388608, -1, 0]
+
+
+def test_wav_depth_errors():
+    from pipes_spark.operators.multimodal import wav_encode_pcm_depth
+
+    with pytest.raises(ValueError, match="bits must be"):
+        wav_encode_pcm_depth(1, 10, 8000, 12)
