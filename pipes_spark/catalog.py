@@ -15534,6 +15534,46 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_subtitle_cues",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nc FROM documents
+    ), cues AS (
+      SELECT doc_id, CAST(u.c + 1 AS INT) AS cue_no,
+             CAST(doc_id * 1000 + u.c * 2000 AS BIGINT) AS start_ms,
+             CAST(doc_id * 1000 + u.c * 2000 + 1500 + (u.c % 3) * 200
+                  AS BIGINT) AS end_ms,
+             'cue ' || doc_id || '_' || u.c AS cue_text
+      FROM dims, LATERAL unnest(generate_series(0, nc - 1)) AS u(c)
+    )
+    SELECT doc_id AS asset_id, cue_no, start_ms, end_ms,
+           end_ms - start_ms AS duration_ms, cue_text
+    FROM cues ORDER BY asset_id, cue_no
+    """,
+)
+def multimodal_subtitle_cues(spark, sf_dir):
+    """Subtitle cue extraction — SubRip AND WebVTT from their public
+    formats (round 11; the video-TEXT alignment step of a multimodal
+    training pipeline): even documents render SRT (numeric index
+    blocks, comma-millisecond timestamps), odd render WebVTT (WEBVTT
+    magic, a NOTE block the parser must skip, dot timestamps, cue
+    settings after the arrow ignored). The parser inverts the
+    timestamp formatting exactly — the oracle computes cue times
+    closed-form in milliseconds, so an hour/minute carry or
+    comma-vs-dot slip breaks the hash. 1→N exploded rows with
+    durations; multi-line payload joining and VTT cue identifiers are
+    pytest-held."""
+    from .operators.multimodal import encode_subtitle_assets, subtitle_cue_rows
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5 + 2).cast("int").alias("n_cues")
+    )
+    assets = encode_subtitle_assets(ensure_min_partitions(d), "doc_id", "n_cues")
+    return subtitle_cue_rows(assets).orderBy("asset_id", "cue_no")
+
+
+@query(
     "multimodal_wav_depths_roundtrip",
     oracle="""
     WITH dims AS (

@@ -5251,6 +5251,170 @@ def encode_png_filtered_assets(
     ).mapInPandas(gen, "asset_id bigint, content binary")
 
 
+def _subtitle_ts_ms(ts: str, sep: str, label: str) -> int:
+    """Parse 'HH:MM:SS<sep>mmm' (SRT uses ',', WebVTT '.'; VTT hours
+    optional) to milliseconds."""
+    parts = ts.strip().split(":")
+    if len(parts) == 2:  # VTT MM:SS.mmm short form
+        parts = ["0"] + parts
+    if len(parts) != 3 or sep not in parts[2]:
+        raise ValueError(f"{label}: bad subtitle timestamp {ts!r}")
+    sec, ms = parts[2].split(sep)
+    return (
+        int(parts[0]) * 3600_000 + int(parts[1]) * 60_000
+        + int(sec) * 1000 + int(ms)
+    )
+
+
+def _subtitle_fmt_ts(ms: int, sep: str) -> str:
+    h, rem = divmod(ms, 3600_000)
+    m, rem = divmod(rem, 60_000)
+    s, frac = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{frac:03d}"
+
+
+def srt_render(cues) -> str:
+    """Render [(start_ms, end_ms, text)] as SubRip: 1-based index line,
+    comma-millisecond timestamps, blank-line separated blocks."""
+    out = []
+    for i, (s, e, text) in enumerate(cues, 1):
+        out.append(
+            f"{i}\n{_subtitle_fmt_ts(s, ',')} --> {_subtitle_fmt_ts(e, ',')}"
+            f"\n{text}"
+        )
+    return "\n\n".join(out) + "\n"
+
+
+def vtt_render(cues) -> str:
+    """Render [(start_ms, end_ms, text)] as WebVTT: the WEBVTT magic, a
+    NOTE block (parsers must skip it), dot-millisecond timestamps with
+    a position setting after the arrow (parsers must ignore it)."""
+    out = ["WEBVTT", "", "NOTE generated fixture", ""]
+    for s, e, text in cues:
+        out.append(
+            f"{_subtitle_fmt_ts(s, '.')} --> {_subtitle_fmt_ts(e, '.')} "
+            f"position:50%\n{text}"
+        )
+        out.append("")
+    return "\n".join(out)
+
+
+def subtitle_parse(text: str, label: str = "asset"):
+    """Parse SubRip OR WebVTT cue text (sniffed on the WEBVTT magic) to
+    [(cue_no, start_ms, end_ms, text)]: SRT numeric-index blocks with
+    comma timestamps; VTT header/NOTE/STYLE block skipping, optional
+    cue identifiers, dot timestamps, cue settings after the arrow
+    ignored, multi-line payloads joined with newlines."""
+    lines = text.replace("\r\n", "\n").split("\n")
+    is_vtt = bool(lines) and lines[0].startswith("WEBVTT")
+    sep = "." if is_vtt else ","
+    cues = []
+    i = 1 if is_vtt else 0
+    n = len(lines)
+    while i < n:
+        if not lines[i].strip():
+            i += 1
+            continue
+        if is_vtt and lines[i].split(" ")[0] in ("NOTE", "STYLE", "REGION"):
+            while i < n and lines[i].strip():
+                i += 1
+            continue
+        # optional identifier line (SRT index / VTT cue id)
+        if "-->" not in lines[i]:
+            i += 1
+            if i >= n or "-->" not in lines[i]:
+                raise ValueError(f"{label}: cue block without a timing line")
+        timing = lines[i]
+        i += 1
+        left, right = timing.split("-->")
+        right = right.strip().split(" ")[0]  # drop VTT cue settings
+        start = _subtitle_ts_ms(left, sep, label)
+        end = _subtitle_ts_ms(right, sep, label)
+        if end < start:
+            raise ValueError(f"{label}: cue ends before it starts")
+        payload = []
+        while i < n and lines[i].strip():
+            payload.append(lines[i])
+            i += 1
+        cues.append((len(cues) + 1, start, end, "\n".join(payload)))
+    return cues
+
+
+def subtitle_cue_rows(
+    assets: DataFrame, id_col: str = "asset_id", text_col: str = "content"
+) -> DataFrame:
+    """1→N subtitle extraction over Arrow batches: (id, subtitle text)
+    → one row per cue (asset_id, cue_no, start_ms, end_ms, duration_ms,
+    cue_text) — the video-text alignment step of a multimodal training
+    pipeline (catalog ``multimodal_subtitle_cues``)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import subtitle_parse
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "cue_no": [], "start_ms": [], "end_ms": [],
+                "duration_ms": [], "cue_text": [],
+            }
+            for aid, text in zip(pdf[id_col], pdf[text_col]):
+                for no, s, e, t in subtitle_parse(
+                    str(text), label=f"asset {aid}"
+                ):
+                    out["asset_id"].append(int(aid))
+                    out["cue_no"].append(int(no))
+                    out["start_ms"].append(int(s))
+                    out["end_ms"].append(int(e))
+                    out["duration_ms"].append(int(e - s))
+                    out["cue_text"].append(t)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, cue_no int, start_ms bigint, end_ms bigint, "
+        "duration_ms bigint, cue_text string",
+    )
+
+
+def encode_subtitle_assets(
+    df: DataFrame, id_col: str = "doc_id", cues_col: str = "n_cues"
+) -> DataFrame:
+    """Arrow-batched subtitle fixture encode: per id, ``n_cues`` cues at
+    deterministic offsets (start = id·1000 + i·2000 ms, duration 1500 +
+    (i % 3)·200 ms, text 'cue <id>_<i>'), rendered as SubRip for even
+    ids and WebVTT (with a NOTE block and cue settings the parser must
+    skip) for odd."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import srt_render, vtt_render
+
+        for pdf in batches:
+            content = []
+            for i, nc in zip(pdf[id_col], pdf[cues_col]):
+                i, nc = int(i), int(nc)
+                cues = [
+                    (
+                        i * 1000 + c * 2000,
+                        i * 1000 + c * 2000 + 1500 + (c % 3) * 200,
+                        f"cue {i}_{c}",
+                    )
+                    for c in range(nc)
+                ]
+                content.append(
+                    srt_render(cues) if i % 2 == 0 else vtt_render(cues)
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": content}
+            )
+
+    return df.select(id_col, cues_col).mapInPandas(
+        gen, "asset_id bigint, content string"
+    )
+
+
 def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
     """Average-hash (aHash) over REAL decoded pixels — the perceptual
     dedup primitive, now codec-INDEPENDENT: the same picture stored as

@@ -676,3 +676,44 @@ def test_wav_depth_errors():
 
     with pytest.raises(ValueError, match="bits must be"):
         wav_encode_pcm_depth(1, 10, 8000, 12)
+
+
+# ------------------------------------------------------------ subtitles
+
+
+def test_subtitle_srt_vtt_roundtrip():
+    from pipes_spark.operators.multimodal import (
+        srt_render,
+        subtitle_parse,
+        vtt_render,
+    )
+
+    cues = [(0, 1500, "hello"), (2000, 3700, "world"), (4000, 5900, "x y")]
+    for render in (srt_render, vtt_render):
+        got = subtitle_parse(render(cues))
+        assert [(s, e, t) for _, s, e, t in got] == cues
+
+
+def test_subtitle_vtt_skips_and_forms():
+    """NOTE blocks skipped, cue identifiers tolerated, cue settings
+    ignored, MM:SS short timestamps accepted, payload lines joined."""
+    from pipes_spark.operators.multimodal import subtitle_parse
+
+    vtt = (
+        "WEBVTT\n\nNOTE skip me\nstill a note\n\n"
+        "id-1\n01:02.500 --> 01:03.000 align:start\nline one\nline two\n"
+    )
+    assert subtitle_parse(vtt) == [(1, 62500, 63000, "line one\nline two")]
+    srt = "1\n01:02:03,004 --> 01:02:04,005\nhello\n"
+    assert subtitle_parse(srt) == [(1, 3723004, 3724005, "hello")]
+
+
+def test_subtitle_error_paths():
+    from pipes_spark.operators.multimodal import subtitle_parse
+
+    with pytest.raises(ValueError, match="ends before it starts"):
+        subtitle_parse("1\n00:00:02,000 --> 00:00:01,000\nx\n")
+    with pytest.raises(ValueError, match="without a timing line"):
+        subtitle_parse("1\nnot a timing\nx\n")
+    with pytest.raises(ValueError, match="bad subtitle timestamp"):
+        subtitle_parse("1\n00:02,000 --> bogus\nx\n")
