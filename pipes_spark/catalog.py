@@ -15877,8 +15877,8 @@ def multimodal_jpeg_lossless_roundtrip(spark, sf_dir):
              CAST(16 + doc_id % 7 AS INT) AS w,
              CAST(8 + doc_id % 5 AS INT) AS h,
              CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
-             CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 32773 END
-                  AS INT) AS compression,
+             CAST(CASE (doc_id // 2) % 3 WHEN 0 THEN 1 WHEN 1 THEN 32773
+                  ELSE 5 END AS INT) AS compression,
              CAST((doc_id // 4) % 2 AS INT) AS photometric
       FROM documents
     ), px AS (
@@ -15903,8 +15903,11 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
     orders ('II' little / 'MM' big — every tag value re-read under the
     header's order), MULTI-STRIP layout (RowsPerStrip 4 < height, so
     StripOffsets/ByteCounts are real out-of-line LONG arrays),
-    Compression 1 and 32773 (PackBits — Apple's run/literal scheme,
-    implemented both directions), and both PhotometricInterpretations
+    Compression 1, 32773 (PackBits — Apple's run/literal scheme,
+    implemented both directions) AND 5 (the chapter-13 LZW codec:
+    MSB-first variable-width codes with the spec's EARLY CHANGE and
+    12-bit table resets, both directions), and both
+    PhotometricInterpretations
     (WhiteIsZero files store the 255-complement; the decoder must
     re-invert, and the position-weighted checksum would catch a missed
     inversion or a strip mis-assembly). doc_id parity ladder covers the
@@ -15920,8 +15923,9 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
         F.when(F.col("doc_id") % 2 == 0, "II").otherwise("MM")
         .alias("byte_order"),
-        F.when((F.col("doc_id") / 2).cast("bigint") % 2 == 0, 1)
-        .otherwise(32773)
+        F.when((F.col("doc_id") / 2).cast("bigint") % 3 == 0, 1)
+        .when((F.col("doc_id") / 2).cast("bigint") % 3 == 1, 32773)
+        .otherwise(5)
         .cast("int")
         .alias("compression"),
         ((F.col("doc_id") / 4).cast("bigint") % 2).cast("int")

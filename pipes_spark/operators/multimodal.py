@@ -4307,6 +4307,115 @@ def _packbits_decode(data: bytes, expected: int, label: str = "strip") -> bytes:
     return bytes(out)
 
 
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 chapter-13 LZW compress: MSB-first bit packing, codes
+    start at 9 bits, ClearCode 256 / EOI 257, table entries from 258,
+    and the spec's EARLY CHANGE — the code width bumps when the NEXT
+    entry would be 2^width − 1 (one code earlier than GIF's LSB-first
+    variant); at 12 bits a ClearCode resets the table instead."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for ch in data:
+        k = w + bytes([ch])
+        if k in table:
+            w = k
+            continue
+        emit(table[w])
+        table[k] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:  # early change
+            if width < 12:
+                width += 1
+            else:
+                emit(CLEAR)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([ch])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int, label: str = "strip") -> bytes:
+    """TIFF LZW inflate mirroring :func:`_tiff_lzw_encode`'s early-change
+    width schedule; handles the KwKwK just-added-code case."""
+    CLEAR, EOI = 256, 257
+    bitpos = 0
+    total = len(data) * 8
+    width = 9
+
+    def read() -> int:
+        nonlocal bitpos
+        if bitpos + width > total:
+            raise ValueError(f"{label}: LZW stream ran out of bits")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    out = bytearray()
+    prev = None
+    while True:
+        code = read()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"{label}: bad LZW code after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"{label}: LZW code {code} beyond table")
+        # early change, mirrored ONE ENTRY EARLY: the decoder's table
+        # is one entry behind the encoder's (no append on the first
+        # code after a clear), so the width bump fires at 2^w − 2
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+        if len(out) > expected:
+            raise ValueError(f"{label}: LZW inflated past expected size")
+    if len(out) != expected:
+        raise ValueError(
+            f"{label}: LZW inflated {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
 def tiff_encode_gray(
     asset_id: int,
     width: int,
@@ -4330,8 +4439,10 @@ def tiff_encode_gray(
 
     if byte_order not in ("II", "MM"):
         raise ValueError(f"byte_order must be 'II' or 'MM', got {byte_order!r}")
-    if compression not in (1, 32773):
-        raise ValueError(f"compression must be 1 or 32773, got {compression}")
+    if compression not in (1, 32773, 5):
+        raise ValueError(
+            f"compression must be 1, 5 or 32773, got {compression}"
+        )
     if photometric not in (0, 1):
         raise ValueError(f"photometric must be 0 or 1, got {photometric}")
     e = "<" if byte_order == "II" else ">"
@@ -4342,7 +4453,11 @@ def tiff_encode_gray(
     strips = []
     for y0 in range(0, height, rows_per_strip):
         raw = stored[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(_packbits_encode(raw) if compression == 32773 else raw)
+        if compression == 32773:
+            raw = _packbits_encode(raw)
+        elif compression == 5:
+            raw = _tiff_lzw_encode(raw)
+        strips.append(raw)
 
     def entry(tag, typ, count, value):
         # SHORT (3) and LONG (4) inline values live left-justified in the
@@ -4456,10 +4571,10 @@ def tiff_decode_gray(content: bytes, label: str = "asset"):
             f"{label}: only 8-bit single-sample TIFF supported "
             f"(bits {bits}, samples {spp})"
         )
-    if compression not in (1, 32773):
+    if compression not in (1, 32773, 5):
         raise ValueError(
             f"{label}: unsupported TIFF compression {compression} "
-            "(supported: none, PackBits)"
+            "(supported: none, LZW, PackBits)"
         )
     if photometric not in (0, 1):
         raise ValueError(
@@ -4479,6 +4594,10 @@ def tiff_decode_gray(content: bytes, label: str = "asset"):
             raise ValueError(f"{label}: more strips than image rows")
         if compression == 32773:
             strip = _packbits_decode(
+                strip, rows_here * width, label=f"{label} strip {si}"
+            )
+        elif compression == 5:
+            strip = _tiff_lzw_decode(
                 strip, rows_here * width, label=f"{label} strip {si}"
             )
         elif len(strip) != rows_here * width:

@@ -717,3 +717,57 @@ def test_subtitle_error_paths():
         subtitle_parse("1\nnot a timing\nx\n")
     with pytest.raises(ValueError, match="bad subtitle timestamp"):
         subtitle_parse("1\n00:02,000 --> bogus\nx\n")
+
+
+# ------------------------------------------------------------- TIFF LZW
+
+
+def test_tiff_lzw_roundtrips_and_table_resets():
+    from pipes_spark.operators.multimodal import (
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+    )
+
+    rng = np.random.default_rng(6)
+    for data in (
+        b"",
+        b"A",
+        b"AAAA" * 200,
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(rng.integers(0, 256, 100000, dtype=np.uint8)),  # 12-bit resets
+    ):
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+    rep = b"ab" * 5000
+    assert len(_tiff_lzw_encode(rep)) < len(rep) // 3
+
+
+def test_tiff_lzw_in_container_and_early_change_header():
+    from pipes_spark.operators.multimodal import (
+        _tiff_lzw_encode,
+        tiff_decode_gray,
+        tiff_encode_gray,
+    )
+
+    for order in ("II", "MM"):
+        for photo in (0, 1):
+            b = tiff_encode_gray(9, 19, 11, order, 5, photo)
+            px = tiff_decode_gray(b)
+            x = np.arange(19)[None, :]
+            y = np.arange(11)[:, None]
+            assert (px == (9 * 7 + x * 11 + y * 13) % 256).all()
+    # stream starts with a ClearCode: 256 at 9 bits MSB-first = bits
+    # 100000000 -> first byte 0x80
+    assert _tiff_lzw_encode(b"Z")[0] == 0x80
+
+
+def test_tiff_lzw_error_paths():
+    from pipes_spark.operators.multimodal import _tiff_lzw_decode
+
+    with pytest.raises(ValueError, match="ran out of bits"):
+        _tiff_lzw_decode(b"\x80", 5)  # clear then nothing
+    with pytest.raises(ValueError, match="inflated"):
+        # valid tiny stream but wrong expected size
+        from pipes_spark.operators.multimodal import _tiff_lzw_encode
+
+        _tiff_lzw_decode(_tiff_lzw_encode(b"AB"), 5)
