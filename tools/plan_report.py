@@ -113,6 +113,18 @@ HEADLINE = [
     "multimodal_phash_pairs",
     "multimodal_resize",
     "source_avro_snappy_roundtrip",
+    # round-11 second session: the new codec/metadata families
+    "multimodal_adpcm_roundtrip",
+    "multimodal_aiff_roundtrip",
+    "multimodal_bmp_roundtrip",
+    "multimodal_tiff_roundtrip",
+    "multimodal_video_rle_frame_sample",
+    "multimodal_jpeg_lossless_roundtrip",
+    "multimodal_jpeg_hierarchical_roundtrip",
+    "multimodal_png_filters_roundtrip",
+    "multimodal_wav_depths_roundtrip",
+    "multimodal_exif_metadata",
+    "multimodal_subtitle_cues",
 ]
 
 
