@@ -368,10 +368,11 @@ def test_tiff_error_paths():
     with pytest.raises(ValueError, match="truncated strip"):
         tiff_decode_gray(good[:-5])
     bad = bytearray(good)
-    # compression tag (259) value -> LZW (5): unsupported, loud
+    # compression tag (259) value -> old-style JPEG (6): unsupported, loud
+    # (5 = LZW became a REAL decode path later in round 11)
     at = 8 + 2 + 3 * 12 + 8
-    bad[at] = 5
-    with pytest.raises(ValueError, match="compression 5"):
+    bad[at] = 6
+    with pytest.raises(ValueError, match="compression 6"):
         tiff_decode_gray(bytes(bad))
 
 
