@@ -15534,6 +15534,75 @@ def multimodal_g711_roundtrip(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_animation_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(16 + doc_id % 5 AS BIGINT) AS w,
+             CAST(10 + doc_id % 4 AS BIGINT) AS h,
+             CAST(2 + doc_id % 3 AS BIGINT) AS nf
+      FROM documents
+    ), sel AS (
+      SELECT doc_id, w, h, f, x, y, max(g) AS gs
+      FROM (
+        SELECT d.doc_id, d.w, d.h, uf.f AS f, ux.x AS x, uy.y AS y,
+               ug.g AS g
+        FROM dims d,
+             LATERAL unnest(generate_series(0, nf - 1)) AS uf(f),
+             LATERAL unnest(generate_series(0, w - 1)) AS ux(x),
+             LATERAL unnest(generate_series(0, h - 1)) AS uy(y),
+             LATERAL unnest(generate_series(0, uf.f)) AS ug(g)
+        WHERE ug.g = 0 OR (
+              ux.x >= ug.g % 3 + 1 AND ux.x < d.w - ug.g % 2
+          AND uy.y >= (ug.g * 2) % 3 + 1 AND uy.y < d.h - (ug.g + 1) % 2
+          AND (ux.x + uy.y + ug.g) % 3 <> 0)
+      )
+      GROUP BY doc_id, w, h, f, x, y
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_no,
+           CAST(any_value(w) AS INT) AS width,
+           CAST(any_value(h) AS INT) AS height,
+           CAST(sum(CASE WHEN gs = 0
+                THEN (doc_id + x * 13 + y * 7) % 255
+                ELSE (doc_id + 11 * gs + x * 13 + y * 7) % 255 END)
+                AS BIGINT) AS pixel_sum
+    FROM sel GROUP BY doc_id, f ORDER BY asset_id, frame_no
+    """,
+)
+def multimodal_gif_animation_frames(spark, sf_dir):
+    """ANIMATED GIF frame composition (round 11 — the inter-frame side
+    of the GIF89a spec, real frame-DELTA semantics): every document is
+    a multi-frame GIF with a NETSCAPE2.0 looping extension (skipped
+    per sub-block framing), per-frame Graphic Control Extensions, and
+    frames 1+ covering only SUB-RECTANGLES of the canvas with
+    TRANSPARENT pixels (index 255) that keep the previous canvas
+    value — i.e. each frame is a delta patch, exactly how animated
+    GIFs in web corpora store motion. The sampler composites every
+    frame (LZW decode → sub-rect placement honoring transparency) and
+    emits per-frame canvas checksums; the oracle replays the
+    composition closed-form as an argmax over covering opaque frames,
+    so a transparency slip, rect-offset error, or skipped-extension
+    bug breaks the hash. Disposal-2 (restore background) is
+    pytest-held; disposal-3 raises honestly."""
+    from .operators.multimodal import (
+        encode_gif_animation_assets,
+        gif_animation_frame_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 16).cast("int").alias("width"),
+        (F.col("doc_id") % 4 + 10).cast("int").alias("height"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
+    )
+    assets = encode_gif_animation_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+    )
+    return gif_animation_frame_stats(assets).orderBy("asset_id", "frame_no")
+
+
+@query(
     "multimodal_subtitle_cues",
     oracle="""
     WITH dims AS (

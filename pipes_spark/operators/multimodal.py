@@ -4038,6 +4038,235 @@ def gif_decode_gray(content: bytes):
     raise ValueError("truncated GIF")
 
 
+def gif_encode_animation(
+    asset_id: int, width: int, height: int, n_frames: int
+) -> bytes:
+    """Minimal REAL ANIMATED GIF89a (the inter-frame side of the GIF
+    spec): NETSCAPE2.0 looping application extension (decoders must
+    skip it), per-frame Graphic Control Extensions (disposal method,
+    transparency flag + index), SUB-RECTANGLE image descriptors
+    (left/top offsets — frames 1+ update only part of the canvas), and
+    TRANSPARENT pixels that keep the previous canvas value — i.e. real
+    frame-delta compression semantics. Frame 0 is full-rect opaque
+    (pixel (x,y) = (id + x·13 + y·7) % 255; index 255 is reserved as
+    the transparent index); frame f ≥ 1 covers a deterministic
+    sub-rect with every (x+y+f) % 3 == 0 pixel transparent and the
+    rest (id + 11f + x·13 + y·7) % 255. Disposal is 'leave in place'
+    (1) so composition is pure paint-over — the oracle replays it
+    closed-form as an argmax over covering opaque frames."""
+    import struct
+
+    if n_frames < 1:
+        raise ValueError("animation needs at least one frame")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    out += bytes(j for j in range(256) for _ in range(3))
+    # NETSCAPE2.0 looping extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n_frames):
+        if f == 0:
+            left = top = 0
+            w, h = width, height
+            transparent = False
+        else:
+            left = f % 3 + 1
+            top = (f * 2) % 3 + 1
+            w = width - left - (f % 2)
+            h = height - top - ((f + 1) % 2)
+            transparent = True
+        # GCE: disposal 1 (leave in place), transparency per frame
+        packed = (1 << 2) | (1 if transparent else 0)
+        out += b"\x21\xf9\x04" + bytes([packed, 4, 0, 255]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        rows = bytearray()
+        for yy in range(top, top + h):
+            for xx in range(left, left + w):
+                if f > 0 and (xx + yy + f) % 3 == 0:
+                    rows.append(255)  # transparent: keep previous canvas
+                else:
+                    base = 11 * f if f > 0 else 0
+                    rows.append((asset_id + base + xx * 13 + yy * 7) % 255)
+        out.append(8)
+        lzw = _gif_lzw_encode(bytes(rows), 8)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode_frames(content: bytes, label: str = "asset"):
+    """Decode EVERY frame of a (possibly animated) GIF and return the
+    list of COMPOSITED grayscale canvases: header + GCT parse,
+    extension-block walk (GCE disposal/transparency captured, other
+    extensions skipped per the spec's sub-block framing), per-frame
+    LZW decode, de-interlace, sub-rect placement with transparent
+    pixels keeping the previous canvas, then the disposal step —
+    0/1 leave, 2 restore-to-background over the frame's rect;
+    3 (restore-previous) raises honestly."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(content)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        raise ValueError(f"{label}: not a GIF")
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    i = 13
+    palette = None
+    if packed & 0x80:
+        gct_n = 2 << (packed & 0x7)
+        palette = np.frombuffer(b[i : i + 3 * gct_n], dtype=np.uint8).reshape(
+            gct_n, 3
+        )
+        i += 3 * gct_n
+    canvas = np.zeros((sh, sw), dtype=np.uint8)
+    if palette is not None and bg < palette.shape[0]:
+        canvas[:] = palette[bg, 0]
+    frames = []
+    disposal = 0
+    transparent = None
+    while i < len(b):
+        blk = b[i]
+        i += 1
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:
+            label_b = b[i]
+            i += 1
+            if label_b == 0xF9:  # Graphic Control Extension
+                sz = b[i]
+                pk = b[i + 1]
+                disposal = (pk >> 2) & 0x7
+                transparent = b[i + 4] if pk & 1 else None
+                i += 1 + sz
+            while b[i]:  # remaining/other sub-blocks
+                i += 1 + b[i]
+            i += 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"{label}: unexpected GIF block 0x{blk:02x}")
+        left, top, w, h, ipk = struct.unpack("<HHHHB", b[i : i + 9])
+        i += 9
+        pal = palette
+        if ipk & 0x80:
+            lct_n = 2 << (ipk & 0x7)
+            pal = np.frombuffer(
+                b[i : i + 3 * lct_n], dtype=np.uint8
+            ).reshape(lct_n, 3)
+            i += 3 * lct_n
+        if pal is None:
+            raise ValueError(f"{label}: GIF has no color table")
+        mcs = b[i]
+        i += 1
+        lzw = bytearray()
+        while b[i]:
+            ln = b[i]
+            lzw += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        i += 1  # block terminator
+        idx = np.frombuffer(
+            bytes(_gif_lzw_decode(bytes(lzw), mcs)), dtype=np.uint8
+        )
+        stored = idx.reshape(h, w)
+        grid = np.empty_like(stored)
+        grid[_gif_row_order(h, bool(ipk & 0x40)), :] = stored
+        if top + h > sh or left + w > sw:
+            raise ValueError(f"{label}: frame rect beyond logical screen")
+        region = canvas[top : top + h, left : left + w]
+        gray = pal[:, 0][grid.astype(np.int64)]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = gray[mask]
+        else:
+            region[:] = gray
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore to background color
+            bgv = pal[bg, 0] if bg < pal.shape[0] else 0
+            canvas[top : top + h, left : left + w] = bgv
+        elif disposal == 3:
+            raise ValueError(
+                f"{label}: disposal 3 (restore previous) unsupported"
+            )
+        disposal = 0
+        transparent = None
+    if not frames:
+        raise ValueError(f"{label}: GIF holds no frames")
+    return frames
+
+
+def encode_gif_animation_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Arrow-batched animated-GIF encode: (id, width, height, n_frames)
+    → (id, content binary)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import gif_encode_animation
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        gif_encode_animation(int(i), int(w), int(h), int(nf))
+                        for i, w, h, nf in zip(
+                            pdf[id_col], pdf[width_col], pdf[height_col],
+                            pdf[frames_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, width_col, height_col, frames_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def gif_animation_frame_stats(assets: DataFrame) -> DataFrame:
+    """1→N animated-GIF frame sampling over Arrow batches: one row per
+    COMPOSITED frame (asset_id, frame_no, width, height, pixel_sum) —
+    the GIF sibling of avi_frame_sample_stats (catalog
+    ``multimodal_gif_animation_frames``)."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import gif_decode_frames
+
+        for pdf in batches:
+            out = {
+                "asset_id": [], "frame_no": [], "width": [], "height": [],
+                "pixel_sum": [],
+            }
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for fno, canvas in enumerate(
+                    gif_decode_frames(content, label=f"asset {aid}")
+                ):
+                    out["asset_id"].append(int(aid))
+                    out["frame_no"].append(int(fno))
+                    out["width"].append(int(canvas.shape[1]))
+                    out["height"].append(int(canvas.shape[0]))
+                    out["pixel_sum"].append(int(canvas.sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, frame_no int, width int, height int, "
+        "pixel_sum bigint",
+    )
+
+
 def decode_image_gray(content: bytes):
     """Sniff-and-dispatch grayscale decode across every image codec the
     engine implements (PNG / GIF / JPEG incl. lossless + hierarchical /

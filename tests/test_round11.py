@@ -772,3 +772,91 @@ def test_tiff_lzw_error_paths():
         from pipes_spark.operators.multimodal import _tiff_lzw_encode
 
         _tiff_lzw_decode(_tiff_lzw_encode(b"AB"), 5)
+
+
+# --------------------------------------------------------- animated GIF
+
+
+def test_gif_animation_composition_matches_reference():
+    from pipes_spark.operators.multimodal import (
+        gif_decode_frames,
+        gif_encode_animation,
+    )
+
+    for aid in (0, 3, 42, 499):
+        W, H, nf = 16 + aid % 5, 10 + aid % 4, 2 + aid % 3
+        canvas = np.zeros((H, W), dtype=np.int64)
+        refs = []
+        for f in range(nf):
+            if f == 0:
+                xs, ys, w, h = 0, 0, W, H
+            else:
+                xs = f % 3 + 1
+                ys = (f * 2) % 3 + 1
+                w = W - xs - (f % 2)
+                h = H - ys - ((f + 1) % 2)
+            for yy in range(ys, ys + h):
+                for xx in range(xs, xs + w):
+                    if f > 0 and (xx + yy + f) % 3 == 0:
+                        continue  # transparent: previous value survives
+                    base = 11 * f if f > 0 else 0
+                    canvas[yy, xx] = (aid + base + xx * 13 + yy * 7) % 255
+            refs.append(canvas.copy())
+        frames = gif_decode_frames(gif_encode_animation(aid, W, H, nf))
+        assert len(frames) == nf
+        for got, want in zip(frames, refs):
+            assert (got.astype(np.int64) == want).all()
+
+
+def test_gif_animation_disposal_restore_background():
+    """Disposal 2: after the frame shows, its rect reverts to the
+    background color — the NEXT composited frame sees the restore."""
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        gif_decode_frames,
+    )
+
+    W = H = 4
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", W, H, 0xF7, 0, 0)  # bg index 0 -> gray 0
+    out += bytes(j for j in range(256) for _ in range(3))
+
+    def frame(left, top, w, h, vals, disposal):
+        seg = bytearray()
+        seg += b"\x21\xf9\x04" + bytes([(disposal << 2), 0, 0, 0]) + b"\x00"
+        seg += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+        seg.append(8)
+        lzw = _gif_lzw_encode(bytes(vals), 8)
+        for i in range(0, len(lzw), 255):
+            seg.append(len(lzw[i : i + 255]))
+            seg += lzw[i : i + 255]
+        seg += b"\x00"
+        return seg
+
+    out += frame(0, 0, W, H, [7] * (W * H), disposal=2)  # full 7s, restore
+    out += frame(1, 1, 2, 2, [9] * 4, disposal=1)  # small patch of 9s
+    out += b"\x3b"
+    frames = gif_decode_frames(bytes(out))
+    assert (frames[0] == 7).all()
+    # after restore-to-background the canvas is 0 except the new patch
+    want = np.zeros((H, W), dtype=np.uint8)
+    want[1:3, 1:3] = 9
+    assert (frames[1] == want).all()
+
+
+def test_gif_animation_error_paths():
+    from pipes_spark.operators.multimodal import (
+        gif_decode_frames,
+        gif_encode_animation,
+    )
+
+    with pytest.raises(ValueError, match="at least one frame"):
+        gif_encode_animation(1, 8, 8, 0)
+    good = bytearray(gif_encode_animation(1, 8, 8, 2))
+    # flip the second frame's disposal to 3 (restore previous)
+    at = good.index(b"\x21\xf9\x04", 13 + 768 + 19 + 10)
+    good[at + 3] = (good[at + 3] & ~0x1C) | (3 << 2)
+    with pytest.raises(ValueError, match="disposal 3"):
+        gif_decode_frames(bytes(good))
