@@ -81,6 +81,7 @@ EXTENDED = [
     "multimodal_jpeg_color_roundtrip",
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_jpeg_progressive_color_roundtrip",  # round 11
+    "multimodal_jpeg_arith_roundtrip",  # round 11: SOF9 QM-coder
     "multimodal_wav_roundtrip",
     "multimodal_g711_roundtrip",  # round 11: companded-audio expansion
     "multimodal_audio_features",

@@ -16999,3 +16999,66 @@ def stats_cochran_q(spark, sf_dir):
         F.col("user_id").alias("b"), F.col("event_type").alias("t")
     ).agg((F.max("value") > 150).cast("int").alias("x"))
     return cochran_q(cell, "b", "t", "x")
+
+
+@query(
+    "multimodal_jpeg_arith_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 26 + 1 AS INT) AS width,
+             CAST((doc_id * 11) % 22 + 1 AS INT) AS height,
+             CAST(ceil((doc_id % 26 + 1) / 8.0) AS BIGINT) AS bw,
+             CAST(ceil(((doc_id * 11) % 22 + 1) / 8.0) AS BIGINT) AS bh
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             CAST(sum(((doc_id + i) % 256)
+                      * least(8, width - 8 * (i % bw))
+                      * least(8, height - 8 * (i // bw))) AS BIGINT)
+               AS pixel_sum
+      FROM dims,
+           LATERAL unnest(generate_series(0, bw * bh - 1)) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'jpeg' AS format, width, height,
+           CAST(8 AS INT) AS bit_depth, CAST(1 AS INT) AS n_components,
+           CAST(width AS BIGINT) * height AS n_pixels, pixel_sum
+    FROM dims d JOIN px USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_jpeg_arith_roundtrip(spark, sf_dir):
+    """REAL ARITHMETIC-CODED JPEG round trip (T.81 SOF9 — the QM
+    binary arithmetic coder of Annex D with the sequential-DCT
+    statistical models of Annex F.1.4.4: the 113-state probability
+    estimation ladder, conditional MPS/LPS exchange, byte stuffing and
+    carry resolution over stacked X'FF' bytes, the CLEARBITS flush,
+    DAC-conditioned DC contexts and Kx-split AC magnitude bins):
+    block-constant grayscale content → encode_jpeg_arith_assets
+    (doc_id % 4 as the restart interval so flush/RSTn/statistics-reset
+    all run under the gate; doc_id % 9 + 1 as the per-row AC Kx so DAC
+    parsing and both magnitude-bin banks are exercised) → the SAME
+    jpeg_decode_stats as the Huffman modes (SOF9 dispatch). The oracle
+    recomputes the per-block value×coverage sum closed-form — a
+    hash-pass proves real QM entropy decode happened; entropy-layer
+    losslessness on RANDOM content is pytest-held (arithmetic and
+    Huffman streams of the same coefficients decode to identical
+    pixels). Pixels never cross a shuffle."""
+    from .operators.multimodal import (
+        encode_jpeg_arith_assets,
+        jpeg_decode_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 26 + 1).cast("int").alias("width"),
+        ((F.col("doc_id") * 11) % 22 + 1).cast("int").alias("height"),
+        (F.col("doc_id") % 4).cast("int").alias("restart"),
+        (F.col("doc_id") % 9 + 1).cast("int").alias("kx"),
+    )
+    assets = encode_jpeg_arith_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "restart",
+        "kx",
+    )
+    return jpeg_decode_stats(assets).orderBy("asset_id")

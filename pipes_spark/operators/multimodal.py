@@ -12,11 +12,12 @@ RIFF/AVI Motion-JPEG video, each hash-graded by a checksum oracle. Since
 round 11 the GENERIC real mode (``extract_features`` / ``perceptual_hash``
 with ``fake=False``) dispatches through these same decoders via
 ``decode_asset_values``; only genuinely unsupported formats raise
-``ValueError`` (arithmetic-coded/hierarchical JPEG, perceptual audio
-codecs (MP3/AAC-class), inter-frame video codecs (H.264-class) —
+``ValueError`` (arithmetic progressive/lossless JPEG modes, perceptual
+audio codecs (MP3/AAC-class), inter-frame video codecs (H.264-class) —
 swapping in PIL/ffmpeg widens only the dispatch; progressive COLOR
-JPEG, G.711 companded audio, and uncompressed-DIB AVI joined the
-supported set in round 11). Fake mode
+JPEG, ARITHMETIC-CODED sequential JPEG (SOF9, the Annex D QM-coder),
+lossless + hierarchical JPEG, G.711 companded audio, and
+uncompressed-DIB AVI joined the supported set in round 11). Fake mode
 remains the deterministic byte-level plumbing path for arbitrary blobs.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
@@ -86,7 +87,8 @@ REAL_FEATURE_SCHEMA = (
 def decode_asset_values(content: bytes, label: str = "asset"):
     """Sniff-and-dispatch decode across every codec the engine implements
     (round 11, VERDICT r10 ask #2 — the generic real-mode entry point):
-    PNG / GIF / JPEG (baseline, progressive, lossless, hierarchical) /
+    PNG / GIF / JPEG (baseline, progressive, lossless, hierarchical,
+    arithmetic-coded SOF9) /
     BMP / TIFF → grayscale pixel matrix via :func:`decode_image_gray`;
     RIFF/WAVE (PCM, G.711, ADPCM) → int16-domain samples via
     :func:`wav_decode_pcm`; AIFF via :func:`aiff_decode_pcm`. Returns ``(format, values int64 1-D ndarray,
@@ -108,7 +110,8 @@ def decode_asset_values(content: bytes, label: str = "asset"):
         return "aiff", samples, None, None
     raise ValueError(
         f"{label}: unsupported media format (engine codecs: PNG, GIF, "
-        "JPEG baseline/progressive/lossless/hierarchical, BMP, TIFF, "
+        "JPEG baseline/progressive/lossless/hierarchical/arithmetic, "
+        "BMP, TIFF, "
         "RIFF/WAVE PCM+G.711+ADPCM, AIFF; perceptual audio codecs and "
         "other containers need an external codec library)"
     )
@@ -1738,7 +1741,10 @@ def jpeg_decode(data: bytes):
     component's true data units, spectral selection + successive
     approximation). LOSSLESS (SOF3, Annex H) and
     HIERARCHICAL (DHP, Annex J) streams dispatch to their dedicated
-    round-11 paths. Raises loudly on arithmetic coding, 12-bit
+    round-11 paths. ARITHMETIC-CODED sequential streams (SOF9, Annex D
+    QM-coder + F.1.4.4 models, DAC conditioning, restarts) decode
+    through the shared sequential path since round 11. Raises loudly on
+    arithmetic progressive/lossless/differential modes, 12-bit
     precision, or sampling factors beyond 2 — the documented scope
     narrowing."""
     import struct
@@ -1755,6 +1761,9 @@ def jpeg_decode(data: bytes):
     scan = None   # [(cid, Td, Ta)]
     restart = 0
     progressive = False
+    arith = False
+    dc_cond = {}  # DAC conditioning: table id -> (L, U)
+    ac_cond = {}  # DAC conditioning: table id -> Kx
     prog_stores = None  # progressive: per-COMPONENT zigzag stores (true dims)
     i = 2
     n = len(data)
@@ -1795,8 +1804,10 @@ def jpeg_decode(data: bytes):
                 p += nv
                 dec = _jpeg_huff_decoder(bits, vals)
                 (dc_dec if cls == 0 else ac_dec)[tid] = dec
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec = data[p]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -1823,8 +1834,25 @@ def jpeg_decode(data: bytes):
             raise ValueError(
                 "differential frame outside a hierarchical stream (no DHP)"
             )
-        elif marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("arithmetic-coded JPEG unsupported")
+        elif marker in (0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "arithmetic progressive/lossless/differential JPEG "
+                "unsupported (sequential SOF9 is the supported mode)"
+            )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            while p < seg_end:
+                tc, tb = data[p] >> 4, data[p] & 0xF
+                cs = data[p + 1]
+                p += 2
+                if tc == 0:
+                    lo, up = cs & 0xF, cs >> 4
+                    if lo > up:
+                        raise ValueError("DAC DC conditioning needs L <= U")
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError("DAC AC conditioning Kx must be 1..63")
+                    ac_cond[tb] = cs
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", data[p : p + 2])
         elif marker == 0xDA:  # SOS
@@ -1928,37 +1956,78 @@ def jpeg_decode(data: bytes):
                 np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.int64)
             )
 
-        r = _JpegBitReader(data, i)
         prev_dc = [0] * len(comps)
+        if arith:
+            dec = _QMDecoder(data, i)
+            fixed = bytearray([113])
+            dc_stats = {}
+            ac_stats = {}
+            dc_ctx = [0] * len(comps)
 
-        def decode_block(ci):
-            dc = dc_dec[sel[comps[ci][0]][0]]
-            ac = ac_dec[sel[comps[ci][0]][1]]
-            blk = np.zeros(64, dtype=np.int64)
-            size = dc(r)
-            prev_dc[ci] += _jpeg_extend(r.bits(size), size)
-            blk[0] = prev_dc[ci]
-            k = 1
-            while k < 64:
-                sym = ac(r)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                blk[k] = _jpeg_extend(r.bits(size), size)
-                k += 1
-            return blk
+            def decode_block(ci):
+                td, ta = sel[comps[ci][0]]
+                sdc = dc_stats.setdefault(td, bytearray(64))
+                sac = ac_stats.setdefault(ta, bytearray(256))
+                cl, cu = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                blk = np.zeros(64, dtype=np.int64)
+                diff, dc_ctx[ci] = _arith_decode_dc(dec, sdc, dc_ctx[ci], cl, cu)
+                prev_dc[ci] += diff
+                blk[0] = prev_dc[ci]
+                _arith_decode_ac(dec, sac, fixed, blk, kx)
+                return blk
+
+        else:
+            r = _JpegBitReader(data, i)
+
+            def decode_block(ci):
+                dc = dc_dec[sel[comps[ci][0]][0]]
+                ac = ac_dec[sel[comps[ci][0]][1]]
+                blk = np.zeros(64, dtype=np.int64)
+                size = dc(r)
+                prev_dc[ci] += _jpeg_extend(r.bits(size), size)
+                blk[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = ac(r)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0xF
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    blk[k] = _jpeg_extend(r.bits(size), size)
+                    k += 1
+                return blk
 
         for midx in range(n_mcus):
             if restart and midx and midx % restart == 0:
-                m_ = r.align_to_marker()
-                if not (0xD0 <= m_ <= 0xD7):
-                    raise ValueError(f"expected RSTn, got 0x{m_:02x}")
+                if arith:
+                    # the flushed segment may end in droppable zero
+                    # bytes the decoder never consumed: scan forward to
+                    # the marker (0xFF + non-fill, non-stuffed byte)
+                    j = dec.marker_pos if dec.marker_pos is not None else dec.pos
+                    while j + 1 < n and not (
+                        data[j] == 0xFF and data[j + 1] not in (0x00, 0xFF)
+                    ):
+                        j += 1
+                    if j + 1 >= n:
+                        raise ValueError("expected restart marker")
+                    m_ = data[j + 1]
+                    if not (0xD0 <= m_ <= 0xD7):
+                        raise ValueError(f"expected RSTn, got 0x{m_:02x}")
+                    # full statistics reset per F.1.4.1.1 / D.1.1
+                    dec = _QMDecoder(data, j + 2)
+                    dc_stats = {}
+                    ac_stats = {}
+                    dc_ctx = [0] * len(comps)
+                else:
+                    m_ = r.align_to_marker()
+                    if not (0xD0 <= m_ <= 0xD7):
+                        raise ValueError(f"expected RSTn, got 0x{m_:02x}")
                 prev_dc = [0] * len(comps)
             my, mx = divmod(midx, mcus_x)
             for ci, (cid, hi, vi, tq) in enumerate(comps):
@@ -6929,3 +6998,653 @@ def jpeg_encode_progressive_color(
         out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# ARITHMETIC-CODED JPEG (ITU-T T.81 Annex D QM-coder + the Annex F.1.4.4 /
+# F.2.4 sequential-DCT statistical models) — round 11. SOF9 (extended
+# sequential, arithmetic) joins the supported set: the QM binary
+# arithmetic coder with its 113-state probability-estimation ladder
+# (Table D.3), byte stuffing (X'FF00'), carry resolution over stacked
+# X'FF' bytes, the Annex D.1.8 CLEARBITS flush, DAC conditioning
+# parameters (DC L/U difference categories, AC Kx band split), and
+# DRI/RSTn restarts with full statistics resets. Entropy-layer
+# losslessness is pytest-held by decoding an arithmetic stream and a
+# Huffman stream of the SAME quantized coefficients to identical pixels.
+# The state-transition table is transcribed from the public spec
+# (T.81 Table D.3, also reproduced in ISO/IEC 10918-1 implementations);
+# encoder and decoder share one table, and the roundtrip gate exercises
+# every row reachable on the test content. Remaining arithmetic stubs:
+# progressive (SOF10) / lossless (SOF11) / differential modes.
+# --------------------------------------------------------------------------
+
+#: T.81 Table D.3: (Qe, next-index-after-LPS, next-index-after-MPS,
+#: switch-MPS-on-LPS). Index 113 is the non-adaptive "fixed" bin the AC
+#: sign decision uses (Qe ~ 0.5, transitions to itself).
+_JPEG_ARITH_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+]
+
+
+class _QMEncoder:
+    """T.81 Annex D QM arithmetic ENCODER. Registers per D.1: interval
+    A in [0x8000, 0x10000] after renormalization, code accumulator C
+    with the output byte at bits 19..26, countdown CT (11 initially —
+    the 3 spacer bits between the first byte and C's 16-bit interval
+    field — then 8 per byte). Carry resolution defers the last byte
+    (``buffer``) plus runs of stacked 0xFF bytes (``sc``) and interior
+    zero bytes (``zc``) until no future carry can reach them; every
+    emitted data byte equal to 0xFF is followed by a stuffed 0x00 so
+    the entropy segment never emulates a marker (D.1.6). Statistics
+    bins are single bytes: bit 7 = current MPS sense, bits 0..6 = the
+    Table D.3 state index."""
+
+    def __init__(self):
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.buffer = -1  # pending byte a future carry could increment
+        self.sc = 0       # stacked 0xFF bytes (carry turns them into 0x00)
+        self.zc = 0       # deferred 0x00 bytes between buffer flushes
+        self.out = bytearray()
+
+    def _emit_data(self, b: int) -> None:
+        self.out.append(b)
+        if b == 0xFF:
+            self.out.append(0x00)  # byte stuffing (D.1.6)
+
+    def _emit_zeros(self) -> None:
+        if self.zc:
+            self.out += b"\x00" * self.zc
+            self.zc = 0
+
+    def _byteout(self) -> None:
+        temp = self.c >> 19
+        if temp > 0xFF:
+            # carry: propagate into the deferred byte, convert stacked
+            # 0xFF bytes to 0x00 (they absorbed the carry chain)
+            if self.buffer >= 0:
+                self._emit_zeros()
+                self._emit_data(self.buffer + 1)
+            self.zc += self.sc
+            self.sc = 0
+            self.buffer = temp & 0xFF
+        elif temp == 0xFF:
+            self.sc += 1  # might still be incremented by a later carry
+        else:
+            # temp < 0xFF: no future carry can reach the pending bytes
+            if self.buffer == 0:
+                self.zc += 1  # defer zeros (trailing ones may be dropped)
+            elif self.buffer >= 0:
+                self._emit_zeros()
+                self._emit_data(self.buffer)
+            while self.sc:
+                self._emit_zeros()
+                self._emit_data(0xFF)
+                self.sc -= 1
+            self.buffer = temp
+        self.c &= 0x7FFFF
+
+    def encode(self, st: bytearray, idx: int, bit: int) -> None:
+        sv = st[idx]
+        mps = sv >> 7
+        qe, nl, nm, sw = _JPEG_ARITH_QE[sv & 0x7F]
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return  # fast path: no renormalization, no estimation
+            if self.a < qe:  # conditional exchange (MPS takes top/Qe)
+                self.c += self.a
+                self.a = qe
+            st[idx] = (mps << 7) | nm
+        else:
+            if self.a >= qe:  # normal: LPS takes the top subinterval
+                self.c += self.a
+                self.a = qe
+            # else conditional exchange: LPS keeps the bottom (larger) one
+            st[idx] = ((mps ^ sw) << 7) | nl
+        while True:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a >= 0x8000:
+                break
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: pick the in-interval value with the most
+        trailing zero bits, push out the remaining significant bytes,
+        then drain the deferred byte / 0xFF stack (trailing zero bytes
+        are dropped — the decoder feeds zeros once it hits a marker)."""
+        t = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= 8
+        self._byteout()
+        # drain: anything still pending is significant unless zero
+        if self.buffer > 0 or (self.buffer == 0 and self.sc):
+            self._emit_zeros()
+            self._emit_data(self.buffer)
+        while self.sc:
+            self._emit_zeros()
+            self._emit_data(0xFF)
+            self.sc -= 1
+        return bytes(self.out)
+
+
+class _QMDecoder:
+    """T.81 Annex D QM arithmetic DECODER, the exact mirror of
+    :class:`_QMEncoder`: ``chigh`` holds the next 16 consumed code bits
+    minus the encoder's accumulated interval bases (always < A, so 17
+    bits suffice); each renormalization shift consumes one more code
+    bit. Byte input unstuffs X'FF00' to a 0xFF data byte (leading 0xFF
+    fill bytes are swallowed) and feeds zero bits forever once a marker
+    is reached (``marker_pos`` records where, for restart resync)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.marker_pos = None
+        self.eos = False
+        self.bitbuf = 0
+        self.nbits = 0
+        b0 = self._next_byte()
+        b1 = self._next_byte()
+        self.chigh = (b0 << 8) | b1
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.eos:
+            return 0
+        d = self.data
+        n = len(d)
+        if self.pos >= n:
+            self.eos = True
+            return 0
+        b = d[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        j = self.pos + 1
+        while j < n and d[j] == 0xFF:
+            j += 1  # 0xFF fill bytes before a marker are legal padding
+        if j < n and d[j] == 0x00:
+            self.pos = j + 1
+            return 0xFF  # stuffed data byte
+        self.eos = True
+        self.marker_pos = self.pos
+        return 0
+
+    def _next_bit(self) -> int:
+        if self.nbits == 0:
+            self.bitbuf = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def decode(self, st: bytearray, idx: int) -> int:
+        sv = st[idx]
+        mps = sv >> 7
+        qe, nl, nm, sw = _JPEG_ARITH_QE[sv & 0x7F]
+        self.a -= qe
+        if self.chigh < self.a:
+            if self.a >= 0x8000:
+                return mps  # encoder fast path: nothing else to mirror
+            if self.a < qe:  # encoder coded an exchanged LPS here
+                bit = mps ^ 1
+                st[idx] = ((mps ^ sw) << 7) | nl
+            else:
+                bit = mps
+                st[idx] = (mps << 7) | nm
+        else:
+            self.chigh -= self.a
+            if self.a < qe:  # encoder coded an exchanged MPS on top
+                bit = mps
+                st[idx] = (mps << 7) | nm
+            else:
+                bit = mps ^ 1
+                st[idx] = ((mps ^ sw) << 7) | nl
+            self.a = qe
+        while True:
+            self.a <<= 1
+            self.chigh = (self.chigh << 1) | self._next_bit()
+            if self.a >= 0x8000:
+                break
+        return bit
+
+
+def _arith_encode_dc(enc, st, v, ctx, cond_l, cond_u):
+    """Encode one DC difference (F.1.4.4.1): zero/sign decisions in the
+    conditioning-context bank, log2 magnitude-category ladder at X1=20,
+    magnitude bits in one shared bin. Returns the next block's context
+    (0 zero / 4 small+ / 8 small- / 12 large+ / 16 large-, the L/U
+    split)."""
+    if v == 0:
+        enc.encode(st, ctx, 0)
+        return 0
+    enc.encode(st, ctx, 1)
+    if v > 0:
+        enc.encode(st, ctx + 1, 0)
+        pos = ctx + 2
+        new_ctx = 4
+    else:
+        v = -v
+        enc.encode(st, ctx + 1, 1)
+        pos = ctx + 3
+        new_ctx = 8
+    mag = v - 1
+    m = 0
+    if mag:
+        enc.encode(st, pos, 1)
+        m = 1
+        pos = 20
+        v2 = mag >> 1
+        while v2:
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+            v2 >>= 1
+    enc.encode(st, pos, 0)
+    if m < (1 << cond_l) >> 1:
+        new_ctx = 0
+    elif m > (1 << cond_u) >> 1:
+        new_ctx += 8
+    pos += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        enc.encode(st, pos, 1 if (mag & mm) else 0)
+    return new_ctx
+
+
+def _arith_decode_dc(dec, st, ctx, cond_l, cond_u):
+    """Mirror of :func:`_arith_encode_dc`: returns (diff, next_ctx)."""
+    if dec.decode(st, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(st, ctx + 1)
+    pos = ctx + 2 + sign
+    new_ctx = 4 + sign * 4
+    m = dec.decode(st, pos)
+    if m:
+        pos = 20
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            pos += 1
+    if m < (1 << cond_l) >> 1:
+        new_ctx = 0
+    elif m > (1 << cond_u) >> 1:
+        new_ctx += 8
+    mag = m
+    pos += 14
+    mm = m
+    while mm >> 1:
+        mm >>= 1
+        if dec.decode(st, pos):
+            mag |= mm
+    v = mag + 1
+    return (-v if sign else v), new_ctx
+
+
+def _arith_encode_ac(enc, st, fixed, blk, kx):
+    """Encode one block's AC coefficients (F.1.4.4.2): per-index
+    EOB/run/size decision triplets, sign in the FIXED (non-adaptive)
+    bin, shared magnitude ladders split at Kx (low band X bins at 189,
+    high band at 217)."""
+    ke = 0
+    for k in range(63, 0, -1):
+        if blk[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        pos = 3 * (k - 1)
+        enc.encode(st, pos, 0)  # not end-of-block
+        while blk[k] == 0:
+            enc.encode(st, pos + 1, 0)
+            pos += 3
+            k += 1
+        enc.encode(st, pos + 1, 1)
+        v = int(blk[k])
+        if v > 0:
+            enc.encode(fixed, 0, 0)
+        else:
+            v = -v
+            enc.encode(fixed, 0, 1)
+        pos += 2
+        mag = v - 1
+        m = 0
+        if mag:
+            enc.encode(st, pos, 1)
+            m = 1
+            v2 = mag >> 1
+            if v2:
+                enc.encode(st, pos, 1)  # second decision shares the bin
+                m = 2
+                pos = 189 if k <= kx else 217
+                v2 >>= 1
+                while v2:
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+                    v2 >>= 1
+        enc.encode(st, pos, 0)
+        pos += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            enc.encode(st, pos, 1 if (mag & mm) else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # end-of-block decision
+
+
+def _arith_decode_ac(dec, st, fixed, blk, kx):
+    """Mirror of :func:`_arith_encode_ac`: fills blk[1..63] in place."""
+    k = 1
+    while k <= 63:
+        pos = 3 * (k - 1)
+        if dec.decode(st, pos):
+            return  # end-of-block
+        while dec.decode(st, pos + 1) == 0:
+            pos += 3
+            k += 1
+            if k > 63:
+                raise ValueError("arithmetic AC run past end of block")
+        sign = dec.decode(fixed, 0)
+        pos += 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    pos += 1
+        mag = m
+        pos += 14
+        mm = m
+        while mm >> 1:
+            mm >>= 1
+            if dec.decode(st, pos):
+                mag |= mm
+        v = mag + 1
+        blk[k] = -v if sign else v
+        k += 1
+
+
+def jpeg_encode_arith(
+    pixels,
+    subsample: str = "420",
+    quality_qtable=None,
+    qtable_chroma=None,
+    restart_interval: int = 0,
+    dc_conditioning=(0, 1),
+    ac_kx: int = 5,
+) -> bytes:
+    """REAL ARITHMETIC-CODED JPEG encode (T.81 SOF9, extended
+    sequential DCT): 2-D uint8 grayscale or (h, w, 3) uint8 RGB in,
+    full interchange stream out — SOI, JFIF APP0, DQT(s), SOF9, DAC
+    (the arithmetic conditioning segment: DC L/U, AC Kx), optional DRI,
+    SOS, QM-coded entropy data with byte stuffing and RSTn restarts
+    (statistics and contexts fully reset per D.1.1), EOI. The transform
+    front end (DCT, quantization, zigzag, YCbCr + subsampling for
+    color) is byte-identical to the Huffman encoders, so
+    arithmetic-vs-Huffman pixel equality isolates the entropy layer.
+    Default quant tables keep the DC quantum at 8 — block-constant
+    content round-trips bit-exactly, the hash-gate contract."""
+    import struct
+
+    import numpy as np
+
+    cond_l, cond_u = dc_conditioning
+    if not (0 <= cond_l <= cond_u <= 15):
+        raise ValueError("DC conditioning requires 0 <= L <= U <= 15")
+    if not (1 <= ac_kx <= 63):
+        raise ValueError("AC conditioning Kx must be 1..63")
+    px = np.asarray(pixels, dtype=np.uint8)
+    color = px.ndim == 3
+    if color and px.shape[2] != 3:
+        raise ValueError("color input must be (h, w, 3)")
+    if not color and px.ndim != 2:
+        raise ValueError("expects 2-D grayscale or (h, w, 3) RGB")
+    h, w = px.shape[:2]
+    if not (0 < h <= 65535 and 0 < w <= 65535):
+        raise ValueError("image dimensions out of JPEG range")
+    m = _jpeg_dct_matrix()
+    ql = np.asarray(
+        quality_qtable if quality_qtable is not None else [8] + [16] * 63,
+        dtype=np.int32,
+    ).reshape(8, 8)
+
+    def to_blocks(plane, q):
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coef = np.einsum("ux,nxy,vy->nuv", m, blocks, m)
+        quant = np.round(coef / q[None, :, :]).astype(np.int64).reshape(-1, 64)
+        return quant[:, _JPEG_ZIGZAG].reshape(bh, bw_, 64)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if color:
+        if subsample not in ("444", "422", "420"):
+            raise ValueError("subsample must be '444', '422', or '420'")
+        hs = 2 if subsample in ("420", "422") else 1
+        vs = 2 if subsample == "420" else 1
+        mcus_x = (w + 8 * hs - 1) // (8 * hs)
+        mcus_y = (h + 8 * vs - 1) // (8 * vs)
+        ph, pw = mcus_y * 8 * vs, mcus_x * 8 * hs
+        padded = np.pad(
+            px.astype(np.float64), ((0, ph - h), (0, pw - w), (0, 0)),
+            mode="edge",
+        )
+        r_, g_, b_ = padded[..., 0], padded[..., 1], padded[..., 2]
+        y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+        cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+        cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+        if vs == 2:
+            cb = cb.reshape(ph // 2, 2, pw).mean(axis=1)
+            cr = cr.reshape(ph // 2, 2, pw).mean(axis=1)
+        if hs == 2:
+            cb = cb.reshape(cb.shape[0], pw // 2, 2).mean(axis=2)
+            cr = cr.reshape(cr.shape[0], pw // 2, 2).mean(axis=2)
+        qc = np.asarray(
+            qtable_chroma if qtable_chroma is not None else [8] + [16] * 63,
+            dtype=np.int32,
+        ).reshape(8, 8)
+        stores = [to_blocks(y, ql), to_blocks(cb, qc), to_blocks(cr, qc)]
+        for tid, q in ((0, ql), (1, qc)):
+            zzq = q.reshape(-1)[_JPEG_ZIGZAG]
+            out += b"\xff\xdb" + struct.pack(">H", 67)
+            out.append(tid)
+            out += bytes(int(v) for v in zzq)
+        out += b"\xff\xc9" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        out += bytes([1, (hs << 4) | vs, 0])
+        out += bytes([2, 0x11, 1])
+        out += bytes([3, 0x11, 1])
+        tids = [(0, 0), (1, 1), (1, 1)]  # (Td, Ta) per component
+    else:
+        ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(
+            np.float64
+        )
+        hs = vs = 1
+        mcus_x, mcus_y = pw // 8, ph // 8
+        stores = [to_blocks(padded, ql)]
+        zzq = ql.reshape(-1)[_JPEG_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+        out += bytes(int(v) for v in zzq)
+        out += b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        out += b"\x01\x11\x00"
+        tids = [(0, 0)]
+    # DAC: conditioning for every referenced table id (Tc=0 DC: L|U<<4;
+    # Tc=1 AC: Kx)
+    dac_entries = []
+    for tid in sorted({t[0] for t in tids}):
+        dac_entries.append((tid, cond_l | (cond_u << 4)))
+    for tid in sorted({t[1] for t in tids}):
+        dac_entries.append((0x10 | tid, ac_kx))
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 2 * len(dac_entries))
+    for tc_tb, cs in dac_entries:
+        out += bytes([tc_tb, cs])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    ncomp = len(stores)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci, (td, ta) in enumerate(tids):
+        out += bytes([ci + 1, (td << 4) | ta])
+    out += bytes([0, 0x3F, 0])
+
+    def fresh_stats():
+        return (
+            {t: bytearray(64) for t in {x[0] for x in tids}},
+            {t: bytearray(256) for t in {x[1] for x in tids}},
+            bytearray([113]),
+        )
+
+    enc = _QMEncoder()
+    dc_stats, ac_stats, fixed = fresh_stats()
+    dc_ctx = [0] * ncomp
+    prev_dc = [0] * ncomp
+    rst = 0
+    if color:
+        mcu_plan = (
+            [(0, v, hh) for v in range(vs) for hh in range(hs)]
+            + [(1, 0, 0), (2, 0, 0)]
+        )
+    else:
+        mcu_plan = [(0, 0, 0)]
+    for midx in range(mcus_y * mcus_x):
+        if restart_interval and midx and midx % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            enc = _QMEncoder()
+            dc_stats, ac_stats, fixed = fresh_stats()
+            dc_ctx = [0] * ncomp
+            prev_dc = [0] * ncomp
+        my, mx = divmod(midx, mcus_x)
+        for ci, v, hh in mcu_plan:
+            if color and ci == 0:
+                blk = stores[0][my * vs + v, mx * hs + hh]
+            else:
+                blk = stores[ci][my, mx]
+            td, ta = tids[ci]
+            dc = int(blk[0])
+            dc_ctx[ci] = _arith_encode_dc(
+                enc, dc_stats[td], dc - prev_dc[ci], dc_ctx[ci],
+                cond_l, cond_u,
+            )
+            prev_dc[ci] = dc
+            _arith_encode_ac(enc, ac_stats[ta], fixed, blk, ac_kx)
+    out += enc.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_arith_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    restart_col: str | None = None,
+    kx_col: str | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL ARITHMETIC-CODED JPEG encode (T.81 SOF9) of
+    block-constant grayscale content: (id, width, height
+    [, restart_interval][, ac_kx]) → (id, content binary). Per-row
+    restart intervals exercise the QM coder's flush/reinit/statistics
+    reset, and per-row AC Kx conditioning exercises DAC parsing and the
+    band-split magnitude bins — both decoded back by the SAME
+    :func:`jpeg_decode_stats` the Huffman modes use (dispatch via SOF9
+    in :func:`jpeg_decode`). Pixels never cross a shuffle."""
+    spark = df.sparkSession
+    _ship_package(spark)
+    cols = [id_col, width_col, height_col]
+    if restart_col is not None:
+        cols.append(restart_col)
+    if kx_col is not None:
+        cols.append(kx_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import (
+            jpeg_block_gray,
+            jpeg_encode_arith,
+        )
+
+        for pdf in batches:
+            ri = (
+                pdf[restart_col]
+                if restart_col is not None
+                else [0] * len(pdf)
+            )
+            kx = pdf[kx_col] if kx_col is not None else [5] * len(pdf)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        jpeg_encode_arith(
+                            jpeg_block_gray(int(i), int(w), int(h)),
+                            restart_interval=int(r),
+                            ac_kx=int(k),
+                        )
+                        for i, w, h, r, k in zip(
+                            pdf[id_col],
+                            pdf[width_col],
+                            pdf[height_col],
+                            ri,
+                            kx,
+                        )
+                    ],
+                }
+            )
+
+    return df.select(*cols).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )

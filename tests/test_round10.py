@@ -455,10 +455,11 @@ def test_jpeg_out_of_scope_files_raise():
         jpeg_encode_gray,
     )
 
-    # SOF2 is SUPPORTED since the progressive round trip landed; the
-    # remaining rejects are arithmetic (SOF9) and hierarchical codings
+    # SOF2/SOF9 are SUPPORTED since the progressive and arithmetic
+    # round trips landed; the remaining rejects are the arithmetic
+    # progressive/lossless/differential modes
     with pytest.raises(ValueError, match="arithmetic"):
-        jpeg_decode_gray(b"\xff\xd8\xff\xc9" + struct.pack(">H", 10) + bytes(8))
+        jpeg_decode_gray(b"\xff\xd8\xff\xca" + struct.pack(">H", 10) + bytes(8))
     with pytest.raises(ValueError, match="missing SOI"):
         jpeg_decode_gray(b"nope")
     # truncated entropy segment

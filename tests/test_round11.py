@@ -860,3 +860,186 @@ def test_gif_animation_error_paths():
     good[at + 3] = (good[at + 3] & ~0x1C) | (3 << 2)
     with pytest.raises(ValueError, match="disposal 3"):
         gif_decode_frames(bytes(good))
+
+
+# ---------------------------------------------------------------------------
+# arithmetic-coded JPEG (T.81 SOF9: Annex D QM-coder + F.1.4.4 models)
+# ---------------------------------------------------------------------------
+
+
+def test_qm_coder_roundtrip_random_sequences():
+    """The QM encoder and decoder are exact mirrors: every decision and
+    every statistics transition roundtrips over biased, alternating, and
+    uniform sources (this sweeps the Table D.3 ladder in both
+    directions, conditional exchange included)."""
+    import random
+
+    from pipes_spark.operators.multimodal import _QMDecoder, _QMEncoder
+
+    random.seed(20260817)
+    for trial in range(60):
+        n_ctx = random.randint(1, 6)
+        p = random.choice([0.0, 0.01, 0.1, 0.5, 0.9, 1.0])
+        seq = [
+            (random.randrange(n_ctx), 1 if random.random() < p else 0)
+            for _ in range(random.randint(1, 1500))
+        ]
+        st_e = bytearray(n_ctx)
+        enc = _QMEncoder()
+        for idx, bit in seq:
+            enc.encode(st_e, idx, bit)
+        payload = enc.flush() + b"\xff\xd9"
+        st_d = bytearray(n_ctx)
+        dec = _QMDecoder(payload, 0)
+        for i, (idx, bit) in enumerate(seq):
+            assert dec.decode(st_d, idx) == bit, (trial, i)
+        # adaptation state converged identically on both sides
+        assert st_d == st_e, trial
+
+
+def test_qm_coder_stuffing_carry_and_fixed_bin():
+    from pipes_spark.operators.multimodal import _QMDecoder, _QMEncoder
+
+    # all-MPS at state 0 (Qe ~ 0.5 before adaptation) produces a dense
+    # code stream whose bytes include 0xFF -> stuffed 0x00 must follow
+    # every one, and the decoder must unstuff them
+    st = bytearray(1)
+    enc = _QMEncoder()
+    bits = [(i * 7) % 3 == 0 for i in range(4000)]
+    for b in bits:
+        enc.encode(st, 0, 1 if b else 0)
+    payload = enc.flush()
+    for i, byte in enumerate(payload[:-1]):
+        if byte == 0xFF:
+            assert payload[i + 1] == 0x00, f"unstuffed 0xFF at {i}"
+    st_d = bytearray(1)
+    dec = _QMDecoder(payload + b"\xff\xd9", 0)
+    for i, b in enumerate(bits):
+        assert dec.decode(st_d, 0) == (1 if b else 0), i
+    # the AC-sign fixed bin (index 113) never adapts
+    fixed = bytearray([113])
+    enc2 = _QMEncoder()
+    for i in range(400):
+        enc2.encode(fixed, 0, i & 1)
+    assert fixed[0] == 113
+
+
+@pytest.mark.parametrize("restart", [0, 1, 3])
+def test_jpeg_arith_matches_huffman_pixels_gray(restart):
+    """Entropy-layer losslessness: an arithmetic stream and a Huffman
+    stream of the SAME quantized coefficients decode to identical
+    pixels — isolating the QM coder from the shared DCT front end."""
+    from pipes_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_arith,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(90 + restart)
+    for shape in [(1, 1), (7, 9), (24, 33), (40, 17)]:
+        px = rng.integers(0, 256, shape).astype(np.uint8)
+        a = jpeg_decode(jpeg_encode_arith(px, restart_interval=restart))
+        h = jpeg_decode(jpeg_encode_gray(px, restart_interval=restart))
+        assert np.array_equal(a, h), shape
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420"])
+def test_jpeg_arith_matches_huffman_pixels_color(sub):
+    from pipes_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode_arith,
+        jpeg_encode_color,
+    )
+
+    rng = np.random.default_rng(hash(sub) % 1000)
+    rgb = rng.integers(0, 256, (21, 26, 3)).astype(np.uint8)
+    a = jpeg_decode(jpeg_encode_arith(rgb, subsample=sub, restart_interval=2))
+    h = jpeg_decode(jpeg_encode_color(rgb, subsample=sub, restart_interval=2))
+    assert np.array_equal(a, h)
+
+
+def test_jpeg_arith_block_constant_bit_exact_and_smaller():
+    from pipes_spark.operators.multimodal import (
+        jpeg_block_gray,
+        jpeg_decode,
+        jpeg_encode_arith,
+        jpeg_encode_gray,
+    )
+
+    px = jpeg_block_gray(13, 48, 40)
+    a = jpeg_encode_arith(px)
+    assert np.array_equal(jpeg_decode(a), px)
+    # adaptive arithmetic coding beats the fixed-length Huffman tables
+    # handily on this content — the compression reason the mode exists
+    assert len(a) < len(jpeg_encode_gray(px)) * 0.6
+
+
+def test_jpeg_arith_conditioning_variants_decode_identically():
+    from pipes_spark.operators.multimodal import jpeg_decode, jpeg_encode_arith
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (19, 23)).astype(np.uint8)
+    ref = jpeg_decode(jpeg_encode_arith(px))
+    streams = set()
+    for cond in [(0, 0), (0, 1), (2, 5)]:
+        for kx in (1, 63):
+            s = jpeg_encode_arith(px, dc_conditioning=cond, ac_kx=kx)
+            streams.add(s)
+            assert np.array_equal(jpeg_decode(s), ref), (cond, kx)
+    assert len(streams) == 6  # conditioning genuinely changes the code
+
+
+def test_jpeg_arith_error_paths():
+    import struct
+
+    from pipes_spark.operators.multimodal import jpeg_decode, jpeg_encode_arith
+
+    px = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="L <= U"):
+        jpeg_encode_arith(px, dc_conditioning=(3, 1))
+    with pytest.raises(ValueError, match="Kx"):
+        jpeg_encode_arith(px, ac_kx=0)
+    with pytest.raises(ValueError, match=r"\(h, w, 3\)"):
+        jpeg_encode_arith(np.zeros((4, 4, 2), dtype=np.uint8))
+    # arithmetic progressive (SOF10) stays a documented reject
+    with pytest.raises(ValueError, match="arithmetic progressive"):
+        jpeg_decode(b"\xff\xd8\xff\xca" + struct.pack(">H", 10) + bytes(8))
+    # malformed DAC: DC conditioning with L > U
+    bad = bytearray(jpeg_encode_arith(px))
+    at = bad.index(b"\xff\xcc")
+    # DC entry is (0x00, L | U<<4): set L=5, U=1
+    bad[at + 5] = 0x15
+    with pytest.raises(ValueError, match="L <= U"):
+        jpeg_decode(bytes(bad))
+
+
+def test_jpeg_arith_assets_spark_contract(spark):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        encode_jpeg_arith_assets,
+        jpeg_block_gray,
+        jpeg_decode_stats,
+    )
+
+    df = spark.range(1, 13).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 26 + 1).cast("int").alias("width"),
+        ((F.col("id") * 11) % 22 + 1).cast("int").alias("height"),
+        (F.col("id") % 4).cast("int").alias("restart"),
+        (F.col("id") % 9 + 1).cast("int").alias("kx"),
+    )
+    assets = encode_jpeg_arith_assets(
+        df, "doc_id", "width", "height", "restart", "kx"
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in jpeg_decode_stats(assets).orderBy("asset_id").collect()
+    }
+    assert len(rows) == 12
+    for i, r in rows.items():
+        w, h = i % 26 + 1, (i * 11) % 22 + 1
+        px = jpeg_block_gray(i, w, h)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_components"] == 1
+        assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
