@@ -84,6 +84,7 @@ EXTENDED = [
     "multimodal_jpeg_arith_roundtrip",  # round 11: SOF9 QM-coder
     "multimodal_wav_roundtrip",
     "multimodal_g711_roundtrip",  # round 11: companded-audio expansion
+    "multimodal_flac_roundtrip",  # round 11: lossless compressed audio
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
     "multimodal_video_dib_frame_sample",  # round 11: raw '00db' path

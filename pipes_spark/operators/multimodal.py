@@ -16,8 +16,10 @@ with ``fake=False``) dispatches through these same decoders via
 audio codecs (MP3/AAC-class), inter-frame video codecs (H.264-class) —
 swapping in PIL/ffmpeg widens only the dispatch; progressive COLOR
 JPEG, ARITHMETIC-CODED sequential JPEG (SOF9, the Annex D QM-coder),
-lossless + hierarchical JPEG, G.711 companded audio, and
-uncompressed-DIB AVI joined the supported set in round 11). Fake mode
+lossless + hierarchical JPEG, G.711 companded audio, FLAC lossless
+compressed audio (RFC 9639: Rice residuals, fixed + Levinson-Durbin LPC
+prediction, stereo decorrelation, MD5-verified), and uncompressed-DIB
+AVI joined the supported set in round 11). Fake mode
 remains the deterministic byte-level plumbing path for arbitrary blobs.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
@@ -91,7 +93,8 @@ def decode_asset_values(content: bytes, label: str = "asset"):
     arithmetic-coded SOF9) /
     BMP / TIFF → grayscale pixel matrix via :func:`decode_image_gray`;
     RIFF/WAVE (PCM, G.711, ADPCM) → int16-domain samples via
-    :func:`wav_decode_pcm`; AIFF via :func:`aiff_decode_pcm`. Returns ``(format, values int64 1-D ndarray,
+    :func:`wav_decode_pcm`; AIFF via :func:`aiff_decode_pcm`; FLAC via
+    :func:`flac_decode` (MD5-verified). Returns ``(format, values int64 1-D ndarray,
     width, height)`` (width/height ``None`` for audio); raises
     ``ValueError`` only for genuinely unsupported formats."""
     import numpy as np
@@ -108,12 +111,19 @@ def decode_asset_values(content: bytes, label: str = "asset"):
     if b[:4] == b"FORM" and b[8:12] == b"AIFF":
         samples, _nch, _rate, _bits = aiff_decode_pcm(b, label=label)
         return "aiff", samples, None, None
+    if b[:4] == b"fLaC":
+        samples, _nch, _rate, _bits, _total, md5_ok = flac_decode(
+            b, label=label
+        )
+        if not md5_ok:
+            raise ValueError(f"{label}: FLAC MD5 mismatch after decode")
+        return "flac", samples, None, None
     raise ValueError(
         f"{label}: unsupported media format (engine codecs: PNG, GIF, "
         "JPEG baseline/progressive/lossless/hierarchical/arithmetic, "
         "BMP, TIFF, "
-        "RIFF/WAVE PCM+G.711+ADPCM, AIFF; perceptual audio codecs and "
-        "other containers need an external codec library)"
+        "RIFF/WAVE PCM+G.711+ADPCM, AIFF, FLAC; perceptual audio codecs "
+        "and other containers need an external codec library)"
     )
 
 
@@ -7647,4 +7657,819 @@ def encode_jpeg_arith_assets(
 
     return df.select(*cols).mapInPandas(
         gen, "asset_id bigint, content binary"
+    )
+
+
+# --------------------------------------------------------------------------
+# FLAC: REAL lossless compressed audio from the public spec (RFC 9639 /
+# the xiph.org format description) — round 11. This moves the audio
+# story past containers and companding into a true compressed codec:
+# Rice-coded prediction residuals (4-bit and 5-bit parameter variants
+# with raw-escape partitions), CONSTANT/VERBATIM/FIXED(0-4)/LPC
+# subframes (the encoder runs REAL Levinson-Durbin LPC with spec
+# coefficient quantization), stereo decorrelation (left/side,
+# right/side, mid/side), the extended-UTF-8 frame numbering, CRC-8
+# frame headers, CRC-16 frame trailers, and the STREAMINFO MD5 of the
+# unencoded audio — which the decoder recomputes, so a decode is
+# verified lossless end to end. Remaining audio stubs: perceptual
+# codecs (MP3/AAC-class).
+# --------------------------------------------------------------------------
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
+    frame-header checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
+    the whole-frame checksum."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+class _FlacBitWriter:
+    """MSB-first bit packer (no byte stuffing — FLAC frames are CRC-
+    delimited, not marker-delimited)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def write_signed(self, value: int, length: int) -> None:
+        self.write(value & ((1 << length) - 1), length)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a terminating 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _FlacBitReader:
+    """MSB-first bit reader over a byte range."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.d):
+                raise ValueError("FLAC: truncated bit stream")
+            self.acc = (self.acc << 8) | self.d[self.pos]
+            self.pos += 1
+            self.n += 8
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1) if k else 0
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def signed(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if k and v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        q = 0
+        while self.bits(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("FLAC: runaway unary code")
+        return q
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """FLAC's extended UTF-8 style coding for frame/sample numbers
+    (plain UTF-8 widened to 36-bit values / 7 bytes)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes, firstmax in ((2, 11), (3, 16), (4, 21), (5, 26), (6, 31), (7, 36)):
+        if n < (1 << firstmax):
+            lead = (0xFF << (8 - nbytes)) & 0xFF
+            shift = 6 * (nbytes - 1)
+            out = [lead | (n >> shift)]
+            for i in range(nbytes - 1):
+                shift -= 6
+                out.append(0x80 | ((n >> shift) & 0x3F))
+            return bytes(out)
+    raise ValueError("frame number beyond 36 bits")
+
+
+def _flac_utf8_decode(data: bytes, pos: int):
+    """Returns (value, new_pos); raises on malformed coding."""
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    # count leading ones
+    nbytes = 0
+    m = 0x80
+    while b0 & m:
+        nbytes += 1
+        m >>= 1
+    if nbytes < 2 or nbytes > 7:
+        raise ValueError("FLAC: malformed UTF-8 frame number")
+    v = b0 & (0x7F >> nbytes)
+    for i in range(1, nbytes):
+        bi = data[pos + i]
+        if bi & 0xC0 != 0x80:
+            raise ValueError("FLAC: malformed UTF-8 continuation")
+        v = (v << 6) | (bi & 0x3F)
+    return v, pos + nbytes
+
+
+#: FIXED predictor coefficients by order (RFC 9639 §4.2.2): residual =
+#: polynomial difference of that order.
+_FLAC_FIXED_COEF = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_FLAC_BLOCK_SIZES = {
+    192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+    256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+    8192: 13, 16384: 14, 32768: 15,
+}
+
+_FLAC_RATES = {
+    88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5, 22050: 6,
+    24000: 7, 32000: 8, 44100: 9, 48000: 10, 96000: 11,
+}
+
+
+def _flac_rice_cost(res, param: int) -> int:
+    total = 0
+    for r in res:
+        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        total += (u >> param) + 1 + param
+    return total
+
+
+def _flac_best_rice(res):
+    """Exact best single Rice parameter 0..30 by total cost (RICE2
+    range; the writer picks the 4-bit method when the param fits)."""
+    best_p, best_c = 0, None
+    for p in range(0, 31):
+        c = _flac_rice_cost(res, p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+        elif c > best_c * 2:
+            break  # costs are convex in p once past the optimum
+    return best_p, best_c
+
+
+def _flac_write_residual(bw, res, order: int, block_size: int) -> None:
+    """Partition order 0 (one parameter), method chosen by parameter
+    width — decoder-side generality (partitions, escapes) is exercised
+    by dedicated pytest fixtures."""
+    param, _ = _flac_best_rice(res)
+    method = 0 if param < 15 else 1
+    bw.write(method, 2)
+    bw.write(0, 4)  # partition order 0
+    bw.write(param, 4 if method == 0 else 5)
+    for r in res:
+        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        bw.write_unary(u >> param)
+        bw.write(u & ((1 << param) - 1), param)
+
+
+def _flac_residuals(x, coefs, shift: int = 0):
+    order = len(coefs)
+    return [
+        x[i] - ((sum(c * x[i - 1 - j] for j, c in enumerate(coefs))) >> shift)
+        for i in range(order, len(x))
+    ]
+
+
+def _flac_lpc_quantize(x, order: int, precision: int = 14):
+    """REAL LPC analysis: autocorrelation → Levinson-Durbin →
+    spec coefficient quantization with error feedback. Returns
+    (qcoefs, shift) or None when the signal is degenerate."""
+    import numpy as np
+
+    sig = np.asarray(x, dtype=np.float64)
+    n = len(sig)
+    if n <= order + 1:
+        return None
+    ac = [float(np.dot(sig[: n - k], sig[k:])) for k in range(order + 1)]
+    if ac[0] == 0.0:
+        return None
+    err = ac[0]
+    lpc = [0.0] * order
+    for i in range(order):
+        k = ac[i + 1]
+        for j in range(i):
+            k -= lpc[j] * ac[i - j]
+        k /= err
+        lpc[i] = k
+        for j in range(i // 2):
+            t = lpc[j]
+            lpc[j] = t - k * lpc[i - 1 - j]
+            lpc[i - 1 - j] -= k * t
+        if i & 1:
+            lpc[i // 2] -= k * lpc[i // 2]
+        err *= 1.0 - k * k
+        if err <= 0.0:
+            return None
+    cmax = max(abs(c) for c in lpc)
+    if cmax == 0.0:
+        return None
+    # shift so the largest coefficient fills the precision budget
+    import math
+
+    shift = precision - 1 - max(0, int(math.floor(math.log2(cmax))) + 1)
+    shift = max(0, min(15, shift))  # 5-bit signed field, kept non-negative
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    q = []
+    e = 0.0
+    for c in lpc:
+        v = c * (1 << shift) + e
+        qi = int(round(v))
+        qi = max(qmin, min(qmax, qi))
+        e = v - qi
+        q.append(qi)
+    return q, shift
+
+
+def flac_encode_pcm16(
+    samples,
+    sample_rate: int,
+    channels: int = 1,
+    block_size: int = 1024,
+    stereo_mode: str = "independent",
+    use_lpc: bool = True,
+    lpc_order: int = 8,
+) -> bytes:
+    """REAL FLAC encode of interleaved int16 PCM (RFC 9639): fLaC
+    marker, STREAMINFO (incl. the MD5 of the unencoded audio), fixed-
+    blocking frames with CRC-8 headers and CRC-16 trailers. Per
+    subframe the encoder picks the cheapest of CONSTANT / FIXED 0-4
+    (exact Rice cost) / true Levinson-Durbin LPC / VERBATIM. Stereo
+    decorrelation per ``stereo_mode``: independent, left_side,
+    right_side, or mid_side (side channels carry bps+1 bits per spec).
+    """
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 2):
+        raise ValueError("1 or 2 channels supported")
+    if stereo_mode not in ("independent", "left_side", "right_side", "mid_side"):
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim != 1 or len(s) % channels:
+        raise ValueError("samples must be 1-D interleaved")
+    if len(s) == 0:
+        raise ValueError("empty signal")
+    if s.min() < -32768 or s.max() > 32767:
+        raise ValueError("samples out of int16 range")
+    n_total = len(s) // channels
+    bps = 16
+
+    md5 = hashlib.md5(
+        s.astype("<i2").tobytes()
+    ).digest()
+
+    def write_subframe(bw, x, sub_bps):
+        x = [int(v) for v in x]
+        n = len(x)
+        if all(v == x[0] for v in x):
+            bw.write(0, 1)
+            bw.write(0b000000, 6)
+            bw.write(0, 1)
+            bw.write_signed(x[0], sub_bps)
+            return
+        verbatim_cost = n * sub_bps
+        best = ("verbatim", None, None, verbatim_cost)
+        for order, coefs in _FLAC_FIXED_COEF.items():
+            if n <= order:
+                continue
+            res = _flac_residuals(x, coefs)
+            _, rc = _flac_best_rice(res)
+            cost = order * sub_bps + 6 + rc
+            if cost < best[3]:
+                best = ("fixed", order, res, cost)
+        if use_lpc and n > lpc_order + 1:
+            lq = _flac_lpc_quantize(x, lpc_order)
+            if lq is not None:
+                qc, shift = lq
+                res = _flac_residuals(x, qc, shift)
+                _, rc = _flac_best_rice(res)
+                cost = lpc_order * sub_bps + 4 + 5 + lpc_order * 14 + 6 + rc
+                if cost < best[3]:
+                    best = ("lpc", (qc, shift), res, cost)
+        kind = best[0]
+        bw.write(0, 1)
+        if kind == "verbatim":
+            bw.write(0b000001, 6)
+            bw.write(0, 1)
+            for v in x:
+                bw.write_signed(v, sub_bps)
+        elif kind == "fixed":
+            order, res = best[1], best[2]
+            bw.write(0b001000 | order, 6)
+            bw.write(0, 1)
+            for v in x[:order]:
+                bw.write_signed(v, sub_bps)
+            _flac_write_residual(bw, res, order, n)
+        else:
+            (qc, shift), res = best[1], best[2]
+            order = len(qc)
+            bw.write(0b100000 | (order - 1), 6)
+            bw.write(0, 1)
+            for v in x[:order]:
+                bw.write_signed(v, sub_bps)
+            bw.write(14 - 1, 4)  # precision 14
+            bw.write_signed(shift, 5)
+            for c in qc:
+                bw.write_signed(c, 14)
+            _flac_write_residual(bw, res, order, n)
+
+    frames = bytearray()
+    min_fs = max_fs = None
+    frame_idx = 0
+    for start in range(0, n_total, block_size):
+        blk = s[start * channels : (start + min(block_size, n_total - start)) * channels]
+        nb = len(blk) // channels
+        header = bytearray()
+        bw = _FlacBitWriter()
+        bw.write(0b11111111111110, 14)
+        bw.write(0, 1)  # reserved
+        bw.write(0, 1)  # fixed blocking strategy
+        bs_code = _FLAC_BLOCK_SIZES.get(nb)
+        tail_bs = None
+        if bs_code is None:
+            if nb <= 256:
+                bs_code, tail_bs = 6, (nb - 1, 8)
+            else:
+                bs_code, tail_bs = 7, (nb - 1, 16)
+        bw.write(bs_code, 4)
+        sr_code = _FLAC_RATES.get(sample_rate)
+        tail_sr = None
+        if sr_code is None:
+            if sample_rate % 1000 == 0 and sample_rate // 1000 <= 255:
+                sr_code, tail_sr = 12, (sample_rate // 1000, 8)
+            elif sample_rate <= 65535:
+                sr_code, tail_sr = 13, (sample_rate, 16)
+            elif sample_rate % 10 == 0 and sample_rate // 10 <= 65535:
+                sr_code, tail_sr = 14, (sample_rate // 10, 16)
+            else:
+                raise ValueError("sample rate not representable")
+        bw.write(sr_code, 4)
+        if channels == 1 or stereo_mode == "independent":
+            ch_code = channels - 1
+        else:
+            ch_code = {"left_side": 8, "right_side": 9, "mid_side": 10}[
+                stereo_mode
+            ]
+        bw.write(ch_code, 4)
+        bw.write(4, 3)  # sample size: 16-bit
+        bw.write(0, 1)  # reserved
+        header += bw.out
+        assert bw.n == 0
+        header += _flac_utf8_encode(frame_idx)
+        bw2 = _FlacBitWriter()
+        if tail_bs is not None:
+            bw2.write(*tail_bs)
+        if tail_sr is not None:
+            bw2.write(*tail_sr)
+        header += bw2.out
+        header.append(_flac_crc8(bytes(header)))
+
+        body = _FlacBitWriter()
+        if channels == 1:
+            write_subframe(body, blk, bps)
+        else:
+            left = blk[0::2]
+            right = blk[1::2]
+            if stereo_mode == "independent":
+                write_subframe(body, left, bps)
+                write_subframe(body, right, bps)
+            elif stereo_mode == "left_side":
+                write_subframe(body, left, bps)
+                write_subframe(body, left - right, bps + 1)
+            elif stereo_mode == "right_side":
+                write_subframe(body, left - right, bps + 1)
+                write_subframe(body, right, bps)
+            else:
+                write_subframe(body, (left + right) >> 1, bps)
+                write_subframe(body, left - right, bps + 1)
+        body.align()
+        frame = bytes(header) + bytes(body.out)
+        frame += struct.pack(">H", _flac_crc16(frame))
+        frames += frame
+        fs = len(frame)
+        min_fs = fs if min_fs is None else min(min_fs, fs)
+        max_fs = fs if max_fs is None else max(max_fs, fs)
+        frame_idx += 1
+
+    info = _FlacBitWriter()
+    info.write(min(block_size, n_total), 16)
+    info.write(min(block_size, n_total) if frame_idx == 1 else block_size, 16)
+    info.write(min_fs, 24)
+    info.write(max_fs, 24)
+    info.write(sample_rate, 20)
+    info.write(channels - 1, 3)
+    info.write(bps - 1, 5)
+    info.write(n_total, 36)
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last metadata block, type 0 = STREAMINFO
+    out += (34).to_bytes(3, "big")
+    out += bytes(info.out) + md5
+    out += frames
+    return bytes(out)
+
+
+def flac_decode(content: bytes, label: str = "asset"):
+    """REAL FLAC decode (RFC 9639): metadata-block walk (STREAMINFO
+    mandatory-first, others skipped), frame sync + header parse with
+    CRC-8 verification (all block-size/sample-rate code forms, both
+    blocking strategies), subframe decode — CONSTANT, VERBATIM,
+    FIXED 0-4, LPC 1-32 (quantized-coefficient prediction with
+    arithmetic shift applied to the accumulated sum), wasted bits,
+    Rice residuals in both parameter widths incl. raw-escape
+    partitions at any partition order — stereo un-decorrelation
+    (left/side, right/side, mid/side), CRC-16 frame verification, and
+    an MD5 recomputation over the reconstructed audio checked against
+    STREAMINFO. Returns (samples int64 interleaved ndarray, channels,
+    sample_rate, bits_per_sample, total_samples, md5_ok)."""
+    import hashlib
+
+    import numpy as np
+
+    d = bytes(content)
+    if d[:4] != b"fLaC":
+        raise ValueError(f"{label}: not a FLAC stream")
+    pos = 4
+    sinfo = None
+    md5_expect = None
+    while True:
+        if pos + 4 > len(d):
+            raise ValueError(f"{label}: truncated metadata")
+        hdr = d[pos]
+        last = hdr & 0x80
+        btype = hdr & 0x7F
+        blen = int.from_bytes(d[pos + 1 : pos + 4], "big")
+        pos += 4
+        if sinfo is None and btype != 0:
+            raise ValueError(f"{label}: first metadata block must be STREAMINFO")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError(f"{label}: bad STREAMINFO length")
+            r = _FlacBitReader(d, pos)
+            min_bs = r.bits(16)
+            max_bs = r.bits(16)
+            r.bits(24)
+            r.bits(24)
+            rate = r.bits(20)
+            nch = r.bits(3) + 1
+            bps = r.bits(5) + 1
+            total = r.bits(36)
+            md5_expect = d[pos + 18 : pos + 34]
+            sinfo = (min_bs, max_bs, rate, nch, bps, total)
+        elif btype == 127:
+            raise ValueError(f"{label}: invalid metadata block type")
+        pos += blen
+        if last:
+            break
+    if sinfo is None:
+        raise ValueError(f"{label}: missing STREAMINFO")
+    _, _, rate, nch, bps, total = sinfo
+    if nch > 2:
+        raise ValueError(f"{label}: >2 channels unsupported")
+
+    chans = [[] for _ in range(nch)]
+    got = 0
+    while got < total:
+        if pos >= len(d):
+            raise ValueError(f"{label}: truncated before all samples decoded")
+        frame_start = pos
+        r = _FlacBitReader(d, pos)
+        sync = r.bits(14)
+        if sync != 0b11111111111110:
+            raise ValueError(f"{label}: lost frame sync")
+        if r.bits(1):
+            raise ValueError(f"{label}: reserved frame-header bit set")
+        variable = r.bits(1)
+        bs_code = r.bits(4)
+        sr_code = r.bits(4)
+        ch_code = r.bits(4)
+        ss_code = r.bits(3)
+        if r.bits(1):
+            raise ValueError(f"{label}: reserved frame-header bit set")
+        # the header so far is exactly 4 bytes
+        num, npos = _flac_utf8_decode(d, pos + 4)
+        r2 = _FlacBitReader(d, npos)
+        if bs_code == 0:
+            raise ValueError(f"{label}: reserved block-size code")
+        if bs_code == 1:
+            nb = 192
+        elif 2 <= bs_code <= 5:
+            nb = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            nb = r2.bits(8) + 1
+        elif bs_code == 7:
+            nb = r2.bits(16) + 1
+        else:
+            nb = 256 << (bs_code - 8)
+        if sr_code == 0:
+            f_rate = rate
+        elif sr_code in _FLAC_RATES.values():
+            f_rate = next(k for k, v in _FLAC_RATES.items() if v == sr_code)
+        elif sr_code == 12:
+            f_rate = r2.bits(8) * 1000
+        elif sr_code == 13:
+            f_rate = r2.bits(16)
+        elif sr_code == 14:
+            f_rate = r2.bits(16) * 10
+        else:
+            raise ValueError(f"{label}: invalid sample-rate code")
+        if ss_code == 0:
+            f_bps = bps
+        else:
+            f_bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
+            if f_bps is None:
+                raise ValueError(f"{label}: reserved sample-size code")
+        crc8_at = r2.pos
+        if _flac_crc8(d[frame_start:crc8_at]) != d[crc8_at]:
+            raise ValueError(f"{label}: frame header CRC-8 mismatch")
+        body = _FlacBitReader(d, crc8_at + 1)
+
+        if ch_code <= 7:
+            f_nch = ch_code + 1
+            mode = "independent"
+        elif ch_code == 8:
+            f_nch, mode = 2, "left_side"
+        elif ch_code == 9:
+            f_nch, mode = 2, "right_side"
+        elif ch_code == 10:
+            f_nch, mode = 2, "mid_side"
+        else:
+            raise ValueError(f"{label}: reserved channel assignment")
+        if f_nch != nch:
+            raise ValueError(f"{label}: frame channel count != STREAMINFO")
+
+        def read_subframe(sub_bps):
+            if body.bits(1):
+                raise ValueError(f"{label}: subframe padding bit set")
+            stype = body.bits(6)
+            wasted = 0
+            if body.bits(1):
+                wasted = body.unary() + 1
+            eff = sub_bps - wasted
+            if eff <= 0:
+                raise ValueError(f"{label}: wasted bits exceed sample size")
+            if stype == 0:
+                v = body.signed(eff)
+                x = [v] * nb
+            elif stype == 1:
+                x = [body.signed(eff) for _ in range(nb)]
+            elif 8 <= stype <= 12 or stype >= 32:
+                if stype >= 32:
+                    order = (stype & 0x1F) + 1
+                    warm = [body.signed(eff) for _ in range(order)]
+                    prec = body.bits(4) + 1
+                    if prec == 16:
+                        raise ValueError(f"{label}: invalid LPC precision")
+                    shift = body.signed(5)
+                    if shift < 0:
+                        raise ValueError(f"{label}: negative LPC shift")
+                    coefs = [body.signed(prec) for _ in range(order)]
+                else:
+                    order = stype - 8
+                    warm = [body.signed(eff) for _ in range(order)]
+                    coefs = [c for c in _FLAC_FIXED_COEF[order]]
+                    shift = 0
+                method = body.bits(2)
+                if method > 1:
+                    raise ValueError(f"{label}: reserved residual method")
+                porder = body.bits(4)
+                nparts = 1 << porder
+                if nb % nparts:
+                    raise ValueError(
+                        f"{label}: block size not divisible by partitions"
+                    )
+                res = []
+                pw = 4 if method == 0 else 5
+                esc = (1 << pw) - 1
+                for pi in range(nparts):
+                    cnt = (nb >> porder) - (order if pi == 0 else 0)
+                    if cnt < 0:
+                        raise ValueError(f"{label}: partition smaller than order")
+                    param = body.bits(pw)
+                    if param == esc:
+                        raw = body.bits(5)
+                        res.extend(
+                            body.signed(raw) if raw else 0 for _ in range(cnt)
+                        )
+                    else:
+                        for _ in range(cnt):
+                            q = body.unary()
+                            u = (q << param) | body.bits(param)
+                            res.append((u >> 1) ^ -(u & 1))
+                x = warm
+                for i, rv in enumerate(res):
+                    pred = (
+                        sum(c * x[order + i - 1 - j] for j, c in enumerate(coefs))
+                        >> shift
+                    )
+                    x.append(rv + pred)
+            else:
+                raise ValueError(f"{label}: reserved subframe type {stype}")
+            if wasted:
+                x = [v << wasted for v in x]
+            return x
+
+        if nch == 1:
+            sub = [read_subframe(f_bps)]
+        elif mode == "independent":
+            sub = [read_subframe(f_bps), read_subframe(f_bps)]
+        elif mode == "left_side":
+            sub = [read_subframe(f_bps), read_subframe(f_bps + 1)]
+        elif mode == "right_side":
+            sub = [read_subframe(f_bps + 1), read_subframe(f_bps)]
+        else:
+            sub = [read_subframe(f_bps), read_subframe(f_bps + 1)]
+        body.align()
+        crc16_at = body.pos
+        crc_got = int.from_bytes(d[crc16_at : crc16_at + 2], "big")
+        if _flac_crc16(d[frame_start:crc16_at]) != crc_got:
+            raise ValueError(f"{label}: frame CRC-16 mismatch")
+        pos = crc16_at + 2
+
+        if nch == 2:
+            if mode == "left_side":
+                left = sub[0]
+                right = [l - s_ for l, s_ in zip(sub[0], sub[1])]
+            elif mode == "right_side":
+                right = sub[1]
+                left = [s_ + r_ for s_, r_ in zip(sub[0], sub[1])]
+            elif mode == "mid_side":
+                left, right = [], []
+                for mid, side in zip(sub[0], sub[1]):
+                    mid = (mid << 1) | (side & 1)
+                    left.append((mid + side) >> 1)
+                    right.append((mid - side) >> 1)
+            else:
+                left, right = sub
+            chans[0].extend(left)
+            chans[1].extend(right)
+        else:
+            chans[0].extend(sub[0])
+        got += nb
+
+    if got != total:
+        raise ValueError(f"{label}: decoded {got} != STREAMINFO total {total}")
+    out = np.empty(total * nch, dtype=np.int64)
+    for ci in range(nch):
+        out[ci::nch] = chans[ci][:total]
+    if bps == 16:
+        raw = out.astype("<i2").tobytes()
+    elif bps == 8:
+        raw = out.astype("<i1").tobytes()
+    else:
+        raw = b""
+    md5_ok = bool(raw) and hashlib.md5(raw).digest() == md5_expect
+    return out, nch, rate, bps, total, md5_ok
+
+
+def encode_flac_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples_col: str = "n_samples",
+    rate_col: str = "sample_rate",
+    channels_col: str = "channels",
+    mode_col: str | None = None,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Arrow-batched REAL FLAC encode of the full-range int16 lattice
+    signal (sample i = ((id + i) * 2557) % 65536 - 32768, the
+    encode_wav_assets contract): (id, n_samples, sample_rate, channels
+    [, stereo_mode][, block_size]) → (id, content binary). Per-row
+    stereo modes exercise all three decorrelation reconstructions and
+    per-row block sizes exercise both table-coded and end-of-header
+    block-size forms under the gate."""
+    spark = df.sparkSession
+    _ship_package(spark)
+    cols = [id_col, n_samples_col, rate_col, channels_col]
+    if mode_col is not None:
+        cols.append(mode_col)
+    if block_col is not None:
+        cols.append(block_col)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import flac_encode_pcm16
+
+        for pdf in batches:
+            modes = (
+                pdf[mode_col] if mode_col is not None
+                else ["independent"] * len(pdf)
+            )
+            blocks = pdf[block_col] if block_col is not None else [192] * len(pdf)
+            blobs = []
+            for i, ns, rate, ch, mode, bs in zip(
+                pdf[id_col], pdf[n_samples_col], pdf[rate_col],
+                pdf[channels_col], modes, blocks,
+            ):
+                n = int(ns) * int(ch)
+                sig = ((np.arange(n, dtype=np.int64) + int(i)) * 2557) % 65536 - 32768
+                blobs.append(
+                    flac_encode_pcm16(
+                        sig, int(rate), channels=int(ch),
+                        block_size=int(bs), stereo_mode=str(mode),
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": blobs}
+            )
+
+    return df.select(*cols).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def flac_decode_stats(assets: DataFrame) -> DataFrame:
+    """REAL FLAC decode over Arrow batches — the full :func:`flac_decode`
+    chain (metadata walk, CRC-8/CRC-16-verified frames, Rice residual
+    decode, FIXED/LPC prediction, stereo un-decorrelation) plus a
+    sample checksum AND the STREAMINFO MD5 recomputation: (asset_id,
+    format, n_channels, sample_rate, bit_depth, n_samples, sample_sum,
+    sample_abs_max, md5_ok). A hash-match against the closed-form
+    lattice oracle with md5_ok = TRUE certifies byte-exact lossless
+    reconstruction — the strongest decode proof in the audio family."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import flac_decode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "format", "n_channels", "sample_rate",
+                "bit_depth", "n_samples", "sample_sum", "sample_abs_max",
+                "md5_ok",
+            )}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                samples, nch, rate, bps, total, md5_ok = flac_decode(
+                    bytes(content), label=f"asset {aid}"
+                )
+                out["asset_id"].append(int(aid))
+                out["format"].append("flac")
+                out["n_channels"].append(int(nch))
+                out["sample_rate"].append(int(rate))
+                out["bit_depth"].append(int(bps))
+                out["n_samples"].append(int(total))
+                out["sample_sum"].append(int(samples.sum(dtype=np.int64)))
+                out["sample_abs_max"].append(int(np.abs(samples).max()))
+                out["md5_ok"].append(bool(md5_ok))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, format string, n_channels int, sample_rate int, "
+        "bit_depth int, n_samples bigint, sample_sum bigint, "
+        "sample_abs_max bigint, md5_ok boolean",
     )

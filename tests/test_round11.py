@@ -1043,3 +1043,268 @@ def test_jpeg_arith_assets_spark_contract(spark):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_components"] == 1
         assert r["pixel_sum"] == int(px.sum(dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# FLAC (RFC 9639: Rice-coded prediction residuals, fixed + LPC subframes)
+# ---------------------------------------------------------------------------
+
+
+def _flac_lattice(doc, ns, ch):
+    n = ns * ch
+    return ((np.arange(n, dtype=np.int64) + doc) * 2557) % 65536 - 32768
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_flac_roundtrip_stereo_modes(mode):
+    from pipes_spark.operators.multimodal import flac_decode, flac_encode_pcm16
+
+    sig = _flac_lattice(5, 700, 2)
+    b = flac_encode_pcm16(sig, 44100, channels=2, block_size=192,
+                          stereo_mode=mode)
+    out, nch, rate, bps, total, md5_ok = flac_decode(b)
+    assert (nch, rate, bps, total) == (2, 44100, 16, 700)
+    assert np.array_equal(out, sig) and md5_ok
+
+
+def test_flac_lpc_engages_and_compresses():
+    from pipes_spark.operators.multimodal import flac_decode, flac_encode_pcm16
+
+    t = np.arange(6000)
+    # resonant tones (poles away from z=1): polynomial FIXED predictors
+    # leave large residuals while a real LPC pole pair models them
+    smooth = (11000 * np.sin(0.47 * t) + 2500 * np.sin(1.9 * t + 1)).astype(
+        np.int64
+    )
+    b = flac_encode_pcm16(smooth, 48000, block_size=4096)
+    out, *_, md5_ok = flac_decode(b)
+    assert np.array_equal(out, smooth) and md5_ok
+    # genuine compression (LPC prediction, not just header overhead)
+    assert len(b) < len(smooth) * 2 * 0.45
+    # Levinson-Durbin genuinely engages: LPC-off must cost >2x more
+    b_nolpc = flac_encode_pcm16(smooth, 48000, block_size=4096, use_lpc=False)
+    assert len(b) * 2 < len(b_nolpc)
+
+
+def test_flac_noise_constant_and_edges():
+    from pipes_spark.operators.multimodal import flac_decode, flac_encode_pcm16
+
+    rng = np.random.default_rng(8)
+    for sig, bs in [
+        (rng.integers(-32768, 32768, 2001), 576),
+        (np.full(900, 31000, dtype=np.int64), 256),
+        (np.array([-32768]), 1024),
+        (np.arange(-250, 251), 100),
+    ]:
+        b = flac_encode_pcm16(sig, 32000, block_size=bs)
+        out, *_ , md5_ok = flac_decode(b)
+        assert np.array_equal(out, np.asarray(sig, dtype=np.int64))
+        assert md5_ok
+
+
+def test_flac_decoder_general_forms():
+    """Hand-built frames exercise decoder paths the encoder never
+    emits: partition order > 0, raw-escape partitions, wasted bits,
+    and an explicit LPC subframe with chosen coefficients."""
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        _FlacBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        flac_decode,
+    )
+
+    def stream(subframe_bits, nb, total, md5, rate=8000):
+        info = _FlacBitWriter()
+        info.write(nb, 16)
+        info.write(nb, 16)
+        info.write(0, 24)
+        info.write(0, 24)
+        info.write(rate, 20)
+        info.write(0, 3)   # 1 channel
+        info.write(15, 5)  # 16 bps
+        info.write(total, 36)
+        out = bytearray(b"fLaC")
+        out.append(0x80)
+        out += (34).to_bytes(3, "big")
+        out += bytes(info.out) + md5
+        hdr = _FlacBitWriter()
+        hdr.write(0b11111111111110, 14)
+        hdr.write(0, 2)
+        hdr.write(6, 4)   # 8-bit block size at end
+        hdr.write(0, 4)   # rate from STREAMINFO
+        hdr.write(0, 4)   # 1 channel
+        hdr.write(4, 3)   # 16-bit
+        hdr.write(0, 1)
+        h = bytearray(hdr.out)
+        h += bytes([0])  # frame number 0
+        h += bytes([nb - 1])
+        h.append(_flac_crc8(bytes(h)))
+        frame = bytes(h) + subframe_bits
+        frame += struct.pack(">H", _flac_crc16(frame))
+        return bytes(out + frame)
+
+    import hashlib
+
+    # 1) FIXED order 1, partition order 2 with one escape partition
+    nb = 16
+    x = np.array([100, 101, 103, 106, 110, 115, 121, 128,
+                  136, 145, 155, 166, 178, 191, 205, 220], dtype=np.int64)
+    res = np.diff(x)  # order-1 residuals: 1,2,3,...,15
+    bw = _FlacBitWriter()
+    bw.write(0, 1)
+    bw.write(0b001001, 6)  # FIXED order 1
+    bw.write(0, 1)
+    bw.write_signed(int(x[0]), 16)
+    bw.write(0, 2)   # method 0 (4-bit rice)
+    bw.write(2, 4)   # partition order 2 -> 4 partitions of 4 (first has 3)
+    parts = [res[:3], res[3:7], res[7:11], res[11:15]]
+    for pi, pr in enumerate(parts):
+        if pi == 2:
+            bw.write(15, 4)  # escape
+            bw.write(6, 5)   # 6-bit raw
+            for r in pr:
+                bw.write_signed(int(r), 6)
+        else:
+            bw.write(3, 4)
+            for r in pr:
+                u = (int(r) << 1) if r >= 0 else ((-int(r) << 1) - 1)
+                bw.write_unary(u >> 3)
+                bw.write(u & 7, 3)
+    bw.align()
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
+    out, nch, rate, bps, total, md5_ok = flac_decode(
+        stream(bytes(bw.out), nb, nb, md5)
+    )
+    assert np.array_equal(out, x) and md5_ok
+
+    # 2) CONSTANT subframe with 3 wasted bits (value stored >> 3)
+    nb2 = 8
+    x2 = np.full(nb2, -1000 * 8, dtype=np.int64)
+    bw = _FlacBitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)       # CONSTANT
+    bw.write(1, 1)       # wasted-bits flag
+    bw.write_unary(2)    # 2 zeros + 1 -> wasted = 3
+    bw.write_signed(-1000, 13)  # 16 - 3 effective bits
+    bw.align()
+    md5 = hashlib.md5(x2.astype("<i2").tobytes()).digest()
+    out, *_, md5_ok = flac_decode(stream(bytes(bw.out), nb2, nb2, md5))
+    assert np.array_equal(out, x2) and md5_ok
+
+    # 3) explicit LPC order 2, shift 4, coefs [24, -9] (precision 6),
+    #    RICE2 residual method
+    nb3 = 12
+    warm = [500, 520]
+    coefs = [24, -9]
+    shift = 4
+    resid = [3, -2, 5, 0, -7, 1, 2, -1, 4, -3]
+    x3 = list(warm)
+    for r in resid:
+        pred = (coefs[0] * x3[-1] + coefs[1] * x3[-2]) >> shift
+        x3.append(r + pred)
+    x3 = np.array(x3, dtype=np.int64)
+    bw = _FlacBitWriter()
+    bw.write(0, 1)
+    bw.write(0b100000 | 1, 6)  # LPC order 2
+    bw.write(0, 1)
+    for v in warm:
+        bw.write_signed(v, 16)
+    bw.write(6 - 1, 4)         # precision 6
+    bw.write_signed(shift, 5)
+    for c in coefs:
+        bw.write_signed(c, 6)
+    bw.write(1, 2)             # method 1 (5-bit rice)
+    bw.write(0, 4)
+    bw.write(2, 5)
+    for r in resid:
+        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
+        bw.write_unary(u >> 2)
+        bw.write(u & 3, 2)
+    bw.align()
+    md5 = hashlib.md5(x3.astype("<i2").tobytes()).digest()
+    out, *_, md5_ok = flac_decode(stream(bytes(bw.out), nb3, nb3, md5))
+    assert np.array_equal(out, x3) and md5_ok
+
+
+def test_flac_error_paths_and_crc():
+    from pipes_spark.operators.multimodal import flac_decode, flac_encode_pcm16
+
+    sig = _flac_lattice(3, 300, 1)
+    good = bytearray(flac_encode_pcm16(sig, 16000, block_size=192))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_decode(b"flaC" + bytes(good[4:]))
+    # corrupt one entropy byte: CRC-16 (or CRC-8 / sync) must catch it
+    bad = bytearray(good)
+    bad[-10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|sync|truncated|unary"):
+        flac_decode(bytes(bad))
+    # flip a bit in the MD5 -> decode succeeds but md5_ok False
+    bad2 = bytearray(good)
+    bad2[8 + 18] ^= 0x01  # first MD5 byte inside STREAMINFO
+    out, *_, md5_ok = flac_decode(bytes(bad2))
+    assert np.array_equal(out, sig) and not md5_ok
+    with pytest.raises(ValueError, match="truncated"):
+        flac_decode(bytes(good[: len(good) // 2]))
+    with pytest.raises(ValueError, match="stereo_mode"):
+        flac_encode_pcm16(sig, 16000, stereo_mode="dual")
+    with pytest.raises(ValueError, match="int16"):
+        flac_encode_pcm16(np.array([40000]), 16000)
+
+
+def test_flac_generic_real_mode_dispatch():
+    from pipes_spark.operators.multimodal import (
+        decode_asset_values,
+        flac_encode_pcm16,
+    )
+
+    sig = _flac_lattice(9, 200, 2)
+    fmt, values, w, h = decode_asset_values(
+        flac_encode_pcm16(sig, 22050, channels=2, block_size=100,
+                          stereo_mode="mid_side")
+    )
+    assert fmt == "flac" and w is None and h is None
+    assert np.array_equal(values, sig)
+
+
+def test_flac_assets_spark_contract(spark):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        encode_flac_assets,
+        flac_decode_stats,
+    )
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 350 + 60).cast("int").alias("n_samples"),
+        (F.lit(8000) + (F.col("id") % 3) * 4000).cast("int").alias("sample_rate"),
+        (F.col("id") % 2 + 1).cast("int").alias("channels"),
+        F.element_at(
+            F.array(
+                F.lit("independent"), F.lit("left_side"),
+                F.lit("right_side"), F.lit("mid_side"),
+            ),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("stereo_mode"),
+        F.element_at(
+            F.array(F.lit(192), F.lit(100), F.lit(576)),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("block_size"),
+    )
+    assets = encode_flac_assets(
+        df, "doc_id", "n_samples", "sample_rate", "channels",
+        "stereo_mode", "block_size",
+    )
+    rows = {r["asset_id"]: r for r in flac_decode_stats(assets).collect()}
+    assert len(rows) == 10
+    for i, r in rows.items():
+        ns, ch = i % 350 + 60, i % 2 + 1
+        sig = _flac_lattice(i, ns, ch)
+        assert r["md5_ok"] is True
+        assert r["n_samples"] == ns and r["n_channels"] == ch
+        assert r["sample_sum"] == int(sig.sum())
+        assert r["sample_abs_max"] == int(np.abs(sig).max())
