@@ -88,6 +88,7 @@ EXTENDED = [
     "multimodal_audio_features",
     "multimodal_video_frame_sample",
     "multimodal_video_dib_frame_sample",  # round 11: raw '00db' path
+    "multimodal_video_screen_frames",  # round 11: FLV inter-frame codec
     "multimodal_cross_codec_ahash",
     "sketch_theta_diff",
     "dedup_prefix_doubling",

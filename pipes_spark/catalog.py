@@ -17135,3 +17135,79 @@ def multimodal_flac_roundtrip(spark, sf_dir):
         "channels", "stereo_mode", "block_size",
     )
     return flac_decode_stats(assets).orderBy("asset_id")
+
+
+@query(
+    "multimodal_video_screen_frames",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(doc_id % 90 + 8 AS INT) AS w,
+             CAST((doc_id * 7) % 70 + 8 AS INT) AS h,
+             CAST(doc_id % 5 + 2 AS INT) AS nf,
+             CAST(ceil((doc_id % 90 + 8) / 32.0) AS BIGINT) AS ncols,
+             CAST(ceil(((doc_id * 7) % 70 + 8) / 32.0) AS BIGINT) AS nrows
+      FROM documents
+    ), fb AS (
+      SELECT doc_id, w, h, nf, ncols, nrows, ncols * nrows AS nb,
+             ff.f AS f, bb.b AS b
+      FROM dims,
+           LATERAL unnest(generate_series(0, CAST(nf AS BIGINT) - 1))
+             AS ff(f),
+           LATERAL unnest(generate_series(0, ncols * nrows - 1)) AS bb(b)
+    ), v AS (
+      SELECT doc_id, w, h, nb, f, b,
+             least(32, w - (b % ncols) * 32)
+               * least(32, h - (b // ncols) * 32) AS area,
+             CASE WHEN f >= b AND b + nb * ((f - b) // nb) >= 1
+                  THEN (doc_id + b * 5
+                        + (b + nb * ((f - b) // nb)) * 17) % 256
+                  ELSE (doc_id * 3 + b * 7) % 256 END AS val,
+             CASE WHEN f - 1 >= b AND b + nb * ((f - 1 - b) // nb) >= 1
+                  THEN (doc_id + b * 5
+                        + (b + nb * ((f - 1 - b) // nb)) * 17) % 256
+                  ELSE (doc_id * 3 + b * 7) % 256 END AS prev_val
+      FROM fb
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_no,
+           CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+           CAST(CASE WHEN f = 0 THEN max(nb)
+                ELSE sum(CASE WHEN b = f % nb AND val != prev_val
+                         THEN 1 ELSE 0 END) END AS INT)
+             AS n_blocks_updated,
+           CAST(sum(area * val) AS BIGINT) AS pixel_sum
+    FROM v GROUP BY doc_id, f ORDER BY asset_id, frame_no
+    """,
+)
+def multimodal_video_screen_frames(spark, sf_dir):
+    """REAL INTER-FRAME video round trip — FLV / Screen Video (Adobe
+    FLV spec v10, codec id 3; round 11, the first true inter-frame
+    path): per-doc deterministic dims/frame counts → flv_screen_encode
+    (frame 0 a keyframe carrying every zlib-deflated bottom-left-
+    ordered BGR block; every later frame an INTER frame carrying ONLY
+    the one repainted block, all others transmitted as the 16-bit-zero
+    'hold' marker) → flv_screen_frame_stats (FLV tag walk with
+    PreviousTagSize cross-checks, SCREENVIDEOPACKET parse, zlib block
+    inflation into a persistent canvas). Every frame's pixel_sum
+    depends on the WHOLE update history, so a hash-pass proves the
+    decoder persisted every held block across frames — the inter-frame
+    contract full-frame AVI paths never exercise; n_blocks_updated
+    additionally pins the encoder's change detection (incl. the
+    patch-equals-current-content no-op case the oracle recomputes).
+    Pixels never cross a shuffle."""
+    from .operators.multimodal import (
+        encode_flv_screen_assets,
+        flv_screen_frame_stats,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 90 + 8).cast("int").alias("width"),
+        ((F.col("doc_id") * 7) % 70 + 8).cast("int").alias("height"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
+    )
+    assets = encode_flv_screen_assets(
+        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+    )
+    return flv_screen_frame_stats(assets).orderBy("asset_id", "frame_no")

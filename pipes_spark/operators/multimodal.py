@@ -13,7 +13,9 @@ round 11 the GENERIC real mode (``extract_features`` / ``perceptual_hash``
 with ``fake=False``) dispatches through these same decoders via
 ``decode_asset_values``; only genuinely unsupported formats raise
 ``ValueError`` (arithmetic progressive/lossless JPEG modes, perceptual
-audio codecs (MP3/AAC-class), inter-frame video codecs (H.264-class) —
+audio codecs (MP3/AAC-class), motion-compensated video codecs
+(H.264-class; block-delta inter-frame video IS implemented — FLV/Screen
+Video) —
 swapping in PIL/ffmpeg widens only the dispatch; progressive COLOR
 JPEG, ARITHMETIC-CODED sequential JPEG (SOF9, the Annex D QM-coder),
 lossless + hierarchical JPEG, G.711 companded audio, FLAC lossless
@@ -8472,4 +8474,308 @@ def flac_decode_stats(assets: DataFrame) -> DataFrame:
         "asset_id bigint, format string, n_channels int, sample_rate int, "
         "bit_depth int, n_samples bigint, sample_sum bigint, "
         "sample_abs_max bigint, md5_ok boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# FLV / Screen Video: REAL INTER-FRAME video from the public Adobe "Video
+# File Format Specification v10" (FLV container, VIDEODATA codec id 3 =
+# Screen video) — round 11. The first true inter-frame codec path: frames
+# are grids of zlib-compressed BGR blocks ordered from the bottom-left,
+# and an inter frame transmits ONLY the blocks that changed (a 16-bit
+# zero data size means "hold the previous frame's block") — so decoding
+# frame N requires the persisted canvas of frames 0..N-1, the semantics
+# the AVI paths (full frames) never exercised. The remaining video stub
+# narrows to motion-compensated codecs (H.264-class).
+# --------------------------------------------------------------------------
+
+
+def flv_screen_encode(frames, block: int = 32, fps: int = 25) -> bytes:
+    """REAL FLV + Screen-Video encode: list of (h, w, 3) uint8 RGB
+    frames (same dims) → FLV stream. Frame 0 is a keyframe carrying
+    every block; later frames are inter frames carrying only blocks
+    whose pixels differ from the previous frame. Blocks are clipped at
+    the right and TOP edges (the grid grows from the bottom-left per
+    spec), pixels are stored as bottom-up BGR rows, each block deflated
+    with stdlib zlib."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if block not in (16, 32, 64, 128, 256):
+        raise ValueError("block must be a multiple of 16 up to 256")
+    fr = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not fr:
+        raise ValueError("need at least one frame")
+    h, w = fr[0].shape[:2]
+    if any(f.shape != (h, w, 3) for f in fr):
+        raise ValueError("all frames must be (h, w, 3) and same size")
+    if not (0 < w < 4096 and 0 < h < 4096):
+        raise ValueError("dimensions out of the 12-bit FLV range")
+    ncols = (w + block - 1) // block
+    nrows = (h + block - 1) // block
+
+    def block_bounds(br, bc):
+        # block row 0 is the BOTTOM strip; the top strip is clipped
+        y1 = h - br * block
+        y0 = max(0, y1 - block)
+        x0 = bc * block
+        x1 = min(w, x0 + block)
+        return y0, y1, x0, x1
+
+    def block_bytes(f, br, bc):
+        y0, y1, x0, x1 = block_bounds(br, bc)
+        cut = f[y0:y1, x0:x1, ::-1]  # RGB -> BGR
+        return cut[::-1].tobytes()  # bottom-up rows
+
+    out = bytearray(b"FLV\x01\x01\x00\x00\x00\x09")
+    out += struct.pack(">I", 0)  # PreviousTagSize0
+    for idx, f in enumerate(fr):
+        body = bytearray()
+        key = idx == 0
+        body.append((0x10 if key else 0x20) | 0x03)  # frametype | codec 3
+        hdr = ((block // 16 - 1) << 28) | (w << 16) | ((block // 16 - 1) << 12) | h
+        body += struct.pack(">I", hdr)
+        for br in range(nrows):
+            for bc in range(ncols):
+                blk = block_bytes(f, br, bc)
+                if not key and blk == block_bytes(fr[idx - 1], br, bc):
+                    body += b"\x00\x00"
+                    continue
+                comp = _z.compress(blk)
+                if len(comp) > 0xFFFF:
+                    raise ValueError("compressed block exceeds 16-bit size")
+                body += struct.pack(">H", len(comp)) + comp
+        ts = idx * (1000 // fps)
+        out += bytes([9])  # video tag
+        out += len(body).to_bytes(3, "big")
+        out += (ts & 0xFFFFFF).to_bytes(3, "big")
+        out += bytes([(ts >> 24) & 0xFF])
+        out += b"\x00\x00\x00"  # stream id
+        out += body
+        out += struct.pack(">I", 11 + len(body))
+    return bytes(out)
+
+
+def flv_screen_decode(content: bytes, label: str = "asset"):
+    """REAL FLV + Screen-Video decode: FLV header and tag walk
+    (PreviousTagSize cross-checked), per-frame SCREENVIDEOPACKET parse,
+    zlib block inflation into a PERSISTENT canvas (empty blocks hold
+    the previous frame's pixels — the inter-frame contract), bottom-up
+    BGR de-swizzle. Returns a list of (timestamp_ms, frame (h, w, 3)
+    RGB uint8, n_blocks_updated). Raises loudly on non-screen codecs,
+    an inter frame before any keyframe, size mismatches, or broken tag
+    framing."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    d = bytes(content)
+    if d[:3] != b"FLV" or d[3] != 1:
+        raise ValueError(f"{label}: not an FLV stream")
+    off = int.from_bytes(d[5:9], "big")
+    if off < 9:
+        raise ValueError(f"{label}: bad FLV data offset")
+    pos = off
+    if d[pos : pos + 4] != b"\x00\x00\x00\x00":
+        raise ValueError(f"{label}: missing PreviousTagSize0")
+    pos += 4
+    canvas = None
+    frames = []
+    dims = None
+    while pos < len(d):
+        if pos + 11 > len(d):
+            raise ValueError(f"{label}: truncated tag header")
+        ttype = d[pos]
+        dsize = int.from_bytes(d[pos + 1 : pos + 4], "big")
+        ts = int.from_bytes(d[pos + 4 : pos + 7], "big") | (d[pos + 7] << 24)
+        data = d[pos + 11 : pos + 11 + dsize]
+        if len(data) != dsize:
+            raise ValueError(f"{label}: truncated tag body")
+        after = pos + 11 + dsize
+        (ptag,) = struct.unpack(">I", d[after : after + 4])
+        if ptag != 11 + dsize:
+            raise ValueError(f"{label}: PreviousTagSize mismatch")
+        pos = after + 4
+        if ttype != 9:
+            continue  # audio/script tags are legal, skipped
+        ftype = data[0] >> 4
+        codec = data[0] & 0xF
+        if codec != 3:
+            raise ValueError(
+                f"{label}: codec id {codec} unsupported (screen video only; "
+                "motion-compensated codecs need an external library)"
+            )
+        (hdr,) = struct.unpack(">I", data[1:5])
+        bw = ((hdr >> 28) + 1) * 16
+        w = (hdr >> 16) & 0xFFF
+        bh = (((hdr >> 12) & 0xF) + 1) * 16
+        h = hdr & 0xFFF
+        if dims is None:
+            dims = (h, w, bw, bh)
+            canvas = np.zeros((h, w, 3), dtype=np.uint8)
+        elif dims != (h, w, bw, bh):
+            raise ValueError(f"{label}: frame geometry changed mid-stream")
+        if canvas is None or (ftype == 2 and not frames):
+            raise ValueError(f"{label}: inter frame before any keyframe")
+        if ftype not in (1, 2):
+            raise ValueError(f"{label}: frame type {ftype} unsupported")
+        ncols = (w + bw - 1) // bw
+        nrows = (h + bh - 1) // bh
+        p = 5
+        updated = 0
+        for br in range(nrows):
+            for bc in range(ncols):
+                if p + 2 > len(data):
+                    raise ValueError(f"{label}: truncated block table")
+                (bsize,) = struct.unpack(">H", data[p : p + 2])
+                p += 2
+                y1 = h - br * bh
+                y0 = max(0, y1 - bh)
+                x0 = bc * bw
+                x1 = min(w, x0 + bw)
+                if bsize == 0:
+                    if ftype == 1:
+                        raise ValueError(
+                            f"{label}: keyframe with an empty block"
+                        )
+                    continue
+                raw = _z.decompress(data[p : p + bsize])
+                p += bsize
+                if len(raw) != (y1 - y0) * (x1 - x0) * 3:
+                    raise ValueError(f"{label}: block pixel count mismatch")
+                blk = np.frombuffer(raw, dtype=np.uint8).reshape(
+                    y1 - y0, x1 - x0, 3
+                )
+                canvas[y0:y1, x0:x1] = blk[::-1, :, ::-1]  # un-flip, BGR->RGB
+                updated += 1
+        if p != len(data):
+            raise ValueError(f"{label}: trailing bytes in video tag")
+        frames.append((ts, canvas.copy(), updated))
+    if not frames:
+        raise ValueError(f"{label}: no video frames")
+    return frames
+
+
+def flv_screen_block_frames(
+    asset_id: int, width: int, height: int, n_frames: int, block: int = 32
+):
+    """Deterministic inter-frame test content: frame 0 is a
+    block-constant lattice (block b value = (asset_id * 3 + b * 7) %
+    256 on all three channels); each inter frame f >= 1 repaints ONLY
+    block f % n_blocks to the constant (asset_id + b * 5 + f * 17) %
+    256 — so every later frame's pixels depend on the whole persisted
+    update history, which is exactly what the closed-form oracle
+    recomputes."""
+    import numpy as np
+
+    ncols = (width + block - 1) // block
+    nrows = (height + block - 1) // block
+    nb = ncols * nrows
+    frames = []
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    for br in range(nrows):
+        for bc in range(ncols):
+            b = br * ncols + bc
+            y1 = height - br * block
+            y0 = max(0, y1 - block)
+            canvas[y0:y1, bc * block : min(width, (bc + 1) * block)] = (
+                asset_id * 3 + b * 7
+            ) % 256
+    frames.append(canvas.copy())
+    for f in range(1, n_frames):
+        b = f % nb
+        br, bc = divmod(b, ncols)
+        y1 = height - br * block
+        y0 = max(0, y1 - block)
+        canvas[y0:y1, bc * block : min(width, (bc + 1) * block)] = (
+            asset_id + b * 5 + f * 17
+        ) % 256
+        frames.append(canvas.copy())
+    return frames
+
+
+def encode_flv_screen_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width_col: str = "width",
+    height_col: str = "height",
+    frames_col: str = "n_frames",
+) -> DataFrame:
+    """Arrow-batched REAL FLV/Screen-Video encode of the deterministic
+    inter-frame lattice: (id, width, height, n_frames) → (id, content
+    binary). Pixels never cross a shuffle."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import (
+            flv_screen_block_frames,
+            flv_screen_encode,
+        )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "content": [
+                        flv_screen_encode(
+                            flv_screen_block_frames(
+                                int(i), int(w), int(h), int(n)
+                            )
+                        )
+                        for i, w, h, n in zip(
+                            pdf[id_col], pdf[width_col], pdf[height_col],
+                            pdf[frames_col],
+                        )
+                    ],
+                }
+            )
+
+    return df.select(id_col, width_col, height_col, frames_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def flv_screen_frame_stats(assets: DataFrame) -> DataFrame:
+    """REAL inter-frame video decode over Arrow batches — the full
+    :func:`flv_screen_decode` chain — one row per frame: (asset_id,
+    frame_no, width, height, n_blocks_updated, pixel_sum). pixel_sum is
+    over ONE channel (the content is gray); because inter frames carry
+    only the changed block, every frame's sum can only be right if the
+    canvas persisted every earlier update — the inter-frame contract
+    the hash gate certifies."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import flv_screen_decode
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "frame_no", "width", "height",
+                "n_blocks_updated", "pixel_sum",
+            )}
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for fno, (_ts, frame, updated) in enumerate(
+                    flv_screen_decode(bytes(content), label=f"asset {aid}")
+                ):
+                    out["asset_id"].append(int(aid))
+                    out["frame_no"].append(fno)
+                    out["height"].append(int(frame.shape[0]))
+                    out["width"].append(int(frame.shape[1]))
+                    out["n_blocks_updated"].append(int(updated))
+                    out["pixel_sum"].append(
+                        int(frame[:, :, 0].sum(dtype=np.int64))
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen,
+        "asset_id bigint, frame_no int, width int, height int, "
+        "n_blocks_updated int, pixel_sum bigint",
     )

@@ -1308,3 +1308,121 @@ def test_flac_assets_spark_contract(spark):
         assert r["n_samples"] == ns and r["n_channels"] == ch
         assert r["sample_sum"] == int(sig.sum())
         assert r["sample_abs_max"] == int(np.abs(sig).max())
+
+
+# ---------------------------------------------------------------------------
+# FLV / Screen Video (the first true INTER-FRAME codec path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (17, 33), (32, 32), (70, 45)])
+@pytest.mark.parametrize("block", [16, 32, 64])
+def test_flv_screen_roundtrip_random(shape, block):
+    from pipes_spark.operators.multimodal import (
+        flv_screen_decode,
+        flv_screen_encode,
+    )
+
+    rng = np.random.default_rng(shape[0] * 100 + block)
+    frames = [
+        rng.integers(0, 256, (*shape, 3)).astype(np.uint8) for _ in range(3)
+    ]
+    dec = flv_screen_decode(flv_screen_encode(frames, block=block))
+    assert len(dec) == 3
+    for f, (_ts, got, _u) in zip(frames, dec):
+        assert np.array_equal(got, f)
+
+
+def test_flv_screen_inter_frame_persistence():
+    """Inter frames carry ONE block; every decoded frame must still
+    reproduce the full canvas — held blocks persist across frames."""
+    from pipes_spark.operators.multimodal import (
+        flv_screen_block_frames,
+        flv_screen_decode,
+        flv_screen_encode,
+    )
+
+    frames = flv_screen_block_frames(7, 70, 45, 6)
+    enc = flv_screen_encode(frames)
+    dec = flv_screen_decode(enc)
+    nb = 3 * 2  # ceil(70/32) x ceil(45/32)
+    for i, (ts, got, upd) in enumerate(dec):
+        assert np.array_equal(got, frames[i]), i
+        assert upd == (nb if i == 0 else 1), (i, upd)
+        assert ts == i * 40
+    # the whole 6-frame clip is far smaller than one raw frame
+    assert len(enc) < 70 * 45 * 3
+    # identical consecutive frames -> an inter frame holding every block
+    same = [frames[0], frames[0].copy()]
+    assert flv_screen_decode(flv_screen_encode(same))[1][2] == 0
+
+
+def test_flv_screen_error_paths():
+    import struct
+
+    from pipes_spark.operators.multimodal import (
+        flv_screen_block_frames,
+        flv_screen_decode,
+        flv_screen_encode,
+    )
+
+    frames = flv_screen_block_frames(3, 40, 40, 2)
+    good = flv_screen_encode(frames)
+    with pytest.raises(ValueError, match="not an FLV"):
+        flv_screen_decode(b"FLV\x02" + good[4:])
+    # flip the codec id nibble of the first video tag to 2 (Sorenson)
+    bad = bytearray(good)
+    at = 9 + 4 + 11  # header + PreviousTagSize0 + tag header
+    assert bad[at] == 0x13
+    bad[at] = 0x12
+    with pytest.raises(ValueError, match="codec id 2"):
+        flv_screen_decode(bytes(bad))
+    # make the first frame an inter frame
+    bad = bytearray(good)
+    bad[at] = 0x23
+    with pytest.raises(ValueError, match="inter frame before"):
+        flv_screen_decode(bytes(bad))
+    # corrupt a PreviousTagSize back-pointer
+    bad = bytearray(good)
+    bad[-1] ^= 1
+    with pytest.raises(ValueError, match="PreviousTagSize"):
+        flv_screen_decode(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        flv_screen_decode(good[:-9])
+    with pytest.raises(ValueError, match="at least one frame"):
+        flv_screen_encode([])
+    with pytest.raises(ValueError, match="block must be"):
+        flv_screen_encode(frames, block=24)
+    with pytest.raises(ValueError, match="same size"):
+        flv_screen_encode(
+            [np.zeros((8, 8, 3), np.uint8), np.zeros((8, 9, 3), np.uint8)]
+        )
+
+
+def test_flv_screen_assets_spark_contract(spark):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.multimodal import (
+        encode_flv_screen_assets,
+        flv_screen_block_frames,
+        flv_screen_frame_stats,
+    )
+
+    df = spark.range(0, 8).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 90 + 8).cast("int").alias("width"),
+        ((F.col("id") * 7) % 70 + 8).cast("int").alias("height"),
+        (F.col("id") % 5 + 2).cast("int").alias("n_frames"),
+    )
+    assets = encode_flv_screen_assets(df, "doc_id", "width", "height", "n_frames")
+    rows = flv_screen_frame_stats(assets).orderBy("asset_id", "frame_no").collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(by_asset) == 8
+    for i, rs in by_asset.items():
+        frames = flv_screen_block_frames(i, i % 90 + 8, (i * 7) % 70 + 8,
+                                         i % 5 + 2)
+        assert len(rs) == len(frames)
+        for r, f in zip(rs, frames):
+            assert r["pixel_sum"] == int(f[:, :, 0].sum(dtype=np.int64))
