@@ -17211,3 +17211,60 @@ def multimodal_video_screen_frames(spark, sf_dir):
         ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
     )
     return flv_screen_frame_stats(assets).orderBy("asset_id", "frame_no")
+
+
+@query(
+    "multimodal_flac_metadata",
+    oracle="""
+    WITH doc AS (
+      SELECT doc_id, doc_id % 500 + 120 AS ns FROM documents
+    ), rows_ AS (
+      SELECT doc_id, 'VORBIS_COMMENT' AS block_type, 'vendor' AS item,
+             'pipes_spark flac' AS value FROM doc
+      UNION ALL
+      SELECT doc_id, 'VORBIS_COMMENT', 'TITLE', 'doc_' || doc_id FROM doc
+      UNION ALL
+      SELECT doc_id, 'VORBIS_COMMENT', 'ARTIST',
+             'artist_' || (doc_id % 7) FROM doc
+      UNION ALL
+      SELECT doc_id, 'VORBIS_COMMENT', 'TRACKNUMBER',
+             CAST(doc_id % 12 + 1 AS VARCHAR) FROM doc
+      UNION ALL
+      SELECT doc_id, 'SEEKTABLE', 'seekpoint_' || i,
+             CAST(i * 192 AS VARCHAR) || '/'
+               || CAST(least(192, ns - i * 192) AS VARCHAR)
+      FROM doc,
+           LATERAL unnest(generate_series(0, (ns + 191) // 192 - 1)) AS u(i)
+      UNION ALL
+      SELECT doc_id, 'PADDING', 'length', '16' FROM doc
+    )
+    SELECT doc_id AS asset_id, block_type, item, value FROM rows_
+    ORDER BY asset_id, block_type, item
+    """,
+)
+def multimodal_flac_metadata(spark, sf_dir):
+    """FLAC metadata extraction — the audio analog of EXIF (round 11):
+    per-doc FLAC streams get VORBIS_COMMENT (vendor + tags, the Vorbis
+    spec's little-endian lengths inside FLAC's big-endian framing), a
+    per-frame SEEKTABLE, and PADDING spliced in by flac_add_metadata
+    (seek offsets located by a REAL decode — FLAC frames are not
+    length-prefixed), then flac_metadata_rows re-parses every block
+    AND re-decodes + MD5-verifies the audio, proving the splice left
+    the stream intact. The oracle restates tags and seek points
+    (first-sample/frame-size) closed-form; byte offsets are pytest-
+    verified to land on real frame sync codes (they depend on
+    compressed sizes, so no SQL oracle can state them)."""
+    from .operators.multimodal import (
+        encode_flac_tagged_assets,
+        flac_metadata_rows,
+    )
+    from .operators.scale import ensure_min_partitions
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 500 + 120).cast("int").alias("n_samples"),
+    )
+    assets = encode_flac_tagged_assets(
+        ensure_min_partitions(d), "doc_id", "n_samples"
+    )
+    return flac_metadata_rows(assets).orderBy("asset_id", "block_type", "item")

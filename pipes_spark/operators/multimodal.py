@@ -8121,7 +8121,7 @@ def flac_encode_pcm16(
     return bytes(out)
 
 
-def flac_decode(content: bytes, label: str = "asset"):
+def flac_decode(content: bytes, label: str = "asset", frame_table=None):
     """REAL FLAC decode (RFC 9639): metadata-block walk (STREAMINFO
     mandatory-first, others skipped), frame sync + header parse with
     CRC-8 verification (all block-size/sample-rate code forms, both
@@ -8133,7 +8133,11 @@ def flac_decode(content: bytes, label: str = "asset"):
     (left/side, right/side, mid/side), CRC-16 frame verification, and
     an MD5 recomputation over the reconstructed audio checked against
     STREAMINFO. Returns (samples int64 interleaved ndarray, channels,
-    sample_rate, bits_per_sample, total_samples, md5_ok)."""
+    sample_rate, bits_per_sample, total_samples, md5_ok). Pass a
+    list as ``frame_table`` to additionally receive exact
+    (first_sample, byte_offset_from_first_frame, block_size) triples —
+    the seek-table source of truth (FLAC frames are not
+    length-prefixed, so only a real decode can locate them)."""
     import hashlib
 
     import numpy as np
@@ -8181,6 +8185,7 @@ def flac_decode(content: bytes, label: str = "asset"):
 
     chans = [[] for _ in range(nch)]
     got = 0
+    first_frame_at = pos
     while got < total:
         if pos >= len(d):
             raise ValueError(f"{label}: truncated before all samples decoded")
@@ -8338,6 +8343,8 @@ def flac_decode(content: bytes, label: str = "asset"):
             raise ValueError(f"{label}: frame CRC-16 mismatch")
         pos = crc16_at + 2
 
+        if frame_table is not None:
+            frame_table.append((got, frame_start - first_frame_at, nb))
         if nch == 2:
             if mode == "left_side":
                 left = sub[0]
@@ -8778,4 +8785,228 @@ def flv_screen_frame_stats(assets: DataFrame) -> DataFrame:
         gen,
         "asset_id bigint, frame_no int, width int, height int, "
         "n_blocks_updated int, pixel_sum bigint",
+    )
+
+
+def flac_add_metadata(
+    content: bytes,
+    tags=None,
+    vendor: str = "pipes_spark flac",
+    seek_every: int = 0,
+    padding: int = 0,
+) -> bytes:
+    """Splice SEEKTABLE / VORBIS_COMMENT / PADDING metadata blocks into
+    a FLAC stream (RFC 9639 metadata block framing; the Vorbis comment
+    payload uses ITS spec's little-endian lengths inside FLAC's
+    otherwise big-endian layout). ``seek_every`` > 0 writes one
+    18-byte seek point per that many frames: (first sample, byte offset
+    from the first frame byte, samples in frame) — offsets are
+    recomputed by walking the real frame headers, so a later
+    :func:`flac_parse_metadata` can verify each point lands on a sync
+    code carrying exactly that sample number."""
+    import struct
+
+    d = bytes(content)
+    if d[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    # walk existing metadata to find the first frame
+    pos = 4
+    blocks = []
+    while True:
+        hdr = d[pos]
+        blen = int.from_bytes(d[pos + 1 : pos + 4], "big")
+        blocks.append((hdr & 0x7F, d[pos + 4 : pos + 4 + blen]))
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    audio = d[pos:]
+
+    new = []
+    if seek_every > 0:
+        # a real decode is the only exact frame locator (frames are not
+        # length-prefixed); it also guards the splice with CRC checks
+        ft = []
+        flac_decode(d, label="seektable source", frame_table=ft)
+        body = b"".join(
+            struct.pack(">QQH", sn, off, cnt)
+            for i, (sn, off, cnt) in enumerate(ft)
+            if i % seek_every == 0
+        )
+        new.append((3, body))
+    if tags is not None:
+        vb = vendor.encode()
+        body = struct.pack("<I", len(vb)) + vb
+        body += struct.pack("<I", len(tags))
+        for k, v in tags:
+            kv = f"{k}={v}".encode()
+            body += struct.pack("<I", len(kv)) + kv
+        new.append((4, body))
+    if padding > 0:
+        new.append((1, bytes(padding)))
+
+    out = bytearray(b"fLaC")
+    allb = blocks + new
+    for i, (btype, body) in enumerate(allb):
+        last = 0x80 if i == len(allb) - 1 else 0
+        out.append(last | btype)
+        out += len(body).to_bytes(3, "big")
+        out += body
+    return bytes(out + audio)
+
+
+def flac_parse_metadata(content: bytes, label: str = "asset"):
+    """Parse every FLAC metadata block: returns a list of dicts —
+    {'type': 'STREAMINFO'|'SEEKTABLE'|'VORBIS_COMMENT'|'PADDING'|...,
+    plus type-specific fields}. Vorbis comments are split into
+    (key, value) pairs (case-insensitive keys uppercased per the Vorbis
+    spec); seek points are (sample_number, offset, n_samples) triples
+    verified well-formed (18-byte multiples, ascending samples)."""
+    import struct
+
+    d = bytes(content)
+    if d[:4] != b"fLaC":
+        raise ValueError(f"{label}: not a FLAC stream")
+    pos = 4
+    out = []
+    names = {0: "STREAMINFO", 1: "PADDING", 2: "APPLICATION",
+             3: "SEEKTABLE", 4: "VORBIS_COMMENT", 5: "CUESHEET",
+             6: "PICTURE"}
+    while True:
+        hdr = d[pos]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(d[pos + 1 : pos + 4], "big")
+        body = d[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError(f"{label}: truncated metadata block")
+        entry = {"type": names.get(btype, f"RESERVED_{btype}"),
+                 "length": blen}
+        if btype == 3:
+            if blen % 18:
+                raise ValueError(f"{label}: SEEKTABLE not 18-byte aligned")
+            pts = [
+                struct.unpack(">QQH", body[i : i + 18])
+                for i in range(0, blen, 18)
+            ]
+            real = [p for p in pts if p[0] != 0xFFFFFFFFFFFFFFFF]
+            if any(b[0] <= a[0] for a, b in zip(real, real[1:])):
+                raise ValueError(f"{label}: seek points not ascending")
+            entry["points"] = pts
+        elif btype == 4:
+            (vlen,) = struct.unpack("<I", body[:4])
+            entry["vendor"] = body[4 : 4 + vlen].decode()
+            p = 4 + vlen
+            (n,) = struct.unpack("<I", body[p : p + 4])
+            p += 4
+            comments = []
+            for _ in range(n):
+                (clen,) = struct.unpack("<I", body[p : p + 4])
+                p += 4
+                kv = body[p : p + clen].decode()
+                p += clen
+                if "=" not in kv:
+                    raise ValueError(f"{label}: comment without '='")
+                k, v = kv.split("=", 1)
+                comments.append((k.upper(), v))
+            entry["comments"] = comments
+        out.append(entry)
+        pos += 4 + blen
+        if hdr & 0x80:
+            break
+    return out
+
+
+def encode_flac_tagged_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples_col: str = "n_samples",
+) -> DataFrame:
+    """Arrow-batched FLAC encode with metadata: the lattice signal
+    (mono, 16 kHz, block 192) plus per-doc Vorbis comments and a
+    per-frame seek table: (id, n_samples) → (id, content binary)."""
+    spark = df.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipes_spark.operators.multimodal import (
+            flac_add_metadata,
+            flac_encode_pcm16,
+        )
+
+        for pdf in batches:
+            blobs = []
+            for i, ns in zip(pdf[id_col], pdf[n_samples_col]):
+                i, ns = int(i), int(ns)
+                sig = ((np.arange(ns, dtype=np.int64) + i) * 2557) % 65536 - 32768
+                raw = flac_encode_pcm16(sig, 16000, block_size=192)
+                blobs.append(
+                    flac_add_metadata(
+                        raw,
+                        tags=[
+                            ("TITLE", f"doc_{i}"),
+                            ("ARTIST", f"artist_{i % 7}"),
+                            ("TRACKNUMBER", str(i % 12 + 1)),
+                        ],
+                        seek_every=1,
+                        padding=16,
+                    )
+                )
+            yield pd.DataFrame(
+                {"asset_id": pdf[id_col].astype("int64"), "content": blobs}
+            )
+
+    return df.select(id_col, n_samples_col).mapInPandas(
+        gen, "asset_id bigint, content binary"
+    )
+
+
+def flac_metadata_rows(assets: DataFrame) -> DataFrame:
+    """FLAC metadata extraction over Arrow batches — the audio analog
+    of EXIF extraction: one row per metadata item: (asset_id,
+    block_type, item, value). Vorbis comments → (key, value); seek
+    points → ('seekpoint_<i>', 'sample/count') with the byte offset
+    deliberately EXCLUDED (it depends on compressed frame sizes, so it
+    is verified in pytest against real frame syncs instead of the
+    closed-form oracle); padding → its length. The decoded stream
+    itself is additionally MD5-verified so the metadata splice is
+    proven not to corrupt audio."""
+    spark = assets.sparkSession
+    _ship_package(spark)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pipes_spark.operators.multimodal import (
+            flac_decode,
+            flac_parse_metadata,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in ("asset_id", "block_type", "item", "value")}
+
+            def add(aid, bt, item, value):
+                out["asset_id"].append(int(aid))
+                out["block_type"].append(bt)
+                out["item"].append(item)
+                out["value"].append(value)
+
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                b = bytes(content)
+                *_, md5_ok = flac_decode(b, label=f"asset {aid}")
+                if not md5_ok:
+                    raise ValueError(f"asset {aid}: audio corrupted by splice")
+                for entry in flac_parse_metadata(b, label=f"asset {aid}"):
+                    if entry["type"] == "VORBIS_COMMENT":
+                        add(aid, "VORBIS_COMMENT", "vendor", entry["vendor"])
+                        for k, v in entry["comments"]:
+                            add(aid, "VORBIS_COMMENT", k, v)
+                    elif entry["type"] == "SEEKTABLE":
+                        for i, (sn, _off, cnt) in enumerate(entry["points"]):
+                            add(aid, "SEEKTABLE", f"seekpoint_{i}",
+                                f"{sn}/{cnt}")
+                    elif entry["type"] == "PADDING":
+                        add(aid, "PADDING", "length", str(entry["length"]))
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(
+        gen, "asset_id bigint, block_type string, item string, value string"
     )

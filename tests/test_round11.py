@@ -1426,3 +1426,67 @@ def test_flv_screen_assets_spark_contract(spark):
         assert len(rs) == len(frames)
         for r, f in zip(rs, frames):
             assert r["pixel_sum"] == int(f[:, :, 0].sum(dtype=np.int64))
+
+
+def test_flac_metadata_splice_and_seektable():
+    """Seek points must land on REAL frame sync codes carrying exactly
+    the advertised first-sample numbers — offsets depend on compressed
+    frame sizes, so this is the pytest half of the metadata oracle."""
+    from pipes_spark.operators.multimodal import (
+        flac_add_metadata,
+        flac_decode,
+        flac_encode_pcm16,
+        flac_parse_metadata,
+    )
+
+    sig = _flac_lattice(5, 700, 1)
+    raw = flac_encode_pcm16(sig, 16000, block_size=192)
+    tagged = flac_add_metadata(
+        raw, tags=[("TITLE", "doc_5"), ("artist", "x")], seek_every=2,
+        padding=8,
+    )
+    out, *_, md5_ok = flac_decode(tagged)
+    assert np.array_equal(out, sig) and md5_ok  # splice left audio intact
+    meta = flac_parse_metadata(tagged)
+    assert [m["type"] for m in meta] == [
+        "STREAMINFO", "SEEKTABLE", "VORBIS_COMMENT", "PADDING"
+    ]
+    st = next(m for m in meta if m["type"] == "SEEKTABLE")
+    # ceil(700/192) = 4 frames, every 2nd -> points at samples 0 and 384
+    assert [(p[0], p[2]) for p in st["points"]] == [(0, 192), (384, 192)]
+    ft = []
+    flac_decode(tagged, frame_table=ft)
+    assert [ft[0], ft[2]] == st["points"]
+    first_frame = tagged.index(b"\xff\xf8", 4)
+    for sn, off, _cnt in st["points"]:
+        b0, b1 = tagged[first_frame + off], tagged[first_frame + off + 1]
+        assert b0 == 0xFF and (b1 >> 2) == 0b111110  # a real sync code
+    vc = next(m for m in meta if m["type"] == "VORBIS_COMMENT")
+    assert vc["comments"] == [("TITLE", "doc_5"), ("ARTIST", "x")]
+    assert vc["vendor"] == "pipes_spark flac"
+
+
+def test_flac_metadata_error_paths():
+    from pipes_spark.operators.multimodal import (
+        flac_add_metadata,
+        flac_encode_pcm16,
+        flac_parse_metadata,
+    )
+
+    with pytest.raises(ValueError, match="not a FLAC"):
+        flac_add_metadata(b"RIFFxxxx", tags=[("A", "b")])
+    raw = flac_encode_pcm16(_flac_lattice(1, 200, 1), 8000, block_size=192)
+    tagged = flac_add_metadata(raw, tags=[("K", "v")], seek_every=1)
+    # corrupt a comment to drop its '='
+    bad = bytearray(tagged)
+    at = bad.index(b"K=v")
+    bad[at + 1] = ord("_")
+    with pytest.raises(ValueError, match="without '='"):
+        flac_parse_metadata(bytes(bad))
+    # non-18-byte seektable refused
+    bad = bytearray(tagged)
+    st_at = bad.index(b"\x03", 4)  # SEEKTABLE block header (not last)
+    assert bad[st_at] == 0x03
+    bad[st_at + 3] -= 1  # shrink length below an 18 multiple
+    with pytest.raises(ValueError, match="18-byte"):
+        flac_parse_metadata(bytes(bad))
