@@ -7931,6 +7931,27 @@ def _flac_lpc_quantize(x, order: int, precision: int = 14):
     return q, shift
 
 
+def _flac_pack_samples(arr, bits: int) -> bytes:
+    """Interleaved samples → the little-endian signed byte layout the
+    STREAMINFO MD5 covers (RFC 9639 §6: bits/8 bytes per sample)."""
+    import numpy as np
+
+    if bits == 8:
+        return arr.astype("<i1").tobytes()
+    if bits == 16:
+        return arr.astype("<i2").tobytes()
+    if bits == 24:
+        u = (arr.astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+        out = np.empty((len(arr), 3), dtype=np.uint8)
+        out[:, 0] = u & 0xFF
+        out[:, 1] = (u >> 8) & 0xFF
+        out[:, 2] = (u >> 16) & 0xFF
+        return out.tobytes()
+    if bits == 32:
+        return arr.astype("<i4").tobytes()
+    raise ValueError("bit depth must be 8, 16, 24, or 32")
+
+
 def flac_encode_pcm16(
     samples,
     sample_rate: int,
@@ -7939,6 +7960,7 @@ def flac_encode_pcm16(
     stereo_mode: str = "independent",
     use_lpc: bool = True,
     lpc_order: int = 8,
+    bits: int = 16,
 ) -> bytes:
     """REAL FLAC encode of interleaved int16 PCM (RFC 9639): fLaC
     marker, STREAMINFO (incl. the MD5 of the unencoded audio), fixed-
@@ -7962,14 +7984,15 @@ def flac_encode_pcm16(
         raise ValueError("samples must be 1-D interleaved")
     if len(s) == 0:
         raise ValueError("empty signal")
-    if s.min() < -32768 or s.max() > 32767:
-        raise ValueError("samples out of int16 range")
+    if bits not in (8, 16, 24):
+        raise ValueError("bit depth must be 8, 16, or 24")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if s.min() < lo or s.max() > hi:
+        raise ValueError(f"samples out of int{bits} range")
     n_total = len(s) // channels
-    bps = 16
+    bps = bits
 
-    md5 = hashlib.md5(
-        s.astype("<i2").tobytes()
-    ).digest()
+    md5 = hashlib.md5(_flac_pack_samples(s, bits)).digest()
 
     def write_subframe(bw, x, sub_bps):
         x = [int(v) for v in x]
@@ -8064,7 +8087,7 @@ def flac_encode_pcm16(
                 stereo_mode
             ]
         bw.write(ch_code, 4)
-        bw.write(4, 3)  # sample size: 16-bit
+        bw.write({8: 1, 16: 4, 24: 6}[bits], 3)  # sample-size code
         bw.write(0, 1)  # reserved
         header += bw.out
         assert bw.n == 0
@@ -8371,11 +8394,9 @@ def flac_decode(content: bytes, label: str = "asset", frame_table=None):
     out = np.empty(total * nch, dtype=np.int64)
     for ci in range(nch):
         out[ci::nch] = chans[ci][:total]
-    if bps == 16:
-        raw = out.astype("<i2").tobytes()
-    elif bps == 8:
-        raw = out.astype("<i1").tobytes()
-    else:
+    try:
+        raw = _flac_pack_samples(out, bps)
+    except ValueError:
         raw = b""
     md5_ok = bool(raw) and hashlib.md5(raw).digest() == md5_expect
     return out, nch, rate, bps, total, md5_ok

@@ -1490,3 +1490,25 @@ def test_flac_metadata_error_paths():
     bad[st_at + 3] -= 1  # shrink length below an 18 multiple
     with pytest.raises(ValueError, match="18-byte"):
         flac_parse_metadata(bytes(bad))
+
+
+@pytest.mark.parametrize("bits", [8, 16, 24])
+def test_flac_bit_depth_ladder(bits):
+    """FLAC at 8/16/24-bit: sample-size codes, sub-frame widths, side
+    channels at bits+1, and the MD5's bits/8-byte little-endian layout
+    all depth-parametric (the WAV depth-ladder story, compressed)."""
+    from pipes_spark.operators.multimodal import flac_decode, flac_encode_pcm16
+
+    rng = np.random.default_rng(bits)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    sig = rng.integers(lo, hi + 1, 700 * 2)
+    b = flac_encode_pcm16(sig, 44100, channels=2, block_size=192,
+                          stereo_mode="mid_side", bits=bits)
+    out, nch, rate, bps, total, md5_ok = flac_decode(b)
+    assert (nch, bps, total) == (2, bits, 700)
+    assert np.array_equal(out, sig) and md5_ok
+    edge = np.array([lo, hi, 0, -1, 1])
+    out2, *_, ok2 = flac_decode(flac_encode_pcm16(edge, 8000, bits=bits))
+    assert np.array_equal(out2, edge) and ok2
+    with pytest.raises(ValueError, match=f"int{bits} range"):
+        flac_encode_pcm16(np.array([hi + 1]), 8000, bits=bits)
