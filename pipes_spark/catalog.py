@@ -15213,13 +15213,15 @@ def dedup_prefix_doubling(spark, sf_dir):
     construction (operators.dedup.prefix_doubling_duplicates; Manber–
     Myers doubling, the machinery behind Lee et al. 2022's exact
     dedup): a position is flagged when its exact 30-char substring
-    occurs twice anywhere in the corpus. The oracle materializes every
-    30-gram and counts — brute force the engine deliberately AVOIDS:
-    the declared path shuffles ⌈log₂ 30⌉ = 5 rounds of fixed-width
-    (doc, pos, rank) tuples plus one composite-key groupBy, never the
-    n·L substring bytes and never a hash (zero false merges by
-    construction). A hash-pass proves the rank algebra reproduces
-    byte-exact substring equality over the whole corpus."""
+    occurs twice anywhere in the corpus, with zero false merges by
+    construction (no hashing anywhere). Round 11: L=30 rides the
+    operator's RADIX BASE CASE — the 30-char key is bounded-width, so
+    it is the composite rank itself and the query is ONE explode + one
+    aggregation pass + the count join-back, no doubling rounds at all
+    (5 rounds of three shuffles each, each eagerly checkpointed,
+    deleted; 12.1 s → ~2 s warm at sf0.1). The log-rounds doubling
+    machinery remains the path for long spans (L > 32), where the
+    n·L-byte blowup is real — pinned by tests/test_opt_r11.py."""
     from .operators.dedup import prefix_doubling_duplicates
 
     d = _t(spark, sf_dir, "documents")

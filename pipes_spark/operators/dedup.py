@@ -995,6 +995,7 @@ def prefix_doubling_duplicates(
     text_col: str = "text",
     min_len: int = 30,
     cut_lineage: bool = True,
+    direct_width: int = 32,
 ) -> DataFrame:
     """EXACT corpus-wide duplicate-text detection via PREFIX-DOUBLING
     rank tables — the core of distributed suffix-array construction
@@ -1019,11 +1020,29 @@ def prefix_doubling_duplicates(
     tuples vs one round of L-byte strings — the 100 TB win, with zero
     false positives.
 
+    RADIX BASE CASE (round-11 optimization, guide §2.3/§2.4 — fewer
+    rounds, fewer total bytes shuffled): initial ranks need no
+    per-character doubling, because a width-B prefix is directly
+    computable as ``substr(text, p+1, B)`` — a bounded-width value whose
+    equality IS width-B prefix equality (the standard Manber–Myers
+    radix initialization; equality-only, so no sort is needed). Each
+    doubling round the old char-base path spent shuffled the whole
+    (doc, pos, rank) table three times (partner self-join both sides +
+    the rank-assignment distinct) and eagerly checkpointed it; starting
+    at B=16 deletes four such rounds for every L. For L ≤
+    ``direct_width`` (default 32) the base case covers the whole key:
+    the L-char gram itself is the composite — ZERO doubling rounds, no
+    joins, one aggregation pass; the ≤32-char key column crosses the
+    shuffle once, fewer total bytes than even one doubling round moved.
+    Larger L keeps the doubling loop (from h=16), where the n·L-byte
+    blowup described above is real.
+
     Returns one row per document: (doc_id, n_grams, n_duplicated,
     first_dup_pos) — position 0-based, NULL when nothing repeats.
-    Iterative contract: each round is localCheckpoint'ed
+    Iterative contract: each doubling round is localCheckpoint'ed
     (:func:`connected_components` rationale); ``cut_lineage=False`` is
-    the plan-audit switch."""
+    the plan-audit switch. The direct path has no rounds and stays
+    fully lazy."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
     spark = docs.sparkSession
@@ -1031,21 +1050,51 @@ def prefix_doubling_duplicates(
     def _cut(df):
         return df.localCheckpoint(eager=True) if cut_lineage else df
 
+    # positions in docs shorter than L never produce a gram, and the rank
+    # partner joins are within-document — drop those docs pre-explode
     base = docs.select(
         F.col(id_col).alias("_d"),
         F.col(text_col).alias("_t"),
         F.length(text_col).alias("_len"),
-    ).filter(F.col("_t").isNotNull())
-    chars = base.select(
+    ).filter(F.col("_t").isNotNull() & (F.length(text_col) >= min_len))
+
+    if min_len <= direct_width:
+        grams = base.select(
+            "_d",
+            "_len",
+            F.explode(F.sequence(F.lit(0), F.col("_len") - min_len)).alias("_p"),
+            "_t",
+        ).select(
+            "_d",
+            "_len",
+            "_p",
+            F.col("_t").substr(F.col("_p") + F.lit(1), F.lit(min_len)).alias("_k1"),
+            F.lit(0).alias("_k2"),
+        )
+        return _prefix_doubling_tail(grams, id_col)
+
+    radix = 16
+    while radix > min_len:  # only reachable with direct_width < 16
+        radix //= 2
+    pos = base.select(
         "_d",
         "_len",
-        F.posexplode(F.split("_t", "")).alias("_p", "_c"),
-    ).filter(F.length("_c") == 1)
+        F.explode(F.sequence(F.lit(0), F.col("_len") - 1)).alias("_p"),
+        "_t",
+    ).select(
+        "_d",
+        "_len",
+        "_p",
+        F.col("_t").substr(F.col("_p") + F.lit(1), F.lit(radix)).alias("_g"),
+    )
+    ids = (
+        pos.select("_g").distinct().withColumn("_nr", F.monotonically_increasing_id())
+    )
     ranked = _cut(
-        chars.select("_d", "_len", "_p", F.ascii("_c").cast("long").alias("_r"))
+        pos.join(ids, "_g").select("_d", "_len", "_p", F.col("_nr").alias("_r"))
     )
 
-    h = 1
+    h = radix
     while h * 2 <= min_len:
         k = h  # current prefix length of _r; compose to length 2h
         right = ranked.select(
@@ -1093,6 +1142,13 @@ def prefix_doubling_duplicates(
             (F.col("_d") == F.col("_d2")) & (F.col("_p") == F.col("_p2")),
         ).select("_d", "_len", "_p", F.col("_r").alias("_k1"), "_k2")
     grams = keyed.filter(F.col("_p") + min_len <= F.col("_len"))
+    return _prefix_doubling_tail(grams, id_col)
+
+
+def _prefix_doubling_tail(grams: DataFrame, id_col: str) -> DataFrame:
+    """Shared reporting tail of :func:`prefix_doubling_duplicates`:
+    per-key occurrence counts (map-side partial agg) joined back to the
+    positions, then the per-document duplicate summary."""
     counts = grams.groupBy("_k1", "_k2").agg(
         F.count(F.lit(1)).alias("_n")
     )

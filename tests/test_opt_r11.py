@@ -1,0 +1,77 @@
+"""Round-11 optimization-round tests: operator internals changed for
+performance must keep byte-identical semantics (the no-result-change
+contract of the optimization rounds)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# prefix_doubling_duplicates: radix base case (direct-gram path for
+# L <= direct_width, radix-16 initial ranks + doubling beyond)
+# ---------------------------------------------------------------------------
+
+
+TEXTS = {
+    1: "the quick brown fox jumps over the lazy dog and the quick brown fox returns",
+    2: "a different text with the quick brown fox jumps over the lazy dog inside it",
+    3: "completely unique content here with nothing shared at all among documents",
+    4: "short",
+    5: "abcabcabcabcabcabcabcabcabcabcabcabcabcabcabcabcabc",  # period-3 repeats
+}
+
+
+def _reference(L):
+    grams = Counter()
+    for t in TEXTS.values():
+        for p in range(len(t) - L + 1):
+            grams[t[p : p + L]] += 1
+    out = {}
+    for d, t in TEXTS.items():
+        n = max(0, len(t) - L + 1)
+        if n == 0:
+            continue
+        dups = [p for p in range(n) if grams[t[p : p + L]] >= 2]
+        out[d] = (n, len(dups), dups[0] if dups else None)
+    return out
+
+
+@pytest.mark.parametrize("L", [40, 36])
+def test_prefix_doubling_radix_doubling_path_matches_bruteforce(spark, L):
+    """L > direct_width exercises the radix-16 base + doubling loop
+    (h=16 -> 32, sparse composite) — the path the graded L=30 query no
+    longer takes; pin it against the literal gram-counting reference."""
+    from pipes_spark.operators.dedup import prefix_doubling_duplicates
+
+    docs = spark.createDataFrame(list(TEXTS.items()), ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["n_duplicated"], r["first_dup_pos"])
+        for r in prefix_doubling_duplicates(docs, min_len=L).collect()
+    }
+    assert rows == _reference(L)
+
+
+def test_prefix_doubling_direct_and_doubling_paths_identical(spark):
+    """The two physical paths are the SAME operator: forcing the same L
+    through the direct-gram path (direct_width >= L) and the doubling
+    path (direct_width < L) must return identical rows."""
+    from pipes_spark.operators.dedup import prefix_doubling_duplicates
+
+    docs = spark.createDataFrame(list(TEXTS.items()), ["doc_id", "text"])
+    L = 20
+    direct = {
+        r["doc_id"]: (r["n_grams"], r["n_duplicated"], r["first_dup_pos"])
+        for r in prefix_doubling_duplicates(
+            docs, min_len=L, direct_width=32
+        ).collect()
+    }
+    doubled = {
+        r["doc_id"]: (r["n_grams"], r["n_duplicated"], r["first_dup_pos"])
+        for r in prefix_doubling_duplicates(
+            docs, min_len=L, direct_width=8
+        ).collect()
+    }
+    assert direct == doubled == _reference(L)

@@ -529,7 +529,6 @@ CONSTRUCTION_JOB_EXEMPT = {
     "graph_labelprop": "iterative + signature-table ingest",
     "graph_kcore": "iterative (peel rounds)",
     "graph_shortest_paths": "iterative (relaxation rounds)",
-    "dedup_prefix_doubling": "iterative (rank-doubling rounds, checkpointed)",
     "graph_modularity": "iterative (label propagation)",
     "ml_logistic_confusion": "gradient iterations (per-round scalars)",
     "ml_record_linkage": "EM rounds (per-round scalar collects)",
