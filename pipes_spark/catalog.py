@@ -15062,7 +15062,7 @@ def multimodal_png_roundtrip(spark, sf_dir):
     shuffle (encode and decode fuse into the same mapInPandas stage
     chain; only metadata rows leave it)."""
     from .operators.multimodal import encode_png_assets, png_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15070,9 +15070,9 @@ def multimodal_png_roundtrip(spark, sf_dir):
         ((F.col("doc_id") * 7) % 17 + 1).cast("int").alias("height"),
     )
     assets = encode_png_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height"
     )
-    return png_decode_stats(assets).orderBy("asset_id")
+    return png_decode_stats(assets)
 
 
 @query(
@@ -15113,7 +15113,7 @@ def multimodal_gif_roundtrip(spark, sf_dir):
     a shuffle (encode → decode fuse into one mapInPandas stage chain;
     only metadata rows leave it)."""
     from .operators.multimodal import encode_gif_assets, gif_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15122,9 +15122,9 @@ def multimodal_gif_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("interlaced"),
     )
     assets = encode_gif_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "interlaced"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "interlaced"
     )
-    return gif_decode_stats(assets).orderBy("asset_id")
+    return gif_decode_stats(assets)
 
 
 @query(
@@ -15173,7 +15173,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
     table construction is hash-graded alongside the fixed-length
     default. Pixels never cross a shuffle."""
     from .operators.multimodal import encode_jpeg_assets, jpeg_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15183,10 +15183,10 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 0).alias("optimize"),
     )
     assets = encode_jpeg_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "restart",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "restart",
         "optimize",
     )
-    return jpeg_decode_stats(assets).orderBy("asset_id")
+    return jpeg_decode_stats(assets)
 
 
 @query(
@@ -15272,7 +15272,7 @@ def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
         encode_jpeg_progressive_assets,
         jpeg_decode_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15281,12 +15281,12 @@ def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("deep"),
     )
     assets = encode_jpeg_progressive_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "deep"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "deep"
     )
     stats = jpeg_decode_stats(assets)
     return stats.select(
         "asset_id", "format", "width", "height", "n_pixels", "pixel_sum"
-    ).orderBy("asset_id")
+    )
 
 
 @query(
@@ -15334,7 +15334,7 @@ def multimodal_jpeg_progressive_color_roundtrip(spark, sf_dir):
         encode_jpeg_progressive_color_assets,
         jpeg_color_decode_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15347,9 +15347,9 @@ def multimodal_jpeg_progressive_color_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("deep"),
     )
     assets = encode_jpeg_progressive_color_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "subsample", "deep"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "subsample", "deep"
     )
-    return jpeg_color_decode_stats(assets).orderBy("asset_id")
+    return jpeg_color_decode_stats(assets)
 
 
 @query(
@@ -15396,7 +15396,7 @@ def multimodal_jpeg_color_roundtrip(spark, sf_dir):
         encode_jpeg_color_assets,
         jpeg_color_decode_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15407,9 +15407,9 @@ def multimodal_jpeg_color_roundtrip(spark, sf_dir):
         .alias("subsample"),
     )
     assets = encode_jpeg_color_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "subsample"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "subsample"
     )
-    return jpeg_color_decode_stats(assets).orderBy("asset_id")
+    return jpeg_color_decode_stats(assets)
 
 
 @query(
@@ -15452,7 +15452,7 @@ def multimodal_wav_roundtrip(spark, sf_dir):
     proves the decoder read real samples. Samples never cross a shuffle
     (encode → decode fuse into one mapInPandas chain)."""
     from .operators.multimodal import encode_wav_assets, wav_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15463,9 +15463,9 @@ def multimodal_wav_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_wav_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "channels"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "channels"
     )
-    return wav_decode_stats(assets).orderBy("asset_id")
+    return wav_decode_stats(assets)
 
 
 @query(
@@ -15519,7 +15519,7 @@ def multimodal_g711_roundtrip(spark, sf_dir):
     pytest-held as the exact inverse (involution on all 256 A-law codes
     and all µ-law codes except canonical negative zero)."""
     from .operators.multimodal import encode_wav_g711_assets, wav_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15530,9 +15530,9 @@ def multimodal_g711_roundtrip(spark, sf_dir):
         .alias("law"),
     )
     assets = encode_wav_g711_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "law"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "law"
     )
-    return wav_decode_stats(assets).orderBy("asset_id")
+    return wav_decode_stats(assets)
 
 
 @query(
@@ -15865,7 +15865,7 @@ def multimodal_jpeg_hierarchical_roundtrip(spark, sf_dir):
         encode_jpeg_hierarchical_assets,
         image_decode_weighted_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15873,9 +15873,9 @@ def multimodal_jpeg_hierarchical_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
     )
     assets = encode_jpeg_hierarchical_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height"
     )
-    return image_decode_weighted_stats(assets).orderBy("asset_id")
+    return image_decode_weighted_stats(assets)
 
 
 @query(
@@ -15923,7 +15923,7 @@ def multimodal_jpeg_lossless_roundtrip(spark, sf_dir):
         encode_jpeg_lossless_assets,
         image_decode_weighted_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15934,10 +15934,10 @@ def multimodal_jpeg_lossless_roundtrip(spark, sf_dir):
         .alias("point_transform"),
     )
     assets = encode_jpeg_lossless_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "predictor",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "predictor",
         "point_transform",
     )
-    return image_decode_weighted_stats(assets).orderBy("asset_id")
+    return image_decode_weighted_stats(assets)
 
 
 @query(
@@ -15986,7 +15986,7 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
     decode_image_gray, so cross-codec aHash and generic real mode gain
     the format for free."""
     from .operators.multimodal import encode_tiff_assets, tiff_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16003,10 +16003,10 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
         .alias("photometric"),
     )
     assets = encode_tiff_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "byte_order",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "byte_order",
         "compression", "photometric",
     )
-    return tiff_decode_stats(assets).orderBy("asset_id")
+    return tiff_decode_stats(assets)
 
 
 @query(
@@ -16054,7 +16054,7 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
     it. BMP also feeds decode_image_gray, so cross-codec aHash and
     generic real mode gain the format for free."""
     from .operators.multimodal import bmp_decode_stats, encode_bmp_assets
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16066,10 +16066,10 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
         ((F.col("doc_id") / 2).cast("bigint") % 2 == 1).alias("topdown"),
     )
     assets = encode_bmp_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "bpp",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "bpp",
         "topdown",
     )
-    return bmp_decode_stats(assets).orderBy("asset_id")
+    return bmp_decode_stats(assets)
 
 
 @query(
@@ -16112,7 +16112,7 @@ def multimodal_aiff_roundtrip(spark, sf_dir):
     misread would flip sample bytes and break the checksum). Generic
     real mode (decode_asset_values) dispatches on the FORM magic."""
     from .operators.multimodal import aiff_decode_stats, encode_aiff_assets
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16126,10 +16126,10 @@ def multimodal_aiff_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_aiff_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate",
         "channels",
     )
-    return aiff_decode_stats(assets).orderBy("asset_id")
+    return aiff_decode_stats(assets)
 
 
 @query(
@@ -16285,7 +16285,7 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
     the framing. The true IMA encoder (quantize loop) is pytest-held to
     track the decoder bit-for-bit with >20 dB SNR on a sine mix."""
     from .operators.multimodal import encode_wav_adpcm_assets, wav_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16299,9 +16299,9 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
         .alias("codec"),
     )
     assets = encode_wav_adpcm_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "codec"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "codec"
     )
-    return wav_decode_stats(assets).orderBy("asset_id")
+    return wav_decode_stats(assets)
 
 
 @query(
@@ -16352,7 +16352,7 @@ def multimodal_audio_features(spark, sf_dir):
     recomputes everything closed-form from the signal lattice; a
     hash-pass certifies decode + deinterleave + feature math."""
     from .operators.multimodal import audio_pcm_features, encode_wav_assets
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16363,9 +16363,9 @@ def multimodal_audio_features(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_wav_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "channels"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "channels"
     )
-    return audio_pcm_features(assets).orderBy("asset_id")
+    return audio_pcm_features(assets)
 
 
 @query(
@@ -16415,7 +16415,7 @@ def multimodal_video_frame_sample(spark, sf_dir):
     certifies container + index + codec end to end. 1→N output (one row
     per sampled frame); pixels never cross a shuffle."""
     from .operators.multimodal import avi_frame_sample_stats, encode_avi_assets
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16424,11 +16424,9 @@ def multimodal_video_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 6 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
     )
-    return avi_frame_sample_stats(assets, every_k=2).orderBy(
-        "asset_id", "frame_no"
-    )
+    return avi_frame_sample_stats(assets, every_k=2)
 
 
 @query(
@@ -16474,7 +16472,7 @@ def multimodal_video_dib_frame_sample(spark, sf_dir):
     the stream handler); the oracle recomputes every sampled frame's
     pixel sum closed-form. 1→N output; pixels never cross a shuffle."""
     from .operators.multimodal import avi_frame_sample_stats, encode_avi_dib_assets
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16483,11 +16481,9 @@ def multimodal_video_dib_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_dib_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
     )
-    return avi_frame_sample_stats(assets, every_k=2).orderBy(
-        "asset_id", "frame_no"
-    )
+    return avi_frame_sample_stats(assets, every_k=2)
 
 
 @query(
@@ -16542,7 +16538,7 @@ def multimodal_video_rle_frame_sample(spark, sf_dir):
         avi_frame_sample_stats,
         encode_avi_rle8_assets,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16551,11 +16547,9 @@ def multimodal_video_rle_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_rle8_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
     )
-    return avi_frame_sample_stats(assets, every_k=2).orderBy(
-        "asset_id", "frame_no"
-    )
+    return avi_frame_sample_stats(assets, every_k=2)
 
 
 @query(
@@ -16595,7 +16589,7 @@ def multimodal_cross_codec_ahash(spark, sf_dir):
     re-encoded copy has disjoint bytes but the same aHash). Emitted as
     a bit STRING: engine-portable, no 64-bit sign games."""
     from .operators.multimodal import encode_image_assets, image_ahash
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -16607,9 +16601,9 @@ def multimodal_cross_codec_ahash(spark, sf_dir):
         ).alias("codec"),
     )
     assets = encode_image_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "codec"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "codec"
     )
-    return image_ahash(assets).orderBy("asset_id")
+    return image_ahash(assets)
 
 
 @query(
@@ -17050,7 +17044,7 @@ def multimodal_jpeg_arith_roundtrip(spark, sf_dir):
         encode_jpeg_arith_assets,
         jpeg_decode_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -17060,10 +17054,10 @@ def multimodal_jpeg_arith_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 9 + 1).cast("int").alias("kx"),
     )
     assets = encode_jpeg_arith_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "restart",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "restart",
         "kx",
     )
-    return jpeg_decode_stats(assets).orderBy("asset_id")
+    return jpeg_decode_stats(assets)
 
 
 @query(
@@ -17109,7 +17103,7 @@ def multimodal_flac_roundtrip(spark, sf_dir):
     reconstruction through a real entropy-coded compressed format.
     Samples never cross a shuffle."""
     from .operators.multimodal import encode_flac_assets, flac_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -17133,10 +17127,10 @@ def multimodal_flac_roundtrip(spark, sf_dir):
         ).alias("block_size"),
     )
     assets = encode_flac_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate",
+        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate",
         "channels", "stereo_mode", "block_size",
     )
-    return flac_decode_stats(assets).orderBy("asset_id")
+    return flac_decode_stats(assets)
 
 
 @query(
@@ -17201,7 +17195,7 @@ def multimodal_video_screen_frames(spark, sf_dir):
         encode_flv_screen_assets,
         flv_screen_frame_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -17210,9 +17204,9 @@ def multimodal_video_screen_frames(spark, sf_dir):
         (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_flv_screen_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
     )
-    return flv_screen_frame_stats(assets).orderBy("asset_id", "frame_no")
+    return flv_screen_frame_stats(assets)
 
 
 @query(

@@ -1052,11 +1052,15 @@ def prefix_doubling_duplicates(
 
     # positions in docs shorter than L never produce a gram, and the rank
     # partner joins are within-document — drop those docs pre-explode
-    base = docs.select(
-        F.col(id_col).alias("_d"),
-        F.col(text_col).alias("_t"),
-        F.length(text_col).alias("_len"),
-    ).filter(F.col("_t").isNotNull() & (F.length(text_col) >= min_len))
+    from .scale import ensure_min_partitions
+
+    base = ensure_min_partitions(
+        docs.select(
+            F.col(id_col).alias("_d"),
+            F.col(text_col).alias("_t"),
+            F.length(text_col).alias("_len"),
+        ).filter(F.col("_t").isNotNull() & (F.length(text_col) >= min_len))
+    )
 
     if min_len <= direct_width:
         grams = base.select(
@@ -1148,10 +1152,17 @@ def prefix_doubling_duplicates(
 def _prefix_doubling_tail(grams: DataFrame, id_col: str) -> DataFrame:
     """Shared reporting tail of :func:`prefix_doubling_duplicates`:
     per-key occurrence counts (map-side partial agg) joined back to the
-    positions, then the per-document duplicate summary."""
+    positions, then the per-document duplicate summary.
+
+    The join-back rides a sort-merge hint: Catalyst's size estimate for
+    the count aggregate is far below reality (~one row per distinct
+    gram — corpus-sized), and the resulting auto-broadcast built a
+    multi-million-entry hash relation single-threaded on the driver
+    (A/B at sf0.1: auto-broadcast 9.1 s, shuffle-hash 1.8 s, sort-merge
+    1.3 s; guide §3.1 — pick the strategy deliberately)."""
     counts = grams.groupBy("_k1", "_k2").agg(
         F.count(F.lit(1)).alias("_n")
-    )
+    ).hint("merge")
     flagged = grams.join(counts, ["_k1", "_k2"]).select(
         "_d", "_p", (F.col("_n") >= 2).alias("_dup")
     )

@@ -30,6 +30,36 @@ def ensure_min_partitions(df: DataFrame, n: Optional[int] = None) -> DataFrame:
     return df
 
 
+def presorted_min_partitions(
+    df: DataFrame, *keys: str, n: Optional[int] = None
+) -> DataFrame:
+    """Range-repartition + in-partition sort of a CHEAP input so that
+    order-preserving downstream map stages (the Arrow codec kernels emit
+    rows in input order) deliver GLOBALLY sorted output without a final
+    ``orderBy``.
+
+    Why not sort at the end: a global sort's RangePartitioner samples its
+    child with a SEPARATE Spark job before the shuffle-map job runs, so
+    everything below the sort — for the codec round trips the whole
+    encode→decode Python chain — executes TWICE per action (optimization
+    guide §1.4/§7.2; A/B at sf0.1 on the PNG round trip: declared
+    decode→orderBy 1.51 s, input-sorted 0.74 s, child alone 0.69 s).
+    Sorting the small metadata rows BEFORE the expensive stages moves the
+    sampling job onto the cheap scan — the guide §8 rule: every shuffle
+    but the last moves a lightweight proxy, never the heavy bytes twice.
+    Ascending range partitions + per-partition sort + order-preserving
+    maps reproduce exactly the total output order the final ``orderBy``
+    gave (pinned per converted query by tests/test_opt_r11.py). The
+    partition count covers the cores like :func:`ensure_min_partitions`;
+    at real scale this is the query's single range shuffle, applied to
+    input metadata instead of output metadata."""
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    return df.repartitionByRange(target, *[F.col(k) for k in keys]).sortWithinPartitions(
+        *keys
+    )
+
+
 def salted_equi_join(
     big: DataFrame,
     small: DataFrame,

@@ -75,3 +75,53 @@ def test_prefix_doubling_direct_and_doubling_paths_identical(spark):
         ).collect()
     }
     assert direct == doubled == _reference(L)
+
+
+# ---------------------------------------------------------------------------
+# codec round trips: the final orderBy was replaced by a range-sorted INPUT
+# (operators.scale.presorted_min_partitions) because a global sort's
+# RangePartitioner samples its child with a separate job — executing the
+# whole encode->decode Python chain twice.  The rewrite is only sound if
+# every converted query still emits rows in EXACTLY the order the dropped
+# orderBy produced; pin that here over the real testdata.
+# ---------------------------------------------------------------------------
+
+CONVERTED_ORDER = {
+    "multimodal_png_roundtrip": ("asset_id",),
+    "multimodal_gif_roundtrip": ("asset_id",),
+    "multimodal_jpeg_roundtrip": ("asset_id",),
+    "multimodal_jpeg_color_roundtrip": ("asset_id",),
+    "multimodal_jpeg_progressive_roundtrip": ("asset_id",),
+    "multimodal_jpeg_progressive_color_roundtrip": ("asset_id",),
+    "multimodal_jpeg_arith_roundtrip": ("asset_id",),
+    "multimodal_jpeg_lossless_roundtrip": ("asset_id",),
+    "multimodal_jpeg_hierarchical_roundtrip": ("asset_id",),
+    "multimodal_wav_roundtrip": ("asset_id",),
+    "multimodal_g711_roundtrip": ("asset_id",),
+    "multimodal_flac_roundtrip": ("asset_id",),
+    "multimodal_adpcm_roundtrip": ("asset_id",),
+    "multimodal_aiff_roundtrip": ("asset_id",),
+    "multimodal_bmp_roundtrip": ("asset_id",),
+    "multimodal_tiff_roundtrip": ("asset_id",),
+    "multimodal_audio_features": ("asset_id",),
+    "multimodal_cross_codec_ahash": ("asset_id",),
+    "multimodal_video_frame_sample": ("asset_id", "frame_no"),
+    "multimodal_video_dib_frame_sample": ("asset_id", "frame_no"),
+    "multimodal_video_rle_frame_sample": ("asset_id", "frame_no"),
+    "multimodal_video_screen_frames": ("asset_id", "frame_no"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONVERTED_ORDER))
+def test_converted_codec_query_output_is_globally_sorted(spark, name):
+    """Collected row order must equal the order the dropped orderBy gave:
+    ascending by the declared keys (unique per row for every converted
+    query, so the expected order is total and unambiguous)."""
+    from pipes_spark.catalog import QUERIES
+
+    keys = CONVERTED_ORDER[name]
+    rows = QUERIES[name].fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows, name
+    got = [tuple(r[k] for k in keys) for r in rows]
+    assert got == sorted(got), f"{name}: output no longer globally sorted"
+    assert len(set(got)) == len(got), f"{name}: sort keys not unique"
