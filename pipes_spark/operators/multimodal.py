@@ -7678,29 +7678,43 @@ def encode_jpeg_arith_assets(
 # --------------------------------------------------------------------------
 
 
+def _crc_table(poly: int, width: int) -> list:
+    """Standard 256-entry byte-at-a-time CRC table for an MSB-first CRC
+    (identical math to the bitwise loop, 8× fewer Python operations —
+    both FLAC CRCs run over every frame byte on encode AND decode, so
+    this is a measured hot path of the round trip, guide §1.2 step 2)."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_FLAC_CRC8_TABLE = _crc_table(0x07, 8)
+_FLAC_CRC16_TABLE = _crc_table(0x8005, 16)
+
+
 def _flac_crc8(data: bytes) -> int:
     """CRC-8 with polynomial x^8 + x^2 + x + 1 (0x07), init 0 — the
-    frame-header checksum."""
+    frame-header checksum (table-driven)."""
     crc = 0
+    t = _FLAC_CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _flac_crc16(data: bytes) -> int:
     """CRC-16 with polynomial x^16 + x^15 + x^2 + 1 (0x8005), init 0 —
-    the whole-frame checksum."""
+    the whole-frame checksum (table-driven)."""
     crc = 0
+    t = _FLAC_CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = t[((crc >> 8) ^ b) & 0xFF] ^ ((crc << 8) & 0xFFFF)
     return crc
 
 
@@ -7747,12 +7761,17 @@ class _FlacBitReader:
         self.n = 0
 
     def bits(self, k: int) -> int:
+        # refill in 8-byte gulps: int.from_bytes of a slice beats the
+        # per-byte shift-or loop ~6× on the Rice-residual hot path
         while self.n < k:
-            if self.pos >= len(self.d):
+            take = min(8, len(self.d) - self.pos)
+            if take <= 0:
                 raise ValueError("FLAC: truncated bit stream")
-            self.acc = (self.acc << 8) | self.d[self.pos]
-            self.pos += 1
-            self.n += 8
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                self.d[self.pos : self.pos + take], "big"
+            )
+            self.pos += take
+            self.n += 8 * take
         self.n -= k
         v = (self.acc >> self.n) & ((1 << k) - 1) if k else 0
         self.acc &= (1 << self.n) - 1
@@ -7763,14 +7782,42 @@ class _FlacBitReader:
         return v - (1 << k) if k and v >= (1 << (k - 1)) else v
 
     def unary(self) -> int:
+        # count leading zeros via bit_length instead of a per-bit loop:
+        # with n buffered bits, the leading-zero count of acc is
+        # n - acc.bit_length(), exact for any bit pattern
         q = 0
-        while self.bits(1) == 0:
-            q += 1
-            if q > 1 << 24:
-                raise ValueError("FLAC: runaway unary code")
-        return q
+        while True:
+            if self.n == 0 or self.acc == 0:
+                q += self.n
+                self.n = 0
+                self.acc = 0
+                if q > 1 << 24:
+                    raise ValueError("FLAC: runaway unary code")
+                take = min(8, len(self.d) - self.pos)
+                if take <= 0:
+                    raise ValueError("FLAC: truncated bit stream")
+                self.acc = int.from_bytes(self.d[self.pos : self.pos + take], "big")
+                self.pos += take
+                self.n = 8 * take
+                continue
+            top = self.acc.bit_length()
+            q += self.n - top
+            self.n = top - 1  # consume the zeros and the terminating 1
+            self.acc &= (1 << self.n) - 1
+            return q
+
+    def bytepos(self) -> int:
+        """Byte cursor of the consumption point. With chunked refill,
+        ``pos`` runs ahead of what was consumed; the invariant
+        consumed_bits == pos*8 − n recovers the true cursor (call sites
+        read it only at byte-aligned points)."""
+        return self.pos - self.n // 8
 
     def align(self) -> None:
+        # advance the consumption point to the next byte boundary and
+        # rewind pos onto it (pos may sit past it after a chunked refill)
+        consumed = self.pos * 8 - self.n
+        self.pos = (consumed + 7) // 8
         self.n = 0
         self.acc = 0
 
@@ -7846,10 +7893,23 @@ def _flac_rice_cost(res, param: int) -> int:
 
 def _flac_best_rice(res):
     """Exact best single Rice parameter 0..30 by total cost (RICE2
-    range; the writer picks the 4-bit method when the param fits)."""
+    range; the writer picks the 4-bit method when the param fits).
+
+    The per-residual work is vectorized (zigzag once, then one shifted
+    sum per candidate parameter — the encoder's measured hot spot,
+    guide §4.2); the parameter walk replays the original scalar loop
+    over the 31 precomputed costs, so the selection — including the
+    first-minimum tie-break and the convexity early-exit — is
+    decision-identical to the loop it replaces."""
+    import numpy as np
+
+    a = np.asarray(res, dtype=np.int64)
+    u = np.where(a >= 0, a << 1, ((-a) << 1) - 1).astype(np.uint64)
+    n = len(u)
+    sums = (u[None, :] >> np.arange(31, dtype=np.uint64)[:, None]).sum(axis=1)
     best_p, best_c = 0, None
     for p in range(0, 31):
-        c = _flac_rice_cost(res, p)
+        c = int(sums[p]) + (1 + p) * n
         if best_c is None or c < best_c:
             best_p, best_c = p, c
         elif c > best_c * 2:
@@ -7873,11 +7933,23 @@ def _flac_write_residual(bw, res, order: int, block_size: int) -> None:
 
 
 def _flac_residuals(x, coefs, shift: int = 0):
+    """Prediction residuals, vectorized: one int64 vector
+    multiply-accumulate per coefficient instead of a Python sum per
+    sample (products bounded by 2^15-precision coefs × 17-bit side
+    samples × order ≤ 32 — well inside int64; numpy's ``>>`` on
+    negatives floors exactly like Python's)."""
+    import numpy as np
+
     order = len(coefs)
-    return [
-        x[i] - ((sum(c * x[i - 1 - j] for j, c in enumerate(coefs))) >> shift)
-        for i in range(order, len(x))
-    ]
+    a = np.asarray(x, dtype=np.int64)
+    if len(a) <= order:
+        return []
+    pred = np.zeros(len(a) - order, dtype=np.int64)
+    for j, c in enumerate(coefs):
+        pred += int(c) * a[order - 1 - j : len(a) - 1 - j]
+    # .tolist() → plain Python ints: the bit writer's unbounded-width
+    # accumulator must never silently become a fixed-width np.int64
+    return (a[order:] - (pred >> shift)).tolist()
 
 
 def _flac_lpc_quantize(x, order: int, precision: int = 14):
@@ -8259,7 +8331,7 @@ def flac_decode(content: bytes, label: str = "asset", frame_table=None):
             f_bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}.get(ss_code)
             if f_bps is None:
                 raise ValueError(f"{label}: reserved sample-size code")
-        crc8_at = r2.pos
+        crc8_at = r2.bytepos()
         if _flac_crc8(d[frame_start:crc8_at]) != d[crc8_at]:
             raise ValueError(f"{label}: frame header CRC-8 mismatch")
         body = _FlacBitReader(d, crc8_at + 1)
