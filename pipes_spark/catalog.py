@@ -89,6 +89,21 @@ def _emb_meta(sf_dir: str) -> tuple[int, int]:
     return _EMB_META[sf_dir]
 
 
+_DOC_ROWS: dict[str, int] = {}
+
+
+def _doc_rows(sf_dir: str) -> int:
+    """documents row count from the parquet FOOTER (driver-side pyarrow
+    read, no Spark job; the _emb_meta pattern) — lets the codec queries
+    size their input partitioning from data volume (guide §2.2) while
+    construction stays lazy; cached per sf_dir."""
+    if sf_dir not in _DOC_ROWS:
+        from .sources import parquet_row_count
+
+        _DOC_ROWS[sf_dir] = parquet_row_count(f"{sf_dir}/documents.parquet")
+    return _DOC_ROWS[sf_dir]
+
+
 def _dsum(col) -> F.Column:
     """Order-independent exact sum of a money-product expression: sum as
     DECIMAL(28,6) (the operands have ≤6 true decimals), cast back to DOUBLE.
@@ -15070,7 +15085,7 @@ def multimodal_png_roundtrip(spark, sf_dir):
         ((F.col("doc_id") * 7) % 17 + 1).cast("int").alias("height"),
     )
     assets = encode_png_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height"
     )
     return png_decode_stats(assets)
 
@@ -15122,7 +15137,7 @@ def multimodal_gif_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("interlaced"),
     )
     assets = encode_gif_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "interlaced"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "interlaced"
     )
     return gif_decode_stats(assets)
 
@@ -15183,7 +15198,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 0).alias("optimize"),
     )
     assets = encode_jpeg_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "restart",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "restart",
         "optimize",
     )
     return jpeg_decode_stats(assets)
@@ -15281,7 +15296,7 @@ def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("deep"),
     )
     assets = encode_jpeg_progressive_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "deep"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "deep"
     )
     stats = jpeg_decode_stats(assets)
     return stats.select(
@@ -15347,7 +15362,7 @@ def multimodal_jpeg_progressive_color_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("deep"),
     )
     assets = encode_jpeg_progressive_color_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "subsample", "deep"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "subsample", "deep"
     )
     return jpeg_color_decode_stats(assets)
 
@@ -15407,7 +15422,7 @@ def multimodal_jpeg_color_roundtrip(spark, sf_dir):
         .alias("subsample"),
     )
     assets = encode_jpeg_color_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "subsample"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "subsample"
     )
     return jpeg_color_decode_stats(assets)
 
@@ -15463,7 +15478,7 @@ def multimodal_wav_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_wav_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "channels"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "channels"
     )
     return wav_decode_stats(assets)
 
@@ -15530,7 +15545,7 @@ def multimodal_g711_roundtrip(spark, sf_dir):
         .alias("law"),
     )
     assets = encode_wav_g711_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "law"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "law"
     )
     return wav_decode_stats(assets)
 
@@ -15873,7 +15888,7 @@ def multimodal_jpeg_hierarchical_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
     )
     assets = encode_jpeg_hierarchical_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height"
     )
     return image_decode_weighted_stats(assets)
 
@@ -15934,7 +15949,7 @@ def multimodal_jpeg_lossless_roundtrip(spark, sf_dir):
         .alias("point_transform"),
     )
     assets = encode_jpeg_lossless_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "predictor",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "predictor",
         "point_transform",
     )
     return image_decode_weighted_stats(assets)
@@ -16003,7 +16018,7 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
         .alias("photometric"),
     )
     assets = encode_tiff_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "byte_order",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "byte_order",
         "compression", "photometric",
     )
     return tiff_decode_stats(assets)
@@ -16066,7 +16081,7 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
         ((F.col("doc_id") / 2).cast("bigint") % 2 == 1).alias("topdown"),
     )
     assets = encode_bmp_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "bpp",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "bpp",
         "topdown",
     )
     return bmp_decode_stats(assets)
@@ -16126,7 +16141,7 @@ def multimodal_aiff_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_aiff_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate",
         "channels",
     )
     return aiff_decode_stats(assets)
@@ -16299,7 +16314,7 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
         .alias("codec"),
     )
     assets = encode_wav_adpcm_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "codec"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "codec"
     )
     return wav_decode_stats(assets)
 
@@ -16363,7 +16378,7 @@ def multimodal_audio_features(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_wav_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate", "channels"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "channels"
     )
     return audio_pcm_features(assets)
 
@@ -16424,7 +16439,7 @@ def multimodal_video_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 6 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return avi_frame_sample_stats(assets, every_k=2)
 
@@ -16481,7 +16496,7 @@ def multimodal_video_dib_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_dib_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return avi_frame_sample_stats(assets, every_k=2)
 
@@ -16547,7 +16562,7 @@ def multimodal_video_rle_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_rle8_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return avi_frame_sample_stats(assets, every_k=2)
 
@@ -16601,7 +16616,7 @@ def multimodal_cross_codec_ahash(spark, sf_dir):
         ).alias("codec"),
     )
     assets = encode_image_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "codec"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "codec"
     )
     return image_ahash(assets)
 
@@ -17054,7 +17069,7 @@ def multimodal_jpeg_arith_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 9 + 1).cast("int").alias("kx"),
     )
     assets = encode_jpeg_arith_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "restart",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "restart",
         "kx",
     )
     return jpeg_decode_stats(assets)
@@ -17127,7 +17142,7 @@ def multimodal_flac_roundtrip(spark, sf_dir):
         ).alias("block_size"),
     )
     assets = encode_flac_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "n_samples", "sample_rate",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate",
         "channels", "stereo_mode", "block_size",
     )
     return flac_decode_stats(assets)
@@ -17204,7 +17219,7 @@ def multimodal_video_screen_frames(spark, sf_dir):
         (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_flv_screen_assets(
-        presorted_min_partitions(d, "doc_id"), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return flv_screen_frame_stats(assets)
 

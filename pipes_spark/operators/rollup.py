@@ -734,6 +734,12 @@ def kmv_a_not_b(
             ).alias("est"),
         )
     )
+    # per feeds its own output rows AND the sym_diff aggregate, and the
+    # final orderBy's range sampling re-executes the union child once
+    # more — without a persist the whole only/exact/join subtree above
+    # dk/dh runs up to four times per action (guide §2.4 shared-branch
+    # rule; A/B at sf0.1: 3.08 s → ~1.9 s warm-MIN)
+    per = scoped_persist(per)
     sym = per.agg(
         F.lit("sym_diff").alias("set_name"),
         F.sum("n_exact").cast("bigint").alias("n_exact"),

@@ -31,7 +31,10 @@ def ensure_min_partitions(df: DataFrame, n: Optional[int] = None) -> DataFrame:
 
 
 def presorted_min_partitions(
-    df: DataFrame, *keys: str, n: Optional[int] = None
+    df: DataFrame,
+    *keys: str,
+    n: Optional[int] = None,
+    rows: Optional[int] = None,
 ) -> DataFrame:
     """Range-repartition + in-partition sort of a CHEAP input so that
     order-preserving downstream map stages (the Arrow codec kernels emit
@@ -52,10 +55,35 @@ def presorted_min_partitions(
     gave (pinned per converted query by tests/test_opt_r11.py). The
     partition count covers the cores like :func:`ensure_min_partitions`;
     at real scale this is the query's single range shuffle, applied to
-    input metadata instead of output metadata."""
+    input metadata instead of output metadata.
+
+    Partition count (guide §2.2 — fewer, larger partitions): when the
+    caller supplies ``rows`` (driver-side parquet-footer count, no job),
+    the target is ``ceil(rows / rows_per_task)`` capped at the cluster's
+    default parallelism and floored at the plan's existing partition
+    count — derived from data volume, never a host constant. The
+    ``rows_per_task`` default (env ``PIPES_SPARK_ROWS_PER_TASK``, 320)
+    sits at the measured knee between per-task Python-worker/Arrow hop
+    overhead (which dominates sub-200-row tasks: png ladder 32→16
+    partitions = 1.10→0.70 s at sf0.1) and CPU-bound kernel parallelism
+    (flac degrades below ~300 rows/task of headroom: 16 partitions
+    1.69 s, 8 partitions 2.62 s). Without ``rows`` the old
+    cores-covering default applies."""
+    import math
+    import os
+
     spark = df.sparkSession
-    target = n or spark.sparkContext.defaultParallelism
-    return df.repartitionByRange(target, *[F.col(k) for k in keys]).sortWithinPartitions(
+    if n is None:
+        cores = spark.sparkContext.defaultParallelism
+        if rows is not None:
+            rpt = int(os.environ.get("PIPES_SPARK_ROWS_PER_TASK", "320"))
+            n = max(
+                df.rdd.getNumPartitions(),
+                min(cores, max(1, math.ceil(rows / rpt))),
+            )
+        else:
+            n = cores
+    return df.repartitionByRange(n, *[F.col(k) for k in keys]).sortWithinPartitions(
         *keys
     )
 
