@@ -15831,11 +15831,13 @@ def multimodal_exif_metadata(spark, sf_dir):
     entropy-decoded — at 100 TB an ingest metadata scan must read
     headers, not images."""
     from .operators.multimodal import encode_exif_jpeg_assets, exif_metadata_rows
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    assets = encode_exif_jpeg_assets(ensure_min_partitions(d), "doc_id")
-    return exif_metadata_rows(assets).orderBy("asset_id", "ifd", "tag_id")
+    assets = encode_exif_jpeg_assets(
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id"
+    )
+    return exif_metadata_rows(assets)
 
 
 @query(

@@ -1459,9 +1459,15 @@ class _JpegBitReader:
         return (self.acc >> self.n) & 1
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        # bulk extract: fills exactly as many bytes as the former
+        # per-bit loop did (lazily, one stuffing-checked byte at a
+        # time), so marker/truncation errors fire at the same point —
+        # just without k function calls per field
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1) if k else 0
+        self.acc &= (1 << self.n) - 1
         return v
 
     def align_to_marker(self):
@@ -1486,15 +1492,31 @@ def _jpeg_huff_decoder(bits, vals):
             k += 1
         code <<= 1
 
+    # per-length (mincode, maxcode, value row) arrays — the T.81 F.2.2.3
+    # DECODE procedure's comparison walk, one tuple compare per bit
+    # instead of a dict probe (hot path: every coefficient symbol)
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    rows: list = [None] * 17
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        cnt = bits[ln - 1]
+        if cnt:
+            mincode[ln] = code
+            maxcode[ln] = code + cnt - 1
+            rows[ln] = vals[k : k + cnt]
+            code += cnt
+            k += cnt
+        code <<= 1
+
     def decode(r: _JpegBitReader) -> int:
-        ln = 0
+        bit = r.bit
         code = 0
-        while ln < 16:
-            code = (code << 1) | r.bit()
-            ln += 1
-            v = table.get((ln, code))
-            if v is not None:
-                return v
+        for ln in range(1, 17):
+            code = (code << 1) | bit()
+            if code <= maxcode[ln]:
+                return rows[ln][code - mincode[ln]]
         raise ValueError("invalid JPEG Huffman code")
 
     return decode
@@ -5569,8 +5591,13 @@ def exif_metadata_rows(assets: DataFrame) -> DataFrame:
                 "tag_type": [], "value": [],
             }
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                for ifd, tag, name, typ, val in exif_extract(
-                    content, label=f"asset {aid}"
+                # emit per-asset rows already in (ifd, tag_id) order — the
+                # catalog query's output order contract ("Exif" < "IFD0"
+                # in plain string order), so a range-sorted input needs no
+                # final orderBy over the extraction (same row multiset)
+                for ifd, tag, name, typ, val in sorted(
+                    exif_extract(content, label=f"asset {aid}"),
+                    key=lambda r: (r[0], r[1]),
                 ):
                     out["asset_id"].append(int(aid))
                     out["ifd"].append(ifd)

@@ -109,6 +109,9 @@ CONVERTED_ORDER = {
     "multimodal_video_dib_frame_sample": ("asset_id", "frame_no"),
     "multimodal_video_rle_frame_sample": ("asset_id", "frame_no"),
     "multimodal_video_screen_frames": ("asset_id", "frame_no"),
+    # the extraction kernel sorts each asset's rows by (ifd, tag_id)
+    # before emitting, so the range-sorted input yields the full order
+    "multimodal_exif_metadata": ("asset_id", "ifd", "tag_id"),
 }
 
 
