@@ -10353,7 +10353,7 @@ def multimodal_resize(spark, sf_dir):
         encode_pixel_assets,
         resize_image_assets,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -10364,10 +10364,10 @@ def multimodal_resize(spark, sf_dir):
         .alias("codec"),
     )
     assets = encode_pixel_assets(
-        ensure_min_partitions(d), width=64, height=63
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), width=64, height=63
     )
     small = resize_image_assets(assets, out_w=7, out_h=5)
-    return decoded_pixels(small).orderBy("asset_id", "y", "x")
+    return decoded_pixels(small)
 
 
 @query(
@@ -15605,7 +15605,7 @@ def multimodal_gif_animation_frames(spark, sf_dir):
         encode_gif_animation_assets,
         gif_animation_frame_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15614,9 +15614,9 @@ def multimodal_gif_animation_frames(spark, sf_dir):
         (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_gif_animation_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
-    return gif_animation_frame_stats(assets).orderBy("asset_id", "frame_no")
+    return gif_animation_frame_stats(assets)
 
 
 @query(
@@ -15650,13 +15650,13 @@ def multimodal_subtitle_cues(spark, sf_dir):
     durations; multi-line payload joining and VTT cue identifiers are
     pytest-held."""
     from .operators.multimodal import encode_subtitle_assets, subtitle_cue_rows
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 5 + 2).cast("int").alias("n_cues")
     )
-    assets = encode_subtitle_assets(ensure_min_partitions(d), "doc_id", "n_cues")
-    return subtitle_cue_rows(assets).orderBy("asset_id", "cue_no")
+    assets = encode_subtitle_assets(presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_cues")
+    return subtitle_cue_rows(assets)
 
 
 @query(
@@ -15700,7 +15700,7 @@ def multimodal_wav_depths_roundtrip(spark, sf_dir):
     engine-portable). One gate covers the whole depth ladder; a sign-
     extension or endianness slip at any depth breaks the checksum."""
     from .operators.multimodal import encode_wav_depth_assets, wav_decode_stats
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15712,9 +15712,9 @@ def multimodal_wav_depths_roundtrip(spark, sf_dir):
         ).alias("bits"),
     )
     assets = encode_wav_depth_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples", "sample_rate", "bits"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "bits"
     )
-    return wav_decode_stats(assets).orderBy("asset_id")
+    return wav_decode_stats(assets)
 
 
 @query(
@@ -15755,7 +15755,7 @@ def multimodal_png_filters_roundtrip(spark, sf_dir):
         encode_png_filtered_assets,
         image_decode_weighted_stats,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -15771,10 +15771,10 @@ def multimodal_png_filters_roundtrip(spark, sf_dir):
         ((F.col("doc_id") / 6).cast("bigint") % 2 == 1).alias("interlaced"),
     )
     assets = encode_png_filtered_assets(
-        ensure_min_partitions(d), "doc_id", "width", "height", "filter_mode",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "filter_mode",
         "interlaced",
     )
-    return image_decode_weighted_stats(assets).orderBy("asset_id")
+    return image_decode_weighted_stats(assets)
 
 
 @query(
@@ -17271,13 +17271,13 @@ def multimodal_flac_metadata(spark, sf_dir):
         encode_flac_tagged_assets,
         flac_metadata_rows,
     )
-    from .operators.scale import ensure_min_partitions
+    from .operators.scale import presorted_min_partitions
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 500 + 120).cast("int").alias("n_samples"),
     )
     assets = encode_flac_tagged_assets(
-        ensure_min_partitions(d), "doc_id", "n_samples"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples"
     )
-    return flac_metadata_rows(assets).orderBy("asset_id", "block_type", "item")
+    return flac_metadata_rows(assets)

@@ -9103,28 +9103,31 @@ def flac_metadata_rows(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {k: [] for k in ("asset_id", "block_type", "item", "value")}
 
-            def add(aid, bt, item, value):
-                out["asset_id"].append(int(aid))
-                out["block_type"].append(bt)
-                out["item"].append(item)
-                out["value"].append(value)
-
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 b = bytes(content)
                 *_, md5_ok = flac_decode(b, label=f"asset {aid}")
                 if not md5_ok:
                     raise ValueError(f"asset {aid}: audio corrupted by splice")
+                rows = []
                 for entry in flac_parse_metadata(b, label=f"asset {aid}"):
                     if entry["type"] == "VORBIS_COMMENT":
-                        add(aid, "VORBIS_COMMENT", "vendor", entry["vendor"])
+                        rows.append(("VORBIS_COMMENT", "vendor", entry["vendor"]))
                         for k, v in entry["comments"]:
-                            add(aid, "VORBIS_COMMENT", k, v)
+                            rows.append(("VORBIS_COMMENT", k, v))
                     elif entry["type"] == "SEEKTABLE":
                         for i, (sn, _off, cnt) in enumerate(entry["points"]):
-                            add(aid, "SEEKTABLE", f"seekpoint_{i}",
-                                f"{sn}/{cnt}")
+                            rows.append(("SEEKTABLE", f"seekpoint_{i}",
+                                         f"{sn}/{cnt}"))
                     elif entry["type"] == "PADDING":
-                        add(aid, "PADDING", "length", str(entry["length"]))
+                        rows.append(("PADDING", "length", str(entry["length"])))
+                # emit per-asset rows in (block_type, item) string order —
+                # the catalog query's output order contract, so the
+                # range-sorted input needs no final orderBy (same multiset)
+                for bt, item, value in sorted(rows, key=lambda r: (r[0], r[1])):
+                    out["asset_id"].append(int(aid))
+                    out["block_type"].append(bt)
+                    out["item"].append(item)
+                    out["value"].append(value)
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(

@@ -112,6 +112,14 @@ CONVERTED_ORDER = {
     # the extraction kernel sorts each asset's rows by (ifd, tag_id)
     # before emitting, so the range-sorted input yields the full order
     "multimodal_exif_metadata": ("asset_id", "ifd", "tag_id"),
+    # second conversion wave (driver-gate wall time): same pattern
+    "multimodal_resize": ("asset_id", "y", "x"),
+    "multimodal_wav_depths_roundtrip": ("asset_id",),
+    "multimodal_png_filters_roundtrip": ("asset_id",),
+    "multimodal_gif_animation_frames": ("asset_id", "frame_no"),
+    "multimodal_subtitle_cues": ("asset_id", "cue_no"),
+    # kernel emits per-asset rows pre-sorted by (block_type, item)
+    "multimodal_flac_metadata": ("asset_id", "block_type", "item"),
 }
 
 
