@@ -1244,7 +1244,15 @@ def _jpeg_canonical_codes(bits, vals):
     return codes
 
 
+_JPEG_DCT_MATRIX_CACHE = None
+
+
 def _jpeg_dct_matrix():
+    # constant 8×8 basis, memoized (was rebuilt per encode AND per
+    # decode); every call site uses it read-only (einsum / .T)
+    global _JPEG_DCT_MATRIX_CACHE
+    if _JPEG_DCT_MATRIX_CACHE is not None:
+        return _JPEG_DCT_MATRIX_CACHE
     import numpy as np
 
     m = np.zeros((8, 8))
@@ -1252,6 +1260,7 @@ def _jpeg_dct_matrix():
         c = (1.0 / (2.0 ** 0.5)) if u == 0 else 1.0
         for x in range(8):
             m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    _JPEG_DCT_MATRIX_CACHE = m
     return m
 
 
@@ -1418,9 +1427,12 @@ def jpeg_encode_gray(
         prev_dc, syms = block_symbols(blk, prev_dc)
         for tbl, sym, size, bits in syms:
             ln, code = (dc_codes if tbl == "dc" else ac_codes)[sym]
-            bw.write(code, ln)
             if size:
-                bw.write(bits, size)
+                # one fused write: code bits then appended bits (same
+                # MSB-first stream, half the writer calls)
+                bw.write((code << size) | (bits & ((1 << size) - 1)), ln + size)
+            else:
+                bw.write(code, ln)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -1470,6 +1482,30 @@ class _JpegBitReader:
         self.acc &= (1 << self.n) - 1
         return v
 
+    def peek8(self) -> int:
+        """Top 8 unconsumed bits WITHOUT consuming, or -1 when fewer
+        than 8 are available before a marker / end of data. Never
+        raises: buffered-but-unconsumed bits are exactly the bits a
+        later consuming read would have filled, so truncation/marker
+        errors still fire at the same consumption point (peek stops at
+        a non-stuffed 0xFF and never advances past it)."""
+        d = self.d
+        while self.n < 8:
+            pos = self.pos
+            if pos >= len(d):
+                return -1
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < len(d) and d[pos + 1] == 0x00:
+                    self.pos = pos + 2
+                else:
+                    return -1
+            else:
+                self.pos = pos + 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        return (self.acc >> (self.n - 8)) & 0xFF
+
     def align_to_marker(self):
         """Discard pad bits; expect and consume an RST marker."""
         self.acc = 0
@@ -1482,22 +1518,20 @@ class _JpegBitReader:
 
 
 def _jpeg_huff_decoder(bits, vals):
-    table = {}
-    code = 0
-    k = 0
-    for ln in range(1, 17):
-        for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
-            code += 1
-            k += 1
-        code <<= 1
-
     # per-length (mincode, maxcode, value row) arrays — the T.81 F.2.2.3
     # DECODE procedure's comparison walk, one tuple compare per bit
-    # instead of a dict probe (hot path: every coefficient symbol)
+    # instead of a dict probe — plus a first-level LUT: any code of
+    # length <= 8 resolves in ONE probe on the next 8 bits
+    # ((length << 8) | value packed); longer codes and stream edges fall
+    # back to the comparison walk. With the per-image K.2-optimal tables
+    # the common symbols are all short, so this removes the per-bit call
+    # chain on the decoder's hottest path (guide §1.2 step 2).
+    # Consumption and error points are unchanged: peek8 is non-raising
+    # and never crosses a marker.
     mincode = [0] * 17
     maxcode = [-1] * 17
     rows: list = [None] * 17
+    lut = [0] * 256
     code = 0
     k = 0
     for ln in range(1, 17):
@@ -1506,11 +1540,23 @@ def _jpeg_huff_decoder(bits, vals):
             mincode[ln] = code
             maxcode[ln] = code + cnt - 1
             rows[ln] = vals[k : k + cnt]
+            if ln <= 8:
+                span = 1 << (8 - ln)
+                for c in range(code, code + cnt):
+                    base = c << (8 - ln)
+                    lut[base : base + span] = [(ln << 8) | vals[k + c - code]] * span
             code += cnt
             k += cnt
         code <<= 1
 
     def decode(r: _JpegBitReader) -> int:
+        p = r.peek8() if r.n < 8 else (r.acc >> (r.n - 8)) & 0xFF
+        if p >= 0:
+            e = lut[p]
+            if e:
+                r.n -= e >> 8
+                r.acc &= (1 << r.n) - 1
+                return e & 0xFF
         bit = r.bit
         code = 0
         for ln in range(1, 17):
@@ -1620,31 +1666,56 @@ def jpeg_encode_lossless(
     return bytes(out)
 
 
+_BITLEN8_CACHE = None
+
+
+def _bitlen8():
+    """256-entry bit_length LUT as an int64 numpy array (lazy: the
+    module keeps numpy imports function-local for worker ship)."""
+    global _BITLEN8_CACHE
+    if _BITLEN8_CACHE is None:
+        import numpy as np
+
+        _BITLEN8_CACHE = np.array(
+            [v.bit_length() for v in range(256)], dtype=np.int64
+        )
+    return _BITLEN8_CACHE
+
+
 def _jpeg_code_diff_stream(flat):
     """Entropy-code a flat stream of modulo-2^16 signed differences with
     a per-stream Annex K.2 optimal DC-class Huffman table (shared by the
     lossless Annex-H path and the hierarchical Annex-J differential
     frames). Returns (BITS, HUFFVAL, entropy bytes)."""
-    freq = [0] * 257
-    for d in flat:
-        d = int(d)
-        cat = 16 if d == -32768 else abs(d).bit_length()
-        freq[cat] += 1
+    import numpy as np
+
+    a = np.asarray(flat, dtype=np.int64)
+    # vectorized magnitude category: bit_length via an exact 256-entry
+    # LUT on the low/high byte (abs(-32768) = 32768 → hi byte 128 →
+    # 8 + 8 = 16, the SSSS-16 case, so no special-casing needed)
+    mag = np.abs(a)
+    hi = mag >> 8
+    bl = _bitlen8()
+    cat = np.where(hi > 0, bl[hi] + 8, bl[mag & 0xFF])
+    freq = np.bincount(cat, minlength=257).tolist()
     freq[256] = 1
     bits_spec, huffval = _jpeg_optimal_table(freq)
     codes = _jpeg_canonical_codes(bits_spec, huffval)
     wtr = _JpegBitWriter()
-    for d in flat:
-        d = int(d)
-        if d == -32768:  # SSSS 16: no appended bits (diff 32768 mod 2^16)
+    write = wtr.write
+    for d, size in zip(a.tolist(), cat.tolist()):
+        if size == 16:  # SSSS 16: no appended bits (diff 32768 mod 2^16)
             ln, code = codes[16]
-            wtr.write(code, ln)
+            write(code, ln)
             continue
-        size, extra = _jpeg_category(d)
         ln, code = codes[size]
-        wtr.write(code, ln)
         if size:
-            wtr.write(extra, size)
+            # one fused write per symbol: code bits then the appended
+            # bits (d if positive, one's-complement form if negative)
+            extra = d if d > 0 else d + (1 << size) - 1
+            write((code << size) | (extra & ((1 << size) - 1)), ln + size)
+        else:
+            write(code, ln)
     wtr.flush()
     return bits_spec, huffval, bytes(wtr.out)
 
@@ -1733,8 +1804,15 @@ def _jpeg_decode_lossless(data: bytes):
         raise ValueError("no lossless scan found")
     default = 1 << (8 - pt - 1)
     r = _JpegBitReader(data, pos)
-    px = np.zeros((h, w), dtype=np.int64)
+    # causal prediction carries a loop dependency, so the walk stays
+    # scalar — but over plain Python row lists: per-sample numpy scalar
+    # indexing (px[y, x] reads/writes) was a measured hot spot
+    bits_ = r.bits
+    rows_px: list = []
+    prev_row: list = []
     for y in range(h):
+        cur: list = []
+        append = cur.append
         for x in range(w):
             t = dec(r)
             if t == 16:
@@ -1742,21 +1820,21 @@ def _jpeg_decode_lossless(data: bytes):
             elif t == 0:
                 diff = 0
             else:
-                diff = _jpeg_extend(r.bits(t), t)
+                diff = _jpeg_extend(bits_(t), t)
             if y == 0 and x == 0:
                 pred = default
             elif y == 0:
-                pred = px[0, x - 1]
+                pred = cur[x - 1]
             elif x == 0:
-                pred = px[y - 1, 0]
+                pred = prev_row[0]
             else:
                 pred = _jpeg_lossless_predict(
-                    int(px[y, x - 1]),
-                    int(px[y - 1, x]),
-                    int(px[y - 1, x - 1]),
-                    predictor,
+                    cur[x - 1], prev_row[x], prev_row[x - 1], predictor
                 )
-            px[y, x] = (pred + diff) & 0xFFFF
+            append((pred + diff) & 0xFFFF)
+        rows_px.append(cur)
+        prev_row = cur
+    px = np.array(rows_px, dtype=np.int64).reshape(h, w)
     return (px << pt).astype(np.uint8)
 
 
@@ -3751,24 +3829,42 @@ def _jpeg_optimal_table(freq257):
     CODE_SIZE / COUNT_BITS / ADJUST_BITS / SORT_INPUT procedure —
     entry 256 is the reserved codepoint (frequency 1) that keeps the
     all-ones code unused. Returns (BITS[16], HUFFVAL)."""
+    import heapq
+
     freq = list(freq257)
     assert len(freq) == 257
     codesize = [0] * 257
     others = [-1] * 257
+    # The spec's FIND_V1/FIND_V2 scans pick the least-frequency live
+    # symbol, breaking frequency ties toward the LARGEST symbol value
+    # (the ascending scan's `<=` keeps the last tied index). A min-heap
+    # on (freq, -symbol) with lazy deletion pops in exactly that order
+    # — the tie-break depends only on (frequency, value), never on
+    # insertion order, so the merge sequence (and thus BITS/HUFFVAL and
+    # the output bitstream) is identical to the quadratic scan replaced
+    # here (measured encoder hot spot, guide §1.2 step 2).
+    heap = [(f, -i) for i, f in enumerate(freq) if f > 0]
+    heapq.heapify(heap)
     while True:
-        # v1 = least-frequency nonzero symbol (ties: LARGEST value)
         v1 = v2 = -1
-        f1 = f2 = None
-        for i in range(257):
-            if freq[i] > 0 and (f1 is None or freq[i] <= f1):
-                f1, v1 = freq[i], i
-        for i in range(257):
-            if i != v1 and freq[i] > 0 and (f2 is None or freq[i] <= f2):
-                f2, v2 = freq[i], i
+        while heap:
+            f, ni = heapq.heappop(heap)
+            if freq[-ni] == f:
+                v1 = -ni
+                break
+        while heap:
+            f, ni = heap[0]
+            if freq[-ni] != f:
+                heapq.heappop(heap)
+                continue
+            v2 = -ni
+            break
         if v2 == -1:
             break
+        heapq.heappop(heap)
         freq[v1] += freq[v2]
         freq[v2] = 0
+        heapq.heappush(heap, (freq[v1], -v1))
         codesize[v1] += 1
         while others[v1] != -1:
             v1 = others[v1]
@@ -5240,17 +5336,24 @@ def _jpeg_decode_hierarchical(data: bytes):
                 raise ValueError(f"scan references undefined DC table {td}")
             dec = dc_dec[td]
             r = _JpegBitReader(data, seg_end)
-            out = np.zeros((full_h, full_w), dtype=np.int64)
-            for y in range(full_h):
-                for x in range(full_w):
-                    t = dec(r)
-                    if t == 16:
-                        d = 32768
-                    elif t == 0:
-                        d = 0
-                    else:
-                        d = _jpeg_extend(r.bits(t), t)
-                    out[y, x] = (ref[y, x] + d) & 0xFFFF
+            # decode the diff stream into a flat list (same symbol
+            # order), then one vectorized modular add — per-sample
+            # numpy scalar indexing was a measured hot spot
+            bits_ = r.bits
+            diffs = []
+            append = diffs.append
+            for _ in range(full_h * full_w):
+                t = dec(r)
+                if t == 16:
+                    append(32768)
+                elif t == 0:
+                    append(0)
+                else:
+                    append(_jpeg_extend(bits_(t), t))
+            out = (
+                ref.astype(np.int64)
+                + np.array(diffs, dtype=np.int64).reshape(full_h, full_w)
+            ) & 0xFFFF
             if out.max() > 255:
                 raise ValueError("hierarchical reconstruction out of range")
             return out.astype(np.uint8)
@@ -6377,6 +6480,8 @@ def _pt_ac(v, al):
 def _jpeg_emit_ac_first(zz, ss, se, al, bw, ac_codes):
     """AC-first scan (Ah=0): sequential run/size coding within the band
     plus cross-block EOB runs (EOBn symbols r<<4 with r appended bits)."""
+    import numpy as np
+
     eobrun = 0
 
     def flush_eob():
@@ -6391,7 +6496,9 @@ def _jpeg_emit_ac_first(zz, ss, se, al, bw, ac_codes):
         eobrun = 0
 
     for blk in zz:
-        t = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        # vectorized G.1.2.2 point transform (truncate toward zero)
+        seg = np.asarray(blk[ss : se + 1], dtype=np.int64)
+        t = np.where(seg < 0, -((-seg) >> al), seg >> al).tolist()
         last = -1
         for j in range(len(t) - 1, -1, -1):
             if t[j]:
@@ -6415,8 +6522,7 @@ def _jpeg_emit_ac_first(zz, ss, se, al, bw, ac_codes):
                 run -= 16
             size, bits = _jpeg_category(v)
             ln, code = ac_codes[(run << 4) | size]
-            bw.write(code, ln)
-            bw.write(bits, size)
+            bw.write((code << size) | (bits & ((1 << size) - 1)), ln + size)
             run = 0
         if last < len(t) - 1:
             eobrun += 1
@@ -6431,6 +6537,8 @@ def _jpeg_emit_ac_refine(zz, ss, se, al, bw, ac_codes):
     already nonzero contribute buffered CORRECTION bits emitted after
     the symbol that ends the run; end-of-band folds into EOB runs
     (T.81 G.1.2.3 / the cjpeg encode_mcu_AC_refine structure)."""
+    import numpy as np
+
     eobrun = 0
     pending: list = []  # correction bits owed to the current EOB run
 
@@ -6450,7 +6558,9 @@ def _jpeg_emit_ac_refine(zz, ss, se, al, bw, ac_codes):
         eobrun = 0
 
     for blk in zz:
-        t = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+        # vectorized G.1.2.2 point transform (truncate toward zero)
+        seg = np.asarray(blk[ss : se + 1], dtype=np.int64)
+        t = np.where(seg < 0, -((-seg) >> al), seg >> al).tolist()
         # eob = index of the LAST newly-significant coefficient; runs
         # beyond it fold into the EOB run instead of ZRLs (the
         # `r > 15 && k <= EOB` guard of cjpeg encode_mcu_AC_refine)
