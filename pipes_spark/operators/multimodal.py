@@ -7943,6 +7943,57 @@ class _FlacBitReader:
             self.acc &= (1 << self.n) - 1
             return q
 
+    def rice_many(self, cnt: int, k: int) -> list:
+        """Decode ``cnt`` Rice(k) residuals (unary quotient, k remainder
+        bits, zigzag unmap) in one call — the unary() + bits() bodies
+        inlined over local state (the decoder's hottest loop). Raises
+        the same errors at the same consumption points; reader state on
+        an exception is irrelevant because the whole decode aborts."""
+        d = self.d
+        ln = len(d)
+        pos = self.pos
+        acc = self.acc
+        n = self.n
+        out: list = []
+        append = out.append
+        mask = (1 << k) - 1
+        for _ in range(cnt):
+            q = 0
+            while True:
+                if n == 0 or acc == 0:
+                    q += n
+                    if q > 1 << 24:
+                        raise ValueError("FLAC: runaway unary code")
+                    take = min(8, ln - pos)
+                    if take <= 0:
+                        raise ValueError("FLAC: truncated bit stream")
+                    acc = int.from_bytes(d[pos : pos + take], "big")
+                    pos += take
+                    n = 8 * take
+                    continue
+                top = acc.bit_length()
+                q += n - top
+                n = top - 1
+                acc &= (1 << n) - 1
+                break
+            while n < k:
+                take = min(8, ln - pos)
+                if take <= 0:
+                    raise ValueError("FLAC: truncated bit stream")
+                acc = (acc << (8 * take)) | int.from_bytes(
+                    d[pos : pos + take], "big"
+                )
+                pos += take
+                n += 8 * take
+            n -= k
+            u = (q << k) | ((acc >> n) & mask) if k else q
+            acc &= (1 << n) - 1
+            append((u >> 1) ^ -(u & 1))
+        self.pos = pos
+        self.acc = acc
+        self.n = n
+        return out
+
     def bytepos(self) -> int:
         """Byte cursor of the consumption point. With chunked refill,
         ``pos`` runs ahead of what was consumed; the invariant
@@ -8041,16 +8092,27 @@ def _flac_best_rice(res):
     import numpy as np
 
     a = np.asarray(res, dtype=np.int64)
-    u = np.where(a >= 0, a << 1, ((-a) << 1) - 1).astype(np.uint64)
+    # zigzag as one op: (a << 1) ^ (a >> 63) == a<<1 for a >= 0 and
+    # ~(a<<1) == (-a<<1)-1 for a < 0 (arithmetic shift fills sign)
+    u = ((a << 1) ^ (a >> 63)).astype(np.uint64)
     n = len(u)
-    sums = (u[None, :] >> np.arange(31, dtype=np.uint64)[:, None]).sum(axis=1)
+    # only parameters up to the max zigzag bit length can change the
+    # shifted sum: for p >= kmax every u >> p is 0, so the cost
+    # (1+p)*n increases strictly with p and can never beat the best
+    # found in [0, kmax] — the walk below therefore examines the same
+    # prefix and returns the same (param, cost) as the full 31-row scan
+    kmax = int(int(u.max()).bit_length()) if n else 0
+    top = min(31, kmax + 1)
+    sums = (u[None, :] >> np.arange(top, dtype=np.uint64)[:, None]).sum(axis=1)
     best_p, best_c = 0, None
-    for p in range(0, 31):
+    for p in range(0, top):
         c = int(sums[p]) + (1 + p) * n
         if best_c is None or c < best_c:
             best_p, best_c = p, c
         elif c > best_c * 2:
             break  # costs are convex in p once past the optimum
+    if best_c is None:
+        best_c = 0  # empty residual: zero cost at parameter 0, as before
     return best_p, best_c
 
 
@@ -8058,15 +8120,38 @@ def _flac_write_residual(bw, res, order: int, block_size: int) -> None:
     """Partition order 0 (one parameter), method chosen by parameter
     width — decoder-side generality (partitions, escapes) is exercised
     by dedicated pytest fixtures."""
+    import numpy as np
+
     param, _ = _flac_best_rice(res)
     method = 0 if param < 15 else 1
     bw.write(method, 2)
     bw.write(0, 4)  # partition order 0
     bw.write(param, 4 if method == 0 else 5)
-    for r in res:
-        u = (r << 1) if r >= 0 else ((-r << 1) - 1)
-        bw.write_unary(u >> param)
-        bw.write(u & ((1 << param) - 1), param)
+    # vectorized emit: per residual the stream is q zeros, a 1, then
+    # the param low bits of the zigzag — i.e. ONE write of value
+    # (1 << param) | (u & mask) at width q + 1 + param. The loop below
+    # packs those precomputed (value, width) pairs with a local
+    # accumulator and flushes whole-byte chunks; the byte sequence is
+    # identical to the per-residual write_unary + write calls
+    # (measured encoder hot spot, guide §4.2).
+    a = np.asarray(res, dtype=np.int64)
+    u = (a << 1) ^ (a >> 63)
+    mark = 1 << param
+    vals = (mark | (u & (mark - 1))).tolist()
+    lens = ((u >> param) + (1 + param)).tolist()
+    acc = bw.acc
+    n = bw.n
+    out = bw.out
+    for v, l in zip(vals, lens):
+        acc = (acc << l) | v
+        n += l
+        if n >= 8:
+            nb = n >> 3
+            n -= nb << 3
+            out += (acc >> n).to_bytes(nb, "big")
+            acc &= (1 << n) - 1
+    bw.acc = acc
+    bw.n = n
 
 
 def _flac_residuals(x, coefs, shift: int = 0):
@@ -8084,9 +8169,11 @@ def _flac_residuals(x, coefs, shift: int = 0):
     pred = np.zeros(len(a) - order, dtype=np.int64)
     for j, c in enumerate(coefs):
         pred += int(c) * a[order - 1 - j : len(a) - 1 - j]
-    # .tolist() → plain Python ints: the bit writer's unbounded-width
-    # accumulator must never silently become a fixed-width np.int64
-    return (a[order:] - (pred >> shift)).tolist()
+    # stays an int64 array: both consumers (_flac_best_rice and
+    # _flac_write_residual) convert via .tolist() only at the last
+    # step, so the bit writer's unbounded-width accumulator never sees
+    # a fixed-width np.int64
+    return a[order:] - (pred >> shift)
 
 
 def _flac_lpc_quantize(x, order: int, precision: int = 14):
@@ -8541,17 +8628,60 @@ def flac_decode(content: bytes, label: str = "asset", frame_table=None):
                             body.signed(raw) if raw else 0 for _ in range(cnt)
                         )
                     else:
-                        for _ in range(cnt):
-                            q = body.unary()
-                            u = (q << param) | body.bits(param)
-                            res.append((u >> 1) ^ -(u & 1))
+                        res.extend(body.rice_many(cnt, param))
+                # order-specialized integer recurrences (identical
+                # arithmetic to the generic indexed sum — the per-sample
+                # genexpr was a measured decoder hot spot)
                 x = warm
-                for i, rv in enumerate(res):
-                    pred = (
-                        sum(c * x[order + i - 1 - j] for j, c in enumerate(coefs))
-                        >> shift
-                    )
-                    x.append(rv + pred)
+                append = x.append
+                if order == 0:
+                    x.extend(res)
+                elif order == 1:
+                    (c0,) = coefs
+                    p0 = x[-1]
+                    for rv in res:
+                        p0 = rv + ((c0 * p0) >> shift)
+                        append(p0)
+                elif order == 2:
+                    c0, c1 = coefs
+                    p0, p1 = x[-1], x[-2]
+                    for rv in res:
+                        v = rv + ((c0 * p0 + c1 * p1) >> shift)
+                        append(v)
+                        p1 = p0
+                        p0 = v
+                elif order == 3:
+                    c0, c1, c2 = coefs
+                    p0, p1, p2 = x[-1], x[-2], x[-3]
+                    for rv in res:
+                        v = rv + ((c0 * p0 + c1 * p1 + c2 * p2) >> shift)
+                        append(v)
+                        p2 = p1
+                        p1 = p0
+                        p0 = v
+                elif order == 4:
+                    c0, c1, c2, c3 = coefs
+                    p0, p1, p2, p3 = x[-1], x[-2], x[-3], x[-4]
+                    for rv in res:
+                        v = rv + (
+                            (c0 * p0 + c1 * p1 + c2 * p2 + c3 * p3) >> shift
+                        )
+                        append(v)
+                        p3 = p2
+                        p2 = p1
+                        p1 = p0
+                        p0 = v
+                else:
+                    # rolling window w[j] = x[-1-j], zip beats indexing
+                    w = x[-order:][::-1]
+                    for rv in res:
+                        acc = 0
+                        for c, s_ in zip(coefs, w):
+                            acc += c * s_
+                        v = rv + (acc >> shift)
+                        append(v)
+                        w.pop()
+                        w.insert(0, v)
             else:
                 raise ValueError(f"{label}: reserved subframe type {stype}")
             if wasted:
