@@ -1230,8 +1230,19 @@ _JPEG_AC_VALS = (
 )
 
 
+_JPEG_CODES_CACHE: dict = {}
+
+
 def _jpeg_canonical_codes(bits, vals):
-    """Annex C code assignment: codes of each length in HUFFVAL order."""
+    """Annex C code assignment: codes of each length in HUFFVAL order.
+    Memoized: the standard-table paths pass the same (BITS, HUFFVAL)
+    for every asset in a task, and all callers read the dict only. The
+    bound guards a long-lived worker against per-image optimal tables
+    filling the cache (cheap full clear; correctness unaffected)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     codes = {}
     code = 0
     k = 0
@@ -1241,6 +1252,9 @@ def _jpeg_canonical_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_JPEG_CODES_CACHE) >= 512:
+        _JPEG_CODES_CACHE.clear()
+    _JPEG_CODES_CACHE[key] = codes
     return codes
 
 
@@ -1348,12 +1362,16 @@ def jpeg_encode_gray(
     quant = np.round(coef / q[None, :, :]).astype(np.int64).reshape(-1, 64)
     zz = quant[:, _JPEG_ZIGZAG]
 
+    zz_list = zz.tolist()  # plain ints: per-coefficient numpy scalar
+    # indexing was a measured encoder hot spot
+
     def block_symbols(blk, prev_dc):
         """Symbol stream for one block: [('dc'|'ac', symbol, size, bits)]
         — shared between the counting pass (optimize_huffman) and the
-        emit pass so both see the identical stream."""
+        emit pass so both see the identical stream. ``blk`` is a plain
+        64-list in zigzag order."""
         syms = []
-        size, bits = _jpeg_category(int(blk[0]) - prev_dc)
+        size, bits = _jpeg_category(blk[0] - prev_dc)
         syms.append(("dc", size, size, bits))
         run = 0
         last_nz = 0
@@ -1362,7 +1380,7 @@ def jpeg_encode_gray(
                 last_nz = k
                 break
         for k in range(1, last_nz + 1):
-            v = int(blk[k])
+            v = blk[k]
             if v == 0:
                 run += 1
                 continue
@@ -1376,14 +1394,14 @@ def jpeg_encode_gray(
             run = 0
         if last_nz < 63:
             syms.append(("ac", 0x00, 0, 0))  # EOB
-        return int(blk[0]), syms
+        return blk[0], syms
 
     if optimize_huffman:
         # pass 1 (Annex K.2): per-image symbol frequencies -> spec tables
         fdc = [0] * 257
         fac = [0] * 257
         prev_dc = 0
-        for i, blk in enumerate(zz):
+        for i, blk in enumerate(zz_list):
             if restart_interval and i and i % restart_interval == 0:
                 prev_dc = 0
             prev_dc, syms = block_symbols(blk, prev_dc)
@@ -1415,26 +1433,49 @@ def jpeg_encode_gray(
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
 
-    bw = _JpegBitWriter()
+    # emit pass: local-accumulator bit pack per entropy segment, whole-
+    # byte chunk flushes, then T.81 stuffing in ONE bytes-level replace —
+    # stuffing inserts 0x00 after every 0xFF data byte and never creates
+    # new 0xFF bytes, and restart markers are appended OUTSIDE the
+    # replaced segments, so the byte stream is identical to the
+    # per-symbol _JpegBitWriter path (incl. a stuffed 0xFF pad byte)
+    acc = 0
+    n = 0
+    raw = bytearray()
     prev_dc = 0
-    for i, blk in enumerate(zz):
+    for i, blk in enumerate(zz_list):
         if restart_interval and i and i % restart_interval == 0:
-            bw.flush()
-            out += bw.out
-            bw = _JpegBitWriter()
+            if n:  # 1-bit padding per spec
+                pad = 8 - n
+                raw.append((acc << pad) | ((1 << pad) - 1))
+            out += bytes(raw).replace(b"\xff", b"\xff\x00")
+            raw = bytearray()
+            acc = 0
+            n = 0
             out += bytes([0xFF, 0xD0 + ((i // restart_interval - 1) % 8)])
             prev_dc = 0
         prev_dc, syms = block_symbols(blk, prev_dc)
         for tbl, sym, size, bits in syms:
             ln, code = (dc_codes if tbl == "dc" else ac_codes)[sym]
             if size:
-                # one fused write: code bits then appended bits (same
-                # MSB-first stream, half the writer calls)
-                bw.write((code << size) | (bits & ((1 << size) - 1)), ln + size)
+                # one fused pack: code bits then appended bits (same
+                # MSB-first stream)
+                acc = (acc << (ln + size)) | (
+                    (code << size) | (bits & ((1 << size) - 1))
+                )
+                n += ln + size
             else:
-                bw.write(code, ln)
-    bw.flush()
-    out += bw.out
+                acc = (acc << ln) | code
+                n += ln
+            if n >= 8:
+                nb = n >> 3
+                n -= nb << 3
+                raw += (acc >> n).to_bytes(nb, "big")
+                acc &= (1 << n) - 1
+    if n:  # 1-bit padding per spec
+        pad = 8 - n
+        raw.append((acc << pad) | ((1 << pad) - 1))
+    out += bytes(raw).replace(b"\xff", b"\xff\x00")
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -1517,7 +1558,18 @@ class _JpegBitReader:
         raise ValueError("expected restart marker")
 
 
+_JPEG_DECODER_CACHE: dict = {}
+
+
 def _jpeg_huff_decoder(bits, vals):
+    # Memoized per (BITS, HUFFVAL): the standard-table decode paths
+    # rebuild an identical LUT for every asset in a task; the returned
+    # closure is stateless across readers. Bounded like the encode-side
+    # code cache (per-image optimal tables from the lossless frames).
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_DECODER_CACHE.get(key)
+    if hit is not None:
+        return hit
     # per-length (mincode, maxcode, value row) arrays — the T.81 F.2.2.3
     # DECODE procedure's comparison walk, one tuple compare per bit
     # instead of a dict probe — plus a first-level LUT: any code of
@@ -1565,7 +1617,216 @@ def _jpeg_huff_decoder(bits, vals):
                 return rows[ln][code - mincode[ln]]
         raise ValueError("invalid JPEG Huffman code")
 
+    decode.tables = (lut, mincode, maxcode, rows)
+    if len(_JPEG_DECODER_CACHE) >= 512:
+        _JPEG_DECODER_CACHE.clear()
+    _JPEG_DECODER_CACHE[key] = decode
     return decode
+
+
+def _jpeg_diff_run(r: _JpegBitReader, dec, cnt: int) -> list:
+    """Decode ``cnt`` DC-class difference values (Huffman category +
+    appended bits, T.81 F.12 extend, with the SSSS-16 no-extra-bits and
+    SSSS-0 cases) in one call — the decode()/bits()/_jpeg_extend bodies
+    inlined over local reader state (the lossless/hierarchical scans'
+    hottest loop). Fill, stuffing, truncation and marker errors fire at
+    exactly the same consumption points as the per-call path."""
+    d = r.d
+    nd = len(d)
+    pos = r.pos
+    acc = r.acc
+    nb = r.n
+    lut, mincode, maxcode, rows = dec.tables
+    out: list = []
+    append = out.append
+    for _ in range(cnt):
+        # non-raising peek fill (peek8 semantics: stop at end / marker)
+        while nb < 8:
+            if pos >= nd:
+                break
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < nd and d[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    break
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nb += 8
+        t = -1
+        if nb >= 8:
+            e = lut[(acc >> (nb - 8)) & 0xFF]
+            if e:
+                nb -= e >> 8
+                acc &= (1 << nb) - 1
+                t = e & 0xFF
+        if t < 0:
+            code = 0
+            for ln in range(1, 17):
+                if nb == 0:  # raising fill (bit() semantics)
+                    if pos >= nd:
+                        raise ValueError("JPEG entropy data truncated")
+                    b = d[pos]
+                    if b == 0xFF:
+                        if pos + 1 < nd and d[pos + 1] == 0x00:
+                            pos += 2
+                        else:
+                            raise ValueError("marker inside entropy segment")
+                    else:
+                        pos += 1
+                    acc = (acc << 8) | b
+                    nb += 8
+                nb -= 1
+                code = (code << 1) | ((acc >> nb) & 1)
+                if code <= maxcode[ln]:
+                    t = rows[ln][code - mincode[ln]]
+                    break
+            else:
+                raise ValueError("invalid JPEG Huffman code")
+            acc &= (1 << nb) - 1
+        if t == 16:
+            append(32768)
+            continue
+        if t == 0:
+            append(0)
+            continue
+        while nb < t:  # raising fill (bits() semantics)
+            if pos >= nd:
+                raise ValueError("JPEG entropy data truncated")
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < nd and d[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    raise ValueError("marker inside entropy segment")
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nb += 8
+        nb -= t
+        v = (acc >> nb) & ((1 << t) - 1)
+        acc &= (1 << nb) - 1
+        append(v if v >= (1 << (t - 1)) else v - (1 << t) + 1)
+    r.pos = pos
+    r.acc = acc
+    r.n = nb
+    return out
+
+
+def _jpeg_decode_block_huff(r: _JpegBitReader, dc, ac, prev: int):
+    """Decode one baseline data unit (DC category + extend, then the
+    F.2.2.2 AC run/size loop with EOB/ZRL) fused over local reader
+    state — the per-symbol decode()/bits()/_jpeg_extend call chain was
+    the sequential decoder's hottest path. Returns (zigzag-order block
+    as a 64-list, new DC predictor). Fill/stuffing/truncation/marker
+    errors fire at the same consumption points as the per-call path."""
+    d = r.d
+    nd = len(d)
+    pos = r.pos
+    acc = r.acc
+    nb = r.n
+    blk = [0] * 64
+    k = 0  # slot 0 = DC; AC loop starts at 1
+    dc_tables = dc.tables
+    ac_tables = ac.tables
+    lut, mincode, maxcode, rows = dc_tables
+    while True:
+        # --- one Huffman symbol (decode() semantics) ---
+        while nb < 8:  # non-raising peek fill
+            if pos >= nd:
+                break
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < nd and d[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    break
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nb += 8
+        sym = -1
+        if nb >= 8:
+            e = lut[(acc >> (nb - 8)) & 0xFF]
+            if e:
+                nb -= e >> 8
+                acc &= (1 << nb) - 1
+                sym = e & 0xFF
+        if sym < 0:
+            code = 0
+            for ln in range(1, 17):
+                if nb == 0:  # raising fill (bit() semantics)
+                    if pos >= nd:
+                        raise ValueError("JPEG entropy data truncated")
+                    b = d[pos]
+                    if b == 0xFF:
+                        if pos + 1 < nd and d[pos + 1] == 0x00:
+                            pos += 2
+                        else:
+                            raise ValueError("marker inside entropy segment")
+                    else:
+                        pos += 1
+                    acc = (acc << 8) | b
+                    nb += 8
+                nb -= 1
+                code = (code << 1) | ((acc >> nb) & 1)
+                if code <= maxcode[ln]:
+                    sym = rows[ln][code - mincode[ln]]
+                    break
+            else:
+                raise ValueError("invalid JPEG Huffman code")
+            acc &= (1 << nb) - 1
+        # --- symbol dispatch ---
+        if k == 0:
+            size = sym
+        else:
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                if k < 64:
+                    lut, mincode, maxcode, rows = ac_tables
+                    continue
+                break
+            k += sym >> 4
+            size = sym & 0xF
+            if k > 63:
+                raise ValueError("AC run past end of block")
+        # --- appended bits (bits() semantics) + F.12 extend ---
+        while nb < size:
+            if pos >= nd:
+                raise ValueError("JPEG entropy data truncated")
+            b = d[pos]
+            if b == 0xFF:
+                if pos + 1 < nd and d[pos + 1] == 0x00:
+                    pos += 2
+                else:
+                    raise ValueError("marker inside entropy segment")
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            nb += 8
+        if size:
+            nb -= size
+            v = (acc >> nb) & ((1 << size) - 1)
+            acc &= (1 << nb) - 1
+            ext = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+        else:
+            ext = 0
+        if k == 0:
+            prev += ext
+            blk[0] = prev
+        else:
+            blk[k] = ext
+        k += 1
+        if k >= 64:
+            break
+        lut, mincode, maxcode, rows = ac_tables
+    r.pos = pos
+    r.acc = acc
+    r.n = nb
+    return blk, prev
 
 
 def _jpeg_extend(bits: int, size: int) -> int:
@@ -1701,23 +1962,43 @@ def _jpeg_code_diff_stream(flat):
     freq[256] = 1
     bits_spec, huffval = _jpeg_optimal_table(freq)
     codes = _jpeg_canonical_codes(bits_spec, huffval)
-    wtr = _JpegBitWriter()
-    write = wtr.write
-    for d, size in zip(a.tolist(), cat.tolist()):
-        if size == 16:  # SSSS 16: no appended bits (diff 32768 mod 2^16)
-            ln, code = codes[16]
-            write(code, ln)
-            continue
-        ln, code = codes[size]
-        if size:
-            # one fused write per symbol: code bits then the appended
-            # bits (d if positive, one's-complement form if negative)
-            extra = d if d > 0 else d + (1 << size) - 1
-            write((code << size) | (extra & ((1 << size) - 1)), ln + size)
-        else:
-            write(code, ln)
-    wtr.flush()
-    return bits_spec, huffval, bytes(wtr.out)
+    # vectorized symbol prep: per difference the stream is the category's
+    # Huffman code followed by `size` appended bits (the value if
+    # positive, its one's-complement form if negative) — except SSSS 16,
+    # which carries no appended bits. Fold each symbol into ONE
+    # (value, width) pair via 17-entry LUTs indexed by category.
+    code_lut = np.zeros(17, dtype=np.int64)
+    len_lut = np.zeros(17, dtype=np.int64)
+    for sym, (ln, code) in codes.items():
+        code_lut[sym] = code
+        len_lut[sym] = ln
+    size = np.where(cat == 16, 0, cat)  # SSSS 16: no appended bits
+    extra = np.where(a > 0, a, a + (np.int64(1) << size) - 1) & (
+        (np.int64(1) << size) - 1
+    )
+    vals = (code_lut[cat] << size) | extra
+    lens = len_lut[cat] + size
+    # pack with a local accumulator, flushing whole-byte chunks, then
+    # apply T.81 byte stuffing in ONE pass: stuffing inserts 0x00 after
+    # every 0xFF *data* byte and never creates new 0xFF bytes, and this
+    # stream contains no markers, so bytes-level replace IS the
+    # _JpegBitWriter behavior (byte-identical, incl. a stuffed 0xFF pad
+    # byte)
+    acc = 0
+    n = 0
+    raw = bytearray()
+    for v, l in zip(vals.tolist(), lens.tolist()):
+        acc = (acc << l) | v
+        n += l
+        if n >= 8:
+            nb = n >> 3
+            n -= nb << 3
+            raw += (acc >> n).to_bytes(nb, "big")
+            acc &= (1 << n) - 1
+    if n:  # 1-bit padding per spec
+        pad = 8 - n
+        raw.append((acc << pad) | ((1 << pad) - 1))
+    return bits_spec, huffval, bytes(raw).replace(b"\xff", b"\xff\x00")
 
 
 def _jpeg_decode_lossless(data: bytes):
@@ -1804,23 +2085,21 @@ def _jpeg_decode_lossless(data: bytes):
         raise ValueError("no lossless scan found")
     default = 1 << (8 - pt - 1)
     r = _JpegBitReader(data, pos)
-    # causal prediction carries a loop dependency, so the walk stays
-    # scalar — but over plain Python row lists: per-sample numpy scalar
-    # indexing (px[y, x] reads/writes) was a measured hot spot
-    bits_ = r.bits
+    # entropy decode of the whole sample stream in one fused call (same
+    # symbol order/consumption points), then the causal prediction walk —
+    # which carries a loop dependency, so it stays scalar, over plain
+    # Python row lists: per-sample numpy scalar indexing (px[y, x]
+    # reads/writes) was a measured hot spot
+    diffs = _jpeg_diff_run(r, dec, h * w)
     rows_px: list = []
     prev_row: list = []
+    di = 0
     for y in range(h):
         cur: list = []
         append = cur.append
         for x in range(w):
-            t = dec(r)
-            if t == 16:
-                diff = 32768
-            elif t == 0:
-                diff = 0
-            else:
-                diff = _jpeg_extend(bits_(t), t)
+            diff = diffs[di]
+            di += 1
             if y == 0 and x == 0:
                 pred = default
             elif y == 0:
@@ -2095,24 +2374,9 @@ def jpeg_decode(data: bytes):
             def decode_block(ci):
                 dc = dc_dec[sel[comps[ci][0]][0]]
                 ac = ac_dec[sel[comps[ci][0]][1]]
-                blk = np.zeros(64, dtype=np.int64)
-                size = dc(r)
-                prev_dc[ci] += _jpeg_extend(r.bits(size), size)
-                blk[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = ac(r)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    blk[k] = _jpeg_extend(r.bits(size), size)
-                    k += 1
+                blk, prev_dc[ci] = _jpeg_decode_block_huff(
+                    r, dc, ac, prev_dc[ci]
+                )
                 return blk
 
         for midx in range(n_mcus):
@@ -5336,20 +5600,11 @@ def _jpeg_decode_hierarchical(data: bytes):
                 raise ValueError(f"scan references undefined DC table {td}")
             dec = dc_dec[td]
             r = _JpegBitReader(data, seg_end)
-            # decode the diff stream into a flat list (same symbol
-            # order), then one vectorized modular add — per-sample
-            # numpy scalar indexing was a measured hot spot
-            bits_ = r.bits
-            diffs = []
-            append = diffs.append
-            for _ in range(full_h * full_w):
-                t = dec(r)
-                if t == 16:
-                    append(32768)
-                elif t == 0:
-                    append(0)
-                else:
-                    append(_jpeg_extend(bits_(t), t))
+            # fused entropy decode of the whole diff stream (same symbol
+            # order/consumption points), then one vectorized modular
+            # add — per-sample numpy scalar indexing was a measured hot
+            # spot
+            diffs = _jpeg_diff_run(r, dec, full_h * full_w)
             out = (
                 ref.astype(np.int64)
                 + np.array(diffs, dtype=np.int64).reshape(full_h, full_w)
