@@ -658,13 +658,23 @@ def kmv_a_not_b(
         .filter(F.col("_rb") <= k)
         .drop("_rb")
     )
-    w_set = Window.partitionBy("_s").orderBy("_h")
+    # k-th smallest survivor per set as ONE bounded aggregation: the
+    # bucket-cap window above leaves ≤ buckets·k survivors per set, so a
+    # per-set sorted array is memory-bounded by construction — same
+    # value as the former rank-window + rn==k filter (k-th smallest per
+    # set, 2^56 when a set has fewer than k survivors, min across sets),
+    # one exchange and no full per-set sort stage (guide §2.4)
     theta = (
-        surv.withColumn("_rn", F.row_number().over(w_set))
-        .filter(F.col("_rn") == k)
-        .agg(
-            F.coalesce(F.min("_h"), F.lit(_KMV_SPACE)).cast("bigint").alias("_theta")
+        surv.groupBy("_s")
+        .agg(F.sort_array(F.collect_list("_h")).alias("_hs"))
+        .select(
+            F.when(
+                F.size("_hs") >= k, F.element_at("_hs", F.lit(k))
+            )
+            .otherwise(F.lit(_KMV_SPACE))
+            .alias("_th_s")
         )
+        .agg(F.min("_th_s").cast("bigint").alias("_theta"))
     )
     # set-name pair (two labelled sets — the kmv_overlap contract); a
     # 1-row aggregate like theta, broadcast not collected. The set count
