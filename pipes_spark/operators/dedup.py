@@ -54,6 +54,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _band_hash_array(num_hashes: int, bands: int) -> F.Column:
+    """``array(xxhash64(0, _m0.._m{r-1}), ...)`` — the per-band key array —
+    built as ONE SQL string. Identical expression tree to the per-Column
+    form (same INT literal seed, same column order), but one py4j round
+    trip instead of ~10 per band: the 16-band list cost a measured 0.23 s
+    of driver chatter per query CONSTRUCTION (the CLAUDE.md
+    wide-but-literal F.expr pattern)."""
+    r = num_hashes // bands
+    return F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64(0, " + ", ".join(f"_m{b * r + i}" for i in range(r)) + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -200,13 +218,8 @@ def minhash_lsh_pairs_delta(
     canonicalized ``(least, greatest)`` and verified with the
     signature-estimated Jaccard at ``threshold``.
     """
-    r = num_hashes // bands
-    band_exprs = [
-        F.xxhash64(F.lit(0), *[F.col(f"_m{b * r + i}") for i in range(r)])
-        for b in range(bands)
-    ]
     banded = sigs_all.select(
-        id_col, F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
+        id_col, F.posexplode(_band_hash_array(num_hashes, bands)).alias("band", "band_hash")
     )
     bucket_sizes = banded.groupBy("band", "band_hash").count()
     small = banded.join(
@@ -246,7 +259,6 @@ def _lsh_candidate_pairs(
     artifact — see ``warehouse.minhash_signature_table``); when absent the
     signatures are computed here and cached for the query's lifetime.
     """
-    r = num_hashes // bands
     if sigs is None:
         # Persist the signature table: it is the expensive map-side pass
         # (one string hash per shingle) and every downstream branch needs
@@ -259,12 +271,8 @@ def _lsh_candidate_pairs(
     # do NOT travel through the explode or the self-join shuffle. Band keys
     # hash the r wide columns of each band directly (flat codegen, no
     # array construction or element_at).
-    band_exprs = [
-        F.xxhash64(F.lit(0), *[F.col(f"_m{b * r + i}") for i in range(r)])
-        for b in range(bands)
-    ]
     banded = sigs.select(
-        id_col, F.posexplode(F.array(*band_exprs)).alias("band", "band_hash")
+        id_col, F.posexplode(_band_hash_array(num_hashes, bands)).alias("band", "band_hash")
     )
     # drop degenerate buckets before the self-join
     bucket_sizes = banded.groupBy("band", "band_hash").count()

@@ -20,13 +20,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ensure_min_partitions(df: DataFrame, n: Optional[int] = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame, n: Optional[int] = None, rows: Optional[int] = None
+) -> DataFrame:
     """Round-robin repartition to at least ``n`` (default: cluster default
-    parallelism) partitions — only if the current plan has fewer."""
+    parallelism) partitions — only if the current plan has fewer.
+
+    ``rows`` (driver-side parquet-footer count, no Spark job) sizes the
+    target from data volume instead of the core count — for LIGHT
+    Arrow-batched stages (routing-key UDFs) whose per-task Python-worker
+    hop dominates sub-``rows_per_task`` tasks (guide §2.2: fewer, larger
+    partitions; same measured 320-row knee as
+    :func:`presorted_min_partitions`). CPU-heavy kernels (minhash over
+    documents, codecs) should keep the cores-covering default. At real
+    scale either form is a no-op: the scan already has more partitions
+    than the cap."""
+    import math
+    import os
+
     spark = df.sparkSession
-    target = n or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    if n is None:
+        cores = spark.sparkContext.defaultParallelism
+        if rows is not None:
+            rpt = int(os.environ.get("PIPES_SPARK_ROWS_PER_TASK", "320"))
+            n = min(cores, max(1, math.ceil(rows / rpt)))
+        else:
+            n = cores
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
     return df
 
 

@@ -88,6 +88,53 @@ def _probe_dim(df: DataFrame, vec_col: str) -> Optional[int]:
     return len(row[0]) if row else None
 
 
+def xxhash64_long(values, seed: int = 42):
+    """Spark-identical ``xxhash64`` of LongType values, vectorized in numpy:
+    XXH64 (public spec) of the long's 8 little-endian bytes with Spark's
+    fixed seed 42. Bit-equality with the JVM implementation is pinned by
+    pytest — this is what lets a driver-side pyarrow read reproduce the
+    hash-ordered codebook sample without a Spark job (guide §1.2 step 1:
+    the collect job per query construction was the measured cost)."""
+    import numpy as np
+
+    P1 = np.uint64(0x9E3779B185EBCA87)
+    P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    P3 = np.uint64(0x165667B19E3779F9)
+    P4 = np.uint64(0x85EBCA77C2B2AE63)
+    P5 = np.uint64(0x27D4EB2F165667C5)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    v = np.asarray(values, dtype="int64").view("uint64")
+    h = np.uint64((seed + int(P5) + 8) & 0xFFFFFFFFFFFFFFFF)
+    k1 = rotl(v * P2, 31) * P1
+    acc = np.full(v.shape, h, dtype="uint64")
+    acc ^= k1
+    acc = rotl(acc, 27) * P1 + P4
+    acc ^= acc >> np.uint64(33)
+    acc *= P2
+    acc ^= acc >> np.uint64(29)
+    acc *= P3
+    acc ^= acc >> np.uint64(32)
+    return acc.view("int64")
+
+
+def _query_arrays(query_rows, dtype="float64"):
+    """Normalize a ``query_rows`` argument — ``(ids, vectors)`` array-likes,
+    the driver-side equivalent of ``queries.select(id, vec).collect()``
+    (typically a pyarrow read of the same parquet the DataFrame wraps) —
+    to ``(int64 ids, 2-D float matrix)``."""
+    import numpy as np
+
+    ids, X = query_rows
+    ids = np.asarray(ids, dtype="int64")
+    X = np.asarray(X, dtype=dtype)
+    if X.ndim != 2:
+        X = np.vstack([np.asarray(r, dtype=dtype) for r in X])
+    return ids, X
+
+
 def _cast_double(col) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: x.cast("double"))
@@ -101,6 +148,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: Optional[int] = None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -113,7 +161,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qvec")
     ).withColumn("_qn", l2_norm("_qvec", dim))
-    c = ensure_min_partitions(corpus).select(
+    c = ensure_min_partitions(corpus, rows=n_rows).select(
         F.col(id_col).alias("neighbor_id"), _cast_double(vec_col).alias("_cvec")
     ).withColumn("_cn", l2_norm("_cvec", dim))
     scored = (
@@ -165,8 +213,17 @@ def lsh_cosine_topk(
     dim: Optional[int] = None,
     seed: int = 42,
     multiprobe: int = 0,
+    query_rows=None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH + exact rerank.
+
+    ``query_rows`` — optional ``(ids, vectors)`` of the query set already
+    on the driver (e.g. a pyarrow read of the query parquet): the query
+    buckets are then computed in numpy with exactly the routing UDF's
+    body (identical bucket ids, pytest-pinned) and the probe rows join as
+    a literal broadcast — the query-side Python-worker stage, its
+    repartition, and its side of the bucket-join shuffle all disappear.
 
     ``num_tables`` independent hash tables of ``num_planes`` sign bits each:
     a candidate is any corpus vector sharing a bucket with the query in ≥1
@@ -210,27 +267,54 @@ def lsh_cosine_topk(
         ids = (signs.reshape(len(X), t, p) * weights).sum(axis=2)  # (n, tables)
         return pd.Series(list(ids.astype("int64")))
 
-    def with_buckets(df, idc, id_alias):
+    def with_buckets(df, idc, id_alias, rows=None):
         # ids + routing keys ONLY: the vectors do not ride through the
-        # ×num_tables explode or the bucket-join shuffle
-        return ensure_min_partitions(df).select(
+        # ×num_tables explode or the bucket-join shuffle. The routing UDF
+        # is light (one matmul per batch), so the partition target sizes
+        # from data volume when known (guide §2.2)
+        return ensure_min_partitions(df, rows=rows).select(
             F.col(idc).alias(id_alias),
             F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
         )
 
-    c = with_buckets(corpus, id_col, "neighbor_id")
-    q = with_buckets(queries, id_col, query_id_col)
-    if multiprobe:
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.expr(f"bucket ^ {1 << b}")
-                for b in range(min(multiprobe, num_planes))
-            ],
+    c = with_buckets(corpus, id_col, "neighbor_id", rows=n_rows)
+    if query_rows is not None:
+        # query buckets driver-side: the exact numpy body of _buckets over
+        # the same float64 inputs → identical bucket ids; probe rows
+        # (incl. multiprobe single-bit flips) become a literal broadcast
+        import numpy as np
+
+        q_ids, Xq = _query_arrays(query_rows)
+        M = np.array(P, dtype="float64")
+        t, p, d = M.shape
+        signs = (Xq @ M.reshape(t * p, d).T) >= 0.0
+        weights = 1 << np.arange(p, dtype="int64")
+        ids_tab = (signs.reshape(len(Xq), t, p) * weights).sum(axis=2)
+        probe_rows = []
+        for qid, row in zip(q_ids, ids_tab):
+            for table, bucket in enumerate(row):
+                probe_rows.append((int(qid), table, int(bucket)))
+                for b in range(min(multiprobe, num_planes)):
+                    probe_rows.append((int(qid), table, int(bucket) ^ (1 << b)))
+        spark = corpus.sparkSession
+        q = F.broadcast(
+            spark.createDataFrame(
+                probe_rows, f"{query_id_col} long, table int, bucket long"
+            )
         )
-        q = q.select(
-            query_id_col, "table", F.explode(flips).alias("bucket")
-        )
+    else:
+        q = with_buckets(queries, id_col, query_id_col)
+        if multiprobe:
+            flips = F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(f"bucket ^ {1 << b}")
+                    for b in range(min(multiprobe, num_planes))
+                ],
+            )
+            q = q.select(
+                query_id_col, "table", F.explode(flips).alias("bucket")
+            )
     cand = (
         c.join(q, ["table", "bucket"])
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -344,6 +428,7 @@ def fit_ivf_centroids(
     method: str = "kmeans",
     train_cap: int = 100_000,
     iters: int = 10,
+    corpus_rows=None,
 ):
     """Unit-norm IVF codebook as a numpy ``(num_centroids, dim)`` array.
 
@@ -355,17 +440,30 @@ def fit_ivf_centroids(
     of per-iteration cluster jobs. ``method="sample"`` takes the first
     ``num_centroids`` hash-ordered vectors as centroids (zero training).
     Either way training is an ingest-time cost — ``warehouse.
-    ivf_index_tables`` persists the result so queries never refit."""
+    ivf_index_tables`` persists the result so queries never refit.
+
+    ``corpus_rows`` — optional ``(ids, vectors)`` array-likes holding the
+    corpus (or any training superset) already on the driver, e.g. a
+    pyarrow read of the corpus parquet: the hash-ordered sample is then
+    computed in numpy with the Spark-identical :func:`xxhash64_long`
+    (bit-identical centroids, pinned by pytest) and the fit costs ZERO
+    Spark jobs. The TakeOrdered collect stays the contract when the
+    corpus lives only in the cluster."""
     import numpy as np
 
     cap = num_centroids if method == "sample" else train_cap
-    rows = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + seed))
-        .limit(cap)
-        .collect()
-    )
-    X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
+    if corpus_rows is not None:
+        ids, Xa = _query_arrays(corpus_rows)
+        order = np.argsort(xxhash64_long(ids + np.int64(seed)), kind="stable")[:cap]
+        X = Xa[order]
+    else:
+        rows = (
+            corpus.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col) + seed))
+            .limit(cap)
+            .collect()
+        )
+        X = np.vstack([np.asarray(r[1], dtype="float64") for r in rows])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     # a sample smaller than the requested codebook: every vector is its own
     # centroid (the Lloyd loop below indexes C[j] for j < num_centroids)
@@ -418,10 +516,19 @@ def ivf_cosine_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    codebook_rows=None,
+    query_rows=None,
 ) -> DataFrame:
     """IVF top-k against a PERSISTED index (``warehouse.ivf_index_tables``):
     ``codebook`` is the trained ``(list_id, centroid)`` table, ``corpus`` the
     ``(id, vec, list_id)`` copy stored PARTITIONED BY list_id.
+
+    ``codebook_rows`` (centroid matrix ordered by list_id — e.g.
+    ``warehouse.ivf_codebook_arrays``, a driver-side pyarrow read of the
+    KB-scale codebook table) and ``query_rows`` (``(ids, vectors)``, e.g.
+    a pyarrow read of the query parquet) replace the two construct-time
+    collect jobs with driver-side reads of the same persisted inputs —
+    the probe math is unchanged and the result identical (pytest-pinned).
 
     The probed list ids are computed driver-side from the (small, by the
     same contract as the exact path's broadcast) query set and applied as a
@@ -434,13 +541,20 @@ def ivf_cosine_topk_indexed(
     reranks inside, identical to ``ivf_cosine_topk``."""
     import numpy as np
 
-    cb_rows = codebook.orderBy("list_id").collect()
-    C = np.vstack([np.asarray(r["centroid"], dtype="float64") for r in cb_rows])
+    if codebook_rows is not None:
+        C = np.asarray(codebook_rows, dtype="float64")
+    else:
+        cb_rows = codebook.orderBy("list_id").collect()
+        C = np.vstack([np.asarray(r["centroid"], dtype="float64") for r in cb_rows])
     dim = C.shape[1]
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = [r[0] for r in q_rows]
-    X = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    if query_rows is not None:
+        q_ids_arr, X = _query_arrays(query_rows)
+        q_ids = [int(i) for i in q_ids_arr]
+    else:
+        q_rows = queries.select(id_col, vec_col).collect()
+        q_ids = [r[0] for r in q_rows]
+        X = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     order = np.argsort(-(Xn @ C.T), axis=1)[:, :n_probe]
 
@@ -492,11 +606,21 @@ def ivf_cosine_topk(
     seed: int = 42,
     centroids: str = "sample",
     dim: Optional[int] = None,
+    corpus_rows=None,
+    query_rows=None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization: corpus
     vectors are assigned to their nearest centroid's inverted list; each
     query probes only the ``n_probe`` nearest lists and reranks exactly
     (JVM-side unrolled cosine) within them.
+
+    ``corpus_rows`` — optional driver-side ``(ids, vectors)`` for the
+    codebook sample (see :func:`fit_ivf_centroids`): construction then
+    fires no Spark job. ``query_rows`` — the query set's ``(ids,
+    vectors)`` on the driver: probe lists are then computed in numpy
+    (bit-identical to the routing UDF) and join as a literal broadcast,
+    removing the query-side Python stage.
 
     ``centroids="sample"`` uses a deterministic pseudo-random corpus sample
     (hash-ordered ids) as the codebook — zero training cost;
@@ -510,7 +634,10 @@ def ivf_cosine_topk(
     import numpy as np  # noqa: F401 — used by fit_ivf_centroids callers
 
     dim = dim or _probe_dim(corpus, vec_col)
-    C = fit_ivf_centroids(corpus, num_centroids, seed, id_col, vec_col, method=centroids)
+    C = fit_ivf_centroids(
+        corpus, num_centroids, seed, id_col, vec_col, method=centroids,
+        corpus_rows=corpus_rows,
+    )
     C_list = [list(map(float, row)) for row in C]
 
     def _nearest_udf(n_out: int):
@@ -524,16 +651,38 @@ def ivf_cosine_topk(
             return pd.Series(list(order))
         return nearest
 
-    c = ensure_min_partitions(corpus).select(
+    c = ensure_min_partitions(corpus, rows=n_rows).select(
         F.col(id_col).alias("neighbor_id"),
         _cast_double(vec_col).alias("_cvec"),
         F.element_at(_nearest_udf(1)(F.col(vec_col)), 1).alias("list_id"),
     ).withColumn("_cn", l2_norm("_cvec", dim))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        _cast_double(vec_col).alias("_qvec"),
-        F.explode(_nearest_udf(n_probe)(F.col(vec_col))).alias("list_id"),
-    ).withColumn("_qn", l2_norm("_qvec", dim))
+    if corpus_rows is not None and query_rows is not None:
+        # probe lists computed driver-side with exactly _nearest_udf's
+        # numpy body (same float64 matmul/argsort → identical lists,
+        # pytest-pinned): the query-side Python-worker stage and its
+        # 20-row repartition disappear; the probe pairs ride a literal
+        # broadcast DF, the ivf_cosine_topk_indexed shape (guide §2.4)
+        import numpy as np
+
+        q_ids, Xq = _query_arrays(query_rows)
+        M = np.array(C_list, dtype="float64")
+        Xn = Xq / np.maximum(np.linalg.norm(Xq, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Xn @ M.T), axis=1)[:, :n_probe].astype("int32")
+        probes = [
+            (int(qid), int(l)) for qid, row in zip(q_ids, order) for l in row
+        ]
+        spark = corpus.sparkSession
+        probes_df = spark.createDataFrame(probes, f"{query_id_col} long, list_id int")
+        qv = queries.select(
+            F.col(id_col).alias(query_id_col), _cast_double(vec_col).alias("_qvec")
+        ).withColumn("_qn", l2_norm("_qvec", dim))
+        q = F.broadcast(probes_df.join(qv, query_id_col))
+    else:
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            _cast_double(vec_col).alias("_qvec"),
+            F.explode(_nearest_udf(n_probe)(F.col(vec_col))).alias("list_id"),
+        ).withColumn("_qn", l2_norm("_qvec", dim))
     scored = (
         c.join(q, "list_id")
         .filter(F.col(query_id_col) != F.col("neighbor_id"))
@@ -680,8 +829,16 @@ def quantized_cosine_topk(
     oversample: int = 4,
     quantized_corpus: Optional[DataFrame] = None,
     dim: Optional[int] = None,
+    query_rows=None,
+    n_rows: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k cosine: int8-quantized scan + exact rerank.
+
+    ``query_rows`` — optional ``(ids, FLOAT vectors)`` already on the
+    driver (e.g. a pyarrow read of the query parquet): the int8
+    quantization then runs in numpy with exactly :func:`quantize_int8`'s
+    arithmetic (same rint/clip, pinned by pytest) instead of collecting a
+    quantize job per construction.
 
     Stage 1 scans the QUANTIZED corpus (4× fewer bytes than float32; one
     int matmul per Arrow batch against the broadcast quantized query
@@ -707,16 +864,21 @@ def quantized_cosine_topk(
     dim = dim or _probe_dim(corpus, vec_col)
     kq = k * oversample
 
-    q_rows = quantize_int8(queries, id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
-    Q = np.vstack([np.asarray(r[1], dtype="int32") for r in q_rows])
+    if query_rows is not None:
+        q_ids, Xq = _query_arrays(query_rows)
+        scale = np.maximum(np.abs(Xq).max(axis=1, keepdims=True), 1e-30) / 127.0
+        Q = np.clip(np.rint(Xq / scale), -127, 127).astype("int32")
+    else:
+        q_rows = quantize_int8(queries, id_col, vec_col).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+        Q = np.vstack([np.asarray(r[1], dtype="int32") for r in q_rows])
     Qn = np.maximum(np.linalg.norm(Q.astype("float64"), axis=1), 1e-300)
     bc = spark.sparkContext.broadcast((q_ids, Q, Qn))
 
     qc = (
-        ensure_min_partitions(quantized_corpus)
+        ensure_min_partitions(quantized_corpus, rows=n_rows)
         if quantized_corpus is not None
-        else quantize_int8(ensure_min_partitions(corpus), id_col, vec_col)
+        else quantize_int8(ensure_min_partitions(corpus, rows=n_rows), id_col, vec_col)
     )
 
     def scan(batches):
@@ -1127,9 +1289,14 @@ def ivfpq_topk(
     oversample: int = 4,
     encoded_corpus: Optional[DataFrame] = None,
     dim: Optional[int] = None,
+    query_rows=None,
 ) -> DataFrame:
     """IVFPQ top-k: probe the ``n_probe`` nearest inverted lists per query,
     ADC-score ONLY those lists' m-byte codes, exact-rerank the survivors.
+
+    ``query_rows`` — optional ``(ids, vectors)`` already on the driver
+    (e.g. a pyarrow read of the query parquet): replaces the construct-time
+    query collect job; LUT/probe math unchanged.
 
     Per (query, probed list) the inner product decomposes as
     ``q·x̂ = q·c_list + Σ_j LUT_q[j][code_j]`` — the constant and the LUT
@@ -1151,9 +1318,12 @@ def ivfpq_topk(
     m, _, dsub = B.shape
     kq = k * oversample
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype="int64")
-    Q = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
+    if query_rows is not None:
+        q_ids, Q = _query_arrays(query_rows)
+    else:
+        q_rows = queries.select(id_col, vec_col).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype="int64")
+        Q = np.vstack([np.asarray(r[1], dtype="float64") for r in q_rows])
     Qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-300)
     Qu = Q / Qn[:, None]
     probed = np.argsort(-(Qu @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)

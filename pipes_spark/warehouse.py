@@ -43,6 +43,36 @@ def clear_stale_location(spark: SparkSession, name: str) -> None:
     shutil.rmtree(f"{wh}/{name.lower()}", ignore_errors=True)
 
 
+def _managed_table_files(spark: SparkSession, name: str) -> list:
+    """Parquet part files of a managed (non-partitioned) warehouse table —
+    for driver-side pyarrow reads of the KB-scale model/codebook tables
+    (same location rule ``clear_stale_location`` relies on: warehouse dir +
+    lowercased name)."""
+    from glob import glob
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return sorted(glob(f"{wh}/{name.lower()}/*.parquet"))
+
+
+def read_model_table(spark: SparkSession, name: str, columns=None):
+    """Driver-side pyarrow read of a small managed table (no Spark job).
+
+    The guide §1.2-step-1 fix for construct-time collect jobs: the
+    codebook/model tables are KBs, read once per query construction — a
+    pyarrow read of the same files returns the same rows without paying a
+    Spark job's scheduling latency. Every invocation still reads from
+    disk; nothing is memoized across runs."""
+    import pyarrow.parquet as pq
+
+    files = _managed_table_files(spark, name)
+    if not files:
+        raise FileNotFoundError(f"managed table {name} has no parquet files")
+    import pyarrow as pa
+
+    return pa.concat_tables(pq.read_table(f, columns=columns) for f in files)
+
+
 def bucketed_table(
     spark: SparkSession,
     sf_dir: str,
@@ -141,6 +171,20 @@ def ivf_index_tables(
     return spark.table(cb_name), spark.table(co_name)
 
 
+def ivf_codebook_arrays(
+    spark: SparkSession, sf_dir: str, num_centroids: int = 16
+):
+    """The persisted IVF codebook as a list-of-lists centroid matrix
+    ordered by list_id — a driver-side pyarrow read (KBs, no Spark job).
+    Callers must have ensured the index exists (``ivf_index_tables``)."""
+    tag = _tag(sf_dir)
+    t = read_model_table(spark, f"ivf_codebook_{tag}_{num_centroids}")
+    rows = sorted(
+        zip(t.column("list_id").to_pylist(), t.column("centroid").to_pylist())
+    )
+    return [c for _, c in rows]
+
+
 def ivfpq_index_tables(
     spark: SparkSession,
     sf_dir: str,
@@ -203,19 +247,28 @@ def load_ivfpq_model(
     num_codes: int = 64,
 ):
     """Rehydrate ``(centroids, books)`` numpy arrays from the persisted
-    model table (KBs — a driver-side read by design)."""
+    model table (KBs — a driver-side read by design; since round 11 a
+    pyarrow read of the table files, so rehydration fires no Spark job)."""
     import numpy as np
 
     tag = _tag(sf_dir)
-    mod = spark.table(f"ivfpq_model_{tag}_{num_lists}_{m}_{num_codes}").collect()
-    cent = sorted((r for r in mod if r["kind"] == "centroid"), key=lambda r: r["i"])
-    C = np.array([r["vec"] for r in cent])
-    books_rows = [r for r in mod if r["kind"] == "book"]
-    mm = max(r["i"] for r in books_rows) + 1
-    kk = max(r["c"] for r in books_rows) + 1
-    books = np.empty((mm, kk, len(books_rows[0]["vec"])))
+    t = read_model_table(spark, f"ivfpq_model_{tag}_{num_lists}_{m}_{num_codes}")
+    mod = list(
+        zip(
+            t.column("kind").to_pylist(),
+            t.column("i").to_pylist(),
+            t.column("c").to_pylist(),
+            t.column("vec").to_pylist(),
+        )
+    )
+    cent = sorted((r for r in mod if r[0] == "centroid"), key=lambda r: r[1])
+    C = np.array([r[3] for r in cent])
+    books_rows = [r for r in mod if r[0] == "book"]
+    mm = max(r[1] for r in books_rows) + 1
+    kk = max(r[2] for r in books_rows) + 1
+    books = np.empty((mm, kk, len(books_rows[0][3])))
     for r in books_rows:
-        books[r["i"], r["c"]] = r["vec"]
+        books[r[1], r[2]] = r[3]
     return C, books
 
 

@@ -136,3 +136,155 @@ def test_converted_codec_query_output_is_globally_sorted(spark, name):
     got = [tuple(r[k] for k in keys) for r in rows]
     assert got == sorted(got), f"{name}: output no longer globally sorted"
     assert len(set(got)) == len(got), f"{name}: sort keys not unique"
+
+
+# ---------------------------------------------------------------------------
+# optimization round 2: construct-time collect jobs replaced by driver-side
+# pyarrow reads of the SAME inputs — results must stay bit-identical
+# ---------------------------------------------------------------------------
+
+
+def _rows_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """The numpy XXH64-of-long must be bit-equal to Spark's xxhash64 —
+    this is what keeps the driver-side codebook sample identical to the
+    TakeOrdered collect it replaces."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.operators.similarity import xxhash64_long
+
+    vals = [0, 1, 2, 42, -1, -2, 123456789, -987654321, 2**62, -(2**62),
+            2**63 - 1, -(2**63), 7, 999999999999]
+    got = {int(v): int(h) for v, h in zip(vals, xxhash64_long(vals))}
+    exp = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_emb_rows_matches_spark_collect(spark, sf_dir):
+    from pipes_spark.catalog import _emb_rows, _t
+
+    ids, X = _emb_rows(sf_dir, lambda i: i < 20)
+    rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter("vec_id < 20")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    assert sorted(int(i) for i in ids) == sorted(r[0] for r in rows)
+    by_id = {r[0]: [float(x) for x in r[1]] for r in rows}
+    for i, vec in zip(ids, X):
+        assert [float(x) for x in vec] == by_id[int(i)]
+
+
+def test_ivf_topk_driver_sample_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _emb_rows, _t
+    from pipes_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    collected = ivf_cosine_topk(emb, q, k=5)
+    driver = ivf_cosine_topk(emb, q, k=5, corpus_rows=_emb_rows(sf_dir))
+    assert _rows_set(collected) == _rows_set(driver)
+
+
+def test_ivf_indexed_driver_rows_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _emb_rows, _t
+    from pipes_spark.operators.similarity import ivf_cosine_topk_indexed
+    from pipes_spark.warehouse import ivf_codebook_arrays, ivf_index_tables
+
+    codebook, corpus = ivf_index_tables(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    collected = ivf_cosine_topk_indexed(codebook, corpus, q, k=5)
+    driver = ivf_cosine_topk_indexed(
+        codebook,
+        corpus,
+        q,
+        k=5,
+        codebook_rows=ivf_codebook_arrays(spark, sf_dir),
+        query_rows=_emb_rows(sf_dir, lambda i: i < 20),
+    )
+    assert _rows_set(collected) == _rows_set(driver)
+
+
+def test_ivfpq_driver_query_rows_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _emb_rows, _t
+    from pipes_spark.operators.similarity import ivfpq_topk
+    from pipes_spark.warehouse import ivfpq_index_tables, load_ivfpq_model
+
+    _, codes = ivfpq_index_tables(spark, sf_dir)
+    C, books = load_ivfpq_model(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    kw = dict(k=5, n_probe=4, oversample=4, encoded_corpus=codes)
+    collected = ivfpq_topk(emb, q, C, books, **kw)
+    driver = ivfpq_topk(
+        emb, q, C, books, query_rows=_emb_rows(sf_dir, lambda i: i % 100 == 0), **kw
+    )
+    assert _rows_set(collected) == _rows_set(driver)
+
+
+def test_quantized_driver_query_rows_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _emb_rows, _t
+    from pipes_spark.operators.similarity import quantized_cosine_topk
+    from pipes_spark.warehouse import quantized_embeddings_table
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    qtab = quantized_embeddings_table(spark, sf_dir)
+    collected = quantized_cosine_topk(emb, q, k=5, quantized_corpus=qtab)
+    driver = quantized_cosine_topk(
+        emb, q, k=5, quantized_corpus=qtab,
+        query_rows=_emb_rows(sf_dir, lambda i: i < 20),
+    )
+    assert _rows_set(collected) == _rows_set(driver)
+
+
+def test_lsh_topk_driver_query_buckets_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _emb_rows, _t
+    from pipes_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    for mp in (0, 2):
+        collected = lsh_cosine_topk(emb, q, k=5, multiprobe=mp)
+        driver = lsh_cosine_topk(
+            emb, q, k=5, multiprobe=mp,
+            query_rows=_emb_rows(sf_dir, lambda i: i < 20),
+        )
+        assert _rows_set(collected) == _rows_set(driver), f"multiprobe={mp}"
+
+
+def test_ivf_topk_driver_query_probes_identical(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _emb_rows, _t
+    from pipes_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    collected = ivf_cosine_topk(emb, q, k=5)
+    ids, X = _emb_rows(sf_dir)
+    qm = ids < 20
+    driver = ivf_cosine_topk(
+        emb, q, k=5, corpus_rows=(ids, X), query_rows=(ids[qm], X[qm])
+    )
+    assert _rows_set(collected) == _rows_set(driver)
