@@ -120,6 +120,25 @@ def xxhash64_long(values, seed: int = 42):
     return acc.view("int64")
 
 
+def _round6_half_up(x: float) -> float:
+    """Spark's ``F.round(double, 6)`` reproduced exactly: Java rounds
+    ``BigDecimal.valueOf(x)`` (i.e. the shortest uniquely-identifying
+    decimal, which is what Python ``repr`` also emits) at scale 6
+    HALF_UP and converts back to double. Pinned bit-equal to the JVM by
+    pytest over the live cosine distribution."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not math.isfinite(x):
+        return x  # Spark's RoundBase passes NaN/Inf through unchanged
+    return float(Decimal(repr(x)).quantize(_SIX_DP, rounding=ROUND_HALF_UP))
+
+
+from decimal import Decimal as _Decimal  # noqa: E402
+
+_SIX_DP = _Decimal("0.000001")
+
+
 def _query_arrays(query_rows, dtype="float64"):
     """Normalize a ``query_rows`` argument — ``(ids, vectors)`` array-likes,
     the driver-side equivalent of ``queries.select(id, vec).collect()``
@@ -713,9 +732,21 @@ def cosine_neardup_pairs_tiled(
     pair (i ≤ j) becomes a cogroup key, every row is replicated to the
     block pairs its block participates in (shuffle volume n·√P for P
     blocks — the standard all-pairs replication bound), and one numpy
-    matmul per tile prunes candidates. Exact JVM-side verification then
-    decides membership, identical to ``cosine_neardup_pairs``.
-    """
+    matmul per tile prunes candidates.
+
+    The EXACT verification runs inside the tile on the surviving pairs
+    only (the tile already holds both vectors): a strict left-to-right
+    float64 fold — the identical operation sequence to the unrolled
+    JVM-side ``dot``/``l2_norm`` chain — and a ``Decimal`` HALF_UP
+    round-to-6 that reproduces Spark's ``F.round`` (Java
+    ``BigDecimal.valueOf``/``setScale``; ``repr`` and ``Double.toString``
+    both emit the value-identical shortest decimal). Output is therefore
+    bit-identical to ``cosine_neardup_pairs`` (pytest parity + the
+    DuckDB hash oracle pin it) while the plan drops the two corpus
+    re-attach joins and the dropDuplicates exchange the former JVM-side
+    verify needed (guide §2.4, §8: the payload is never moved twice —
+    each unordered pair is produced by exactly one tile, diagonal tiles
+    emit only ``id_a < id_b``)."""
     import math
 
     import numpy as np  # noqa: F401 — used inside the cogroup fn
@@ -733,7 +764,12 @@ def cosine_neardup_pairs_tiled(
         "_blk", F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).cast("int")
     )
     # row in block k serves as the LEFT side of pairs (k, j) for j >= k and
-    # as the RIGHT side of pairs (i, k) for i <= k; pairkey = i*n_blocks + j
+    # as the RIGHT side of pairs (i, k) for i <= k; pairkey = i*n_blocks + j.
+    # The right replica gets DISTINCT column names: a self-cogroup built
+    # from one lineage shares attribute ids across sides, and Spark's
+    # dedup leaves the Python-function argument list bound to the LEFT
+    # side's ids — column pruning (e.g. under count()) then legally strips
+    # the right child's data columns out from under the kernel
     left_rep = base.withColumn(
         "_pk",
         F.explode(
@@ -743,55 +779,76 @@ def cosine_neardup_pairs_tiled(
             )
         ),
     )
-    right_rep = base.withColumn(
-        "_pk",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_blk")),
-                lambda i: i * n_blocks + F.col("_blk"),
-            )
-        ),
+    right_rep = (
+        df.select(F.col(id_col).alias("_idr"), F.col(vec_col).alias("_vr"))
+        .withColumn("_blkr", F.pmod(F.xxhash64("_idr"), F.lit(n_blocks)).cast("int"))
+        .withColumn(
+            "_pkr",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_blkr")),
+                    lambda i: i * n_blocks + F.col("_blkr"),
+                )
+            ),
+        )
     )
 
     def tile(key, lpdf, rpdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
         if not len(lpdf) or not len(rpdf):
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return empty
         ida = lpdf["_id"].to_numpy(dtype="int64")
-        idb = rpdf["_id"].to_numpy(dtype="int64")
+        idb = rpdf["_idr"].to_numpy(dtype="int64")
         X = np.vstack(lpdf["_v"].to_numpy()).astype("float64")
-        Y = np.vstack(rpdf["_v"].to_numpy()).astype("float64")
+        Y = np.vstack(rpdf["_vr"].to_numpy()).astype("float64")
         Xn = np.maximum(np.linalg.norm(X, axis=1), 1e-300)
         Yn = np.maximum(np.linalg.norm(Y, axis=1), 1e-300)
+        # vectorized PRUNE (BLAS summation order, margin below threshold)
         C = (X @ Y.T) / np.outer(Xn, Yn)
-        # emit (min, max): within tile (i, j) the larger id may live on
-        # either side, and tile (j, i) is never generated
-        ii, jj = np.nonzero((C >= prune_at) & (ida[:, None] != idb[None, :]))
-        lo = np.minimum(ida[ii], idb[jj])
-        hi = np.maximum(ida[ii], idb[jj])
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        pk = int(key[0])
+        # a diagonal tile (same block on both sides) sees each unordered
+        # pair in both orders — keep id_a < id_b there; off-diagonal tiles
+        # produce each pair exactly once, larger id on either side
+        if pk // n_blocks == pk % n_blocks:
+            mask = (C >= prune_at) & (ida[:, None] < idb[None, :])
+        else:
+            mask = (C >= prune_at) & (ida[:, None] != idb[None, :])
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        # EXACT verify on survivors only: strict left-fold float64
+        # accumulation in element order — the identical op sequence to the
+        # unrolled JVM chain ((0.0 + x1*y1) + x2*y2) + …
+        Xs, Ys = X[ii], Y[jj]
+        dotv = np.zeros(len(ii))
+        for k in range(X.shape[1]):
+            dotv = dotv + Xs[:, k] * Ys[:, k]
+        nx = np.zeros(len(X))
+        ny = np.zeros(len(Y))
+        for k in range(X.shape[1]):
+            nx = nx + X[:, k] * X[:, k]
+            ny = ny + Y[:, k] * Y[:, k]
+        cos = dotv / (np.sqrt(nx)[ii] * np.sqrt(ny)[jj])
+        cosr = np.fromiter(
+            (_round6_half_up(float(c)) for c in cos), dtype="float64", count=len(cos)
+        )
+        keep = cosr >= threshold
+        if not keep.any():
+            return empty
+        lo = np.minimum(ida[ii], idb[jj])[keep]
+        hi = np.maximum(ida[ii], idb[jj])[keep]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cosr[keep]})
 
-    cand = (
-        left_rep.groupBy("_pk")
-        .cogroup(right_rep.groupBy("_pk"))
-        .applyInPandas(tile, schema="id_a bigint, id_b bigint")
-        .dropDuplicates(["id_a", "id_b"])  # diagonal tiles see both orders
-    )
-
-    a = df.select(F.col(id_col).alias("id_a"), _cast_double(vec_col).alias("_va")).withColumn(
-        "_na", l2_norm("_va", dim)
-    )
-    b = df.select(F.col(id_col).alias("id_b"), _cast_double(vec_col).alias("_vb")).withColumn(
-        "_nb", l2_norm("_vb", dim)
-    )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine", F.round(dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        left_rep.groupBy("_pk")
+        .cogroup(right_rep.groupBy("_pkr"))
+        .applyInPandas(tile, schema="id_a bigint, id_b bigint, cosine double")
     )
 
 

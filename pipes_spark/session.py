@@ -185,6 +185,18 @@ def get_spark(
             ),
         )
         .config("spark.driver.memory", os.environ.get("PIPES_SPARK_DRIVER_MEM", "8g"))
+        # DataFrame call-site capture (Python-side error-context
+        # enrichment, default on) costs TWO extra py4j round trips plus a
+        # driver-side traceback walk on EVERY DataFrame API call — a
+        # measured 0.03-0.13 s of query-construction latency per declared
+        # query, pure driver overhead at any deployment size. Exceptions
+        # still carry the full JVM context; only the Python call-site
+        # line in error messages is lost. Re-enable for debugging via
+        # PIPES_SPARK_DF_DEBUGGING=true.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("PIPES_SPARK_DF_DEBUGGING", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

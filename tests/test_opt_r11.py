@@ -288,3 +288,43 @@ def test_ivf_topk_driver_query_probes_identical(spark, sf_dir):
         emb, q, k=5, corpus_rows=(ids, X), query_rows=(ids[qm], X[qm])
     )
     assert _rows_set(collected) == _rows_set(driver)
+
+
+def test_round6_half_up_matches_spark_round(spark, sf_dir):
+    """The in-kernel Decimal HALF_UP rounding must be bit-equal to Spark's
+    F.round(double, 6) — checked over the live cosine distribution plus
+    adversarial near-boundary values."""
+    from pyspark.sql import functions as F
+
+    from pipes_spark.catalog import _t
+    from pipes_spark.operators.similarity import (
+        _round6_half_up,
+        cosine,
+        cosine_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    live = [
+        r.c
+        for r in emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            cosine(
+                F.transform("a.embedding", lambda x: x.cast("double")),
+                F.transform("b.embedding", lambda x: x.cast("double")),
+            ).alias("c")
+        )
+        .limit(5000)
+        .collect()
+    ]
+    adversarial = [0.2999995, 0.3000005, -0.1234565, 1.0, -1.0, 0.5e-6,
+                   -0.5e-6, 0.1234564999999999, 2.5e-7, 123.4567895]
+    vals = live + adversarial
+    spark_rounded = [
+        r.r
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 6).alias("r"))
+        .collect()
+    ]
+    ours = [_round6_half_up(v) for v in vals]
+    assert ours == spark_rounded
