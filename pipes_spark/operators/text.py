@@ -114,17 +114,25 @@ def normalized_fingerprint(col) -> Column:
 def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Token-level TF-IDF: tf = in-document occurrences, idf = ln(N/df).
 
-    Scale shape: one explode + two hash aggregations (both map-side
-    partial), then a shuffle join keyed on the token. The document count N
-    stays IN-PLAN (1-row aggregate cross-joined broadcast, the pmi_pairs /
-    association_rules pattern) — constructing the DataFrame fires no Spark
-    job, matching the reference's lazy-build contract (nothing runs before
-    Runner.Start, ref: pipe/runner.go:18-22). No Python in the data path.
+    Scale shape: ONE tokenize pass — the (doc, token) TF aggregate is
+    persisted (scope-released) and the document frequency is derived from
+    it (tf has exactly one row per distinct (doc, token), so a count per
+    token IS the distinct-doc count), instead of re-scanning and
+    re-exploding the corpus for a second count_distinct aggregation. The
+    document count N stays IN-PLAN (1-row aggregate cross-joined
+    broadcast, the pmi_pairs / association_rules pattern) — constructing
+    the DataFrame fires no Spark job, matching the reference's lazy-build
+    contract (nothing runs before Runner.Start, ref: pipe/runner.go:18-22).
+    No Python in the data path.
     """
+    from ..caching import scoped_persist
+
     nd = df.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("token").agg(F.count_distinct(F.col(id_col)).alias("dfreq"))
+    tf = scoped_persist(
+        toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
     idf = F.log(F.col("_n_docs") / F.col("dfreq").cast("double"))
     return (
         tf.join(dfreq, "token")

@@ -328,3 +328,37 @@ def test_round6_half_up_matches_spark_round(spark, sf_dir):
     ]
     ours = [_round6_half_up(v) for v in vals]
     assert ours == spark_rounded
+
+
+# ---------------------------------------------------------------------------
+# tfidf: document frequency derived from the persisted (doc, token) TF
+# aggregate instead of a second tokenize pass — dfreq must still count a
+# document ONCE however many times the token repeats inside it.
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_dfreq_counts_each_doc_once(spark):
+    import math
+
+    from pipes_spark.operators.text import tfidf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y"),  # x repeats in-doc: dfreq(x) must count doc 1 once
+            (2, "x y y"),
+            (3, "z z"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf(docs).collect()
+    got = {(r.doc_id, r.token): (r.tf, r.idf) for r in rows}
+    # dfreq(x)=2, dfreq(y)=2, dfreq(z)=1 of N=3
+    idf_2 = round(math.log(3.0 / 2.0), 6)
+    idf_1 = round(math.log(3.0 / 1.0), 6)
+    assert got[(1, "x")] == (3, idf_2)
+    assert got[(2, "x")] == (1, idf_2)
+    assert got[(2, "y")] == (2, idf_2)
+    assert got[(3, "z")] == (2, idf_1)
+    # one row per distinct (doc, token): (1,x),(1,y),(2,x),(2,y),(3,z)
+    assert len(rows) == 5
+    assert got[(1, "y")] == (1, idf_2)
