@@ -166,11 +166,24 @@ def _dsum_sql(expr: str) -> str:
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: full-scan groupBy with partial+final hash aggregation.
     Scale: 2-column group key, map-side combine; the scan prunes to the 7
-    referenced columns (check PushedFilters/ReadSchema in explain)."""
+    referenced columns (check PushedFilters/ReadSchema in explain).
+    The decimal-exact partial aggregation is the query's CPU (guide §1.2
+    step 1): the few-row-group local scan serializes it, so the filtered
+    7-column rows fan out through ensure_min_partitions before the groupBy
+    (no-op at real scale where the scan already has enough splits; A/B at
+    sf0.1: 0.80 → 0.66 s, rounded output bit-identical — the decimal sums
+    are order-independent and the 6-dp-rounded double avgs sit ~100× the
+    accumulated reorder error away from any rounding boundary)."""
+    from .operators.scale import ensure_min_partitions
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        ensure_min_partitions(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),

@@ -324,6 +324,19 @@ def lsh_verified_pairs(
     build + pair join) — deliberately NOT persisted: ReuseExchange
     deduplicates it within the one plan, and a persist barrier measurably
     doubled the runtime by blocking whole-plan optimization.
+
+    Verification shape (optimization round 1): candidate pairs are verified
+    against per-doc shingle-hash ARRAYS with ``array_intersect`` — rows
+    stay at CANDIDATE-PAIR count end to end. The former shape re-joined
+    candidate pairs against the shingle-level rows (pairs × shingles rows
+    through a (id, sh) shuffle, then a pair groupBy, then two more joins to
+    attach sizes); that re-join is the documented driver-heap killer at
+    duplicate-heavy scale (the prefix_jaccard_pairs pattern in CLAUDE.md)
+    and locally cost ~4 extra stages of fixed latency. Value-identical:
+    per-doc shingles are DISTINCT (word_shingles wraps array_distinct), so
+    matching-row counts equal distinct-intersection counts under the same
+    no-xxhash64-collision assumption both shapes already share with the
+    string-based oracle.
     """
     _sigs, cand = _lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sigs
@@ -337,26 +350,46 @@ def lsh_verified_pairs(
     # the candidate id set is O(corpus) and a broadcast hint would pin an
     # unbounded driver collect — let AQE broadcast when it measures small
     # and fall back to a shuffled semi-join when it isn't
-    sh = scoped_persist(
+    # per-candidate-doc hash array + shingle count in ONE aggregate; the
+    # persist sits here (not on the shingle rows) because the two
+    # pair-side joins below alias the columns differently, which defeats
+    # broadcast-exchange reuse — InMemoryRelation computes the aggregate
+    # once for both sides
+    arrs = scoped_persist(
         df.join(ids, df[id_col] == ids["id"], "left_semi")
         .select(
             F.col(id_col).alias("_vid"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
         )
         .select("_vid", F.xxhash64("shingle").alias("sh"))
+        .groupBy("_vid")
+        .agg(
+            F.collect_list("sh").alias("_hs"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
     )
-    sizes = sh.groupBy("_vid").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        cand.join(sh.select(F.col("_vid").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("_vid").alias("id_b"), "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("_vid").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("_vid").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(
+            arrs.select(
+                F.col("_vid").alias("id_a"),
+                F.col("_hs").alias("_hs_a"),
+                F.col("n_sh").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("_vid").alias("id_b"),
+                F.col("_hs").alias("_hs_b"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("_hs_a", "_hs_b")))
+        # n_common >= 1 reproduces the former inner shingle-join exactly
+        # (a zero-overlap candidate pair never appeared in its output),
+        # independent of the threshold value
+        .filter(F.col("n_common") >= F.lit(1))
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
