@@ -637,19 +637,24 @@ def kmv_a_not_b(
     """
     from pyspark.sql import Window
 
-    from ..caching import scoped_persist
-
     # dk feeds the exact-count branch and dh; dh feeds theta, the set
-    # names, and the below-theta test — persist both so the source scans
-    # once, not six times (the autocorrelation shared-branch pattern)
-    dk = scoped_persist(
-        df.select(
-            F.col(set_col).cast("string").alias("_s"),
-            F.col(key_col).cast("string").alias("_k"),
-            kmv_hash56(F.col(key_col)).alias("_h"),
-        ).distinct()
-    )
-    dh = scoped_persist(dk.select("_s", "_h").distinct())
+    # names, and the below-theta test. NO persist (optimization round 1):
+    # both are DISTINCT aggregates, whose group keys cannot be pruned
+    # away by any consumer, so every branch references a canonically
+    # identical exchange and AQE stage reuse computes each shuffle ONCE
+    # (verified on the executed plan: ReusedExchange nodes, one scan) —
+    # unlike tfidf's shared branch, where consumer-specific pruning
+    # rewrites the aggregate and blocks reuse. What recomputes without a
+    # persist is post-shuffle, survivor-bounded work (≤ buckets·k rows
+    # per set above theta's exchange; one map-side filter pass over the
+    # reused dh exchange); the persists' InMemoryRelation builds cost
+    # more than that at every scale (A/B at sf0.1: 1.95 → 1.31 s).
+    dk = df.select(
+        F.col(set_col).cast("string").alias("_s"),
+        F.col(key_col).cast("string").alias("_k"),
+        kmv_hash56(F.col(key_col)).alias("_h"),
+    ).distinct()
+    dh = dk.select("_s", "_h").distinct()
     w_bucket = Window.partitionBy("_s", F.pmod(F.col("_h"), F.lit(buckets))).orderBy(
         "_h"
     )
@@ -745,11 +750,13 @@ def kmv_a_not_b(
         )
     )
     # per feeds its own output rows AND the sym_diff aggregate, and the
-    # final orderBy's range sampling re-executes the union child once
-    # more — without a persist the whole only/exact/join subtree above
-    # dk/dh runs up to four times per action (guide §2.4 shared-branch
-    # rule; A/B at sf0.1: 3.08 s → ~1.9 s warm-MIN)
-    per = scoped_persist(per)
+    # final orderBy's range sampling re-executes the union child — but
+    # every replica of the subtree reads the SAME reused exchanges (see
+    # the dk/dh note above), so the recompute is a handful of 2-row
+    # broadcast joins; persisting `per` measurably LOST to letting it
+    # recompute (all-persists 1.95 / per-only persists in between /
+    # no-persist 1.31 s warm-MIN interleaved at sf0.1 — the
+    # InMemoryRelation barrier blocks whole-plan stage reuse)
     sym = per.agg(
         F.lit("sym_diff").alias("set_name"),
         F.sum("n_exact").cast("bigint").alias("n_exact"),
