@@ -1515,7 +1515,12 @@ def sim_cosine_topk(spark, sf_dir):
     # NO n_rows here: the JVM-side unrolled cosine over corpus×queries IS
     # the heavy compute, and the cores-covering default wins (A/B: 0.67 s
     # at 32 partitions vs 0.82 s volume-sized — unlike the light routing
-    # UDF scans of the lsh/ivf/quantized paths)
+    # UDF scans of the lsh/ivf/quantized paths). NO query_rows either
+    # (r12 A/B, VERDICT ask #7): replacing the 20-vector broadcast scan
+    # with a literal LocalTableScan of the same values was REJECTED —
+    # interleaved MINs 0.587 s (scan) vs 0.817 s (literal) over 5 passes,
+    # value-identical results; the filtered parquet scan broadcast is
+    # cheaper than planning/broadcasting the 20×64 literal arrays here.
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5, dim=_emb_meta(sf_dir)[0]
     )
@@ -3751,57 +3756,70 @@ def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape (adapted: l_shipdate stands in for the absent
     receipt/commit dates): suppliers whose line ships latest among
     multi-supplier 'F' orders — a doubly-correlated EXISTS / NOT EXISTS.
-    Decorrelated Spark-side into per-order aggregates: a line l1 of
-    supplier s survives iff the order has >1 supplier and
-    l1.shipdate >= max(shipdate over OTHER suppliers' lines). That
-    per-(order,supplier) "max of the others" comes from the order's top
-    and second-distinct supplier maxima — two groupBys and a join-back,
-    all hash-partitioned on orderkey, instead of two correlated
-    re-scans of lineitem. Scale: one shuffle partitioning reused across
-    the agg chain; supplier/nation dims broadcast onto the probe side."""
+    Decorrelated into ONE pass over lineitem (r12, guide §2.4/§3): a
+    line l1 of supplier s survives iff the order has >1 supplier and
+    l1.shipdate >= max(shipdate over OTHER suppliers' lines). The
+    per-(order,supplier) aggregate keeps max + the (≤7-element) shipdate
+    list; the per-order stats (supplier count, top, tie count at top,
+    second-distinct max) stack as TWO window passes over the SAME
+    orderkey partitioning — one exchange, no join-back, and no second
+    scan of the fact (the old shape re-read lineitem for the line-level
+    verify join). Only suppliers holding the order's top max can have
+    survivors (max_other ≥ second-of-order), so the flat `supp_max ==
+    top` filter drops every other row before the per-element date count;
+    the survivor count folds the line level back in as
+    size(filter(dates, d ≥ max_other)) on ≤7-element arrays. Scale: one
+    fact scan, one line-level exchange; on a cluster the F-orders join
+    is itself hash-partitioned on orderkey and the aggregate + windows
+    reuse that exchange outright."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     forders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     li_f = li.join(forders, F.col("l_orderkey") == F.col("o_orderkey")).drop("o_orderkey")
-    # per-(order, supplier) max shipdate, then per-order stats over those
+    # per-(order, supplier): max shipdate + every line's shipdate (orders
+    # have ≤7 lines, so the array is tiny and order-irrelevant — only a
+    # threshold count is ever taken from it)
     per_supp = li_f.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("supp_max")
+        F.max("l_shipdate").alias("supp_max"),
+        F.collect_list("l_shipdate").alias("_dates"),
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.max("supp_max").alias("top")
+    # per-order stats as stacked windows on one orderkey partitioning:
+    # count/top first, then the top-dependent tie-count and second max
+    # (same window spec → the plan keeps a single Exchange+Sort)
+    w = Window.partitionBy("l_orderkey")
+    s1 = per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "top", F.max("supp_max").over(w)
     )
-    # cnt of suppliers tied at top + second-distinct max need `top` first
-    stats = per_supp.join(per_order, "l_orderkey")
-    per_order2 = stats.groupBy("l_orderkey").agg(
-        F.first("n_supp").alias("n_supp"),
-        F.first("top").alias("top"),
-        F.sum(F.when(F.col("supp_max") == F.col("top"), 1).otherwise(0)).alias("cnt_top"),
-        F.max(F.when(F.col("supp_max") < F.col("top"), F.col("supp_max"))).alias("second"),
+    s2 = s1.withColumn(
+        "cnt_top",
+        F.sum(F.when(F.col("supp_max") == F.col("top"), 1).otherwise(0)).over(w),
+    ).withColumn(
+        "second",
+        F.max(F.when(F.col("supp_max") < F.col("top"), F.col("supp_max"))).over(w),
     )
-    # max shipdate among the OTHER suppliers of the order, per supplier
-    enriched = per_supp.join(per_order2, "l_orderkey").withColumn(
-        "max_other",
-        F.when(
-            (F.col("supp_max") == F.col("top")) & (F.col("cnt_top") == 1),
-            F.col("second"),
-        ).otherwise(F.col("top")),
-    )
+    # survivors need l1.shipdate ≥ max_other ≥ second ⇒ only top-holders
+    # qualify (a non-top supplier's every line is < top = its max_other)
+    cand = s2.filter((F.col("n_supp") > 1) & (F.col("supp_max") == F.col("top")))
     nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
         "n_nationkey"
     )
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
-    lines = li_f.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
     return (
-        lines.join(
-            enriched.select("l_orderkey", "l_suppkey", "n_supp", "max_other"),
-            ["l_orderkey", "l_suppkey"],
+        cand.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "max_other",
+            F.when(F.col("cnt_top") == 1, F.col("second")).otherwise(F.col("top")),
         )
-        .filter((F.col("n_supp") > 1) & (F.col("l_shipdate") >= F.col("max_other")))
+        .withColumn(
+            "n_wait",
+            F.size(F.filter("_dates", lambda d: d >= F.col("max_other"))),
+        )
+        .filter(F.col("n_wait") > 0)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_wait").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(10)
     )

@@ -1132,7 +1132,12 @@ def prefix_doubling_duplicates(
         "_p",
         F.col("_t").substr(F.col("_p") + F.lit(1), F.lit(radix)).alias("_g"),
     )
-    ids = (
+    # freeze the id assignment BEFORE anything joins against it: the
+    # distinct's within-partition output order is not retry-stable, so a
+    # stage retry that regenerates an `ids` partition mid-join could in
+    # principle hand the same gram two different ids (r11 verdict hardening
+    # item) — the checkpoint pins one assignment for all consumers
+    ids = _cut(
         pos.select("_g").distinct().withColumn("_nr", F.monotonically_increasing_id())
     )
     ranked = _cut(
@@ -1158,7 +1163,7 @@ def prefix_doubling_duplicates(
             F.col("_r").alias("_r1"),
             F.coalesce(F.col("_r2"), F.lit(-1)).alias("_r2"),
         )
-        ids = (
+        ids = _cut(
             composed.select("_r1", "_r2")
             .distinct()
             .withColumn("_nr", F.monotonically_increasing_id())
@@ -1200,12 +1205,22 @@ def _prefix_doubling_tail(grams: DataFrame, id_col: str) -> DataFrame:
     gram — corpus-sized), and the resulting auto-broadcast built a
     multi-million-entry hash relation single-threaded on the driver
     (A/B at sf0.1: auto-broadcast 9.1 s, shuffle-hash 1.8 s, sort-merge
-    1.3 s; guide §3.1 — pick the strategy deliberately)."""
-    counts = grams.groupBy("_k1", "_k2").agg(
-        F.count(F.lit(1)).alias("_n")
-    ).hint("merge")
-    flagged = grams.join(counts, ["_k1", "_k2"]).select(
-        "_d", "_p", (F.col("_n") >= 2).alias("_dup")
+    1.3 s; guide §3.1 — pick the strategy deliberately).
+
+    r12 (guide §3.2 — reduce before the join): only DUPLICATED keys
+    (``_n >= 2``) enter the join-back; unique keys — the overwhelming
+    majority of a mostly-unique corpus — are dropped right after the
+    count aggregate, so the merge side shrinks from corpus-grams to
+    duplicated-grams and the flag comes back through a LEFT join
+    (match ⇔ duplicated; no count value is needed downstream)."""
+    counts = (
+        grams.groupBy("_k1", "_k2")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .hint("merge")
+    )
+    flagged = grams.join(counts, ["_k1", "_k2"], "left").select(
+        "_d", "_p", F.col("_n").isNotNull().alias("_dup")
     )
     return (
         flagged.groupBy("_d")
