@@ -14785,18 +14785,17 @@ def text_kn_perplexity_indexed(spark, sf_dir):
     refit (operators.text.kneser_ney_perplexity_from_model). The oracle
     is the full-corpus KN formula — hash equality proves the persisted
     model path is value-identical to the in-flight fit."""
-    from .caching import scoped_persist
     from .operators.text import kneser_ney_perplexity_from_model
     from .warehouse import bigram_model_table
 
     counts = bigram_model_table(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    # persist the small per-doc result before the global sort: the range
-    # sampler otherwise re-executes the scoring join once more per action
-    # (guide §1.4/§2.4; A/B at sf0.1: 2.18 s → ~1.7 s warm-MIN)
-    return scoped_persist(
-        kneser_ney_perplexity_from_model(d, counts)
-    ).orderBy("doc_id")
+    # result persist DROPPED (r12 re-A/B after the lp-table/broadcast fix:
+    # no-persist 1.083 s vs persist 1.303 s interleaved MINs — the range
+    # sampler's re-execution of the now-cheap scoring plan costs less
+    # than the InMemoryRelation materialization barrier it saved when the
+    # scoring join still broadcast the corpus stream)
+    return kneser_ney_perplexity_from_model(d, counts).orderBy("doc_id")
 
 
 @query(

@@ -933,11 +933,23 @@ def bigram_perplexity(
     return _perplexity_agg(scored, id_col, "perplexity")
 
 
-def _bigram_stream(df, text_col: str, id_col: str, persist_tokens: bool = False):
+def _bigram_stream(
+    df,
+    text_col: str,
+    id_col: str,
+    persist_tokens: bool = False,
+    persist_big: bool = True,
+):
     """The posexplode + per-doc lag-window bigram stream shared by the
-    bigram-LM scorers. Returns (toks, big); ``big`` is scope-persisted —
-    it always feeds both the count aggregates and the scored join — and
-    ``toks`` only when the caller reads it again (vocab size). Routed
+    bigram-LM scorers. Returns (toks, big); ``big`` is scope-persisted
+    when it feeds BOTH the count aggregates and the scored join (the
+    in-flight scorers) — single-consumer callers (the persisted-model
+    scorer, the ingest model build) pass ``persist_big=False``: the
+    persist is pure overhead there, and worse, the cached relation's
+    understated stats flipped the scoring join's build side to the
+    corpus-sized occurrence stream (r12 measured: BuildLeft broadcast of
+    the ~635k-row stream against the ~931-row lp table). ``toks`` is
+    persisted only when the caller reads it again (vocab size). Routed
     through ensure_min_partitions: regex tokenization + explode is the
     CPU stage and the single-row-group testdata scans are one task."""
     from pyspark.sql import Window
@@ -951,13 +963,13 @@ def _bigram_stream(df, text_col: str, id_col: str, persist_tokens: bool = False)
     if persist_tokens:
         toks = scoped_persist(toks)
     w_doc = Window.partitionBy(id_col).orderBy("pos")
-    big = scoped_persist(
-        toks.select(
-            F.col(id_col),
-            F.lag("w").over(w_doc).alias("w1"),
-            F.col("w").alias("w2"),
-        ).filter(F.col("w1").isNotNull())
-    )
+    big = toks.select(
+        F.col(id_col),
+        F.lag("w").over(w_doc).alias("w1"),
+        F.col("w").alias("w2"),
+    ).filter(F.col("w1").isNotNull())
+    if persist_big:
+        big = scoped_persist(big)
     return toks, big
 
 
@@ -1616,29 +1628,41 @@ def kneser_ney_lp_table(c2: DataFrame, discount: float = 0.75) -> DataFrame:
     log-prob table ``(w1, w2, _lp)``. Shared by the in-flight scorer
     above and the persisted-model path
     (:func:`kneser_ney_perplexity_from_model`)."""
+    from pyspark.sql import Window
+
     d_ = float(discount)
     if not 0.0 < d_ < 1.0:
         raise ValueError(f"discount must be in (0, 1), got {discount}")
-    # one pass per direction: context totals + forward type counts share a
-    # groupBy; backward type counts and the bigram-type total are the rest
-    ctx = c2.groupBy("w1").agg(
-        F.sum("_c2").alias("_c1"), F.count(F.lit(1)).alias("_n1f")
-    )
-    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("_n1b"))
+    # one pass per direction as WINDOWS over the distinct-bigram table
+    # (r12, guide §2.4/§3.1): context totals + forward type counts ride a
+    # w1 partition, backward type counts a w2 partition — same shuffles
+    # as the old groupBy+join-back pair (c2 re-keyed by w1, then by w2)
+    # but with NO self-joins, so the lp table's size ESTIMATE stays the
+    # c2 scan's instead of a join-inflated blowup. That estimate is what
+    # the scoring join's planner reads: with joins in the lineage it
+    # sized lp ABOVE the raw corpus scan and broadcast the corpus-sized
+    # occurrence stream as the build side (measured r12: BuildLeft of
+    # ~635k rows vs the 931-row model at sf0.1); windows keep lp the
+    # small side locally while a real-vocab model still exceeds the
+    # threshold and gets a sort-merge — scale-adaptive either way. The
+    # 1-row bigram-type total stays an aggregate + broadcast cross join
+    # (a global window would be a one-task sort of the whole model).
+    wv = Window.partitionBy("w1")
+    ww = Window.partitionBy("w2")
     btypes = c2.agg(F.count(F.lit(1)).alias("_bt"))
     p = (
         (F.col("_c2") - F.lit(d_)).cast("double") / F.col("_c1").cast("double")
         + (F.lit(d_) * F.col("_n1f").cast("double") / F.col("_c1").cast("double"))
         * (F.col("_n1b").cast("double") / F.col("_bt").cast("double"))
     )
-    # all model math runs at DISTINCT-bigram granularity (vocab-sized
-    # tables joining each other), and the occurrence stream then joins
-    # ONCE against the per-bigram lp table — not three times against the
-    # vocab aggregates, which would re-shuffle the full corpus by w1 and
-    # again by w2
+    # all model math runs at DISTINCT-bigram granularity, and the
+    # occurrence stream then joins ONCE against the per-bigram lp table —
+    # never against the vocab aggregates, which would re-shuffle the full
+    # corpus by w1 and again by w2
     return (
-        c2.join(ctx, "w1")
-        .join(cont, "w2")
+        c2.withColumn("_c1", F.sum("_c2").over(wv))
+        .withColumn("_n1f", F.count(F.lit(1)).over(wv))
+        .withColumn("_n1b", F.count(F.lit(1)).over(ww))
         .crossJoin(F.broadcast(btypes))
         .select("w1", "w2", F.round(F.log(p), 6).alias("_lp"))
     )
@@ -1668,6 +1692,11 @@ def kneser_ney_perplexity_from_model(
         counts.groupBy("w1", "w2").agg(F.sum("c2").alias("_c2"))
     )
     lp_table = kneser_ney_lp_table(c2, discount)
-    _, big = _bigram_stream(df, text_col, id_col)
+    # persist_big=False (r12): the stream feeds ONLY this join here (the
+    # counts are read from the model table), and dropping the persist
+    # restores file-scan stats — the planner then builds the hash side
+    # from the model-derived lp table (tiny here; SMJ at real vocab
+    # scale), instead of broadcasting the corpus-sized stream
+    _, big = _bigram_stream(df, text_col, id_col, persist_big=False)
     scored = big.join(lp_table, ["w1", "w2"]).select(F.col(id_col), "_lp")
     return _perplexity_agg(scored, id_col, "kn_perplexity")

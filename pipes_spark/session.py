@@ -184,6 +184,17 @@ def get_spark(
                 "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
             ),
         )
+        # RocksDB changelog checkpointing (r12, guide §1/§5): each commit
+        # uploads the batch's changelog instead of a full state snapshot
+        # (snapshots consolidate in background maintenance) — the
+        # documented low-commit-latency mode for RocksDB state stores at
+        # any scale. Measured on the benched pair at sf0.1: summed
+        # per-partition commitTimeMs 13-15.6 s → 3.5-7.5 s, wall ~-0.3 s
+        # per query. Override with PIPES_SPARK_ROCKSDB_CHANGELOG=false.
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            os.environ.get("PIPES_SPARK_ROCKSDB_CHANGELOG", "true"),
+        )
         .config("spark.driver.memory", os.environ.get("PIPES_SPARK_DRIVER_MEM", "8g"))
         # DataFrame call-site capture (Python-side error-context
         # enrichment, default on) costs TWO extra py4j round trips plus a

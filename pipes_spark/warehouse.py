@@ -497,7 +497,8 @@ def bigram_model_table(
         docs = corpus if corpus is not None else load_table(spark, sf_dir, "documents")
         clear_stale_location(spark, name)
         clear_stale_location(spark, docs_name)
-        _, big = _bigram_stream(docs, "text", "doc_id")
+        # single consumer (the count aggregate) — no persist (r12)
+        _, big = _bigram_stream(docs, "text", "doc_id", persist_big=False)
         (
             big.groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("c2"))
@@ -546,7 +547,8 @@ def append_bigram_counts(
             )
         ).alias("d")
     ).collect()[0]["d"]
-    _, big = _bigram_stream(delta, "text", "doc_id")
+    # single consumer (the count aggregate) — no persist (r12)
+    _, big = _bigram_stream(delta, "text", "doc_id", persist_big=False)
     counts = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
