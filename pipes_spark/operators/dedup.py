@@ -1197,30 +1197,29 @@ def prefix_doubling_duplicates(
 
 def _prefix_doubling_tail(grams: DataFrame, id_col: str) -> DataFrame:
     """Shared reporting tail of :func:`prefix_doubling_duplicates`:
-    per-key occurrence counts (map-side partial agg) joined back to the
-    positions, then the per-document duplicate summary.
+    per-key occurrence counts flagged onto the positions, then the
+    per-document duplicate summary.
 
-    The join-back rides a sort-merge hint: Catalyst's size estimate for
-    the count aggregate is far below reality (~one row per distinct
-    gram — corpus-sized), and the resulting auto-broadcast built a
-    multi-million-entry hash relation single-threaded on the driver
-    (A/B at sf0.1: auto-broadcast 9.1 s, shuffle-hash 1.8 s, sort-merge
-    1.3 s; guide §3.1 — pick the strategy deliberately).
-
-    r12 (guide §3.2 — reduce before the join): only DUPLICATED keys
-    (``_n >= 2``) enter the join-back; unique keys — the overwhelming
-    majority of a mostly-unique corpus — are dropped right after the
-    count aggregate, so the merge side shrinks from corpus-grams to
-    duplicated-grams and the flag comes back through a LEFT join
-    (match ⇔ duplicated; no count value is needed downstream)."""
-    counts = (
-        grams.groupBy("_k1", "_k2")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= 2)
-        .hint("merge")
-    )
-    flagged = grams.join(counts, ["_k1", "_k2"], "left").select(
-        "_d", "_p", F.col("_n").isNotNull().alias("_dup")
+    r12 shape (guide §2.4 — remove shuffles outright): the duplicate
+    flag is a WINDOW count over the gram key, not a count-aggregate
+    joined back. The join-back — whatever its strategy (the r11 A/B:
+    auto-broadcast 9.1 s / shuffle-hash 1.8 s / sort-merge 1.3 s) —
+    evaluates the gram subtree TWICE (once per join side; the aggregate
+    side's exchange is not canonical-equal, so AQE cannot reuse it) and
+    shuffles the full position table plus the counts. The window moves
+    the same position rows through ONE exchange, sorts within the
+    many-key (k1,k2) partitioning (no one-task hazard: keys ≈ distinct
+    grams), and reads the gram subtree once — at 100 TB that is one
+    corpus scan instead of two. A/B at sf0.1 (interleaved MINs,
+    value-identical 5000-row output): join+duplicated-only-filter
+    1.005 s vs window 0.741 s. This deliberately differs from the
+    CLAUDE.md minhash bucket-cap verdict (join-back beats window there):
+    minhash's join side is ids-only and its partial agg shrinks the
+    shuffle, while here the probe side carries the full gram rows either
+    way — the window saves the duplicate subtree evaluation instead."""
+    w = Window.partitionBy("_k1", "_k2")
+    flagged = grams.select(
+        "_d", "_p", (F.count(F.lit(1)).over(w) >= 2).alias("_dup")
     )
     return (
         flagged.groupBy("_d")
