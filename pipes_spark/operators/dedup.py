@@ -321,9 +321,15 @@ def lsh_verified_pairs(
     for signature compatibility but unused): the exact verify decides
     membership anyway, so estimating first would only add two joins and an
     interpreted zip_with. The band-pair subtree is consumed twice (id-set
-    build + pair join) — deliberately NOT persisted: ReuseExchange
-    deduplicates it within the one plan, and a persist barrier measurably
-    doubled the runtime by blocking whole-plan optimization.
+    build + pair join) and IS persisted (r12, the CLAUDE.md
+    persist-decision rule): the id-set consumer prunes to one column per
+    union branch, which rewrites the dedup aggregate and structurally
+    blocks AQE exchange reuse — the r12 executed plan showed the whole
+    banded self-join (two SortMergeJoins, its exchanges) computed TWICE
+    without the persist. Interleaved A/B at sf0.1: no-persist 2.23 s vs
+    persist 1.42 s, value-identical. (An earlier round measured a persist
+    barrier as a 2× slowdown on a prior plan shape; the executed-plan
+    evidence above supersedes it.)
 
     Verification shape (optimization round 1): candidate pairs are verified
     against per-doc shingle-hash ARRAYS with ``array_intersect`` — rows
@@ -341,6 +347,7 @@ def lsh_verified_pairs(
     _sigs, cand = _lsh_candidate_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, max_bucket, sigs
     )
+    cand = scoped_persist(cand)
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .unionByName(cand.select(F.col("id_b").alias("id")))
@@ -356,7 +363,13 @@ def lsh_verified_pairs(
     # broadcast-exchange reuse — InMemoryRelation computes the aggregate
     # once for both sides
     arrs = scoped_persist(
-        df.join(ids, df[id_col] == ids["id"], "left_semi")
+        # ensure_min_partitions INSIDE the semi-join (r12): the broadcast
+        # semi preserves the scan's partitioning, so on single-row-group
+        # inputs the interpreted shingle transform below serialized on ONE
+        # task (the CLAUDE.md CPU-heavy-operator rule; A/B at sf0.1:
+        # full-corpus arrs 3.24 s one-task vs 0.47 s spread — and spread,
+        # the flat-HOF shape beats a lead-window restructure 0.47 vs 0.59)
+        ensure_min_partitions(df.join(ids, df[id_col] == ids["id"], "left_semi"))
         .select(
             F.col(id_col).alias("_vid"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
