@@ -860,11 +860,20 @@ def _make_avro_source():
 
 
 def _register(spark) -> None:
-    """(Re-)register the single static ``pipes_avro`` source — same name
-    every time, so repeated calls replace rather than grow the session's
-    datasource registry."""
+    """Register the single static ``pipes_avro`` source ONCE per
+    SparkSession (r12, guide §5 — the driver should do almost no
+    per-query work): ``spark.dataSource.register`` pickles the class —
+    by VALUE, so the whole module's helpers ride along — and ships it
+    over py4j on every call; measured ~60 ms per invocation, paid by
+    every avro query construction. The registration is session state
+    (same class, same name), so repeating it is pure overhead: memoize
+    on the session object. A NEW session (fresh process or the driver
+    gate's own) lacks the marker and still registers."""
+    if getattr(spark, "_pipes_avro_registered", False):
+        return
     _ship_self_by_value()
     spark.dataSource.register(_make_avro_source())
+    spark._pipes_avro_registered = True
 
 
 def read_avro(
@@ -881,10 +890,24 @@ def read_avro(
     ``reader_schema`` (JSON string) activates spec schema resolution
     against each file's writer schema; default is the first file's own
     schema. Each file is carved into ``split_target_bytes`` byte ranges
-    → one Spark input partition per range."""
+    → one Spark input partition per range.
+
+    The Spark schema is computed DRIVER-SIDE (one local header read via
+    :func:`read_file_metadata` — no Spark job) and passed explicitly, so
+    ``load()`` skips the Python-worker schema-inference roundtrip the
+    DataSource API otherwise runs per query (r12, guide §5; the same
+    footer-pinning rationale as ``sources.read_parquet``). Decode-time
+    resolution is unchanged — the reader schema JSON still rides in the
+    options map into every split tuple."""
     _register(spark)
+    schema = spark_schema_for(
+        reader_schema
+        if reader_schema is not None
+        else json.dumps(read_file_metadata(_avro_paths(path)[0])["schema"])
+    )
     r = (
         spark.read.format("pipes_avro")
+        .schema(schema)
         .option("path", path)
         .option("split_target_bytes", str(int(split_target_bytes)))
     )
@@ -1366,10 +1389,17 @@ def read_avro_stream(
     docstring for the naming contract). Decode stays executor-parallel
     via the same byte-range splits as :func:`read_avro`. The directory
     must hold at least one file (or pass ``reader_schema``) so the
-    query's schema is known at start."""
+    query's schema is known at start. Schema passed explicitly from a
+    driver-side header read, as in :func:`read_avro` (r12)."""
     _register(spark)
+    schema = spark_schema_for(
+        reader_schema
+        if reader_schema is not None
+        else json.dumps(read_file_metadata(_avro_paths(path)[0])["schema"])
+    )
     r = (
         spark.readStream.format("pipes_avro")
+        .schema(schema)
         .option("path", path)
         .option("split_target_bytes", str(int(split_target_bytes)))
     )
