@@ -128,6 +128,25 @@ def _doc_rows(sf_dir: str) -> int:
     return _DOC_ROWS[sf_dir]
 
 
+_TABLE_BYTES: dict[str, int] = {}
+
+
+def _table_bytes(sf_dir: str, table: str = "documents") -> int:
+    """On-disk byte size of a base table's parquet file (driver-side
+    ``os.path.getsize``, no Spark call at all) — feeds the partition
+    helpers' ``src_bytes`` hint so scan-rooted queries skip the
+    ``df.rdd`` partition probe (r12, guide §5: that probe runs a full
+    throwaway physical-planning pass per query construction). Cached per
+    (sf_dir, table) like :func:`_doc_rows` — file-size metadata, not
+    data or results."""
+    import os
+
+    key = f"{sf_dir}/{table}.parquet"
+    if key not in _TABLE_BYTES:
+        _TABLE_BYTES[key] = os.path.getsize(key)
+    return _TABLE_BYTES[key]
+
+
 def _dsum(col) -> F.Column:
     """Order-independent exact sum of a money-product expression: sum as
     DECIMAL(28,6) (the operands have ≤6 true decimals), cast back to DOUBLE.
@@ -182,7 +201,8 @@ def q1_pricing_summary(spark, sf_dir):
         ensure_min_partitions(
             li.filter(
                 F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp")
-            )
+            ),
+            src_bytes=_table_bytes(sf_dir, "lineitem"),
         )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -1721,10 +1741,12 @@ def multimodal_features(spark, sf_dir):
         F.lit(16000).cast("int").alias("sample_rate"),
     )
     assets = encode_image_assets(
-        ensure_min_partitions(img), "doc_id", "width", "height", "codec"
+        ensure_min_partitions(img, src_bytes=_table_bytes(sf_dir)),
+        "doc_id", "width", "height", "codec"
     ).unionByName(
         encode_wav_assets(
-            ensure_min_partitions(wav), "doc_id", "n_samples", "sample_rate"
+            ensure_min_partitions(wav, src_bytes=_table_bytes(sf_dir)),
+            "doc_id", "n_samples", "sample_rate"
         )
     )
     f = extract_features(assets, fake=False)
@@ -10394,7 +10416,7 @@ def multimodal_phash_pairs(spark, sf_dir):
         .alias("codec"),
     )
     assets = encode_pixel_assets(
-        ensure_min_partitions(d), width=64, height=63
+        ensure_min_partitions(d, src_bytes=_table_bytes(sf_dir)), width=64, height=63
     )
     return phash_pairs(
         perceptual_hash(assets, fake=False, ensure_partitions=False),
@@ -10449,7 +10471,7 @@ def multimodal_resize(spark, sf_dir):
         .alias("codec"),
     )
     assets = encode_pixel_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), width=64, height=63
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), width=64, height=63
     )
     small = resize_image_assets(assets, out_w=7, out_h=5)
     return decoded_pixels(small)
@@ -12744,7 +12766,9 @@ def udf_grouped_minmax(spark, sf_dir):
     from .operators.scale import ensure_min_partitions
     from .operators.udfs import grouped_minmax_arrow
 
-    events = ensure_min_partitions(_t(spark, sf_dir, "events"))
+    events = ensure_min_partitions(
+        _t(spark, sf_dir, "events"), src_bytes=_table_bytes(sf_dir, "events")
+    )
     out = grouped_minmax_arrow(events, "user_id", "value")
     return out.select(
         "user_id", "event_id", "value", F.round("scaled", 6).alias("scaled")
@@ -15175,7 +15199,7 @@ def multimodal_png_roundtrip(spark, sf_dir):
         ((F.col("doc_id") * 7) % 17 + 1).cast("int").alias("height"),
     )
     assets = encode_png_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height"
     )
     return png_decode_stats(assets)
 
@@ -15227,7 +15251,7 @@ def multimodal_gif_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("interlaced"),
     )
     assets = encode_gif_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "interlaced"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "interlaced"
     )
     return gif_decode_stats(assets)
 
@@ -15288,7 +15312,7 @@ def multimodal_jpeg_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 0).alias("optimize"),
     )
     assets = encode_jpeg_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "restart",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "restart",
         "optimize",
     )
     return jpeg_decode_stats(assets)
@@ -15386,7 +15410,7 @@ def multimodal_jpeg_progressive_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("deep"),
     )
     assets = encode_jpeg_progressive_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "deep"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "deep"
     )
     stats = jpeg_decode_stats(assets)
     return stats.select(
@@ -15452,7 +15476,7 @@ def multimodal_jpeg_progressive_color_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 == 1).alias("deep"),
     )
     assets = encode_jpeg_progressive_color_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "subsample", "deep"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "subsample", "deep"
     )
     return jpeg_color_decode_stats(assets)
 
@@ -15512,7 +15536,7 @@ def multimodal_jpeg_color_roundtrip(spark, sf_dir):
         .alias("subsample"),
     )
     assets = encode_jpeg_color_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "subsample"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "subsample"
     )
     return jpeg_color_decode_stats(assets)
 
@@ -15568,7 +15592,7 @@ def multimodal_wav_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_wav_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "channels"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate", "channels"
     )
     return wav_decode_stats(assets)
 
@@ -15635,7 +15659,7 @@ def multimodal_g711_roundtrip(spark, sf_dir):
         .alias("law"),
     )
     assets = encode_wav_g711_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "law"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate", "law"
     )
     return wav_decode_stats(assets)
 
@@ -15704,7 +15728,7 @@ def multimodal_gif_animation_frames(spark, sf_dir):
         (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_gif_animation_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return gif_animation_frame_stats(assets)
 
@@ -15745,7 +15769,7 @@ def multimodal_subtitle_cues(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 5 + 2).cast("int").alias("n_cues")
     )
-    assets = encode_subtitle_assets(presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_cues")
+    assets = encode_subtitle_assets(presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_cues")
     return subtitle_cue_rows(assets)
 
 
@@ -15802,7 +15826,7 @@ def multimodal_wav_depths_roundtrip(spark, sf_dir):
         ).alias("bits"),
     )
     assets = encode_wav_depth_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "bits"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate", "bits"
     )
     return wav_decode_stats(assets)
 
@@ -15861,7 +15885,7 @@ def multimodal_png_filters_roundtrip(spark, sf_dir):
         ((F.col("doc_id") / 6).cast("bigint") % 2 == 1).alias("interlaced"),
     )
     assets = encode_png_filtered_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "filter_mode",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "filter_mode",
         "interlaced",
     )
     return image_decode_weighted_stats(assets)
@@ -15925,7 +15949,7 @@ def multimodal_exif_metadata(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     assets = encode_exif_jpeg_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id"
     )
     return exif_metadata_rows(assets)
 
@@ -15980,7 +16004,7 @@ def multimodal_jpeg_hierarchical_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 5 + 8).cast("int").alias("height"),
     )
     assets = encode_jpeg_hierarchical_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height"
     )
     return image_decode_weighted_stats(assets)
 
@@ -16041,7 +16065,7 @@ def multimodal_jpeg_lossless_roundtrip(spark, sf_dir):
         .alias("point_transform"),
     )
     assets = encode_jpeg_lossless_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "predictor",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "predictor",
         "point_transform",
     )
     return image_decode_weighted_stats(assets)
@@ -16110,7 +16134,7 @@ def multimodal_tiff_roundtrip(spark, sf_dir):
         .alias("photometric"),
     )
     assets = encode_tiff_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "byte_order",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "byte_order",
         "compression", "photometric",
     )
     return tiff_decode_stats(assets)
@@ -16173,7 +16197,7 @@ def multimodal_bmp_roundtrip(spark, sf_dir):
         ((F.col("doc_id") / 2).cast("bigint") % 2 == 1).alias("topdown"),
     )
     assets = encode_bmp_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "bpp",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "bpp",
         "topdown",
     )
     return bmp_decode_stats(assets)
@@ -16233,7 +16257,7 @@ def multimodal_aiff_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_aiff_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate",
         "channels",
     )
     return aiff_decode_stats(assets)
@@ -16406,7 +16430,7 @@ def multimodal_adpcm_roundtrip(spark, sf_dir):
         .alias("codec"),
     )
     assets = encode_wav_adpcm_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "codec"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate", "codec"
     )
     return wav_decode_stats(assets)
 
@@ -16470,7 +16494,7 @@ def multimodal_audio_features(spark, sf_dir):
         (F.col("doc_id") % 2 + 1).cast("int").alias("channels"),
     )
     assets = encode_wav_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate", "channels"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate", "channels"
     )
     return audio_pcm_features(assets)
 
@@ -16531,7 +16555,7 @@ def multimodal_video_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 6 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return avi_frame_sample_stats(assets, every_k=2)
 
@@ -16588,7 +16612,7 @@ def multimodal_video_dib_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_dib_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return avi_frame_sample_stats(assets, every_k=2)
 
@@ -16654,7 +16678,7 @@ def multimodal_video_rle_frame_sample(spark, sf_dir):
         (F.col("doc_id") % 3 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_avi_rle8_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return avi_frame_sample_stats(assets, every_k=2)
 
@@ -16708,7 +16732,7 @@ def multimodal_cross_codec_ahash(spark, sf_dir):
         ).alias("codec"),
     )
     assets = encode_image_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "codec"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "codec"
     )
     return image_ahash(assets)
 
@@ -17161,7 +17185,7 @@ def multimodal_jpeg_arith_roundtrip(spark, sf_dir):
         (F.col("doc_id") % 9 + 1).cast("int").alias("kx"),
     )
     assets = encode_jpeg_arith_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "restart",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "restart",
         "kx",
     )
     return jpeg_decode_stats(assets)
@@ -17234,7 +17258,7 @@ def multimodal_flac_roundtrip(spark, sf_dir):
         ).alias("block_size"),
     )
     assets = encode_flac_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples", "sample_rate",
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples", "sample_rate",
         "channels", "stereo_mode", "block_size",
     )
     return flac_decode_stats(assets)
@@ -17311,7 +17335,7 @@ def multimodal_video_screen_frames(spark, sf_dir):
         (F.col("doc_id") % 5 + 2).cast("int").alias("n_frames"),
     )
     assets = encode_flv_screen_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "width", "height", "n_frames"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "width", "height", "n_frames"
     )
     return flv_screen_frame_stats(assets)
 
@@ -17368,6 +17392,6 @@ def multimodal_flac_metadata(spark, sf_dir):
         (F.col("doc_id") % 500 + 120).cast("int").alias("n_samples"),
     )
     assets = encode_flac_tagged_assets(
-        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir)), "doc_id", "n_samples"
+        presorted_min_partitions(d, "doc_id", rows=_doc_rows(sf_dir), src_bytes=_table_bytes(sf_dir)), "doc_id", "n_samples"
     )
     return flac_metadata_rows(assets)

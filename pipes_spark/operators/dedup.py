@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..caching import scoped_persist
-from .scale import ensure_min_partitions
+from .scale import ensure_min_partitions, src_bytes_hint
 from .text import normalized_fingerprint, tokens
 
 
@@ -103,7 +103,9 @@ def _minhash_wide(
     """Signature as ``num_hashes`` wide long columns ``_m0.._mN`` — the raw
     aggregate output, so downstream band-key derivation works on plain
     columns instead of array element_at."""
-    ex = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+    ex = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("_s")
     )
     hashed = ex.select(F.col(id_col), F.xxhash64("_s").alias("_h"))
@@ -369,7 +371,13 @@ def lsh_verified_pairs(
         # task (the CLAUDE.md CPU-heavy-operator rule; A/B at sf0.1:
         # full-corpus arrs 3.24 s one-task vs 0.47 s spread — and spread,
         # the flat-HOF shape beats a lead-window restructure 0.47 vs 0.59)
-        ensure_min_partitions(df.join(ids, df[id_col] == ids["id"], "left_semi"))
+        ensure_min_partitions(
+            df.join(ids, df[id_col] == ids["id"], "left_semi"),
+            # broadcast semi preserves the scan's partitioning, so the
+            # scan's byte-size hint stays the exact split count (r12:
+            # skips the df.rdd probe, 0.35 s of throwaway planning here)
+            src_bytes=src_bytes_hint(df),
+        )
         .select(
             F.col(id_col).alias("_vid"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
@@ -525,7 +533,9 @@ def simhash_df(
     in its own projection so the string-hash pass runs once per row; the 32
     bit-vote aggregates then fold over the cached array (Catalyst keeps the
     projections separate because the producer expression is non-cheap)."""
-    hashed = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+    hashed = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
         F.col(id_col), _token_hashes(text_col, seed_salt).alias("_th")
     )
     return hashed.select(F.col(id_col), _simhash_from_hashes("_th").alias(out_col))
@@ -583,7 +593,9 @@ def ngram_jaccard_pairs(
     """
     # scanned by both self-join branches and the sizes agg
     sh = scoped_persist(
-        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    )
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
@@ -695,7 +707,9 @@ def prefix_jaccard_pairs(
     dedup; route low-threshold discovery through MinHash-LSH.
     """
     sh = scoped_persist(
-        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    )
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
@@ -775,7 +789,9 @@ def containment_pairs(
     route candidate generation through MinHash-LSH first at corpus scale.
     """
     sh = scoped_persist(
-        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col)))
+        ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    )
         .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
@@ -908,7 +924,9 @@ def _positional_gram_hashes(df, text_col, id_col, n):
     over the per-doc window (flat codegen, one shuffle keyed by doc id).
     concat_ws skips NULLs (it would silently emit short tail grams), so
     positions past len-n are dropped by the last-lead null check."""
-    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_t")
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
@@ -1106,14 +1124,15 @@ def prefix_doubling_duplicates(
 
     # positions in docs shorter than L never produce a gram, and the rank
     # partner joins are within-document — drop those docs pre-explode
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
     base = ensure_min_partitions(
         docs.select(
             F.col(id_col).alias("_d"),
             F.col(text_col).alias("_t"),
             F.length(text_col).alias("_len"),
-        ).filter(F.col("_t").isNotNull() & (F.length(text_col) >= min_len))
+        ).filter(F.col("_t").isNotNull() & (F.length(text_col) >= min_len)),
+        src_bytes=src_bytes_hint(docs),
     )
 
     if min_len <= direct_width:
@@ -1296,7 +1315,7 @@ def prefix_doubling_candidates(
         ).cast("bigint"),
     )
     g = base.select("_d", F.posexplode(hs).alias("_p", "_h"))
-    g = ensure_min_partitions(g)
+    g = ensure_min_partitions(g, src_bytes=src_bytes_hint(docs))
     # leftmost-min-per-window selection: deterministic relative to window
     # content, so equal substrings select equal (relative pos, hash)
     wmin = Window.partitionBy("_d").orderBy("_p").rowsBetween(0, w - 1)

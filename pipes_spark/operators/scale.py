@@ -20,8 +20,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _parse_byte_conf(s: str) -> int:
+    """Spark byte-string conf value → bytes (``134217728``, ``128m``,
+    ``1g``, ``64MB`` …; bare numbers are bytes, the JavaUtils default
+    for this conf)."""
+    s = s.strip().lower()
+    units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    num, unit = s, 1
+    for suf in ("kb", "mb", "gb", "tb", "b", "k", "m", "g", "t"):
+        if s.endswith(suf):
+            num, unit = s[: -len(suf)], units[suf[0]]
+            break
+    return int(float(num) * unit)
+
+
+def src_bytes_hint(df: DataFrame) -> Optional[int]:
+    """The on-disk byte-size tag ``sources.read_parquet`` attaches to the
+    raw-scan DataFrames it returns (``None`` for anything else). Call
+    sites that DERIVE from a scan before the partition helpers
+    (``ensure_min_partitions(df.select(...), src_bytes=src_bytes_hint(df))``)
+    use it to carry the hint across the derivation — projections and
+    filters do not change a scan's split count, so the estimate stays
+    exact for scan-rooted inputs."""
+    return getattr(df, "_pipes_src_bytes", None)
+
+
+def _est_scan_partitions(spark, src_bytes: int) -> int:
+    """Partition count a fresh file scan of ``src_bytes`` input bytes
+    yields — ``ceil(bytes / maxPartitionBytes)`` — computed entirely
+    driver-side. The cheap substitute (r12, guide §5) for probing
+    ``df.rdd.getNumPartitions()``, which runs full physical planning of
+    the subtree on every query CONSTRUCTION only to throw the plan away
+    (measured 30–350 ms per call; ~2 s across one bench sweep). Callers
+    pass it only for SCAN-ROOTED inputs (no exchange between the scan
+    and this operator), where the estimate is exact at both ends of the
+    scale: one small local file → 1; a 100 TB table → thousands."""
+    mpb = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    return max(1, -(-int(src_bytes) // mpb))
+
+
 def ensure_min_partitions(
-    df: DataFrame, n: Optional[int] = None, rows: Optional[int] = None
+    df: DataFrame,
+    n: Optional[int] = None,
+    rows: Optional[int] = None,
+    src_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Round-robin repartition to at least ``n`` (default: cluster default
     parallelism) partitions — only if the current plan has fewer.
@@ -34,7 +78,12 @@ def ensure_min_partitions(
     :func:`presorted_min_partitions`). CPU-heavy kernels (minhash over
     documents, codecs) should keep the cores-covering default. At real
     scale either form is a no-op: the scan already has more partitions
-    than the cap."""
+    than the cap.
+
+    ``src_bytes`` (driver-side ``os.path.getsize`` of the scan's input,
+    for SCAN-ROOTED ``df`` only) replaces the ``df.rdd`` partition-count
+    probe with :func:`_est_scan_partitions` — construction stays free of
+    the throwaway physical-planning pass the probe runs."""
     import math
     import os
 
@@ -46,7 +95,14 @@ def ensure_min_partitions(
             n = min(cores, max(1, math.ceil(rows / rpt)))
         else:
             n = cores
-    if df.rdd.getNumPartitions() < n:
+    if src_bytes is None:
+        src_bytes = src_bytes_hint(df)
+    cur = (
+        _est_scan_partitions(spark, src_bytes)
+        if src_bytes is not None
+        else df.rdd.getNumPartitions()
+    )
+    if cur < n:
         return df.repartition(n)
     return df
 
@@ -56,6 +112,7 @@ def presorted_min_partitions(
     *keys: str,
     n: Optional[int] = None,
     rows: Optional[int] = None,
+    src_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Range-repartition + in-partition sort of a CHEAP input so that
     order-preserving downstream map stages (the Arrow codec kernels emit
@@ -89,7 +146,11 @@ def presorted_min_partitions(
     partitions = 1.10→0.70 s at sf0.1) and CPU-bound kernel parallelism
     (flac degrades below ~300 rows/task of headroom: 16 partitions
     1.69 s, 8 partitions 2.62 s). Without ``rows`` the old
-    cores-covering default applies."""
+    cores-covering default applies. ``src_bytes`` replaces the
+    partition-count floor's ``df.rdd`` probe with the driver-side
+    estimate (see :func:`ensure_min_partitions`); the floor's purpose —
+    never shrink a big scan's parallelism — is preserved because the
+    estimate IS the scan's split count."""
     import math
     import os
 
@@ -98,8 +159,15 @@ def presorted_min_partitions(
         cores = spark.sparkContext.defaultParallelism
         if rows is not None:
             rpt = int(os.environ.get("PIPES_SPARK_ROWS_PER_TASK", "320"))
+            if src_bytes is None:
+                src_bytes = src_bytes_hint(df)
+            floor_parts = (
+                _est_scan_partitions(spark, src_bytes)
+                if src_bytes is not None
+                else df.rdd.getNumPartitions()
+            )
             n = max(
-                df.rdd.getNumPartitions(),
+                floor_parts,
                 min(cores, max(1, math.ceil(rows / rpt))),
             )
         else:

@@ -955,9 +955,11 @@ def _bigram_stream(
     from pyspark.sql import Window
 
     from ..caching import scoped_persist
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
-    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
     )
     if persist_tokens:
@@ -1012,10 +1014,12 @@ def augment_token_dropout(
     if not 0.0 <= rate < 1.0:
         raise ValueError(f"rate must be in [0, 1), got {rate}")
     from .sampling import _BUCKETS, hash_bucket
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
     thr = int(rate * _BUCKETS)
-    toks = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+    toks = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w")
     )
     kept = toks.filter(
@@ -1080,12 +1084,14 @@ def augment_span_corruption(
     from ..caching import scoped_persist
     from .sampling import _BUCKETS, hash_bucket
 
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
     start_thr = int(rate / mean_span * _BUCKETS)
     max_len = 2 * mean_span - 1
     toks = scoped_persist(
-        ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+        ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
             F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "_w")
         )
     )
@@ -1318,9 +1324,11 @@ def boilerplate_ngram_stats(
     ``(id, n_grams, boiler_grams, boiler_ratio)``.
     """
     from ..operators.dedup import word_shingles
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
-    ex = ensure_min_partitions(df.select(F.col(id_col), F.col(text_col))).select(
+    ex = ensure_min_partitions(
+        df.select(F.col(id_col), F.col(text_col)), src_bytes=src_bytes_hint(df)
+    ).select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("_g")
     )
     # per-doc shingles are already distinct → count(1) IS document frequency
@@ -1377,7 +1385,7 @@ def dsir_importance(
     triple table is scope-persisted and feeds both the raw model and the
     final fold).
     """
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
     def bucketed(frame: DataFrame, keep_id: bool):
         toks = tokens(text_col)
@@ -1389,7 +1397,9 @@ def dsir_importance(
             ),
         ).otherwise(F.array().cast("array<string>"))
         cols = [F.col(id_col)] if keep_id else []
-        ex = ensure_min_partitions(frame).select(*cols, F.explode(grams).alias("_gram"))
+        ex = ensure_min_partitions(
+            frame, src_bytes=src_bytes_hint(frame)
+        ).select(*cols, F.explode(grams).alias("_gram"))
         return ex.select(
             *cols,
             (
@@ -1496,7 +1506,7 @@ def positional_postings(
     One map-side posexplode — no shuffle; writing grouped per-token
     posting lists is the sink's bucketing choice, not this operator's.
     """
-    from .scale import ensure_min_partitions
+    from .scale import ensure_min_partitions, src_bytes_hint
 
     return (
         ensure_min_partitions(df).select(

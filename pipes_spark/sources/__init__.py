@@ -102,7 +102,29 @@ def read_parquet(spark: SparkSession, path: str, columns: Optional[Sequence[str]
         df = normalize_ntz(spark.read.parquet(path))
     if columns:
         df = df.select(*columns)
+    # tag the scan's on-disk byte size (r12): operators.scale's partition
+    # helpers read it (directly or via src_bytes_hint at derived call
+    # sites) to estimate the scan's split count driver-side instead of
+    # probing df.rdd — which runs a throwaway physical-planning pass per
+    # query construction. Metadata only; derived DataFrames drop the tag.
+    try:
+        df._pipes_src_bytes = _path_bytes(path)
+    except OSError:
+        pass
     return df
+
+
+def _path_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file or directory of part files
+    (driver-side ``os.path.getsize``, no Spark call)."""
+    import os
+    from glob import glob
+
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(f) for f in glob(os.path.join(path, "*.parquet"))
+        )
+    return os.path.getsize(path)
 
 
 def parquet_row_count(path: str) -> int:
