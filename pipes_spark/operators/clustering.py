@@ -307,8 +307,11 @@ def silhouette_stats(
             {"cluster_id": idx.astype("int32"), "s": (b - a) / denom}
         )
 
+    # sil is pure; nondeterministic stops CollapseProject inlining the
+    # struct alias into both field extractions (two Arrow passes over the
+    # corpus — guide §4.4; plan-swept r12)
     per_point = ensure_min_partitions(df.select(vec_col)).select(
-        sil(F.col(vec_col)).alias("_r")
+        sil.asNondeterministic()(F.col(vec_col)).alias("_r")
     ).select("_r.cluster_id", "_r.s")
     # keep the exact DECIMAL sums so the overall row derives from the
     # k-row table — the Arrow UDF pass runs exactly once

@@ -286,6 +286,11 @@ def lsh_cosine_topk(
         ids = (signs.reshape(len(X), t, p) * weights).sum(axis=2)  # (n, tables)
         return pd.Series(list(ids.astype("int64")))
 
+    # pure routing math on broadcast planes; the flag (guide §4.4) stops
+    # the optimizer duplicating the Python stage around pushed bucket
+    # filters (plan-swept r12: sim_lsh_multiprobe evaluated it twice)
+    _buckets = _buckets.asNondeterministic()
+
     def with_buckets(df, idc, id_alias, rows=None):
         # ids + routing keys ONLY: the vectors do not ride through the
         # ×num_tables explode or the bucket-join shuffle. The routing UDF
@@ -521,8 +526,12 @@ def assign_ivf_lists(
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         return pd.Series((-(Xn @ M.T)).argmin(axis=1).astype("int32"))
 
+    # pure; the flag stops filter-pushdown duplication of the Python
+    # stage (guide §4.4; plan-swept r12 via dedup_semantic_pairs)
     return corpus.select(
-        F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("list_id")
+        F.col(id_col),
+        F.col(vec_col),
+        nearest.asNondeterministic()(F.col(vec_col)).alias("list_id"),
     )
 
 
@@ -668,7 +677,16 @@ def ivf_cosine_topk(
             sims = Xn @ M.T  # (n, m)
             order = np.argsort(-sims, axis=1)[:, :n_out].astype("int32")
             return pd.Series(list(order))
-        return nearest
+        # asNondeterministic (r12, guide §4.4): the list_id join implies
+        # `isnotnull(element_at(nearest(...), 1))`, which Catalyst pushed
+        # BELOW the corpus repartition while re-evaluating the UDF in the
+        # projection above it — two ArrowEvalPython passes over the whole
+        # corpus per run (plan nodes 3+7 in
+        # plans/r12/sim_ivf_topk_before.txt). The function is pure
+        # (deterministic numpy on broadcast centroids); the flag only
+        # forbids the optimizer to duplicate/reorder it, collapsing the
+        # plan to one Python stage.
+        return nearest.asNondeterministic()
 
     c = ensure_min_partitions(corpus, rows=n_rows).select(
         F.col(id_col).alias("neighbor_id"),
@@ -1095,8 +1113,10 @@ def pq_encode(
             {"pq_code": list(codes), "pq_norm": np.sqrt(np.maximum(norm2, 1e-300))}
         )
 
+    # pure; nondeterministic stops CollapseProject inlining the struct
+    # alias into BOTH field extractions (two Python passes — guide §4.4)
     return df.select(
-        F.col(id_col), _enc(F.col(vec_col)).alias("_e")
+        F.col(id_col), _enc.asNondeterministic()(F.col(vec_col)).alias("_e")
     ).select(id_col, "_e.pq_code", "_e.pq_norm")
 
 
@@ -1328,9 +1348,11 @@ def ivfpq_encode(
             }
         )
 
-    return df.select(F.col(id_col), _enc(F.col(vec_col)).alias("_e")).select(
-        id_col, "_e.list_id", "_e.pq_code", "_e.recon_norm"
-    )
+    # pure; nondeterministic stops CollapseProject inlining the struct
+    # alias into every field extraction (guide §4.4)
+    return df.select(
+        F.col(id_col), _enc.asNondeterministic()(F.col(vec_col)).alias("_e")
+    ).select(id_col, "_e.list_id", "_e.pq_code", "_e.recon_norm")
 
 
 def ivfpq_topk(
