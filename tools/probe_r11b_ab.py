@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""A/B + plan capture for this session's two changes:
+"""PINNED BASELINE — r11 session. The *_old / variant bodies below are
+inline replicas FROZEN at the shapes the r11 optimization session
+started from; operators/ has moved on (r11 changes, then r12). Do NOT rerun these as
+baselines after further operator edits without re-pinning.
+
+A/B + plan capture for this session's two changes:
 - q1_pricing_summary: ensure_min_partitions before the decimal partial agg
 - dedup_lsh_verified: pair-array verify (array_intersect) replacing the
   shingle-level re-join

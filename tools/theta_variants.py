@@ -1,4 +1,9 @@
-"""kmv_a_not_b persist-strategy variants for the optimization-round A/B
+"""PINNED BASELINE — r11 session. The *_old / variant bodies below are
+inline replicas FROZEN at the shapes the r11 optimization session
+started from; operators/ has moved on (r11 changes, then r12). Do NOT rerun these as
+baselines after further operator edits without re-pinning.
+
+kmv_a_not_b persist-strategy variants for the optimization-round A/B
 (tools/probe use only; the operator itself lives in operators/rollup.py)."""
 import sys
 import os
